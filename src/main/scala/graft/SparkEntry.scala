@@ -1,13 +1,31 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
+import org.apache.spark.sql.functions._
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+  private def withFns(spark: SparkSession): SparkSession = {
+    functions.registerAll(spark); spark
+  }
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
+    * exact top-10 nearest neighbours of embedding #0, joined back to the
+    * label dimension — the reference's `ORDER BY val <-> q LIMIT k` path
+    * (src/index/am_scan.rs) on the flat/exact engine. */
+  def entry(spark: SparkSession): DataFrame = {
+    withFns(spark)
+    queries("q_topk_l2")(spark, "/root/testdata/sf0.001")
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    (graft.queries.CoreQueries.queries)
+      .map { case (k, f) =>
+        k -> ((s: SparkSession, d: String) => f(withFns(s), d))
+      }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    graft.queries.CoreQueries.oracles
 }

@@ -1,0 +1,282 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions._
+
+object Tables {
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+}
+
+/**
+ * Core query inventory: dense vector expressions + relational plumbing,
+ * each with a DuckDB-expressible oracle (exact float/double parity: all
+ * kernels accumulate sequentially in double, matching the oracle's
+ * list_aggregate chains).
+ *
+ * Scale notes: every query here is a single scan + (at most) one
+ * broadcast-able self-join on a key or a constant-size dimension — no
+ * quadratic joins, no driver-side collects; all top-k run through
+ * TakeOrderedAndProject (k-bounded per partition, then merged).
+ */
+object CoreQueries {
+  import Tables.t
+
+  // DuckDB lambda snippets for float->double exact distance parity.
+  private def dzip(f: String) =
+    s"list_aggregate(list_transform(list_zip(a.embedding, b.embedding), p -> $f), 'sum')"
+  private val dL2 = dzip("(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))")
+  private val dDot = dzip("CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)")
+  private def qzip(f: String) =
+    s"list_aggregate(list_transform(list_zip(e.embedding, q.qv), p -> $f), 'sum')"
+  private val qL2 = qzip("(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))")
+  private val qDot = qzip("CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)")
+  private val selfDot =
+    "list_aggregate(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')"
+  private val qvDot =
+    "list_aggregate(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')"
+
+  /** Pairs (i, i+1) of embeddings — a key-equijoin (broadcastable; at scale
+    * this co-partitions on vec_id, no cross product). */
+  private def pairs(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    val a = e.select(col("vec_id"), col("embedding"))
+    val b = e.select((col("vec_id") - 1).as("vec_id"), col("embedding").as("emb_b"))
+    a.join(b, "vec_id")
+  }
+
+  /** events.parquet carries TIMESTAMP(NANOS) which Spark's parquet reader
+    * rejects; read nanos as long and convert to a microsecond timestamp. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(spark, dir, "events")
+      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+  }
+
+  private def queryVec(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "embeddings").filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- relational baseline (scan + partial agg; no vector code) ---
+    "q1_lineitem_agg" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_price"),
+          count(lit(1)).as("cnt"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // --- dense distance expressions over a key self-join ---
+    "q_l2sq_pairs" -> ((s, d) => {
+      pairs(s, d).select(col("vec_id"),
+        l2sq(col("embedding"), col("emb_b")).as("dist")).orderBy(col("vec_id"))
+    }),
+    "q_negdot_pairs" -> ((s, d) => {
+      pairs(s, d).select(col("vec_id"),
+        negdot(col("embedding"), col("emb_b")).as("dist")).orderBy(col("vec_id"))
+    }),
+    "q_cosdist_pairs" -> ((s, d) => {
+      pairs(s, d).select(col("vec_id"),
+        cosdist(col("embedding"), col("emb_b")).as("dist")).orderBy(col("vec_id"))
+    }),
+
+    // --- element-wise arithmetic + scalar functions ---
+    "q_vec_arith" -> ((s, d) => {
+      pairs(s, d).select(
+        col("vec_id"),
+        vecAdd(col("embedding"), col("emb_b")).as("v_add"),
+        vecSub(col("embedding"), col("emb_b")).as("v_sub"),
+        vecMul(col("embedding"), col("emb_b")).as("v_mul")).orderBy(col("vec_id"))
+    }),
+    "q_vec_norm" -> ((s, d) => {
+      t(s, d, "embeddings").select(
+        col("vec_id"),
+        size(col("embedding")).as("dims"),
+        vectorNorm(col("embedding")).as("nrm"),
+        vectorNormalize(col("embedding")).as("unit")).orderBy(col("vec_id"))
+    }),
+
+    // --- text I/O: parse a literal built from table ints ---
+    "q_parse_vector" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      c.select(col("c_custkey"),
+          parseVector(concat(lit("["), col("c_custkey"), lit(", "),
+            col("c_nationkey"), lit("]"))).as("v"))
+        .select(col("c_custkey"), col("v"), vectorNorm(col("v")).as("nrm"))
+        .orderBy(col("c_custkey"))
+    }),
+    // format->parse roundtrip must be exact (shortest-roundtrip floats)
+    "q_format_roundtrip" -> ((s, d) => {
+      t(s, d, "embeddings").select(col("vec_id"),
+          (parseVector(formatVector(col("embedding"))) === col("embedding"))
+            .as("roundtrip_ok"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // --- exact top-k (flat path analog: TakeOrderedAndProject) ---
+    "q_topk_l2" -> ((s, d) => {
+      val e = t(s, d, "embeddings").as("e")
+      e.crossJoin(broadcast(queryVec(s, d)))
+        .filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), l2sq(col("embedding"), col("qv")).as("dist"))
+        .orderBy(col("dist"), col("vec_id")).limit(100)
+    }),
+    "q_topk_dot" -> ((s, d) => {
+      t(s, d, "embeddings").crossJoin(broadcast(queryVec(s, d)))
+        .filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), negdot(col("embedding"), col("qv")).as("dist"))
+        .orderBy(col("dist"), col("vec_id")).limit(100)
+    }),
+    "q_topk_cos" -> ((s, d) => {
+      t(s, d, "embeddings").crossJoin(broadcast(queryVec(s, d)))
+        .filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), cosdist(col("embedding"), col("qv")).as("dist"))
+        .orderBy(col("dist"), col("vec_id")).limit(100)
+    }),
+
+    // --- within-radius (sphere) + combined filter+orderby
+    //     (pushdown_range.slt analog) ---
+    "q_range_l2" -> ((s, d) => {
+      t(s, d, "embeddings").crossJoin(broadcast(queryVec(s, d)))
+        .select(col("vec_id"), col("label"),
+          l2sq(col("embedding"), col("qv")).as("dist"))
+        .filter(col("dist") < 1.5)
+        .orderBy(col("vec_id"))
+    }),
+    "q_range_and_topk" -> ((s, d) => {
+      t(s, d, "embeddings").crossJoin(broadcast(queryVec(s, d)))
+        .select(col("vec_id"),
+          l2sq(col("embedding"), col("qv")).as("dist"),
+          cosdist(col("embedding"), col("qv")).as("cdist"))
+        .filter(col("dist") < 2.5)
+        .orderBy(col("cdist"), col("vec_id")).limit(50)
+        .select(col("vec_id"), col("dist"))
+    }),
+
+    // --- top-k per group via window (batch many-query evaluation) ---
+    "q_topk_per_label" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("label"))
+        .orderBy(col("dist"), col("vec_id"))
+      t(s, d, "embeddings").crossJoin(broadcast(queryVec(s, d)))
+        .select(col("label"), col("vec_id"),
+          l2sq(col("embedding"), col("qv")).as("dist"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("label"), col("vec_id"), col("dist"), col("rn"))
+        .orderBy(col("label"), col("rn"))
+    }),
+
+    // --- tombstone delete semantics (delete.rs analog: anti-join) ---
+    "q_tombstone_antijoin" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val tomb = e.filter(col("vec_id") % 10 === 3).select(col("vec_id"))
+      e.join(tomb, Seq("vec_id"), "left_anti")
+        .select(col("vec_id"), col("label")).orderBy(col("vec_id"))
+    }),
+
+    // --- events: time-window aggregation (streaming-maintenance analog,
+    //     batch form; Structured Streaming variant in tests) ---
+    "q_events_window" -> ((s, d) => {
+      events(s, d)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 3).as("sum_value"))
+        .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+          col("event_type"), col("cnt"), col("sum_value"))
+        .orderBy(col("hour_start"), col("event_type"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_lineitem_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity), 2) AS sum_qty,
+         round(sum(l_extendedprice), 2) AS sum_price,
+         count(*) AS cnt
+         FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q_l2sq_pairs" ->
+      s"""SELECT a.vec_id AS vec_id, $dL2 AS dist
+          FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+          ORDER BY vec_id""",
+    "q_negdot_pairs" ->
+      s"""SELECT a.vec_id AS vec_id, -($dDot) AS dist
+          FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+          ORDER BY vec_id""",
+    "q_cosdist_pairs" ->
+      s"""SELECT a.vec_id AS vec_id,
+          1.0 - ($dDot) / sqrt(
+            list_aggregate(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')
+            * list_aggregate(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS dist
+          FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+          ORDER BY vec_id""",
+
+    "q_vec_arith" ->
+      """SELECT a.vec_id AS vec_id,
+         list_transform(list_zip(a.embedding, b.embedding), p -> p[1] + p[2]) AS v_add,
+         list_transform(list_zip(a.embedding, b.embedding), p -> p[1] - p[2]) AS v_sub,
+         list_transform(list_zip(a.embedding, b.embedding), p -> p[1] * p[2]) AS v_mul
+         FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+         ORDER BY vec_id""",
+    "q_vec_norm" ->
+      """SELECT vec_id, len(embedding) AS dims,
+         sqrt(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nrm,
+         list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) / sqrt(list_aggregate(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)), 'sum')) AS FLOAT)) AS unit
+         FROM embeddings ORDER BY vec_id""",
+
+    "q_parse_vector" ->
+      """SELECT c_custkey,
+         CAST('[' || c_custkey || ', ' || c_nationkey || ']' AS FLOAT[]) AS v,
+         sqrt(CAST(c_custkey AS DOUBLE) * CAST(c_custkey AS DOUBLE)
+            + CAST(c_nationkey AS DOUBLE) * CAST(c_nationkey AS DOUBLE)) AS nrm
+         FROM customer ORDER BY c_custkey""",
+    "q_format_roundtrip" ->
+      "SELECT vec_id, TRUE AS roundtrip_ok FROM embeddings ORDER BY vec_id",
+
+    "q_topk_l2" ->
+      s"""SELECT e.vec_id AS vec_id, $qL2 AS dist
+          FROM embeddings e CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+          WHERE e.vec_id <> 0 ORDER BY dist, vec_id LIMIT 100""",
+    "q_topk_dot" ->
+      s"""SELECT e.vec_id AS vec_id, -($qDot) AS dist
+          FROM embeddings e CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+          WHERE e.vec_id <> 0 ORDER BY dist, vec_id LIMIT 100""",
+    "q_topk_cos" ->
+      s"""SELECT e.vec_id AS vec_id, 1.0 - ($qDot) / sqrt($selfDot * $qvDot) AS dist
+          FROM embeddings e CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+          WHERE e.vec_id <> 0 ORDER BY dist, vec_id LIMIT 100""",
+
+    "q_range_l2" ->
+      s"""SELECT e.vec_id AS vec_id, e.label AS label, $qL2 AS dist
+          FROM embeddings e CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+          WHERE $qL2 < 1.5 ORDER BY vec_id""",
+    "q_range_and_topk" ->
+      s"""SELECT vec_id, dist FROM (
+            SELECT e.vec_id AS vec_id, $qL2 AS dist,
+              1.0 - ($qDot) / sqrt($selfDot * $qvDot) AS cdist
+            FROM embeddings e CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q)
+          WHERE dist < 2.5 ORDER BY cdist, vec_id LIMIT 50""",
+
+    "q_topk_per_label" ->
+      s"""SELECT label, vec_id, dist, rn FROM (
+            SELECT e.label AS label, e.vec_id AS vec_id, $qL2 AS dist,
+              row_number() OVER (PARTITION BY e.label ORDER BY $qL2, e.vec_id) AS rn
+            FROM embeddings e CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q)
+          WHERE rn <= 3 ORDER BY label, rn""",
+
+    "q_tombstone_antijoin" ->
+      """SELECT vec_id, label FROM embeddings
+         WHERE NOT EXISTS (SELECT 1 FROM embeddings t
+           WHERE t.vec_id % 10 = 3 AND t.vec_id = embeddings.vec_id)
+         ORDER BY vec_id""",
+
+    "q_events_window" ->
+      """SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+         event_type, count(*) AS cnt, round(sum(value), 3) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
+  )
+}

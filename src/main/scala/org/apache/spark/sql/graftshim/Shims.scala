@@ -1,0 +1,20 @@
+package org.apache.spark.sql.graftshim
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/**
+ * Minimal bridge into `private[sql]` Spark internals that third-party
+ * Catalyst extensions need: the Expression <-> Column conversion (moved
+ * behind ColumnNode in Spark 4) and the AbstractDataType used by
+ * `ExpectsInputTypes.inputTypes`.
+ */
+object Shims {
+  type AbstractDataType = org.apache.spark.sql.types.AbstractDataType
+
+  def column(e: Expression): Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
+
+  def expression(c: Column): Expression =
+    org.apache.spark.sql.classic.ExpressionUtils.expression(c)
+}
