@@ -19,7 +19,7 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    (graft.queries.CoreQueries.queries)
+    (graft.queries.CoreQueries.queries ++ graft.queries.TypeQueries.queries)
       .map { case (k, f) =>
         k -> ((s: SparkSession, d: String) => f(withFns(s), d))
       }
@@ -27,5 +27,5 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    graft.queries.CoreQueries.oracles
+    graft.queries.CoreQueries.oracles ++ graft.queries.TypeQueries.oracles
 }

@@ -29,6 +29,47 @@ package object functions {
   def parseVector(s: Column): Column = toCol(ParseVector(expr(s)))
   def formatVector(v: Column): Column = toCol(FormatVector(expr(v)))
 
+  // --- sparse (svector) ---
+  def svecL2sq(a: Column, b: Column): Column = toCol(SVecL2sq(expr(a), expr(b)))
+  def svecNegdot(a: Column, b: Column): Column = toCol(SVecNegDot(expr(a), expr(b)))
+  def svecCosdist(a: Column, b: Column): Column = toCol(SVecCosDist(expr(a), expr(b)))
+  def svecAdd(a: Column, b: Column): Column = toCol(SVecArith(expr(a), expr(b), 0))
+  def svecSub(a: Column, b: Column): Column = toCol(SVecArith(expr(a), expr(b), 1))
+  def svecMul(a: Column, b: Column): Column = toCol(SVecArith(expr(a), expr(b), 2))
+  def svecNorm(v: Column): Column = toCol(SVecNorm(expr(v)))
+  def toSVector(dims: Column, idx: Column, vals: Column): Column =
+    toCol(ToSVector(expr(dims), expr(idx), expr(vals)))
+  def svecToDense(v: Column): Column = toCol(SVecToDense(expr(v)))
+  def svecFromDense(v: Column): Column = toCol(SVecFromDense(expr(v)))
+  def svecSlice(v: Column, lo: Column, hi: Column): Column =
+    toCol(SVecSlice(expr(v), expr(lo), expr(hi)))
+  def parseSVector(s: Column): Column = toCol(ParseSVector(expr(s)))
+  def formatSVector(v: Column): Column = toCol(FormatSVector(expr(v)))
+
+  // --- binary (bvector) ---
+  def bvecHamming(a: Column, b: Column): Column = toCol(BVecHamming(expr(a), expr(b)))
+  def bvecNegdot(a: Column, b: Column): Column = toCol(BVecNegDot(expr(a), expr(b)))
+  def bvecJaccard(a: Column, b: Column): Column = toCol(BVecJaccard(expr(a), expr(b)))
+  def bvecAnd(a: Column, b: Column): Column = toCol(BVecOp(expr(a), expr(b), 0))
+  def bvecOr(a: Column, b: Column): Column = toCol(BVecOp(expr(a), expr(b), 1))
+  def bvecXor(a: Column, b: Column): Column = toCol(BVecOp(expr(a), expr(b), 2))
+  def binarize(v: Column): Column = toCol(Binarize(expr(v)))
+  def bvecToDense(v: Column): Column = toCol(BVecToDense(expr(v)))
+  def bvecNorm(v: Column): Column = toCol(BVecNorm(expr(v)))
+  def parseBVector(s: Column): Column = toCol(ParseBVector(expr(s)))
+  def formatBVector(v: Column): Column = toCol(FormatBVector(expr(v)))
+
+  // --- compare / slice ---
+  def vecCompare(a: Column, b: Column): Column = toCol(VecCompare(expr(a), expr(b)))
+  def vecSlice(v: Column, lo: Column, hi: Column): Column =
+    toCol(VecSlice(expr(v), expr(lo), expr(hi)))
+
+  // --- aggregates ---
+  def vecSum(v: Column): Column = toCol(VecSum(expr(v)).toAggregateExpression())
+  def vecAvg(v: Column): Column = toCol(VecAvg(expr(v)).toAggregateExpression())
+  def svecSumAgg(v: Column, dims: Int): Column =
+    toCol(SVecSum(expr(v), dims).toAggregateExpression())
+
   /** Register all functions for SQL usage (the analog of finalize.sql's
     * CREATE FUNCTION statements). */
   def registerAll(spark: SparkSession): Unit = {
@@ -49,5 +90,38 @@ package object functions {
     reg1("to_vecf16", ToF16(_))
     reg1("parse_vector", ParseVector(_))
     reg1("format_vector", FormatVector(_))
+    reg2("svec_l2sq_distance", SVecL2sq(_, _))
+    reg2("svec_negdot_distance", SVecNegDot(_, _))
+    reg2("svec_cos_distance", SVecCosDist(_, _))
+    reg2("svec_add", SVecArith(_, _, 0))
+    reg2("svec_sub", SVecArith(_, _, 1))
+    reg2("svec_mul", SVecArith(_, _, 2))
+    reg1("svec_norm", SVecNorm(_))
+    reg.createOrReplaceTempFunction("to_svector",
+      es => ToSVector(es(0), es(1), es(2)), "scala_udf")
+    reg1("svec_to_dense", SVecToDense(_))
+    reg1("svec_from_dense", SVecFromDense(_))
+    reg.createOrReplaceTempFunction("svec_slice",
+      es => SVecSlice(es(0), es(1), es(2)), "scala_udf")
+    reg1("parse_svector", ParseSVector(_))
+    reg1("format_svector", FormatSVector(_))
+    reg2("bvec_hamming_distance", BVecHamming(_, _))
+    reg2("bvec_negdot_distance", BVecNegDot(_, _))
+    reg2("bvec_jaccard_distance", BVecJaccard(_, _))
+    reg2("bvec_and", BVecOp(_, _, 0))
+    reg2("bvec_or", BVecOp(_, _, 1))
+    reg2("bvec_xor", BVecOp(_, _, 2))
+    reg1("binarize", Binarize(_))
+    reg1("bvec_to_dense", BVecToDense(_))
+    reg1("bvec_norm", BVecNorm(_))
+    reg1("parse_bvector", ParseBVector(_))
+    reg1("format_bvector", FormatBVector(_))
+    reg2("vec_compare", VecCompare(_, _))
+    reg.createOrReplaceTempFunction("vec_slice",
+      es => VecSlice(es(0), es(1), es(2)), "scala_udf")
+    reg.createOrReplaceTempFunction("vec_sum",
+      es => VecSum(es.head).toAggregateExpression(), "scala_udf")
+    reg.createOrReplaceTempFunction("vec_avg",
+      es => VecAvg(es.head).toAggregateExpression(), "scala_udf")
   }
 }

@@ -1,0 +1,295 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions._
+
+/**
+ * Query inventory for the sparse/binary/f16 type surface, comparisons,
+ * slicing, casts and vector aggregates (SURVEY §2.2, §2.4).
+ *
+ * svectors are constructed deterministically by sparsifying the
+ * embeddings (|x| > 0.15 kept); bvectors via binarize (bit = x > 0).
+ * Oracles compute the same results from the dense lists — kernels iterate
+ * in increasing index order with double accumulation so zero terms are
+ * exact identities.
+ */
+object TypeQueries {
+  import Tables.t
+
+  /** sparsified dense vector: keep |x| > 0.15, else exact zero. */
+  private def sparsified(c: org.apache.spark.sql.Column) =
+    transform(c, x => when(abs(x) > lit(0.15), x).otherwise(lit(0.0f)))
+
+  private val sparseSql =
+    "list_transform(%s, x -> CASE WHEN abs(x) > CAST(0.15 AS DOUBLE) THEN x ELSE CAST(0 AS FLOAT) END)"
+
+  private def pairs(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    val a = e.select(col("vec_id"), col("embedding"))
+    val b = e.select((col("vec_id") - 1).as("vec_id"), col("embedding").as("emb_b"))
+    a.join(b, "vec_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- svector distances over sparsified pairs ---
+    "q_svec_dist" -> ((s, d) => {
+      pairs(s, d).select(
+          col("vec_id"),
+          svecFromDense(sparsified(col("embedding"))).as("sa"),
+          svecFromDense(sparsified(col("emb_b"))).as("sb"))
+        .select(col("vec_id"),
+          svecL2sq(col("sa"), col("sb")).as("l2"),
+          svecNegdot(col("sa"), col("sb")).as("nd"),
+          svecCosdist(col("sa"), col("sb")).as("cd"),
+          svecNorm(col("sa")).as("nrm"),
+          size(col("sa.indexes")).cast("long").as("nnz"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // --- svector arithmetic (merge-join on indexes; zero results drop) ---
+    "q_svec_arith" -> ((s, d) => {
+      pairs(s, d).select(
+          col("vec_id"),
+          svecFromDense(sparsified(col("embedding"))).as("sa"),
+          svecFromDense(sparsified(col("emb_b"))).as("sb"))
+        .select(col("vec_id"),
+          svecToDense(svecAdd(col("sa"), col("sb"))).as("v_add"),
+          svecToDense(svecSub(col("sa"), col("sb"))).as("v_sub"),
+          svecToDense(svecMul(col("sa"), col("sb"))).as("v_mul"),
+          size(col("sa.indexes")).cast("long").as("nnz_a"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // --- to_svector constructor + parse/format roundtrip ---
+    "q_to_svector" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      // indexes (c_nationkey, 24 - c_nationkey mod 25 range) guaranteed
+      // distinct & < 32; one zero value to exercise zero-dropping
+      c.select(col("c_custkey"),
+          toSVector(lit(32),
+            array(col("c_nationkey").cast("int"), (col("c_nationkey") + 7).cast("int")),
+            array(col("c_acctbal").cast("float"), lit(0.0f))).as("sv"))
+        .select(col("c_custkey"), col("sv.dims").as("dims"),
+          col("sv.indexes").as("idx"), col("sv.values").as("vals"),
+          (parseSVector(formatSVector(col("sv"))) === col("sv")).as("roundtrip_ok"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // --- bvector distances (hamming / negdot / jaccard) ---
+    "q_bvec_dist" -> ((s, d) => {
+      pairs(s, d).select(col("vec_id"),
+          binarize(col("embedding")).as("ba"), binarize(col("emb_b")).as("bb"))
+        .select(col("vec_id"),
+          bvecHamming(col("ba"), col("bb")).as("hamming"),
+          bvecNegdot(col("ba"), col("bb")).as("nd"),
+          bvecJaccard(col("ba"), col("bb")).as("jac"),
+          bvecNorm(col("ba")).as("nrm"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // --- bvector bit ops (& | ^) ---
+    "q_bvec_ops" -> ((s, d) => {
+      pairs(s, d).select(col("vec_id"),
+          binarize(col("embedding")).as("ba"), binarize(col("emb_b")).as("bb"))
+        .select(col("vec_id"),
+          bvecToDense(bvecAnd(col("ba"), col("bb"))).as("v_and"),
+          bvecToDense(bvecOr(col("ba"), col("bb"))).as("v_or"),
+          bvecToDense(bvecXor(col("ba"), col("bb"))).as("v_xor"),
+          (parseBVector(formatBVector(col("ba"))) === col("ba")).as("roundtrip_ok"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // --- vecf16: f16 storage rounding is exact on small ints, so the
+    //     end-to-end f16 path has an exact oracle ---
+    "q_vecf16_dist" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      val v16 = toVecf16(parseVector(concat(lit("["), col("c_nationkey"),
+        lit(", "), col("c_custkey") % 100, lit("]"))))
+      c.select(col("c_custkey"), v16.as("v"))
+        .select(col("c_custkey"),
+          l2sq(col("v"), toVecf16(parseVector(lit("[12, 50]")))).as("dist"),
+          formatVector(col("v")).as("txt"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // --- lexicographic comparison ---
+    "q_vec_compare" -> ((s, d) => {
+      pairs(s, d).select(col("vec_id"),
+          vecCompare(col("embedding"), col("emb_b")).as("cmp"),
+          (vecCompare(col("embedding"), col("emb_b")) < 0).as("lt"),
+          (vecCompare(col("embedding"), col("embedding")) === 0).as("self_eq"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // --- subscript slice: in-bounds, clamped, out-of-bounds (NULL) ---
+    "q_vec_slice" -> ((s, d) => {
+      t(s, d, "embeddings").select(col("vec_id"),
+          vecSlice(col("embedding"), lit(8), lit(24)).as("mid"),
+          vecSlice(col("embedding"), lit(60), lit(100)).as("tail_clamped"),
+          vecSlice(col("embedding"), lit(100), lit(120)).isNull.as("oob_is_null"),
+          svecToDense(svecSlice(svecFromDense(sparsified(col("embedding"))),
+            lit(8), lit(24))).as("sparse_mid"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // --- casts: real[] (double) -> vector (f32) ---
+    "q_cast_vector" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      li.select(col("l_orderkey"), col("l_linenumber"),
+          array(col("l_quantity"), col("l_discount"), col("l_tax"))
+            .cast("array<float>").as("v"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("v"),
+          vectorNorm(col("v")).as("nrm"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // --- sphere construct + within-radius predicate over the struct ---
+    "q_sphere" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val q = e.filter(col("vec_id") === 0)
+        .select(struct(col("embedding").as("center"), lit(1.5).as("radius")).as("sph"))
+      e.crossJoin(broadcast(q))
+        .select(col("vec_id"), l2sq(col("embedding"), col("sph.center")).as("dist"),
+          col("sph.radius").as("radius"))
+        .filter(col("dist") < col("radius"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // --- vector aggregates: element-wise avg / sum per group ---
+    "q_vec_agg" -> ((s, d) => {
+      t(s, d, "embeddings").groupBy(col("label"))
+        .agg(vecSum(col("embedding")).as("vsum"),
+          vecAvg(col("embedding")).as("vavg"),
+          count(lit(1)).as("cnt"))
+        .orderBy(col("label"))
+    }),
+
+    // --- sparse aggregate: sum(svector) per group, densified ---
+    "q_svec_agg" -> ((s, d) => {
+      t(s, d, "embeddings")
+        .select(col("label"), svecFromDense(sparsified(col("embedding"))).as("sv"))
+        .groupBy(col("label"))
+        .agg(svecSumAgg(col("sv"), 64).as("ssum"))
+        .select(col("label"), svecToDense(col("ssum")).as("vsum"))
+        .orderBy(col("label"))
+    })
+  )
+
+  private val spA = sparseSql.format("a.embedding")
+  private val spB = sparseSql.format("b.embedding")
+
+  val oracles: Map[String, String] = Map(
+    "q_svec_dist" ->
+      s"""WITH p AS (SELECT a.vec_id AS vec_id, $spA AS sa, $spB AS sb
+            FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1)
+          SELECT vec_id,
+            list_aggregate(list_transform(list_zip(sa, sb), p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), 'sum') AS l2,
+            -list_aggregate(list_transform(list_zip(sa, sb), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum') AS nd,
+            1.0 - list_aggregate(list_transform(list_zip(sa, sb), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')
+              / sqrt(list_aggregate(list_transform(sa, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')
+                   * list_aggregate(list_transform(sb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS cd,
+            sqrt(list_aggregate(list_transform(sa, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nrm,
+            len(list_filter(sa, x -> x <> 0)) AS nnz
+          FROM p ORDER BY vec_id""",
+
+    "q_svec_arith" ->
+      s"""WITH p AS (SELECT a.vec_id AS vec_id, $spA AS sa, $spB AS sb
+            FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1)
+          SELECT vec_id,
+            list_transform(list_zip(sa, sb), p -> p[1] + p[2]) AS v_add,
+            list_transform(list_zip(sa, sb), p -> p[1] - p[2]) AS v_sub,
+            list_transform(list_zip(sa, sb), p -> p[1] * p[2]) AS v_mul,
+            len(list_filter(sa, x -> x <> 0)) AS nnz_a
+          FROM p ORDER BY vec_id""",
+
+    "q_to_svector" ->
+      """SELECT c_custkey, 32 AS dims,
+         CASE WHEN CAST(c_acctbal AS FLOAT) = 0 THEN CAST([] AS INT[])
+              ELSE [CAST(c_nationkey AS INT)] END AS idx,
+         CASE WHEN CAST(c_acctbal AS FLOAT) = 0 THEN CAST([] AS FLOAT[])
+              ELSE [CAST(c_acctbal AS FLOAT)] END AS vals,
+         TRUE AS roundtrip_ok
+         FROM customer ORDER BY c_custkey""",
+
+    "q_bvec_dist" ->
+      """SELECT a.vec_id AS vec_id,
+         CAST(list_aggregate(list_transform(list_zip(a.embedding, b.embedding), p -> CASE WHEN (p[1] > 0) <> (p[2] > 0) THEN 1 ELSE 0 END), 'sum') AS DOUBLE) AS hamming,
+         -CAST(list_aggregate(list_transform(list_zip(a.embedding, b.embedding), p -> CASE WHEN (p[1] > 0) AND (p[2] > 0) THEN 1 ELSE 0 END), 'sum') AS DOUBLE) AS nd,
+         1.0 - CAST(list_aggregate(list_transform(list_zip(a.embedding, b.embedding), p -> CASE WHEN (p[1] > 0) AND (p[2] > 0) THEN 1 ELSE 0 END), 'sum') AS DOUBLE)
+             / CAST(list_aggregate(list_transform(list_zip(a.embedding, b.embedding), p -> CASE WHEN (p[1] > 0) OR (p[2] > 0) THEN 1 ELSE 0 END), 'sum') AS DOUBLE) AS jac,
+         sqrt(CAST(list_aggregate(list_transform(a.embedding, x -> CASE WHEN x > 0 THEN 1 ELSE 0 END), 'sum') AS DOUBLE)) AS nrm
+         FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+         ORDER BY vec_id""",
+
+    "q_bvec_ops" ->
+      """SELECT a.vec_id AS vec_id,
+         list_transform(list_zip(a.embedding, b.embedding), p -> CAST(CASE WHEN (p[1] > 0) AND (p[2] > 0) THEN 1 ELSE 0 END AS FLOAT)) AS v_and,
+         list_transform(list_zip(a.embedding, b.embedding), p -> CAST(CASE WHEN (p[1] > 0) OR (p[2] > 0) THEN 1 ELSE 0 END AS FLOAT)) AS v_or,
+         list_transform(list_zip(a.embedding, b.embedding), p -> CAST(CASE WHEN (p[1] > 0) <> (p[2] > 0) THEN 1 ELSE 0 END AS FLOAT)) AS v_xor,
+         TRUE AS roundtrip_ok
+         FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+         ORDER BY vec_id""",
+
+    "q_vecf16_dist" ->
+      """SELECT c_custkey,
+         (CAST(c_nationkey AS DOUBLE) - 12) * (CAST(c_nationkey AS DOUBLE) - 12)
+           + (CAST(c_custkey % 100 AS DOUBLE) - 50) * (CAST(c_custkey % 100 AS DOUBLE) - 50) AS dist,
+         '[' || CAST(c_nationkey AS VARCHAR) || '.0, ' || CAST(c_custkey % 100 AS VARCHAR) || '.0]' AS txt
+         FROM customer ORDER BY c_custkey""",
+
+    "q_vec_compare" ->
+      """SELECT a.vec_id AS vec_id,
+         CASE WHEN a.embedding < b.embedding THEN -1 WHEN a.embedding > b.embedding THEN 1 ELSE 0 END AS cmp,
+         a.embedding < b.embedding AS lt,
+         TRUE AS self_eq
+         FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+         ORDER BY vec_id""",
+
+    "q_vec_slice" ->
+      s"""SELECT vec_id, embedding[9:24] AS mid, embedding[61:64] AS tail_clamped,
+          TRUE AS oob_is_null,
+          (${sparseSql.format("embedding")})[9:24] AS sparse_mid
+          FROM embeddings ORDER BY vec_id""",
+
+    "q_cast_vector" ->
+      """SELECT l_orderkey, l_linenumber,
+         [CAST(l_quantity AS FLOAT), CAST(l_discount AS FLOAT), CAST(l_tax AS FLOAT)] AS v,
+         sqrt(CAST(CAST(l_quantity AS FLOAT) AS DOUBLE) * CAST(CAST(l_quantity AS FLOAT) AS DOUBLE)
+            + CAST(CAST(l_discount AS FLOAT) AS DOUBLE) * CAST(CAST(l_discount AS FLOAT) AS DOUBLE)
+            + CAST(CAST(l_tax AS FLOAT) AS DOUBLE) * CAST(CAST(l_tax AS FLOAT) AS DOUBLE)) AS nrm
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+
+    "q_sphere" ->
+      """SELECT e.vec_id AS vec_id,
+         list_aggregate(list_transform(list_zip(e.embedding, q.qv), p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), 'sum') AS dist,
+         CAST(1.5 AS DOUBLE) AS radius
+         FROM embeddings e CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+         WHERE list_aggregate(list_transform(list_zip(e.embedding, q.qv), p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), 'sum') < 1.5
+         ORDER BY vec_id""",
+
+    "q_vec_agg" ->
+      """WITH flat AS (
+           SELECT label, unnest(embedding) AS x, unnest(range(len(embedding))) AS i
+           FROM embeddings),
+         sums AS (
+           SELECT label, i, CAST(sum(CAST(x AS DOUBLE)) AS FLOAT) AS s,
+                  CAST(sum(CAST(x AS DOUBLE)) / count(*) AS FLOAT) AS m
+           FROM flat GROUP BY label, i),
+         cnts AS (SELECT label, count(*) AS cnt FROM embeddings GROUP BY label)
+         SELECT s.label AS label, list(s.s ORDER BY s.i) AS vsum,
+                list(s.m ORDER BY s.i) AS vavg, max(c.cnt) AS cnt
+         FROM sums s JOIN cnts c USING (label) GROUP BY s.label ORDER BY label""",
+
+    "q_svec_agg" ->
+      s"""WITH flat AS (
+           SELECT label, unnest(${sparseSql.format("embedding")}) AS x,
+                  unnest(range(len(embedding))) AS i
+           FROM embeddings),
+         sums AS (
+           SELECT label, i, CAST(sum(CAST(x AS DOUBLE)) AS FLOAT) AS s
+           FROM flat GROUP BY label, i)
+         SELECT label, list(s ORDER BY i) AS vsum
+         FROM sums GROUP BY label ORDER BY label"""
+  )
+}
