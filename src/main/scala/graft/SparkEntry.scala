@@ -19,7 +19,8 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    (graft.queries.CoreQueries.queries ++ graft.queries.TypeQueries.queries)
+    (graft.queries.CoreQueries.queries ++ graft.queries.TypeQueries.queries
+      ++ graft.queries.AnnQueries.queries)
       .map { case (k, f) =>
         k -> ((s: SparkSession, d: String) => f(withFns(s), d))
       }
@@ -27,5 +28,6 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    graft.queries.CoreQueries.oracles ++ graft.queries.TypeQueries.oracles
+    graft.queries.CoreQueries.oracles ++ graft.queries.TypeQueries.oracles ++
+      graft.queries.AnnQueries.oracles
 }

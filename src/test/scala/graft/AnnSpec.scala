@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions._
+import graft.operators.{Hnsw, IvfIndex, Sq8}
+
+/** Recall@k harness vs the brute-force flat oracle — the Spark analog of
+  * the reference CLI's precision measurement (crates/cli/src/main.rs:20-33). */
+class AnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = spark.read.parquet(s"$sf001/embeddings.parquet").cache()
+  private lazy val q: Array[Float] =
+    emb.filter($"vec_id" === 0).select($"embedding").head().getSeq[Float](0).toArray
+
+  private def flatTopk(k: Int, metric: String): Set[Long] = {
+    val d = metric match {
+      case "l2" => l2sq($"embedding", typedLit(q))
+      case "cos" => cosdist($"embedding", typedLit(q))
+    }
+    emb.select($"vec_id", d.as("dist")).orderBy($"dist", $"vec_id")
+      .limit(k).as[(Long, Double)].collect().map(_._1).toSet
+  }
+
+  private def recall(got: Seq[Long], want: Set[Long]): Double =
+    got.count(want.contains).toDouble / want.size
+
+  test("IVF l2: k rows, recall@50 >= 0.9 at nprobe=10/nlist=16") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf").toString
+    val model = IvfIndex.build(emb, "embedding", "l2", 16, dir)
+    val got = IvfIndex.search(spark, dir, model, "vec_id", "embedding", q, 50, 10)
+      .as[(Long, Double)].collect()
+    assert(got.length == 50)
+    assert(recall(got.map(_._1), flatTopk(50, "l2")) >= 0.9)
+    // full probe = exact
+    val all = IvfIndex.search(spark, dir, model, "vec_id", "embedding", q, 50, 16)
+      .as[(Long, Double)].collect()
+    assert(all.map(_._1).toSet == flatTopk(50, "l2"))
+  }
+
+  test("IVF cos: normalize-then-dot rewrite gives cos ordering (+1 offset)") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfc").toString
+    val model = IvfIndex.build(emb, "embedding", "cos", 16, dir)
+    val got = IvfIndex.search(spark, dir, model, "vec_id", "embedding", q, 20, 16)
+      .as[(Long, Double)].collect()
+    assert(got.map(_._1).toSet == flatTopk(20, "cos"))
+    // reported distance = cosine distance (1 + negdot on unit vectors)
+    val exact = emb.filter($"vec_id" === got.head._1)
+      .select(cosdist($"embedding", typedLit(q))).as[Double].head()
+    assert(math.abs(got.head._2 - exact) < 1e-5)
+  }
+
+  test("HNSW: k rows, recall@50 >= 0.9") {
+    val got = Hnsw.topk(emb.repartition(4), "vec_id", "embedding", "l2", q, 50)
+      .as[(Long, Double)].collect()
+    assert(got.length == 50)
+    assert(recall(got.map(_._1), flatTopk(50, "l2")) >= 0.9)
+  }
+
+  test("SQ8: k rows, recall@50 >= 0.9; distances exact after rerank") {
+    val (mins, widths) = Sq8.train(emb, "embedding")
+    val encoded = emb.withColumn("codes", Sq8.encode($"embedding", mins, widths))
+    val got = Sq8.search(encoded, "vec_id", "embedding", "codes", q, 50, mins, widths)
+      .as[(Long, Double)].collect()
+    assert(got.length == 50)
+    assert(recall(got.map(_._1), flatTopk(50, "l2")) >= 0.9)
+    val exact = emb.filter($"vec_id" === got.head._1)
+      .select(l2sq($"embedding", typedLit(q))).as[Double].head()
+    assert(got.head._2 == exact)
+  }
+}
