@@ -85,19 +85,33 @@ object CoreQueries {
     }),
 
     // --- element-wise arithmetic + scalar functions ---
+    // (array results are exploded to scalar rows: the driver's pandas
+    //  compare sorts by every column and can't sort ndarray cells)
     "q_vec_arith" -> ((s, d) => {
       pairs(s, d).select(
-        col("vec_id"),
-        vecAdd(col("embedding"), col("emb_b")).as("v_add"),
-        vecSub(col("embedding"), col("emb_b")).as("v_sub"),
-        vecMul(col("embedding"), col("emb_b")).as("v_mul")).orderBy(col("vec_id"))
+          col("vec_id"),
+          vecAdd(col("embedding"), col("emb_b")).as("v_add"),
+          vecSub(col("embedding"), col("emb_b")).as("v_sub"),
+          vecMul(col("embedding"), col("emb_b")).as("v_mul"))
+        .select(col("vec_id"),
+          posexplode(arrays_zip(col("v_add"), col("v_sub"), col("v_mul")))
+            .as(Seq("i", "z")))
+        .select(col("vec_id"), col("i").cast("long").as("i"),
+          col("z.v_add").as("x_add"), col("z.v_sub").as("x_sub"),
+          col("z.v_mul").as("x_mul"))
+        .orderBy(col("vec_id"), col("i"))
     }),
     "q_vec_norm" -> ((s, d) => {
       t(s, d, "embeddings").select(
-        col("vec_id"),
-        size(col("embedding")).as("dims"),
-        vectorNorm(col("embedding")).as("nrm"),
-        vectorNormalize(col("embedding")).as("unit")).orderBy(col("vec_id"))
+          col("vec_id"),
+          size(col("embedding")).cast("long").as("dims"),
+          vectorNorm(col("embedding")).as("nrm"),
+          vectorNormalize(col("embedding")).as("unit"))
+        .select(col("vec_id"), col("dims"), col("nrm"),
+          posexplode(col("unit")).as(Seq("i", "unit_x")))
+        .select(col("vec_id"), col("dims"), col("nrm"),
+          col("i").cast("long").as("i"), col("unit_x"))
+        .orderBy(col("vec_id"), col("i"))
     }),
 
     // --- text I/O: parse a literal built from table ints ---
@@ -106,7 +120,9 @@ object CoreQueries {
       c.select(col("c_custkey"),
           parseVector(concat(lit("["), col("c_custkey"), lit(", "),
             col("c_nationkey"), lit("]"))).as("v"))
-        .select(col("c_custkey"), col("v"), vectorNorm(col("v")).as("nrm"))
+        .select(col("c_custkey"),
+          element_at(col("v"), 1).as("v1"), element_at(col("v"), 2).as("v2"),
+          vectorNorm(col("v")).as("nrm"))
         .orderBy(col("c_custkey"))
     }),
     // format->parse roundtrip must be exact (shortest-roundtrip floats)
@@ -217,20 +233,22 @@ object CoreQueries {
 
     "q_vec_arith" ->
       """SELECT a.vec_id AS vec_id,
-         list_transform(list_zip(a.embedding, b.embedding), p -> p[1] + p[2]) AS v_add,
-         list_transform(list_zip(a.embedding, b.embedding), p -> p[1] - p[2]) AS v_sub,
-         list_transform(list_zip(a.embedding, b.embedding), p -> p[1] * p[2]) AS v_mul
+         unnest(range(len(a.embedding))) AS i,
+         unnest(list_transform(list_zip(a.embedding, b.embedding), p -> p[1] + p[2])) AS x_add,
+         unnest(list_transform(list_zip(a.embedding, b.embedding), p -> p[1] - p[2])) AS x_sub,
+         unnest(list_transform(list_zip(a.embedding, b.embedding), p -> p[1] * p[2])) AS x_mul
          FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
-         ORDER BY vec_id""",
+         ORDER BY vec_id, i""",
     "q_vec_norm" ->
       """SELECT vec_id, len(embedding) AS dims,
          sqrt(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nrm,
-         list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) / sqrt(list_aggregate(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)), 'sum')) AS FLOAT)) AS unit
-         FROM embeddings ORDER BY vec_id""",
+         unnest(range(len(embedding))) AS i,
+         unnest(list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) / sqrt(list_aggregate(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)), 'sum')) AS FLOAT))) AS unit_x
+         FROM embeddings ORDER BY vec_id, i""",
 
     "q_parse_vector" ->
       """SELECT c_custkey,
-         CAST('[' || c_custkey || ', ' || c_nationkey || ']' AS FLOAT[]) AS v,
+         CAST(c_custkey AS FLOAT) AS v1, CAST(c_nationkey AS FLOAT) AS v2,
          sqrt(CAST(c_custkey AS DOUBLE) * CAST(c_custkey AS DOUBLE)
             + CAST(c_nationkey AS DOUBLE) * CAST(c_nationkey AS DOUBLE)) AS nrm
          FROM customer ORDER BY c_custkey""",

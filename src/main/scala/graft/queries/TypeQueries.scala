@@ -58,7 +58,13 @@ object TypeQueries {
           svecToDense(svecSub(col("sa"), col("sb"))).as("v_sub"),
           svecToDense(svecMul(col("sa"), col("sb"))).as("v_mul"),
           size(col("sa.indexes")).cast("long").as("nnz_a"))
-        .orderBy(col("vec_id"))
+        .select(col("vec_id"), col("nnz_a"),
+          posexplode(arrays_zip(col("v_add"), col("v_sub"), col("v_mul")))
+            .as(Seq("i", "z")))
+        .select(col("vec_id"), col("nnz_a"), col("i").cast("long").as("i"),
+          col("z.v_add").as("x_add"), col("z.v_sub").as("x_sub"),
+          col("z.v_mul").as("x_mul"))
+        .orderBy(col("vec_id"), col("i"))
     }),
 
     // --- to_svector constructor + parse/format roundtrip ---
@@ -70,8 +76,10 @@ object TypeQueries {
           toSVector(lit(32),
             array(col("c_nationkey").cast("int"), (col("c_nationkey") + 7).cast("int")),
             array(col("c_acctbal").cast("float"), lit(0.0f))).as("sv"))
-        .select(col("c_custkey"), col("sv.dims").as("dims"),
-          col("sv.indexes").as("idx"), col("sv.values").as("vals"),
+        .select(col("c_custkey"), col("sv.dims").cast("int").as("dims"),
+          size(col("sv.indexes")).cast("long").as("nnz"),
+          element_at(col("sv.indexes"), 1).as("idx0"),
+          element_at(col("sv.values"), 1).as("val0"),
           (parseSVector(formatSVector(col("sv"))) === col("sv")).as("roundtrip_ok"))
         .orderBy(col("c_custkey"))
     }),
@@ -97,7 +105,13 @@ object TypeQueries {
           bvecToDense(bvecOr(col("ba"), col("bb"))).as("v_or"),
           bvecToDense(bvecXor(col("ba"), col("bb"))).as("v_xor"),
           (parseBVector(formatBVector(col("ba"))) === col("ba")).as("roundtrip_ok"))
-        .orderBy(col("vec_id"))
+        .select(col("vec_id"), col("roundtrip_ok"),
+          posexplode(arrays_zip(col("v_and"), col("v_or"), col("v_xor")))
+            .as(Seq("i", "z")))
+        .select(col("vec_id"), col("roundtrip_ok"), col("i").cast("long").as("i"),
+          col("z.v_and").as("x_and"), col("z.v_or").as("x_or"),
+          col("z.v_xor").as("x_xor"))
+        .orderBy(col("vec_id"), col("i"))
     }),
 
     // --- vecf16: f16 storage rounding is exact on small ints, so the
@@ -125,12 +139,17 @@ object TypeQueries {
     // --- subscript slice: in-bounds, clamped, out-of-bounds (NULL) ---
     "q_vec_slice" -> ((s, d) => {
       t(s, d, "embeddings").select(col("vec_id"),
-          vecSlice(col("embedding"), lit(8), lit(24)).as("mid"),
-          vecSlice(col("embedding"), lit(60), lit(100)).as("tail_clamped"),
           vecSlice(col("embedding"), lit(100), lit(120)).isNull.as("oob_is_null"),
-          svecToDense(svecSlice(svecFromDense(sparsified(col("embedding"))),
-            lit(8), lit(24))).as("sparse_mid"))
-        .orderBy(col("vec_id"))
+          concat(
+            vecSlice(col("embedding"), lit(8), lit(24)),
+            vecSlice(col("embedding"), lit(60), lit(100)),
+            svecToDense(svecSlice(svecFromDense(sparsified(col("embedding"))),
+              lit(8), lit(24)))).as("allx"))
+        .select(col("vec_id"), col("oob_is_null"),
+          posexplode(col("allx")).as(Seq("i", "x")))
+        .select(col("vec_id"), col("oob_is_null"),
+          col("i").cast("long").as("i"), col("x"))
+        .orderBy(col("vec_id"), col("i"))
     }),
 
     // --- casts: real[] (double) -> vector (f32) ---
@@ -139,7 +158,9 @@ object TypeQueries {
       li.select(col("l_orderkey"), col("l_linenumber"),
           array(col("l_quantity"), col("l_discount"), col("l_tax"))
             .cast("array<float>").as("v"))
-        .select(col("l_orderkey"), col("l_linenumber"), col("v"),
+        .select(col("l_orderkey"), col("l_linenumber"),
+          element_at(col("v"), 1).as("v1"), element_at(col("v"), 2).as("v2"),
+          element_at(col("v"), 3).as("v3"),
           vectorNorm(col("v")).as("nrm"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
@@ -162,7 +183,11 @@ object TypeQueries {
         .agg(vecSum(col("embedding")).as("vsum"),
           vecAvg(col("embedding")).as("vavg"),
           count(lit(1)).as("cnt"))
-        .orderBy(col("label"))
+        .select(col("label"), col("cnt"),
+          posexplode(arrays_zip(col("vsum"), col("vavg"))).as(Seq("i", "z")))
+        .select(col("label"), col("cnt"), col("i").cast("long").as("i"),
+          col("z.vsum").as("sum_x"), col("z.vavg").as("avg_x"))
+        .orderBy(col("label"), col("i"))
     }),
 
     // --- sparse aggregate: sum(svector) per group, densified ---
@@ -171,8 +196,9 @@ object TypeQueries {
         .select(col("label"), svecFromDense(sparsified(col("embedding"))).as("sv"))
         .groupBy(col("label"))
         .agg(svecSumAgg(col("sv"), 64).as("ssum"))
-        .select(col("label"), svecToDense(col("ssum")).as("vsum"))
-        .orderBy(col("label"))
+        .select(col("label"), posexplode(svecToDense(col("ssum"))).as(Seq("i", "x")))
+        .select(col("label"), col("i").cast("long").as("i"), col("x"))
+        .orderBy(col("label"), col("i"))
     })
   )
 
@@ -196,19 +222,20 @@ object TypeQueries {
     "q_svec_arith" ->
       s"""WITH p AS (SELECT a.vec_id AS vec_id, $spA AS sa, $spB AS sb
             FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1)
-          SELECT vec_id,
-            list_transform(list_zip(sa, sb), p -> p[1] + p[2]) AS v_add,
-            list_transform(list_zip(sa, sb), p -> p[1] - p[2]) AS v_sub,
-            list_transform(list_zip(sa, sb), p -> p[1] * p[2]) AS v_mul,
-            len(list_filter(sa, x -> x <> 0)) AS nnz_a
-          FROM p ORDER BY vec_id""",
+          SELECT vec_id, len(list_filter(sa, x -> x <> 0)) AS nnz_a,
+            unnest(range(len(sa))) AS i,
+            unnest(list_transform(list_zip(sa, sb), p -> p[1] + p[2])) AS x_add,
+            unnest(list_transform(list_zip(sa, sb), p -> p[1] - p[2])) AS x_sub,
+            unnest(list_transform(list_zip(sa, sb), p -> p[1] * p[2])) AS x_mul
+          FROM p ORDER BY vec_id, i""",
 
     "q_to_svector" ->
       """SELECT c_custkey, 32 AS dims,
-         CASE WHEN CAST(c_acctbal AS FLOAT) = 0 THEN CAST([] AS INT[])
-              ELSE [CAST(c_nationkey AS INT)] END AS idx,
-         CASE WHEN CAST(c_acctbal AS FLOAT) = 0 THEN CAST([] AS FLOAT[])
-              ELSE [CAST(c_acctbal AS FLOAT)] END AS vals,
+         CAST(CASE WHEN CAST(c_acctbal AS FLOAT) = 0 THEN 0 ELSE 1 END AS BIGINT) AS nnz,
+         CASE WHEN CAST(c_acctbal AS FLOAT) = 0 THEN NULL
+              ELSE CAST(c_nationkey AS INT) END AS idx0,
+         CASE WHEN CAST(c_acctbal AS FLOAT) = 0 THEN NULL
+              ELSE CAST(c_acctbal AS FLOAT) END AS val0,
          TRUE AS roundtrip_ok
          FROM customer ORDER BY c_custkey""",
 
@@ -223,13 +250,13 @@ object TypeQueries {
          ORDER BY vec_id""",
 
     "q_bvec_ops" ->
-      """SELECT a.vec_id AS vec_id,
-         list_transform(list_zip(a.embedding, b.embedding), p -> CAST(CASE WHEN (p[1] > 0) AND (p[2] > 0) THEN 1 ELSE 0 END AS FLOAT)) AS v_and,
-         list_transform(list_zip(a.embedding, b.embedding), p -> CAST(CASE WHEN (p[1] > 0) OR (p[2] > 0) THEN 1 ELSE 0 END AS FLOAT)) AS v_or,
-         list_transform(list_zip(a.embedding, b.embedding), p -> CAST(CASE WHEN (p[1] > 0) <> (p[2] > 0) THEN 1 ELSE 0 END AS FLOAT)) AS v_xor,
-         TRUE AS roundtrip_ok
+      """SELECT a.vec_id AS vec_id, TRUE AS roundtrip_ok,
+         unnest(range(len(a.embedding))) AS i,
+         unnest(list_transform(list_zip(a.embedding, b.embedding), p -> CAST(CASE WHEN (p[1] > 0) AND (p[2] > 0) THEN 1 ELSE 0 END AS FLOAT))) AS x_and,
+         unnest(list_transform(list_zip(a.embedding, b.embedding), p -> CAST(CASE WHEN (p[1] > 0) OR (p[2] > 0) THEN 1 ELSE 0 END AS FLOAT))) AS x_or,
+         unnest(list_transform(list_zip(a.embedding, b.embedding), p -> CAST(CASE WHEN (p[1] > 0) <> (p[2] > 0) THEN 1 ELSE 0 END AS FLOAT))) AS x_xor
          FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
-         ORDER BY vec_id""",
+         ORDER BY vec_id, i""",
 
     "q_vecf16_dist" ->
       """SELECT c_custkey,
@@ -247,14 +274,18 @@ object TypeQueries {
          ORDER BY vec_id""",
 
     "q_vec_slice" ->
-      s"""SELECT vec_id, embedding[9:24] AS mid, embedding[61:64] AS tail_clamped,
-          TRUE AS oob_is_null,
-          (${sparseSql.format("embedding")})[9:24] AS sparse_mid
-          FROM embeddings ORDER BY vec_id""",
+      s"""WITH s AS (SELECT vec_id,
+            list_concat(list_concat(embedding[9:24], embedding[61:64]),
+              (${sparseSql.format("embedding")})[9:24]) AS allx
+          FROM embeddings)
+          SELECT vec_id, TRUE AS oob_is_null,
+            unnest(range(len(allx))) AS i, unnest(allx) AS x
+          FROM s ORDER BY vec_id, i""",
 
     "q_cast_vector" ->
       """SELECT l_orderkey, l_linenumber,
-         [CAST(l_quantity AS FLOAT), CAST(l_discount AS FLOAT), CAST(l_tax AS FLOAT)] AS v,
+         CAST(l_quantity AS FLOAT) AS v1, CAST(l_discount AS FLOAT) AS v2,
+         CAST(l_tax AS FLOAT) AS v3,
          sqrt(CAST(CAST(l_quantity AS FLOAT) AS DOUBLE) * CAST(CAST(l_quantity AS FLOAT) AS DOUBLE)
             + CAST(CAST(l_discount AS FLOAT) AS DOUBLE) * CAST(CAST(l_discount AS FLOAT) AS DOUBLE)
             + CAST(CAST(l_tax AS FLOAT) AS DOUBLE) * CAST(CAST(l_tax AS FLOAT) AS DOUBLE)) AS nrm
@@ -277,9 +308,9 @@ object TypeQueries {
                   CAST(sum(CAST(x AS DOUBLE)) / count(*) AS FLOAT) AS m
            FROM flat GROUP BY label, i),
          cnts AS (SELECT label, count(*) AS cnt FROM embeddings GROUP BY label)
-         SELECT s.label AS label, list(s.s ORDER BY s.i) AS vsum,
-                list(s.m ORDER BY s.i) AS vavg, max(c.cnt) AS cnt
-         FROM sums s JOIN cnts c USING (label) GROUP BY s.label ORDER BY label""",
+         SELECT s.label AS label, c.cnt AS cnt, s.i AS i,
+                s.s AS sum_x, s.m AS avg_x
+         FROM sums s JOIN cnts c USING (label) ORDER BY label, i""",
 
     "q_svec_agg" ->
       s"""WITH flat AS (
@@ -289,7 +320,7 @@ object TypeQueries {
          sums AS (
            SELECT label, i, CAST(sum(CAST(x AS DOUBLE)) AS FLOAT) AS s
            FROM flat GROUP BY label, i)
-         SELECT label, list(s ORDER BY i) AS vsum
-         FROM sums GROUP BY label ORDER BY label"""
+         SELECT label, i, s AS x
+         FROM sums ORDER BY label, i"""
   )
 }
