@@ -4,8 +4,13 @@ import org.apache.spark.sql.functions._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
+  /** Register the SQL function surface once per session (re-registering
+    * per query sprayed SimpleFunctionRegistry WARNs over bench logs). */
   private def withFns(spark: SparkSession): SparkSession = {
-    functions.registerAll(spark); spark
+    val marker = org.apache.spark.sql.catalyst.FunctionIdentifier("l2sq_distance")
+    if (!spark.sessionState.functionRegistry.functionExists(marker))
+      functions.registerAll(spark)
+    spark
   }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
@@ -20,7 +25,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     (graft.queries.CoreQueries.queries ++ graft.queries.TypeQueries.queries
-      ++ graft.queries.AnnQueries.queries)
+      ++ graft.queries.AnnQueries.queries ++ graft.queries.DocQueries.queries)
       .map { case (k, f) =>
         k -> ((s: SparkSession, d: String) => f(withFns(s), d))
       }
@@ -29,5 +34,5 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.CoreQueries.oracles ++ graft.queries.TypeQueries.oracles ++
-      graft.queries.AnnQueries.oracles
+      graft.queries.AnnQueries.oracles ++ graft.queries.DocQueries.oracles
 }

@@ -129,6 +129,87 @@ case class VecAvg(child: Expression,
   override def prettyName = "vec_avg"
 }
 
+final class MinMaxBuffer(var mins: Array[Float], var maxs: Array[Float])
+
+/** Per-dimension (min, max) over a vector column in ONE aggregate —
+  * quantizer training statistics (crates/quantization/src/scalar.rs
+  * trains from per-dim bounds). Replaces the 2×dims-column wide plan:
+  * at dims=1536 that was a 3,000-column Catalyst plan; this is one
+  * TypedImperativeAggregate with a 2×dims float state. */
+case class VecMinMax(child: Expression,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[MinMaxBuffer] {
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("mins", ArrayType(FloatType, containsNull = false), nullable = false),
+    StructField("maxs", ArrayType(FloatType, containsNull = false), nullable = false)))
+  override def createAggregationBuffer(): MinMaxBuffer = new MinMaxBuffer(null, null)
+  override def update(buf: MinMaxBuffer, input: InternalRow): MinMaxBuffer = {
+    val v = child.eval(input)
+    if (v != null) {
+      val arr = v.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      if (buf.mins == null) {
+        buf.mins = Array.fill(n)(Float.PositiveInfinity)
+        buf.maxs = Array.fill(n)(Float.NegativeInfinity)
+      } else if (buf.mins.length != n)
+        throw new IllegalArgumentException(
+          s"aggregated vectors differ in dimensions: ${buf.mins.length} != $n")
+      var i = 0
+      while (i < n) {
+        val x = arr.getFloat(i)
+        if (x < buf.mins(i)) buf.mins(i) = x
+        if (x > buf.maxs(i)) buf.maxs(i) = x
+        i += 1
+      }
+    }
+    buf
+  }
+  override def merge(a: MinMaxBuffer, b: MinMaxBuffer): MinMaxBuffer = {
+    if (b.mins == null) a
+    else if (a.mins == null) b
+    else {
+      var i = 0
+      while (i < a.mins.length) {
+        if (b.mins(i) < a.mins(i)) a.mins(i) = b.mins(i)
+        if (b.maxs(i) > a.maxs(i)) a.maxs(i) = b.maxs(i)
+        i += 1
+      }
+      a
+    }
+  }
+  override def eval(buf: MinMaxBuffer): Any =
+    if (buf.mins == null) null
+    else InternalRow(new GenericArrayData(buf.mins), new GenericArrayData(buf.maxs))
+  override def serialize(buf: MinMaxBuffer): Array[Byte] = {
+    val n = if (buf.mins == null) -1 else buf.mins.length
+    val bb = ByteBuffer.allocate(4 + math.max(n, 0) * 8)
+    bb.putInt(n)
+    if (n > 0) {
+      var i = 0; while (i < n) { bb.putFloat(buf.mins(i)); i += 1 }
+      i = 0; while (i < n) { bb.putFloat(buf.maxs(i)); i += 1 }
+    }
+    bb.array()
+  }
+  override def deserialize(bytes: Array[Byte]): MinMaxBuffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt()
+    if (n < 0) new MinMaxBuffer(null, null)
+    else {
+      val mins = new Array[Float](n); val maxs = new Array[Float](n)
+      var i = 0; while (i < n) { mins(i) = bb.getFloat(); i += 1 }
+      i = 0; while (i < n) { maxs(i) = bb.getFloat(); i += 1 }
+      new MinMaxBuffer(mins, maxs)
+    }
+  }
+  override def withNewMutableAggBufferOffset(o: Int) = copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int) = copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]) =
+    copy(child = cs.head)
+  override def prettyName = "vec_min_max"
+}
+
 /** sum(svector) -> svector — dense double accumulation state like the
   * reference (src/datatype/aggregate_svecf32.rs), zero results dropped. */
 case class SVecSum(child: Expression, dims: Int,
@@ -160,4 +241,37 @@ case class SVecSum(child: Expression, dims: Int,
   override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]) =
     copy(child = cs.head)
   override def prettyName = "svec_sum"
+}
+
+/** avg(svector) -> svector — sum/count with zero-drop on finish
+  * (finalize.sql:670-684, aggregate_svecf32.rs:253-276). */
+case class SVecAvg(child: Expression, dims: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends VecAggBase {
+  override def children: Seq[Expression] = Seq(child)
+  override def dataType: DataType = VectorTypes.SVectorType
+  override protected def inputVector(row: InternalRow): ArrayData = {
+    val v = child.eval(row)
+    if (v == null) null
+    else SparseKernels.toDense(v.asInstanceOf[InternalRow])
+  }
+  override def eval(buf: VecAggBuffer): Any = {
+    if (buf.sums == null || buf.count == 0) null
+    else {
+      val n = buf.sums.length
+      val outI = new Array[Int](n); val outV = new Array[Float](n)
+      var i = 0; var k = 0
+      while (i < n) {
+        val f = (buf.sums(i) / buf.count).toFloat
+        if (f != 0.0f) { outI(k) = i; outV(k) = f; k += 1 }
+        i += 1
+      }
+      SparseKernels.mk(n, java.util.Arrays.copyOf(outI, k), java.util.Arrays.copyOf(outV, k))
+    }
+  }
+  override def withNewMutableAggBufferOffset(o: Int) = copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int) = copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]) =
+    copy(child = cs.head)
+  override def prettyName = "svec_avg"
 }

@@ -69,6 +69,10 @@ package object functions {
   def vecAvg(v: Column): Column = toCol(VecAvg(expr(v)).toAggregateExpression())
   def svecSumAgg(v: Column, dims: Int): Column =
     toCol(SVecSum(expr(v), dims).toAggregateExpression())
+  def svecAvgAgg(v: Column, dims: Int): Column =
+    toCol(SVecAvg(expr(v), dims).toAggregateExpression())
+  def vecMinMax(v: Column): Column =
+    toCol(VecMinMax(expr(v)).toAggregateExpression())
 
   /** Register all functions for SQL usage (the analog of finalize.sql's
     * CREATE FUNCTION statements). */

@@ -1,0 +1,113 @@
+package graft.index
+
+import java.io.{File, FileInputStream, FileOutputStream, ObjectInputStream, ObjectOutputStream}
+import java.util.concurrent.ConcurrentHashMap
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * On-disk index catalog — the analog of the reference's index directory +
+ * `pg_vector_index_stat` view (src/index/views.rs:17-80, manifest handling
+ * crates/index/src/lib.rs:128-211). Each index lives under
+ * `<root>/<name>/` with a serialized [[Manifest]] plus a parquet `data/`
+ * artifact; builds are one-time jobs, searches only read artifacts.
+ *
+ * The root is configurable via `spark.graft.index.root` (GUC analog). A
+ * single-machine catalog is a plain directory; on a cluster the same
+ * layout sits on shared storage (S3/HDFS) — parquet artifacts already
+ * read from any store Spark can reach.
+ */
+object IndexCatalog {
+
+  /** Small driver-side metadata for one index artifact. Vectors held here
+    * (centroids, quantizer params) are the "tiny, broadcastable" part of
+    * the index; bulk data is parquet under `data/`. */
+  case class Manifest(
+      kind: String,                       // ivf | sq8 | hnsw | sparse | pq
+      source: String,                     // source table path (staleness key)
+      metric: String,
+      params: Map[String, String],
+      centroids: Array[Array[Float]] = Array.empty,
+      floats: Map[String, Array[Float]] = Map.empty) extends Serializable
+
+  def root(spark: SparkSession): String =
+    spark.conf.get("spark.graft.index.root",
+      sys.props("java.io.tmpdir") + "/graft_indexes")
+
+  def dir(spark: SparkSession, name: String): String =
+    s"${root(spark)}/$name"
+
+  def dataDir(spark: SparkSession, name: String): String =
+    s"${dir(spark, name)}/data"
+
+  private val cache = new ConcurrentHashMap[String, Manifest]()
+
+  private def manifestFile(spark: SparkSession, name: String) =
+    new File(dir(spark, name), "MANIFEST.bin")
+
+  def exists(spark: SparkSession, name: String, source: String): Boolean =
+    load(spark, name).exists(_.source == source)
+
+  def load(spark: SparkSession, name: String): Option[Manifest] = {
+    val f = manifestFile(spark, name)
+    if (!f.isFile) None
+    else Option(cache.computeIfAbsent(f.getAbsolutePath, _ => {
+      val in = new ObjectInputStream(new FileInputStream(f))
+      try in.readObject().asInstanceOf[Manifest] finally in.close()
+    }))
+  }
+
+  /** Commit a manifest AFTER the data artifact is fully written — the
+    * crash-recovery rule (lib.rs:128-211): a dir without a committed
+    * manifest is garbage and gets rebuilt. */
+  def commit(spark: SparkSession, name: String, m: Manifest): Manifest = {
+    val f = manifestFile(spark, name)
+    f.getParentFile.mkdirs()
+    val tmp = new File(f.getParentFile, "MANIFEST.tmp")
+    val out = new ObjectOutputStream(new FileOutputStream(tmp))
+    try { out.writeObject(m) } finally out.close()
+    tmp.renameTo(f)
+    cache.put(f.getAbsolutePath, m)
+    m
+  }
+
+  /** Build-once: reuse a committed artifact for the same source, else run
+    * the (expensive) build job. Queries call this; benches call it ahead
+    * of timing — the search path never trains. */
+  def ensure(spark: SparkSession, name: String, source: String)
+      (build: String => Manifest): Manifest = synchronized {
+    load(spark, name) match {
+      case Some(m) if m.source == source => m
+      case _ => commit(spark, name, build(dataDir(spark, name)))
+    }
+  }
+
+  def drop(spark: SparkSession, name: String): Unit = {
+    def rm(f: File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    val d = new File(dir(spark, name))
+    if (d.exists()) rm(d)
+    cache.remove(manifestFile(spark, name).getAbsolutePath)
+  }
+
+  /** The `pg_vector_index_stat` analog (views.rs:17-80): one row per
+    * committed index with its artifact footprint. */
+  def stats(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    def du(f: File): Long =
+      if (f.isDirectory) f.listFiles().map(du).sum
+      else if (f.isFile) f.length() else 0L
+    val rows = Option(new File(root(spark)).listFiles()).getOrElse(Array.empty)
+      .filter(d => new File(d, "MANIFEST.bin").isFile)
+      .flatMap { d =>
+        load(spark, d.getName).map { m =>
+          (d.getName, m.kind, m.metric, m.source,
+            m.params.map { case (k, v) => s"$k=$v" }.toSeq.sorted.mkString(","),
+            du(d))
+        }
+      }.toSeq
+    rows.toDF("idx_name", "idx_type", "idx_metric", "idx_source",
+      "idx_options", "idx_size_bytes")
+  }
+}

@@ -1,0 +1,200 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Document deduplication for LLM training-data pipelines: exact
+ * (content-hash), near-dup via MinHash+banded LSH, SimHash, exact n-gram
+ * Jaccard, and embedding-cosine near-dup (sign-LSH bucketing).
+ *
+ * Scale shape (the 100 TB contract):
+ *  - Exact dedup is one hash-partitioned groupBy — embarrassingly
+ *    parallel, no skew (md5 keys are uniform).
+ *  - MinHash/LSH NEVER does all-pairs: candidates come from equality
+ *    joins on (band_idx, band_hash) buckets; each doc emits `bands`
+ *    rows, so the shuffle is bands×N rows, and genuinely-similar pairs
+ *    collide with probability 1-(1-j^r)^b.
+ *  - The exact-Jaccard path (token/shingle inverted join) is the small-SF
+ *    oracle twin; at scale you run LSH and verify only candidates.
+ *  - Embedding near-dup buckets by random-hyperplane sign signature —
+ *    the cosine analog of band buckets.
+ *
+ * Everything is built from codegen'd built-ins (split/transform/hash/
+ * array_min) — no UDFs on the hot path.
+ */
+object Dedup {
+
+  /** Distinct word-n-gram shingle set per document. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = split(text, " ")
+    array_distinct(
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  }
+
+  /** MinHash signature: k independent hash functions via murmur3(s, i);
+    * one expression, no explode, no shuffle. */
+  def minhashSignature(shingleSet: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(shingleSet, s => hash(s, i))))
+
+  /** Banded LSH keys: `bands` hashes over signature slices of `rows`. */
+  def bandKeys(sig: Column, bands: Int, rows: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => hash(slice(sig, b * rows + 1, lit(rows))))
+
+  /** Candidate pairs from banded LSH: docs sharing >=1 band bucket.
+    * Input: (idCol, sigCol); output: (doc_a, doc_b) distinct, a < b. */
+  def lshCandidates(docs: DataFrame, idCol: String, sigCol: String,
+      bands: Int, rows: Int): DataFrame = {
+    val keyed = docs
+      .select(col(idCol), posexplode(bandKeys(col(sigCol), bands, rows))
+        .as(Seq("band_idx", "band_hash")))
+    keyed.as("a").join(keyed.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
+      .distinct()
+  }
+
+  /** Exact set-Jaccard for candidate pairs: join the shingle sets back and
+    * intersect. `withSets`: (idCol, setCol). */
+  def verifyJaccard(pairs: DataFrame, withSets: DataFrame, idCol: String,
+      setCol: String): DataFrame = {
+    val sa = withSets.select(col(idCol).as("doc_a"), col(setCol).as("set_a"))
+    val sb = withSets.select(col(idCol).as("doc_b"), col(setCol).as("set_b"))
+    pairs.join(sa, "doc_a").join(sb, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("set_a"), col("set_b"))).cast("double") /
+          (size(col("set_a")) + size(col("set_b"))
+            - size(array_intersect(col("set_a"), col("set_b")))).cast("double")
+        ).as("jacc"))
+  }
+
+  /** EXACT all-pairs Jaccard >= tau via the shingle inverted-list join
+    * (complete: any pair with jacc > 0 shares a shingle). The oracle twin
+    * of the LSH path; at 100 TB hot shingles make this the wrong shape —
+    * run [[lshCandidates]] + [[verifyJaccard]] instead. */
+  def exactJaccardPairs(docs: DataFrame, idCol: String, setCol: String,
+      tau: Double): DataFrame = {
+    val flat = docs.select(col(idCol), explode(col(setCol)).as("tok"))
+    val inter = flat.as("a").join(flat.as("b"),
+        col("a.tok") === col("b.tok") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    val sizes = docs.select(col(idCol), size(col(setCol)).as("n"))
+    inter
+      .join(sizes.select(col(idCol).as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col(idCol).as("doc_b"), col("n").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")).cast("double")).as("jacc"))
+      .filter(col("jacc") >= tau)
+  }
+
+  // --- SimHash -----------------------------------------------------------
+
+  /** FNV-1a 64-bit over UTF-8 bytes — a public, trivially-reproducible
+    * token hash for SimHash bit votes. */
+  def fnv1a64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    val bytes = s.getBytes("UTF-8")
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  def simhash64(tokens: Seq[String]): Long = {
+    val votes = new Array[Int](64)
+    tokens.foreach { t =>
+      val h = fnv1a64(t)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  import org.apache.spark.sql.catalyst.util.ArrayData
+  import org.apache.spark.sql.types.{DataType, LongType, StringType}
+
+  def simhashKernel(tokens: ArrayData): Long = {
+    val n = tokens.numElements()
+    val buf = new Array[String](n)
+    var i = 0
+    while (i < n) { buf(i) = tokens.getUTF8String(i).toString; i += 1 }
+    simhash64(buf.toSeq)
+  }
+
+  /** Codegen SimHash over a token array column. */
+  case class SimHash(child: Expression) extends UnaryExpression {
+    override def nullIntolerant: Boolean = true
+    override def dataType: DataType = LongType
+    override def nullSafeEval(v: Any): Any =
+      simhashKernel(v.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.operators.Dedup.simhashKernel($c)")
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+    override def prettyName = "simhash64"
+  }
+
+  def simhash(tokens: Column): Column =
+    org.apache.spark.sql.graftshim.Shims.column(
+      SimHash(org.apache.spark.sql.graftshim.Shims.expression(tokens)))
+
+  /** Hamming distance between two 64-bit simhashes. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs: band the 64-bit hash into 4×16-bit chunks;
+    * by pigeonhole any pair with hamming <= 3 shares an identical chunk,
+    * so the bucket join is COMPLETE for tau <= 3. */
+  def simhashPairs(docs: DataFrame, idCol: String, simCol: String,
+      tau: Int): DataFrame = {
+    require(tau <= 3, "4x16 banding is only complete for hamming <= 3")
+    val chunks = array((0 until 4).map(i =>
+      struct(lit(i).as("chunk_idx"),
+        shiftright(col(simCol), i * 16).bitwiseAND(lit(0xffffL)).as("chunk"))): _*)
+    val keyed = docs.select(col(idCol), col(simCol), explode(chunks).as("c"))
+      .select(col(idCol), col(simCol),
+        col("c.chunk_idx").as("chunk_idx"), col("c.chunk").as("chunk"))
+    keyed.as("a").join(keyed.as("b"),
+        col("a.chunk_idx") === col("b.chunk_idx") &&
+        col("a.chunk") === col("b.chunk") &&
+        col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"),
+        hamming64(col(s"a.$simCol"), col(s"b.$simCol")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= tau)
+  }
+
+  // --- Embedding near-dup ------------------------------------------------
+
+  /** Deterministic random hyperplanes (seeded Gaussian) for sign-LSH. */
+  def hyperplanes(nPlanes: Int, dims: Int, seed: Long = 42L): Array[Array[Float]] = {
+    val rnd = new java.util.Random(seed)
+    Array.fill(nPlanes)(Array.fill(dims)(rnd.nextGaussian().toFloat))
+  }
+
+  /** Sign-signature bucket: bit i = sign(dot(plane_i, v)). Cosine-similar
+    * vectors collide; scale-invariant (sign(dot) ignores magnitude). */
+  def signBucket(vec: Column, planes: Array[Array[Float]]): Column = {
+    import graft.functions.negdot
+    val bits = planes.map(p =>
+      when(negdot(typedLit(p), vec) < 0d, 1L).otherwise(0L))
+    bits.zipWithIndex.map { case (b, i) => b * (1L << i) }
+      .reduce(_ + _)
+  }
+}

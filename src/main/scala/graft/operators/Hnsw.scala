@@ -123,9 +123,8 @@ object Hnsw {
     }
   }
 
-  /** Distributed top-k: per-partition graphs + global ordered merge.
-    * (Graph build per call; persisted partition graphs are the index
-    * artifact form — see IndexCatalog.) */
+  /** Distributed top-k with per-call graph build — spec/testing path only;
+    * production queries go through [[ensure]] + [[searchIndex]]. */
   def topk(df: DataFrame, idCol: String, vecCol: String, metric: String,
       q: Array[Float], k: Int, m: Int = 12, efConstruction: Int = 300,
       efSearch: Int = 100): DataFrame = {
@@ -139,6 +138,64 @@ object Hnsw {
       it.foreach { case (id, v) => g.insert(id, v) }
       g.search(bq.value, k, efSearch).iterator.map { case (d, id) => (id, d) }
     }.toDF(idCol, "dist")
+    hits.orderBy(col("dist"), col(idCol)).limit(k)
+  }
+
+  def serializeGraph(g: Graph): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.ObjectOutputStream(bos)
+    try out.writeObject(g) finally out.close()
+    bos.toByteArray
+  }
+
+  def deserializeGraph(b: Array[Byte]): Graph = {
+    val in = new java.io.ObjectInputStream(new java.io.ByteArrayInputStream(b))
+    try in.readObject().asInstanceOf[Graph] finally in.close()
+  }
+
+  /** One-time CREATE INDEX job: build one graph per hash partition and
+    * persist the serialized graphs as the index artifact — the sealed-
+    * segment analog (crates/index/src/segment/sealed.rs). Searches load
+    * graphs, never rebuild. `parts <= 1` builds a single graph over
+    * id-sorted rows (deterministic; used by the exact-mode query). */
+  def ensure(spark: org.apache.spark.sql.SparkSession, name: String,
+      df: => DataFrame, source: String, idCol: String, vecCol: String,
+      metric: String, parts: Int, m: Int = 12, efConstruction: Int = 300): String = {
+    import graft.index.IndexCatalog
+    IndexCatalog.ensure(spark, name, source) { dataDir =>
+      import spark.implicits._
+      val rows0 = df.select(col(idCol).cast("long"), col(vecCol))
+        .as[(Long, Array[Float])]
+      val rows =
+        if (parts <= 1) rows0.coalesce(1).sortWithinPartitions(col(idCol))
+        else rows0.repartition(parts, col(idCol))
+      rows.mapPartitions { it =>
+        val g = new Graph(metric, m, efConstruction)
+        it.foreach { case (id, v) => g.insert(id, v) }
+        if (g.size == 0) Iterator.empty
+        else Iterator.single(serializeGraph(g))
+      }.toDF("graph").write.mode("overwrite").parquet(dataDir)
+      IndexCatalog.Manifest("hnsw", source, metric,
+        Map("m" -> m.toString, "ef_construction" -> efConstruction.toString,
+          "parts" -> parts.toString))
+    }
+    IndexCatalog.dataDir(spark, name)
+  }
+
+  /** Search persisted per-partition graphs; global ordered merge of the
+    * per-graph top-k streams (the LoserTree analog). Per-query cost is
+    * k·efSearch per graph — independent of per-partition row count. */
+  def searchIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      idCol: String, q: Array[Float], k: Int, efSearch: Int = 100): DataFrame = {
+    import spark.implicits._
+    val bq = spark.sparkContext.broadcast(q)
+    val hits = spark.read.parquet(path).as[Array[Byte]]
+      .mapPartitions { it =>
+        it.flatMap { blob =>
+          deserializeGraph(blob).search(bq.value, k, efSearch)
+            .iterator.map { case (d, id) => (id, d) }
+        }
+      }.toDF(idCol, "dist")
     hits.orderBy(col("dist"), col(idCol)).limit(k)
   }
 }

@@ -1,8 +1,15 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, BinaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.Shims
+import org.apache.spark.sql.types.{DataType, IntegerType}
 import graft.functions._
+import graft.index.IndexCatalog
+import graft.index.IndexCatalog.Manifest
 
 /**
  * IVF (inverted-file) ANN index, the Spark-native analog of the
@@ -15,6 +22,10 @@ import graft.functions._
  * predicate becomes *partition pruning* at the scan — at 100 TB only
  * nprobe/nlist of the data is read. Rerank is exact distance on the
  * surviving candidates (quantized variant in [[Sq8]]).
+ *
+ * Build and search are fully split: `ensure` trains + materializes the
+ * partitioned artifact ONCE (a CREATE INDEX job, cataloged by
+ * [[IndexCatalog]]); `search` only reads pruned partitions.
  *
  * Cosine follows the reference's rewrite (src/index/am_options.rs:53-63,
  * 231-249): vectors are L2-normalized at build, searched by dot.
@@ -32,6 +43,7 @@ object IvfIndex {
         .map { case (c, i) => (Kernels.dist(metric, c, qq), i) }
         .sortBy(_._1).map(_._2)
     }
+    def nlist: Int = centroids.length
   }
 
   object Kernels {
@@ -53,21 +65,65 @@ object IvfIndex {
       val n = math.sqrt(dot(a, a))
       a.map(x => (x / n).toFloat)
     }
+
+    /** Nearest centroid over a flattened [nlist*dims] centroid array —
+      * the codegen'd assign kernel. useDot=true for dot/cos metrics. */
+    def nearest(v: ArrayData, flat: ArrayData, useDot: Boolean): Int = {
+      val dims = v.numElements()
+      val nlist = flat.numElements() / dims
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < nlist) {
+        var acc = 0.0; var i = 0; val off = c * dims
+        if (useDot) {
+          while (i < dims) { acc -= v.getFloat(i).toDouble * flat.getFloat(off + i).toDouble; i += 1 }
+        } else {
+          while (i < dims) {
+            val d = v.getFloat(i).toDouble - flat.getFloat(off + i).toDouble
+            acc += d * d; i += 1
+          }
+        }
+        if (acc < bestD) { bestD = acc; best = c }
+        c += 1
+      }
+      best
+    }
+  }
+
+  /** Codegen nearest-centroid assignment (replaces the round-1 Scala UDF;
+    * stays inside whole-stage codegen on the build path). */
+  case class NearestCentroid(vec: Expression, flatCentroids: Expression,
+      useDot: Boolean) extends BinaryExpression {
+    override def left: Expression = vec
+    override def right: Expression = flatCentroids
+    override def nullIntolerant: Boolean = true
+    override def dataType: DataType = IntegerType
+    override def nullSafeEval(v: Any, f: Any): Any =
+      Kernels.nearest(v.asInstanceOf[ArrayData], f.asInstanceOf[ArrayData], useDot)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (v, f) =>
+        s"${ev.value} = graft.operators.IvfIndex.Kernels.nearest($v, $f, $useDot);")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(vec = l, flatCentroids = r)
+    override def prettyName = "nearest_centroid"
+  }
+
+  def nearestCentroid(vec: Column, model: Model): Column = {
+    val flat = model.centroids.flatten
+    Shims.column(NearestCentroid(Shims.expression(vec),
+      Shims.expression(typedLit(flat)), model.metric != "l2"))
   }
 
   /** Train centroids with MLlib KMeans (the reference's k_means crate
-    * analog). Runs on a sample — at 100 TB you never k-means the full
-    * data. */
+    * analog). Runs on a bounded sample — at 100 TB you never k-means the
+    * full data (and never count() it just to size a sample). */
   def train(df: DataFrame, vecCol: String, metric: String, nlist: Int,
       maxIter: Int = 10, seed: Long = 42L, sampleCap: Int = 200000): Model = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val spark = df.sparkSession
-    val n = df.count()
-    val frac = math.min(1.0, sampleCap.toDouble / math.max(n, 1))
     val prep0 = df.select(col(vecCol).as("v"))
     val prep = if (metric == "cos") prep0.select(vectorNormalize(col("v")).as("v")) else prep0
-    val sample = (if (frac < 1.0) prep.sample(frac, seed) else prep)
+    val sample = prep.limit(sampleCap)
       .withColumn("features", array_to_vector(col("v").cast("array<double>")))
     val km = new KMeans().setK(nlist).setMaxIter(maxIter).setSeed(seed)
       .setFeaturesCol("features")
@@ -75,38 +131,37 @@ object IvfIndex {
     Model(metric, model.clusterCenters.map(_.toArray.map(_.toFloat)))
   }
 
-  /** Assign each row its nearest-centroid list id. */
+  /** Assign each row its nearest-centroid list id (codegen expression). */
   def assign(df: DataFrame, vecCol: String, model: Model): DataFrame = {
-    val spark = df.sparkSession
-    val bc = spark.sparkContext.broadcast(model.centroids)
-    val metric = model.metric
-    val assignUdf = udf { (v: Array[Float]) =>
-      val vv = if (metric == "cos") Kernels.normalize(v) else v
-      val cents = bc.value
-      var best = 0; var bestD = Double.MaxValue
-      var i = 0
-      while (i < cents.length) {
-        val d = Kernels.dist(metric, cents(i), vv)
-        if (d < bestD) { bestD = d; best = i }
-        i += 1
-      }
-      best
-    }
     val withVec =
-      if (metric == "cos") df.withColumn(vecCol, vectorNormalize(col(vecCol)))
+      if (model.metric == "cos") df.withColumn(vecCol, vectorNormalize(col(vecCol)))
       else df
-    withVec.withColumn("list_id", assignUdf(col(vecCol)))
+    withVec.withColumn("list_id", nearestCentroid(col(vecCol), model))
   }
 
-  /** Build the index: assign + write parquet partitioned by list_id.
-    * At scale this is the one-time shuffle that buys partition-pruned
-    * searches forever after. */
+  /** Train + assign + write the partitioned artifact (no catalog entry). */
   def build(df: DataFrame, vecCol: String, metric: String, nlist: Int,
       path: String, seed: Long = 42L): Model = {
     val model = train(df, vecCol, metric, nlist, seed = seed)
     assign(df, vecCol, model)
       .write.mode("overwrite").partitionBy("list_id").parquet(path)
     model
+  }
+
+  /** One-time CREATE INDEX job: train + assign + write parquet partitioned
+    * by list_id; centroids go to the catalog manifest. Reused across JVMs
+    * until `source` changes. */
+  def ensure(spark: SparkSession, name: String, df: => DataFrame,
+      source: String, vecCol: String, metric: String, nlist: Int,
+      seed: Long = 42L): (Model, String) = {
+    val m = IndexCatalog.ensure(spark, name, source) { dataDir =>
+      val model = train(df, vecCol, metric, nlist, seed = seed)
+      assign(df, vecCol, model)
+        .write.mode("overwrite").partitionBy("list_id").parquet(dataDir)
+      Manifest("ivf", source, metric,
+        Map("nlist" -> nlist.toString), centroids = model.centroids)
+    }
+    (Model(m.metric, m.centroids), IndexCatalog.dataDir(spark, name))
   }
 
   /** Search: rank centroids, read only the nprobe pruned partitions,

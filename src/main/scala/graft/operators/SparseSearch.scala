@@ -26,6 +26,34 @@ object SparseSearch {
         explode(arrays_zip(col(s"$svecCol.indexes"), col(s"$svecCol.values"))).as("p"))
       .select(col(idCol), col("p.indexes").as("token"), col("p.values").as("value"))
 
+  val TokenBuckets = 64
+
+  /** One-time CREATE INDEX job: materialize postings parquet partitioned
+    * by token bucket — searches prune to the query's buckets only (the
+    * "walk only the query's posting lists" analog). */
+  def ensure(spark: org.apache.spark.sql.SparkSession, name: String,
+      docs: => DataFrame, source: String, idCol: String, svecCol: String): String = {
+    import graft.index.IndexCatalog
+    IndexCatalog.ensure(spark, name, source) { dataDir =>
+      buildPostings(docs, idCol, svecCol)
+        .withColumn("bucket", pmod(col("token"), lit(TokenBuckets)))
+        .write.mode("overwrite").partitionBy("bucket").parquet(dataDir)
+      IndexCatalog.Manifest("sparse", source, "dot",
+        Map("buckets" -> TokenBuckets.toString))
+    }
+    IndexCatalog.dataDir(spark, name)
+  }
+
+  /** Search the persisted posting table: bucket partition pruning + the
+    * broadcast term join. */
+  def searchIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      idCol: String, queryTerms: Seq[(Int, Float)], k: Int): DataFrame = {
+    val buckets = queryTerms.map(_._1 % TokenBuckets).distinct
+    val postings = spark.read.parquet(path)
+      .filter(col("bucket").isin(buckets.map(Integer.valueOf): _*))
+    search(postings, idCol, queryTerms, k)
+  }
+
   /** Top-k docs by dot product with a sparse query (idx -> weight). */
   def search(postings: DataFrame, idCol: String,
       queryTerms: Seq[(Int, Float)], k: Int): DataFrame = {

@@ -21,19 +21,37 @@ import org.apache.spark.sql.types._
  */
 object Sq8 {
 
-  /** Learn per-dim (min, width) from data — one tiny aggregate. */
+  /** Learn per-dim (min, width) from data — ONE TypedImperativeAggregate
+    * (2×dims float state), not a 2×dims-column plan. */
   def train(df: DataFrame, vecCol: String): (Array[Float], Array[Float]) = {
-    val dims = df.select(size(col(vecCol))).head().getInt(0)
-    val agg = df.select(
-      (0 until dims).flatMap(i => Seq(
-        min(element_at(col(vecCol), i + 1)).as(s"mn$i"),
-        max(element_at(col(vecCol), i + 1)).as(s"mx$i"))): _*).head()
-    val mins = (0 until dims).map(i => agg.getFloat(2 * i)).toArray
-    val widths = (0 until dims).map { i =>
-      val w = agg.getFloat(2 * i + 1) - agg.getFloat(2 * i)
+    import graft.functions.vecMinMax
+    val row = df.select(vecMinMax(col(vecCol)).as("mm"))
+      .select(col("mm.mins"), col("mm.maxs")).head()
+    val mins = row.getSeq[Float](0).toArray
+    val maxs = row.getSeq[Float](1).toArray
+    val widths = mins.indices.map { i =>
+      val w = maxs(i) - mins(i)
       if (w <= 0f) 1.0f else w
     }.toArray
     (mins, widths)
+  }
+
+  /** One-time CREATE INDEX job: train bounds, encode every row once,
+    * persist (id, vec, codes) parquet + quantizer params in the catalog.
+    * (Round-1 re-encoded the whole table on every query.) */
+  def ensure(spark: org.apache.spark.sql.SparkSession, name: String,
+      df: => DataFrame, source: String, idCol: String, vecCol: String)
+      : (Array[Float], Array[Float], String) = {
+    import graft.index.IndexCatalog
+    val m = IndexCatalog.ensure(spark, name, source) { dataDir =>
+      val (mins, widths) = train(df, vecCol)
+      df.select(col(idCol), col(vecCol),
+          encode(col(vecCol), mins, widths).as("codes"))
+        .write.mode("overwrite").parquet(dataDir)
+      IndexCatalog.Manifest("sq8", source, "l2", Map("bits" -> "8"),
+        floats = Map("mins" -> mins, "widths" -> widths))
+    }
+    (m.floats("mins"), m.floats("widths"), IndexCatalog.dataDir(spark, name))
   }
 
   def encodeKernel(v: ArrayData, mins: ArrayData, widths: ArrayData): Array[Byte] = {
@@ -102,15 +120,22 @@ object Sq8 {
     Shims.column(L2Approx(Shims.expression(codes), Shims.expression(typedLit(q)),
       Shims.expression(typedLit(mins)), Shims.expression(typedLit(widths))))
 
-  /** Two-stage search: coarse top-(k*window) on codes, exact rerank. */
+  /** Two-stage search: coarse top-(k*window) on codes, exact rerank.
+    * window <= 0 means "rerank everything" — the exact mode (full-window
+    * rerank is provably exact: the final stage scores true distances). */
   def search(indexed: DataFrame, idCol: String, vecCol: String, codeCol: String,
       q: Array[Float], k: Int, mins: Array[Float], widths: Array[Float],
       window: Int = 4): DataFrame = {
     import graft.functions.l2sq
-    val coarse = indexed
-      .select(col(idCol), col(vecCol),
-        l2Approx(col(codeCol), q, mins, widths).as("approx_dist"))
-      .orderBy(col("approx_dist"), col(idCol)).limit(k * window)
+    val coarse =
+      if (window <= 0) indexed.select(col(idCol), col(vecCol))
+      else {
+        val w = math.min(k.toLong * window, Int.MaxValue.toLong).toInt
+        indexed
+          .select(col(idCol), col(vecCol),
+            l2Approx(col(codeCol), q, mins, widths).as("approx_dist"))
+          .orderBy(col("approx_dist"), col(idCol)).limit(w)
+      }
     coarse.select(col(idCol), l2sq(col(vecCol), typedLit(q)).as("dist"))
       .orderBy(col("dist"), col(idCol)).limit(k)
   }

@@ -7,32 +7,46 @@ import graft.operators.{Hnsw, IvfIndex, SparseSearch, Sq8}
 
 /**
  * ANN search paths (SURVEY §2.6): IVF (partition-pruned index table),
- * HNSW (per-partition graphs), SQ8 quantized two-stage rerank, and the
- * sparse inverted-index top-k.
+ * HNSW (persisted per-partition graphs), SQ8 quantized two-stage rerank,
+ * and the sparse inverted-index top-k.
+ *
+ * Index builds are one-time CREATE INDEX jobs cataloged on disk
+ * (graft.index.IndexCatalog); every query here only READS artifacts.
+ * Bench pre-ensures them untimed, mirroring the reference where `CREATE
+ * INDEX` cost never pollutes a SELECT.
  *
  * Exactness contract mirrors the reference's test corpus (BASELINE §3):
- * ANN queries assert "returns exactly k rows" (rows-only oracle omitted);
- * recall@k vs the flat oracle is measured in AnnSpec. The sparse
- * inverted-index search is EXACT and ships a full DuckDB oracle.
+ * approximate queries assert "returns exactly k rows" (oracle omitted)
+ * with recall@k measured in AnnSpec, and EACH has an exact-mode twin with
+ * a full DuckDB oracle: IVF at nprobe=nlist, SQ8 at full rerank window,
+ * HNSW single-graph at ef=n — provably exhaustive configurations scoring
+ * true distances.
  */
 object AnnQueries {
   import Tables.t
 
-  private val lock = new Object
-  private val ivfCache = scala.collection.mutable.Map.empty[String, IvfIndex.Model]
-  private val sq8Cache = scala.collection.mutable.Map.empty[String, (Array[Float], Array[Float])]
+  private def san(dir: String) = dir.replaceAll("[^a-zA-Z0-9]", "_")
 
-  private def ivfPath(dir: String, metric: String) =
-    s"${sys.props("java.io.tmpdir")}/graft_ivf_${dir.replaceAll("[^a-zA-Z0-9]", "_")}_$metric"
+  def ivf(s: SparkSession, d: String, metric: String): (IvfIndex.Model, String) =
+    IvfIndex.ensure(s, s"ivf_${metric}_${san(d)}", t(s, d, "embeddings"), d,
+      "embedding", metric, nlist = 16)
 
-  /** Build-or-reuse the IVF index artifact for a testdata dir. */
-  def ivfModel(s: SparkSession, dir: String, metric: String): IvfIndex.Model =
-    lock.synchronized {
-      ivfCache.getOrElseUpdate(dir + metric, {
-        val e = t(s, dir, "embeddings")
-        IvfIndex.build(e, "embedding", metric, nlist = 16, ivfPath(dir, metric))
-      })
-    }
+  def sq8(s: SparkSession, d: String): (Array[Float], Array[Float], String) =
+    Sq8.ensure(s, s"sq8_${san(d)}", t(s, d, "embeddings"), d, "vec_id", "embedding")
+
+  def hnsw(s: SparkSession, d: String, parts: Int): String =
+    Hnsw.ensure(s, s"hnsw_l2_p${parts}_${san(d)}", t(s, d, "embeddings"), d,
+      "vec_id", "embedding", "l2", parts)
+
+  def sparse(s: SparkSession, d: String): String =
+    SparseSearch.ensure(s, s"sparse_${san(d)}", sparseDocs(s, d), d, "vec_id", "sv")
+
+  /** Pre-build every index artifact for a data dir (bench warmup / the
+    * CREATE INDEX phase). */
+  def ensureAll(s: SparkSession, d: String): Unit = {
+    ivf(s, d, "l2"); ivf(s, d, "cos"); sq8(s, d)
+    hnsw(s, d, 4); hnsw(s, d, 1); sparse(s, d)
+  }
 
   private def qvec(s: SparkSession, dir: String): Array[Float] =
     t(s, dir, "embeddings").filter(col("vec_id") === 0)
@@ -41,52 +55,77 @@ object AnnQueries {
   private def sparsify(c: org.apache.spark.sql.Column) =
     transform(c, x => when(abs(x) > lit(0.15), x).otherwise(lit(0.0f)))
 
+  private def sparseDocs(s: SparkSession, d: String): DataFrame =
+    t(s, d, "embeddings")
+      .select(col("vec_id"), svecFromDense(sparsify(col("embedding"))).as("sv"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // IVF: centroid ranking -> partition pruning -> exact rerank
     "q_ivf_topk_l2" -> ((s, d) => {
-      val m = ivfModel(s, d, "l2")
-      IvfIndex.search(s, ivfPath(d, "l2"), m, "vec_id", "embedding",
-        qvec(s, d), k = 100, nprobe = 10)
+      val (m, path) = ivf(s, d, "l2")
+      IvfIndex.search(s, path, m, "vec_id", "embedding", qvec(s, d),
+        k = 100, nprobe = 10)
     }),
     "q_ivf_topk_cos" -> ((s, d) => {
-      val m = ivfModel(s, d, "cos")
-      IvfIndex.search(s, ivfPath(d, "cos"), m, "vec_id", "embedding",
-        qvec(s, d), k = 100, nprobe = 10)
+      val (m, path) = ivf(s, d, "cos")
+      IvfIndex.search(s, path, m, "vec_id", "embedding", qvec(s, d),
+        k = 100, nprobe = 10)
+    }),
+    // exact mode: probe every list — identical to the flat scan by
+    // construction, so it carries the flat oracle
+    "q_ivf_exact_l2" -> ((s, d) => {
+      val (m, path) = ivf(s, d, "l2")
+      IvfIndex.search(s, path, m, "vec_id", "embedding", qvec(s, d),
+        k = 100, nprobe = m.nlist)
     }),
 
-    // HNSW: per-partition graphs, global ordered merge
+    // HNSW: persisted per-partition graphs, global ordered merge
     "q_hnsw_topk_l2" -> ((s, d) => {
-      Hnsw.topk(t(s, d, "embeddings").repartition(4), "vec_id", "embedding",
-        "l2", qvec(s, d), k = 100)
+      Hnsw.searchIndex(s, hnsw(s, d, 4), "vec_id", qvec(s, d), k = 100)
+    }),
+    // exact mode: one graph, ef covers the whole (connected) graph
+    "q_hnsw_exact_l2" -> ((s, d) => {
+      Hnsw.searchIndex(s, hnsw(s, d, 1), "vec_id", qvec(s, d), k = 100,
+        efSearch = 1 << 22)
     }),
 
-    // SQ8: coarse code scan -> rerank window -> exact top-k
+    // SQ8: persisted codes -> coarse scan -> rerank window -> exact top-k
     "q_sq8_topk_l2" -> ((s, d) => {
-      val e = t(s, d, "embeddings")
-      val (mins, widths) = lock.synchronized {
-        sq8Cache.getOrElseUpdate(d, Sq8.train(e, "embedding"))
-      }
-      val encoded = e.withColumn("codes", Sq8.encode(col("embedding"), mins, widths))
-      Sq8.search(encoded, "vec_id", "embedding", "codes", qvec(s, d),
-        k = 100, mins, widths)
+      val (mins, widths, path) = sq8(s, d)
+      Sq8.search(s.read.parquet(path), "vec_id", "embedding", "codes",
+        qvec(s, d), k = 100, mins, widths)
+    }),
+    // exact mode: rerank window = everything
+    "q_sq8_exact_l2" -> ((s, d) => {
+      val (mins, widths, path) = sq8(s, d)
+      Sq8.search(s.read.parquet(path), "vec_id", "embedding", "codes",
+        qvec(s, d), k = 100, mins, widths, window = 0)
     }),
 
-    // Sparse inverted index: EXACT, full oracle
+    // Sparse inverted index: EXACT, full oracle, persisted postings
     "q_sparse_topk" -> ((s, d) => {
-      val docs = t(s, d, "embeddings")
-        .select(col("vec_id"), svecFromDense(sparsify(col("embedding"))).as("sv"))
-      val postings = SparseSearch.buildPostings(docs, "vec_id", "sv")
-      val qTerms = docs.filter(col("vec_id") === 0)
+      val path = sparse(s, d)
+      val qTerms = sparseDocs(s, d).filter(col("vec_id") === 0)
         .select(col("sv.indexes"), col("sv.values")).head()
       val terms = qTerms.getSeq[Int](0).zip(qTerms.getSeq[Float](1))
-      SparseSearch.search(postings, "vec_id", terms, k = 50)
+      SparseSearch.searchIndex(s, path, "vec_id", terms, k = 50)
     })
   )
 
   private val spD = "list_transform(d.embedding, x -> CASE WHEN abs(x) > CAST(0.15 AS DOUBLE) THEN x ELSE CAST(0 AS FLOAT) END)"
   private val spQ = "list_transform(q.embedding, x -> CASE WHEN abs(x) > CAST(0.15 AS DOUBLE) THEN x ELSE CAST(0 AS FLOAT) END)"
 
+  /** Exact top-100 including the query row itself (the index holds it). */
+  private val exactL2Oracle =
+    """SELECT e.vec_id AS vec_id,
+       list_aggregate(list_transform(list_zip(e.embedding, q.qv), p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), 'sum') AS dist
+       FROM embeddings e CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+       ORDER BY dist, vec_id LIMIT 100"""
+
   val oracles: Map[String, String] = Map(
+    "q_ivf_exact_l2" -> exactL2Oracle,
+    "q_hnsw_exact_l2" -> exactL2Oracle,
+    "q_sq8_exact_l2" -> exactL2Oracle,
     "q_sparse_topk" ->
       s"""SELECT d.vec_id AS vec_id,
           list_aggregate(list_transform(list_zip($spD, $spQ), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum') AS score

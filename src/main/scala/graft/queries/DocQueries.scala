@@ -1,0 +1,336 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, MultiModal}
+
+/**
+ * LLM-training-data pipeline operators over `documents.parquet`:
+ * deduplication (exact, MinHash+LSH, SimHash, n-gram Jaccard,
+ * embedding-cosine), text analysis (token/quality stats, language-ID),
+ * multimodal binary columns, and document fingerprinting.
+ *
+ * The fixture corpus has no guaranteed duplicate pairs at every SF, so
+ * dedup queries union a deterministic "mirror" slice (doc_id+100000,
+ * optionally perturbed with an appended token) — the SAME construction
+ * runs in the DuckDB oracle, so found-pair sets compare exactly.
+ *
+ * Scale notes are inline per query; the common theme: candidates always
+ * come from equality joins on hashes/buckets (partition-prunable,
+ * broadcast-free), never from all-pairs products — except the explicitly
+ * small-SF oracle twins.
+ */
+object DocQueries {
+  import Tables.t
+
+  /** Hook for bench warmup symmetry with AnnQueries (doc queries have no
+    * persisted artifacts yet — signatures are cheap enough to fuse). */
+  def ensureAll(s: SparkSession, d: String): Unit = ()
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents").select(col("doc_id"), col("text"), col("lang"))
+
+  /** documents ∪ exact mirror of doc_id < 50. */
+  private def docsWithExactDups(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).select(col("doc_id"), col("text"))
+    base.unionAll(base.filter(col("doc_id") < 50)
+      .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+  }
+
+  /** documents ∪ near-mirror (one appended token) of doc_id < 50. */
+  private def docsWithNearDups(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).select(col("doc_id"), col("text"))
+    base.unionAll(base.filter(col("doc_id") < 50)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        concat(col("text"), lit(" zzzextra")).as("text")))
+  }
+
+  private val exactDupSql =
+    """(SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 50)"""
+  private val nearDupSql =
+    """(SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000 AS doc_id, text || ' zzzextra' AS text
+        FROM documents WHERE doc_id < 50)"""
+
+  private def toks(c: Column): Column = split(c, " ")
+
+  private def stopCount(tk: Column, words: Seq[String]): Column =
+    size(filter(tk, x => words.map(w => x === w).reduce(_ || _))).cast("long")
+
+  /** Near-dup pair oracle: brute-force 3-gram set Jaccard over the
+    * near-dup corpus (the small-SF ground truth both the exact inverted
+    * join and the MinHash/LSH path must reproduce). */
+  private val jaccardOracle =
+    s"""WITH alldocs AS $nearDupSql,
+        sh AS (SELECT doc_id,
+          list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+            i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2])) AS s
+          FROM alldocs)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+            / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jacc
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+            / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
+        ORDER BY doc_a, doc_b"""
+
+  /** Embedding near-dup oracle: all-pairs cosine over embeddings ∪
+    * 2×-scaled mirror (cosine is scale-invariant → mirror pairs ≈ 0). */
+  private val embedNearDupOracle =
+    """WITH alle AS (
+         SELECT vec_id, embedding FROM embeddings
+         UNION ALL
+         SELECT vec_id + 100000 AS vec_id,
+                list_transform(embedding, x -> x * CAST(2.0 AS FLOAT)) AS embedding
+         FROM embeddings WHERE vec_id < 50)
+       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         1.0 - list_aggregate(list_transform(list_zip(a.embedding, b.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')
+           / sqrt(list_aggregate(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')
+                * list_aggregate(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS cdist
+       FROM alle a JOIN alle b ON a.vec_id < b.vec_id
+       WHERE 1.0 - list_aggregate(list_transform(list_zip(a.embedding, b.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')
+           / sqrt(list_aggregate(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')
+                * list_aggregate(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) < 0.05
+       ORDER BY vec_a, vec_b"""
+
+  private def embeddingsWithDups(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+    e.unionAll(e.filter(col("vec_id") < 50)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("embedding"), x => x * lit(2.0f)).as("embedding")))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- text analysis: per-doc token/quality stats (one scan, no
+    //     shuffle; every metric is a codegen'd expression) ---
+    "q_doc_stats" -> ((s, d) => {
+      docs(s, d).select(col("doc_id"), toks(col("text")).as("tk"), col("text"))
+        .select(col("doc_id"),
+          length(col("text")).cast("long").as("n_chars2"),
+          size(col("tk")).cast("long").as("n_tokens"),
+          length(regexp_replace(col("text"), "[^a-z]", "")).cast("long").as("n_alpha"),
+          length(regexp_replace(col("text"), "[^aeiou]", "")).cast("long").as("n_vowels"),
+          stopCount(col("tk"), Seq("the", "a")).as("n_stop"),
+          aggregate(transform(col("tk"),
+              x => ceil(length(x) / lit(2.0)).cast("long")),
+            lit(0L), (acc, x) => acc + x).as("n_subtok"),
+          (stopCount(col("tk"), Seq("the", "a")).cast("double") /
+            size(col("tk")).cast("double")).as("stop_ratio"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- token vocabulary histogram (hash-partitioned groupBy; uniform
+    //     keys at this vocab, salting hook for hot tokens at scale) ---
+    "q_token_count" -> ((s, d) => {
+      docs(s, d).select(explode(toks(col("text"))).as("token"), col("doc_id"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("cnt"), countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy(col("token"))
+    }),
+
+    // --- language-ID: stopword-marker n-gram heuristic, fixed tie order ---
+    "q_lang_id" -> ((s, d) => {
+      val de = Seq("der", "die", "das", "und", "ist")
+      val en = Seq("the", "a", "and", "is", "of")
+      val es = Seq("el", "la", "los", "que", "y")
+      val fr = Seq("le", "les", "des", "et", "une")
+      docs(s, d).select(col("doc_id"), col("lang"), toks(col("text")).as("tk"))
+        .select(col("doc_id"), col("lang"),
+          stopCount(col("tk"), de).as("c_de"), stopCount(col("tk"), en).as("c_en"),
+          stopCount(col("tk"), es).as("c_es"), stopCount(col("tk"), fr).as("c_fr"))
+        .withColumn("pred",
+          when(col("c_de") >= col("c_en") && col("c_de") >= col("c_es")
+            && col("c_de") >= col("c_fr") && col("c_de") > 0, "de")
+          .when(col("c_en") >= col("c_es") && col("c_en") >= col("c_fr")
+            && col("c_en") > 0, "en")
+          .when(col("c_es") >= col("c_fr") && col("c_es") > 0, "es")
+          .when(col("c_fr") > 0, "fr")
+          .otherwise("und"))
+        .withColumn("is_match", col("pred") === col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- exact dedup: content-hash groupBy (uniform md5 keys — no skew,
+    //     scales linearly; THE first pass of any 100 TB dedup) ---
+    "q_dedup_exact" -> ((s, d) => {
+      docsWithExactDups(s, d)
+        .groupBy(md5(col("text").cast("binary")).as("h"))
+        .agg(count(lit(1)).as("cnt"),
+          min(col("doc_id")).as("keep_id"), max(col("doc_id")).as("dup_id"))
+        .filter(col("cnt") > 1)
+        .orderBy(col("h"))
+    }),
+
+    // --- exact dedup, keep-first semantics: survivors only ---
+    "q_dedup_keep_first" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(md5(col("text").cast("binary")))
+      docsWithExactDups(s, d)
+        .withColumn("keep", min(col("doc_id")).over(w))
+        .filter(col("doc_id") === col("keep"))
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- near-dup: EXACT 3-gram Jaccard via shingle inverted join
+    //     (complete; the small-SF ground truth) ---
+    "q_dedup_jaccard" -> ((s, d) => {
+      val sh = docsWithNearDups(s, d)
+        .select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+      Dedup.exactJaccardPairs(sh, "doc_id", "sh", 0.8)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // --- near-dup: MinHash signatures + banded LSH candidates + exact
+    //     verify — the 100 TB path (bands×N shuffle rows, no all-pairs);
+    //     carries the SAME oracle as the exact path (collision prob for
+    //     jacc≥0.8 at 16×4 banding ≈ 1-3e-8) ---
+    "q_dedup_minhash" -> ((s, d) => {
+      val sh = docsWithNearDups(s, d)
+        .select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+      val sig = sh.select(col("doc_id"), col("sh"),
+        Dedup.minhashSignature(col("sh"), 64).as("sig"))
+      val cands = Dedup.lshCandidates(sig, "doc_id", "sig", bands = 16, rows = 4)
+      Dedup.verifyJaccard(cands, sh, "doc_id", "sh")
+        .filter(col("jacc") >= 0.8)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // --- near-dup: SimHash 64-bit + 4×16 band buckets (complete for
+    //     hamming<=3 by pigeonhole). No SQL oracle (FNV simhash isn't
+    //     expressible in DuckDB); DedupSpec checks mirror-pair recall. ---
+    "q_dedup_simhash" -> ((s, d) => {
+      val dd = docsWithExactDups(s, d)
+        .select(col("doc_id"), Dedup.simhash(toks(col("text"))).as("sim"))
+      Dedup.simhashPairs(dd, "doc_id", "sim", tau = 3)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // --- embedding near-dup: exact all-pairs cosine (oracle twin; the
+    //     scale path is the sign-LSH variant below) ---
+    "q_embed_neardup" -> ((s, d) => {
+      val e = embeddingsWithDups(s, d)
+      val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+      val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+      a.crossJoin(b).filter(col("vec_a") < col("vec_b"))
+        .select(col("vec_a"), col("vec_b"),
+          graft.functions.cosdist(col("ea"), col("eb")).as("cdist"))
+        .filter(col("cdist") < 0.05)
+        .orderBy(col("vec_a"), col("vec_b"))
+    }),
+
+    // --- embedding near-dup at scale: random-hyperplane sign buckets,
+    //     verify only bucket collisions (bucket join ≪ all-pairs) ---
+    "q_embed_neardup_lsh" -> ((s, d) => {
+      val planes = Dedup.hyperplanes(nPlanes = 16, dims = 64)
+      val e = embeddingsWithDups(s, d)
+        .select(col("vec_id"), col("embedding"),
+          Dedup.signBucket(col("embedding"), planes).as("bucket"))
+      val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+        col("bucket"))
+      val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+        col("bucket"))
+      a.join(b, "bucket").filter(col("vec_a") < col("vec_b"))
+        .select(col("vec_a"), col("vec_b"),
+          graft.functions.cosdist(col("ea"), col("eb")).as("cdist"))
+        .filter(col("cdist") < 0.05)
+        .orderBy(col("vec_a"), col("vec_b"))
+    }),
+
+    // --- multimodal: opaque binary payload + typed metadata (decode
+    //     stubbed in MultiModal; schema/plumbing exercised here) ---
+    "q_multimodal_meta" -> ((s, d) => {
+      docs(s, d).select(col("doc_id"), col("text"),
+          col("text").cast("binary").as("payload"))
+        .select(col("doc_id"),
+          length(col("payload")).cast("long").as("n_bytes"),
+          md5(col("payload")).as("content_fp"),
+          substring(col("text"), 1, 12).as("head"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- document fingerprinting: winnowed min-hash over char 8-grams
+    //     + whole-doc hash (rolling-hash analog with md5 for parity) ---
+    "q_doc_fingerprint" -> ((s, d) => {
+      docs(s, d).select(col("doc_id"),
+          md5(col("text").cast("binary")).as("doc_hash"),
+          array_min(transform(
+            sequence(lit(1), length(col("text")) - 7),
+            i => md5(col("text").substr(i, lit(8)).cast("binary"))))
+            .as("min_shingle_hash"))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_doc_stats" ->
+      """SELECT doc_id,
+         length(text) AS n_chars2,
+         len(string_split(text, ' ')) AS n_tokens,
+         length(regexp_replace(text, '[^a-z]', '', 'g')) AS n_alpha,
+         length(regexp_replace(text, '[^aeiou]', '', 'g')) AS n_vowels,
+         len(list_filter(string_split(text, ' '), x -> x = 'the' OR x = 'a')) AS n_stop,
+         list_aggregate(list_transform(string_split(text, ' '), x -> CAST(ceil(length(x) / 2.0) AS BIGINT)), 'sum') AS n_subtok,
+         CAST(len(list_filter(string_split(text, ' '), x -> x = 'the' OR x = 'a')) AS DOUBLE)
+           / len(string_split(text, ' ')) AS stop_ratio
+         FROM documents ORDER BY doc_id""",
+
+    "q_token_count" ->
+      """SELECT token, count(*) AS cnt, count(DISTINCT doc_id) AS n_docs
+         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+         GROUP BY token ORDER BY token""",
+
+    "q_lang_id" ->
+      """WITH c AS (SELECT doc_id, lang,
+           len(list_filter(string_split(text, ' '), x -> x = 'der' OR x = 'die' OR x = 'das' OR x = 'und' OR x = 'ist')) AS c_de,
+           len(list_filter(string_split(text, ' '), x -> x = 'the' OR x = 'a' OR x = 'and' OR x = 'is' OR x = 'of')) AS c_en,
+           len(list_filter(string_split(text, ' '), x -> x = 'el' OR x = 'la' OR x = 'los' OR x = 'que' OR x = 'y')) AS c_es,
+           len(list_filter(string_split(text, ' '), x -> x = 'le' OR x = 'les' OR x = 'des' OR x = 'et' OR x = 'une')) AS c_fr
+           FROM documents)
+         SELECT doc_id, lang, c_de, c_en, c_es, c_fr,
+           CASE WHEN c_de >= c_en AND c_de >= c_es AND c_de >= c_fr AND c_de > 0 THEN 'de'
+                WHEN c_en >= c_es AND c_en >= c_fr AND c_en > 0 THEN 'en'
+                WHEN c_es >= c_fr AND c_es > 0 THEN 'es'
+                WHEN c_fr > 0 THEN 'fr'
+                ELSE 'und' END AS pred,
+           (CASE WHEN c_de >= c_en AND c_de >= c_es AND c_de >= c_fr AND c_de > 0 THEN 'de'
+                WHEN c_en >= c_es AND c_en >= c_fr AND c_en > 0 THEN 'en'
+                WHEN c_es >= c_fr AND c_es > 0 THEN 'es'
+                WHEN c_fr > 0 THEN 'fr'
+                ELSE 'und' END) = lang AS is_match
+         FROM c ORDER BY doc_id""",
+
+    "q_dedup_exact" ->
+      s"""WITH alldocs AS $exactDupSql
+          SELECT md5(text) AS h, count(*) AS cnt,
+            min(doc_id) AS keep_id, max(doc_id) AS dup_id
+          FROM alldocs GROUP BY 1 HAVING count(*) > 1 ORDER BY h""",
+
+    "q_dedup_keep_first" ->
+      s"""WITH alldocs AS $exactDupSql
+          SELECT doc_id FROM (
+            SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS keep
+            FROM alldocs)
+          WHERE doc_id = keep ORDER BY doc_id""",
+
+    "q_dedup_jaccard" -> jaccardOracle,
+    "q_dedup_minhash" -> jaccardOracle,
+
+    "q_embed_neardup" -> embedNearDupOracle,
+    "q_embed_neardup_lsh" -> embedNearDupOracle,
+
+    "q_multimodal_meta" ->
+      """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+         md5(text) AS content_fp, substring(text, 1, 12) AS head
+         FROM documents ORDER BY doc_id""",
+
+    "q_doc_fingerprint" ->
+      """SELECT doc_id, md5(text) AS doc_hash,
+         list_min(list_transform(range(1, length(text) - 6),
+           i -> md5(substring(text, i, 8)))) AS min_shingle_hash
+         FROM documents ORDER BY doc_id"""
+  )
+}

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, MultiModal}
+
+/** Dedup operator family: MinHash/LSH recall vs brute-force ground truth,
+  * SimHash completeness for small hamming radii, sign-LSH bucketing. */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    // mirror with one appended token -> guaranteed near-dup pairs
+    docs.unionAll(docs.filter(col("doc_id") < 20)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        concat(col("text"), lit(" zzz")).as("text")))
+  }
+
+  test("minhash LSH recall vs brute-force jaccard at sf0.001") {
+    val sh = corpus.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+    val truth = Dedup.exactJaccardPairs(sh, "doc_id", "sh", 0.8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(truth.nonEmpty, "fixture must contain near-dup pairs")
+    val sig = sh.select(col("doc_id"),
+      Dedup.minhashSignature(col("sh"), 64).as("sig"))
+    val cands = Dedup.lshCandidates(sig, "doc_id", "sig", bands = 16, rows = 4)
+    val found = Dedup.verifyJaccard(cands, sh, "doc_id", "sh")
+      .filter(col("jacc") >= 0.8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // verify step makes precision exact; banding should catch every pair
+    assert(found == truth, s"missed=${truth -- found} extra=${found -- truth}")
+  }
+
+  test("simhash: identical docs hamming 0; banded pairs find mirrors") {
+    val withSim = corpus
+      .select(col("doc_id"), Dedup.simhash(split(col("text"), " ")).as("sim"))
+    // exact mirror built separately: same tokens -> same simhash
+    val base = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(5)
+    val sims = base.select(Dedup.simhash(split(col("text"), " ")).as("s1"),
+      Dedup.simhash(split(concat(col("text"), lit("")), " ")).as("s2"))
+      .collect()
+    sims.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    // exact-dup corpus: every mirrored pair lands at hamming 0
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val dd = docs.unionAll(docs.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      .select(col("doc_id"), Dedup.simhash(split(col("text"), " ")).as("sim"))
+    val pairs = Dedup.simhashPairs(dd, "doc_id", "sim", tau = 3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    (0L until 20L).foreach { i =>
+      assert(pairs.contains((i, i + 100000)), s"mirror pair $i missing")
+    }
+  }
+
+  test("fnv1a64 is stable") {
+    assert(Dedup.fnv1a64("") == 0xcbf29ce484222325L)
+    assert(Dedup.fnv1a64("a") == 0xaf63dc4c8601ec8cL)
+  }
+
+  test("sign-LSH bucket is scale-invariant") {
+    val planes = Dedup.hyperplanes(16, 64)
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet").limit(20)
+      .select(col("vec_id"),
+        Dedup.signBucket(col("embedding"), planes).as("b1"),
+        Dedup.signBucket(transform(col("embedding"), x => x * lit(3.0f)),
+          planes).as("b2"))
+      .collect()
+    e.foreach(r => assert(r.getLong(1) == r.getLong(2)))
+  }
+
+  test("multimodal featurize: fixed dims, normalized, deterministic") {
+    val media = MultiModal.asMedia(
+      spark.read.parquet(s"$sf0001/documents.parquet").limit(10),
+      "doc_id", "text")
+    val feats = MultiModal.featurize(media).collect()
+    assert(feats.length == 10)
+    feats.foreach { f =>
+      assert(f.feature.length == MultiModal.FeatureDims)
+      assert(math.abs(f.feature.sum - 1.0f) < 1e-3)
+      assert(f.n_bytes > 0)
+    }
+    // deterministic across runs
+    val again = MultiModal.featurize(media).collect()
+    assert(feats.sortBy(_.doc_id).map(_.feature.toSeq).toSeq ==
+      again.sortBy(_.doc_id).map(_.feature.toSeq).toSeq)
+  }
+}
