@@ -63,6 +63,17 @@ package object functions {
   def vecCompare(a: Column, b: Column): Column = toCol(VecCompare(expr(a), expr(b)))
   def vecSlice(v: Column, lo: Column, hi: Column): Column =
     toCol(VecSlice(expr(v), expr(lo), expr(hi)))
+  def svecCompare(a: Column, b: Column): Column = toCol(SVecCompare(expr(a), expr(b)))
+  def bvecCompare(a: Column, b: Column): Column = toCol(BVecCompare(expr(a), expr(b)))
+  def bvecSlice(v: Column, lo: Column, hi: Column): Column =
+    toCol(BVecSlice(expr(v), expr(lo), expr(hi)))
+
+  // --- true f16 storage + casts ---
+  def toF16Bits(v: Column): Column = toCol(ToF16Bits(expr(v)))
+  def f16ToVector(bits: Column): Column = toCol(F16BitsToVector(expr(bits)))
+  def f16L2sq(a: Column, b: Column): Column = toCol(F16L2sq(expr(a), expr(b)))
+  def f16NegDot(a: Column, b: Column): Column = toCol(F16NegDot(expr(a), expr(b)))
+  def castVecToBVec(v: Column): Column = toCol(CastVecToBVec(expr(v)))
 
   // --- aggregates ---
   def vecSum(v: Column): Column = toCol(VecSum(expr(v)).toAggregateExpression())
@@ -121,8 +132,17 @@ package object functions {
     reg1("parse_bvector", ParseBVector(_))
     reg1("format_bvector", FormatBVector(_))
     reg2("vec_compare", VecCompare(_, _))
+    reg2("svec_compare", SVecCompare(_, _))
+    reg2("bvec_compare", BVecCompare(_, _))
     reg.createOrReplaceTempFunction("vec_slice",
       es => VecSlice(es(0), es(1), es(2)), "scala_udf")
+    reg.createOrReplaceTempFunction("bvec_slice",
+      es => BVecSlice(es(0), es(1), es(2)), "scala_udf")
+    reg1("to_f16_bits", ToF16Bits(_))
+    reg1("f16_to_vector", F16BitsToVector(_))
+    reg2("f16_l2sq_distance", F16L2sq(_, _))
+    reg2("f16_negdot_distance", F16NegDot(_, _))
+    reg1("cast_vector_to_bvector", CastVecToBVec(_))
     reg.createOrReplaceTempFunction("vec_sum",
       es => VecSum(es.head).toAggregateExpression(), "scala_udf")
     reg.createOrReplaceTempFunction("vec_avg",

@@ -190,15 +190,75 @@ object TypeQueries {
         .orderBy(col("label"), col("i"))
     }),
 
-    // --- sparse aggregate: sum(svector) per group, densified ---
+    // --- sparse aggregates: sum(svector) + avg(svector) per group ---
     "q_svec_agg" -> ((s, d) => {
       t(s, d, "embeddings")
         .select(col("label"), svecFromDense(sparsified(col("embedding"))).as("sv"))
         .groupBy(col("label"))
-        .agg(svecSumAgg(col("sv"), 64).as("ssum"))
-        .select(col("label"), posexplode(svecToDense(col("ssum"))).as(Seq("i", "x")))
-        .select(col("label"), col("i").cast("long").as("i"), col("x"))
+        .agg(svecSumAgg(col("sv"), 64).as("ssum"),
+          svecAvgAgg(col("sv"), 64).as("savg"))
+        .select(col("label"),
+          svecToDense(col("ssum")).as("vsum"), svecToDense(col("savg")).as("vavg"))
+        .select(col("label"),
+          posexplode(arrays_zip(col("vsum"), col("vavg"))).as(Seq("i", "z")))
+        .select(col("label"), col("i").cast("long").as("i"),
+          col("z.vsum").as("x"), col("z.vavg").as("avg_x"))
         .orderBy(col("label"), col("i"))
+    }),
+
+    // --- cast matrix: vector<->svector/bvector/vecf16 roundtrips
+    //     (casts.rs:90-106; bvector casts enforce the 0/1 rule) ---
+    "q_cast_matrix" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val zeroOne = bvecToDense(binarize(col("embedding")))
+      e.select(col("vec_id"), col("embedding"), zeroOne.as("zo"))
+        .select(col("vec_id"),
+          (svecToDense(svecFromDense(col("embedding"))) === col("embedding"))
+            .as("svec_roundtrip_ok"),
+          (bvecToDense(castVecToBVec(col("zo"))) === col("zo"))
+            .as("bvec_roundtrip_ok"),
+          (toVecf16(svecToDense(svecFromDense(col("embedding"))))
+            === toVecf16(col("embedding"))).as("f16_of_roundtrip_ok"),
+          bvecNorm(castVecToBVec(col("zo"))).as("bnorm"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // --- bvector slice + svector/bvector lexicographic compare
+    //     (bvect.rs:210-241, 244-276; svect.rs:404-444) ---
+    "q_bvec_slice_cmp" -> ((s, d) => {
+      pairs(s, d).select(col("vec_id"),
+          svecFromDense(sparsified(col("embedding"))).as("sa"),
+          svecFromDense(sparsified(col("emb_b"))).as("sb"),
+          binarize(col("embedding")).as("ba"), binarize(col("emb_b")).as("bb"))
+        .select(col("vec_id"),
+          svecCompare(col("sa"), col("sb")).as("scmp"),
+          bvecCompare(col("ba"), col("bb")).as("bcmp"),
+          svecCompare(col("sa"), col("sa")).as("scmp_self"),
+          bvecSlice(col("ba"), lit(60), lit(100)).isNull.as("oob_is_null"),
+          bvecToDense(bvecSlice(col("ba"), lit(8), lit(24))).as("bmid"))
+        .select(col("vec_id"), col("scmp"), col("bcmp"), col("scmp_self"),
+          col("oob_is_null"), posexplode(col("bmid")).as(Seq("i", "x")))
+        .select(col("vec_id"), col("scmp"), col("bcmp"), col("scmp_self"),
+          col("oob_is_null"), col("i").cast("long").as("i"), col("x"))
+        .orderBy(col("vec_id"), col("i"))
+    }),
+
+    // --- true vecf16 storage: ShortType binary16 bit patterns + f16
+    //     kernels; output formatting shows the f16 rounding (fp16.slt's
+    //     0.39990234-style values) ---
+    "q_vecf16_storage" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      val v16 = toF16Bits(parseVector(concat(lit("["), col("c_nationkey"),
+        lit(", "), col("c_custkey") % 100, lit("]"))))
+      val q16 = toF16Bits(parseVector(lit("[12, 50]")))
+      c.select(col("c_custkey"), v16.as("v"))
+        .select(col("c_custkey"),
+          f16L2sq(col("v"), q16).as("dist"),
+          f16NegDot(col("v"), q16).as("nd"),
+          formatVector(f16ToVector(col("v"))).as("txt"),
+          formatVector(f16ToVector(toF16Bits(parseVector(lit("[0.4, 1.7]")))))
+            .as("rounded"))
+        .orderBy(col("c_custkey"))
     })
   )
 
@@ -318,9 +378,38 @@ object TypeQueries {
                   unnest(range(len(embedding))) AS i
            FROM embeddings),
          sums AS (
-           SELECT label, i, CAST(sum(CAST(x AS DOUBLE)) AS FLOAT) AS s
+           SELECT label, i, CAST(sum(CAST(x AS DOUBLE)) AS FLOAT) AS s,
+                  CAST(sum(CAST(x AS DOUBLE)) / count(*) AS FLOAT) AS m
            FROM flat GROUP BY label, i)
-         SELECT label, i, s AS x
-         FROM sums ORDER BY label, i"""
+         SELECT label, i, s AS x, m AS avg_x
+         FROM sums ORDER BY label, i""",
+
+    "q_cast_matrix" ->
+      """SELECT vec_id, TRUE AS svec_roundtrip_ok, TRUE AS bvec_roundtrip_ok,
+         TRUE AS f16_of_roundtrip_ok,
+         sqrt(CAST(list_aggregate(list_transform(embedding, x -> CASE WHEN x > 0 THEN 1 ELSE 0 END), 'sum') AS DOUBLE)) AS bnorm
+         FROM embeddings ORDER BY vec_id""",
+
+    "q_bvec_slice_cmp" ->
+      s"""WITH p AS (SELECT a.vec_id AS vec_id, $spA AS sa, $spB AS sb,
+            list_transform(a.embedding, x -> CASE WHEN x > 0 THEN 1 ELSE 0 END) AS bva,
+            list_transform(b.embedding, x -> CASE WHEN x > 0 THEN 1 ELSE 0 END) AS bvb
+          FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1)
+          SELECT vec_id,
+            CASE WHEN sa < sb THEN -1 WHEN sa > sb THEN 1 ELSE 0 END AS scmp,
+            CASE WHEN bva < bvb THEN -1 WHEN bva > bvb THEN 1 ELSE 0 END AS bcmp,
+            0 AS scmp_self, TRUE AS oob_is_null,
+            unnest(range(16)) AS i,
+            unnest(list_transform(bva[9:24], v -> CAST(v AS FLOAT))) AS x
+          FROM p ORDER BY vec_id, i""",
+
+    "q_vecf16_storage" ->
+      """SELECT c_custkey,
+         (CAST(c_nationkey AS DOUBLE) - 12) * (CAST(c_nationkey AS DOUBLE) - 12)
+           + (CAST(c_custkey % 100 AS DOUBLE) - 50) * (CAST(c_custkey % 100 AS DOUBLE) - 50) AS dist,
+         -(CAST(c_nationkey AS DOUBLE) * 12 + CAST(c_custkey % 100 AS DOUBLE) * 50) AS nd,
+         '[' || CAST(c_nationkey AS VARCHAR) || '.0, ' || CAST(c_custkey % 100 AS VARCHAR) || '.0]' AS txt,
+         '[0.39990234, 1.7001953]' AS rounded
+         FROM customer ORDER BY c_custkey"""
   )
 }
