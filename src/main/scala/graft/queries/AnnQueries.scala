@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions._
-import graft.operators.{Hnsw, IvfIndex, SparseSearch, Sq8}
+import graft.operators.{Hnsw, IvfIndex, Pq, SparseSearch, Sq8}
 
 /**
  * ANN search paths (SURVEY §2.6): IVF (partition-pruned index table),
@@ -41,10 +41,13 @@ object AnnQueries {
   def sparse(s: SparkSession, d: String): String =
     SparseSearch.ensure(s, s"sparse_${san(d)}", sparseDocs(s, d), d, "vec_id", "sv")
 
+  def pq(s: SparkSession, d: String): (Pq.Model, String) =
+    Pq.ensure(s, s"pq_${san(d)}", t(s, d, "embeddings"), d, "vec_id", "embedding")
+
   /** Pre-build every index artifact for a data dir (bench warmup / the
     * CREATE INDEX phase). */
   def ensureAll(s: SparkSession, d: String): Unit = {
-    ivf(s, d, "l2"); ivf(s, d, "cos"); sq8(s, d)
+    ivf(s, d, "l2"); ivf(s, d, "cos"); sq8(s, d); pq(s, d)
     hnsw(s, d, 4); hnsw(s, d, 1); sparse(s, d)
   }
 
@@ -102,6 +105,19 @@ object AnnQueries {
         qvec(s, d), k = 100, mins, widths, window = 0)
     }),
 
+    // PQ: ADC LUT coarse scan over m-byte codes -> windowed exact rerank
+    "q_pq_topk_l2" -> ((s, d) => {
+      val (model, path) = pq(s, d)
+      Pq.search(s.read.parquet(path), "vec_id", "embedding", "codes",
+        qvec(s, d), k = 100, model)
+    }),
+    // exact mode: rerank window = everything
+    "q_pq_exact_l2" -> ((s, d) => {
+      val (model, path) = pq(s, d)
+      Pq.search(s.read.parquet(path), "vec_id", "embedding", "codes",
+        qvec(s, d), k = 100, model, window = 0)
+    }),
+
     // Sparse inverted index: EXACT, full oracle, persisted postings
     "q_sparse_topk" -> ((s, d) => {
       val path = sparse(s, d)
@@ -126,6 +142,7 @@ object AnnQueries {
     "q_ivf_exact_l2" -> exactL2Oracle,
     "q_hnsw_exact_l2" -> exactL2Oracle,
     "q_sq8_exact_l2" -> exactL2Oracle,
+    "q_pq_exact_l2" -> exactL2Oracle,
     "q_sparse_topk" ->
       s"""SELECT d.vec_id AS vec_id,
           list_aggregate(list_transform(list_zip($spD, $spQ), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum') AS score

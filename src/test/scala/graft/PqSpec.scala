@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Pq
+
+/** PQ quantizer: exactness at full window, recall under windowed rerank
+  * (the quantization.slt analog), deterministic training. */
+class PqSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+  private lazy val q: Array[Float] =
+    emb.filter(col("vec_id") === 0).select(col("embedding"))
+      .head().getSeq[Float](0).toArray
+
+  private lazy val model = Pq.train(emb, "embedding", m = 8, ks = 16)
+  private lazy val coded = emb.select(col("vec_id"), col("embedding"),
+    Pq.encode(col("embedding"), model).as("codes")).cache()
+
+  private def flatTopk(k: Int): Seq[Long] =
+    emb.select(col("vec_id"), graft.functions.l2sq(col("embedding"),
+        typedLit(q)).as("dist"))
+      .orderBy(col("dist"), col("vec_id")).limit(k)
+      .select(col("vec_id")).as[Long].collect().toSeq
+
+  test("full-window rerank is exact") {
+    val got = Pq.search(coded, "vec_id", "embedding", "codes", q, 50, model,
+      window = 0).select("vec_id").as[Long].collect().toSeq
+    assert(got == flatTopk(50))
+  }
+
+  test("windowed rerank recall@50 >= 0.9") {
+    val got = Pq.search(coded, "vec_id", "embedding", "codes", q, 50, model,
+      window = 8).select("vec_id").as[Long].collect().toSet
+    val truth = flatTopk(50).toSet
+    val recall = (got & truth).size.toDouble / truth.size
+    assert(recall >= 0.9, s"recall=$recall")
+  }
+
+  test("training is deterministic and codes compress dims*4 -> m bytes") {
+    val model2 = Pq.train(emb, "embedding", m = 8, ks = 16)
+    assert(model.codebook.toSeq == model2.codebook.toSeq)
+    val c = coded.select(col("codes")).head().getAs[Array[Byte]](0)
+    assert(c.length == 8)
+  }
+}
