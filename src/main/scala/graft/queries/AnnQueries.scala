@@ -55,6 +55,16 @@ object AnnQueries {
     t(s, dir, "embeddings").filter(col("vec_id") === 0)
       .select(col("embedding")).head().getSeq[Float](0).toArray
 
+  /** Search-time tunables — GUC analogs (src/gucs/executing.rs:4-23). */
+  private def nprobeConf(s: SparkSession) =
+    s.conf.get("spark.graft.ann.nprobe", "10").toInt
+  private def efSearchConf(s: SparkSession) =
+    s.conf.get("spark.graft.hnsw.efSearch", "100").toInt
+  private def sq8WindowConf(s: SparkSession) =
+    s.conf.get("spark.graft.sq8.rerankWindow", "4").toInt
+  private def pqWindowConf(s: SparkSession) =
+    s.conf.get("spark.graft.pq.rerankWindow", "8").toInt
+
   private def sparsify(c: org.apache.spark.sql.Column) =
     transform(c, x => when(abs(x) > lit(0.15), x).otherwise(lit(0.0f)))
 
@@ -67,12 +77,12 @@ object AnnQueries {
     "q_ivf_topk_l2" -> ((s, d) => {
       val (m, path) = ivf(s, d, "l2")
       IvfIndex.search(s, path, m, "vec_id", "embedding", qvec(s, d),
-        k = 100, nprobe = 10)
+        k = 100, nprobe = nprobeConf(s))
     }),
     "q_ivf_topk_cos" -> ((s, d) => {
       val (m, path) = ivf(s, d, "cos")
       IvfIndex.search(s, path, m, "vec_id", "embedding", qvec(s, d),
-        k = 100, nprobe = 10)
+        k = 100, nprobe = nprobeConf(s))
     }),
     // exact mode: probe every list — identical to the flat scan by
     // construction, so it carries the flat oracle
@@ -84,7 +94,8 @@ object AnnQueries {
 
     // HNSW: persisted per-partition graphs, global ordered merge
     "q_hnsw_topk_l2" -> ((s, d) => {
-      Hnsw.searchIndex(s, hnsw(s, d, 4), "vec_id", qvec(s, d), k = 100)
+      Hnsw.searchIndex(s, hnsw(s, d, 4), "vec_id", qvec(s, d), k = 100,
+        efSearch = efSearchConf(s))
     }),
     // exact mode: one graph, ef covers the whole (connected) graph
     "q_hnsw_exact_l2" -> ((s, d) => {
@@ -96,7 +107,7 @@ object AnnQueries {
     "q_sq8_topk_l2" -> ((s, d) => {
       val (mins, widths, path) = sq8(s, d)
       Sq8.search(s.read.parquet(path), "vec_id", "embedding", "codes",
-        qvec(s, d), k = 100, mins, widths)
+        qvec(s, d), k = 100, mins, widths, window = sq8WindowConf(s))
     }),
     // exact mode: rerank window = everything
     "q_sq8_exact_l2" -> ((s, d) => {
@@ -109,7 +120,7 @@ object AnnQueries {
     "q_pq_topk_l2" -> ((s, d) => {
       val (model, path) = pq(s, d)
       Pq.search(s.read.parquet(path), "vec_id", "embedding", "codes",
-        qvec(s, d), k = 100, model)
+        qvec(s, d), k = 100, model, window = pqWindowConf(s))
     }),
     // exact mode: rerank window = everything
     "q_pq_exact_l2" -> ((s, d) => {

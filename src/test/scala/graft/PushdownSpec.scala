@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.plans.AnnPushdown
+import graft.queries.AnnQueries
+
+/** pushdown_plan.slt analog: `ORDER BY l2sq(vec, q) LIMIT k` over a
+  * registered table rewrites to the IVF index scan; identical results at
+  * nprobe = nlist; plan reads the index artifact. */
+class PushdownSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val q: Array[Float] =
+    spark.read.parquet(s"$sf001/embeddings.parquet")
+      .filter(col("vec_id") === 0).select(col("embedding"))
+      .head().getSeq[Float](0).toArray
+
+  private def topkDf = spark.read.parquet(s"$sf001/embeddings.parquet")
+    .select(col("vec_id"),
+      graft.functions.l2sq(col("embedding"), typedLit(q)).as("dist"))
+    .orderBy(col("dist")).limit(10)
+
+  test("ann pushdown rewrites to the index scan and preserves results") {
+    val (_, dataDir) = AnnQueries.ivf(spark, sf001, "l2")
+    AnnPushdown.install(spark)
+    AnnPushdown.register(s"$sf001/embeddings.parquet",
+      AnnPushdown.IndexedTable(s"ivf_l2_${sf001.replaceAll("[^a-zA-Z0-9]", "_")}",
+        "vec_id", "embedding"))
+
+    spark.conf.set("spark.graft.ann.enabled", "false")
+    val baseline = topkDf.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+    // exact mode: probe every list — identical results, index plan
+    spark.conf.set("spark.graft.ann.enabled", "true")
+    spark.conf.set("spark.graft.ann.nprobe", "16")
+    val pushed = topkDf
+    val plan = pushed.queryExecution.executedPlan.toString
+    assert(plan.contains(dataDir), s"plan does not scan the index:\n$plan")
+    assert(plan.contains("list_id"), "plan lost the partition-pruning filter")
+    val got = pushed.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == baseline)
+
+    // approximate mode still returns k rows
+    spark.conf.set("spark.graft.ann.nprobe", "4")
+    assert(topkDf.count() == 10)
+
+    // off: plan reads the base table again
+    spark.conf.set("spark.graft.ann.enabled", "false")
+    val off = topkDf.queryExecution.executedPlan.toString
+    assert(!off.contains(dataDir))
+  }
+}
