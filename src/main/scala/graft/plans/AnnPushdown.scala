@@ -86,7 +86,7 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     if (!enabled) return plan
     plan.transformDown {
       case gl @ GlobalLimit(Literal(k: Int, _),
-          LocalLimit(_, s @ Sort(order, true, p @ Project(projList, rel: LogicalRelation), _)))
+          LocalLimit(_, s @ Sort(order, true, p @ Project(projList, rel), _)))
           if gl.getTagValue(RewrittenTag).isEmpty =>
         matchAnnTopK(k, order, projList, rel) match {
           case Some(rewritten) =>
@@ -97,15 +97,29 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     }
   }
 
+  /** Source parquet paths of a leaf plan — sees through the cache
+    * manager's InMemoryRelation substitution. */
+  private def pathsOf(rel: LogicalPlan): Seq[String] = rel match {
+    case lr: LogicalRelation => lr.relation match {
+      case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString)
+      case _ => Nil
+    }
+    case imr: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+      imr.cacheBuilder.cachedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.rootPaths.map(_.toString)
+      }.flatten
+    case _ => Nil
+  }
+
   /** Shape: Project(id, Alias(l2sq(vecAttr, queryLit)) AS dist) over an
     * indexed relation, sorted by dist (asc) first. */
   private def matchAnnTopK(k: Int, order: Seq[SortOrder],
-      projList: Seq[NamedExpression], rel: LogicalRelation): Option[LogicalPlan] = {
-    val paths = rel.relation match {
-      case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString)
-      case _ => return None
-    }
-    val idx = lookup(paths).getOrElse(return None)
+      projList: Seq[NamedExpression], rel: LogicalPlan): Option[LogicalPlan] = {
+    if (!rel.isInstanceOf[LogicalRelation] &&
+        !rel.isInstanceOf[org.apache.spark.sql.execution.columnar.InMemoryRelation])
+      return None
+    val idx = lookup(pathsOf(rel)).getOrElse(return None)
     // find the dist alias in the projection
     val distAlias = projList.collectFirst {
       case a @ Alias(L2sqDistance(v: AttributeReference, q: Literal), _)
