@@ -195,6 +195,30 @@ object CoreQueries {
         .select(col("vec_id"), col("label")).orderBy(col("vec_id"))
     }),
 
+    // --- versioned segment scan: base ∪ growing delta minus versioned
+    //     tombstones (delete.rs:10-75; growing.rs:132-158). Store built
+    //     once per data dir; the query is the snapshot read. ---
+    "q_versioned_scan" -> ((s, d) => {
+      import graft.operators.Segments
+      val dir = sys.props("java.io.tmpdir") + "/graft_segments_" +
+        d.replaceAll("[^a-zA-Z0-9]", "_")
+      Segments.synchronized {
+        if (Segments.state(dir).gen < 0) {
+          val e = t(s, d, "embeddings").select(col("vec_id"), col("label"))
+          Segments.init(s, dir, e, "vec_id")
+          // reinsert ids < 30 with bumped labels (shadows base versions)
+          Segments.append(s, dir, e.filter(col("vec_id") < 30)
+            .select(col("vec_id"), (col("label") + 1000).as("label")), "vec_id")
+          // then delete every id ending in 3
+          Segments.delete(s, dir,
+            e.filter(col("vec_id") % 10 === 3).select(col("vec_id")), "vec_id")
+        }
+      }
+      Segments.read(s, dir, "vec_id")
+        .select(col("vec_id"), col("label"), col("_ver").as("ver"))
+        .orderBy(col("vec_id"))
+    }),
+
     // --- events: time-window aggregation (streaming-maintenance analog,
     //     batch form; Structured Streaming variant in tests) ---
     "q_events_window" -> ((s, d) => {
@@ -291,6 +315,12 @@ object CoreQueries {
          WHERE NOT EXISTS (SELECT 1 FROM embeddings t
            WHERE t.vec_id % 10 = 3 AND t.vec_id = embeddings.vec_id)
          ORDER BY vec_id""",
+
+    "q_versioned_scan" ->
+      """SELECT vec_id,
+         CASE WHEN vec_id < 30 THEN label + 1000 ELSE label END AS label,
+         CAST(CASE WHEN vec_id < 30 THEN 1 ELSE 0 END AS BIGINT) AS ver
+         FROM embeddings WHERE vec_id % 10 <> 3 ORDER BY vec_id""",
 
     "q_events_window" ->
       """SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,

@@ -1,0 +1,65 @@
+package graft
+
+import java.io.File
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.operators.Segments
+
+/** Segment lifecycle: init/append/delete/read snapshot semantics,
+  * compaction equivalence (tests/sealing analog), manifest crash rule. */
+class SegmentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDir(): String = {
+    val d = Files.createTempDirectory("graft_seg_test").toFile
+    d.deleteOnExit(); d.getAbsolutePath
+  }
+
+  private def snapshot(dir: String): Set[(Long, Int, Long)] =
+    Segments.read(spark, dir, "id")
+      .select(col("id"), col("v"), col("_ver"))
+      .as[(Long, Int, Long)].collect().toSet
+
+  test("append shadows older versions; delete hides; compact preserves") {
+    val dir = freshDir()
+    val base = Seq((1L, 10), (2L, 20), (3L, 30), (4L, 40)).toDF("id", "v")
+    Segments.init(spark, dir, base, "id")
+    assert(snapshot(dir) == Set((1L, 10, 0L), (2L, 20, 0L), (3L, 30, 0L), (4L, 40, 0L)))
+
+    // reinsert id 2 with a new value (shadow), insert new id 5
+    Segments.append(spark, dir, Seq((2L, 21), (5L, 50)).toDF("id", "v"), "id")
+    assert(snapshot(dir) == Set((1L, 10, 0L), (2L, 21, 1L), (3L, 30, 0L),
+      (4L, 40, 0L), (5L, 50, 1L)))
+
+    // delete ids 3 and 5 (hides both base and delta rows)
+    Segments.delete(spark, dir, Seq(3L, 5L).toDF("id"), "id")
+    assert(snapshot(dir) == Set((1L, 10, 0L), (2L, 21, 1L), (4L, 40, 0L)))
+
+    // reinsert a deleted id: visible again at the higher version
+    Segments.append(spark, dir, Seq((3L, 31)).toDF("id", "v"), "id")
+    assert(snapshot(dir) == Set((1L, 10, 0L), (2L, 21, 1L), (4L, 40, 0L), (3L, 31, 3L)))
+
+    // compaction folds to a fresh sealed generation with equal content
+    val before = snapshot(dir).map { case (i, v, _) => (i, v) }
+    Segments.compact(spark, dir, "id")
+    assert(Segments.state(dir).gen == 1)
+    assert(snapshot(dir).map { case (i, v, _) => (i, v) } == before)
+    // growing segments and tombstones were folded away
+    val names = new File(dir).listFiles().map(_.getName).toSet
+    assert(!names.exists(_.startsWith("delta-")))
+    assert(!names.exists(_.startsWith("tombs-")))
+  }
+
+  test("uncommitted generation directory is ignored (crash rule)") {
+    val dir = freshDir()
+    Segments.init(spark, dir, Seq((1L, 10)).toDF("id", "v"), "id")
+    // simulate a crash mid-compaction: data dir written, pointer not moved
+    Seq((99L, 99)).toDF("id", "v").withColumn("_ver", lit(0L))
+      .write.parquet(s"$dir/base-1")
+    assert(Segments.state(dir).gen == 0)
+    assert(snapshot(dir) == Set((1L, 10, 0L)))
+    // a later successful compaction supersedes the orphan
+    Segments.compact(spark, dir, "id")
+    assert(snapshot(dir).map { case (i, v, _) => (i, v) } == Set((1L, 10)))
+  }
+}
