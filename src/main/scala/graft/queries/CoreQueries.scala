@@ -58,6 +58,25 @@ object CoreQueries {
     t(spark, dir, "embeddings").filter(col("vec_id") === 0)
       .select(col("embedding").as("qv"))
 
+  /** Build-once versioned segment store for a data dir: base = embeddings,
+    * reinsert ids < 30 with bumped labels, delete ids ending in 3. */
+  def ensureSegments(s: SparkSession, d: String): String = {
+    import graft.operators.Segments
+    val dir = sys.props("java.io.tmpdir") + "/graft_segments_" +
+      d.replaceAll("[^a-zA-Z0-9]", "_")
+    Segments.synchronized {
+      if (Segments.state(dir).gen < 0) {
+        val e = t(s, d, "embeddings").select(col("vec_id"), col("label"))
+        Segments.init(s, dir, e, "vec_id")
+        Segments.append(s, dir, e.filter(col("vec_id") < 30)
+          .select(col("vec_id"), (col("label") + 1000).as("label")), "vec_id")
+        Segments.delete(s, dir,
+          e.filter(col("vec_id") % 10 === 3).select(col("vec_id")), "vec_id")
+      }
+    }
+    dir
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- relational baseline (scan + partial agg; no vector code) ---
     "q1_lineitem_agg" -> ((s, d) => {
@@ -200,20 +219,7 @@ object CoreQueries {
     //     once per data dir; the query is the snapshot read. ---
     "q_versioned_scan" -> ((s, d) => {
       import graft.operators.Segments
-      val dir = sys.props("java.io.tmpdir") + "/graft_segments_" +
-        d.replaceAll("[^a-zA-Z0-9]", "_")
-      Segments.synchronized {
-        if (Segments.state(dir).gen < 0) {
-          val e = t(s, d, "embeddings").select(col("vec_id"), col("label"))
-          Segments.init(s, dir, e, "vec_id")
-          // reinsert ids < 30 with bumped labels (shadows base versions)
-          Segments.append(s, dir, e.filter(col("vec_id") < 30)
-            .select(col("vec_id"), (col("label") + 1000).as("label")), "vec_id")
-          // then delete every id ending in 3
-          Segments.delete(s, dir,
-            e.filter(col("vec_id") % 10 === 3).select(col("vec_id")), "vec_id")
-        }
-      }
+      val dir = ensureSegments(s, d)
       Segments.read(s, dir, "vec_id")
         .select(col("vec_id"), col("label"), col("_ver").as("ver"))
         .orderBy(col("vec_id"))
