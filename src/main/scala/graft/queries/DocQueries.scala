@@ -252,6 +252,43 @@ object DocQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // --- batch embedding (text2vec analog, MLlib HashingTF+IDF+L2):
+    //     contract-checked via oracle (dims, unit norm); semantic knn in
+    //     EmbedSpec ---
+    "q_embed_batch" -> ((s, d) => {
+      val model = graft.operators.Embed.fitCached(d, docs(s, d), "text", 64)
+      graft.operators.Embed.transform(model, docs(s, d), "doc_id", "text")
+        .select(col("doc_id"),
+          size(col("embedding")).cast("long").as("dims"),
+          round(graft.functions.vectorNorm(col("embedding")), 6).as("norm"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- embedding-powered knn over the batch-embedded corpus: top-10
+    //     most similar docs to doc 0 (rows-only; EmbedSpec checks
+    //     token-overlap quality) ---
+    "q_embed_knn" -> ((s, d) => {
+      val model = graft.operators.Embed.fitCached(d, docs(s, d), "text", 64)
+      val emb = graft.operators.Embed.transform(model, docs(s, d), "doc_id", "text")
+      val q = emb.filter(col("doc_id") === 0)
+        .select(col("embedding").as("qv"))
+      emb.crossJoin(broadcast(q)).filter(col("doc_id") =!= 0)
+        .select(col("doc_id"),
+          graft.functions.cosdist(col("embedding"), col("qv")).as("cdist"))
+        .orderBy(col("cdist"), col("doc_id")).limit(10)
+    }),
+
+    // --- the pg_vector_index_stat analog: one row per cataloged index
+    //     (rows-only: the catalog lives outside the oracle's tables) ---
+    "q_index_stat" -> ((s, d) => {
+      AnnQueries.ensureAll(s, d)
+      graft.index.IndexCatalog.stats(s)
+        .filter(col("idx_source") === d)
+        .select(col("idx_name"), col("idx_type"), col("idx_metric"),
+          col("idx_options"), (col("idx_size_bytes") > 0).as("has_data"))
+        .orderBy(col("idx_name"))
+    }),
+
     // --- document fingerprinting: winnowed min-hash over char 8-grams
     //     + whole-doc hash (rolling-hash analog with md5 for parity) ---
     "q_doc_fingerprint" -> ((s, d) => {
@@ -321,6 +358,10 @@ object DocQueries {
 
     "q_embed_neardup" -> embedNearDupOracle,
     "q_embed_neardup_lsh" -> embedNearDupOracle,
+
+    "q_embed_batch" ->
+      """SELECT doc_id, CAST(64 AS BIGINT) AS dims, CAST(1.0 AS DOUBLE) AS norm
+         FROM documents ORDER BY doc_id""",
 
     "q_multimodal_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
