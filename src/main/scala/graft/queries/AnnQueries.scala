@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions._
-import graft.operators.{Hnsw, IvfIndex, Pq, SparseSearch, Sq8}
+import graft.operators.{Hnsw, IvfIndex, Pq, Rabitq, SparseSearch, Sq8}
 
 /**
  * ANN search paths (SURVEY §2.6): IVF (partition-pruned index table),
@@ -44,10 +44,14 @@ object AnnQueries {
   def pq(s: SparkSession, d: String): (Pq.Model, String) =
     Pq.ensure(s, s"pq_${san(d)}", t(s, d, "embeddings"), d, "vec_id", "embedding")
 
+  def rabitq(s: SparkSession, d: String): (Rabitq.Model, String) =
+    Rabitq.ensure(s, s"rabitq_${san(d)}", t(s, d, "embeddings"), d,
+      "vec_id", "embedding")
+
   /** Pre-build every index artifact for a data dir (bench warmup / the
     * CREATE INDEX phase). */
   def ensureAll(s: SparkSession, d: String): Unit = {
-    ivf(s, d, "l2"); ivf(s, d, "cos"); sq8(s, d); pq(s, d)
+    ivf(s, d, "l2"); ivf(s, d, "cos"); sq8(s, d); pq(s, d); rabitq(s, d)
     hnsw(s, d, 4); hnsw(s, d, 1); sparse(s, d)
   }
 
@@ -129,6 +133,20 @@ object AnnQueries {
         qvec(s, d), k = 100, model, window = 0)
     }),
 
+    // RaBitQ: 1-bit rotated sign codes + correction factors -> windowed
+    // exact rerank
+    "q_rabitq_topk_l2" -> ((s, d) => {
+      val (model, path) = rabitq(s, d)
+      Rabitq.search(s.read.parquet(path), "vec_id", "embedding", "code",
+        qvec(s, d), k = 100, model)
+    }),
+    // exact mode: rerank window = everything
+    "q_rabitq_exact_l2" -> ((s, d) => {
+      val (model, path) = rabitq(s, d)
+      Rabitq.search(s.read.parquet(path), "vec_id", "embedding", "code",
+        qvec(s, d), k = 100, model, window = 0)
+    }),
+
     // Sparse inverted index: EXACT, full oracle, persisted postings
     "q_sparse_topk" -> ((s, d) => {
       val path = sparse(s, d)
@@ -154,6 +172,7 @@ object AnnQueries {
     "q_hnsw_exact_l2" -> exactL2Oracle,
     "q_sq8_exact_l2" -> exactL2Oracle,
     "q_pq_exact_l2" -> exactL2Oracle,
+    "q_rabitq_exact_l2" -> exactL2Oracle,
     "q_sparse_topk" ->
       s"""SELECT d.vec_id AS vec_id,
           list_aggregate(list_transform(list_zip($spD, $spQ), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum') AS score
