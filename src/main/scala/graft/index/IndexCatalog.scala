@@ -81,6 +81,15 @@ object IndexCatalog {
     }
   }
 
+  /** Live-alter an index option (`alter_vector_index` analog,
+    * src/index/functions.rs:16-41). Search-time params take effect on the
+    * next query; build-affecting params require a rebuild (drop+ensure). */
+  def alter(spark: SparkSession, name: String, key: String, value: String): Manifest = {
+    val m = load(spark, name).getOrElse(
+      throw new IllegalArgumentException(s"no such index: $name"))
+    commit(spark, name, m.copy(params = m.params + (key -> value)))
+  }
+
   def drop(spark: SparkSession, name: String): Unit = {
     def rm(f: File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(rm)
