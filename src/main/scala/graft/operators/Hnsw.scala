@@ -164,7 +164,12 @@ object Hnsw {
     import graft.index.IndexCatalog
     IndexCatalog.ensure(spark, name, source) { dataDir =>
       import spark.implicits._
-      val rows0 = df.select(col(idCol).cast("long"), col(vecCol))
+      // cosine follows the IVF rewrite: normalize at build, search by dot
+      val prepped =
+        if (metric == "cos")
+          df.withColumn(vecCol, graft.functions.vectorNormalize(col(vecCol)))
+        else df
+      val rows0 = prepped.select(col(idCol).cast("long"), col(vecCol))
         .as[(Long, Array[Float])]
       val rows =
         if (parts <= 1) rows0.coalesce(1).sortWithinPartitions(col(idCol))

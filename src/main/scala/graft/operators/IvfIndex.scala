@@ -66,6 +66,18 @@ object IvfIndex {
       a.map(x => (x / n).toFloat)
     }
 
+    /** Distance from a row vector to its own (already-assigned) centroid —
+      * used to collect per-list max radii for range pruning. */
+    def distToList(v: ArrayData, flat: ArrayData, listId: Int): Double = {
+      val dims = v.numElements()
+      var acc = 0.0; var i = 0; val off = listId * dims
+      while (i < dims) {
+        val d = v.getFloat(i).toDouble - flat.getFloat(off + i)
+        acc += d * d; i += 1
+      }
+      acc
+    }
+
     /** Nearest centroid over a flattened [nlist*dims] centroid array —
       * the codegen'd assign kernel. useDot=true for dot/cos metrics. */
     def nearest(v: ArrayData, flat: ArrayData, useDot: Boolean): Int = {
@@ -114,6 +126,24 @@ object IvfIndex {
       Shims.expression(typedLit(flat)), model.metric != "l2"))
   }
 
+  /** l2² from each row to its assigned centroid. */
+  case class CentroidDist(vec: Expression, flatCentroids: Expression,
+      listId: Expression) extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+    override def first = vec; override def second = flatCentroids
+    override def third = listId
+    override def nullIntolerant: Boolean = true
+    override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+    override def nullSafeEval(v: Any, f: Any, l: Any): Any =
+      Kernels.distToList(v.asInstanceOf[ArrayData], f.asInstanceOf[ArrayData],
+        l.asInstanceOf[Int])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (v, f, l) =>
+        s"${ev.value} = graft.operators.IvfIndex.Kernels.distToList($v, $f, $l);")
+    override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression) =
+      copy(vec = a, flatCentroids = b, listId = c)
+    override def prettyName = "centroid_dist"
+  }
+
   /** Train centroids with MLlib KMeans (the reference's k_means crate
     * analog). Runs on a bounded sample — at 100 TB you never k-means the
     * full data (and never count() it just to size a sample). */
@@ -154,15 +184,58 @@ object IvfIndex {
   def ensure(spark: SparkSession, name: String, df: => DataFrame,
       source: String, vecCol: String, metric: String, nlist: Int,
       seed: Long = 42L): (Model, String) = {
+    // manifests from before the range-pruning stats carry no radii —
+    // rebuild them (staleness of the manifest *format*)
+    if (IndexCatalog.load(spark, name).exists(m =>
+        m.source == source && !m.floats.contains("radii")))
+      IndexCatalog.drop(spark, name)
     val m = IndexCatalog.ensure(spark, name, source) { dataDir =>
       val model = train(df, vecCol, metric, nlist, seed = seed)
       assign(df, vecCol, model)
         .write.mode("overwrite").partitionBy("list_id").parquet(dataDir)
+      // per-list max l2² radius to the centroid (range-pruning stats)
+      val flat = typedLit(model.centroids.flatten)
+      val maxima = spark.read.parquet(dataDir)
+        .select(col("list_id"), Shims.column(CentroidDist(
+          Shims.expression(col(vecCol)), Shims.expression(flat),
+          Shims.expression(col("list_id")))).as("cd"))
+        .groupBy(col("list_id")).agg(max(col("cd")).as("r2"))
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      // round the stored radius UP so float truncation can never shrink
+      // a list's bound below a boundary point
+      val radii = Array.tabulate(model.centroids.length)(i =>
+        java.lang.Math.nextUp(maxima.getOrElse(i, 0.0).toFloat))
       Manifest("ivf", source, metric,
-        Map("nlist" -> nlist.toString), centroids = model.centroids)
+        Map("nlist" -> nlist.toString), centroids = model.centroids,
+        floats = Map("radii" -> radii))
     }
     (Model(m.metric, m.centroids), IndexCatalog.dataDir(spark, name))
   }
+
+  /** EXACT within-radius search (sphere predicate pushdown): prune lists
+    * whose triangle-inequality lower bound exceeds the radius —
+    * ||q - x|| >= ||q - c|| - maxr(list) for x in the list — then apply
+    * the exact distance filter on the surviving partitions. */
+  /** Pruned scan only (no distance filter): partitions whose triangle-
+    * inequality lower bound could still contain in-radius rows. */
+  def rangeScan(spark: SparkSession, path: String, model: Model,
+      radii: Array[Float], q: Array[Float], r2: Double): DataFrame = {
+    require(model.metric == "l2", "range pushdown is defined for l2")
+    val rq = math.sqrt(r2)
+    val probes = model.centroids.indices.filter { i =>
+      val lb = math.sqrt(Kernels.l2sq(model.centroids(i), q)) -
+        math.sqrt(radii(i).toDouble)
+      lb <= rq + 1e-9
+    }
+    spark.read.parquet(path)
+      .filter(col("list_id").isin(probes.map(Integer.valueOf): _*))
+  }
+
+  def rangeSearch(spark: SparkSession, path: String, model: Model,
+      radii: Array[Float], vecCol: String, q: Array[Float],
+      r2: Double): DataFrame =
+    rangeScan(spark, path, model, radii, q, r2)
+      .filter(l2sq(col(vecCol), typedLit(q)) < r2)
 
   /** Search: rank centroids, read only the nprobe pruned partitions,
     * exact-rerank. Returns (idCol, dist) ordered ascending. */

@@ -41,6 +41,9 @@ object AnnPushdown {
   def register(sourcePath: String, t: IndexedTable): Unit =
     registry.put(normalize(sourcePath), t)
 
+  def unregister(sourcePath: String): Unit =
+    registry.remove(normalize(sourcePath))
+
   def lookup(paths: Seq[String]): Option[IndexedTable] =
     paths.map(normalize).flatMap(p => Option(registry.get(p))).headOption
 
@@ -94,7 +97,53 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
             rewritten
           case None => gl
         }
+      // sphere predicate (strategy-2 "FOR SEARCH") pushdown: EXACT —
+      // triangle-inequality list pruning + the same filter on top
+      case p @ Project(projList, f @ Filter(cond, rel))
+          if f.getTagValue(RewrittenTag).isEmpty =>
+        matchRange(cond, rel) match {
+          case Some(newChild) =>
+            val nf = Filter(cond, newChild)
+            nf.setTagValue(RewrittenTag, true)
+            Project(projList, nf)
+          case None => p
+        }
     }
+  }
+
+  /** Filter shape: l2sq(vecAttr, queryLit) < radiusLit over an indexed
+    * relation. Replacement keeps the exact filter; only the scan shrinks
+    * (identical results by construction — no approximation). */
+  private def matchRange(cond: Expression, rel: LogicalPlan): Option[LogicalPlan] = {
+    if (!rel.isInstanceOf[LogicalRelation] &&
+        !rel.isInstanceOf[org.apache.spark.sql.execution.columnar.InMemoryRelation])
+      return None
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case x => Seq(x)
+    }
+    val (vecAttr, qLit, r2) = conjuncts(cond).collectFirst {
+      case LessThan(L2sqDistance(v: AttributeReference, q: Literal),
+          Literal(r: Double, _)) => (v, q, r)
+    }.getOrElse(return None)
+    val idx = lookup(pathsOf(rel)).getOrElse(return None)
+    if (vecAttr.name != idx.vecCol) return None
+    val manifest = graft.index.IndexCatalog.load(spark, idx.indexName)
+      .getOrElse(return None)
+    if (manifest.metric != "l2" || !manifest.floats.contains("radii"))
+      return None
+    val model = IvfIndex.Model(manifest.metric, manifest.centroids)
+    val scan = IvfIndex.rangeScan(spark,
+      graft.index.IndexCatalog.dataDir(spark, idx.indexName), model,
+      manifest.floats("radii"), floatsOf(qLit), r2)
+    val newPlan = scan.queryExecution.analyzed
+    // remap old relation attrs to the new scan's outputs by name
+    val byName = newPlan.output.map(a => a.name -> a).toMap
+    val remap = rel.output.flatMap { old =>
+      byName.get(old.name).map(n => Alias(n, old.name)(exprId = old.exprId))
+    }
+    if (remap.length != rel.output.length) return None
+    Some(Project(remap, newPlan))
   }
 
   /** Source parquet paths of a leaf plan — sees through the cache

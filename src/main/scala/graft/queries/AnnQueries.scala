@@ -34,9 +34,9 @@ object AnnQueries {
   def sq8(s: SparkSession, d: String): (Array[Float], Array[Float], String) =
     Sq8.ensure(s, s"sq8_${san(d)}", t(s, d, "embeddings"), d, "vec_id", "embedding")
 
-  def hnsw(s: SparkSession, d: String, parts: Int): String =
-    Hnsw.ensure(s, s"hnsw_l2_p${parts}_${san(d)}", t(s, d, "embeddings"), d,
-      "vec_id", "embedding", "l2", parts)
+  def hnsw(s: SparkSession, d: String, parts: Int, metric: String = "l2"): String =
+    Hnsw.ensure(s, s"hnsw_${metric}_p${parts}_${san(d)}", t(s, d, "embeddings"), d,
+      "vec_id", "embedding", metric, parts)
 
   def sparse(s: SparkSession, d: String): String =
     SparseSearch.ensure(s, s"sparse_${san(d)}", sparseDocs(s, d), d, "vec_id", "sv")
@@ -52,7 +52,7 @@ object AnnQueries {
     * CREATE INDEX phase). */
   def ensureAll(s: SparkSession, d: String): Unit = {
     ivf(s, d, "l2"); ivf(s, d, "cos"); sq8(s, d); pq(s, d); rabitq(s, d)
-    hnsw(s, d, 4); hnsw(s, d, 1); sparse(s, d)
+    hnsw(s, d, 4); hnsw(s, d, 1); hnsw(s, d, 4, "cos"); sparse(s, d)
   }
 
   private def qvec(s: SparkSession, dir: String): Array[Float] =
@@ -105,6 +105,12 @@ object AnnQueries {
     "q_hnsw_exact_l2" -> ((s, d) => {
       Hnsw.searchIndex(s, hnsw(s, d, 1), "vec_id", qvec(s, d), k = 100,
         efSearch = 1 << 22)
+    }),
+    // cosine: normalized-at-build graphs searched by dot
+    "q_hnsw_topk_cos" -> ((s, d) => {
+      Hnsw.searchIndex(s, hnsw(s, d, 4, "cos"), "vec_id",
+        IvfIndex.Kernels.normalize(qvec(s, d)), k = 100,
+        efSearch = efSearchConf(s))
     }),
 
     // SQ8: persisted codes -> coarse scan -> rerank window -> exact top-k

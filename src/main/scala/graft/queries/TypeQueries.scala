@@ -251,13 +251,23 @@ object TypeQueries {
       val v16 = toF16Bits(parseVector(concat(lit("["), col("c_nationkey"),
         lit(", "), col("c_custkey") % 100, lit("]"))))
       val q16 = toF16Bits(parseVector(lit("[12, 50]")))
+      // f16 arithmetic = op on decoded exact values, re-rounded to f16
+      // (products/sums of two f16s are exact in f32, so one final
+      // rounding matches native half arithmetic — fp16.slt:39)
+      def f16Op(f: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column,
+          a: String, b: String) =
+        formatVector(f16ToVector(toF16Bits(f(
+          f16ToVector(toF16Bits(parseVector(lit(a)))),
+          f16ToVector(toF16Bits(parseVector(lit(b))))))))
       c.select(col("c_custkey"), v16.as("v"))
         .select(col("c_custkey"),
           f16L2sq(col("v"), q16).as("dist"),
           f16NegDot(col("v"), q16).as("nd"),
           formatVector(f16ToVector(col("v"))).as("txt"),
           formatVector(f16ToVector(toF16Bits(parseVector(lit("[0.4, 1.7]")))))
-            .as("rounded"))
+            .as("rounded"),
+          f16Op(vecMul, "[1, 2, 3]", "[4, 5, 6]").as("f16_mul"),
+          f16Op(vecAdd, "[1, 2, 3]", "[4, 5, 6]").as("f16_add"))
         .orderBy(col("c_custkey"))
     })
   )
@@ -409,7 +419,9 @@ object TypeQueries {
            + (CAST(c_custkey % 100 AS DOUBLE) - 50) * (CAST(c_custkey % 100 AS DOUBLE) - 50) AS dist,
          -(CAST(c_nationkey AS DOUBLE) * 12 + CAST(c_custkey % 100 AS DOUBLE) * 50) AS nd,
          '[' || CAST(c_nationkey AS VARCHAR) || '.0, ' || CAST(c_custkey % 100 AS VARCHAR) || '.0]' AS txt,
-         '[0.39990234, 1.7001953]' AS rounded
+         '[0.39990234, 1.7001953]' AS rounded,
+         '[4.0, 10.0, 18.0]' AS f16_mul,
+         '[5.0, 7.0, 9.0]' AS f16_add
          FROM customer ORDER BY c_custkey"""
   )
 }

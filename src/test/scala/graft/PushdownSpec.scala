@@ -20,12 +20,22 @@ class PushdownSpec extends SparkSpec {
       graft.functions.l2sq(col("embedding"), typedLit(q)).as("dist"))
     .orderBy(col("dist")).limit(10)
 
-  test("ann pushdown rewrites to the index scan and preserves results") {
+  private def withPushdown(body: String => Unit): Unit = {
     val (_, dataDir) = AnnQueries.ivf(spark, sf001, "l2")
     AnnPushdown.install(spark)
     AnnPushdown.register(s"$sf001/embeddings.parquet",
       AnnPushdown.IndexedTable(s"ivf_l2_${sf001.replaceAll("[^a-zA-Z0-9]", "_")}",
         "vec_id", "embedding"))
+    try body(dataDir)
+    finally {
+      spark.conf.set("spark.graft.ann.enabled", "false")
+      spark.conf.set("spark.graft.ann.nprobe", "10")
+      AnnPushdown.unregister(s"$sf001/embeddings.parquet")
+    }
+  }
+
+  test("ann pushdown rewrites to the index scan and preserves results") {
+    withPushdown { dataDir =>
 
     spark.conf.set("spark.graft.ann.enabled", "false")
     val baseline = topkDf.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
@@ -48,5 +58,28 @@ class PushdownSpec extends SparkSpec {
     spark.conf.set("spark.graft.ann.enabled", "false")
     val off = topkDf.queryExecution.executedPlan.toString
     assert(!off.contains(dataDir))
+    }
+  }
+
+  test("range (sphere) predicate pushdown prunes lists, stays exact") {
+    withPushdown { dataDir =>
+    def rangeDf = spark.read.parquet(s"$sf001/embeddings.parquet")
+      .select(col("vec_id"), col("label"),
+        graft.functions.l2sq(col("embedding"), typedLit(q)).as("dist"))
+      .filter(col("dist") < 1.5)
+
+    spark.conf.set("spark.graft.ann.enabled", "false")
+    val baseline = rangeDf.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+
+    spark.conf.set("spark.graft.ann.enabled", "true")
+    val pushed = rangeDf
+    val plan = pushed.queryExecution.executedPlan.toString
+    assert(plan.contains(dataDir), s"plan does not scan the index:\n$plan")
+    val got = pushed.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+    spark.conf.set("spark.graft.ann.enabled", "false")
+    assert(got == baseline)
+    }
   }
 }
