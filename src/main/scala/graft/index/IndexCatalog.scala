@@ -50,10 +50,12 @@ object IndexCatalog {
   def load(spark: SparkSession, name: String): Option[Manifest] = {
     val f = manifestFile(spark, name)
     if (!f.isFile) None
-    else Option(cache.computeIfAbsent(f.getAbsolutePath, _ => {
-      val in = new ObjectInputStream(new FileInputStream(f))
-      try in.readObject().asInstanceOf[Manifest] finally in.close()
-    }))
+    else scala.util.Try {
+      cache.computeIfAbsent(f.getAbsolutePath, _ => {
+        val in = new ObjectInputStream(new FileInputStream(f))
+        try in.readObject().asInstanceOf[Manifest] finally in.close()
+      })
+    }.toOption // unreadable manifest (older format) == missing -> rebuild
   }
 
   /** Commit a manifest AFTER the data artifact is fully written — the

@@ -237,6 +237,41 @@ object IvfIndex {
     rangeScan(spark, path, model, radii, q, r2)
       .filter(l2sq(col(vecCol), typedLit(q)) < r2)
 
+  /** Batched many-query search (batch-inference shape): ONE pruned scan
+    * answers a whole query table. Probe lists resolve on the driver
+    * (centroids are tiny); the scan reads the union of all probed
+    * partitions once; each row scores only against the queries probing
+    * its list (broadcast non-equi join on array_contains), and per-query
+    * top-k comes from a window — at scale this is one pass over
+    * ~nprobe/nlist of the data for the entire batch instead of one scan
+    * per query. Returns (qid, idCol, dist, rn). */
+  def batchSearch(spark: SparkSession, path: String, model: Model,
+      idCol: String, vecCol: String, queries: Seq[(Long, Array[Float])],
+      k: Int, nprobe: Int): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rows = queries.map { case (qid, qv) =>
+      val qq = if (model.metric == "cos") Kernels.normalize(qv) else qv
+      (qid, qq, model.rankLists(qv).take(nprobe))
+    }
+    val qdf = rows.toDF("qid", "qv", "probes")
+    val allProbes = rows.flatMap(_._3).distinct
+    val scan = spark.read.parquet(path)
+      .filter(col("list_id").isin(allProbes.map(Integer.valueOf): _*))
+    val joined = scan.join(broadcast(qdf),
+      array_contains(col("probes"), col("list_id")))
+    val distCol = model.metric match {
+      case "l2" => l2sq(col(vecCol), col("qv"))
+      case "dot" => negdot(col(vecCol), col("qv"))
+      case "cos" => negdot(col(vecCol), col("qv")) + lit(1.0)
+    }
+    val w = Window.partitionBy(col("qid")).orderBy(col("dist"), col(idCol))
+    joined.select(col("qid"), col(idCol), distCol.as("dist"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .orderBy(col("qid"), col("rn"))
+  }
+
   /** Search: rank centroids, read only the nprobe pruned partitions,
     * exact-rerank. Returns (idCol, dist) ordered ascending. */
   def search(spark: SparkSession, path: String, model: Model,

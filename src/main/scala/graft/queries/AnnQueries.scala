@@ -59,11 +59,23 @@ object AnnQueries {
     t(s, dir, "embeddings").filter(col("vec_id") === 0)
       .select(col("embedding")).head().getSeq[Float](0).toArray
 
-  /** Search-time tunables — GUC analogs (src/gucs/executing.rs:4-23). */
+  private def batchQueries(s: SparkSession, dir: String): Seq[(Long, Array[Float])] =
+    t(s, dir, "embeddings").filter(col("vec_id") < 3)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+
+  /** Search-time tunables — GUC analogs (src/gucs/executing.rs:4-23).
+    * pgvector compatibility mode (src/index/compatibility.rs:7-60):
+    * the pgvector spellings (`ivfflat.probes`, `hnsw.ef_search`) are
+    * accepted as aliases and win when set. */
+  private def conf2(s: SparkSession, pgvector: String, native: String,
+      dflt: String): Int =
+    s.conf.getOption(pgvector)
+      .getOrElse(s.conf.get(native, dflt)).toInt
   private def nprobeConf(s: SparkSession) =
-    s.conf.get("spark.graft.ann.nprobe", "10").toInt
+    conf2(s, "spark.graft.ivfflat.probes", "spark.graft.ann.nprobe", "10")
   private def efSearchConf(s: SparkSession) =
-    s.conf.get("spark.graft.hnsw.efSearch", "100").toInt
+    conf2(s, "spark.graft.hnsw.ef_search", "spark.graft.hnsw.efSearch", "100")
   private def sq8WindowConf(s: SparkSession) =
     s.conf.get("spark.graft.sq8.rerankWindow", "4").toInt
   private def pqWindowConf(s: SparkSession) =
@@ -94,6 +106,19 @@ object AnnQueries {
       val (m, path) = ivf(s, d, "l2")
       IvfIndex.search(s, path, m, "vec_id", "embedding", qvec(s, d),
         k = 100, nprobe = m.nlist)
+    }),
+
+    // batched many-query IVF: one pruned scan answers a query table
+    "q_ivf_batch" -> ((s, d) => {
+      val (m, path) = ivf(s, d, "l2")
+      IvfIndex.batchSearch(s, path, m, "vec_id", "embedding",
+        batchQueries(s, d), k = 20, nprobe = nprobeConf(s))
+    }),
+    // exact mode: probe every list -> per-query flat top-k oracle
+    "q_ivf_batch_exact" -> ((s, d) => {
+      val (m, path) = ivf(s, d, "l2")
+      IvfIndex.batchSearch(s, path, m, "vec_id", "embedding",
+        batchQueries(s, d), k = 20, nprobe = m.nlist)
     }),
 
     // HNSW: persisted per-partition graphs, global ordered merge
@@ -179,6 +204,16 @@ object AnnQueries {
     "q_sq8_exact_l2" -> exactL2Oracle,
     "q_pq_exact_l2" -> exactL2Oracle,
     "q_rabitq_exact_l2" -> exactL2Oracle,
+    "q_ivf_batch_exact" ->
+      """SELECT qid, vec_id, dist, rn FROM (
+           SELECT q.vec_id AS qid, e.vec_id AS vec_id,
+             list_aggregate(list_transform(list_zip(e.embedding, q.embedding), p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), 'sum') AS dist,
+             row_number() OVER (PARTITION BY q.vec_id ORDER BY
+               list_aggregate(list_transform(list_zip(e.embedding, q.embedding), p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), 'sum'),
+               e.vec_id) AS rn
+           FROM embeddings e CROSS JOIN
+             (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 3) q)
+         WHERE rn <= 20 ORDER BY qid, rn""",
     "q_sparse_topk" ->
       s"""SELECT d.vec_id AS vec_id,
           list_aggregate(list_transform(list_zip($spD, $spQ), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum') AS score
