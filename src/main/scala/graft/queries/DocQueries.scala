@@ -23,9 +23,12 @@ import graft.operators.{Dedup, MultiModal}
 object DocQueries {
   import Tables.t
 
-  /** Hook for bench warmup symmetry with AnnQueries (doc queries have no
-    * persisted artifacts yet — signatures are cheap enough to fuse). */
-  def ensureAll(s: SparkSession, d: String): Unit = ()
+  /** Bench warmup: pre-fit the (cached) embedding model — the one
+    * train-time artifact among the doc queries. */
+  def ensureAll(s: SparkSession, d: String): Unit = {
+    graft.operators.Embed.fitCached(d, docs(s, d), "text", 64)
+    ()
+  }
 
   private def docs(s: SparkSession, d: String): DataFrame =
     t(s, d, "documents").select(col("doc_id"), col("text"), col("lang"))

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The SQL-registered function surface (finalize.sql analog) and the
+  * null.slt semantics: NULL vectors drop out of top-k, NaN distances
+  * order last. */
+class SqlSurfaceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val view: Unit = {
+    spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .createOrReplaceTempView("emb")
+  }
+
+  test("distance + norm + format functions work from spark.sql") {
+    view
+    val row = spark.sql(
+      """SELECT vec_id,
+           l2sq_distance(embedding, embedding) AS self_dist,
+           vector_norm(embedding) AS nrm,
+           parse_vector(format_vector(embedding)) = embedding AS rt
+         FROM emb ORDER BY vec_id LIMIT 1""").head()
+    assert(row.getDouble(1) == 0.0)
+    assert(row.getDouble(2) > 0.0)
+    assert(row.getBoolean(3))
+  }
+
+  test("SQL top-k matches the DataFrame plan") {
+    view
+    val sql = spark.sql(
+      """SELECT vec_id FROM (
+           SELECT vec_id, l2sq_distance(embedding, parse_vector(
+             (SELECT format_vector(embedding) FROM emb WHERE vec_id = 0))) AS d
+           FROM emb WHERE vec_id <> 0)
+         ORDER BY d, vec_id LIMIT 10""").as[Long].collect().toSeq
+    val q = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .filter(col("vec_id") === 0).select(col("embedding"))
+      .head().getSeq[Float](0).toArray
+    val df = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), graft.functions.l2sq(col("embedding"),
+        typedLit(q)).as("d"))
+      .orderBy(col("d"), col("vec_id")).limit(10)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(sql == df)
+  }
+
+  test("null.slt semantics: NULL vectors drop out; NaN distances sort last") {
+    val good = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).limit(20)
+    val nulls = Seq.tabulate(5)(i => (1000L + i, null: Seq[Float]))
+      .toDF("vec_id", "embedding")
+    val nans = Seq.tabulate(3)(i => (2000L + i,
+      Seq.fill(64)(Float.NaN))).toDF("vec_id", "embedding")
+    val t = good.unionByName(nulls).unionByName(nans)
+    val q = good.filter(col("vec_id") === 0).select(col("embedding"))
+      .head().getSeq[Float](0).toArray
+    val top = t.select(col("vec_id"),
+        graft.functions.l2sq(col("embedding"), typedLit(q)).as("d"))
+      .orderBy(col("d").asc_nulls_last, col("vec_id")).limit(10)
+      .collect()
+    assert(top.length == 10)
+    // no NULL-embedding id makes it into the top-k (nulls last)
+    assert(top.forall(_.getLong(0) < 1000L),
+      s"got ${top.map(_.getLong(0)).toSeq}")
+    // NaN distances exist but order after all finite ones
+    val all = t.select(col("vec_id"),
+        graft.functions.l2sq(col("embedding"), typedLit(q)).as("d"))
+      .orderBy(col("d").asc_nulls_last, col("vec_id"))
+      .collect().filter(!_.isNullAt(1))
+    val finitePrefix = all.takeWhile(r => !r.getDouble(1).isNaN)
+    assert(finitePrefix.length == 20)
+    assert(all.drop(20).forall(r => r.getDouble(1).isNaN))
+  }
+
+  test("SQL dims-mismatch errors like the reference operators") {
+    view
+    val e = intercept[Exception] {
+      spark.sql(
+        "SELECT l2sq_distance(embedding, parse_vector('[1, 2]')) FROM emb LIMIT 1"
+      ).head()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else t.getMessage +: msgs(t.getCause)
+    assert(msgs(e).exists(m => m != null && m.contains("dimensions")))
+  }
+}
