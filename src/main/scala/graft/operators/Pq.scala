@@ -218,7 +218,8 @@ object Pq {
     (model, IndexCatalog.dataDir(spark, name))
   }
 
-  /** ADC coarse scan + windowed exact rerank; window<=0 = exact mode. */
+  /** ADC coarse scan over the m-byte code column ONLY + windowed exact
+    * rerank re-fetching candidates by id; window<=0 = exact mode. */
   def search(indexed: DataFrame, idCol: String, vecCol: String, codeCol: String,
       q: Array[Float], k: Int, model: Model, window: Int = 8): DataFrame = {
     import graft.functions.l2sq
@@ -226,9 +227,10 @@ object Pq {
       if (window <= 0) indexed.select(col(idCol), col(vecCol))
       else {
         val w = math.min(k.toLong * window, Int.MaxValue.toLong).toInt
-        indexed.select(col(idCol), col(vecCol),
+        val candidates = indexed.select(col(idCol),
             adcScore(col(codeCol), model.lut(q), model.ks).as("approx_dist"))
           .orderBy(col("approx_dist"), col(idCol)).limit(w)
+        Rerank.fetchByIds(indexed, idCol, vecCol, candidates)
       }
     coarse.select(col(idCol), l2sq(col(vecCol), typedLit(q)).as("dist"))
       .orderBy(col("dist"), col(idCol)).limit(k)

@@ -177,7 +177,8 @@ object Rabitq {
     (model, IndexCatalog.dataDir(spark, name))
   }
 
-  /** Bit-estimated coarse scan + windowed exact rerank; window<=0 exact. */
+  /** Bit-estimated coarse scan over codes ONLY + windowed exact rerank
+    * re-fetching candidates by id; window<=0 exact. */
   def search(indexed: DataFrame, idCol: String, vecCol: String, codeCol: String,
       q: Array[Float], k: Int, model: Model, window: Int = 8): DataFrame = {
     import graft.functions.l2sq
@@ -190,8 +191,9 @@ object Rabitq {
         val score = Shims.column(Score(Shims.expression(col(codeCol)),
           Shims.expression(typedLit(rqF)), qNorm))
         val w = math.min(k.toLong * window, Int.MaxValue.toLong).toInt
-        indexed.select(col(idCol), col(vecCol), score.as("approx_dist"))
+        val candidates = indexed.select(col(idCol), score.as("approx_dist"))
           .orderBy(col("approx_dist"), col(idCol)).limit(w)
+        Rerank.fetchByIds(indexed, idCol, vecCol, candidates)
       }
     coarse.select(col(idCol), l2sq(col(vecCol), typedLit(q)).as("dist"))
       .orderBy(col("dist"), col(idCol)).limit(k)

@@ -120,22 +120,26 @@ object Sq8 {
     Shims.column(L2Approx(Shims.expression(codes), Shims.expression(typedLit(q)),
       Shims.expression(typedLit(mins)), Shims.expression(typedLit(widths))))
 
-  /** Two-stage search: coarse top-(k*window) on codes, exact rerank.
-    * window <= 0 means "rerank everything" — the exact mode (full-window
-    * rerank is provably exact: the final stage scores true distances). */
+  /** Two-stage search: coarse top-(k*window) over the CODE COLUMN ONLY
+    * (the scan never touches raw vectors — codes are ~the compression
+    * ratio of the data), then an exact rerank that re-fetches just the
+    * candidate rows by id (the IN filter reaches the parquet scan for
+    * row-group pruning). window <= 0 means "rerank everything" — the
+    * exact mode (full-window rerank is provably exact: the final stage
+    * scores true distances). */
   def search(indexed: DataFrame, idCol: String, vecCol: String, codeCol: String,
       q: Array[Float], k: Int, mins: Array[Float], widths: Array[Float],
       window: Int = 4): DataFrame = {
-    import graft.functions.l2sq
     val coarse =
       if (window <= 0) indexed.select(col(idCol), col(vecCol))
       else {
         val w = math.min(k.toLong * window, Int.MaxValue.toLong).toInt
-        indexed
-          .select(col(idCol), col(vecCol),
-            l2Approx(col(codeCol), q, mins, widths).as("approx_dist"))
+        val candidates = indexed
+          .select(col(idCol), l2Approx(col(codeCol), q, mins, widths).as("approx_dist"))
           .orderBy(col("approx_dist"), col(idCol)).limit(w)
+        Rerank.fetchByIds(indexed, idCol, vecCol, candidates)
       }
+    import graft.functions.l2sq
     coarse.select(col(idCol), l2sq(col(vecCol), typedLit(q)).as("dist"))
       .orderBy(col("dist"), col(idCol)).limit(k)
   }
