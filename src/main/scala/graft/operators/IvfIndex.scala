@@ -169,11 +169,14 @@ object IvfIndex {
     withVec.withColumn("list_id", nearestCentroid(col(vecCol), model))
   }
 
-  /** Train + assign + write the partitioned artifact (no catalog entry). */
+  /** Train + assign + write the partitioned artifact (no catalog entry).
+    * Rows shuffle onto their list before the write so each list is one
+    * contiguous file set, not nInputPartitions fragments per list. */
   def build(df: DataFrame, vecCol: String, metric: String, nlist: Int,
       path: String, seed: Long = 42L): Model = {
     val model = train(df, vecCol, metric, nlist, seed = seed)
     assign(df, vecCol, model)
+      .repartition(col("list_id"))
       .write.mode("overwrite").partitionBy("list_id").parquet(path)
     model
   }
@@ -192,6 +195,7 @@ object IvfIndex {
     val m = IndexCatalog.ensure(spark, name, source) { dataDir =>
       val model = train(df, vecCol, metric, nlist, seed = seed)
       assign(df, vecCol, model)
+        .repartition(col("list_id"))
         .write.mode("overwrite").partitionBy("list_id").parquet(dataDir)
       // per-list max l2² radius to the centroid (range-pruning stats)
       val flat = typedLit(model.centroids.flatten)
