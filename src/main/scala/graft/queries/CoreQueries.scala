@@ -206,6 +206,21 @@ object CoreQueries {
         .orderBy(col("label"), col("rn"))
     }),
 
+    // --- the VBASE flagship composition (README.md:23 "Single-Vector
+    //     TopK + Filter + Join"): vector top-k composes with a dimension
+    //     join and a post-join filter without losing results — top-k runs
+    //     AFTER the filter so the contract is "k best matching rows" ---
+    "q_topk_filter_join" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("source"))
+      t(s, d, "embeddings").crossJoin(broadcast(queryVec(s, d)))
+        .select(col("vec_id"), l2sq(col("embedding"), col("qv")).as("dist"))
+        .join(docs, col("vec_id") === col("doc_id"))
+        .filter(col("lang") === "en")
+        .select(col("vec_id"), col("dist"), col("lang"), col("source"))
+        .orderBy(col("dist"), col("vec_id")).limit(25)
+    }),
+
     // --- tombstone delete semantics (delete.rs analog: anti-join) ---
     "q_tombstone_antijoin" -> ((s, d) => {
       val e = t(s, d, "embeddings")
@@ -315,6 +330,14 @@ object CoreQueries {
               row_number() OVER (PARTITION BY e.label ORDER BY $qL2, e.vec_id) AS rn
             FROM embeddings e CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q)
           WHERE rn <= 3 ORDER BY label, rn""",
+
+    "q_topk_filter_join" ->
+      s"""SELECT e.vec_id AS vec_id, $qL2 AS dist, d.lang AS lang, d.source AS source
+          FROM embeddings e
+          CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+          JOIN documents d ON e.vec_id = d.doc_id
+          WHERE d.lang = 'en'
+          ORDER BY dist, vec_id LIMIT 25""",
 
     "q_tombstone_antijoin" ->
       """SELECT vec_id, label FROM embeddings

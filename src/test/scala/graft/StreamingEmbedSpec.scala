@@ -61,6 +61,37 @@ class StreamingEmbedSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file-source stream over the events fixture matches the batch window agg") {
+    val batch = graft.queries.CoreQueries.events(spark, sf0001)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH").as("w"),
+        col("event_type"), col("cnt"))
+      .as[(String, String, Long)].collect().toSet
+
+    // file stream sources consume directories of arriving files
+    val dir = Files.createTempDirectory("graft_events_stream")
+    Files.copy(java.nio.file.Paths.get(s"$sf0001/events.parquet"),
+      dir.resolve("events.parquet"))
+    val schema = spark.read.parquet(s"$sf0001/events.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .parquet(dir.toString)
+      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+    val counts = StreamingIngest.windowedCounts(
+      stream, "ts", "event_type", "1 hour", "1 hour")
+    val q = counts.writeStream.outputMode("update")
+      .format("memory").queryName("ev_counts").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("ev_counts")
+        .groupBy(date_format(col("w_start"), "yyyy-MM-dd HH").as("w"),
+          col("event_type"))
+        .agg(max(col("cnt")).as("cnt"))
+        .as[(String, String, Long)].collect().toSet
+      assert(got == batch)
+    } finally q.stop()
+  }
+
   test("batch embedding: unit norm, deterministic, token-overlap knn") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
       .select(col("doc_id"), col("text"))
