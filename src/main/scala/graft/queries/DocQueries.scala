@@ -292,6 +292,30 @@ object DocQueries {
         .orderBy(col("idx_name"))
     }),
 
+    // --- end-to-end training-data cleaning pipeline in ONE plan:
+    //     quality filter -> exact dedup keep-first -> per-shard stats.
+    //     Each stage is shuffle-minimal (scan-local filter, one window
+    //     over the hash, one partial-agg groupBy) ---
+    "q_pipeline_clean" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val tk = split(col("text"), " ")
+      val stats = docsWithExactDups(s, d).select(col("doc_id"), col("text"),
+        size(tk).cast("long").as("n_tokens"),
+        (size(filter(tk, t => t === "the" || t === "a")).cast("double") /
+          size(tk).cast("double")).as("stop_ratio"))
+      val filtered = stats
+        .filter(col("n_tokens") >= 20 && col("stop_ratio") < 0.3)
+      val w = Window.partitionBy(md5(col("text").cast("binary")))
+      val deduped = filtered
+        .withColumn("keep", min(col("doc_id")).over(w))
+        .filter(col("doc_id") === col("keep"))
+      deduped.groupBy((col("doc_id") % 10).as("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          round(avg(col("stop_ratio")), 6).as("avg_stop_ratio"))
+        .orderBy(col("shard"))
+    }),
+
     // --- document fingerprinting: winnowed min-hash over char 8-grams
     //     + whole-doc hash (rolling-hash analog with md5 for parity) ---
     "q_doc_fingerprint" -> ((s, d) => {
@@ -370,6 +394,26 @@ object DocQueries {
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
          md5(text) AS content_fp, substring(text, 1, 12) AS head
          FROM documents ORDER BY doc_id""",
+
+    "q_pipeline_clean" ->
+      s"""WITH alldocs AS $exactDupSql,
+          stats AS (
+            SELECT doc_id, text,
+              len(string_split(text, ' ')) AS n_tokens,
+              CAST(len(list_filter(string_split(text, ' '), t -> t = 'the' OR t = 'a')) AS DOUBLE)
+                / len(string_split(text, ' ')) AS stop_ratio
+            FROM alldocs),
+          filtered AS (
+            SELECT * FROM stats WHERE n_tokens >= 20 AND stop_ratio < 0.3),
+          deduped AS (
+            SELECT * FROM (
+              SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS keep
+              FROM filtered)
+            WHERE doc_id = keep)
+          SELECT doc_id % 10 AS shard, count(*) AS n_docs,
+            sum(n_tokens) AS total_tokens,
+            round(avg(stop_ratio), 6) AS avg_stop_ratio
+          FROM deduped GROUP BY 1 ORDER BY shard""",
 
     "q_doc_fingerprint" ->
       """SELECT doc_id, md5(text) AS doc_hash,
