@@ -292,6 +292,17 @@ object DocQueries {
         .orderBy(col("idx_name"))
     }),
 
+    // --- corpus length distribution per language: exact interpolated
+    //     percentiles (quality-cutoff selection stats) ---
+    "q_doc_quantiles" -> ((s, d) => {
+      t(s, d, "documents").groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          percentile(col("n_chars"), lit(0.5)).as("p50"),
+          percentile(col("n_chars"), lit(0.9)).as("p90"),
+          min(col("n_chars")).as("mn"), max(col("n_chars")).as("mx"))
+        .orderBy(col("lang"))
+    }),
+
     // --- end-to-end training-data cleaning pipeline in ONE plan:
     //     quality filter -> exact dedup keep-first -> per-shard stats.
     //     Each stage is shuffle-minimal (scan-local filter, one window
@@ -394,6 +405,13 @@ object DocQueries {
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
          md5(text) AS content_fp, substring(text, 1, 12) AS head
          FROM documents ORDER BY doc_id""",
+
+    "q_doc_quantiles" ->
+      """SELECT lang, count(*) AS n_docs,
+         quantile_cont(n_chars, 0.5) AS p50,
+         quantile_cont(n_chars, 0.9) AS p90,
+         min(n_chars) AS mn, max(n_chars) AS mx
+         FROM documents GROUP BY lang ORDER BY lang""",
 
     "q_pipeline_clean" ->
       s"""WITH alldocs AS $exactDupSql,
