@@ -94,21 +94,29 @@ object Segments {
       .filter(_.getName.stripPrefix(prefix).toLong <= state.seq)
       .map(_.getAbsolutePath).toSeq.sorted
 
+  def deltaDirs(dir: String, s: State): Seq[String] = listDirs(dir, "delta-", s)
+
+  /** Max tombstone version per id, or None if no tombstones committed. */
+  def tombstoneMax(spark: SparkSession, dir: String, idCol: String): Option[DataFrame] = {
+    val tombDirs = listDirs(dir, "tombs-", state(dir))
+    if (tombDirs.isEmpty) None
+    else Some(tombDirs.map(spark.read.parquet(_)).reduce(_ unionByName _)
+      .groupBy(col(idCol)).agg(max(col("_ver")).as("_tomb_ver")))
+  }
+
   /** Snapshot read: base ∪ committed deltas, minus rows hidden by a
     * tombstone of the same id at version >= the row's version. */
   def read(spark: SparkSession, dir: String, idCol: String): DataFrame = {
     val s = state(dir)
     require(s.gen >= 0, s"no committed generation under $dir")
-    val parts = s"$dir/base-${s.gen}" +: listDirs(dir, "delta-", s)
+    val parts = s"$dir/base-${s.gen}" +: deltaDirs(dir, s)
     val rows = parts.map(spark.read.parquet(_)).reduce(_ unionByName _)
-    val tombDirs = listDirs(dir, "tombs-", s)
-    if (tombDirs.isEmpty) rows
-    else {
-      val tombs = tombDirs.map(spark.read.parquet(_)).reduce(_ unionByName _)
-        .groupBy(col(idCol)).agg(max(col("_ver")).as("_tomb_ver"))
-      rows.join(broadcast(tombs), Seq(idCol), "left_outer")
-        .filter(col("_tomb_ver").isNull || col("_tomb_ver") < col("_ver"))
-        .drop("_tomb_ver")
+    tombstoneMax(spark, dir, idCol) match {
+      case None => rows
+      case Some(tombs) =>
+        rows.join(broadcast(tombs), Seq(idCol), "left_outer")
+          .filter(col("_tomb_ver").isNull || col("_tomb_ver") < col("_ver"))
+          .drop("_tomb_ver")
     }
   }
 

@@ -48,11 +48,32 @@ object AnnQueries {
     Rabitq.ensure(s, s"rabitq_${san(d)}", t(s, d, "embeddings"), d,
       "vec_id", "embedding")
 
+  /** Build-once vector segment store: base = embeddings, reinsert mirror
+    * ids (+20000 for vec_id < 5), delete ids 1 and 20003. */
+  def ensureVecSegments(s: SparkSession, d: String): String = {
+    import graft.operators.Segments
+    val segDir = sys.props("java.io.tmpdir") + "/graft_vecsegments_" + san(d)
+    Segments.synchronized {
+      if (Segments.state(segDir).gen < 0) {
+        val e = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+        Segments.init(s, segDir, e, "vec_id")
+        Segments.append(s, segDir, e.filter(col("vec_id") < 5)
+          .select((col("vec_id") + 20000).as("vec_id"), col("embedding")),
+          "vec_id")
+        Segments.delete(s, segDir,
+          s.range(1).select(lit(1L).as("vec_id"))
+            .unionAll(s.range(1).select(lit(20003L).as("vec_id"))), "vec_id")
+      }
+    }
+    segDir
+  }
+
   /** Pre-build every index artifact for a data dir (bench warmup / the
     * CREATE INDEX phase). */
   def ensureAll(s: SparkSession, d: String): Unit = {
     ivf(s, d, "l2"); ivf(s, d, "cos"); sq8(s, d); pq(s, d); rabitq(s, d)
     hnsw(s, d, 4); hnsw(s, d, 1); hnsw(s, d, 4, "cos"); sparse(s, d)
+    ensureVecSegments(s, d)
   }
 
   private def qvec(s: SparkSession, dir: String): Array[Float] =
@@ -178,6 +199,16 @@ object AnnQueries {
         qvec(s, d), k = 100, model, window = 0)
     }),
 
+    // sealed ∪ growing lifecycle search: IVF over the sealed artifact,
+    // brute force over visible deltas, tombstones filtered on both sides
+    // (exact at nprobe=nlist -> full oracle)
+    "q_hybrid_topk" -> ((s, d) => {
+      val segDir = ensureVecSegments(s, d)
+      val (m, ivfPath) = ivf(s, d, "l2")
+      graft.operators.HybridSearch.topkL2(s, segDir, ivfPath, m,
+        "vec_id", "embedding", qvec(s, d), k = 100, nprobe = m.nlist)
+    }),
+
     // Sparse inverted index: EXACT, full oracle, persisted postings
     "q_sparse_topk" -> ((s, d) => {
       val path = sparse(s, d)
@@ -204,6 +235,18 @@ object AnnQueries {
     "q_sq8_exact_l2" -> exactL2Oracle,
     "q_pq_exact_l2" -> exactL2Oracle,
     "q_rabitq_exact_l2" -> exactL2Oracle,
+    "q_hybrid_topk" ->
+      """WITH delta AS (
+           SELECT vec_id + 20000 AS vec_id, embedding FROM embeddings WHERE vec_id < 5),
+         allr AS (
+           SELECT vec_id, embedding FROM embeddings
+           UNION ALL SELECT vec_id, embedding FROM delta)
+         SELECT a.vec_id AS vec_id,
+           list_aggregate(list_transform(list_zip(a.embedding, q.qv), p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), 'sum') AS dist
+         FROM allr a CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+         WHERE a.vec_id NOT IN (1, 20003)
+         ORDER BY dist, vec_id LIMIT 100""",
+
     "q_ivf_batch_exact" ->
       """SELECT qid, vec_id, dist, rn FROM (
            SELECT q.vec_id AS qid, e.vec_id AS vec_id,
