@@ -165,10 +165,11 @@ object Hnsw {
     IndexCatalog.ensure(spark, name, source) { dataDir =>
       import spark.implicits._
       // cosine follows the IVF rewrite: normalize at build, search by dot
+      val nonNull = df.filter(col(vecCol).isNotNull)
       val prepped =
         if (metric == "cos")
-          df.withColumn(vecCol, graft.functions.vectorNormalize(col(vecCol)))
-        else df
+          nonNull.withColumn(vecCol, graft.functions.vectorNormalize(col(vecCol)))
+        else nonNull
       val rows0 = prepped.select(col(idCol).cast("long"), col(vecCol))
         .as[(Long, Array[Float])]
       val rows =

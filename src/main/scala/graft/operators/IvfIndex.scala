@@ -151,7 +151,7 @@ object IvfIndex {
       maxIter: Int = 10, seed: Long = 42L, sampleCap: Int = 200000): Model = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val prep0 = df.select(col(vecCol).as("v"))
+    val prep0 = df.filter(col(vecCol).isNotNull).select(col(vecCol).as("v"))
     val prep = if (metric == "cos") prep0.select(vectorNormalize(col("v")).as("v")) else prep0
     val sample = prep.limit(sampleCap)
       .withColumn("features", array_to_vector(col("v").cast("array<double>")))
@@ -175,7 +175,7 @@ object IvfIndex {
   def build(df: DataFrame, vecCol: String, metric: String, nlist: Int,
       path: String, seed: Long = 42L): Model = {
     val model = train(df, vecCol, metric, nlist, seed = seed)
-    assign(df, vecCol, model)
+    assign(df.filter(col(vecCol).isNotNull), vecCol, model)
       .repartition(col("list_id"))
       .write.mode("overwrite").partitionBy("list_id").parquet(path)
     model
@@ -194,7 +194,9 @@ object IvfIndex {
       IndexCatalog.drop(spark, name)
     val m = IndexCatalog.ensure(spark, name, source) { dataDir =>
       val model = train(df, vecCol, metric, nlist, seed = seed)
-      assign(df, vecCol, model)
+      // NULL vectors are not indexed (issue_427.slt: an index over nulls
+      // must neither break the build nor pollute search results)
+      assign(df.filter(col(vecCol).isNotNull), vecCol, model)
         .repartition(col("list_id"))
         .write.mode("overwrite").partitionBy("list_id").parquet(dataDir)
       // per-list max l2² radius to the centroid (range-pruning stats)

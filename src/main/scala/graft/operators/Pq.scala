@@ -206,8 +206,9 @@ object Pq {
       source: String, idCol: String, vecCol: String, m: Int = 8, ks: Int = 16)
       : (Model, String) = {
     val mf = IndexCatalog.ensure(spark, name, source) { dataDir =>
-      val model = train(df, vecCol, m, ks)
-      df.select(col(idCol), col(vecCol), encode(col(vecCol), model).as("codes"))
+      val nn = df.filter(col(vecCol).isNotNull)
+      val model = train(nn, vecCol, m, ks)
+      nn.select(col(idCol), col(vecCol), encode(col(vecCol), model).as("codes"))
         .write.mode("overwrite").parquet(dataDir)
       IndexCatalog.Manifest("pq", source, "l2",
         Map("m" -> m.toString, "ks" -> ks.toString, "dims" -> model.dims.toString),

@@ -166,8 +166,9 @@ object Rabitq {
   def ensure(spark: SparkSession, name: String, df: => DataFrame,
       source: String, idCol: String, vecCol: String): (Model, String) = {
     val mf = IndexCatalog.ensure(spark, name, source) { dataDir =>
-      val model = train(df, vecCol)
-      df.select(col(idCol), col(vecCol), encode(col(vecCol), model).as("code"))
+      val nn = df.filter(col(vecCol).isNotNull)
+      val model = train(nn, vecCol)
+      nn.select(col(idCol), col(vecCol), encode(col(vecCol), model).as("code"))
         .write.mode("overwrite").parquet(dataDir)
       IndexCatalog.Manifest("rabitq", source, "l2",
         Map("dims" -> model.dims.toString),

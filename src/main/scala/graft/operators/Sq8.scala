@@ -44,8 +44,8 @@ object Sq8 {
       : (Array[Float], Array[Float], String) = {
     import graft.index.IndexCatalog
     val m = IndexCatalog.ensure(spark, name, source) { dataDir =>
-      val (mins, widths) = train(df, vecCol)
-      df.select(col(idCol), col(vecCol),
+      val (mins, widths) = train(df.filter(col(vecCol).isNotNull), vecCol)
+      df.filter(col(vecCol).isNotNull).select(col(idCol), col(vecCol),
           encode(col(vecCol), mins, widths).as("codes"))
         .write.mode("overwrite").parquet(dataDir)
       IndexCatalog.Manifest("sq8", source, "l2", Map("bits" -> "8"),

@@ -74,6 +74,27 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(all.drop(20).forall(r => r.getDouble(1).isNaN))
   }
 
+  test("issue_427: NULL vectors don't break index build or search") {
+    val good = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).limit(30)
+    val nulls = Seq.tabulate(10)(i => (5000L + i, null: Seq[Float]))
+      .toDF("vec_id", "embedding")
+    val t = good.unionByName(nulls)
+    val q = good.filter(col("vec_id") === 0).select(col("embedding"))
+      .head().getSeq[Float](0).toArray
+
+    val ivfDir = java.nio.file.Files.createTempDirectory("graft_null_ivf").toString
+    val model = graft.operators.IvfIndex.build(t, "embedding", "l2", 4, ivfDir)
+    val hits = graft.operators.IvfIndex.search(spark, ivfDir, model,
+      "vec_id", "embedding", q, k = 10, nprobe = 4).collect()
+    assert(hits.length == 10)
+    assert(hits.forall(_.getLong(0) < 5000L), "null rows leaked into results")
+
+    val (mins, widths) = graft.operators.Sq8.train(
+      t.filter(col("embedding").isNotNull), "embedding")
+    assert(mins.length == 64 && widths.forall(_ > 0))
+  }
+
   test("SQL dims-mismatch errors like the reference operators") {
     view
     val e = intercept[Exception] {
