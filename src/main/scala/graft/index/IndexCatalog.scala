@@ -92,6 +92,25 @@ object IndexCatalog {
     commit(spark, name, m.copy(params = m.params + (key -> value)))
   }
 
+  /** `fence_vector_index` analog (functions.rs:16-41): block until the
+    * index is fully built. Builds here are synchronous jobs, so fencing
+    * reduces to asserting a committed manifest exists. */
+  def fence(spark: SparkSession, name: String): Unit =
+    if (load(spark, name).isEmpty)
+      throw new IllegalStateException(s"index $name has no committed build")
+
+  /** `pgvectors_upgrade` analog: sweep the catalog and drop index dirs
+    * whose manifests this version can no longer read — they rebuild on
+    * the next ensure. */
+  def upgrade(spark: SparkSession): Seq[String] = {
+    val rootDir = new File(root(spark))
+    Option(rootDir.listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && new File(d, "MANIFEST.bin").isFile)
+      .filter(d => load(spark, d.getName).isEmpty)
+      .map { d => drop(spark, d.getName); d.getName }
+      .toSeq
+  }
+
   def drop(spark: SparkSession, name: String): Unit = {
     def rm(f: File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(rm)

@@ -33,6 +33,14 @@ class CatalogSpec extends SparkSpec {
     assert(row.getString(0) == "ivf" && row.getString(1) == "l2")
     assert(row.getLong(2) > 0)
 
+    // fence: committed build -> returns; missing index -> error
+    IndexCatalog.fence(spark, name)
+    intercept[IllegalStateException] {
+      IndexCatalog.fence(spark, "no_such_index")
+    }
+    // upgrade: nothing unreadable -> sweep drops nothing
+    assert(!IndexCatalog.upgrade(spark).contains(name))
+
     // alter updates a search-time option in place
     val altered = IndexCatalog.alter(spark, name, "nprobe", "2")
     assert(altered.params("nprobe") == "2")
