@@ -71,7 +71,8 @@ object AnnQueries {
   /** Pre-build every index artifact for a data dir (bench warmup / the
     * CREATE INDEX phase). */
   def ensureAll(s: SparkSession, d: String): Unit = {
-    ivf(s, d, "l2"); ivf(s, d, "cos"); sq8(s, d); pq(s, d); rabitq(s, d)
+    ivf(s, d, "l2"); ivf(s, d, "cos"); ivf(s, d, "dot")
+    sq8(s, d); pq(s, d); rabitq(s, d)
     hnsw(s, d, 4); hnsw(s, d, 1); hnsw(s, d, 4, "cos"); sparse(s, d)
     ensureVecSegments(s, d)
   }
@@ -125,6 +126,19 @@ object AnnQueries {
     // construction, so it carries the flat oracle
     "q_ivf_exact_l2" -> ((s, d) => {
       val (m, path) = ivf(s, d, "l2")
+      IvfIndex.search(s, path, m, "vec_id", "embedding", qvec(s, d),
+        k = 100, nprobe = m.nlist)
+    }),
+    // cos exact twin: the oracle replays the engine's normalize-at-build
+    // (float-rounded unit vectors) + dot-in-double computation bit-exactly
+    "q_ivf_exact_cos" -> ((s, d) => {
+      val (m, path) = ivf(s, d, "cos")
+      IvfIndex.search(s, path, m, "vec_id", "embedding", qvec(s, d),
+        k = 100, nprobe = m.nlist)
+    }),
+    // dot-product opclass exact twin
+    "q_ivf_exact_dot" -> ((s, d) => {
+      val (m, path) = ivf(s, d, "dot")
       IvfIndex.search(s, path, m, "vec_id", "embedding", qvec(s, d),
         k = 100, nprobe = m.nlist)
     }),
@@ -231,6 +245,20 @@ object AnnQueries {
 
   val oracles: Map[String, String] = Map(
     "q_ivf_exact_l2" -> exactL2Oracle,
+    "q_ivf_exact_cos" ->
+      """WITH n AS (SELECT vec_id,
+           list_transform(embedding, x -> CAST(CAST(x AS DOUBLE)
+             / sqrt(list_aggregate(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)), 'sum')) AS FLOAT)) AS ne
+           FROM embeddings)
+         SELECT e.vec_id AS vec_id,
+           1.0 - list_aggregate(list_transform(list_zip(e.ne, q.ne), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum') AS dist
+         FROM n e CROSS JOIN (SELECT ne FROM n WHERE vec_id = 0) q
+         ORDER BY dist, vec_id LIMIT 100""",
+    "q_ivf_exact_dot" ->
+      """SELECT e.vec_id AS vec_id,
+         -list_aggregate(list_transform(list_zip(e.embedding, q.qv), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum') AS dist
+         FROM embeddings e CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+         ORDER BY dist, vec_id LIMIT 100""",
     "q_hnsw_exact_l2" -> exactL2Oracle,
     "q_sq8_exact_l2" -> exactL2Oracle,
     "q_pq_exact_l2" -> exactL2Oracle,
