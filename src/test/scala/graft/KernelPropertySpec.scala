@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.functions._
+import graft.types.Fp16
+
+/** Property tests for the expression kernels: text I/O round-trips,
+  * sparse<->dense equivalences, compare semantics vs a dense reference
+  * model, f16 rounding idempotence, hash order-invariance. Deterministic:
+  * seeded ScalaCheck generators sampled directly (the scalatest bridge
+  * artifact isn't in the offline cache). */
+class KernelPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def forAll[A](gen: Gen[A], n: Int = 40)(f: A => Unit): Unit = {
+    var seed = Seed(42L)
+    var i = 0
+    while (i < n) {
+      gen.apply(Gen.Parameters.default, seed).foreach(f)
+      seed = seed.next
+      i += 1
+    }
+  }
+
+  private val genFloat: Gen[Float] = Gen.oneOf(
+    Gen.chooseNum(-1e6f, 1e6f),
+    Gen.chooseNum(-1f, 1f),
+    Gen.oneOf(0.0f, -0.0f, 1.5f, Float.MinPositiveValue, 3.4e38f))
+  private val genVec: Gen[List[Float]] =
+    Gen.choose(1, 24).flatMap(n => Gen.listOfN(n, genFloat))
+
+  private def eval1[T](c: org.apache.spark.sql.Column): T =
+    spark.range(1).select(c).head().getAs[T](0)
+
+  private def evalSeqF(c: org.apache.spark.sql.Column): Seq[Float] =
+    spark.range(1).select(c).head().getSeq[Float](0).toList
+
+  private def evalSeqL(c: org.apache.spark.sql.Column): Seq[Long] =
+    spark.range(1).select(c).head().getSeq[Long](0).toList
+
+  test("parse(format(v)) == v for arbitrary finite floats") {
+    forAll(genVec) { v =>
+      val got = evalSeqF(parseVector(formatVector(typedLit(v))))
+      assert(got == v)
+    }
+  }
+
+  test("svector dense round-trip preserves every element") {
+    forAll(genVec) { v =>
+      val got = evalSeqF(svecToDense(svecFromDense(typedLit(v))))
+      // -0.0f sparsifies to a dropped zero and densifies to +0.0f —
+      // numerically equal, reference zero-drop semantics
+      assert(got.length == v.length)
+      got.zip(v).foreach { case (g, x) => assert(g == x || (g == 0f && x == 0f)) }
+    }
+  }
+
+  test("svecCompare matches lexicographic compare of dense arrays") {
+    val gen = for {
+      n <- Gen.choose(1, 12)
+      a <- Gen.listOfN(n, Gen.oneOf(-2f, -1f, 0f, 1f, 2f))
+      b <- Gen.listOfN(n, Gen.oneOf(-2f, -1f, 0f, 1f, 2f))
+    } yield (a, b)
+    forAll(gen) { case (a, b) =>
+      val expected = a.zip(b).iterator
+        .map { case (x, y) => java.lang.Float.compare(x, y) }
+        .find(_ != 0).getOrElse(0)
+      val got = eval1[Int](svecCompare(
+        svecFromDense(typedLit(a)), svecFromDense(typedLit(b))))
+      assert(Integer.signum(got) == Integer.signum(expected), s"a=$a b=$b")
+    }
+  }
+
+  test("bvecCompare matches lexicographic compare of bit lists") {
+    val gen = for {
+      n <- Gen.choose(1, 150) // cross the 64-bit word boundary
+      a <- Gen.listOfN(n, Gen.oneOf(0f, 1f))
+      b <- Gen.listOfN(n, Gen.oneOf(0f, 1f))
+    } yield (a, b)
+    forAll(gen) { case (a, b) =>
+      val expected = a.zip(b).iterator
+        .map { case (x, y) => java.lang.Float.compare(x, y) }
+        .find(_ != 0).getOrElse(0)
+      val got = eval1[Int](bvecCompare(
+        castVecToBVec(typedLit(a)), castVecToBVec(typedLit(b))))
+      assert(Integer.signum(got) == Integer.signum(expected), s"a=$a b=$b")
+    }
+  }
+
+  test("f16 rounding is idempotent and order-preserving") {
+    forAll(genFloat) { x =>
+      val once = Fp16.roundTrip(x)
+      assert(Fp16.roundTrip(once) == once || once.isInfinite)
+    }
+    forAll(Gen.zip(genFloat, genFloat)) { case (a, b) =>
+      val (ra, rb) = (Fp16.roundTrip(a), Fp16.roundTrip(b))
+      if (!ra.isInfinite && !rb.isInfinite && a <= b) assert(ra <= rb)
+    }
+  }
+
+  test("simhash and minhash signatures are order-invariant") {
+    val genTokens = Gen.choose(1, 20)
+      .flatMap(n => Gen.listOfN(n, Gen.identifier.map(_.take(8))))
+    forAll(genTokens) { toks =>
+      val shuffled = scala.util.Random.shuffle(toks)
+      assert(graft.operators.Dedup.simhash64(toks) ==
+        graft.operators.Dedup.simhash64(shuffled))
+      val sigA = evalSeqL(graft.operators.Dedup.minhashSignature(
+        typedLit(toks.distinct), 16))
+      val sigB = evalSeqL(graft.operators.Dedup.minhashSignature(
+        typedLit(shuffled.distinct), 16))
+      assert(sigA == sigB)
+    }
+  }
+
+  test("dense distance kernels match a double-reference model") {
+    forAll(Gen.zip(genVec, genVec)) { case (a0, b0) =>
+      val n = math.min(a0.length, b0.length)
+      val (a, b) = (a0.take(n), b0.take(n))
+      val expL2 = a.zip(b).foldLeft(0.0) { case (acc, (x, y)) =>
+        acc + (x.toDouble - y.toDouble) * (x.toDouble - y.toDouble) }
+      val gotL2 = eval1[Double](l2sq(typedLit(a), typedLit(b)))
+      assert(gotL2 == expL2)
+      val expDot = a.zip(b).foldLeft(0.0) { case (acc, (x, y)) =>
+        acc + x.toDouble * y.toDouble }
+      val gotDot = eval1[Double](negdot(typedLit(a), typedLit(b)))
+      assert(gotDot == -expDot)
+    }
+  }
+}
