@@ -76,9 +76,14 @@ object Dedup {
   }
 
   /** EXACT all-pairs Jaccard >= tau via the shingle inverted-list join
-    * (complete: any pair with jacc > 0 shares a shingle). The oracle twin
-    * of the LSH path; at 100 TB hot shingles make this the wrong shape —
-    * run [[lshCandidates]] + [[verifyJaccard]] instead. */
+    * (complete: any pair with jacc > 0 shares a shingle); intersections
+    * counted ON the join, so no per-candidate set materialization.
+    * (A prefix-filter variant — index only the |X|-ceil(tau|X|)+1
+    * hash-smallest shingles — was measured slower here: this corpus's
+    * high shingle overlap yields ~0.4M candidates whose set-verify costs
+    * more than counting on the full join.) The oracle twin of the LSH
+    * path; at 100 TB hot shingles make this the wrong shape — run
+    * [[lshCandidates]] + [[verifyJaccard]] instead. */
   def exactJaccardPairs(docs: DataFrame, idCol: String, setCol: String,
       tau: Double): DataFrame = {
     // join on a 64-bit shingle hash: same intersection counts (collision
