@@ -136,6 +136,38 @@ object AnnQueries {
       IvfIndex.search(s, path, m, "vec_id", "embedding", qvec(s, d),
         k = 100, nprobe = m.nlist)
     }),
+    // the reference's core UX, driver-visible: a plain
+    // `ORDER BY l2sq(vec, q) LIMIT k` DataFrame rewritten BY THE
+    // OPTIMIZER RULE into the IVF scan (exact at nprobe=nlist, so it
+    // carries the flat oracle). The rewritten plan is frozen so the
+    // temporary conf flags can't leak into other queries.
+    "q_topk_pushdown" -> ((s, d) => {
+      import graft.plans.AnnPushdown
+      val (m, _) = ivf(s, d, "l2")
+      AnnPushdown.install(s)
+      AnnPushdown.register(s"$d/embeddings.parquet",
+        AnnPushdown.IndexedTable(s"ivf_l2_${san(d)}", "vec_id", "embedding"))
+      val prevEnabled = s.conf.get("spark.graft.ann.enabled", "false")
+      val prevNprobe = s.conf.get("spark.graft.ann.nprobe", "10")
+      s.conf.set("spark.graft.ann.enabled", "true")
+      s.conf.set("spark.graft.ann.nprobe", m.nlist.toString)
+      try {
+        val df = s.read.parquet(s"$d/embeddings.parquet")
+          .select(col("vec_id"),
+            l2sq(col("embedding"), typedLit(qvec(s, d))).as("dist"))
+          .orderBy(col("dist")).limit(100)
+        val optimized = df.queryExecution.optimizedPlan
+        assert(optimized.toString.contains("list_id"),
+          "ann pushdown did not rewrite the top-k plan")
+        org.apache.spark.sql.graftshim.Shims.ofRows(s, optimized)
+          .orderBy(col("dist"), col("vec_id"))
+      } finally {
+        s.conf.set("spark.graft.ann.enabled", prevEnabled)
+        s.conf.set("spark.graft.ann.nprobe", prevNprobe)
+        AnnPushdown.unregister(s"$d/embeddings.parquet")
+      }
+    }),
+
     // dot-product opclass exact twin
     "q_ivf_exact_dot" -> ((s, d) => {
       val (m, path) = ivf(s, d, "dot")
@@ -254,6 +286,7 @@ object AnnQueries {
            1.0 - list_aggregate(list_transform(list_zip(e.ne, q.ne), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum') AS dist
          FROM n e CROSS JOIN (SELECT ne FROM n WHERE vec_id = 0) q
          ORDER BY dist, vec_id LIMIT 100""",
+    "q_topk_pushdown" -> exactL2Oracle,
     "q_ivf_exact_dot" ->
       """SELECT e.vec_id AS vec_id,
          -list_aggregate(list_transform(list_zip(e.embedding, q.qv), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum') AS dist
