@@ -25,12 +25,17 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // Driver tail-captures stdout: keep the stdout line SHORT (ms-rounded
+    // timings) and make it the FINAL line printed; full precision lives in
+    // bench_out.json.
+    def ms(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), line + "\n")
-    println(line)
+    val qsFull = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val qsShort = results.map { case (k, v) => "\"" + k + "\":" + ms(v) }.mkString("{", ",", "}")
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"sf":"$sfDir"}"""
+    val shortLine = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qsShort,"sf":"$sfDir"}"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), fullLine + "\n")
     spark.stop()
+    println(shortLine)
   }
 }

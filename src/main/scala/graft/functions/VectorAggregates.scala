@@ -170,6 +170,9 @@ case class VecMinMax(child: Expression,
     if (b.mins == null) a
     else if (a.mins == null) b
     else {
+      if (a.mins.length != b.mins.length)
+        throw new IllegalArgumentException(
+          s"aggregated vectors differ in dimensions: ${a.mins.length} != ${b.mins.length}")
       var i = 0
       while (i < a.mins.length) {
         if (b.mins(i) < a.mins(i)) a.mins(i) = b.mins(i)

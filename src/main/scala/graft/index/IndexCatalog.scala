@@ -27,7 +27,9 @@ object IndexCatalog {
       metric: String,
       params: Map[String, String],
       centroids: Array[Array[Float]] = Array.empty,
-      floats: Map[String, Array[Float]] = Map.empty) extends Serializable
+      floats: Map[String, Array[Float]] = Map.empty,
+      sourceFp: String = "")              // content fingerprint of source
+    extends Serializable
 
   def root(spark: SparkSession): String =
     spark.conf.get("spark.graft.index.root",
@@ -39,7 +41,10 @@ object IndexCatalog {
   def dataDir(spark: SparkSession, name: String): String =
     s"${dir(spark, name)}/data"
 
-  private val cache = new ConcurrentHashMap[String, Manifest]()
+  /** Cached manifest + the manifest FILE's identity when read: a commit
+    * from another JVM bumps mtime/size and invalidates this entry. */
+  private case class Cached(mtime: Long, len: Long, m: Manifest)
+  private val cache = new ConcurrentHashMap[String, Cached]()
 
   private def manifestFile(spark: SparkSession, name: String) =
     new File(dir(spark, name), "MANIFEST.bin")
@@ -47,14 +52,36 @@ object IndexCatalog {
   def exists(spark: SparkSession, name: String, source: String): Boolean =
     load(spark, name).exists(_.source == source)
 
+  /** Content fingerprint of a source path (mtime+size over its files):
+    * regenerating the source parquet in place changes this even though
+    * the path string is identical. Non-local paths fingerprint to a
+    * constant — they degrade to path-string staleness. */
+  def fingerprint(source: String): String = {
+    def walk(f: File): Seq[File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).toSeq
+          .sortBy(_.getName).flatMap(walk)
+      else if (f.isFile) Seq(f) else Nil
+    walk(new File(source.stripPrefix("file:")))
+      .foldLeft(17L)((acc, f) =>
+        (acc * 31 + f.lastModified()) * 31 + f.length())
+      .toHexString
+  }
+
   def load(spark: SparkSession, name: String): Option[Manifest] = {
     val f = manifestFile(spark, name)
     if (!f.isFile) None
     else scala.util.Try {
-      cache.computeIfAbsent(f.getAbsolutePath, _ => {
+      val key = f.getAbsolutePath
+      val cur = cache.get(key)
+      if (cur != null && cur.mtime == f.lastModified() && cur.len == f.length())
+        cur.m
+      else {
         val in = new ObjectInputStream(new FileInputStream(f))
-        try in.readObject().asInstanceOf[Manifest] finally in.close()
-      })
+        val m = try in.readObject().asInstanceOf[Manifest] finally in.close()
+        cache.put(key, Cached(f.lastModified(), f.length(), m))
+        m
+      }
     }.toOption // unreadable manifest (older format) == missing -> rebuild
   }
 
@@ -68,7 +95,7 @@ object IndexCatalog {
     val out = new ObjectOutputStream(new FileOutputStream(tmp))
     try { out.writeObject(m) } finally out.close()
     tmp.renameTo(f)
-    cache.put(f.getAbsolutePath, m)
+    cache.put(f.getAbsolutePath, Cached(f.lastModified(), f.length(), m))
     m
   }
 
@@ -77,9 +104,11 @@ object IndexCatalog {
     * of timing — the search path never trains. */
   def ensure(spark: SparkSession, name: String, source: String)
       (build: String => Manifest): Manifest = synchronized {
+    val fp = fingerprint(source)
     load(spark, name) match {
-      case Some(m) if m.source == source => m
-      case _ => commit(spark, name, build(dataDir(spark, name)))
+      case Some(m) if m.source == source && m.sourceFp == fp => m
+      case _ =>
+        commit(spark, name, build(dataDir(spark, name)).copy(sourceFp = fp))
     }
   }
 

@@ -25,12 +25,17 @@ import org.apache.spark.sql.functions._
  */
 object Dedup {
 
-  /** Distinct word-n-gram shingle set per document. */
+  /** Distinct word-n-gram shingle set per document. Documents shorter
+    * than n tokens yield an EMPTY set — without the guard,
+    * sequence(0, size-n) would produce a descending range and slice()
+    * would throw, where the DuckDB oracle's range() is simply empty. */
   def shingles(text: Column, n: Int): Column = {
     val toks = split(text, " ")
-    array_distinct(
-      transform(sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+    when(size(toks) >= n,
+      array_distinct(
+        transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+      .otherwise(array().cast("array<string>"))
   }
 
   /** MinHash signature: k hash functions via the Kirsch-Mitzenmacher
@@ -246,5 +251,28 @@ object Dedup {
       when(negdot(typedLit(p), vec) < 0d, 1L).otherwise(0L))
     bits.zipWithIndex.map { case (b, i) => b * (1L << i) }
       .reduce(_ + _)
+  }
+
+  /** BANDED sign-LSH keys (the cosine analog of the MinHash 16x4 band
+    * scheme): `bands` buckets of `rows` hyperplane signs each; a pair is
+    * a candidate if ANY band matches. One 16-plane bucket catches a
+    * borderline pair at cdist=0.05 with probability only
+    * (1-theta/pi)^16 ~= 0.18; with 16 bands x 4 rows the miss
+    * probability is (1-p^4)^16 ~= 5e-8 (p = 1-theta/pi ~= 0.899) — the
+    * near-certainty the exact oracle twin requires. Key layout:
+    * band_idx<<32 | sign_bits, so keys never collide across bands. */
+  def signBandKeys(vec: Column, planes: Array[Array[Float]],
+      bands: Int, rows: Int): Column = {
+    import graft.functions.negdot
+    require(planes.length >= bands * rows,
+      s"need ${bands * rows} planes, got ${planes.length}")
+    val keys = (0 until bands).map { b =>
+      (0 until rows).map { r =>
+        val p = planes(b * rows + r)
+        when(negdot(typedLit(p), vec) < 0d, lit(1L)).otherwise(lit(0L)) *
+          lit(1L << r)
+      }.reduce(_ + _) + lit(b.toLong << 32)
+    }
+    array(keys: _*)
   }
 }

@@ -184,6 +184,13 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     val idAttr = projList.collectFirst {
       case a: AttributeReference if a.name == idx.idCol => a
     }.getOrElse(return None)
+    // The replacement produces exactly (id, dist): bail if the projection
+    // carries anything else, otherwise the rewrite would silently drop
+    // columns / leave dangling exprIds for parents (matchRange's analog
+    // of `remap.length == rel.output.length`).
+    if (!projList.forall(ne =>
+        ne.exprId == idAttr.exprId || ne.exprId == alias.exprId))
+      return None
 
     val manifest = graft.index.IndexCatalog.load(spark, idx.indexName)
       .getOrElse(return None)

@@ -225,18 +225,25 @@ object DocQueries {
         .orderBy(col("vec_a"), col("vec_b"))
     }),
 
-    // --- embedding near-dup at scale: random-hyperplane sign buckets,
-    //     verify only bucket collisions (bucket join ≪ all-pairs) ---
+    // --- embedding near-dup at scale: BANDED random-hyperplane sign
+    //     buckets (16 bands x 4 planes — candidate if ANY band matches;
+    //     miss prob ~5e-8 at the cdist=0.05 boundary, which is why this
+    //     can safely share the exact all-pairs oracle), verify only
+    //     bucket collisions (band join ≪ all-pairs) ---
     "q_embed_neardup_lsh" -> ((s, d) => {
-      val planes = Dedup.hyperplanes(nPlanes = 16, dims = 64)
+      val planes = Dedup.hyperplanes(nPlanes = 64, dims = 64)
       val e = embeddingsWithDups(s, d)
-        .select(col("vec_id"), col("embedding"),
-          Dedup.signBucket(col("embedding"), planes).as("bucket"))
-      val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
-        col("bucket"))
-      val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
-        col("bucket"))
-      a.join(b, "bucket").filter(col("vec_a") < col("vec_b"))
+      val keyed = e.select(col("vec_id"),
+        explode(Dedup.signBandKeys(col("embedding"), planes,
+          bands = 16, rows = 4)).as("bucket"))
+      val cands = keyed.as("a").join(keyed.as("b"),
+          col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+        .distinct()
+      val ea = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+      val eb = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+      cands.join(ea, "vec_a").join(eb, "vec_b")
         .select(col("vec_a"), col("vec_b"),
           graft.functions.cosdist(col("ea"), col("eb")).as("cdist"))
         .filter(col("cdist") < 0.05)
@@ -332,9 +339,12 @@ object DocQueries {
     "q_doc_fingerprint" -> ((s, d) => {
       docs(s, d).select(col("doc_id"),
           md5(col("text").cast("binary")).as("doc_hash"),
-          array_min(transform(
-            sequence(lit(1), length(col("text")) - 7),
-            i => md5(col("text").substr(i, lit(8)).cast("binary"))))
+          // guard: texts shorter than 8 chars get NULL (a descending
+          // sequence would throw; the oracle's range() is empty -> NULL)
+          when(length(col("text")) >= 8,
+            array_min(transform(
+              sequence(lit(1), length(col("text")) - 7),
+              i => md5(col("text").substr(i, lit(8)).cast("binary")))))
             .as("min_shingle_hash"))
         .orderBy(col("doc_id"))
     })
@@ -348,7 +358,7 @@ object DocQueries {
          length(regexp_replace(text, '[^a-z]', '', 'g')) AS n_alpha,
          length(regexp_replace(text, '[^aeiou]', '', 'g')) AS n_vowels,
          len(list_filter(string_split(text, ' '), x -> x = 'the' OR x = 'a')) AS n_stop,
-         list_aggregate(list_transform(string_split(text, ' '), x -> CAST(ceil(length(x) / 2.0) AS BIGINT)), 'sum') AS n_subtok,
+         CAST(list_aggregate(list_transform(string_split(text, ' '), x -> CAST(ceil(length(x) / 2.0) AS BIGINT)), 'sum') AS BIGINT) AS n_subtok,
          CAST(len(list_filter(string_split(text, ' '), x -> x = 'the' OR x = 'a')) AS DOUBLE)
            / len(string_split(text, ' ')) AS stop_ratio
          FROM documents ORDER BY doc_id""",
@@ -429,7 +439,7 @@ object DocQueries {
               FROM filtered)
             WHERE doc_id = keep)
           SELECT doc_id % 10 AS shard, count(*) AS n_docs,
-            sum(n_tokens) AS total_tokens,
+            CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
             round(avg(stop_ratio), 6) AS avg_stop_ratio
           FROM deduped GROUP BY 1 ORDER BY shard""",
 

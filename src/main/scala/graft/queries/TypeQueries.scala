@@ -296,7 +296,7 @@ object TypeQueries {
             unnest(range(len(sa))) AS i,
             unnest(list_transform(list_zip(sa, sb), p -> p[1] + p[2])) AS x_add,
             unnest(list_transform(list_zip(sa, sb), p -> p[1] - p[2])) AS x_sub,
-            unnest(list_transform(list_zip(sa, sb), p -> p[1] * p[2])) AS x_mul
+            unnest(list_transform(list_zip(sa, sb), p -> p[1] * p[2] + 0)) AS x_mul
           FROM p ORDER BY vec_id, i""",
 
     "q_to_svector" ->
@@ -417,7 +417,7 @@ object TypeQueries {
       """SELECT c_custkey,
          (CAST(c_nationkey AS DOUBLE) - 12) * (CAST(c_nationkey AS DOUBLE) - 12)
            + (CAST(c_custkey % 100 AS DOUBLE) - 50) * (CAST(c_custkey % 100 AS DOUBLE) - 50) AS dist,
-         -(CAST(c_nationkey AS DOUBLE) * 12 + CAST(c_custkey % 100 AS DOUBLE) * 50) AS nd,
+         -(CAST(c_nationkey AS DOUBLE) * 12 + CAST(c_custkey % 100 AS DOUBLE) * 50) + 0 AS nd,
          '[' || CAST(c_nationkey AS VARCHAR) || '.0, ' || CAST(c_custkey % 100 AS VARCHAR) || '.0]' AS txt,
          '[0.39990234, 1.7001953]' AS rounded,
          '[4.0, 10.0, 18.0]' AS f16_mul,
