@@ -102,11 +102,13 @@ object IndexCatalog {
   /** Build-once: reuse a committed artifact for the same source, else run
     * the (expensive) build job. Queries call this; benches call it ahead
     * of timing — the search path never trains. */
-  def ensure(spark: SparkSession, name: String, source: String)
+  def ensure(spark: SparkSession, name: String, source: String,
+      requires: Map[String, String] = Map.empty)
       (build: String => Manifest): Manifest = synchronized {
     val fp = fingerprint(source)
     load(spark, name) match {
-      case Some(m) if m.source == source && m.sourceFp == fp => m
+      case Some(m) if m.source == source && m.sourceFp == fp &&
+          requires.forall { case (k, v) => m.params.get(k).contains(v) } => m
       case _ =>
         commit(spark, name, build(dataDir(spark, name)).copy(sourceFp = fp))
     }

@@ -19,7 +19,7 @@ import org.apache.spark.sql.functions._
  */
 object Hnsw {
 
-  final class Graph(metric: String, m: Int = 12, efConstruction: Int = 300,
+  final class Graph(val metric: String, m: Int = 12, efConstruction: Int = 300,
       seed: Long = 42L) extends Serializable {
     private val mMax0 = 2 * m
     private val mL = 1.0 / math.log(m.toDouble)
@@ -121,6 +121,227 @@ object Hnsw {
       searchLayer(q, ep, math.max(efSearch, k), 0)
         .take(k).map { case (d, n) => (d, ids(n)) }
     }
+
+    /** Freeze the builder into the immutable flat-array search form;
+      * neighbor order is preserved, so traversal (and results) are
+      * identical to searching the builder directly. */
+    def snapshot: FlatGraph = {
+      val n = vecs.length
+      val dims = if (n == 0) 0 else vecs(0).length
+      val flat = new Array[Float](n * dims)
+      var i = 0
+      while (i < n) { System.arraycopy(vecs(i), 0, flat, i * dims, dims); i += 1 }
+      val levels = new Array[Int](n)
+      val listStart = new Array[Int](n + 1)
+      i = 0
+      while (i < n) {
+        levels(i) = links(i).length - 1
+        listStart(i + 1) = listStart(i) + links(i).length
+        i += 1
+      }
+      val nbrOff = new Array[Int](listStart(n) + 1)
+      var li = 0; var total = 0
+      i = 0
+      while (i < n) {
+        var l = 0
+        while (l < links(i).length) {
+          total += links(i)(l).length; li += 1; nbrOff(li) = total; l += 1
+        }
+        i += 1
+      }
+      val nbrs = new Array[Int](total)
+      var pos = 0
+      i = 0
+      while (i < n) {
+        var l = 0
+        while (l < links(i).length) {
+          val lst = links(i)(l); var j = 0
+          while (j < lst.length) { nbrs(pos) = lst(j); pos += 1; j += 1 }
+          l += 1
+        }
+        i += 1
+      }
+      new FlatGraph(metric, dims, ids.toArray, flat, levels, listStart,
+        nbrOff, nbrs, entry, maxLevel)
+    }
+  }
+
+  /**
+   * Immutable columnar graph — the persisted/searchable form. Plain
+   * primitive arrays (ids, flattened vectors, CSR-style adjacency), so the
+   * on-disk artifact is a versioned binary layout readable without Java
+   * object serialization, and the in-memory form is cache-friendly.
+   * Mirrors the reference's resident sealed segments
+   * (crates/index/src/lib.rs:386-423).
+   */
+  final class FlatGraph(
+      val metric: String, val dims: Int,
+      val ids: Array[Long], val vecs: Array[Float],
+      val levels: Array[Int], val listStart: Array[Int],
+      val nbrOff: Array[Int], val nbrs: Array[Int],
+      val entry: Int, val maxLevel: Int) extends Serializable {
+
+    def size: Int = ids.length
+
+    /** Same double-accumulation order as the builder's kernels — the
+      * exact-mode oracle depends on it. */
+    @inline private def distTo(q: Array[Float], node: Int): Double = {
+      val off = node * dims
+      if (metric == "l2") {
+        var acc = 0.0; var i = 0
+        while (i < dims) {
+          val d = q(i).toDouble - vecs(off + i); acc += d * d; i += 1
+        }
+        acc
+      } else { // dot & cos (normalized at build) search by negative dot
+        var acc = 0.0; var i = 0
+        while (i < dims) { acc += q(i).toDouble * vecs(off + i); i += 1 }
+        -acc
+      }
+    }
+
+    private def greedyStep(q: Array[Float], start: Int, level: Int): Int = {
+      var cur = start
+      var curD = distTo(q, cur)
+      var improved = true
+      while (improved) {
+        improved = false
+        val li = listStart(cur) + level
+        var j = nbrOff(li)
+        val end = nbrOff(li + 1)
+        while (j < end) {
+          val n = nbrs(j)
+          val d = distTo(q, n)
+          if (d < curD) { curD = d; cur = n; improved = true }
+          j += 1
+        }
+      }
+      cur
+    }
+
+    private def searchLayer(q: Array[Float], ep: Int, ef: Int, level: Int)
+        : IndexedSeq[(Double, Int)] = {
+      val visited = mutable.BitSet(ep)
+      val epD = distTo(q, ep)
+      val cand = mutable.PriorityQueue((-epD, ep))(Ordering.by(_._1))
+      val res = mutable.PriorityQueue((epD, ep))(Ordering.by(_._1))
+      while (cand.nonEmpty) {
+        val (ncd, c) = cand.dequeue()
+        val cd = -ncd
+        if (cd > res.head._1 && res.size >= ef) { cand.clear() }
+        else {
+          val li = listStart(c) + level
+          var j = nbrOff(li)
+          val end = nbrOff(li + 1)
+          while (j < end) {
+            val n = nbrs(j)
+            if (!visited.contains(n)) {
+              visited += n
+              val d = distTo(q, n)
+              if (res.size < ef || d < res.head._1) {
+                cand.enqueue((-d, n))
+                res.enqueue((d, n))
+                if (res.size > ef) res.dequeue()
+              }
+            }
+            j += 1
+          }
+        }
+      }
+      res.dequeueAll.reverse.toIndexedSeq
+    }
+
+    def search(q: Array[Float], k: Int, efSearch: Int = 100): Seq[(Double, Long)] = {
+      if (entry < 0 || ids.length == 0) return Nil
+      var ep = entry
+      var lc = maxLevel
+      while (lc > 0) { ep = greedyStep(q, ep, lc); lc -= 1 }
+      searchLayer(q, ep, math.max(efSearch, k), 0)
+        .take(k).map { case (d, n) => (d, ids(n)) }
+    }
+  }
+
+  object FlatGraph {
+    private val Magic = 0x47524654 // "GRFT"
+    private val Version = 1
+
+    def write(out: java.io.DataOutputStream, g: FlatGraph): Unit = {
+      out.writeInt(Magic); out.writeInt(Version)
+      out.writeUTF(g.metric)
+      out.writeInt(g.dims); out.writeInt(g.ids.length)
+      out.writeInt(g.entry); out.writeInt(g.maxLevel)
+      var i = 0
+      while (i < g.ids.length) { out.writeLong(g.ids(i)); i += 1 }
+      i = 0
+      while (i < g.vecs.length) { out.writeFloat(g.vecs(i)); i += 1 }
+      i = 0
+      while (i < g.levels.length) { out.writeInt(g.levels(i)); i += 1 }
+      out.writeInt(g.nbrOff.length)
+      i = 0
+      while (i < g.nbrOff.length) { out.writeInt(g.nbrOff(i)); i += 1 }
+      out.writeInt(g.nbrs.length)
+      i = 0
+      while (i < g.nbrs.length) { out.writeInt(g.nbrs(i)); i += 1 }
+    }
+
+    def read(in: java.io.DataInputStream): FlatGraph = {
+      require(in.readInt() == Magic, "not a graft hnsw artifact")
+      require(in.readInt() == Version, "unsupported hnsw artifact version")
+      val metric = in.readUTF()
+      val dims = in.readInt(); val n = in.readInt()
+      val entry = in.readInt(); val maxLevel = in.readInt()
+      val ids = new Array[Long](n)
+      var i = 0
+      while (i < n) { ids(i) = in.readLong(); i += 1 }
+      val vecs = new Array[Float](n * dims)
+      i = 0
+      while (i < vecs.length) { vecs(i) = in.readFloat(); i += 1 }
+      val levels = new Array[Int](n)
+      i = 0
+      while (i < n) { levels(i) = in.readInt(); i += 1 }
+      val listStart = new Array[Int](n + 1)
+      i = 0
+      while (i < n) { listStart(i + 1) = listStart(i) + levels(i) + 1; i += 1 }
+      val nOff = in.readInt()
+      val nbrOff = new Array[Int](nOff)
+      i = 0
+      while (i < nOff) { nbrOff(i) = in.readInt(); i += 1 }
+      val nN = in.readInt()
+      val nbrs = new Array[Int](nN)
+      i = 0
+      while (i < nN) { nbrs(i) = in.readInt(); i += 1 }
+      new FlatGraph(metric, dims, ids, vecs, levels, listStart, nbrOff,
+        nbrs, entry, maxLevel)
+    }
+  }
+
+  /** Executor-local resident graph cache keyed by artifact file identity
+    * (path + mtime + length) — each executor JVM deserializes a sealed
+    * graph ONCE and reuses it across queries, the resident-segment analog
+    * of the reference (crates/index/src/lib.rs:386-423). A rebuilt
+    * artifact bumps mtime/length and evicts itself naturally. */
+  object GraphCache {
+    private val cache =
+      new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, FlatGraph)]()
+
+    def get(path: String): FlatGraph = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      val st = fs.getFileStatus(p)
+      val cur = cache.get(path)
+      if (cur != null && cur._1 == st.getModificationTime && cur._2 == st.getLen)
+        cur._3
+      else {
+        val in = new java.io.DataInputStream(
+          new java.io.BufferedInputStream(fs.open(p), 1 << 20))
+        val g = try FlatGraph.read(in) finally in.close()
+        cache.put(path, (st.getModificationTime, st.getLen, g))
+        g
+      }
+    }
+
+    /** Visible for specs: number of resident graphs. */
+    def residentCount: Int = cache.size()
   }
 
   /** Distributed top-k with per-call graph build — spec/testing path only;
@@ -141,28 +362,22 @@ object Hnsw {
     hits.orderBy(col("dist"), col(idCol)).limit(k)
   }
 
-  def serializeGraph(g: Graph): Array[Byte] = {
-    val bos = new java.io.ByteArrayOutputStream()
-    val out = new java.io.ObjectOutputStream(bos)
-    try out.writeObject(g) finally out.close()
-    bos.toByteArray
-  }
-
-  def deserializeGraph(b: Array[Byte]): Graph = {
-    val in = new java.io.ObjectInputStream(new java.io.ByteArrayInputStream(b))
-    try in.readObject().asInstanceOf[Graph] finally in.close()
-  }
-
   /** One-time CREATE INDEX job: build one graph per hash partition and
-    * persist the serialized graphs as the index artifact — the sealed-
-    * segment analog (crates/index/src/segment/sealed.rs). Searches load
-    * graphs, never rebuild. `parts <= 1` builds a single graph over
-    * id-sorted rows (deterministic; used by the exact-mode query). */
+    * persist each as a columnar binary file (`graph-<pid>.bin`, written
+    * through the Hadoop FS API so the same code targets local disk or
+    * HDFS/S3) — the sealed-segment analog
+    * (crates/index/src/segment/sealed.rs). Searches load graphs via the
+    * executor-local [[GraphCache]], never rebuild. `parts <= 1` builds a
+    * single graph over id-sorted rows (deterministic; used by the
+    * exact-mode query). */
   def ensure(spark: org.apache.spark.sql.SparkSession, name: String,
       df: => DataFrame, source: String, idCol: String, vecCol: String,
       metric: String, parts: Int, m: Int = 12, efConstruction: Int = 300): String = {
     import graft.index.IndexCatalog
-    IndexCatalog.ensure(spark, name, source) { dataDir =>
+    // `format` participates in staleness: artifacts written in an older
+    // layout (round-2 parquet blobs) rebuild instead of mis-reading
+    IndexCatalog.ensure(spark, name, source,
+        requires = Map("format" -> "flatbin1")) { dataDir =>
       import spark.implicits._
       // cosine follows the IVF rewrite: normalize at build, search by dot
       val nonNull = df.filter(col(vecCol).isNotNull)
@@ -175,32 +390,60 @@ object Hnsw {
       val rows =
         if (parts <= 1) rows0.coalesce(1).sortWithinPartitions(col(idCol))
         else rows0.repartition(parts, col(idCol))
-      rows.mapPartitions { it =>
+      val dirPath = new org.apache.hadoop.fs.Path(dataDir)
+      val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(dirPath)) fs.delete(dirPath, true)
+      fs.mkdirs(dirPath)
+      val nFiles = rows.mapPartitions { it =>
         val g = new Graph(metric, m, efConstruction)
         it.foreach { case (id, v) => g.insert(id, v) }
         if (g.size == 0) Iterator.empty
-        else Iterator.single(serializeGraph(g))
-      }.toDF("graph").write.mode("overwrite").parquet(dataDir)
+        else {
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val conf = new org.apache.hadoop.conf.Configuration()
+          val p = new org.apache.hadoop.fs.Path(f"$dataDir/graph-$pid%05d.bin")
+          val tmp = new org.apache.hadoop.fs.Path(f"$dataDir/.graph-$pid%05d.tmp")
+          val pfs = p.getFileSystem(conf)
+          val out = new java.io.DataOutputStream(
+            new java.io.BufferedOutputStream(pfs.create(tmp, true), 1 << 20))
+          try FlatGraph.write(out, g.snapshot) finally out.close()
+          pfs.rename(tmp, p) // write-then-rename: readers never see partials
+          Iterator.single(1)
+        }
+      }.collect().sum
       IndexCatalog.Manifest("hnsw", source, metric,
         Map("m" -> m.toString, "ef_construction" -> efConstruction.toString,
-          "parts" -> parts.toString))
+          "parts" -> parts.toString, "files" -> nFiles.toString,
+          "format" -> "flatbin1"))
     }
     IndexCatalog.dataDir(spark, name)
   }
 
   /** Search persisted per-partition graphs; global ordered merge of the
     * per-graph top-k streams (the LoserTree analog). Per-query cost is
-    * k·efSearch per graph — independent of per-partition row count. */
+    * k·efSearch distance evaluations per RESIDENT graph — graphs load
+    * once per executor (GraphCache) and the task carries only a file
+    * path, so repeat queries do no artifact I/O at all. */
   def searchIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       idCol: String, q: Array[Float], k: Int, efSearch: Int = 100): DataFrame = {
     import spark.implicits._
+    val dirPath = new org.apache.hadoop.fs.Path(path)
+    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.globStatus(new org.apache.hadoop.fs.Path(path, "graph-*.bin"))
+      .map(_.getPath.toString).sorted.toSeq
+    if (files.isEmpty)
+      return spark.emptyDataset[(Long, Double)].toDF(idCol, "dist")
     val bq = spark.sparkContext.broadcast(q)
-    val hits = spark.read.parquet(path).as[Array[Byte]]
-      .mapPartitions { it =>
-        it.flatMap { blob =>
-          deserializeGraph(blob).search(bq.value, k, efSearch)
-            .iterator.map { case (d, id) => (id, d) }
-        }
+    val hits = spark.sparkContext
+      .parallelize(files, files.length)
+      .flatMap { f =>
+        val g = GraphCache.get(f)
+        // cos graphs store normalized vectors and search by -dot; report
+        // cosine distance 1 - dot, the reference's convention
+        // (am_options.rs:244-249), matching the IVF cos path.
+        val off = if (g.metric == "cos") 1.0 else 0.0
+        g.search(bq.value, k, efSearch)
+          .iterator.map { case (d, id) => (id, d + off) }
       }.toDF(idCol, "dist")
     hits.orderBy(col("dist"), col(idCol)).limit(k)
   }

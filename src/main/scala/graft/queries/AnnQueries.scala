@@ -73,7 +73,8 @@ object AnnQueries {
   def ensureAll(s: SparkSession, d: String): Unit = {
     ivf(s, d, "l2"); ivf(s, d, "cos"); ivf(s, d, "dot")
     sq8(s, d); pq(s, d); rabitq(s, d)
-    hnsw(s, d, 4); hnsw(s, d, 1); hnsw(s, d, 4, "cos"); sparse(s, d)
+    hnsw(s, d, 4); hnsw(s, d, 1); hnsw(s, d, 4, "cos"); hnsw(s, d, 1, "cos")
+    sparse(s, d)
     ensureVecSegments(s, d)
   }
 
@@ -204,6 +205,13 @@ object AnnQueries {
         IvfIndex.Kernels.normalize(qvec(s, d)), k = 100,
         efSearch = efSearchConf(s))
     }),
+    // cos exact twin: one graph, exhaustive ef — reuses the IVF cos
+    // oracle (normalize-at-build + dot-in-double replayed bit-exactly)
+    "q_hnsw_exact_cos" -> ((s, d) => {
+      Hnsw.searchIndex(s, hnsw(s, d, 1, "cos"), "vec_id",
+        IvfIndex.Kernels.normalize(qvec(s, d)), k = 100,
+        efSearch = 1 << 22)
+    }),
 
     // SQ8: persisted codes -> coarse scan -> rerank window -> exact top-k
     "q_sq8_topk_l2" -> ((s, d) => {
@@ -293,6 +301,15 @@ object AnnQueries {
          FROM embeddings e CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
          ORDER BY dist, vec_id LIMIT 100""",
     "q_hnsw_exact_l2" -> exactL2Oracle,
+    "q_hnsw_exact_cos" ->
+      """WITH n AS (SELECT vec_id,
+           list_transform(embedding, x -> CAST(CAST(x AS DOUBLE)
+             / sqrt(list_aggregate(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)), 'sum')) AS FLOAT)) AS ne
+           FROM embeddings)
+         SELECT e.vec_id AS vec_id,
+           1.0 - list_aggregate(list_transform(list_zip(e.ne, q.ne), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum') AS dist
+         FROM n e CROSS JOIN (SELECT ne FROM n WHERE vec_id = 0) q
+         ORDER BY dist, vec_id LIMIT 100""",
     "q_sq8_exact_l2" -> exactL2Oracle,
     "q_pq_exact_l2" -> exactL2Oracle,
     "q_rabitq_exact_l2" -> exactL2Oracle,

@@ -57,6 +57,31 @@ class AnnSpec extends SparkSpec {
     assert(recall(got.map(_._1), flatTopk(50, "l2")) >= 0.9)
   }
 
+  test("HNSW flat artifact: binary roundtrip preserves search; cache resident") {
+    val g = new Hnsw.Graph("l2")
+    emb.select($"vec_id", $"embedding").as[(Long, Array[Float])]
+      .collect().sortBy(_._1).take(2000)
+      .foreach { case (id, v) => g.insert(id, v) }
+    val flat = g.snapshot
+    // snapshot searches identically to the builder
+    assert(flat.search(q, 50) == g.search(q, 50))
+    // binary roundtrip (NO Java object serialization) is lossless
+    val bos = new java.io.ByteArrayOutputStream()
+    Hnsw.FlatGraph.write(new java.io.DataOutputStream(bos), flat)
+    val back = Hnsw.FlatGraph.read(new java.io.DataInputStream(
+      new java.io.ByteArrayInputStream(bos.toByteArray)))
+    assert(back.search(q, 50) == flat.search(q, 50))
+    // a searchIndex over a persisted artifact leaves graphs resident in
+    // the executor-local cache (repeat queries do no artifact I/O)
+    val name = "hnswspec_cache"
+    graft.index.IndexCatalog.drop(spark, name)
+    val path = Hnsw.ensure(spark, name, emb.toDF(), s"$sf001/embeddings.parquet",
+      "vec_id", "embedding", "l2", parts = 2)
+    Hnsw.searchIndex(spark, path, "vec_id", q, 10).collect()
+    assert(Hnsw.GraphCache.residentCount >= 2)
+    graft.index.IndexCatalog.drop(spark, name)
+  }
+
   test("SQ8: k rows, recall@50 >= 0.9; distances exact after rerank") {
     val (mins, widths) = Sq8.train(emb, "embedding")
     val encoded = emb.withColumn("codes", Sq8.encode($"embedding", mins, widths))
