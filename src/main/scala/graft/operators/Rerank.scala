@@ -12,7 +12,10 @@ import org.apache.spark.sql.functions._
  * not a second full read.
  */
 object Rerank {
-  /** indexed: full table (id, vec, codes...); candidates: (id, ...). */
+  /** indexed: full table (id, vec, codes...); candidates: (id, ...).
+    * The driver-side collect here is LOAD-BEARINGLY bounded: callers pass
+    * at most k·window candidate ids (≤ a few hundred) — never feed an
+    * unbounded frame through this. */
   def fetchByIds(indexed: DataFrame, idCol: String, vecCol: String,
       candidates: DataFrame): DataFrame = {
     val ids = candidates.select(col(idCol)).collect().map(_.get(0))

@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions._
+import graft.index.IndexCatalog
+import graft.index.IndexCatalog.Manifest
+
+/**
+ * ANN indexes over the NON-f32 vector types — the Spark analog of the
+ * reference's opclass matrix (src/sql/finalize.sql:719-803: bvector
+ * Hamming/Jaccard, vecf16 everything; per-type dispatch
+ * crates/indexing/src/sealed.rs:16-110).
+ *
+ * Both reuse the IVF architecture ([[IvfIndex]]): centroids live in f32
+ * (the list-RANKING space is always dense f32 — binarized 0/1 vectors for
+ * bvector, f16-rounded values for vecf16), but the PAYLOAD column keeps
+ * its compact storage encoding (packed u64 words / f16 half-words). At
+ * 100 TB that is the difference between scanning the 1-bit/16-bit
+ * encoding and scanning a 32-bit densified copy — the probed-partition
+ * scan reads 1/32 (bvector) or 1/2 (vecf16) of the bytes a dense index
+ * would.
+ *
+ * Hamming quantization note: for 0/1 vectors, l2sq(a,b) == hamming(a,b)
+ * exactly, so k-means in densified space IS Hamming-space quantization;
+ * list ranking by f32 l2 to the centroid is the same ordering the
+ * reference's bvector IVF uses.
+ */
+object TypedAnn {
+
+  /** CREATE INDEX: bvector Hamming IVF. `fCol` is the dense f32 source
+    * column; rows are binarized (bit i = x_i > 0), k-means runs on the
+    * densified 0/1 view, and the artifact stores only (id, packed bvector,
+    * list_id) partitioned by list_id. */
+  def ensureBvec(spark: SparkSession, name: String, df: => DataFrame,
+      source: String, idCol: String, fCol: String, nlist: Int,
+      seed: Long = 42L): (IvfIndex.Model, String) = {
+    val m = IndexCatalog.ensure(spark, name, source,
+        requires = Map("type" -> "bvector")) { dataDir =>
+      val base = df.filter(col(fCol).isNotNull)
+        .select(col(idCol), binarize(col(fCol)).as("bv"))
+      val densified = base.withColumn("d01", bvecToDense(col("bv")))
+      val model = IvfIndex.train(densified, "d01", "l2", nlist, seed = seed)
+      densified
+        .withColumn("list_id", IvfIndex.nearestCentroid(col("d01"), model))
+        .select(col(idCol), col("bv"), col("list_id"))
+        .repartition(col("list_id"))
+        .write.mode("overwrite").partitionBy("list_id").parquet(dataDir)
+      Manifest("ivf_bvec", source, "hamming",
+        Map("nlist" -> nlist.toString, "type" -> "bvector"),
+        centroids = model.centroids)
+    }
+    (IvfIndex.Model("l2", m.centroids), IndexCatalog.dataDir(spark, name))
+  }
+
+  /** Search: rank lists by l2 from the 0/1 view of the query, read only
+    * the nprobe pruned partitions, score exact Hamming on the packed
+    * words. Exact at nprobe = nlist. Returns (idCol, dist) ascending. */
+  def searchBvec(spark: SparkSession, path: String, model: IvfIndex.Model,
+      idCol: String, q: Array[Float], k: Int, nprobe: Int): DataFrame = {
+    val q01 = q.map(x => if (x > 0f) 1f else 0f)
+    val probes = model.rankLists(q01).take(nprobe)
+    val scan = spark.read.parquet(path)
+      .filter(col("list_id").isin(probes.map(Integer.valueOf).toSeq: _*))
+    scan.select(col(idCol),
+        bvecHamming(col("bv"), binarize(typedLit(q))).as("dist"))
+      .orderBy(col("dist"), col(idCol)).limit(k)
+  }
+
+  /** CREATE INDEX: vecf16 L2 IVF. `fCol` is the dense f32 source column;
+    * values are rounded to binary16, k-means runs on the f16-rounded f32
+    * view, and the artifact stores only (id, f16 bits, list_id). */
+  def ensureF16(spark: SparkSession, name: String, df: => DataFrame,
+      source: String, idCol: String, fCol: String, nlist: Int,
+      seed: Long = 42L): (IvfIndex.Model, String) = {
+    val m = IndexCatalog.ensure(spark, name, source,
+        requires = Map("type" -> "vecf16")) { dataDir =>
+      val base = df.filter(col(fCol).isNotNull)
+        .select(col(idCol), toF16Bits(col(fCol)).as("bits"))
+      val rounded = base.withColumn("rf", f16ToVector(col("bits")))
+      val model = IvfIndex.train(rounded, "rf", "l2", nlist, seed = seed)
+      rounded
+        .withColumn("list_id", IvfIndex.nearestCentroid(col("rf"), model))
+        .select(col(idCol), col("bits"), col("list_id"))
+        .repartition(col("list_id"))
+        .write.mode("overwrite").partitionBy("list_id").parquet(dataDir)
+      Manifest("ivf_f16", source, "l2",
+        Map("nlist" -> nlist.toString, "type" -> "vecf16"),
+        centroids = model.centroids)
+    }
+    (IvfIndex.Model("l2", m.centroids), IndexCatalog.dataDir(spark, name))
+  }
+
+  /** Search: rank lists by l2 from the f16-rounded query, scan the nprobe
+    * pruned partitions, score the f16 kernel (decode per element,
+    * accumulate in double — same contract as the scalar vecf16 kernels).
+    * Exact at nprobe = nlist. */
+  def searchF16(spark: SparkSession, path: String, model: IvfIndex.Model,
+      idCol: String, q: Array[Float], k: Int, nprobe: Int): DataFrame = {
+    val qr = q.map(x => graft.types.Fp16.halfToFloat(graft.types.Fp16.floatToHalf(x)))
+    val probes = model.rankLists(qr).take(nprobe)
+    val scan = spark.read.parquet(path)
+      .filter(col("list_id").isin(probes.map(Integer.valueOf).toSeq: _*))
+    scan.select(col(idCol),
+        f16L2sq(col("bits"), toF16Bits(typedLit(q))).as("dist"))
+      .orderBy(col("dist"), col(idCol)).limit(k)
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions._
-import graft.operators.{Hnsw, IvfIndex, Pq, Rabitq, SparseSearch, Sq8}
+import graft.operators.{Hnsw, IvfIndex, IvfPq, Pq, Rabitq, SparseSearch, Sq8, TypedAnn}
 
 /**
  * ANN search paths (SURVEY §2.6): IVF (partition-pruned index table),
@@ -48,6 +48,31 @@ object AnnQueries {
     Rabitq.ensure(s, s"rabitq_${san(d)}", t(s, d, "embeddings"), d,
       "vec_id", "embedding")
 
+  /** bvector Hamming IVF over binarized embeddings (opclass matrix row:
+    * bvector_l2/hamming, finalize.sql:719-803). */
+  def bvecAnn(s: SparkSession, d: String): (IvfIndex.Model, String) =
+    TypedAnn.ensureBvec(s, s"bvecann_${san(d)}", t(s, d, "embeddings"), d,
+      "vec_id", "embedding", nlist = 16)
+
+  /** vecf16 L2 IVF. The indexed vectors are small-int-valued (f16
+    * rounding is exact on them), which is what lets the exact-mode twin
+    * carry a plain double-arithmetic DuckDB oracle — the index/search
+    * code path is identical for any f32 input. */
+  private def f16Source(s: SparkSession, d: String): DataFrame =
+    t(s, d, "customer").select(col("c_custkey"),
+      array(col("c_nationkey").cast("float"),
+        (col("c_custkey") % 100).cast("float"),
+        (col("c_custkey") % 7).cast("float"),
+        (col("c_custkey") % 13).cast("float")).as("v4"))
+
+  def f16Ann(s: SparkSession, d: String): (IvfIndex.Model, String) =
+    TypedAnn.ensureF16(s, s"f16ann_${san(d)}", f16Source(s, d), d,
+      "c_custkey", "v4", nlist = 16)
+
+  def ivfpq(s: SparkSession, d: String): (IvfPq.Model, String) =
+    IvfPq.ensure(s, s"ivfpq_${san(d)}", t(s, d, "embeddings"), d,
+      "vec_id", "embedding", nlist = 16)
+
   /** Build-once vector segment store: base = embeddings, reinsert mirror
     * ids (+20000 for vec_id < 5), delete ids 1 and 20003. */
   def ensureVecSegments(s: SparkSession, d: String): String = {
@@ -74,7 +99,7 @@ object AnnQueries {
     ivf(s, d, "l2"); ivf(s, d, "cos"); ivf(s, d, "dot")
     sq8(s, d); pq(s, d); rabitq(s, d)
     hnsw(s, d, 4); hnsw(s, d, 1); hnsw(s, d, 4, "cos"); hnsw(s, d, 1, "cos")
-    sparse(s, d)
+    bvecAnn(s, d); f16Ann(s, d); ivfpq(s, d); sparse(s, d)
     ensureVecSegments(s, d)
   }
 
@@ -253,6 +278,47 @@ object AnnQueries {
         qvec(s, d), k = 100, model, window = 0)
     }),
 
+    // IVF×PQ residual composition: pruned partitions, per-list residual
+    // LUT ADC over the code column, windowed exact rerank
+    "q_ivfpq_topk_l2" -> ((s, d) => {
+      val (m, path) = ivfpq(s, d)
+      IvfPq.search(s, path, m, "vec_id", "embedding", qvec(s, d),
+        k = 100, nprobe = nprobeConf(s), window = pqWindowConf(s))
+    }),
+    // exact mode: every list probed, no ADC -> provably the flat scan
+    "q_ivfpq_exact_l2" -> ((s, d) => {
+      val (m, path) = ivfpq(s, d)
+      IvfPq.search(s, path, m, "vec_id", "embedding", qvec(s, d),
+        k = 100, nprobe = m.coarse.nlist, window = 0)
+    }),
+
+    // bvector Hamming IVF: packed-word payload scan, 0/1-space centroids
+    "q_bvec_ann_topk" -> ((s, d) => {
+      val (m, path) = bvecAnn(s, d)
+      TypedAnn.searchBvec(s, path, m, "vec_id", qvec(s, d), k = 100,
+        nprobe = nprobeConf(s))
+    }),
+    // exact mode: probe every list -> brute-force Hamming oracle
+    "q_bvec_ann_exact" -> ((s, d) => {
+      val (m, path) = bvecAnn(s, d)
+      TypedAnn.searchBvec(s, path, m, "vec_id", qvec(s, d), k = 100,
+        nprobe = m.nlist)
+    }),
+
+    // vecf16 L2 IVF: f16 half-word payload scan, f16-rounded centroids
+    "q_vecf16_ann_topk" -> ((s, d) => {
+      val (m, path) = f16Ann(s, d)
+      TypedAnn.searchF16(s, path, m, "c_custkey",
+        Array(12f, 50f, 3f, 7f), k = 100, nprobe = nprobeConf(s))
+    }),
+    // exact mode: probe every list -> double-arithmetic oracle (values
+    // exactly representable in f16)
+    "q_vecf16_ann_exact" -> ((s, d) => {
+      val (m, path) = f16Ann(s, d)
+      TypedAnn.searchF16(s, path, m, "c_custkey",
+        Array(12f, 50f, 3f, 7f), k = 100, nprobe = m.nlist)
+    }),
+
     // sealed ∪ growing lifecycle search: IVF over the sealed artifact,
     // brute force over visible deltas, tombstones filtered on both sides
     // (exact at nprobe=nlist -> full oracle)
@@ -311,7 +377,20 @@ object AnnQueries {
          FROM n e CROSS JOIN (SELECT ne FROM n WHERE vec_id = 0) q
          ORDER BY dist, vec_id LIMIT 100""",
     "q_sq8_exact_l2" -> exactL2Oracle,
+    "q_bvec_ann_exact" ->
+      """SELECT e.vec_id AS vec_id,
+         CAST(list_aggregate(list_transform(list_zip(e.embedding, q.qv), p -> CASE WHEN (p[1] > 0) <> (p[2] > 0) THEN 1 ELSE 0 END), 'sum') AS DOUBLE) AS dist
+         FROM embeddings e CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+         ORDER BY dist, vec_id LIMIT 100""",
+    "q_vecf16_ann_exact" ->
+      """SELECT c_custkey,
+         (CAST(c_nationkey AS DOUBLE) - 12) * (CAST(c_nationkey AS DOUBLE) - 12)
+           + (CAST(c_custkey % 100 AS DOUBLE) - 50) * (CAST(c_custkey % 100 AS DOUBLE) - 50)
+           + (CAST(c_custkey % 7 AS DOUBLE) - 3) * (CAST(c_custkey % 7 AS DOUBLE) - 3)
+           + (CAST(c_custkey % 13 AS DOUBLE) - 7) * (CAST(c_custkey % 13 AS DOUBLE) - 7) AS dist
+         FROM customer ORDER BY dist, c_custkey LIMIT 100""",
     "q_pq_exact_l2" -> exactL2Oracle,
+    "q_ivfpq_exact_l2" -> exactL2Oracle,
     "q_rabitq_exact_l2" -> exactL2Oracle,
     "q_hybrid_topk" ->
       """WITH delta AS (

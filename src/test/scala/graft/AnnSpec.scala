@@ -57,6 +57,47 @@ class AnnSpec extends SparkSpec {
     assert(recall(got.map(_._1), flatTopk(50, "l2")) >= 0.9)
   }
 
+  test("typed IVF: bvector Hamming + vecf16 L2, k rows and recall >= 0.9") {
+    import graft.operators.TypedAnn
+    val src = s"$sf001/embeddings.parquet"
+    // bvector: brute-force Hamming oracle on binarized embeddings
+    val bvName = "annspec_bvec"
+    graft.index.IndexCatalog.drop(spark, bvName)
+    val (bm, bPath) = TypedAnn.ensureBvec(spark, bvName, emb.toDF(), src,
+      "vec_id", "embedding", nlist = 16)
+    val bTrue = emb.select($"vec_id",
+        bvecHamming(binarize($"embedding"), binarize(typedLit(q))).as("d"))
+      .orderBy($"d", $"vec_id").limit(50).as[(Long, Double)].collect()
+    // integer Hamming distances tie heavily: recall counts any hit within
+    // the true kth distance (tie-aware recall)
+    val bKth = bTrue.map(_._2).max
+    val bGot = TypedAnn.searchBvec(spark, bPath, bm, "vec_id", q, 50, nprobe = 8)
+      .as[(Long, Double)].collect()
+    assert(bGot.length == 50)
+    assert(bGot.count(_._2 <= bKth) / 50.0 >= 0.9)
+    val bExact = TypedAnn.searchBvec(spark, bPath, bm, "vec_id", q, 50, nprobe = 16)
+      .as[(Long, Double)].collect()
+    assert(bExact.map(_._1).toSet == bTrue.map(_._1).toSet)
+    graft.index.IndexCatalog.drop(spark, bvName)
+    // vecf16: brute-force f16 l2 oracle on the rounded embeddings
+    val fName = "annspec_f16"
+    graft.index.IndexCatalog.drop(spark, fName)
+    val (fm, fPath) = TypedAnn.ensureF16(spark, fName, emb.toDF(), src,
+      "vec_id", "embedding", nlist = 16)
+    val fTrue = emb.select($"vec_id",
+        f16L2sq(toF16Bits($"embedding"), toF16Bits(typedLit(q))).as("d"))
+      .orderBy($"d", $"vec_id").limit(50).as[(Long, Double)]
+      .collect().map(_._1).toSet
+    val fGot = TypedAnn.searchF16(spark, fPath, fm, "vec_id", q, 50, nprobe = 10)
+      .as[(Long, Double)].collect()
+    assert(fGot.length == 50)
+    assert(recall(fGot.map(_._1), fTrue) >= 0.9)
+    val fExact = TypedAnn.searchF16(spark, fPath, fm, "vec_id", q, 50, nprobe = 16)
+      .as[(Long, Double)].collect()
+    assert(fExact.map(_._1).toSet == fTrue)
+    graft.index.IndexCatalog.drop(spark, fName)
+  }
+
   test("HNSW flat artifact: binary roundtrip preserves search; cache resident") {
     val g = new Hnsw.Graph("l2")
     emb.select($"vec_id", $"embedding").as[(Long, Array[Float])]

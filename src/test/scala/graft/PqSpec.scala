@@ -37,6 +37,31 @@ class PqSpec extends SparkSpec {
     assert(recall >= 0.9, s"recall=$recall")
   }
 
+  test("IVF+PQ residual: exact at full probe/window; windowed recall >= 0.9") {
+    import graft.operators.IvfPq
+    val name = "pqspec_ivfpq"
+    graft.index.IndexCatalog.drop(spark, name)
+    val (m, path) = IvfPq.ensure(spark, name, emb,
+      s"$sf0001/embeddings.parquet", "vec_id", "embedding", nlist = 8)
+    val exact = IvfPq.search(spark, path, m, "vec_id", "embedding", q, 50,
+      nprobe = 8, window = 0).select("vec_id").as[Long].collect().toSeq
+    assert(exact == flatTopk(50))
+    val got = IvfPq.search(spark, path, m, "vec_id", "embedding", q, 50,
+      nprobe = 8, window = 8).select("vec_id").as[Long].collect().toSet
+    val truth = flatTopk(50).toSet
+    val recall = (got & truth).size.toDouble / truth.size
+    assert(recall >= 0.9, s"recall=$recall")
+    // residual coding beats raw-vector coding at the same budget: the
+    // windowed candidate set from residual ADC should itself rank well
+    val rawGot = Pq.search(coded, "vec_id", "embedding", "codes", q, 50,
+      model, window = 1).select("vec_id").as[Long].collect().toSet
+    val residGot = IvfPq.search(spark, path, m, "vec_id", "embedding", q, 50,
+      nprobe = 8, window = 1).select("vec_id").as[Long].collect().toSet
+    assert((residGot & truth).size >= (rawGot & truth).size,
+      s"residual ADC (${(residGot & truth).size}) should not lose to raw ADC (${(rawGot & truth).size}) at window=1")
+    graft.index.IndexCatalog.drop(spark, name)
+  }
+
   test("training is deterministic and codes compress dims*4 -> m bytes") {
     val model2 = Pq.train(emb, "embedding", m = 8, ks = 16)
     assert(model.codebook.toSeq == model2.codebook.toSeq)
