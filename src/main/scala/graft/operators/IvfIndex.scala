@@ -278,16 +278,24 @@ object IvfIndex {
       .orderBy(col("qid"), col("rn"))
   }
 
+  /** Pruned full-row scan of the nprobe closest lists — the shared scan
+    * for search and the filtered-ANN pushdown (which applies its own
+    * predicate before TakeOrdered). */
+  def prunedScan(spark: SparkSession, path: String, model: Model,
+      q: Array[Float], nprobe: Int): DataFrame = {
+    val probes = model.rankLists(q).take(nprobe)
+    spark.read.parquet(path)
+      .filter(col("list_id").isin(probes.map(Integer.valueOf).toSeq: _*))
+  }
+
   /** Search: rank centroids, read only the nprobe pruned partitions,
     * exact-rerank. Returns (idCol, dist) ordered ascending. */
   def search(spark: SparkSession, path: String, model: Model,
       idCol: String, vecCol: String, q: Array[Float], k: Int,
       nprobe: Int): DataFrame = {
-    val probes = model.rankLists(q).take(nprobe)
     val qq = if (model.metric == "cos") Kernels.normalize(q) else q
     val qLit = typedLit(qq)
-    val scan = spark.read.parquet(path)
-      .filter(col("list_id").isin(probes.map(Integer.valueOf).toSeq: _*))
+    val scan = prunedScan(spark, path, model, q, nprobe)
     val distCol = model.metric match {
       case "l2" => l2sq(col(vecCol), qLit)
       case "dot" => negdot(col(vecCol), qLit)

@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import graft.functions.L2sqDistance
+import graft.functions.{CosDistance, L2sqDistance, NegDotDistance}
 import graft.operators.IvfIndex
 
 /**
@@ -34,18 +34,24 @@ import graft.operators.IvfIndex
  */
 object AnnPushdown {
 
-  case class IndexedTable(indexName: String, idCol: String, vecCol: String)
+  /** One registered index per (table, metric) — the opclass analog: a
+    * table can carry an l2, a cos AND a dot index simultaneously. */
+  case class IndexedTable(indexName: String, idCol: String, vecCol: String,
+      metric: String = "l2")
 
-  private val registry = new ConcurrentHashMap[String, IndexedTable]()
+  private val registry = new ConcurrentHashMap[String, List[IndexedTable]]()
 
   def register(sourcePath: String, t: IndexedTable): Unit =
-    registry.put(normalize(sourcePath), t)
+    registry.compute(normalize(sourcePath), (_, cur) =>
+      t :: Option(cur).getOrElse(Nil).filterNot(_.metric == t.metric))
 
   def unregister(sourcePath: String): Unit =
     registry.remove(normalize(sourcePath))
 
-  def lookup(paths: Seq[String]): Option[IndexedTable] =
-    paths.map(normalize).flatMap(p => Option(registry.get(p))).headOption
+  def lookup(paths: Seq[String], metric: String): Option[IndexedTable] =
+    paths.map(normalize)
+      .flatMap(p => Option(registry.get(p)).getOrElse(Nil))
+      .find(_.metric == metric)
 
   private def normalize(p: String): String =
     p.stripPrefix("file:").replaceAll("/+$", "")
@@ -85,13 +91,22 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
   /** Marker to stop the rule re-matching its own replacement. */
   private val RewrittenTag = org.apache.spark.sql.catalyst.trees.TreeNodeTag[Boolean]("graft.ann.rewritten")
 
+  private def filteredOverfetch: Int =
+    spark.conf.get("spark.graft.ann.filteredOverfetch", "4").toInt
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!enabled) return plan
     plan.transformDown {
       case gl @ GlobalLimit(Literal(k: Int, _),
-          LocalLimit(_, s @ Sort(order, true, p @ Project(projList, rel), _)))
+          LocalLimit(_, s @ Sort(order, true, p @ Project(projList, child), _)))
           if gl.getTagValue(RewrittenTag).isEmpty =>
-        matchAnnTopK(k, order, projList, rel) match {
+        // one arm dispatches both shapes: a Filter child is the filtered
+        // ANN form (VBASE's flagship), a bare relation the plain top-k
+        val rewrittenOpt = child match {
+          case Filter(cond, rel) => matchFilteredTopK(k, order, projList, cond, rel)
+          case rel => matchAnnTopK(k, order, projList, rel)
+        }
+        rewrittenOpt match {
           case Some(rewritten) =>
             rewritten.setTagValue(RewrittenTag, true)
             rewritten
@@ -126,7 +141,7 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case LessThan(L2sqDistance(v: AttributeReference, q: Literal),
           Literal(r: Double, _)) => (v, q, r)
     }.getOrElse(return None)
-    val idx = lookup(pathsOf(rel)).getOrElse(return None)
+    val idx = lookup(pathsOf(rel), "l2").getOrElse(return None)
     if (vecAttr.name != idx.vecCol) return None
     val manifest = graft.index.IndexCatalog.load(spark, idx.indexName)
       .getOrElse(return None)
@@ -161,21 +176,33 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     case _ => Nil
   }
 
-  /** Shape: Project(id, Alias(l2sq(vecAttr, queryLit)) AS dist) over an
-    * indexed relation, sorted by dist (asc) first. */
-  private def matchAnnTopK(k: Int, order: Seq[SortOrder],
-      projList: Seq[NamedExpression], rel: LogicalPlan): Option[LogicalPlan] = {
+  /** Dist alias extraction: Alias(metricExpr(vecAttr, queryLit)) for any
+    * of the three indexed metrics. Returns (alias, vecAttr, qLit, metric). */
+  private def findDistAlias(projList: Seq[NamedExpression])
+      : Option[(Alias, AttributeReference, Literal, String)] =
+    projList.collectFirst {
+      case a @ Alias(L2sqDistance(v: AttributeReference, q: Literal), _) =>
+        (a, v, q, "l2")
+      case a @ Alias(CosDistance(v: AttributeReference, q: Literal), _) =>
+        (a, v, q, "cos")
+      case a @ Alias(NegDotDistance(v: AttributeReference, q: Literal), _) =>
+        (a, v, q, "dot")
+    }
+
+  /** Common top-k guards: sort leads with the dist alias ascending, the
+    * projection is exactly {id, dist} (bail otherwise — the replacement
+    * produces only those two, and anything else would be silently
+    * dropped / left dangling for parents), the table has a matching-
+    * metric index. Returns (idx, alias, idAttr, qLit). */
+  private def topkPieces(order: Seq[SortOrder],
+      projList: Seq[NamedExpression], rel: LogicalPlan)
+      : Option[(IndexedTable, Alias, AttributeReference, Literal, String)] = {
     if (!rel.isInstanceOf[LogicalRelation] &&
         !rel.isInstanceOf[org.apache.spark.sql.execution.columnar.InMemoryRelation])
       return None
-    val idx = lookup(pathsOf(rel)).getOrElse(return None)
-    // find the dist alias in the projection
-    val distAlias = projList.collectFirst {
-      case a @ Alias(L2sqDistance(v: AttributeReference, q: Literal), _)
-          if v.name == idx.vecCol => (a, q)
-    }.getOrElse(return None)
-    val (alias, qLit) = distAlias
-    // sort must lead with that alias ascending
+    val (alias, vecAttr, qLit, metric) = findDistAlias(projList).getOrElse(return None)
+    val idx = lookup(pathsOf(rel), metric).getOrElse(return None)
+    if (vecAttr.name != idx.vecCol) return None
     order.headOption match {
       case Some(SortOrder(attr: AttributeReference, Ascending, _, _))
           if attr.exprId == alias.exprId =>
@@ -184,16 +211,21 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     val idAttr = projList.collectFirst {
       case a: AttributeReference if a.name == idx.idCol => a
     }.getOrElse(return None)
-    // The replacement produces exactly (id, dist): bail if the projection
-    // carries anything else, otherwise the rewrite would silently drop
-    // columns / leave dangling exprIds for parents (matchRange's analog
-    // of `remap.length == rel.output.length`).
     if (!projList.forall(ne =>
         ne.exprId == idAttr.exprId || ne.exprId == alias.exprId))
       return None
+    Some((idx, alias, idAttr, qLit, metric))
+  }
 
+  /** Shape: Project(id, Alias(dist(vecAttr, queryLit)) AS dist) over an
+    * indexed relation, sorted by dist (asc) first — l2, cos or dot. */
+  private def matchAnnTopK(k: Int, order: Seq[SortOrder],
+      projList: Seq[NamedExpression], rel: LogicalPlan): Option[LogicalPlan] = {
+    val (idx, alias, idAttr, qLit, metric) =
+      topkPieces(order, projList, rel).getOrElse(return None)
     val manifest = graft.index.IndexCatalog.load(spark, idx.indexName)
       .getOrElse(return None)
+    if (manifest.metric != metric) return None
     val model = IvfIndex.Model(manifest.metric, manifest.centroids)
     val probes = math.min(math.max(nprobe, 1), model.nlist)
     val searchDf = IvfIndex.search(spark,
@@ -205,5 +237,66 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     Some(Project(Seq(
       Alias(newId, idAttr.name)(exprId = idAttr.exprId),
       Alias(newDist, alias.name)(exprId = alias.exprId)), newPlan))
+  }
+
+  /** Filtered ANN top-k: `Filter(pred) + Sort(dist) + Limit(k)` — the
+    * reference's over-fetch/refill contract
+    * (tests/sqllogictest/pushdown_range.slt:87-107) re-expressed
+    * Spark-first: instead of pulling a candidate STREAM and refilling
+    * until k survive (a cursor-model necessity), the predicate is pushed
+    * INTO the pruned partition scan and TakeOrdered runs on the
+    * survivors — exact within probed lists, so "over-fetch" becomes
+    * probing `filteredOverfetch × nprobe` lists (the breadth analog of
+    * fetching k·f candidates). At nprobe=nlist the result is exactly the
+    * brute-force filtered top-k. */
+  private def matchFilteredTopK(k: Int, order: Seq[SortOrder],
+      projList: Seq[NamedExpression], cond: Expression, rel: LogicalPlan)
+      : Option[LogicalPlan] = {
+    val (idx, alias, idAttr, qLit, metric) =
+      topkPieces(order, projList, rel).getOrElse(return None)
+    // the predicate must be over relation columns only (never the dist)
+    if (!cond.references.subsetOf(AttributeSet(rel.output))) return None
+    val manifest = graft.index.IndexCatalog.load(spark, idx.indexName)
+      .getOrElse(return None)
+    if (manifest.metric != metric) return None
+    val model = IvfIndex.Model(manifest.metric, manifest.centroids)
+    val probes = math.min(
+      math.max(nprobe.toLong * math.max(filteredOverfetch, 1), 1L),
+      model.nlist.toLong).toInt
+    val q = floatsOf(qLit)
+    val scanDf = IvfIndex.prunedScan(spark,
+      graft.index.IndexCatalog.dataDir(spark, idx.indexName), model, q, probes)
+    val scanPlan = scanDf.queryExecution.analyzed
+    val byName = scanPlan.output.map(a => a.name -> a).toMap
+    // remap the predicate's attributes onto the scan's outputs by name
+    var remapOk = true
+    val cond2 = cond.transformUp {
+      case a: AttributeReference =>
+        byName.get(a.name) match {
+          case Some(n) => n
+          case None => remapOk = false; a
+        }
+    }
+    if (!remapOk) return None
+    val vecNew = byName.getOrElse(idx.vecCol, return None)
+    val idNew = byName.getOrElse(idx.idCol, return None)
+    // dist computed the way the INDEX computes it (cos: normalized at
+    // build, scored by -dot + 1 on the normalized query)
+    val qq = if (metric == "cos") IvfIndex.Kernels.normalize(q) else q
+    val qLit2 = Literal.create(qq,
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, containsNull = false))
+    val distExpr: Expression = metric match {
+      case "l2" => L2sqDistance(vecNew, qLit2)
+      case "cos" => Add(NegDotDistance(vecNew, qLit2), Literal(1.0))
+      case "dot" => NegDotDistance(vecNew, qLit2)
+    }
+    val nf = Filter(cond2, scanPlan)
+    nf.setTagValue(RewrittenTag, true)
+    val proj = Project(Seq(
+      Alias(idNew, idAttr.name)(exprId = idAttr.exprId),
+      Alias(distExpr, alias.name)(exprId = alias.exprId)), nf)
+    Some(GlobalLimit(Literal(k),
+      LocalLimit(Literal(k), Sort(order, global = true, proj))))
   }
 }

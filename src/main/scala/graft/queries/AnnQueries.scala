@@ -129,6 +129,36 @@ object AnnQueries {
   private def pqWindowConf(s: SparkSession) =
     s.conf.get("spark.graft.pq.rerankWindow", "8").toInt
 
+  /** Install + register the metric's IVF index, run `mk` with the rewrite
+    * enabled at nprobe=nlist (exact mode), assert the optimizer actually
+    * rewrote, and freeze the rewritten plan so the temporary conf flags
+    * can't leak into other queries. */
+  private def withAnnRewrite(s: SparkSession, d: String, metric: String)
+      (mk: => DataFrame): DataFrame = {
+    import graft.plans.AnnPushdown
+    val (m, _) = ivf(s, d, metric)
+    AnnPushdown.install(s)
+    AnnPushdown.register(s"$d/embeddings.parquet",
+      AnnPushdown.IndexedTable(s"ivf_${metric}_${san(d)}", "vec_id",
+        "embedding", metric))
+    val prevEnabled = s.conf.get("spark.graft.ann.enabled", "false")
+    val prevNprobe = s.conf.get("spark.graft.ann.nprobe", "10")
+    s.conf.set("spark.graft.ann.enabled", "true")
+    s.conf.set("spark.graft.ann.nprobe", m.nlist.toString)
+    try {
+      val df = mk
+      val optimized = df.queryExecution.optimizedPlan
+      assert(optimized.toString.contains("list_id"),
+        "ann pushdown did not rewrite the top-k plan")
+      org.apache.spark.sql.graftshim.Shims.ofRows(s, optimized)
+        .orderBy(col("dist"), col("vec_id"))
+    } finally {
+      s.conf.set("spark.graft.ann.enabled", prevEnabled)
+      s.conf.set("spark.graft.ann.nprobe", prevNprobe)
+      AnnPushdown.unregister(s"$d/embeddings.parquet")
+    }
+  }
+
   private def sparsify(c: org.apache.spark.sql.Column) =
     transform(c, x => when(abs(x) > lit(0.15), x).otherwise(lit(0.0f)))
 
@@ -167,31 +197,30 @@ object AnnQueries {
     // OPTIMIZER RULE into the IVF scan (exact at nprobe=nlist, so it
     // carries the flat oracle). The rewritten plan is frozen so the
     // temporary conf flags can't leak into other queries.
-    "q_topk_pushdown" -> ((s, d) => {
-      import graft.plans.AnnPushdown
-      val (m, _) = ivf(s, d, "l2")
-      AnnPushdown.install(s)
-      AnnPushdown.register(s"$d/embeddings.parquet",
-        AnnPushdown.IndexedTable(s"ivf_l2_${san(d)}", "vec_id", "embedding"))
-      val prevEnabled = s.conf.get("spark.graft.ann.enabled", "false")
-      val prevNprobe = s.conf.get("spark.graft.ann.nprobe", "10")
-      s.conf.set("spark.graft.ann.enabled", "true")
-      s.conf.set("spark.graft.ann.nprobe", m.nlist.toString)
-      try {
-        val df = s.read.parquet(s"$d/embeddings.parquet")
-          .select(col("vec_id"),
-            l2sq(col("embedding"), typedLit(qvec(s, d))).as("dist"))
-          .orderBy(col("dist")).limit(100)
-        val optimized = df.queryExecution.optimizedPlan
-        assert(optimized.toString.contains("list_id"),
-          "ann pushdown did not rewrite the top-k plan")
-        org.apache.spark.sql.graftshim.Shims.ofRows(s, optimized)
-          .orderBy(col("dist"), col("vec_id"))
-      } finally {
-        s.conf.set("spark.graft.ann.enabled", prevEnabled)
-        s.conf.set("spark.graft.ann.nprobe", prevNprobe)
-        AnnPushdown.unregister(s"$d/embeddings.parquet")
-      }
+    "q_topk_pushdown" -> ((s, d) => withAnnRewrite(s, d, "l2") {
+      s.read.parquet(s"$d/embeddings.parquet")
+        .select(col("vec_id"),
+          l2sq(col("embedding"), typedLit(qvec(s, d))).as("dist"))
+        .orderBy(col("dist")).limit(100)
+    }),
+    // cos opclass through the same rule: `ORDER BY cosdist(vec, q)` over
+    // a cos-indexed table (exact at nprobe=nlist -> the normalized-replay
+    // cos oracle)
+    "q_topk_pushdown_cos" -> ((s, d) => withAnnRewrite(s, d, "cos") {
+      s.read.parquet(s"$d/embeddings.parquet")
+        .select(col("vec_id"),
+          cosdist(col("embedding"), typedLit(qvec(s, d))).as("dist"))
+        .orderBy(col("dist")).limit(100)
+    }),
+    // filtered ANN (VBASE's flagship): attribute predicate + dist order +
+    // limit; the rule pushes the predicate INTO the pruned scan (exact at
+    // nprobe=nlist -> filtered flat oracle)
+    "q_topk_pushdown_filtered" -> ((s, d) => withAnnRewrite(s, d, "l2") {
+      s.read.parquet(s"$d/embeddings.parquet")
+        .filter(col("vec_id") % 7 === 0)
+        .select(col("vec_id"),
+          l2sq(col("embedding"), typedLit(qvec(s, d))).as("dist"))
+        .orderBy(col("dist")).limit(100)
     }),
 
     // dot-product opclass exact twin
@@ -361,6 +390,21 @@ object AnnQueries {
          FROM n e CROSS JOIN (SELECT ne FROM n WHERE vec_id = 0) q
          ORDER BY dist, vec_id LIMIT 100""",
     "q_topk_pushdown" -> exactL2Oracle,
+    "q_topk_pushdown_cos" ->
+      """WITH n AS (SELECT vec_id,
+           list_transform(embedding, x -> CAST(CAST(x AS DOUBLE)
+             / sqrt(list_aggregate(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)), 'sum')) AS FLOAT)) AS ne
+           FROM embeddings)
+         SELECT e.vec_id AS vec_id,
+           1.0 - list_aggregate(list_transform(list_zip(e.ne, q.ne), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum') AS dist
+         FROM n e CROSS JOIN (SELECT ne FROM n WHERE vec_id = 0) q
+         ORDER BY dist, vec_id LIMIT 100""",
+    "q_topk_pushdown_filtered" ->
+      """SELECT e.vec_id AS vec_id,
+         list_aggregate(list_transform(list_zip(e.embedding, q.qv), p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), 'sum') AS dist
+         FROM embeddings e CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+         WHERE e.vec_id % 7 = 0
+         ORDER BY dist, vec_id LIMIT 100""",
     "q_ivf_exact_dot" ->
       """SELECT e.vec_id AS vec_id,
          -list_aggregate(list_transform(list_zip(e.embedding, q.qv), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum') AS dist

@@ -61,6 +61,72 @@ class PushdownSpec extends SparkSpec {
     }
   }
 
+  test("filtered ANN top-k rewrites; exact at nprobe=nlist with selective filter") {
+    withPushdown { dataDir =>
+    // selective predicate: keeps ~1/7 of rows
+    def filteredDf = spark.read.parquet(s"$sf001/embeddings.parquet")
+      .filter(col("vec_id") % 7 === 0)
+      .select(col("vec_id"),
+        graft.functions.l2sq(col("embedding"), typedLit(q)).as("dist"))
+      .orderBy(col("dist")).limit(10)
+
+    spark.conf.set("spark.graft.ann.enabled", "false")
+    val baseline = filteredDf.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+    spark.conf.set("spark.graft.ann.enabled", "true")
+    spark.conf.set("spark.graft.ann.nprobe", "16")
+    val pushed = filteredDf
+    val plan = pushed.queryExecution.executedPlan.toString
+    assert(plan.contains(dataDir), s"plan does not scan the index:\n$plan")
+    assert(plan.contains("list_id"), "plan lost the partition-pruning filter")
+    val got = pushed.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == baseline)
+
+    // over-probe: nprobe=2 with overfetch 4 probes 8 lists and still
+    // fills k from the survivors
+    spark.conf.set("spark.graft.ann.nprobe", "2")
+    assert(filteredDf.count() == 10)
+
+    // a projection with extra columns must NOT rewrite (columns would be
+    // dropped silently)
+    val extra = spark.read.parquet(s"$sf001/embeddings.parquet")
+      .filter(col("vec_id") % 7 === 0)
+      .select(col("vec_id"), col("label"),
+        graft.functions.l2sq(col("embedding"), typedLit(q)).as("dist"))
+      .orderBy(col("dist")).limit(10)
+    assert(!extra.queryExecution.executedPlan.toString.contains(dataDir))
+    assert(extra.columns.toSeq == Seq("vec_id", "label", "dist"))
+    }
+  }
+
+  test("cos top-k pushdown matches the cos IVF index") {
+    val (_, dataDir) = AnnQueries.ivf(spark, sf001, "cos")
+    AnnPushdown.install(spark)
+    AnnPushdown.register(s"$sf001/embeddings.parquet",
+      AnnPushdown.IndexedTable(s"ivf_cos_${sf001.replaceAll("[^a-zA-Z0-9]", "_")}",
+        "vec_id", "embedding", "cos"))
+    try {
+      def cosDf = spark.read.parquet(s"$sf001/embeddings.parquet")
+        .select(col("vec_id"),
+          graft.functions.cosdist(col("embedding"), typedLit(q)).as("dist"))
+        .orderBy(col("dist")).limit(10)
+      spark.conf.set("spark.graft.ann.enabled", "false")
+      val baseline = cosDf.collect().map(_.getLong(0)).toSeq
+      spark.conf.set("spark.graft.ann.enabled", "true")
+      spark.conf.set("spark.graft.ann.nprobe", "16")
+      val pushed = cosDf
+      val plan = pushed.queryExecution.executedPlan.toString
+      assert(plan.contains(dataDir), s"plan does not scan the cos index:\n$plan")
+      // same ids; values differ only by the normalize-at-build float
+      // rounding the index stores (the q_ivf_exact_cos contract)
+      assert(pushed.collect().map(_.getLong(0)).toSeq == baseline)
+    } finally {
+      spark.conf.set("spark.graft.ann.enabled", "false")
+      spark.conf.set("spark.graft.ann.nprobe", "10")
+      AnnPushdown.unregister(s"$sf001/embeddings.parquet")
+    }
+  }
+
   test("range (sphere) predicate pushdown prunes lists, stays exact") {
     withPushdown { dataDir =>
     def rangeDf = spark.read.parquet(s"$sf001/embeddings.parquet")
