@@ -93,13 +93,22 @@ object Dedup {
       tau: Double): DataFrame = {
     // join on a 64-bit shingle hash: same intersection counts (collision
     // odds ~|A||B|/2^64 per pair), 8-byte shuffle keys instead of strings
-    val flat = docs.select(col(idCol),
-      explode(transform(col(setCol), s => xxhash64(s))).as("tok"))
+    val hashed = docs.select(col(idCol),
+      transform(col(setCol), s => xxhash64(s)).as("__shh"))
+    exactJaccardPairsHashed(hashed, idCol, "__shh", tau)
+  }
+
+  /** Same inverted-join Jaccard, but over a PRE-HASHED distinct shingle
+    * set ([[shingleHashes]]) — skips per-shingle string materialization
+    * entirely on both join sides. */
+  def exactJaccardPairsHashed(docs: DataFrame, idCol: String,
+      hashCol: String, tau: Double): DataFrame = {
+    val flat = docs.select(col(idCol), explode(col(hashCol)).as("tok"))
     val inter = flat.as("a").join(flat.as("b"),
         col("a.tok") === col("b.tok") && col(s"a.$idCol") < col(s"b.$idCol"))
       .groupBy(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
-    val sizes = docs.select(col(idCol), size(col(setCol)).as("n"))
+    val sizes = docs.select(col(idCol), size(col(hashCol)).as("n"))
     inter
       .join(sizes.select(col(idCol).as("doc_a"), col("n").as("na")), "doc_a")
       .join(sizes.select(col(idCol).as("doc_b"), col("n").as("nb")), "doc_b")
@@ -174,6 +183,44 @@ object Dedup {
     new GenericArrayData(mins)
   }
 
+  /** MinHash signature from PRE-HASHED shingles ([[shingleHashes]]):
+    * h1 is the stored 64-bit shingle hash, so signatures are
+    * bit-identical to [[minhashKernel]] over the string shingles while
+    * skipping string materialization entirely. */
+  def minhashFromHashesKernel(hashes: ArrayData, k: Int): ArrayData = {
+    val mins = Array.fill(k)(Long.MaxValue)
+    val n = hashes.numElements()
+    var j = 0
+    while (j < n) {
+      val h1 = hashes.getLong(j)
+      val h2 = mix64(h1) | 1L
+      var i = 0
+      var h = h1
+      while (i < k) {
+        if (h < mins(i)) mins(i) = h
+        h += h2
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  case class MinHashSigFromHashes(child: Expression, k: Int) extends UnaryExpression {
+    override def nullIntolerant: Boolean = true
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(v: Any): Any =
+      minhashFromHashesKernel(v.asInstanceOf[ArrayData], k)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.operators.Dedup.minhashFromHashesKernel($c, $k)")
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+    override def prettyName = "minhash_signature_hashed"
+  }
+
+  def minhashSignatureHashed(hashSet: Column, k: Int): Column =
+    org.apache.spark.sql.graftshim.Shims.column(
+      MinHashSigFromHashes(org.apache.spark.sql.graftshim.Shims.expression(hashSet), k))
+
   /** Codegen MinHash signature over a shingle array column. */
   case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
     override def nullIntolerant: Boolean = true
@@ -185,6 +232,53 @@ object Dedup {
     override protected def withNewChildInternal(c: Expression) = copy(child = c)
     override def prettyName = "minhash_signature"
   }
+
+  /** Distinct n-gram shingle HASHES in ONE codegen pass over the token
+    * array: no per-shingle string building, no array_distinct over
+    * strings — the hash IS what the inverted join keys on. FNV-1a over
+    * the tokens joined by ' ' (byte-identical to hashing the concatenated
+    * shingle string). Sorted ascending for determinism. */
+  def shingleHashKernel(toks: ArrayData, n: Int): ArrayData = {
+    val nt = toks.numElements()
+    if (nt < n) return new GenericArrayData(Array.emptyLongArray)
+    val set = new java.util.TreeSet[java.lang.Long]()
+    var i = 0
+    while (i + n <= nt) {
+      var h = 0xcbf29ce484222325L
+      var j = 0
+      while (j < n) {
+        if (j > 0) { h ^= ' '.toLong & 0xffL; h *= 0x100000001b3L }
+        val bytes = toks.getUTF8String(i + j).getBytes
+        var b = 0
+        while (b < bytes.length) { h ^= bytes(b) & 0xffL; h *= 0x100000001b3L; b += 1 }
+        j += 1
+      }
+      set.add(h)
+      i += 1
+    }
+    val out = new Array[Long](set.size)
+    var k = 0
+    val it = set.iterator()
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    new GenericArrayData(out)
+  }
+
+  case class ShingleHashesExpr(child: Expression, n: Int) extends UnaryExpression {
+    override def nullIntolerant: Boolean = true
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(v: Any): Any =
+      shingleHashKernel(v.asInstanceOf[ArrayData], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.operators.Dedup.shingleHashKernel($c, $n)")
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+    override def prettyName = "shingle_hashes"
+  }
+
+  /** Distinct word-n-gram shingle hash set per document (one pass). */
+  def shingleHashes(text: Column, n: Int): Column =
+    org.apache.spark.sql.graftshim.Shims.column(
+      ShingleHashesExpr(org.apache.spark.sql.graftshim.Shims.expression(
+        split(text, " ")), n))
 
   def simhashKernel(tokens: ArrayData): Long = {
     val n = tokens.numElements()

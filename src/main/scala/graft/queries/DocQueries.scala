@@ -181,9 +181,11 @@ object DocQueries {
     // --- near-dup: EXACT 3-gram Jaccard via shingle inverted join
     //     (complete; the small-SF ground truth) ---
     "q_dedup_jaccard" -> ((s, d) => {
+      // one-pass distinct shingle-hash sets: the string shingles are never
+      // materialized (they'd be recomputed on every self-join branch)
       val sh = docsWithNearDups(s, d)
-        .select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
-      Dedup.exactJaccardPairs(sh, "doc_id", "sh", 0.8)
+        .select(col("doc_id"), Dedup.shingleHashes(col("text"), 3).as("shh"))
+      Dedup.exactJaccardPairsHashed(sh, "doc_id", "shh", 0.8)
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
@@ -192,12 +194,14 @@ object DocQueries {
     //     carries the SAME oracle as the exact path (collision prob for
     //     jacc≥0.8 at 16×4 banding ≈ 1-3e-8) ---
     "q_dedup_minhash" -> ((s, d) => {
+      // pre-hashed shingle sets: signatures are bit-identical to hashing
+      // the string shingles (same FNV base hash), strings never built
       val sh = docsWithNearDups(s, d)
-        .select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
-      val sig = sh.select(col("doc_id"), col("sh"),
-        Dedup.minhashSignature(col("sh"), 64).as("sig"))
+        .select(col("doc_id"), Dedup.shingleHashes(col("text"), 3).as("shh"))
+      val sig = sh.select(col("doc_id"),
+        Dedup.minhashSignatureHashed(col("shh"), 64).as("sig"))
       val cands = Dedup.lshCandidates(sig, "doc_id", "sig", bands = 16, rows = 4)
-      Dedup.verifyJaccard(cands, sh, "doc_id", "sh")
+      Dedup.verifyJaccard(cands, sh, "doc_id", "shh")
         .filter(col("jacc") >= 0.8)
         .orderBy(col("doc_a"), col("doc_b"))
     }),
@@ -351,6 +355,28 @@ object DocQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // the catalog CONTRACT at the gate's fixed sf0.01 dir: stable
+    // columns only (name/kind/metric/options + has-data; size bytes
+    // excluded — they vary with parquet encoding). Grows with ensureAll:
+    // keep in sync when adding index families.
+    "q_index_stat" ->
+      """SELECT * FROM (VALUES
+           ('bvecann__root_testdata_sf0_01','ivf_bvec','hamming','nlist=16,type=bvector',TRUE),
+           ('f16ann__root_testdata_sf0_01','ivf_f16','l2','nlist=16,type=vecf16',TRUE),
+           ('hnsw_cos_p1__root_testdata_sf0_01','hnsw','cos','ef_construction=300,files=1,format=flatbin1,m=12,parts=1',TRUE),
+           ('hnsw_cos_p4__root_testdata_sf0_01','hnsw','cos','ef_construction=300,files=4,format=flatbin1,m=12,parts=4',TRUE),
+           ('hnsw_l2_p1__root_testdata_sf0_01','hnsw','l2','ef_construction=300,files=1,format=flatbin1,m=12,parts=1',TRUE),
+           ('hnsw_l2_p4__root_testdata_sf0_01','hnsw','l2','ef_construction=300,files=4,format=flatbin1,m=12,parts=4',TRUE),
+           ('ivf_cos__root_testdata_sf0_01','ivf','cos','nlist=16',TRUE),
+           ('ivf_dot__root_testdata_sf0_01','ivf','dot','nlist=16',TRUE),
+           ('ivf_l2__root_testdata_sf0_01','ivf','l2','nlist=16',TRUE),
+           ('ivfpq__root_testdata_sf0_01','ivfpq','l2','dims=64,kind2=ivfpq,ks=16,m=8,nlist=16',TRUE),
+           ('pq__root_testdata_sf0_01','pq','l2','dims=64,ks=16,m=8',TRUE),
+           ('rabitq__root_testdata_sf0_01','rabitq','l2','dims=64',TRUE),
+           ('sparse__root_testdata_sf0_01','sparse','dot','buckets=64',TRUE),
+           ('sq8__root_testdata_sf0_01','sq8','l2','bits=8',TRUE)
+         ) AS t(idx_name, idx_type, idx_metric, idx_options, has_data)
+         ORDER BY idx_name""",
     "q_doc_stats" ->
       """SELECT doc_id,
          length(text) AS n_chars2,
