@@ -347,6 +347,48 @@ object Dedup {
       .reduce(_ + _)
   }
 
+  /** One-pass kernel for banded sign keys: all bands*rows plane dots in a
+    * single traversal (a per-plane Column expression would walk the
+    * vector 64 times and build a 64-deep expression tree). */
+  def signBandKernel(vec: ArrayData, flatPlanes: ArrayData,
+      bands: Int, rows: Int): ArrayData = {
+    val dims = vec.numElements()
+    val keys = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var bits = 0L
+      var r = 0
+      while (r < rows) {
+        val off = (b * rows + r) * dims
+        var acc = 0.0
+        var i = 0
+        while (i < dims) { acc += vec.getFloat(i).toDouble * flatPlanes.getFloat(off + i); i += 1 }
+        if (acc > 0.0) bits |= (1L << r)
+        r += 1
+      }
+      keys(b) = (b.toLong << 32) | bits
+      b += 1
+    }
+    new GenericArrayData(keys)
+  }
+
+  case class SignBandKeysExpr(vec: Expression, planesE: Expression,
+      bands: Int, rows: Int)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+    override def left: Expression = vec
+    override def right: Expression = planesE
+    override def nullIntolerant: Boolean = true
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(v: Any, p: Any): Any =
+      signBandKernel(v.asInstanceOf[ArrayData], p.asInstanceOf[ArrayData], bands, rows)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (v, p) =>
+        s"${ev.value} = graft.operators.Dedup.signBandKernel($v, $p, $bands, $rows);")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(vec = l, planesE = r)
+    override def prettyName = "sign_band_keys"
+  }
+
   /** BANDED sign-LSH keys (the cosine analog of the MinHash 16x4 band
     * scheme): `bands` buckets of `rows` hyperplane signs each; a pair is
     * a candidate if ANY band matches. One 16-plane bucket catches a
@@ -354,19 +396,17 @@ object Dedup {
     * (1-theta/pi)^16 ~= 0.18; with 16 bands x 4 rows the miss
     * probability is (1-p^4)^16 ~= 5e-8 (p = 1-theta/pi ~= 0.899) — the
     * near-certainty the exact oracle twin requires. Key layout:
-    * band_idx<<32 | sign_bits, so keys never collide across bands. */
+    * band_idx<<32 | sign_bits, so keys never collide across bands.
+    * (sign(dot) convention matches [[signBucket]]: bit set iff dot > 0.) */
   def signBandKeys(vec: Column, planes: Array[Array[Float]],
       bands: Int, rows: Int): Column = {
-    import graft.functions.negdot
     require(planes.length >= bands * rows,
       s"need ${bands * rows} planes, got ${planes.length}")
-    val keys = (0 until bands).map { b =>
-      (0 until rows).map { r =>
-        val p = planes(b * rows + r)
-        when(negdot(typedLit(p), vec) < 0d, lit(1L)).otherwise(lit(0L)) *
-          lit(1L << r)
-      }.reduce(_ + _) + lit(b.toLong << 32)
-    }
-    array(keys: _*)
+    org.apache.spark.sql.graftshim.Shims.column(
+      SignBandKeysExpr(
+        org.apache.spark.sql.graftshim.Shims.expression(vec),
+        org.apache.spark.sql.graftshim.Shims.expression(
+          typedLit(planes.take(bands * rows).flatten)),
+        bands, rows))
   }
 }

@@ -127,6 +127,36 @@ object Rabitq {
     norm * norm + qNorm * qNorm - 2.0 * norm * qNorm * est
   }
 
+  val ScoreBoundType: StructType = StructType(Seq(
+    StructField("est", DoubleType, nullable = false),
+    StructField("err", DoubleType, nullable = false)))
+
+  /** Estimated l2² PLUS its error bound — the reference's error-based
+    * reranker input (crates/quantization/src/reranker/error.rs; RaBitQ
+    * paper Thm 3.2: |<ô,q̂>/cos − <o,q̂>| ≤ ε₀·sqrt((1/cos² − 1)/(D−1))
+    * w.h.p.). The distance-space error is 2·||r||·||q−c||·errDot. */
+  def scoreBoundKernel(code: InternalRow, rq: ArrayData, qNorm: Double,
+      eps: Double): InternalRow = {
+    val words = code.getArray(0)
+    val norm = code.getFloat(1).toDouble
+    val cosv = code.getFloat(2).toDouble
+    val dims = rq.numElements()
+    var dot = 0.0
+    var i = 0
+    while (i < dims) {
+      val s = if (((words.getLong(i >> 6) >>> (i & 63)) & 1L) == 1L) 1.0 else -1.0
+      dot += s * rq.getFloat(i)
+      i += 1
+    }
+    if (norm == 0.0 || qNorm == 0.0)
+      return InternalRow(norm * norm + qNorm * qNorm, 0.0)
+    val c = math.max(cosv, 1e-9)
+    val estDot = dot / (math.sqrt(dims.toDouble) * qNorm) / c
+    val est = norm * norm + qNorm * qNorm - 2.0 * norm * qNorm * estDot
+    val errDot = eps * math.sqrt(math.max(1.0 / (c * c) - 1.0, 0.0) / (dims - 1).toDouble)
+    InternalRow(est, 2.0 * norm * qNorm * errDot)
+  }
+
   case class Encode(vec: Expression, centroidE: Expression, rotE: Expression)
       extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
     override def first = vec; override def second = centroidE; override def third = rotE
@@ -156,6 +186,22 @@ object Rabitq {
     override protected def withNewChildrenInternal(l: Expression, r: Expression) =
       copy(codeE = l, rqE = r)
     override def prettyName = "rabitq_score"
+  }
+
+  case class ScoreBound(codeE: Expression, rqE: Expression, qNorm: Double,
+      eps: Double) extends BinaryExpression {
+    override def left = codeE; override def right = rqE
+    override def nullIntolerant: Boolean = true
+    override def dataType: DataType = ScoreBoundType
+    override def nullSafeEval(c: Any, r: Any): Any =
+      scoreBoundKernel(c.asInstanceOf[InternalRow], r.asInstanceOf[ArrayData],
+        qNorm, eps)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (c, r) =>
+        s"${ev.value} = graft.operators.Rabitq.scoreBoundKernel($c, $r, $qNorm, $eps);")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(codeE = l, rqE = r)
+    override def prettyName = "rabitq_score_bound"
   }
 
   def encode(v: Column, model: Model): Column =
@@ -197,6 +243,35 @@ object Rabitq {
         Rerank.fetchByIds(indexed, idCol, vecCol, candidates)
       }
     coarse.select(col(idCol), l2sq(col(vecCol), typedLit(q)).as("dist"))
+      .orderBy(col("dist"), col(idCol)).limit(k)
+  }
+
+  /** BOUND-DRIVEN rerank (the error.rs contract): no tuned window. Pass 1
+    * scans codes, takes the k-th smallest UPPER bound τ = max over the
+    * top-k of (est + err); pass 2 reranks exactly every row whose LOWER
+    * bound est − err ≤ τ. Since exact ≤ ub pointwise, the true k-th exact
+    * distance is ≤ τ, so (whenever the per-row bounds hold — w.h.p. by
+    * RaBitQ Thm 3.2) the candidate set provably contains the true top-k;
+    * its size adapts to query difficulty instead of a fixed k·window.
+    * Both passes are full-scan-shaped (codes column only, then a filtered
+    * re-scan) — no driver-side id collection, so candidate count never
+    * needs a bound. */
+  def searchBounded(indexed: DataFrame, idCol: String, vecCol: String,
+      codeCol: String, q: Array[Float], k: Int, model: Model,
+      eps: Double = 1.9): DataFrame = {
+    import graft.functions.l2sq
+    val rq = model.rotate(q)
+    val qNorm = math.sqrt(rq.map(x => x * x).sum)
+    val rqF = rq.map(_.toFloat)
+    def sb = Shims.column(ScoreBound(Shims.expression(col(codeCol)),
+      Shims.expression(typedLit(rqF)), qNorm, eps))
+    val tau = indexed
+      .select((sb.getField("est") + sb.getField("err")).as("ub"))
+      .orderBy(col("ub")).limit(k)
+      .agg(max(col("ub"))).head().getDouble(0)
+    indexed
+      .filter(sb.getField("est") - sb.getField("err") <= tau)
+      .select(col(idCol), l2sq(col(vecCol), typedLit(q)).as("dist"))
       .orderBy(col("dist"), col(idCol)).limit(k)
   }
 }

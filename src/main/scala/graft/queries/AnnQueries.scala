@@ -306,6 +306,15 @@ object AnnQueries {
       Rabitq.search(s.read.parquet(path), "vec_id", "embedding", "code",
         qvec(s, d), k = 100, model, window = 0)
     }),
+    // error-BOUND reranker (error.rs analog): candidate set sized by the
+    // theoretical estimator bound, not a tuned window — exact w.h.p.
+    // (probabilistic guarantee -> rows-only; RabitqSpec checks equality
+    // with the flat top-k on the fixture)
+    "q_rabitq_bounded_l2" -> ((s, d) => {
+      val (model, path) = rabitq(s, d)
+      Rabitq.searchBounded(s.read.parquet(path), "vec_id", "embedding",
+        "code", qvec(s, d), k = 100, model)
+    }),
 
     // IVF×PQ residual composition: pruned partitions, per-list residual
     // LUT ADC over the code column, windowed exact rerank

@@ -44,4 +44,10 @@ class RabitqSpec extends SparkSpec {
     val recall = (got & truth).size.toDouble / truth.size
     assert(recall >= 0.8, s"recall=$recall")
   }
+
+  test("error-bound rerank returns the exact top-k without a tuned window") {
+    val got = Rabitq.searchBounded(coded, "vec_id", "embedding", "code",
+      q, 50, model).select("vec_id").as[Long].collect().toSeq
+    assert(got == flatTopk(50))
+  }
 }
