@@ -34,24 +34,67 @@ import graft.operators.IvfIndex
  */
 object AnnPushdown {
 
-  /** One registered index per (table, metric) — the opclass analog: a
-    * table can carry an l2, a cos AND a dot index simultaneously. */
+  /** One registered index per (table, metric, predicate) — the opclass +
+    * partial-index analog: a table can carry an l2, a cos AND a dot index
+    * simultaneously, plus predicate-scoped PARTIAL indexes
+    * (`partialConjuncts` = the canonical conjunct strings of the build
+    * predicate; None = a full index). */
   case class IndexedTable(indexName: String, idCol: String, vecCol: String,
-      metric: String = "l2")
+      metric: String = "l2", partialConjuncts: Option[Seq[String]] = None)
 
   private val registry = new ConcurrentHashMap[String, List[IndexedTable]]()
 
   def register(sourcePath: String, t: IndexedTable): Unit =
     registry.compute(normalize(sourcePath), (_, cur) =>
-      t :: Option(cur).getOrElse(Nil).filterNot(_.metric == t.metric))
+      t :: Option(cur).getOrElse(Nil)
+        .filterNot(x => x.metric == t.metric &&
+          x.partialConjuncts == t.partialConjuncts))
+
+  /** Register a PARTIAL index (reference: partial indexes over
+    * `CREATE INDEX ... WHERE pred`): `predSql` must be the same predicate
+    * the index was built with. It is canonicalized through the SAME
+    * optimizer pipeline the rewrite rule sees, so matching is robust to
+    * cast insertion / constant folding. */
+  def registerPartial(spark: SparkSession, sourcePath: String,
+      t: IndexedTable, predSql: String): Unit = {
+    val conj = canonicalConjuncts(spark, sourcePath, predSql)
+    register(sourcePath, t.copy(partialConjuncts = Some(conj)))
+  }
+
+  private[plans] def canonicalConjuncts(spark: SparkSession,
+      sourcePath: String, predSql: String): Seq[String] = {
+    val plan = spark.read.parquet(sourcePath).filter(predSql)
+      .queryExecution.optimizedPlan
+    val cond = plan.collectFirst { case Filter(c, _) => c }
+      .getOrElse(throw new IllegalArgumentException(
+        s"predicate '$predSql' optimized away — not a usable partial-index predicate"))
+    conjunctStrings(cond)
+  }
+
+  /** Name-normalized, isnotnull-stripped, sorted conjunct SQL strings —
+    * the comparable form of a predicate. */
+  private[plans] def conjunctStrings(cond: Expression): Seq[String] = {
+    def strip(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => strip(l) ++ strip(r)
+      case IsNotNull(_) => Nil // optimizer-inferred, carries no selectivity
+      case x => Seq(x)
+    }
+    strip(cond).map(_.transform {
+      case a: AttributeReference =>
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(a.name)
+    }.sql).sorted
+  }
 
   def unregister(sourcePath: String): Unit =
     registry.remove(normalize(sourcePath))
 
-  def lookup(paths: Seq[String], metric: String): Option[IndexedTable] =
+  def lookupAll(paths: Seq[String], metric: String): Seq[IndexedTable] =
     paths.map(normalize)
       .flatMap(p => Option(registry.get(p)).getOrElse(Nil))
-      .find(_.metric == metric)
+      .filter(_.metric == metric)
+
+  def lookup(paths: Seq[String], metric: String): Option[IndexedTable] =
+    lookupAll(paths, metric).find(_.partialConjuncts.isEmpty)
 
   private def normalize(p: String): String =
     p.stripPrefix("file:").replaceAll("/+$", "")
@@ -193,15 +236,23 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * projection is exactly {id, dist} (bail otherwise — the replacement
     * produces only those two, and anything else would be silently
     * dropped / left dangling for parents), the table has a matching-
-    * metric index. Returns (idx, alias, idAttr, qLit). */
+    * metric index. With a filter condition, a PARTIAL index whose build
+    * predicate canonically equals the condition wins over the full index
+    * (its artifact is a fraction of the table). Returns
+    * (idx, alias, idAttr, qLit, metric). */
   private def topkPieces(order: Seq[SortOrder],
-      projList: Seq[NamedExpression], rel: LogicalPlan)
+      projList: Seq[NamedExpression], rel: LogicalPlan,
+      cond: Option[Expression] = None)
       : Option[(IndexedTable, Alias, AttributeReference, Literal, String)] = {
     if (!rel.isInstanceOf[LogicalRelation] &&
         !rel.isInstanceOf[org.apache.spark.sql.execution.columnar.InMemoryRelation])
       return None
     val (alias, vecAttr, qLit, metric) = findDistAlias(projList).getOrElse(return None)
-    val idx = lookup(pathsOf(rel), metric).getOrElse(return None)
+    val all = lookupAll(pathsOf(rel), metric)
+    val condConj = cond.map(conjunctStrings)
+    val idx = condConj.flatMap(c => all.find(_.partialConjuncts.contains(c)))
+      .orElse(all.find(_.partialConjuncts.isEmpty))
+      .getOrElse(return None)
     if (vecAttr.name != idx.vecCol) return None
     order.headOption match {
       case Some(SortOrder(attr: AttributeReference, Ascending, _, _))
@@ -253,7 +304,7 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       projList: Seq[NamedExpression], cond: Expression, rel: LogicalPlan)
       : Option[LogicalPlan] = {
     val (idx, alias, idAttr, qLit, metric) =
-      topkPieces(order, projList, rel).getOrElse(return None)
+      topkPieces(order, projList, rel, Some(cond)).getOrElse(return None)
     // the predicate must be over relation columns only (never the dist)
     if (!cond.references.subsetOf(AttributeSet(rel.output))) return None
     val manifest = graft.index.IndexCatalog.load(spark, idx.indexName)

@@ -73,6 +73,14 @@ object AnnQueries {
     IvfPq.ensure(s, s"ivfpq_${san(d)}", t(s, d, "embeddings"), d,
       "vec_id", "embedding", nlist = 16)
 
+  /** PARTIAL l2 IVF over `vec_id % 7 = 0` (reference partial indexes:
+    * `CREATE INDEX ... WHERE pred`) — the artifact holds only matching
+    * rows, 1/7 of the table. */
+  def ivfPartial(s: SparkSession, d: String): (IvfIndex.Model, String) =
+    IvfIndex.ensure(s, s"ivf_l2_part7_${san(d)}",
+      t(s, d, "embeddings").filter(col("vec_id") % 7 === 0), d,
+      "embedding", "l2", nlist = 8)
+
   /** Build-once vector segment store: base = embeddings, reinsert mirror
     * ids (+20000 for vec_id < 5), delete ids 1 and 20003. */
   def ensureVecSegments(s: SparkSession, d: String): String = {
@@ -99,7 +107,7 @@ object AnnQueries {
     ivf(s, d, "l2"); ivf(s, d, "cos"); ivf(s, d, "dot")
     sq8(s, d); pq(s, d); rabitq(s, d)
     hnsw(s, d, 4); hnsw(s, d, 1); hnsw(s, d, 4, "cos"); hnsw(s, d, 1, "cos")
-    bvecAnn(s, d); f16Ann(s, d); ivfpq(s, d); sparse(s, d)
+    bvecAnn(s, d); f16Ann(s, d); ivfpq(s, d); ivfPartial(s, d); sparse(s, d)
     ensureVecSegments(s, d)
   }
 
@@ -221,6 +229,39 @@ object AnnQueries {
         .select(col("vec_id"),
           l2sq(col("embedding"), typedLit(qvec(s, d))).as("dist"))
         .orderBy(col("dist")).limit(100)
+    }),
+    // PARTIAL index: the filtered top-k resolves to the predicate-scoped
+    // artifact (1/7 of the table) when the query predicate canonically
+    // matches the build predicate (exact at nprobe=nlist -> same
+    // filtered flat oracle)
+    "q_topk_pushdown_partial" -> ((s, d) => {
+      import graft.plans.AnnPushdown
+      val (m, _) = ivfPartial(s, d)
+      AnnPushdown.install(s)
+      AnnPushdown.registerPartial(s, s"$d/embeddings.parquet",
+        AnnPushdown.IndexedTable(s"ivf_l2_part7_${san(d)}", "vec_id",
+          "embedding"), "vec_id % 7 = 0")
+      val prevEnabled = s.conf.get("spark.graft.ann.enabled", "false")
+      val prevNprobe = s.conf.get("spark.graft.ann.nprobe", "10")
+      s.conf.set("spark.graft.ann.enabled", "true")
+      s.conf.set("spark.graft.ann.nprobe", m.nlist.toString)
+      try {
+        val df = s.read.parquet(s"$d/embeddings.parquet")
+          .filter(col("vec_id") % 7 === 0)
+          .select(col("vec_id"),
+            l2sq(col("embedding"), typedLit(qvec(s, d))).as("dist"))
+          .orderBy(col("dist")).limit(100)
+        val optimized = df.queryExecution.optimizedPlan
+        // the artifact path only prints in the PHYSICAL plan
+        assert(df.queryExecution.sparkPlan.toString.contains("part7"),
+          "filtered top-k did not resolve to the partial index artifact")
+        org.apache.spark.sql.graftshim.Shims.ofRows(s, optimized)
+          .orderBy(col("dist"), col("vec_id"))
+      } finally {
+        s.conf.set("spark.graft.ann.enabled", prevEnabled)
+        s.conf.set("spark.graft.ann.nprobe", prevNprobe)
+        AnnPushdown.unregister(s"$d/embeddings.parquet")
+      }
     }),
 
     // dot-product opclass exact twin
@@ -409,6 +450,12 @@ object AnnQueries {
          FROM n e CROSS JOIN (SELECT ne FROM n WHERE vec_id = 0) q
          ORDER BY dist, vec_id LIMIT 100""",
     "q_topk_pushdown_filtered" ->
+      """SELECT e.vec_id AS vec_id,
+         list_aggregate(list_transform(list_zip(e.embedding, q.qv), p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), 'sum') AS dist
+         FROM embeddings e CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+         WHERE e.vec_id % 7 = 0
+         ORDER BY dist, vec_id LIMIT 100""",
+    "q_topk_pushdown_partial" ->
       """SELECT e.vec_id AS vec_id,
          list_aggregate(list_transform(list_zip(e.embedding, q.qv), p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), 'sum') AS dist
          FROM embeddings e CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q

@@ -368,6 +368,7 @@ object DocQueries {
            ('hnsw_l2_p1__root_testdata_sf0_01','hnsw','l2','ef_construction=300,files=1,format=flatbin1,m=12,parts=1',TRUE),
            ('hnsw_l2_p4__root_testdata_sf0_01','hnsw','l2','ef_construction=300,files=4,format=flatbin1,m=12,parts=4',TRUE),
            ('ivf_cos__root_testdata_sf0_01','ivf','cos','nlist=16',TRUE),
+           ('ivf_l2_part7__root_testdata_sf0_01','ivf','l2','nlist=8',TRUE),
            ('ivf_dot__root_testdata_sf0_01','ivf','dot','nlist=16',TRUE),
            ('ivf_l2__root_testdata_sf0_01','ivf','l2','nlist=16',TRUE),
            ('ivfpq__root_testdata_sf0_01','ivfpq','l2','dims=64,kind2=ivfpq,ks=16,m=8,nlist=16',TRUE),

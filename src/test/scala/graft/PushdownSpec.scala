@@ -127,6 +127,38 @@ class PushdownSpec extends SparkSpec {
     }
   }
 
+  test("partial index: matching filter resolves to it, non-matching falls back") {
+    withPushdown { fullDir =>
+    val (_, partDir) = AnnQueries.ivfPartial(spark, sf001)
+    AnnPushdown.registerPartial(spark, s"$sf001/embeddings.parquet",
+      AnnPushdown.IndexedTable(
+        s"ivf_l2_part7_${sf001.replaceAll("[^a-zA-Z0-9]", "_")}",
+        "vec_id", "embedding"), "vec_id % 7 = 0")
+    def q7 = spark.read.parquet(s"$sf001/embeddings.parquet")
+      .filter(col("vec_id") % 7 === 0)
+      .select(col("vec_id"),
+        graft.functions.l2sq(col("embedding"), typedLit(q)).as("dist"))
+      .orderBy(col("dist")).limit(10)
+    spark.conf.set("spark.graft.ann.enabled", "false")
+    val baseline = q7.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    spark.conf.set("spark.graft.ann.enabled", "true")
+    spark.conf.set("spark.graft.ann.nprobe", "8")
+    val plan = q7.queryExecution.executedPlan.toString
+    assert(plan.contains(partDir), s"matching filter should scan the PARTIAL artifact:\n$plan")
+    assert(q7.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq == baseline)
+    // a different predicate must NOT use the partial artifact
+    spark.conf.set("spark.graft.ann.nprobe", "16")
+    val q5 = spark.read.parquet(s"$sf001/embeddings.parquet")
+      .filter(col("vec_id") % 5 === 0)
+      .select(col("vec_id"),
+        graft.functions.l2sq(col("embedding"), typedLit(q)).as("dist"))
+      .orderBy(col("dist")).limit(10)
+    val plan5 = q5.queryExecution.executedPlan.toString
+    assert(!plan5.contains(partDir), "non-matching filter must not use the partial index")
+    assert(plan5.contains(fullDir), "non-matching filter should fall back to the full index")
+    }
+  }
+
   test("range (sphere) predicate pushdown prunes lists, stays exact") {
     withPushdown { dataDir =>
     def rangeDf = spark.read.parquet(s"$sf001/embeddings.parquet")
