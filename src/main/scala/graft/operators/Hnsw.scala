@@ -259,6 +259,21 @@ object Hnsw {
       searchLayer(q, ep, math.max(efSearch, k), 0)
         .take(k).map { case (d, n) => (d, ids(n)) }
     }
+
+    /** PROVABLY exhaustive top-k over the stored vectors — the exact-mode
+      * contract. Graph traversal at huge ef only reaches the entry's
+      * connected component, which duplicate-heavy spaces (binarized
+      * Hamming) can disconnect; exact mode must not depend on
+      * reachability, so it scans the columnar vectors flat (the
+      * reference's exact mode is likewise a flat scan). */
+    def bruteForce(q: Array[Float], k: Int): Seq[(Double, Long)] = {
+      val n = ids.length
+      if (n == 0) return Nil
+      val all = new Array[(Double, Long)](n)
+      var i = 0
+      while (i < n) { all(i) = (distTo(q, i), ids(i)); i += 1 }
+      all.sortBy(identity).take(k).toSeq
+    }
   }
 
   object FlatGraph {
@@ -374,10 +389,13 @@ object Hnsw {
       df: => DataFrame, source: String, idCol: String, vecCol: String,
       metric: String, parts: Int, m: Int = 12, efConstruction: Int = 300): String = {
     import graft.index.IndexCatalog
-    // `format` participates in staleness: artifacts written in an older
-    // layout (round-2 parquet blobs) rebuild instead of mis-reading
+    // format AND build params participate in staleness: an older layout
+    // or different (m, efConstruction, parts) rebuilds instead of
+    // silently serving the stale artifact
     IndexCatalog.ensure(spark, name, source,
-        requires = Map("format" -> "flatbin1")) { dataDir =>
+        requires = Map("format" -> "flatbin1", "m" -> m.toString,
+          "ef_construction" -> efConstruction.toString,
+          "parts" -> parts.toString)) { dataDir =>
       import spark.implicits._
       // cosine follows the IVF rewrite: normalize at build, search by dot
       val nonNull = df.filter(col(vecCol).isNotNull)
@@ -425,7 +443,8 @@ object Hnsw {
     * once per executor (GraphCache) and the task carries only a file
     * path, so repeat queries do no artifact I/O at all. */
   def searchIndex(spark: org.apache.spark.sql.SparkSession, path: String,
-      idCol: String, q: Array[Float], k: Int, efSearch: Int = 100): DataFrame = {
+      idCol: String, q: Array[Float], k: Int, efSearch: Int = 100,
+      exact: Boolean = false): DataFrame = {
     import spark.implicits._
     val dirPath = new org.apache.hadoop.fs.Path(path)
     val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -442,9 +461,16 @@ object Hnsw {
         // cosine distance 1 - dot, the reference's convention
         // (am_options.rs:244-249), matching the IVF cos path.
         val off = if (g.metric == "cos") 1.0 else 0.0
-        g.search(bq.value, k, efSearch)
-          .iterator.map { case (d, id) => (id, d + off) }
+        val res = if (exact) g.bruteForce(bq.value, k)
+                  else g.search(bq.value, k, efSearch)
+        res.iterator.map { case (d, id) => (id, d + off) }
       }.toDF(idCol, "dist")
     hits.orderBy(col("dist"), col(idCol)).limit(k)
   }
+
+  /** Exact-mode search over a (single-graph) artifact: flat scan of the
+    * stored vectors, provably the brute-force top-k. */
+  def searchIndexExact(spark: org.apache.spark.sql.SparkSession,
+      path: String, idCol: String, q: Array[Float], k: Int): DataFrame =
+    searchIndex(spark, path, idCol, q, k, exact = true)
 }

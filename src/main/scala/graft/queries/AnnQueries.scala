@@ -73,6 +73,27 @@ object AnnQueries {
     IvfPq.ensure(s, s"ivfpq_${san(d)}", t(s, d, "embeddings"), d,
       "vec_id", "embedding", nlist = 16)
 
+  /** bvector Hamming HNSW (opclass bvector_hamming_ops): graphs over the
+    * densified 0/1 view — l2sq on 0/1 vectors IS Hamming distance, so
+    * the stock graph + kernels give exact Hamming semantics. (HNSW
+    * graphs are memory-resident f32; the compact-payload scale path for
+    * bvector is [[graft.operators.TypedAnn]].) */
+  def bvecHnsw(s: SparkSession, d: String, parts: Int): String =
+    Hnsw.ensure(s, s"hnswbv_p${parts}_${san(d)}",
+      t(s, d, "embeddings").select(col("vec_id"),
+        bvecToDense(binarize(col("embedding"))).as("bv01")),
+      d, "vec_id", "bv01", "l2", parts)
+
+  /** vecf16 L2 HNSW (opclass vecf16_l2_ops): graphs over the f16-rounded
+    * f32 view of the same small-int fixture vectors the vecf16 IVF
+    * indexes — f16 rounding is exact on them, so the exact twin carries
+    * the same double-arithmetic oracle. */
+  def f16Hnsw(s: SparkSession, d: String, parts: Int): String =
+    Hnsw.ensure(s, s"hnswf16_p${parts}_${san(d)}",
+      f16Source(s, d).select(col("c_custkey"),
+        f16ToVector(toF16Bits(col("v4"))).as("v16")),
+      d, "c_custkey", "v16", "l2", parts)
+
   /** PARTIAL l2 IVF over `vec_id % 7 = 0` (reference partial indexes:
     * `CREATE INDEX ... WHERE pred`) — the artifact holds only matching
     * rows, 1/7 of the table. */
@@ -107,6 +128,7 @@ object AnnQueries {
     ivf(s, d, "l2"); ivf(s, d, "cos"); ivf(s, d, "dot")
     sq8(s, d); pq(s, d); rabitq(s, d)
     hnsw(s, d, 4); hnsw(s, d, 1); hnsw(s, d, 4, "cos"); hnsw(s, d, 1, "cos")
+    bvecHnsw(s, d, 1); f16Hnsw(s, d, 1)
     bvecAnn(s, d); f16Ann(s, d); ivfpq(s, d); ivfPartial(s, d); sparse(s, d)
     ensureVecSegments(s, d)
   }
@@ -289,10 +311,10 @@ object AnnQueries {
       Hnsw.searchIndex(s, hnsw(s, d, 4), "vec_id", qvec(s, d), k = 100,
         efSearch = efSearchConf(s))
     }),
-    // exact mode: one graph, ef covers the whole (connected) graph
+    // exact mode: single-graph artifact, provably-exhaustive flat scan of
+    // the stored vectors (graph reachability is NOT part of the contract)
     "q_hnsw_exact_l2" -> ((s, d) => {
-      Hnsw.searchIndex(s, hnsw(s, d, 1), "vec_id", qvec(s, d), k = 100,
-        efSearch = 1 << 22)
+      Hnsw.searchIndexExact(s, hnsw(s, d, 1), "vec_id", qvec(s, d), k = 100)
     }),
     // cosine: normalized-at-build graphs searched by dot
     "q_hnsw_topk_cos" -> ((s, d) => {
@@ -300,12 +322,11 @@ object AnnQueries {
         IvfIndex.Kernels.normalize(qvec(s, d)), k = 100,
         efSearch = efSearchConf(s))
     }),
-    // cos exact twin: one graph, exhaustive ef — reuses the IVF cos
-    // oracle (normalize-at-build + dot-in-double replayed bit-exactly)
+    // cos exact twin: flat scan of the normalized-at-build artifact —
+    // reuses the IVF cos oracle (dot-in-double replayed bit-exactly)
     "q_hnsw_exact_cos" -> ((s, d) => {
-      Hnsw.searchIndex(s, hnsw(s, d, 1, "cos"), "vec_id",
-        IvfIndex.Kernels.normalize(qvec(s, d)), k = 100,
-        efSearch = 1 << 22)
+      Hnsw.searchIndexExact(s, hnsw(s, d, 1, "cos"), "vec_id",
+        IvfIndex.Kernels.normalize(qvec(s, d)), k = 100)
     }),
 
     // SQ8: persisted codes -> coarse scan -> rerank window -> exact top-k
@@ -382,6 +403,22 @@ object AnnQueries {
       val (m, path) = bvecAnn(s, d)
       TypedAnn.searchBvec(s, path, m, "vec_id", qvec(s, d), k = 100,
         nprobe = m.nlist)
+    }),
+
+    // bvector Hamming HNSW exact twin: flat scan of the 0/1-view
+    // artifact — l2sq(0/1) == Hamming, so it carries the same
+    // brute-force Hamming oracle as the bvector IVF. (Graph traversal
+    // is NOT used in exact mode: duplicate-heavy Hamming spaces can
+    // disconnect the graph.)
+    "q_bvec_hnsw_exact" -> ((s, d) => {
+      val q01 = qvec(s, d).map(x => if (x > 0f) 1f else 0f)
+      Hnsw.searchIndexExact(s, bvecHnsw(s, d, 1), "vec_id", q01, k = 100)
+    }),
+    // vecf16 L2 HNSW exact twin: flat scan over f16-rounded small-int
+    // vectors — same double-arithmetic oracle as the vecf16 IVF
+    "q_vecf16_hnsw_exact" -> ((s, d) => {
+      Hnsw.searchIndexExact(s, f16Hnsw(s, d, 1), "c_custkey",
+        Array(12f, 50f, 3f, 7f), k = 100)
     }),
 
     // vecf16 L2 IVF: f16 half-word payload scan, f16-rounded centroids
@@ -482,6 +519,18 @@ object AnnQueries {
          CAST(list_aggregate(list_transform(list_zip(e.embedding, q.qv), p -> CASE WHEN (p[1] > 0) <> (p[2] > 0) THEN 1 ELSE 0 END), 'sum') AS DOUBLE) AS dist
          FROM embeddings e CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
          ORDER BY dist, vec_id LIMIT 100""",
+    "q_bvec_hnsw_exact" ->
+      """SELECT e.vec_id AS vec_id,
+         CAST(list_aggregate(list_transform(list_zip(e.embedding, q.qv), p -> CASE WHEN (p[1] > 0) <> (p[2] > 0) THEN 1 ELSE 0 END), 'sum') AS DOUBLE) AS dist
+         FROM embeddings e CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+         ORDER BY dist, vec_id LIMIT 100""",
+    "q_vecf16_hnsw_exact" ->
+      """SELECT c_custkey,
+         (CAST(c_nationkey AS DOUBLE) - 12) * (CAST(c_nationkey AS DOUBLE) - 12)
+           + (CAST(c_custkey % 100 AS DOUBLE) - 50) * (CAST(c_custkey % 100 AS DOUBLE) - 50)
+           + (CAST(c_custkey % 7 AS DOUBLE) - 3) * (CAST(c_custkey % 7 AS DOUBLE) - 3)
+           + (CAST(c_custkey % 13 AS DOUBLE) - 7) * (CAST(c_custkey % 13 AS DOUBLE) - 7) AS dist
+         FROM customer ORDER BY dist, c_custkey LIMIT 100""",
     "q_vecf16_ann_exact" ->
       """SELECT c_custkey,
          (CAST(c_nationkey AS DOUBLE) - 12) * (CAST(c_nationkey AS DOUBLE) - 12)

@@ -366,6 +366,9 @@ object DocQueries {
            ('hnsw_cos_p1__root_testdata_sf0_01','hnsw','cos','ef_construction=300,files=1,format=flatbin1,m=12,parts=1',TRUE),
            ('hnsw_cos_p4__root_testdata_sf0_01','hnsw','cos','ef_construction=300,files=4,format=flatbin1,m=12,parts=4',TRUE),
            ('hnsw_l2_p1__root_testdata_sf0_01','hnsw','l2','ef_construction=300,files=1,format=flatbin1,m=12,parts=1',TRUE),
+           ('hnswbv_p1__root_testdata_sf0_01','hnsw','l2','ef_construction=300,files=1,format=flatbin1,m=12,parts=1',TRUE),
+
+           ('hnswf16_p1__root_testdata_sf0_01','hnsw','l2','ef_construction=300,files=1,format=flatbin1,m=12,parts=1',TRUE),
            ('hnsw_l2_p4__root_testdata_sf0_01','hnsw','l2','ef_construction=300,files=4,format=flatbin1,m=12,parts=4',TRUE),
            ('ivf_cos__root_testdata_sf0_01','ivf','cos','nlist=16',TRUE),
            ('ivf_l2_part7__root_testdata_sf0_01','ivf','l2','nlist=8',TRUE),

@@ -106,6 +106,9 @@ class AnnSpec extends SparkSpec {
     val flat = g.snapshot
     // snapshot searches identically to the builder
     assert(flat.search(q, 50) == g.search(q, 50))
+    // on the f32 fixture the graph is connected: exhaustive-ef traversal
+    // agrees with the provable flat scan (exact mode uses the latter)
+    assert(flat.search(q, 50, 1 << 22) == flat.bruteForce(q, 50))
     // binary roundtrip (NO Java object serialization) is lossless
     val bos = new java.io.ByteArrayOutputStream()
     Hnsw.FlatGraph.write(new java.io.DataOutputStream(bos), flat)
