@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions._
-import graft.operators.{Hnsw, IvfIndex, IvfPq, Pq, Rabitq, SparseSearch, Sq8, TypedAnn}
+import graft.operators.{Hnsw, IvfIndex, IvfPq, IvfSq, Pq, Rabitq, SparseSearch, Sq8, TypedAnn}
 
 /**
  * ANN search paths (SURVEY §2.6): IVF (partition-pruned index table),
@@ -94,6 +94,10 @@ object AnnQueries {
         f16ToVector(toF16Bits(col("v4"))).as("v16")),
       d, "c_custkey", "v16", "l2", parts)
 
+  def ivfsq(s: SparkSession, d: String): (IvfSq.Model, String) =
+    IvfSq.ensure(s, s"ivfsq8_${san(d)}", t(s, d, "embeddings"), d,
+      "vec_id", "embedding", nlist = 16)
+
   /** PARTIAL l2 IVF over `vec_id % 7 = 0` (reference partial indexes:
     * `CREATE INDEX ... WHERE pred`) — the artifact holds only matching
     * rows, 1/7 of the table. */
@@ -129,7 +133,8 @@ object AnnQueries {
     sq8(s, d); pq(s, d); rabitq(s, d)
     hnsw(s, d, 4); hnsw(s, d, 1); hnsw(s, d, 4, "cos"); hnsw(s, d, 1, "cos")
     bvecHnsw(s, d, 1); f16Hnsw(s, d, 1)
-    bvecAnn(s, d); f16Ann(s, d); ivfpq(s, d); ivfPartial(s, d); sparse(s, d)
+    bvecAnn(s, d); f16Ann(s, d); ivfpq(s, d); ivfsq(s, d); ivfPartial(s, d)
+    sparse(s, d)
     ensureVecSegments(s, d)
   }
 
@@ -392,6 +397,20 @@ object AnnQueries {
         k = 100, nprobe = m.coarse.nlist, window = 0)
     }),
 
+    // IVF×SQ8 residual composition: pruned partitions, u8 residual codes
+    // scored against the per-list residual query, windowed exact rerank
+    "q_ivfsq8_topk_l2" -> ((s, d) => {
+      val (m, path) = ivfsq(s, d)
+      IvfSq.search(s, path, m, "vec_id", "embedding", qvec(s, d),
+        k = 100, nprobe = nprobeConf(s), window = sq8WindowConf(s))
+    }),
+    // exact mode: every list probed, no decode -> provably the flat scan
+    "q_ivfsq8_exact_l2" -> ((s, d) => {
+      val (m, path) = ivfsq(s, d)
+      IvfSq.search(s, path, m, "vec_id", "embedding", qvec(s, d),
+        k = 100, nprobe = m.coarse.nlist, window = 0)
+    }),
+
     // bvector Hamming IVF: packed-word payload scan, 0/1-space centroids
     "q_bvec_ann_topk" -> ((s, d) => {
       val (m, path) = bvecAnn(s, d)
@@ -540,6 +559,7 @@ object AnnQueries {
          FROM customer ORDER BY dist, c_custkey LIMIT 100""",
     "q_pq_exact_l2" -> exactL2Oracle,
     "q_ivfpq_exact_l2" -> exactL2Oracle,
+    "q_ivfsq8_exact_l2" -> exactL2Oracle,
     "q_rabitq_exact_l2" -> exactL2Oracle,
     "q_hybrid_topk" ->
       """WITH delta AS (

@@ -39,4 +39,17 @@ object StreamingIngest {
         col(keyCol))
       .agg(count(lit(1)).as("cnt"))
       .select(col(s"window.start").as("w_start"), col(keyCol), col("cnt"))
+
+  /** Streaming EXACT dedup (the continuous-ingest form of
+    * q_dedup_exact): keep the first arrival of each content hash, with
+    * the dedup state bounded by the watermark — the standard shape for a
+    * training-data ingest pipeline that must not admit the same document
+    * twice. At 100 TB the state store holds only hashes inside the
+    * watermark horizon; historical dedup is the batch content-hash join. */
+  def dedupByContent(stream: DataFrame, textCol: String, tsCol: String,
+      watermark: String): DataFrame =
+    stream
+      .withColumn("content_hash", md5(col(textCol).cast("binary")))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicates("content_hash")
 }

@@ -62,6 +62,23 @@ class PqSpec extends SparkSpec {
     graft.index.IndexCatalog.drop(spark, name)
   }
 
+  test("IVF+SQ8 residual: exact at full probe/window; windowed recall >= 0.9") {
+    import graft.operators.IvfSq
+    val name = "pqspec_ivfsq"
+    graft.index.IndexCatalog.drop(spark, name)
+    val (m, path) = IvfSq.ensure(spark, name, emb,
+      s"$sf0001/embeddings.parquet", "vec_id", "embedding", nlist = 8)
+    val exact = IvfSq.search(spark, path, m, "vec_id", "embedding", q, 50,
+      nprobe = 8, window = 0).select("vec_id").as[Long].collect().toSeq
+    assert(exact == flatTopk(50))
+    val got = IvfSq.search(spark, path, m, "vec_id", "embedding", q, 50,
+      nprobe = 8, window = 4).select("vec_id").as[Long].collect().toSet
+    val truth = flatTopk(50).toSet
+    val recall = (got & truth).size.toDouble / truth.size
+    assert(recall >= 0.9, s"recall=$recall")
+    graft.index.IndexCatalog.drop(spark, name)
+  }
+
   test("training is deterministic and codes compress dims*4 -> m bytes") {
     val model2 = Pq.train(emb, "embedding", m = 8, ks = 16)
     assert(model.codebook.toSeq == model2.codebook.toSeq)

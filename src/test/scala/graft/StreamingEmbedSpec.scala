@@ -92,6 +92,26 @@ class StreamingEmbedSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming exact dedup keeps first arrival per content hash") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val deduped = StreamingIngest.dedupByContent(
+      source.toDF().toDF("doc_id", "ts", "text"), "text", "ts", "10 minutes")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_stream").start()
+    try {
+      def ts(m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+      source.addData((1L, ts(1), "the quick fox"), (2L, ts(2), "a lazy dog"))
+      q.processAllAvailable()
+      // same content re-arrives (different doc_id, later ts) -> dropped
+      source.addData((3L, ts(3), "the quick fox"), (4L, ts(4), "fresh text"))
+      q.processAllAvailable()
+      val got = spark.table("dedup_stream")
+        .select("doc_id").as[Long].collect().toSet
+      assert(got == Set(1L, 2L, 4L))
+    } finally q.stop()
+  }
+
   test("batch embedding: unit norm, deterministic, token-overlap knn") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
       .select(col("doc_id"), col("text"))
