@@ -59,6 +59,34 @@ object MultiModal {
     }
   }
 
+  case class FrameRow(doc_id: Long, frame_idx: Long, n_frame_bytes: Long,
+      feature: Array[Float])
+
+  /** Frame sampling (the video-pipeline shape): split each payload into
+    * fixed `frameBytes` chunks, keep every `stride`-th frame, featurize
+    * each — one flatMap pass, codec init once per partition. At 100 TB
+    * this is the standard decode-fanout: rows multiply by
+    * nFrames/stride, so the stage after it repartitions by size, not
+    * count. */
+  def sampleFrames(media: Dataset[MediaRow], frameBytes: Int,
+      stride: Int): Dataset[FrameRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // real pipeline: open the video codec ONCE here
+      it.flatMap { r =>
+        val n = r.payload.length
+        val nFrames = (n + frameBytes - 1) / frameBytes
+        (0 until nFrames).iterator.filter(_ % stride == 0).map { f =>
+          val from = f * frameBytes
+          val until = math.min(from + frameBytes, n)
+          val chunk = java.util.Arrays.copyOfRange(r.payload, from, until)
+          FrameRow(r.doc_id, f.toLong, chunk.length.toLong,
+            featurizeKernel(decodeStub(chunk, r.mime)))
+        }
+      }
+    }
+  }
+
   /** Wrap a text table as a media table (payload = utf-8 bytes) — the
     * fixture path used by queries/tests in this corpus. */
   def asMedia(docs: DataFrame, idCol: String, textCol: String): Dataset[MediaRow] = {

@@ -44,6 +44,33 @@ object SparseSearch {
     IndexCatalog.dataDir(spark, name)
   }
 
+  /** One-time CREATE INDEX job for the PRUNED (approximate) variant:
+    * impact-ordered posting truncation — keep only the `topM`
+    * highest-|value| postings per token (the static index-pruning used
+    * by real sparse engines: low-impact postings can't move the top-k
+    * much). At 100 TB this caps every posting list, turning worst-case
+    * hot tokens from full-corpus scans into M-row reads. Approximate:
+    * recall measured in SparseSpec; the exact twin is [[ensure]]. */
+  def ensurePruned(spark: org.apache.spark.sql.SparkSession, name: String,
+      docs: => DataFrame, source: String, idCol: String, svecCol: String,
+      topM: Int): String = {
+    import graft.index.IndexCatalog
+    import org.apache.spark.sql.expressions.Window
+    IndexCatalog.ensure(spark, name, source,
+        requires = Map("top_m" -> topM.toString)) { dataDir =>
+      val w = Window.partitionBy(col("token"))
+        .orderBy(abs(col("value")).desc, col(idCol))
+      buildPostings(docs, idCol, svecCol)
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= topM).drop("rank")
+        .withColumn("bucket", pmod(col("token"), lit(TokenBuckets)))
+        .write.mode("overwrite").partitionBy("bucket").parquet(dataDir)
+      IndexCatalog.Manifest("sparse_pruned", source, "dot",
+        Map("buckets" -> TokenBuckets.toString, "top_m" -> topM.toString))
+    }
+    IndexCatalog.dataDir(spark, name)
+  }
+
   /** Search the persisted posting table: bucket partition pruning + the
     * broadcast term join. */
   def searchIndex(spark: org.apache.spark.sql.SparkSession, path: String,

@@ -41,6 +41,12 @@ object AnnQueries {
   def sparse(s: SparkSession, d: String): String =
     SparseSearch.ensure(s, s"sparse_${san(d)}", sparseDocs(s, d), d, "vec_id", "sv")
 
+  def sparsePruned(s: SparkSession, d: String): String =
+    // top_m=1024: ~8x truncation of the sf0.1 posting lists; a no-op at
+    // sf0.01 where lists are shorter than the cap
+    SparseSearch.ensurePruned(s, s"sparsepr_${san(d)}", sparseDocs(s, d), d,
+      "vec_id", "sv", topM = 1024)
+
   def pq(s: SparkSession, d: String): (Pq.Model, String) =
     Pq.ensure(s, s"pq_${san(d)}", t(s, d, "embeddings"), d, "vec_id", "embedding")
 
@@ -134,7 +140,7 @@ object AnnQueries {
     hnsw(s, d, 4); hnsw(s, d, 1); hnsw(s, d, 4, "cos"); hnsw(s, d, 1, "cos")
     bvecHnsw(s, d, 1); f16Hnsw(s, d, 1)
     bvecAnn(s, d); f16Ann(s, d); ivfpq(s, d); ivfsq(s, d); ivfPartial(s, d)
-    sparse(s, d)
+    sparse(s, d); sparsePruned(s, d)
     ensureVecSegments(s, d)
   }
 
@@ -467,6 +473,15 @@ object AnnQueries {
     // Sparse inverted index: EXACT, full oracle, persisted postings
     "q_sparse_topk" -> ((s, d) => {
       val path = sparse(s, d)
+      val qTerms = sparseDocs(s, d).filter(col("vec_id") === 0)
+        .select(col("sv.indexes"), col("sv.values")).head()
+      val terms = qTerms.getSeq[Int](0).zip(qTerms.getSeq[Float](1))
+      SparseSearch.searchIndex(s, path, "vec_id", terms, k = 50)
+    }),
+    // approximate scale path: impact-pruned postings (top-M per token) —
+    // rows-only; recall vs the exact index in AnnSpec
+    "q_sparse_topk_pruned" -> ((s, d) => {
+      val path = sparsePruned(s, d)
       val qTerms = sparseDocs(s, d).filter(col("vec_id") === 0)
         .select(col("sv.indexes"), col("sv.values")).head()
       val terms = qTerms.getSeq[Int](0).zip(qTerms.getSeq[Float](1))

@@ -266,6 +266,22 @@ object DocQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // --- multimodal frame sampling (video analog): 64-byte frames,
+    //     every 2nd kept, per-frame byte-histogram features — the
+    //     decode-fanout batch shape with a full value oracle (payloads
+    //     are ASCII, so DuckDB can replay the byte histogram) ---
+    "q_multimodal_frames" -> ((s, d) => {
+      import graft.operators.MultiModal
+      val frames = MultiModal.sampleFrames(
+        MultiModal.asMedia(docs(s, d), "doc_id", "text"),
+        frameBytes = 64, stride = 2)
+      frames.toDF()
+        .select(col("doc_id"), col("frame_idx"), col("n_frame_bytes"),
+          element_at(col("feature"), 1).as("f0"),
+          element_at(col("feature"), 6).as("f5"))
+        .orderBy(col("doc_id"), col("frame_idx"))
+    }),
+
     // --- batch embedding (text2vec analog, MLlib HashingTF+IDF+L2):
     //     contract-checked via oracle (dims, unit norm); semantic knn in
     //     EmbedSpec ---
@@ -379,6 +395,7 @@ object DocQueries {
            ('pq__root_testdata_sf0_01','pq','l2','dims=64,ks=16,m=8',TRUE),
            ('rabitq__root_testdata_sf0_01','rabitq','l2','dims=64',TRUE),
            ('sparse__root_testdata_sf0_01','sparse','dot','buckets=64',TRUE),
+           ('sparsepr__root_testdata_sf0_01','sparse_pruned','dot','buckets=64,top_m=1024',TRUE),
            ('sq8__root_testdata_sf0_01','sq8','l2','bits=8',TRUE)
          ) AS t(idx_name, idx_type, idx_metric, idx_options, has_data)
          ORDER BY idx_name""",
@@ -393,6 +410,19 @@ object DocQueries {
          CAST(len(list_filter(string_split(text, ' '), x -> x = 'the' OR x = 'a')) AS DOUBLE)
            / len(string_split(text, ' ')) AS stop_ratio
          FROM documents ORDER BY doc_id""",
+
+    "q_multimodal_frames" ->
+      """WITH f AS (
+           SELECT doc_id, unnest(range(CAST(ceil(length(text) / 64.0) AS BIGINT))) AS frame_idx, text
+           FROM documents),
+         fr AS (
+           SELECT doc_id, frame_idx,
+             substring(text, CAST(frame_idx * 64 + 1 AS INT), 64) AS chunk
+           FROM f WHERE frame_idx % 2 = 0)
+         SELECT doc_id, frame_idx, CAST(length(chunk) AS BIGINT) AS n_frame_bytes,
+           CAST(CAST(len(list_filter(range(1, length(chunk) + 1), i -> ord(substring(chunk, CAST(i AS INT), 1)) % 16 = 0)) AS FLOAT) / CAST(length(chunk) AS FLOAT) AS FLOAT) AS f0,
+           CAST(CAST(len(list_filter(range(1, length(chunk) + 1), i -> ord(substring(chunk, CAST(i AS INT), 1)) % 16 = 5)) AS FLOAT) / CAST(length(chunk) AS FLOAT) AS FLOAT) AS f5
+         FROM fr ORDER BY doc_id, frame_idx""",
 
     "q_token_count" ->
       """SELECT token, count(*) AS cnt, count(DISTINCT doc_id) AS n_docs

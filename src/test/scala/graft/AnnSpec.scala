@@ -98,6 +98,43 @@ class AnnSpec extends SparkSpec {
     graft.index.IndexCatalog.drop(spark, fName)
   }
 
+  test("sparse pruned postings: lists capped at top-M, recall tracks M") {
+    import graft.operators.SparseSearch
+    val sv = emb.select($"vec_id",
+      graft.functions.svecFromDense(
+        transform($"embedding", x => when(abs(x) > lit(0.15), x).otherwise(lit(0.0f))))
+        .as("sv"))
+    val qTerms = sv.filter($"vec_id" === 0)
+      .select($"sv.indexes", $"sv.values").head()
+    val terms = qTerms.getSeq[Int](0).zip(qTerms.getSeq[Float](1))
+    val exact = SparseSearch
+      .search(SparseSearch.buildPostings(sv, "vec_id", "sv"), "vec_id", terms, 50)
+      .select("vec_id").as[Long].collect().toSet
+    // NOTE: this synthetic corpus has a 64-token vocabulary, so every
+    // posting list holds ~40% of all docs — impact pruning is unusually
+    // harsh here compared to Zipfian real-text vocabularies. The spec
+    // checks the MECHANISM (hard cap per token) and that recall rises
+    // with M toward exactness.
+    def recallAt(m: Int): Double = {
+      val name = s"annspec_sparsepr_$m"
+      graft.index.IndexCatalog.drop(spark, name)
+      val path = SparseSearch.ensurePruned(spark, name, sv,
+        s"$sf001/embeddings.parquet", "vec_id", "sv", topM = m)
+      val maxLen = spark.read.parquet(path)
+        .groupBy($"token").count().agg(max($"count")).as[Long].head()
+      assert(maxLen <= m, s"posting list exceeded cap: $maxLen > $m")
+      val pruned = SparseSearch.searchIndex(spark, path, "vec_id", terms, 50)
+        .select("vec_id").as[Long].collect()
+      assert(pruned.length == 50)
+      graft.index.IndexCatalog.drop(spark, name)
+      (pruned.toSet & exact).size / 50.0
+    }
+    val r64 = recallAt(64)
+    val r192 = recallAt(192)
+    assert(r192 >= r64, s"recall must not fall as M grows: $r64 -> $r192")
+    assert(r192 >= 0.9, s"recall@M=192 too low: $r192")
+  }
+
   test("HNSW flat artifact: binary roundtrip preserves search; cache resident") {
     val g = new Hnsw.Graph("l2")
     emb.select($"vec_id", $"embedding").as[(Long, Array[Float])]
