@@ -147,5 +147,19 @@ package object functions {
       es => VecSum(es.head).toAggregateExpression(), "scala_udf")
     reg.createOrReplaceTempFunction("vec_avg",
       es => VecAvg(es.head).toAggregateExpression(), "scala_udf")
+
+    // text/dedup kernels (LLM-pipeline surface)
+    def constInt(e: Expression, name: String): Int = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case _ => throw new IllegalArgumentException(
+        s"$name expects an integer literal")
+    }
+    reg.createOrReplaceTempFunction("shingle_hashes",
+      es => graft.operators.Dedup.ShingleHashesExpr(es(0),
+        constInt(es(1), "shingle_hashes(toks, n)")), "scala_udf")
+    reg.createOrReplaceTempFunction("minhash_signature",
+      es => graft.operators.Dedup.MinHashSigFromHashes(es(0),
+        constInt(es(1), "minhash_signature(hashes, k)")), "scala_udf")
+    reg1("simhash64", graft.operators.Dedup.SimHash(_))
   }
 }

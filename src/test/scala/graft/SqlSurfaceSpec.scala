@@ -26,6 +26,19 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(row.getBoolean(3))
   }
 
+  test("text/dedup kernels work from spark.sql") {
+    val row = spark.sql(
+      """SELECT
+           size(shingle_hashes(split('a b c d', ' '), 3)) AS n_sh,
+           size(minhash_signature(shingle_hashes(split('a b c d', ' '), 3), 16)) AS k,
+           simhash64(split('a b c', ' ')) = simhash64(split('a b c', ' ')) AS stable,
+           size(shingle_hashes(split('a b', ' '), 3)) AS short_doc""").head()
+    assert(row.getInt(0) == 2)   // 'a b c', 'b c d'
+    assert(row.getInt(1) == 16)
+    assert(row.getBoolean(2))
+    assert(row.getInt(3) == 0)   // shorter than n -> empty set, no throw
+  }
+
   test("SQL top-k matches the DataFrame plan") {
     view
     val sql = spark.sql(
