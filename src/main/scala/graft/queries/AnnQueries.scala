@@ -169,6 +169,8 @@ object AnnQueries {
     s.conf.get("spark.graft.sq8.rerankWindow", "4").toInt
   private def pqWindowConf(s: SparkSession) =
     s.conf.get("spark.graft.pq.rerankWindow", "8").toInt
+  // spark.graft.rabitq.epsilon (default 1.9): error-bound confidence for
+  // the RaBitQ bounded reranker — read inline in q_rabitq_bounded_l2
 
   /** Install + register the metric's IVF index, run `mk` with the rewrite
     * enabled at nprobe=nlist (exact mode), assert the optimizer actually
@@ -386,7 +388,8 @@ object AnnQueries {
     "q_rabitq_bounded_l2" -> ((s, d) => {
       val (model, path) = rabitq(s, d)
       Rabitq.searchBounded(s.read.parquet(path), "vec_id", "embedding",
-        "code", qvec(s, d), k = 100, model)
+        "code", qvec(s, d), k = 100, model,
+        eps = s.conf.get("spark.graft.rabitq.epsilon", "1.9").toDouble)
     }),
 
     // IVF×PQ residual composition: pruned partitions, per-list residual
