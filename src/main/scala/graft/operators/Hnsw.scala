@@ -473,4 +473,39 @@ object Hnsw {
   def searchIndexExact(spark: org.apache.spark.sql.SparkSession,
       path: String, idCol: String, q: Array[Float], k: Int): DataFrame =
     searchIndex(spark, path, idCol, q, k, exact = true)
+
+  /** Batched many-query search (batch-inference shape, the HNSW sibling
+    * of IvfIndex.batchSearch): each task loads its resident graph ONCE
+    * and answers the whole broadcast query batch against it — per-graph
+    * I/O is amortized over the batch instead of paid per query. Returns
+    * (qid, idCol, dist, rn<=k) ordered by (qid, rn). exact=true scores
+    * the flat scan per graph (oracle mode). */
+  def searchIndexBatch(spark: org.apache.spark.sql.SparkSession,
+      path: String, idCol: String, queries: Seq[(Long, Array[Float])],
+      k: Int, efSearch: Int = 100, exact: Boolean = false): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val dirPath = new org.apache.hadoop.fs.Path(path)
+    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.globStatus(new org.apache.hadoop.fs.Path(path, "graph-*.bin"))
+      .map(_.getPath.toString).sorted.toSeq
+    if (files.isEmpty)
+      return spark.emptyDataset[(Long, Long, Double, Int)]
+        .toDF("qid", idCol, "dist", "rn")
+    val bq = spark.sparkContext.broadcast(queries)
+    val hits = spark.sparkContext
+      .parallelize(files, files.length)
+      .flatMap { f =>
+        val g = GraphCache.get(f)
+        val off = if (g.metric == "cos") 1.0 else 0.0
+        bq.value.iterator.flatMap { case (qid, q) =>
+          val res = if (exact) g.bruteForce(q, k) else g.search(q, k, efSearch)
+          res.iterator.map { case (d, id) => (qid, id, d + off) }
+        }
+      }.toDF("qid", idCol, "dist")
+    val w = Window.partitionBy(col("qid")).orderBy(col("dist"), col(idCol))
+    hits.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .orderBy(col("qid"), col("rn"))
+  }
 }

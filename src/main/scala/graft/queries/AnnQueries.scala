@@ -342,6 +342,18 @@ object AnnQueries {
         IvfIndex.Kernels.normalize(qvec(s, d)), k = 100)
     }),
 
+    // batched many-query HNSW: resident graph answers the whole batch
+    "q_hnsw_batch" -> ((s, d) => {
+      Hnsw.searchIndexBatch(s, hnsw(s, d, 4), "vec_id",
+        batchQueries(s, d), k = 20, efSearch = efSearchConf(s))
+    }),
+    // exact mode: single-graph flat scan per query -> per-query flat
+    // top-k oracle (same as q_ivf_batch_exact)
+    "q_hnsw_batch_exact" -> ((s, d) => {
+      Hnsw.searchIndexBatch(s, hnsw(s, d, 1), "vec_id",
+        batchQueries(s, d), k = 20, exact = true)
+    }),
+
     // SQ8: persisted codes -> coarse scan -> rerank window -> exact top-k
     "q_sq8_topk_l2" -> ((s, d) => {
       val (mins, widths, path) = sq8(s, d)
@@ -591,6 +603,16 @@ object AnnQueries {
          WHERE a.vec_id NOT IN (1, 20003)
          ORDER BY dist, vec_id LIMIT 100""",
 
+    "q_hnsw_batch_exact" ->
+      """SELECT qid, vec_id, dist, rn FROM (
+           SELECT q.vec_id AS qid, e.vec_id AS vec_id,
+             list_aggregate(list_transform(list_zip(e.embedding, q.embedding), p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), 'sum') AS dist,
+             row_number() OVER (PARTITION BY q.vec_id ORDER BY
+               list_aggregate(list_transform(list_zip(e.embedding, q.embedding), p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), 'sum'),
+               e.vec_id) AS rn
+           FROM embeddings e CROSS JOIN
+             (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 3) q)
+         WHERE rn <= 20 ORDER BY qid, rn""",
     "q_ivf_batch_exact" ->
       """SELECT qid, vec_id, dist, rn FROM (
            SELECT q.vec_id AS qid, e.vec_id AS vec_id,
