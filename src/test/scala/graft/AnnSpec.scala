@@ -160,6 +160,18 @@ class AnnSpec extends SparkSpec {
       "vec_id", "embedding", "l2", parts = 2)
     Hnsw.searchIndex(spark, path, "vec_id", q, 10).collect()
     assert(Hnsw.GraphCache.residentCount >= 2)
+    // batched search answers each query identically to a per-query search
+    val q1 = emb.filter($"vec_id" === 1).select($"embedding")
+      .head().getSeq[Float](0).toArray
+    val batch = Hnsw.searchIndexBatch(spark, path, "vec_id",
+        Seq((0L, q), (1L, q1)), k = 10)
+      .select($"qid", $"vec_id", $"dist").as[(Long, Long, Double)]
+      .collect().groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3)).toSeq).toMap
+    val single0 = Hnsw.searchIndex(spark, path, "vec_id", q, 10)
+      .as[(Long, Double)].collect().toSeq
+    val single1 = Hnsw.searchIndex(spark, path, "vec_id", q1, 10)
+      .as[(Long, Double)].collect().toSeq
+    assert(batch(0L) == single0 && batch(1L) == single1)
     graft.index.IndexCatalog.drop(spark, name)
   }
 
