@@ -411,6 +411,43 @@ object DocQueries {
            / len(string_split(text, ' ')) AS stop_ratio
          FROM documents ORDER BY doc_id""",
 
+    // SimHash replayed bit-exactly in SQL: FNV-1a 64 with wrap-around
+    // multiply done in HUGEINT mod 2^64 (DuckDB BIGINT arithmetic errors
+    // on overflow), bit votes per position, then all-pairs xor popcount.
+    // The Spark side's 4x16 pigeonhole banding is COMPLETE for
+    // hamming<=3, so the all-pairs oracle matches exactly.
+    "q_dedup_simhash" ->
+      """WITH alldocs AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 50),
+         tok AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM alldocs),
+         fnv AS (
+           SELECT doc_id, list_reduce(
+             list_prepend(CAST(-3750763034362895579 AS BIGINT),
+               list_transform(range(1, length(t)+1), i -> CAST(ord(substring(t, CAST(i AS INT), 1)) AS BIGINT))),
+             (h, b) -> CAST(CASE
+                 WHEN ((CASE WHEN xor(h, b) < 0 THEN CAST(xor(h, b) AS HUGEINT) + 18446744073709551616 ELSE CAST(xor(h, b) AS HUGEINT) END) * 1099511628211) % 18446744073709551616 >= 9223372036854775808
+                 THEN ((CASE WHEN xor(h, b) < 0 THEN CAST(xor(h, b) AS HUGEINT) + 18446744073709551616 ELSE CAST(xor(h, b) AS HUGEINT) END) * 1099511628211) % 18446744073709551616 - 18446744073709551616
+                 ELSE ((CASE WHEN xor(h, b) < 0 THEN CAST(xor(h, b) AS HUGEINT) + 18446744073709551616 ELSE CAST(xor(h, b) AS HUGEINT) END) * 1099511628211) % 18446744073709551616
+               END AS BIGINT)) AS h
+           FROM tok),
+         hu AS (SELECT doc_id, CASE WHEN h < 0 THEN CAST(h AS HUGEINT) + 18446744073709551616 ELSE CAST(h AS HUGEINT) END AS u FROM fnv),
+         votes AS (
+           SELECT doc_id, b, SUM(CASE WHEN (u >> CAST(b AS INT)) % 2 = 1 THEN 1 ELSE -1 END) AS v
+           FROM hu CROSS JOIN (SELECT unnest(range(64)) AS b) bits
+           GROUP BY doc_id, b),
+         sims AS (
+           SELECT doc_id, CAST(CASE WHEN su >= 9223372036854775808 THEN su - 18446744073709551616 ELSE su END AS BIGINT) AS sim
+           FROM (SELECT doc_id,
+             SUM(CASE WHEN v > 0 THEN (CAST(1 AS HUGEINT) << CAST(b AS INT)) ELSE CAST(0 AS HUGEINT) END) AS su
+             FROM votes GROUP BY doc_id))
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS hamming
+         FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.sim, b.sim)) <= 3
+         ORDER BY doc_a, doc_b""",
+
     "q_multimodal_frames" ->
       """WITH f AS (
            SELECT doc_id, unnest(range(CAST(ceil(length(text) / 64.0) AS BIGINT))) AS frame_idx, text
