@@ -336,27 +336,40 @@ object Hnsw {
     * of the reference (crates/index/src/lib.rs:386-423). A rebuilt
     * artifact bumps mtime/length and evicts itself naturally. */
   object GraphCache {
+    /** Residency cap per executor JVM: LRU-evict beyond this many graphs
+      * so a long-lived executor serving many indexes can't grow without
+      * bound (the reference likewise bounds resident sealed segments). */
+    private val MaxResident = 128
     private val cache =
-      new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, FlatGraph)]()
+      new java.util.LinkedHashMap[String, (Long, Long, FlatGraph)](
+          16, 0.75f, /* accessOrder = */ true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, (Long, Long, FlatGraph)]): Boolean =
+          size() > MaxResident
+      }
 
     def get(path: String): FlatGraph = {
       val p = new org.apache.hadoop.fs.Path(path)
       val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
       val st = fs.getFileStatus(p)
-      val cur = cache.get(path)
-      if (cur != null && cur._1 == st.getModificationTime && cur._2 == st.getLen)
-        cur._3
-      else {
-        val in = new java.io.DataInputStream(
-          new java.io.BufferedInputStream(fs.open(p), 1 << 20))
-        val g = try FlatGraph.read(in) finally in.close()
-        cache.put(path, (st.getModificationTime, st.getLen, g))
-        g
+      cache.synchronized {
+        val cur = cache.get(path)
+        if (cur != null && cur._1 == st.getModificationTime && cur._2 == st.getLen)
+          return cur._3
       }
+      // load OUTSIDE the lock (graphs are large; concurrent first loads
+      // of the same path waste work at worst, never corrupt)
+      val in = new java.io.DataInputStream(
+        new java.io.BufferedInputStream(fs.open(p), 1 << 20))
+      val g = try FlatGraph.read(in) finally in.close()
+      cache.synchronized {
+        cache.put(path, (st.getModificationTime, st.getLen, g))
+      }
+      g
     }
 
     /** Visible for specs: number of resident graphs. */
-    def residentCount: Int = cache.size()
+    def residentCount: Int = cache.synchronized { cache.size() }
   }
 
   /** Distributed top-k with per-call graph build — spec/testing path only;
