@@ -157,9 +157,15 @@ package object functions {
     reg.createOrReplaceTempFunction("shingle_hashes",
       es => graft.operators.Dedup.ShingleHashesExpr(es(0),
         constInt(es(1), "shingle_hashes(toks, n)")), "scala_udf")
+    // "minhash_signature" = the string-shingle variant (matches the
+    // Scala API and the expression prettyName); "_hashed" takes the
+    // array<bigint> sets from shingle_hashes
     reg.createOrReplaceTempFunction("minhash_signature",
+      es => graft.operators.Dedup.MinHashSig(es(0),
+        constInt(es(1), "minhash_signature(shingles, k)")), "scala_udf")
+    reg.createOrReplaceTempFunction("minhash_signature_hashed",
       es => graft.operators.Dedup.MinHashSigFromHashes(es(0),
-        constInt(es(1), "minhash_signature(hashes, k)")), "scala_udf")
+        constInt(es(1), "minhash_signature_hashed(hashes, k)")), "scala_udf")
     reg1("simhash64", graft.operators.Dedup.SimHash(_))
   }
 }

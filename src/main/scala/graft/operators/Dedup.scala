@@ -153,6 +153,7 @@ object Dedup {
   import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
   import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
   import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
   import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 
   /** Second independent 64-bit hash via a murmur-style finalizer. */
@@ -206,7 +207,13 @@ object Dedup {
     new GenericArrayData(mins)
   }
 
-  case class MinHashSigFromHashes(child: Expression, k: Int) extends UnaryExpression {
+  case class MinHashSigFromHashes(child: Expression, k: Int)
+      extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects a hash set of type array<bigint>, got ${other.simpleString}")
+    }
     override def nullIntolerant: Boolean = true
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullSafeEval(v: Any): Any =
@@ -222,7 +229,13 @@ object Dedup {
       MinHashSigFromHashes(org.apache.spark.sql.graftshim.Shims.expression(hashSet), k))
 
   /** Codegen MinHash signature over a shingle array column. */
-  case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
+  case class MinHashSig(child: Expression, k: Int)
+      extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects type array<string>, got ${other.simpleString}")
+    }
     override def nullIntolerant: Boolean = true
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullSafeEval(v: Any): Any =
@@ -263,7 +276,13 @@ object Dedup {
     new GenericArrayData(out)
   }
 
-  case class ShingleHashesExpr(child: Expression, n: Int) extends UnaryExpression {
+  case class ShingleHashesExpr(child: Expression, n: Int)
+      extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects type array<string>, got ${other.simpleString}")
+    }
     override def nullIntolerant: Boolean = true
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullSafeEval(v: Any): Any =
@@ -289,7 +308,13 @@ object Dedup {
   }
 
   /** Codegen SimHash over a token array column. */
-  case class SimHash(child: Expression) extends UnaryExpression {
+  case class SimHash(child: Expression)
+      extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects type array<string>, got ${other.simpleString}")
+    }
     override def nullIntolerant: Boolean = true
     override def dataType: DataType = LongType
     override def nullSafeEval(v: Any): Any =

@@ -348,9 +348,9 @@ object Hnsw {
           size() > MaxResident
       }
 
-    def get(path: String): FlatGraph = {
+    def get(path: String, conf: org.apache.hadoop.conf.Configuration): FlatGraph = {
       val p = new org.apache.hadoop.fs.Path(path)
-      val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      val fs = p.getFileSystem(conf)
       val st = fs.getFileStatus(p)
       cache.synchronized {
         val cur = cache.get(path)
@@ -370,6 +370,24 @@ object Hnsw {
 
     /** Visible for specs: number of resident graphs. */
     def residentCount: Int = cache.synchronized { cache.size() }
+  }
+
+  /** Capture the driver's Hadoop configuration as serializable entries —
+    * executor-side tasks rebuild it with [[mkConf]] so spark.hadoop.*
+    * settings (S3 credentials, kerberos, fs.defaultFS) reach the
+    * FileSystem calls. A bare `new Configuration()` in a task would
+    * silently drop them. */
+  def confEntries(spark: org.apache.spark.sql.SparkSession): Seq[(String, String)] = {
+    val it = spark.sparkContext.hadoopConfiguration.iterator()
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    while (it.hasNext) { val e = it.next(); buf += ((e.getKey, e.getValue)) }
+    buf.toSeq
+  }
+
+  def mkConf(entries: Seq[(String, String)]): org.apache.hadoop.conf.Configuration = {
+    val c = new org.apache.hadoop.conf.Configuration(false)
+    entries.foreach { case (k, v) => c.set(k, v) }
+    c
   }
 
   /** Distributed top-k with per-call graph build — spec/testing path only;
@@ -425,20 +443,32 @@ object Hnsw {
       val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(dirPath)) fs.delete(dirPath, true)
       fs.mkdirs(dirPath)
+      val hconf = confEntries(spark)
       val nFiles = rows.mapPartitions { it =>
         val g = new Graph(metric, m, efConstruction)
         it.foreach { case (id, v) => g.insert(id, v) }
         if (g.size == 0) Iterator.empty
         else {
-          val pid = org.apache.spark.TaskContext.getPartitionId()
-          val conf = new org.apache.hadoop.conf.Configuration()
+          val tc = org.apache.spark.TaskContext.get()
+          val pid = tc.partitionId()
+          // tmp is unique PER ATTEMPT: retried/speculative tasks must
+          // never interleave writes into a shared file
+          val attempt = tc.taskAttemptId()
           val p = new org.apache.hadoop.fs.Path(f"$dataDir/graph-$pid%05d.bin")
-          val tmp = new org.apache.hadoop.fs.Path(f"$dataDir/.graph-$pid%05d.tmp")
-          val pfs = p.getFileSystem(conf)
+          val tmp = new org.apache.hadoop.fs.Path(
+            f"$dataDir/.graph-$pid%05d-$attempt.tmp")
+          val pfs = p.getFileSystem(mkConf(hconf))
           val out = new java.io.DataOutputStream(
             new java.io.BufferedOutputStream(pfs.create(tmp, true), 1 << 20))
           try FlatGraph.write(out, g.snapshot) finally out.close()
-          pfs.rename(tmp, p) // write-then-rename: readers never see partials
+          // write-then-rename: readers never see partials. A failed
+          // rename is only tolerable when a rival attempt already
+          // published the file.
+          if (!pfs.rename(tmp, p)) {
+            if (!pfs.exists(p))
+              throw new java.io.IOException(s"failed to publish $p")
+            pfs.delete(tmp, false)
+          }
           Iterator.single(1)
         }
       }.collect().sum
@@ -466,17 +496,21 @@ object Hnsw {
     if (files.isEmpty)
       return spark.emptyDataset[(Long, Double)].toDF(idCol, "dist")
     val bq = spark.sparkContext.broadcast(q)
+    val hconf = confEntries(spark)
     val hits = spark.sparkContext
       .parallelize(files, files.length)
-      .flatMap { f =>
-        val g = GraphCache.get(f)
-        // cos graphs store normalized vectors and search by -dot; report
-        // cosine distance 1 - dot, the reference's convention
-        // (am_options.rs:244-249), matching the IVF cos path.
-        val off = if (g.metric == "cos") 1.0 else 0.0
-        val res = if (exact) g.bruteForce(bq.value, k)
-                  else g.search(bq.value, k, efSearch)
-        res.iterator.map { case (d, id) => (id, d + off) }
+      .mapPartitions { it =>
+        val conf = mkConf(hconf)
+        it.flatMap { f =>
+          val g = GraphCache.get(f, conf)
+          // cos graphs store normalized vectors and search by -dot;
+          // report cosine distance 1 - dot, the reference's convention
+          // (am_options.rs:244-249), matching the IVF cos path.
+          val off = if (g.metric == "cos") 1.0 else 0.0
+          val res = if (exact) g.bruteForce(bq.value, k)
+                    else g.search(bq.value, k, efSearch)
+          res.iterator.map { case (d, id) => (id, d + off) }
+        }
       }.toDF(idCol, "dist")
     hits.orderBy(col("dist"), col(idCol)).limit(k)
   }
@@ -506,14 +540,18 @@ object Hnsw {
       return spark.emptyDataset[(Long, Long, Double, Int)]
         .toDF("qid", idCol, "dist", "rn")
     val bq = spark.sparkContext.broadcast(queries)
+    val hconf = confEntries(spark)
     val hits = spark.sparkContext
       .parallelize(files, files.length)
-      .flatMap { f =>
-        val g = GraphCache.get(f)
-        val off = if (g.metric == "cos") 1.0 else 0.0
-        bq.value.iterator.flatMap { case (qid, q) =>
-          val res = if (exact) g.bruteForce(q, k) else g.search(q, k, efSearch)
-          res.iterator.map { case (d, id) => (qid, id, d + off) }
+      .mapPartitions { it =>
+        val conf = mkConf(hconf)
+        it.flatMap { f =>
+          val g = GraphCache.get(f, conf)
+          val off = if (g.metric == "cos") 1.0 else 0.0
+          bq.value.iterator.flatMap { case (qid, q) =>
+            val res = if (exact) g.bruteForce(q, k) else g.search(q, k, efSearch)
+            res.iterator.map { case (d, id) => (qid, id, d + off) }
+          }
         }
       }.toDF("qid", idCol, "dist")
     val w = Window.partitionBy(col("qid")).orderBy(col("dist"), col(idCol))

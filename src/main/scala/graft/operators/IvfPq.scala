@@ -71,7 +71,8 @@ object IvfPq {
       source: String, idCol: String, vecCol: String, nlist: Int,
       m: Int = 8, ks: Int = 16, seed: Long = 42L): (Model, String) = {
     val mf = IndexCatalog.ensure(spark, name, source,
-        requires = Map("kind2" -> "ivfpq")) { dataDir =>
+        requires = Map("kind2" -> "ivfpq", "nlist" -> nlist.toString,
+          "m" -> m.toString, "ks" -> ks.toString)) { dataDir =>
       val nn = df.filter(col(vecCol).isNotNull)
       val coarse = IvfIndex.train(nn, vecCol, "l2", nlist, seed = seed)
       val assigned = nn
@@ -107,8 +108,7 @@ object IvfPq {
     import graft.functions.l2sq
     import spark.implicits._
     val probes = model.coarse.rankLists(q).take(nprobe)
-    val scan = spark.read.parquet(path)
-      .filter(col("list_id").isin(probes.map(Integer.valueOf).toSeq: _*))
+    val scan = IvfIndex.prunedScan(spark, path, model.coarse, q, nprobe)
     if (window <= 0)
       return scan.select(col(idCol), l2sq(col(vecCol), typedLit(q)).as("dist"))
         .orderBy(col("dist"), col(idCol)).limit(k)

@@ -28,7 +28,7 @@ object IvfSq {
       source: String, idCol: String, vecCol: String, nlist: Int,
       seed: Long = 42L): (Model, String) = {
     val mf = IndexCatalog.ensure(spark, name, source,
-        requires = Map("kind2" -> "ivfsq8")) { dataDir =>
+        requires = Map("kind2" -> "ivfsq8", "nlist" -> nlist.toString)) { dataDir =>
       val nn = df.filter(col(vecCol).isNotNull)
       val coarse = IvfIndex.train(nn, vecCol, "l2", nlist, seed = seed)
       val assigned = nn
@@ -59,8 +59,7 @@ object IvfSq {
     import graft.functions.l2sq
     import spark.implicits._
     val probes = model.coarse.rankLists(q).take(nprobe)
-    val scan = spark.read.parquet(path)
-      .filter(col("list_id").isin(probes.map(Integer.valueOf).toSeq: _*))
+    val scan = IvfIndex.prunedScan(spark, path, model.coarse, q, nprobe)
     if (window <= 0)
       return scan.select(col(idCol), l2sq(col(vecCol), typedLit(q)).as("dist"))
         .orderBy(col("dist"), col(idCol)).limit(k)

@@ -153,7 +153,8 @@ object Rabitq {
     val c = math.max(cosv, 1e-9)
     val estDot = dot / (math.sqrt(dims.toDouble) * qNorm) / c
     val est = norm * norm + qNorm * qNorm - 2.0 * norm * qNorm * estDot
-    val errDot = eps * math.sqrt(math.max(1.0 / (c * c) - 1.0, 0.0) / (dims - 1).toDouble)
+    val errDot = eps * math.sqrt(
+      math.max(1.0 / (c * c) - 1.0, 0.0) / math.max(dims - 1, 1).toDouble)
     InternalRow(est, 2.0 * norm * qNorm * errDot)
   }
 
@@ -265,10 +266,14 @@ object Rabitq {
     val rqF = rq.map(_.toFloat)
     def sb = Shims.column(ScoreBound(Shims.expression(col(codeCol)),
       Shims.expression(typedLit(rqF)), qNorm, eps))
-    val tau = indexed
+    val tauRow = indexed
       .select((sb.getField("est") + sb.getField("err")).as("ub"))
       .orderBy(col("ub")).limit(k)
-      .agg(max(col("ub"))).head().getDouble(0)
+      .agg(max(col("ub"))).head()
+    if (tauRow.isNullAt(0)) // empty input: max over no rows is NULL
+      return indexed.sparkSession.emptyDataFrame
+        .select(lit(0L).as(idCol), lit(0.0).as("dist")).limit(0)
+    val tau = tauRow.getDouble(0)
     indexed
       .filter(sb.getField("est") - sb.getField("err") <= tau)
       .select(col(idCol), l2sq(col(vecCol), typedLit(q)).as("dist"))

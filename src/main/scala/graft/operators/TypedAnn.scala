@@ -36,7 +36,7 @@ object TypedAnn {
       source: String, idCol: String, fCol: String, nlist: Int,
       seed: Long = 42L): (IvfIndex.Model, String) = {
     val m = IndexCatalog.ensure(spark, name, source,
-        requires = Map("type" -> "bvector")) { dataDir =>
+        requires = Map("type" -> "bvector", "nlist" -> nlist.toString)) { dataDir =>
       val base = df.filter(col(fCol).isNotNull)
         .select(col(idCol), binarize(col(fCol)).as("bv"))
       val densified = base.withColumn("d01", bvecToDense(col("bv")))
@@ -59,9 +59,7 @@ object TypedAnn {
   def searchBvec(spark: SparkSession, path: String, model: IvfIndex.Model,
       idCol: String, q: Array[Float], k: Int, nprobe: Int): DataFrame = {
     val q01 = q.map(x => if (x > 0f) 1f else 0f)
-    val probes = model.rankLists(q01).take(nprobe)
-    val scan = spark.read.parquet(path)
-      .filter(col("list_id").isin(probes.map(Integer.valueOf).toSeq: _*))
+    val scan = IvfIndex.prunedScan(spark, path, model, q01, nprobe)
     scan.select(col(idCol),
         bvecHamming(col("bv"), binarize(typedLit(q))).as("dist"))
       .orderBy(col("dist"), col(idCol)).limit(k)
@@ -74,7 +72,7 @@ object TypedAnn {
       source: String, idCol: String, fCol: String, nlist: Int,
       seed: Long = 42L): (IvfIndex.Model, String) = {
     val m = IndexCatalog.ensure(spark, name, source,
-        requires = Map("type" -> "vecf16")) { dataDir =>
+        requires = Map("type" -> "vecf16", "nlist" -> nlist.toString)) { dataDir =>
       val base = df.filter(col(fCol).isNotNull)
         .select(col(idCol), toF16Bits(col(fCol)).as("bits"))
       val rounded = base.withColumn("rf", f16ToVector(col("bits")))
@@ -98,9 +96,7 @@ object TypedAnn {
   def searchF16(spark: SparkSession, path: String, model: IvfIndex.Model,
       idCol: String, q: Array[Float], k: Int, nprobe: Int): DataFrame = {
     val qr = q.map(x => graft.types.Fp16.halfToFloat(graft.types.Fp16.floatToHalf(x)))
-    val probes = model.rankLists(qr).take(nprobe)
-    val scan = spark.read.parquet(path)
-      .filter(col("list_id").isin(probes.map(Integer.valueOf).toSeq: _*))
+    val scan = IvfIndex.prunedScan(spark, path, model, qr, nprobe)
     scan.select(col(idCol),
         f16L2sq(col("bits"), toF16Bits(typedLit(q))).as("dist"))
       .orderBy(col("dist"), col(idCol)).limit(k)

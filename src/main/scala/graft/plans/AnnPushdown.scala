@@ -71,15 +71,25 @@ object AnnPushdown {
     conjunctStrings(cond)
   }
 
-  /** Name-normalized, isnotnull-stripped, sorted conjunct SQL strings —
-    * the comparable form of a predicate. */
+  /** Name-normalized, sorted conjunct SQL strings — the comparable form
+    * of a predicate. IsNotNull conjuncts are dropped ONLY when the
+    * attribute is referenced by another conjunct (those are the ones the
+    * optimizer infers and that carry no selectivity of their own); a
+    * standalone `x IS NOT NULL` IS selective and must participate in the
+    * match, otherwise a partial index built with it would silently claim
+    * broader queries. */
   private[plans] def conjunctStrings(cond: Expression): Seq[String] = {
-    def strip(e: Expression): Seq[Expression] = e match {
-      case And(l, r) => strip(l) ++ strip(r)
-      case IsNotNull(_) => Nil // optimizer-inferred, carries no selectivity
+    def flatten(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => flatten(l) ++ flatten(r)
       case x => Seq(x)
     }
-    strip(cond).map(_.transform {
+    val conj = flatten(cond)
+    val otherRefs = AttributeSet(
+      conj.filterNot(_.isInstanceOf[IsNotNull]).flatMap(_.references))
+    conj.filterNot {
+      case IsNotNull(a: AttributeReference) => otherRefs.contains(a)
+      case _ => false
+    }.map(_.transform {
       case a: AttributeReference =>
         org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(a.name)
     }.sql).sorted

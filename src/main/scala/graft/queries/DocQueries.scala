@@ -207,8 +207,8 @@ object DocQueries {
     }),
 
     // --- near-dup: SimHash 64-bit + 4×16 band buckets (complete for
-    //     hamming<=3 by pigeonhole). No SQL oracle (FNV simhash isn't
-    //     expressible in DuckDB); DedupSpec checks mirror-pair recall. ---
+    //     hamming<=3 by pigeonhole). Full value oracle: the FNV simhash
+    //     is replayed bit-exactly in DuckDB (HUGEINT mod-2^64 trick). ---
     "q_dedup_simhash" -> ((s, d) => {
       val dd = docsWithExactDups(s, d)
         .select(col("doc_id"), Dedup.simhash(toks(col("text"))).as("sim"))

@@ -44,12 +44,14 @@ object StreamingIngest {
     * q_dedup_exact): keep the first arrival of each content hash, with
     * the dedup state bounded by the watermark — the standard shape for a
     * training-data ingest pipeline that must not admit the same document
-    * twice. At 100 TB the state store holds only hashes inside the
-    * watermark horizon; historical dedup is the batch content-hash join. */
+    * twice. `dropDuplicatesWithinWatermark` is what actually EVICTS
+    * state at the watermark horizon (plain dropDuplicates on a non-event-
+    * time key keeps every hash forever); historical dedup beyond the
+    * horizon is the batch content-hash join. */
   def dedupByContent(stream: DataFrame, textCol: String, tsCol: String,
       watermark: String): DataFrame =
     stream
       .withColumn("content_hash", md5(col(textCol).cast("binary")))
       .withWatermark(tsCol, watermark)
-      .dropDuplicates("content_hash")
+      .dropDuplicatesWithinWatermark("content_hash")
 }

@@ -30,13 +30,23 @@ class SqlSurfaceSpec extends SparkSpec {
     val row = spark.sql(
       """SELECT
            size(shingle_hashes(split('a b c d', ' '), 3)) AS n_sh,
-           size(minhash_signature(shingle_hashes(split('a b c d', ' '), 3), 16)) AS k,
+           size(minhash_signature_hashed(shingle_hashes(split('a b c d', ' '), 3), 16)) AS k,
            simhash64(split('a b c', ' ')) = simhash64(split('a b c', ' ')) AS stable,
            size(shingle_hashes(split('a b', ' '), 3)) AS short_doc""").head()
     assert(row.getInt(0) == 2)   // 'a b c', 'b c d'
     assert(row.getInt(1) == 16)
     assert(row.getBoolean(2))
     assert(row.getInt(3) == 0)   // shorter than n -> empty set, no throw
+    // both variants produce identical signatures from the same shingles
+    val same = spark.sql(
+      """SELECT minhash_signature(array('a b c', 'b c d'), 8) =
+                minhash_signature_hashed(shingle_hashes(split('a b c d', ' '), 3), 8)""")
+      .head().getBoolean(0)
+    assert(same)
+    // wrong input type is an ANALYSIS error, not a runtime crash
+    val err = intercept[Exception](
+      spark.sql("SELECT minhash_signature_hashed(array('x'), 8)").head())
+    assert(err.getMessage.toLowerCase.contains("type"))
   }
 
   test("SQL top-k matches the DataFrame plan") {
