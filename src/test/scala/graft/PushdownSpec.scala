@@ -156,6 +156,19 @@ class PushdownSpec extends SparkSpec {
     val plan5 = q5.queryExecution.executedPlan.toString
     assert(!plan5.contains(partDir), "non-matching filter must not use the partial index")
     assert(plan5.contains(fullDir), "non-matching filter should fall back to the full index")
+
+    // soundness: a partial index built with a standalone IS NOT NULL
+    // conjunct must NOT match a broader query predicate (its artifact is
+    // missing the NULL-label rows). Clean registry: ONLY the narrower
+    // partial registered — the query must not rewrite at all.
+    AnnPushdown.unregister(s"$sf001/embeddings.parquet")
+    AnnPushdown.registerPartial(spark, s"$sf001/embeddings.parquet",
+      AnnPushdown.IndexedTable(
+        s"ivf_l2_part7_${sf001.replaceAll("[^a-zA-Z0-9]", "_")}",
+        "vec_id", "embedding"), "label IS NOT NULL AND vec_id % 7 = 0")
+    val plan7 = q7.queryExecution.executedPlan.toString
+    assert(!plan7.contains(partDir),
+      "a narrower partial predicate must not claim a broader query")
     }
   }
 
