@@ -31,9 +31,11 @@ object Bench {
     def ms(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val total = results.map(_._2).sum
     val qsFull = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val qsShort = results.map { case (k, v) => "\"" + k + "\":" + ms(v) }.mkString("{", ",", "}")
     val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"sf":"$sfDir"}"""
-    val shortLine = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qsShort,"sf":"$sfDir"}"""
+    // The driver tail-captures only the last 2,000 chars of stdout: the final
+    // line must be TOTAL-ONLY (<100 chars). Per-query timings live exclusively
+    // in bench_out.json.
+    val shortLine = s"""{"metric":"total","value":${ms(total)},"unit":"sec","n":${results.size},"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), fullLine + "\n")
     spark.stop()
     println(shortLine)

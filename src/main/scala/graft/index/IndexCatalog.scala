@@ -55,17 +55,35 @@ object IndexCatalog {
   /** Content fingerprint of a source path (mtime+size over its files):
     * regenerating the source parquet in place changes this even though
     * the path string is identical. Non-local paths fingerprint to a
-    * constant — they degrade to path-string staleness. */
+    * constant — they degrade to path-string staleness (logged once).
+    *
+    * Memoized with a short TTL: ensure() runs on every query that touches
+    * an index, and walking a large source directory is O(files) of
+    * driver-side stat calls — a few seconds of staleness blindness is the
+    * right trade (a rebuild triggered one query late is still a rebuild). */
+  private val FpTtlMs = 5000L
+  private val fpCache = new ConcurrentHashMap[String, (Long, String)]()
+  private val fpDegradeWarned = ConcurrentHashMap.newKeySet[String]()
+
   def fingerprint(source: String): String = {
+    val now = System.currentTimeMillis()
+    val cached = fpCache.get(source)
+    if (cached != null && now - cached._1 < FpTtlMs) return cached._2
     def walk(f: File): Seq[File] =
       if (f.isDirectory)
         Option(f.listFiles()).getOrElse(Array.empty).toSeq
           .sortBy(_.getName).flatMap(walk)
       else if (f.isFile) Seq(f) else Nil
-    walk(new File(source.stripPrefix("file:")))
+    val root = new File(source.stripPrefix("file:"))
+    if (!root.exists() && fpDegradeWarned.add(source))
+      System.err.println(s"[graft] index source '$source' is not a local path: " +
+        "content-fingerprint staleness disabled, falling back to path-string staleness")
+    val fp = walk(root)
       .foldLeft(17L)((acc, f) =>
         (acc * 31 + f.lastModified()) * 31 + f.length())
       .toHexString
+    fpCache.put(source, (now, fp))
+    fp
   }
 
   def load(spark: SparkSession, name: String): Option[Manifest] = {

@@ -336,17 +336,38 @@ object Hnsw {
     * of the reference (crates/index/src/lib.rs:386-423). A rebuilt
     * artifact bumps mtime/length and evicts itself naturally. */
   object GraphCache {
-    /** Residency cap per executor JVM: LRU-evict beyond this many graphs
-      * so a long-lived executor serving many indexes can't grow without
-      * bound (the reference likewise bounds resident sealed segments). */
-    private val MaxResident = 128
+    /** Residency is bounded by an approximate BYTE budget per executor
+      * JVM (LRU eviction), not a graph count: 128 arbitrarily-large
+      * graphs could exceed executor heap at production partition sizes.
+      * The budget comes from `spark.graft.hnsw.cacheBytes` (read through
+      * SparkEnv so it reaches executors); default 4 GiB. The most
+      * recently used graph is always retained even if it alone exceeds
+      * the budget — evicting the graph being searched would thrash. */
+    private val DefaultBudget = 4L << 30
+    @volatile private var budgetOverride: Long = -1L
+    /** Visible for specs: force a small budget in-process. */
+    private[graft] def setBudgetForTest(b: Long): Unit = { budgetOverride = b }
+    private[graft] def clearForTest(): Unit = cache.synchronized {
+      cache.clear(); curBytes = 0L
+    }
+    private def budgetBytes: Long = {
+      if (budgetOverride > 0) return budgetOverride
+      try {
+        val env = org.apache.spark.SparkEnv.get
+        if (env == null) DefaultBudget
+        else env.conf.getLong("spark.graft.hnsw.cacheBytes", DefaultBudget)
+      } catch { case _: Throwable => DefaultBudget }
+    }
+
+    private[graft] def estBytes(g: FlatGraph): Long =
+      g.ids.length.toLong * 8 + g.vecs.length.toLong * 4 +
+        g.levels.length.toLong * 4 + g.listStart.length.toLong * 4 +
+        g.nbrOff.length.toLong * 4 + g.nbrs.length.toLong * 4 + 256L
+
     private val cache =
       new java.util.LinkedHashMap[String, (Long, Long, FlatGraph)](
-          16, 0.75f, /* accessOrder = */ true) {
-        override def removeEldestEntry(
-            e: java.util.Map.Entry[String, (Long, Long, FlatGraph)]): Boolean =
-          size() > MaxResident
-      }
+        16, 0.75f, /* accessOrder = */ true)
+    private var curBytes = 0L
 
     def get(path: String, conf: org.apache.hadoop.conf.Configuration): FlatGraph = {
       val p = new org.apache.hadoop.fs.Path(path)
@@ -363,13 +384,27 @@ object Hnsw {
         new java.io.BufferedInputStream(fs.open(p), 1 << 20))
       val g = try FlatGraph.read(in) finally in.close()
       cache.synchronized {
-        cache.put(path, (st.getModificationTime, st.getLen, g))
+        val old = cache.put(path, (st.getModificationTime, st.getLen, g))
+        if (old != null) curBytes -= estBytes(old._3)
+        curBytes += estBytes(g)
+        // evict eldest-by-access until under budget; keep the newest
+        val budget = budgetBytes
+        val it = cache.entrySet().iterator()
+        while (curBytes > budget && cache.size() > 1 && it.hasNext) {
+          val e = it.next()
+          if (e.getKey != path) {
+            curBytes -= estBytes(e.getValue._3)
+            it.remove()
+          }
+        }
       }
       g
     }
 
     /** Visible for specs: number of resident graphs. */
     def residentCount: Int = cache.synchronized { cache.size() }
+    /** Visible for specs: estimated resident bytes. */
+    def residentBytes: Long = cache.synchronized { curBytes }
   }
 
   /** Capture the driver's Hadoop configuration as serializable entries —

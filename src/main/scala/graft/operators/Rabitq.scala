@@ -264,10 +264,14 @@ object Rabitq {
     val rq = model.rotate(q)
     val qNorm = math.sqrt(rq.map(x => x * x).sum)
     val rqF = rq.map(_.toFloat)
-    def sb = Shims.column(ScoreBound(Shims.expression(col(codeCol)),
+    val sb = Shims.column(ScoreBound(Shims.expression(col(codeCol)),
       Shims.expression(typedLit(rqF)), qNorm, eps))
+    // materialize the (est, err) struct ONCE per row so the O(dims)
+    // code-scan kernel provably runs once per pass, instead of relying on
+    // codegen subexpression elimination to merge est/err references
     val tauRow = indexed
-      .select((sb.getField("est") + sb.getField("err")).as("ub"))
+      .select(sb.as("sb"))
+      .select((col("sb.est") + col("sb.err")).as("ub"))
       .orderBy(col("ub")).limit(k)
       .agg(max(col("ub"))).head()
     if (tauRow.isNullAt(0)) // empty input: max over no rows is NULL
@@ -275,7 +279,8 @@ object Rabitq {
         .select(lit(0L).as(idCol), lit(0.0).as("dist")).limit(0)
     val tau = tauRow.getDouble(0)
     indexed
-      .filter(sb.getField("est") - sb.getField("err") <= tau)
+      .withColumn("sb", sb)
+      .filter(col("sb.est") - col("sb.err") <= tau)
       .select(col(idCol), l2sq(col(vecCol), typedLit(q)).as("dist"))
       .orderBy(col("dist"), col(idCol)).limit(k)
   }

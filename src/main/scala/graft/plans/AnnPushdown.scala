@@ -98,6 +98,26 @@ object AnnPushdown {
   def unregister(sourcePath: String): Unit =
     registry.remove(normalize(sourcePath))
 
+  /** Remove ONLY the entry matching (metric, partialConjuncts) — a bench
+    * helper tearing down its own registration must not clobber the user's
+    * other indexes on the same table. */
+  def unregister(sourcePath: String, t: IndexedTable): Unit =
+    registry.computeIfPresent(normalize(sourcePath), (_, cur) =>
+      cur.filterNot(x => x.metric == t.metric &&
+          x.partialConjuncts == t.partialConjuncts) match {
+        case Nil => null
+        case rest => rest
+      })
+
+  /** Current registrations for a path (restore with [[restore]]) —
+    * lets scoped helpers put back exactly what was there before. */
+  def snapshot(sourcePath: String): List[IndexedTable] =
+    Option(registry.get(normalize(sourcePath))).getOrElse(Nil)
+
+  def restore(sourcePath: String, entries: List[IndexedTable]): Unit =
+    if (entries.isEmpty) registry.remove(normalize(sourcePath))
+    else registry.put(normalize(sourcePath), entries)
+
   def lookupAll(paths: Seq[String], metric: String): Seq[IndexedTable] =
     paths.map(normalize)
       .flatMap(p => Option(registry.get(p)).getOrElse(Nil))

@@ -181,7 +181,12 @@ object AnnQueries {
     import graft.plans.AnnPushdown
     val (m, _) = ivf(s, d, metric)
     AnnPushdown.install(s)
-    AnnPushdown.register(s"$d/embeddings.parquet",
+    val srcPath = s"$d/embeddings.parquet"
+    // scoped registration: snapshot the user's own entries first and put
+    // them back in the finally — running one bench query must not clobber
+    // prior registrations for the same table
+    val prevReg = AnnPushdown.snapshot(srcPath)
+    AnnPushdown.register(srcPath,
       AnnPushdown.IndexedTable(s"ivf_${metric}_${san(d)}", "vec_id",
         "embedding", metric))
     val prevEnabled = s.conf.get("spark.graft.ann.enabled", "false")
@@ -198,7 +203,7 @@ object AnnQueries {
     } finally {
       s.conf.set("spark.graft.ann.enabled", prevEnabled)
       s.conf.set("spark.graft.ann.nprobe", prevNprobe)
-      AnnPushdown.unregister(s"$d/embeddings.parquet")
+      AnnPushdown.restore(srcPath, prevReg)
     }
   }
 
@@ -273,7 +278,9 @@ object AnnQueries {
       import graft.plans.AnnPushdown
       val (m, _) = ivfPartial(s, d)
       AnnPushdown.install(s)
-      AnnPushdown.registerPartial(s, s"$d/embeddings.parquet",
+      val srcPath = s"$d/embeddings.parquet"
+      val prevReg = AnnPushdown.snapshot(srcPath)
+      AnnPushdown.registerPartial(s, srcPath,
         AnnPushdown.IndexedTable(s"ivf_l2_part7_${san(d)}", "vec_id",
           "embedding"), "vec_id % 7 = 0")
       val prevEnabled = s.conf.get("spark.graft.ann.enabled", "false")
@@ -295,7 +302,7 @@ object AnnQueries {
       } finally {
         s.conf.set("spark.graft.ann.enabled", prevEnabled)
         s.conf.set("spark.graft.ann.nprobe", prevNprobe)
-        AnnPushdown.unregister(s"$d/embeddings.parquet")
+        AnnPushdown.restore(srcPath, prevReg)
       }
     }),
 

@@ -175,6 +175,49 @@ class AnnSpec extends SparkSpec {
     graft.index.IndexCatalog.drop(spark, name)
   }
 
+  test("HNSW graph cache: evicts by BYTE budget, not graph count") {
+    def mkArtifact(seedId: Long): (String, Long) = {
+      val g = new Hnsw.Graph("l2")
+      emb.select($"vec_id", $"embedding").as[(Long, Array[Float])]
+        .collect().sortBy(_._1).take(500)
+        .foreach { case (id, v) => g.insert(id + seedId, v) }
+      val flat = g.snapshot
+      val f = java.io.File.createTempFile(s"graftcache$seedId", ".bin")
+      f.deleteOnExit()
+      val out = new java.io.DataOutputStream(
+        new java.io.BufferedOutputStream(new java.io.FileOutputStream(f)))
+      try Hnsw.FlatGraph.write(out, flat) finally out.close()
+      (f.getAbsolutePath, Hnsw.GraphCache.estBytes(flat))
+    }
+    val (f1, b1) = mkArtifact(0)
+    val (f2, b2) = mkArtifact(1000000)
+    val (f3, _) = mkArtifact(2000000)
+    val conf = new org.apache.hadoop.conf.Configuration()
+    Hnsw.GraphCache.clearForTest()
+    try {
+      // budget fits two graphs but not three
+      Hnsw.GraphCache.setBudgetForTest(b1 + b2 + 64)
+      Hnsw.GraphCache.get(f1, conf)
+      Hnsw.GraphCache.get(f2, conf)
+      assert(Hnsw.GraphCache.residentCount == 2)
+      Hnsw.GraphCache.get(f3, conf)
+      // one graph was evicted to respect the byte budget (count alone
+      // would have kept all three)
+      assert(Hnsw.GraphCache.residentCount == 2)
+      assert(Hnsw.GraphCache.residentBytes <= b1 + b2 + 64)
+      // the newest entry always survives
+      Hnsw.GraphCache.get(f3, conf)
+      assert(Hnsw.GraphCache.residentCount == 2)
+      // a budget smaller than any single graph still retains the newest
+      Hnsw.GraphCache.setBudgetForTest(64)
+      Hnsw.GraphCache.get(f1, conf)
+      assert(Hnsw.GraphCache.residentCount == 1)
+    } finally {
+      Hnsw.GraphCache.setBudgetForTest(-1)
+      Hnsw.GraphCache.clearForTest()
+    }
+  }
+
   test("SQ8: k rows, recall@50 >= 0.9; distances exact after rerank") {
     val (mins, widths) = Sq8.train(emb, "embedding")
     val encoded = emb.withColumn("codes", Sq8.encode($"embedding", mins, widths))
