@@ -66,6 +66,20 @@ object F16Kernels {
     }
     acc
   }
+
+  /** Same accumulation order as DenseKernels.cosDist (one pass, three
+    * double accumulators) so the DuckDB oracle replays it exactly on
+    * f16-exact values. */
+  def cosdist(a: ArrayData, b: ArrayData): Double = {
+    checkDims(a.numElements(), b.numElements())
+    var xy = 0.0; var xx = 0.0; var yy = 0.0; var i = 0; val n = a.numElements()
+    while (i < n) {
+      val x = Fp16.halfToFloat(a.getShort(i)).toDouble
+      val y = Fp16.halfToFloat(b.getShort(i)).toDouble
+      xy += x * y; xx += x * x; yy += y * y; i += 1
+    }
+    1.0 - xy / math.sqrt(xx * yy)
+  }
 }
 
 object CastKernels {
@@ -194,6 +208,14 @@ case class F16NegDot(left: Expression, right: Expression) extends F16Dist {
     F16Kernels.negdot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
   override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
   override def prettyName = "f16_negdot"
+}
+
+case class F16CosDist(left: Expression, right: Expression) extends F16Dist {
+  override protected def kernel = "cosdist"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    F16Kernels.cosdist(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+  override def prettyName = "f16_cosdist"
 }
 
 /** Cast vector -> bvector (0/1-only rule). */

@@ -73,6 +73,7 @@ package object functions {
   def f16ToVector(bits: Column): Column = toCol(F16BitsToVector(expr(bits)))
   def f16L2sq(a: Column, b: Column): Column = toCol(F16L2sq(expr(a), expr(b)))
   def f16NegDot(a: Column, b: Column): Column = toCol(F16NegDot(expr(a), expr(b)))
+  def f16Cosdist(a: Column, b: Column): Column = toCol(F16CosDist(expr(a), expr(b)))
   def castVecToBVec(v: Column): Column = toCol(CastVecToBVec(expr(v)))
 
   // --- aggregates ---

@@ -53,15 +53,58 @@ object TypedAnn {
     (IvfIndex.Model("l2", m.centroids), IndexCatalog.dataDir(spark, name))
   }
 
-  /** Search: rank lists by l2 from the 0/1 view of the query, read only
-    * the nprobe pruned partitions, score exact Hamming on the packed
-    * words. Exact at nprobe = nlist. Returns (idCol, dist) ascending. */
+  /** Rank lists by the SEARCH metric over the stored f32 centroids —
+    * one artifact serves every metric of its type family (the opclass
+    * matrix re-expressed: the reference builds one index per opclass
+    * because the graph/stream order bakes the metric in; an IVF
+    * artifact's layout is metric-free, only list RANKING and row SCORING
+    * differ, and both are search-time choices here). Exactness at
+    * nprobe = nlist never depends on the ranking. */
+  private def rankLists(centroids: Array[Array[Float]], q: Array[Float],
+      metric: String): Array[Int] = {
+    import IvfIndex.Kernels
+    val score: Array[Float] => Double = metric match {
+      // jaccard prunes by Hamming-style l2 ranking in the densified
+      // space: measured better than an expected-jaccard centroid form on
+      // near-random bit vectors (union varies per ROW, not per list), and
+      // exactness at nprobe = nlist never depends on the ranking
+      case "l2" | "hamming" | "jaccard" => c => Kernels.l2sq(c, q)
+      case "dot" => c => -Kernels.dot(c, q)
+      case "cos" => c =>
+        1.0 - Kernels.dot(c, q) /
+          math.sqrt(Kernels.dot(c, c) * Kernels.dot(q, q).max(1e-30))
+      case m => throw new IllegalArgumentException(s"unknown metric: $m")
+    }
+    centroids.zipWithIndex.map { case (c, i) => (score(c), i) }
+      .sortBy(_._1).map(_._2)
+  }
+
+  private def prunedByMetric(spark: SparkSession, path: String,
+      model: IvfIndex.Model, q: Array[Float], metric: String,
+      nprobe: Int): DataFrame = {
+    val probes = rankLists(model.centroids, q, metric).take(nprobe)
+    spark.read.parquet(path)
+      .filter(col("list_id").isin(probes.map(Integer.valueOf).toSeq: _*))
+  }
+
+  /** Search: rank lists in the densified 0/1 space by the search metric,
+    * read only the nprobe pruned partitions, score the exact packed-word
+    * kernel — hamming `<->`, jaccard `<~>`, or dot `<#>` (the reference's
+    * bvector_hamming/jaccard/dot opclasses, finalize.sql:735-741,
+    * 795-803). Exact at nprobe = nlist. Returns (idCol, dist) ascending. */
   def searchBvec(spark: SparkSession, path: String, model: IvfIndex.Model,
-      idCol: String, q: Array[Float], k: Int, nprobe: Int): DataFrame = {
+      idCol: String, q: Array[Float], k: Int, nprobe: Int,
+      metric: String = "hamming"): DataFrame = {
     val q01 = q.map(x => if (x > 0f) 1f else 0f)
-    val scan = IvfIndex.prunedScan(spark, path, model, q01, nprobe)
-    scan.select(col(idCol),
-        bvecHamming(col("bv"), binarize(typedLit(q))).as("dist"))
+    val scan = prunedByMetric(spark, path, model, q01, metric, nprobe)
+    val qb = binarize(typedLit(q))
+    val distCol = metric match {
+      case "hamming" => bvecHamming(col("bv"), qb)
+      case "jaccard" => bvecJaccard(col("bv"), qb)
+      case "dot" => bvecNegdot(col("bv"), qb)
+      case m => throw new IllegalArgumentException(s"unknown bvector metric: $m")
+    }
+    scan.select(col(idCol), distCol.as("dist"))
       .orderBy(col("dist"), col(idCol)).limit(k)
   }
 
@@ -89,16 +132,25 @@ object TypedAnn {
     (IvfIndex.Model("l2", m.centroids), IndexCatalog.dataDir(spark, name))
   }
 
-  /** Search: rank lists by l2 from the f16-rounded query, scan the nprobe
-    * pruned partitions, score the f16 kernel (decode per element,
-    * accumulate in double — same contract as the scalar vecf16 kernels).
+  /** Search: rank lists by the search metric from the f16-rounded query,
+    * scan the nprobe pruned partitions, score the f16 kernel — l2 `<->`,
+    * dot `<#>`, or cos `<=>` (the reference's vecf16_l2/dot/cos opclasses,
+    * finalize.sql:723-729, 765-770; each decodes per element and
+    * accumulates in double, the scalar vecf16 kernel contract).
     * Exact at nprobe = nlist. */
   def searchF16(spark: SparkSession, path: String, model: IvfIndex.Model,
-      idCol: String, q: Array[Float], k: Int, nprobe: Int): DataFrame = {
+      idCol: String, q: Array[Float], k: Int, nprobe: Int,
+      metric: String = "l2"): DataFrame = {
     val qr = q.map(x => graft.types.Fp16.halfToFloat(graft.types.Fp16.floatToHalf(x)))
-    val scan = IvfIndex.prunedScan(spark, path, model, qr, nprobe)
-    scan.select(col(idCol),
-        f16L2sq(col("bits"), toF16Bits(typedLit(q))).as("dist"))
+    val scan = prunedByMetric(spark, path, model, qr, metric, nprobe)
+    val qb = toF16Bits(typedLit(q))
+    val distCol = metric match {
+      case "l2" => f16L2sq(col("bits"), qb)
+      case "dot" => f16NegDot(col("bits"), qb)
+      case "cos" => f16Cosdist(col("bits"), qb)
+      case m => throw new IllegalArgumentException(s"unknown vecf16 metric: $m")
+    }
+    scan.select(col(idCol), distCol.as("dist"))
       .orderBy(col("dist"), col(idCol)).limit(k)
   }
 }

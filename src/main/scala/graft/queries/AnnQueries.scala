@@ -452,6 +452,27 @@ object AnnQueries {
         nprobe = m.nlist)
     }),
 
+    // bvector Jaccard opclass (bvector_jaccard_ops): same artifact, the
+    // packed-word Jaccard kernel scores the pruned scan
+    "q_bvec_jaccard_ann_topk" -> ((s, d) => {
+      val (m, path) = bvecAnn(s, d)
+      TypedAnn.searchBvec(s, path, m, "vec_id", qvec(s, d), k = 100,
+        nprobe = nprobeConf(s), metric = "jaccard")
+    }),
+    // exact mode: probe every list -> brute-force Jaccard oracle
+    "q_bvec_jaccard_ann_exact" -> ((s, d) => {
+      val (m, path) = bvecAnn(s, d)
+      TypedAnn.searchBvec(s, path, m, "vec_id", qvec(s, d), k = 100,
+        nprobe = m.nlist, metric = "jaccard")
+    }),
+    // bvector dot opclass (bvector_dot_ops): -popcount(and), dot-ranked
+    // list pruning; exact mode -> brute-force oracle
+    "q_bvec_dot_ann_exact" -> ((s, d) => {
+      val (m, path) = bvecAnn(s, d)
+      TypedAnn.searchBvec(s, path, m, "vec_id", qvec(s, d), k = 100,
+        nprobe = m.nlist, metric = "dot")
+    }),
+
     // bvector Hamming HNSW exact twin: flat scan of the 0/1-view
     // artifact — l2sq(0/1) == Hamming, so it carries the same
     // brute-force Hamming oracle as the bvector IVF. (Graph traversal
@@ -480,6 +501,28 @@ object AnnQueries {
       val (m, path) = f16Ann(s, d)
       TypedAnn.searchF16(s, path, m, "c_custkey",
         Array(12f, 50f, 3f, 7f), k = 100, nprobe = m.nlist)
+    }),
+    // vecf16 cos opclass (vecf16_cos_ops): direct f16 cos kernel (one
+    // pass, double accumulators — replayable on f16-exact values)
+    "q_vecf16_ann_cos_topk" -> ((s, d) => {
+      val (m, path) = f16Ann(s, d)
+      TypedAnn.searchF16(s, path, m, "c_custkey",
+        Array(12f, 50f, 3f, 7f), k = 100, nprobe = nprobeConf(s),
+        metric = "cos")
+    }),
+    // exact mode: probe every list -> double-arithmetic cos oracle
+    "q_vecf16_ann_cos_exact" -> ((s, d) => {
+      val (m, path) = f16Ann(s, d)
+      TypedAnn.searchF16(s, path, m, "c_custkey",
+        Array(12f, 50f, 3f, 7f), k = 100, nprobe = m.nlist,
+        metric = "cos")
+    }),
+    // vecf16 dot opclass (vecf16_dot_ops) exact twin
+    "q_vecf16_ann_dot_exact" -> ((s, d) => {
+      val (m, path) = f16Ann(s, d)
+      TypedAnn.searchF16(s, path, m, "c_custkey",
+        Array(12f, 50f, 3f, 7f), k = 100, nprobe = m.nlist,
+        metric = "dot")
     }),
 
     // sealed ∪ growing lifecycle search: IVF over the sealed artifact,
@@ -575,6 +618,31 @@ object AnnQueries {
          CAST(list_aggregate(list_transform(list_zip(e.embedding, q.qv), p -> CASE WHEN (p[1] > 0) <> (p[2] > 0) THEN 1 ELSE 0 END), 'sum') AS DOUBLE) AS dist
          FROM embeddings e CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
          ORDER BY dist, vec_id LIMIT 100""",
+    "q_bvec_jaccard_ann_exact" ->
+      """SELECT e.vec_id AS vec_id,
+         1.0 - CAST(list_aggregate(list_transform(list_zip(e.embedding, q.qv), p -> CASE WHEN (p[1] > 0) AND (p[2] > 0) THEN 1 ELSE 0 END), 'sum') AS DOUBLE)
+             / CAST(list_aggregate(list_transform(list_zip(e.embedding, q.qv), p -> CASE WHEN (p[1] > 0) OR (p[2] > 0) THEN 1 ELSE 0 END), 'sum') AS DOUBLE) AS dist
+         FROM embeddings e CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+         ORDER BY dist, vec_id LIMIT 100""",
+    "q_bvec_dot_ann_exact" ->
+      """SELECT e.vec_id AS vec_id,
+         -CAST(list_aggregate(list_transform(list_zip(e.embedding, q.qv), p -> CASE WHEN (p[1] > 0) AND (p[2] > 0) THEN 1 ELSE 0 END), 'sum') AS DOUBLE) AS dist
+         FROM embeddings e CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+         ORDER BY dist, vec_id LIMIT 100""",
+    "q_vecf16_ann_cos_exact" ->
+      """SELECT c_custkey,
+         1.0 - (CAST(c_nationkey AS DOUBLE) * 12 + CAST(c_custkey % 100 AS DOUBLE) * 50
+             + CAST(c_custkey % 7 AS DOUBLE) * 3 + CAST(c_custkey % 13 AS DOUBLE) * 7)
+           / sqrt((CAST(c_nationkey AS DOUBLE) * c_nationkey
+             + CAST(c_custkey % 100 AS DOUBLE) * (c_custkey % 100)
+             + CAST(c_custkey % 7 AS DOUBLE) * (c_custkey % 7)
+             + CAST(c_custkey % 13 AS DOUBLE) * (c_custkey % 13)) * 2702.0) AS dist
+         FROM customer ORDER BY dist, c_custkey LIMIT 100""",
+    "q_vecf16_ann_dot_exact" ->
+      """SELECT c_custkey,
+         -(CAST(c_nationkey AS DOUBLE) * 12 + CAST(c_custkey % 100 AS DOUBLE) * 50
+           + CAST(c_custkey % 7 AS DOUBLE) * 3 + CAST(c_custkey % 13 AS DOUBLE) * 7) AS dist
+         FROM customer ORDER BY dist, c_custkey LIMIT 100""",
     "q_bvec_hnsw_exact" ->
       """SELECT e.vec_id AS vec_id,
          CAST(list_aggregate(list_transform(list_zip(e.embedding, q.qv), p -> CASE WHEN (p[1] > 0) <> (p[2] > 0) THEN 1 ELSE 0 END), 'sum') AS DOUBLE) AS dist

@@ -98,6 +98,63 @@ class AnnSpec extends SparkSpec {
     graft.index.IndexCatalog.drop(spark, fName)
   }
 
+  test("typed IVF alternate metrics: bvec jaccard/dot, f16 cos/dot") {
+    import graft.operators.TypedAnn
+    val src = s"$sf001/embeddings.parquet"
+    // one artifact per type family serves every metric of that family
+    val bvName = "annspec_bvec_m"
+    graft.index.IndexCatalog.drop(spark, bvName)
+    val (bm, bPath) = TypedAnn.ensureBvec(spark, bvName, emb.toDF(), src,
+      "vec_id", "embedding", nlist = 16)
+    for (metric <- Seq("jaccard", "dot")) {
+      val d = metric match {
+        case "jaccard" => bvecJaccard(binarize($"embedding"), binarize(typedLit(q)))
+        case "dot" => bvecNegdot(binarize($"embedding"), binarize(typedLit(q)))
+      }
+      val bTrue = emb.select($"vec_id", d.as("d"))
+        .orderBy($"d", $"vec_id").limit(50).as[(Long, Double)].collect()
+      val kth = bTrue.map(_._2).max
+      // exact mode = brute force
+      val exact = TypedAnn.searchBvec(spark, bPath, bm, "vec_id", q, 50,
+        nprobe = 16, metric = metric).as[(Long, Double)].collect()
+      assert(exact.map(_._1).toSet == bTrue.map(_._1).toSet, s"bvec $metric exact")
+      // pruned probe: tie-aware recall (integer-ish distances tie
+      // heavily). Jaccard pruning through Hamming-space clustering is
+      // intrinsically weaker on near-random bits — hence the wider probe
+      // and softer bar than the Hamming test.
+      val got = TypedAnn.searchBvec(spark, bPath, bm, "vec_id", q, 50,
+        nprobe = 10, metric = metric).as[(Long, Double)].collect()
+      assert(got.length == 50)
+      // measured on this fixture: jaccard >=0.8, dot 0.78 — random bits
+      // are the worst case for centroid pruning; the bar guards against
+      // regressions, not absolute quality
+      assert(got.count(_._2 <= kth) / 50.0 >= 0.75, s"bvec $metric recall")
+    }
+    graft.index.IndexCatalog.drop(spark, bvName)
+
+    val fName = "annspec_f16_m"
+    graft.index.IndexCatalog.drop(spark, fName)
+    val (fm, fPath) = TypedAnn.ensureF16(spark, fName, emb.toDF(), src,
+      "vec_id", "embedding", nlist = 16)
+    for (metric <- Seq("cos", "dot")) {
+      val d = metric match {
+        case "cos" => f16Cosdist(toF16Bits($"embedding"), toF16Bits(typedLit(q)))
+        case "dot" => f16NegDot(toF16Bits($"embedding"), toF16Bits(typedLit(q)))
+      }
+      val fTrue = emb.select($"vec_id", d.as("d"))
+        .orderBy($"d", $"vec_id").limit(50).as[(Long, Double)]
+        .collect().map(_._1).toSet
+      val exact = TypedAnn.searchF16(spark, fPath, fm, "vec_id", q, 50,
+        nprobe = 16, metric = metric).as[(Long, Double)].collect()
+      assert(exact.map(_._1).toSet == fTrue, s"f16 $metric exact")
+      val got = TypedAnn.searchF16(spark, fPath, fm, "vec_id", q, 50,
+        nprobe = 10, metric = metric).as[(Long, Double)].collect()
+      assert(got.length == 50)
+      assert(recall(got.map(_._1), fTrue) >= 0.85, s"f16 $metric recall")
+    }
+    graft.index.IndexCatalog.drop(spark, fName)
+  }
+
   test("sparse pruned postings: lists capped at top-M, recall tracks M") {
     import graft.operators.SparseSearch
     val sv = emb.select($"vec_id",
