@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions._
-import graft.operators.{Hnsw, IvfIndex, IvfPq, IvfSq, Pq, Rabitq, SparseSearch, Sq8, TypedAnn}
+import graft.operators.{Hnsw, HnswSq, IvfIndex, IvfPq, IvfSq, Pq, Rabitq, SparseSearch, Sq8, TypedAnn}
 
 /**
  * ANN search paths (SURVEY §2.6): IVF (partition-pruned index table),
@@ -37,6 +37,11 @@ object AnnQueries {
   def hnsw(s: SparkSession, d: String, parts: Int, metric: String = "l2"): String =
     Hnsw.ensure(s, s"hnsw_${metric}_p${parts}_${san(d)}", t(s, d, "embeddings"), d,
       "vec_id", "embedding", metric, parts)
+
+  def hnswsq(s: SparkSession, d: String, parts: Int)
+      : (Array[Float], Array[Float], String) =
+    HnswSq.ensure(s, s"hnswsq8_p${parts}_${san(d)}", t(s, d, "embeddings"), d,
+      "vec_id", "embedding", parts)
 
   def sparse(s: SparkSession, d: String): String =
     SparseSearch.ensure(s, s"sparse_${san(d)}", sparseDocs(s, d), d, "vec_id", "sv")
@@ -138,6 +143,7 @@ object AnnQueries {
     ivf(s, d, "l2"); ivf(s, d, "cos"); ivf(s, d, "dot")
     sq8(s, d); pq(s, d); rabitq(s, d)
     hnsw(s, d, 4); hnsw(s, d, 1); hnsw(s, d, 4, "cos"); hnsw(s, d, 1, "cos")
+    hnswsq(s, d, 4)
     bvecHnsw(s, d, 1); f16Hnsw(s, d, 1)
     bvecAnn(s, d); f16Ann(s, d); ivfpq(s, d); ivfsq(s, d); ivfPartial(s, d)
     sparse(s, d); sparsePruned(s, d)
@@ -359,6 +365,22 @@ object AnnQueries {
     "q_hnsw_batch_exact" -> ((s, d) => {
       Hnsw.searchIndexBatch(s, hnsw(s, d, 1), "vec_id",
         batchQueries(s, d), k = 20, exact = true)
+    }),
+
+    // HNSW×SQ8: coded resident graphs (4x smaller), LUT traversal,
+    // exact rerank of the ef frontier re-fetched from the source
+    "q_hnswsq8_topk_l2" -> ((s, d) => {
+      val (mins, widths, path) = hnswsq(s, d, 4)
+      HnswSq.searchIndex(s, path, t(s, d, "embeddings"), "vec_id",
+        "embedding", qvec(s, d), k = 100, mins, widths,
+        efSearch = efSearchConf(s))
+    }),
+    // exact mode (Sq8 window<=0 contract): skip the graphs, score every
+    // source row -> provably the flat top-k, carries the flat oracle
+    "q_hnswsq8_exact_l2" -> ((s, d) => {
+      val (mins, widths, path) = hnswsq(s, d, 4)
+      HnswSq.searchIndex(s, path, t(s, d, "embeddings"), "vec_id",
+        "embedding", qvec(s, d), k = 100, mins, widths, exact = true)
     }),
 
     // SQ8: persisted codes -> coarse scan -> rerank window -> exact top-k
@@ -613,6 +635,7 @@ object AnnQueries {
          FROM n e CROSS JOIN (SELECT ne FROM n WHERE vec_id = 0) q
          ORDER BY dist, vec_id LIMIT 100""",
     "q_sq8_exact_l2" -> exactL2Oracle,
+    "q_hnswsq8_exact_l2" -> exactL2Oracle,
     "q_bvec_ann_exact" ->
       """SELECT e.vec_id AS vec_id,
          CAST(list_aggregate(list_transform(list_zip(e.embedding, q.qv), p -> CASE WHEN (p[1] > 0) <> (p[2] > 0) THEN 1 ELSE 0 END), 'sum') AS DOUBLE) AS dist

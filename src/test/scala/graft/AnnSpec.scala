@@ -232,6 +232,60 @@ class AnnSpec extends SparkSpec {
     graft.index.IndexCatalog.drop(spark, name)
   }
 
+  test("HNSW×SQ8: coded artifact ~4x smaller, recall@50 >= 0.9 at defaults, rerank exact") {
+    import graft.operators.HnswSq
+    val name = "annspec_hnswsq"
+    graft.index.IndexCatalog.drop(spark, name)
+    val (mins, widths, path) = HnswSq.ensure(spark, name, emb.toDF(),
+      s"$sf001/embeddings.parquet", "vec_id", "embedding", parts = 2)
+    // coded graphs store 1 byte/dim vs 4: the artifact must be at least
+    // the 3-bytes/dim vector saving smaller than the raw-f32 graphs over
+    // the same rows (adjacency bytes are identical on both sides)
+    def duGraphs(p: String, prefix: String): Long = {
+      val f = new java.io.File(new java.net.URI("file://" + p))
+      Option(f.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith(prefix)).map(_.length()).sum
+    }
+    val rawName = "annspec_hnswsq_raw"
+    graft.index.IndexCatalog.drop(spark, rawName)
+    val rawPath = Hnsw.ensure(spark, rawName, emb.toDF(),
+      s"$sf001/embeddings.parquet", "vec_id", "embedding", "l2", parts = 2)
+    val n = emb.count(); val dims = q.length
+    val sqBytes = duGraphs(path, "sqgraph-")
+    val rawBytes = duGraphs(rawPath, "graph-")
+    assert(sqBytes <= rawBytes - 2L * n * dims,
+      s"coded artifact not smaller: sq=$sqBytes raw=$rawBytes n=$n dims=$dims")
+    graft.index.IndexCatalog.drop(spark, rawName)
+    // defaults: ef=100 frontier, exact rerank
+    val got = HnswSq.searchIndex(spark, path, emb.toDF(), "vec_id",
+      "embedding", q, 50, mins, widths)
+      .as[(Long, Double)].collect()
+    assert(got.length == 50)
+    assert(recall(got.map(_._1), flatTopk(50, "l2")) >= 0.9)
+    // reranked distances are TRUE distances
+    val exact = emb.filter($"vec_id" === got.head._1)
+      .select(l2sq($"embedding", typedLit(q))).as[Double].head()
+    assert(got.head._2 == exact)
+    // exact mode is provably the flat top-k
+    val ex = HnswSq.searchIndex(spark, path, emb.toDF(), "vec_id",
+      "embedding", q, 50, mins, widths, exact = true)
+      .as[(Long, Double)].collect()
+    assert(ex.map(_._1).toSet == flatTopk(50, "l2"))
+    // binary roundtrip of the coded graph
+    val g = new Hnsw.Graph("l2")
+    emb.select($"vec_id", $"embedding").as[(Long, Array[Float])]
+      .collect().sortBy(_._1).take(500)
+      .foreach { case (id, v) => g.insert(id, v) }
+    val sq = HnswSq.SqGraph.fromFlat(g.snapshot, mins, widths)
+    val bos = new java.io.ByteArrayOutputStream()
+    HnswSq.SqGraph.write(new java.io.DataOutputStream(bos), sq)
+    val back = HnswSq.SqGraph.read(new java.io.DataInputStream(
+      new java.io.ByteArrayInputStream(bos.toByteArray)))
+    assert(back.searchFrontier(q, mins, widths, 64) ==
+      sq.searchFrontier(q, mins, widths, 64))
+    graft.index.IndexCatalog.drop(spark, name)
+  }
+
   test("HNSW graph cache: evicts by BYTE budget, not graph count") {
     def mkArtifact(seedId: Long): (String, Long) = {
       val g = new Hnsw.Graph("l2")
