@@ -132,6 +132,52 @@ object TypedAnn {
     (IvfIndex.Model("l2", m.centroids), IndexCatalog.dataDir(spark, name))
   }
 
+  /** CREATE INDEX: svector IVF (the reference's svector_l2/dot/cos_ops,
+    * finalize.sql:731-735, 775-789). K-means runs on the densified view
+    * (build-time only, sample-capped); the artifact stores (id, CSR
+    * svector, list_id) partitioned by list — probed partitions scan the
+    * COMPACT sparse payload, never a densified copy. */
+  def ensureSvec(spark: SparkSession, name: String, df: => DataFrame,
+      source: String, idCol: String, svCol: String, nlist: Int,
+      seed: Long = 42L): (IvfIndex.Model, String) = {
+    val m = IndexCatalog.ensure(spark, name, source,
+        requires = Map("type" -> "svector", "nlist" -> nlist.toString)) { dataDir =>
+      val base = df.filter(col(svCol).isNotNull)
+      val densified = base.withColumn("dv", svecToDense(col(svCol)))
+      val model = IvfIndex.train(densified, "dv", "l2", nlist, seed = seed)
+      densified
+        .withColumn("list_id", IvfIndex.nearestCentroid(col("dv"), model))
+        .select(col(idCol), col(svCol), col("list_id"))
+        .repartition(col("list_id"))
+        .write.mode("overwrite").partitionBy("list_id").parquet(dataDir)
+      Manifest("ivf_svec", source, "l2",
+        Map("nlist" -> nlist.toString, "type" -> "svector"),
+        centroids = model.centroids)
+    }
+    (IvfIndex.Model("l2", m.centroids), IndexCatalog.dataDir(spark, name))
+  }
+
+  /** Search: rank lists by the search metric from the DENSE query view
+    * (centroids are dense), scan the nprobe pruned partitions, score the
+    * exact sparse CSR-merge kernel — l2 `<->`, dot `<#>`, or cos `<=>`.
+    * `qDense` is the densified query (sparse values at their positions,
+    * zeros elsewhere); the scan-side comparison converts it back to CSR
+    * once as a literal. Exact at nprobe = nlist. */
+  def searchSvec(spark: SparkSession, path: String, model: IvfIndex.Model,
+      idCol: String, svCol: String, qDense: Array[Float], k: Int,
+      nprobe: Int, metric: String = "dot"): DataFrame = {
+    val scan = prunedByMetric(spark, path, model, qDense, metric, nprobe)
+    val qsv = svecFromDense(typedLit(qDense))
+    val distCol = metric match {
+      case "l2" => svecL2sq(col(svCol), qsv)
+      case "dot" => svecNegdot(col(svCol), qsv)
+      case "cos" => svecCosdist(col(svCol), qsv)
+      case m => throw new IllegalArgumentException(s"unknown svector metric: $m")
+    }
+    scan.select(col(idCol), distCol.as("dist"))
+      .orderBy(col("dist"), col(idCol)).limit(k)
+  }
+
   /** Search: rank lists by the search metric from the f16-rounded query,
     * scan the nprobe pruned partitions, score the f16 kernel — l2 `<->`,
     * dot `<#>`, or cos `<=>` (the reference's vecf16_l2/dot/cos opclasses,

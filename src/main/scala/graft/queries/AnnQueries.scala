@@ -80,6 +80,12 @@ object AnnQueries {
     TypedAnn.ensureF16(s, s"f16ann_${san(d)}", f16Source(s, d), d,
       "c_custkey", "v4", nlist = 16)
 
+  /** svector IVF over the sparsified embeddings (opclass rows
+    * svector_l2/dot/cos_ops) — one artifact serves all three metrics. */
+  def svecAnn(s: SparkSession, d: String): (IvfIndex.Model, String) =
+    TypedAnn.ensureSvec(s, s"svecann_${san(d)}", sparseDocs(s, d), d,
+      "vec_id", "sv", nlist = 16)
+
   def ivfpq(s: SparkSession, d: String): (IvfPq.Model, String) =
     IvfPq.ensure(s, s"ivfpq_${san(d)}", t(s, d, "embeddings"), d,
       "vec_id", "embedding", nlist = 16)
@@ -145,7 +151,8 @@ object AnnQueries {
     hnsw(s, d, 4); hnsw(s, d, 1); hnsw(s, d, 4, "cos"); hnsw(s, d, 1, "cos")
     hnswsq(s, d, 4)
     bvecHnsw(s, d, 1); f16Hnsw(s, d, 1)
-    bvecAnn(s, d); f16Ann(s, d); ivfpq(s, d); ivfsq(s, d); ivfPartial(s, d)
+    bvecAnn(s, d); f16Ann(s, d); svecAnn(s, d)
+    ivfpq(s, d); ivfsq(s, d); ivfPartial(s, d)
     sparse(s, d); sparsePruned(s, d)
     ensureVecSegments(s, d)
   }
@@ -153,6 +160,11 @@ object AnnQueries {
   private def qvec(s: SparkSession, dir: String): Array[Float] =
     t(s, dir, "embeddings").filter(col("vec_id") === 0)
       .select(col("embedding")).head().getSeq[Float](0).toArray
+
+  /** Densified sparsified query — same threshold rule as [[sparsify]]
+    * (double compare, matching the Column expression's type promotion). */
+  private def qvecSparse(s: SparkSession, dir: String): Array[Float] =
+    qvec(s, dir).map(x => if (math.abs(x.toDouble) > 0.15) x else 0.0f)
 
   private def batchQueries(s: SparkSession, dir: String): Seq[(Long, Array[Float])] =
     t(s, dir, "embeddings").filter(col("vec_id") < 3)
@@ -557,6 +569,29 @@ object AnnQueries {
         "vec_id", "embedding", qvec(s, d), k = 100, nprobe = m.nlist)
     }),
 
+    // svector IVF: compact CSR payload scan, dense centroids
+    "q_svec_ann_topk" -> ((s, d) => {
+      val (m, path) = svecAnn(s, d)
+      TypedAnn.searchSvec(s, path, m, "vec_id", "sv", qvecSparse(s, d),
+        k = 100, nprobe = nprobeConf(s), metric = "dot")
+    }),
+    // exact twins: probe every list -> the q_svec_dist lambda-chain oracles
+    "q_svec_ann_exact" -> ((s, d) => {
+      val (m, path) = svecAnn(s, d)
+      TypedAnn.searchSvec(s, path, m, "vec_id", "sv", qvecSparse(s, d),
+        k = 100, nprobe = m.nlist, metric = "l2")
+    }),
+    "q_svec_ann_cos_exact" -> ((s, d) => {
+      val (m, path) = svecAnn(s, d)
+      TypedAnn.searchSvec(s, path, m, "vec_id", "sv", qvecSparse(s, d),
+        k = 100, nprobe = m.nlist, metric = "cos")
+    }),
+    "q_svec_ann_dot_exact" -> ((s, d) => {
+      val (m, path) = svecAnn(s, d)
+      TypedAnn.searchSvec(s, path, m, "vec_id", "sv", qvecSparse(s, d),
+        k = 100, nprobe = m.nlist, metric = "dot")
+    }),
+
     // Sparse inverted index: EXACT, full oracle, persisted postings
     "q_sparse_topk" -> ((s, d) => {
       val path = sparse(s, d)
@@ -721,6 +756,23 @@ object AnnQueries {
            FROM embeddings e CROSS JOIN
              (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 3) q)
          WHERE rn <= 20 ORDER BY qid, rn""",
+    "q_svec_ann_exact" ->
+      s"""SELECT d.vec_id AS vec_id,
+          list_aggregate(list_transform(list_zip($spD, $spQ), p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), 'sum') AS dist
+          FROM embeddings d CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+          ORDER BY dist, vec_id LIMIT 100""",
+    "q_svec_ann_cos_exact" ->
+      s"""SELECT d.vec_id AS vec_id,
+          1.0 - list_aggregate(list_transform(list_zip($spD, $spQ), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')
+            / sqrt(list_aggregate(list_transform($spD, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')
+                 * list_aggregate(list_transform($spQ, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS dist
+          FROM embeddings d CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+          ORDER BY dist, vec_id LIMIT 100""",
+    "q_svec_ann_dot_exact" ->
+      s"""SELECT d.vec_id AS vec_id,
+          -list_aggregate(list_transform(list_zip($spD, $spQ), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum') AS dist
+          FROM embeddings d CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+          ORDER BY dist, vec_id LIMIT 100""",
     "q_sparse_topk" ->
       s"""SELECT d.vec_id AS vec_id,
           list_aggregate(list_transform(list_zip($spD, $spQ), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum') AS score

@@ -397,7 +397,8 @@ object DocQueries {
            ('rabitq__root_testdata_sf0_01','rabitq','l2','dims=64',TRUE),
            ('sparse__root_testdata_sf0_01','sparse','dot','buckets=64',TRUE),
            ('sparsepr__root_testdata_sf0_01','sparse_pruned','dot','buckets=64,top_m=1024',TRUE),
-           ('sq8__root_testdata_sf0_01','sq8','l2','bits=8',TRUE)
+           ('sq8__root_testdata_sf0_01','sq8','l2','bits=8',TRUE),
+           ('svecann__root_testdata_sf0_01','ivf_svec','l2','nlist=16,type=svector',TRUE)
          ) AS t(idx_name, idx_type, idx_metric, idx_options, has_data)
          ORDER BY idx_name""",
     "q_doc_stats" ->

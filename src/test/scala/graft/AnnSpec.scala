@@ -232,6 +232,37 @@ class AnnSpec extends SparkSpec {
     graft.index.IndexCatalog.drop(spark, name)
   }
 
+  test("svector IVF: l2/cos/dot exact at full probe; pruned recall") {
+    import graft.operators.TypedAnn
+    val name = "annspec_svec"
+    graft.index.IndexCatalog.drop(spark, name)
+    val sv = emb.select($"vec_id",
+      svecFromDense(transform($"embedding",
+        x => when(abs(x) > lit(0.15), x).otherwise(lit(0.0f)))).as("sv"))
+    val (m, path) = TypedAnn.ensureSvec(spark, name, sv,
+      s"$sf001/embeddings.parquet", "vec_id", "sv", nlist = 16)
+    val qs = q.map(x => if (math.abs(x.toDouble) > 0.15) x else 0.0f)
+    val qsv = svecFromDense(typedLit(qs))
+    for (metric <- Seq("l2", "cos", "dot")) {
+      val d = metric match {
+        case "l2" => svecL2sq($"sv", qsv)
+        case "cos" => svecCosdist($"sv", qsv)
+        case "dot" => svecNegdot($"sv", qsv)
+      }
+      val want = sv.select($"vec_id", d.as("d"))
+        .orderBy($"d", $"vec_id").limit(50).as[(Long, Double)]
+        .collect().map(_._1).toSet
+      val exact = TypedAnn.searchSvec(spark, path, m, "vec_id", "sv", qs, 50,
+        nprobe = 16, metric = metric).as[(Long, Double)].collect()
+      assert(exact.map(_._1).toSet == want, s"svec $metric exact")
+      val got = TypedAnn.searchSvec(spark, path, m, "vec_id", "sv", qs, 50,
+        nprobe = 8, metric = metric).as[(Long, Double)].collect()
+      assert(got.length == 50)
+      assert(recall(got.map(_._1), want) >= 0.7, s"svec $metric recall")
+    }
+    graft.index.IndexCatalog.drop(spark, name)
+  }
+
   test("HNSW×SQ8: coded artifact ~4x smaller, recall@50 >= 0.9 at defaults, rerank exact") {
     import graft.operators.HnswSq
     val name = "annspec_hnswsq"
