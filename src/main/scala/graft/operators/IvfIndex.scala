@@ -243,6 +243,38 @@ object IvfIndex {
     rangeScan(spark, path, model, radii, q, r2)
       .filter(l2sq(col(vecCol), typedLit(q)) < r2)
 
+  /** Cos-range pruned scan (strategy-2 cos opclass member): stored rows
+    * are normalize-at-build unit vectors with ||x̂ − c|| ≤ R_c, so
+    * x̂·q̂ ≤ c·q̂ + R_c (Cauchy-Schwarz on the residual) and the list's
+    * best reachable cosdist is 1 − c·q̂ − R_c. Lists that can't beat r
+    * are skipped; the exact filter on top keeps correctness. The small
+    * eps absorbs the ±ulp of float normalization. */
+  def rangeScanCos(spark: SparkSession, path: String, model: Model,
+      radii: Array[Float], q: Array[Float], r: Double): DataFrame = {
+    val qn = Kernels.normalize(q)
+    val probes = model.centroids.indices.filter { i =>
+      1.0 - Kernels.dot(model.centroids(i), qn) -
+        math.sqrt(radii(i).toDouble) <= r + 1e-6
+    }
+    spark.read.parquet(path)
+      .filter(col("list_id").isin(probes.map(Integer.valueOf): _*))
+  }
+
+  /** Dot-range pruned scan (strategy-2 dot opclass member): for x in a
+    * list with ||x − c|| ≤ R_c, x·q ≤ c·q + R_c·||q||, so the list's
+    * minimum reachable negdot is −(c·q + R_c·||q||) — the per-list bound
+    * the radius stats provide without a separate max-norm stat. */
+  def rangeScanDot(spark: SparkSession, path: String, model: Model,
+      radii: Array[Float], q: Array[Float], r: Double): DataFrame = {
+    val qNorm = math.sqrt(Kernels.dot(q, q))
+    val probes = model.centroids.indices.filter { i =>
+      -(Kernels.dot(model.centroids(i), q) +
+        math.sqrt(radii(i).toDouble) * qNorm) <= r + 1e-9
+    }
+    spark.read.parquet(path)
+      .filter(col("list_id").isin(probes.map(Integer.valueOf): _*))
+  }
+
   /** Batched many-query search (batch-inference shape): ONE pruned scan
     * answers a whole query table. Probe lists resolve on the driver
     * (centroids are tiny); the scan reads the union of all probed

@@ -167,6 +167,16 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
   private def filteredOverfetch: Int =
     spark.conf.get("spark.graft.ann.filteredOverfetch", "4").toInt
 
+  /** HNSW search-time tunables (pgvector spelling wins, the GUC alias
+    * convention of AnnQueries.conf2). `spark.graft.hnsw.exact` routes the
+    * rewrite to the provable flat scan of the artifact — the ef=∞ analog
+    * that exact-mode queries rely on. */
+  private def hnswEfSearch: Int =
+    spark.conf.getOption("spark.graft.hnsw.ef_search")
+      .getOrElse(spark.conf.get("spark.graft.hnsw.efSearch", "100")).toInt
+  private def hnswExact: Boolean =
+    spark.conf.get("spark.graft.hnsw.exact", "false").toBoolean
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!enabled) return plan
     plan.transformDown {
@@ -199,9 +209,14 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     }
   }
 
-  /** Filter shape: l2sq(vecAttr, queryLit) < radiusLit over an indexed
-    * relation. Replacement keeps the exact filter; only the scan shrinks
-    * (identical results by construction — no approximation). */
+  /** Filter shape: dist(vecAttr, queryLit) < radiusLit over an indexed
+    * relation, for l2 / cos / dot (the strategy-2 "FOR SEARCH" members
+    * of each opclass). Replacement keeps the exact filter; only the scan
+    * shrinks via the metric's triangle/Cauchy-Schwarz list bound.
+    * l2 and dot artifacts store raw vectors — identical results by
+    * construction; cos artifacts store normalize-at-build vectors, so the
+    * reapplied filter evaluates on those (the same normalized-replay
+    * convention as the cos top-k pushdown). */
   private def matchRange(cond: Expression, rel: LogicalPlan): Option[LogicalPlan] = {
     if (!rel.isInstanceOf[LogicalRelation] &&
         !rel.isInstanceOf[org.apache.spark.sql.execution.columnar.InMemoryRelation])
@@ -210,20 +225,30 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case And(l, r) => conjuncts(l) ++ conjuncts(r)
       case x => Seq(x)
     }
-    val (vecAttr, qLit, r2) = conjuncts(cond).collectFirst {
+    val (vecAttr, qLit, r2, metric) = conjuncts(cond).collectFirst {
       case LessThan(L2sqDistance(v: AttributeReference, q: Literal),
-          Literal(r: Double, _)) => (v, q, r)
+          Literal(r: Double, _)) => (v, q, r, "l2")
+      case LessThan(CosDistance(v: AttributeReference, q: Literal),
+          Literal(r: Double, _)) => (v, q, r, "cos")
+      case LessThan(NegDotDistance(v: AttributeReference, q: Literal),
+          Literal(r: Double, _)) => (v, q, r, "dot")
     }.getOrElse(return None)
-    val idx = lookup(pathsOf(rel), "l2").getOrElse(return None)
+    val idx = lookup(pathsOf(rel), metric).getOrElse(return None)
     if (vecAttr.name != idx.vecCol) return None
     val manifest = graft.index.IndexCatalog.load(spark, idx.indexName)
       .getOrElse(return None)
-    if (manifest.metric != "l2" || !manifest.floats.contains("radii"))
+    if (manifest.kind != "ivf" || manifest.metric != metric ||
+        !manifest.floats.contains("radii"))
       return None
     val model = IvfIndex.Model(manifest.metric, manifest.centroids)
-    val scan = IvfIndex.rangeScan(spark,
-      graft.index.IndexCatalog.dataDir(spark, idx.indexName), model,
-      manifest.floats("radii"), floatsOf(qLit), r2)
+    val dataDir = graft.index.IndexCatalog.dataDir(spark, idx.indexName)
+    val radii = manifest.floats("radii")
+    val q = floatsOf(qLit)
+    val scan = metric match {
+      case "l2" => IvfIndex.rangeScan(spark, dataDir, model, radii, q, r2)
+      case "cos" => IvfIndex.rangeScanCos(spark, dataDir, model, radii, q, r2)
+      case "dot" => IvfIndex.rangeScanDot(spark, dataDir, model, radii, q, r2)
+    }
     val newPlan = scan.queryExecution.analyzed
     // remap old relation attrs to the new scan's outputs by name
     val byName = newPlan.output.map(a => a.name -> a).toMap
@@ -307,11 +332,25 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     val manifest = graft.index.IndexCatalog.load(spark, idx.indexName)
       .getOrElse(return None)
     if (manifest.metric != metric) return None
-    val model = IvfIndex.Model(manifest.metric, manifest.centroids)
-    val probes = math.min(math.max(nprobe, 1), model.nlist)
-    val searchDf = IvfIndex.search(spark,
-      graft.index.IndexCatalog.dataDir(spark, idx.indexName), model,
-      idx.idCol, idx.vecCol, floatsOf(qLit), k, probes)
+    val dataDir = graft.index.IndexCatalog.dataDir(spark, idx.indexName)
+    val q = floatsOf(qLit)
+    // the planner picks whatever index KIND the registration provides
+    // (the reference's am dispatch, src/index/am.rs:105-133): IVF scans
+    // prune by centroid lists, HNSW scans search the resident graphs
+    val searchDf = manifest.kind match {
+      case "ivf" =>
+        val model = IvfIndex.Model(manifest.metric, manifest.centroids)
+        val probes = math.min(math.max(nprobe, 1), model.nlist)
+        IvfIndex.search(spark, dataDir, model, idx.idCol, idx.vecCol,
+          q, k, probes)
+      case "hnsw" =>
+        // cos graphs are normalize-at-build: hand them the normalized
+        // query (searchIndex reports 1 - dot, the cos-distance convention)
+        val qq = if (metric == "cos") IvfIndex.Kernels.normalize(q) else q
+        graft.operators.Hnsw.searchIndex(spark, dataDir, idx.idCol, qq, k,
+          efSearch = hnswEfSearch, exact = hnswExact)
+      case _ => return None
+    }
     val newPlan = searchDf.queryExecution.analyzed
     val Seq(newId, newDist) = newPlan.output
     // alias replacement output back to the original exprIds
@@ -340,6 +379,9 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     val manifest = graft.index.IndexCatalog.load(spark, idx.indexName)
       .getOrElse(return None)
     if (manifest.metric != metric) return None
+    // filtered top-k pushes the predicate INTO a pruned scan — an IVF
+    // shape; HNSW graphs carry no scannable rows to filter
+    if (manifest.kind != "ivf") return None
     val model = IvfIndex.Model(manifest.metric, manifest.centroids)
     val probes = math.min(
       math.max(nprobe.toLong * math.max(filteredOverfetch, 1), 1L),

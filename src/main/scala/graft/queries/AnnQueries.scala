@@ -324,6 +324,17 @@ object AnnQueries {
       }
     }),
 
+    // cos sphere-range pushdown (strategy-2 cos opclass member): the
+    // optimizer prunes lists by the 1 - c·q̂ - R_c bound and keeps the
+    // exact cos filter on top — values follow the normalized-replay
+    // convention (the index stores normalize-at-build vectors)
+    "q_range_pushdown_cos" -> ((s, d) => withAnnRewrite(s, d, "cos") {
+      s.read.parquet(s"$d/embeddings.parquet")
+        .select(col("vec_id"),
+          cosdist(col("embedding"), typedLit(qvec(s, d))).as("dist"))
+        .filter(col("dist") < lit(0.8))
+    }),
+
     // dot-product opclass exact twin
     "q_ivf_exact_dot" -> ((s, d) => {
       val (m, path) = ivf(s, d, "dot")
@@ -654,6 +665,18 @@ object AnnQueries {
          FROM embeddings e CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
          WHERE e.vec_id % 7 = 0
          ORDER BY dist, vec_id LIMIT 100""",
+    "q_range_pushdown_cos" ->
+      """SELECT vec_id, dist FROM (
+           WITH n AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(CAST(x AS DOUBLE)
+               / sqrt(list_aggregate(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)), 'sum')) AS FLOAT)) AS ne
+             FROM embeddings)
+           SELECT e.vec_id AS vec_id,
+             1.0 - list_aggregate(list_transform(list_zip(e.ne, q.qv), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')
+               / sqrt(list_aggregate(list_transform(e.ne, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')
+                    * list_aggregate(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS dist
+           FROM n e CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q)
+         WHERE dist < 0.8 ORDER BY vec_id""",
     "q_ivf_exact_dot" ->
       """SELECT e.vec_id AS vec_id,
          -list_aggregate(list_transform(list_zip(e.embedding, q.qv), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum') AS dist

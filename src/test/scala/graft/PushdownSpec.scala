@@ -172,6 +172,81 @@ class PushdownSpec extends SparkSpec {
     }
   }
 
+  test("hnsw-registered table: ORDER BY l2sq LIMIT k rewrites to the graph search") {
+    val src = s"$sf001/embeddings.parquet"
+    AnnQueries.hnsw(spark, sf001, 1)
+    AnnPushdown.install(spark)
+    AnnPushdown.register(src, AnnPushdown.IndexedTable(
+      s"hnsw_l2_p1_${sf001.replaceAll("[^a-zA-Z0-9]", "_")}",
+      "vec_id", "embedding"))
+    try {
+      spark.conf.set("spark.graft.ann.enabled", "false")
+      val baseline = topkDf.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      // exact mode (ef=∞ analog): flat scan of the 1-partition artifact —
+      // identical results to the brute-force baseline
+      spark.conf.set("spark.graft.ann.enabled", "true")
+      spark.conf.set("spark.graft.hnsw.exact", "true")
+      val pushed = topkDf
+      val plan = pushed.queryExecution.executedPlan.toString
+      assert(!plan.contains("embeddings.parquet"),
+        s"plan still scans the base table:\n$plan")
+      val got = pushed.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got == baseline)
+      // approximate graph traversal still returns k rows
+      spark.conf.set("spark.graft.hnsw.exact", "false")
+      assert(topkDf.count() == 10)
+    } finally {
+      spark.conf.set("spark.graft.ann.enabled", "false")
+      spark.conf.unset("spark.graft.hnsw.exact")
+      AnnPushdown.unregister(src)
+    }
+  }
+
+  test("cos/dot sphere-range pushdown prunes lists per metric bound") {
+    val src = s"$sf001/embeddings.parquet"
+    val san = sf001.replaceAll("[^a-zA-Z0-9]", "_")
+    val (_, cosDir) = AnnQueries.ivf(spark, sf001, "cos")
+    val (_, dotDir) = AnnQueries.ivf(spark, sf001, "dot")
+    AnnPushdown.install(spark)
+    AnnPushdown.register(src,
+      AnnPushdown.IndexedTable(s"ivf_cos_$san", "vec_id", "embedding", "cos"))
+    AnnPushdown.register(src,
+      AnnPushdown.IndexedTable(s"ivf_dot_$san", "vec_id", "embedding", "dot"))
+    try {
+      spark.conf.set("spark.graft.ann.enabled", "true")
+      // cos: values follow the normalized-replay convention (the index
+      // stores normalize-at-build vectors)
+      def cosRange = spark.read.parquet(src)
+        .select(col("vec_id"),
+          graft.functions.cosdist(col("embedding"), typedLit(q)).as("dist"))
+        .filter(col("dist") < 0.8)
+      val plan = cosRange.queryExecution.executedPlan.toString
+      assert(plan.contains(cosDir) && plan.contains("list_id"),
+        s"cos range did not rewrite:\n$plan")
+      val got = cosRange.collect().map(_.getLong(0)).toSet
+      val want = spark.read.parquet(src)
+        .select(col("vec_id"), graft.functions.cosdist(
+          graft.functions.vectorNormalize(col("embedding")), typedLit(q)).as("dist"))
+        .filter(col("dist") < 0.8).collect().map(_.getLong(0)).toSet
+      assert(got == want, "cos range row set mismatch")
+      // dot: raw-vector artifact -> bit-exact vs the unrewritten plan
+      spark.conf.set("spark.graft.ann.enabled", "false")
+      def dotRange = spark.read.parquet(src)
+        .select(col("vec_id"),
+          graft.functions.negdot(col("embedding"), typedLit(q)).as("dist"))
+        .filter(col("dist") < 0.0)
+      val base = dotRange.collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      spark.conf.set("spark.graft.ann.enabled", "true")
+      val plan2 = dotRange.queryExecution.executedPlan.toString
+      assert(plan2.contains(dotDir) && plan2.contains("list_id"),
+        s"dot range did not rewrite:\n$plan2")
+      assert(dotRange.collect().map(r => (r.getLong(0), r.getDouble(1))).toSet == base)
+    } finally {
+      spark.conf.set("spark.graft.ann.enabled", "false")
+      AnnPushdown.unregister(src)
+    }
+  }
+
   test("range (sphere) predicate pushdown prunes lists, stays exact") {
     withPushdown { dataDir =>
     def rangeDf = spark.read.parquet(s"$sf001/embeddings.parquet")
