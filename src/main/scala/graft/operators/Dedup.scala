@@ -299,6 +299,48 @@ object Dedup {
       ShingleHashesExpr(org.apache.spark.sql.graftshim.Shims.expression(
         split(text, " ")), n))
 
+  /** Deterministic hash-bucket term-frequency featurizer: counts tokens
+    * into `dims` buckets by FNV-1a mod dims (floored). The HashingTF
+    * analog whose every step — tokenize, hash, bucket, count — is
+    * replayable in plain SQL, which is what lets an embedding-knn query
+    * carry a full value oracle (MLlib murmur3+IDF float chains cannot).
+    * Counts are small integers, exact in float; cosine between count
+    * vectors is then order-insensitive exact integer sums in double. */
+  def tokenBucketKernel(tokens: ArrayData, dims: Int): ArrayData = {
+    val counts = new Array[Float](dims)
+    val n = tokens.numElements()
+    var j = 0
+    while (j < n) {
+      val h = fnv1a64(tokens.getUTF8String(j).toString)
+      val b = (((h % dims) + dims) % dims).toInt
+      counts(b) += 1.0f
+      j += 1
+    }
+    new GenericArrayData(counts)
+  }
+
+  case class TokenBuckets(child: Expression, dims: Int)
+      extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects type array<string>, got ${other.simpleString}")
+    }
+    override def nullIntolerant: Boolean = true
+    override def dataType: DataType =
+      ArrayType(org.apache.spark.sql.types.FloatType, containsNull = false)
+    override def nullSafeEval(v: Any): Any =
+      tokenBucketKernel(v.asInstanceOf[ArrayData], dims)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.operators.Dedup.tokenBucketKernel($c, $dims)")
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+    override def prettyName = "token_buckets"
+  }
+
+  def tokenBuckets(tokens: Column, dims: Int): Column =
+    org.apache.spark.sql.graftshim.Shims.column(
+      TokenBuckets(org.apache.spark.sql.graftshim.Shims.expression(tokens), dims))
+
   def simhashKernel(tokens: ArrayData): Long = {
     val n = tokens.numElements()
     val buf = new Array[String](n)

@@ -294,17 +294,20 @@ object DocQueries {
         .orderBy(col("doc_id"))
     }),
 
-    // --- embedding-powered knn over the batch-embedded corpus: top-10
-    //     most similar docs to doc 0 (rows-only; EmbedSpec checks
-    //     token-overlap quality) ---
+    // --- embedding-powered knn over the hash-featurized corpus: top-10
+    //     most similar docs to doc 0, full value oracle (FNV bucket
+    //     counts replayed in SQL) ---
     "q_embed_knn" -> ((s, d) => {
-      val model = graft.operators.Embed.fitCached(d, docs(s, d), "text", 64)
-      val emb = graft.operators.Embed.transform(model, docs(s, d), "doc_id", "text")
-      val q = emb.filter(col("doc_id") === 0)
-        .select(col("embedding").as("qv"))
+      // deterministic featurizer (FNV token buckets) instead of MLlib
+      // HashingTF/IDF: every step is SQL-replayable, so this knn carries
+      // a full value oracle (cosine over integer count vectors is
+      // order-insensitive exact arithmetic)
+      val emb = docs(s, d).select(col("doc_id"),
+        Dedup.tokenBuckets(toks(col("text")), 64).as("tfv"))
+      val q = emb.filter(col("doc_id") === 0).select(col("tfv").as("qv"))
       emb.crossJoin(broadcast(q)).filter(col("doc_id") =!= 0)
         .select(col("doc_id"),
-          graft.functions.cosdist(col("embedding"), col("qv")).as("cdist"))
+          graft.functions.cosdist(col("tfv"), col("qv")).as("cdist"))
         .orderBy(col("cdist"), col("doc_id")).limit(10)
     }),
 
@@ -510,6 +513,36 @@ object DocQueries {
     "q_embed_batch" ->
       """SELECT doc_id, CAST(64 AS BIGINT) AS dims, CAST(1.0 AS DOUBLE) AS norm
          FROM documents ORDER BY doc_id""",
+
+    // knn over FNV token-bucket count vectors: counts are exact integers,
+    // so every sum is order-insensitive exact double arithmetic; the
+    // per-token FNV-1a replay is the q_dedup_simhash HUGEINT pattern
+    "q_embed_knn" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+         fnv AS (
+           SELECT doc_id, list_reduce(
+             list_prepend(CAST(-3750763034362895579 AS BIGINT),
+               list_transform(range(1, length(t)+1), i -> CAST(ord(substring(t, CAST(i AS INT), 1)) AS BIGINT))),
+             (h, b) -> CAST(CASE
+                 WHEN ((CASE WHEN xor(h, b) < 0 THEN CAST(xor(h, b) AS HUGEINT) + 18446744073709551616 ELSE CAST(xor(h, b) AS HUGEINT) END) * 1099511628211) % 18446744073709551616 >= 9223372036854775808
+                 THEN ((CASE WHEN xor(h, b) < 0 THEN CAST(xor(h, b) AS HUGEINT) + 18446744073709551616 ELSE CAST(xor(h, b) AS HUGEINT) END) * 1099511628211) % 18446744073709551616 - 18446744073709551616
+                 ELSE ((CASE WHEN xor(h, b) < 0 THEN CAST(xor(h, b) AS HUGEINT) + 18446744073709551616 ELSE CAST(xor(h, b) AS HUGEINT) END) * 1099511628211) % 18446744073709551616
+               END AS BIGINT)) AS h
+           FROM tok),
+         buck AS (SELECT doc_id, ((h % 64) + 64) % 64 AS b FROM fnv),
+         cnts AS (SELECT doc_id, b, CAST(COUNT(*) AS DOUBLE) AS c
+           FROM buck GROUP BY doc_id, b),
+         xx AS (SELECT doc_id, SUM(c * c) AS v FROM cnts GROUP BY doc_id),
+         qc AS (SELECT b, c FROM cnts WHERE doc_id = 0),
+         qn AS (SELECT SUM(c * c) AS v FROM qc),
+         xy AS (SELECT d.doc_id, SUM(d.c * q.c) AS v
+           FROM cnts d JOIN qc q ON d.b = q.b GROUP BY d.doc_id)
+         SELECT x.doc_id AS doc_id,
+           1.0 - COALESCE(xy.v, 0.0) / sqrt(x.v * (SELECT v FROM qn)) AS cdist
+         FROM xx x LEFT JOIN xy ON xy.doc_id = x.doc_id
+         WHERE x.doc_id <> 0
+         ORDER BY cdist, doc_id LIMIT 10""",
 
     "q_multimodal_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
