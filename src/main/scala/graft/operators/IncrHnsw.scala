@@ -1,0 +1,210 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Incremental HNSW maintenance over a [[Segments]] store — the Spark
+ * shape of the reference's sealed-graph patching
+ * (crates/hnsw/src/lib.rs:198-235 `patch_insertions`/`patch_deletions`):
+ * an append must NOT trigger a full-source rebuild.
+ *
+ *  - The sealed base generation gets per-partition graphs once
+ *    (`base-<gen>-NNNNN.bin`).
+ *  - Each appended delta gets ONE small side graph (`side-<seq>.bin`)
+ *    built over just that delta's rows; existing graph files are never
+ *    rewritten (mtime-stable — the spec asserts it).
+ *  - Deletes need no graph work: searches version-filter against the
+ *    live tombstones, exactly like [[HybridSearch]].
+ *  - Compaction PROMOTES side graphs instead of rebuilding: the current
+ *    tombstone versions are snapshotted into the index's `dead/` parquet
+ *    (graphs keep dead rows resident, filtered at search — the
+ *    reference's version map over sealed segments), then
+ *    [[Segments.compact]] folds the data side. A later full re-ensure
+ *    (vacuum analog) reclaims dead residency.
+ *
+ * Every graph file encodes the segment VERSION its rows carry (base = 0,
+ * side-<s> = s), so the tombstone rule "a tombstone at v hides rows with
+ * version <= v" applies per graph file.
+ */
+object IncrHnsw {
+
+  private def graftDir(spark: SparkSession, name: String): String =
+    graft.index.IndexCatalog.dataDir(spark, name)
+
+  private def binFiles(dir: java.io.File): Seq[java.io.File] =
+    Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".bin")).toSeq.sortBy(_.getName)
+
+  /** Version the rows of a graph file carry: side-<seq>.bin -> seq,
+    * base graphs -> 0. */
+  private def fileVer(name: String): Long =
+    if (name.startsWith("side-")) name.stripPrefix("side-").stripSuffix(".bin").toLong
+    else 0L
+
+  private def buildGraphFile(spark: SparkSession, rows: DataFrame,
+      idCol: String, vecCol: String, metric: String, out: java.io.File,
+      m: Int, efConstruction: Int): Unit = {
+    import spark.implicits._
+    val data = rows.filter(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val g = new Hnsw.Graph(metric, m, efConstruction)
+    data.foreach { case (id, v) => g.insert(id, v) }
+    if (g.size == 0) return
+    out.getParentFile.mkdirs()
+    val tmp = new java.io.File(out.getParentFile, s".${out.getName}.tmp")
+    val os = new java.io.DataOutputStream(
+      new java.io.BufferedOutputStream(new java.io.FileOutputStream(tmp), 1 << 20))
+    try Hnsw.FlatGraph.write(os, g.snapshot) finally os.close()
+    if (!tmp.renameTo(out) && !out.isFile)
+      throw new java.io.IOException(s"failed to publish $out")
+  }
+
+  /** Sync the index to the segment store's committed state, building
+    * ONLY what is new: base graphs on first ensure (or after a gen
+    * change from a non-promoted compaction), one side graph per
+    * newly-appended delta otherwise. Returns the artifact dir.
+    *
+    * Driver-side builds: deltas are the GROWING side — small by the
+    * lifecycle contract (compaction seals them before they grow large);
+    * the base build at scale goes through [[Hnsw.ensure]]-style
+    * per-partition tasks if needed (here one file per ~partition keeps
+    * the spec-scale path simple and deterministic). */
+  def ensure(spark: SparkSession, name: String, segDir: String,
+      idCol: String, vecCol: String, metric: String = "l2",
+      m: Int = 12, efConstruction: Int = 300): String = synchronized {
+    import graft.index.IndexCatalog
+    val st = Segments.state(segDir)
+    require(st.gen >= 0, s"no committed generation under $segDir")
+    val dataDir = new java.io.File(graftDir(spark, name))
+    val prior = IndexCatalog.load(spark, name)
+      .filter(_.source == segDir)
+      .filter(_.params.get("metric_int").contains(metric))
+    val priorGen = prior.flatMap(_.params.get("gen")).map(_.toLong).getOrElse(-1L)
+    val priorSeq = prior.flatMap(_.params.get("seq")).map(_.toLong).getOrElse(-1L)
+    val promotedGen = prior.flatMap(_.params.get("promoted_gen")).map(_.toLong).getOrElse(-1L)
+    val genOk = priorGen == st.gen || promotedGen == st.gen
+    if (prior.isEmpty || !genOk) {
+      // full (re)build: base graphs + a side graph per existing delta
+      if (dataDir.exists()) { def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete() }; rm(dataDir) }
+      buildGraphFile(spark, spark.read.parquet(s"$segDir/base-${st.gen}"),
+        idCol, vecCol, metric, new java.io.File(dataDir, f"base-${st.gen}-00000.bin"),
+        m, efConstruction)
+      Segments.deltaDirs(segDir, st).foreach { dd =>
+        val seq = new java.io.File(dd).getName.stripPrefix("delta-").toLong
+        buildGraphFile(spark, spark.read.parquet(dd), idCol, vecCol, metric,
+          new java.io.File(dataDir, s"side-$seq.bin"), m, efConstruction)
+      }
+      IndexCatalog.commit(spark, name, IndexCatalog.Manifest(
+        "hnsw_incr", segDir, metric,
+        Map("gen" -> st.gen.toString, "seq" -> st.seq.toString,
+          "metric_int" -> metric, "m" -> m.toString,
+          "ef_construction" -> efConstruction.toString)))
+    } else if (st.seq > priorSeq) {
+      // incremental: ONLY deltas newer than what the index covers get a
+      // side graph; existing files are untouched (deletes are pure
+      // tombstone work — no graph change at all)
+      Segments.deltaDirs(segDir, st).foreach { dd =>
+        val seq = new java.io.File(dd).getName.stripPrefix("delta-").toLong
+        if (seq > priorSeq)
+          buildGraphFile(spark, spark.read.parquet(dd), idCol, vecCol, metric,
+            new java.io.File(dataDir, s"side-$seq.bin"), m, efConstruction)
+      }
+      val pm = prior.get
+      IndexCatalog.commit(spark, name, pm.copy(
+        params = pm.params + ("seq" -> st.seq.toString)))
+    }
+    dataDir.getAbsolutePath
+  }
+
+  /** Compact the segment store WITHOUT rebuilding graphs: snapshot the
+    * live tombstone versions into the index's `dead/` parquet (those ids
+    * stay resident in the graphs, filtered at search), then fold the
+    * data side. Side graphs are hereby "promoted" — they simply remain
+    * part of the sealed search set. */
+  def promoteOnCompact(spark: SparkSession, name: String, segDir: String,
+      idCol: String): Unit = synchronized {
+    import graft.index.IndexCatalog
+    val st = Segments.state(segDir)
+    val deadDir = new java.io.File(graftDir(spark, name), "dead")
+    Segments.tombstoneMax(spark, segDir, idCol).foreach { tombs =>
+      val prior = if (deadDir.isDirectory && binOrParquetNonEmpty(deadDir))
+        Some(spark.read.parquet(deadDir.getAbsolutePath)) else None
+      val all = prior.map(_.unionByName(tombs)).getOrElse(tombs)
+        .groupBy(col(idCol)).agg(max(col("_tomb_ver")).as("_tomb_ver"))
+      // write-then-swap: never read and overwrite the same dir in one job
+      val tmp = new java.io.File(deadDir.getParentFile, "dead.tmp")
+      all.write.mode("overwrite").parquet(tmp.getAbsolutePath)
+      def rm(f: java.io.File): Unit = { if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete() }
+      if (deadDir.exists()) rm(deadDir)
+      if (!tmp.renameTo(deadDir))
+        throw new java.io.IOException(s"failed to publish $deadDir")
+    }
+    Segments.compact(spark, segDir, idCol)
+    val newSt = Segments.state(segDir)
+    val pm = IndexCatalog.load(spark, name).getOrElse(
+      throw new IllegalStateException(s"no index $name to promote"))
+    // promoted_gen records that this index's graphs (base + sides) cover
+    // the new generation without a rebuild
+    IndexCatalog.commit(spark, name, pm.copy(params =
+      pm.params + ("promoted_gen" -> newSt.gen.toString,
+        "seq" -> newSt.seq.toString)))
+  }
+
+  private def binOrParquetNonEmpty(dir: java.io.File): Boolean =
+    Option(dir.listFiles()).getOrElse(Array.empty).exists(_.getName.endsWith(".parquet"))
+
+  /** Search every resident graph (base + promoted + fresh sides), then
+    * version-filter: a row from a graph carrying version v is hidden by
+    * any tombstone (live OR promoted-dead) with _tomb_ver >= v. exact
+    * mode flat-scans each graph — provably the visible-set top-k. */
+  def search(spark: SparkSession, name: String, segDir: String,
+      idCol: String, q: Array[Float], k: Int, efSearch: Int = 100,
+      exact: Boolean = false): DataFrame = {
+    import spark.implicits._
+    val dataDir = new java.io.File(graftDir(spark, name))
+    val files = binFiles(dataDir).map(f => (f.getAbsolutePath, fileVer(f.getName)))
+    if (files.isEmpty)
+      return spark.emptyDataset[(Long, Double)].toDF(idCol, "dist")
+    val deadDir = new java.io.File(dataDir, "dead")
+    val dead = if (deadDir.isDirectory && binOrParquetNonEmpty(deadDir))
+      Some(spark.read.parquet(deadDir.getAbsolutePath)) else None
+    val live = Segments.tombstoneMax(spark, segDir, idCol)
+    val tombs = (dead, live) match {
+      case (Some(a), Some(b)) => Some(a.unionByName(b)
+        .groupBy(col(idCol)).agg(max(col("_tomb_ver")).as("_tomb_ver")))
+      case (a, b) => a.orElse(b)
+    }
+    // the version filter runs AFTER the per-graph top-k, so each graph
+    // over-fetches by the tombstone count — at most that many of its
+    // candidates can be dead (tombstones are small by the lifecycle
+    // contract: compaction folds them away)
+    val deadCount = tombs.map(_.count()).getOrElse(0L)
+    val fetch = math.min(k.toLong + deadCount, Int.MaxValue.toLong).toInt
+    val bq = spark.sparkContext.broadcast(q)
+    val hconf = Hnsw.confEntries(spark)
+    val hits = spark.sparkContext
+      .parallelize(files, files.length)
+      .mapPartitions { it =>
+        val conf = Hnsw.mkConf(hconf)
+        it.flatMap { case (f, ver) =>
+          val g = Hnsw.GraphCache.get(f, conf)
+          val res = if (exact) g.bruteForce(bq.value, fetch)
+                    else g.search(bq.value, fetch, math.max(efSearch, fetch))
+          res.iterator.map { case (d, id) => (id, d, ver) }
+        }
+      }.toDF(idCol, "dist", "_gver")
+    val visible = tombs match {
+      case Some(t) => hits.join(broadcast(t), Seq(idCol), "left_outer")
+        .filter(col("_tomb_ver").isNull || col("_tomb_ver") < col("_gver"))
+        .drop("_tomb_ver")
+      case None => hits
+    }
+    visible.select(col(idCol), col("dist"))
+      .orderBy(col("dist"), col(idCol)).limit(k)
+  }
+}

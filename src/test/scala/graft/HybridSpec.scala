@@ -57,4 +57,72 @@ class HybridSpec extends SparkSpec {
       .select("vec_id").as[Long].collect().toSeq
     assert(topIds2(10) == brute)
   }
+
+  test("incremental HNSW: append adds one side graph, compaction promotes without rebuild") {
+    import graft.operators.IncrHnsw
+    val segDir = Files.createTempDirectory("graft_incr_seg").toString
+    val name = "hybridspec_incr"
+    graft.index.IndexCatalog.drop(spark, name)
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val q: Array[Float] = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+
+    Segments.init(spark, segDir, emb, "vec_id")
+    val dir = IncrHnsw.ensure(spark, name, segDir, "vec_id", "embedding")
+    def binMtimes: Map[String, Long] =
+      Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".bin"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    val m0 = binMtimes
+    assert(m0.keySet.exists(_.startsWith("base-")), s"no base graphs in $m0")
+
+    def got(k: Int): Seq[(Long, Double)] =
+      IncrHnsw.search(spark, name, segDir, "vec_id", q, k, exact = true)
+        .as[(Long, Double)].collect().toSeq
+    def want(k: Int): Seq[(Long, Double)] =
+      Segments.read(spark, segDir, "vec_id")
+        .select(col("vec_id"), graft.functions.l2sq(col("embedding"),
+          typedLit(q)).as("dist"))
+        .orderBy(col("dist"), col("vec_id")).limit(k)
+        .as[(Long, Double)].collect().toSeq
+    assert(got(20) == want(20))
+
+    // append: exactly ONE new side graph; every existing file untouched
+    val dups = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).crossJoin(Seq(9000L, 9001L, 9002L).toDF("vec_id"))
+      .select(col("vec_id"), col("embedding"))
+    Segments.append(spark, segDir, dups, "vec_id")
+    IncrHnsw.ensure(spark, name, segDir, "vec_id", "embedding")
+    val m1 = binMtimes
+    assert(m1.keySet == m0.keySet + "side-1.bin", s"unexpected graph set: ${m1.keySet}")
+    assert(m0.forall { case (k, v) => m1(k) == v }, "append rewrote an existing graph")
+    assert(got(4).map(_._1) == Seq(0L, 9000L, 9001L, 9002L))
+
+    // delete: pure tombstone work — zero graph changes
+    Segments.delete(spark, segDir, Seq(9001L, 0L).toDF("vec_id"), "vec_id")
+    IncrHnsw.ensure(spark, name, segDir, "vec_id", "embedding")
+    assert(binMtimes == m1, "delete touched graph files")
+    assert(got(2).map(_._1) == Seq(9000L, 9002L))
+
+    // compaction PROMOTES: same graph files byte-for-byte (mtimes
+    // unchanged), dead rows filtered via the snapshotted version map
+    IncrHnsw.promoteOnCompact(spark, name, segDir, "vec_id")
+    assert(binMtimes == m1, "compaction rebuilt graph files")
+    assert(got(2).map(_._1) == Seq(9000L, 9002L))
+    assert(got(30) == want(30))
+
+    // post-compact append keeps working incrementally
+    val more = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).crossJoin(Seq(9100L).toDF("vec_id"))
+      .select(col("vec_id"), col("embedding"))
+    Segments.append(spark, segDir, more, "vec_id")
+    IncrHnsw.ensure(spark, name, segDir, "vec_id", "embedding")
+    val m4 = binMtimes
+    assert(m4.keySet == m1.keySet + "side-3.bin", s"unexpected graph set: ${m4.keySet}")
+    assert(m1.forall { case (k, v) => m4(k) == v })
+    assert(got(3).map(_._1) == Seq(9000L, 9002L, 9100L))
+    assert(got(30) == want(30))
+    graft.index.IndexCatalog.drop(spark, name)
+  }
 }
