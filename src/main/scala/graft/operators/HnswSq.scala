@@ -25,8 +25,12 @@ import org.apache.spark.sql.functions._
  */
 object HnswSq {
 
-  /** Columnar SQ8-coded graph: FlatGraph's CSR adjacency with a byte
-    * code matrix instead of the float vector matrix. */
+  /** Columnar byte-coded graph: FlatGraph's CSR adjacency with a byte
+    * code matrix instead of the float vector matrix. `dims` is the CODE
+    * BYTES PER NODE — the quantizer decides what they mean (SQ8: one
+    * byte per dimension; PQ via [[HnswPq]]: one byte per subspace).
+    * Traversal is quantizer-agnostic: every supported coder scores as
+    * dist(node) = Σ_s lut(s·stride + code_s) for a per-query LUT. */
   final class SqGraph(
       val dims: Int, val ids: Array[Long], val codes: Array[Byte],
       val levels: Array[Int], val listStart: Array[Int],
@@ -56,16 +60,16 @@ object HnswSq {
       lut
     }
 
-    @inline private def distTo(lut: Array[Double], node: Int): Double = {
+    @inline private def distTo(lut: Array[Double], stride: Int, node: Int): Double = {
       val off = node * dims
       var acc = 0.0; var i = 0
-      while (i < dims) { acc += lut(i * 256 + (codes(off + i) & 0xff)); i += 1 }
+      while (i < dims) { acc += lut(i * stride + (codes(off + i) & 0xff)); i += 1 }
       acc
     }
 
-    private def greedyStep(lut: Array[Double], start: Int, level: Int): Int = {
+    private def greedyStep(lut: Array[Double], stride: Int, start: Int, level: Int): Int = {
       var cur = start
-      var curD = distTo(lut, cur)
+      var curD = distTo(lut, stride, cur)
       var improved = true
       while (improved) {
         improved = false
@@ -74,7 +78,7 @@ object HnswSq {
         val end = nbrOff(li + 1)
         while (j < end) {
           val n = nbrs(j)
-          val d = distTo(lut, n)
+          val d = distTo(lut, stride, n)
           if (d < curD) { curD = d; cur = n; improved = true }
           j += 1
         }
@@ -82,10 +86,10 @@ object HnswSq {
       cur
     }
 
-    private def searchLayer(lut: Array[Double], ep: Int, ef: Int, level: Int)
-        : IndexedSeq[(Double, Int)] = {
+    private def searchLayer(lut: Array[Double], stride: Int, ep: Int, ef: Int,
+        level: Int): IndexedSeq[(Double, Int)] = {
       val visited = mutable.BitSet(ep)
-      val epD = distTo(lut, ep)
+      val epD = distTo(lut, stride, ep)
       val cand = mutable.PriorityQueue((-epD, ep))(Ordering.by(_._1))
       val res = mutable.PriorityQueue((epD, ep))(Ordering.by(_._1))
       while (cand.nonEmpty) {
@@ -100,7 +104,7 @@ object HnswSq {
             val n = nbrs(j)
             if (!visited.contains(n)) {
               visited += n
-              val d = distTo(lut, n)
+              val d = distTo(lut, stride, n)
               if (res.size < ef || d < res.head._1) {
                 cand.enqueue((-d, n))
                 res.enqueue((d, n))
@@ -114,17 +118,22 @@ object HnswSq {
       res.dequeueAll.reverse.toIndexedSeq
     }
 
-    /** The ef FRONTIER (approximate dist, id) ascending — callers rerank
-      * exactly; this never truncates to k before the rerank. */
-    def searchFrontier(q: Array[Float], mins: Array[Float], widths: Array[Float],
-        ef: Int): Seq[(Double, Long)] = {
+    /** The ef FRONTIER (approximate dist, id) ascending for an arbitrary
+      * per-query LUT — callers rerank exactly; this never truncates to k
+      * before the rerank. */
+    def searchFrontierLut(lut: Array[Double], stride: Int, ef: Int)
+        : Seq[(Double, Long)] = {
       if (entry < 0 || ids.length == 0) return Nil
-      val lut = buildLut(q, mins, widths)
       var ep = entry
       var lc = maxLevel
-      while (lc > 0) { ep = greedyStep(lut, ep, lc); lc -= 1 }
-      searchLayer(lut, ep, ef, 0).map { case (d, n) => (d, ids(n)) }
+      while (lc > 0) { ep = greedyStep(lut, stride, ep, lc); lc -= 1 }
+      searchLayer(lut, stride, ep, ef, 0).map { case (d, n) => (d, ids(n)) }
     }
+
+    /** SQ8 frontier: per-dimension 256-entry ADC LUT. */
+    def searchFrontier(q: Array[Float], mins: Array[Float], widths: Array[Float],
+        ef: Int): Seq[(Double, Long)] =
+      searchFrontierLut(buildLut(q, mins, widths), 256, ef)
   }
 
   object SqGraph {

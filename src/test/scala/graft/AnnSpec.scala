@@ -317,6 +317,43 @@ class AnnSpec extends SparkSpec {
     graft.index.IndexCatalog.drop(spark, name)
   }
 
+  test("HNSW×PQ: m-byte coded graphs, recall@50 at defaults, rerank exact") {
+    import graft.operators.HnswPq
+    val name = "annspec_hnswpq"
+    graft.index.IndexCatalog.drop(spark, name)
+    val (model, path) = HnswPq.ensure(spark, name, emb.toDF(),
+      s"$sf001/embeddings.parquet", "vec_id", "embedding", parts = 2)
+    // codes are m bytes per node (8 vs 256 raw): artifact must be at
+    // least (dims*4 - m) bytes/node smaller than raw graphs
+    val rawName = "annspec_hnswpq_raw"
+    graft.index.IndexCatalog.drop(spark, rawName)
+    val rawPath = Hnsw.ensure(spark, rawName, emb.toDF(),
+      s"$sf001/embeddings.parquet", "vec_id", "embedding", "l2", parts = 2)
+    def duGraphs(p: String, prefix: String): Long = {
+      val f = new java.io.File(new java.net.URI("file://" + p))
+      Option(f.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith(prefix)).map(_.length()).sum
+    }
+    val n = emb.count(); val dims = q.length
+    assert(duGraphs(path, "pqgraph-") <= duGraphs(rawPath, "graph-") - 3L * n * dims,
+      "pq-coded artifact not smaller than raw graphs")
+    graft.index.IndexCatalog.drop(spark, rawName)
+    val got = HnswPq.searchIndex(spark, path, emb.toDF(), "vec_id",
+      "embedding", q, 50, model)
+      .as[(Long, Double)].collect()
+    assert(got.length == 50)
+    // PQ traversal is coarser than SQ8 (8 bytes/node): softer bar
+    assert(recall(got.map(_._1), flatTopk(50, "l2")) >= 0.8)
+    val exact = emb.filter($"vec_id" === got.head._1)
+      .select(l2sq($"embedding", typedLit(q))).as[Double].head()
+    assert(got.head._2 == exact)
+    val ex = HnswPq.searchIndex(spark, path, emb.toDF(), "vec_id",
+      "embedding", q, 50, model, exact = true)
+      .as[(Long, Double)].collect()
+    assert(ex.map(_._1).toSet == flatTopk(50, "l2"))
+    graft.index.IndexCatalog.drop(spark, name)
+  }
+
   test("HNSW graph cache: evicts by BYTE budget, not graph count") {
     def mkArtifact(seedId: Long): (String, Long) = {
       val g = new Hnsw.Graph("l2")
