@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions._
-import graft.operators.{Hnsw, HnswPq, HnswSq, IvfIndex, IvfPq, IvfSq, Pq, Rabitq, SparseSearch, Sq8, TypedAnn}
+import graft.operators.{Hnsw, HnswPq, HnswRq, HnswSq, IvfIndex, IvfPq, IvfSq, Pq, Rabitq, SparseSearch, Sq8, TypedAnn}
 
 /**
  * ANN search paths (SURVEY §2.6): IVF (partition-pruned index table),
@@ -45,6 +45,10 @@ object AnnQueries {
 
   def hnswpq(s: SparkSession, d: String, parts: Int): (Pq.Model, String) =
     HnswPq.ensure(s, s"hnswpq_p${parts}_${san(d)}", t(s, d, "embeddings"), d,
+      "vec_id", "embedding", parts)
+
+  def hnswrq(s: SparkSession, d: String, parts: Int): (Rabitq.Model, String) =
+    HnswRq.ensure(s, s"hnswrq_p${parts}_${san(d)}", t(s, d, "embeddings"), d,
       "vec_id", "embedding", parts)
 
   def sparse(s: SparkSession, d: String): String =
@@ -153,7 +157,7 @@ object AnnQueries {
     ivf(s, d, "l2"); ivf(s, d, "cos"); ivf(s, d, "dot")
     sq8(s, d); pq(s, d); rabitq(s, d)
     hnsw(s, d, 4); hnsw(s, d, 1); hnsw(s, d, 4, "cos"); hnsw(s, d, 1, "cos")
-    hnswsq(s, d, 4); hnswpq(s, d, 4)
+    hnswsq(s, d, 4); hnswpq(s, d, 4); hnswrq(s, d, 4)
     bvecHnsw(s, d, 1); f16Hnsw(s, d, 1)
     bvecAnn(s, d); f16Ann(s, d); svecAnn(s, d)
     ivfpq(s, d); ivfsq(s, d); ivfPartial(s, d)
@@ -422,6 +426,21 @@ object AnnQueries {
     "q_hnswpq_exact_l2" -> ((s, d) => {
       val (model, path) = hnswpq(s, d, 4)
       HnswPq.searchIndex(s, path, t(s, d, "embeddings"), "vec_id",
+        "embedding", qvec(s, d), k = 100, model, exact = true)
+    }),
+
+    // HNSW×RaBitQ: sign-bit coded resident graphs (~3% of raw bytes),
+    // estimator-scored traversal via a per-query byte LUT, exact rerank
+    "q_hnswrq_topk_l2" -> ((s, d) => {
+      val (model, path) = hnswrq(s, d, 4)
+      HnswRq.searchIndex(s, path, t(s, d, "embeddings"), "vec_id",
+        "embedding", qvec(s, d), k = 100, model,
+        efSearch = efSearchConf(s))
+    }),
+    // exact mode: skip graphs, score every source row -> flat oracle
+    "q_hnswrq_exact_l2" -> ((s, d) => {
+      val (model, path) = hnswrq(s, d, 4)
+      HnswRq.searchIndex(s, path, t(s, d, "embeddings"), "vec_id",
         "embedding", qvec(s, d), k = 100, model, exact = true)
     }),
 
@@ -714,6 +733,7 @@ object AnnQueries {
     "q_sq8_exact_l2" -> exactL2Oracle,
     "q_hnswsq8_exact_l2" -> exactL2Oracle,
     "q_hnswpq_exact_l2" -> exactL2Oracle,
+    "q_hnswrq_exact_l2" -> exactL2Oracle,
     "q_bvec_ann_exact" ->
       """SELECT e.vec_id AS vec_id,
          CAST(list_aggregate(list_transform(list_zip(e.embedding, q.qv), p -> CASE WHEN (p[1] > 0) <> (p[2] > 0) THEN 1 ELSE 0 END), 'sum') AS DOUBLE) AS dist

@@ -354,6 +354,43 @@ class AnnSpec extends SparkSpec {
     graft.index.IndexCatalog.drop(spark, name)
   }
 
+  test("HNSW×RaBitQ: bit-coded graphs, estimator traversal, rerank exact") {
+    import graft.operators.HnswRq
+    val name = "annspec_hnswrq"
+    graft.index.IndexCatalog.drop(spark, name)
+    val (model, path) = HnswRq.ensure(spark, name, emb.toDF(),
+      s"$sf001/embeddings.parquet", "vec_id", "embedding", parts = 2)
+    // sign bits + 8 correction bytes per node: must beat raw by at least
+    // 3 bytes/dim (the PQ/SQ8 assertions' sibling)
+    val rawName = "annspec_hnswrq_raw"
+    graft.index.IndexCatalog.drop(spark, rawName)
+    val rawPath = Hnsw.ensure(spark, rawName, emb.toDF(),
+      s"$sf001/embeddings.parquet", "vec_id", "embedding", "l2", parts = 2)
+    def duGraphs(p: String, prefix: String): Long = {
+      val f = new java.io.File(new java.net.URI("file://" + p))
+      Option(f.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith(prefix)).map(_.length()).sum
+    }
+    val n = emb.count(); val dims = q.length
+    assert(duGraphs(path, "rqgraph-") <= duGraphs(rawPath, "graph-") - 3L * n * dims,
+      "bit-coded artifact not smaller than raw graphs")
+    graft.index.IndexCatalog.drop(spark, rawName)
+    val got = HnswRq.searchIndex(spark, path, emb.toDF(), "vec_id",
+      "embedding", q, 50, model)
+      .as[(Long, Double)].collect()
+    assert(got.length == 50)
+    // 1-bit estimator is the coarsest of the composition matrix
+    assert(recall(got.map(_._1), flatTopk(50, "l2")) >= 0.7)
+    val exact = emb.filter($"vec_id" === got.head._1)
+      .select(l2sq($"embedding", typedLit(q))).as[Double].head()
+    assert(got.head._2 == exact)
+    val ex = HnswRq.searchIndex(spark, path, emb.toDF(), "vec_id",
+      "embedding", q, 50, model, exact = true)
+      .as[(Long, Double)].collect()
+    assert(ex.map(_._1).toSet == flatTopk(50, "l2"))
+    graft.index.IndexCatalog.drop(spark, name)
+  }
+
   test("HNSW graph cache: evicts by BYTE budget, not graph count") {
     def mkArtifact(seedId: Long): (String, Long) = {
       val g = new Hnsw.Graph("l2")
