@@ -118,6 +118,51 @@ object Dedup {
       .filter(col("jacc") >= tau)
   }
 
+  /** Connected components over an undirected edge list by iterative
+    * min-label propagation — the clustering step that turns verified
+    * near-dup PAIRS into dedup groups with a canonical representative
+    * (min id), the keep-one-per-cluster contract of large corpus dedup.
+    *
+    * Each round every node takes the min label among itself and its
+    * neighbours (one equi-join + one partial-agg groupBy — both
+    * hash-partitioned on node id, no all-pairs anywhere); rounds needed =
+    * component diameter. Near-dup components are mirror chains/cliques of
+    * diameter ≤ 2, so this converges in 2–3 rounds; a corpus with
+    * adversarially long chains would swap in alternating
+    * large-star/small-star contraction (identical join shape, O(log n)
+    * rounds). The driver loop only counts a 1-row `limit(1)` convergence
+    * probe per round — never collects the frame.
+    *
+    * Returns (node, rep) for every node incident to ≥1 edge; singleton
+    * docs are not cluster members and never enter the frame. */
+  def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 25): DataFrame = {
+    val und = edges
+      .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+      .unionAll(edges
+        .select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
+      .distinct().cache()
+    var labels = und.select(col("src").as("node")).distinct()
+      .withColumn("rep", col("node")).cache()
+    var it = 0
+    var done = false
+    while (!done && it < maxIter) {
+      val viaNbr = und.join(labels, und("dst") === labels("node"))
+        .select(und("src").as("node"), col("rep"))
+      val next = labels.unionAll(viaNbr)
+        .groupBy("node").agg(min("rep").as("rep")).cache()
+      val changed = next.as("n")
+        .join(labels.withColumnRenamed("rep", "prev"), "node")
+        .filter(col("rep") =!= col("prev")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      done = changed == 0
+      it += 1
+    }
+    und.unpersist()
+    labels
+  }
+
   // --- SimHash -----------------------------------------------------------
 
   /** FNV-1a 64-bit over UTF-8 bytes — a public, trivially-reproducible

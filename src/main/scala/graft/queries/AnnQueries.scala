@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions._
-import graft.operators.{Hnsw, HnswPq, HnswRq, HnswSq, IvfIndex, IvfPq, IvfSq, Pq, Rabitq, SparseSearch, Sq8, TypedAnn}
+import graft.operators.{Hnsw, HnswPq, HnswRq, HnswSq, IncrHnsw, IvfIndex, IvfPq, IvfSq, Pq, Rabitq, SparseSearch, Sq8, TypedAnn}
 
 /**
  * ANN search paths (SURVEY §2.6): IVF (partition-pruned index table),
@@ -119,6 +119,17 @@ object AnnQueries {
         f16ToVector(toF16Bits(col("v4"))).as("v16")),
       d, "c_custkey", "v16", "l2", parts)
 
+  /** svector L2 HNSW (opclass svector_l2_ops on the HNSW AM,
+    * src/sql/finalize.sql:731–735): graphs over the densified CSR view —
+    * l2 over the densified sparsified vectors IS svector l2 term-for-term
+    * in index order (restored zeros contribute exact +0.0), so the exact
+    * twin shares the q_svec_ann_exact oracle. The compact-CSR-payload
+    * scale path for svector stays [[graft.operators.TypedAnn.ensureSvec]]. */
+  def svecHnsw(s: SparkSession, d: String, parts: Int): String =
+    Hnsw.ensure(s, s"hnswsv_p${parts}_${san(d)}",
+      sparseDocs(s, d).select(col("vec_id"), svecToDense(col("sv")).as("dv")),
+      d, "vec_id", "dv", "l2", parts)
+
   def ivfsq(s: SparkSession, d: String): (IvfSq.Model, String) =
     IvfSq.ensure(s, s"ivfsq8_${san(d)}", t(s, d, "embeddings"), d,
       "vec_id", "embedding", nlist = 16)
@@ -159,6 +170,7 @@ object AnnQueries {
     hnsw(s, d, 4); hnsw(s, d, 1); hnsw(s, d, 4, "cos"); hnsw(s, d, 1, "cos")
     hnswsq(s, d, 4); hnswpq(s, d, 4); hnswrq(s, d, 4)
     bvecHnsw(s, d, 1); f16Hnsw(s, d, 1)
+    svecHnsw(s, d, 1); svecHnsw(s, d, 4)
     bvecAnn(s, d); f16Ann(s, d); svecAnn(s, d)
     ivfpq(s, d); ivfsq(s, d); ivfPartial(s, d)
     sparse(s, d); sparsePruned(s, d)
@@ -572,6 +584,17 @@ object AnnQueries {
         Array(12f, 50f, 3f, 7f), k = 100)
     }),
 
+    // svector L2 HNSW: graph search over the densified CSR view
+    // (approximate — rows-only; recall vs the exact twin in AnnSpec)
+    "q_svec_hnsw_topk" -> ((s, d) =>
+      Hnsw.searchIndex(s, svecHnsw(s, d, 4), "vec_id", qvecSparse(s, d),
+        k = 100, efSearch = efSearchConf(s))),
+    // exact twin: flat scan of the single-graph artifact — identical
+    // term order to the svector l2 kernel, same oracle as q_svec_ann_exact
+    "q_svec_hnsw_exact" -> ((s, d) =>
+      Hnsw.searchIndexExact(s, svecHnsw(s, d, 1), "vec_id",
+        qvecSparse(s, d), k = 100)),
+
     // vecf16 L2 IVF: f16 half-word payload scan, f16-rounded centroids
     "q_vecf16_ann_topk" -> ((s, d) => {
       val (m, path) = f16Ann(s, d)
@@ -618,6 +641,28 @@ object AnnQueries {
         "vec_id", "embedding", qvec(s, d), k = 100, nprobe = m.nlist)
     }),
 
+    // incremental HNSW over the same segment store: base graphs + one
+    // side graph per append, tombstone version filter at search — an
+    // append never rebuilds the base artifact. Approximate (rows-only;
+    // exact twin below + HybridSpec lifecycle).
+    "q_incrhnsw_topk" -> ((s, d) => {
+      val segDir = ensureVecSegments(s, d)
+      val name = s"incrhnsw_${san(d)}"
+      IncrHnsw.ensure(s, name, segDir, "vec_id", "embedding")
+      IncrHnsw.search(s, name, segDir, "vec_id", qvec(s, d), k = 100,
+        efSearch = efSearchConf(s))
+    }),
+    // exact twin: flat scan of every resident graph (base + sides) then
+    // the version filter — provably the visible set, so it carries the
+    // same sealed ∪ growing ∖ deleted oracle as q_hybrid_topk
+    "q_incrhnsw_exact" -> ((s, d) => {
+      val segDir = ensureVecSegments(s, d)
+      val name = s"incrhnsw_${san(d)}"
+      IncrHnsw.ensure(s, name, segDir, "vec_id", "embedding")
+      IncrHnsw.search(s, name, segDir, "vec_id", qvec(s, d), k = 100,
+        exact = true)
+    }),
+
     // svector IVF: compact CSR payload scan, dense centroids
     "q_svec_ann_topk" -> ((s, d) => {
       val (m, path) = svecAnn(s, d)
@@ -657,8 +702,50 @@ object AnnQueries {
         .select(col("sv.indexes"), col("sv.values")).head()
       val terms = qTerms.getSeq[Int](0).zip(qTerms.getSeq[Float](1))
       SparseSearch.searchIndex(s, path, "vec_id", terms, k = 50)
+    }),
+
+    // --- hybrid retrieval: dense l2 top-50 ∪ sparse dot top-50 fused by
+    //     reciprocal rank (RRF, k0=60) — the dense+sparse fusion every
+    //     two-tower retrieval stack ends with. Both legs are EXACT (flat
+    //     scan; persisted posting lists), so the fusion is fully
+    //     oracle-replayable; rank windows run over k rows, never the
+    //     table. 1/(60+rank) sums are exact-double-identical across
+    //     engines (small-int division, fixed add order). ---
+    "q_hybrid_rrf" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val dense = t(s, d, "embeddings")
+        .select(col("vec_id"), l2sq(col("embedding"), typedLit(qvec(s, d))).as("dist"))
+        .orderBy(col("dist"), col("vec_id")).limit(50)
+        .withColumn("r_dense",
+          row_number().over(Window.orderBy(col("dist"), col("vec_id"))))
+      val qTerms = sparseDocs(s, d).filter(col("vec_id") === 0)
+        .select(col("sv.indexes"), col("sv.values")).head()
+      val terms = qTerms.getSeq[Int](0).zip(qTerms.getSeq[Float](1))
+      val sp = SparseSearch.searchIndex(s, sparse(s, d), "vec_id", terms, k = 50)
+        .withColumn("r_sparse",
+          row_number().over(Window.orderBy(col("score").desc, col("vec_id"))))
+      dense.select(col("vec_id"), col("r_dense"))
+        .join(sp.select(col("vec_id"), col("r_sparse")), Seq("vec_id"), "full_outer")
+        .select(col("vec_id"),
+          (coalesce(lit(1.0) / (lit(60) + col("r_dense")), lit(0.0)) +
+           coalesce(lit(1.0) / (lit(60) + col("r_sparse")), lit(0.0))).as("score"))
+        .orderBy(col("score").desc, col("vec_id")).limit(30)
     })
   )
+
+  /** Visible rows of the build-once vector segment store: base ∪
+    * appended mirrors (+20000 for vec_id < 5) minus deletes (1, 20003). */
+  private val hybridVisibleOracle =
+    """WITH delta AS (
+         SELECT vec_id + 20000 AS vec_id, embedding FROM embeddings WHERE vec_id < 5),
+       allr AS (
+         SELECT vec_id, embedding FROM embeddings
+         UNION ALL SELECT vec_id, embedding FROM delta)
+       SELECT a.vec_id AS vec_id,
+         list_aggregate(list_transform(list_zip(a.embedding, q.qv), p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), 'sum') AS dist
+       FROM allr a CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+       WHERE a.vec_id NOT IN (1, 20003)
+       ORDER BY dist, vec_id LIMIT 100"""
 
   private val spD = "list_transform(d.embedding, x -> CASE WHEN abs(x) > CAST(0.15 AS DOUBLE) THEN x ELSE CAST(0 AS FLOAT) END)"
   private val spQ = "list_transform(q.embedding, x -> CASE WHEN abs(x) > CAST(0.15 AS DOUBLE) THEN x ELSE CAST(0 AS FLOAT) END)"
@@ -787,17 +874,10 @@ object AnnQueries {
     "q_ivfpq_exact_l2" -> exactL2Oracle,
     "q_ivfsq8_exact_l2" -> exactL2Oracle,
     "q_rabitq_exact_l2" -> exactL2Oracle,
-    "q_hybrid_topk" ->
-      """WITH delta AS (
-           SELECT vec_id + 20000 AS vec_id, embedding FROM embeddings WHERE vec_id < 5),
-         allr AS (
-           SELECT vec_id, embedding FROM embeddings
-           UNION ALL SELECT vec_id, embedding FROM delta)
-         SELECT a.vec_id AS vec_id,
-           list_aggregate(list_transform(list_zip(a.embedding, q.qv), p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), 'sum') AS dist
-         FROM allr a CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
-         WHERE a.vec_id NOT IN (1, 20003)
-         ORDER BY dist, vec_id LIMIT 100""",
+    "q_hybrid_topk" -> hybridVisibleOracle,
+    // exact flat scan of base + side graphs, version-filtered — the same
+    // visible set as the hybrid sealed ∪ growing search
+    "q_incrhnsw_exact" -> hybridVisibleOracle,
 
     "q_hnsw_batch_exact" ->
       """SELECT qid, vec_id, dist, rn FROM (
@@ -824,6 +904,13 @@ object AnnQueries {
           list_aggregate(list_transform(list_zip($spD, $spQ), p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), 'sum') AS dist
           FROM embeddings d CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
           ORDER BY dist, vec_id LIMIT 100""",
+    // flat scan of the densified-CSR HNSW artifact == the svector l2
+    // brute force (same terms, same index order)
+    "q_svec_hnsw_exact" ->
+      s"""SELECT d.vec_id AS vec_id,
+          list_aggregate(list_transform(list_zip($spD, $spQ), p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), 'sum') AS dist
+          FROM embeddings d CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+          ORDER BY dist, vec_id LIMIT 100""",
     "q_svec_ann_cos_exact" ->
       s"""SELECT d.vec_id AS vec_id,
           1.0 - list_aggregate(list_transform(list_zip($spD, $spQ), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')
@@ -841,6 +928,27 @@ object AnnQueries {
           list_aggregate(list_transform(list_zip($spD, $spQ), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum') AS score
           FROM embeddings d CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
           WHERE len(list_filter(list_zip($spD, $spQ), p -> p[1] <> 0 AND p[2] <> 0)) > 0
-          ORDER BY score DESC, vec_id LIMIT 50"""
+          ORDER BY score DESC, vec_id LIMIT 50""",
+    // both legs replayed exactly, fused by reciprocal rank: ranks are
+    // window row_numbers over each leg's (metric, id) total order
+    "q_hybrid_rrf" ->
+      s"""WITH dense AS (
+            SELECT vec_id, row_number() OVER (ORDER BY dist, vec_id) AS r FROM (
+              SELECT e.vec_id AS vec_id,
+                list_aggregate(list_transform(list_zip(e.embedding, q.qv), p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), 'sum') AS dist
+              FROM embeddings e CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+              ORDER BY dist, vec_id LIMIT 50)),
+          sparse AS (
+            SELECT vec_id, row_number() OVER (ORDER BY score DESC, vec_id) AS r FROM (
+              SELECT d.vec_id AS vec_id,
+                list_aggregate(list_transform(list_zip($spD, $spQ), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum') AS score
+              FROM embeddings d CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+              WHERE len(list_filter(list_zip($spD, $spQ), p -> p[1] <> 0 AND p[2] <> 0)) > 0
+              ORDER BY score DESC, vec_id LIMIT 50))
+          SELECT COALESCE(de.vec_id, sp.vec_id) AS vec_id,
+            COALESCE(CAST(1.0 AS DOUBLE) / (60 + de.r), CAST(0 AS DOUBLE))
+            + COALESCE(CAST(1.0 AS DOUBLE) / (60 + sp.r), CAST(0 AS DOUBLE)) AS score
+          FROM dense de FULL OUTER JOIN sparse sp ON de.vec_id = sp.vec_id
+          ORDER BY score DESC, vec_id LIMIT 30"""
   )
 }

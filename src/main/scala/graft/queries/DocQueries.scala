@@ -48,6 +48,28 @@ object DocQueries {
         concat(col("text"), lit(" zzzextra")).as("text")))
   }
 
+  /** documents ∪ near-mirror (+100000, one appended token) ∪ exact
+    * mirror (+200000) of doc_id < 50 — guarantees multi-node components
+    * (A, A+100000, A+200000 form a clique/chain through the jacc≥0.8
+    * edges), so clustering exercises real transitive merges. */
+  private def docsWithChainDups(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).select(col("doc_id"), col("text"))
+    base
+      .unionAll(base.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(col("text"), lit(" zzzextra")).as("text")))
+      .unionAll(base.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 200000).as("doc_id"), col("text")))
+  }
+
+  private val chainDupSql =
+    """(SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000 AS doc_id, text || ' zzzextra' AS text
+        FROM documents WHERE doc_id < 50
+        UNION ALL
+        SELECT doc_id + 200000 AS doc_id, text FROM documents WHERE doc_id < 50)"""
+
   private val exactDupSql =
     """(SELECT doc_id, text FROM documents
         UNION ALL
@@ -204,6 +226,28 @@ object DocQueries {
       Dedup.verifyJaccard(cands, sh, "doc_id", "shh")
         .filter(col("jacc") >= 0.8)
         .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // --- near-dup CLUSTERING: LSH candidates -> exact-Jaccard verify ->
+    //     connected components with a canonical representative (min id)
+    //     — the keep-one-per-group step every corpus dedup ends with.
+    //     Edges come from the banded-LSH join (never all-pairs); CC is
+    //     min-label propagation, rounds = component diameter (here ≤ 2).
+    //     Oracle: DuckDB recursive CTE over the SAME verified edge set
+    //     (LSH misses a jacc≥0.8 edge with p≈1e-15, the q_dedup_minhash
+    //     argument). ---
+    "q_dedup_cluster" -> ((s, d) => {
+      val sh = docsWithChainDups(s, d)
+        .select(col("doc_id"), Dedup.shingleHashes(col("text"), 3).as("shh"))
+      val sig = sh.select(col("doc_id"),
+        Dedup.minhashSignatureHashed(col("shh"), 64).as("sig"))
+      val cands = Dedup.lshCandidates(sig, "doc_id", "sig", bands = 16, rows = 4)
+      val edges = Dedup.verifyJaccard(cands, sh, "doc_id", "shh")
+        .filter(col("jacc") >= 0.8)
+        .select(col("doc_a"), col("doc_b"))
+      Dedup.connectedComponents(edges, "doc_a", "doc_b")
+        .select(col("node").as("doc_id"), col("rep"))
+        .orderBy(col("doc_id"))
     }),
 
     // --- near-dup: SimHash 64-bit + 4×16 band buckets (complete for
@@ -388,6 +432,8 @@ object DocQueries {
            ('hnswbv_p1__root_testdata_sf0_01','hnsw','l2','ef_construction=300,files=1,format=flatbin1,m=12,parts=1',TRUE),
 
            ('hnswf16_p1__root_testdata_sf0_01','hnsw','l2','ef_construction=300,files=1,format=flatbin1,m=12,parts=1',TRUE),
+           ('hnswsv_p1__root_testdata_sf0_01','hnsw','l2','ef_construction=300,files=1,format=flatbin1,m=12,parts=1',TRUE),
+           ('hnswsv_p4__root_testdata_sf0_01','hnsw','l2','ef_construction=300,files=4,format=flatbin1,m=12,parts=4',TRUE),
            ('hnswpq_p4__root_testdata_sf0_01','hnsw_pq','l2','dims=64,ef_construction=300,files=4,format=pqflatbin1,hnsw_m=12,ks=16,m=8,parts=4',TRUE),
            ('hnswrq_p4__root_testdata_sf0_01','hnsw_rabitq','l2','dims=64,ef_construction=300,files=4,format=rqflatbin1,m=12,parts=4',TRUE),
            ('hnswsq8_p4__root_testdata_sf0_01','hnsw_sq8','l2','bits=8,ef_construction=300,files=4,format=sqflatbin1,m=12,parts=4',TRUE),
@@ -508,6 +554,29 @@ object DocQueries {
 
     "q_dedup_jaccard" -> jaccardOracle,
     "q_dedup_minhash" -> jaccardOracle,
+    // transitive closure over the same verified jacc>=0.8 edge set; the
+    // recursive CTE computes min reachable id per cluster member
+    "q_dedup_cluster" ->
+      s"""WITH RECURSIVE alldocs AS $chainDupSql,
+          sh AS (SELECT doc_id,
+            list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+              i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2])) AS s
+            FROM alldocs),
+          pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8),
+          bidir AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION
+            SELECT doc_b AS src, doc_a AS dst FROM pairs),
+          reach(src, node) AS (
+            SELECT src, src FROM (SELECT DISTINCT src FROM bidir)
+            UNION
+            SELECT r.src, b.dst FROM reach r JOIN bidir b ON r.node = b.src)
+          SELECT src AS doc_id, min(node) AS rep
+          FROM reach GROUP BY src ORDER BY doc_id""",
 
     "q_embed_neardup" -> embedNearDupOracle,
     "q_embed_neardup_lsh" -> embedNearDupOracle,

@@ -232,6 +232,30 @@ class AnnSpec extends SparkSpec {
     graft.index.IndexCatalog.drop(spark, name)
   }
 
+  test("svector HNSW: graph recall over the densified view; exact twin = svec brute force") {
+    val name = "annspec_svhnsw"
+    graft.index.IndexCatalog.drop(spark, name)
+    val sv = emb.select($"vec_id",
+      svecFromDense(transform($"embedding",
+        x => when(abs(x) > lit(0.15), x).otherwise(lit(0.0f)))).as("sv"))
+    val path = Hnsw.ensure(spark, name,
+      sv.select($"vec_id", svecToDense($"sv").as("dv")),
+      s"$sf001/embeddings.parquet", "vec_id", "dv", "l2", parts = 2)
+    val qs = q.map(x => if (math.abs(x.toDouble) > 0.15) x else 0.0f)
+    // true svector l2 top-50 via the CSR kernel
+    val want = sv.select($"vec_id", svecL2sq($"sv", svecFromDense(typedLit(qs))).as("d"))
+      .orderBy($"d", $"vec_id").limit(50).as[(Long, Double)].collect()
+    val got = Hnsw.searchIndex(spark, path, "vec_id", qs, 50)
+      .as[(Long, Double)].collect()
+    assert(got.length == 50)
+    assert(recall(got.map(_._1), want.map(_._1).toSet) >= 0.9)
+    // exact mode (flat scan) reproduces the svector kernel bit-for-bit
+    val exact = Hnsw.searchIndexExact(spark, path, "vec_id", qs, 50)
+      .as[(Long, Double)].collect()
+    assert(exact.toSeq == want.toSeq)
+    graft.index.IndexCatalog.drop(spark, name)
+  }
+
   test("svector IVF: l2/cos/dot exact at full probe; pruned recall") {
     import graft.operators.TypedAnn
     val name = "annspec_svec"

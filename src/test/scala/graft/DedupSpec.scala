@@ -71,6 +71,19 @@ class DedupSpec extends SparkSpec {
     e.foreach(r => assert(r.getLong(1) == r.getLong(2)))
   }
 
+  test("connected components: chains merge transitively, pairs stay separate") {
+    import spark.implicits._
+    // 0-1, 1-2, 2-3 form one 4-node chain (diameter 3 — needs several
+    // label-propagation rounds); 10-11 a separate pair; 20 a singleton
+    // implied by absence (never enters the frame)
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (10L, 11L))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(edges, "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L,
+      10L -> 10L, 11L -> 10L))
+  }
+
   test("multimodal featurize: fixed dims, normalized, deterministic") {
     val media = MultiModal.asMedia(
       spark.read.parquet(s"$sf0001/documents.parquet").limit(10),
