@@ -25,7 +25,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     (graft.queries.CoreQueries.queries ++ graft.queries.TypeQueries.queries
-      ++ graft.queries.AnnQueries.queries ++ graft.queries.DocQueries.queries)
+      ++ graft.queries.AnnQueries.queries ++ graft.queries.DocQueries.queries
+      ++ graft.queries.PipelineQueries.queries)
       .map { case (k, f) =>
         k -> ((s: SparkSession, d: String) => f(withFns(s), d))
       }
@@ -34,5 +35,6 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.CoreQueries.oracles ++ graft.queries.TypeQueries.oracles ++
-      graft.queries.AnnQueries.oracles ++ graft.queries.DocQueries.oracles
+      graft.queries.AnnQueries.oracles ++ graft.queries.DocQueries.oracles ++
+      graft.queries.PipelineQueries.oracles
 }

@@ -1,0 +1,184 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/**
+ * Training-data curation operators beyond dedup: repetition scoring
+ * (Gopher-style duplicate-n-gram fractions), deny-list redaction,
+ * budget-based sequence packing (concat-and-chunk), and deterministic
+ * stratified sampling. All four carry full DuckDB value oracles — every
+ * metric is exact integer or integer-ratio arithmetic, so float parity
+ * is trivial.
+ *
+ * Scale shapes:
+ *  - repetition: one scan for the n-gram fractions (array-side, codegen)
+ *    + an explode/groupBy for the top-token count (partial aggs, uniform
+ *    doc_id keys) joined on doc_id — no all-pairs anything.
+ *  - redaction: pure per-row transform, zero shuffles.
+ *  - packing: running sum windowed per (lang) partition — parallel across
+ *    partition keys; a 100 TB run keys by (lang, shard) so no window
+ *    partition exceeds one task (the pack ids stay deterministic because
+ *    shard boundaries are doc_id ranges).
+ *  - sampling: stateless hash filter, zero shuffles, rates broadcast as
+ *    a literal CASE.
+ */
+object PipelineQueries {
+  import Tables.t
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents").select(col("doc_id"), col("text"), col("lang"))
+
+  private def toks(c: Column): Column = split(c, " ")
+
+  /** Tokens masked when exactly equal to a deny-list term. */
+  private val denyList = Seq("customer", "value", "table")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- repetition scoring (Gopher-style): duplicate 2-/3-gram
+    //     fractions + most-frequent-token share. Filters like
+    //     "drop if dup_3gram_frac > 0.2" are the standard pretraining
+    //     quality gate after dedup. ---
+    "q_doc_repetition" -> ((s, d) => {
+      val tk = toks(col("text"))
+      // n-grams once per row, array-side; fractions are exact integer
+      // ratios so the oracle compare is bit-stable
+      val grams = docs(s, d).select(col("doc_id"), tk.as("tk"))
+        .select(col("doc_id"),
+          size(col("tk")).cast("long").as("n_tokens"),
+          transform(sequence(lit(1), size(col("tk")) - 1),
+            i => concat_ws(" ", element_at(col("tk"), i),
+              element_at(col("tk"), i + 1))).as("g2"),
+          transform(sequence(lit(1), size(col("tk")) - 2),
+            i => concat_ws(" ", element_at(col("tk"), i),
+              element_at(col("tk"), i + 1),
+              element_at(col("tk"), i + 2))).as("g3"))
+        .select(col("doc_id"), col("n_tokens"),
+          (lit(1.0) - size(array_distinct(col("g2"))).cast("double") /
+            size(col("g2")).cast("double")).as("dup_2gram_frac"),
+          (lit(1.0) - size(array_distinct(col("g3"))).cast("double") /
+            size(col("g3")).cast("double")).as("dup_3gram_frac"))
+      val top = docs(s, d)
+        .select(col("doc_id"), explode(tk).as("token"))
+        .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id")).agg(max(col("c")).as("top_cnt"))
+      grams.join(top, "doc_id")
+        .select(col("doc_id"), col("n_tokens"),
+          col("dup_2gram_frac"), col("dup_3gram_frac"),
+          (col("top_cnt").cast("double") /
+            col("n_tokens").cast("double")).as("top_token_frac"))
+        .withColumn("repetitive",
+          col("dup_3gram_frac") > 0.2 || col("top_token_frac") > 0.2)
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- deny-list redaction (PII-masking shape): replace exact-match
+    //     tokens with [MASK], report the redaction count. Per-row
+    //     transform only — the 100 TB plan is a scan. ---
+    "q_doc_redact" -> ((s, d) => {
+      val tk = toks(col("text"))
+      val hit = (t: Column) => denyList.map(w => t === w).reduce(_ || _)
+      docs(s, d).select(col("doc_id"),
+          size(filter(tk, hit)).cast("long").as("n_redacted"),
+          array_join(transform(tk,
+            t => when(hit(t), lit("[MASK]")).otherwise(t)), " ").as("redacted"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- sequence packing (concat-and-chunk): docs in doc_id order are
+    //     concatenated per language; a doc's pack is its starting token
+    //     offset / budget. Exactly the packing step that turns a cleaned
+    //     corpus into fixed-budget training sequences. ---
+    "q_pack_sequences" -> ((s, d) => {
+      val budget = 256
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs(s, d)
+        .select(col("lang"), col("doc_id"),
+          size(toks(col("text"))).cast("long").as("n_tok"))
+        .withColumn("cum", sum(col("n_tok")).over(w))
+        .withColumn("pack_id",
+          floor((col("cum") - col("n_tok")) / lit(budget)))
+        .groupBy(col("lang"), col("pack_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("pack_tokens"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+        .orderBy(col("lang"), col("pack_id"))
+    }),
+
+    // --- stratified sampling: per-language keep rates applied through a
+    //     deterministic multiplicative hash of doc_id (Knuth constant),
+    //     permille buckets. Stateless filter — reproducible across runs
+    //     and replayable in SQL, unlike rand()-based sampling. ---
+    "q_sample_stratified" -> ((s, d) => {
+      val bucket = (col("doc_id") * lit(2654435761L)) % 1000
+      val rate = when(col("lang") === "en", 100)
+        .when(col("lang") === "zh", 200)
+        .otherwise(500)
+      docs(s, d)
+        .select(col("doc_id"), col("lang"), bucket.as("bucket"))
+        .filter(col("bucket") < rate)
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_doc_repetition" ->
+      """WITH tk AS (
+           SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         grams AS (
+           SELECT doc_id, len(t) AS n_tokens,
+             list_transform(range(1, len(t)),
+               i -> t[i] || ' ' || t[i+1]) AS g2,
+             list_transform(range(1, len(t) - 1),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS g3
+           FROM tk),
+         top AS (
+           SELECT doc_id, max(c) AS top_cnt FROM (
+             SELECT doc_id, t2, count(*) AS c
+             FROM (SELECT doc_id, unnest(t) AS t2 FROM tk)
+             GROUP BY doc_id, t2)
+           GROUP BY doc_id)
+         SELECT g.doc_id, n_tokens,
+           1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2) AS dup_2gram_frac,
+           1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3) AS dup_3gram_frac,
+           CAST(top_cnt AS DOUBLE) / n_tokens AS top_token_frac,
+           (1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3)) > 0.2
+             OR (CAST(top_cnt AS DOUBLE) / n_tokens) > 0.2 AS repetitive
+         FROM grams g JOIN top USING (doc_id)
+         ORDER BY doc_id""",
+
+    "q_doc_redact" ->
+      """SELECT doc_id,
+           len(list_filter(string_split(text, ' '),
+             x -> x = 'customer' OR x = 'value' OR x = 'table')) AS n_redacted,
+           array_to_string(list_transform(string_split(text, ' '),
+             x -> CASE WHEN x = 'customer' OR x = 'value' OR x = 'table'
+                  THEN '[MASK]' ELSE x END), ' ') AS redacted
+         FROM documents ORDER BY doc_id""",
+
+    "q_pack_sequences" ->
+      """WITH s AS (
+           SELECT lang, doc_id, len(string_split(text, ' ')) AS n_tok
+           FROM documents),
+         c AS (
+           SELECT *, sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM s)
+         SELECT lang, CAST(floor((cum - n_tok) / 256.0) AS BIGINT) AS pack_id,
+           count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS pack_tokens,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         FROM c GROUP BY lang, pack_id ORDER BY lang, pack_id""",
+
+    "q_sample_stratified" ->
+      """SELECT doc_id, lang,
+           (doc_id * CAST(2654435761 AS BIGINT)) % 1000 AS bucket
+         FROM documents
+         WHERE (doc_id * CAST(2654435761 AS BIGINT)) % 1000 <
+           CASE WHEN lang = 'en' THEN 100 WHEN lang = 'zh' THEN 200
+                ELSE 500 END
+         ORDER BY doc_id"""
+  )
+}

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Training-data curation queries: repetition scores bounded and sane,
+  * redaction masks exactly the deny-list tokens, packing conserves
+  * tokens and respects start-offset budgets, stratified sampling is
+  * deterministic and per-language rate-shaped. */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def q(name: String) =
+    SparkEntry.queries(name)(spark, sf0001)
+
+  test("repetition fractions lie in [0,1) and top-token share is positive") {
+    val r = q("q_doc_repetition")
+      .select("dup_2gram_frac", "dup_3gram_frac", "top_token_frac")
+      .as[(Double, Double, Double)].collect()
+    assert(r.nonEmpty)
+    r.foreach { case (d2, d3, tt) =>
+      assert(d2 >= 0.0 && d2 < 1.0)
+      assert(d3 >= 0.0 && d3 < 1.0)
+      assert(d3 <= d2 + 1e-12 || d3 < 1.0) // 3-gram dup never exceeds 1
+      assert(tt > 0.0 && tt <= 1.0)
+    }
+    // the small-vocab fixture corpus MUST show real repetition somewhere
+    assert(r.exists(_._1 > 0.0), "expected duplicate 2-grams in fixture")
+  }
+
+  test("redaction masks exactly the deny-list hits") {
+    val rows = q("q_doc_redact")
+      .select("n_redacted", "redacted").as[(Long, String)].collect()
+    rows.foreach { case (n, red) =>
+      val toks = red.split(" ")
+      assert(toks.count(_ == "[MASK]") == n)
+      assert(!toks.exists(t => t == "customer" || t == "value" || t == "table"))
+    }
+    assert(rows.exists(_._1 > 0), "deny-list terms must occur in fixture")
+  }
+
+  test("packing conserves tokens and every pack starts within budget") {
+    val packs = q("q_pack_sequences")
+      .select("lang", "pack_id", "pack_tokens").as[(String, Long, Long)]
+      .collect()
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("lang"), size(split(col("text"), " ")).cast("long").as("n"))
+      .groupBy("lang").agg(sum("n").as("total"))
+      .as[(String, Long)].collect().toMap
+    // conservation: per-lang pack token sums equal the corpus token count
+    packs.groupBy(_._1).foreach { case (lang, ps) =>
+      assert(ps.map(_._3).sum == docs(lang), s"token loss in $lang")
+    }
+    // pack ids are dense from 0 per lang (start offsets are cumulative)
+    packs.groupBy(_._1).foreach { case (_, ps) =>
+      val ids = ps.map(_._2).sorted.toSeq
+      assert(ids == (0L until ids.length.toLong))
+    }
+  }
+
+  test("stratified sampling is deterministic and rate-ordered") {
+    val a = q("q_sample_stratified").as[(Long, String, Long)].collect()
+    val b = q("q_sample_stratified").as[(Long, String, Long)].collect()
+    assert(a.sameElements(b), "hash sampling must be reproducible")
+    assert(a.forall { case (id, _, bucket) =>
+      bucket == (id * 2654435761L) % 1000
+    })
+    val byLang = a.groupBy(_._2).view.mapValues(_.length).toMap
+    val corpus = spark.read.parquet(s"$sf0001/documents.parquet")
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    // en keeps ~10%, zh ~20%, rest ~50% — assert loose shape, not exact
+    byLang.get("en").foreach(n => assert(n < corpus("en") * 0.3))
+    corpus.keys.filterNot(Set("en", "zh")).foreach { l =>
+      byLang.get(l).foreach(n =>
+        assert(n > corpus(l) * 0.2 && n < corpus(l) * 0.8))
+    }
+  }
+}
