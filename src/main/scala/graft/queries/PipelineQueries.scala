@@ -108,6 +108,27 @@ object PipelineQueries {
         .orderBy(col("lang"), col("pack_id"))
     }),
 
+    // --- benchmark decontamination: flag training docs sharing any
+    //     token 5-gram with the (small) eval set. Eval-side distinct
+    //     hashes broadcast to an equality join against the one-pass
+    //     codegen shingle kernel — at 100 TB the eval suite is still
+    //     KBs, so the scan side never shuffles. Counts are on 64-bit
+    //     FNV hash sets (the accepted ~|A||B|/2^64 collision odds of
+    //     the dedup family); the oracle intersects string 5-grams. ---
+    "q_decontaminate" -> ((s, d) => {
+      import graft.operators.Dedup
+      val evalHashes = docs(s, d).filter(col("doc_id") < 10)
+        .select(explode(Dedup.shingleHashes(col("text"), 5)).as("h"))
+        .distinct()
+      val train = docs(s, d).filter(col("doc_id") >= 10)
+        .select(col("doc_id"),
+          explode(Dedup.shingleHashes(col("text"), 5)).as("h"))
+      train.join(broadcast(evalHashes), "h")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shared"))
+        .orderBy(col("doc_id"))
+    }),
+
     // --- stratified sampling: per-language keep rates applied through a
     //     deterministic multiplicative hash of doc_id (Knuth constant),
     //     permille buckets. Stateless filter — reproducible across runs
@@ -171,6 +192,20 @@ object PipelineQueries {
            count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS pack_tokens,
            min(doc_id) AS first_doc, max(doc_id) AS last_doc
          FROM c GROUP BY lang, pack_id ORDER BY lang, pack_id""",
+
+    "q_decontaminate" ->
+      """WITH g AS (
+           SELECT doc_id, list_distinct(list_transform(
+             range(1, len(string_split(text, ' ')) - 3),
+             i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+               || ' ' || string_split(text, ' ')[i+2] || ' ' || string_split(text, ' ')[i+3]
+               || ' ' || string_split(text, ' ')[i+4])) AS s
+           FROM documents),
+         ev AS (SELECT DISTINCT unnest(s) AS g5 FROM g WHERE doc_id < 10),
+         tr AS (SELECT doc_id, unnest(s) AS g5 FROM g WHERE doc_id >= 10)
+         SELECT doc_id, count(*) AS n_shared
+         FROM tr JOIN ev USING (g5)
+         GROUP BY doc_id ORDER BY doc_id""",
 
     "q_sample_stratified" ->
       """SELECT doc_id, lang,
