@@ -46,61 +46,13 @@ object IvfIndex {
     def nlist: Int = centroids.length
   }
 
-  object Kernels {
-    def l2sq(a: Array[Float], b: Array[Float]): Double = {
-      var acc = 0.0; var i = 0
-      while (i < a.length) { val d = a(i).toDouble - b(i).toDouble; acc += d * d; i += 1 }
-      acc
-    }
-    def dot(a: Array[Float], b: Array[Float]): Double = {
-      var acc = 0.0; var i = 0
-      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
-      acc
-    }
-    def dist(metric: String, a: Array[Float], b: Array[Float]): Double = metric match {
-      case "l2" => l2sq(a, b)
-      case _ => -dot(a, b) // dot & cos (normalized) search by negative dot
-    }
-    def normalize(a: Array[Float]): Array[Float] = {
-      val n = math.sqrt(dot(a, a))
-      a.map(x => (x / n).toFloat)
-    }
-
-    /** Distance from a row vector to its own (already-assigned) centroid —
-      * used to collect per-list max radii for range pruning. */
-    def distToList(v: ArrayData, flat: ArrayData, listId: Int): Double = {
-      val dims = v.numElements()
-      var acc = 0.0; var i = 0; val off = listId * dims
-      while (i < dims) {
-        val d = v.getFloat(i).toDouble - flat.getFloat(off + i)
-        acc += d * d; i += 1
-      }
-      acc
-    }
-
-    /** Nearest centroid over a flattened [nlist*dims] centroid array —
-      * the codegen'd assign kernel. useDot=true for dot/cos metrics. */
-    def nearest(v: ArrayData, flat: ArrayData, useDot: Boolean): Int = {
-      val dims = v.numElements()
-      val nlist = flat.numElements() / dims
-      var best = 0; var bestD = Double.MaxValue
-      var c = 0
-      while (c < nlist) {
-        var acc = 0.0; var i = 0; val off = c * dims
-        if (useDot) {
-          while (i < dims) { acc -= v.getFloat(i).toDouble * flat.getFloat(off + i).toDouble; i += 1 }
-        } else {
-          while (i < dims) {
-            val d = v.getFloat(i).toDouble - flat.getFloat(off + i).toDouble
-            acc += d * d; i += 1
-          }
-        }
-        if (acc < bestD) { bestD = acc; best = c }
-        c += 1
-      }
-      best
-    }
-  }
+  /** Alias for the existing call sites: the kernels live TOP-LEVEL
+    * (graft.operators.IvfKernels) because Janino-generated code can only
+    * call static forwarders of top-level objects — a nested object has
+    * no `Kernels` member on the enclosing class, so codegen referencing
+    * `IvfIndex.Kernels` failed to compile and every assign/dist fell
+    * back to interpreted evaluation. */
+  val Kernels = IvfKernels
 
   /** Codegen nearest-centroid assignment (replaces the round-1 Scala UDF;
     * stays inside whole-stage codegen on the build path). */
@@ -114,7 +66,7 @@ object IvfIndex {
       Kernels.nearest(v.asInstanceOf[ArrayData], f.asInstanceOf[ArrayData], useDot)
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, (v, f) =>
-        s"${ev.value} = graft.operators.IvfIndex.Kernels.nearest($v, $f, $useDot);")
+        s"${ev.value} = graft.operators.IvfKernels.nearest($v, $f, $useDot);")
     override protected def withNewChildrenInternal(l: Expression, r: Expression) =
       copy(vec = l, flatCentroids = r)
     override def prettyName = "nearest_centroid"
@@ -138,7 +90,7 @@ object IvfIndex {
         l.asInstanceOf[Int])
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, (v, f, l) =>
-        s"${ev.value} = graft.operators.IvfIndex.Kernels.distToList($v, $f, $l);")
+        s"${ev.value} = graft.operators.IvfKernels.distToList($v, $f, $l);")
     override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression) =
       copy(vec = a, flatCentroids = b, listId = c)
     override def prettyName = "centroid_dist"
@@ -335,5 +287,64 @@ object IvfIndex {
     }
     scan.select(col(idCol), distCol.as("dist"))
       .orderBy(col("dist"), col(idCol)).limit(k)
+  }
+}
+
+/** Float/centroid kernels shared by the IVF family. Top-level so the
+  * Scala compiler emits STATIC forwarders — generated Java (whole-stage
+  * codegen) calls these as `graft.operators.IvfKernels.nearest(...)`. */
+object IvfKernels {
+  def l2sq(a: Array[Float], b: Array[Float]): Double = {
+    var acc = 0.0; var i = 0
+    while (i < a.length) { val d = a(i).toDouble - b(i).toDouble; acc += d * d; i += 1 }
+    acc
+  }
+  def dot(a: Array[Float], b: Array[Float]): Double = {
+    var acc = 0.0; var i = 0
+    while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+    acc
+  }
+  def dist(metric: String, a: Array[Float], b: Array[Float]): Double = metric match {
+    case "l2" => l2sq(a, b)
+    case _ => -dot(a, b) // dot & cos (normalized) search by negative dot
+  }
+  def normalize(a: Array[Float]): Array[Float] = {
+    val n = math.sqrt(dot(a, a))
+    a.map(x => (x / n).toFloat)
+  }
+
+  /** Distance from a row vector to its own (already-assigned) centroid —
+    * used to collect per-list max radii for range pruning. */
+  def distToList(v: ArrayData, flat: ArrayData, listId: Int): Double = {
+    val dims = v.numElements()
+    var acc = 0.0; var i = 0; val off = listId * dims
+    while (i < dims) {
+      val d = v.getFloat(i).toDouble - flat.getFloat(off + i)
+      acc += d * d; i += 1
+    }
+    acc
+  }
+
+  /** Nearest centroid over a flattened [nlist*dims] centroid array —
+    * the codegen'd assign kernel. useDot=true for dot/cos metrics. */
+  def nearest(v: ArrayData, flat: ArrayData, useDot: Boolean): Int = {
+    val dims = v.numElements()
+    val nlist = flat.numElements() / dims
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < nlist) {
+      var acc = 0.0; var i = 0; val off = c * dims
+      if (useDot) {
+        while (i < dims) { acc -= v.getFloat(i).toDouble * flat.getFloat(off + i).toDouble; i += 1 }
+      } else {
+        while (i < dims) {
+          val d = v.getFloat(i).toDouble - flat.getFloat(off + i).toDouble
+          acc += d * d; i += 1
+        }
+      }
+      if (acc < bestD) { bestD = acc; best = c }
+      c += 1
+    }
+    best
   }
 }
