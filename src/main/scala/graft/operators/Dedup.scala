@@ -144,6 +144,15 @@ object Dedup {
       .distinct().cache()
     var labels = und.select(col("src").as("node")).distinct()
       .withColumn("rep", col("node")).cache()
+    // convergence check: reps only ever DECREASE under min-propagation,
+    // so Σrep is strictly monotone while anything changes — one agg
+    // action per round instead of a join-based diff (ids are nonnegative
+    // and bounded, so the long sum cannot overflow before convergence)
+    def repSum(df: DataFrame): Long = {
+      val r = df.agg(sum(col("rep"))).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    var prevSum = repSum(labels)
     var it = 0
     var done = false
     while (!done && it < maxIter) {
@@ -151,12 +160,11 @@ object Dedup {
         .select(und("src").as("node"), col("rep"))
       val next = labels.unionAll(viaNbr)
         .groupBy("node").agg(min("rep").as("rep")).cache()
-      val changed = next.as("n")
-        .join(labels.withColumnRenamed("rep", "prev"), "node")
-        .filter(col("rep") =!= col("prev")).limit(1).count()
+      val s = repSum(next)
       labels.unpersist()
       labels = next
-      done = changed == 0
+      done = s == prevSum
+      prevSum = s
       it += 1
     }
     und.unpersist()
