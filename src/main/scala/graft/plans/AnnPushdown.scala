@@ -9,7 +9,10 @@ import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import graft.functions.{CosDistance, L2sqDistance, NegDotDistance}
-import graft.operators.IvfIndex
+import graft.functions.{F16CosDist, F16L2sq, F16NegDot, ToF16Bits}
+import graft.functions.{BVecHamming, BVecJaccard, BVecNegDot, Binarize}
+import graft.functions.{SVecCosDist, SVecFromDense, SVecL2sq, SVecNegDot}
+import graft.operators.{IvfIndex, TypedAnn}
 
 /**
  * Catalyst rewrite of `ORDER BY l2sq(vec, q) LIMIT k` over an indexed
@@ -38,7 +41,12 @@ object AnnPushdown {
     * partial-index analog: a table can carry an l2, a cos AND a dot index
     * simultaneously, plus predicate-scoped PARTIAL indexes
     * (`partialConjuncts` = the canonical conjunct strings of the build
-    * predicate; None = a full index). */
+    * predicate; None = a full index). Dense f32 metrics register as
+    * "l2"/"cos"/"dot"; TYPED opclasses register family-qualified —
+    * "f16:l2", "bvec:hamming", "svec:dot", … — matching the
+    * dual-wrapped query spelling (`f16_l2sq(to_f16_bits(col),
+    * to_f16_bits(lit))`), so dense and typed registrations can never
+    * satisfy each other's queries. */
   case class IndexedTable(indexName: String, idCol: String, vecCol: String,
       metric: String = "l2", partialConjuncts: Option[Seq[String]] = None)
 
@@ -285,7 +293,80 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         (a, v, q, "cos")
       case a @ Alias(NegDotDistance(v: AttributeReference, q: Literal), _) =>
         (a, v, q, "dot")
+      // typed opclasses, the reference's vecf16/bvector/svector index AMs
+      // (finalize.sql:723-741, 765-803): the natural Spark spelling wraps
+      // BOTH sides in the type constructor (to_f16_bits / binarize /
+      // svec_from_dense). The column side keeps its wrapper (attrs never
+      // fold); the query side is usually CONSTANT-FOLDED into a typed
+      // literal (f16-bit shorts / packed-word struct / CSR struct), so
+      // QueryLit accepts both forms and typedQueryFloats decodes by
+      // literal type. Metric keys are family-qualified so a dense
+      // registration can never satisfy a typed query or vice versa.
+      case a @ Alias(F16L2sq(ToF16Bits(v: AttributeReference),
+          QueryLit(q)), _) => (a, v, q, "f16:l2")
+      case a @ Alias(F16NegDot(ToF16Bits(v: AttributeReference),
+          QueryLit(q)), _) => (a, v, q, "f16:dot")
+      case a @ Alias(F16CosDist(ToF16Bits(v: AttributeReference),
+          QueryLit(q)), _) => (a, v, q, "f16:cos")
+      case a @ Alias(BVecHamming(Binarize(v: AttributeReference),
+          QueryLit(q)), _) => (a, v, q, "bvec:hamming")
+      case a @ Alias(BVecJaccard(Binarize(v: AttributeReference),
+          QueryLit(q)), _) => (a, v, q, "bvec:jaccard")
+      case a @ Alias(BVecNegDot(Binarize(v: AttributeReference),
+          QueryLit(q)), _) => (a, v, q, "bvec:dot")
+      case a @ Alias(SVecL2sq(SVecFromDense(v: AttributeReference),
+          QueryLit(q)), _) => (a, v, q, "svec:l2")
+      case a @ Alias(SVecNegDot(SVecFromDense(v: AttributeReference),
+          QueryLit(q)), _) => (a, v, q, "svec:dot")
+      case a @ Alias(SVecCosDist(SVecFromDense(v: AttributeReference),
+          QueryLit(q)), _) => (a, v, q, "svec:cos")
     }
+
+  /** Query-side literal in either spelling: the raw (possibly folded)
+    * typed literal, or the type constructor still wrapped around an f32
+    * array literal. */
+  private object QueryLit {
+    def unapply(e: Expression): Option[Literal] = e match {
+      case l: Literal => Some(l)
+      case ToF16Bits(l: Literal) => Some(l)
+      case Binarize(l: Literal) => Some(l)
+      case SVecFromDense(l: Literal) => Some(l)
+      case _ => None
+    }
+  }
+
+  /** Decode a query literal to the dense f32 view the typed searches
+    * take, keyed by the literal's TYPE: f32 array (unfolded spelling),
+    * f16-bit shorts (folded to_f16_bits — decoded values are already
+    * f16-rounded, and the search re-rounds idempotently), packed-word
+    * bvector struct (densified to 0/1), or CSR svector struct. */
+  private def typedQueryFloats(l: Literal): Array[Float] = {
+    import org.apache.spark.sql.types._
+    l.dataType match {
+      case ArrayType(FloatType, _) => floatsOf(l)
+      case ArrayType(ShortType, _) =>
+        val a = l.value.asInstanceOf[ArrayData]
+        Array.tabulate(a.numElements())(i =>
+          graft.types.Fp16.halfToFloat(a.getShort(i)))
+      case s: StructType if s.fieldNames.contains("words") =>
+        val r = l.value.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+        val dims = r.getInt(0)
+        val words = r.getArray(1)
+        Array.tabulate(dims)(i =>
+          if (((words.getLong(i >> 6) >>> (i & 63)) & 1L) == 1L) 1f else 0f)
+      case s: StructType if s.fieldNames.contains("indexes") =>
+        val r = l.value.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+        val dims = r.getInt(0)
+        val idxs = r.getArray(1); val vals = r.getArray(2)
+        val out = new Array[Float](dims)
+        var i = 0
+        while (i < idxs.numElements()) {
+          out(idxs.getInt(i)) = vals.getFloat(i); i += 1
+        }
+        out
+      case t => throw new IllegalStateException(s"unexpected query literal type $t")
+    }
+  }
 
   /** Common top-k guards: sort leads with the dist alias ascending, the
     * projection is exactly {id, dist} (bail otherwise — the replacement
@@ -327,28 +408,49 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * indexed relation, sorted by dist (asc) first — l2, cos or dot. */
   private def matchAnnTopK(k: Int, order: Seq[SortOrder],
       projList: Seq[NamedExpression], rel: LogicalPlan): Option[LogicalPlan] = {
-    val (idx, alias, idAttr, qLit, metric) =
+    val (idx, alias, idAttr, qLit, metricKey) =
       topkPieces(order, projList, rel).getOrElse(return None)
     val manifest = graft.index.IndexCatalog.load(spark, idx.indexName)
       .getOrElse(return None)
-    if (manifest.metric != metric) return None
+    // family-qualified keys ("f16:l2") name a TYPED opclass whose one
+    // artifact serves every metric of the family (ranking and scoring
+    // are search-time choices); bare keys are dense f32, where metric
+    // is baked into the artifact (cos normalizes at build)
+    val (family, metric) = metricKey.split(':') match {
+      case Array(f, m) => (f, m)
+      case _ => ("dense", metricKey)
+    }
+    if (family == "dense" && manifest.metric != metric) return None
     val dataDir = graft.index.IndexCatalog.dataDir(spark, idx.indexName)
-    val q = floatsOf(qLit)
+    val q = typedQueryFloats(qLit)
     // the planner picks whatever index KIND the registration provides
     // (the reference's am dispatch, src/index/am.rs:105-133): IVF scans
-    // prune by centroid lists, HNSW scans search the resident graphs
-    val searchDf = manifest.kind match {
-      case "ivf" =>
-        val model = IvfIndex.Model(manifest.metric, manifest.centroids)
-        val probes = math.min(math.max(nprobe, 1), model.nlist)
+    // prune by centroid lists, HNSW scans search the resident graphs,
+    // typed families dispatch to their compact-payload pruned scans
+    val model = IvfIndex.Model(manifest.metric, manifest.centroids)
+    val probes = math.min(math.max(nprobe, 1),
+      math.max(model.nlist, 1))
+    val searchDf = (family, manifest.kind) match {
+      case ("dense", "ivf") =>
         IvfIndex.search(spark, dataDir, model, idx.idCol, idx.vecCol,
           q, k, probes)
-      case "hnsw" =>
+      case ("dense", "hnsw") =>
         // cos graphs are normalize-at-build: hand them the normalized
         // query (searchIndex reports 1 - dot, the cos-distance convention)
         val qq = if (metric == "cos") IvfIndex.Kernels.normalize(q) else q
         graft.operators.Hnsw.searchIndex(spark, dataDir, idx.idCol, qq, k,
           efSearch = hnswEfSearch, exact = hnswExact)
+      case ("f16", "ivf_f16") =>
+        TypedAnn.searchF16(spark, dataDir, model, idx.idCol, q, k, probes,
+          metric)
+      case ("bvec", "ivf_bvec") =>
+        TypedAnn.searchBvec(spark, dataDir, model, idx.idCol, q, k, probes,
+          metric)
+      case ("svec", "ivf_svec") =>
+        // convention: svec artifacts registered for pushdown store their
+        // CSR payload under "sv" (ensureSvec svCol)
+        TypedAnn.searchSvec(spark, dataDir, model, idx.idCol, "sv", q, k,
+          probes, metric)
       case _ => return None
     }
     val newPlan = searchDf.queryExecution.analyzed

@@ -247,6 +247,71 @@ class PushdownSpec extends SparkSpec {
     }
   }
 
+  test("typed opclasses route through the planner: f16 l2, bvec hamming, svec dot") {
+    import graft.functions._
+    import graft.operators.TypedAnn
+    val src = s"$sf001/embeddings.parquet"
+    val san = sf001.replaceAll("[^a-zA-Z0-9]", "_")
+    val emb = spark.read.parquet(src)
+    val (mF16, dirF16) = TypedAnn.ensureF16(spark, s"pdf16_$san", emb, src,
+      "vec_id", "embedding", nlist = 8)
+    val (mBv, dirBv) = TypedAnn.ensureBvec(spark, s"pdbv_$san", emb, src,
+      "vec_id", "embedding", nlist = 8)
+    val (mSv, dirSv) = TypedAnn.ensureSvec(spark, s"pdsv_$san",
+      emb.select(col("vec_id"), svecFromDense(col("embedding")).as("sv")),
+      src, "vec_id", "sv", nlist = 8)
+    AnnPushdown.install(spark)
+    AnnPushdown.register(src, AnnPushdown.IndexedTable(
+      s"pdf16_$san", "vec_id", "embedding", "f16:l2"))
+    AnnPushdown.register(src, AnnPushdown.IndexedTable(
+      s"pdbv_$san", "vec_id", "embedding", "bvec:hamming"))
+    AnnPushdown.register(src, AnnPushdown.IndexedTable(
+      s"pdsv_$san", "vec_id", "embedding", "svec:dot"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    try {
+      spark.conf.set("spark.graft.ann.enabled", "true")
+      spark.conf.set("spark.graft.ann.nprobe", "8") // = nlist -> exact
+      // f16: dual-wrapped spelling over the f32 base column
+      def f16Df = spark.read.parquet(src).select(col("vec_id"),
+          f16L2sq(toF16Bits(col("embedding")),
+            toF16Bits(typedLit(q))).as("dist"))
+        .orderBy(col("dist"), col("vec_id")).limit(10)
+      val plan = f16Df.queryExecution.optimizedPlan.toString
+      assert(plan.contains("list_id"), s"f16 top-k did not rewrite:\n$plan")
+      assert(pairs(f16Df) == pairs(
+        TypedAnn.searchF16(spark, dirF16, mF16, "vec_id", q, 10, 8)))
+      // bvec hamming
+      def bvDf = spark.read.parquet(src).select(col("vec_id"),
+          bvecHamming(binarize(col("embedding")),
+            binarize(typedLit(q))).as("dist"))
+        .orderBy(col("dist"), col("vec_id")).limit(10)
+      assert(bvDf.queryExecution.optimizedPlan.toString.contains("list_id"),
+        "bvec top-k did not rewrite")
+      assert(pairs(bvDf) == pairs(
+        TypedAnn.searchBvec(spark, dirBv, mBv, "vec_id", q, 10, 8)))
+      // svec dot
+      def svDf = spark.read.parquet(src).select(col("vec_id"),
+          svecNegdot(svecFromDense(col("embedding")),
+            svecFromDense(typedLit(q))).as("dist"))
+        .orderBy(col("dist"), col("vec_id")).limit(10)
+      assert(svDf.queryExecution.optimizedPlan.toString.contains("list_id"),
+        "svec top-k did not rewrite")
+      assert(pairs(svDf) == pairs(
+        TypedAnn.searchSvec(spark, dirSv, mSv, "vec_id", "sv", q, 10, 8,
+          metric = "dot")))
+      // a dense registration must NOT satisfy the typed spelling
+      spark.conf.set("spark.graft.ann.enabled", "false")
+      val off = pairs(f16Df)
+      spark.conf.set("spark.graft.ann.enabled", "true")
+      assert(pairs(f16Df) == off, "exact typed rewrite must be value-identical")
+    } finally {
+      spark.conf.set("spark.graft.ann.enabled", "false")
+      spark.conf.set("spark.graft.ann.nprobe", "10")
+      AnnPushdown.unregister(src)
+    }
+  }
+
   test("range (sphere) predicate pushdown prunes lists, stays exact") {
     withPushdown { dataDir =>
     def rangeDf = spark.read.parquet(s"$sf001/embeddings.parquet")
