@@ -129,6 +129,38 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // --- unigram log-probability quality scoring (the CCNet-style LM
+    //     filter proxy): each doc scored by its average negative log
+    //     unigram probability under the corpus's own distribution.
+    //     Determinism contract: per-doc sums fold in token-POSITION
+    //     order (sort_array over (pos, lp) structs — collect_list order
+    //     is not deterministic after a shuffle), mirrored by the
+    //     oracle's list(lp ORDER BY pos); ln inputs are exact count
+    //     ratios and the result rounds to 6 decimals. Scale: the freq
+    //     table is vocab-sized (broadcast here, plain hash join at
+    //     web-corpus vocabs); everything else is explode + two
+    //     partial-agg groupBys on uniform keys. ---
+    "q_doc_logprob" -> ((s, d) => {
+      val tok = docs(s, d)
+        .select(col("doc_id"), posexplode(toks(col("text"))))
+        .withColumnRenamed("col", "token")
+      val freq = tok.groupBy("token").agg(count(lit(1)).as("cnt"))
+      val tot = tok.agg(count(lit(1)).as("tot"))
+      val scored = tok.join(broadcast(freq), "token")
+        .crossJoin(broadcast(tot))
+        .select(col("doc_id"), col("pos"),
+          negate(log(col("cnt").cast("double") / col("tot").cast("double")))
+            .as("lp"))
+      scored.groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(struct(col("pos"), col("lp")))).as("ps"))
+        .select(col("doc_id"),
+          size(col("ps")).cast("long").as("n_tokens"),
+          round(
+            aggregate(col("ps"), lit(0.0), (a, x) => a + x.getField("lp")) /
+              size(col("ps")), 6).as("avg_nll"))
+        .orderBy(col("doc_id"))
+    }),
+
     // --- stratified sampling: per-language keep rates applied through a
     //     deterministic multiplicative hash of doc_id (Knuth constant),
     //     permille buckets. Stateless filter — reproducible across runs
@@ -206,6 +238,23 @@ object PipelineQueries {
          SELECT doc_id, count(*) AS n_shared
          FROM tr JOIN ev USING (g5)
          GROUP BY doc_id ORDER BY doc_id""",
+
+    "q_doc_logprob" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         tok AS (
+           SELECT doc_id, unnest(range(1, len(t) + 1)) AS pos, t FROM t),
+         tok2 AS (SELECT doc_id, pos, t[pos] AS token FROM tok),
+         freq AS (SELECT token, count(*) AS c FROM tok2 GROUP BY token),
+         tot AS (SELECT count(*) AS tt FROM tok2),
+         lp AS (
+           SELECT doc_id, pos,
+             -ln(CAST(c AS DOUBLE) / (SELECT tt FROM tot)) AS lp
+           FROM tok2 JOIN freq USING (token)),
+         agg AS (
+           SELECT doc_id, list(lp ORDER BY pos) AS lps FROM lp GROUP BY doc_id)
+         SELECT doc_id, CAST(len(lps) AS BIGINT) AS n_tokens,
+           round(list_aggregate(lps, 'sum') / len(lps), 6) AS avg_nll
+         FROM agg ORDER BY doc_id""",
 
     "q_sample_stratified" ->
       """SELECT doc_id, lang,
