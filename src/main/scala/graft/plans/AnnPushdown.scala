@@ -152,6 +152,39 @@ object AnnPushdown {
     while (i < out.length) { out(i) = arr.getFloat(i); i += 1 }
     out
   }
+
+  /** Decode a query literal to the dense f32 view the typed searches
+    * take, keyed by the literal's TYPE: f32 array (unfolded spelling),
+    * f16-bit shorts (folded to_f16_bits — decoded values are already
+    * f16-rounded, and the search re-rounds idempotently), packed-word
+    * bvector struct (densified to 0/1), or CSR svector struct. */
+  private[graft] def typedQueryFloats(l: Literal): Array[Float] = {
+    import org.apache.spark.sql.types._
+    l.dataType match {
+      case ArrayType(FloatType, _) => floatsOf(l)
+      case ArrayType(ShortType, _) =>
+        val a = l.value.asInstanceOf[ArrayData]
+        Array.tabulate(a.numElements())(i =>
+          graft.types.Fp16.halfToFloat(a.getShort(i)))
+      case s: StructType if s.fieldNames.contains("words") =>
+        val r = l.value.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+        val dims = r.getInt(0)
+        val words = r.getArray(1)
+        Array.tabulate(dims)(i =>
+          if (((words.getLong(i >> 6) >>> (i & 63)) & 1L) == 1L) 1f else 0f)
+      case s: StructType if s.fieldNames.contains("indexes") =>
+        val r = l.value.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+        val dims = r.getInt(0)
+        val idxs = r.getArray(1); val vals = r.getArray(2)
+        val out = new Array[Float](dims)
+        var i = 0
+        while (i < idxs.numElements()) {
+          out(idxs.getInt(i)) = vals.getFloat(i); i += 1
+        }
+        out
+      case t => throw new IllegalStateException(s"unexpected query literal type $t")
+    }
+  }
 }
 
 /** spark.sql.extensions entry point: inject via
@@ -335,39 +368,6 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     }
   }
 
-  /** Decode a query literal to the dense f32 view the typed searches
-    * take, keyed by the literal's TYPE: f32 array (unfolded spelling),
-    * f16-bit shorts (folded to_f16_bits — decoded values are already
-    * f16-rounded, and the search re-rounds idempotently), packed-word
-    * bvector struct (densified to 0/1), or CSR svector struct. */
-  private def typedQueryFloats(l: Literal): Array[Float] = {
-    import org.apache.spark.sql.types._
-    l.dataType match {
-      case ArrayType(FloatType, _) => floatsOf(l)
-      case ArrayType(ShortType, _) =>
-        val a = l.value.asInstanceOf[ArrayData]
-        Array.tabulate(a.numElements())(i =>
-          graft.types.Fp16.halfToFloat(a.getShort(i)))
-      case s: StructType if s.fieldNames.contains("words") =>
-        val r = l.value.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
-        val dims = r.getInt(0)
-        val words = r.getArray(1)
-        Array.tabulate(dims)(i =>
-          if (((words.getLong(i >> 6) >>> (i & 63)) & 1L) == 1L) 1f else 0f)
-      case s: StructType if s.fieldNames.contains("indexes") =>
-        val r = l.value.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
-        val dims = r.getInt(0)
-        val idxs = r.getArray(1); val vals = r.getArray(2)
-        val out = new Array[Float](dims)
-        var i = 0
-        while (i < idxs.numElements()) {
-          out(idxs.getInt(i)) = vals.getFloat(i); i += 1
-        }
-        out
-      case t => throw new IllegalStateException(s"unexpected query literal type $t")
-    }
-  }
-
   /** Common top-k guards: sort leads with the dist alias ascending, the
     * projection is exactly {id, dist} (bail otherwise — the replacement
     * produces only those two, and anything else would be silently
@@ -422,7 +422,7 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     }
     if (family == "dense" && manifest.metric != metric) return None
     val dataDir = graft.index.IndexCatalog.dataDir(spark, idx.indexName)
-    val q = typedQueryFloats(qLit)
+    val q = AnnPushdown.typedQueryFloats(qLit)
     // the planner picks whatever index KIND the registration provides
     // (the reference's am dispatch, src/index/am.rs:105-133): IVF scans
     // prune by centroid lists, HNSW scans search the resident graphs,

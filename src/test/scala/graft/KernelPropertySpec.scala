@@ -115,6 +115,34 @@ class KernelPropertySpec extends SparkSpec {
     }
   }
 
+  test("typed query-literal decoder inverts every folded constructor") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    import graft.plans.AnnPushdown
+    // fold an expression the way ConstantFolding would: eval + retype
+    def folded(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+      Literal.create(e.eval(null), e.dataType)
+    // longer vectors than genVec so bvector packing crosses word
+    // boundaries (dims > 64) and exercises the padding bits
+    val gen = Gen.choose(1, 130).flatMap(n => Gen.listOfN(n, genFloat))
+    forAll(gen) { v =>
+      val lit = Literal.create(v.toArray,
+        ArrayType(FloatType, containsNull = false))
+      // raw f32 array (unfolded spelling)
+      assert(AnnPushdown.typedQueryFloats(lit).toSeq == v)
+      // f16 bits: decode = the f16-rounded view
+      val f16 = AnnPushdown.typedQueryFloats(folded(ToF16Bits(lit)))
+      assert(f16.toSeq == v.map(x => Fp16.halfToFloat(Fp16.floatToHalf(x))))
+      // packed bvector words: decode = the 0/1 densification
+      val bv = AnnPushdown.typedQueryFloats(folded(Binarize(lit)))
+      assert(bv.toSeq == v.map(x => if (x > 0f) 1f else 0f))
+      // CSR svector: decode re-densifies (explicit zeros normalize to +0)
+      val sv = AnnPushdown.typedQueryFloats(folded(SVecFromDense(lit)))
+      assert(sv.length == v.length &&
+        sv.indices.forall(i => sv(i) == v(i)))
+    }
+  }
+
   test("dense distance kernels match a double-reference model") {
     forAll(Gen.zip(genVec, genVec)) { case (a0, b0) =>
       val n = math.min(a0.length, b0.length)
