@@ -550,6 +550,52 @@ object Hnsw {
     hits.orderBy(col("dist"), col(idCol)).limit(k)
   }
 
+  /** Filtered top-k over the graph artifact — the reference's VBASE
+    * filtered-search contract (vbase.slt, am_scan.rs refill loop)
+    * re-expressed batch-first. Graphs store only (id, vec), so the
+    * predicate is evaluated on the BASE table: fetch an over-provisioned
+    * candidate set from the graphs, inner-join the predicate-filtered
+    * source (scan reads only the predicate columns + id, predicate
+    * pushed down) against the BROADCAST candidate set (≤ kr rows of
+    * (id, dist) — never collected), and QUADRUPLE the fetch until k survive or
+    * the graphs are exhausted (a round returning fewer than it asked for
+    * has seen every reachable row). Rounds are O(log n/k); candidates
+    * never exceed the final kr — the table itself is never shuffled.
+    *
+    * Exactness (`exact = true`, flat-scan scoring): any distance-prefix
+    * of the FULL ranking that contains ≥ k predicate-passing rows yields
+    * the true filtered top-k, and the exhaustion round degenerates to
+    * brute force — so the result is provably exact in every round. */
+  def searchIndexFiltered(spark: org.apache.spark.sql.SparkSession,
+      path: String, idCol: String, q: Array[Float], k: Int,
+      source: DataFrame, pred: org.apache.spark.sql.Column,
+      efSearch: Int = 100, overfetch: Int = 4, maxRounds: Int = 8,
+      exact: Boolean = false): DataFrame = {
+    val filteredIds = source.filter(pred).select(col(idCol))
+    var kr = math.max(k.toLong * math.max(overfetch, 2), k + 1L)
+    var rounds = 0
+    var result: DataFrame = null
+    while (result == null && rounds < maxRounds) {
+      val krInt = math.min(kr, Int.MaxValue.toLong).toInt
+      val cands = searchIndex(spark, path, idCol, q, krInt,
+        efSearch = math.max(efSearch, krInt), exact = exact)
+      val fetched = cands.count()
+      val surv = filteredIds.join(broadcast(cands), Seq(idCol))
+      if (surv.count() >= k || fetched < krInt || krInt == Int.MaxValue)
+        result = surv.orderBy(col("dist"), col(idCol)).limit(k)
+      kr *= math.max(overfetch, 2)
+      rounds += 1
+    }
+    if (result == null)
+      // rounds exhausted without k survivors: return what survived the
+      // largest fetch (approximate mode only — exact mode always
+      // terminates via the exhaustion test)
+      result = filteredIds.join(broadcast(searchIndex(spark, path, idCol, q,
+          math.min(kr, Int.MaxValue.toLong).toInt, efSearch, exact)), Seq(idCol))
+        .orderBy(col("dist"), col(idCol)).limit(k)
+    result
+  }
+
   /** Exact-mode search over a (single-graph) artifact: flat scan of the
     * stored vectors, provably the brute-force top-k. */
   def searchIndexExact(spark: org.apache.spark.sql.SparkSession,

@@ -482,7 +482,10 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       .getOrElse(return None)
     if (manifest.metric != metric) return None
     // filtered top-k pushes the predicate INTO a pruned scan — an IVF
-    // shape; HNSW graphs carry no scannable rows to filter
+    // shape. HNSW graphs carry no scannable rows to filter, and their
+    // batch refill loop (Hnsw.searchIndexFiltered) runs eager driver
+    // rounds — wrong to trigger from inside an optimizer rule, so
+    // graph-only tables use that operator explicitly.
     if (manifest.kind != "ivf") return None
     val model = IvfIndex.Model(manifest.metric, manifest.centroids)
     val probes = math.min(

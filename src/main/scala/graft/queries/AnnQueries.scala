@@ -385,6 +385,21 @@ object AnnQueries {
     "q_hnsw_exact_l2" -> ((s, d) => {
       Hnsw.searchIndexExact(s, hnsw(s, d, 1), "vec_id", qvec(s, d), k = 100)
     }),
+    // filtered search over a graph-only index (the VBASE refill contract):
+    // over-fetch candidates, evaluate the predicate on the base table,
+    // quadruple until k survive. Exact mode is provably the brute-force
+    // filtered top-k (full-ranking prefix argument) -> full value oracle.
+    "q_hnsw_filtered_exact" -> ((s, d) => {
+      Hnsw.searchIndexFiltered(s, hnsw(s, d, 1), "vec_id", qvec(s, d),
+        k = 100, source = t(s, d, "embeddings"), pred = col("label") < 5,
+        exact = true)
+    }),
+    // approximate twin: graph traversal at default ef with the same
+    // refill loop (rows-only; the exact twin above carries the oracle)
+    "q_hnsw_filtered_topk" -> ((s, d) => {
+      Hnsw.searchIndexFiltered(s, hnsw(s, d, 4), "vec_id", qvec(s, d),
+        k = 100, source = t(s, d, "embeddings"), pred = col("label") < 5)
+    }),
     // cosine: normalized-at-build graphs searched by dot
     "q_hnsw_topk_cos" -> ((s, d) => {
       Hnsw.searchIndex(s, hnsw(s, d, 4, "cos"), "vec_id",
@@ -808,6 +823,12 @@ object AnnQueries {
          FROM embeddings e CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
          ORDER BY dist, vec_id LIMIT 100""",
     "q_hnsw_exact_l2" -> exactL2Oracle,
+    "q_hnsw_filtered_exact" ->
+      """SELECT e.vec_id AS vec_id,
+         list_aggregate(list_transform(list_zip(e.embedding, q.qv), p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), 'sum') AS dist
+         FROM embeddings e CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+         WHERE e.label < 5
+         ORDER BY dist, vec_id LIMIT 100""",
     "q_hnsw_exact_cos" ->
       """WITH n AS (SELECT vec_id,
            list_transform(embedding, x -> CAST(CAST(x AS DOUBLE)

@@ -57,6 +57,34 @@ class AnnSpec extends SparkSpec {
     assert(recall(got.map(_._1), flatTopk(50, "l2")) >= 0.9)
   }
 
+  test("HNSW filtered search: exact in every regime, incl. exhaustion") {
+    val dir = graft.queries.AnnQueries.hnsw(spark, sf001, 1)
+    def brute(pred: org.apache.spark.sql.Column, k: Int) =
+      emb.filter(pred)
+        .select($"vec_id", l2sq($"embedding", typedLit(q)).as("dist"))
+        .orderBy($"dist", $"vec_id").limit(k)
+        .as[(Long, Double)].collect().toSeq
+    // moderately selective: k survivors found in round 1 (prefix proof)
+    val p1 = col("label") < 5
+    val got1 = Hnsw.searchIndexFiltered(spark, dir, "vec_id", q, 20,
+      emb, p1, exact = true).as[(Long, Double)].collect().toSeq
+    assert(got1 == brute(p1, 20))
+    // so selective that fewer than k rows pass: the quadrupling loop must
+    // hit the exhaustion round and return ALL survivors, still ranked
+    val p2 = col("label") === 3 && col("vec_id") % 7 === 0
+    val want2 = brute(p2, 20)
+    assert(want2.length < 20, "fixture must make the predicate starve k")
+    val got2 = Hnsw.searchIndexFiltered(spark, dir, "vec_id", q, 20,
+      emb, p2, exact = true).as[(Long, Double)].collect().toSeq
+    assert(got2 == want2)
+    // approximate traversal still honors the predicate and returns k
+    val got3 = Hnsw.searchIndexFiltered(spark, dir, "vec_id", q, 20, emb, p1)
+      .as[(Long, Double)].collect()
+    assert(got3.length == 20)
+    val labels = emb.filter(p1).select($"vec_id").as[Long].collect().toSet
+    assert(got3.forall(r => labels.contains(r._1)))
+  }
+
   test("typed IVF: bvector Hamming + vecf16 L2, k rows and recall >= 0.9") {
     import graft.operators.TypedAnn
     val src = s"$sf001/embeddings.parquet"
