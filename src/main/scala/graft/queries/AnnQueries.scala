@@ -289,6 +289,41 @@ object AnnQueries {
           l2sq(col("embedding"), typedLit(qvec(s, d))).as("dist"))
         .orderBy(col("dist")).limit(100)
     }),
+    // TYPED opclass through the same rule: the dual-wrapped bvector
+    // hamming spelling rewrites onto the bvecann typed artifact's pruned
+    // packed-word scan. Exact at nprobe=nlist; hamming over binarized
+    // floats is integer arithmetic, so this pushdown path carries a full
+    // value oracle (unlike f16, whose rounding DuckDB can't replay on
+    // arbitrary floats).
+    "q_topk_pushdown_bvec" -> ((s, d) => {
+      import graft.plans.AnnPushdown
+      val (m, _) = bvecAnn(s, d)
+      AnnPushdown.install(s)
+      val srcPath = s"$d/embeddings.parquet"
+      val prevReg = AnnPushdown.snapshot(srcPath)
+      AnnPushdown.register(srcPath, AnnPushdown.IndexedTable(
+        s"bvecann_${san(d)}", "vec_id", "embedding", "bvec:hamming"))
+      val prevEnabled = s.conf.get("spark.graft.ann.enabled", "false")
+      val prevNprobe = s.conf.get("spark.graft.ann.nprobe", "10")
+      s.conf.set("spark.graft.ann.enabled", "true")
+      s.conf.set("spark.graft.ann.nprobe", m.nlist.toString)
+      try {
+        val df = s.read.parquet(srcPath)
+          .select(col("vec_id"),
+            bvecHamming(binarize(col("embedding")),
+              binarize(typedLit(qvec(s, d)))).as("dist"))
+          .orderBy(col("dist"), col("vec_id")).limit(100)
+        val optimized = df.queryExecution.optimizedPlan
+        assert(optimized.toString.contains("list_id"),
+          "typed bvec pushdown did not rewrite the top-k plan")
+        org.apache.spark.sql.graftshim.Shims.ofRows(s, optimized)
+          .orderBy(col("dist"), col("vec_id"))
+      } finally {
+        s.conf.set("spark.graft.ann.enabled", prevEnabled)
+        s.conf.set("spark.graft.ann.nprobe", prevNprobe)
+        AnnPushdown.restore(srcPath, prevReg)
+      }
+    }),
     // cos opclass through the same rule: `ORDER BY cosdist(vec, q)` over
     // a cos-indexed table (exact at nprobe=nlist -> the normalized-replay
     // cos oracle)
@@ -784,6 +819,11 @@ object AnnQueries {
          FROM n e CROSS JOIN (SELECT ne FROM n WHERE vec_id = 0) q
          ORDER BY dist, vec_id LIMIT 100""",
     "q_topk_pushdown" -> exactL2Oracle,
+    "q_topk_pushdown_bvec" ->
+      """SELECT e.vec_id AS vec_id,
+         CAST(list_aggregate(list_transform(list_zip(e.embedding, q.qv), p -> CASE WHEN (p[1] > 0) <> (p[2] > 0) THEN 1 ELSE 0 END), 'sum') AS DOUBLE) AS dist
+         FROM embeddings e CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+         ORDER BY dist, vec_id LIMIT 100""",
     "q_topk_pushdown_cos" ->
       """WITH n AS (SELECT vec_id,
            list_transform(embedding, x -> CAST(CAST(x AS DOUBLE)
