@@ -129,6 +129,31 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // --- sequence packing, SHARDED: the 100 TB twin of q_pack_sequences.
+    //     Window keys are (lang, doc_id-range shard) so no window
+    //     partition exceeds one task regardless of corpus size; pack ids
+    //     are deterministic because shard boundaries are fixed doc_id
+    //     ranges (a doc's pack never depends on other shards). ---
+    "q_pack_sequences_sharded" -> ((s, d) => {
+      val budget = 256
+      val shard = floor(col("doc_id") / lit(100)).as("shard")
+      val w = Window.partitionBy(col("lang"), col("shard"))
+        .orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs(s, d)
+        .select(col("lang"), shard, col("doc_id"),
+          size(toks(col("text"))).cast("long").as("n_tok"))
+        .withColumn("cum", sum(col("n_tok")).over(w))
+        .withColumn("pack_id",
+          floor((col("cum") - col("n_tok")) / lit(budget)))
+        .groupBy(col("lang"), col("shard"), col("pack_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("pack_tokens"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+        .orderBy(col("lang"), col("shard"), col("pack_id"))
+    }),
+
     // --- unigram log-probability quality scoring (the CCNet-style LM
     //     filter proxy): each doc scored by its average negative log
     //     unigram probability under the corpus's own distribution.
@@ -238,6 +263,20 @@ object PipelineQueries {
          SELECT doc_id, count(*) AS n_shared
          FROM tr JOIN ev USING (g5)
          GROUP BY doc_id ORDER BY doc_id""",
+
+    "q_pack_sequences_sharded" ->
+      """WITH s AS (
+           SELECT lang, CAST(floor(doc_id / 100.0) AS BIGINT) AS shard,
+             doc_id, len(string_split(text, ' ')) AS n_tok
+           FROM documents),
+         c AS (
+           SELECT *, sum(n_tok) OVER (PARTITION BY lang, shard ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM s)
+         SELECT lang, shard, CAST(floor((cum - n_tok) / 256.0) AS BIGINT) AS pack_id,
+           count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS pack_tokens,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         FROM c GROUP BY lang, shard, pack_id ORDER BY lang, shard, pack_id""",
 
     "q_doc_logprob" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

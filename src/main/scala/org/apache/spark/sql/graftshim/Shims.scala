@@ -18,6 +18,15 @@ object Shims {
   def expression(c: Column): Expression =
     org.apache.spark.sql.classic.ExpressionUtils.expression(c)
 
+  /** Build the optimizer rules an injected SparkSessionExtensions would
+    * contribute — lets specs assert spark.sql.extensions wiring without
+    * tearing down the shared test session. */
+  def optimizerRulesOf(ext: org.apache.spark.sql.SparkSessionExtensions,
+      spark: org.apache.spark.sql.SparkSession)
+      : Seq[org.apache.spark.sql.catalyst.rules.Rule[
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]] =
+    ext.buildOptimizerRules(spark)
+
   /** Wrap an already-built logical plan as a DataFrame (freezes a plan
     * produced under temporary session confs). */
   def ofRows(spark: org.apache.spark.sql.SparkSession,

@@ -57,6 +57,44 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("sharded packing conserves tokens and agrees with per-lang totals") {
+    val perLang = q("q_pack_sequences")
+      .groupBy("lang").agg(sum("pack_tokens").as("t"))
+      .as[(String, Long)].collect().toMap
+    val sharded = q("q_pack_sequences_sharded")
+      .groupBy("lang").agg(sum("pack_tokens").as("t"))
+      .as[(String, Long)].collect().toMap
+    assert(sharded == perLang, "sharding must not lose or duplicate tokens")
+  }
+
+  test("decontamination flags only true 5-gram overlaps") {
+    import graft.operators.Dedup
+    val flagged = q("q_decontaminate").as[(Long, Long)].collect()
+    assert(flagged.forall(_._2 > 0))
+    // replay the overlap directly for every flagged doc
+    val sh = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), Dedup.shingleHashes(col("text"), 5).as("h"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val evalHashes = sh.filter(_._1 < 10).values.flatten.toSet
+    flagged.foreach { case (id, n) =>
+      assert(sh(id).count(evalHashes.contains) == n,
+        s"doc $id claims $n shared 5-grams")
+    }
+  }
+
+  test("logprob scores are finite, positive, and token-count consistent") {
+    val rows = q("q_doc_logprob").as[(Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, n, nll) =>
+      assert(n > 0)
+      assert(!nll.isNaN && !nll.isInfinite && nll > 0.0)
+    }
+    val nTok = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    rows.foreach { case (id, n, _) => assert(n == nTok(id)) }
+  }
+
   test("stratified sampling is deterministic and rate-ordered") {
     val a = q("q_sample_stratified").as[(Long, String, Long)].collect()
     val b = q("q_sample_stratified").as[(Long, String, Long)].collect()

@@ -312,6 +312,14 @@ class PushdownSpec extends SparkSpec {
     }
   }
 
+  test("GraftExtensions injects the rewrite rule via spark.sql.extensions") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.plans.GraftExtensions().apply(ext)
+    val rules = org.apache.spark.sql.graftshim.Shims.optimizerRulesOf(ext, spark)
+    assert(rules.exists(_.isInstanceOf[graft.plans.AnnRewriteRule]),
+      s"extensions did not contribute AnnRewriteRule: $rules")
+  }
+
   test("range (sphere) predicate pushdown prunes lists, stays exact") {
     withPushdown { dataDir =>
     def rangeDf = spark.read.parquet(s"$sf001/embeddings.parquet")
