@@ -200,6 +200,126 @@ object Pq {
     Shims.column(AdcScore(Shims.expression(codes),
       Shims.expression(typedLit(lut)), ks))
 
+  // --- 4-bit packed codes (fast_scan layout analog) ---------------------
+  //
+  // The reference's fast_scan path (crates/quantization/src/fast_scan/)
+  // packs 4-bit PQ codes two-per-byte so a SIMD register holds the whole
+  // 16-entry LUT. The Spark-native analog keeps the packed layout (half
+  // the code bytes scanned = half the I/O of the coarse pass) and lets
+  // whole-stage codegen inline the nibble unpack + LUT add; the in-register
+  // shuffle trick itself is the JIT's job, not ours.
+
+  def packNibbles(codes: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte]((codes.length + 1) / 2)
+    var s = 0
+    while (s < codes.length) {
+      val nib = codes(s) & 0x0f
+      out(s >> 1) = (out(s >> 1) | (if ((s & 1) == 0) nib else nib << 4)).toByte
+      s += 1
+    }
+    out
+  }
+
+  def encodePackedKernel(v: ArrayData, codebook: ArrayData, m: Int, ks: Int)
+      : Array[Byte] =
+    packNibbles(encodeKernel(v, codebook, m, ks))
+
+  /** Same accumulation order as [[adcKernel]] (subspace 0..m-1, double
+    * accumulator) so packed and unpacked scores are bit-identical. */
+  def adcPackedKernel(codes: Array[Byte], lut: ArrayData, ks: Int, m: Int)
+      : Double = {
+    var acc = 0.0; var s = 0
+    while (s < m) {
+      val b = codes(s >> 1) & 0xff
+      val nib = if ((s & 1) == 0) b & 0x0f else b >>> 4
+      acc += lut.getFloat(s * ks + nib)
+      s += 1
+    }
+    acc
+  }
+
+  case class EncodePacked(vec: Expression, codebookE: Expression, m: Int, ks: Int)
+      extends BinaryExpression {
+    override def left = vec; override def right = codebookE
+    override def nullIntolerant: Boolean = true
+    override def dataType: DataType = BinaryType
+    override def nullSafeEval(v: Any, cb: Any): Any =
+      encodePackedKernel(v.asInstanceOf[ArrayData], cb.asInstanceOf[ArrayData], m, ks)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (v, cb) =>
+        s"${ev.value} = graft.operators.Pq.encodePackedKernel($v, $cb, $m, $ks);")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(vec = l, codebookE = r)
+    override def prettyName = "pq4_encode"
+  }
+
+  case class AdcPackedScore(codesE: Expression, lutE: Expression, ks: Int, m: Int)
+      extends BinaryExpression {
+    override def left = codesE; override def right = lutE
+    override def nullIntolerant: Boolean = true
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(c: Any, l: Any): Any =
+      adcPackedKernel(c.asInstanceOf[Array[Byte]], l.asInstanceOf[ArrayData], ks, m)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (c, l) =>
+        s"${ev.value} = graft.operators.Pq.adcPackedKernel($c, $l, $ks, $m);")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(codesE = l, lutE = r)
+    override def prettyName = "pq4_adc_score"
+  }
+
+  def encodePacked(v: Column, model: Model): Column = {
+    require(model.ks <= 16, s"4-bit codes need ks<=16, got ${model.ks}")
+    Shims.column(EncodePacked(Shims.expression(v),
+      Shims.expression(typedLit(model.codebook)), model.m, model.ks))
+  }
+
+  def adcPackedScore(codes: Column, lut: Array[Float], ks: Int, m: Int): Column =
+    Shims.column(AdcPackedScore(Shims.expression(codes),
+      Shims.expression(typedLit(lut)), ks, m))
+
+  /** 4-bit build: identical training to [[ensure]], codes packed
+    * two-per-byte (m/2 bytes per row scanned by the coarse pass). */
+  def ensurePacked(spark: SparkSession, name: String, df: => DataFrame,
+      source: String, idCol: String, vecCol: String, m: Int = 8, ks: Int = 16)
+      : (Model, String) = {
+    require(ks <= 16, s"4-bit codes need ks<=16, got $ks")
+    val mf = IndexCatalog.ensure(spark, name, source) { dataDir =>
+      val nn = df.filter(col(vecCol).isNotNull)
+      val model = train(nn, vecCol, m, ks)
+      nn.select(col(idCol), col(vecCol),
+          encodePacked(col(vecCol), model).as("codes"))
+        .write.mode("overwrite").parquet(dataDir)
+      IndexCatalog.Manifest("pq4", source, "l2",
+        Map("m" -> m.toString, "ks" -> ks.toString, "dims" -> model.dims.toString),
+        floats = Map("codebook" -> model.codebook))
+    }
+    val model = Model(mf.params("dims").toInt, mf.params("m").toInt,
+      mf.params("ks").toInt, mf.floats("codebook"))
+    (model, IndexCatalog.dataDir(spark, name))
+  }
+
+  /** Packed-ADC coarse scan + windowed exact rerank; window<=0 = exact
+    * mode (codes are lossy -> skip them and score every row, the Sq8
+    * window<=0 precedent). */
+  def searchPacked(indexed: DataFrame, idCol: String, vecCol: String,
+      codeCol: String, q: Array[Float], k: Int, model: Model, window: Int = 8)
+      : DataFrame = {
+    import graft.functions.l2sq
+    val coarse =
+      if (window <= 0) indexed.select(col(idCol), col(vecCol))
+      else {
+        val w = math.min(k.toLong * window, Int.MaxValue.toLong).toInt
+        val candidates = indexed.select(col(idCol),
+            adcPackedScore(col(codeCol), model.lut(q), model.ks, model.m)
+              .as("approx_dist"))
+          .orderBy(col("approx_dist"), col(idCol)).limit(w)
+        Rerank.fetchByIds(indexed, idCol, vecCol, candidates)
+      }
+    coarse.select(col(idCol), l2sq(col(vecCol), typedLit(q)).as("dist"))
+      .orderBy(col("dist"), col(idCol)).limit(k)
+  }
+
   // --- catalog build + search ------------------------------------------
 
   def ensure(spark: SparkSession, name: String, df: => DataFrame,

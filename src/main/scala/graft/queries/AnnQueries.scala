@@ -63,6 +63,13 @@ object AnnQueries {
   def pq(s: SparkSession, d: String): (Pq.Model, String) =
     Pq.ensure(s, s"pq_${san(d)}", t(s, d, "embeddings"), d, "vec_id", "embedding")
 
+  /** 4-bit packed PQ (the fast_scan layout analog,
+    * crates/quantization/src/fast_scan/): codes two-per-byte, m/2 bytes
+    * scanned per row by the coarse pass. */
+  def pq4(s: SparkSession, d: String): (Pq.Model, String) =
+    Pq.ensurePacked(s, s"pq4_${san(d)}", t(s, d, "embeddings"), d,
+      "vec_id", "embedding")
+
   def rabitq(s: SparkSession, d: String): (Rabitq.Model, String) =
     Rabitq.ensure(s, s"rabitq_${san(d)}", t(s, d, "embeddings"), d,
       "vec_id", "embedding")
@@ -166,7 +173,7 @@ object AnnQueries {
     * CREATE INDEX phase). */
   def ensureAll(s: SparkSession, d: String): Unit = {
     ivf(s, d, "l2"); ivf(s, d, "cos"); ivf(s, d, "dot")
-    sq8(s, d); pq(s, d); rabitq(s, d)
+    sq8(s, d); pq(s, d); pq4(s, d); rabitq(s, d)
     hnsw(s, d, 4); hnsw(s, d, 1); hnsw(s, d, 4, "cos"); hnsw(s, d, 1, "cos")
     hnswsq(s, d, 4); hnswpq(s, d, 4); hnswrq(s, d, 4)
     bvecHnsw(s, d, 1); f16Hnsw(s, d, 1)
@@ -529,6 +536,19 @@ object AnnQueries {
     "q_pq_exact_l2" -> ((s, d) => {
       val (model, path) = pq(s, d)
       Pq.search(s.read.parquet(path), "vec_id", "embedding", "codes",
+        qvec(s, d), k = 100, model, window = 0)
+    }),
+
+    // 4-bit packed PQ (fast_scan layout analog): half the coarse-scan
+    // bytes of 8-bit PQ; packed ADC is bit-identical to unpacked (spec)
+    "q_pq4_topk_l2" -> ((s, d) => {
+      val (model, path) = pq4(s, d)
+      Pq.searchPacked(s.read.parquet(path), "vec_id", "embedding", "codes",
+        qvec(s, d), k = 100, model)
+    }),
+    "q_pq4_exact_l2" -> ((s, d) => {
+      val (model, path) = pq4(s, d)
+      Pq.searchPacked(s.read.parquet(path), "vec_id", "embedding", "codes",
         qvec(s, d), k = 100, model, window = 0)
     }),
 
@@ -932,6 +952,7 @@ object AnnQueries {
            + (CAST(c_custkey % 13 AS DOUBLE) - 7) * (CAST(c_custkey % 13 AS DOUBLE) - 7) AS dist
          FROM customer ORDER BY dist, c_custkey LIMIT 100""",
     "q_pq_exact_l2" -> exactL2Oracle,
+    "q_pq4_exact_l2" -> exactL2Oracle,
     "q_ivfpq_exact_l2" -> exactL2Oracle,
     "q_ivfsq8_exact_l2" -> exactL2Oracle,
     "q_rabitq_exact_l2" -> exactL2Oracle,

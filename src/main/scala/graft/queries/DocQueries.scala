@@ -444,6 +444,7 @@ object DocQueries {
            ('ivf_l2__root_testdata_sf0_01','ivf','l2','nlist=16',TRUE),
            ('ivfpq__root_testdata_sf0_01','ivfpq','l2','dims=64,kind2=ivfpq,ks=16,m=8,nlist=16',TRUE),
            ('ivfsq8__root_testdata_sf0_01','ivfsq8','l2','bits=8,kind2=ivfsq8,nlist=16',TRUE),
+           ('pq4__root_testdata_sf0_01','pq4','l2','dims=64,ks=16,m=8',TRUE),
            ('pq__root_testdata_sf0_01','pq','l2','dims=64,ks=16,m=8',TRUE),
            ('rabitq__root_testdata_sf0_01','rabitq','l2','dims=64',TRUE),
            ('sparse__root_testdata_sf0_01','sparse','dot','buckets=64',TRUE),

@@ -85,4 +85,34 @@ class PqSpec extends SparkSpec {
     val c = coded.select(col("codes")).head().getAs[Array[Byte]](0)
     assert(c.length == 8)
   }
+
+  test("4-bit packed: codes halve to m/2 bytes, packed ADC == unpacked ADC") {
+    val packed = emb.select(col("vec_id"), col("embedding"),
+      Pq.encodePacked(col("embedding"), model).as("codes"))
+    val c = packed.select(col("codes")).head().getAs[Array[Byte]](0)
+    assert(c.length == 4, s"expected m/2=4 packed bytes, got ${c.length}")
+    // same accumulation order -> bit-identical scores
+    val lut = model.lut(q)
+    val a = coded.select(col("vec_id"),
+        Pq.adcScore(col("codes"), lut, model.ks).as("s"))
+      .orderBy("vec_id").select("s").as[Double].collect().toSeq
+    val b = packed.select(col("vec_id"),
+        Pq.adcPackedScore(col("codes"), lut, model.ks, model.m).as("s"))
+      .orderBy("vec_id").select("s").as[Double].collect().toSeq
+    assert(a == b)
+  }
+
+  test("4-bit packed: full-window exact, windowed recall@50 >= 0.9") {
+    val packed = emb.select(col("vec_id"), col("embedding"),
+      Pq.encodePacked(col("embedding"), model).as("codes")).cache()
+    val exact = Pq.searchPacked(packed, "vec_id", "embedding", "codes", q, 50,
+      model, window = 0).select("vec_id").as[Long].collect().toSeq
+    assert(exact == flatTopk(50))
+    val got = Pq.searchPacked(packed, "vec_id", "embedding", "codes", q, 50,
+      model, window = 8).select("vec_id").as[Long].collect().toSet
+    val truth = flatTopk(50).toSet
+    val recall = (got & truth).size.toDouble / truth.size
+    assert(recall >= 0.9, s"recall=$recall")
+    packed.unpersist()
+  }
 }
