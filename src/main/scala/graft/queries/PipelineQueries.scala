@@ -186,6 +186,73 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // --- duplicated-chunk removal (the Lee et al. "Deduplicating
+    //     Training Data" substring-dedup analog at chunk granularity):
+    //     docs split into non-overlapping 8-token chunks; only the
+    //     globally FIRST occurrence of a chunk (by doc_id, then position)
+    //     survives, and docs are rebuilt from their kept chunks. Scale:
+    //     one shuffle on the chunk key (the dedup-family shape — hot
+    //     chunks skew like hot shingles, same accepted profile); rebuild
+    //     is a per-doc position-sorted fold. All string-exact. ---
+    "q_dedup_chunks" -> ((s, d) => {
+      val cs = 8
+      val tk = toks(col("text"))
+      val occ = docs(s, d).select(col("doc_id"),
+          transform(
+            sequence(lit(0), ceil(size(tk) / lit(cs.toDouble)).cast("int") - 1),
+            i => array_join(slice(tk, i * cs + 1, lit(cs)), " ")).as("chunks"))
+        .select(col("doc_id"), posexplode(col("chunks")))
+        .withColumnRenamed("col", "chunk").withColumnRenamed("pos", "idx")
+      val w = Window.partitionBy(col("chunk")).orderBy(col("doc_id"), col("idx"))
+      occ.withColumn("kept", row_number().over(w) === 1)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+          array_join(
+            transform(
+              sort_array(collect_list(
+                when(col("kept"), struct(col("idx"), col("chunk"))))),
+              x => x.getField("chunk")), " ").as("cleaned"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- DSIR-style importance weighting (Xie et al., "Data Selection
+    //     for Language Models via Importance Resampling"): each doc
+    //     scored by the average log-likelihood ratio of its tokens under
+    //     a target unigram LM (here: the corpus's en slice) vs the raw
+    //     corpus LM, Laplace-smoothed over the observed vocab. Exact
+    //     integer count ratios into ln, position-ordered fold (the
+    //     q_doc_logprob determinism contract), round 6. Scale: both
+    //     models are vocab-sized broadcasts; at web-corpus vocabs swap
+    //     tokens for the hashed-bucket kernel (Dedup.tokenBuckets) —
+    //     identical plan shape. ---
+    "q_dsir_weight" -> ((s, d) => {
+      val tok = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), posexplode(toks(col("text"))))
+        .withColumnRenamed("col", "token")
+      val raw = tok.groupBy("token").agg(count(lit(1)).as("c_raw"))
+      val tgt = tok.filter(col("lang") === "en")
+        .groupBy("token").agg(count(lit(1)).as("c_tgt"))
+      val model = raw.join(tgt, Seq("token"), "left").na.fill(0L, Seq("c_tgt"))
+      val totals = tok.agg(count(lit(1)).as("n_raw"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_tgt"),
+        countDistinct(col("token")).as("v"))
+      tok.join(broadcast(model), "token").crossJoin(broadcast(totals))
+        .select(col("doc_id"), col("pos"),
+          (log((col("c_tgt") + 1).cast("double") /
+              (col("n_tgt") + col("v")).cast("double")) -
+            log((col("c_raw") + 1).cast("double") /
+              (col("n_raw") + col("v")).cast("double"))).as("w"))
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(struct(col("pos"), col("w")))).as("ps"))
+        .select(col("doc_id"),
+          size(col("ps")).cast("long").as("n_tokens"),
+          round(
+            aggregate(col("ps"), lit(0.0), (a, x) => a + x.getField("w")) /
+              size(col("ps")), 6).as("dsir_w"))
+        .orderBy(col("doc_id"))
+    }),
+
     // --- stratified sampling: per-language keep rates applied through a
     //     deterministic multiplicative hash of doc_id (Knuth constant),
     //     permille buckets. Stateless filter — reproducible across runs
@@ -293,6 +360,52 @@ object PipelineQueries {
            SELECT doc_id, list(lp ORDER BY pos) AS lps FROM lp GROUP BY doc_id)
          SELECT doc_id, CAST(len(lps) AS BIGINT) AS n_tokens,
            round(list_aggregate(lps, 'sum') / len(lps), 6) AS avg_nll
+         FROM agg ORDER BY doc_id""",
+
+    "q_dedup_chunks" ->
+      """WITH tk AS (
+           SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         ch AS (
+           SELECT doc_id,
+             unnest(range(0, CAST(ceil(len(t) / 8.0) AS BIGINT))) AS idx, t
+           FROM tk),
+         occ AS (
+           SELECT doc_id, idx,
+             array_to_string(t[(idx*8+1):(idx*8+8)], ' ') AS chunk
+           FROM ch),
+         mk AS (
+           SELECT doc_id, idx, chunk,
+             row_number() OVER (PARTITION BY chunk ORDER BY doc_id, idx) = 1
+               AS kept
+           FROM occ)
+         SELECT doc_id, count(*) AS n_chunks,
+           CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           coalesce(string_agg(chunk, ' ' ORDER BY idx) FILTER (WHERE kept),
+             '') AS cleaned
+         FROM mk GROUP BY doc_id ORDER BY doc_id""",
+
+    "q_dsir_weight" ->
+      """WITH t AS (
+           SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+         tok AS (
+           SELECT doc_id, lang, unnest(range(1, len(t) + 1)) AS pos, t FROM t),
+         tok2 AS (SELECT doc_id, lang, pos, t[pos] AS token FROM tok),
+         raw AS (SELECT token, count(*) AS c_raw FROM tok2 GROUP BY token),
+         tgt AS (SELECT token, count(*) AS c_tgt FROM tok2
+                 WHERE lang = 'en' GROUP BY token),
+         tot AS (SELECT count(*) AS n_raw,
+                   sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_tgt,
+                   count(DISTINCT token) AS v
+                 FROM tok2),
+         w AS (
+           SELECT doc_id, pos,
+             ln((coalesce(c_tgt, 0) + 1) / CAST(n_tgt + v AS DOUBLE)) -
+             ln((c_raw + 1) / CAST(n_raw + v AS DOUBLE)) AS w
+           FROM tok2 JOIN raw USING (token) LEFT JOIN tgt USING (token), tot),
+         agg AS (
+           SELECT doc_id, list(w ORDER BY pos) AS ws FROM w GROUP BY doc_id)
+         SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+           round(list_aggregate(ws, 'sum') / len(ws), 6) AS dsir_w
          FROM agg ORDER BY doc_id""",
 
     "q_sample_stratified" ->

@@ -112,4 +112,48 @@ class PipelineSpec extends SparkSpec {
         assert(n > corpus(l) * 0.2 && n < corpus(l) * 0.8))
     }
   }
+
+  test("chunk dedup keeps every chunk exactly once globally") {
+    val r = q("q_dedup_chunks").as[(Long, Long, Long, String)].collect()
+    assert(r.nonEmpty)
+    r.foreach { case (_, nChunks, nKept, _) =>
+      assert(nKept >= 0 && nKept <= nChunks)
+    }
+    // the union of kept chunks = the set of distinct chunks, each once
+    val keptChunks = r.flatMap { case (_, _, _, cleaned) =>
+      if (cleaned.isEmpty) Array.empty[String]
+      else cleaned.split(" ").grouped(8).map(_.mkString(" ")).toArray
+    }
+    // NOTE: rebuilt text concatenates VARIABLE-length tail chunks, so
+    // re-chunking the cleaned string is not exact — assert via totals
+    // instead: kept count across docs == distinct chunk count.
+    val tk = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(split(col("text"), " ").as("t"))
+      .select(transform(
+        sequence(lit(0), ceil(size(col("t")) / lit(8.0)).cast("int") - 1),
+        i => array_join(slice(col("t"), i * 8 + 1, lit(8)), " ")).as("chunks"))
+      .select(explode(col("chunks")).as("c"))
+    val distinctChunks = tk.distinct().count()
+    assert(r.map(_._3).sum == distinctChunks,
+      s"kept=${r.map(_._3).sum} distinct=$distinctChunks")
+    assert(keptChunks.nonEmpty)
+    // fixture has real cross-doc duplication: something must be removed
+    assert(r.map(_._3).sum < r.map(_._2).sum)
+  }
+
+  test("dsir weights: en docs (the target slice) score higher on average") {
+    val w = q("q_dsir_weight").as[(Long, Long, Double)].collect()
+    assert(w.nonEmpty)
+    w.foreach { case (_, n, s) =>
+      assert(n > 0); assert(!s.isNaN && !s.isInfinite)
+    }
+    val langs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("lang")).as[(Long, String)].collect().toMap
+    val (en, rest) = w.partition { case (id, _, _) => langs(id) == "en" }
+    assert(en.nonEmpty && rest.nonEmpty)
+    val enAvg = en.map(_._3).sum / en.length
+    val restAvg = rest.map(_._3).sum / rest.length
+    assert(enAvg > restAvg,
+      s"target-slice docs should score higher: en=$enAvg rest=$restAvg")
+  }
 }
