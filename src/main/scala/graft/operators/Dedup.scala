@@ -142,8 +142,13 @@ object Dedup {
       .unionAll(edges
         .select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
       .distinct().cache()
-    var labels = und.select(col("src").as("node")).distinct()
-      .withColumn("rep", col("node")).cache()
+    // seed labels with min(node, direct neighbors) — algebraically the
+    // first propagation round from identity labels, fused into the init
+    // groupBy (one fewer join+shuffle round; diameter-2 components now
+    // converge in 2 iterations incl. the no-change probe round)
+    var labels = und.groupBy(col("src").as("node"))
+      .agg(min(col("dst")).as("mind"))
+      .select(col("node"), least(col("node"), col("mind")).as("rep")).cache()
     // convergence check: reps only ever DECREASE under min-propagation,
     // so Σrep is strictly monotone while anything changes — one agg
     // action per round instead of a join-based diff (ids are nonnegative
