@@ -28,6 +28,42 @@ import graft.index.IndexCatalog.Manifest
  */
 object TypedAnn {
 
+  /** Per-list max l2² radius to the centroid in the family's densified
+    * ranking space (the range-pruning stat, mirroring IvfIndex.ensure's).
+    * Bumping `StatsVersion` in `requires` rebuilds pre-stats artifacts. */
+  private[operators] val StatsVersion = "radii1"
+
+  private def listRadii(assigned: DataFrame, vecCol: String,
+      model: IvfIndex.Model): Array[Float] = {
+    import org.apache.spark.sql.graftshim.Shims
+    val flat = typedLit(model.centroids.flatten)
+    val maxima = assigned
+      .select(col("list_id"), Shims.column(IvfIndex.CentroidDist(
+        Shims.expression(col(vecCol)), Shims.expression(flat),
+        Shims.expression(col("list_id")))).as("cd"))
+      .groupBy(col("list_id")).agg(max(col("cd")).as("r2"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    Array.tabulate(model.centroids.length)(i =>
+      java.lang.Math.nextUp(maxima.getOrElse(i, 0.0).toFloat))
+  }
+
+  /** Pruned scan for an exact within-radius search over a typed artifact:
+    * triangle-inequality list pruning in the densified ranking space
+    * (hamming IS l2sq on 0/1 vectors; f16/svec kernels equal dense l2sq
+    * on the rounded/densified views the radii were measured in), the
+    * same bound as IvfIndex.rangeScan. The exact payload-kernel filter
+    * goes on top at the call site. */
+  def rangeScanL2(spark: SparkSession, path: String, model: IvfIndex.Model,
+      radii: Array[Float], qDense: Array[Float], r2: Double): DataFrame = {
+    val rq = math.sqrt(r2)
+    val probes = model.centroids.indices.filter { i =>
+      math.sqrt(IvfIndex.Kernels.l2sq(model.centroids(i), qDense)) -
+        math.sqrt(radii(i).toDouble) <= rq + 1e-9
+    }
+    spark.read.parquet(path)
+      .filter(col("list_id").isin(probes.map(Integer.valueOf).toSeq: _*))
+  }
+
   /** CREATE INDEX: bvector Hamming IVF. `fCol` is the dense f32 source
     * column; rows are binarized (bit i = x_i > 0), k-means runs on the
     * densified 0/1 view, and the artifact stores only (id, packed bvector,
@@ -36,19 +72,25 @@ object TypedAnn {
       source: String, idCol: String, fCol: String, nlist: Int,
       seed: Long = 42L): (IvfIndex.Model, String) = {
     val m = IndexCatalog.ensure(spark, name, source,
-        requires = Map("type" -> "bvector", "nlist" -> nlist.toString)) { dataDir =>
+        requires = Map("type" -> "bvector", "nlist" -> nlist.toString,
+          "stats" -> StatsVersion)) { dataDir =>
       val base = df.filter(col(fCol).isNotNull)
         .select(col(idCol), binarize(col(fCol)).as("bv"))
       val densified = base.withColumn("d01", bvecToDense(col("bv")))
       val model = IvfIndex.train(densified, "d01", "l2", nlist, seed = seed)
-      densified
+      val assigned = densified
         .withColumn("list_id", IvfIndex.nearestCentroid(col("d01"), model))
+        .cache()
+      assigned
         .select(col(idCol), col("bv"), col("list_id"))
         .repartition(col("list_id"))
         .write.mode("overwrite").partitionBy("list_id").parquet(dataDir)
+      val radii = listRadii(assigned, "d01", model)
+      assigned.unpersist()
       Manifest("ivf_bvec", source, "hamming",
-        Map("nlist" -> nlist.toString, "type" -> "bvector"),
-        centroids = model.centroids)
+        Map("nlist" -> nlist.toString, "type" -> "bvector",
+          "stats" -> StatsVersion),
+        centroids = model.centroids, floats = Map("radii" -> radii))
     }
     (IvfIndex.Model("l2", m.centroids), IndexCatalog.dataDir(spark, name))
   }
@@ -115,19 +157,25 @@ object TypedAnn {
       source: String, idCol: String, fCol: String, nlist: Int,
       seed: Long = 42L): (IvfIndex.Model, String) = {
     val m = IndexCatalog.ensure(spark, name, source,
-        requires = Map("type" -> "vecf16", "nlist" -> nlist.toString)) { dataDir =>
+        requires = Map("type" -> "vecf16", "nlist" -> nlist.toString,
+          "stats" -> StatsVersion)) { dataDir =>
       val base = df.filter(col(fCol).isNotNull)
         .select(col(idCol), toF16Bits(col(fCol)).as("bits"))
       val rounded = base.withColumn("rf", f16ToVector(col("bits")))
       val model = IvfIndex.train(rounded, "rf", "l2", nlist, seed = seed)
-      rounded
+      val assigned = rounded
         .withColumn("list_id", IvfIndex.nearestCentroid(col("rf"), model))
+        .cache()
+      assigned
         .select(col(idCol), col("bits"), col("list_id"))
         .repartition(col("list_id"))
         .write.mode("overwrite").partitionBy("list_id").parquet(dataDir)
+      val radii = listRadii(assigned, "rf", model)
+      assigned.unpersist()
       Manifest("ivf_f16", source, "l2",
-        Map("nlist" -> nlist.toString, "type" -> "vecf16"),
-        centroids = model.centroids)
+        Map("nlist" -> nlist.toString, "type" -> "vecf16",
+          "stats" -> StatsVersion),
+        centroids = model.centroids, floats = Map("radii" -> radii))
     }
     (IvfIndex.Model("l2", m.centroids), IndexCatalog.dataDir(spark, name))
   }
@@ -141,18 +189,24 @@ object TypedAnn {
       source: String, idCol: String, svCol: String, nlist: Int,
       seed: Long = 42L): (IvfIndex.Model, String) = {
     val m = IndexCatalog.ensure(spark, name, source,
-        requires = Map("type" -> "svector", "nlist" -> nlist.toString)) { dataDir =>
+        requires = Map("type" -> "svector", "nlist" -> nlist.toString,
+          "stats" -> StatsVersion)) { dataDir =>
       val base = df.filter(col(svCol).isNotNull)
       val densified = base.withColumn("dv", svecToDense(col(svCol)))
       val model = IvfIndex.train(densified, "dv", "l2", nlist, seed = seed)
-      densified
+      val assigned = densified
         .withColumn("list_id", IvfIndex.nearestCentroid(col("dv"), model))
+        .cache()
+      assigned
         .select(col(idCol), col(svCol), col("list_id"))
         .repartition(col("list_id"))
         .write.mode("overwrite").partitionBy("list_id").parquet(dataDir)
+      val radii = listRadii(assigned, "dv", model)
+      assigned.unpersist()
       Manifest("ivf_svec", source, "l2",
-        Map("nlist" -> nlist.toString, "type" -> "svector"),
-        centroids = model.centroids)
+        Map("nlist" -> nlist.toString, "type" -> "svector",
+          "stats" -> StatsVersion),
+        centroids = model.centroids, floats = Map("radii" -> radii))
     }
     (IvfIndex.Model("l2", m.centroids), IndexCatalog.dataDir(spark, name))
   }

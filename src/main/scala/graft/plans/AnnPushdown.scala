@@ -245,7 +245,7 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
             val nf = Filter(cond, newChild)
             nf.setTagValue(RewrittenTag, true)
             Project(projList, nf)
-          case None => p
+          case None => matchTypedRange(projList, cond, rel).getOrElse(p)
         }
     }
   }
@@ -298,6 +298,89 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     }
     if (remap.length != rel.output.length) return None
     Some(Project(remap, newPlan))
+  }
+
+  /** Typed-family sphere range (the strategy-2 members of the bvector /
+    * vecf16 / svector opclasses): `dist(wrapper(col), q) < r` over an
+    * indexed relation, for the l2-family metrics whose densified ranking
+    * space obeys the triangle bound (hamming IS l2sq on 0/1 vectors; the
+    * f16/svec kernels equal dense l2sq on the rounded/densified views
+    * the radii were measured in). Typed artifacts store ONLY the compact
+    * payload, so unlike the dense form the original filter cannot be
+    * reapplied wholesale — instead both the filter and the dist
+    * projection are rewritten onto the stored payload column, which by
+    * construction equals wrapper(col) exactly. Guards: the projection is
+    * exactly {id, dist}, and the condition's only non-IsNotNull conjunct
+    * is the range predicate (artifact rows carry no other source
+    * columns; IsNotNull on the vector column is vacuous — null vectors
+    * are never indexed). */
+  private def matchTypedRange(projList: Seq[NamedExpression],
+      cond: Expression, rel: LogicalPlan): Option[LogicalPlan] = {
+    import org.apache.spark.sql.{functions => F}
+    if (!rel.isInstanceOf[LogicalRelation] &&
+        !rel.isInstanceOf[org.apache.spark.sql.execution.columnar.InMemoryRelation])
+      return None
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case x => Seq(x)
+    }
+    val nonNull = conjuncts(cond).filterNot(_.isInstanceOf[IsNotNull])
+    if (nonNull.length != 1) return None
+    val (vecAttr, qLit, r, metricKey) = nonNull.collectFirst {
+      case LessThan(BVecHamming(Binarize(v: AttributeReference), QueryLit(q)),
+          Literal(r: Double, _)) => (v, q, r, "bvec:hamming")
+      case LessThan(F16L2sq(ToF16Bits(v: AttributeReference), QueryLit(q)),
+          Literal(r: Double, _)) => (v, q, r, "f16:l2")
+      case LessThan(SVecL2sq(SVecFromDense(v: AttributeReference), QueryLit(q)),
+          Literal(r: Double, _)) => (v, q, r, "svec:l2")
+    }.getOrElse(return None)
+    val idx = lookup(pathsOf(rel), metricKey).getOrElse(return None)
+    if (vecAttr.name != idx.vecCol) return None
+    val distAlias = projList.collectFirst {
+      case a @ Alias(child, _) if nonNull.head.asInstanceOf[LessThan]
+        .left.semanticEquals(child) => a
+    }.getOrElse(return None)
+    val idAttr = projList.collectFirst {
+      case a: AttributeReference if a.name == idx.idCol => a
+    }.getOrElse(return None)
+    if (!projList.forall(ne =>
+        ne.exprId == idAttr.exprId || ne.exprId == distAlias.exprId))
+      return None
+    val manifest = graft.index.IndexCatalog.load(spark, idx.indexName)
+      .getOrElse(return None)
+    if (!manifest.floats.contains("radii")) return None
+    val expectedKind = Map("bvec:hamming" -> "ivf_bvec",
+      "f16:l2" -> "ivf_f16", "svec:l2" -> "ivf_svec")(metricKey)
+    if (manifest.kind != expectedKind) return None
+    val model = IvfIndex.Model("l2", manifest.centroids)
+    val radii = manifest.floats("radii")
+    val q = AnnPushdown.typedQueryFloats(qLit)
+    // prune in the same densified space the radii were measured in
+    val qPrune = metricKey match {
+      case "bvec:hamming" => q.map(x => if (x > 0f) 1f else 0f)
+      case "f16:l2" => q.map(x =>
+        graft.types.Fp16.halfToFloat(graft.types.Fp16.floatToHalf(x)))
+      case _ => q
+    }
+    val dataDir = graft.index.IndexCatalog.dataDir(spark, idx.indexName)
+    val scan = TypedAnn.rangeScanL2(spark, dataDir, model, radii, qPrune, r)
+    val qCol = F.typedLit(q)
+    val distCol = metricKey match {
+      case "bvec:hamming" =>
+        graft.functions.bvecHamming(F.col("bv"), graft.functions.binarize(qCol))
+      case "f16:l2" =>
+        graft.functions.f16L2sq(F.col("bits"), graft.functions.toF16Bits(qCol))
+      case "svec:l2" =>
+        graft.functions.svecL2sq(F.col("sv"), graft.functions.svecFromDense(qCol))
+    }
+    val df = scan.select(F.col(idx.idCol), distCol.as("dist"))
+      .filter(F.col("dist") < F.lit(r))
+    val newPlan = df.queryExecution.analyzed
+    val byName = newPlan.output.map(a => a.name -> a).toMap
+    Some(Project(Seq(
+      Alias(byName(idx.idCol), idAttr.name)(exprId = idAttr.exprId),
+      Alias(byName("dist"), distAlias.name)(exprId = distAlias.exprId)),
+      newPlan))
   }
 
   /** Source parquet paths of a leaf plan — sees through the cache

@@ -101,6 +101,17 @@ object AnnQueries {
     TypedAnn.ensureSvec(s, s"svecann_${san(d)}", sparseDocs(s, d), d,
       "vec_id", "sv", nlist = 16)
 
+  /** svector IVF over UN-sparsified embeddings (sv = svec_from_dense of
+    * the raw column) for the svec range-pushdown path: the artifact's
+    * stored CSR payload must equal the query spelling's
+    * `svec_from_dense(embedding)` exactly for the rewritten filter to be
+    * value-identical. */
+  def svecRange(s: SparkSession, d: String): (IvfIndex.Model, String) =
+    TypedAnn.ensureSvec(s, s"svecrange_${san(d)}",
+      t(s, d, "embeddings").select(col("vec_id"),
+        svecFromDense(col("embedding")).as("sv")),
+      d, "vec_id", "sv", nlist = 16)
+
   def ivfpq(s: SparkSession, d: String): (IvfPq.Model, String) =
     IvfPq.ensure(s, s"ivfpq_${san(d)}", t(s, d, "embeddings"), d,
       "vec_id", "embedding", nlist = 16)
@@ -178,7 +189,7 @@ object AnnQueries {
     hnswsq(s, d, 4); hnswpq(s, d, 4); hnswrq(s, d, 4)
     bvecHnsw(s, d, 1); f16Hnsw(s, d, 1)
     svecHnsw(s, d, 1); svecHnsw(s, d, 4)
-    bvecAnn(s, d); f16Ann(s, d); svecAnn(s, d)
+    bvecAnn(s, d); f16Ann(s, d); svecAnn(s, d); svecRange(s, d)
     ivfpq(s, d); ivfsq(s, d); ivfPartial(s, d)
     sparse(s, d); sparsePruned(s, d)
     ensureVecSegments(s, d)
@@ -328,6 +339,67 @@ object AnnQueries {
       } finally {
         s.conf.set("spark.graft.ann.enabled", prevEnabled)
         s.conf.set("spark.graft.ann.nprobe", prevNprobe)
+        AnnPushdown.restore(srcPath, prevReg)
+      }
+    }),
+    // TYPED sphere range through the optimizer rule (strategy-2 members
+    // of the typed opclasses): hamming over binarized floats is integer
+    // arithmetic -> full value oracle. EXACT by construction: triangle
+    // pruning in the densified 0/1 space + the same packed-word kernel
+    // re-evaluated on the stored payload (= binarize(embedding) exactly).
+    "q_range_pushdown_bvec" -> ((s, d) => {
+      import graft.plans.AnnPushdown
+      bvecAnn(s, d)
+      AnnPushdown.install(s)
+      val srcPath = s"$d/embeddings.parquet"
+      val prevReg = AnnPushdown.snapshot(srcPath)
+      AnnPushdown.register(srcPath, AnnPushdown.IndexedTable(
+        s"bvecann_${san(d)}", "vec_id", "embedding", "bvec:hamming"))
+      val prevEnabled = s.conf.get("spark.graft.ann.enabled", "false")
+      s.conf.set("spark.graft.ann.enabled", "true")
+      try {
+        val df = s.read.parquet(srcPath)
+          .select(col("vec_id"),
+            bvecHamming(binarize(col("embedding")),
+              binarize(typedLit(qvec(s, d)))).as("dist"))
+          .filter(col("dist") < lit(27.0))
+        val optimized = df.queryExecution.optimizedPlan
+        assert(optimized.toString.contains("list_id"),
+          "typed bvec range pushdown did not rewrite the plan")
+        org.apache.spark.sql.graftshim.Shims.ofRows(s, optimized)
+          .orderBy(col("dist"), col("vec_id"))
+      } finally {
+        s.conf.set("spark.graft.ann.enabled", prevEnabled)
+        AnnPushdown.restore(srcPath, prevReg)
+      }
+    }),
+    // svector l2 sphere range: the CSR merge kernel over
+    // svec_from_dense(embedding) equals the dense l2 chain exactly
+    // (index-ordered merge, zero terms are exact identities) -> full
+    // value oracle via the dense construction.
+    "q_range_pushdown_svec" -> ((s, d) => {
+      import graft.plans.AnnPushdown
+      svecRange(s, d)
+      AnnPushdown.install(s)
+      val srcPath = s"$d/embeddings.parquet"
+      val prevReg = AnnPushdown.snapshot(srcPath)
+      AnnPushdown.register(srcPath, AnnPushdown.IndexedTable(
+        s"svecrange_${san(d)}", "vec_id", "embedding", "svec:l2"))
+      val prevEnabled = s.conf.get("spark.graft.ann.enabled", "false")
+      s.conf.set("spark.graft.ann.enabled", "true")
+      try {
+        val df = s.read.parquet(srcPath)
+          .select(col("vec_id"),
+            svecL2sq(svecFromDense(col("embedding")),
+              svecFromDense(typedLit(qvec(s, d)))).as("dist"))
+          .filter(col("dist") < lit(1.6))
+        val optimized = df.queryExecution.optimizedPlan
+        assert(optimized.toString.contains("list_id"),
+          "typed svec range pushdown did not rewrite the plan")
+        org.apache.spark.sql.graftshim.Shims.ofRows(s, optimized)
+          .orderBy(col("dist"), col("vec_id"))
+      } finally {
+        s.conf.set("spark.graft.ann.enabled", prevEnabled)
         AnnPushdown.restore(srcPath, prevReg)
       }
     }),
@@ -877,6 +949,18 @@ object AnnQueries {
                     * list_aggregate(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS dist
            FROM n e CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q)
          WHERE dist < 0.8 ORDER BY vec_id""",
+    "q_range_pushdown_bvec" ->
+      """SELECT vec_id, dist FROM (
+           SELECT e.vec_id AS vec_id,
+             CAST(list_aggregate(list_transform(list_zip(e.embedding, q.qv), p -> CASE WHEN (p[1] > 0) <> (p[2] > 0) THEN 1 ELSE 0 END), 'sum') AS DOUBLE) AS dist
+           FROM embeddings e CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q)
+         WHERE dist < 27 ORDER BY dist, vec_id""",
+    "q_range_pushdown_svec" ->
+      """SELECT vec_id, dist FROM (
+           SELECT e.vec_id AS vec_id,
+             list_aggregate(list_transform(list_zip(e.embedding, q.qv), p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), 'sum') AS dist
+           FROM embeddings e CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q)
+         WHERE dist < 1.6 ORDER BY dist, vec_id""",
     "q_ivf_exact_dot" ->
       """SELECT e.vec_id AS vec_id,
          -list_aggregate(list_transform(list_zip(e.embedding, q.qv), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum') AS dist

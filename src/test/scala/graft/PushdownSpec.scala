@@ -312,6 +312,54 @@ class PushdownSpec extends SparkSpec {
     }
   }
 
+  test("typed sphere-range pushdown prunes lists, stays exact: f16/bvec/svec") {
+    import graft.functions._
+    import graft.operators.TypedAnn
+    val src = s"$sf001/embeddings.parquet"
+    val san = sf001.replaceAll("[^a-zA-Z0-9]", "_")
+    val emb = spark.read.parquet(src)
+    TypedAnn.ensureF16(spark, s"pdf16_$san", emb, src,
+      "vec_id", "embedding", nlist = 8)
+    TypedAnn.ensureBvec(spark, s"pdbv_$san", emb, src,
+      "vec_id", "embedding", nlist = 8)
+    TypedAnn.ensureSvec(spark, s"pdsv_$san",
+      emb.select(col("vec_id"), svecFromDense(col("embedding")).as("sv")),
+      src, "vec_id", "sv", nlist = 8)
+    AnnPushdown.install(spark)
+    AnnPushdown.register(src, AnnPushdown.IndexedTable(
+      s"pdf16_$san", "vec_id", "embedding", "f16:l2"))
+    AnnPushdown.register(src, AnnPushdown.IndexedTable(
+      s"pdbv_$san", "vec_id", "embedding", "bvec:hamming"))
+    AnnPushdown.register(src, AnnPushdown.IndexedTable(
+      s"pdsv_$san", "vec_id", "embedding", "svec:l2"))
+    def ranged(dist: org.apache.spark.sql.Column, r: Double) =
+      spark.read.parquet(src).select(col("vec_id"), dist.as("dist"))
+        .filter(col("dist") < lit(r))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col("vec_id")).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val cases = Seq(
+      ("f16", f16L2sq(toF16Bits(col("embedding")), toF16Bits(typedLit(q))), 1.6),
+      ("bvec", bvecHamming(binarize(col("embedding")), binarize(typedLit(q))), 27.0),
+      ("svec", svecL2sq(svecFromDense(col("embedding")),
+        svecFromDense(typedLit(q))), 1.6))
+    try {
+      for ((fam, dist, r) <- cases) {
+        spark.conf.set("spark.graft.ann.enabled", "false")
+        val brute = pairs(ranged(dist, r))
+        assert(brute.nonEmpty, s"$fam: degenerate radius, nothing in range")
+        spark.conf.set("spark.graft.ann.enabled", "true")
+        val df = ranged(dist, r)
+        val plan = df.queryExecution.optimizedPlan.toString
+        assert(plan.contains("list_id"), s"$fam range did not rewrite:\n$plan")
+        assert(pairs(df) == brute, s"$fam range rewrite must be value-identical")
+      }
+    } finally {
+      spark.conf.set("spark.graft.ann.enabled", "false")
+      AnnPushdown.unregister(src)
+    }
+  }
+
   test("GraftExtensions injects the rewrite rule via spark.sql.extensions") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new graft.plans.GraftExtensions().apply(ext)
