@@ -26,7 +26,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     (graft.queries.CoreQueries.queries ++ graft.queries.TypeQueries.queries
       ++ graft.queries.AnnQueries.queries ++ graft.queries.DocQueries.queries
-      ++ graft.queries.PipelineQueries.queries)
+      ++ graft.queries.PipelineQueries.queries
+      ++ graft.queries.EventQueries.queries)
       .map { case (k, f) =>
         k -> ((s: SparkSession, d: String) => f(withFns(s), d))
       }
@@ -36,5 +37,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     graft.queries.CoreQueries.oracles ++ graft.queries.TypeQueries.oracles ++
       graft.queries.AnnQueries.oracles ++ graft.queries.DocQueries.oracles ++
-      graft.queries.PipelineQueries.oracles
+      graft.queries.PipelineQueries.oracles ++ graft.queries.EventQueries.oracles
 }

@@ -137,10 +137,15 @@ object Dedup {
     * docs are not cluster members and never enter the frame. */
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 25): DataFrame = {
+    // both orientations from ONE pass over edges (explode, not a
+    // self-union — the upstream edge pipeline is typically an expensive
+    // LSH-join + verify and a union would evaluate it twice)
     val und = edges
-      .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
-      .unionAll(edges
-        .select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
+      .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+      .select(explode(array(
+        struct(col("a").as("src"), col("b").as("dst")),
+        struct(col("b").as("src"), col("a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct().cache()
     // seed labels with min(node, direct neighbors) — algebraically the
     // first propagation round from identity labels, fused into the init

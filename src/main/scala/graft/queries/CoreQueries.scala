@@ -47,11 +47,13 @@ object CoreQueries {
   }
 
   /** events.parquet carries TIMESTAMP(NANOS) which Spark's parquet reader
-    * rejects; read nanos as long and convert to a microsecond timestamp. */
+    * rejects; read nanos as long and convert to a microsecond timestamp.
+    * Integer `div`, not `/`: epoch-ns (~2^60) exceeds double's 53-bit
+    * mantissa, so float division can perturb the low microseconds. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     t(spark, dir, "events")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      .withColumn("ts", timestamp_micros(org.apache.spark.sql.functions.expr("ts div 1000")))
   }
 
   private def queryVec(spark: SparkSession, dir: String): DataFrame =
