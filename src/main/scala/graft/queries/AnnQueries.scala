@@ -192,7 +192,8 @@ object AnnQueries {
     bvecAnn(s, d); f16Ann(s, d); svecAnn(s, d); svecRange(s, d)
     ivfpq(s, d); ivfsq(s, d); ivfPartial(s, d)
     sparse(s, d); sparsePruned(s, d)
-    ensureVecSegments(s, d)
+    val segDir = ensureVecSegments(s, d)
+    IncrHnsw.ensure(s, s"incrhnsw_${san(d)}", segDir, "vec_id", "embedding")
   }
 
   private def qvec(s: SparkSession, dir: String): Array[Float] =
