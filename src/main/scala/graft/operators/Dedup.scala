@@ -362,6 +362,59 @@ object Dedup {
       ShingleHashesExpr(org.apache.spark.sql.graftshim.Shims.expression(
         split(text, " ")), n))
 
+  /** Distinct n-gram shingle STRINGS in one codegen pass (for corpus
+    * statistics where the gram text itself is the output — the hash
+    * variant above serves joins). Empty tokens are skipped inline, so
+    * callers can feed a raw `split(lower(text), "\\s+")` with no
+    * interpreted filter/transform/array_distinct HOF chain. Sorted
+    * ascending (UTF-8 binary) for determinism. */
+  def shingleStringsKernel(toks: ArrayData, n: Int): ArrayData = {
+    val nt = toks.numElements()
+    val kept = new scala.collection.mutable.ArrayBuffer[
+      org.apache.spark.unsafe.types.UTF8String](nt)
+    var i = 0
+    while (i < nt) {
+      val t = toks.getUTF8String(i)
+      if (t.numBytes() > 0) kept += t
+      i += 1
+    }
+    if (kept.length < n)
+      return new GenericArrayData(Array.empty[AnyRef])
+    val set = new java.util.TreeSet[org.apache.spark.unsafe.types.UTF8String]()
+    val sep = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+    i = 0
+    while (i + n <= kept.length) {
+      val parts = new Array[org.apache.spark.unsafe.types.UTF8String](n)
+      var j = 0
+      while (j < n) { parts(j) = kept(i + j); j += 1 }
+      set.add(org.apache.spark.unsafe.types.UTF8String.concatWs(sep, parts: _*))
+      i += 1
+    }
+    new GenericArrayData(set.toArray[AnyRef](Array.empty[AnyRef]))
+  }
+
+  case class ShingleStringsExpr(child: Expression, n: Int)
+      extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects type array<string>, got ${other.simpleString}")
+    }
+    override def nullIntolerant: Boolean = true
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullSafeEval(v: Any): Any =
+      shingleStringsKernel(v.asInstanceOf[ArrayData], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.operators.Dedup.shingleStringsKernel($c, $n)")
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+    override def prettyName = "shingle_strings"
+  }
+
+  /** Distinct word-n-gram strings per document from a token-array column. */
+  def shingleStrings(tokens: Column, n: Int): Column =
+    org.apache.spark.sql.graftshim.Shims.column(
+      ShingleStringsExpr(org.apache.spark.sql.graftshim.Shims.expression(tokens), n))
+
   /** Deterministic hash-bucket term-frequency featurizer: counts tokens
     * into `dims` buckets by FNV-1a mod dims (floored). The HashingTF
     * analog whose every step — tokenize, hash, bucket, count — is

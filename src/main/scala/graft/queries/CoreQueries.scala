@@ -162,6 +162,31 @@ object CoreQueries {
         .select(col("vec_id"), l2sq(col("embedding"), col("qv")).as("dist"))
         .orderBy(col("dist"), col("vec_id")).limit(100)
     }),
+    // --- MAXSIM late-interaction retrieval (ColBERT-style): documents
+    //     are groups of 4 token-vectors (gid = vec_id div 4), the query
+    //     is gid 0's 4 vectors; score(g) = Σ_i max_j dot(q_i, d_j).
+    //     One broadcast of the 4-row query set, pairwise codegen dots,
+    //     then ONE hash agg on gid with per-position conditional maxes —
+    //     max is order-insensitive and the final 4-term sum is a fixed
+    //     left-assoc chain, so the double result is deterministic and
+    //     the oracle replays it term-for-term. Scale: one shuffle on
+    //     gid, map-side partial maxes; never materializes the per-pair
+    //     frame. ---
+    "q_maxsim_topk" -> ((s, d) => {
+      val e = t(s, d, "embeddings").filter(col("vec_id") >= 4)
+        .select(org.apache.spark.sql.functions.expr("vec_id div 4").as("gid"),
+          col("embedding"))
+      val qset = t(s, d, "embeddings").filter(col("vec_id") < 4)
+        .select(col("vec_id").as("qpos"), col("embedding").as("qv"))
+      def m(i: Int) = max(when(col("qpos") === i, col("dotv"))).as(s"m$i")
+      e.crossJoin(broadcast(qset))
+        .select(col("gid"), col("qpos"),
+          (-negdot(col("embedding"), col("qv"))).as("dotv"))
+        .groupBy(col("gid")).agg(m(0), m(1), m(2), m(3))
+        .select(col("gid"),
+          (col("m0") + col("m1") + col("m2") + col("m3")).as("score"))
+        .orderBy(col("score").desc, col("gid")).limit(50)
+    }),
     "q_topk_dot" -> ((s, d) => {
       t(s, d, "embeddings").crossJoin(broadcast(queryVec(s, d)))
         .filter(col("vec_id") =!= 0)
@@ -352,6 +377,19 @@ object CoreQueries {
          CASE WHEN vec_id < 30 THEN label + 1000 ELSE label END AS label,
          CAST(CASE WHEN vec_id < 30 THEN 1 ELSE 0 END AS BIGINT) AS ver
          FROM embeddings WHERE vec_id % 10 <> 3 ORDER BY vec_id""",
+
+    "q_maxsim_topk" ->
+      """WITH q AS (SELECT vec_id AS qpos, embedding AS qv FROM embeddings WHERE vec_id < 4),
+         e AS (SELECT vec_id // 4 AS gid, embedding FROM embeddings WHERE vec_id >= 4),
+         p AS (SELECT e.gid, q.qpos,
+                 list_aggregate(list_transform(list_zip(e.embedding, q.qv),
+                   p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum') AS dotv
+               FROM e, q)
+         SELECT gid, max(CASE WHEN qpos = 0 THEN dotv END)
+                   + max(CASE WHEN qpos = 1 THEN dotv END)
+                   + max(CASE WHEN qpos = 2 THEN dotv END)
+                   + max(CASE WHEN qpos = 3 THEN dotv END) AS score
+         FROM p GROUP BY gid ORDER BY score DESC, gid LIMIT 50""",
 
     "q_events_window" ->
       """SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,

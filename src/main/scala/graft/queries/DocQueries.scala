@@ -156,6 +156,27 @@ object DocQueries {
         .orderBy(col("token"))
     }),
 
+    // --- corpus n-gram statistics: top-5 trigrams per language by
+    //     DOCUMENT frequency (each doc counts a gram once — the kernel
+    //     emits the distinct set). Ties break by gram text, so the
+    //     ranking is a pure function of the corpus. Scale shape: ONE
+    //     codegen pass builds each doc's distinct-gram set (no
+    //     interpreted HOF chain — the round-2 minhash lesson), explode →
+    //     one hash agg on (lang, gram) with map-side partial counts; the
+    //     per-lang rank sorts only the distinct-gram aggregate
+    //     (vocabulary-sized, not corpus-sized). ---
+    "q_ngram_top" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val grams = docs(s, d).select(col("lang"),
+        explode(Dedup.shingleStrings(split(lower(col("text")), "\\s+"), 3)).as("gram"))
+      val w = Window.partitionBy("lang").orderBy(col("ndocs").desc, col("gram"))
+      grams.groupBy(col("lang"), col("gram")).agg(count(lit(1)).as("ndocs"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 5)
+        .select(col("lang"), col("rk"), col("gram"), col("ndocs"))
+        .orderBy(col("lang"), col("rk"))
+    }),
+
     // --- language-ID: stopword-marker n-gram heuristic, fixed tie order ---
     "q_lang_id" -> ((s, d) => {
       val de = Seq("der", "die", "das", "und", "ist")
@@ -520,6 +541,24 @@ object DocQueries {
       """SELECT token, count(*) AS cnt, count(DISTINCT doc_id) AS n_docs
          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
          GROUP BY token ORDER BY token""",
+
+    "q_ngram_top" ->
+      """WITH toks AS (
+           SELECT doc_id, lang, t.tok, t.ord
+           FROM documents,
+           LATERAL (SELECT unnest(string_split_regex(lower(text), '\s+')) AS tok,
+                           generate_subscripts(string_split_regex(lower(text), '\s+'), 1) AS ord) t
+           WHERE length(t.tok) > 0),
+         grams AS (
+           SELECT DISTINCT doc_id, lang,
+                  tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS gram
+           FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY ord)),
+         df AS (SELECT lang, gram, count(*) AS ndocs FROM grams
+                WHERE gram IS NOT NULL GROUP BY 1, 2),
+         rk AS (SELECT lang, gram, ndocs,
+                  row_number() OVER (PARTITION BY lang ORDER BY ndocs DESC, gram) AS rk
+                FROM df)
+         SELECT lang, rk, gram, ndocs FROM rk WHERE rk <= 5 ORDER BY lang, rk""",
 
     "q_lang_id" ->
       """WITH c AS (SELECT doc_id, lang,
