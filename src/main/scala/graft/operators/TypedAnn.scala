@@ -64,6 +64,23 @@ object TypedAnn {
       .filter(col("list_id").isin(probes.map(Integer.valueOf).toSeq: _*))
   }
 
+  /** Dot-range pruned scan over a typed artifact: for x in a list with
+    * ||x − c|| ≤ R_c in the densified payload space, x·q ≤ c·q +
+    * R_c·||q|| (Cauchy-Schwarz, same bound as IvfIndex.rangeScanDot), so
+    * a list whose minimum reachable negdot exceeds r cannot contribute.
+    * `qDense` must be the query's image in the payload space (binarized
+    * 0/1 for bvector, densified for svector). */
+  def rangeScanDot(spark: SparkSession, path: String, model: IvfIndex.Model,
+      radii: Array[Float], qDense: Array[Float], r: Double): DataFrame = {
+    val qNorm = math.sqrt(IvfIndex.Kernels.dot(qDense, qDense))
+    val probes = model.centroids.indices.filter { i =>
+      -(IvfIndex.Kernels.dot(model.centroids(i), qDense) +
+        math.sqrt(radii(i).toDouble) * qNorm) <= r + 1e-9
+    }
+    spark.read.parquet(path)
+      .filter(col("list_id").isin(probes.map(Integer.valueOf).toSeq: _*))
+  }
+
   /** CREATE INDEX: bvector Hamming IVF. `fCol` is the dense f32 source
     * column; rows are binarized (bit i = x_i > 0), k-means runs on the
     * densified 0/1 view, and the artifact stores only (id, packed bvector,

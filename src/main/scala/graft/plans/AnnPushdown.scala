@@ -302,10 +302,11 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   /** Typed-family sphere range (the strategy-2 members of the bvector /
     * vecf16 / svector opclasses): `dist(wrapper(col), q) < r` over an
-    * indexed relation, for the l2-family metrics whose densified ranking
-    * space obeys the triangle bound (hamming IS l2sq on 0/1 vectors; the
-    * f16/svec kernels equal dense l2sq on the rounded/densified views
-    * the radii were measured in). Typed artifacts store ONLY the compact
+    * indexed relation — the l2-family metrics prune by the triangle
+    * bound (hamming IS l2sq on 0/1 vectors; the f16/svec kernels equal
+    * dense l2sq on the rounded/densified views the radii were measured
+    * in), and the dot metrics by Cauchy-Schwarz in the same payload
+    * space (x·q ≤ c·q + R_c·|q|). Typed artifacts store ONLY the compact
     * payload, so unlike the dense form the original filter cannot be
     * reapplied wholesale — instead both the filter and the dist
     * projection are rewritten onto the stored payload column, which by
@@ -333,6 +334,10 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
           Literal(r: Double, _)) => (v, q, r, "f16:l2")
       case LessThan(SVecL2sq(SVecFromDense(v: AttributeReference), QueryLit(q)),
           Literal(r: Double, _)) => (v, q, r, "svec:l2")
+      case LessThan(BVecNegDot(Binarize(v: AttributeReference), QueryLit(q)),
+          Literal(r: Double, _)) => (v, q, r, "bvec:dot")
+      case LessThan(SVecNegDot(SVecFromDense(v: AttributeReference), QueryLit(q)),
+          Literal(r: Double, _)) => (v, q, r, "svec:dot")
     }.getOrElse(return None)
     val idx = lookup(pathsOf(rel), metricKey).getOrElse(return None)
     if (vecAttr.name != idx.vecCol) return None
@@ -350,28 +355,38 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       .getOrElse(return None)
     if (!manifest.floats.contains("radii")) return None
     val expectedKind = Map("bvec:hamming" -> "ivf_bvec",
-      "f16:l2" -> "ivf_f16", "svec:l2" -> "ivf_svec")(metricKey)
+      "f16:l2" -> "ivf_f16", "svec:l2" -> "ivf_svec",
+      "bvec:dot" -> "ivf_bvec", "svec:dot" -> "ivf_svec")(metricKey)
     if (manifest.kind != expectedKind) return None
     val model = IvfIndex.Model("l2", manifest.centroids)
     val radii = manifest.floats("radii")
     val q = AnnPushdown.typedQueryFloats(qLit)
     // prune in the same densified space the radii were measured in
     val qPrune = metricKey match {
-      case "bvec:hamming" => q.map(x => if (x > 0f) 1f else 0f)
+      case "bvec:hamming" | "bvec:dot" => q.map(x => if (x > 0f) 1f else 0f)
       case "f16:l2" => q.map(x =>
         graft.types.Fp16.halfToFloat(graft.types.Fp16.floatToHalf(x)))
       case _ => q
     }
     val dataDir = graft.index.IndexCatalog.dataDir(spark, idx.indexName)
-    val scan = TypedAnn.rangeScanL2(spark, dataDir, model, radii, qPrune, r)
+    // l2-family metrics prune by the triangle bound; dot by Cauchy-
+    // Schwarz — both in the densified payload space the radii measure
+    val scan =
+      if (metricKey.endsWith(":dot"))
+        TypedAnn.rangeScanDot(spark, dataDir, model, radii, qPrune, r)
+      else TypedAnn.rangeScanL2(spark, dataDir, model, radii, qPrune, r)
     val qCol = F.typedLit(q)
     val distCol = metricKey match {
       case "bvec:hamming" =>
         graft.functions.bvecHamming(F.col("bv"), graft.functions.binarize(qCol))
+      case "bvec:dot" =>
+        graft.functions.bvecNegdot(F.col("bv"), graft.functions.binarize(qCol))
       case "f16:l2" =>
         graft.functions.f16L2sq(F.col("bits"), graft.functions.toF16Bits(qCol))
       case "svec:l2" =>
         graft.functions.svecL2sq(F.col("sv"), graft.functions.svecFromDense(qCol))
+      case "svec:dot" =>
+        graft.functions.svecNegdot(F.col("sv"), graft.functions.svecFromDense(qCol))
     }
     val df = scan.select(F.col(idx.idCol), distCol.as("dist"))
       .filter(F.col("dist") < F.lit(r))

@@ -404,6 +404,38 @@ object AnnQueries {
         AnnPushdown.restore(srcPath, prevReg)
       }
     }),
+    // typed DOT sphere-range through the same rule: the svector dot
+    // opclass's strategy-2 member. Lists prune by Cauchy-Schwarz in the
+    // densified payload space (x·q <= c·q + R_c|q|); the kept negdot
+    // filter re-evaluates on the stored CSR payload, which equals
+    // svec_from_dense(embedding) by construction — the CSR≡dense-dot
+    // identity gives the plain double-arithmetic oracle.
+    "q_range_pushdown_svec_dot" -> ((s, d) => {
+      import graft.plans.AnnPushdown
+      svecRange(s, d)
+      AnnPushdown.install(s)
+      val srcPath = s"$d/embeddings.parquet"
+      val prevReg = AnnPushdown.snapshot(srcPath)
+      AnnPushdown.register(srcPath, AnnPushdown.IndexedTable(
+        s"svecrange_${san(d)}", "vec_id", "embedding", "svec:dot"))
+      val prevEnabled = s.conf.get("spark.graft.ann.enabled", "false")
+      s.conf.set("spark.graft.ann.enabled", "true")
+      try {
+        val df = s.read.parquet(srcPath)
+          .select(col("vec_id"),
+            svecNegdot(svecFromDense(col("embedding")),
+              svecFromDense(typedLit(qvec(s, d)))).as("dist"))
+          .filter(col("dist") < lit(-0.30))
+        val optimized = df.queryExecution.optimizedPlan
+        assert(optimized.toString.contains("list_id"),
+          "typed svec dot-range pushdown did not rewrite the plan")
+        org.apache.spark.sql.graftshim.Shims.ofRows(s, optimized)
+          .orderBy(col("dist"), col("vec_id"))
+      } finally {
+        s.conf.set("spark.graft.ann.enabled", prevEnabled)
+        AnnPushdown.restore(srcPath, prevReg)
+      }
+    }),
     // cos opclass through the same rule: `ORDER BY cosdist(vec, q)` over
     // a cos-indexed table (exact at nprobe=nlist -> the normalized-replay
     // cos oracle)
@@ -962,6 +994,12 @@ object AnnQueries {
              list_aggregate(list_transform(list_zip(e.embedding, q.qv), p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), 'sum') AS dist
            FROM embeddings e CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q)
          WHERE dist < 1.6 ORDER BY dist, vec_id""",
+    "q_range_pushdown_svec_dot" ->
+      """SELECT vec_id, dist FROM (
+           SELECT e.vec_id AS vec_id,
+             -list_aggregate(list_transform(list_zip(e.embedding, q.qv), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum') AS dist
+           FROM embeddings e CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q)
+         WHERE dist < -0.30 ORDER BY dist, vec_id""",
     "q_ivf_exact_dot" ->
       """SELECT e.vec_id AS vec_id,
          -list_aggregate(list_transform(list_zip(e.embedding, q.qv), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum') AS dist

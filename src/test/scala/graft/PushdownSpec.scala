@@ -332,6 +332,10 @@ class PushdownSpec extends SparkSpec {
       s"pdbv_$san", "vec_id", "embedding", "bvec:hamming"))
     AnnPushdown.register(src, AnnPushdown.IndexedTable(
       s"pdsv_$san", "vec_id", "embedding", "svec:l2"))
+    AnnPushdown.register(src, AnnPushdown.IndexedTable(
+      s"pdbv_$san", "vec_id", "embedding", "bvec:dot"))
+    AnnPushdown.register(src, AnnPushdown.IndexedTable(
+      s"pdsv_$san", "vec_id", "embedding", "svec:dot"))
     def ranged(dist: org.apache.spark.sql.Column, r: Double) =
       spark.read.parquet(src).select(col("vec_id"), dist.as("dist"))
         .filter(col("dist") < lit(r))
@@ -342,7 +346,11 @@ class PushdownSpec extends SparkSpec {
       ("f16", f16L2sq(toF16Bits(col("embedding")), toF16Bits(typedLit(q))), 1.6),
       ("bvec", bvecHamming(binarize(col("embedding")), binarize(typedLit(q))), 27.0),
       ("svec", svecL2sq(svecFromDense(col("embedding")),
-        svecFromDense(typedLit(q))), 1.6))
+        svecFromDense(typedLit(q))), 1.6),
+      ("bvec:dot", bvecNegdot(binarize(col("embedding")),
+        binarize(typedLit(q))), -25.0),
+      ("svec:dot", svecNegdot(svecFromDense(col("embedding")),
+        svecFromDense(typedLit(q))), -0.30))
     try {
       for ((fam, dist, r) <- cases) {
         spark.conf.set("spark.graft.ann.enabled", "false")
