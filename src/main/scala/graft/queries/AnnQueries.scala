@@ -510,6 +510,40 @@ object AnnQueries {
     }),
 
     // batched many-query IVF: one pruned scan answers a query table
+    // PLAID-style approximate MaxSim: candidate groups come from ONE
+    // batched IVF pruned scan over all 4 query positions (top-100 per
+    // position), then the bounded candidate set is exactly rescored with
+    // the Σ-of-maxes kernel of q_maxsim_topk (its exact twin and the
+    // recall reference — AnnSpec). The driver collects only candidate
+    // group ids (≤ 4·k — the Rerank.fetchByIds contract) and the member
+    // re-fetch is an IN(vec_id) row-group-pruned scan.
+    "q_maxsim_ivf" -> ((s, d) => {
+      import s.implicits._
+      val (m, path) = ivf(s, d, "l2")
+      val qs = batchQueries(s, d) ++ Seq(
+        t(s, d, "embeddings").filter(col("vec_id") === 3)
+          .select(col("vec_id"), col("embedding")).collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).head)
+      val cand = IvfIndex.batchSearch(s, path, m, "vec_id", "embedding", qs,
+        k = 100, nprobe = nprobeConf(s))
+      val gids = cand.filter(col("vec_id") >= 4)
+        .select(org.apache.spark.sql.functions.expr("vec_id div 4").as("gid"))
+        .distinct().as[Long].collect()
+      val memberIds = gids.flatMap(g => (0L until 4L).map(g * 4 + _))
+      val e = t(s, d, "embeddings")
+        .filter(col("vec_id").isin(memberIds.map(java.lang.Long.valueOf).toSeq: _*))
+        .select(org.apache.spark.sql.functions.expr("vec_id div 4").as("gid"),
+          col("embedding"))
+      val qset = qs.toDF("qpos", "qv")
+      def mx(i: Int) = max(when(col("qpos") === i, col("dotv"))).as(s"m$i")
+      e.crossJoin(broadcast(qset))
+        .select(col("gid"), col("qpos"),
+          (-negdot(col("embedding"), col("qv"))).as("dotv"))
+        .groupBy(col("gid")).agg(mx(0), mx(1), mx(2), mx(3))
+        .select(col("gid"),
+          (col("m0") + col("m1") + col("m2") + col("m3")).as("score"))
+        .orderBy(col("score").desc, col("gid")).limit(50)
+    }),
     "q_ivf_batch" -> ((s, d) => {
       val (m, path) = ivf(s, d, "l2")
       IvfIndex.batchSearch(s, path, m, "vec_id", "embedding",

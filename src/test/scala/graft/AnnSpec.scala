@@ -57,6 +57,16 @@ class AnnSpec extends SparkSpec {
     assert(recall(got.map(_._1), flatTopk(50, "l2")) >= 0.9)
   }
 
+  test("MaxSim via IVF candidates: recall@50 >= 0.9 vs the exact twin") {
+    val exact = SparkEntry.queries("q_maxsim_topk")(spark, sf001)
+      .select($"gid").as[Long].collect().toSet
+    val approx = SparkEntry.queries("q_maxsim_ivf")(spark, sf001)
+      .select($"gid").as[Long].collect()
+    assert(approx.length == 50)
+    assert(recall(approx.toSeq, exact) >= 0.9,
+      s"maxsim recall too low: ${recall(approx.toSeq, exact)}")
+  }
+
   test("HNSW filtered search: exact in every regime, incl. exhaustion") {
     val dir = graft.queries.AnnQueries.hnsw(spark, sf001, 1)
     def brute(pred: org.apache.spark.sql.Column, k: Int) =

@@ -143,6 +143,22 @@ class KernelPropertySpec extends SparkSpec {
     }
   }
 
+  test("shingle strings kernel = distinct sorted n-grams, empties skipped") {
+    val genTok: Gen[String] = Gen.oneOf(
+      Gen.oneOf("", "a", "b", "ab", "the", "über"),
+      Gen.listOfN(3, Gen.alphaLowerChar).map(_.mkString))
+    val genToks: Gen[List[String]] = Gen.choose(0, 12).flatMap(n => Gen.listOfN(n, genTok))
+    forAll(genToks) { toks =>
+      val kept = toks.filter(_.nonEmpty)
+      val want = kept.sliding(3).filter(_.length == 3).map(_.mkString(" "))
+        .toSeq.distinct.sorted
+      val got = spark.range(1)
+        .select(graft.operators.Dedup.shingleStrings(typedLit(toks), 3))
+        .head().getSeq[String](0).toList
+      assert(got == want, s"toks=$toks")
+    }
+  }
+
   test("dense distance kernels match a double-reference model") {
     forAll(Gen.zip(genVec, genVec)) { case (a0, b0) =>
       val n = math.min(a0.length, b0.length)
