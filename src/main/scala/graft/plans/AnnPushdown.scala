@@ -338,6 +338,8 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
           Literal(r: Double, _)) => (v, q, r, "bvec:dot")
       case LessThan(SVecNegDot(SVecFromDense(v: AttributeReference), QueryLit(q)),
           Literal(r: Double, _)) => (v, q, r, "svec:dot")
+      case LessThan(F16NegDot(ToF16Bits(v: AttributeReference), QueryLit(q)),
+          Literal(r: Double, _)) => (v, q, r, "f16:dot")
     }.getOrElse(return None)
     val idx = lookup(pathsOf(rel), metricKey).getOrElse(return None)
     if (vecAttr.name != idx.vecCol) return None
@@ -356,7 +358,8 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     if (!manifest.floats.contains("radii")) return None
     val expectedKind = Map("bvec:hamming" -> "ivf_bvec",
       "f16:l2" -> "ivf_f16", "svec:l2" -> "ivf_svec",
-      "bvec:dot" -> "ivf_bvec", "svec:dot" -> "ivf_svec")(metricKey)
+      "bvec:dot" -> "ivf_bvec", "svec:dot" -> "ivf_svec",
+      "f16:dot" -> "ivf_f16")(metricKey)
     if (manifest.kind != expectedKind) return None
     val model = IvfIndex.Model("l2", manifest.centroids)
     val radii = manifest.floats("radii")
@@ -364,7 +367,7 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     // prune in the same densified space the radii were measured in
     val qPrune = metricKey match {
       case "bvec:hamming" | "bvec:dot" => q.map(x => if (x > 0f) 1f else 0f)
-      case "f16:l2" => q.map(x =>
+      case "f16:l2" | "f16:dot" => q.map(x =>
         graft.types.Fp16.halfToFloat(graft.types.Fp16.floatToHalf(x)))
       case _ => q
     }
@@ -383,6 +386,8 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         graft.functions.bvecNegdot(F.col("bv"), graft.functions.binarize(qCol))
       case "f16:l2" =>
         graft.functions.f16L2sq(F.col("bits"), graft.functions.toF16Bits(qCol))
+      case "f16:dot" =>
+        graft.functions.f16NegDot(F.col("bits"), graft.functions.toF16Bits(qCol))
       case "svec:l2" =>
         graft.functions.svecL2sq(F.col("sv"), graft.functions.svecFromDense(qCol))
       case "svec:dot" =>

@@ -336,6 +336,8 @@ class PushdownSpec extends SparkSpec {
       s"pdbv_$san", "vec_id", "embedding", "bvec:dot"))
     AnnPushdown.register(src, AnnPushdown.IndexedTable(
       s"pdsv_$san", "vec_id", "embedding", "svec:dot"))
+    AnnPushdown.register(src, AnnPushdown.IndexedTable(
+      s"pdf16_$san", "vec_id", "embedding", "f16:dot"))
     def ranged(dist: org.apache.spark.sql.Column, r: Double) =
       spark.read.parquet(src).select(col("vec_id"), dist.as("dist"))
         .filter(col("dist") < lit(r))
@@ -350,7 +352,9 @@ class PushdownSpec extends SparkSpec {
       ("bvec:dot", bvecNegdot(binarize(col("embedding")),
         binarize(typedLit(q))), -25.0),
       ("svec:dot", svecNegdot(svecFromDense(col("embedding")),
-        svecFromDense(typedLit(q))), -0.30))
+        svecFromDense(typedLit(q))), -0.30),
+      ("f16:dot", f16NegDot(toF16Bits(col("embedding")),
+        toF16Bits(typedLit(q))), -0.30))
     try {
       for ((fam, dist, r) <- cases) {
         spark.conf.set("spark.graft.ann.enabled", "false")
