@@ -177,6 +177,30 @@ object DocQueries {
         .orderBy(col("lang"), col("rk"))
     }),
 
+    // --- vocabulary coverage / OOV rate: top-1000 corpus vocabulary by
+    //     frequency (ties by token text — deterministic), then each
+    //     doc's fraction of token OCCURRENCES outside it. The vocab is
+    //     broadcast-sized by construction; the per-doc pass is one
+    //     explode + broadcast-join + hash agg. All integer counts; the
+    //     rate is one exact integer-ratio IEEE division. ---
+    "q_doc_oov" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val tk = docs(s, d).select(col("doc_id"),
+        explode(split(col("text"), " ")).as("tok"))
+      val vocab = tk.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        .withColumn("rk",
+          row_number().over(Window.orderBy(col("cnt").desc, col("tok"))))
+        .filter(col("rk") <= 1000)
+        .select(col("tok"), lit(1).as("in_vocab"))
+      tk.join(broadcast(vocab), Seq("tok"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tok"),
+          sum(coalesce(col("in_vocab"), lit(0))).cast("long").as("n_in"))
+        .select(col("doc_id"), col("n_tok"), col("n_in"),
+          ((col("n_tok") - col("n_in")).cast("double") / col("n_tok")).as("oov_rate"))
+        .orderBy(col("doc_id"))
+    }),
+
     // --- language-ID: stopword-marker n-gram heuristic, fixed tie order ---
     "q_lang_id" -> ((s, d) => {
       val de = Seq("der", "die", "das", "und", "ist")
@@ -541,6 +565,17 @@ object DocQueries {
       """SELECT token, count(*) AS cnt, count(DISTINCT doc_id) AS n_docs
          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
          GROUP BY token ORDER BY token""",
+
+    "q_doc_oov" ->
+      """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         vc AS (SELECT tok, count(*) AS cnt FROM tk GROUP BY 1),
+         vocab AS (SELECT tok FROM (
+           SELECT tok, row_number() OVER (ORDER BY cnt DESC, tok) AS rk FROM vc) WHERE rk <= 1000),
+         j AS (SELECT t.doc_id, count(*) AS n_tok, count(v.tok) AS n_in
+               FROM tk t LEFT JOIN vocab v ON v.tok = t.tok GROUP BY 1)
+         SELECT doc_id, n_tok, n_in,
+                CAST(n_tok - n_in AS DOUBLE) / n_tok AS oov_rate
+         FROM j ORDER BY doc_id""",
 
     "q_ngram_top" ->
       """WITH toks AS (

@@ -87,6 +87,29 @@ object EventQueries {
         .orderBy(col("user_id"), col("sess_id"))
     }),
 
+    // --- FUNNEL: users progressing view → click-after-view →
+    //     purchase-after-click, each stage anchored at the earliest
+    //     qualifying event (min-ts chaining, the standard funnel
+    //     semantics). Three hash aggs on user_id + two key-equijoins on
+    //     the per-user stage frames (user-cardinality, broadcastable at
+    //     any corpus size where users << events). Integer µs only. ---
+    "q_events_funnel" -> ((s, d) => {
+      val e = ev(s, d)
+      def stage(t: String) = e.filter(col("event_type") === t)
+        .select(col("user_id"), col("ts_us"))
+      val v = stage("view").groupBy("user_id").agg(min(col("ts_us")).as("v_ts"))
+      val c = stage("click").join(v, "user_id")
+        .filter(col("ts_us") >= col("v_ts"))
+        .groupBy("user_id").agg(min(col("ts_us")).as("c_ts"))
+      val p = stage("purchase").join(c, "user_id")
+        .filter(col("ts_us") >= col("c_ts"))
+        .groupBy("user_id").agg(min(col("ts_us")).as("p_ts"))
+      v.agg(count(lit(1)).as("n_users")).select(lit(1L).as("stage"), col("n_users"))
+        .unionAll(c.agg(count(lit(1)).as("n_users")).select(lit(2L).as("stage"), col("n_users")))
+        .unionAll(p.agg(count(lit(1)).as("n_users")).select(lit(3L).as("stage"), col("n_users")))
+        .orderBy(col("stage"))
+    }),
+
     // --- BANDED INTERVAL SELF-JOIN: per click, how many error events by
     //     the same user within ±1 h. Both sides bucketed to 1 h bins;
     //     each click probes bins {b-1, b, b+1} and the exact |Δt| filter
@@ -143,6 +166,21 @@ object EventQueries {
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id FROM s)
           SELECT user_id, sess_id, count(*) AS n_events, min(ts_us) AS start_us, max(ts_us) AS end_us
           FROM t GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q_events_funnel" ->
+      s"""WITH v AS (SELECT user_id, min(epoch_us(ts)) AS v_ts FROM events
+                     WHERE event_type = 'view' GROUP BY 1),
+          c AS (SELECT e.user_id, min(epoch_us(e.ts)) AS c_ts FROM events e
+                JOIN v ON v.user_id = e.user_id
+                WHERE e.event_type = 'click' AND epoch_us(e.ts) >= v.v_ts GROUP BY 1),
+          p AS (SELECT e.user_id, min(epoch_us(e.ts)) AS p_ts FROM events e
+                JOIN c ON c.user_id = e.user_id
+                WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= c.c_ts GROUP BY 1)
+          SELECT * FROM (
+            SELECT CAST(1 AS BIGINT) AS stage, count(*) AS n_users FROM v
+            UNION ALL SELECT CAST(2 AS BIGINT), count(*) FROM c
+            UNION ALL SELECT CAST(3 AS BIGINT), count(*) FROM p)
+          ORDER BY stage""",
 
     "q_events_range_join" ->
       s"""WITH c AS (SELECT event_id AS click_id, user_id, epoch_us(ts) AS ts_us FROM events WHERE event_type = 'click'),
