@@ -162,6 +162,66 @@ object CoreQueries {
         .select(col("vec_id"), l2sq(col("embedding"), col("qv")).as("dist"))
         .orderBy(col("dist"), col("vec_id")).limit(100)
     }),
+    // --- TPC-H Q3 analog (shipping priority): the canonical
+    //     fact-fact-dim join. The customer dimension filter broadcasts
+    //     (small side), orders⋈lineitem co-shuffles on the order key,
+    //     date filters push to both parquet scans, revenue is a
+    //     map-side partial sum, and the top-10 runs through
+    //     TakeOrderedAndProject. Dates surface as strings (the
+    //     q_events_window precedent — no timestamp dtype compare). ---
+    "q3_shipping" -> ((s, d) => {
+      val cut = lit("1996-06-30").cast("timestamp")
+      val c = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val o = t(s, d, "orders").filter(col("o_orderdate") < cut)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          col("o_orderpriority"))
+      val l = t(s, d, "lineitem").filter(col("l_shipdate") > cut)
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"))
+        .select(col("l_orderkey"), col("revenue"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+          col("o_orderpriority"))
+        .orderBy(col("revenue").desc, col("l_orderkey")).limit(10)
+    }),
+
+    // --- TPC-H Q5 analog (local supplier volume): five-way join where
+    //     every dimension side broadcasts (supplier/nation/region are
+    //     dim-sized at any SF; customer pre-projected to its key+nation)
+    //     and the only shuffles are lineitem⋈orders and the final
+    //     nation-keyed agg. The same-nation (customer = supplier) filter
+    //     rides the join condition. ---
+    "q5_region_volume" -> ((s, d) => {
+      val lo = lit("1996-01-01").cast("timestamp")
+      val hi = lit("1997-01-01").cast("timestamp")
+      val c = t(s, d, "customer").select(col("c_custkey"), col("c_nationkey"))
+      val o = t(s, d, "orders")
+        .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+        .select(col("o_orderkey"), col("o_custkey"))
+      val l = t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"),
+          col("l_extendedprice"), col("l_discount"))
+      val sup = t(s, d, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+      val n = t(s, d, "nation").select(col("n_nationkey"), col("n_name"),
+        col("n_regionkey"))
+      val r = t(s, d, "region").filter(col("r_name") === "ASIA")
+        .select(col("r_regionkey"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
     // --- MAXSIM late-interaction retrieval (ColBERT-style): documents
     //     are groups of 4 token-vectors (gid = vec_id div 4), the query
     //     is gid 0's 4 vectors; score(g) = Σ_i max_j dot(q_i, d_j).
@@ -377,6 +437,35 @@ object CoreQueries {
          CASE WHEN vec_id < 30 THEN label + 1000 ELSE label END AS label,
          CAST(CASE WHEN vec_id < 30 THEN 1 ELSE 0 END AS BIGINT) AS ver
          FROM embeddings WHERE vec_id % 10 <> 3 ORDER BY vec_id""",
+
+    "q3_shipping" ->
+      """SELECT l_orderkey, revenue, o_orderdate, o_orderpriority FROM (
+           SELECT l.l_orderkey AS l_orderkey,
+                  round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+                  strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+                  o.o_orderpriority AS o_orderpriority
+           FROM lineitem l
+           JOIN orders o ON l.l_orderkey = o.o_orderkey
+           JOIN customer c ON o.o_custkey = c.c_custkey
+           WHERE c.c_mktsegment = 'BUILDING'
+             AND o.o_orderdate < TIMESTAMP '1996-06-30'
+             AND l.l_shipdate > TIMESTAMP '1996-06-30'
+           GROUP BY 1, 3, 4)
+         ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+
+    "q5_region_volume" ->
+      """SELECT n.n_name AS n_name,
+                round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+         FROM lineitem l
+         JOIN orders o ON l.l_orderkey = o.o_orderkey
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+         JOIN nation n ON s.s_nationkey = n.n_nationkey
+         JOIN region r ON n.n_regionkey = r.r_regionkey
+         WHERE r.r_name = 'ASIA'
+           AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o.o_orderdate < TIMESTAMP '1997-01-01'
+         GROUP BY 1 ORDER BY revenue DESC, n_name""",
 
     "q_maxsim_topk" ->
       """WITH q AS (SELECT vec_id AS qpos, embedding AS qv FROM embeddings WHERE vec_id < 4),
