@@ -178,8 +178,11 @@ object CoreQueries {
           col("o_orderpriority"))
       val l = t(s, d, "lineitem").filter(col("l_shipdate") > cut)
         .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      // no broadcast() hint on customer: it is NOT dim-sized at high SF —
+      // AQE broadcasts it while it fits and falls back to a shuffle join
+      // beyond that, which is the plan that survives 100×
       l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
         .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
           .as("revenue"))
@@ -190,11 +193,11 @@ object CoreQueries {
     }),
 
     // --- TPC-H Q5 analog (local supplier volume): five-way join where
-    //     every dimension side broadcasts (supplier/nation/region are
-    //     dim-sized at any SF; customer pre-projected to its key+nation)
-    //     and the only shuffles are lineitem⋈orders and the final
-    //     nation-keyed agg. The same-nation (customer = supplier) filter
-    //     rides the join condition. ---
+    //     the dim-sized sides (supplier/nation/region) broadcast and
+    //     customer joins adaptively (broadcast while it fits, shuffle
+    //     beyond); the remaining shuffles are lineitem⋈orders and the
+    //     final nation-keyed agg. The same-nation (customer = supplier)
+    //     filter rides the join condition. ---
     "q5_region_volume" -> ((s, d) => {
       val lo = lit("1996-01-01").cast("timestamp")
       val hi = lit("1997-01-01").cast("timestamp")
@@ -210,8 +213,10 @@ object CoreQueries {
         col("n_regionkey"))
       val r = t(s, d, "region").filter(col("r_name") === "ASIA")
         .select(col("r_regionkey"))
+      // customer carries no broadcast() hint (see q3_shipping); the true
+      // dimension sides (supplier/nation/region) always broadcast
       l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
         .join(broadcast(sup), col("l_suppkey") === col("s_suppkey") &&
           col("c_nationkey") === col("s_nationkey"))
         .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
