@@ -96,6 +96,23 @@ object TypeQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // --- bvector Jaccard sphere predicate (the reference's `<<~>>`
+    //     strategy-2 member, finalize.sql sphere_bvector): rows within a
+    //     Jaccard distance of the binarized query. Scan + codegen filter
+    //     (no index needed — the seq-scan form of the opclass member);
+    //     1 - |A∩B|/|A∪B| is an exact long-ratio IEEE division, so the
+    //     oracle replays it bit-for-bit. ---
+    "q_range_jaccard" -> ((s, d) => {
+      val qv = t(s, d, "embeddings").filter(col("vec_id") === 0)
+        .select(col("embedding").as("qe"))
+      t(s, d, "embeddings").crossJoin(broadcast(qv))
+        .filter(col("vec_id") =!= 0)
+        .select(col("vec_id"),
+          bvecJaccard(binarize(col("embedding")), binarize(col("qe"))).as("dist"))
+        .filter(col("dist") < lit(0.48))
+        .orderBy(col("vec_id"))
+    }),
+
     // --- bvector bit ops (& | ^) ---
     "q_bvec_ops" -> ((s, d) => {
       pairs(s, d).select(col("vec_id"),
@@ -308,6 +325,15 @@ object TypeQueries {
               ELSE CAST(c_acctbal AS FLOAT) END AS val0,
          TRUE AS roundtrip_ok
          FROM customer ORDER BY c_custkey""",
+
+    "q_range_jaccard" ->
+      """SELECT vec_id, dist FROM (
+           SELECT e.vec_id AS vec_id,
+             1.0 - CAST(list_aggregate(list_transform(list_zip(e.embedding, q.qe), p -> CASE WHEN p[1] > 0 AND p[2] > 0 THEN 1 ELSE 0 END), 'sum') AS DOUBLE)
+                 / CAST(list_aggregate(list_transform(list_zip(e.embedding, q.qe), p -> CASE WHEN p[1] > 0 OR p[2] > 0 THEN 1 ELSE 0 END), 'sum') AS DOUBLE) AS dist
+           FROM embeddings e CROSS JOIN (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) q
+           WHERE e.vec_id <> 0)
+         WHERE dist < 0.48 ORDER BY vec_id""",
 
     "q_bvec_dist" ->
       """SELECT a.vec_id AS vec_id,
