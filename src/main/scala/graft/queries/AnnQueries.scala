@@ -666,10 +666,21 @@ object AnnQueries {
     }),
 
     // PQ: ADC LUT coarse scan over m-byte codes -> windowed exact rerank
+    // `spark.graft.pq.fastScan` mirrors the reference's
+    // vectors.pq_fast_scan GUC: when true the top-k routes to the
+    // 4-bit-packed artifact's ADC scan (half the coarse-scan bytes,
+    // scores bit-identical to unpacked — PqSpec) instead of the 8-bit
+    // code column.
     "q_pq_topk_l2" -> ((s, d) => {
-      val (model, path) = pq(s, d)
-      Pq.search(s.read.parquet(path), "vec_id", "embedding", "codes",
-        qvec(s, d), k = 100, model, window = pqWindowConf(s))
+      if (s.conf.get("spark.graft.pq.fastScan", "false").toBoolean) {
+        val (model, path) = pq4(s, d)
+        Pq.searchPacked(s.read.parquet(path), "vec_id", "embedding", "codes",
+          qvec(s, d), k = 100, model)
+      } else {
+        val (model, path) = pq(s, d)
+        Pq.search(s.read.parquet(path), "vec_id", "embedding", "codes",
+          qvec(s, d), k = 100, model, window = pqWindowConf(s))
+      }
     }),
     // exact mode: rerank window = everything
     "q_pq_exact_l2" -> ((s, d) => {

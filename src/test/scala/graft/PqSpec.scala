@@ -102,6 +102,18 @@ class PqSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("pq_fast_scan conf analog routes the top-k to the packed artifact") {
+    val prev = spark.conf.get("spark.graft.pq.fastScan", "false")
+    try {
+      spark.conf.set("spark.graft.pq.fastScan", "true")
+      val fast = SparkEntry.queries("q_pq_topk_l2")(spark, sf0001)
+        .select("vec_id").as[Long].collect().toSeq
+      val packed = SparkEntry.queries("q_pq4_topk_l2")(spark, sf0001)
+        .select("vec_id").as[Long].collect().toSeq
+      assert(fast == packed, "fastScan=true must equal the pq4 path")
+    } finally spark.conf.set("spark.graft.pq.fastScan", prev)
+  }
+
   test("4-bit packed: full-window exact, windowed recall@50 >= 0.9") {
     val packed = emb.select(col("vec_id"), col("embedding"),
       Pq.encodePacked(col("embedding"), model).as("codes")).cache()
