@@ -576,10 +576,23 @@ object AnnQueries {
         exact = true)
     }),
     // approximate twin: graph traversal at default ef with the same
-    // refill loop (rows-only; the exact twin above carries the oracle)
+    // refill loop (rows-only; the exact twin above carries the oracle).
+    // `spark.graft.search.mode` mirrors vectors.search_mode: "vbase"
+    // (default) refills until k predicate-survivors; "basic" does ONE
+    // fixed-size candidate fetch and filters on top — the reference's
+    // basic mode, which may return fewer than k rows on selective
+    // predicates.
     "q_hnsw_filtered_topk" -> ((s, d) => {
-      Hnsw.searchIndexFiltered(s, hnsw(s, d, 4), "vec_id", qvec(s, d),
-        k = 100, source = t(s, d, "embeddings"), pred = col("label") < 5)
+      val src = t(s, d, "embeddings")
+      if (s.conf.get("spark.graft.search.mode", "vbase") == "basic") {
+        val cands = Hnsw.searchIndex(s, hnsw(s, d, 4), "vec_id", qvec(s, d),
+          k = 400, efSearch = math.max(efSearchConf(s), 400))
+        src.filter(col("label") < 5).select(col("vec_id"))
+          .join(broadcast(cands), Seq("vec_id"))
+          .orderBy(col("dist"), col("vec_id")).limit(100)
+      } else
+        Hnsw.searchIndexFiltered(s, hnsw(s, d, 4), "vec_id", qvec(s, d),
+          k = 100, source = src, pred = col("label") < 5)
     }),
     // cosine: normalized-at-build graphs searched by dot
     "q_hnsw_topk_cos" -> ((s, d) => {

@@ -57,6 +57,27 @@ class AnnSpec extends SparkSpec {
     assert(recall(got.map(_._1), flatTopk(50, "l2")) >= 0.9)
   }
 
+  test("search_mode basic = one fetch (may underfill); vbase refills to k") {
+    val path = graft.queries.AnnQueries.hnsw(spark, sf0001, 1)
+    val src = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val pred = col("label") === 3 && col("vec_id") % 7 === 0 // selective
+    val full = Hnsw.searchIndexFiltered(spark, path, "vec_id", q, 100, src,
+      pred, exact = true).as[(Long, Double)].collect()
+    val cands = Hnsw.searchIndex(spark, path, "vec_id", q, 400, exact = true)
+    val basic = src.filter(pred).select($"vec_id")
+      .join(broadcast(cands), Seq("vec_id")).as[(Long, Double)].collect()
+    assert(basic.length < full.length,
+      s"expected basic single-fetch to underfill: ${basic.length} vs ${full.length}")
+    assert(basic.map(_._1).toSet.subsetOf(full.map(_._1).toSet))
+    // the conf routes the query-level entry
+    val prev = spark.conf.get("spark.graft.search.mode", "vbase")
+    try {
+      spark.conf.set("spark.graft.search.mode", "basic")
+      val got = SparkEntry.queries("q_hnsw_filtered_topk")(spark, sf0001)
+      assert(got.count() <= 100)
+    } finally spark.conf.set("spark.graft.search.mode", prev)
+  }
+
   test("MaxSim via IVF candidates: recall@50 >= 0.9 vs the exact twin") {
     val exact = SparkEntry.queries("q_maxsim_topk")(spark, sf001)
       .select($"gid").as[Long].collect().toSet
