@@ -167,6 +167,43 @@ object TypedAnn {
       .orderBy(col("dist"), col(idCol)).limit(k)
   }
 
+  /** Batched many-query bvector search (the typed sibling of
+    * IvfIndex.batchSearch): probe lists resolve on the driver per query
+    * in the densified 0/1 space, ONE pruned scan reads the union of all
+    * probed partitions, each packed row scores only against the queries
+    * probing its list (broadcast array_contains join), and per-query
+    * top-k comes from a window. Exact at nprobe = nlist. Returns
+    * (qid, idCol, dist, rn<=k) ordered by (qid, rn). */
+  def batchSearchBvec(spark: SparkSession, path: String,
+      model: IvfIndex.Model, idCol: String,
+      queries: Seq[(Long, Array[Float])], k: Int, nprobe: Int,
+      metric: String = "hamming"): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rows = queries.map { case (qid, qv) =>
+      val q01 = qv.map(x => if (x > 0f) 1f else 0f)
+      (qid, qv, rankLists(model.centroids, q01, metric).take(nprobe))
+    }
+    val qdf = rows.toDF("qid", "qf", "probes")
+    val allProbes = rows.flatMap(_._3).distinct
+    val scan = spark.read.parquet(path)
+      .filter(col("list_id").isin(allProbes.map(Integer.valueOf).toSeq: _*))
+    val joined = scan.join(broadcast(qdf),
+      array_contains(col("probes"), col("list_id")))
+    val qb = binarize(col("qf"))
+    val distCol = metric match {
+      case "hamming" => bvecHamming(col("bv"), qb)
+      case "jaccard" => bvecJaccard(col("bv"), qb)
+      case "dot" => bvecNegdot(col("bv"), qb)
+      case m => throw new IllegalArgumentException(s"unknown bvector metric: $m")
+    }
+    val w = Window.partitionBy(col("qid")).orderBy(col("dist"), col(idCol))
+    joined.select(col("qid"), col(idCol), distCol.as("dist"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .orderBy(col("qid"), col("rn"))
+  }
+
   /** CREATE INDEX: vecf16 L2 IVF. `fCol` is the dense f32 source column;
     * values are rounded to binary16, k-means runs on the f16-rounded f32
     * view, and the artifact stores only (id, f16 bits, list_id). */

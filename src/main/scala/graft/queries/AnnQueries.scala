@@ -780,6 +780,21 @@ object AnnQueries {
         nprobe = m.nlist)
     }),
 
+    // batched typed search: one pruned scan answers the whole query
+    // batch against the packed artifact (the typed sibling of
+    // q_ivf_batch). Approximate (rows-only; exact twin below).
+    "q_bvec_batch" -> ((s, d) => {
+      val (m, path) = bvecAnn(s, d)
+      TypedAnn.batchSearchBvec(s, path, m, "vec_id", batchQueries(s, d),
+        k = 20, nprobe = nprobeConf(s))
+    }),
+    // exact mode: probe every list -> per-query flat hamming top-k oracle
+    "q_bvec_batch_exact" -> ((s, d) => {
+      val (m, path) = bvecAnn(s, d)
+      TypedAnn.batchSearchBvec(s, path, m, "vec_id", batchQueries(s, d),
+        k = 20, nprobe = m.nlist)
+    }),
+
     // bvector Jaccard opclass (bvector_jaccard_ops): same artifact, the
     // packed-word Jaccard kernel scores the pruned scan
     "q_bvec_jaccard_ann_topk" -> ((s, d) => {
@@ -1158,6 +1173,16 @@ object AnnQueries {
              list_aggregate(list_transform(list_zip(e.embedding, q.embedding), p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), 'sum') AS dist,
              row_number() OVER (PARTITION BY q.vec_id ORDER BY
                list_aggregate(list_transform(list_zip(e.embedding, q.embedding), p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), 'sum'),
+               e.vec_id) AS rn
+           FROM embeddings e CROSS JOIN
+             (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 3) q)
+         WHERE rn <= 20 ORDER BY qid, rn""",
+    "q_bvec_batch_exact" ->
+      """SELECT qid, vec_id, dist, rn FROM (
+           SELECT q.vec_id AS qid, e.vec_id AS vec_id,
+             CAST(list_aggregate(list_transform(list_zip(e.embedding, q.embedding), p -> CASE WHEN (p[1] > 0) <> (p[2] > 0) THEN 1 ELSE 0 END), 'sum') AS DOUBLE) AS dist,
+             row_number() OVER (PARTITION BY q.vec_id ORDER BY
+               CAST(list_aggregate(list_transform(list_zip(e.embedding, q.embedding), p -> CASE WHEN (p[1] > 0) <> (p[2] > 0) THEN 1 ELSE 0 END), 'sum') AS DOUBLE),
                e.vec_id) AS rn
            FROM embeddings e CROSS JOIN
              (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 3) q)
