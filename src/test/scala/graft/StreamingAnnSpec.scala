@@ -12,6 +12,49 @@ import graft.operators.Hnsw
 class StreamingAnnSpec extends SparkSpec {
   import spark.implicits._
 
+  test("streaming ingest feeds incremental HNSW: side graphs only, search sees streamed rows") {
+    import java.nio.file.Files
+    import graft.operators.{IncrHnsw, Segments}
+    import graft.streaming.StreamingIngest
+    val segDir = Files.createTempDirectory("graft_stream_incr").toString
+    val name = "streamspec_incr"
+    graft.index.IndexCatalog.drop(spark, name)
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    Segments.init(spark, segDir, emb, "vec_id")
+    val dir = IncrHnsw.ensure(spark, name, segDir, "vec_id", "embedding")
+    def binMtimes: Map[String, Long] =
+      Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".bin"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    val m0 = binMtimes
+
+    // stream two micro-batches of mirror vectors through the segment sink
+    val qv: Array[Float] = emb.filter($"vec_id" === 7)
+      .select($"embedding").head().getSeq[Float](0).toArray
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Long, Array[Float])]
+    val sq = StreamingIngest.intoSegments(
+      source.toDF().toDF("vec_id", "embedding"), segDir, "vec_id").start()
+    try {
+      source.addData((50007L, qv)); sq.processAllAvailable()
+      source.addData((50008L, qv)); sq.processAllAvailable()
+    } finally sq.stop()
+
+    // incremental ensure: only side graphs appear, base files untouched
+    IncrHnsw.ensure(spark, name, segDir, "vec_id", "embedding")
+    val m1 = binMtimes
+    assert(m1.keySet.diff(m0.keySet).forall(_.startsWith("side-")),
+      s"stream ingest rebuilt a base graph: ${m1.keySet}")
+    assert(m0.forall { case (k, v) => m1(k) == v }, "existing graph rewritten")
+
+    // the streamed duplicates surface at distance 0 next to the original
+    val got = IncrHnsw.search(spark, name, segDir, "vec_id", qv, 3, exact = true)
+      .as[(Long, Double)].collect().toSeq
+    assert(got.map(_._1) == Seq(7L, 50007L, 50008L), s"got $got")
+    assert(got.forall(_._2 == 0.0))
+  }
+
   test("streamed query batches match batch searchIndexBatch exactly") {
     val path = graft.queries.AnnQueries.hnsw(spark, sf0001, parts = 1)
     val queries = spark.read.parquet(s"$sf0001/embeddings.parquet")
