@@ -295,6 +295,29 @@ object DocQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // --- near-dup APPLY: the materialized deduped corpus — every dedup
+    //     pipeline's actual output. Clusters come from the same LSH →
+    //     verify → connected-components chain as q_dedup_cluster; kept
+    //     rows are cluster representatives (min id) plus all singletons,
+    //     via one anti-join of the corpus against non-representative
+    //     members. The oracle replays the recursive-CTE clustering and
+    //     the same anti-join. ---
+    "q_dedup_apply" -> ((s, d) => {
+      val dd = docsWithChainDups(s, d)
+      val sh = dd.select(col("doc_id"), Dedup.shingleHashes(col("text"), 3).as("shh"))
+      val sig = sh.select(col("doc_id"),
+        Dedup.minhashSignatureHashed(col("shh"), 64).as("sig"))
+      val cands = Dedup.lshCandidates(sig, "doc_id", "sig", bands = 16, rows = 4)
+      val edges = Dedup.verifyJaccard(cands, sh, "doc_id", "shh")
+        .filter(col("jacc") >= 0.8)
+        .select(col("doc_a"), col("doc_b"))
+      val drop = Dedup.connectedComponents(edges, "doc_a", "doc_b")
+        .filter(col("node") =!= col("rep")).select(col("node").as("doc_id"))
+      dd.join(drop, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // --- near-dup: SimHash 64-bit + 4×16 band buckets (complete for
     //     hamming<=3 by pigeonhole). Full value oracle: the FNV simhash
     //     is replayed bit-exactly in DuckDB (HUGEINT mod-2^64 trick). ---
@@ -653,6 +676,31 @@ object DocQueries {
             SELECT r.src, b.dst FROM reach r JOIN bidir b ON r.node = b.src)
           SELECT src AS doc_id, min(node) AS rep
           FROM reach GROUP BY src ORDER BY doc_id""",
+
+    "q_dedup_apply" ->
+      s"""WITH RECURSIVE alldocs AS $chainDupSql,
+          sh AS (SELECT doc_id,
+            list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+              i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2])) AS s
+            FROM alldocs),
+          pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8),
+          bidir AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION
+            SELECT doc_b AS src, doc_a AS dst FROM pairs),
+          reach(src, node) AS (
+            SELECT src, src FROM (SELECT DISTINCT src FROM bidir)
+            UNION
+            SELECT r.src, b.dst FROM reach r JOIN bidir b ON r.node = b.src),
+          cl AS (SELECT src AS doc_id, min(node) AS rep FROM reach GROUP BY src)
+          SELECT a.doc_id, CAST(length(a.text) AS BIGINT) AS n_chars
+          FROM alldocs a LEFT JOIN cl ON cl.doc_id = a.doc_id
+          WHERE cl.doc_id IS NULL OR cl.rep = a.doc_id
+          ORDER BY a.doc_id""",
 
     "q_embed_neardup" -> embedNearDupOracle,
     "q_embed_neardup_lsh" -> embedNearDupOracle,
