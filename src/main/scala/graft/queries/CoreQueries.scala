@@ -192,6 +192,21 @@ object CoreQueries {
         .orderBy(col("revenue").desc, col("l_orderkey")).limit(10)
     }),
 
+    // --- TPC-H Q6 analog (forecasting revenue): the pure
+    //     scan-and-aggregate shape — every predicate reaches the parquet
+    //     scan (PushedFilters), the sum partial-aggregates map-side, no
+    //     shuffle beyond the single-row final agg. ---
+    "q6_forecast_revenue" -> ((s, d) => {
+      val lo = lit("1996-01-01").cast("timestamp")
+      val hi = lit("1997-01-01").cast("timestamp")
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2)
+          .as("revenue"))
+    }),
+
     // --- TPC-H Q5 analog (local supplier volume): five-way join where
     //     the dim-sized sides (supplier/nation/region) broadcast and
     //     customer joins adaptively (broadcast while it fits, shuffle
@@ -457,6 +472,14 @@ object CoreQueries {
              AND l.l_shipdate > TIMESTAMP '1996-06-30'
            GROUP BY 1, 3, 4)
          ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+
+    "q6_forecast_revenue" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1997-01-01'
+           AND l_discount >= 0.05 AND l_discount <= 0.07
+           AND l_quantity < 24""",
 
     "q5_region_volume" ->
       """SELECT n.n_name AS n_name,
