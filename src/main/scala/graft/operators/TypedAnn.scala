@@ -204,6 +204,41 @@ object TypedAnn {
       .orderBy(col("qid"), col("rn"))
   }
 
+  /** Batched many-query svector search (same shape as
+    * [[batchSearchBvec]]): probe lists resolve on the driver in the
+    * densified space, one pruned scan reads the union of probed
+    * partitions, CSR rows score only against the queries probing their
+    * list, per-query top-k from a window. `queries` carry the DENSE
+    * image of each (already-sparsified) query vector. */
+  def batchSearchSvec(spark: SparkSession, path: String,
+      model: IvfIndex.Model, idCol: String, svCol: String,
+      queries: Seq[(Long, Array[Float])], k: Int, nprobe: Int,
+      metric: String = "l2"): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rows = queries.map { case (qid, qv) =>
+      (qid, qv, rankLists(model.centroids, qv, metric).take(nprobe))
+    }
+    val qdf = rows.toDF("qid", "qf", "probes")
+    val allProbes = rows.flatMap(_._3).distinct
+    val scan = spark.read.parquet(path)
+      .filter(col("list_id").isin(allProbes.map(Integer.valueOf).toSeq: _*))
+    val joined = scan.join(broadcast(qdf),
+      array_contains(col("probes"), col("list_id")))
+    val qsv = svecFromDense(col("qf"))
+    val distCol = metric match {
+      case "l2" => svecL2sq(col(svCol), qsv)
+      case "dot" => svecNegdot(col(svCol), qsv)
+      case "cos" => svecCosdist(col(svCol), qsv)
+      case m => throw new IllegalArgumentException(s"unknown svector metric: $m")
+    }
+    val w = Window.partitionBy(col("qid")).orderBy(col("dist"), col(idCol))
+    joined.select(col("qid"), col(idCol), distCol.as("dist"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .orderBy(col("qid"), col("rn"))
+  }
+
   /** CREATE INDEX: vecf16 L2 IVF. `fCol` is the dense f32 source column;
     * values are rounded to binary16, k-means runs on the f16-rounded f32
     * view, and the artifact stores only (id, f16 bits, list_id). */

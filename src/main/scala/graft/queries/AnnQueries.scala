@@ -210,6 +210,13 @@ object AnnQueries {
       .select(col("vec_id"), col("embedding")).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
 
+  /** Batch queries sparsified by the [[sparsify]] threshold rule (the
+    * svector artifact's document-side convention). */
+  private def batchQueriesSparse(s: SparkSession, dir: String): Seq[(Long, Array[Float])] =
+    batchQueries(s, dir).map { case (id, v) =>
+      (id, v.map(x => if (math.abs(x.toDouble) > 0.15) x else 0.0f))
+    }
+
   /** Search-time tunables — GUC analogs (src/gucs/executing.rs:4-23).
     * pgvector compatibility mode (src/index/compatibility.rs:7-60):
     * the pgvector spellings (`ivfflat.probes`, `hnsw.ef_search`) are
@@ -795,6 +802,19 @@ object AnnQueries {
         k = 20, nprobe = m.nlist)
     }),
 
+    // svector batch: the CSR sibling; queries sparsified by the same
+    // |x| > 0.15 rule as the artifact's documents
+    "q_svec_batch" -> ((s, d) => {
+      val (m, path) = svecAnn(s, d)
+      TypedAnn.batchSearchSvec(s, path, m, "vec_id", "sv",
+        batchQueriesSparse(s, d), k = 20, nprobe = nprobeConf(s))
+    }),
+    "q_svec_batch_exact" -> ((s, d) => {
+      val (m, path) = svecAnn(s, d)
+      TypedAnn.batchSearchSvec(s, path, m, "vec_id", "sv",
+        batchQueriesSparse(s, d), k = 20, nprobe = m.nlist)
+    }),
+
     // bvector Jaccard opclass (bvector_jaccard_ops): same artifact, the
     // packed-word Jaccard kernel scores the pruned scan
     "q_bvec_jaccard_ann_topk" -> ((s, d) => {
@@ -1185,6 +1205,16 @@ object AnnQueries {
                CAST(list_aggregate(list_transform(list_zip(e.embedding, q.embedding), p -> CASE WHEN (p[1] > 0) <> (p[2] > 0) THEN 1 ELSE 0 END), 'sum') AS DOUBLE),
                e.vec_id) AS rn
            FROM embeddings e CROSS JOIN
+             (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 3) q)
+         WHERE rn <= 20 ORDER BY qid, rn""",
+    "q_svec_batch_exact" ->
+      s"""SELECT qid, vec_id, dist, rn FROM (
+           SELECT q.vec_id AS qid, d.vec_id AS vec_id,
+             list_aggregate(list_transform(list_zip($spD, $spQ), p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), 'sum') AS dist,
+             row_number() OVER (PARTITION BY q.vec_id ORDER BY
+               list_aggregate(list_transform(list_zip($spD, $spQ), p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), 'sum'),
+               d.vec_id) AS rn
+           FROM embeddings d CROSS JOIN
              (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 3) q)
          WHERE rn <= 20 ORDER BY qid, rn""",
     "q_svec_ann_exact" ->
