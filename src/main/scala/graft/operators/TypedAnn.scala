@@ -342,4 +342,39 @@ object TypedAnn {
     scan.select(col(idCol), distCol.as("dist"))
       .orderBy(col("dist"), col(idCol)).limit(k)
   }
+
+  /** Batched many-query vecf16 search (same shape as the bvec/svec
+    * batch paths): probe lists resolve per query from the f16-rounded
+    * view, one pruned scan, half-word rows score only against the
+    * queries probing their list, per-query top-k from a window. */
+  def batchSearchF16(spark: SparkSession, path: String,
+      model: IvfIndex.Model, idCol: String,
+      queries: Seq[(Long, Array[Float])], k: Int, nprobe: Int,
+      metric: String = "l2"): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rows = queries.map { case (qid, qv) =>
+      val qr = qv.map(x =>
+        graft.types.Fp16.halfToFloat(graft.types.Fp16.floatToHalf(x)))
+      (qid, qv, rankLists(model.centroids, qr, metric).take(nprobe))
+    }
+    val qdf = rows.toDF("qid", "qf", "probes")
+    val allProbes = rows.flatMap(_._3).distinct
+    val scan = spark.read.parquet(path)
+      .filter(col("list_id").isin(allProbes.map(Integer.valueOf).toSeq: _*))
+    val joined = scan.join(broadcast(qdf),
+      array_contains(col("probes"), col("list_id")))
+    val qb = toF16Bits(col("qf"))
+    val distCol = metric match {
+      case "l2" => f16L2sq(col("bits"), qb)
+      case "dot" => f16NegDot(col("bits"), qb)
+      case "cos" => f16Cosdist(col("bits"), qb)
+      case m => throw new IllegalArgumentException(s"unknown vecf16 metric: $m")
+    }
+    val w = Window.partitionBy(col("qid")).orderBy(col("dist"), col(idCol))
+    joined.select(col("qid"), col(idCol), distCol.as("dist"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .orderBy(col("qid"), col("rn"))
+  }
 }

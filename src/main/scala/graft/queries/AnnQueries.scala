@@ -210,6 +210,14 @@ object AnnQueries {
       .select(col("vec_id"), col("embedding")).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
 
+  /** Fixed small-int f16-exact batch queries for the vecf16 artifact
+    * (f16 rounding is identity on these values — the
+    * q_vecf16_ann_exact oracle convention). */
+  private val f16BatchQueries: Seq[(Long, Array[Float])] = Seq(
+    (0L, Array(12f, 50f, 3f, 7f)),
+    (1L, Array(0f, 10f, 1f, 2f)),
+    (2L, Array(24f, 99f, 6f, 12f)))
+
   /** Batch queries sparsified by the [[sparsify]] threshold rule (the
     * svector artifact's document-side convention). */
   private def batchQueriesSparse(s: SparkSession, dir: String): Seq[(Long, Array[Float])] =
@@ -815,6 +823,20 @@ object AnnQueries {
         batchQueriesSparse(s, d), k = 20, nprobe = m.nlist)
     }),
 
+    // vecf16 batch over the small-int f16-exact source (the
+    // q_vecf16_ann_exact convention — rounding is identity on these
+    // values, so the exact twin replays in plain double arithmetic)
+    "q_vecf16_batch" -> ((s, d) => {
+      val (m, path) = f16Ann(s, d)
+      TypedAnn.batchSearchF16(s, path, m, "c_custkey", f16BatchQueries,
+        k = 20, nprobe = nprobeConf(s))
+    }),
+    "q_vecf16_batch_exact" -> ((s, d) => {
+      val (m, path) = f16Ann(s, d)
+      TypedAnn.batchSearchF16(s, path, m, "c_custkey", f16BatchQueries,
+        k = 20, nprobe = m.nlist)
+    }),
+
     // bvector Jaccard opclass (bvector_jaccard_ops): same artifact, the
     // packed-word Jaccard kernel scores the pruned scan
     "q_bvec_jaccard_ann_topk" -> ((s, d) => {
@@ -1216,6 +1238,24 @@ object AnnQueries {
                d.vec_id) AS rn
            FROM embeddings d CROSS JOIN
              (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 3) q)
+         WHERE rn <= 20 ORDER BY qid, rn""",
+    "q_vecf16_batch_exact" ->
+      """SELECT qid, c_custkey, dist, rn FROM (
+           SELECT CAST(q.qid AS BIGINT) AS qid, c.c_custkey AS c_custkey,
+             (CAST(c.c_nationkey AS DOUBLE) - q.qa) * (CAST(c.c_nationkey AS DOUBLE) - q.qa)
+               + (CAST(c.c_custkey % 100 AS DOUBLE) - q.qb) * (CAST(c.c_custkey % 100 AS DOUBLE) - q.qb)
+               + (CAST(c.c_custkey % 7 AS DOUBLE) - q.qc) * (CAST(c.c_custkey % 7 AS DOUBLE) - q.qc)
+               + (CAST(c.c_custkey % 13 AS DOUBLE) - q.qd) * (CAST(c.c_custkey % 13 AS DOUBLE) - q.qd) AS dist,
+             row_number() OVER (PARTITION BY q.qid ORDER BY
+               (CAST(c.c_nationkey AS DOUBLE) - q.qa) * (CAST(c.c_nationkey AS DOUBLE) - q.qa)
+                 + (CAST(c.c_custkey % 100 AS DOUBLE) - q.qb) * (CAST(c.c_custkey % 100 AS DOUBLE) - q.qb)
+                 + (CAST(c.c_custkey % 7 AS DOUBLE) - q.qc) * (CAST(c.c_custkey % 7 AS DOUBLE) - q.qc)
+                 + (CAST(c.c_custkey % 13 AS DOUBLE) - q.qd) * (CAST(c.c_custkey % 13 AS DOUBLE) - q.qd),
+               c.c_custkey) AS rn
+           FROM customer c CROSS JOIN (VALUES
+             (0, 12.0, 50.0, 3.0, 7.0),
+             (1, 0.0, 10.0, 1.0, 2.0),
+             (2, 24.0, 99.0, 6.0, 12.0)) q(qid, qa, qb, qc, qd))
          WHERE rn <= 20 ORDER BY qid, rn""",
     "q_svec_ann_exact" ->
       s"""SELECT d.vec_id AS vec_id,
