@@ -56,6 +56,32 @@ class EventSpec extends SparkSpec {
     assert(total == nEvents)
   }
 
+  test("funnel stages are monotone non-increasing and bounded by user count") {
+    val stages = q("q_events_funnel")
+      .select($"stage", $"n_users").as[(Long, Long)].collect().sortBy(_._1)
+    assert(stages.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    val counts = stages.map(_._2)
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b },
+      s"funnel must shrink: ${counts.toSeq}")
+    val nUsers = graft.queries.CoreQueries.events(spark, sf0001)
+      .select($"user_id").distinct().count()
+    assert(counts.head <= nUsers && counts.forall(_ >= 0))
+  }
+
+  test("OOV rates lie in [0,1] and in-vocab counts never exceed totals") {
+    val rows = SparkEntry.queries("q_doc_oov")(spark, sf0001)
+      .select($"n_tok", $"n_in", $"oov_rate").as[(Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (nTok, nIn, rate) =>
+      assert(nIn >= 0 && nIn <= nTok)
+      assert(rate >= 0.0 && rate <= 1.0)
+      assert(math.abs(rate - (nTok - nIn).toDouble / nTok) < 1e-15)
+    }
+    // the top-1000 vocabulary must cover most of a natural corpus
+    val mean = rows.map(_._3).sum / rows.length
+    assert(mean < 0.5, s"mean OOV rate suspiciously high: $mean")
+  }
+
   test("banded range join matches brute force on the fixture") {
     val e = graft.queries.CoreQueries.events(spark, sf0001)
       .select(col("event_id"), col("user_id"),
