@@ -184,13 +184,13 @@ object DocQueries {
     //     explode + broadcast-join + hash agg. All integer counts; the
     //     rate is one exact integer-ratio IEEE division. ---
     "q_doc_oov" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val tk = docs(s, d).select(col("doc_id"),
         explode(split(col("text"), " ")).as("tok"))
+      // top-1000 via orderBy+limit = TakeOrderedAndProject: per-partition
+      // k-bounded heaps merged on the driver — NOT a global row_number
+      // window, which would single-partition-sort the entire vocabulary
       val vocab = tk.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
-        .withColumn("rk",
-          row_number().over(Window.orderBy(col("cnt").desc, col("tok"))))
-        .filter(col("rk") <= 1000)
+        .orderBy(col("cnt").desc, col("tok")).limit(1000)
         .select(col("tok"), lit(1).as("in_vocab"))
       tk.join(broadcast(vocab), Seq("tok"), "left")
         .groupBy(col("doc_id"))
