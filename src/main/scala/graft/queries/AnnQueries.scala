@@ -1001,6 +1001,9 @@ object AnnQueries {
     //     oracle-replayable; rank windows run over k rows, never the
     //     table. 1/(60+rank) sums are exact-double-identical across
     //     engines (small-int division, fixed add order). ---
+    // the two unpartitioned rank windows here operate on k-bounded
+    // frames (both retrieval legs are limit(50) before ranking), so the
+    // single-partition WindowExec touches <=50 rows — not a scale hazard
     "q_hybrid_rrf" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val dense = t(s, d, "embeddings")
