@@ -513,6 +513,14 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       projList: Seq[NamedExpression], rel: LogicalPlan): Option[LogicalPlan] = {
     val (idx, alias, idAttr, qLit, metricKey) =
       topkPieces(order, projList, rel).getOrElse(return None)
+    rewriteTopK(k, idx, alias, idAttr, qLit, metricKey)
+  }
+
+  /** The index-kind dispatch shared by the plain and the
+    * partial-absorbed (typed) top-k rewrites. */
+  private def rewriteTopK(k: Int, idx: IndexedTable, alias: Alias,
+      idAttr: AttributeReference, qLit: Literal, metricKey: String)
+      : Option[LogicalPlan] = {
     val manifest = graft.index.IndexCatalog.load(spark, idx.indexName)
       .getOrElse(return None)
     // family-qualified keys ("f16:l2") name a TYPED opclass whose one
@@ -581,6 +589,16 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       topkPieces(order, projList, rel, Some(cond)).getOrElse(return None)
     // the predicate must be over relation columns only (never the dist)
     if (!cond.references.subsetOf(AttributeSet(rel.output))) return None
+    if (metric.contains(':')) {
+      // TYPED family: the artifact stores only the compact payload, so an
+      // arbitrary predicate cannot be reapplied on the scan. A PARTIAL
+      // typed index whose build predicate canonically equals the query's
+      // filter absorbs it entirely — rewrite as the plain typed top-k
+      // over that artifact; anything else stays unrewritten.
+      return if (idx.partialConjuncts.contains(conjunctStrings(cond)))
+        rewriteTopK(k, idx, alias, idAttr, qLit, metric)
+      else None
+    }
     val manifest = graft.index.IndexCatalog.load(spark, idx.indexName)
       .getOrElse(return None)
     if (manifest.metric != metric) return None

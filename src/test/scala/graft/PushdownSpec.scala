@@ -372,6 +372,47 @@ class PushdownSpec extends SparkSpec {
     }
   }
 
+  test("typed PARTIAL index absorbs an exactly-matching filter; broader filters stay") {
+    import graft.operators.TypedAnn
+    val src = s"$sf001/embeddings.parquet"
+    val san = sf001.replaceAll("[^a-zA-Z0-9]", "_")
+    val emb = spark.read.parquet(src)
+    TypedAnn.ensureBvec(spark, s"pdbvpart_$san",
+      emb.filter(col("vec_id") % 7 === 0), src, "vec_id", "embedding", nlist = 8)
+    AnnPushdown.install(spark)
+    val prevReg = AnnPushdown.snapshot(src)
+    AnnPushdown.registerPartial(spark, src, AnnPushdown.IndexedTable(
+      s"pdbvpart_$san", "vec_id", "embedding", "bvec:hamming"), "vec_id % 7 = 0")
+    val prevNp = spark.conf.get("spark.graft.ann.nprobe", "10")
+    spark.conf.set("spark.graft.ann.nprobe", "8") // = nlist -> exact
+    spark.conf.set("spark.graft.ann.enabled", "true")
+    try {
+      def run(pred: org.apache.spark.sql.Column) =
+        spark.read.parquet(src).filter(pred)
+          .select(col("vec_id"), graft.functions.bvecHamming(
+            graft.functions.binarize(col("embedding")),
+            graft.functions.binarize(typedLit(q))).as("dist"))
+          .orderBy(col("dist"), col("vec_id")).limit(50)
+      val df = run(col("vec_id") % 7 === 0)
+      val plan = df.queryExecution.optimizedPlan.toString
+      assert(plan.contains("list_id"), s"typed partial did not rewrite:\n$plan")
+      val got = df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      spark.conf.set("spark.graft.ann.enabled", "false")
+      val brute = run(col("vec_id") % 7 === 0).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      spark.conf.set("spark.graft.ann.enabled", "true")
+      assert(got == brute, "partial-absorbed rewrite must be value-identical")
+      // a different predicate must NOT be claimed by the typed partial
+      val other = run(col("vec_id") % 3 === 0)
+      assert(!other.queryExecution.optimizedPlan.toString.contains("list_id"),
+        "broader filter wrongly absorbed by the typed partial index")
+    } finally {
+      spark.conf.set("spark.graft.ann.enabled", "false")
+      spark.conf.set("spark.graft.ann.nprobe", prevNp)
+      AnnPushdown.restore(src, prevReg)
+    }
+  }
+
   test("GraftExtensions injects the rewrite rule via spark.sql.extensions") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new graft.plans.GraftExtensions().apply(ext)
