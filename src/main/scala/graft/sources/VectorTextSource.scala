@@ -37,11 +37,33 @@ object VectorTextSource {
     }
 
   /** Read a CSV (with header) whose `vecCols` columns hold vector text
-    * literals; returns them parsed to the engine's column types. */
+    * literals; returns them parsed to the engine's column types.
+    *
+    * `schema`, when given, fixes the NON-vector column types (the COPY
+    * semantics of loading into an already-typed table — reference
+    * src/utils/parse.rs feeds typed tuples); vector columns are read as
+    * string regardless (they hold text literals pre-parse). Without it
+    * the reader falls back to inference, which does NOT round-trip types
+    * (a bigint written out can come back int32).
+    */
   def readCsv(spark: SparkSession, path: String,
-      vecCols: Map[String, String]): DataFrame =
-    parseAll(spark.read.option("header", "true")
-      .option("inferSchema", "true").csv(path), vecCols)
+      vecCols: Map[String, String],
+      schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
+    val reader = spark.read.option("header", "true")
+    val base = schema match {
+      case Some(s) =>
+        // vector columns travel as text literals in the file; force them
+        // to string in the read schema whatever the caller declared
+        val readSchema = org.apache.spark.sql.types.StructType(s.map { f =>
+          if (vecCols.contains(f.name))
+            f.copy(dataType = org.apache.spark.sql.types.StringType)
+          else f
+        })
+        reader.schema(readSchema).csv(path)
+      case None => reader.option("inferSchema", "true").csv(path)
+    }
+    parseAll(base, vecCols)
+  }
 
   /** Write `df` as CSV with vector columns rendered as text literals. */
   def writeCsv(df: DataFrame, path: String, vecCols: Map[String, String]): Unit =

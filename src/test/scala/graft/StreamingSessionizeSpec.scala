@@ -85,4 +85,38 @@ class StreamingSessionizeSpec extends SparkSpec {
       assert(got == Set((1L, 2L, base, base + 60000000L)))
     } finally q.stop()
   }
+
+  test("numbering continues after a timeout-closed session (tombstone state)") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[SessEvent]
+    val out = StreamingSessionize.sessions(
+      source.toDS().withWatermark("ts", "0 seconds"), GapUs)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("sess_resume").start()
+    try {
+      val base = 1700000000000000L // µs
+      source.addData(mkEv(7L, 1L, base))
+      q.processAllAvailable()
+      // another user's event pushes the watermark past base + gap: the
+      // timeout (not a user-7 event) closes user 7's first session
+      source.addData(mkEv(8L, 2L, base + 3L * GapUs))
+      q.processAllAvailable()
+      source.addData(mkEv(8L, 3L, base + 4L * GapUs))
+      q.processAllAvailable()
+      assert(spark.table("sess_resume").as[Session].collect()
+        .exists(s => s.user_id == 7L && s.sess_id == 1L))
+
+      // user 7 RETURNS after the timeout; the tombstone must carry the
+      // count so this session is #2, not a restart at #1
+      source.addData(mkEv(7L, 4L, base + 5L * GapUs))
+      q.processAllAvailable()
+      source.addData(mkEv(8L, 5L, base + 9L * GapUs), mkEv(8L, 6L, base + 10L * GapUs))
+      q.processAllAvailable()
+
+      val got = spark.table("sess_resume").as[Session].collect()
+        .filter(_.user_id == 7L)
+        .map(s => (s.sess_id, s.n_events, s.start_us)).toSet
+      assert(got == Set((1L, 1L, base), (2L, 1L, base + 5L * GapUs)), got.toString)
+    } finally q.stop()
+  }
 }

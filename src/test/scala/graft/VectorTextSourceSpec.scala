@@ -45,4 +45,20 @@ class VectorTextSourceSpec extends SparkSpec {
     VectorTextSource.writeJsonl(fixture, dir, kinds)
     assertRoundTrip(VectorTextSource.readJsonl(spark, dir, kinds))
   }
+
+  test("CSV read with explicit schema preserves non-vector column types") {
+    val dir = Files.createTempDirectory("graft_csv_sch").toFile.getAbsolutePath + "/t"
+    VectorTextSource.writeCsv(fixture, dir, kinds)
+    // inference downgrades the bigint id to int on this small file ...
+    val inferred = VectorTextSource.readCsv(spark, dir, kinds)
+    assert(inferred.schema("vec_id").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    // ... an explicit schema keeps it long (vector cols may be declared
+    // with any type — the reader forces them to string pre-parse)
+    val typed = VectorTextSource.readCsv(spark, dir, kinds,
+      Some(fixture.schema))
+    assert(typed.schema("vec_id").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assertRoundTrip(typed)
+  }
 }
