@@ -36,10 +36,11 @@ object IncrHnsw {
     Option(dir.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isFile && f.getName.endsWith(".bin")).toSeq.sortBy(_.getName)
 
-  /** Version the rows of a graph file carry: side-<seq>.bin -> seq,
-    * base graphs -> 0. */
+  /** Version the rows of a graph file carry: side-<seq>.bin and
+    * side-<seq>-<chunk>.bin -> seq, base graphs -> 0. */
   private def fileVer(name: String): Long =
-    if (name.startsWith("side-")) name.stripPrefix("side-").stripSuffix(".bin").toLong
+    if (name.startsWith("side-"))
+      name.stripPrefix("side-").stripSuffix(".bin").split("-")(0).toLong
     else 0L
 
   private def buildGraphFile(spark: SparkSession, rows: DataFrame,
@@ -61,16 +62,43 @@ object IncrHnsw {
       throw new java.io.IOException(s"failed to publish $out")
   }
 
+  /** Build the graph file(s) for one segment, never collecting more than
+    * [[Segments.maxGrowingRows]] rows to the driver at once: a segment
+    * within the cap gets one file at `stem.bin`; an oversized one is
+    * hash-split on the id into ceil(n/cap) files `stem-CCCCC.bin`, each
+    * an independent searchable graph over a bounded slice (searches scan
+    * every resident graph already, so more files = more bounded tasks,
+    * not a semantic change). */
+  private def buildSegmentGraphs(spark: SparkSession, rows: DataFrame,
+      idCol: String, vecCol: String, metric: String,
+      dataDir: java.io.File, stem: String, m: Int, efConstruction: Int): Unit = {
+    val cap = Segments.maxGrowingRows(spark)
+    val n = rows.count()
+    if (n <= cap)
+      buildGraphFile(spark, rows, idCol, vecCol, metric,
+        new java.io.File(dataDir, s"$stem.bin"), m, efConstruction)
+    else {
+      val nChunks = ((n + cap - 1) / cap).toInt
+      (0 until nChunks).foreach { c =>
+        val chunk = rows.filter(
+          pmod(xxhash64(col(idCol).cast("long")), lit(nChunks.toLong)) === c.toLong)
+        buildGraphFile(spark, chunk, idCol, vecCol, metric,
+          new java.io.File(dataDir, f"$stem-$c%05d.bin"), m, efConstruction)
+      }
+    }
+  }
+
   /** Sync the index to the segment store's committed state, building
     * ONLY what is new: base graphs on first ensure (or after a gen
     * change from a non-promoted compaction), one side graph per
     * newly-appended delta otherwise. Returns the artifact dir.
     *
-    * Driver-side builds: deltas are the GROWING side — small by the
-    * lifecycle contract (compaction seals them before they grow large);
-    * the base build at scale goes through [[Hnsw.ensure]]-style
-    * per-partition tasks if needed (here one file per ~partition keeps
-    * the spec-scale path simple and deterministic). */
+    * Driver-side builds are BOUNDED, not assumed-small: every segment
+    * (base or delta) larger than `spark.graft.segments.maxGrowingRows`
+    * is hash-split into multiple graph files, so no single collect
+    * exceeds the cap ([[buildSegmentGraphs]] — the enforced form of the
+    * reference's max_growing_segment_size sealing rule,
+    * crates/base/src/index.rs:199-226). */
   def ensure(spark: SparkSession, name: String, segDir: String,
       idCol: String, vecCol: String, metric: String = "l2",
       m: Int = 12, efConstruction: Int = 300): String = synchronized {
@@ -90,13 +118,13 @@ object IncrHnsw {
       if (dataDir.exists()) { def rm(f: java.io.File): Unit = {
         if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
         f.delete() }; rm(dataDir) }
-      buildGraphFile(spark, spark.read.parquet(s"$segDir/base-${st.gen}"),
-        idCol, vecCol, metric, new java.io.File(dataDir, f"base-${st.gen}-00000.bin"),
+      buildSegmentGraphs(spark, spark.read.parquet(s"$segDir/base-${st.gen}"),
+        idCol, vecCol, metric, dataDir, f"base-${st.gen}-00000",
         m, efConstruction)
       Segments.deltaDirs(segDir, st).foreach { dd =>
         val seq = new java.io.File(dd).getName.stripPrefix("delta-").toLong
-        buildGraphFile(spark, spark.read.parquet(dd), idCol, vecCol, metric,
-          new java.io.File(dataDir, s"side-$seq.bin"), m, efConstruction)
+        buildSegmentGraphs(spark, spark.read.parquet(dd), idCol, vecCol, metric,
+          dataDir, s"side-$seq", m, efConstruction)
       }
       IndexCatalog.commit(spark, name, IndexCatalog.Manifest(
         "hnsw_incr", segDir, metric,
@@ -110,8 +138,8 @@ object IncrHnsw {
       Segments.deltaDirs(segDir, st).foreach { dd =>
         val seq = new java.io.File(dd).getName.stripPrefix("delta-").toLong
         if (seq > priorSeq)
-          buildGraphFile(spark, spark.read.parquet(dd), idCol, vecCol, metric,
-            new java.io.File(dataDir, s"side-$seq.bin"), m, efConstruction)
+          buildSegmentGraphs(spark, spark.read.parquet(dd), idCol, vecCol, metric,
+            dataDir, s"side-$seq", m, efConstruction)
       }
       val pm = prior.get
       IndexCatalog.commit(spark, name, pm.copy(

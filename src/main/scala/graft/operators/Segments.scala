@@ -35,6 +35,15 @@ object Segments {
 
   case class State(gen: Long, seq: Long)
 
+  /** Reference `max_growing_segment_size` analog (crates/base/src/index.rs:
+    * 199-226 caps the write segment at 20k rows): no single growing delta
+    * segment may exceed this many rows — an oversized append is split into
+    * multiple sealed deltas at write time, so downstream per-delta work
+    * (side-graph builds, tombstone joins) stays bounded. */
+  def maxGrowingRows(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.segments.maxGrowingRows")
+      .map(_.toLong).getOrElse(20000L)
+
   private def versionFile(dir: String) = new File(dir, "VERSION")
 
   def state(dir: String): State = {
@@ -64,18 +73,58 @@ object Segments {
   }
 
   /** Append a growing delta; an insert of an existing id shadows older
-    * versions via the paired tombstone (reinsert = delete + insert). */
+    * versions via the paired tombstone (reinsert = delete + insert).
+    *
+    * An append larger than [[maxGrowingRows]] is auto-sealed into
+    * ceil(n/cap) delta segments, each with its own version, hash-split on
+    * the id (reference sealing rule: optimizing/mod.rs:35-57 seals the
+    * growing segment once it hits the cap). One partitioned write job —
+    * the input is scanned once, then partition dirs are renamed into
+    * place; the VERSION pointer moves only after every dir is written, so
+    * a crash mid-split leaves only ignored uncommitted dirs.
+    * Returns the last committed seq. */
   def append(spark: SparkSession, dir: String, df: DataFrame, idCol: String,
       shadow: Boolean = true): Long = {
     val s = state(dir)
-    val seq = s.seq + 1
-    df.withColumn("_ver", lit(seq))
-      .write.mode("overwrite").parquet(s"$dir/delta-$seq")
-    if (shadow)
-      df.select(col(idCol)).distinct().withColumn("_ver", lit(seq) - 1)
-        .write.mode("overwrite").parquet(s"$dir/tombs-$seq")
-    commit(dir, s.copy(seq = seq))
-    seq
+    val cap = maxGrowingRows(spark)
+    val n = df.count()
+    val nChunks = math.max(1L, (n + cap - 1) / cap).toInt
+    if (nChunks == 1) {
+      val seq = s.seq + 1
+      df.withColumn("_ver", lit(seq))
+        .write.mode("overwrite").parquet(s"$dir/delta-$seq")
+      if (shadow)
+        df.select(col(idCol)).distinct().withColumn("_ver", lit(seq) - 1)
+          .write.mode("overwrite").parquet(s"$dir/tombs-$seq")
+      commit(dir, s.copy(seq = seq))
+      seq
+    } else {
+      // chunk c gets version s.seq + 1 + c; its shadow tombstones version
+      // (that - 1). Chunks hold disjoint id sets (hash split), so the
+      // per-chunk shadow rule composes exactly like N sequential appends.
+      val chunked = df
+        .withColumn("_chunk", pmod(xxhash64(col(idCol)), lit(nChunks.toLong)))
+      def publish(rows: DataFrame, verOff: Long, prefix: String): Unit = {
+        val staging = s"$dir/.staging-$prefix-${s.seq + 1}"
+        rows.withColumn("_ver", lit(verOff) + col("_chunk"))
+          .write.mode("overwrite").partitionBy("_chunk").parquet(staging)
+        (0 until nChunks).foreach { c =>
+          val part = new File(staging, s"_chunk=$c")
+          if (part.isDirectory) {
+            val target = new File(dir, s"$prefix-${s.seq + 1 + c}")
+            if (target.exists()) del(target)
+            Files.move(part.toPath, target.toPath)
+          }
+        }
+        del(new File(staging))
+      }
+      publish(chunked, s.seq + 1, "delta")
+      if (shadow)
+        publish(chunked.select(col(idCol), col("_chunk")).distinct(), s.seq, "tombs")
+      val last = s.seq + nChunks
+      commit(dir, s.copy(seq = last))
+      last
+    }
   }
 
   /** Tombstone the given ids as of the next version. */

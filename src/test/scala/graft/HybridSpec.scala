@@ -125,4 +125,42 @@ class HybridSpec extends SparkSpec {
     assert(got(30) == want(30))
     graft.index.IndexCatalog.drop(spark, name)
   }
+
+  test("oversized delta is split into multiple bounded side graphs; search stays exact") {
+    import graft.operators.IncrHnsw
+    val segDir = Files.createTempDirectory("graft_incr_big").toString
+    val name = "hybridspec_incr_big"
+    graft.index.IndexCatalog.drop(spark, name)
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val q: Array[Float] = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+
+    Segments.init(spark, segDir, emb.filter(col("vec_id") < 100), "vec_id")
+    // one 300-row delta, sealed under the default (large) cap ...
+    Segments.append(spark, segDir,
+      emb.filter(col("vec_id") >= 100 && col("vec_id") < 400), "vec_id")
+    // ... then ensure under a 50-row cap: the side build must chunk the
+    // delta instead of collecting all 300 rows at once
+    spark.conf.set("spark.graft.segments.maxGrowingRows", "50")
+    try {
+      val dir = IncrHnsw.ensure(spark, name, segDir, "vec_id", "embedding")
+      val sides = Option(new java.io.File(dir).listFiles()).get
+        .map(_.getName).filter(_.startsWith("side-1-")).sorted
+      assert(sides.length >= 2, s"expected chunked side graphs, got ${sides.toSeq}")
+      assert(!new java.io.File(dir, "side-1.bin").exists())
+
+      val got = IncrHnsw.search(spark, name, segDir, "vec_id", q, 25, exact = true)
+        .as[(Long, Double)].collect().toSeq
+      val want = Segments.read(spark, segDir, "vec_id")
+        .select(col("vec_id"), graft.functions.l2sq(col("embedding"),
+          typedLit(q)).as("dist"))
+        .orderBy(col("dist"), col("vec_id")).limit(25)
+        .as[(Long, Double)].collect().toSeq
+      assert(got == want)
+    } finally {
+      spark.conf.unset("spark.graft.segments.maxGrowingRows")
+      graft.index.IndexCatalog.drop(spark, name)
+    }
+  }
 }

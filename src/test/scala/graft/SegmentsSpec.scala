@@ -50,6 +50,41 @@ class SegmentsSpec extends SparkSpec {
     assert(!names.exists(_.startsWith("tombs-")))
   }
 
+  test("append past the growing cap auto-seals into multiple bounded deltas") {
+    val dir = freshDir()
+    spark.conf.set("spark.graft.segments.maxGrowingRows", "100")
+    try {
+      Segments.init(spark, dir,
+        (0L until 50L).map(i => (i, 0)).toDF("id", "v"), "id")
+      // 500 rows, cap 100 -> 5 sealed deltas; ids 0..49 shadow the base
+      val last = Segments.append(spark, dir,
+        (0L until 500L).map(i => (i, 1)).toDF("id", "v"), "id")
+      assert(last == 5L)
+      val deltas = new File(dir).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("delta-"))
+        .map(_.getName).sorted
+      assert(deltas.length == 5, deltas.mkString(","))
+      // every delta respects the cap (hash split is ~even; allow 2x slack)
+      deltas.foreach { d =>
+        val n = spark.read.parquet(s"$dir/$d").count()
+        assert(n > 0 && n <= 200, s"$d has $n rows")
+      }
+      // snapshot: every id visible exactly once, at the appended value
+      val snap = Segments.read(spark, dir, "id")
+        .select(col("id"), col("v")).as[(Long, Int)].collect()
+      assert(snap.length == 500)
+      assert(snap.forall(_._2 == 1), "a shadowed base row survived")
+      // shadow tombstones hide base versions but not the new chunk's own
+      val tombs = new File(dir).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("tombs-"))
+      assert(tombs.length == 5)
+      // a follow-up small append continues the sequence normally
+      Segments.append(spark, dir, Seq((900L, 2)).toDF("id", "v"), "id")
+      assert(Segments.state(dir).seq == 6L)
+      assert(Segments.read(spark, dir, "id").count() == 501L)
+    } finally spark.conf.unset("spark.graft.segments.maxGrowingRows")
+  }
+
   test("uncommitted generation directory is ignored (crash rule)") {
     val dir = freshDir()
     Segments.init(spark, dir, Seq((1L, 10)).toDF("id", "v"), "id")
