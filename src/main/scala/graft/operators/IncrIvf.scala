@@ -1,0 +1,219 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions._
+import graft.index.IndexCatalog
+
+/**
+ * Incremental IVF maintenance over a [[Segments]] store — the IVF half of
+ * the reference's optimizer contract (crates/index/src/optimizing/
+ * index_source.rs:12-146: only affected segments are (re)indexed; an
+ * append never retrains or rewrites what is already sealed):
+ *
+ *  - First ensure trains k-means on the BASE segment and writes the
+ *    list-partitioned parquet artifact (rows carry `_ver` = their
+ *    segment's version, base = 0).
+ *  - An appended delta is assigned to the EXISTING centroids (no
+ *    retrain) and its rows are APPENDED as new parquet files inside the
+ *    same `list_id=N` partition dirs — previously-written files are
+ *    never touched (the spec asserts byte- and mtime-stability).
+ *  - Deletes are pure tombstone work: searches version-filter against
+ *    the store's live tombstones, the same "tombstone at v hides rows
+ *    with version <= v" rule [[IncrHnsw]] uses.
+ *  - Compaction promotes: tombstone versions are snapshotted into the
+ *    index's `dead/` parquet, then [[Segments.compact]] folds the data
+ *    side; list files stay as they are. A later full re-ensure (vacuum
+ *    analog) reclaims dead rows and re-centers drifted centroids.
+ *
+ * Scale shape: the append path reads ONLY the new delta (bounded by
+ * `spark.graft.segments.maxGrowingRows`), one assign pass + one
+ * partitioned append write; a 0.1% append to a 100 TB corpus costs 0.1%,
+ * not a full re-train/rewrite. Searches stay the plain IVF shape — a
+ * pruned scan of nprobe/nlist partitions with a broadcast tombstone
+ * anti-filter on top.
+ *
+ * Centroid-drift caveat (same as the reference's optimizer, which also
+ * keeps sealed segments' structure until a full optimize): appended rows
+ * are bucketed by the base-trained centroids, so recall at fixed nprobe
+ * degrades only as far as the append distribution drifts; exactness at
+ * nprobe = nlist NEVER depends on centroid quality.
+ */
+object IncrIvf {
+
+  /** How a family turns segment rows (idCol, fCol) into artifact rows:
+    * `prep` emits the ranking column `rankCol` (dense f32, the k-means /
+    * assignment space) plus the stored payload columns. */
+  private case class Family(
+      kind: String, metric: String,
+      prep: (DataFrame, String) => DataFrame,
+      rankCol: String, payload: Seq[String], useDot: Boolean)
+
+  private def dense(metric: String) = Family(
+    "ivf_incr", metric,
+    prep = (df, fCol) => {
+      val v = if (metric == "cos") vectorNormalize(col(fCol)) else col(fCol)
+      df.withColumn("rv", v)
+    },
+    rankCol = "rv", payload = Seq("rv"), useDot = metric != "l2")
+
+  /** bvector Hamming: payload is the packed bvector, ranking space the
+    * densified 0/1 view (hamming == l2sq there — TypedAnn's convention). */
+  private val bvec = Family(
+    "ivf_bvec_incr", "hamming",
+    prep = (df, fCol) => df
+      .withColumn("bv", binarize(col(fCol)))
+      .withColumn("d01", bvecToDense(col("bv"))),
+    rankCol = "d01", payload = Seq("bv"), useDot = false)
+
+  private def famFor(metric: String): Family = metric match {
+    case "hamming" => bvec
+    case m => dense(m)
+  }
+
+  private def deadDir(spark: SparkSession, name: String) =
+    new java.io.File(IndexCatalog.dir(spark, name), "dead")
+
+  /** Assign one segment's rows and append them into the list partitions.
+    * `mode` is Overwrite for the very first (base) write only. */
+  private def writeSegment(spark: SparkSession, fam: Family, dataDir: String,
+      rows: DataFrame, idCol: String, fCol: String,
+      model: IvfIndex.Model, ver: Long, overwrite: Boolean): Unit = {
+    val prepped = fam.prep(rows.filter(col(fCol).isNotNull), fCol)
+    val assigned = prepped.withColumn("list_id",
+      IvfIndex.nearestCentroid(col(fam.rankCol), model))
+    val out = assigned
+      .select((col(idCol) +: fam.payload.map(col) :+ col("list_id")
+        :+ lit(ver).as("_ver")): _*)
+      .repartition(col("list_id"))
+    out.write.mode(if (overwrite) "overwrite" else "append")
+      .partitionBy("list_id").parquet(dataDir)
+  }
+
+  /** Sync the artifact to the store's committed state, building only
+    * what is new (one append write per new delta). Returns the data dir. */
+  def ensure(spark: SparkSession, name: String, segDir: String,
+      idCol: String, fCol: String, metric: String = "l2",
+      nlist: Int = 16, seed: Long = 42L): String = synchronized {
+    val fam = famFor(metric)
+    val st = Segments.state(segDir)
+    require(st.gen >= 0, s"no committed generation under $segDir")
+    val dataDir = IndexCatalog.dataDir(spark, name)
+    val prior = IndexCatalog.load(spark, name)
+      .filter(_.source == segDir).filter(_.kind == fam.kind)
+      .filter(_.metric == fam.metric)
+      .filter(_.params.get("nlist").contains(nlist.toString))
+    val priorGen = prior.flatMap(_.params.get("gen")).map(_.toLong).getOrElse(-1L)
+    val priorSeq = prior.flatMap(_.params.get("seq")).map(_.toLong).getOrElse(-1L)
+    val promotedGen = prior.flatMap(_.params.get("promoted_gen")).map(_.toLong).getOrElse(-1L)
+    val genOk = priorGen == st.gen || promotedGen == st.gen
+    if (prior.isEmpty || !genOk) {
+      IndexCatalog.drop(spark, name)
+      val base = spark.read.parquet(s"$segDir/base-${st.gen}")
+      val trained = IvfIndex.train(fam.prep(base.filter(col(fCol).isNotNull), fCol),
+        fam.rankCol, "l2", nlist, seed = seed)
+      // carry the assignment metric on the model so base and later delta
+      // assigns use the SAME rule (nearestCentroid keys useDot off it)
+      val model = IvfIndex.Model(if (fam.useDot) "dot" else "l2", trained.centroids)
+      writeSegment(spark, fam, dataDir, base, idCol, fCol, model,
+        ver = 0L, overwrite = true)
+      Segments.deltaDirs(segDir, st).foreach { dd =>
+        val seq = new java.io.File(dd).getName.stripPrefix("delta-").toLong
+        writeSegment(spark, fam, dataDir, spark.read.parquet(dd), idCol, fCol,
+          model, ver = seq, overwrite = false)
+      }
+      IndexCatalog.commit(spark, name, IndexCatalog.Manifest(
+        fam.kind, segDir, fam.metric,
+        Map("gen" -> st.gen.toString, "seq" -> st.seq.toString,
+          "nlist" -> nlist.toString),
+        centroids = model.centroids))
+    } else if (st.seq > priorSeq) {
+      val pm = prior.get
+      val model = IvfIndex.Model(if (fam.useDot) "dot" else "l2", pm.centroids)
+      Segments.deltaDirs(segDir, st).foreach { dd =>
+        val seq = new java.io.File(dd).getName.stripPrefix("delta-").toLong
+        if (seq > priorSeq)
+          writeSegment(spark, fam, dataDir, spark.read.parquet(dd), idCol, fCol,
+            model, ver = seq, overwrite = false)
+      }
+      IndexCatalog.commit(spark, name, pm.copy(
+        params = pm.params + ("seq" -> st.seq.toString)))
+    }
+    dataDir
+  }
+
+  /** Compact the store WITHOUT rebuilding the artifact: snapshot live
+    * tombstones into `dead/`, fold the data side, record the promoted
+    * generation (the [[IncrHnsw.promoteOnCompact]] pattern). */
+  def promoteOnCompact(spark: SparkSession, name: String, segDir: String,
+      idCol: String): Unit = synchronized {
+    val dd = deadDir(spark, name)
+    Segments.tombstoneMax(spark, segDir, idCol).foreach { tombs =>
+      val prior = if (dd.isDirectory &&
+          Option(dd.listFiles()).getOrElse(Array.empty)
+            .exists(_.getName.endsWith(".parquet")))
+        Some(spark.read.parquet(dd.getAbsolutePath)) else None
+      val all = prior.map(_.unionByName(tombs)).getOrElse(tombs)
+        .groupBy(col(idCol)).agg(max(col("_tomb_ver")).as("_tomb_ver"))
+      val tmp = new java.io.File(dd.getParentFile, "dead.tmp")
+      all.write.mode("overwrite").parquet(tmp.getAbsolutePath)
+      def rm(f: java.io.File): Unit = { if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete() }
+      if (dd.exists()) rm(dd)
+      if (!tmp.renameTo(dd))
+        throw new java.io.IOException(s"failed to publish $dd")
+    }
+    Segments.compact(spark, segDir, idCol)
+    val newSt = Segments.state(segDir)
+    val pm = IndexCatalog.load(spark, name).getOrElse(
+      throw new IllegalStateException(s"no index $name to promote"))
+    IndexCatalog.commit(spark, name, pm.copy(params =
+      pm.params + ("promoted_gen" -> newSt.gen.toString,
+        "seq" -> newSt.seq.toString)))
+  }
+
+  /** Search: prune to the nprobe closest lists, version-filter against
+    * live + promoted-dead tombstones (BEFORE top-k — rows are data, not
+    * graph candidates, so no over-fetch is needed), exact-rerank.
+    * Exact at nprobe = nlist. Returns (idCol, dist) ascending. */
+  def search(spark: SparkSession, name: String, segDir: String,
+      idCol: String, q: Array[Float], k: Int, nprobe: Int): DataFrame = {
+    val pm = IndexCatalog.load(spark, name).getOrElse(
+      throw new IllegalStateException(s"no committed index $name"))
+    val fam = if (pm.kind == "ivf_bvec_incr") bvec else dense(pm.metric)
+    val dataDir = IndexCatalog.dataDir(spark, name)
+    val (rankQ, distCol): (Array[Float], Column) = fam.kind match {
+      case "ivf_bvec_incr" =>
+        val q01 = q.map(x => if (x > 0f) 1f else 0f)
+        (q01, bvecHamming(col("bv"), binarize(typedLit(q))).cast("double"))
+      case _ => pm.metric match {
+        case "l2" => (q, l2sq(col("rv"), typedLit(q)))
+        case "dot" => (q, negdot(col("rv"), typedLit(q)))
+        case "cos" =>
+          val qn = IvfIndex.Kernels.normalize(q)
+          (qn, negdot(col("rv"), typedLit(qn)) + lit(1.0))
+      }
+    }
+    val model = IvfIndex.Model(if (fam.useDot) "dot" else "l2", pm.centroids)
+    val probes = model.rankLists(rankQ).take(nprobe)
+    val scan = spark.read.parquet(dataDir)
+      .filter(col("list_id").isin(probes.map(Integer.valueOf).toSeq: _*))
+    val dd = deadDir(spark, name)
+    val dead = if (dd.isDirectory && Option(dd.listFiles())
+        .getOrElse(Array.empty).exists(_.getName.endsWith(".parquet")))
+      Some(spark.read.parquet(dd.getAbsolutePath)) else None
+    val live = Segments.tombstoneMax(spark, segDir, idCol)
+    val tombs = (dead, live) match {
+      case (Some(a), Some(b)) => Some(a.unionByName(b)
+        .groupBy(col(idCol)).agg(max(col("_tomb_ver")).as("_tomb_ver")))
+      case (a, b) => a.orElse(b)
+    }
+    val visible = tombs match {
+      case Some(t) => scan.join(broadcast(t), Seq(idCol), "left_outer")
+        .filter(col("_tomb_ver").isNull || col("_tomb_ver") < col("_ver"))
+      case None => scan
+    }
+    visible.select(col(idCol), distCol.as("dist"))
+      .orderBy(col("dist"), col(idCol)).limit(k)
+  }
+}

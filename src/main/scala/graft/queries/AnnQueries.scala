@@ -194,6 +194,8 @@ object AnnQueries {
     sparse(s, d); sparsePruned(s, d)
     val segDir = ensureVecSegments(s, d)
     IncrHnsw.ensure(s, s"incrhnsw_${san(d)}", segDir, "vec_id", "embedding")
+    graft.operators.IncrIvf.ensure(s, s"ivfincr_${san(d)}", segDir,
+      "vec_id", "embedding", metric = "l2", nlist = 16)
   }
 
   private def qvec(s: SparkSession, dir: String): Array[Float] =
@@ -953,6 +955,29 @@ object AnnQueries {
         exact = true)
     }),
 
+    // incremental IVF over the same segment store: appends assign to the
+    // existing centroids and append list files (no retrain/rewrite);
+    // tombstone version filter at search. Approximate at nprobe < nlist
+    // (rows-only; exact twin below + IncrIvfSpec lifecycle).
+    "q_ivfincr_topk" -> ((s, d) => {
+      val segDir = ensureVecSegments(s, d)
+      val name = s"ivfincr_${san(d)}"
+      graft.operators.IncrIvf.ensure(s, name, segDir, "vec_id", "embedding",
+        metric = "l2", nlist = 16)
+      graft.operators.IncrIvf.search(s, name, segDir, "vec_id", qvec(s, d),
+        k = 100, nprobe = nprobeConf(s))
+    }),
+    // exact twin: every list probed + the version filter — provably the
+    // visible set, the same sealed ∪ growing ∖ deleted oracle
+    "q_ivfincr_exact" -> ((s, d) => {
+      val segDir = ensureVecSegments(s, d)
+      val name = s"ivfincr_${san(d)}"
+      graft.operators.IncrIvf.ensure(s, name, segDir, "vec_id", "embedding",
+        metric = "l2", nlist = 16)
+      graft.operators.IncrIvf.search(s, name, segDir, "vec_id", qvec(s, d),
+        k = 100, nprobe = 16)
+    }),
+
     // svector IVF: compact CSR payload scan, dense centroids
     "q_svec_ann_topk" -> ((s, d) => {
       val (m, path) = svecAnn(s, d)
@@ -1201,6 +1226,8 @@ object AnnQueries {
     // exact flat scan of base + side graphs, version-filtered — the same
     // visible set as the hybrid sealed ∪ growing search
     "q_incrhnsw_exact" -> hybridVisibleOracle,
+    // exact incremental-IVF search of the same store: same visible set
+    "q_ivfincr_exact" -> hybridVisibleOracle,
 
     "q_hnsw_batch_exact" ->
       """SELECT qid, vec_id, dist, rn FROM (

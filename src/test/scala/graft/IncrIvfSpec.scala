@@ -1,0 +1,122 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.operators.{IncrIvf, Segments}
+
+/** Incremental IVF over the segment store: an append assigns to the
+  * existing centroids and appends files — never rewrites sealed list
+  * files; deletes are tombstone-only; compaction promotes; search stays
+  * exact (nprobe = nlist) against the visible snapshot at every step. */
+class IncrIvfSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def parquetFiles(dir: String): Map[String, Long] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+      else Seq(f)
+    walk(new java.io.File(dir)).filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getAbsolutePath -> f.lastModified()).toMap
+  }
+
+  test("dense l2: append appends list files, delete is tombstone-only, search exact") {
+    val segDir = Files.createTempDirectory("graft_incrivf_seg").toString
+    val name = "incrivfspec_l2"
+    graft.index.IndexCatalog.drop(spark, name)
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val q: Array[Float] = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+
+    Segments.init(spark, segDir, emb, "vec_id")
+    val dataDir = IncrIvf.ensure(spark, name, segDir, "vec_id", "embedding",
+      metric = "l2", nlist = 8)
+    val m0 = parquetFiles(dataDir)
+    assert(m0.nonEmpty)
+
+    def got(k: Int): Seq[(Long, Double)] =
+      IncrIvf.search(spark, name, segDir, "vec_id", q, k, nprobe = 8)
+        .as[(Long, Double)].collect().toSeq
+    def want(k: Int): Seq[(Long, Double)] =
+      Segments.read(spark, segDir, "vec_id")
+        .select(col("vec_id"), graft.functions.l2sq(col("embedding"),
+          typedLit(q)).as("dist"))
+        .orderBy(col("dist"), col("vec_id")).limit(k)
+        .as[(Long, Double)].collect().toSeq
+    assert(got(20) == want(20))
+
+    // append three exact duplicates of the query vector: ensure must
+    // append new files only — every pre-existing list file untouched
+    val dups = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).crossJoin(Seq(9000L, 9001L, 9002L).toDF("vec_id"))
+      .select(col("vec_id"), col("embedding"))
+    Segments.append(spark, segDir, dups, "vec_id")
+    IncrIvf.ensure(spark, name, segDir, "vec_id", "embedding",
+      metric = "l2", nlist = 8)
+    val m1 = parquetFiles(dataDir)
+    assert(m0.keySet.subsetOf(m1.keySet), "an append deleted a sealed list file")
+    assert(m0.forall { case (f, t) => m1(f) == t }, "an append rewrote a sealed list file")
+    assert(m1.size > m0.size, "no files were appended")
+    assert(got(4).map(_._1) == Seq(0L, 9000L, 9001L, 9002L))
+
+    // delete: zero artifact changes, rows vanish from results
+    Segments.delete(spark, segDir, Seq(9001L, 0L).toDF("vec_id"), "vec_id")
+    IncrIvf.ensure(spark, name, segDir, "vec_id", "embedding",
+      metric = "l2", nlist = 8)
+    assert(parquetFiles(dataDir) == m1, "delete touched the artifact")
+    assert(got(2).map(_._1) == Seq(9000L, 9002L))
+
+    // compaction promotes (no artifact rebuild), visibility preserved
+    IncrIvf.promoteOnCompact(spark, name, segDir, "vec_id")
+    assert(parquetFiles(dataDir) == m1, "compaction rebuilt the artifact")
+    assert(got(2).map(_._1) == Seq(9000L, 9002L))
+    assert(got(30) == want(30))
+
+    // post-compact append keeps working incrementally
+    Segments.append(spark, segDir, emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).crossJoin(Seq(9100L).toDF("vec_id"))
+      .select(col("vec_id"), col("embedding")), "vec_id")
+    IncrIvf.ensure(spark, name, segDir, "vec_id", "embedding",
+      metric = "l2", nlist = 8)
+    val m2 = parquetFiles(dataDir)
+    assert(m1.forall { case (f, t) => m2(f) == t })
+    assert(got(3).map(_._1) == Seq(9000L, 9002L, 9100L))
+    assert(got(30) == want(30))
+    graft.index.IndexCatalog.drop(spark, name)
+  }
+
+  test("bvector hamming: incremental appends stay exact in the packed payload") {
+    val segDir = Files.createTempDirectory("graft_incrivf_bv").toString
+    val name = "incrivfspec_bv"
+    graft.index.IndexCatalog.drop(spark, name)
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val q: Array[Float] = emb.filter(col("vec_id") === 7)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+
+    Segments.init(spark, segDir, emb.filter(col("vec_id") < 300), "vec_id")
+    val dataDir = IncrIvf.ensure(spark, name, segDir, "vec_id", "embedding",
+      metric = "hamming", nlist = 8)
+    val m0 = parquetFiles(dataDir)
+
+    Segments.append(spark, segDir,
+      emb.filter(col("vec_id") >= 300 && col("vec_id") < 400), "vec_id")
+    IncrIvf.ensure(spark, name, segDir, "vec_id", "embedding",
+      metric = "hamming", nlist = 8)
+    val m1 = parquetFiles(dataDir)
+    assert(m0.forall { case (f, t) => m1.get(f).contains(t) },
+      "append touched sealed bvec list files")
+    assert(m1.size > m0.size)
+
+    val got = IncrIvf.search(spark, name, segDir, "vec_id", q, 25, nprobe = 8)
+      .as[(Long, Double)].collect().toSeq
+    val want = Segments.read(spark, segDir, "vec_id")
+      .select(col("vec_id"), graft.functions.bvecHamming(
+        graft.functions.binarize(col("embedding")),
+        graft.functions.binarize(typedLit(q))).cast("double").as("dist"))
+      .orderBy(col("dist"), col("vec_id")).limit(25)
+      .as[(Long, Double)].collect().toSeq
+    assert(got == want)
+    graft.index.IndexCatalog.drop(spark, name)
+  }
+}
