@@ -181,6 +181,42 @@ object Dedup {
     labels
   }
 
+  /** Materialized cluster assignment — the near-dup chain (shingle →
+    * minhash → banded LSH → exact-Jaccard verify → connected components)
+    * run ONCE and cataloged, so every consumer (cluster listing, deduped
+    * corpus, keep/drop joins) reads one small (node, rep) parquet instead
+    * of re-deriving the whole chain per query. At 100 TB the chain is the
+    * expensive part of any dedup pipeline; a pipeline that wants both the
+    * cluster report AND the deduped output must not run it twice.
+    *
+    * Staleness follows [[graft.index.IndexCatalog.ensure]]: source path +
+    * content fingerprint + the chain parameters in `requires`. Returns
+    * the parquet dir of (node, rep). */
+  def ensureClusters(spark: org.apache.spark.sql.SparkSession, name: String,
+      source: String, docs: => DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
+      minJacc: Double = 0.8): String = {
+    import graft.index.IndexCatalog
+    val params = Map(
+      "shingle" -> shingleK.toString, "bands" -> bands.toString,
+      "rows" -> rowsPerBand.toString,
+      "minhash" -> (bands * rowsPerBand).toString, "jacc" -> minJacc.toString)
+    IndexCatalog.ensure(spark, name, source, requires = params) { dataDir =>
+      val sh = docs.select(col(idCol).as("doc_id"),
+        shingleHashes(col(textCol), shingleK).as("shh"))
+      val sig = sh.select(col("doc_id"),
+        minhashSignatureHashed(col("shh"), bands * rowsPerBand).as("sig"))
+      val cands = lshCandidates(sig, "doc_id", "sig", bands, rowsPerBand)
+      val edges = verifyJaccard(cands, sh, "doc_id", "shh")
+        .filter(col("jacc") >= minJacc)
+        .select(col("doc_a"), col("doc_b"))
+      connectedComponents(edges, "doc_a", "doc_b")
+        .write.mode("overwrite").parquet(dataDir)
+      IndexCatalog.Manifest("dedup_cc", source, "jaccard", params)
+    }
+    graft.index.IndexCatalog.dataDir(spark, name)
+  }
+
   // --- SimHash -----------------------------------------------------------
 
   /** FNV-1a 64-bit over UTF-8 bytes — a public, trivially-reproducible

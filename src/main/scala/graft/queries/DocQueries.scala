@@ -27,8 +27,19 @@ object DocQueries {
     * train-time artifact among the doc queries. */
   def ensureAll(s: SparkSession, d: String): Unit = {
     graft.operators.Embed.fitCached(d, docs(s, d), "text", 64)
+    ensureDedupClusters(s, d)
     ()
   }
+
+  /** Build-once near-dup cluster assignment over the chain-dup corpus —
+    * the artifact q_dedup_cluster and q_dedup_apply both read (the
+    * chain runs once, not once per consumer). */
+  private def ensureDedupClusters(s: SparkSession, d: String): String =
+    graft.operators.Dedup.ensureClusters(s, s"dedupcc_${san(d)}", d,
+      docsWithChainDups(s, d), "doc_id", "text",
+      shingleK = 3, bands = 16, rowsPerBand = 4, minJacc = 0.8)
+
+  private def san(d: String): String = d.replaceAll("[^A-Za-z0-9]", "_")
 
   private def docs(s: SparkSession, d: String): DataFrame =
     t(s, d, "documents").select(col("doc_id"), col("text"), col("lang"))
@@ -276,44 +287,29 @@ object DocQueries {
     // --- near-dup CLUSTERING: LSH candidates -> exact-Jaccard verify ->
     //     connected components with a canonical representative (min id)
     //     — the keep-one-per-group step every corpus dedup ends with.
-    //     Edges come from the banded-LSH join (never all-pairs); CC is
-    //     min-label propagation, rounds = component diameter (here ≤ 2).
-    //     Oracle: DuckDB recursive CTE over the SAME verified edge set
-    //     (LSH misses a jacc≥0.8 edge with p≈1e-15, the q_dedup_minhash
-    //     argument). ---
+    //     The chain (banded-LSH edges, never all-pairs; min-propagation
+    //     CC) runs ONCE via the cataloged cluster artifact
+    //     (Dedup.ensureClusters); this query and q_dedup_apply both
+    //     read it. Oracle: DuckDB recursive CTE over the SAME verified
+    //     edge set (LSH misses a jacc≥0.8 edge with p≈1e-15, the
+    //     q_dedup_minhash argument). ---
     "q_dedup_cluster" -> ((s, d) => {
-      val sh = docsWithChainDups(s, d)
-        .select(col("doc_id"), Dedup.shingleHashes(col("text"), 3).as("shh"))
-      val sig = sh.select(col("doc_id"),
-        Dedup.minhashSignatureHashed(col("shh"), 64).as("sig"))
-      val cands = Dedup.lshCandidates(sig, "doc_id", "sig", bands = 16, rows = 4)
-      val edges = Dedup.verifyJaccard(cands, sh, "doc_id", "shh")
-        .filter(col("jacc") >= 0.8)
-        .select(col("doc_a"), col("doc_b"))
-      Dedup.connectedComponents(edges, "doc_a", "doc_b")
+      s.read.parquet(ensureDedupClusters(s, d))
         .select(col("node").as("doc_id"), col("rep"))
         .orderBy(col("doc_id"))
     }),
 
     // --- near-dup APPLY: the materialized deduped corpus — every dedup
-    //     pipeline's actual output. Clusters come from the same LSH →
-    //     verify → connected-components chain as q_dedup_cluster; kept
-    //     rows are cluster representatives (min id) plus all singletons,
-    //     via one anti-join of the corpus against non-representative
-    //     members. The oracle replays the recursive-CTE clustering and
-    //     the same anti-join. ---
+    //     pipeline's actual output. Clusters come from the SAME cataloged
+    //     artifact q_dedup_cluster reads (built once, not re-derived);
+    //     kept rows are cluster representatives (min id) plus all
+    //     singletons, via one anti-join of the corpus against
+    //     non-representative members. The oracle replays the
+    //     recursive-CTE clustering and the same anti-join. ---
     "q_dedup_apply" -> ((s, d) => {
-      val dd = docsWithChainDups(s, d)
-      val sh = dd.select(col("doc_id"), Dedup.shingleHashes(col("text"), 3).as("shh"))
-      val sig = sh.select(col("doc_id"),
-        Dedup.minhashSignatureHashed(col("shh"), 64).as("sig"))
-      val cands = Dedup.lshCandidates(sig, "doc_id", "sig", bands = 16, rows = 4)
-      val edges = Dedup.verifyJaccard(cands, sh, "doc_id", "shh")
-        .filter(col("jacc") >= 0.8)
-        .select(col("doc_a"), col("doc_b"))
-      val drop = Dedup.connectedComponents(edges, "doc_a", "doc_b")
+      val drop = s.read.parquet(ensureDedupClusters(s, d))
         .filter(col("node") =!= col("rep")).select(col("node").as("doc_id"))
-      dd.join(drop, Seq("doc_id"), "left_anti")
+      docsWithChainDups(s, d).join(drop, Seq("doc_id"), "left_anti")
         .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
         .orderBy(col("doc_id"))
     }),
@@ -427,6 +423,7 @@ object DocQueries {
     //     (rows-only: the catalog lives outside the oracle's tables) ---
     "q_index_stat" -> ((s, d) => {
       AnnQueries.ensureAll(s, d)
+      ensureDedupClusters(s, d)
       graft.index.IndexCatalog.stats(s)
         .filter(col("idx_source") === d)
         .select(col("idx_name"), col("idx_type"), col("idx_metric"),
@@ -493,6 +490,7 @@ object DocQueries {
     "q_index_stat" ->
       """SELECT * FROM (VALUES
            ('bvecann__root_testdata_sf0_01','ivf_bvec','hamming','nlist=16,stats=radii1,type=bvector',TRUE),
+           ('dedupcc__root_testdata_sf0_01','dedup_cc','jaccard','bands=16,jacc=0.8,minhash=64,rows=4,shingle=3',TRUE),
            ('f16ann__root_testdata_sf0_01','ivf_f16','l2','nlist=16,stats=radii1,type=vecf16',TRUE),
            ('hnsw_cos_p1__root_testdata_sf0_01','hnsw','cos','ef_construction=300,files=1,format=flatbin1,m=12,parts=1',TRUE),
            ('hnsw_cos_p4__root_testdata_sf0_01','hnsw','cos','ef_construction=300,files=4,format=flatbin1,m=12,parts=4',TRUE),
