@@ -20,18 +20,27 @@ object Bench {
     graft.queries.CoreQueries.ensureSegments(spark, sfDir)
     // untimed warmup: JIT + codegen + parquet reader init
     SparkEntry.queries("q_topk_l2")(spark, sfDir).count()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    def timedPass() = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
+    val results = timedPass()
+    // second pass = WARM numbers (planning/codegen amortized — the
+    // steady-state a long-lived session sees; cold-vs-warm is ~2x on the
+    // heavy dedup chains and regressions are only diagnosable against
+    // like-for-like). The headline total stays COLD for cross-round
+    // comparability.
+    val warm = timedPass()
     // Driver tail-captures stdout: keep the stdout line SHORT (ms-rounded
     // timings) and make it the FINAL line printed; full precision lives in
     // bench_out.json.
     def ms(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val total = results.map(_._2).sum
-    val qsFull = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"sf":"$sfDir"}"""
+    def jmap(rs: Seq[(String, Double)]) =
+      rs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val qsFull = jmap(results)
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"warm":${jmap(warm)},"warm_total":${warm.map(_._2).sum},"sf":"$sfDir"}"""
     // The driver tail-captures only the last 2,000 chars of stdout: the final
     // line must be TOTAL-ONLY (<100 chars). Per-query timings live exclusively
     // in bench_out.json.

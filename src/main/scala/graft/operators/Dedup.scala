@@ -128,15 +128,19 @@ object Dedup {
     * hash-partitioned on node id, no all-pairs anywhere); rounds needed =
     * component diameter. Near-dup components are mirror chains/cliques of
     * diameter ≤ 2, so this converges in 2–3 rounds; a corpus with
-    * adversarially long chains would swap in alternating
-    * large-star/small-star contraction (identical join shape, O(log n)
-    * rounds). The driver loop only counts a 1-row `limit(1)` convergence
-    * probe per round — never collects the frame.
+    * adversarially long chains can swap in alternating
+    * large-star/small-star contraction ([[connectedComponentsStar]],
+    * O(log n) rounds) via `spark.graft.dedup.cc = star`. The driver loop
+    * only counts a 1-row agg convergence probe per round — never
+    * collects the frame.
     *
     * Returns (node, rep) for every node incident to ≥1 edge; singleton
     * docs are not cluster members and never enter the frame. */
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 25): DataFrame = {
+    if (edges.sparkSession.conf
+        .get("spark.graft.dedup.cc", "minprop") == "star")
+      return connectedComponentsStar(edges, aCol, bCol, maxIter)
     // both orientations from ONE pass over edges (explode, not a
     // self-union — the upstream edge pipeline is typically an expensive
     // LSH-join + verify and a union would evaluate it twice)
@@ -168,8 +172,13 @@ object Dedup {
     while (!done && it < maxIter) {
       val viaNbr = und.join(labels, und("dst") === labels("node"))
         .select(und("src").as("node"), col("rep"))
+      // localCheckpoint, not cache: the round references `labels` twice,
+      // so keeping lineage doubles the logical plan per round — fine for
+      // diameter-2 near-dup graphs, a driver OOM on adversarial chains
+      // (plan size 2^rounds). Checkpointing truncates the plan; the
+      // materialization IS the one action the Σrep probe needs anyway.
       val next = labels.unionAll(viaNbr)
-        .groupBy("node").agg(min("rep").as("rep")).cache()
+        .groupBy("node").agg(min("rep").as("rep")).localCheckpoint()
       val s = repSum(next)
       labels.unpersist()
       labels = next
@@ -179,6 +188,100 @@ object Dedup {
     }
     und.unpersist()
     labels
+  }
+
+  /** Connected components by ALTERNATING LARGE-STAR / SMALL-STAR
+    * contraction — the O(log n)-round fallback for adversarially long
+    * duplicate chains, where min-propagation's diameter-many rounds
+    * degrade (published MapReduce CC literature; also the shape
+    * production graph libraries use). Same output contract as
+    * [[connectedComponents]]: (node, rep = component min) for every node
+    * incident to ≥1 edge — the two are property-tested equal on random
+    * graphs (DedupSpec).
+    *
+    * large-star: every node u hangs its LARGER neighbors off
+    * m = min(Γ(u) ∪ {u}); small-star: every node u re-hangs its
+    * smaller-or-equal neighbors (canonical hi→lo orientation) plus
+    * itself off m. Both are one groupBy + one equi-join on node id —
+    * bucketed, never all-pairs — and both preserve connectivity; the
+    * fixpoint is a disjoint union of stars centered at component minima.
+    * Convergence probe per round = one 3-value agg (count, Σhi, Σlo);
+    * a stats match is CONFIRMED with one exact set-diff before
+    * returning, so a checksum collision can never return a non-fixpoint
+    * labeling (it just keeps iterating). */
+  def connectedComponentsStar(edges: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 25): DataFrame = {
+    // canonical undirected edge set (hi > lo), self-loops dropped from
+    // the contraction but their nodes kept for the label contract
+    val raw = edges.select(col(aCol).cast("long").as("a"),
+      col(bCol).cast("long").as("b"))
+    val incident = raw.select(col("a").as("node"))
+      .unionAll(raw.select(col("b").as("node"))).distinct()
+    var e = raw.filter(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("hi"),
+        least(col("a"), col("b")).as("lo"))
+      .distinct().cache()
+
+    def largeStar(ed: DataFrame): DataFrame = {
+      val und = ed.select(explode(array(
+          struct(col("hi").as("u"), col("lo").as("v")),
+          struct(col("lo").as("u"), col("hi").as("v")))).as("e"))
+        .select(col("e.u").as("u"), col("e.v").as("v"))
+      val mins = und.groupBy(col("u").as("mu"))
+        .agg(min(col("v")).as("mn"))
+        .select(col("mu"), least(col("mu"), col("mn")).as("m"))
+      und.join(mins, col("u") === col("mu"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("hi"), col("m").as("lo"))
+        .distinct()
+    }
+    def smallStar(ed: DataFrame): DataFrame = {
+      val mins = ed.groupBy("hi").agg(min("lo").as("m"))
+      ed.join(mins, "hi")
+        .select(explode(array(
+          struct(col("lo").as("x"), col("m").as("y")),
+          struct(col("hi").as("x"), col("m").as("y")))).as("e"))
+        .select(col("e.x").as("x"), col("e.y").as("y"))
+        .filter(col("x") =!= col("y"))
+        .select(greatest(col("x"), col("y")).as("hi"),
+          least(col("x"), col("y")).as("lo"))
+        .distinct()
+    }
+    def stats(ed: DataFrame): (Long, Long, Long) = {
+      val r = ed.agg(count(lit(1)), sum(col("hi")), sum(col("lo"))).head()
+      (r.getLong(0),
+        if (r.isNullAt(1)) 0L else r.getLong(1),
+        if (r.isNullAt(2)) 0L else r.getLong(2))
+    }
+
+    var prev = stats(e)
+    var it = 0
+    var done = e.limit(1).isEmpty
+    while (!done && it < maxIter) {
+      // localCheckpoint, not cache: each round references the previous
+      // frame FOUR times (two orientations × two stars), so keeping the
+      // lineage would grow the logical plan 4^rounds — checkpointing
+      // materializes the round and truncates the plan (the standard
+      // lineage control for iterative DataFrame algorithms)
+      val next = smallStar(largeStar(e)).localCheckpoint()
+      val s = stats(next)
+      if (s == prev)
+        // exact confirmation: counts already match, so a one-sided
+        // anti-diff proves set equality
+        done = next.exceptAll(e).limit(1).isEmpty
+      e.unpersist()
+      e = next
+      prev = s
+      it += 1
+    }
+    // star fixpoint: (hi, lo) IS (node, component min); centers label
+    // themselves; nodes with only self-loop edges are their own rep
+    val starLabels = e.select(col("hi").as("node"), col("lo").as("rep"))
+      .unionAll(e.select(col("lo")).distinct()
+        .select(col("lo").as("node"), col("lo").as("rep")))
+    starLabels.unionAll(
+      incident.join(starLabels.select(col("node")), Seq("node"), "left_anti")
+        .select(col("node"), col("node").as("rep")))
   }
 
   /** Materialized cluster assignment — the near-dup chain (shingle →

@@ -200,9 +200,55 @@ object Hnsw {
       }
     }
 
-    private def greedyStep(q: Array[Float], start: Int, level: Int): Int = {
+    /** Search-time metric override for the typed opclass cells that share
+      * one graph artifact (the typed-IVF convention: the artifact stores
+      * the densified payload once; ranking and scoring are search-time
+      * choices — the reference allows any opclass under the hnsw AM,
+      * finalize.sql:719-803 × crates/indexing/src/sealed.rs:16-110).
+      * Kernels accumulate in double, index order 0..dims-1, so on the
+      * densified stored views they are bit-identical to the typed
+      * expression kernels (zeros contribute exactly +0.0; independent
+      * accumulators make one pass equal the kernels' separate passes;
+      * cos is the DIRECT one-pass form, the vecf16-cos convention — not
+      * normalize-at-build). Codes: 0 = build metric, 1 = l2, 2 = negdot,
+      * 3 = direct cos, 4 = jaccard over 0/1. */
+    @inline private def distWith(q: Array[Float], node: Int, code: Int): Double = {
+      if (code == 0) return distTo(q, node)
+      val off = node * dims
+      code match {
+        case 1 =>
+          var acc = 0.0; var i = 0
+          while (i < dims) {
+            val d = q(i).toDouble - vecs(off + i); acc += d * d; i += 1
+          }
+          acc
+        case 2 =>
+          var acc = 0.0; var i = 0
+          while (i < dims) { acc += q(i).toDouble * vecs(off + i); i += 1 }
+          -acc
+        case 3 =>
+          var xy = 0.0; var xx = 0.0; var yy = 0.0; var i = 0
+          while (i < dims) {
+            val x = vecs(off + i).toDouble; val y = q(i).toDouble
+            xy += x * y; xx += x * x; yy += y * y; i += 1
+          }
+          1.0 - xy / math.sqrt(xx * yy)
+        case 4 =>
+          var inter = 0L; var union = 0L; var i = 0
+          while (i < dims) {
+            val x = vecs(off + i) > 0f; val y = q(i) > 0f
+            if (x && y) inter += 1
+            if (x || y) union += 1
+            i += 1
+          }
+          1.0 - inter.toDouble / union.toDouble
+      }
+    }
+
+    private def greedyStep(q: Array[Float], start: Int, level: Int,
+        code: Int = 0): Int = {
       var cur = start
-      var curD = distTo(q, cur)
+      var curD = distWith(q, cur, code)
       var improved = true
       while (improved) {
         improved = false
@@ -211,7 +257,7 @@ object Hnsw {
         val end = nbrOff(li + 1)
         while (j < end) {
           val n = nbrs(j)
-          val d = distTo(q, n)
+          val d = distWith(q, n, code)
           if (d < curD) { curD = d; cur = n; improved = true }
           j += 1
         }
@@ -219,10 +265,10 @@ object Hnsw {
       cur
     }
 
-    private def searchLayer(q: Array[Float], ep: Int, ef: Int, level: Int)
-        : IndexedSeq[(Double, Int)] = {
+    private def searchLayer(q: Array[Float], ep: Int, ef: Int, level: Int,
+        code: Int = 0): IndexedSeq[(Double, Int)] = {
       val visited = mutable.BitSet(ep)
-      val epD = distTo(q, ep)
+      val epD = distWith(q, ep, code)
       val cand = mutable.PriorityQueue((-epD, ep))(Ordering.by(_._1))
       val res = mutable.PriorityQueue((epD, ep))(Ordering.by(_._1))
       while (cand.nonEmpty) {
@@ -237,7 +283,7 @@ object Hnsw {
             val n = nbrs(j)
             if (!visited.contains(n)) {
               visited += n
-              val d = distTo(q, n)
+              val d = distWith(q, n, code)
               if (res.size < ef || d < res.head._1) {
                 cand.enqueue((-d, n))
                 res.enqueue((d, n))
@@ -260,6 +306,48 @@ object Hnsw {
         .take(k).map { case (d, n) => (d, ids(n)) }
     }
 
+    /** Graph walk RANKED by a search-time metric override (see
+      * [[distWith]]): the navigable-small-world edges were built in the
+      * family's base metric, but greedy descent and beam search evaluate
+      * the override kernel — the typed-IVF convention (list ranking is a
+      * search-time choice) lifted to graphs. Approximate, like any graph
+      * walk; its exact twin is [[bruteForceMetric]]. */
+    def searchMetric(q: Array[Float], k: Int, efSearch: Int,
+        metric: String): Seq[(Double, Long)] = {
+      if (entry < 0 || ids.length == 0) return Nil
+      val code = FlatGraph.metricCode(metric)
+      var ep = entry
+      var lc = maxLevel
+      while (lc > 0) { ep = greedyStep(q, ep, lc, code); lc -= 1 }
+      searchLayer(q, ep, math.max(efSearch, k), 0, code)
+        .take(k).map { case (d, n) => (d, ids(n)) }
+    }
+
+    /** Exhaustive flat scan in the override metric — exact top-k over the
+      * stored payloads regardless of graph reachability. */
+    def bruteForceMetric(q: Array[Float], k: Int, metric: String): Seq[(Double, Long)] = {
+      val n = ids.length
+      if (n == 0) return Nil
+      val code = FlatGraph.metricCode(metric)
+      val all = new Array[(Double, Long)](n)
+      var i = 0
+      while (i < n) { all(i) = (distWith(q, i, code), ids(i)); i += 1 }
+      all.sortBy(identity).take(k).toSeq
+    }
+
+    /** EXACT within-radius flat scan (the sphere-range member of the
+      * opclass): every stored row whose dist + off < r, same kernel and
+      * accumulation order as [[bruteForce]]. `off` carries the cos
+      * convention (stored -dot + 1.0 = cosine distance); reachability
+      * never matters because the scan is flat, not a graph walk. */
+    def rangeFlat(q: Array[Float], r: Double, off: Double): Iterator[(Long, Double)] = {
+      val n = ids.length
+      Iterator.range(0, n).flatMap { i =>
+        val d = distTo(q, i) + off
+        if (d < r) Iterator.single((ids(i), d)) else Iterator.empty
+      }
+    }
+
     /** PROVABLY exhaustive top-k over the stored vectors — the exact-mode
       * contract. Graph traversal at huge ef only reaches the entry's
       * connected component, which duplicate-heavy spaces (binarized
@@ -279,6 +367,15 @@ object Hnsw {
   object FlatGraph {
     private val Magic = 0x47524654 // "GRFT"
     private val Version = 1
+
+    /** Override-metric codes for [[FlatGraph.distWith]]. */
+    private[graft] def metricCode(metric: String): Int = metric match {
+      case "l2" => 1
+      case "dot" => 2
+      case "cos" => 3
+      case "jaccard" => 4
+      case m => throw new IllegalArgumentException(s"unknown override metric $m")
+    }
 
     def write(out: java.io.DataOutputStream, g: FlatGraph): Unit = {
       out.writeInt(Magic); out.writeInt(Version)
@@ -515,6 +612,18 @@ object Hnsw {
     IndexCatalog.dataDir(spark, name)
   }
 
+  /** DDL-option-spelling ensure (reference pgvector compatibility,
+    * src/index/compatibility.rs:7-60): `m` / `ef_construction` reloption
+    * names parsed by [[graft.index.IndexOptions.hnsw]] — both the
+    * pgvector and the native spelling land on the SAME manifest, so
+    * re-ensuring under the other spelling is a no-op. */
+  def ensure(spark: org.apache.spark.sql.SparkSession, name: String,
+      df: => DataFrame, source: String, idCol: String, vecCol: String,
+      metric: String, parts: Int, options: Map[String, String]): String = {
+    val (m, efc) = graft.index.IndexOptions.hnsw(options)
+    ensure(spark, name, df, source, idCol, vecCol, metric, parts, m, efc)
+  }
+
   /** Search persisted per-partition graphs; global ordered merge of the
     * per-graph top-k streams (the LoserTree analog). Per-query cost is
     * k·efSearch distance evaluations per RESIDENT graph — graphs load
@@ -594,6 +703,75 @@ object Hnsw {
           math.min(kr, Int.MaxValue.toLong).toInt, efSearch, exact)), Seq(idCol))
         .orderBy(col("dist"), col(idCol)).limit(k)
     result
+  }
+
+  /** Typed-opclass search over an EXISTING graph artifact with a
+    * search-time metric override — completes the typed HNSW metric
+    * matrix (f16 cos/dot, bvec jaccard/dot, svec cos/dot) without
+    * per-metric artifacts, reusing the typed-IVF convention that metric
+    * is a search-time choice (reference: any opclass under the hnsw
+    * indexing option, finalize.sql:719-803 ×
+    * crates/indexing/src/sealed.rs:16-110). The override kernels score
+    * the stored densified payloads directly (cos is the DIRECT one-pass
+    * form, never normalize-at-build — the vecf16-cos convention), so no
+    * cos offset applies. `exact = true` flat-scans every graph — the
+    * provable exact twin. */
+  def searchIndexMetric(spark: org.apache.spark.sql.SparkSession,
+      path: String, idCol: String, q: Array[Float], k: Int, metric: String,
+      efSearch: Int = 100, exact: Boolean = false): DataFrame = {
+    import spark.implicits._
+    val dirPath = new org.apache.hadoop.fs.Path(path)
+    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.globStatus(new org.apache.hadoop.fs.Path(path, "graph-*.bin"))
+      .map(_.getPath.toString).sorted.toSeq
+    if (files.isEmpty)
+      return spark.emptyDataset[(Long, Double)].toDF(idCol, "dist")
+    val bq = spark.sparkContext.broadcast(q)
+    val hconf = confEntries(spark)
+    val hits = spark.sparkContext
+      .parallelize(files, files.length)
+      .mapPartitions { it =>
+        val conf = mkConf(hconf)
+        it.flatMap { f =>
+          val g = GraphCache.get(f, conf)
+          val res = if (exact) g.bruteForceMetric(bq.value, k, metric)
+                    else g.searchMetric(bq.value, k, efSearch, metric)
+          res.iterator.map { case (d, id) => (id, d) }
+        }
+      }.toDF(idCol, "dist")
+    hits.orderBy(col("dist"), col(idCol)).limit(k)
+  }
+
+  /** EXACT sphere-range over the graph artifact — the strategy-2 sphere
+    * predicate for hnsw-kind registrations (the reference's sphere
+    * operators work under every index kind, src/index/am_scan.rs:26-55,
+    * finalize.sql:745-803). Graphs hold their vectors executor-resident
+    * (FlatGraph payload + byte-LRU GraphCache), so the exact filter is a
+    * flat scan of resident float arrays — range is not top-k, so no
+    * refill loop, and the result is exact by construction. Cos graphs
+    * store normalize-at-build vectors; the CALLER passes the normalized
+    * query (the searchIndex convention) and rows score 1 - dot. */
+  def rangeSearchFlat(spark: org.apache.spark.sql.SparkSession, path: String,
+      idCol: String, q: Array[Float], r: Double): DataFrame = {
+    import spark.implicits._
+    val dirPath = new org.apache.hadoop.fs.Path(path)
+    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.globStatus(new org.apache.hadoop.fs.Path(path, "graph-*.bin"))
+      .map(_.getPath.toString).sorted.toSeq
+    if (files.isEmpty)
+      return spark.emptyDataset[(Long, Double)].toDF(idCol, "dist")
+    val bq = spark.sparkContext.broadcast(q)
+    val hconf = confEntries(spark)
+    spark.sparkContext
+      .parallelize(files, files.length)
+      .mapPartitions { it =>
+        val conf = mkConf(hconf)
+        it.flatMap { f =>
+          val g = GraphCache.get(f, conf)
+          val off = if (g.metric == "cos") 1.0 else 0.0
+          g.rangeFlat(bq.value, r, off)
+        }
+      }.toDF(idCol, "dist")
   }
 
   /** Exact-mode search over a (single-graph) artifact: flat scan of the

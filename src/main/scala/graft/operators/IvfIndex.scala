@@ -170,6 +170,17 @@ object IvfIndex {
     (Model(m.metric, m.centroids), IndexCatalog.dataDir(spark, name))
   }
 
+  /** DDL-option-spelling ensure (reference pgvector compatibility,
+    * src/index/compatibility.rs:7-60): pgvector's `lists` ≡ native
+    * `nlist`, parsed by [[graft.index.IndexOptions.ivf]] — both
+    * spellings land on the SAME manifest, so re-ensuring under the
+    * other spelling is a no-op. */
+  def ensure(spark: SparkSession, name: String, df: => DataFrame,
+      source: String, vecCol: String, metric: String,
+      options: Map[String, String]): (Model, String) =
+    ensure(spark, name, df, source, vecCol, metric,
+      graft.index.IndexOptions.ivf(options))
+
   /** EXACT within-radius search (sphere predicate pushdown): prune lists
     * whose triangle-inequality lower bound exceeds the radius —
     * ||q - x|| >= ||q - c|| - maxr(list) for x in the list — then apply

@@ -245,7 +245,8 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
             val nf = Filter(cond, newChild)
             nf.setTagValue(RewrittenTag, true)
             Project(projList, nf)
-          case None => matchTypedRange(projList, cond, rel).getOrElse(p)
+          case None => matchRangeHnsw(projList, cond, rel)
+            .orElse(matchTypedRange(projList, cond, rel)).getOrElse(p)
         }
     }
   }
@@ -298,6 +299,69 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     }
     if (remap.length != rel.output.length) return None
     Some(Project(remap, newPlan))
+  }
+
+  /** Sphere-range for HNSW-kind registrations — the reference's
+    * strategy-2 sphere predicates work under EVERY index kind
+    * (src/index/am_scan.rs:26-55; finalize.sql:745-803), so a table whose
+    * only dense index is a graph must still get the rewrite. Graph
+    * artifacts hold their vectors executor-resident, so the EXACT filter
+    * is a resident flat scan (Hnsw.rangeSearchFlat) — no pruning stats
+    * needed and no refill loop (range is not top-k). Unlike the IVF form,
+    * graph payloads carry only (id, vec), so the original filter cannot
+    * be reapplied wholesale; the guards therefore mirror matchTypedRange:
+    * the projection must be exactly {id, dist} and the condition's only
+    * non-IsNotNull conjunct the range predicate (the distance is
+    * evaluated inside the scan, per-row, same kernel and accumulation
+    * order as the exact-mode flat scan). Cos graphs follow
+    * normalize-at-build: the rewrite hands them the normalized query and
+    * rows score 1 - dot (the normalized-replay convention shared with the
+    * cos top-k pushdown). */
+  private def matchRangeHnsw(projList: Seq[NamedExpression],
+      cond: Expression, rel: LogicalPlan): Option[LogicalPlan] = {
+    if (!rel.isInstanceOf[LogicalRelation] &&
+        !rel.isInstanceOf[org.apache.spark.sql.execution.columnar.InMemoryRelation])
+      return None
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case x => Seq(x)
+    }
+    val nonNull = conjuncts(cond).filterNot(_.isInstanceOf[IsNotNull])
+    if (nonNull.length != 1) return None
+    val (vecAttr, qLit, r, metric) = nonNull.collectFirst {
+      case LessThan(L2sqDistance(v: AttributeReference, q: Literal),
+          Literal(r: Double, _)) => (v, q, r, "l2")
+      case LessThan(CosDistance(v: AttributeReference, q: Literal),
+          Literal(r: Double, _)) => (v, q, r, "cos")
+      case LessThan(NegDotDistance(v: AttributeReference, q: Literal),
+          Literal(r: Double, _)) => (v, q, r, "dot")
+    }.getOrElse(return None)
+    val idx = lookup(pathsOf(rel), metric).getOrElse(return None)
+    if (vecAttr.name != idx.vecCol) return None
+    val manifest = graft.index.IndexCatalog.load(spark, idx.indexName)
+      .getOrElse(return None)
+    if (manifest.kind != "hnsw" || manifest.metric != metric) return None
+    val distAlias = projList.collectFirst {
+      case a @ Alias(child, _) if nonNull.head.asInstanceOf[LessThan]
+        .left.semanticEquals(child) => a
+    }.getOrElse(return None)
+    val idAttr = projList.collectFirst {
+      case a: AttributeReference if a.name == idx.idCol => a
+    }.getOrElse(return None)
+    if (!projList.forall(ne =>
+        ne.exprId == idAttr.exprId || ne.exprId == distAlias.exprId))
+      return None
+    val q = floatsOf(qLit)
+    val qq = if (metric == "cos") IvfIndex.Kernels.normalize(q) else q
+    val dataDir = graft.index.IndexCatalog.dataDir(spark, idx.indexName)
+    val df = graft.operators.Hnsw.rangeSearchFlat(spark, dataDir,
+      idx.idCol, qq, r)
+    val newPlan = df.queryExecution.analyzed
+    val byName = newPlan.output.map(a => a.name -> a).toMap
+    Some(Project(Seq(
+      Alias(byName(idx.idCol), idAttr.name)(exprId = idAttr.exprId),
+      Alias(byName("dist"), distAlias.name)(exprId = distAlias.exprId)),
+      newPlan))
   }
 
   /** Typed-family sphere range (the strategy-2 members of the bvector /

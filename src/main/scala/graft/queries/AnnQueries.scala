@@ -360,6 +360,36 @@ object AnnQueries {
         AnnPushdown.restore(srcPath, prevReg)
       }
     }),
+    // Sphere range over an HNSW-only registration (the reference's
+    // strategy-2 sphere predicates work under every index kind): the
+    // rewrite flat-scans the executor-resident FlatGraph payloads and
+    // evaluates the exact l2 kernel per row — same accumulation order as
+    // the stored-vector exact mode, so the dense l2 oracle replays it.
+    "q_range_pushdown_hnsw" -> ((s, d) => {
+      import graft.plans.AnnPushdown
+      hnsw(s, d, 4)
+      AnnPushdown.install(s)
+      val srcPath = s"$d/embeddings.parquet"
+      val prevReg = AnnPushdown.snapshot(srcPath)
+      AnnPushdown.register(srcPath, AnnPushdown.IndexedTable(
+        s"hnsw_l2_p4_${san(d)}", "vec_id", "embedding", "l2"))
+      val prevEnabled = s.conf.get("spark.graft.ann.enabled", "false")
+      s.conf.set("spark.graft.ann.enabled", "true")
+      try {
+        val df = s.read.parquet(srcPath)
+          .select(col("vec_id"),
+            l2sq(col("embedding"), typedLit(qvec(s, d))).as("dist"))
+          .filter(col("dist") < lit(1.5))
+        val optimized = df.queryExecution.optimizedPlan
+        assert(!optimized.toString.contains("embeddings.parquet"),
+          "hnsw range pushdown did not rewrite the plan")
+        org.apache.spark.sql.graftshim.Shims.ofRows(s, optimized)
+          .orderBy(col("dist"), col("vec_id"))
+      } finally {
+        s.conf.set("spark.graft.ann.enabled", prevEnabled)
+        AnnPushdown.restore(srcPath, prevReg)
+      }
+    }),
     // TYPED sphere range through the optimizer rule (strategy-2 members
     // of the typed opclasses): hamming over binarized floats is integer
     // arithmetic -> full value oracle. EXACT by construction: triangle
@@ -875,6 +905,23 @@ object AnnQueries {
       Hnsw.searchIndexExact(s, f16Hnsw(s, d, 1), "c_custkey",
         Array(12f, 50f, 3f, 7f), k = 100)
     }),
+    // bvector Jaccard HNSW (opclass bvector_jaccard_ops on the hnsw AM):
+    // SEARCH-TIME metric override on the shared 0/1 graph artifact — the
+    // typed-IVF convention (one artifact per family, metric a search
+    // choice) lifted to graphs. Exact mode flat-scans with the jaccard
+    // kernel: integer intersection/union counts -> exact-ratio oracle.
+    "q_bvec_jaccard_hnsw_exact" -> ((s, d) => {
+      val q01 = qvec(s, d).map(x => if (x > 0f) 1f else 0f)
+      Hnsw.searchIndexMetric(s, bvecHnsw(s, d, 1), "vec_id", q01,
+        k = 100, metric = "jaccard", exact = true)
+    }),
+    // approximate twin: jaccard-ranked walk of the hamming-built graph
+    // (rows-only; recall vs the exact twin in AnnSpec)
+    "q_bvec_jaccard_hnsw_topk" -> ((s, d) => {
+      val q01 = qvec(s, d).map(x => if (x > 0f) 1f else 0f)
+      Hnsw.searchIndexMetric(s, bvecHnsw(s, d, 1), "vec_id", q01,
+        k = 100, metric = "jaccard", efSearch = efSearchConf(s))
+    }),
 
     // svector L2 HNSW: graph search over the densified CSR view
     // (approximate — rows-only; recall vs the exact twin in AnnSpec)
@@ -1125,6 +1172,12 @@ object AnnQueries {
                     * list_aggregate(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS dist
            FROM n e CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q)
          WHERE dist < 0.8 ORDER BY vec_id""",
+    "q_range_pushdown_hnsw" ->
+      """SELECT vec_id, dist FROM (
+           SELECT e.vec_id AS vec_id,
+             list_aggregate(list_transform(list_zip(e.embedding, q.qv), p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), 'sum') AS dist
+           FROM embeddings e CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q)
+         WHERE dist < 1.5 ORDER BY dist, vec_id""",
     "q_range_pushdown_bvec" ->
       """SELECT vec_id, dist FROM (
            SELECT e.vec_id AS vec_id,
@@ -1201,6 +1254,12 @@ object AnnQueries {
     "q_bvec_hnsw_exact" ->
       """SELECT e.vec_id AS vec_id,
          CAST(list_aggregate(list_transform(list_zip(e.embedding, q.qv), p -> CASE WHEN (p[1] > 0) <> (p[2] > 0) THEN 1 ELSE 0 END), 'sum') AS DOUBLE) AS dist
+         FROM embeddings e CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+         ORDER BY dist, vec_id LIMIT 100""",
+    "q_bvec_jaccard_hnsw_exact" ->
+      """SELECT e.vec_id AS vec_id,
+         1.0 - CAST(list_aggregate(list_transform(list_zip(e.embedding, q.qv), p -> CASE WHEN (p[1] > 0) AND (p[2] > 0) THEN 1 ELSE 0 END), 'sum') AS DOUBLE)
+             / CAST(list_aggregate(list_transform(list_zip(e.embedding, q.qv), p -> CASE WHEN (p[1] > 0) OR (p[2] > 0) THEN 1 ELSE 0 END), 'sum') AS DOUBLE) AS dist
          FROM embeddings e CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
          ORDER BY dist, vec_id LIMIT 100""",
     "q_vecf16_hnsw_exact" ->

@@ -1,0 +1,87 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Machine-readable recall report — the Spark analog of the reference
+  * CLI's precision measurement (crates/cli/src/main.rs:20-33): for every
+  * ANN family, recall@k of the approximate path at DEFAULT knobs
+  * (nprobe = 10, ef_search = 100, default rerank windows) against its
+  * exact oracle-backed twin, written to `RECALL.json` in the working
+  * directory. Tie-aware: a hit is any returned row whose score is no
+  * worse than the true kth score (integer metrics — Hamming, Jaccard —
+  * tie heavily, and id-set recall would under-report equally-good
+  * answers). Run: `sbt "runMain graft.tools.Recall [sfDir]"`. */
+object Recall {
+
+  /** One ANN family: approximate query at defaults vs its exact twin.
+    * `asc = false` marks similarity-scored outputs (bigger is better). */
+  final case class Fam(family: String, approx: String, exact: String,
+      asc: Boolean = true)
+
+  val families: Seq[Fam] = Seq(
+    Fam("ivf_l2", "q_ivf_topk_l2", "q_ivf_exact_l2"),
+    Fam("ivf_cos", "q_ivf_topk_cos", "q_ivf_exact_cos"),
+    Fam("hnsw_l2", "q_hnsw_topk_l2", "q_hnsw_exact_l2"),
+    Fam("hnsw_cos", "q_hnsw_topk_cos", "q_hnsw_exact_cos"),
+    Fam("sq8", "q_sq8_topk_l2", "q_sq8_exact_l2"),
+    Fam("pq", "q_pq_topk_l2", "q_pq_exact_l2"),
+    Fam("pq4_fastscan", "q_pq4_topk_l2", "q_pq4_exact_l2"),
+    Fam("rabitq", "q_rabitq_topk_l2", "q_rabitq_exact_l2"),
+    Fam("ivf_sq8", "q_ivfsq8_topk_l2", "q_ivfsq8_exact_l2"),
+    Fam("ivf_pq", "q_ivfpq_topk_l2", "q_ivfpq_exact_l2"),
+    Fam("hnsw_sq8", "q_hnswsq8_topk_l2", "q_hnswsq8_exact_l2"),
+    Fam("hnsw_pq", "q_hnswpq_topk_l2", "q_hnswpq_exact_l2"),
+    Fam("hnsw_rabitq", "q_hnswrq_topk_l2", "q_hnswrq_exact_l2"),
+    Fam("incr_hnsw", "q_incrhnsw_topk", "q_incrhnsw_exact"),
+    Fam("incr_ivf", "q_ivfincr_topk", "q_ivfincr_exact"),
+    Fam("bvec_hamming_ivf", "q_bvec_ann_topk", "q_bvec_ann_exact"),
+    Fam("bvec_jaccard_ivf", "q_bvec_jaccard_ann_topk", "q_bvec_jaccard_ann_exact"),
+    Fam("bvec_jaccard_hnsw", "q_bvec_jaccard_hnsw_topk", "q_bvec_jaccard_hnsw_exact"),
+    Fam("vecf16_l2_ivf", "q_vecf16_ann_topk", "q_vecf16_ann_exact"),
+    Fam("vecf16_cos_ivf", "q_vecf16_ann_cos_topk", "q_vecf16_ann_cos_exact"),
+    Fam("svec_l2_ivf", "q_svec_ann_topk", "q_svec_ann_exact"),
+    Fam("svec_l2_hnsw", "q_svec_hnsw_topk", "q_svec_hnsw_exact"),
+    Fam("sparse_inverted", "q_sparse_topk_pruned", "q_sparse_topk", asc = false),
+    Fam("maxsim_ivf", "q_maxsim_ivf", "q_maxsim_topk", asc = false))
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def scores(name: String): Array[Double] =
+      graft.SparkEntry.queries(name)(spark, sfDir)
+        .collect().map(r => r.get(1) match {
+          case d: java.lang.Double => d.doubleValue()
+          case n: Number => n.doubleValue()
+        })
+
+    val rows = families.map { f =>
+      val ex = scores(f.exact)
+      val ap = scores(f.approx)
+      val k = ex.length
+      val kth = if (f.asc) ex.max else ex.min
+      val hits =
+        if (f.asc) ap.count(_ <= kth + 1e-9) else ap.count(_ >= kth - 1e-9)
+      val recall = math.min(hits.toDouble / math.max(k, 1), 1.0)
+      println(f"[recall] ${f.family}%-20s recall@$k = $recall%.3f")
+      f.family -> (recall, k)
+    }
+    val json = rows.map { case (fam, (r, k)) =>
+      s""""$fam":{"recall":${BigDecimal(r).setScale(4,
+        BigDecimal.RoundingMode.HALF_UP)},"k":$k}"""
+    }.mkString(
+      s"""{"sf":"$sfDir","defaults":{"nprobe":10,"ef_search":100},"families":{""",
+      ",", "}}")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("RECALL.json"), json + "\n")
+    spark.stop()
+    println(s"[recall] wrote RECALL.json (${rows.length} families)")
+  }
+}

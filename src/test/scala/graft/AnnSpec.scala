@@ -214,6 +214,85 @@ class AnnSpec extends SparkSpec {
     graft.index.IndexCatalog.drop(spark, fName)
   }
 
+  test("typed HNSW metric override: one graph artifact serves the family's metrics") {
+    import graft.queries.AnnQueries
+    // bvector family: jaccard + dot ranked on the shared hamming-built
+    // 0/1 graph (exact twin must be BIT-identical to the typed kernels —
+    // integer counts / exact-ratio doubles)
+    val bPath = AnnQueries.bvecHnsw(spark, sf001, 1)
+    val q01 = q.map(x => if (x > 0f) 1f else 0f)
+    for (metric <- Seq("jaccard", "dot")) {
+      val d = metric match {
+        case "jaccard" => bvecJaccard(binarize($"embedding"), binarize(typedLit(q)))
+        case "dot" => bvecNegdot(binarize($"embedding"), binarize(typedLit(q)))
+      }
+      val want = emb.select($"vec_id", d.as("dist"))
+        .orderBy($"dist", $"vec_id").limit(50).as[(Long, Double)].collect().toSeq
+      val exact = Hnsw.searchIndexMetric(spark, bPath, "vec_id", q01, 50,
+        metric, exact = true).as[(Long, Double)].collect().toSeq
+      assert(exact == want, s"bvec $metric exact twin must be bit-identical")
+      val kth = want.map(_._2).max
+      val approx = Hnsw.searchIndexMetric(spark, bPath, "vec_id", q01, 50,
+        metric).as[(Long, Double)].collect()
+      assert(approx.length == 50)
+      val rec = approx.count(_._2 <= kth) / 50.0
+      info(s"bvec $metric override recall@50 = $rec")
+      assert(rec >= 0.9, s"bvec $metric override recall $rec")
+    }
+
+    // vecf16 family: direct-cos + dot on the shared l2-built graph of
+    // f16-rounded small-int vectors (f16-exact -> kernels replay exactly)
+    val fPath = AnnQueries.f16Hnsw(spark, sf001, 1)
+    val cust = spark.read.parquet(s"$sf001/customer.parquet")
+      .select($"c_custkey", array($"c_nationkey".cast("float"),
+        ($"c_custkey" % 100).cast("float"), ($"c_custkey" % 7).cast("float"),
+        ($"c_custkey" % 13).cast("float")).as("v4"))
+    val qf = Array(12f, 50f, 3f, 7f)
+    for (metric <- Seq("cos", "dot")) {
+      val d = metric match {
+        case "cos" => f16Cosdist(toF16Bits($"v4"), toF16Bits(typedLit(qf)))
+        case "dot" => f16NegDot(toF16Bits($"v4"), toF16Bits(typedLit(qf)))
+      }
+      val want = cust.select($"c_custkey".cast("long"), d.as("dist"))
+        .orderBy($"dist", $"c_custkey").limit(50).as[(Long, Double)].collect().toSeq
+      val exact = Hnsw.searchIndexMetric(spark, fPath, "c_custkey", qf, 50,
+        metric, exact = true).as[(Long, Double)].collect().toSeq
+      assert(exact == want, s"f16 $metric exact twin must be bit-identical")
+      val kth = want.map(_._2).max
+      val approx = Hnsw.searchIndexMetric(spark, fPath, "c_custkey", qf, 50,
+        metric).as[(Long, Double)].collect()
+      assert(approx.length == 50)
+      val rec = approx.count(_._2 <= kth) / 50.0
+      info(s"f16 $metric override recall@50 = $rec")
+      assert(rec >= 0.9, s"f16 $metric override recall $rec")
+    }
+
+    // svector family: direct-cos + dot on the shared l2-built graph of
+    // densified sparsified vectors (zeros contribute exactly +0.0)
+    val sPath = AnnQueries.svecHnsw(spark, sf001, 1)
+    val qs = q.map(x => if (math.abs(x.toDouble) > 0.15) x else 0.0f)
+    val spv = svecFromDense(transform($"embedding",
+      x => when(abs(x) > lit(0.15), x).otherwise(lit(0.0f))))
+    for (metric <- Seq("cos", "dot")) {
+      val d = metric match {
+        case "cos" => svecCosdist(spv, svecFromDense(typedLit(qs)))
+        case "dot" => svecNegdot(spv, svecFromDense(typedLit(qs)))
+      }
+      val want = emb.select($"vec_id", d.as("dist"))
+        .orderBy($"dist", $"vec_id").limit(50).as[(Long, Double)].collect().toSeq
+      val exact = Hnsw.searchIndexMetric(spark, sPath, "vec_id", qs, 50,
+        metric, exact = true).as[(Long, Double)].collect().toSeq
+      assert(exact == want, s"svec $metric exact twin must be bit-identical")
+      val kth = want.map(_._2).max
+      val approx = Hnsw.searchIndexMetric(spark, sPath, "vec_id", qs, 50,
+        metric).as[(Long, Double)].collect()
+      assert(approx.length == 50)
+      val rec = approx.count(_._2 <= kth) / 50.0
+      info(s"svec $metric override recall@50 = $rec")
+      assert(rec >= 0.9, s"svec $metric override recall $rec")
+    }
+  }
+
   test("sparse pruned postings: lists capped at top-M, recall tracks M") {
     import graft.operators.SparseSearch
     val sv = emb.select($"vec_id",

@@ -56,4 +56,44 @@ class CatalogSpec extends SparkSpec {
     IndexCatalog.drop(spark, name)
     assert(IndexCatalog.load(spark, name).isEmpty)
   }
+
+  test("pgvector DDL option spellings map to one manifest") {
+    import graft.index.IndexOptions
+    // parser: pgvector `lists` == native `nlist`; unknown keys rejected
+    assert(IndexOptions.ivf(Map("lists" -> "8")) == 8)
+    assert(IndexOptions.ivf(Map("nlist" -> "8")) == 8)
+    assert(IndexOptions.ivf(Map.empty) == 16)
+    intercept[IllegalArgumentException] {
+      IndexOptions.ivf(Map("lists" -> "8", "nlist" -> "4"))
+    }
+    intercept[IllegalArgumentException] { IndexOptions.ivf(Map("liests" -> "8")) }
+    assert(IndexOptions.hnsw(Map("m" -> "8", "ef_construction" -> "120")) == (8, 120))
+    intercept[IllegalArgumentException] { IndexOptions.hnsw(Map("ef" -> "10")) }
+
+    // both spellings land on the SAME committed artifact: the second
+    // ensure is a no-op (manifest fingerprint + params unchanged)
+    val src = s"$sf0001/embeddings.parquet"
+    val emb = spark.read.parquet(src)
+    val name = "catalog_spec_opts"
+    IndexCatalog.drop(spark, name)
+    val (m1, _) = IvfIndex.ensure(spark, name, emb, src, "embedding", "l2",
+      Map("lists" -> "8"))
+    val committed1 = IndexCatalog.load(spark, name).get
+    assert(committed1.params("nlist") == "8")
+    val (m2, _) = IvfIndex.ensure(spark, name, emb, src, "embedding", "l2",
+      Map("nlist" -> "8"))
+    val committed2 = IndexCatalog.load(spark, name).get
+    assert(committed1 == committed2, "re-ensure under the other spelling must be a no-op")
+    assert(m1.centroids.length == 8 && m2.centroids.length == 8)
+    IndexCatalog.drop(spark, name)
+
+    val hname = "catalog_spec_opts_hnsw"
+    IndexCatalog.drop(spark, hname)
+    graft.operators.Hnsw.ensure(spark, hname, emb, src, "vec_id",
+      "embedding", "l2", parts = 1,
+      options = Map("m" -> "8", "ef_construction" -> "120"))
+    val hm = IndexCatalog.load(spark, hname).get
+    assert(hm.params("m") == "8" && hm.params("ef_construction") == "120")
+    IndexCatalog.drop(spark, hname)
+  }
 }

@@ -84,6 +84,47 @@ class DedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L))
   }
 
+  test("star-contraction CC: property-equal to min-propagation on random graphs") {
+    import spark.implicits._
+    // adversarial long chain: min-propagation needs diameter rounds,
+    // star contraction O(log n) — both must label every node with the
+    // component min
+    val chain = (0L until 40L).sliding(2).map(s => (s(0), s(1))).toSeq
+      .toDF("a", "b")
+    val wantChain = Dedup.connectedComponents(chain, "a", "b", maxIter = 50)
+      .as[(Long, Long)].collect().toMap
+    val gotChain = Dedup.connectedComponentsStar(chain, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(gotChain == wantChain)
+    assert(wantChain.values.toSet == Set(0L), "chain must fully merge")
+
+    // random graphs across densities, seeded: identical labelings
+    for (seed <- 1 to 4) {
+      val rnd = new scala.util.Random(seed)
+      val n = 60
+      val m = 30 + rnd.nextInt(60)
+      val edges = Seq.fill(m)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .toDF("a", "b") // includes self-loops and parallel edges
+      val want = Dedup.connectedComponents(edges, "a", "b", maxIter = 80)
+        .as[(Long, Long)].collect().toMap
+      val got = Dedup.connectedComponentsStar(edges, "a", "b")
+        .as[(Long, Long)].collect().toMap
+      assert(got == want, s"seed $seed: star vs minprop labelings differ")
+    }
+
+    // the conf routes the shared entry point
+    val prev = spark.conf.getOption("spark.graft.dedup.cc")
+    try {
+      spark.conf.set("spark.graft.dedup.cc", "star")
+      val viaConf = Dedup.connectedComponents(chain, "a", "b")
+        .as[(Long, Long)].collect().toMap
+      assert(viaConf == wantChain)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.graft.dedup.cc", v)
+      case None => spark.conf.unset("spark.graft.dedup.cc")
+    }
+  }
+
   test("multimodal featurize: fixed dims, normalized, deterministic") {
     val media = MultiModal.asMedia(
       spark.read.parquet(s"$sf0001/documents.parquet").limit(10),

@@ -202,6 +202,51 @@ class PushdownSpec extends SparkSpec {
     }
   }
 
+  test("hnsw-only registration: sphere range rewrites to the resident flat scan") {
+    val src = s"$sf001/embeddings.parquet"
+    val san = sf001.replaceAll("[^a-zA-Z0-9]", "_")
+    AnnQueries.hnsw(spark, sf001, 4)
+    AnnQueries.hnsw(spark, sf001, 4, "cos")
+    AnnPushdown.install(spark)
+    AnnPushdown.register(src, AnnPushdown.IndexedTable(
+      s"hnsw_l2_p4_$san", "vec_id", "embedding"))
+    AnnPushdown.register(src, AnnPushdown.IndexedTable(
+      s"hnsw_cos_p4_$san", "vec_id", "embedding", "cos"))
+    try {
+      def l2Range = spark.read.parquet(src)
+        .select(col("vec_id"),
+          graft.functions.l2sq(col("embedding"), typedLit(q)).as("dist"))
+        .filter(col("dist") < 1.5)
+      spark.conf.set("spark.graft.ann.enabled", "false")
+      val baseline = l2Range.collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
+      spark.conf.set("spark.graft.ann.enabled", "true")
+      val plan = l2Range.queryExecution.executedPlan.toString
+      assert(!plan.contains("embeddings.parquet"),
+        s"plan still scans the base table:\n$plan")
+      val got = l2Range.collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
+      assert(got == baseline, "flat-scan range must equal the exact filter")
+
+      // cos: normalized-replay convention — ids equal the exact set
+      // computed on normalize-at-build vectors, dist = 1 - dot
+      def cosRange = spark.read.parquet(src)
+        .select(col("vec_id"),
+          graft.functions.cosdist(col("embedding"), typedLit(q)).as("dist"))
+        .filter(col("dist") < 0.8)
+      val gotCos = cosRange.collect().map(_.getLong(0)).toSet
+      val wantCos = spark.read.parquet(src)
+        .select(col("vec_id"), graft.functions.cosdist(
+          graft.functions.vectorNormalize(col("embedding")),
+          typedLit(graft.operators.IvfIndex.Kernels.normalize(q))).as("dist"))
+        .filter(col("dist") < 0.8).collect().map(_.getLong(0)).toSet
+      assert(gotCos == wantCos)
+    } finally {
+      spark.conf.set("spark.graft.ann.enabled", "false")
+      AnnPushdown.unregister(src)
+    }
+  }
+
   test("cos/dot sphere-range pushdown prunes lists per metric bound") {
     val src = s"$sf001/embeddings.parquet"
     val san = sf001.replaceAll("[^a-zA-Z0-9]", "_")
