@@ -122,7 +122,7 @@ object HnswPq {
   def searchIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       indexed: DataFrame, idCol: String, vecCol: String, q: Array[Float],
       k: Int, model: Pq.Model, efSearch: Int = 100,
-      exact: Boolean = false): DataFrame = {
+      window: Int = 8, exact: Boolean = false): DataFrame = {
     import spark.implicits._
     import graft.functions.l2sq
     val coarse =
@@ -139,7 +139,12 @@ object HnswPq {
         val lut = model.lut(q).map(_.toDouble)
         val bLut = spark.sparkContext.broadcast(lut)
         val ks = model.ks
-        val ef = math.max(efSearch, k)
+        // frontier breadth follows the flat coded scan's rerank-window
+        // convention (k·window candidates before exact rerank): PQ's ADC
+        // estimate error is large enough that an ef == k beam misses true
+        // neighbors the rerank could have recovered (measured recall@100
+        // 0.66 at ef=100 vs >=0.95 at k·window)
+        val ef = math.max(efSearch, k * math.max(window, 1))
         val hconf = Hnsw.confEntries(spark)
         val frontier = spark.sparkContext
           .parallelize(files, files.length)

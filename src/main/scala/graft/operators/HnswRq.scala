@@ -364,7 +364,7 @@ object HnswRq {
   def searchIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       indexed: DataFrame, idCol: String, vecCol: String, q: Array[Float],
       k: Int, model: Rabitq.Model, efSearch: Int = 100,
-      exact: Boolean = false): DataFrame = {
+      window: Int = 4, exact: Boolean = false): DataFrame = {
     import spark.implicits._
     import graft.functions.l2sq
     val coarse =
@@ -379,7 +379,10 @@ object HnswRq {
         val rq = model.rotate(q)
         val qNorm = math.sqrt(rq.map(x => x * x).sum)
         val bRq = spark.sparkContext.broadcast(rq)
-        val ef = math.max(efSearch, k)
+        // k·window frontier before exact rerank — the flat coded scan's
+        // rerank-window convention (bit-estimate error at ef == k leaves
+        // recoverable neighbors outside the beam)
+        val ef = math.max(efSearch, k * math.max(window, 1))
         val hconf = Hnsw.confEntries(spark)
         val frontier = spark.sparkContext
           .parallelize(files, files.length)

@@ -109,7 +109,8 @@ object TypedAnn {
           "stats" -> StatsVersion),
         centroids = model.centroids, floats = Map("radii" -> radii))
     }
-    (IvfIndex.Model("l2", m.centroids), IndexCatalog.dataDir(spark, name))
+    (IvfIndex.Model("l2", m.centroids, m.floats.get("radii").orNull),
+      IndexCatalog.dataDir(spark, name))
   }
 
   /** Rank lists by the SEARCH metric over the stored f32 centroids —
@@ -119,9 +120,10 @@ object TypedAnn {
     * artifact's layout is metric-free, only list RANKING and row SCORING
     * differ, and both are search-time choices here). Exactness at
     * nprobe = nlist never depends on the ranking. */
-  private def rankLists(centroids: Array[Array[Float]], q: Array[Float],
+  private def rankLists(model: IvfIndex.Model, q: Array[Float],
       metric: String): Array[Int] = {
     import IvfIndex.Kernels
+    val centroids = model.centroids
     val score: Array[Float] => Double = metric match {
       // jaccard prunes by Hamming-style l2 ranking in the densified
       // space: measured better than an expected-jaccard centroid form on
@@ -134,14 +136,37 @@ object TypedAnn {
           math.sqrt(Kernels.dot(c, c) * Kernels.dot(q, q).max(1e-30))
       case m => throw new IllegalArgumentException(s"unknown metric: $m")
     }
-    centroids.zipWithIndex.map { case (c, i) => (score(c), i) }
-      .sortBy(_._1).map(_._2)
+    val radii = model.radii
+    // with radii stats (stats=radii1), l2-family and dot metrics rank by
+    // the list's LOWER-BOUND reachable distance (triangle / Cauchy-
+    // Schwarz in the densified payload space the radii measure),
+    // centroid score as tie-break — the IvfIndex.Model.rankLists
+    // convention. cos has no sound bound from L2 radii on unnormalized
+    // payloads (the same reason typed cos sphere-range is absent) and
+    // keeps the raw ranking.
+    if (radii == null || radii.length != centroids.length || metric == "cos")
+      centroids.zipWithIndex.map { case (c, i) => (score(c), i) }
+        .sortBy(_._1).map(_._2)
+    else {
+      val qn = math.sqrt(Kernels.dot(q, q))
+      centroids.zipWithIndex.map { case (c, i) =>
+        val cd = score(c)
+        val r = math.sqrt(radii(i).toDouble)
+        val lb = metric match {
+          case "l2" | "hamming" | "jaccard" =>
+            val d = math.sqrt(cd) - r
+            if (d > 0) d * d else 0.0
+          case "dot" => cd - r * qn
+        }
+        ((lb, cd), i)
+      }.sortBy(_._1).map(_._2)
+    }
   }
 
   private def prunedByMetric(spark: SparkSession, path: String,
       model: IvfIndex.Model, q: Array[Float], metric: String,
       nprobe: Int): DataFrame = {
-    val probes = rankLists(model.centroids, q, metric).take(nprobe)
+    val probes = rankLists(model, q, metric).take(nprobe)
     spark.read.parquet(path)
       .filter(col("list_id").isin(probes.map(Integer.valueOf).toSeq: _*))
   }
@@ -182,7 +207,7 @@ object TypedAnn {
     import org.apache.spark.sql.expressions.Window
     val rows = queries.map { case (qid, qv) =>
       val q01 = qv.map(x => if (x > 0f) 1f else 0f)
-      (qid, qv, rankLists(model.centroids, q01, metric).take(nprobe))
+      (qid, qv, rankLists(model, q01, metric).take(nprobe))
     }
     val qdf = rows.toDF("qid", "qf", "probes")
     val allProbes = rows.flatMap(_._3).distinct
@@ -217,7 +242,7 @@ object TypedAnn {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
     val rows = queries.map { case (qid, qv) =>
-      (qid, qv, rankLists(model.centroids, qv, metric).take(nprobe))
+      (qid, qv, rankLists(model, qv, metric).take(nprobe))
     }
     val qdf = rows.toDF("qid", "qf", "probes")
     val allProbes = rows.flatMap(_._3).distinct
@@ -266,7 +291,8 @@ object TypedAnn {
           "stats" -> StatsVersion),
         centroids = model.centroids, floats = Map("radii" -> radii))
     }
-    (IvfIndex.Model("l2", m.centroids), IndexCatalog.dataDir(spark, name))
+    (IvfIndex.Model("l2", m.centroids, m.floats.get("radii").orNull),
+      IndexCatalog.dataDir(spark, name))
   }
 
   /** CREATE INDEX: svector IVF (the reference's svector_l2/dot/cos_ops,
@@ -297,7 +323,8 @@ object TypedAnn {
           "stats" -> StatsVersion),
         centroids = model.centroids, floats = Map("radii" -> radii))
     }
-    (IvfIndex.Model("l2", m.centroids), IndexCatalog.dataDir(spark, name))
+    (IvfIndex.Model("l2", m.centroids, m.floats.get("radii").orNull),
+      IndexCatalog.dataDir(spark, name))
   }
 
   /** Search: rank lists by the search metric from the DENSE query view
@@ -356,7 +383,7 @@ object TypedAnn {
     val rows = queries.map { case (qid, qv) =>
       val qr = qv.map(x =>
         graft.types.Fp16.halfToFloat(graft.types.Fp16.floatToHalf(x)))
-      (qid, qv, rankLists(model.centroids, qr, metric).take(nprobe))
+      (qid, qv, rankLists(model, qr, metric).take(nprobe))
     }
     val qdf = rows.toDF("qid", "qf", "probes")
     val allProbes = rows.flatMap(_._3).distinct

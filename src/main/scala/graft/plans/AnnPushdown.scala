@@ -282,7 +282,8 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     if (manifest.kind != "ivf" || manifest.metric != metric ||
         !manifest.floats.contains("radii"))
       return None
-    val model = IvfIndex.Model(manifest.metric, manifest.centroids)
+    val model = IvfIndex.Model(manifest.metric, manifest.centroids,
+      manifest.floats.get("radii").orNull)
     val dataDir = graft.index.IndexCatalog.dataDir(spark, idx.indexName)
     val radii = manifest.floats("radii")
     val q = floatsOf(qLit)
@@ -602,7 +603,8 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     // (the reference's am dispatch, src/index/am.rs:105-133): IVF scans
     // prune by centroid lists, HNSW scans search the resident graphs,
     // typed families dispatch to their compact-payload pruned scans
-    val model = IvfIndex.Model(manifest.metric, manifest.centroids)
+    val model = IvfIndex.Model(manifest.metric, manifest.centroids,
+      manifest.floats.get("radii").orNull)
     val probes = math.min(math.max(nprobe, 1),
       math.max(model.nlist, 1))
     val searchDf = (family, manifest.kind) match {
@@ -672,7 +674,8 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     // rounds — wrong to trigger from inside an optimizer rule, so
     // graph-only tables use that operator explicitly.
     if (manifest.kind != "ivf") return None
-    val model = IvfIndex.Model(manifest.metric, manifest.centroids)
+    val model = IvfIndex.Model(manifest.metric, manifest.centroids,
+      manifest.floats.get("radii").orNull)
     val probes = math.min(
       math.max(nprobe.toLong * math.max(filteredOverfetch, 1), 1L),
       model.nlist.toLong).toInt

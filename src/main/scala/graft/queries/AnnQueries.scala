@@ -688,7 +688,7 @@ object AnnQueries {
       val (model, path) = hnswpq(s, d, 4)
       HnswPq.searchIndex(s, path, t(s, d, "embeddings"), "vec_id",
         "embedding", qvec(s, d), k = 100, model,
-        efSearch = efSearchConf(s))
+        efSearch = efSearchConf(s), window = pqWindowConf(s))
     }),
     // exact mode: skip graphs, score every source row -> flat oracle
     "q_hnswpq_exact_l2" -> ((s, d) => {
@@ -703,7 +703,8 @@ object AnnQueries {
       val (model, path) = hnswrq(s, d, 4)
       HnswRq.searchIndex(s, path, t(s, d, "embeddings"), "vec_id",
         "embedding", qvec(s, d), k = 100, model,
-        efSearch = efSearchConf(s))
+        efSearch = efSearchConf(s),
+        window = s.conf.get("spark.graft.rabitq.rerankWindow", "4").toInt)
     }),
     // exact mode: skip graphs, score every source row -> flat oracle
     "q_hnswrq_exact_l2" -> ((s, d) => {
