@@ -720,6 +720,39 @@ object Dedup {
     * near-certainty the exact oracle twin requires. Key layout:
     * band_idx<<32 | sign_bits, so keys never collide across bands.
     * (sign(dot) convention matches [[signBucket]]: bit set iff dot > 0.) */
+  /** Corpus-size-ADAPTIVE banding parameters for sign-LSH near-dup
+    * detection. A RANDOM pair collides in one b-bit band with
+    * probability ≈ 2^-b, so expected candidate pairs are
+    * n²/2 · B · 2^-b — linear in n only when b ≈ log₂(n) + slack
+    * (fixed-width bands like the sf-fixture 16×4 convention go
+    * quadratic: at 10× corpus the soak measured ~20× wall time before
+    * this). Band count B then restores the boundary miss probability:
+    * with p = (1 - θ/π)^b the band-agreement probability at the target
+    * cosine radius, miss = (1 - p)^B ≤ missTarget. Exact duplicates
+    * (cdist 0) collide in EVERY band regardless of width, so widening
+    * can never lose them. Bits cap at 28 (band_idx<<32 | sign_bits key
+    * layout); past n ≈ 2^24 the candidate constant starts growing
+    * again — shard the corpus (e.g. by language) before that point. */
+  def signBandParams(n: Long, cosRadius: Double = 0.05,
+      missTarget: Double = 1e-8): (Int, Int) = {
+    val theta = math.acos(1.0 - cosRadius)
+    val pAgree = 1.0 - theta / math.Pi
+    // cost model per plane-dim unit: keying = n·B·b plane dots, verify =
+    // n²/2 · B · 2^-b random-pair candidates; B(b) is the smallest band
+    // count holding the boundary miss. Minimizing their sum lands on
+    // b ≈ log₂(n) + O(1) automatically — narrow bands for small corpora,
+    // wide for large — instead of hard-coding either regime.
+    val nn = math.max(n, 2).toDouble
+    val best = (4 to 28).map { b =>
+      val pBand = math.pow(pAgree, b)
+      val bands = math.max(8,
+        math.ceil(math.log(missTarget) / math.log1p(-pBand)).toInt)
+      val cost = bands * (nn * b + nn * nn / 2.0 * math.pow(2.0, -b))
+      (cost, bands, b)
+    }.minBy(_._1)
+    (best._2, best._3)
+  }
+
   def signBandKeys(vec: Column, planes: Array[Array[Float]],
       bands: Int, rows: Int): Column = {
     require(planes.length >= bands * rows,

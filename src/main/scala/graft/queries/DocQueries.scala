@@ -343,11 +343,19 @@ object DocQueries {
     //     can safely share the exact all-pairs oracle), verify only
     //     bucket collisions (band join ≪ all-pairs) ---
     "q_embed_neardup_lsh" -> ((s, d) => {
-      val planes = Dedup.hyperplanes(nPlanes = 64, dims = 64)
       val e = embeddingsWithDups(s, d)
+      // corpus-adaptive banding (Dedup.signBandParams): band width grows
+      // with log2(n) so random-pair collisions — and with them the
+      // candidate-verify cost — stay LINEAR in n (the fixed 16x4
+      // convention went quadratic at 10x in the soak). Boundary miss at
+      // cdist=0.05 stays <= 1e-8; the mirror dups are exact (cdist 0,
+      // collide in every band), so the shared exact-cosine oracle is
+      // banding-independent.
+      val (bands, rows) = Dedup.signBandParams(e.count())
+      val planes = Dedup.hyperplanes(nPlanes = bands * rows, dims = 64)
       val keyed = e.select(col("vec_id"),
         explode(Dedup.signBandKeys(col("embedding"), planes,
-          bands = 16, rows = 4)).as("bucket"))
+          bands = bands, rows = rows)).as("bucket"))
       val cands = keyed.as("a").join(keyed.as("b"),
           col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
