@@ -668,11 +668,47 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     val manifest = graft.index.IndexCatalog.load(spark, idx.indexName)
       .getOrElse(return None)
     if (manifest.metric != metric) return None
+    // HNSW-kind registrations get the ONE-SHOT breadth form — the
+    // `search.mode = basic` contract (a single k·overfetch candidate
+    // fetch semi-joined against the predicate-filtered base scan, which
+    // may underfill on hyper-selective predicates). The VBASE refill
+    // loop (Hnsw.searchIndexFiltered) runs eager driver rounds — wrong
+    // to trigger from inside an optimizer rule — so refill semantics
+    // stay with the explicit operator. With hnsw.exact the candidate
+    // set is a distance-prefix of the full ranking, so whenever it
+    // contains >= k survivors the result IS the exact filtered top-k.
+    if (manifest.kind == "hnsw") {
+      val kr = math.min(k.toLong * math.max(filteredOverfetch, 2),
+        Int.MaxValue.toLong).toInt
+      val q = floatsOf(qLit)
+      val qq = if (metric == "cos") IvfIndex.Kernels.normalize(q) else q
+      val cands = graft.operators.Hnsw.searchIndex(spark,
+        graft.index.IndexCatalog.dataDir(spark, idx.indexName),
+        idx.idCol, qq, kr, efSearch = math.max(hnswEfSearch, kr),
+        exact = hnswExact)
+      val nf = Filter(cond, rel)
+      nf.setTagValue(RewrittenTag, true)
+      val filteredIds = org.apache.spark.sql.graftshim.Shims
+        .ofRows(spark, Project(Seq(rel.output.find(_.name == idx.idCol)
+          .getOrElse(return None)), nf))
+      val joined = filteredIds
+        .join(org.apache.spark.sql.functions.broadcast(cands), idx.idCol)
+        .orderBy(org.apache.spark.sql.functions.col("dist"),
+          org.apache.spark.sql.functions.col(idx.idCol))
+        .limit(k)
+      // optimizedPlan, not analyzed: the broadcast HINT must be folded
+      // into the join (EliminateResolvedHint already ran for the outer
+      // query — an unresolved hint left in the replacement subtree is a
+      // planner internal error). Re-entering this rule on the subtree is
+      // harmless: no arm matches the join shape.
+      val newPlan = joined.queryExecution.optimizedPlan
+      val byName = newPlan.output.map(a => a.name -> a).toMap
+      return Some(Project(Seq(
+        Alias(byName(idx.idCol), idAttr.name)(exprId = idAttr.exprId),
+        Alias(byName("dist"), alias.name)(exprId = alias.exprId)), newPlan))
+    }
     // filtered top-k pushes the predicate INTO a pruned scan — an IVF
-    // shape. HNSW graphs carry no scannable rows to filter, and their
-    // batch refill loop (Hnsw.searchIndexFiltered) runs eager driver
-    // rounds — wrong to trigger from inside an optimizer rule, so
-    // graph-only tables use that operator explicitly.
+    // shape (the predicate is evaluated on the scan's own rows).
     if (manifest.kind != "ivf") return None
     val model = IvfIndex.Model(manifest.metric, manifest.centroids,
       manifest.floats.get("radii").orNull)

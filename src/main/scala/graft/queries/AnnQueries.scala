@@ -360,6 +360,42 @@ object AnnQueries {
         AnnPushdown.restore(srcPath, prevReg)
       }
     }),
+    // Filtered top-k over an HNSW-only registration through the
+    // optimizer rule: the one-shot basic-mode breadth form (k*overfetch
+    // exact candidates broadcast-joined against the filtered base scan).
+    // In exact mode the candidate set is a distance-prefix of the full
+    // ranking, and label < 5 keeps ~half the rows, so 4x overfetch holds
+    // >= k survivors with near-certainty -> the q_hnsw_filtered_exact
+    // oracle replays it.
+    "q_hnsw_filtered_pushdown" -> ((s, d) => {
+      import graft.plans.AnnPushdown
+      hnsw(s, d, 4)
+      AnnPushdown.install(s)
+      val srcPath = s"$d/embeddings.parquet"
+      val prevReg = AnnPushdown.snapshot(srcPath)
+      AnnPushdown.register(srcPath, AnnPushdown.IndexedTable(
+        s"hnsw_l2_p4_${san(d)}", "vec_id", "embedding", "l2"))
+      val prevEnabled = s.conf.get("spark.graft.ann.enabled", "false")
+      val prevExact = s.conf.get("spark.graft.hnsw.exact", "false")
+      s.conf.set("spark.graft.ann.enabled", "true")
+      s.conf.set("spark.graft.hnsw.exact", "true")
+      try {
+        val df = s.read.parquet(srcPath)
+          .filter(col("label") < 5)
+          .select(col("vec_id"),
+            l2sq(col("embedding"), typedLit(qvec(s, d))).as("dist"))
+          .orderBy(col("dist")).limit(100)
+        val optimized = df.queryExecution.optimizedPlan
+        assert(optimized.toString.contains("Join"),
+          "hnsw filtered top-k did not rewrite to the candidate join")
+        org.apache.spark.sql.graftshim.Shims.ofRows(s, optimized)
+          .orderBy(col("dist"), col("vec_id"))
+      } finally {
+        s.conf.set("spark.graft.ann.enabled", prevEnabled)
+        s.conf.set("spark.graft.hnsw.exact", prevExact)
+        AnnPushdown.restore(srcPath, prevReg)
+      }
+    }),
     // Sphere range over an HNSW-only registration (the reference's
     // strategy-2 sphere predicates work under every index kind): the
     // rewrite flat-scans the executor-resident FlatGraph payloads and
@@ -1173,6 +1209,12 @@ object AnnQueries {
                     * list_aggregate(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS dist
            FROM n e CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q)
          WHERE dist < 0.8 ORDER BY vec_id""",
+    "q_hnsw_filtered_pushdown" ->
+      """SELECT e.vec_id AS vec_id,
+         list_aggregate(list_transform(list_zip(e.embedding, q.qv), p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), 'sum') AS dist
+         FROM embeddings e CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+         WHERE e.label < 5
+         ORDER BY dist, vec_id LIMIT 100""",
     "q_range_pushdown_hnsw" ->
       """SELECT vec_id, dist FROM (
            SELECT e.vec_id AS vec_id,

@@ -247,6 +247,43 @@ class PushdownSpec extends SparkSpec {
     }
   }
 
+  test("hnsw-only registration: filtered top-k rewrites to the one-shot candidate join") {
+    val src = s"$sf001/embeddings.parquet"
+    val san = sf001.replaceAll("[^a-zA-Z0-9]", "_")
+    AnnQueries.hnsw(spark, sf001, 4)
+    AnnPushdown.install(spark)
+    AnnPushdown.register(src, AnnPushdown.IndexedTable(
+      s"hnsw_l2_p4_$san", "vec_id", "embedding"))
+    try {
+      def filtered = spark.read.parquet(src)
+        .filter(col("label") < 5)
+        .select(col("vec_id"),
+          graft.functions.l2sq(col("embedding"), typedLit(q)).as("dist"))
+        .orderBy(col("dist")).limit(10)
+      spark.conf.set("spark.graft.ann.enabled", "false")
+      val baseline = filtered.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      // exact mode + moderately selective predicate: the k·overfetch
+      // distance-prefix holds >= k survivors -> exact filtered top-k
+      spark.conf.set("spark.graft.ann.enabled", "true")
+      spark.conf.set("spark.graft.hnsw.exact", "true")
+      val plan = filtered.queryExecution.optimizedPlan.toString
+      assert(plan.contains("Join"), s"filtered top-k did not rewrite:\n$plan")
+      val got = filtered.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got == baseline, "basic-mode exact prefix must equal brute force here")
+      // approximate traversal still honors the predicate, returns k rows
+      spark.conf.set("spark.graft.hnsw.exact", "false")
+      val approx = filtered.collect()
+      assert(approx.length == 10)
+      val passing = spark.read.parquet(src).filter(col("label") < 5)
+        .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+      assert(approx.forall(r => passing.contains(r.getLong(0))))
+    } finally {
+      spark.conf.set("spark.graft.ann.enabled", "false")
+      spark.conf.unset("spark.graft.hnsw.exact")
+      AnnPushdown.unregister(src)
+    }
+  }
+
   test("cos/dot sphere-range pushdown prunes lists per metric bound") {
     val src = s"$sf001/embeddings.parquet"
     val san = sf001.replaceAll("[^a-zA-Z0-9]", "_")
