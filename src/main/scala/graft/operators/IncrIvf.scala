@@ -66,8 +66,30 @@ object IncrIvf {
       .withColumn("d01", bvecToDense(col("bv"))),
     rankCol = "d01", payload = Seq("bv"), useDot = false)
 
+  /** vecf16 L2: payload is the f16 half-word array, ranking space the
+    * f16-rounded f32 view (TypedAnn.ensureF16's convention). */
+  private val f16 = Family(
+    "ivf_f16_incr", "l2",
+    prep = (df, fCol) => df
+      .withColumn("bits", toF16Bits(col(fCol)))
+      .withColumn("rf", f16ToVector(col("bits"))),
+    rankCol = "rf", payload = Seq("bits"), useDot = false)
+
+  /** svector L2: payload is the CSR struct, ranking space the densified
+    * view (restored zeros are exact identities — TypedAnn.ensureSvec's
+    * convention). The segment column is the dense (already-sparsified)
+    * vector; sparsification policy belongs to the ingest pipeline. */
+  private val svec = Family(
+    "ivf_svec_incr", "l2",
+    prep = (df, fCol) => df
+      .withColumn("sv", svecFromDense(col(fCol)))
+      .withColumn("dv", svecToDense(col("sv"))),
+    rankCol = "dv", payload = Seq("sv"), useDot = false)
+
   private def famFor(metric: String): Family = metric match {
     case "hamming" => bvec
+    case "f16" => f16
+    case "svec" => svec
     case m => dense(m)
   }
 
@@ -180,12 +202,23 @@ object IncrIvf {
       idCol: String, q: Array[Float], k: Int, nprobe: Int): DataFrame = {
     val pm = IndexCatalog.load(spark, name).getOrElse(
       throw new IllegalStateException(s"no committed index $name"))
-    val fam = if (pm.kind == "ivf_bvec_incr") bvec else dense(pm.metric)
+    val fam = pm.kind match {
+      case "ivf_bvec_incr" => bvec
+      case "ivf_f16_incr" => f16
+      case "ivf_svec_incr" => svec
+      case _ => dense(pm.metric)
+    }
     val dataDir = IndexCatalog.dataDir(spark, name)
     val (rankQ, distCol): (Array[Float], Column) = fam.kind match {
       case "ivf_bvec_incr" =>
         val q01 = q.map(x => if (x > 0f) 1f else 0f)
         (q01, bvecHamming(col("bv"), binarize(typedLit(q))).cast("double"))
+      case "ivf_f16_incr" =>
+        val qr = q.map(x => graft.types.Fp16.halfToFloat(
+          graft.types.Fp16.floatToHalf(x)))
+        (qr, f16L2sq(col("bits"), toF16Bits(typedLit(q))))
+      case "ivf_svec_incr" =>
+        (q, svecL2sq(col("sv"), svecFromDense(typedLit(q))))
       case _ => pm.metric match {
         case "l2" => (q, l2sq(col("rv"), typedLit(q)))
         case "dot" => (q, negdot(col("rv"), typedLit(q)))

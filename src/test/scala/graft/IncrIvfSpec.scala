@@ -119,4 +119,68 @@ class IncrIvfSpec extends SparkSpec {
     assert(got == want)
     graft.index.IndexCatalog.drop(spark, name)
   }
+
+  test("vecf16 and svector: incremental appends stay exact in the compact payloads") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val q: Array[Float] = emb.filter(col("vec_id") === 7)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+
+    // vecf16: payload = f16 half-words, exact twin = the f16 kernel
+    val f16Seg = Files.createTempDirectory("graft_incrivf_f16").toString
+    val f16Name = "incrivfspec_f16"
+    graft.index.IndexCatalog.drop(spark, f16Name)
+    Segments.init(spark, f16Seg, emb.filter(col("vec_id") < 300), "vec_id")
+    val f16Dir = IncrIvf.ensure(spark, f16Name, f16Seg, "vec_id", "embedding",
+      metric = "f16", nlist = 8)
+    val f0 = parquetFiles(f16Dir)
+    Segments.append(spark, f16Seg,
+      emb.filter(col("vec_id") >= 300 && col("vec_id") < 400), "vec_id")
+    IncrIvf.ensure(spark, f16Name, f16Seg, "vec_id", "embedding",
+      metric = "f16", nlist = 8)
+    val f1 = parquetFiles(f16Dir)
+    assert(f0.forall { case (f, t) => f1.get(f).contains(t) },
+      "append touched sealed f16 list files")
+    assert(f1.size > f0.size)
+    val fGot = IncrIvf.search(spark, f16Name, f16Seg, "vec_id", q, 25, nprobe = 8)
+      .as[(Long, Double)].collect().toSeq
+    val fWant = Segments.read(spark, f16Seg, "vec_id")
+      .select(col("vec_id"), graft.functions.f16L2sq(
+        graft.functions.toF16Bits(col("embedding")),
+        graft.functions.toF16Bits(typedLit(q))).as("dist"))
+      .orderBy(col("dist"), col("vec_id")).limit(25)
+      .as[(Long, Double)].collect().toSeq
+    assert(fGot == fWant)
+    graft.index.IndexCatalog.drop(spark, f16Name)
+
+    // svector: segment column is the sparsified dense vector, payload CSR
+    val spEmb = emb.select(col("vec_id"), transform(col("embedding"),
+      x => when(abs(x) > lit(0.15), x).otherwise(lit(0.0f))).as("embedding"))
+    val qs = q.map(x => if (math.abs(x.toDouble) > 0.15) x else 0.0f)
+    val svSeg = Files.createTempDirectory("graft_incrivf_sv").toString
+    val svName = "incrivfspec_sv"
+    graft.index.IndexCatalog.drop(spark, svName)
+    Segments.init(spark, svSeg, spEmb.filter(col("vec_id") < 300), "vec_id")
+    val svDir = IncrIvf.ensure(spark, svName, svSeg, "vec_id", "embedding",
+      metric = "svec", nlist = 8)
+    val s0 = parquetFiles(svDir)
+    Segments.append(spark, svSeg,
+      spEmb.filter(col("vec_id") >= 300 && col("vec_id") < 400), "vec_id")
+    IncrIvf.ensure(spark, svName, svSeg, "vec_id", "embedding",
+      metric = "svec", nlist = 8)
+    val s1 = parquetFiles(svDir)
+    assert(s0.forall { case (f, t) => s1.get(f).contains(t) },
+      "append touched sealed svec list files")
+    assert(s1.size > s0.size)
+    val sGot = IncrIvf.search(spark, svName, svSeg, "vec_id", qs, 25, nprobe = 8)
+      .as[(Long, Double)].collect().toSeq
+    val sWant = Segments.read(spark, svSeg, "vec_id")
+      .select(col("vec_id"), graft.functions.svecL2sq(
+        graft.functions.svecFromDense(col("embedding")),
+        graft.functions.svecFromDense(typedLit(qs))).as("dist"))
+      .orderBy(col("dist"), col("vec_id")).limit(25)
+      .as[(Long, Double)].collect().toSeq
+    assert(sGot == sWant)
+    graft.index.IndexCatalog.drop(spark, svName)
+  }
 }
