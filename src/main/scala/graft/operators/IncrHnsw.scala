@@ -153,6 +153,16 @@ object IncrHnsw {
     * stay resident in the graphs, filtered at search), then fold the
     * data side. Side graphs are hereby "promoted" — they simply remain
     * part of the sealed search set. */
+  /** Full optimize: fold the store, rebuild base graphs from scratch —
+    * reclaims tombstoned rows and folds side graphs into the base
+    * (shared [[IncrMaint.vacuum]] contract). */
+  def vacuum(spark: SparkSession, name: String, segDir: String,
+      idCol: String, vecCol: String, metric: String = "l2",
+      m: Int = 12, efConstruction: Int = 300): String =
+    IncrMaint.vacuum(spark, name, segDir, idCol) {
+      ensure(spark, name, segDir, idCol, vecCol, metric, m, efConstruction)
+    }
+
   def promoteOnCompact(spark: SparkSession, name: String, segDir: String,
       idCol: String): Unit = synchronized {
     import graft.index.IndexCatalog

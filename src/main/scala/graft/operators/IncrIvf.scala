@@ -93,9 +93,6 @@ object IncrIvf {
     case m => dense(m)
   }
 
-  private def deadDir(spark: SparkSession, name: String) =
-    new java.io.File(IndexCatalog.dir(spark, name), "dead")
-
   /** Assign one segment's rows and append them into the list partitions.
     * `mode` is Overwrite for the very first (base) write only. */
   private def writeSegment(spark: SparkSession, fam: Family, dataDir: String,
@@ -164,35 +161,20 @@ object IncrIvf {
     dataDir
   }
 
-  /** Compact the store WITHOUT rebuilding the artifact: snapshot live
-    * tombstones into `dead/`, fold the data side, record the promoted
-    * generation (the [[IncrHnsw.promoteOnCompact]] pattern). */
+  /** Compact the store WITHOUT rebuilding the artifact (shared
+    * [[IncrMaint.promoteOnCompact]] dead-snapshot path). */
   def promoteOnCompact(spark: SparkSession, name: String, segDir: String,
-      idCol: String): Unit = synchronized {
-    val dd = deadDir(spark, name)
-    Segments.tombstoneMax(spark, segDir, idCol).foreach { tombs =>
-      val prior = if (dd.isDirectory &&
-          Option(dd.listFiles()).getOrElse(Array.empty)
-            .exists(_.getName.endsWith(".parquet")))
-        Some(spark.read.parquet(dd.getAbsolutePath)) else None
-      val all = prior.map(_.unionByName(tombs)).getOrElse(tombs)
-        .groupBy(col(idCol)).agg(max(col("_tomb_ver")).as("_tomb_ver"))
-      val tmp = new java.io.File(dd.getParentFile, "dead.tmp")
-      all.write.mode("overwrite").parquet(tmp.getAbsolutePath)
-      def rm(f: java.io.File): Unit = { if (f.isDirectory)
-        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete() }
-      if (dd.exists()) rm(dd)
-      if (!tmp.renameTo(dd))
-        throw new java.io.IOException(s"failed to publish $dd")
+      idCol: String): Unit =
+    IncrMaint.promoteOnCompact(spark, name, segDir, idCol)
+
+  /** Full optimize: fold the store, rebuild from scratch — reclaims
+    * tombstoned rows and re-centers drifted centroids. */
+  def vacuum(spark: SparkSession, name: String, segDir: String,
+      idCol: String, fCol: String, metric: String = "l2",
+      nlist: Int = 16, seed: Long = 42L): String =
+    IncrMaint.vacuum(spark, name, segDir, idCol) {
+      ensure(spark, name, segDir, idCol, fCol, metric, nlist, seed)
     }
-    Segments.compact(spark, segDir, idCol)
-    val newSt = Segments.state(segDir)
-    val pm = IndexCatalog.load(spark, name).getOrElse(
-      throw new IllegalStateException(s"no index $name to promote"))
-    IndexCatalog.commit(spark, name, pm.copy(params =
-      pm.params + ("promoted_gen" -> newSt.gen.toString,
-        "seq" -> newSt.seq.toString)))
-  }
 
   /** Search: prune to the nprobe closest lists, version-filter against
     * live + promoted-dead tombstones (BEFORE top-k — rows are data, not
@@ -231,21 +213,8 @@ object IncrIvf {
     val probes = model.rankLists(rankQ).take(nprobe)
     val scan = spark.read.parquet(dataDir)
       .filter(col("list_id").isin(probes.map(Integer.valueOf).toSeq: _*))
-    val dd = deadDir(spark, name)
-    val dead = if (dd.isDirectory && Option(dd.listFiles())
-        .getOrElse(Array.empty).exists(_.getName.endsWith(".parquet")))
-      Some(spark.read.parquet(dd.getAbsolutePath)) else None
-    val live = Segments.tombstoneMax(spark, segDir, idCol)
-    val tombs = (dead, live) match {
-      case (Some(a), Some(b)) => Some(a.unionByName(b)
-        .groupBy(col(idCol)).agg(max(col("_tomb_ver")).as("_tomb_ver")))
-      case (a, b) => a.orElse(b)
-    }
-    val visible = tombs match {
-      case Some(t) => scan.join(broadcast(t), Seq(idCol), "left_outer")
-        .filter(col("_tomb_ver").isNull || col("_tomb_ver") < col("_ver"))
-      case None => scan
-    }
+    val visible = IncrMaint.visible(scan,
+      IncrMaint.tombstones(spark, name, segDir, idCol), idCol)
     visible.select(col(idCol), distCol.as("dist"))
       .orderBy(col("dist"), col(idCol)).limit(k)
   }

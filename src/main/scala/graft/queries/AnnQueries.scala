@@ -196,6 +196,10 @@ object AnnQueries {
     IncrHnsw.ensure(s, s"incrhnsw_${san(d)}", segDir, "vec_id", "embedding")
     graft.operators.IncrIvf.ensure(s, s"ivfincr_${san(d)}", segDir,
       "vec_id", "embedding", metric = "l2", nlist = 16)
+    Seq("sq8", "pq", "rabitq").foreach { sch =>
+      graft.operators.IncrQuant.ensure(s, s"${sch}incr_${san(d)}", segDir,
+        "vec_id", "embedding", sch)
+    }
   }
 
   private def qvec(s: SparkSession, dir: String): Array[Float] =
@@ -1062,6 +1066,55 @@ object AnnQueries {
         k = 100, nprobe = 16)
     }),
 
+    // incremental flat-quantized artifacts over the same segment store:
+    // appends encode with the FROZEN base-trained quantizer and append
+    // files (no retrain/rewrite); tombstone version filter at search.
+    // Approximate two-stage forms are rows-only; each window<=0 exact
+    // twin scores the stored raw vectors — provably the visible set, the
+    // same sealed ∪ growing ∖ deleted oracle (+ IncrQuantSpec lifecycle).
+    "q_sq8incr_topk" -> ((s, d) => {
+      val segDir = ensureVecSegments(s, d)
+      val name = s"sq8incr_${san(d)}"
+      graft.operators.IncrQuant.ensure(s, name, segDir, "vec_id", "embedding", "sq8")
+      graft.operators.IncrQuant.search(s, name, segDir, "vec_id", qvec(s, d),
+        k = 100, window = sq8WindowConf(s))
+    }),
+    "q_sq8incr_exact" -> ((s, d) => {
+      val segDir = ensureVecSegments(s, d)
+      val name = s"sq8incr_${san(d)}"
+      graft.operators.IncrQuant.ensure(s, name, segDir, "vec_id", "embedding", "sq8")
+      graft.operators.IncrQuant.search(s, name, segDir, "vec_id", qvec(s, d),
+        k = 100, window = 0)
+    }),
+    "q_pqincr_topk" -> ((s, d) => {
+      val segDir = ensureVecSegments(s, d)
+      val name = s"pqincr_${san(d)}"
+      graft.operators.IncrQuant.ensure(s, name, segDir, "vec_id", "embedding", "pq")
+      graft.operators.IncrQuant.search(s, name, segDir, "vec_id", qvec(s, d),
+        k = 100, window = pqWindowConf(s))
+    }),
+    "q_pqincr_exact" -> ((s, d) => {
+      val segDir = ensureVecSegments(s, d)
+      val name = s"pqincr_${san(d)}"
+      graft.operators.IncrQuant.ensure(s, name, segDir, "vec_id", "embedding", "pq")
+      graft.operators.IncrQuant.search(s, name, segDir, "vec_id", qvec(s, d),
+        k = 100, window = 0)
+    }),
+    "q_rqincr_topk" -> ((s, d) => {
+      val segDir = ensureVecSegments(s, d)
+      val name = s"rqincr_${san(d)}"
+      graft.operators.IncrQuant.ensure(s, name, segDir, "vec_id", "embedding", "rabitq")
+      graft.operators.IncrQuant.search(s, name, segDir, "vec_id", qvec(s, d),
+        k = 100, window = pqWindowConf(s))
+    }),
+    "q_rqincr_exact" -> ((s, d) => {
+      val segDir = ensureVecSegments(s, d)
+      val name = s"rqincr_${san(d)}"
+      graft.operators.IncrQuant.ensure(s, name, segDir, "vec_id", "embedding", "rabitq")
+      graft.operators.IncrQuant.search(s, name, segDir, "vec_id", qvec(s, d),
+        k = 100, window = 0)
+    }),
+
     // svector IVF: compact CSR payload scan, dense centroids
     "q_svec_ann_topk" -> ((s, d) => {
       val (m, path) = svecAnn(s, d)
@@ -1330,6 +1383,11 @@ object AnnQueries {
     "q_incrhnsw_exact" -> hybridVisibleOracle,
     // exact incremental-IVF search of the same store: same visible set
     "q_ivfincr_exact" -> hybridVisibleOracle,
+    // exact (window<=0) incremental-quantized searches score the stored
+    // raw vectors over the same visible set — codes never enter the path
+    "q_sq8incr_exact" -> hybridVisibleOracle,
+    "q_pqincr_exact" -> hybridVisibleOracle,
+    "q_rqincr_exact" -> hybridVisibleOracle,
 
     "q_hnsw_batch_exact" ->
       """SELECT qid, vec_id, dist, rn FROM (

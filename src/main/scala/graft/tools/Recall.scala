@@ -34,6 +34,9 @@ object Recall {
     Fam("hnsw_rabitq", "q_hnswrq_topk_l2", "q_hnswrq_exact_l2"),
     Fam("incr_hnsw", "q_incrhnsw_topk", "q_incrhnsw_exact"),
     Fam("incr_ivf", "q_ivfincr_topk", "q_ivfincr_exact"),
+    Fam("incr_sq8", "q_sq8incr_topk", "q_sq8incr_exact"),
+    Fam("incr_pq", "q_pqincr_topk", "q_pqincr_exact"),
+    Fam("incr_rabitq", "q_rqincr_topk", "q_rqincr_exact"),
     Fam("bvec_hamming_ivf", "q_bvec_ann_topk", "q_bvec_ann_exact"),
     Fam("bvec_jaccard_ivf", "q_bvec_jaccard_ann_topk", "q_bvec_jaccard_ann_exact"),
     Fam("bvec_jaccard_hnsw", "q_bvec_jaccard_hnsw_topk", "q_bvec_jaccard_hnsw_exact"),

@@ -82,6 +82,17 @@ class IncrIvfSpec extends SparkSpec {
     assert(m1.forall { case (f, t) => m2(f) == t })
     assert(got(3).map(_._1) == Seq(9000L, 9002L, 9100L))
     assert(got(30) == want(30))
+
+    // vacuum (full optimize): dead rows physically reclaimed, centroids
+    // re-trained on the folded data, search unchanged
+    IncrIvf.vacuum(spark, name, segDir, "vec_id", "embedding",
+      metric = "l2", nlist = 8)
+    val artIds = spark.read.parquet(dataDir).select(col("vec_id"))
+      .as[Long].collect().toSet
+    assert(!artIds.contains(0L) && !artIds.contains(9001L),
+      "vacuum left dead rows in the artifact")
+    assert(got(3).map(_._1) == Seq(9000L, 9002L, 9100L))
+    assert(got(30) == want(30))
     graft.index.IndexCatalog.drop(spark, name)
   }
 
