@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions._
-import graft.operators.{Hnsw, HnswPq, HnswRq, HnswSq, IncrHnsw, IvfIndex, IvfPq, IvfSq, Pq, Rabitq, SparseSearch, Sq8, TypedAnn}
+import graft.operators.{Hnsw, HnswPq, HnswRq, HnswSq, IncrHnsw, IvfIndex, IvfPq, IvfSq, Pq, Rabitq, Rabitq4, SparseSearch, Sq8, TypedAnn}
 
 /**
  * ANN search paths (SURVEY §2.6): IVF (partition-pruned index table),
@@ -72,6 +72,12 @@ object AnnQueries {
 
   def rabitq(s: SparkSession, d: String): (Rabitq.Model, String) =
     Rabitq.ensure(s, s"rabitq_${san(d)}", t(s, d, "embeddings"), d,
+      "vec_id", "embedding")
+
+  /** RaBitQ fast_scan blocked layout (rq_fast_scan analog): 32-vector
+    * interleaved nibble blocks scored from per-query group LUTs. */
+  def rq4(s: SparkSession, d: String): (Rabitq.Model, String) =
+    Rabitq4.ensure(s, s"rq4_${san(d)}", t(s, d, "embeddings"), d,
       "vec_id", "embedding")
 
   /** bvector Hamming IVF over binarized embeddings (opclass matrix row:
@@ -180,11 +186,34 @@ object AnnQueries {
     segDir
   }
 
+  /** Build-once SPARSIFIED vector segment store (the ingest pipeline
+    * owns sparsification — IncrIvf's svec-family convention): base =
+    * sparsified embeddings, same mirror/delete construction as
+    * [[ensureVecSegments]] so visible-set oracles replay identically. */
+  def ensureSvecSegments(s: SparkSession, d: String): String = {
+    import graft.operators.Segments
+    val segDir = sys.props("java.io.tmpdir") + "/graft_svecsegments_" + san(d)
+    Segments.synchronized {
+      if (Segments.state(segDir).gen < 0) {
+        val e = t(s, d, "embeddings")
+          .select(col("vec_id"), sparsify(col("embedding")).as("embedding"))
+        Segments.init(s, segDir, e, "vec_id")
+        Segments.append(s, segDir, e.filter(col("vec_id") < 5)
+          .select((col("vec_id") + 20000).as("vec_id"), col("embedding")),
+          "vec_id")
+        Segments.delete(s, segDir,
+          s.range(1).select(lit(1L).as("vec_id"))
+            .unionAll(s.range(1).select(lit(20003L).as("vec_id"))), "vec_id")
+      }
+    }
+    segDir
+  }
+
   /** Pre-build every index artifact for a data dir (bench warmup / the
     * CREATE INDEX phase). */
   def ensureAll(s: SparkSession, d: String): Unit = {
     ivf(s, d, "l2"); ivf(s, d, "cos"); ivf(s, d, "dot")
-    sq8(s, d); pq(s, d); pq4(s, d); rabitq(s, d)
+    sq8(s, d); pq(s, d); pq4(s, d); rabitq(s, d); rq4(s, d)
     hnsw(s, d, 4); hnsw(s, d, 1); hnsw(s, d, 4, "cos"); hnsw(s, d, 1, "cos")
     hnswsq(s, d, 4); hnswpq(s, d, 4); hnswrq(s, d, 4)
     bvecHnsw(s, d, 1); f16Hnsw(s, d, 1)
@@ -200,6 +229,8 @@ object AnnQueries {
       graft.operators.IncrQuant.ensure(s, s"${sch}incr_${san(d)}", segDir,
         "vec_id", "embedding", sch)
     }
+    graft.operators.IncrSparse.ensure(s, s"sparseincr_${san(d)}",
+      ensureSvecSegments(s, d), "vec_id", "embedding")
   }
 
   private def qvec(s: SparkSession, dir: String): Array[Float] =
@@ -816,6 +847,20 @@ object AnnQueries {
       Rabitq.search(s.read.parquet(path), "vec_id", "embedding", "code",
         qvec(s, d), k = 100, model, window = 0)
     }),
+
+    // fast_scan blocked layout (rq_fast_scan analog): one LUT sweep per
+    // 32-vector block. Approximate (rows-only; recall in RabitqSpec +
+    // RECALL.json); the window<=0 exact twin scores raw vectors only.
+    "q_rq4_topk_l2" -> ((s, d) => {
+      val (model, path) = rq4(s, d)
+      Rabitq4.search(s, path, "vec_id", "embedding", qvec(s, d),
+        k = 100, model)
+    }),
+    "q_rq4_exact_l2" -> ((s, d) => {
+      val (model, path) = rq4(s, d)
+      Rabitq4.search(s, path, "vec_id", "embedding", qvec(s, d),
+        k = 100, model, window = 0)
+    }),
     // error-BOUND reranker (error.rs analog): candidate set sized by the
     // theoretical estimator bound, not a tuned window — exact w.h.p.
     // (probabilistic guarantee -> rows-only; RabitqSpec checks equality
@@ -1115,6 +1160,21 @@ object AnnQueries {
         k = 100, window = 0)
     }),
 
+    // incremental sparse inverted index over the SPARSIFIED segment
+    // store: appends explode into bucket partitions (no trained state to
+    // freeze); tombstone version filter on posting rows before the
+    // per-doc fold. Posting-join search is EXACT, so this carries its
+    // own visible-set oracle directly.
+    "q_sparseincr_topk" -> ((s, d) => {
+      val segDir = ensureSvecSegments(s, d)
+      val name = s"sparseincr_${san(d)}"
+      graft.operators.IncrSparse.ensure(s, name, segDir, "vec_id", "embedding")
+      val qTerms = sparseDocs(s, d).filter(col("vec_id") === 0)
+        .select(col("sv.indexes"), col("sv.values")).head()
+      val terms = qTerms.getSeq[Int](0).zip(qTerms.getSeq[Float](1))
+      graft.operators.IncrSparse.search(s, name, segDir, "vec_id", terms, k = 50)
+    }),
+
     // svector IVF: compact CSR payload scan, dense centroids
     "q_svec_ann_topk" -> ((s, d) => {
       val (m, path) = svecAnn(s, d)
@@ -1377,6 +1437,7 @@ object AnnQueries {
     "q_ivfpq_exact_l2" -> exactL2Oracle,
     "q_ivfsq8_exact_l2" -> exactL2Oracle,
     "q_rabitq_exact_l2" -> exactL2Oracle,
+    "q_rq4_exact_l2" -> exactL2Oracle,
     "q_hybrid_topk" -> hybridVisibleOracle,
     // exact flat scan of base + side graphs, version-filtered — the same
     // visible set as the hybrid sealed ∪ growing search
@@ -1388,6 +1449,21 @@ object AnnQueries {
     "q_sq8incr_exact" -> hybridVisibleOracle,
     "q_pqincr_exact" -> hybridVisibleOracle,
     "q_rqincr_exact" -> hybridVisibleOracle,
+    // incremental sparse postings: the q_sparse_topk scoring contract
+    // (sequential double fold, zero products are IEEE identities) over
+    // the same sealed ∪ growing ∖ deleted visible set
+    "q_sparseincr_topk" ->
+      s"""WITH delta AS (
+            SELECT vec_id + 20000 AS vec_id, embedding FROM embeddings WHERE vec_id < 5),
+          allr AS (
+            SELECT vec_id, embedding FROM embeddings
+            UNION ALL SELECT vec_id, embedding FROM delta)
+          SELECT d.vec_id AS vec_id,
+            list_aggregate(list_transform(list_zip($spD, $spQ), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum') AS score
+          FROM allr d CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+          WHERE d.vec_id NOT IN (1, 20003)
+            AND len(list_filter(list_zip($spD, $spQ), p -> p[1] <> 0 AND p[2] <> 0)) > 0
+          ORDER BY score DESC, vec_id LIMIT 50""",
 
     "q_hnsw_batch_exact" ->
       """SELECT qid, vec_id, dist, rn FROM (

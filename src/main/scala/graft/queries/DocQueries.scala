@@ -521,6 +521,7 @@ object DocQueries {
            ('pq4__root_testdata_sf0_01','pq4','l2','dims=64,ks=16,m=8',TRUE),
            ('pq__root_testdata_sf0_01','pq','l2','dims=64,ks=16,m=8',TRUE),
            ('rabitq__root_testdata_sf0_01','rabitq','l2','dims=64',TRUE),
+           ('rq4__root_testdata_sf0_01','rabitq4','l2','dims=64,format=rq4block1',TRUE),
            ('sparse__root_testdata_sf0_01','sparse','dot','buckets=64',TRUE),
            ('sparsepr__root_testdata_sf0_01','sparse_pruned','dot','buckets=64,top_m=1024',TRUE),
            ('sq8__root_testdata_sf0_01','sq8','l2','bits=8',TRUE),

@@ -27,6 +27,7 @@ object Recall {
     Fam("pq", "q_pq_topk_l2", "q_pq_exact_l2"),
     Fam("pq4_fastscan", "q_pq4_topk_l2", "q_pq4_exact_l2"),
     Fam("rabitq", "q_rabitq_topk_l2", "q_rabitq_exact_l2"),
+    Fam("rq4_fastscan", "q_rq4_topk_l2", "q_rq4_exact_l2"),
     Fam("ivf_sq8", "q_ivfsq8_topk_l2", "q_ivfsq8_exact_l2"),
     Fam("ivf_pq", "q_ivfpq_topk_l2", "q_ivfpq_exact_l2"),
     Fam("hnsw_sq8", "q_hnswsq8_topk_l2", "q_hnswsq8_exact_l2"),

@@ -123,6 +123,15 @@ class HybridSpec extends SparkSpec {
     assert(m1.forall { case (k, v) => m4(k) == v })
     assert(got(3).map(_._1) == Seq(9000L, 9002L, 9100L))
     assert(got(30) == want(30))
+
+    // vacuum (full optimize): side graphs fold into fresh base graphs,
+    // dead rows reclaimed, search unchanged
+    IncrHnsw.vacuum(spark, name, segDir, "vec_id", "embedding")
+    val m5 = binMtimes
+    assert(m5.keySet.forall(_.startsWith("base-")),
+      s"vacuum left side graphs: ${m5.keySet}")
+    assert(got(3).map(_._1) == Seq(9000L, 9002L, 9100L))
+    assert(got(30) == want(30))
     graft.index.IndexCatalog.drop(spark, name)
   }
 

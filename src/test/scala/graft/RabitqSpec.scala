@@ -50,4 +50,54 @@ class RabitqSpec extends SparkSpec {
       q, 50, model).select("vec_id").as[Long].collect().toSeq
     assert(got == flatTopk(50))
   }
+
+  test("fast_scan blocked layout: packed block estimates match per-row estimates") {
+    import graft.operators.Rabitq4
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val rows = coded.select(col("vec_id"), col("code.bits"),
+        col("code.norm"), col("code.cosv")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1), r.getFloat(2), r.getFloat(3)))
+    val rq = model.rotate(q)
+    val qNorm = math.sqrt(rq.map(x => x * x).sum)
+    // per-row reference: the scalar scoreKernel on full-precision rq
+    val rqArr = new GenericArrayData(rq.map(_.toFloat))
+    val want: Map[Long, Double] = rows.map { case (id, bits, n, c) =>
+      id -> Rabitq.scoreKernel(
+        InternalRow(new GenericArrayData(bits.toArray), n, c), rqArr, qNorm)
+    }.toMap
+    // blocked: pack 32-row blocks, score with the group-LUT sweep
+    val lut = new GenericArrayData(Rabitq4.buildLut(rq))
+    val got: Map[Long, Double] = rows.grouped(Rabitq4.BlockSize).flatMap { blk =>
+      val (ids, packed, norms, cosvs) = Rabitq4.packKernel(model.dims,
+        blk.map(_._1).toSeq, blk.map(_._2).toSeq, blk.map(_._3).toSeq,
+        blk.map(_._4).toSeq)
+      val ests = Rabitq4.blockEstKernel(packed,
+        new GenericArrayData(norms), new GenericArrayData(cosvs),
+        lut, qNorm, model.dims)
+      ids.zipWithIndex.collect { case (id, s) if id >= 0 =>
+        id -> ests.getDouble(s)
+      }
+    }.toMap
+    assert(got.keySet == want.keySet)
+    // LUT entries keep rq at full double precision where the scalar path
+    // rounds rq to float, and group sums associate differently — equal
+    // to within float-rounding noise, not bit-identical (documented)
+    val worst = want.map { case (id, w) =>
+      math.abs(got(id) - w) / math.max(1.0, math.abs(w)) }.max
+    assert(worst < 1e-4, s"max relative est divergence $worst")
+  }
+
+  test("fast_scan blocked layout: exact mode and windowed recall") {
+    import graft.operators.Rabitq4
+    val (m4, path) = graft.queries.AnnQueries.rq4(spark, sf0001)
+    val exact = Rabitq4.search(spark, path, "vec_id", "embedding", q, 50,
+      m4, window = 0).select("vec_id").as[Long].collect().toSeq
+    assert(exact == flatTopk(50))
+    val got = Rabitq4.search(spark, path, "vec_id", "embedding", q, 50,
+      m4, window = 8).select("vec_id").as[Long].collect().toSet
+    val truth = flatTopk(50).toSet
+    val recall = (got & truth).size.toDouble / truth.size
+    assert(recall >= 0.8, s"recall=$recall")
+  }
 }

@@ -55,6 +55,60 @@ class StreamingAnnSpec extends SparkSpec {
     assert(got.forall(_._2 == 0.0))
   }
 
+  test("streaming ingest feeds incremental IVF and quantized artifacts: append-only, search sees streamed rows") {
+    import java.nio.file.Files
+    import graft.operators.{IncrIvf, IncrQuant, Segments}
+    import graft.streaming.StreamingIngest
+    val segDir = Files.createTempDirectory("graft_stream_incrq").toString
+    val ivfName = "streamspec_incrivf"
+    val sqName = "streamspec_incrsq8"
+    graft.index.IndexCatalog.drop(spark, ivfName)
+    graft.index.IndexCatalog.drop(spark, sqName)
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    Segments.init(spark, segDir, emb, "vec_id")
+    val ivfDir = IncrIvf.ensure(spark, ivfName, segDir, "vec_id", "embedding",
+      metric = "l2", nlist = 8)
+    val sqDir = IncrQuant.ensure(spark, sqName, segDir, "vec_id", "embedding", "sq8")
+    def pqFiles(dir: String): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(dir)).filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getAbsolutePath -> f.lastModified()).toMap
+    }
+    val ivf0 = pqFiles(ivfDir); val sq0 = pqFiles(sqDir)
+
+    val qv: Array[Float] = emb.filter($"vec_id" === 7)
+      .select($"embedding").head().getSeq[Float](0).toArray
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Long, Array[Float])]
+    val sq = StreamingIngest.intoSegments(
+      source.toDF().toDF("vec_id", "embedding"), segDir, "vec_id").start()
+    try {
+      source.addData((60007L, qv)); sq.processAllAvailable()
+      source.addData((60008L, qv)); sq.processAllAvailable()
+    } finally sq.stop()
+
+    IncrIvf.ensure(spark, ivfName, segDir, "vec_id", "embedding",
+      metric = "l2", nlist = 8)
+    IncrQuant.ensure(spark, sqName, segDir, "vec_id", "embedding", "sq8")
+    val ivf1 = pqFiles(ivfDir); val sq1 = pqFiles(sqDir)
+    assert(ivf0.forall { case (f, t) => ivf1.get(f).contains(t) },
+      "stream ingest rewrote a sealed IVF list file")
+    assert(sq0.forall { case (f, t) => sq1.get(f).contains(t) },
+      "stream ingest rewrote a sealed quantized file")
+    assert(ivf1.size > ivf0.size && sq1.size > sq0.size)
+
+    val gotIvf = IncrIvf.search(spark, ivfName, segDir, "vec_id", qv, 3, nprobe = 8)
+      .as[(Long, Double)].collect().toSeq
+    assert(gotIvf.map(_._1) == Seq(7L, 60007L, 60008L), s"got $gotIvf")
+    val gotSq = IncrQuant.search(spark, sqName, segDir, "vec_id", qv, 3, window = 0)
+      .as[(Long, Double)].collect().toSeq
+    assert(gotSq.map(_._1) == Seq(7L, 60007L, 60008L), s"got $gotSq")
+    assert(gotSq.forall(_._2 == 0.0))
+  }
+
   test("streamed query batches match batch searchIndexBatch exactly") {
     val path = graft.queries.AnnQueries.hnsw(spark, sf0001, parts = 1)
     val queries = spark.read.parquet(s"$sf0001/embeddings.parquet")
