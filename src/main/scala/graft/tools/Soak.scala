@@ -111,6 +111,49 @@ object Soak {
       (q, a, b)
     }
 
+    // Incremental-append soak: append an IDENTICAL 2k-row delta to a
+    // base of n rows and one of 10n rows — the incremental ensure must
+    // cost ~the delta (ratio ≈ 1×), while the initial full build scales
+    // ~linearly with the corpus. This is the round-5 claim "a 0.1%
+    // append costs 0.1%" made measurable.
+    import graft.operators.{IncrIvf, IncrQuant, Segments}
+    def rmrf(p: String): Unit = { def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete() }; rm(new java.io.File(p)) }
+    def appendSoak(d: String): (Double, Double, Double, Double) = {
+      val tag = san(d)
+      val segDir = sys.props("java.io.tmpdir") + s"/graft_soakseg_$tag"
+      rmrf(segDir)
+      graft.index.IndexCatalog.drop(spark, s"soakivf_$tag")
+      graft.index.IndexCatalog.drop(spark, s"soaksq8_$tag")
+      val emb = spark.read.parquet(s"$d/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      Segments.init(spark, segDir, emb, "vec_id")
+      def t(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      val fullIvf = t(IncrIvf.ensure(spark, s"soakivf_$tag", segDir,
+        "vec_id", "embedding", metric = "l2", nlist = 16))
+      val fullSq8 = t(IncrQuant.ensure(spark, s"soaksq8_$tag", segDir,
+        "vec_id", "embedding", "sq8"))
+      // identical delta at both scales: replica 0 is byte-equal to src
+      val delta = emb.filter(col("vec_id") < 2000)
+        .select((col("vec_id") + 900000000L).as("vec_id"), col("embedding"))
+      Segments.append(spark, segDir, delta, "vec_id")
+      val incrIvf = t(IncrIvf.ensure(spark, s"soakivf_$tag", segDir,
+        "vec_id", "embedding", metric = "l2", nlist = 16))
+      val incrSq8 = t(IncrQuant.ensure(spark, s"soaksq8_$tag", segDir,
+        "vec_id", "embedding", "sq8"))
+      graft.index.IndexCatalog.drop(spark, s"soakivf_$tag")
+      graft.index.IndexCatalog.drop(spark, s"soaksq8_$tag")
+      rmrf(segDir)
+      (fullIvf, fullSq8, incrIvf, incrSq8)
+    }
+    val (fIvfS, fSq8S, iIvfS, iSq8S) = appendSoak(src)
+    val (fIvfL, fSq8L, iIvfL, iSq8L) = appendSoak(dst)
+    println(f"[soak] ivf full ${fIvfS}%.2f->${fIvfL}%.2f incr ${iIvfS}%.2f->${iIvfL}%.2f")
+    println(f"[soak] sq8 full ${fSq8S}%.2f->${fSq8L}%.2f incr ${iSq8S}%.2f->${iSq8L}%.2f")
+
     val sb = new StringBuilder
     sb ++= "# SOAK — sf0.1 vs synthetic sf1 (10× replicated fixtures)\n\n"
     sb ++= "10× corpus built by replicating `documents`/`embeddings`/`events`\n"
@@ -126,6 +169,22 @@ object Soak {
     sb ++= "| query | sf0.1 (s) | sf1 (s) | ratio |\n|---|---|---|---|\n"
     for ((q, a, b) <- rows)
       sb ++= f"| $q | $a%.2f | $b%.2f | ${b / a}%.1f× |\n"
+    sb ++= "\n## Incremental append: cost tracks the delta, not the corpus\n\n"
+    sb ++= "An IDENTICAL 2,000-row delta appended to the 1× and the 10× base\n"
+    sb ++= "(fresh segment stores; artifact dropped between scales). The check\n"
+    sb ++= "is that the incremental ensure has NO corpus-size term (ratio ≈ 1×):\n"
+    sb ++= "it reads only the delta, assigns/encodes against frozen state, and\n"
+    sb ++= "appends files — the structural only-new-files evidence is the\n"
+    sb ++= "mtime-stability assertions in IncrIvfSpec/IncrQuantSpec. At fixture\n"
+    sb ++= "scale the FULL builds are dominated by fixed stage overhead and\n"
+    sb ++= "k-means/train cost (sample-bounded), so their ratios understate the\n"
+    sb ++= "linear data term that dominates at real scale; the append rows are\n"
+    sb ++= "the measurement that matters.\n\n"
+    sb ++= "| operation | 1× base (s) | 10× base (s) | ratio |\n|---|---|---|---|\n"
+    sb ++= f"| IncrIvf full build | $fIvfS%.2f | $fIvfL%.2f | ${fIvfL / fIvfS}%.1f× |\n"
+    sb ++= f"| IncrIvf append ensure (2k delta) | $iIvfS%.2f | $iIvfL%.2f | ${iIvfL / iIvfS}%.1f× |\n"
+    sb ++= f"| IncrQuant sq8 full build | $fSq8S%.2f | $fSq8L%.2f | ${fSq8L / fSq8S}%.1f× |\n"
+    sb ++= f"| IncrQuant sq8 append ensure (2k delta) | $iSq8S%.2f | $iSq8L%.2f | ${iSq8L / iSq8S}%.1f× |\n"
     sb ++= "\n## Finding fixed by this soak\n\n"
     sb ++= "The first run measured q_embed_neardup_lsh at ~20× wall time for\n"
     sb ++= "10× data: FIXED 16×4 sign-LSH banding collides a random pair in\n"
