@@ -27,7 +27,8 @@ object SparkEntry {
     (graft.queries.CoreQueries.queries ++ graft.queries.TypeQueries.queries
       ++ graft.queries.AnnQueries.queries ++ graft.queries.DocQueries.queries
       ++ graft.queries.PipelineQueries.queries
-      ++ graft.queries.EventQueries.queries)
+      ++ graft.queries.EventQueries.queries
+      ++ graft.queries.LifecycleQueries.queries)
       .map { case (k, f) =>
         k -> ((s: SparkSession, d: String) => f(withFns(s), d))
       }
@@ -37,5 +38,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     graft.queries.CoreQueries.oracles ++ graft.queries.TypeQueries.oracles ++
       graft.queries.AnnQueries.oracles ++ graft.queries.DocQueries.oracles ++
-      graft.queries.PipelineQueries.oracles ++ graft.queries.EventQueries.oracles
+      graft.queries.PipelineQueries.oracles ++ graft.queries.EventQueries.oracles ++
+      graft.queries.LifecycleQueries.oracles
 }

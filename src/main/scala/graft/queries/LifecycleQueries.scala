@@ -1,0 +1,304 @@
+package graft.queries
+
+import java.io.File
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.functions._
+import graft.index.IndexCatalog
+import graft.operators.{Hnsw, IvfIndex, Segments}
+
+/**
+ * Lifecycle + surface queries: result-set (and therefore driver-oracle)
+ * coverage for the operator rows whose earlier evidence was spec-only —
+ * admin functions (reference src/index/functions.rs:16-41), streaming
+ * ingest (crates/index/src/segment/growing.rs:132-158), seal/compaction
+ * (crates/index/src/optimizing/mod.rs:58-104), crash recovery
+ * (crates/index/src/lib.rs:128-211 manifest rule), the SQL function
+ * registration surface (src/sql/finalize.sql), and the pgvector DDL
+ * option spellings (src/index/compatibility.rs:7-60).
+ *
+ * Each query performs the lifecycle against its OWN store under tmp
+ * (build-once, marker-guarded) or against the shared index catalog in a
+ * way that provably cannot disturb the q_index_stat VALUES contract
+ * (sources are temp paths, or names/params identical to already-listed
+ * artifacts), then returns a deterministic result set the DuckDB oracle
+ * replays.
+ */
+object LifecycleQueries {
+  import Tables.t
+
+  private def san(dir: String) = dir.replaceAll("[^a-zA-Z0-9]", "_")
+  private def tmp = sys.props("java.io.tmpdir")
+
+  private def qvec(s: SparkSession, dir: String): Array[Float] =
+    t(s, dir, "embeddings").filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+
+  /** Top-100 visible rows by l2² to query vector 0 — the shared result
+    * shape of the store-lifecycle queries. */
+  private def topkVisible(s: SparkSession, d: String, segDir: String,
+      k: Int): DataFrame =
+    Segments.read(s, segDir, "vec_id")
+      .select(col("vec_id"),
+        l2sq(col("embedding"), typedLit(qvec(s, d))).as("dist"))
+      .orderBy(col("dist"), col("vec_id")).limit(k)
+
+  private def rmrf(f: File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rmrf)
+    f.delete()
+  }
+
+  /** Multi-step store constructions are not atomic: a _DONE marker (not
+    * the VERSION pointer) gates reuse, so a crash mid-construction
+    * rebuilds from scratch instead of serving a half-built fixture. */
+  private def buildOnce(dir: String)(build: => Unit): Unit =
+    Segments.synchronized {
+      val marker = new File(dir, "_GRAFT_FIXTURE_DONE")
+      if (!marker.isFile) {
+        rmrf(new File(dir)); new File(dir).mkdirs()
+        build
+        marker.createNewFile()
+      }
+    }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // --- SQL surface (finalize.sql analog): the query text goes through
+    //     spark.sql + the FunctionRegistry registrations, including a
+    //     format->parse roundtrip in the distance argument — a lossy
+    //     formatter or a broken registration shows up as a hash mismatch
+    "q_sql_surface" -> ((s, d) => {
+      t(s, d, "embeddings").createOrReplaceTempView("graft_sql_emb")
+      s.sql(
+        """SELECT e.vec_id AS vec_id,
+                  l2sq_distance(parse_vector(format_vector(e.embedding)), q.qv) AS dist,
+                  vector_norm(vec_add(e.embedding, e.embedding)) AS nrm2
+           FROM graft_sql_emb e
+           CROSS JOIN (SELECT embedding AS qv FROM graft_sql_emb WHERE vec_id = 0) q
+           ORDER BY dist, vec_id LIMIT 100""")
+    }),
+
+    // --- admin functions (alter/fence/drop/upgrade, functions.rs:16-41):
+    //     runs the lifecycle against an index whose source is a temp
+    //     parquet (never the data dir, so the q_index_stat contract is
+    //     untouched) and returns the observed contract as rows
+    "q_admin_lifecycle" -> ((s, d) => {
+      val srcDir = tmp + "/graft_adminsrc_" + san(d)
+      Segments.synchronized {
+        if (!new File(srcDir, "_SUCCESS").isFile)
+          t(s, d, "embeddings").filter(col("vec_id") < 200)
+            .select(col("vec_id"), col("embedding"))
+            .write.mode("overwrite").parquet(srcDir)
+      }
+      val name = s"admintest_${san(d)}"
+      IvfIndex.ensure(s, name, s.read.parquet(srcDir), srcDir,
+        "embedding", "l2", nlist = 4)
+      IndexCatalog.fence(s, name) // committed build -> no-op, else throws
+      IndexCatalog.alter(s, name, "probe_hint", "7")
+      val altered = IndexCatalog.load(s, name)
+        .flatMap(_.params.get("probe_hint")).getOrElse("-")
+      val dropName = s"admindrop_${san(d)}"
+      // drop is a catalog-level contract: a committed entry with a data
+      // dir suffices (the full build path is already covered above —
+      // re-running an IVF train per bench pass would only burn time)
+      new File(IndexCatalog.dataDir(s, dropName)).mkdirs()
+      Files.writeString(
+        Paths.get(IndexCatalog.dataDir(s, dropName), "part-0"), "x")
+      IndexCatalog.commit(s, dropName,
+        IndexCatalog.Manifest("ivf", srcDir, "l2", Map("nlist" -> "4")))
+      IndexCatalog.fence(s, dropName)
+      IndexCatalog.drop(s, dropName)
+      val dropGone = IndexCatalog.load(s, dropName).isEmpty
+      val fenceThrows =
+        scala.util.Try(IndexCatalog.fence(s, dropName)).isFailure
+      // an index dir whose manifest this version cannot read is exactly
+      // what pgvectors_upgrade sweeps (rebuilt on the next ensure)
+      val badName = s"adminbad_${san(d)}"
+      val badDir = new File(IndexCatalog.dir(s, badName))
+      badDir.mkdirs()
+      Files.write(new File(badDir, "MANIFEST.bin").toPath,
+        "not-a-manifest".getBytes("UTF-8"))
+      val swept = IndexCatalog.upgrade(s)
+      val sweptBad = swept.contains(badName) &&
+        IndexCatalog.load(s, badName).isEmpty && !badDir.exists()
+      import s.implicits._
+      Seq(
+        ("alter_probe_hint", altered),
+        ("drop_removes", dropGone.toString),
+        ("fence_missing_throws", fenceThrows.toString),
+        ("upgrade_sweeps_unreadable", sweptBad.toString))
+        .toDF("step", "result").orderBy(col("step"))
+    }),
+
+    // --- streaming ingest (aminsert analog): readStream over the fixture
+    //     parquet -> foreachBatch Segments.append (the StreamingIngest
+    //     sink) -> snapshot read. Appended ids are disjoint, so the
+    //     visible set — and the oracle — is batching-independent.
+    "q_stream_ingest" -> ((s, d) => {
+      val segDir = tmp + "/graft_streamseg_" + san(d)
+      val ckDir = tmp + "/graft_streamck_" + san(d)
+      buildOnce(segDir) {
+        rmrf(new File(ckDir))
+        // the file stream source wants a DIRECTORY to watch; stage the
+        // fixture file into one (the arrival directory an ingest pipeline
+        // would tail)
+        val srcDir = new File(tmp + "/graft_streamsrc_" + san(d))
+        rmrf(srcDir); srcDir.mkdirs()
+        Files.copy(Paths.get(s"$d/embeddings.parquet"),
+          Paths.get(srcDir.getPath, "embeddings.parquet"))
+        val sch = t(s, d, "embeddings").schema
+        val stream = s.readStream.schema(sch)
+          .option("maxFilesPerTrigger", 1).parquet(srcDir.getPath)
+          .select(col("vec_id"), col("embedding"))
+        Segments.init(s, segDir,
+          s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            stream.schema), "vec_id")
+        val q = graft.streaming.StreamingIngest
+          .intoSegments(stream, segDir, "vec_id")
+          .option("checkpointLocation", ckDir)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      topkVisible(s, d, segDir, 100)
+    }),
+
+    // --- seal/compaction (optimizing/mod.rs:58-104): mirrors + deletes
+    //     folded into the next sealed generation mid-lifecycle, then the
+    //     store keeps living (post-compact append + delete). The visible
+    //     set must be indistinguishable from the never-compacted replay.
+    "q_compact_scan" -> ((s, d) => {
+      val segDir = tmp + "/graft_compactseg_" + san(d)
+      buildOnce(segDir) {
+        val e = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+        Segments.init(s, segDir, e, "vec_id")
+        Segments.append(s, segDir, e.filter(col("vec_id") < 5)
+          .select((col("vec_id") + 20000).as("vec_id"), col("embedding")),
+          "vec_id")
+        Segments.delete(s, segDir,
+          s.range(1).select(lit(1L).as("vec_id"))
+            .unionAll(s.range(1).select(lit(20003L).as("vec_id"))), "vec_id")
+        Segments.compact(s, segDir, "vec_id")
+        Segments.append(s, segDir,
+          e.filter(col("vec_id") >= 5 && col("vec_id") < 8)
+            .select((col("vec_id") + 30000).as("vec_id"), col("embedding")),
+          "vec_id")
+        Segments.delete(s, segDir,
+          s.range(1).select(lit(30006L).as("vec_id")), "vec_id")
+      }
+      topkVisible(s, d, segDir, 120)
+    }),
+
+    // --- crash recovery (lib.rs:128-211 manifest rule): data dirs whose
+    //     seq/gen the VERSION pointer never committed are garbage. The
+    //     junk rows include a copy of the query vector (dist 0), so any
+    //     leak wins the top-k and flips the hash.
+    "q_recovery_scan" -> ((s, d) => {
+      val segDir = tmp + "/graft_recoveryseg_" + san(d)
+      buildOnce(segDir) {
+        val e = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+        Segments.init(s, segDir, e, "vec_id")
+        Segments.append(s, segDir, e.filter(col("vec_id") < 5)
+          .select((col("vec_id") + 20000).as("vec_id"), col("embedding")),
+          "vec_id")
+        // simulated crash debris: delta/base dirs written, pointer never
+        // swapped (delta-99 > committed seq; base-7 != committed gen),
+        // plus a stray VERSION.tmp from a crash mid-commit
+        val junk = e.filter(col("vec_id") < 50)
+          .select((col("vec_id") + 90000).as("vec_id"), col("embedding"))
+          .withColumn("_ver", lit(99L))
+        junk.write.mode("overwrite").parquet(s"$segDir/delta-99")
+        junk.write.mode("overwrite").parquet(s"$segDir/base-7")
+        Files.writeString(Paths.get(segDir, "VERSION.tmp"), "gen=7 seq=99\n")
+      }
+      topkVisible(s, d, segDir, 100)
+    }),
+
+    // --- pgvector DDL option spellings (compatibility.rs:7-60): ensure
+    //     through `lists` / `m`+`ef_construction` reloption names; both
+    //     spellings must land on the SAME manifests the native queries
+    //     use (asserted here — a parse drift throws and fails the gate),
+    //     then search exact through the options-built artifact.
+    "q_pgvector_opts" -> ((s, d) => {
+      val name = s"ivf_l2_${san(d)}"
+      val (m, path) = IvfIndex.ensure(s, name, t(s, d, "embeddings"), d,
+        "embedding", "l2", Map("lists" -> "16"))
+      val manifest = IndexCatalog.load(s, name).get
+      require(manifest.params.get("nlist").contains("16"),
+        s"pgvector lists=16 must map to nlist=16, got ${manifest.params}")
+      val hname = s"hnsw_l2_p1_${san(d)}"
+      val before = IndexCatalog.load(s, hname).map(_.params)
+      Hnsw.ensure(s, hname, t(s, d, "embeddings"), d, "vec_id", "embedding",
+        "l2", 1, Map("m" -> "12", "ef_construction" -> "300"))
+      val after = IndexCatalog.load(s, hname).get.params
+      require(after.get("m").contains("12") &&
+        after.get("ef_construction").contains("300"),
+        s"pgvector hnsw reloptions must map to native params, got $after")
+      require(before.forall(_ == after),
+        "re-ensuring under the pgvector spelling must be a manifest no-op")
+      IvfIndex.search(s, path, m, "vec_id", "embedding", qvec(s, d),
+        k = 100, nprobe = m.nlist)
+    })
+  )
+
+  // DuckDB replay snippets (double-accumulation parity with the kernels)
+  private val qL2 =
+    "list_aggregate(list_transform(list_zip(e.embedding, q.qv), p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), 'sum')"
+  private val aL2 =
+    "list_aggregate(list_transform(list_zip(a.embedding, q.qv), p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), 'sum')"
+
+  val oracles: Map[String, String] = Map(
+    "q_sql_surface" ->
+      s"""SELECT e.vec_id AS vec_id, $qL2 AS dist,
+            sqrt(list_aggregate(list_transform(e.embedding,
+              x -> (2 * CAST(x AS DOUBLE)) * (2 * CAST(x AS DOUBLE))), 'sum')) AS nrm2
+          FROM embeddings e
+          CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+          ORDER BY dist, vec_id LIMIT 100""",
+
+    "q_admin_lifecycle" ->
+      """SELECT * FROM (VALUES
+           ('alter_probe_hint', '7'),
+           ('drop_removes', 'true'),
+           ('fence_missing_throws', 'true'),
+           ('upgrade_sweeps_unreadable', 'true')
+         ) AS t(step, result) ORDER BY step""",
+
+    "q_stream_ingest" ->
+      s"""SELECT e.vec_id AS vec_id, $qL2 AS dist
+          FROM embeddings e
+          CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+          ORDER BY dist, vec_id LIMIT 100""",
+
+    "q_compact_scan" ->
+      s"""WITH m1 AS (SELECT vec_id + 20000 AS vec_id, embedding
+                      FROM embeddings WHERE vec_id < 5),
+            m2 AS (SELECT vec_id + 30000 AS vec_id, embedding
+                   FROM embeddings WHERE vec_id >= 5 AND vec_id < 8),
+            allr AS (SELECT vec_id, embedding FROM embeddings
+                     UNION ALL SELECT vec_id, embedding FROM m1
+                     UNION ALL SELECT vec_id, embedding FROM m2)
+          SELECT a.vec_id AS vec_id, $aL2 AS dist
+          FROM allr a
+          CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+          WHERE a.vec_id NOT IN (1, 20003, 30006)
+          ORDER BY dist, vec_id LIMIT 120""",
+
+    "q_recovery_scan" ->
+      s"""WITH m1 AS (SELECT vec_id + 20000 AS vec_id, embedding
+                      FROM embeddings WHERE vec_id < 5),
+            allr AS (SELECT vec_id, embedding FROM embeddings
+                     UNION ALL SELECT vec_id, embedding FROM m1)
+          SELECT a.vec_id AS vec_id, $aL2 AS dist
+          FROM allr a
+          CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+          ORDER BY dist, vec_id LIMIT 100""",
+
+    "q_pgvector_opts" ->
+      s"""SELECT e.vec_id AS vec_id, $qL2 AS dist
+          FROM embeddings e
+          CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+          ORDER BY dist, vec_id LIMIT 100"""
+  )
+}
