@@ -234,8 +234,19 @@ object AnnQueries {
   }
 
   private def qvec(s: SparkSession, dir: String): Array[Float] =
-    t(s, dir, "embeddings").filter(col("vec_id") === 0)
-      .select(col("embedding")).head().getSeq[Float](0).toArray
+    Tables.fixture("qvec:" + dir) {
+      t(s, dir, "embeddings").filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+    }
+
+  /** Query row 0's sparsified CSR terms — shared by every sparse search
+    * entry (cached: four queries re-fetched the identical row). */
+  private def sparseQTerms(s: SparkSession, dir: String): Seq[(Int, Float)] =
+    Tables.fixture("sparseq:" + dir) {
+      val r = sparseDocs(s, dir).filter(col("vec_id") === 0)
+        .select(col("sv.indexes"), col("sv.values")).head()
+      r.getSeq[Int](0).zip(r.getSeq[Float](1))
+    }
 
   /** Densified sparsified query — same threshold rule as [[sparsify]]
     * (double compare, matching the Column expression's type promotion). */
@@ -243,9 +254,11 @@ object AnnQueries {
     qvec(s, dir).map(x => if (math.abs(x.toDouble) > 0.15) x else 0.0f)
 
   private def batchQueries(s: SparkSession, dir: String): Seq[(Long, Array[Float])] =
-    t(s, dir, "embeddings").filter(col("vec_id") < 3)
-      .select(col("vec_id"), col("embedding")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    Tables.fixture("batchq:" + dir) {
+      t(s, dir, "embeddings").filter(col("vec_id") < 3)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    }
 
   /** Fixed small-int f16-exact batch queries for the vecf16 artifact
     * (f16 rounding is identity on these values — the
@@ -639,9 +652,11 @@ object AnnQueries {
       import s.implicits._
       val (m, path) = ivf(s, d, "l2")
       val qs = batchQueries(s, d) ++ Seq(
-        t(s, d, "embeddings").filter(col("vec_id") === 3)
-          .select(col("vec_id"), col("embedding")).collect()
-          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).head)
+        Tables.fixture("qvec3:" + d) {
+          t(s, d, "embeddings").filter(col("vec_id") === 3)
+            .select(col("vec_id"), col("embedding")).collect()
+            .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).head
+        })
       val cand = IvfIndex.batchSearch(s, path, m, "vec_id", "embedding", qs,
         k = 100, nprobe = nprobeConf(s))
       val gids = cand.filter(col("vec_id") >= 4)
@@ -1169,9 +1184,7 @@ object AnnQueries {
       val segDir = ensureSvecSegments(s, d)
       val name = s"sparseincr_${san(d)}"
       graft.operators.IncrSparse.ensure(s, name, segDir, "vec_id", "embedding")
-      val qTerms = sparseDocs(s, d).filter(col("vec_id") === 0)
-        .select(col("sv.indexes"), col("sv.values")).head()
-      val terms = qTerms.getSeq[Int](0).zip(qTerms.getSeq[Float](1))
+      val terms = sparseQTerms(s, d)
       graft.operators.IncrSparse.search(s, name, segDir, "vec_id", terms, k = 50)
     }),
 
@@ -1201,18 +1214,14 @@ object AnnQueries {
     // Sparse inverted index: EXACT, full oracle, persisted postings
     "q_sparse_topk" -> ((s, d) => {
       val path = sparse(s, d)
-      val qTerms = sparseDocs(s, d).filter(col("vec_id") === 0)
-        .select(col("sv.indexes"), col("sv.values")).head()
-      val terms = qTerms.getSeq[Int](0).zip(qTerms.getSeq[Float](1))
+      val terms = sparseQTerms(s, d)
       SparseSearch.searchIndex(s, path, "vec_id", terms, k = 50)
     }),
     // approximate scale path: impact-pruned postings (top-M per token) —
     // rows-only; recall vs the exact index in AnnSpec
     "q_sparse_topk_pruned" -> ((s, d) => {
       val path = sparsePruned(s, d)
-      val qTerms = sparseDocs(s, d).filter(col("vec_id") === 0)
-        .select(col("sv.indexes"), col("sv.values")).head()
-      val terms = qTerms.getSeq[Int](0).zip(qTerms.getSeq[Float](1))
+      val terms = sparseQTerms(s, d)
       SparseSearch.searchIndex(s, path, "vec_id", terms, k = 50)
     }),
 
@@ -1233,9 +1242,7 @@ object AnnQueries {
         .orderBy(col("dist"), col("vec_id")).limit(50)
         .withColumn("r_dense",
           row_number().over(Window.orderBy(col("dist"), col("vec_id"))))
-      val qTerms = sparseDocs(s, d).filter(col("vec_id") === 0)
-        .select(col("sv.indexes"), col("sv.values")).head()
-      val terms = qTerms.getSeq[Int](0).zip(qTerms.getSeq[Float](1))
+      val terms = sparseQTerms(s, d)
       val sp = SparseSearch.searchIndex(s, sparse(s, d), "vec_id", terms, k = 50)
         .withColumn("r_sparse",
           row_number().over(Window.orderBy(col("score").desc, col("vec_id"))))

@@ -7,6 +7,16 @@ import graft.functions._
 object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Driver-side cache of the tiny per-dir fixture fetches (query
+    * vectors, sparse query terms, query batches): deterministic per data
+    * dir, a handful of rows each — but every ANN query would otherwise
+    * pay a separate Spark job (scan+filter+head) to re-read them. The
+    * fixtures are immutable test inputs, so no invalidation is needed. */
+  private val fixtureCache =
+    new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+  def fixture[T <: AnyRef](key: String)(f: => T): T =
+    fixtureCache.computeIfAbsent(key, _ => f).asInstanceOf[T]
 }
 
 /**

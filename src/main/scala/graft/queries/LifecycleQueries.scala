@@ -33,8 +33,10 @@ object LifecycleQueries {
   private def tmp = sys.props("java.io.tmpdir")
 
   private def qvec(s: SparkSession, dir: String): Array[Float] =
-    t(s, dir, "embeddings").filter(col("vec_id") === 0)
-      .select(col("embedding")).head().getSeq[Float](0).toArray
+    Tables.fixture("qvec:" + dir) {
+      t(s, dir, "embeddings").filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+    }
 
   /** Top-100 visible rows by l2² to query vector 0 — the shared result
     * shape of the store-lifecycle queries. */
