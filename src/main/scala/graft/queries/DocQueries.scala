@@ -351,7 +351,8 @@ object DocQueries {
       // cdist=0.05 stays <= 1e-8; the mirror dups are exact (cdist 0,
       // collide in every band), so the shared exact-cosine oracle is
       // banding-independent.
-      val (bands, rows) = Dedup.signBandParams(e.count())
+      val (bands, rows) = Dedup.signBandParams(Tables.fixture[java.lang.Long](
+        "ndupn:" + d)(java.lang.Long.valueOf(e.count())).longValue())
       val planes = Dedup.hyperplanes(nPlanes = bands * rows, dims = 64)
       val keyed = e.select(col("vec_id"),
         explode(Dedup.signBandKeys(col("embedding"), planes,
