@@ -23,6 +23,15 @@ package object functions {
   def vecMul(a: Column, b: Column): Column = toCol(DenseArith(expr(a), expr(b), '*'))
 
   // --- scalar functions ---
+  /** True iff every component of a float-array vector is finite. Index
+    * builds treat non-finite vectors like NULLs (they're stored nowhere
+    * and never surface from a top-k — the null.slt contract): MLlib
+    * KMeans hard-errors on NaN/Inf features, and a NaN entry node would
+    * stall an HNSW greedy descent (every comparison false). */
+  def vectorIsFinite(v: Column): Column = {
+    import org.apache.spark.sql.functions.{abs, exists, isnan, lit, not}
+    not(exists(v, x => isnan(x) || abs(x) > lit(Float.MaxValue)))
+  }
   def vectorNorm(v: Column): Column = toCol(VectorNorm(expr(v)))
   def vectorNormalize(v: Column): Column = toCol(VectorNormalize(expr(v)))
   def toVecf16(v: Column): Column = toCol(ToF16(expr(v)))

@@ -560,8 +560,12 @@ object Hnsw {
           "ef_construction" -> efConstruction.toString,
           "parts" -> parts.toString)) { dataDir =>
       import spark.implicits._
-      // cosine follows the IVF rewrite: normalize at build, search by dot
-      val nonNull = df.filter(col(vecCol).isNotNull)
+      // cosine follows the IVF rewrite: normalize at build, search by dot.
+      // NULL AND non-finite vectors are excluded (null.slt contract): a
+      // NaN node would stall the greedy descent — every dist comparison
+      // against NaN is false, so a walk entering it can never leave.
+      val nonNull = df.filter(col(vecCol).isNotNull &&
+        graft.functions.vectorIsFinite(col(vecCol)))
       val prepped =
         if (metric == "cos")
           nonNull.withColumn(vecCol, graft.functions.vectorNormalize(col(vecCol)))

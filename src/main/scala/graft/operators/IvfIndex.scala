@@ -130,7 +130,10 @@ object IvfIndex {
       maxIter: Int = 10, seed: Long = 42L, sampleCap: Int = 200000): Model = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val prep0 = df.filter(col(vecCol).isNotNull).select(col(vecCol).as("v"))
+    // non-finite vectors are excluded like NULLs (MLlib KMeans raises on
+    // NaN/Inf features; null.slt tolerates such rows in the table)
+    val prep0 = df.filter(col(vecCol).isNotNull &&
+      vectorIsFinite(col(vecCol))).select(col(vecCol).as("v"))
     val prep = if (metric == "cos") prep0.select(vectorNormalize(col("v")).as("v")) else prep0
     val sample = prep.limit(sampleCap)
       .withColumn("features", array_to_vector(col("v").cast("array<double>")))
@@ -154,7 +157,8 @@ object IvfIndex {
   def build(df: DataFrame, vecCol: String, metric: String, nlist: Int,
       path: String, seed: Long = 42L): Model = {
     val model = train(df, vecCol, metric, nlist, seed = seed)
-    assign(df.filter(col(vecCol).isNotNull), vecCol, model)
+    assign(df.filter(col(vecCol).isNotNull && vectorIsFinite(col(vecCol))),
+        vecCol, model)
       .repartition(col("list_id"))
       .write.mode("overwrite").partitionBy("list_id").parquet(path)
     model
@@ -173,9 +177,10 @@ object IvfIndex {
       IndexCatalog.drop(spark, name)
     val m = IndexCatalog.ensure(spark, name, source) { dataDir =>
       val model = train(df, vecCol, metric, nlist, seed = seed)
-      // NULL vectors are not indexed (issue_427.slt: an index over nulls
-      // must neither break the build nor pollute search results)
-      assign(df.filter(col(vecCol).isNotNull), vecCol, model)
+      // NULL and non-finite vectors are not indexed (issue_427.slt /
+      // null.slt: neither may break the build or pollute search results)
+      assign(df.filter(col(vecCol).isNotNull && vectorIsFinite(col(vecCol))),
+          vecCol, model)
         .repartition(col("list_id"))
         .write.mode("overwrite").partitionBy("list_id").parquet(dataDir)
       // per-list max l2² radius to the centroid (range-pruning stats)

@@ -118,6 +118,49 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(mins.length == 64 && widths.forall(_ > 0))
   }
 
+  test("null.slt index leg: NULL + NaN/Inf rows through HNSW and IVF build/search") {
+    val good = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).limit(40)
+    val dims = 64
+    val nulls = Seq.tabulate(10)(i => (6000L + i, null: Seq[Float]))
+      .toDF("vec_id", "embedding")
+    // NaN, +Inf, and a single-Inf-component row: the null.slt corpus shape
+    val nans = (Seq.tabulate(5)(i => (7000L + i, Seq.fill(dims)(Float.NaN))) ++
+      Seq((7100L, Seq.fill(dims)(Float.PositiveInfinity)),
+          (7101L, Seq.tabulate(dims)(j =>
+            if (j == 0) Float.NegativeInfinity else 1f))))
+      .toDF("vec_id", "embedding")
+    val src = java.nio.file.Files.createTempDirectory("graft_nullsrc").toString
+    good.unionByName(nulls).unionByName(nans)
+      .write.mode("overwrite").parquet(src)
+    val t = spark.read.parquet(src)
+    val q = good.filter(col("vec_id") === 0).select(col("embedding"))
+      .head().getSeq[Float](0).toArray
+
+    // IVF: non-finite rows must not poison k-means training or the search
+    val ivfDir = java.nio.file.Files.createTempDirectory("graft_nan_ivf").toString
+    val model = graft.operators.IvfIndex.build(t, "embedding", "l2", 4, ivfDir)
+    assert(model.centroids.forall(_.forall(v => !v.isNaN && !v.isInfinite)),
+      "non-finite values leaked into trained centroids")
+    val ivfHits = graft.operators.IvfIndex.search(spark, ivfDir, model,
+      "vec_id", "embedding", q, k = 10, nprobe = 4).collect()
+    assert(ivfHits.length == 10)
+    assert(ivfHits.forall(r => r.getLong(0) < 6000L && !r.getDouble(1).isNaN),
+      s"got ${ivfHits.map(_.getLong(0)).toSeq}")
+
+    // HNSW: graph walk AND exact flat scan both return k finite rows
+    // (a NaN entry node must not stall the greedy descent)
+    val p = graft.operators.Hnsw.ensure(spark, "nulltest_hnsw", t, src,
+      "vec_id", "embedding", "l2", parts = 2)
+    for (hits <- Seq(
+        graft.operators.Hnsw.searchIndex(spark, p, "vec_id", q, k = 10).collect(),
+        graft.operators.Hnsw.searchIndexExact(spark, p, "vec_id", q, k = 10).collect())) {
+      assert(hits.length == 10)
+      assert(hits.forall(r => r.getLong(0) < 6000L && !r.getDouble(1).isNaN),
+        s"got ${hits.map(_.getLong(0)).toSeq}")
+    }
+  }
+
   test("SQL dims-mismatch errors like the reference operators") {
     view
     val e = intercept[Exception] {
