@@ -132,12 +132,32 @@ object IndexCatalog {
     }
   }
 
+  /** Alterable option keys (search-time tuning hints) with their value
+    * validators. Everything else in `params` is structural build
+    * metadata (dims/m/ks/nlist/gen/seq/...) owned by the build — the
+    * reference likewise rejects unknown keys ("not found") and invalid
+    * values ("Invalid index options") in index_edit.slt; its alterable
+    * set is the segment-lifecycle knobs, whose analogs here are session
+    * confs (spark.graft.segments.maxGrowingRows etc.). */
+  private val Alterable: Map[String, String => Boolean] = {
+    val posInt = (v: String) => v.forall(_.isDigit) && v.nonEmpty &&
+      v.length <= 9 && v.toInt > 0
+    Map("probe_hint" -> posInt, "nprobe" -> posInt,
+      "ef_search" -> posInt, "rerank_window" -> posInt)
+  }
+
   /** Live-alter an index option (`alter_vector_index` analog,
     * src/index/functions.rs:16-41). Search-time params take effect on the
-    * next query; build-affecting params require a rebuild (drop+ensure). */
+    * next query; build-affecting params require a rebuild (drop+ensure).
+    * Unknown keys and invalid values are rejected (index_edit.slt), so an
+    * alter can never corrupt structural build metadata. */
   def alter(spark: SparkSession, name: String, key: String, value: String): Manifest = {
     val m = load(spark, name).getOrElse(
       throw new IllegalArgumentException(s"no such index: $name"))
+    val validate = Alterable.getOrElse(key,
+      throw new IllegalArgumentException(s"option not found: $key"))
+    if (!validate(value))
+      throw new IllegalArgumentException(s"invalid index option value: $key = $value")
     commit(spark, name, m.copy(params = m.params + (key -> value)))
   }
 

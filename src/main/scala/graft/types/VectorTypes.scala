@@ -101,7 +101,12 @@ object VectorText {
       fail(s"malformed vector literal: $s")
     val body = t.substring(1, t.length - 1).trim
     if (body.isEmpty) fail("vector must have at least 1 dimension")
-    val parts = body.split(",", -1)
+    // one trailing comma is tolerated ('[1,]' -> [1], cast.slt): the
+    // reference tokenizer flushes on ',' and simply never flushes a
+    // final empty token; interior empties still error ('[1,,3]')
+    val parts0 = body.split(",", -1)
+    val parts = if (parts0.length > 1 && parts0.last.trim.isEmpty)
+      parts0.dropRight(1) else parts0
     val out = new Array[Float](parts.length)
     var i = 0
     while (i < parts.length) {

@@ -45,6 +45,25 @@ class CatalogSpec extends SparkSpec {
     val altered = IndexCatalog.alter(spark, name, "nprobe", "2")
     assert(altered.params("nprobe") == "2")
     assert(IndexCatalog.load(spark, name).get.params("nprobe") == "2")
+    // index_edit.slt error contract: unknown index, unknown key, and
+    // invalid values are all rejected; structural build metadata is not
+    // alterable (an alter must never corrupt dims/nlist/gen/...)
+    intercept[IllegalArgumentException] {
+      IndexCatalog.alter(spark, "no_such_index", "nprobe", "2")
+    }
+    intercept[IllegalArgumentException] {
+      IndexCatalog.alter(spark, name, "unknown_key", "1")
+    }
+    intercept[IllegalArgumentException] {
+      IndexCatalog.alter(spark, name, "metric", "cos")
+    }
+    intercept[IllegalArgumentException] {
+      IndexCatalog.alter(spark, name, "nprobe", "unknown_value")
+    }
+    intercept[IllegalArgumentException] {
+      IndexCatalog.alter(spark, name, "nprobe", "0")
+    }
+    assert(IndexCatalog.load(spark, name).get.params("nprobe") == "2")
 
     // source change triggers rebuild
     IndexCatalog.ensure(spark, name, "srcB") { dataDir =>

@@ -55,6 +55,19 @@ class DenseExpressionsSpec extends SparkSpec {
     assert(s == "[1.0, 2.5, -3.0]")
   }
 
+  test("cast.slt literal edge cases") {
+    def p(lit0: String): Seq[Float] =
+      graft.types.VectorText.parseDense(lit0).toSeq
+    assert(p("[1,]") == Seq(1f))          // trailing comma tolerated
+    assert(p("[1, ]") == Seq(1f))
+    assert(p("[3.5e38, -3.5e38]") ==      // overflow -> ±Inf, not error
+      Seq(Float.PositiveInfinity, Float.NegativeInfinity))
+    assert(p("[NaN, Infinity, -Infinity]").head.isNaN)
+    for (bad <- Seq("[]", "[1,2,3", "[1,2,3]9", "1,2,3", "", "[",
+        "[,", "[,]", "[1a]", "[1,,3]", "[1, ,3]"))
+      intercept[Exception](p(bad))
+  }
+
   test("f16 rounding matches reference fixture (0.4 -> 0.39990234)") {
     assert(Fp16.roundTrip(0.4f) == 0.39990234f)
     assert(Fp16.roundTrip(0.1f) == 0.099975586f)

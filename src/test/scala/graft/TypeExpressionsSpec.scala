@@ -20,6 +20,24 @@ class TypeExpressionsSpec extends SparkSpec {
     assert(r == ((9.0, -3.0)))
   }
 
+  test("svector.slt aggregate semantics: cancellation drop, NULL skip, empty -> NULL") {
+    // avg({0:1,1:2,2:3}, {0:-1,1:2,2:-3}) = {1:2}/3 — components that
+    // average to exactly 0 are dropped from the sparse result
+    val two = Seq("{0:1, 1:2, 2:3}/3", "{0:-1, 1:2, 2:-3}/3").toDF("s")
+      .select(parseSVector($"s").as("v"))
+    assert(two.agg(formatSVector(svecAvgAgg($"v", 3))).as[String].head()
+      == "{1:2.0}/3")
+    // NULL rows are skipped, not counted in the divisor
+    val withNull = Seq(Some("{0:1, 1:2, 2:3}/3"), None).toDF("s")
+      .select(when($"s".isNotNull, parseSVector($"s")).as("v"))
+    assert(withNull.agg(formatSVector(svecAvgAgg($"v", 3))).as[String].head()
+      == "{0:1.0, 1:2.0, 2:3.0}/3")
+    // empty input aggregates to NULL
+    val empty = Seq.empty[String].toDF("s").select(parseSVector($"s").as("v"))
+    assert(empty.agg(svecAvgAgg($"v", 3)).head().isNullAt(0))
+    assert(empty.agg(svecSumAgg($"v", 3)).head().isNullAt(0))
+  }
+
   test("svector arithmetic: mul keeps intersection, add drops produced zeros") {
     val mul = one.select(formatSVector(
       svecMul(sv("{0:1, 2:3}/5"), sv("{2:2, 4:2}/5")))).as[String].head()
