@@ -102,23 +102,6 @@ object BitKernels {
     new GenericArrayData(out)
   }
 
-  /** Slice [lo, hi) -> bvector; null on empty (subscript semantics). */
-  def slice(a: InternalRow, lo: Int, hi: Int): InternalRow = {
-    val dims = a.getInt(0)
-    val l = math.max(lo, 0); val h = math.min(hi, dims)
-    if (l >= h) return null
-    val w = a.getArray(1)
-    val outDims = h - l
-    val out = new Array[Long]((outDims + 63) / 64)
-    var i = 0
-    while (i < outDims) {
-      val src = l + i
-      if (((w.getLong(src >> 6) >>> (src & 63)) & 1L) == 1L)
-        out(i >> 6) |= (1L << (i & 63))
-      i += 1
-    }
-    InternalRow(outDims, new GenericArrayData(out))
-  }
 
   def parse(s: org.apache.spark.unsafe.types.UTF8String): InternalRow = {
     val (d, w) = graft.types.VectorText.parseBinary(s.toString)

@@ -31,16 +31,16 @@ object CompareKernels {
     java.lang.Integer.compare(n, m)
   }
 
-  /** [lo, hi) 0-based half-open; NULL on empty/inverted result
-    * (reference subscript: src/datatype/subscript_vecf32.rs:14-100,
-    * kernel vect.rs:174-183). */
+  /** [lo, hi) 0-based half-open; NULL on negative/inverted/out-of-range
+    * bounds — NO clamping: the reference's `slice.get((start, end))`
+    * returns None when hi > dims, and its SQL layer nulls negative
+    * bounds (subscript_vecf32.rs:103-131, vect.rs:174-182). */
   def slice(a: ArrayData, lo: Int, hi: Int): ArrayData = {
     val dims = a.numElements()
-    val l = math.max(lo, 0); val h = math.min(hi, dims)
-    if (l >= h) return null
-    val out = new Array[Float](h - l)
-    var i = l
-    while (i < h) { out(i - l) = a.getFloat(i); i += 1 }
+    if (lo < 0 || lo >= hi || hi > dims) return null
+    val out = new Array[Float](hi - lo)
+    var i = lo
+    while (i < hi) { out(i - lo) = a.getFloat(i); i += 1 }
     new GenericArrayData(out)
   }
 }

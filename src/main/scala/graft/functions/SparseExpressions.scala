@@ -173,12 +173,14 @@ object SparseKernels {
     mk(n, java.util.Arrays.copyOf(outI, k), java.util.Arrays.copyOf(outV, k))
   }
 
-  /** Subvector slice [lo, hi) — 0-based half-open, indexes re-based
-    * (reference: svect.rs:354-402); caller handles NULL-on-empty. */
+  /** Subvector slice [lo, hi) — 0-based half-open, indexes re-based;
+    * NULL on negative/inverted/out-of-range bounds, NO clamping
+    * (reference svect.rs:354-379: `start >= end || end > dims` -> None,
+    * SQL layer nulls negative bounds). */
   def slice(a: InternalRow, lo: Int, hi: Int): InternalRow = {
     val dims = a.getInt(0)
-    val l = math.max(lo, 0); val h = math.min(hi, dims)
-    if (l >= h) return null
+    if (lo < 0 || lo >= hi || hi > dims) return null
+    val l = lo; val h = hi
     val ai = a.getArray(1); val av = a.getArray(2)
     val n = ai.numElements()
     val outI = new Array[Int](n); val outV = new Array[Float](n)

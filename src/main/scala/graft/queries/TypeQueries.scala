@@ -153,18 +153,21 @@ object TypeQueries {
         .orderBy(col("vec_id"))
     }),
 
-    // --- subscript slice: in-bounds, clamped, out-of-bounds (NULL) ---
+    // --- subscript slice: in-bounds slices plus the no-clamp NULL
+    //     contract (hi > dims is NULL, not a clamped slice —
+    //     vect.rs subvector returns None past the end) ---
     "q_vec_slice" -> ((s, d) => {
       t(s, d, "embeddings").select(col("vec_id"),
           vecSlice(col("embedding"), lit(100), lit(120)).isNull.as("oob_is_null"),
+          vecSlice(col("embedding"), lit(60), lit(100)).isNull.as("overend_is_null"),
           concat(
             vecSlice(col("embedding"), lit(8), lit(24)),
-            vecSlice(col("embedding"), lit(60), lit(100)),
+            vecSlice(col("embedding"), lit(60), lit(64)),
             svecToDense(svecSlice(svecFromDense(sparsified(col("embedding"))),
               lit(8), lit(24)))).as("allx"))
-        .select(col("vec_id"), col("oob_is_null"),
+        .select(col("vec_id"), col("oob_is_null"), col("overend_is_null"),
           posexplode(col("allx")).as(Seq("i", "x")))
-        .select(col("vec_id"), col("oob_is_null"),
+        .select(col("vec_id"), col("oob_is_null"), col("overend_is_null"),
           col("i").cast("long").as("i"), col("x"))
         .orderBy(col("vec_id"), col("i"))
     }),
@@ -374,7 +377,7 @@ object TypeQueries {
             list_concat(list_concat(embedding[9:24], embedding[61:64]),
               (${sparseSql.format("embedding")})[9:24]) AS allx
           FROM embeddings)
-          SELECT vec_id, TRUE AS oob_is_null,
+          SELECT vec_id, TRUE AS oob_is_null, TRUE AS overend_is_null,
             unnest(range(len(allx))) AS i, unnest(allx) AS x
           FROM s ORDER BY vec_id, i""",
 

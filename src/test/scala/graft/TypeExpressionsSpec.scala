@@ -78,14 +78,20 @@ class TypeExpressionsSpec extends SparkSpec {
     assert(s == "[1, 0, 0, 1]")
   }
 
-  test("vec slice: half-open, clamped, null on oob (reference subscript)") {
+  test("vec slice: half-open, NULL past the end — no clamping (vect.rs subvector)") {
     val df = Seq(Tuple1(Array(1f, 2f, 3f, 4f))).toDF("v")
     assert(df.select(vecSlice($"v", lit(1), lit(3))).as[Array[Float]].head().toSeq
       == Seq(2f, 3f))
-    assert(df.select(vecSlice($"v", lit(2), lit(100))).as[Array[Float]].head().toSeq
+    assert(df.select(vecSlice($"v", lit(2), lit(4))).as[Array[Float]].head().toSeq
       == Seq(3f, 4f))
+    // hi > dims is NULL, never a clamped slice (slice.get -> None)
+    assert(df.select(vecSlice($"v", lit(2), lit(100))).head().isNullAt(0))
     assert(df.select(vecSlice($"v", lit(5), lit(9))).head().isNullAt(0))
     assert(df.select(vecSlice($"v", lit(3), lit(3))).head().isNullAt(0))
+    assert(df.select(vecSlice($"v", lit(-1), lit(3))).head().isNullAt(0))
+    // sparse follows the same bounds law
+    assert(one.select(svecSlice(sv("{1:5, 3:7}/6"), lit(1), lit(7)))
+      .head().isNullAt(0))
   }
 
   test("svec slice re-bases indexes") {
