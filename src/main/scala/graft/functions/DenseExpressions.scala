@@ -3,6 +3,8 @@ package graft.functions
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen._
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftshim.Shims.AbstractDataType
 import org.apache.spark.sql.types._
@@ -193,6 +195,33 @@ case class VectorNorm(child: Expression) extends UnaryExpression
     nullSafeCodeGen(ctx, ev, c => s"${ev.value} = graft.functions.DenseKernels.norm($c);")
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
   override def prettyName: String = "vector_norm"
+}
+
+/** dims of any vector type (finalize.sql:601-611, ×4 overloads folded
+  * into one type-dispatching expression): dense float arrays and f16
+  * bit arrays report their length; svector/bvector structs report
+  * their `dims` field. */
+case class VectorDims(child: Expression) extends UnaryExpression {
+  private def fromStruct: Boolean = child.dataType.isInstanceOf[StructType]
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(ShortType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case s: StructType if s.nonEmpty && s.head.name == "dims" &&
+        s.head.dataType == IntegerType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"vector_dims does not support type ${other.catalogString}")
+  }
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    if (fromStruct) v.asInstanceOf[InternalRow].getInt(0)
+    else v.asInstanceOf[ArrayData].numElements()
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      if (fromStruct) s"${ev.value} = $c.getInt(0);"
+      else s"${ev.value} = $c.numElements();")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "vector_dims"
 }
 
 /** v / ||v|| (reference: finalize.sql:625-632, vect.rs:142-147). */

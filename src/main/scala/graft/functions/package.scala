@@ -32,6 +32,7 @@ package object functions {
     import org.apache.spark.sql.functions.{abs, exists, isnan, lit, not}
     not(exists(v, x => isnan(x) || abs(x) > lit(Float.MaxValue)))
   }
+  def vectorDims(v: Column): Column = toCol(VectorDims(expr(v)))
   def vectorNorm(v: Column): Column = toCol(VectorNorm(expr(v)))
   def vectorNormalize(v: Column): Column = toCol(VectorNormalize(expr(v)))
   def toVecf16(v: Column): Column = toCol(ToF16(expr(v)))
@@ -152,6 +153,15 @@ package object functions {
     reg1("f16_to_vector", F16BitsToVector(_))
     reg2("f16_l2sq_distance", F16L2sq(_, _))
     reg2("f16_negdot_distance", F16NegDot(_, _))
+    reg2("f16_cos_distance", F16CosDist(_, _))
+    reg1("vector_dims", VectorDims(_))
+    // sphere(center, radius) composite (finalize.sql:640-650): a plain
+    // named struct — the range predicates destructure it
+    reg.createOrReplaceTempFunction("sphere",
+      es => org.apache.spark.sql.catalyst.expressions.CreateNamedStruct(Seq(
+        org.apache.spark.sql.catalyst.expressions.Literal("center"), es(0),
+        org.apache.spark.sql.catalyst.expressions.Literal("radius"), es(1))),
+      "scala_udf")
     reg1("cast_vector_to_bvector", CastVecToBVec(_))
     reg.createOrReplaceTempFunction("vec_sum",
       es => VecSum(es.head).toAggregateExpression(), "scala_udf")
@@ -177,5 +187,12 @@ package object functions {
       es => graft.operators.Dedup.MinHashSigFromHashes(es(0),
         constInt(es(1), "minhash_signature_hashed(hashes, k)")), "scala_udf")
     reg1("simhash64", graft.operators.Dedup.SimHash(_))
+    // sparse aggregates (finalize.sql:670-684) — dims is a literal
+    reg.createOrReplaceTempFunction("svec_sum",
+      es => SVecSum(es(0), constInt(es(1), "svec_sum(v, dims)"))
+        .toAggregateExpression(), "scala_udf")
+    reg.createOrReplaceTempFunction("svec_avg",
+      es => SVecAvg(es(0), constInt(es(1), "svec_avg(v, dims)"))
+        .toAggregateExpression(), "scala_udf")
   }
 }

@@ -76,7 +76,9 @@ object LifecycleQueries {
       s.sql(
         """SELECT e.vec_id AS vec_id,
                   l2sq_distance(parse_vector(format_vector(e.embedding)), q.qv) AS dist,
-                  vector_norm(vec_add(e.embedding, e.embedding)) AS nrm2
+                  vector_norm(vec_add(e.embedding, e.embedding)) AS nrm2,
+                  CAST(vector_dims(e.embedding) AS BIGINT) AS dims,
+                  sphere(e.embedding, 0.25d).radius AS rad
            FROM graft_sql_emb e
            CROSS JOIN (SELECT embedding AS qv FROM graft_sql_emb WHERE vec_id = 0) q
            ORDER BY dist, vec_id LIMIT 100""")
@@ -254,7 +256,8 @@ object LifecycleQueries {
     "q_sql_surface" ->
       s"""SELECT e.vec_id AS vec_id, $qL2 AS dist,
             sqrt(list_aggregate(list_transform(e.embedding,
-              x -> (2 * CAST(x AS DOUBLE)) * (2 * CAST(x AS DOUBLE))), 'sum')) AS nrm2
+              x -> (2 * CAST(x AS DOUBLE)) * (2 * CAST(x AS DOUBLE))), 'sum')) AS nrm2,
+            len(e.embedding) AS dims, CAST(0.25 AS DOUBLE) AS rad
           FROM embeddings e
           CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
           ORDER BY dist, vec_id LIMIT 100""",

@@ -69,6 +69,32 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(sql == df)
   }
 
+  test("vector_dims / sphere / f16 cos / sparse aggs from spark.sql") {
+    val r = spark.sql(
+      """SELECT vector_dims(array(1.0f, 2.0f, 3.0f)) AS d_dense,
+           vector_dims(parse_svector('{1:5, 3:7}/6')) AS d_svec,
+           vector_dims(parse_bvector('[0, 1, 0, 1]')) AS d_bvec,
+           vector_dims(to_f16_bits(array(1.0f, 2.0f))) AS d_f16,
+           sphere(array(1.0f, 2.0f), 0.5d).radius AS rad,
+           f16_cos_distance(to_f16_bits(array(1.0f, 0.0f)),
+             to_f16_bits(array(1.0f, 0.0f))) AS selfcos""")
+      .head()
+    assert(r.getInt(0) == 3 && r.getInt(1) == 6 && r.getInt(2) == 4
+      && r.getInt(3) == 2)
+    assert(r.getDouble(4) == 0.5 && r.getDouble(5) == 0.0)
+    // sparse aggregates with zero-drop, from SQL
+    val agg = spark.sql(
+      """SELECT format_svector(svec_avg(v, 3)) AS a FROM (
+           SELECT parse_svector('{0:1, 1:2, 2:3}/3') AS v
+           UNION ALL SELECT parse_svector('{0:-1, 1:2, 2:-3}/3'))""")
+      .head().getString(0)
+    assert(agg == "{1:2.0}/3")
+    // unsupported input type is an analysis error
+    val err = intercept[Exception](
+      spark.sql("SELECT vector_dims('not a vector')").head())
+    assert(err.getMessage.toLowerCase.contains("vector_dims"))
+  }
+
   test("null.slt semantics: NULL vectors drop out; NaN distances sort last") {
     val good = spark.read.parquet(s"$sf0001/embeddings.parquet")
       .select(col("vec_id"), col("embedding")).limit(20)
