@@ -88,6 +88,29 @@ class RabitqSpec extends SparkSpec {
     assert(worst < 1e-4, s"max relative est divergence $worst")
   }
 
+  test("fast_scan blocks slice within source partitions — no global sort") {
+    import graft.operators.Rabitq4
+    // 4 deterministic partitions × 40 rows: partition-local slotting
+    // yields one partial tail block PER partition (4 × [32, 8]); a
+    // global sort would funnel to ceil(160/32) = 5 blocks with ONE tail
+    val rows = (0 until 160).map(i =>
+      (i.toLong, Array.tabulate(8)(j => ((i * 8 + j) % 7 - 3).toFloat)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4)).toDF("vec_id", "embedding")
+    val (_, path) = Rabitq4.ensure(spark, "rq4_partlocal_spec", df,
+      "rq4_partlocal_spec_src", "vec_id", "embedding")
+    try {
+      // slots pad to BlockSize with id = -1 sentinels: live rows per
+      // block = non-negative ids
+      val sizes = spark.read.parquet(s"$path/blocks")
+        .select(size(filter(col("ids"), x => x >= 0))).as[Int].collect().toSeq
+      assert(sizes.sum == 160)
+      assert(sizes.length == 8, s"expected 4×[32,8] blocks, got $sizes")
+      assert(sizes.count(_ < Rabitq4.BlockSize) == 4,
+        s"one partial tail block per source partition, got $sizes")
+    } finally graft.index.IndexCatalog.drop(spark, "rq4_partlocal_spec")
+  }
+
   test("fast_scan blocked layout: exact mode and windowed recall") {
     import graft.operators.Rabitq4
     val (m4, path) = graft.queries.AnnQueries.rq4(spark, sf0001)
