@@ -57,6 +57,31 @@ class KernelPropertySpec extends SparkSpec {
     }
   }
 
+  test("slice kernels follow the reference bounds law for every (lo, hi)") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    forAll(genVec) { v =>
+      val arr = new GenericArrayData(v.toArray)
+      val n = v.length
+      for (lo <- -2 to n + 2; hi <- -2 to n + 2) {
+        val valid = lo >= 0 && lo < hi && hi <= n
+        val dense = graft.functions.CompareKernels.slice(arr, lo, hi)
+        if (valid) assert(dense.toFloatArray().toSeq == v.slice(lo, hi),
+          s"dense [$lo,$hi) of n=$n")
+        else assert(dense == null, s"dense [$lo,$hi) of n=$n must be NULL")
+        // sparse shares the law; slice of the sparsified vector densifies
+        // back to the dense slice (modulo dropped zeros)
+        val sv = graft.functions.SparseKernels.fromDense(arr)
+        val ssv = graft.functions.SparseKernels.slice(sv, lo, hi)
+        if (valid) {
+          val back = graft.functions.SparseKernels.toDense(ssv)
+            .toFloatArray().toSeq
+          v.slice(lo, hi).zip(back).foreach { case (x, g) =>
+            assert(g == x || (g == 0f && x == 0f)) }
+        } else assert(ssv == null, s"sparse [$lo,$hi) of n=$n must be NULL")
+      }
+    }
+  }
+
   test("svecCompare matches lexicographic compare of dense arrays") {
     val gen = for {
       n <- Gen.choose(1, 12)
