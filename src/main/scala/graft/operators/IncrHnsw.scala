@@ -189,7 +189,7 @@ object IncrHnsw {
     // promoted_gen records that this index's graphs (base + sides) cover
     // the new generation without a rebuild
     IndexCatalog.commit(spark, name, pm.copy(params =
-      pm.params + ("promoted_gen" -> newSt.gen.toString,
+      pm.params ++ Map("promoted_gen" -> newSt.gen.toString,
         "seq" -> newSt.seq.toString)))
   }
 

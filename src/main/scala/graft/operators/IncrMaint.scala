@@ -95,7 +95,7 @@ object IncrMaint {
     val pm = IndexCatalog.load(spark, name).getOrElse(
       throw new IllegalStateException(s"no index $name to promote"))
     IndexCatalog.commit(spark, name, pm.copy(params =
-      pm.params + ("promoted_gen" -> newSt.gen.toString,
+      pm.params ++ Map("promoted_gen" -> newSt.gen.toString,
         "seq" -> newSt.seq.toString)))
   }
 }

@@ -18,7 +18,7 @@ object Rerank {
     * unbounded frame through this. */
   def fetchByIds(indexed: DataFrame, idCol: String, vecCol: String,
       candidates: DataFrame): DataFrame = {
-    val ids = candidates.select(col(idCol)).collect().map(_.get(0))
+    val ids = candidates.select(col(idCol)).collect().map(_.get(0)).toIndexedSeq
     indexed.filter(col(idCol).isin(ids: _*)).select(col(idCol), col(vecCol))
   }
 }
