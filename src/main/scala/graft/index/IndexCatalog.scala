@@ -117,12 +117,60 @@ object IndexCatalog {
     m
   }
 
+  // --- per-index DDL lock -------------------------------------------------
+  //
+  // The reference serializes concurrent CREATE/DROP on one index through
+  // the bgworker + transactional DDL hooks (src/index/hooks.rs:60-106;
+  // tests/sqllogictest/drop_index_when_indexing.slt). The Spark analog is
+  // a two-level lock per index name:
+  //  - a JVM ReentrantLock (threads of one driver), keyed by absolute dir;
+  //  - a lock FILE under `<root>/.locks/<name>.lock` (drivers sharing one
+  //    catalog root), acquired by atomic create, released on completion.
+  // A crashed holder's file goes stale and is reclaimed after
+  // `spark.graft.index.lock.ttlMs` (default 1h — longer than any build).
+  // Stealing a stale lock can at worst duplicate a build, never tear
+  // state: the manifest commit stays a single atomic rename.
+  private val nameLocks =
+    new ConcurrentHashMap[String, java.util.concurrent.locks.ReentrantLock]()
+
+  private def lockTtlMs(spark: SparkSession): Long =
+    spark.conf.get("spark.graft.index.lock.ttlMs", "3600000").toLong
+
+  private def withIndexLock[T](spark: SparkSession, name: String)(body: => T): T = {
+    val l = nameLocks.computeIfAbsent(dir(spark, name),
+      _ => new java.util.concurrent.locks.ReentrantLock())
+    l.lock()
+    try {
+      if (l.getHoldCount > 1) body // reentrant: outer frame holds the file
+      else {
+        val lockDir = new File(root(spark), ".locks")
+        lockDir.mkdirs()
+        val lf = new File(lockDir, s"$name.lock")
+        val ttl = lockTtlMs(spark)
+        while (!lf.createNewFile()) {
+          val last = lf.lastModified()
+          if (last == 0L || System.currentTimeMillis() - last > ttl)
+            lf.delete() // stale (crashed holder) -> reclaim
+          else Thread.sleep(50)
+        }
+        try body finally lf.delete()
+      }
+    } finally l.unlock()
+  }
+
   /** Build-once: reuse a committed artifact for the same source, else run
     * the (expensive) build job. Queries call this; benches call it ahead
-    * of timing — the search path never trains. */
+    * of timing — the search path never trains.
+    *
+    * Concurrency contract (hooks.rs:60-106 analog): racing ensure+ensure
+    * on one name dedups to ONE build — the loser blocks on the per-index
+    * lock, then the double-checked reload observes the winner's committed
+    * manifest; drop-during-ensure waits for the build and then removes it
+    * cleanly (or, if the drop wins the lock first, the ensure rebuilds).
+    * Either interleaving leaves a consistent catalog, never a torn one. */
   def ensure(spark: SparkSession, name: String, source: String,
       requires: Map[String, String] = Map.empty)
-      (build: String => Manifest): Manifest = synchronized {
+      (build: String => Manifest): Manifest = withIndexLock(spark, name) {
     val fp = fingerprint(source)
     load(spark, name) match {
       case Some(m) if m.source == source && m.sourceFp == fp &&
@@ -151,7 +199,8 @@ object IndexCatalog {
     * next query; build-affecting params require a rebuild (drop+ensure).
     * Unknown keys and invalid values are rejected (index_edit.slt), so an
     * alter can never corrupt structural build metadata. */
-  def alter(spark: SparkSession, name: String, key: String, value: String): Manifest = {
+  def alter(spark: SparkSession, name: String, key: String,
+      value: String): Manifest = withIndexLock(spark, name) {
     val m = load(spark, name).getOrElse(
       throw new IllegalArgumentException(s"no such index: $name"))
     val validate = Alterable.getOrElse(key,
@@ -170,17 +219,24 @@ object IndexCatalog {
 
   /** `pgvectors_upgrade` analog: sweep the catalog and drop index dirs
     * whose manifests this version can no longer read — they rebuild on
-    * the next ensure. */
-  def upgrade(spark: SparkSession): Seq[String] = {
+    * the next ensure. The full sweep assumes a SINGLE driver owns the
+    * catalog root (a concurrent writer mid-commit briefly looks
+    * unreadable); pass `prefix` to scope the sweep to the index names
+    * you own — read-path queries must use the scoped form. */
+  def upgrade(spark: SparkSession, prefix: String = ""): Seq[String] = {
     val rootDir = new File(root(spark))
     Option(rootDir.listFiles()).getOrElse(Array.empty)
-      .filter(d => d.isDirectory && new File(d, "MANIFEST.bin").isFile)
+      .filter(d => d.isDirectory && d.getName.startsWith(prefix) &&
+        new File(d, "MANIFEST.bin").isFile)
       .filter(d => load(spark, d.getName).isEmpty)
       .map { d => drop(spark, d.getName); d.getName }
       .toSeq
   }
 
-  def drop(spark: SparkSession, name: String): Unit = {
+  /** Takes the same per-index lock as [[ensure]]: a drop racing an
+    * in-flight build waits for it instead of deleting files under the
+    * writer (drop_index_when_indexing.slt behavior). */
+  def drop(spark: SparkSession, name: String): Unit = withIndexLock(spark, name) {
     def rm(f: File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(rm)
       f.delete()

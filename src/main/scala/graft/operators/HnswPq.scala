@@ -66,7 +66,8 @@ object HnswPq {
           "ef_construction" -> efConstruction.toString,
           "parts" -> parts.toString)) { dataDir =>
       import spark.implicits._
-      val nonNull = df.filter(col(vecCol).isNotNull)
+      val nonNull = df.filter(col(vecCol).isNotNull &&
+        graft.functions.vectorIsFinite(col(vecCol)))
       val model = Pq.train(nonNull, vecCol, m, ks)
       val rows0 = nonNull.select(col(idCol).cast("long"), col(vecCol))
         .as[(Long, Array[Float])]

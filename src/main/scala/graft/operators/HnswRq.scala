@@ -310,7 +310,8 @@ object HnswRq {
           "ef_construction" -> efConstruction.toString,
           "parts" -> parts.toString)) { dataDir =>
       import spark.implicits._
-      val nonNull = df.filter(col(vecCol).isNotNull)
+      val nonNull = df.filter(col(vecCol).isNotNull &&
+        graft.functions.vectorIsFinite(col(vecCol)))
       val model = Rabitq.train(nonNull, vecCol)
       val rows0 = nonNull.select(col(idCol).cast("long"), col(vecCol))
         .as[(Long, Array[Float])]

@@ -274,7 +274,8 @@ object HnswSq {
           "ef_construction" -> efConstruction.toString,
           "parts" -> parts.toString)) { dataDir =>
       import spark.implicits._
-      val nonNull = df.filter(col(vecCol).isNotNull)
+      val nonNull = df.filter(col(vecCol).isNotNull &&
+        graft.functions.vectorIsFinite(col(vecCol)))
       val (mins, widths) = Sq8.train(nonNull, vecCol)
       val rows0 = nonNull.select(col(idCol).cast("long"), col(vecCol))
         .as[(Long, Array[Float])]

@@ -47,7 +47,8 @@ object IncrHnsw {
       idCol: String, vecCol: String, metric: String, out: java.io.File,
       m: Int, efConstruction: Int): Unit = {
     import spark.implicits._
-    val data = rows.filter(col(vecCol).isNotNull)
+    val data = rows.filter(col(vecCol).isNotNull &&
+        graft.functions.vectorIsFinite(col(vecCol)))
       .select(col(idCol).cast("long"), col(vecCol))
       .as[(Long, Array[Float])].collect().sortBy(_._1)
     val g = new Hnsw.Graph(metric, m, efConstruction)

@@ -98,7 +98,8 @@ object IncrIvf {
   private def writeSegment(spark: SparkSession, fam: Family, dataDir: String,
       rows: DataFrame, idCol: String, fCol: String,
       model: IvfIndex.Model, ver: Long, overwrite: Boolean): Unit = {
-    val prepped = fam.prep(rows.filter(col(fCol).isNotNull), fCol)
+    val prepped = fam.prep(rows.filter(col(fCol).isNotNull &&
+      graft.functions.vectorIsFinite(col(fCol))), fCol)
     val assigned = prepped.withColumn("list_id",
       IvfIndex.nearestCentroid(col(fam.rankCol), model))
     val out = assigned
@@ -129,7 +130,8 @@ object IncrIvf {
     if (prior.isEmpty || !genOk) {
       IndexCatalog.drop(spark, name)
       val base = spark.read.parquet(s"$segDir/base-${st.gen}")
-      val trained = IvfIndex.train(fam.prep(base.filter(col(fCol).isNotNull), fCol),
+      val trained = IvfIndex.train(fam.prep(base.filter(col(fCol).isNotNull &&
+        graft.functions.vectorIsFinite(col(fCol))), fCol),
         fam.rankCol, "l2", nlist, seed = seed)
       // carry the assignment metric on the model so base and later delta
       // assigns use the SAME rule (nearestCentroid keys useDot off it)

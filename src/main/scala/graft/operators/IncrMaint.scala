@@ -62,7 +62,15 @@ object IncrMaint {
     * artifact and re-ensure from scratch — reclaiming tombstoned rows
     * and refreshing drifted quantizers/centroids. The deliberately
     * expensive path; incremental ensure covers the common append case.
-    * `reEnsure` is the family's own ensure call, run after the drop. */
+    * `reEnsure` is the family's own ensure call, run after the drop.
+    *
+    * Single-writer contract: between the drop and the re-ensure there is
+    * a window with no committed manifest, so a CONCURRENT search on the
+    * same index name would throw "no committed index". vacuum is a
+    * maintenance operation scheduled by the single batch driver (the
+    * reference's optimizer bgworker likewise owns the index exclusively
+    * while optimizing, crates/index/src/optimizing/mod.rs); it does not
+    * serialize against readers, only against other maintenance calls. */
   def vacuum(spark: SparkSession, name: String, segDir: String,
       idCol: String)(reEnsure: => String): String = synchronized {
     Segments.compact(spark, segDir, idCol)

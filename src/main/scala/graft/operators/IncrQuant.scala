@@ -121,7 +121,8 @@ object IncrQuant {
   private def writeSegment(spark: SparkSession, sch: Scheme,
       mf: IndexCatalog.Manifest, dataDir: String, rows: DataFrame,
       idCol: String, fCol: String, ver: Long, overwrite: Boolean): Unit = {
-    rows.filter(col(fCol).isNotNull)
+    rows.filter(col(fCol).isNotNull &&
+        graft.functions.vectorIsFinite(col(fCol)))
       .select(col(idCol), col(fCol).as("vec"),
         sch.encodeCol(mf, col(fCol)).as("codes"), lit(ver).as("_ver"))
       .write.mode(if (overwrite) "overwrite" else "append").parquet(dataDir)
@@ -144,7 +145,8 @@ object IncrQuant {
     if (prior.isEmpty || !genOk) {
       IndexCatalog.drop(spark, name)
       val base = spark.read.parquet(s"$segDir/base-${st.gen}")
-        .filter(col(fCol).isNotNull)
+        .filter(col(fCol).isNotNull &&
+          graft.functions.vectorIsFinite(col(fCol)))
       val mf0 = sch.train(base, fCol).copy(source = segDir)
       writeSegment(spark, sch, mf0, dataDir, base, idCol, fCol,
         ver = 0L, overwrite = true)

@@ -73,7 +73,8 @@ object IvfPq {
     val mf = IndexCatalog.ensure(spark, name, source,
         requires = Map("kind2" -> "ivfpq", "nlist" -> nlist.toString,
           "m" -> m.toString, "ks" -> ks.toString)) { dataDir =>
-      val nn = df.filter(col(vecCol).isNotNull)
+      val nn = df.filter(col(vecCol).isNotNull &&
+        graft.functions.vectorIsFinite(col(vecCol)))
       val coarse = IvfIndex.train(nn, vecCol, "l2", nlist, seed = seed)
       val assigned = nn
         .withColumn("list_id", IvfIndex.nearestCentroid(col(vecCol), coarse))

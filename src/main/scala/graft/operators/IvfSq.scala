@@ -29,7 +29,8 @@ object IvfSq {
       seed: Long = 42L): (Model, String) = {
     val mf = IndexCatalog.ensure(spark, name, source,
         requires = Map("kind2" -> "ivfsq8", "nlist" -> nlist.toString)) { dataDir =>
-      val nn = df.filter(col(vecCol).isNotNull)
+      val nn = df.filter(col(vecCol).isNotNull &&
+        graft.functions.vectorIsFinite(col(vecCol)))
       val coarse = IvfIndex.train(nn, vecCol, "l2", nlist, seed = seed)
       val assigned = nn
         .withColumn("list_id", IvfIndex.nearestCentroid(col(vecCol), coarse))

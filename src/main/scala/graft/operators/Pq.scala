@@ -285,7 +285,8 @@ object Pq {
       : (Model, String) = {
     require(ks <= 16, s"4-bit codes need ks<=16, got $ks")
     val mf = IndexCatalog.ensure(spark, name, source) { dataDir =>
-      val nn = df.filter(col(vecCol).isNotNull)
+      val nn = df.filter(col(vecCol).isNotNull &&
+        graft.functions.vectorIsFinite(col(vecCol)))
       val model = train(nn, vecCol, m, ks)
       nn.select(col(idCol), col(vecCol),
           encodePacked(col(vecCol), model).as("codes"))
@@ -326,7 +327,8 @@ object Pq {
       source: String, idCol: String, vecCol: String, m: Int = 8, ks: Int = 16)
       : (Model, String) = {
     val mf = IndexCatalog.ensure(spark, name, source) { dataDir =>
-      val nn = df.filter(col(vecCol).isNotNull)
+      val nn = df.filter(col(vecCol).isNotNull &&
+        graft.functions.vectorIsFinite(col(vecCol)))
       val model = train(nn, vecCol, m, ks)
       nn.select(col(idCol), col(vecCol), encode(col(vecCol), model).as("codes"))
         .write.mode("overwrite").parquet(dataDir)

@@ -213,7 +213,8 @@ object Rabitq {
   def ensure(spark: SparkSession, name: String, df: => DataFrame,
       source: String, idCol: String, vecCol: String): (Model, String) = {
     val mf = IndexCatalog.ensure(spark, name, source) { dataDir =>
-      val nn = df.filter(col(vecCol).isNotNull)
+      val nn = df.filter(col(vecCol).isNotNull &&
+        graft.functions.vectorIsFinite(col(vecCol)))
       val model = train(nn, vecCol)
       nn.select(col(idCol), col(vecCol), encode(col(vecCol), model).as("code"))
         .write.mode("overwrite").parquet(dataDir)

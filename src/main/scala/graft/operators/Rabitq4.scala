@@ -46,6 +46,10 @@ object Rabitq4 {
   def packKernel(dims: Int, inIds: Seq[Long], inBits: Seq[Seq[Long]],
       inNorms: Seq[Float], inCosvs: Seq[Float])
       : (Array[Long], Array[Byte], Array[Float], Array[Float]) = {
+    require(inIds.length <= BlockSize,
+      s"packKernel got ${inIds.length} rows for one block — the " +
+        s"partition-local (_pid, _rn/$BlockSize) slotting upstream must " +
+        s"never group more than $BlockSize rows")
     val groups = (dims + 3) / 4
     val ids = Array.fill[Long](BlockSize)(-1L)
     val packed = new Array[Byte](groups * (BlockSize / 2))
@@ -166,7 +170,8 @@ object Rabitq4 {
       source: String, idCol: String, vecCol: String): (Rabitq.Model, String) = {
     val mf = IndexCatalog.ensure(spark, name, source,
         requires = Map("format" -> "rq4block1")) { dataDir =>
-      val nn = df.filter(col(vecCol).isNotNull)
+      val nn = df.filter(col(vecCol).isNotNull &&
+        graft.functions.vectorIsFinite(col(vecCol)))
       val model = Rabitq.train(nn, vecCol)
       nn.select(col(idCol), col(vecCol))
         .write.mode("overwrite").parquet(s"$dataDir/rows")

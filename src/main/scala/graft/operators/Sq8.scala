@@ -44,8 +44,10 @@ object Sq8 {
       : (Array[Float], Array[Float], String) = {
     import graft.index.IndexCatalog
     val m = IndexCatalog.ensure(spark, name, source) { dataDir =>
-      val (mins, widths) = train(df.filter(col(vecCol).isNotNull), vecCol)
-      df.filter(col(vecCol).isNotNull).select(col(idCol), col(vecCol),
+      val nn = df.filter(col(vecCol).isNotNull &&
+        graft.functions.vectorIsFinite(col(vecCol)))
+      val (mins, widths) = train(nn, vecCol)
+      nn.select(col(idCol), col(vecCol),
           encode(col(vecCol), mins, widths).as("codes"))
         .write.mode("overwrite").parquet(dataDir)
       IndexCatalog.Manifest("sq8", source, "l2", Map("bits" -> "8"),

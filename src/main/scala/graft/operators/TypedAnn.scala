@@ -91,7 +91,8 @@ object TypedAnn {
     val m = IndexCatalog.ensure(spark, name, source,
         requires = Map("type" -> "bvector", "nlist" -> nlist.toString,
           "stats" -> StatsVersion)) { dataDir =>
-      val base = df.filter(col(fCol).isNotNull)
+      val base = df.filter(col(fCol).isNotNull &&
+          graft.functions.vectorIsFinite(col(fCol)))
         .select(col(idCol), binarize(col(fCol)).as("bv"))
       val densified = base.withColumn("d01", bvecToDense(col("bv")))
       val model = IvfIndex.train(densified, "d01", "l2", nlist, seed = seed)
@@ -273,7 +274,8 @@ object TypedAnn {
     val m = IndexCatalog.ensure(spark, name, source,
         requires = Map("type" -> "vecf16", "nlist" -> nlist.toString,
           "stats" -> StatsVersion)) { dataDir =>
-      val base = df.filter(col(fCol).isNotNull)
+      val base = df.filter(col(fCol).isNotNull &&
+          graft.functions.vectorIsFinite(col(fCol)))
         .select(col(idCol), toF16Bits(col(fCol)).as("bits"))
       val rounded = base.withColumn("rf", f16ToVector(col("bits")))
       val model = IvfIndex.train(rounded, "rf", "l2", nlist, seed = seed)
@@ -306,8 +308,12 @@ object TypedAnn {
     val m = IndexCatalog.ensure(spark, name, source,
         requires = Map("type" -> "svector", "nlist" -> nlist.toString,
           "stats" -> StatsVersion)) { dataDir =>
-      val base = df.filter(col(svCol).isNotNull)
-      val densified = base.withColumn("dv", svecToDense(col(svCol)))
+      // CSR structs have no direct finiteness predicate: filter on the
+      // densified view (restored zeros are finite, so dv is non-finite
+      // iff some stored val is)
+      val densified = df.filter(col(svCol).isNotNull)
+        .withColumn("dv", svecToDense(col(svCol)))
+        .filter(graft.functions.vectorIsFinite(col("dv")))
       val model = IvfIndex.train(densified, "dv", "l2", nlist, seed = seed)
       val assigned = densified
         .withColumn("list_id", IvfIndex.nearestCentroid(col("dv"), model))

@@ -124,7 +124,10 @@ object LifecycleQueries {
       badDir.mkdirs()
       Files.write(new File(badDir, "MANIFEST.bin").toPath,
         "not-a-manifest".getBytes("UTF-8"))
-      val swept = IndexCatalog.upgrade(s)
+      // scoped sweep: only the adminbad_* names this query owns — a full
+      // root sweep from a read-path query could collect a concurrent
+      // writer's mid-commit debris (the single-driver caveat on upgrade)
+      val swept = IndexCatalog.upgrade(s, prefix = "adminbad_")
       val sweptBad = swept.contains(badName) &&
         IndexCatalog.load(s, badName).isEmpty && !badDir.exists()
       import s.implicits._

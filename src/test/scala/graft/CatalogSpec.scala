@@ -76,6 +76,55 @@ class CatalogSpec extends SparkSpec {
     assert(IndexCatalog.load(spark, name).isEmpty)
   }
 
+  test("racing ensure+ensure dedups to one build; drop-during-ensure is clean") {
+    // hooks.rs:60-106 / drop_index_when_indexing.slt analog: the
+    // per-index lock serializes DDL on one name, so neither race can
+    // tear a manifest or delete files under an in-flight writer.
+    val name = "catalog_spec_race"
+    IndexCatalog.drop(spark, name)
+    val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+    val started = new java.util.concurrent.CountDownLatch(2)
+    def slowEnsure() = IndexCatalog.ensure(spark, name, "raceSrc") { dataDir =>
+      builds.incrementAndGet()
+      Thread.sleep(300) // hold the build long enough for the race
+      new java.io.File(dataDir).mkdirs()
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(dataDir, "part-0"), "x")
+      IndexCatalog.Manifest("ivf", "raceSrc", "l2", Map("nlist" -> "4"))
+    }
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fs = Seq.fill(2)(Future { started.countDown(); started.await(); slowEnsure() })
+    val ms = Await.result(Future.sequence(fs), 60.seconds)
+    assert(builds.get() == 1,
+      "the lock loser must observe the winner's committed manifest, not rebuild")
+    assert(ms.forall(_.source == "raceSrc"))
+
+    // drop racing a fresh ensure: whichever order the lock grants, the
+    // catalog ends consistent — never a manifest without data or a torn
+    // file. Run the race; then assert the final state is one of the two
+    // clean outcomes and a follow-up ensure always converges.
+    IndexCatalog.drop(spark, name)
+    builds.set(0)
+    val eF = Future { slowEnsure() }
+    Thread.sleep(100) // let the ensure take the lock first
+    val dF = Future { IndexCatalog.drop(spark, name) }
+    Await.result(Future.sequence(Seq(eF.map(_ => ()), dF)), 60.seconds)
+    IndexCatalog.load(spark, name) match {
+      case Some(m) => // drop won the lock first, ensure rebuilt after
+        assert(m.source == "raceSrc" &&
+          new java.io.File(IndexCatalog.dataDir(spark, name)).exists())
+      case None => // ensure committed, then the waiting drop removed it
+        assert(!new java.io.File(IndexCatalog.dir(spark, name)).exists())
+    }
+    val converged = slowEnsure()
+    assert(converged.source == "raceSrc")
+    assert(IndexCatalog.load(spark, name).nonEmpty)
+    IndexCatalog.drop(spark, name)
+    assert(IndexCatalog.load(spark, name).isEmpty)
+  }
+
   test("pgvector DDL option spellings map to one manifest") {
     import graft.index.IndexOptions
     // parser: pgvector `lists` == native `nlist`; unknown keys rejected
