@@ -1,0 +1,170 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Batch-QPS harness — the throughput half of the reference CLI's
+  * QPS-plus-precision methodology (crates/cli/src/main.rs:152-159, which
+  * reports `QPS: {}` = n/Σt next to precision). RECALL.json carries the
+  * precision half; this writes `QPS.json` with, per ANN family:
+  *
+  *  - `qps_batch`: N queries (default 1000) pushed through the family's
+  *    BATCHED entry point ([[graft.operators.IvfIndex.batchSearch]],
+  *    [[graft.operators.Hnsw.searchIndexBatch]], the TypedAnn batch
+  *    scans) — one pruned scan / one resident-graph pass amortized over
+  *    the whole batch, the shape a 1000-executor cluster serves
+  *    batch-inference traffic with;
+  *  - `p50_ms`/`p95_ms`: per-query latency percentiles from a SEQUENTIAL
+  *    sample through the single-query entry point (the reference CLI's
+  *    loop shape) — throughput and latency are different questions and
+  *    get different measurements.
+  *
+  * Artifacts are pre-ensured untimed (CREATE INDEX never pollutes a
+  * SELECT) and each family runs one untimed warmup batch so codegen and
+  * graph-cache residency are not part of the measurement.
+  *
+  * Run: `SPARK_GRAFT_CPUS=32 sbt "runMain graft.tools.Qps [sfDir] [N]"`.
+  */
+object Qps {
+
+  final case class Fam(
+      family: String, k: Int,
+      batch: (SparkSession, Seq[(Long, Array[Float])]) => DataFrame,
+      single: (SparkSession, Array[Float]) => DataFrame,
+      mkQuery: (Long, Array[Float]) => Array[Float] = (_, v) => v)
+
+  private val Nprobe = 10
+  private val EfSearch = 100
+
+  private def sparsify(v: Array[Float]): Array[Float] =
+    v.map(x => if (math.abs(x.toDouble) > 0.15) x else 0.0f)
+
+  def families(d: String): Seq[Fam] = {
+    import graft.operators.{Hnsw, IvfIndex, TypedAnn}
+    import graft.queries.AnnQueries
+    Seq(
+      Fam("ivf_l2", 10,
+        batch = (s, qs) => {
+          val (m, path) = AnnQueries.ivf(s, d, "l2")
+          IvfIndex.batchSearch(s, path, m, "vec_id", "embedding", qs,
+            k = 10, nprobe = Nprobe)
+        },
+        single = (s, q) => {
+          val (m, path) = AnnQueries.ivf(s, d, "l2")
+          IvfIndex.search(s, path, m, "vec_id", "embedding", q,
+            k = 10, nprobe = Nprobe)
+        }),
+      Fam("hnsw_l2", 10,
+        batch = (s, qs) =>
+          Hnsw.searchIndexBatch(s, AnnQueries.hnsw(s, d, 4), "vec_id", qs,
+            k = 10, efSearch = EfSearch),
+        single = (s, q) =>
+          Hnsw.searchIndex(s, AnnQueries.hnsw(s, d, 4), "vec_id", q,
+            k = 10, efSearch = EfSearch)),
+      Fam("bvec_hamming_ivf", 10,
+        batch = (s, qs) => {
+          val (m, path) = AnnQueries.bvecAnn(s, d)
+          TypedAnn.batchSearchBvec(s, path, m, "vec_id", qs,
+            k = 10, nprobe = Nprobe)
+        },
+        single = (s, q) => {
+          val (m, path) = AnnQueries.bvecAnn(s, d)
+          TypedAnn.searchBvec(s, path, m, "vec_id", q, k = 10, nprobe = Nprobe)
+        }),
+      Fam("svec_l2_ivf", 10,
+        batch = (s, qs) => {
+          val (m, path) = AnnQueries.svecAnn(s, d)
+          TypedAnn.batchSearchSvec(s, path, m, "vec_id", "sv", qs,
+            k = 10, nprobe = Nprobe)
+        },
+        single = (s, q) => {
+          val (m, path) = AnnQueries.svecAnn(s, d)
+          TypedAnn.searchSvec(s, path, m, "vec_id", "sv", q,
+            k = 10, nprobe = Nprobe, metric = "l2")
+        },
+        // the svec batch contract: queries pre-sparsified by the ingest rule
+        mkQuery = (_, v) => sparsify(v)),
+      Fam("vecf16_l2_ivf", 10,
+        batch = (s, qs) => {
+          val (m, path) = AnnQueries.f16Ann(s, d)
+          TypedAnn.batchSearchF16(s, path, m, "c_custkey", qs,
+            k = 10, nprobe = Nprobe)
+        },
+        single = (s, q) => {
+          val (m, path) = AnnQueries.f16Ann(s, d)
+          TypedAnn.searchF16(s, path, m, "c_custkey", q, k = 10, nprobe = Nprobe)
+        },
+        // f16-exact small ints in the artifact's 4-dim feature space
+        // (c_nationkey, %100, %7, %13) — qid-derived so the batch varies
+        mkQuery = (qid, _) => Array((qid % 25).toFloat, (qid % 100).toFloat,
+          (qid % 7).toFloat, (qid % 13).toFloat)))
+  }
+
+  private def timeSec[T](body: => T): Double = {
+    val t0 = System.nanoTime()
+    body
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    val n = args.lift(1).map(_.toInt).getOrElse(1000)
+    val seqSample = 32
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // query workload: the first N stored embeddings (self-query shape,
+    // like the reference CLI querying its own corpus sample)
+    val baseQs: Seq[(Long, Array[Float])] = spark.read
+      .parquet(s"$sfDir/embeddings.parquet")
+      .filter(col("vec_id") < n).select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+      .sortBy(_._1)
+    require(baseQs.nonEmpty, s"no embeddings under $sfDir")
+
+    val rows = families(sfDir).map { f =>
+      val qs = baseQs.map { case (id, v) => (id, f.mkQuery(id, v)) }
+      // untimed: ensure the artifact + warm codegen/caches on a tiny batch
+      f.batch(spark, qs.take(2)).count()
+      f.single(spark, qs.head._2).count()
+      val tBatch = timeSec {
+        val got = f.batch(spark, qs).count()
+        require(got > 0, s"${f.family}: empty batch result")
+      }
+      val lats = qs.take(seqSample).map { case (_, q) =>
+        timeSec(f.single(spark, q).count())
+      }.sorted
+      val p50 = lats(lats.length / 2) * 1e3
+      val p95 = lats(math.min(lats.length - 1, (lats.length * 95) / 100)) * 1e3
+      val qps = qs.length / tBatch
+      println(f"[qps] ${f.family}%-18s qps_batch=$qps%9.1f  " +
+        f"(n=${qs.length}, ${tBatch}%.2f s)  seq p50=$p50%7.1f ms p95=$p95%7.1f ms")
+      (f.family, f.k, qs.length, qps, tBatch, p50, p95)
+    }
+
+    def r1(x: Double) = BigDecimal(x).setScale(1, BigDecimal.RoundingMode.HALF_UP)
+    val json = rows.map { case (fam, k, nq, qps, t, p50, p95) =>
+      s""""$fam":{"k":$k,"n":$nq,"qps_batch":${r1(qps)},"batch_sec":${r1(t)},""" +
+        s""""p50_ms":${r1(p50)},"p95_ms":${r1(p95)}}"""
+    }.mkString(
+      s"""{"sf":"$sfDir","n":${baseQs.length},"seq_sample":$seqSample,""" +
+        s""""defaults":{"nprobe":$Nprobe,"ef_search":$EfSearch},""" +
+        """"note":"qps_batch = n/sec through the family's batched entry """ +
+        """point (one pruned scan / resident-graph pass per batch); """ +
+        """p50/p95 from a sequential single-query sample - the """ +
+        """reference CLI loop shape (crates/cli/src/main.rs:152-159)",""" +
+        """"families":{""",
+      ",", "}}")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("QPS.json"), json + "\n")
+    spark.stop()
+    println(s"[qps] wrote QPS.json (${rows.length} families)")
+  }
+}
