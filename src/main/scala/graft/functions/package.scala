@@ -194,5 +194,26 @@ package object functions {
     reg.createOrReplaceTempFunction("svec_avg",
       es => SVecAvg(es(0), constInt(es(1), "svec_avg(v, dims)"))
         .toAggregateExpression(), "scala_udf")
+
+    // --- admin surface under its SQL names (finalize.sql:578-599) ---
+    // Driver-contract commands, like the reference's backend-process
+    // admin functions: with literal args they constant-fold during
+    // optimization (ScalaUDF is deterministic + foldable children), so
+    // the catalog work runs on the driver exactly once per execution.
+    // pgvectors_upgrade takes a name-prefix scope ('' sweeps the whole
+    // root — single-driver only, see IndexCatalog.upgrade) and returns
+    // the swept names.
+    spark.udf.register("alter_vector_index",
+      (name: String, key: String, value: String) => {
+        graft.index.IndexCatalog.alter(SparkSession.active, name, key, value)
+        "ok"
+      })
+    spark.udf.register("fence_vector_index", (name: String) => {
+      graft.index.IndexCatalog.fence(SparkSession.active, name)
+      "ok"
+    })
+    spark.udf.register("pgvectors_upgrade", (prefix: String) =>
+      graft.index.IndexCatalog.upgrade(SparkSession.active, prefix)
+        .sorted.mkString(","))
   }
 }

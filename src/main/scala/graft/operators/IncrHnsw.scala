@@ -43,33 +43,61 @@ object IncrHnsw {
       name.stripPrefix("side-").stripSuffix(".bin").split("-")(0).toLong
     else 0L
 
+  /** Build one side/base-chunk graph in ONE EXECUTOR TASK (round-6: the
+    * former driver-side collect+insert serialized every append on the
+    * driver). The chunk is shuffled to a single sorted partition and the
+    * task inserts in id order — the exact insertion sequence of the old
+    * driver build, so the published file is byte-identical (the spec
+    * asserts it against an in-test reference build). Write-then-rename
+    * with an attempt-unique tmp, like the base build
+    * (Hnsw.ensure:583-609): retried/speculative tasks never interleave
+    * and readers never see partials. */
   private def buildGraphFile(spark: SparkSession, rows: DataFrame,
       idCol: String, vecCol: String, metric: String, out: java.io.File,
       m: Int, efConstruction: Int): Unit = {
     import spark.implicits._
-    val data = rows.filter(col(vecCol).isNotNull &&
+    out.getParentFile.mkdirs()
+    val outPath = out.getAbsolutePath
+    val parentPath = out.getParentFile.getAbsolutePath
+    val outName = out.getName
+    val hconf = Hnsw.confEntries(spark)
+    rows.filter(col(vecCol).isNotNull &&
         graft.functions.vectorIsFinite(col(vecCol)))
       .select(col(idCol).cast("long"), col(vecCol))
-      .as[(Long, Array[Float])].collect().sortBy(_._1)
-    val g = new Hnsw.Graph(metric, m, efConstruction)
-    data.foreach { case (id, v) => g.insert(id, v) }
-    if (g.size == 0) return
-    out.getParentFile.mkdirs()
-    val tmp = new java.io.File(out.getParentFile, s".${out.getName}.tmp")
-    val os = new java.io.DataOutputStream(
-      new java.io.BufferedOutputStream(new java.io.FileOutputStream(tmp), 1 << 20))
-    try Hnsw.FlatGraph.write(os, g.snapshot) finally os.close()
-    if (!tmp.renameTo(out) && !out.isFile)
-      throw new java.io.IOException(s"failed to publish $out")
+      .as[(Long, Array[Float])]
+      .repartition(1).sortWithinPartitions(col(idCol))
+      .mapPartitions { it =>
+        val g = new Hnsw.Graph(metric, m, efConstruction)
+        it.foreach { case (id, v) => g.insert(id, v) }
+        if (g.size == 0) Iterator.empty
+        else {
+          val attempt = org.apache.spark.TaskContext.get().taskAttemptId()
+          val p = new org.apache.hadoop.fs.Path(outPath)
+          val tmp = new org.apache.hadoop.fs.Path(parentPath,
+            s".$outName-$attempt.tmp")
+          val pfs = p.getFileSystem(Hnsw.mkConf(hconf))
+          val os = new java.io.DataOutputStream(
+            new java.io.BufferedOutputStream(pfs.create(tmp, true), 1 << 20))
+          try Hnsw.FlatGraph.write(os, g.snapshot) finally os.close()
+          if (!pfs.rename(tmp, p)) {
+            if (!pfs.exists(p))
+              throw new java.io.IOException(s"failed to publish $p")
+            pfs.delete(tmp, false)
+          }
+          Iterator.single(1)
+        }
+      }.collect()
+    ()
   }
 
-  /** Build the graph file(s) for one segment, never collecting more than
-    * [[Segments.maxGrowingRows]] rows to the driver at once: a segment
-    * within the cap gets one file at `stem.bin`; an oversized one is
-    * hash-split on the id into ceil(n/cap) files `stem-CCCCC.bin`, each
-    * an independent searchable graph over a bounded slice (searches scan
-    * every resident graph already, so more files = more bounded tasks,
-    * not a semantic change). */
+  /** Build the graph file(s) for one segment, each in one executor task
+    * over at most [[Segments.maxGrowingRows]] rows: a segment within the
+    * cap gets one file at `stem.bin`; an oversized one is hash-split on
+    * the id into ceil(n/cap) files `stem-CCCCC.bin`, each an independent
+    * searchable graph over a bounded slice (searches scan every resident
+    * graph already, so more files = more bounded tasks, not a semantic
+    * change). The cap bounds EXECUTOR task memory now — the driver holds
+    * no rows at any point in an append. */
   private def buildSegmentGraphs(spark: SparkSession, rows: DataFrame,
       idCol: String, vecCol: String, metric: String,
       dataDir: java.io.File, stem: String, m: Int, efConstruction: Int): Unit = {
@@ -94,11 +122,12 @@ object IncrHnsw {
     * change from a non-promoted compaction), one side graph per
     * newly-appended delta otherwise. Returns the artifact dir.
     *
-    * Driver-side builds are BOUNDED, not assumed-small: every segment
-    * (base or delta) larger than `spark.graft.segments.maxGrowingRows`
-    * is hash-split into multiple graph files, so no single collect
-    * exceeds the cap ([[buildSegmentGraphs]] — the enforced form of the
-    * reference's max_growing_segment_size sealing rule,
+    * Graph builds run in executor tasks and are BOUNDED, not
+    * assumed-small: every segment (base or delta) larger than
+    * `spark.graft.segments.maxGrowingRows` is hash-split into multiple
+    * graph files, so no single task exceeds the cap
+    * ([[buildSegmentGraphs]] — the enforced form of the reference's
+    * max_growing_segment_size sealing rule,
     * crates/base/src/index.rs:199-226). */
   def ensure(spark: SparkSession, name: String, segDir: String,
       idCol: String, vecCol: String, metric: String = "l2",

@@ -186,6 +186,44 @@ object AnnQueries {
     segDir
   }
 
+  /** Build-once UPDATE store (update.slt analog): the hybrid store's
+    * construction plus an in-place row update — id 2 is deleted and
+    * re-appended carrying row 0's embedding, the reference's UPDATE =
+    * DELETE + INSERT decomposition (a tombstone at v hides the old row;
+    * the re-insert lands in a delta with version > v, so exactly the new
+    * value is visible). Marker-gated: a crash mid-construction rebuilds
+    * instead of serving a half-updated store. */
+  def ensureUpdateSegments(s: SparkSession, d: String): String = {
+    import graft.operators.Segments
+    val segDir = sys.props("java.io.tmpdir") + "/graft_updsegments_" + san(d)
+    val marker = new java.io.File(segDir, "_GRAFT_FIXTURE_DONE")
+    Segments.synchronized {
+      if (!marker.isFile) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory)
+            Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+          f.delete()
+        }
+        rm(new java.io.File(segDir))
+        val e = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+        Segments.init(s, segDir, e, "vec_id")
+        Segments.append(s, segDir, e.filter(col("vec_id") < 5)
+          .select((col("vec_id") + 20000).as("vec_id"), col("embedding")),
+          "vec_id")
+        Segments.delete(s, segDir,
+          s.range(1).select(lit(1L).as("vec_id"))
+            .unionAll(s.range(1).select(lit(20003L).as("vec_id"))), "vec_id")
+        // the UPDATE: delete id 2, re-append it with row 0's embedding
+        Segments.delete(s, segDir,
+          s.range(1).select(lit(2L).as("vec_id")), "vec_id")
+        Segments.append(s, segDir, e.filter(col("vec_id") === 0)
+          .select(lit(2L).as("vec_id"), col("embedding")), "vec_id")
+        marker.createNewFile()
+      }
+    }
+    segDir
+  }
+
   /** Build-once SPARSIFIED vector segment store (the ingest pipeline
     * owns sparsification — IncrIvf's svec-family convention): base =
     * sparsified embeddings, same mirror/delete construction as
@@ -1175,6 +1213,41 @@ object AnnQueries {
         k = 100, window = 0)
     }),
 
+    // --- row-update semantics (update.slt): UPDATE decomposed as
+    //     DELETE + INSERT of the same id through the segment store. The
+    //     query returns the IncrHnsw exact visible top-k (the graph
+    //     family — the visibility path where the OLD row stays resident
+    //     in its graph and must be version-hidden while the NEW row
+    //     surfaces from a younger side graph), and `require`s in-query
+    //     that the quantized and IVF incremental families see the
+    //     IDENTICAL visible set — cross-family update agreement is part
+    //     of the gate, not just a spec.
+    "q_update_scan" -> ((s, d) => {
+      import s.implicits._
+      val segDir = ensureUpdateSegments(s, d)
+      val q = qvec(s, d)
+      val hname = s"updhnsw_${san(d)}"
+      graft.operators.IncrHnsw.ensure(s, hname, segDir, "vec_id", "embedding")
+      val hn = graft.operators.IncrHnsw.search(s, hname, segDir, "vec_id", q,
+        k = 100, exact = true)
+      val qname = s"updsq8_${san(d)}"
+      graft.operators.IncrQuant.ensure(s, qname, segDir, "vec_id", "embedding", "sq8")
+      val sq = graft.operators.IncrQuant.search(s, qname, segDir, "vec_id", q,
+        k = 100, window = 0)
+      val iname = s"updivf_${san(d)}"
+      graft.operators.IncrIvf.ensure(s, iname, segDir, "vec_id", "embedding",
+        "l2", nlist = 16)
+      val iv = graft.operators.IncrIvf.search(s, iname, segDir, "vec_id", q,
+        k = 100, nprobe = 16)
+      val hIds = hn.select(col("vec_id")).as[Long].collect().toSeq
+      val sqIds = sq.select(col("vec_id")).as[Long].collect().toSeq
+      val ivIds = iv.select(col("vec_id")).as[Long].collect().toSeq
+      require(hIds == sqIds && hIds == ivIds,
+        s"update visibility diverges across incremental families: " +
+          s"hnsw=$hIds sq8=$sqIds ivf=$ivIds")
+      hn
+    }),
+
     // incremental sparse inverted index over the SPARSIFIED segment
     // store: appends explode into bucket partitions (no trained state to
     // freeze); tombstone version filter on posting rows before the
@@ -1449,6 +1522,22 @@ object AnnQueries {
     // exact flat scan of base + side graphs, version-filtered — the same
     // visible set as the hybrid sealed ∪ growing search
     "q_incrhnsw_exact" -> hybridVisibleOracle,
+    // hybridVisibleOracle's construction + the UPDATE: row 2 now carries
+    // row 0's embedding (old value excluded, mirrors untouched)
+    "q_update_scan" ->
+      """WITH delta AS (
+           SELECT vec_id + 20000 AS vec_id, embedding FROM embeddings WHERE vec_id < 5),
+         upd AS (
+           SELECT CAST(2 AS BIGINT) AS vec_id, embedding FROM embeddings WHERE vec_id = 0),
+         allr AS (
+           SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 2
+           UNION ALL SELECT vec_id, embedding FROM delta
+           UNION ALL SELECT vec_id, embedding FROM upd)
+         SELECT a.vec_id AS vec_id,
+           list_aggregate(list_transform(list_zip(a.embedding, q.qv), p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), 'sum') AS dist
+         FROM allr a CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+         WHERE a.vec_id NOT IN (1, 20003)
+         ORDER BY dist, vec_id LIMIT 100""",
     // exact incremental-IVF search of the same store: same visible set
     "q_ivfincr_exact" -> hybridVisibleOracle,
     // exact (window<=0) incremental-quantized searches score the stored

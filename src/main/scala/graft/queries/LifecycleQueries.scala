@@ -65,6 +65,20 @@ object LifecycleQueries {
       }
     }
 
+  /** The 200-row temp parquet admin fixture (shared by the admin-surface
+    * queries; a temp SOURCE keeps their indexes invisible to
+    * q_index_stat, whose filter keys on idx_source == the data dir). */
+  private def adminSrc(s: SparkSession, d: String): String = {
+    val srcDir = tmp + "/graft_adminsrc_" + san(d)
+    Segments.synchronized {
+      if (!new File(srcDir, "_SUCCESS").isFile)
+        t(s, d, "embeddings").filter(col("vec_id") < 200)
+          .select(col("vec_id"), col("embedding"))
+          .write.mode("overwrite").parquet(srcDir)
+    }
+    srcDir
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // --- SQL surface (finalize.sql analog): the query text goes through
@@ -89,13 +103,7 @@ object LifecycleQueries {
     //     parquet (never the data dir, so the q_index_stat contract is
     //     untouched) and returns the observed contract as rows
     "q_admin_lifecycle" -> ((s, d) => {
-      val srcDir = tmp + "/graft_adminsrc_" + san(d)
-      Segments.synchronized {
-        if (!new File(srcDir, "_SUCCESS").isFile)
-          t(s, d, "embeddings").filter(col("vec_id") < 200)
-            .select(col("vec_id"), col("embedding"))
-            .write.mode("overwrite").parquet(srcDir)
-      }
+      val srcDir = adminSrc(s, d)
       val name = s"admintest_${san(d)}"
       IvfIndex.ensure(s, name, s.read.parquet(srcDir), srcDir,
         "embedding", "l2", nlist = 4)
@@ -136,6 +144,42 @@ object LifecycleQueries {
         ("drop_removes", dropGone.toString),
         ("fence_missing_throws", fenceThrows.toString),
         ("upgrade_sweeps_unreadable", sweptBad.toString))
+        .toDF("step", "result").orderBy(col("step"))
+    }),
+
+    // --- admin surface under its SQL NAMES (finalize.sql:578-599):
+    //     alter_vector_index / fence_vector_index / pgvectors_upgrade
+    //     called through spark.sql — the name-parity twin of
+    //     q_admin_lifecycle (which covers the same contracts via the
+    //     Scala API). Results mix the functions' return values with
+    //     catalog state observed after the statement.
+    "q_sql_admin" -> ((s, d) => {
+      val srcDir = adminSrc(s, d)
+      val name = s"sqladmin_${san(d)}"
+      IvfIndex.ensure(s, name, s.read.parquet(srcDir), srcDir,
+        "embedding", "l2", nlist = 4)
+      // unreadable-manifest debris for the (scoped) upgrade sweep
+      val badName = s"sqladminbad_${san(d)}"
+      val badDir = new File(IndexCatalog.dir(s, badName))
+      badDir.mkdirs()
+      Files.write(new File(badDir, "MANIFEST.bin").toPath,
+        "not-a-manifest".getBytes("UTF-8"))
+      val out = s.sql(
+        s"""SELECT alter_vector_index('$name', 'probe_hint', '9') AS alter_res,
+                   fence_vector_index('$name') AS fence_res,
+                   pgvectors_upgrade('sqladminbad_') AS swept""").head()
+      val altered = IndexCatalog.load(s, name)
+        .flatMap(_.params.get("probe_hint")).getOrElse("-")
+      val sweptGone = IndexCatalog.load(s, badName).isEmpty && !badDir.exists()
+      import s.implicits._
+      Seq(
+        ("sql_alter_applied", altered),
+        ("sql_alter_returns", out.getString(0)),
+        ("sql_fence_returns", out.getString(1)),
+        // contains, not equals: a crashed prior run may leave other
+        // sqladminbad_* debris for this sweep to also (correctly) collect
+        ("sql_upgrade_swept", (out.getString(2).split(",").contains(badName)
+          && sweptGone).toString))
         .toDF("step", "result").orderBy(col("step"))
     }),
 
@@ -271,6 +315,14 @@ object LifecycleQueries {
            ('drop_removes', 'true'),
            ('fence_missing_throws', 'true'),
            ('upgrade_sweeps_unreadable', 'true')
+         ) AS t(step, result) ORDER BY step""",
+
+    "q_sql_admin" ->
+      """SELECT * FROM (VALUES
+           ('sql_alter_applied', '9'),
+           ('sql_alter_returns', 'ok'),
+           ('sql_fence_returns', 'ok'),
+           ('sql_upgrade_swept', 'true')
          ) AS t(step, result) ORDER BY step""",
 
     "q_stream_ingest" ->

@@ -172,4 +172,38 @@ class HybridSpec extends SparkSpec {
       graft.index.IndexCatalog.drop(spark, name)
     }
   }
+
+  test("executor-side side-graph build is byte-identical to the insertion-order reference") {
+    // round-6: buildGraphFile moved from a driver collect+insert to one
+    // executor task (sorted single partition). Same id-ordered insertion
+    // sequence => the published file must match a reference build done
+    // here, byte for byte — any divergence means the executor path
+    // changed the graph, not just where it was computed.
+    import graft.operators.{Hnsw, IncrHnsw}
+    val segDir = Files.createTempDirectory("graft_incr_bytes").toString
+    val name = "hybridspec_incr_bytes"
+    graft.index.IndexCatalog.drop(spark, name)
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    Segments.init(spark, segDir, emb.filter(col("vec_id") < 40), "vec_id")
+    Segments.append(spark, segDir,
+      emb.filter(col("vec_id") >= 40 && col("vec_id") < 90), "vec_id")
+    val dir = IncrHnsw.ensure(spark, name, segDir, "vec_id", "embedding")
+    val published = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "side-1.bin"))
+
+    val deltaRows = spark.read.parquet(s"$segDir/delta-1")
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val g = new Hnsw.Graph("l2", 12, 300)
+    deltaRows.foreach { case (id, v) => g.insert(id, v) }
+    val buf = new java.io.ByteArrayOutputStream()
+    val os = new java.io.DataOutputStream(buf)
+    Hnsw.FlatGraph.write(os, g.snapshot)
+    os.close()
+    assert(java.util.Arrays.equals(published, buf.toByteArray),
+      s"executor-built side graph diverges from the reference build " +
+        s"(${published.length} vs ${buf.toByteArray.length} bytes)")
+    graft.index.IndexCatalog.drop(spark, name)
+  }
 }
