@@ -466,15 +466,26 @@ object Hnsw {
         16, 0.75f, /* accessOrder = */ true)
     private var curBytes = 0L
 
+    // per-JVM residency counters (hit rate surfaces in SOAK.md): a
+    // serving workload whose miss count keeps growing with queries —
+    // rather than with distinct graphs — means the budget is thrashing
+    private val hitCount = new java.util.concurrent.atomic.AtomicLong
+    private val loadCount = new java.util.concurrent.atomic.AtomicLong
+    /** (hits, loads) since JVM start. */
+    def counters: (Long, Long) = (hitCount.get, loadCount.get)
+
     def get(path: String, conf: org.apache.hadoop.conf.Configuration): FlatGraph = {
       val p = new org.apache.hadoop.fs.Path(path)
       val fs = p.getFileSystem(conf)
       val st = fs.getFileStatus(p)
       cache.synchronized {
         val cur = cache.get(path)
-        if (cur != null && cur._1 == st.getModificationTime && cur._2 == st.getLen)
+        if (cur != null && cur._1 == st.getModificationTime && cur._2 == st.getLen) {
+          hitCount.incrementAndGet()
           return cur._3
+        }
       }
+      loadCount.incrementAndGet()
       // load OUTSIDE the lock (graphs are large; concurrent first loads
       // of the same path waste work at worst, never corrupt)
       val in = new java.io.DataInputStream(

@@ -154,6 +154,48 @@ object Soak {
     println(f"[soak] ivf full ${fIvfS}%.2f->${fIvfL}%.2f incr ${iIvfS}%.2f->${iIvfL}%.2f")
     println(f"[soak] sq8 full ${fSq8S}%.2f->${fSq8L}%.2f incr ${iSq8S}%.2f->${iSq8L}%.2f")
 
+    // ANN/search soak (round-6): artifacts pre-ensured and caches warmed
+    // UNTIMED at both scales, then the SERVING path timed. Pruned scans
+    // and resident-graph searches should be strongly sublinear in corpus
+    // size (IVF reads ~nprobe/nlist of the bytes; HNSW search cost is
+    // log-ish per graph) — ratios should sit well under the 10× data
+    // ratio, ≈≤2×. Families limited to embeddings-backed queries (the
+    // replicated table). The FULL HNSW ensure is timed separately and
+    // SHOULD be ~linear — build cost is the corpus, search cost is not.
+    val annQueries = Seq(
+      "q_ivf_topk_l2", "q_hnsw_topk_l2", "q_hnsw_batch", "q_maxsim_ivf",
+      "q_sq8_topk_l2", "q_pq_topk_l2", "q_rabitq_topk_l2", "q_rq4_topk_l2",
+      "q_bvec_ann_topk", "q_svec_ann_topk", "q_sparse_topk")
+    for (q <- annQueries; d <- Seq(src, dst))
+      try graft.SparkEntry.queries(q)(spark, d).count() // ensure + warm
+      catch { case e: Throwable =>
+        println(s"[soak] WARM FAIL $q at $d: ${e.getMessage}") }
+    val annRows = annQueries.map { q =>
+      val a = time(q, src)
+      val b = time(q, dst)
+      println(f"[soak] $q%-26s serve sf0.1 $a%6.2fs   sf1 $b%6.2fs   x${b / a}%.1f")
+      (q, a, b)
+    }
+    val (gHits, gLoads) = graft.operators.Hnsw.GraphCache.counters
+    println(s"[soak] graph cache: $gHits hits / $gLoads loads " +
+      s"(${graft.operators.Hnsw.GraphCache.residentCount} resident, " +
+      s"${graft.operators.Hnsw.GraphCache.residentBytes >> 20} MiB)")
+
+    def fullHnswEnsure(d: String): Double = {
+      val name = s"soakhnsw_${san(d)}"
+      graft.index.IndexCatalog.drop(spark, name)
+      val e = spark.read.parquet(s"$d/embeddings.parquet")
+      val t0 = System.nanoTime()
+      graft.operators.Hnsw.ensure(spark, name, e, s"$d/embeddings.parquet",
+        "vec_id", "embedding", "l2", parts = cpus.toInt)
+      val dt = (System.nanoTime() - t0) / 1e9
+      graft.index.IndexCatalog.drop(spark, name)
+      dt
+    }
+    val ensS = fullHnswEnsure(src)
+    val ensL = fullHnswEnsure(dst)
+    println(f"[soak] full hnsw ensure  sf0.1 $ensS%6.2fs   sf1 $ensL%6.2fs   x${ensL / ensS}%.1f")
+
     val sb = new StringBuilder
     sb ++= "# SOAK — sf0.1 vs synthetic sf1 (10× replicated fixtures)\n\n"
     sb ++= "10× corpus built by replicating `documents`/`embeddings`/`events`\n"
