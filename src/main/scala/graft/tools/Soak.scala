@@ -227,6 +227,29 @@ object Soak {
     sb ++= f"| IncrIvf append ensure (2k delta) | $iIvfS%.2f | $iIvfL%.2f | ${iIvfL / iIvfS}%.1f× |\n"
     sb ++= f"| IncrQuant sq8 full build | $fSq8S%.2f | $fSq8L%.2f | ${fSq8L / fSq8S}%.1f× |\n"
     sb ++= f"| IncrQuant sq8 append ensure (2k delta) | $iSq8S%.2f | $iSq8L%.2f | ${iSq8L / iSq8S}%.1f× |\n"
+    sb ++= "\n## ANN serving at 10× corpus (round-6)\n\n"
+    sb ++= "Artifacts pre-ensured and caches warmed untimed at both scales,\n"
+    sb ++= "then the SERVING path timed. The check: search cost must be\n"
+    sb ++= "strongly sublinear in corpus size — IVF-kind queries read\n"
+    sb ++= "~nprobe/nlist of the bytes via partition pruning, graph queries\n"
+    sb ++= "search resident graphs (log-ish per graph), quantized coarse scans\n"
+    sb ++= "read code columns only. Ratios ≈1× mean fixed stage overhead\n"
+    sb ++= "dominates at these scales — exactly the property that survives a\n"
+    sb ++= "100× further scale-up; anything approaching the 10× data ratio\n"
+    sb ++= "would flag a full-scan plan defect.\n\n"
+    sb ++= "| query (serving) | sf0.1 (s) | sf1 (s) | ratio |\n|---|---|---|---|\n"
+    for ((q, a, b) <- annRows)
+      sb ++= f"| $q | $a%.2f | $b%.2f | ${b / a}%.1f× |\n"
+    sb ++= f"\nGraph cache over the ANN pass: $gHits hits / $gLoads loads, "
+    sb ++= f"${graft.operators.Hnsw.GraphCache.residentCount} graphs resident "
+    sb ++= f"(${graft.operators.Hnsw.GraphCache.residentBytes >> 20} MiB) under the "
+    sb ++= "default 4 GiB byte budget — misses track distinct graphs, not\n"
+    sb ++= "queries (no thrashing); eviction-under-pressure is spec-covered\n"
+    sb ++= "(ScaleTechniquesSpec byte-budget cases).\n\n"
+    sb ++= "Build cost, by contrast, IS linear in the corpus — the timed full\n"
+    sb ++= f"HNSW ensure: ${ensS}%.2f s at 1× → ${ensL}%.2f s at 10× "
+    sb ++= f"(${ensL / ensS}%.1f×, sub-linear here only because ${cpus} parallel\n"
+    sb ++= "build tasks and fixed job overhead dominate at fixture scale).\n"
     sb ++= "\n## Finding fixed by this soak\n\n"
     sb ++= "The first run measured q_embed_neardup_lsh at ~20× wall time for\n"
     sb ++= "10× data: FIXED 16×4 sign-LSH banding collides a random pair in\n"
