@@ -1,0 +1,190 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.Shims
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType}
+import graft.functions._
+
+/**
+ * Distributed KNN join: for EVERY row of a query table, the top-k nearest
+ * corpus rows, through the IVF artifact — the set-at-a-time generalization
+ * of [[IvfIndex.batchSearch]] (whose query side is a driver-collected
+ * `Seq`). The reference answers one query per index scan
+ * (crates/index/src/lib.rs:386-423); a training-data pipeline needs the
+ * join shape (dataset-vs-dataset retrieval, hard-negative mining,
+ * embedding-level decontamination) where the query side is itself a
+ * billion-row table that never fits on the driver.
+ *
+ * Plan shape (all set-at-a-time, nothing per-query):
+ *  1. each query row computes its `nprobe` probe lists with ONE codegen
+ *     expression over the broadcast flattened centroids ([[ProbeLists]] —
+ *     the same bound-first ranking as `IvfIndex.Model.rankLists`, radii
+ *     permitting), then explodes to (query, list_id);
+ *  2. the union of probed lists — at most `nlist` ints, collected
+ *     driver-side like every probe decision — prunes the artifact scan to
+ *     the partitions anybody probes (for a large query set that is all of
+ *     them: one full pass over the corpus for the WHOLE table, vs one
+ *     pruned scan per query);
+ *  3. an equi-join on `list_id` co-locates queries with their lists (AQE
+ *     splits skewed lists; key cardinality = nlist, so size nlist to the
+ *     cluster as the IVF build already must);
+ *  4. per-query top-k = `row_number` window over (dist, id) partitioned by
+ *     the query id — the only per-query state is the heap inside the
+ *     window sort.
+ *
+ * Exactness: at nprobe = nlist every (query, list) pair exists, so the
+ * join IS the brute-force cross product and the result is exact — the
+ * q_knn_join_exact gate relies on it; ranking never affects that.
+ * Null/non-finite query vectors produce no output rows (the probe
+ * expression is null-intolerant and the artifact excludes such rows on
+ * the corpus side, mirroring the reference's null.slt behavior).
+ */
+object KnnJoin {
+
+  /** Codegen probe-list selection: top-nprobe list ids for one query
+    * vector, bound-first-ranked (lower-bound reachable distance, centroid
+    * distance tie-break) when radii are present — one pass per query ROW,
+    * inside whole-stage codegen, replacing the driver-side
+    * `Model.rankLists` call of the collected-batch path. */
+  case class ProbeLists(vec: Expression, flatCentroids: Expression,
+      flatRadii: Expression, nprobe: Int, metric: String)
+      extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+    override def first: Expression = vec
+    override def second: Expression = flatCentroids
+    override def third: Expression = flatRadii
+    override def nullIntolerant: Boolean = true
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    private val metricCode = KnnJoinKernels.metricCode(metric)
+    override def nullSafeEval(v: Any, f: Any, r: Any): Any =
+      KnnJoinKernels.probeLists(v.asInstanceOf[ArrayData],
+        f.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData], nprobe, metricCode)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (v, f, r) =>
+        s"${ev.value} = graft.operators.KnnJoinKernels.probeLists($v, $f, $r, $nprobe, $metricCode);")
+    override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression) =
+      copy(vec = a, flatCentroids = b, flatRadii = c)
+    override def prettyName = "probe_lists"
+  }
+
+  def probeLists(vec: Column, model: IvfIndex.Model, nprobe: Int): Column = {
+    val flat = model.centroids.flatten
+    val radii = if (model.radii == null) Array.empty[Float] else model.radii
+    Shims.column(ProbeLists(Shims.expression(vec),
+      Shims.expression(typedLit(flat)), Shims.expression(typedLit(radii)),
+      nprobe, model.metric))
+  }
+
+  /** The join. `queries` supplies (qidCol, qvecCol); the corpus is the
+    * IVF artifact at `path` described by `model` (metric and
+    * normalize-at-build convention come from the artifact). Returns
+    * (qid, idCol, dist, rn) with rn 1..k per qid, (dist, id)-tie-broken. */
+  def join(spark: SparkSession, queries: DataFrame, qidCol: String,
+      qvecCol: String, path: String, model: IvfIndex.Model, idCol: String,
+      vecCol: String, k: Int, nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val np = math.min(nprobe, model.nlist)
+    val qv0 = queries.filter(col(qvecCol).isNotNull && vectorIsFinite(col(qvecCol)))
+      .select(col(qidCol).as("qid"),
+        (if (model.metric == "cos") vectorNormalize(col(qvecCol))
+         else col(qvecCol)).as("qv"))
+    val probed = qv0
+      .withColumn("list_id", explode(probeLists(col("qv"), model, np)))
+    // partition pruning for selective query sets: the distinct probed-list
+    // set is bounded by nlist (the same boundedness class as every other
+    // probe decision); skip the extra job when every list is probed anyway
+    val scan0 = spark.read.parquet(path)
+    val scan =
+      if (np >= model.nlist) scan0
+      else {
+        val lists = probed.select(col("list_id")).distinct()
+          .collect().map(_.getInt(0))
+        scan0.filter(col("list_id").isin(lists.map(Integer.valueOf).toSeq: _*))
+      }
+    val joined = scan.select(col("list_id"), col(idCol), col(vecCol))
+      .join(probed, "list_id")
+    val distCol = model.metric match {
+      case "l2" => l2sq(col(vecCol), col("qv"))
+      case "dot" => negdot(col(vecCol), col("qv"))
+      case "cos" => negdot(col(vecCol), col("qv")) + lit(1.0) // reference +1.0 (am_options.rs:244-249)
+    }
+    val w = Window.partitionBy(col("qid")).orderBy(col("dist"), col(idCol))
+    joined.select(col("qid"), col(idCol), distCol.as("dist"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+  }
+}
+
+/** Probe-selection kernel, top-level for Janino static forwarders (the
+  * IvfKernels rule). */
+object KnnJoinKernels {
+  final val L2 = 0; final val Dot = 1; final val Cos = 2
+
+  def metricCode(metric: String): Int = metric match {
+    case "l2" => L2
+    case "dot" => Dot
+    case "cos" => Cos
+    case m => throw new IllegalArgumentException(s"unknown metric $m")
+  }
+
+  /** Top-nprobe lists by (lower bound, centroid distance) — the
+    * `IvfIndex.Model.rankLists` ordering evaluated per row. `radii` empty
+    * = no stats manifest: raw centroid-distance ranking (exactness at
+    * nprobe = nlist never depends on the ranking). The query vector is
+    * already normalized for cos (the caller normalizes at plan build,
+    * matching normalize-at-build artifacts). */
+  def probeLists(v: ArrayData, flat: ArrayData, radii: ArrayData,
+      nprobe: Int, metric: Int): ArrayData = {
+    val dims = v.numElements()
+    val nlist = flat.numElements() / dims
+    val hasRadii = radii.numElements() == nlist
+    val lb = new Array[Double](nlist)
+    val cd = new Array[Double](nlist)
+    var qn = 0.0
+    if (metric == Dot && hasRadii) {
+      var i = 0
+      while (i < dims) { val x = v.getFloat(i).toDouble; qn += x * x; i += 1 }
+      qn = math.sqrt(qn)
+    }
+    var c = 0
+    while (c < nlist) {
+      val off = c * dims
+      var acc = 0.0
+      var i = 0
+      if (metric == L2) {
+        while (i < dims) {
+          val d = v.getFloat(i).toDouble - flat.getFloat(off + i).toDouble
+          acc += d * d; i += 1
+        }
+      } else {
+        while (i < dims) { acc -= v.getFloat(i).toDouble * flat.getFloat(off + i).toDouble; i += 1 }
+      }
+      cd(c) = acc
+      lb(c) =
+        if (!hasRadii) acc
+        else {
+          val r = math.sqrt(radii.getFloat(c).toDouble)
+          metric match {
+            case L2 =>
+              val d = math.sqrt(acc) - r
+              if (d > 0) d * d else 0.0
+            case Cos => acc + 1.0 - r
+            case _ => acc - r * qn
+          }
+        }
+      c += 1
+    }
+    val order = Array.range(0, nlist).sortWith { (a, b) =>
+      lb(a) < lb(b) || (lb(a) == lb(b) &&
+        (cd(a) < cd(b) || (cd(a) == cd(b) && a < b)))
+    }
+    val n = math.min(nprobe, nlist)
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) { out(i) = order(i); i += 1 }
+    new GenericArrayData(out)
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions._
-import graft.operators.{Hnsw, HnswPq, HnswRq, HnswSq, IncrHnsw, IvfIndex, IvfPq, IvfSq, Pq, Rabitq, Rabitq4, SparseSearch, Sq8, TypedAnn}
+import graft.operators.{Hnsw, HnswPq, HnswRq, HnswSq, IncrHnsw, IvfIndex, IvfPq, IvfSq, KnnJoin, Pq, Rabitq, Rabitq4, SparseSearch, Sq8, TypedAnn}
 
 /**
  * ANN search paths (SURVEY §2.6): IVF (partition-pruned index table),
@@ -725,6 +725,26 @@ object AnnQueries {
       val (m, path) = ivf(s, d, "l2")
       IvfIndex.batchSearch(s, path, m, "vec_id", "embedding",
         batchQueries(s, d), k = 20, nprobe = m.nlist)
+    }),
+
+    // distributed KNN join: a whole query TABLE against the IVF artifact
+    // in one plan — codegen probe-list assign, explode, equi-join on
+    // list_id, per-query window top-k. No driver-side query collect
+    // (contrast q_ivf_batch, whose query side is a Seq). Approximate
+    // (rows-only; exact twin below carries the oracle + recall spec).
+    "q_knn_join" -> ((s, d) => {
+      val (m, path) = ivf(s, d, "l2")
+      KnnJoin.join(s, t(s, d, "embeddings").filter(col("vec_id") % 10 === 0),
+        "vec_id", "embedding", path, m, "vec_id", "embedding",
+        k = 10, nprobe = nprobeConf(s))
+    }),
+    // exact mode: nprobe = nlist joins every (query, list) pair — the
+    // brute-force cross product by construction -> full cross-join oracle
+    "q_knn_join_exact" -> ((s, d) => {
+      val (m, path) = ivf(s, d, "l2")
+      KnnJoin.join(s, t(s, d, "embeddings").filter(col("vec_id") % 10 === 0),
+        "vec_id", "embedding", path, m, "vec_id", "embedding",
+        k = 10, nprobe = m.nlist)
     }),
 
     // HNSW: persisted per-partition graphs, global ordered merge
@@ -1581,6 +1601,19 @@ object AnnQueries {
            FROM embeddings e CROSS JOIN
              (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 3) q)
          WHERE rn <= 20 ORDER BY qid, rn""",
+    // the KNN-join exact twin is the same cross-product-with-window shape
+    // as the batch oracles, with the query side a table subset instead of
+    // three collected rows
+    "q_knn_join_exact" ->
+      """SELECT qid, vec_id, dist, rn FROM (
+           SELECT q.vec_id AS qid, e.vec_id AS vec_id,
+             list_aggregate(list_transform(list_zip(e.embedding, q.embedding), p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), 'sum') AS dist,
+             row_number() OVER (PARTITION BY q.vec_id ORDER BY
+               list_aggregate(list_transform(list_zip(e.embedding, q.embedding), p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), 'sum'),
+               e.vec_id) AS rn
+           FROM embeddings e CROSS JOIN
+             (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0) q)
+         WHERE rn <= 10 ORDER BY qid, rn""",
     "q_bvec_batch_exact" ->
       """SELECT qid, vec_id, dist, rn FROM (
            SELECT q.vec_id AS qid, e.vec_id AS vec_id,

@@ -56,15 +56,31 @@ object CoreQueries {
     a.join(b, "vec_id")
   }
 
-  /** events.parquet carries TIMESTAMP(NANOS) which Spark's parquet reader
-    * rejects; read nanos as long and convert to a microsecond timestamp.
-    * Integer `div`, not `/`: epoch-ns (~2^60) exceeds double's 53-bit
-    * mantissa, so float division can perturb the low microseconds. */
+  /** Normalizes events.ts to a session-tz TimestampType regardless of how
+    * the fixture was written. Generations of the driver's testdata have
+    * shipped ts as TIMESTAMP(NANOS) (Spark reads it only as a long under
+    * the legacy conf; integer `div` 1000, not `/` — epoch-ns ~2^60
+    * exceeds double's 53-bit mantissa) and as timestamp[us] without tz
+    * (Spark reads TIMESTAMP_NTZ). The session tz is pinned to UTC here so
+    * the NTZ→TZ cast surfaces exactly the stored µs value — the same
+    * number DuckDB's `epoch_us` returns for a naive timestamp. */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(org.apache.spark.sql.functions.expr("ts div 1000")))
+    normalizeEventTs(t(spark, dir, "events"))
   }
+
+  /** Type-dispatched ts normalization shared with the streaming specs
+    * (their file-stream reads see the same fixture schema). */
+  def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts",
+          timestamp_micros(org.apache.spark.sql.functions.expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
 
   private def queryVec(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "embeddings").filter(col("vec_id") === 0)

@@ -74,9 +74,8 @@ class StreamingEmbedSpec extends SparkSpec {
     Files.copy(java.nio.file.Paths.get(s"$sf0001/events.parquet"),
       dir.resolve("events.parquet"))
     val schema = spark.read.parquet(s"$sf0001/events.parquet").schema
-    val stream = spark.readStream.schema(schema)
-      .parquet(dir.toString)
-      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+    val stream = graft.queries.CoreQueries.normalizeEventTs(
+      spark.readStream.schema(schema).parquet(dir.toString))
     val counts = StreamingIngest.windowedCounts(
       stream, "ts", "event_type", "1 hour", "1 hour")
     val q = counts.writeStream.outputMode("update")
