@@ -78,6 +78,80 @@ object KnnJoin {
       nprobe, model.metric))
   }
 
+  /** Codegen range-list selection: ALL list ids whose triangle /
+    * Cauchy-Schwarz lower bound can still reach radius `r` — the
+    * per-row form of `IvfIndex.rangeScan{,Cos,Dot}`'s driver-side list
+    * filter. Pruning is SOUND (lower bounds only), so unlike top-k
+    * probing it never loses a row: the range JOIN built on it is exact,
+    * not approximate. Without radii stats every list is kept. */
+  case class RangeLists(vec: Expression, flatCentroids: Expression,
+      flatRadii: Expression, r: Double, metric: String)
+      extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+    override def first: Expression = vec
+    override def second: Expression = flatCentroids
+    override def third: Expression = flatRadii
+    override def nullIntolerant: Boolean = true
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    private val metricCode = KnnJoinKernels.metricCode(metric)
+    override def nullSafeEval(v: Any, f: Any, rr: Any): Any =
+      KnnJoinKernels.rangeLists(v.asInstanceOf[ArrayData],
+        f.asInstanceOf[ArrayData], rr.asInstanceOf[ArrayData], r, metricCode)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (v, f, rr) =>
+        s"${ev.value} = graft.operators.KnnJoinKernels.rangeLists($v, $f, $rr, $r, $metricCode);")
+    override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression) =
+      copy(vec = a, flatCentroids = b, flatRadii = c)
+    override def prettyName = "range_lists"
+  }
+
+  def rangeLists(vec: Column, model: IvfIndex.Model, r: Double): Column = {
+    val flat = model.centroids.flatten
+    val radii = if (model.radii == null) Array.empty[Float] else model.radii
+    Shims.column(RangeLists(Shims.expression(vec),
+      Shims.expression(typedLit(flat)), Shims.expression(typedLit(radii)),
+      r, model.metric))
+  }
+
+  /** Distributed vector RANGE join: every (query row, corpus row) pair
+    * with dist <= r, both sides tables — the all-pairs-within-radius
+    * primitive behind embedding-level dedup and decontamination.
+    * Same plan family as [[join]] (per-row codegen list selection →
+    * explode → equi-join on list_id → exact distance filter) but EXACT
+    * at any radius: the per-list lower bounds only ever prune lists
+    * that provably contain no in-range row, and the kept rows pass
+    * through the exact kernel filter. Distances follow the artifact's
+    * conventions (l2 = squared L2; cos = 1 - dot on normalize-at-build
+    * rows with the query normalized here; dot = negative dot).
+    * Returns (qid, idCol, dist), dist <= r. */
+  def rangeJoin(spark: SparkSession, queries: DataFrame, qidCol: String,
+      qvecCol: String, path: String, model: IvfIndex.Model, idCol: String,
+      vecCol: String, r: Double): DataFrame = {
+    val qv0 = queries.filter(col(qvecCol).isNotNull && vectorIsFinite(col(qvecCol)))
+      .select(col(qidCol).as("qid"),
+        (if (model.metric == "cos") vectorNormalize(col(qvecCol))
+         else col(qvecCol)).as("qv"))
+    val probed = qv0
+      .withColumn("list_id", explode(rangeLists(col("qv"), model, r)))
+    val scan0 = spark.read.parquet(path)
+    val scan =
+      if (model.radii == null) scan0
+      else {
+        val lists = probed.select(col("list_id")).distinct()
+          .collect().map(_.getInt(0))
+        if (lists.length >= model.nlist) scan0
+        else scan0.filter(col("list_id").isin(lists.map(Integer.valueOf).toSeq: _*))
+      }
+    val distCol = model.metric match {
+      case "l2" => l2sq(col(vecCol), col("qv"))
+      case "dot" => negdot(col(vecCol), col("qv"))
+      case "cos" => negdot(col(vecCol), col("qv")) + lit(1.0)
+    }
+    scan.select(col("list_id"), col(idCol), col(vecCol))
+      .join(probed, "list_id")
+      .select(col("qid"), col(idCol), distCol.as("dist"))
+      .filter(col("dist") <= r)
+  }
+
   /** The join. `queries` supplies (qidCol, qvecCol); the corpus is the
     * IVF artifact at `path` described by `model` (metric and
     * normalize-at-build convention come from the artifact). Returns
@@ -128,6 +202,54 @@ object KnnJoinKernels {
     case "dot" => Dot
     case "cos" => Cos
     case m => throw new IllegalArgumentException(s"unknown metric $m")
+  }
+
+  /** All lists whose lower bound can reach radius `r` — the per-row
+    * form of the `IvfIndex.rangeScan{,Cos,Dot}` list filters, same
+    * bound formulas and epsilons (l2 compares on the sqrt scale like
+    * rangeScan; the eps only ever ADDS lists, so pruning stays sound).
+    * Empty `radii` = no stats: every list is kept (no sound bound). */
+  def rangeLists(v: ArrayData, flat: ArrayData, radii: ArrayData,
+      r: Double, metric: Int): ArrayData = {
+    val dims = v.numElements()
+    val nlist = flat.numElements() / dims
+    val hasRadii = radii.numElements() == nlist
+    if (!hasRadii) {
+      val all = new Array[Any](nlist)
+      var i = 0
+      while (i < nlist) { all(i) = i; i += 1 }
+      return new GenericArrayData(all)
+    }
+    var qn = 0.0
+    if (metric == Dot) {
+      var i = 0
+      while (i < dims) { val x = v.getFloat(i).toDouble; qn += x * x; i += 1 }
+      qn = math.sqrt(qn)
+    }
+    val keep = new java.util.ArrayList[Any](nlist)
+    var c = 0
+    while (c < nlist) {
+      val off = c * dims
+      var acc = 0.0
+      var i = 0
+      if (metric == L2) {
+        while (i < dims) {
+          val d = v.getFloat(i).toDouble - flat.getFloat(off + i).toDouble
+          acc += d * d; i += 1
+        }
+      } else {
+        while (i < dims) { acc -= v.getFloat(i).toDouble * flat.getFloat(off + i).toDouble; i += 1 }
+      }
+      val rad = math.sqrt(radii.getFloat(c).toDouble)
+      val reachable = metric match {
+        case L2 => math.sqrt(acc) - rad <= math.sqrt(r) + 1e-9
+        case Cos => 1.0 + acc - rad <= r + 1e-6
+        case _ => acc - rad * qn <= r + 1e-9
+      }
+      if (reachable) keep.add(c)
+      c += 1
+    }
+    new GenericArrayData(keep.toArray)
   }
 
   /** Top-nprobe lists by (lower bound, centroid distance) — the

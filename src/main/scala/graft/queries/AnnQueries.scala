@@ -747,6 +747,29 @@ object AnnQueries {
         k = 10, nprobe = m.nlist)
     }),
 
+    // vector RANGE join: all (query, corpus) pairs within radius, both
+    // sides tables. EXACT at any radius (lower-bound list pruning is
+    // sound), so it carries a full value oracle with no approximate twin.
+    "q_vec_range_join" -> ((s, d) => {
+      val (m, path) = ivf(s, d, "l2")
+      KnnJoin.rangeJoin(s, t(s, d, "embeddings").filter(col("vec_id") % 10 === 0),
+        "vec_id", "embedding", path, m, "vec_id", "embedding", r = 1.5)
+    }),
+    // embedding-level decontamination: the eval set is planted as exact
+    // copies of train rows (vec_id%37, id+500000 — the fixtures carry no
+    // guaranteed near pairs, the dedup-mirror convention); every train
+    // row within r of ANY eval row is contaminated. One range join +
+    // hash agg — never an all-pairs product.
+    "q_knn_decontaminate" -> ((s, d) => {
+      val (m, path) = ivf(s, d, "l2")
+      val evals = t(s, d, "embeddings").filter(col("vec_id") % 37 === 0)
+        .select((col("vec_id") + 500000).as("eval_id"), col("embedding"))
+      KnnJoin.rangeJoin(s, evals, "eval_id", "embedding", path, m,
+        "vec_id", "embedding", r = 0.05)
+        .groupBy(col("vec_id"))
+        .agg(count(lit(1)).as("n_evals"), min(col("qid")).as("first_eval"))
+    }),
+
     // HNSW: persisted per-partition graphs, global ordered merge
     "q_hnsw_topk_l2" -> ((s, d) => {
       Hnsw.searchIndex(s, hnsw(s, d, 4), "vec_id", qvec(s, d), k = 100,
@@ -1614,6 +1637,21 @@ object AnnQueries {
            FROM embeddings e CROSS JOIN
              (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0) q)
          WHERE rn <= 10 ORDER BY qid, rn""",
+    // range join is exact by construction (sound lower-bound pruning),
+    // so the oracle is the plain cross filter — no twin needed
+    "q_vec_range_join" ->
+      """SELECT q.vec_id AS qid, e.vec_id AS vec_id,
+           list_aggregate(list_transform(list_zip(e.embedding, q.embedding), p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), 'sum') AS dist
+         FROM embeddings e CROSS JOIN
+           (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0) q
+         WHERE list_aggregate(list_transform(list_zip(e.embedding, q.embedding), p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), 'sum') <= 1.5
+         ORDER BY qid, vec_id""",
+    "q_knn_decontaminate" ->
+      """SELECT e.vec_id AS vec_id, count(*) AS n_evals, min(q.eval_id) AS first_eval
+         FROM embeddings e JOIN
+           (SELECT vec_id + 500000 AS eval_id, embedding FROM embeddings WHERE vec_id % 37 = 0) q
+           ON list_aggregate(list_transform(list_zip(e.embedding, q.embedding), p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), 'sum') <= 0.05
+         GROUP BY e.vec_id ORDER BY vec_id""",
     "q_bvec_batch_exact" ->
       """SELECT qid, vec_id, dist, rn FROM (
            SELECT q.vec_id AS qid, e.vec_id AS vec_id,

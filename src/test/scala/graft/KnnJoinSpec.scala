@@ -66,6 +66,80 @@ class KnnJoinSpec extends SparkSpec {
     assert(qids == Set(900L))
   }
 
+  test("range join equals the brute-force cross filter (exact at any radius)") {
+    val (m, path) = ivf(sf0001)
+    val queries = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .filter(col("vec_id") % 25 === 0)
+    val got = KnnJoin.rangeJoin(spark, queries, "vec_id", "embedding",
+      path, m, "vec_id", "embedding", r = 1.5)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val corpus = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val want = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      .crossJoin(corpus)
+      .select(col("qid"), col("cid"),
+        graft.functions.l2sq(col("cv"), col("qv")).as("dist"))
+      .filter(col("dist") <= 1.5)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    assert(got == want)
+    assert(got.nonEmpty) // self pairs at dist 0 guarantee matches
+  }
+
+  test("range kernel keeps exactly the rangeScan lists and prunes when radii are tight") {
+    val rnd = new scala.util.Random(11)
+    val dims = 8
+    // well-separated centroids with small radii: pruning must bite
+    val centroids = Array.tabulate(6)(c => Array.tabulate(dims)(i =>
+      if (i == c) 10f else 0f))
+    val radii = Array.fill(6)(0.25f) // stored as squared radius
+    for (metric <- Seq("l2", "cos", "dot")) {
+      val mc = KnnJoinKernels.metricCode(metric)
+      for (_ <- 1 to 30) {
+        val q0 = Array.fill(dims)(rnd.nextFloat() * 4f - 2f)
+        val q = if (metric == "cos") IvfIndex.Kernels.normalize(q0) else q0
+        val r = rnd.nextDouble() * 4.0
+        val got = KnnJoinKernels.rangeLists(
+          new GenericArrayData(q.map(x => x: Any)),
+          new GenericArrayData(centroids.flatten.map(x => x: Any)),
+          new GenericArrayData(radii.map(x => x: Any)),
+          r, mc).toIntArray().toSet
+        // replicate the driver-side rangeScan{,Cos,Dot} list filters
+        val qn = math.sqrt(IvfIndex.Kernels.dot(q, q))
+        val want = centroids.indices.filter { i =>
+          val rad = math.sqrt(radii(i).toDouble)
+          metric match {
+            case "l2" =>
+              math.sqrt(IvfIndex.Kernels.l2sq(centroids(i), q)) - rad <= math.sqrt(r) + 1e-9
+            case "cos" =>
+              1.0 - IvfIndex.Kernels.dot(centroids(i), q) - rad <= r + 1e-6
+            case _ =>
+              -(IvfIndex.Kernels.dot(centroids(i), q) + rad * qn) <= r + 1e-9
+          }
+        }.toSet
+        assert(got == want, s"metric=$metric r=$r")
+      }
+    }
+    // l2, small radius near one centroid: only that list survives
+    val near0 = centroids(0).clone(); near0(1) = 0.1f
+    val one = KnnJoinKernels.rangeLists(
+      new GenericArrayData(near0.map(x => x: Any)),
+      new GenericArrayData(centroids.flatten.map(x => x: Any)),
+      new GenericArrayData(radii.map(x => x: Any)),
+      1.0, KnnJoinKernels.L2).toIntArray().toSet
+    assert(one == Set(0))
+  }
+
+  test("range join without radii stats keeps every list (still exact)") {
+    val m = IvfIndex.Model("l2",
+      Array(Array(0f, 0f), Array(1f, 1f), Array(2f, 2f)), null)
+    val all = KnnJoinKernels.rangeLists(
+      new GenericArrayData(Array(0.5f, 0.5f).map(x => x: Any)),
+      new GenericArrayData(m.centroids.flatten.map(x => x: Any)),
+      new GenericArrayData(Array.empty[Float].map(x => x: Any)),
+      0.01, KnnJoinKernels.L2).toIntArray().toSet
+    assert(all == Set(0, 1, 2))
+  }
+
   test("recall@10 at default nprobe stays useful on the driver fixture") {
     val (m, path) = ivf(sf0001)
     val queries = spark.read.parquet(s"$sf0001/embeddings.parquet")
