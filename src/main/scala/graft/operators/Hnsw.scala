@@ -801,6 +801,55 @@ object Hnsw {
     * I/O is amortized over the batch instead of paid per query. Returns
     * (qid, idCol, dist, rn<=k) ordered by (qid, rn). exact=true scores
     * the flat scan per graph (oracle mode). */
+  /** Table-valued KNN JOIN over the graph artifact — the HNSW sibling of
+    * [[KnnJoin.join]], for query sides that are themselves tables and
+    * never fit on the driver (searchIndexBatch collects its queries to a
+    * `Seq`). The query table keeps its own partitioning; each task walks
+    * its queries through every resident graph (GraphCache — a graph
+    * loads once per executor and lives under the byte-budget LRU, so the
+    * per-task working set is bounded regardless of corpus size), emits
+    * per-graph top-k candidates, and a qid-window keeps the global
+    * top-k. Work is |Q|·G searches — inherent to graph-partitioned
+    * HNSW — and scales out with query partitions. Cos artifacts follow
+    * the searchIndex convention: the CALLER passes normalized queries
+    * (here: normalize qvecCol upstream); reported dist adds the +1
+    * offset. `exact = true` flat-scans each graph, so the union of
+    * per-graph brute-force top-ks provably contains the global top-k —
+    * the oracle mode. Null/non-finite query vectors drop (null.slt). */
+  def knnJoin(spark: org.apache.spark.sql.SparkSession, path: String,
+      idCol: String, queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int, efSearch: Int = 100, exact: Boolean = false): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val dirPath = new org.apache.hadoop.fs.Path(path)
+    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.globStatus(new org.apache.hadoop.fs.Path(path, "graph-*.bin"))
+      .map(_.getPath.toString).sorted.toSeq
+    if (files.isEmpty)
+      return spark.emptyDataset[(Long, Long, Double, Int)]
+        .toDF("qid", idCol, "dist", "rn")
+    val bfiles = spark.sparkContext.broadcast(files)
+    val hconf = confEntries(spark)
+    val q0 = queries
+      .filter(col(qvecCol).isNotNull && graft.functions.vectorIsFinite(col(qvecCol)))
+      .select(col(qidCol).cast("long").as("qid"), col(qvecCol).as("qv"))
+      .as[(Long, Array[Float])]
+    val hits = q0.mapPartitions { it =>
+      val conf = mkConf(hconf)
+      it.flatMap { case (qid, q) =>
+        bfiles.value.iterator.flatMap { f =>
+          val g = GraphCache.get(f, conf)
+          val off = if (g.metric == "cos") 1.0 else 0.0
+          val res = if (exact) g.bruteForce(q, k) else g.search(q, k, efSearch)
+          res.iterator.map { case (d, id) => (qid, id, d + off) }
+        }
+      }
+    }.toDF("qid", idCol, "dist")
+    val w = Window.partitionBy(col("qid")).orderBy(col("dist"), col(idCol))
+    hits.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+  }
+
   def searchIndexBatch(spark: org.apache.spark.sql.SparkSession,
       path: String, idCol: String, queries: Seq[(Long, Array[Float])],
       k: Int, efSearch: Int = 100, exact: Boolean = false): DataFrame = {

@@ -833,6 +833,22 @@ object AnnQueries {
         batchQueries(s, d), k = 20, exact = true)
     }),
 
+    // table-valued HNSW KNN join: the query side is a table that never
+    // touches the driver — each task walks its query partition through
+    // the resident graphs. Approximate (exact twin below).
+    "q_hnsw_knn_join" -> ((s, d) => {
+      Hnsw.knnJoin(s, hnsw(s, d, 4), "vec_id",
+        t(s, d, "embeddings").filter(col("vec_id") % 10 === 0),
+        "vec_id", "embedding", k = 10, efSearch = efSearchConf(s))
+    }),
+    // exact mode on the single-graph artifact: per-graph flat scans are
+    // provably the brute force -> the cross-join window oracle
+    "q_hnsw_knn_join_exact" -> ((s, d) => {
+      Hnsw.knnJoin(s, hnsw(s, d, 1), "vec_id",
+        t(s, d, "embeddings").filter(col("vec_id") % 10 === 0),
+        "vec_id", "embedding", k = 10, exact = true)
+    }),
+
     // HNSW×SQ8: coded resident graphs (4x smaller), LUT traversal,
     // exact rerank of the ef frontier re-fetched from the source
     "q_hnswsq8_topk_l2" -> ((s, d) => {
@@ -1646,6 +1662,18 @@ object AnnQueries {
            (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0) q
          WHERE list_aggregate(list_transform(list_zip(e.embedding, q.embedding), p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), 'sum') <= 1.5
          ORDER BY qid, vec_id""",
+    // same shape as q_knn_join_exact: the HNSW exact mode flat-scans the
+    // single-graph artifact, so the oracle is the brute-force window
+    "q_hnsw_knn_join_exact" ->
+      """SELECT qid, vec_id, dist, rn FROM (
+           SELECT q.vec_id AS qid, e.vec_id AS vec_id,
+             list_aggregate(list_transform(list_zip(e.embedding, q.embedding), p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), 'sum') AS dist,
+             row_number() OVER (PARTITION BY q.vec_id ORDER BY
+               list_aggregate(list_transform(list_zip(e.embedding, q.embedding), p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), 'sum'),
+               e.vec_id) AS rn
+           FROM embeddings e CROSS JOIN
+             (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0) q)
+         WHERE rn <= 10 ORDER BY qid, rn""",
     "q_knn_decontaminate" ->
       """SELECT e.vec_id AS vec_id, count(*) AS n_evals, min(q.eval_id) AS first_eval
          FROM embeddings e JOIN

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{IvfIndex, KnnJoin, KnnJoinKernels}
+import graft.operators.{Hnsw, IvfIndex, KnnJoin, KnnJoinKernels}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 
 class KnnJoinSpec extends SparkSpec {
@@ -138,6 +138,36 @@ class KnnJoinSpec extends SparkSpec {
       new GenericArrayData(Array.empty[Float].map(x => x: Any)),
       0.01, KnnJoinKernels.L2).toIntArray().toSet
     assert(all == Set(0, 1, 2))
+  }
+
+  test("hnsw knn join: exact mode equals brute force; walk mode has high recall") {
+    val path1 = graft.queries.AnnQueries.hnsw(spark, sf0001, 1)
+    val path4 = graft.queries.AnnQueries.hnsw(spark, sf0001, 4)
+    val queries = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .filter(col("vec_id") % 25 === 0)
+    val got = Hnsw.knnJoin(spark, path1, "vec_id", queries, "vec_id",
+      "embedding", k = 5, exact = true)
+      .select("qid", "vec_id", "rn").as[(Long, Long, Int)].collect().toSet
+
+    import org.apache.spark.sql.expressions.Window
+    val corpus = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("dist"), col("cid"))
+    val want = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      .crossJoin(corpus)
+      .select(col("qid"), col("cid"),
+        graft.functions.l2sq(col("cv"), col("qv")).as("dist"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      .select("qid", "cid", "rn").as[(Long, Long, Int)].collect().toSet
+    assert(got == want)
+
+    // multi-graph walk mode: union of per-graph beams, judged by recall
+    val exactIds = want.map { case (q, c, _) => (q, c) }
+    val approx = Hnsw.knnJoin(spark, path4, "vec_id", queries, "vec_id",
+      "embedding", k = 5, efSearch = 100)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = approx.intersect(exactIds).size.toDouble / exactIds.size
+    assert(recall >= 0.95, s"recall@5 = $recall")
   }
 
   test("recall@10 at default nprobe stays useful on the driver fixture") {
