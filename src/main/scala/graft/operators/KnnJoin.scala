@@ -21,9 +21,13 @@ import graft.functions._
  *
  * Plan shape (all set-at-a-time, nothing per-query):
  *  1. each query row computes its `nprobe` probe lists with ONE codegen
- *     expression over the broadcast flattened centroids ([[ProbeLists]] —
- *     the same bound-first ranking as `IvfIndex.Model.rankLists`, radii
- *     permitting), then explodes to (query, list_id);
+ *     expression over the flattened centroids ([[ProbeLists]] — the same
+ *     bound-first ranking as `IvfIndex.Model.rankLists`, radii
+ *     permitting), then explodes to (query, list_id). The centroid
+ *     literal rides in the stage's task binary, which Spark ships via
+ *     TorrentBroadcast ONCE per executor — the same transport cost as an
+ *     explicit broadcast variable (codegen references it through the
+ *     ctx.addReferenceObj array, never spliced into generated source);
  *  2. the union of probed lists — at most `nlist` ints, collected
  *     driver-side like every probe decision — prunes the artifact scan to
  *     the partitions anybody probes (for a large query set that is all of
@@ -150,6 +154,29 @@ object KnnJoin {
       .join(probed, "list_id")
       .select(col("qid"), col(idCol), distCol.as("dist"))
       .filter(col("dist") <= r)
+  }
+
+  /** Hard-negative mining: for every anchor row of `queries`, the
+    * `nNeg` nearest corpus rows EXCLUDING the anchor's own id — the
+    * contrastive-training shape (anchors are usually drawn from the
+    * indexed corpus itself, so the trivial dist-0 self match must not
+    * burn a negative slot). Implemented as the k = nNeg+1 top-k join
+    * with the identity row dropped and ranks renumbered; a duplicate
+    * UNDER A DIFFERENT id is a legitimate (if easy) negative and is
+    * kept — id identity, not vector identity, defines "self". Exact at
+    * nprobe = nlist like [[join]]. Returns (qid, idCol, dist,
+    * neg_rank 1..nNeg). */
+  def hardNegatives(spark: SparkSession, queries: DataFrame, qidCol: String,
+      qvecCol: String, path: String, model: IvfIndex.Model, idCol: String,
+      vecCol: String, nNeg: Int, nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val j = join(spark, queries, qidCol, qvecCol, path, model, idCol,
+      vecCol, k = nNeg + 1, nprobe = nprobe)
+    val w = Window.partitionBy(col("qid")).orderBy(col("rn"))
+    j.filter(col("qid") =!= col(idCol))
+      .withColumn("neg_rank", row_number().over(w))
+      .filter(col("neg_rank") <= nNeg)
+      .select(col("qid"), col(idCol), col("dist"), col("neg_rank"))
   }
 
   /** The join. `queries` supplies (qidCol, qvecCol); the corpus is the

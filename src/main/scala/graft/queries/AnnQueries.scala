@@ -747,6 +747,19 @@ object AnnQueries {
         k = 10, nprobe = m.nlist)
     }),
 
+    // hard-negative mining: nearest non-self corpus rows per anchor —
+    // the k+1 join minus the identity row, ranks renumbered. Exact at
+    // nprobe=nlist; the oracle replays the same drop-self-then-renumber
+    // (NOT "exclude self before ranking" — a duplicate under a
+    // different id is a legitimate negative and both engines keep it).
+    "q_hard_negatives" -> ((s, d) => {
+      val (m, path) = ivf(s, d, "l2")
+      KnnJoin.hardNegatives(s,
+        t(s, d, "embeddings").filter(col("vec_id") % 10 === 0),
+        "vec_id", "embedding", path, m, "vec_id", "embedding",
+        nNeg = 5, nprobe = m.nlist)
+    }),
+
     // vector RANGE join: all (query, corpus) pairs within radius, both
     // sides tables. EXACT at any radius (lower-bound list pruning is
     // sound), so it carries a full value oracle with no approximate twin.
@@ -1653,6 +1666,24 @@ object AnnQueries {
            FROM embeddings e CROSS JOIN
              (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0) q)
          WHERE rn <= 10 ORDER BY qid, rn""",
+    // mirrors hardNegatives exactly: rank WITH self over the k=6 join,
+    // drop identity rows, renumber — not drop-then-rank (equivalent
+    // only when the anchor id sits in its own top-6, which duplicates
+    // under other ids could break; replay the operator, not the intent)
+    "q_hard_negatives" ->
+      """SELECT qid, vec_id, dist, neg_rank FROM (
+           SELECT qid, vec_id, dist,
+             row_number() OVER (PARTITION BY qid ORDER BY rn) AS neg_rank
+           FROM (
+             SELECT q.vec_id AS qid, e.vec_id AS vec_id,
+               list_aggregate(list_transform(list_zip(e.embedding, q.embedding), p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), 'sum') AS dist,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                 list_aggregate(list_transform(list_zip(e.embedding, q.embedding), p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), 'sum'),
+                 e.vec_id) AS rn
+             FROM embeddings e CROSS JOIN
+               (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0) q)
+           WHERE rn <= 6 AND qid <> vec_id)
+         WHERE neg_rank <= 5 ORDER BY qid, neg_rank""",
     // range join is exact by construction (sound lower-bound pruning),
     // so the oracle is the plain cross filter — no twin needed
     "q_vec_range_join" ->

@@ -61,6 +61,34 @@ object Qps {
         single = (s, q) =>
           Hnsw.searchIndex(s, AnnQueries.hnsw(s, d, 4), "vec_id", q,
             k = 10, efSearch = EfSearch)),
+      // table-valued joins: same index families, query side a DataFrame
+      // (the round-7 KnnJoin/Hnsw.knnJoin paths). `single` is the
+      // family's query-at-a-time entry point — the joins ARE the batch
+      // form, so qps_batch here measures table-side amortization against
+      // the identical sequential baseline.
+      Fam("knn_join_ivf_l2", 10,
+        batch = (s, qs) => {
+          val (m, path) = AnnQueries.ivf(s, d, "l2")
+          import s.implicits._
+          val qdf = qs.toDF("vec_id", "embedding")
+          graft.operators.KnnJoin.join(s, qdf, "vec_id", "embedding",
+            path, m, "vec_id", "embedding", k = 10, nprobe = Nprobe)
+        },
+        single = (s, q) => {
+          val (m, path) = AnnQueries.ivf(s, d, "l2")
+          IvfIndex.search(s, path, m, "vec_id", "embedding", q,
+            k = 10, nprobe = Nprobe)
+        }),
+      Fam("knn_join_hnsw_l2", 10,
+        batch = (s, qs) => {
+          import s.implicits._
+          val qdf = qs.toDF("vec_id", "embedding")
+          Hnsw.knnJoin(s, AnnQueries.hnsw(s, d, 4), "vec_id", qdf,
+            "vec_id", "embedding", k = 10, efSearch = EfSearch)
+        },
+        single = (s, q) =>
+          Hnsw.searchIndex(s, AnnQueries.hnsw(s, d, 4), "vec_id", q,
+            k = 10, efSearch = EfSearch)),
       Fam("bvec_hamming_ivf", 10,
         batch = (s, qs) => {
           val (m, path) = AnnQueries.bvecAnn(s, d)

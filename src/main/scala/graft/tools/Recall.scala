@@ -140,9 +140,29 @@ object Recall {
         f.family -> (recall, k)
       }
 
+    // table-valued joins return (qid, id, dist, rn) pairs, not a single
+    // top-k column — measure PAIR recall (matched (query, neighbor)
+    // pairs over the exact join's pairs). l2 distances are continuous
+    // doubles, so id-pair recall and tie-aware score recall coincide.
+    val joinFams = Seq(
+      ("knn_join", "q_knn_join", "q_knn_join_exact"),
+      ("hnsw_knn_join", "q_hnsw_knn_join", "q_hnsw_knn_join_exact"))
+    def joinRecall(dir: String, tag: String): Seq[(String, (Double, Int))] =
+      joinFams.map { case (fam, a, e) =>
+        def pairs(n: String) = graft.SparkEntry.queries(n)(spark, dir)
+          .select("qid", "vec_id").collect()
+          .map(r => (r.get(0).asInstanceOf[Number].longValue,
+            r.get(1).asInstanceOf[Number].longValue)).toSet
+        val ex = pairs(e)
+        val ap = pairs(a)
+        val recall = ap.intersect(ex).size.toDouble / math.max(ex.size, 1)
+        println(f"[recall] $tag%-9s $fam%-20s pair-recall@10 = $recall%.3f")
+        fam -> (recall, 10)
+      }
+
     val clDir = ensureClustered(spark, sfDir)
-    val clustered = measure(clDir, "clustered")
-    val random = measure(sfDir, "random")
+    val clustered = measure(clDir, "clustered") ++ joinRecall(clDir, "clustered")
+    val random = measure(sfDir, "random") ++ joinRecall(sfDir, "random")
     clustered.filter(_._2._1 < 0.9).foreach { case (fam, (r, k)) =>
       println(f"[recall] WARNING: $fam below 0.9 on the clustered fixture ($r%.3f@$k)")
     }

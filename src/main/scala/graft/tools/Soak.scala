@@ -181,6 +181,40 @@ object Soak {
       s"(${graft.operators.Hnsw.GraphCache.residentCount} resident, " +
       s"${graft.operators.Hnsw.GraphCache.residentBytes >> 20} MiB)")
 
+    // Table-valued join soak: a FIXED 500-row query side at both scales,
+    // so ratios measure CORPUS scaling only. (The registered q_knn_join
+    // queries scale the query side with the table — legitimately
+    // quadratic work when both sides grow 10×; the per-corpus-row cost
+    // is what must stay linear.) Expected: knn join ≈ linear × the
+    // probed fraction (each query scores nprobe/nlist of the corpus);
+    // hnsw join near-flat (beam cost is log-ish in graph size); range
+    // join ≤ linear (reachable-list pruning).
+    import graft.operators.{KnnJoin => KJ, Hnsw => H}
+    def joinSoak(d: String): Seq[(String, Double)] = {
+      val (m, ipath) = graft.queries.AnnQueries.ivf(spark, d, "l2")
+      val hpath = graft.queries.AnnQueries.hnsw(spark, d, 4)
+      val qs = spark.read.parquet(s"$d/embeddings.parquet")
+        .filter(col("vec_id") < 500)
+      def t(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      def runs = Seq(
+        "knn_join(500q,k=10,np=10)" -> (() => KJ.join(spark, qs, "vec_id",
+          "embedding", ipath, m, "vec_id", "embedding", 10, 10).count()),
+        "hnsw_knn_join(500q,k=10)" -> (() => H.knnJoin(spark, hpath,
+          "vec_id", qs, "vec_id", "embedding", 10).count()),
+        "vec_range_join(500q,r=1.5)" -> (() => KJ.rangeJoin(spark, qs,
+          "vec_id", "embedding", ipath, m, "vec_id", "embedding", 1.5).count()))
+      runs.foreach { case (_, f) => f() } // ensure artifacts + warm, untimed
+      runs.map { case (name, f) => name -> t(f()) }
+    }
+    val joinS = joinSoak(src)
+    val joinL = joinSoak(dst)
+    val joinRows = joinS.zip(joinL).map { case ((n, a), (_, b)) =>
+      println(f"[soak] $n%-28s sf0.1 $a%6.2fs   sf1 $b%6.2fs   x${b / a}%.1f")
+      (n, a, b)
+    }
+
     def fullHnswEnsure(d: String): Double = {
       val name = s"soakhnsw_${san(d)}"
       graft.index.IndexCatalog.drop(spark, name)
@@ -246,6 +280,18 @@ object Soak {
     sb ++= "default 4 GiB byte budget — misses track distinct graphs, not\n"
     sb ++= "queries (no thrashing); eviction-under-pressure is spec-covered\n"
     sb ++= "(ScaleTechniquesSpec byte-budget cases).\n\n"
+    sb ++= "\n## Table-valued joins at 10× corpus (round-7)\n\n"
+    sb ++= "A FIXED 500-row query side at both scales, so ratios measure\n"
+    sb ++= "corpus scaling only (the registered join queries scale the query\n"
+    sb ++= "side with the table — work legitimately grows quadratically when\n"
+    sb ++= "both sides grow; the invariant that matters is the per-corpus-row\n"
+    sb ++= "cost). Expectations: knn join ≈ linear × probed fraction, hnsw\n"
+    sb ++= "join near-flat (log-ish beams over resident graphs), range join\n"
+    sb ++= "≤ linear via reachable-list pruning.\n\n"
+    sb ++= "| join (fixed 500-query side) | sf0.1 (s) | sf1 (s) | ratio |\n|---|---|---|---|\n"
+    for ((q, a, b) <- joinRows)
+      sb ++= f"| $q | $a%.2f | $b%.2f | ${b / a}%.1f× |\n"
+    sb ++= "\n"
     sb ++= "Build cost, by contrast, IS linear in the corpus — the timed full\n"
     sb ++= f"HNSW ensure: ${ensS}%.2f s at 1× → ${ensL}%.2f s at 10× "
     sb ++= f"(${ensL / ensS}%.1f×, sub-linear here only because ${cpus} parallel\n"

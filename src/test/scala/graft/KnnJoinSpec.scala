@@ -140,6 +140,33 @@ class KnnJoinSpec extends SparkSpec {
     assert(all == Set(0, 1, 2))
   }
 
+  test("hard negatives: self excluded, ranks dense 1..n, matches brute force") {
+    val (m, path) = ivf(sf0001)
+    val queries = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .filter(col("vec_id") % 25 === 0)
+    val got = KnnJoin.hardNegatives(spark, queries, "vec_id", "embedding",
+      path, m, "vec_id", "embedding", nNeg = 5, nprobe = m.nlist)
+    val rows = got.select("qid", "vec_id", "neg_rank")
+      .as[(Long, Long, Int)].collect()
+    assert(rows.forall { case (q, c, _) => q != c }) // no self matches
+    val perAnchor = rows.groupBy(_._1)
+    assert(perAnchor.values.forall(_.map(_._3).sorted.toSeq == Seq(1, 2, 3, 4, 5)))
+
+    // brute force: top-5 excluding self (fixture has no duplicate
+    // vectors, so drop-self-then-rank == rank-then-drop-self here)
+    import org.apache.spark.sql.expressions.Window
+    val corpus = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("dist"), col("cid"))
+    val want = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      .crossJoin(corpus).filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        graft.functions.l2sq(col("cv"), col("qv")).as("dist"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      .select("qid", "cid", "rn").as[(Long, Long, Int)].collect().toSet
+    assert(rows.map { case (q, c, r) => (q, c, r) }.toSet == want)
+  }
+
   test("hnsw knn join: exact mode equals brute force; walk mode has high recall") {
     val path1 = graft.queries.AnnQueries.hnsw(spark, sf0001, 1)
     val path4 = graft.queries.AnnQueries.hnsw(spark, sf0001, 4)
