@@ -30,6 +30,42 @@ object StreamingIngest {
         ()
       }
 
+  /** Continuous ANN serving, IVF-kind: every micro-batch of
+    * (qid, qvec) rows is answered through the TABLE-VALUED join
+    * ([[graft.operators.KnnJoin.join]]) — the query batch never
+    * collects to the driver, so a micro-batch can be arbitrarily large
+    * (contrast the searchIndexBatch shape, which collects a `Seq`).
+    * `sink` receives the (qid, id, dist, rn) result frame per batch;
+    * at nprobe = nlist each batch's answers are exact. */
+  def serveKnnIvf(stream: DataFrame, qidCol: String, qvecCol: String,
+      path: String, model: graft.operators.IvfIndex.Model, idCol: String,
+      vecCol: String, k: Int, nprobe: Int)(sink: DataFrame => Unit)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          sink(graft.operators.KnnJoin.join(batch.sparkSession, batch,
+            qidCol, qvecCol, path, model, idCol, vecCol, k, nprobe))
+        ()
+      }
+
+  /** Continuous ANN serving, HNSW-kind: micro-batches flow through
+    * [[graft.operators.Hnsw.knnJoin]] — resident graphs, no driver
+    * collect. `exact = true` flat-scans (the spec's oracle mode). */
+  def serveKnnHnsw(stream: DataFrame, path: String, idCol: String,
+      qidCol: String, qvecCol: String, k: Int, efSearch: Int = 100,
+      exact: Boolean = false)(sink: DataFrame => Unit)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          sink(graft.operators.Hnsw.knnJoin(batch.sparkSession, path, idCol,
+            batch, qidCol, qvecCol, k, efSearch, exact))
+        ()
+      }
+
   /** Watermarked per-window counts over a timestamped stream. */
   def windowedCounts(stream: DataFrame, tsCol: String, keyCol: String,
       window: String, watermark: String): DataFrame =

@@ -148,4 +148,49 @@ class StreamingAnnSpec extends SparkSpec {
     assert(got == want,
       s"streamed ANN diverged: got ${got.size} rows want ${want.size}")
   }
+
+  test("serveKnn helpers: streamed micro-batches equal the batch table joins, no driver collect") {
+    import graft.operators.KnnJoin
+    import graft.streaming.StreamingIngest
+    val hpath = graft.queries.AnnQueries.hnsw(spark, sf0001, parts = 1)
+    val (m, ipath) = graft.queries.AnnQueries.ivf(spark, sf0001, "l2")
+    val queriesDf = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .filter($"vec_id" < 8).select($"vec_id", $"embedding")
+    val queries = queriesDf.as[(Long, Array[Float])].collect().toSeq
+
+    implicit val sqlCtx = spark.sqlContext
+    for (kind <- Seq("ivf", "hnsw")) {
+      val source = MemoryStream[(Long, Array[Float])]
+      val sink = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
+      def drain(df: org.apache.spark.sql.DataFrame): Unit = sink.synchronized {
+        sink ++= df.select($"qid", $"vec_id", $"dist")
+          .as[(Long, Long, Double)].collect()
+      }
+      val stream = source.toDS().toDF("vec_id", "embedding")
+      val writer =
+        if (kind == "ivf")
+          StreamingIngest.serveKnnIvf(stream, "vec_id", "embedding",
+            ipath, m, "vec_id", "embedding", k = 5, nprobe = m.nlist)(drain)
+        else
+          StreamingIngest.serveKnnHnsw(stream, hpath, "vec_id",
+            "vec_id", "embedding", k = 5, exact = true)(drain)
+      val q = writer.start()
+      try {
+        source.addData(queries.take(3): _*)
+        q.processAllAvailable()
+        source.addData(queries.drop(3): _*)
+        q.processAllAvailable()
+      } finally q.stop()
+
+      val want = (if (kind == "ivf")
+          KnnJoin.join(spark, queriesDf, "vec_id", "embedding", ipath, m,
+            "vec_id", "embedding", k = 5, nprobe = m.nlist)
+        else
+          graft.operators.Hnsw.knnJoin(spark, hpath, "vec_id", queriesDf,
+            "vec_id", "embedding", k = 5, exact = true))
+        .select($"qid", $"vec_id", $"dist").as[(Long, Long, Double)]
+        .collect().toSet
+      assert(sink.toSet == want, s"$kind: streamed serve diverged")
+    }
+  }
 }
