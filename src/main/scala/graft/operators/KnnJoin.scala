@@ -74,12 +74,19 @@ object KnnJoin {
     override def prettyName = "probe_lists"
   }
 
-  def probeLists(vec: Column, model: IvfIndex.Model, nprobe: Int): Column = {
+  def probeLists(vec: Column, model: IvfIndex.Model, nprobe: Int): Column =
+    probeListsMetric(vec, model, nprobe, model.metric)
+
+  /** Probe selection with an explicit RANKING metric — the typed-family
+    * entry point (one typed artifact serves every metric of its family;
+    * ranking is a search-time choice, the TypedAnn.rankLists rule). */
+  def probeListsMetric(vec: Column, model: IvfIndex.Model, nprobe: Int,
+      rankMetric: String): Column = {
     val flat = model.centroids.flatten
     val radii = if (model.radii == null) Array.empty[Float] else model.radii
     Shims.column(ProbeLists(Shims.expression(vec),
       Shims.expression(typedLit(flat)), Shims.expression(typedLit(radii)),
-      nprobe, model.metric))
+      nprobe, rankMetric))
   }
 
   /** Codegen range-list selection: ALL list ids whose triangle /
@@ -156,6 +163,75 @@ object KnnJoin {
       .filter(col("dist") <= r)
   }
 
+  /** Typed-family KNN join — [[join]] generalized over the compact
+    * typed artifacts (the TypedAnn matrix): the query side is a table
+    * of DENSE f32 vectors (bvec queries densify to 0/1 for probe
+    * ranking and binarize for scoring; svec queries must be
+    * pre-sparsified dense images, the ingest |x|>0.15 contract; f16
+    * queries rank from their f16-rounded view — each the corresponding
+    * batchSearch* convention per row). Probe ranking maps
+    * hamming/jaccard → the densified-space L2 bounds and cos → the raw
+    * unnormalized-centroid ranking with radii ignored
+    * (TypedAnn.rankLists, asserted formula-identical in KnnJoinSpec);
+    * scoring is the family's exact payload kernel on the stored compact
+    * column. Exact at nprobe = nlist like [[join]]. */
+  def joinTyped(spark: SparkSession, queries: DataFrame, qidCol: String,
+      qvecCol: String, path: String, model: IvfIndex.Model, idCol: String,
+      family: String, k: Int, nprobe: Int, metric: String = null,
+      svCol: String = "sv"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val met = Option(metric).getOrElse(family match {
+      case "bvec" => "hamming"
+      case "svec" => "l2"
+      case "f16" => "l2"
+      case f => throw new IllegalArgumentException(s"unknown family $f")
+    })
+    val np = math.min(nprobe, model.nlist)
+    val qv0 = queries
+      .filter(col(qvecCol).isNotNull && vectorIsFinite(col(qvecCol)))
+      .select(col(qidCol).as("qid"), col(qvecCol).as("qv"))
+    // per-row probe input: the densified view each family RANKS in
+    val probeInput = family match {
+      case "bvec" => transform(col("qv"),
+        x => when(x > lit(0f), lit(1f)).otherwise(lit(0f)))
+      case "f16" => f16ToVector(toF16Bits(col("qv")))
+      case _ => col("qv")
+    }
+    val rankMetric = met match {
+      case "hamming" | "jaccard" => "l2"
+      case "cos" => "cosraw"
+      case m => m
+    }
+    val probed = qv0.withColumn("list_id",
+      explode(probeListsMetric(probeInput, model, np, rankMetric)))
+    val scan0 = spark.read.parquet(path)
+    val scan =
+      if (np >= model.nlist) scan0
+      else {
+        val lists = probed.select(col("list_id")).distinct()
+          .collect().map(_.getInt(0))
+        scan0.filter(col("list_id").isin(lists.map(Integer.valueOf).toSeq: _*))
+      }
+    val (payloadCol, distCol) = (family, met) match {
+      case ("bvec", "hamming") => ("bv", bvecHamming(col("bv"), binarize(col("qv"))))
+      case ("bvec", "jaccard") => ("bv", bvecJaccard(col("bv"), binarize(col("qv"))))
+      case ("bvec", "dot") => ("bv", bvecNegdot(col("bv"), binarize(col("qv"))))
+      case ("svec", "l2") => (svCol, svecL2sq(col(svCol), svecFromDense(col("qv"))))
+      case ("svec", "dot") => (svCol, svecNegdot(col(svCol), svecFromDense(col("qv"))))
+      case ("svec", "cos") => (svCol, svecCosdist(col(svCol), svecFromDense(col("qv"))))
+      case ("f16", "l2") => ("bits", f16L2sq(col("bits"), toF16Bits(col("qv"))))
+      case ("f16", "dot") => ("bits", f16NegDot(col("bits"), toF16Bits(col("qv"))))
+      case ("f16", "cos") => ("bits", f16Cosdist(col("bits"), toF16Bits(col("qv"))))
+      case (f, m) => throw new IllegalArgumentException(s"unknown $f metric $m")
+    }
+    val w = Window.partitionBy(col("qid")).orderBy(col("dist"), col(idCol))
+    scan.select(col("list_id"), col(idCol), col(payloadCol))
+      .join(probed, "list_id")
+      .select(col("qid"), col(idCol), distCol.as("dist"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+  }
+
   /** Hard-negative mining: for every anchor row of `queries`, the
     * `nNeg` nearest corpus rows EXCLUDING the anchor's own id — the
     * contrastive-training shape (anchors are usually drawn from the
@@ -222,12 +298,16 @@ object KnnJoin {
 /** Probe-selection kernel, top-level for Janino static forwarders (the
   * IvfKernels rule). */
 object KnnJoinKernels {
-  final val L2 = 0; final val Dot = 1; final val Cos = 2
+  final val L2 = 0; final val Dot = 1; final val Cos = 2; final val CosRaw = 3
 
   def metricCode(metric: String): Int = metric match {
     case "l2" => L2
     case "dot" => Dot
     case "cos" => Cos
+    // typed-family cos: raw cosdist ranking over UNNORMALIZED centroids,
+    // radii never used (no sound bound from L2 radii on unnormalized
+    // payloads — the TypedAnn.rankLists convention)
+    case "cosraw" => CosRaw
     case m => throw new IllegalArgumentException(s"unknown metric $m")
   }
 
@@ -293,10 +373,10 @@ object KnnJoinKernels {
     val lb = new Array[Double](nlist)
     val cd = new Array[Double](nlist)
     var qn = 0.0
-    if (metric == Dot && hasRadii) {
+    if ((metric == Dot && hasRadii) || metric == CosRaw) {
       var i = 0
       while (i < dims) { val x = v.getFloat(i).toDouble; qn += x * x; i += 1 }
-      qn = math.sqrt(qn)
+      if (metric == Dot) qn = math.sqrt(qn) // Dot wants |q|; CosRaw wants q·q
     }
     var c = 0
     while (c < nlist) {
@@ -308,12 +388,21 @@ object KnnJoinKernels {
           val d = v.getFloat(i).toDouble - flat.getFloat(off + i).toDouble
           acc += d * d; i += 1
         }
+      } else if (metric == CosRaw) {
+        // raw cosdist over the unnormalized centroid — the
+        // TypedAnn.rankLists cos formula, term for term
+        var dot = 0.0; var cc = 0.0
+        while (i < dims) {
+          val x = flat.getFloat(off + i).toDouble
+          dot += v.getFloat(i).toDouble * x; cc += x * x; i += 1
+        }
+        acc = 1.0 - dot / math.sqrt(cc * math.max(qn, 1e-30))
       } else {
         while (i < dims) { acc -= v.getFloat(i).toDouble * flat.getFloat(off + i).toDouble; i += 1 }
       }
       cd(c) = acc
       lb(c) =
-        if (!hasRadii) acc
+        if (!hasRadii || metric == CosRaw) acc
         else {
           val r = math.sqrt(radii.getFloat(c).toDouble)
           metric match {

@@ -121,7 +121,7 @@ object TypedAnn {
     * artifact's layout is metric-free, only list RANKING and row SCORING
     * differ, and both are search-time choices here). Exactness at
     * nprobe = nlist never depends on the ranking. */
-  private def rankLists(model: IvfIndex.Model, q: Array[Float],
+  private[graft] def rankLists(model: IvfIndex.Model, q: Array[Float],
       metric: String): Array[Int] = {
     import IvfIndex.Kernels
     val centroids = model.centroids

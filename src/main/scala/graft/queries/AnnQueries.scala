@@ -747,6 +747,49 @@ object AnnQueries {
         k = 10, nprobe = m.nlist)
     }),
 
+    // typed table-valued joins: the KnnJoin shape over the compact
+    // typed artifacts — query side a table, probe ranking per row in
+    // each family's densified space, scoring by the exact payload
+    // kernel. Exact at nprobe=nlist (full oracles); approx twins below.
+    "q_bvec_knn_join_exact" -> ((s, d) => {
+      val (m, path) = bvecAnn(s, d)
+      KnnJoin.joinTyped(s, t(s, d, "embeddings").filter(col("vec_id") % 100 === 0),
+        "vec_id", "embedding", path, m, "vec_id", "bvec",
+        k = 10, nprobe = m.nlist)
+    }),
+    "q_bvec_knn_join" -> ((s, d) => {
+      val (m, path) = bvecAnn(s, d)
+      KnnJoin.joinTyped(s, t(s, d, "embeddings").filter(col("vec_id") % 100 === 0),
+        "vec_id", "embedding", path, m, "vec_id", "bvec",
+        k = 10, nprobe = nprobeConf(s))
+    }),
+    "q_svec_knn_join_exact" -> ((s, d) => {
+      val (m, path) = svecAnn(s, d)
+      val qs = t(s, d, "embeddings").filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id"), sparsify(col("embedding")).as("qd"))
+      KnnJoin.joinTyped(s, qs, "vec_id", "qd", path, m, "vec_id", "svec",
+        k = 10, nprobe = m.nlist)
+    }),
+    "q_svec_knn_join" -> ((s, d) => {
+      val (m, path) = svecAnn(s, d)
+      val qs = t(s, d, "embeddings").filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id"), sparsify(col("embedding")).as("qd"))
+      KnnJoin.joinTyped(s, qs, "vec_id", "qd", path, m, "vec_id", "svec",
+        k = 10, nprobe = nprobeConf(s))
+    }),
+    "q_vecf16_knn_join_exact" -> ((s, d) => {
+      val (m, path) = f16Ann(s, d)
+      val qs = f16Source(s, d).filter(col("c_custkey") % 50 === 0)
+      KnnJoin.joinTyped(s, qs, "c_custkey", "v4", path, m, "c_custkey",
+        "f16", k = 10, nprobe = m.nlist)
+    }),
+    "q_vecf16_knn_join" -> ((s, d) => {
+      val (m, path) = f16Ann(s, d)
+      val qs = f16Source(s, d).filter(col("c_custkey") % 50 === 0)
+      KnnJoin.joinTyped(s, qs, "c_custkey", "v4", path, m, "c_custkey",
+        "f16", k = 10, nprobe = nprobeConf(s))
+    }),
+
     // hard-negative mining: nearest non-self corpus rows per anchor —
     // the k+1 join minus the identity row, ranks renumbered. Exact at
     // nprobe=nlist; the oracle replays the same drop-self-then-renumber
@@ -1665,6 +1708,48 @@ object AnnQueries {
                e.vec_id) AS rn
            FROM embeddings e CROSS JOIN
              (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0) q)
+         WHERE rn <= 10 ORDER BY qid, rn""",
+    // typed table joins, exact mode: the typed batch-exact oracle
+    // shapes with table-derived query sides
+    "q_bvec_knn_join_exact" ->
+      """SELECT qid, vec_id, dist, rn FROM (
+           SELECT q.vec_id AS qid, e.vec_id AS vec_id,
+             CAST(list_aggregate(list_transform(list_zip(e.embedding, q.embedding), p -> CASE WHEN (p[1] > 0) <> (p[2] > 0) THEN 1 ELSE 0 END), 'sum') AS DOUBLE) AS dist,
+             row_number() OVER (PARTITION BY q.vec_id ORDER BY
+               CAST(list_aggregate(list_transform(list_zip(e.embedding, q.embedding), p -> CASE WHEN (p[1] > 0) <> (p[2] > 0) THEN 1 ELSE 0 END), 'sum') AS DOUBLE),
+               e.vec_id) AS rn
+           FROM embeddings e CROSS JOIN
+             (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 100 = 0) q)
+         WHERE rn <= 10 ORDER BY qid, rn""",
+    "q_svec_knn_join_exact" ->
+      s"""SELECT qid, vec_id, dist, rn FROM (
+           SELECT q.vec_id AS qid, d.vec_id AS vec_id,
+             list_aggregate(list_transform(list_zip($spD, $spQ), p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), 'sum') AS dist,
+             row_number() OVER (PARTITION BY q.vec_id ORDER BY
+               list_aggregate(list_transform(list_zip($spD, $spQ), p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), 'sum'),
+               d.vec_id) AS rn
+           FROM embeddings d CROSS JOIN
+             (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 100 = 0) q)
+         WHERE rn <= 10 ORDER BY qid, rn""",
+    "q_vecf16_knn_join_exact" ->
+      """SELECT qid, c_custkey, dist, rn FROM (
+           SELECT q.qid AS qid, c.c_custkey AS c_custkey,
+             (CAST(c.c_nationkey AS DOUBLE) - q.qa) * (CAST(c.c_nationkey AS DOUBLE) - q.qa)
+               + (CAST(c.c_custkey % 100 AS DOUBLE) - q.qb) * (CAST(c.c_custkey % 100 AS DOUBLE) - q.qb)
+               + (CAST(c.c_custkey % 7 AS DOUBLE) - q.qc) * (CAST(c.c_custkey % 7 AS DOUBLE) - q.qc)
+               + (CAST(c.c_custkey % 13 AS DOUBLE) - q.qd) * (CAST(c.c_custkey % 13 AS DOUBLE) - q.qd) AS dist,
+             row_number() OVER (PARTITION BY q.qid ORDER BY
+               (CAST(c.c_nationkey AS DOUBLE) - q.qa) * (CAST(c.c_nationkey AS DOUBLE) - q.qa)
+                 + (CAST(c.c_custkey % 100 AS DOUBLE) - q.qb) * (CAST(c.c_custkey % 100 AS DOUBLE) - q.qb)
+                 + (CAST(c.c_custkey % 7 AS DOUBLE) - q.qc) * (CAST(c.c_custkey % 7 AS DOUBLE) - q.qc)
+                 + (CAST(c.c_custkey % 13 AS DOUBLE) - q.qd) * (CAST(c.c_custkey % 13 AS DOUBLE) - q.qd),
+               c.c_custkey) AS rn
+           FROM customer c CROSS JOIN
+             (SELECT c_custkey AS qid, CAST(c_nationkey AS DOUBLE) AS qa,
+                CAST(c_custkey % 100 AS DOUBLE) AS qb,
+                CAST(c_custkey % 7 AS DOUBLE) AS qc,
+                CAST(c_custkey % 13 AS DOUBLE) AS qd
+              FROM customer WHERE c_custkey % 50 = 0) q)
          WHERE rn <= 10 ORDER BY qid, rn""",
     // mirrors hardNegatives exactly: rank WITH self over the k=6 join,
     // drop identity rows, renumber — not drop-then-rank (equivalent

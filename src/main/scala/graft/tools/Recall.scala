@@ -146,13 +146,18 @@ object Recall {
     // doubles, so id-pair recall and tie-aware score recall coincide.
     val joinFams = Seq(
       ("knn_join", "q_knn_join", "q_knn_join_exact"),
-      ("hnsw_knn_join", "q_hnsw_knn_join", "q_hnsw_knn_join_exact"))
+      ("hnsw_knn_join", "q_hnsw_knn_join", "q_hnsw_knn_join_exact"),
+      ("bvec_knn_join", "q_bvec_knn_join", "q_bvec_knn_join_exact"),
+      ("svec_knn_join", "q_svec_knn_join", "q_svec_knn_join_exact"),
+      ("f16_knn_join", "q_vecf16_knn_join", "q_vecf16_knn_join_exact"))
     def joinRecall(dir: String, tag: String): Seq[(String, (Double, Int))] =
       joinFams.map { case (fam, a, e) =>
-        def pairs(n: String) = graft.SparkEntry.queries(n)(spark, dir)
-          .select("qid", "vec_id").collect()
-          .map(r => (r.get(0).asInstanceOf[Number].longValue,
-            r.get(1).asInstanceOf[Number].longValue)).toSet
+        def pairs(n: String) = { // (qid, id) are always columns 0 and 1
+          val df = graft.SparkEntry.queries(n)(spark, dir)
+          df.select(df.columns(0), df.columns(1)).collect()
+            .map(r => (r.get(0).asInstanceOf[Number].longValue,
+              r.get(1).asInstanceOf[Number].longValue)).toSet
+        }
         val ex = pairs(e)
         val ap = pairs(a)
         val recall = ap.intersect(ex).size.toDouble / math.max(ex.size, 1)

@@ -140,6 +140,93 @@ class KnnJoinSpec extends SparkSpec {
     assert(all == Set(0, 1, 2))
   }
 
+  test("typed probe kernel reproduces TypedAnn.rankLists (l2/dot with radii, raw cos)") {
+    import graft.operators.TypedAnn
+    val rnd = new scala.util.Random(23)
+    val dims = 12
+    val centroids = Array.fill(10)(Array.fill(dims)(rnd.nextFloat() * 2f - 1f))
+    val radii = Array.fill(10)(rnd.nextFloat() * 2f)
+    // hamming/jaccard map to the l2 bounds; cos maps to cosraw (radii
+    // ignored) — the joinTyped rankMetric table
+    for ((metric, code) <- Seq("l2" -> "l2", "hamming" -> "l2",
+        "dot" -> "dot", "cos" -> "cosraw"); useRadii <- Seq(true, false)) {
+      val m = IvfIndex.Model("l2", centroids, if (useRadii) radii else null)
+      for (_ <- 1 to 20) {
+        val q = Array.fill(dims)(rnd.nextFloat() * 2f - 1f)
+        val want = TypedAnn.rankLists(m, q, metric).take(4).toSeq
+        val got = KnnJoinKernels.probeLists(
+          new GenericArrayData(q.map(x => x: Any)),
+          new GenericArrayData(centroids.flatten.map(x => x: Any)),
+          new GenericArrayData(
+            (if (useRadii) radii else Array.empty[Float]).map(x => x: Any)),
+          4, KnnJoinKernels.metricCode(code)).toIntArray().toSeq
+        assert(got == want, s"metric=$metric radii=$useRadii")
+      }
+    }
+  }
+
+  test("typed table joins: exact mode equals each family's brute force") {
+    import graft.operators.KnnJoin
+    import graft.functions._
+    import org.apache.spark.sql.expressions.Window
+    def spar(c: org.apache.spark.sql.Column) =
+      transform(c, x => when(abs(x) > lit(0.15), x).otherwise(lit(0.0f)))
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val w = Window.partitionBy(col("qid")).orderBy(col("dist"), col("cid"))
+
+    // bvec hamming
+    locally {
+      val (m, path) = graft.queries.AnnQueries.bvecAnn(spark, sf0001)
+      val qs = emb.filter(col("vec_id") % 25 === 0)
+      val got = KnnJoin.joinTyped(spark, qs, "vec_id", "embedding", path, m,
+        "vec_id", "bvec", k = 5, nprobe = m.nlist)
+        .select("qid", "vec_id", "rn").as[(Long, Long, Int)].collect().toSet
+      val want = qs.select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        .crossJoin(emb.select(col("vec_id").as("cid"), col("embedding").as("cv")))
+        .select(col("qid"), col("cid"),
+          bvecHamming(binarize(col("cv")), binarize(col("qv"))).as("dist"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+        .select("qid", "cid", "rn").as[(Long, Long, Int)].collect().toSet
+      assert(got == want, "bvec")
+    }
+    // svec l2 (CSR ≡ dense l2 on the sparsified views)
+    locally {
+      val (m, path) = graft.queries.AnnQueries.svecAnn(spark, sf0001)
+      val qs = emb.filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id"), spar(col("embedding")).as("qd"))
+      val got = KnnJoin.joinTyped(spark, qs, "vec_id", "qd", path, m,
+        "vec_id", "svec", k = 5, nprobe = m.nlist)
+        .select("qid", "vec_id", "rn").as[(Long, Long, Int)].collect().toSet
+      val want = qs.select(col("vec_id").as("qid"), col("qd").as("qv"))
+        .crossJoin(emb.select(col("vec_id").as("cid"),
+          spar(col("embedding")).as("cv")))
+        .select(col("qid"), col("cid"), l2sq(col("cv"), col("qv")).as("dist"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+        .select("qid", "cid", "rn").as[(Long, Long, Int)].collect().toSet
+      assert(got == want, "svec")
+    }
+    // f16 l2 over the 4-dim customer features
+    locally {
+      val (m, path) = graft.queries.AnnQueries.f16Ann(spark, sf0001)
+      val cust = spark.read.parquet(s"$sf0001/customer.parquet")
+        .select(col("c_custkey"), array(col("c_nationkey").cast("float"),
+          (col("c_custkey") % 100).cast("float"),
+          (col("c_custkey") % 7).cast("float"),
+          (col("c_custkey") % 13).cast("float")).as("v4"))
+      val qs = cust.filter(col("c_custkey") % 25 === 0)
+      val got = KnnJoin.joinTyped(spark, qs, "c_custkey", "v4", path, m,
+        "c_custkey", "f16", k = 5, nprobe = m.nlist)
+        .select("qid", "c_custkey", "rn").as[(Long, Long, Int)].collect().toSet
+      val want = qs.select(col("c_custkey").as("qid"), col("v4").as("qv"))
+        .crossJoin(cust.select(col("c_custkey").as("cid"), col("v4").as("cv")))
+        .select(col("qid"), col("cid"),
+          f16L2sq(toF16Bits(col("cv")), toF16Bits(col("qv"))).as("dist"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+        .select("qid", "cid", "rn").as[(Long, Long, Int)].collect().toSet
+      assert(got == want, "f16")
+    }
+  }
+
   test("hard negatives: self excluded, ranks dense 1..n, matches brute force") {
     val (m, path) = ivf(sf0001)
     val queries = spark.read.parquet(s"$sf0001/embeddings.parquet")
