@@ -248,6 +248,32 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
           case None => matchRangeHnsw(projList, cond, rel)
             .orElse(matchTypedRange(projList, cond, rel)).getOrElse(p)
         }
+      // table-valued sphere JOIN: dist(corpus.vec, queries.vec) < r as a
+      // join condition — the declarative spelling of KnnJoin.rangeJoin.
+      // Without the rewrite this plans as a broadcast-nested-loop cross
+      // product; with it, per-row codegen list selection + an equi-join
+      // on list_id. EXACT at any radius (sound lower-bound pruning).
+      case p @ Project(projList, j: Join)
+          if j.getTagValue(RewrittenTag).isEmpty =>
+        matchRangeJoin(projList, j) match {
+          case Some(rewritten) =>
+            rewritten.setTagValue(RewrittenTag, true)
+            rewritten
+          case None => p
+        }
+      // table-valued KNN JOIN: the brute-force per-query top-k spelling
+      // (cross join + row_number() over (partition by qid order by dist)
+      // <= k) rewrites onto the probed list join — approximate at
+      // nprobe < nlist, exact at nprobe = nlist, the same contract as
+      // the scalar top-k pushdown.
+      case f @ Filter(cond, w: Window)
+          if f.getTagValue(RewrittenTag).isEmpty =>
+        matchKnnJoinWindow(cond, w) match {
+          case Some(rewritten) =>
+            rewritten.setTagValue(RewrittenTag, true)
+            rewritten
+          case None => f
+        }
     }
   }
 
@@ -300,6 +326,339 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     }
     if (remap.length != rel.output.length) return None
     Some(Project(remap, newPlan))
+  }
+
+  /** Table-valued sphere JOIN — `queries JOIN corpus ON
+    * dist(corpus.vec, queries.vec) < r` where `corpus` carries a dense
+    * IVF registration with radii stats. The unrewritten plan is a
+    * nested-loop cross product (the join condition has no equi-key);
+    * the replacement is the [[graft.operators.KnnJoin.rangeJoin]] shape:
+    * each query row derives its reachable lists with ONE codegen
+    * expression (sound triangle / Cauchy-Schwarz lower bounds — never
+    * prunes a list containing an in-range row, so the rewrite is EXACT
+    * at any radius), explodes to (query, list_id), equi-joins the
+    * list-partitioned artifact, and re-applies the exact predicate.
+    * Unlike the operator entry point, the rule never collects the
+    * probed-list union (an optimizer rule must not launch jobs): the
+    * static INSET prune is dropped and partition pruning is left to the
+    * list_id equi-join (+ DPP when it fires). Guards mirror the other
+    * arms: the indexed side strips to its relation through
+    * attribute-only Projects / IsNotNull-only Filters (its artifact
+    * carries only id + vec, so any other corpus predicate bails), the
+    * sole non-IsNotNull join conjunct is the range predicate, and the
+    * projection is query-side columns + the corpus id + the dist alias.
+    * Cos follows normalize-at-build: the reapplied predicate evaluates
+    * on the artifact's normalized vectors with the query side normalized
+    * in-plan (the normalized-replay convention of [[matchRange]]). */
+  private def matchRangeJoin(projList: Seq[NamedExpression], j: Join)
+      : Option[LogicalPlan] = {
+    import org.apache.spark.sql.{functions => F}
+    import org.apache.spark.sql.graftshim.Shims
+    if (j.joinType != org.apache.spark.sql.catalyst.plans.Inner &&
+        j.joinType != org.apache.spark.sql.catalyst.plans.Cross) return None
+    val cond = j.condition.getOrElse(return None)
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case x => Seq(x)
+    }
+    val nonNull = conjuncts(cond).filterNot(_.isInstanceOf[IsNotNull])
+    if (nonNull.length != 1) return None
+    val (distExpr, a, b, r, metric) = nonNull.head match {
+      case LessThan(de @ L2sqDistance(x: AttributeReference,
+          y: AttributeReference), Literal(rr: Double, _)) => (de, x, y, rr, "l2")
+      case LessThan(de @ CosDistance(x: AttributeReference,
+          y: AttributeReference), Literal(rr: Double, _)) => (de, x, y, rr, "cos")
+      case LessThan(de @ NegDotDistance(x: AttributeReference,
+          y: AttributeReference), Literal(rr: Double, _)) => (de, x, y, rr, "dot")
+      case _ => return None
+    }
+    // unwrap pruning Projects / inferred IsNotNull Filters down to the
+    // indexed relation; anything else cannot be replayed on the artifact
+    def stripToRel(plan: LogicalPlan): Option[LogicalPlan] = plan match {
+      case lr: LogicalRelation => Some(lr)
+      case imr: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+        Some(imr)
+      case Project(pl, child) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+        stripToRel(child)
+      case Filter(c, child)
+          if conjuncts(c).forall(_.isInstanceOf[IsNotNull]) =>
+        stripToRel(child)
+      case _ => None
+    }
+    // corpus side preference: right (the `queries.join(corpus, …)`
+    // spelling), then left
+    val candidates = Seq((j.right, j.left), (j.left, j.right))
+    for ((iSide, qSide) <- candidates) {
+      val relOpt = stripToRel(iSide)
+      val pieces = for {
+        rel <- relOpt
+        vecAttr <- Seq(a, b).find(iSide.outputSet.contains)
+        qAttr <- Seq(a, b).find(x => x.exprId != vecAttr.exprId &&
+          qSide.outputSet.contains(x))
+        idx <- lookup(pathsOf(rel), metric)
+        if vecAttr.name == idx.vecCol
+        manifest <- graft.index.IndexCatalog.load(spark, idx.indexName)
+        if manifest.kind == "ivf" && manifest.metric == metric &&
+          manifest.floats.contains("radii")
+        distAlias <- projList.collectFirst {
+          case al @ Alias(child, _) if child.semanticEquals(distExpr) => al
+        }
+        idAttr <- projList.collectFirst {
+          case at: AttributeReference
+              if iSide.outputSet.contains(at) && at.name == idx.idCol => at
+        }
+        if projList.forall {
+          case at: AttributeReference =>
+            at.exprId == idAttr.exprId || qSide.outputSet.contains(at)
+          case al: Alias => al.exprId == distAlias.exprId
+          case _ => false
+        }
+        // internal working columns must not collide with query-side names
+        if !qSide.output.map(_.name).exists(Set("__graft_qv",
+          "__graft_list", "__graft_id", "__graft_dist"))
+      } yield (idx, manifest, distAlias, idAttr, vecAttr, qAttr)
+      pieces match {
+        case Some((idx, manifest, distAlias, idAttr, _, qAttr)) =>
+          val model = IvfIndex.Model(manifest.metric, manifest.centroids,
+            manifest.floats.get("radii").orNull)
+          val dataDir = graft.index.IndexCatalog.dataDir(spark, idx.indexName)
+          val qdf = Shims.ofRows(spark, qSide)
+          val qCol = Shims.column(qAttr)
+          val qv = if (metric == "cos") graft.functions.vectorNormalize(qCol)
+                   else qCol
+          val probed = qdf
+            .filter(qCol.isNotNull && graft.functions.vectorIsFinite(qCol))
+            .withColumn("__graft_qv", qv)
+            .withColumn("__graft_list", F.explode(
+              graft.operators.KnnJoin.rangeLists(F.col("__graft_qv"), model, r)))
+          val scanDf = spark.read.parquet(dataDir)
+          val joined = scanDf.join(probed,
+            scanDf("list_id") === probed("__graft_list"))
+          val distC = metric match {
+            case "l2" => graft.functions.l2sq(scanDf(idx.vecCol),
+              F.col("__graft_qv"))
+            case "dot" => graft.functions.negdot(scanDf(idx.vecCol),
+              F.col("__graft_qv"))
+            case "cos" => graft.functions.negdot(scanDf(idx.vecCol),
+              F.col("__graft_qv")) + F.lit(1.0)
+          }
+          val result = joined
+            .select(qSide.output.map(Shims.column) ++ Seq(
+              scanDf(idx.idCol).as("__graft_id"),
+              distC.as("__graft_dist")): _*)
+            .filter(F.col("__graft_dist") < F.lit(r))
+          // optimizedPlan, not analyzed: folds the distance filter into
+          // the equi-join condition (out-of-range pairs die inside the
+          // join operator — the plan the operator entry point gets).
+          // Re-entry on the subtree is a no-op: its join is an equi-join.
+          val newPlan = result.queryExecution.optimizedPlan
+          val newId = newPlan.output.find(_.name == "__graft_id")
+            .getOrElse(return None)
+          val newDist = newPlan.output.find(_.name == "__graft_dist")
+            .getOrElse(return None)
+          val outProj = projList.map {
+            case at: AttributeReference if at.exprId == idAttr.exprId =>
+              Alias(newId, idAttr.name)(exprId = idAttr.exprId)
+            case al: Alias if al.exprId == distAlias.exprId =>
+              Alias(newDist, distAlias.name)(exprId = distAlias.exprId)
+            case ne => ne
+          }
+          return Some(Project(outProj, newPlan))
+        case None =>
+      }
+    }
+    None
+  }
+
+  /** Table-valued KNN JOIN — the brute-force spelling
+    *
+    *   queries CROSS JOIN corpus
+    *     → project (qid…, corpus.id, dist(corpus.vec, queries.vec) AS d)
+    *     → row_number() OVER (PARTITION BY qid ORDER BY d[, id]) AS rn
+    *     → WHERE rn <= k
+    *
+    * over a corpus with a dense IVF registration rewrites onto the
+    * [[graft.operators.KnnJoin.join]] shape: per-row codegen probe-list
+    * selection (`spark.graft.ann.nprobe` lists, the scalar top-k
+    * pushdown's GUC), explode to (query, list_id), equi-join against the
+    * list-partitioned artifact, and the SAME window re-applied over the
+    * joined candidates. Approximate at nprobe < nlist, exact at
+    * nprobe = nlist — the reference's contract, identical to the scalar
+    * arm. Guards: the join below the window is condition-less
+    * (Inner/Cross with None), its corpus side strips to the registered
+    * relation through attribute-only Projects / IsNotNull-only Filters,
+    * the single window expression is row_number() partitioned by
+    * query-side columns and ordered by the dist alias (ascending, with
+    * an optional corpus-id tie-break — the replacement replays exactly
+    * the sort keys the user wrote), and the rank filter is the sole
+    * non-IsNotNull conjunct. Cos follows normalize-at-build, the
+    * normalized-replay convention. */
+  private def matchKnnJoinWindow(cond: Expression, w: Window)
+      : Option[LogicalPlan] = {
+    import org.apache.spark.sql.{functions => F}
+    import org.apache.spark.sql.graftshim.Shims
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case x => Seq(x)
+    }
+    // exactly one window expression: row_number() over (ps, os)
+    val rnAlias = w.windowExpressions match {
+      case Seq(al @ Alias(WindowExpression(_: RowNumber, _), _)) => al
+      case _ => return None
+    }
+    // rank filter: the sole non-IsNotNull conjunct compares rn to k
+    val nonNull = conjuncts(cond).filterNot(_.isInstanceOf[IsNotNull])
+    if (nonNull.length != 1) return None
+    val kLimit = nonNull.head match {
+      case LessThanOrEqual(at: AttributeReference, Literal(k: Int, _))
+          if at.exprId == rnAlias.exprId => k
+      case LessThan(at: AttributeReference, Literal(k: Int, _))
+          if at.exprId == rnAlias.exprId => k - 1
+      case _ => return None
+    }
+    if (kLimit < 1) return None
+    // below the window: an optional WindowGroupLimit (inserted by
+    // InferWindowGroupLimit before this rule runs), then the projection
+    // holding the dist alias over the condition-less join
+    val core = w.child match {
+      case wgl: WindowGroupLimit => wgl.child
+      case c => c
+    }
+    val (projList2, j) = core match {
+      case Project(pl, jj: Join) => (pl, jj)
+      case _ => return None
+    }
+    if (j.condition.isDefined) return None
+    if (j.joinType != org.apache.spark.sql.catalyst.plans.Inner &&
+        j.joinType != org.apache.spark.sql.catalyst.plans.Cross) return None
+    // the dist alias: dist(vecAttr, qAttr) for an indexed metric
+    val (distAlias, vA, qA, metric) = projList2.collectFirst {
+      case al @ Alias(L2sqDistance(x: AttributeReference,
+          y: AttributeReference), _) => (al, x, y, "l2")
+      case al @ Alias(CosDistance(x: AttributeReference,
+          y: AttributeReference), _) => (al, x, y, "cos")
+      case al @ Alias(NegDotDistance(x: AttributeReference,
+          y: AttributeReference), _) => (al, x, y, "dot")
+    }.getOrElse(return None)
+    // order: dist ascending first, optional id tie-break matched below
+    val osHead = w.orderSpec.headOption match {
+      case Some(SortOrder(at: AttributeReference, Ascending, _, _))
+          if at.exprId == distAlias.exprId => at
+      case _ => return None
+    }
+    if (w.orderSpec.length > 2) return None
+    def stripToRel(plan: LogicalPlan): Option[LogicalPlan] = plan match {
+      case lr: LogicalRelation => Some(lr)
+      case imr: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+        Some(imr)
+      case Project(pl, child) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+        stripToRel(child)
+      case Filter(c, child)
+          if conjuncts(c).forall(_.isInstanceOf[IsNotNull]) =>
+        stripToRel(child)
+      case _ => None
+    }
+    for ((iSide, qSide) <- Seq((j.right, j.left), (j.left, j.right))) {
+      val pieces = for {
+        rel <- stripToRel(iSide)
+        vecAttr <- Seq(vA, qA).find(iSide.outputSet.contains)
+        qAttr <- Seq(vA, qA).find(x => x.exprId != vecAttr.exprId &&
+          qSide.outputSet.contains(x))
+        idx <- lookup(pathsOf(rel), metric)
+        if vecAttr.name == idx.vecCol
+        manifest <- graft.index.IndexCatalog.load(spark, idx.indexName)
+        if manifest.kind == "ivf" && manifest.metric == metric
+        // the corpus-side id entry: the bare attr or an alias of it
+        idEntry <- projList2.find {
+          case at: AttributeReference =>
+            iSide.outputSet.contains(at) && at.name == idx.idCol
+          case Alias(at: AttributeReference, _) =>
+            iSide.outputSet.contains(at) && at.name == idx.idCol
+          case _ => false
+        }
+        // everything else in the projection is query-side
+        if projList2.forall { e =>
+          (e eq distAlias) || (e eq idEntry) ||
+            e.references.subsetOf(AttributeSet(qSide.output))
+        }
+        // window partitions by query-side outputs only
+        if w.partitionSpec.nonEmpty && w.partitionSpec.forall {
+          case at: AttributeReference => projList2.exists(e =>
+            e.exprId == at.exprId && (e ne distAlias) && (e ne idEntry))
+          case _ => false
+        }
+        // optional second sort key must be the corpus id, ascending
+        if w.orderSpec.length < 2 || (w.orderSpec(1) match {
+          case SortOrder(at: AttributeReference, Ascending, _, _) =>
+            at.exprId == idEntry.exprId
+          case _ => false
+        })
+        if !qSide.output.map(_.name).exists(Set("__graft_qv",
+          "__graft_list", "__graft_id", "__graft_dist", "__graft_rn"))
+      } yield (idx, manifest, idEntry, vecAttr, qAttr)
+      pieces match {
+        case Some((idx, manifest, idEntry, _, qAttr)) =>
+          val model = IvfIndex.Model(manifest.metric, manifest.centroids,
+            manifest.floats.get("radii").orNull)
+          val probes = math.min(math.max(nprobe, 1), math.max(model.nlist, 1))
+          val dataDir = graft.index.IndexCatalog.dataDir(spark, idx.indexName)
+          val qdf = Shims.ofRows(spark, qSide)
+          val qCol = Shims.column(qAttr)
+          val qv = if (metric == "cos") graft.functions.vectorNormalize(qCol)
+                   else qCol
+          val probed = qdf
+            .filter(qCol.isNotNull && graft.functions.vectorIsFinite(qCol))
+            .withColumn("__graft_qv", qv)
+            .withColumn("__graft_list", F.explode(
+              graft.operators.KnnJoin.probeLists(F.col("__graft_qv"), model,
+                probes)))
+          val scanDf = spark.read.parquet(dataDir)
+          val joined = scanDf.join(probed,
+            scanDf("list_id") === probed("__graft_list"))
+          val distC = metric match {
+            case "l2" => graft.functions.l2sq(scanDf(idx.vecCol),
+              F.col("__graft_qv"))
+            case "dot" => graft.functions.negdot(scanDf(idx.vecCol),
+              F.col("__graft_qv"))
+            case "cos" => graft.functions.negdot(scanDf(idx.vecCol),
+              F.col("__graft_qv")) + F.lit(1.0)
+          }
+          // replay the projection with the original expressions (their
+          // Alias exprIds survive), swapping dist and id for the scan's
+          val step = joined.select(projList2.map { e =>
+            if (e eq distAlias) distC.as("__graft_dist")
+            else if (e eq idEntry) scanDf(idx.idCol).as("__graft_id")
+            else Shims.column(e)
+          }: _*)
+          val ws = org.apache.spark.sql.expressions.Window
+            .partitionBy(w.partitionSpec.map(Shims.column): _*)
+            .orderBy((F.col("__graft_dist") +:
+              (if (w.orderSpec.length > 1) Seq(F.col("__graft_id")) else Nil)): _*)
+          val out = step
+            .withColumn("__graft_rn", F.row_number().over(ws))
+            .filter(F.col("__graft_rn") <= F.lit(kLimit))
+          // optimizedPlan so InferWindowGroupLimit (which already ran on
+          // the outer query) re-fires for the rewritten window — the
+          // map-side group limit before the qid shuffle. Re-entry on the
+          // subtree bails: its join carries the list_id equality.
+          val newPlan = out.queryExecution.optimizedPlan
+          val byName = newPlan.output.map(a => a.name -> a).toMap
+          val newId = byName.getOrElse("__graft_id", return None)
+          val newDist = byName.getOrElse("__graft_dist", return None)
+          val newRn = byName.getOrElse("__graft_rn", return None)
+          // filter output = window output = projList2 outputs ++ rn
+          val outProj = projList2.map { e =>
+            if (e eq distAlias)
+              Alias(newDist, distAlias.name)(exprId = distAlias.exprId)
+            else if (e eq idEntry)
+              Alias(newId, idEntry.name)(exprId = idEntry.exprId)
+            else e.toAttribute
+          } :+ Alias(newRn, rnAlias.name)(exprId = rnAlias.exprId)
+          return Some(Project(outProj, newPlan))
+        case None =>
+      }
+    }
+    None
   }
 
   /** Sphere-range for HNSW-kind registrations — the reference's

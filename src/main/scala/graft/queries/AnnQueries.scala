@@ -746,6 +746,45 @@ object AnnQueries {
         "vec_id", "embedding", path, m, "vec_id", "embedding",
         k = 10, nprobe = m.nlist)
     }),
+    // the DECLARATIVE spelling of the KNN join: the user writes the
+    // brute-force cross join + per-query row_number window, and the
+    // optimizer rule swaps in the probed list join. nprobe = nlist here,
+    // so the rewrite is exact and this carries the q_knn_join_exact
+    // brute-force window oracle.
+    "q_knn_join_pushdown" -> ((s, d) => {
+      import graft.plans.AnnPushdown
+      import org.apache.spark.sql.expressions.Window
+      val (m, _) = ivf(s, d, "l2")
+      AnnPushdown.install(s)
+      val srcPath = s"$d/embeddings.parquet"
+      val prevReg = AnnPushdown.snapshot(srcPath)
+      AnnPushdown.register(srcPath, AnnPushdown.IndexedTable(
+        s"ivf_l2_${san(d)}", "vec_id", "embedding", "l2"))
+      val prevEnabled = s.conf.get("spark.graft.ann.enabled", "false")
+      val prevNprobe = s.conf.get("spark.graft.ann.nprobe", "10")
+      s.conf.set("spark.graft.ann.enabled", "true")
+      s.conf.set("spark.graft.ann.nprobe", m.nlist.toString)
+      try {
+        val corpus = s.read.parquet(srcPath)
+        val queries = s.read.parquet(srcPath)
+          .filter(col("vec_id") % 10 === 0)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val df = queries.crossJoin(corpus)
+          .select(queries("qid"), corpus("vec_id"),
+            l2sq(corpus("embedding"), queries("qvec")).as("dist"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("qid")).orderBy(col("dist"), col("vec_id"))))
+          .filter(col("rn") <= 10)
+        val optimized = df.queryExecution.optimizedPlan
+        require(optimized.toString.contains("probe_lists"),
+          "knn-join pushdown did not rewrite the window join")
+        org.apache.spark.sql.graftshim.Shims.ofRows(s, optimized)
+      } finally {
+        s.conf.set("spark.graft.ann.enabled", prevEnabled)
+        s.conf.set("spark.graft.ann.nprobe", prevNprobe)
+        AnnPushdown.restore(srcPath, prevReg)
+      }
+    }),
 
     // typed table-valued joins: the KnnJoin shape over the compact
     // typed artifacts — query side a table, probe ranking per row in
@@ -810,6 +849,41 @@ object AnnQueries {
       val (m, path) = ivf(s, d, "l2")
       KnnJoin.rangeJoin(s, t(s, d, "embeddings").filter(col("vec_id") % 10 === 0),
         "vec_id", "embedding", path, m, "vec_id", "embedding", r = 1.5)
+    }),
+    // the DECLARATIVE spelling of the range join: a plain DataFrame inner
+    // join whose condition is the distance predicate. The optimizer rule
+    // replaces the nested-loop cross product with the KnnJoin.rangeJoin
+    // shape (per-row codegen list selection + list_id equi-join); sound
+    // lower-bound pruning makes the rewrite EXACT at any radius, so this
+    // carries the same full cross-filter oracle as q_vec_range_join
+    // (strict < here, mirroring the join predicate verbatim).
+    "q_range_join_pushdown" -> ((s, d) => {
+      import graft.plans.AnnPushdown
+      ivf(s, d, "l2")
+      AnnPushdown.install(s)
+      val srcPath = s"$d/embeddings.parquet"
+      val prevReg = AnnPushdown.snapshot(srcPath)
+      AnnPushdown.register(srcPath, AnnPushdown.IndexedTable(
+        s"ivf_l2_${san(d)}", "vec_id", "embedding", "l2"))
+      val prevEnabled = s.conf.get("spark.graft.ann.enabled", "false")
+      s.conf.set("spark.graft.ann.enabled", "true")
+      try {
+        val corpus = s.read.parquet(srcPath)
+        val queries = s.read.parquet(srcPath)
+          .filter(col("vec_id") % 10 === 0)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val df = queries.join(corpus,
+            l2sq(corpus("embedding"), queries("qvec")) < lit(1.5))
+          .select(queries("qid"), corpus("vec_id"),
+            l2sq(corpus("embedding"), queries("qvec")).as("dist"))
+        val optimized = df.queryExecution.optimizedPlan
+        require(optimized.toString.contains("range_lists"),
+          "range-join pushdown did not rewrite the join")
+        org.apache.spark.sql.graftshim.Shims.ofRows(s, optimized)
+      } finally {
+        s.conf.set("spark.graft.ann.enabled", prevEnabled)
+        AnnPushdown.restore(srcPath, prevReg)
+      }
     }),
     // embedding-level decontamination: the eval set is planted as exact
     // copies of train rows (vec_id%37, id+500000 — the fixtures carry no
@@ -1709,6 +1783,18 @@ object AnnQueries {
            FROM embeddings e CROSS JOIN
              (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0) q)
          WHERE rn <= 10 ORDER BY qid, rn""",
+    // declarative window-join spelling at nprobe = nlist: same
+    // brute-force window replay
+    "q_knn_join_pushdown" ->
+      """SELECT qid, vec_id, dist, rn FROM (
+           SELECT q.vec_id AS qid, e.vec_id AS vec_id,
+             list_aggregate(list_transform(list_zip(e.embedding, q.embedding), p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), 'sum') AS dist,
+             row_number() OVER (PARTITION BY q.vec_id ORDER BY
+               list_aggregate(list_transform(list_zip(e.embedding, q.embedding), p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), 'sum'),
+               e.vec_id) AS rn
+           FROM embeddings e CROSS JOIN
+             (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0) q)
+         WHERE rn <= 10 ORDER BY qid, rn""",
     // typed table joins, exact mode: the typed batch-exact oracle
     // shapes with table-derived query sides
     "q_bvec_knn_join_exact" ->
@@ -1777,6 +1863,15 @@ object AnnQueries {
          FROM embeddings e CROSS JOIN
            (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0) q
          WHERE list_aggregate(list_transform(list_zip(e.embedding, q.embedding), p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), 'sum') <= 1.5
+         ORDER BY qid, vec_id""",
+    // declarative join spelling: same cross-filter replay with the strict
+    // predicate of the join condition (the rewrite is exact at any radius)
+    "q_range_join_pushdown" ->
+      """SELECT q.vec_id AS qid, e.vec_id AS vec_id,
+           list_aggregate(list_transform(list_zip(e.embedding, q.embedding), p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), 'sum') AS dist
+         FROM embeddings e CROSS JOIN
+           (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0) q
+         WHERE list_aggregate(list_transform(list_zip(e.embedding, q.embedding), p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), 'sum') < 1.5
          ORDER BY qid, vec_id""",
     // same shape as q_knn_join_exact: the HNSW exact mode flat-scans the
     // single-graph artifact, so the oracle is the brute-force window

@@ -524,4 +524,173 @@ class PushdownSpec extends SparkSpec {
     assert(got == baseline)
     }
   }
+
+  test("range JOIN pushdown: distance-predicate join rewrites, stays exact") {
+    withPushdown { dataDir =>
+    val src = s"$sf001/embeddings.parquet"
+    def joinDf = {
+      val corpus = spark.read.parquet(src)
+      val queries = spark.read.parquet(src)
+        .filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      queries.join(corpus,
+          graft.functions.l2sq(corpus("embedding"), queries("qvec")) < lit(1.2))
+        .select(queries("qid"), corpus("vec_id"),
+          graft.functions.l2sq(corpus("embedding"), queries("qvec")).as("dist"))
+    }
+
+    spark.conf.set("spark.graft.ann.enabled", "false")
+    val baseline = joinDf.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val offPlan = joinDf.queryExecution.optimizedPlan.toString
+    assert(!offPlan.contains("range_lists"))
+
+    spark.conf.set("spark.graft.ann.enabled", "true")
+    val pushed = joinDf
+    val logical = pushed.queryExecution.optimizedPlan.toString
+    assert(logical.contains("range_lists"),
+      s"join did not rewrite onto the list join:\n$logical")
+    val physical = pushed.queryExecution.executedPlan.toString
+    assert(physical.contains(dataDir), s"plan does not scan the index:\n$physical")
+    assert(!physical.contains("BroadcastNestedLoopJoin"),
+      "rewritten join still nested-loop")
+    // the rewrite is EXACT at any radius: sound lower-bound list pruning
+    val got = pushed.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == baseline)
+    spark.conf.set("spark.graft.ann.enabled", "false")
+    }
+  }
+
+  test("range JOIN pushdown: cos metric normalizes the query side in-plan") {
+    val (_, dataDir) = AnnQueries.ivf(spark, sf001, "cos")
+    val src = s"$sf001/embeddings.parquet"
+    AnnPushdown.install(spark)
+    val prev = AnnPushdown.snapshot(src)
+    AnnPushdown.register(src, AnnPushdown.IndexedTable(
+      s"ivf_cos_${sf001.replaceAll("[^a-zA-Z0-9]", "_")}",
+      "vec_id", "embedding", "cos"))
+    spark.conf.set("spark.graft.ann.enabled", "true")
+    try {
+      def joinDf = {
+        val corpus = spark.read.parquet(src)
+        val queries = spark.read.parquet(src)
+          .filter(col("vec_id") % 25 === 0)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        queries.join(corpus,
+            graft.functions.cosdist(corpus("embedding"), queries("qvec")) < lit(0.35))
+          .select(queries("qid"), corpus("vec_id"),
+            graft.functions.cosdist(corpus("embedding"), queries("qvec")).as("dist"))
+      }
+      spark.conf.set("spark.graft.ann.enabled", "false")
+      // cos replay convention: pairs must agree; dists agree to fp noise
+      val baseline = joinDf.collect()
+        .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+      spark.conf.set("spark.graft.ann.enabled", "true")
+      val pushed = joinDf
+      assert(pushed.queryExecution.optimizedPlan.toString.contains("range_lists"))
+      val got = pushed.collect()
+        .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+      assert(got.keySet == baseline.keySet,
+        s"pair sets differ: +${(got.keySet -- baseline.keySet).take(3)} " +
+        s"-${(baseline.keySet -- got.keySet).take(3)}")
+      got.foreach { case (k, d) =>
+        assert(math.abs(d - baseline(k)) < 1e-6, s"$k: $d vs ${baseline(k)}") }
+    } finally {
+      spark.conf.set("spark.graft.ann.enabled", "false")
+      AnnPushdown.restore(src, prev)
+    }
+  }
+
+  test("KNN window-join pushdown: cross join + row_number <= k rewrites") {
+    withPushdown { dataDir =>
+    val src = s"$sf001/embeddings.parquet"
+    import org.apache.spark.sql.expressions.{Window => W}
+    def joinDf = {
+      val corpus = spark.read.parquet(src)
+      val queries = spark.read.parquet(src)
+        .filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      queries.crossJoin(corpus)
+        .select(queries("qid"), corpus("vec_id"),
+          graft.functions.l2sq(corpus("embedding"), queries("qvec")).as("dist"))
+        .withColumn("rn", row_number().over(
+          W.partitionBy(col("qid")).orderBy(col("dist"), col("vec_id"))))
+        .filter(col("rn") <= 5)
+    }
+    spark.conf.set("spark.graft.ann.enabled", "false")
+    val baseline = joinDf.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+
+    // exact: probe all lists — identical rows, artifact in the plan
+    spark.conf.set("spark.graft.ann.enabled", "true")
+    spark.conf.set("spark.graft.ann.nprobe", "16")
+    val pushed = joinDf
+    val logical = pushed.queryExecution.optimizedPlan.toString
+    assert(logical.contains("probe_lists"),
+      s"window join did not rewrite:\n$logical")
+    val physical = pushed.queryExecution.executedPlan.toString
+    assert(physical.contains(dataDir))
+    assert(!physical.contains("BroadcastNestedLoopJoin"))
+    val got = pushed.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(got == baseline)
+
+    // approximate: fewer probes, still k rows per query
+    spark.conf.set("spark.graft.ann.nprobe", "4")
+    val approx = joinDf.collect()
+    assert(approx.length == baseline.size, "approx mode lost result rows")
+    spark.conf.set("spark.graft.ann.nprobe", "10")
+    spark.conf.set("spark.graft.ann.enabled", "false")
+    }
+  }
+
+  test("KNN window-join pushdown guards: rank(), corpus-side partition bail") {
+    withPushdown { _ =>
+    val src = s"$sf001/embeddings.parquet"
+    import org.apache.spark.sql.expressions.{Window => W}
+    spark.conf.set("spark.graft.ann.enabled", "true")
+    val corpus = spark.read.parquet(src)
+    val queries = spark.read.parquet(src).filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val base = queries.crossJoin(corpus)
+      .select(queries("qid"), corpus("vec_id"),
+        graft.functions.l2sq(corpus("embedding"), queries("qvec")).as("dist"))
+    // rank() is not row_number(): ties could admit >k rows — must bail
+    val ranked = base.withColumn("rn", rank().over(
+        W.partitionBy(col("qid")).orderBy(col("dist"), col("vec_id"))))
+      .filter(col("rn") <= 5)
+    assert(!ranked.queryExecution.optimizedPlan.toString.contains("probe_lists"))
+    // partitioning by the CORPUS id is per-corpus-row top-k, not a KNN
+    // join — must bail
+    val wrongPart = base.withColumn("rn", row_number().over(
+        W.partitionBy(col("vec_id")).orderBy(col("dist"))))
+      .filter(col("rn") <= 5)
+    assert(!wrongPart.queryExecution.optimizedPlan.toString.contains("probe_lists"))
+    }
+  }
+
+  test("range JOIN pushdown guards: extra corpus predicate or non-range shape bail") {
+    withPushdown { _ =>
+    val src = s"$sf001/embeddings.parquet"
+    spark.conf.set("spark.graft.ann.enabled", "true")
+    val corpus = spark.read.parquet(src)
+    val queries = spark.read.parquet(src).limit(5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    // corpus-side non-IsNotNull predicate: the artifact carries only
+    // id + vec, so the filter cannot be replayed — must NOT rewrite
+    val filtered = queries.join(corpus.filter(col("label") > 2),
+        graft.functions.l2sq(corpus("embedding"), queries("qvec")) < lit(1.2))
+      .select(queries("qid"), corpus("vec_id"),
+        graft.functions.l2sq(corpus("embedding"), queries("qvec")).as("dist"))
+    assert(!filtered.queryExecution.optimizedPlan.toString.contains("range_lists"),
+      "rewrote a join whose corpus side carries an extra predicate")
+    // >= comparison is not the range shape — must NOT rewrite
+    val wrongOp = queries.join(corpus,
+        graft.functions.l2sq(corpus("embedding"), queries("qvec")) >= lit(1.2))
+      .select(queries("qid"), corpus("vec_id"),
+        graft.functions.l2sq(corpus("embedding"), queries("qvec")).as("dist"))
+    assert(!wrongOp.queryExecution.optimizedPlan.toString.contains("range_lists"))
+    }
+  }
 }
