@@ -297,7 +297,17 @@ object Hnsw {
       res.dequeueAll.reverse.toIndexedSeq
     }
 
+    /** The reference's dimension contract
+      * (tests/sqllogictest/error.slt): querying an index with a vector
+      * of the wrong dimension is an ERROR, never a garbage walk. */
+    private def requireDims(q: Array[Float]): Unit =
+      if (dims > 0 && q.length != dims)
+        throw new IllegalArgumentException(
+          "The dimension of a vector does not match that in a vector " +
+            s"index column: query ${q.length}, index $dims")
+
     def search(q: Array[Float], k: Int, efSearch: Int = 100): Seq[(Double, Long)] = {
+      requireDims(q)
       if (entry < 0 || ids.length == 0) return Nil
       var ep = entry
       var lc = maxLevel
@@ -314,6 +324,7 @@ object Hnsw {
       * walk; its exact twin is [[bruteForceMetric]]. */
     def searchMetric(q: Array[Float], k: Int, efSearch: Int,
         metric: String): Seq[(Double, Long)] = {
+      requireDims(q)
       if (entry < 0 || ids.length == 0) return Nil
       val code = FlatGraph.metricCode(metric)
       var ep = entry
@@ -326,6 +337,7 @@ object Hnsw {
     /** Exhaustive flat scan in the override metric — exact top-k over the
       * stored payloads regardless of graph reachability. */
     def bruteForceMetric(q: Array[Float], k: Int, metric: String): Seq[(Double, Long)] = {
+      requireDims(q)
       val n = ids.length
       if (n == 0) return Nil
       val code = FlatGraph.metricCode(metric)
@@ -341,6 +353,7 @@ object Hnsw {
       * convention (stored -dot + 1.0 = cosine distance); reachability
       * never matters because the scan is flat, not a graph walk. */
     def rangeFlat(q: Array[Float], r: Double, off: Double): Iterator[(Long, Double)] = {
+      requireDims(q)
       val n = ids.length
       Iterator.range(0, n).flatMap { i =>
         val d = distTo(q, i) + off
@@ -355,6 +368,7 @@ object Hnsw {
       * reachability, so it scans the columnar vectors flat (the
       * reference's exact mode is likewise a flat scan). */
     def bruteForce(q: Array[Float], k: Int): Seq[(Double, Long)] = {
+      requireDims(q)
       val n = ids.length
       if (n == 0) return Nil
       val all = new Array[(Double, Long)](n)
@@ -801,6 +815,45 @@ object Hnsw {
     * I/O is amortized over the batch instead of paid per query. Returns
     * (qid, idCol, dist, rn<=k) ordered by (qid, rn). exact=true scores
     * the flat scan per graph (oracle mode). */
+  /** Table-valued EXACT range join over the graph artifact — the HNSW
+    * sibling of [[KnnJoin.rangeJoin]] and the join form of
+    * [[rangeSearchFlat]]: every (query row, stored row) pair with
+    * dist < r, the query side a table that never touches the driver.
+    * Each task streams its query partition through every resident graph
+    * (byte-budget GraphCache) and flat-scans the columnar payload —
+    * range is not top-k, so there is no window and no refill; the
+    * result is exact by construction at any radius. Cos artifacts
+    * follow the rangeSearchFlat convention: the CALLER normalizes the
+    * query column upstream and rows score 1 - dot. Null/non-finite
+    * query vectors drop (null.slt). Returns (qid, idCol, dist). */
+  def rangeJoin(spark: org.apache.spark.sql.SparkSession, path: String,
+      idCol: String, queries: DataFrame, qidCol: String, qvecCol: String,
+      r: Double): DataFrame = {
+    import spark.implicits._
+    val dirPath = new org.apache.hadoop.fs.Path(path)
+    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.globStatus(new org.apache.hadoop.fs.Path(path, "graph-*.bin"))
+      .map(_.getPath.toString).sorted.toSeq
+    if (files.isEmpty)
+      return spark.emptyDataset[(Long, Long, Double)].toDF("qid", idCol, "dist")
+    val bfiles = spark.sparkContext.broadcast(files)
+    val hconf = confEntries(spark)
+    queries
+      .filter(col(qvecCol).isNotNull && graft.functions.vectorIsFinite(col(qvecCol)))
+      .select(col(qidCol).cast("long").as("qid"), col(qvecCol).as("qv"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val conf = mkConf(hconf)
+        it.flatMap { case (qid, q) =>
+          bfiles.value.iterator.flatMap { f =>
+            val g = GraphCache.get(f, conf)
+            val off = if (g.metric == "cos") 1.0 else 0.0
+            g.rangeFlat(q, r, off).map { case (id, d) => (qid, id, d) }
+          }
+        }
+      }.toDF("qid", idCol, "dist")
+  }
+
   /** Table-valued KNN JOIN over the graph artifact — the HNSW sibling of
     * [[KnnJoin.join]], for query sides that are themselves tables and
     * never fit on the driver (searchIndexBatch collects its queries to a

@@ -48,7 +48,18 @@ object IvfIndex {
       * fixtures, no extra I/O). Exactness at nprobe = nlist never
       * depends on the ranking; without radii the raw centroid ranking
       * is used. */
+    /** The reference's dimension contract
+      * (tests/sqllogictest/error.slt): querying a vector index with a
+      * vector of the wrong dimension is an ERROR, never a garbage
+      * ranking. Every probe decision funnels through [[rankLists]] (or
+      * calls this directly), so the check is centralized here. */
+    def requireDims(q: Array[Float]): Unit =
+      if (centroids.nonEmpty && q.length != centroids(0).length)
+        throw new IllegalArgumentException(
+          "The dimension of a vector does not match that in a vector " +
+            s"index column: query ${q.length}, index ${centroids(0).length}")
     def rankLists(q: Array[Float]): Array[Int] = {
+      requireDims(q)
       val qq = if (metric == "cos") Kernels.normalize(q) else q
       if (radii == null || radii.length != centroids.length)
         centroids.zipWithIndex
@@ -223,6 +234,7 @@ object IvfIndex {
   def rangeScan(spark: SparkSession, path: String, model: Model,
       radii: Array[Float], q: Array[Float], r2: Double): DataFrame = {
     require(model.metric == "l2", "range pushdown is defined for l2")
+    model.requireDims(q)
     val rq = math.sqrt(r2)
     val probes = model.centroids.indices.filter { i =>
       val lb = math.sqrt(Kernels.l2sq(model.centroids(i), q)) -
@@ -247,6 +259,7 @@ object IvfIndex {
     * eps absorbs the ±ulp of float normalization. */
   def rangeScanCos(spark: SparkSession, path: String, model: Model,
       radii: Array[Float], q: Array[Float], r: Double): DataFrame = {
+    model.requireDims(q)
     val qn = Kernels.normalize(q)
     val probes = model.centroids.indices.filter { i =>
       1.0 - Kernels.dot(model.centroids(i), qn) -
@@ -262,6 +275,7 @@ object IvfIndex {
     * the radius stats provide without a separate max-norm stat. */
   def rangeScanDot(spark: SparkSession, path: String, model: Model,
       radii: Array[Float], q: Array[Float], r: Double): DataFrame = {
+    model.requireDims(q)
     val qNorm = math.sqrt(Kernels.dot(q, q))
     val probes = model.centroids.indices.filter { i =>
       -(Kernels.dot(model.centroids(i), q) +

@@ -123,6 +123,7 @@ object TypedAnn {
     * nprobe = nlist never depends on the ranking. */
   private[graft] def rankLists(model: IvfIndex.Model, q: Array[Float],
       metric: String): Array[Int] = {
+    model.requireDims(q)
     import IvfIndex.Kernels
     val centroids = model.centroids
     val score: Array[Float] => Double = metric match {

@@ -398,8 +398,9 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         idx <- lookup(pathsOf(rel), metric)
         if vecAttr.name == idx.vecCol
         manifest <- graft.index.IndexCatalog.load(spark, idx.indexName)
-        if manifest.kind == "ivf" && manifest.metric == metric &&
-          manifest.floats.contains("radii")
+        if manifest.metric == metric &&
+          ((manifest.kind == "ivf" && manifest.floats.contains("radii")) ||
+            manifest.kind == "hnsw")
         distAlias <- projList.collectFirst {
           case al @ Alias(child, _) if child.semanticEquals(distExpr) => al
         }
@@ -419,6 +420,42 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       } yield (idx, manifest, distAlias, idAttr, vecAttr, qAttr)
       pieces match {
         case Some((idx, manifest, distAlias, idAttr, _, qAttr)) =>
+          if (manifest.kind == "hnsw") {
+            // graph-kind dispatch — Hnsw.rangeJoin flat-scans the
+            // resident payloads per query partition and emits only
+            // (qid, id, dist), so the projection must be exactly
+            // {qid, id, dist} with a single long query-side qid (the
+            // window-arm HNSW convention). Exact at any radius.
+            val qidAttr = projList.collectFirst {
+              case at: AttributeReference
+                  if at.exprId != idAttr.exprId &&
+                    qSide.outputSet.contains(at) => at
+            }.getOrElse(return None)
+            if (projList.length != 3) return None
+            if (qidAttr.dataType !=
+              org.apache.spark.sql.types.LongType) return None
+            val qNames = qSide.output.map(_.name)
+            if (qNames.distinct.length != qNames.length) return None
+            if (idx.idCol == "qid") return None
+            val dataDir = graft.index.IndexCatalog.dataDir(spark, idx.indexName)
+            val qdf0 = Shims.ofRows(spark, qSide)
+            val qdf = if (metric == "cos")
+              qdf0.withColumn(qAttr.name,
+                graft.functions.vectorNormalize(Shims.column(qAttr)))
+            else qdf0
+            val out = graft.operators.Hnsw.rangeJoin(spark, dataDir,
+              idx.idCol, qdf, qidAttr.name, qAttr.name, r)
+            val newPlan = out.queryExecution.optimizedPlan
+            val byName = newPlan.output.map(x => x.name -> x).toMap
+            val outProj = projList.map {
+              case at: AttributeReference if at.exprId == idAttr.exprId =>
+                Alias(byName(idx.idCol), idAttr.name)(exprId = idAttr.exprId)
+              case al: Alias if al.exprId == distAlias.exprId =>
+                Alias(byName("dist"), distAlias.name)(exprId = distAlias.exprId)
+              case ne => Alias(byName("qid"), ne.name)(exprId = ne.exprId)
+            }
+            return Some(Project(outProj, newPlan))
+          }
           val model = IvfIndex.Model(manifest.metric, manifest.centroids,
             manifest.floats.get("radii").orNull)
           val dataDir = graft.index.IndexCatalog.dataDir(spark, idx.indexName)
@@ -531,19 +568,36 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     if (j.condition.isDefined) return None
     if (j.joinType != org.apache.spark.sql.catalyst.plans.Inner &&
         j.joinType != org.apache.spark.sql.catalyst.plans.Cross) return None
-    // the dist alias: dist(vecAttr, qAttr) for an indexed metric
-    val (distAlias, vA, qA, metric) = projList2.collectFirst {
-      case al @ Alias(L2sqDistance(x: AttributeReference,
-          y: AttributeReference), _) => (al, x, y, "l2")
-      case al @ Alias(CosDistance(x: AttributeReference,
-          y: AttributeReference), _) => (al, x, y, "cos")
-      case al @ Alias(NegDotDistance(x: AttributeReference,
-          y: AttributeReference), _) => (al, x, y, "dot")
-    }.getOrElse(return None)
+    // dist aliases: dist(vecAttr, qAttr) for an indexed metric. SQL text
+    // produces TWO aliases of the same expression (the projected dist
+    // plus the analyzer-extracted `_w0` the window orders by), so every
+    // semantically-equal alias is collected and all map to the one
+    // computed distance in the replacement.
+    val distEntries = projList2.collect {
+      case al @ Alias(L2sqDistance(_: AttributeReference,
+          _: AttributeReference), _) => al
+      case al @ Alias(CosDistance(_: AttributeReference,
+          _: AttributeReference), _) => al
+      case al @ Alias(NegDotDistance(_: AttributeReference,
+          _: AttributeReference), _) => al
+    }
+    if (distEntries.isEmpty) return None
+    if (!distEntries.forall(_.child.semanticEquals(distEntries.head.child)))
+      return None
+    val distIds = distEntries.map(_.exprId).toSet
+    val (vA, qA, metric) = distEntries.head.child match {
+      case L2sqDistance(x: AttributeReference, y: AttributeReference) =>
+        (x, y, "l2")
+      case CosDistance(x: AttributeReference, y: AttributeReference) =>
+        (x, y, "cos")
+      case NegDotDistance(x: AttributeReference, y: AttributeReference) =>
+        (x, y, "dot")
+      case _ => return None
+    }
     // order: dist ascending first, optional id tie-break matched below
-    val osHead = w.orderSpec.headOption match {
+    w.orderSpec.headOption match {
       case Some(SortOrder(at: AttributeReference, Ascending, _, _))
-          if at.exprId == distAlias.exprId => at
+          if distIds.contains(at.exprId) =>
       case _ => return None
     }
     if (w.orderSpec.length > 2) return None
@@ -567,7 +621,8 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         idx <- lookup(pathsOf(rel), metric)
         if vecAttr.name == idx.vecCol
         manifest <- graft.index.IndexCatalog.load(spark, idx.indexName)
-        if manifest.kind == "ivf" && manifest.metric == metric
+        if (manifest.kind == "ivf" || manifest.kind == "hnsw") &&
+          manifest.metric == metric
         // the corpus-side id entry: the bare attr or an alias of it
         idEntry <- projList2.find {
           case at: AttributeReference =>
@@ -578,13 +633,14 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         }
         // everything else in the projection is query-side
         if projList2.forall { e =>
-          (e eq distAlias) || (e eq idEntry) ||
+          distIds.contains(e.exprId) || (e eq idEntry) ||
             e.references.subsetOf(AttributeSet(qSide.output))
         }
         // window partitions by query-side outputs only
         if w.partitionSpec.nonEmpty && w.partitionSpec.forall {
           case at: AttributeReference => projList2.exists(e =>
-            e.exprId == at.exprId && (e ne distAlias) && (e ne idEntry))
+            e.exprId == at.exprId && !distIds.contains(e.exprId) &&
+              (e ne idEntry))
           case _ => false
         }
         // optional second sort key must be the corpus id, ascending
@@ -593,11 +649,53 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
             at.exprId == idEntry.exprId
           case _ => false
         })
-        if !qSide.output.map(_.name).exists(Set("__graft_qv",
-          "__graft_list", "__graft_id", "__graft_dist", "__graft_rn"))
+        if !qSide.output.map(_.name).exists(_.startsWith("__graft"))
       } yield (idx, manifest, idEntry, vecAttr, qAttr)
       pieces match {
         case Some((idx, manifest, idEntry, _, qAttr)) =>
+          if (manifest.kind == "hnsw") {
+            // graph-kind dispatch: Hnsw.knnJoin walks each query
+            // partition through the executor-resident graphs and emits
+            // only (qid, id, dist, rn), so the guards tighten — the
+            // projection must be exactly {qid, id, dist}, the window
+            // partitioned by that single long query-side attribute and
+            // ordered (dist asc, id asc), knnJoin's own canonical
+            // window. Cos graphs are normalize-at-build: the query
+            // column normalizes in-plan before the join.
+            val qidAttr = w.partitionSpec match {
+              case Seq(at: AttributeReference) => at
+              case _ => return None
+            }
+            if (qidAttr.dataType !=
+              org.apache.spark.sql.types.LongType) return None
+            if (w.orderSpec.length != 2) return None
+            if (projList2.length != 2 + distEntries.length) return None
+            val qidSrc = projList2.collectFirst {
+              case at: AttributeReference if at.exprId == qidAttr.exprId => at
+            }.getOrElse(return None)
+            val qNames = qSide.output.map(_.name)
+            if (qNames.distinct.length != qNames.length) return None
+            if (idx.idCol == "qid") return None
+            val dataDir = graft.index.IndexCatalog.dataDir(spark, idx.indexName)
+            val qdf0 = Shims.ofRows(spark, qSide)
+            val qdf = if (metric == "cos")
+              qdf0.withColumn(qAttr.name,
+                graft.functions.vectorNormalize(Shims.column(qAttr)))
+            else qdf0
+            val out = graft.operators.Hnsw.knnJoin(spark, dataDir, idx.idCol,
+              qdf, qidSrc.name, qAttr.name, k = kLimit,
+              efSearch = math.max(hnswEfSearch, kLimit), exact = hnswExact)
+            val newPlan = out.queryExecution.optimizedPlan
+            val byName = newPlan.output.map(a => a.name -> a).toMap
+            val outProj = projList2.map { e =>
+              if (distIds.contains(e.exprId))
+                Alias(byName("dist"), e.name)(exprId = e.exprId)
+              else if (e eq idEntry)
+                Alias(byName(idx.idCol), idEntry.name)(exprId = idEntry.exprId)
+              else Alias(byName("qid"), e.name)(exprId = e.exprId)
+            } :+ Alias(byName("rn"), rnAlias.name)(exprId = rnAlias.exprId)
+            return Some(Project(outProj, newPlan))
+          }
           val model = IvfIndex.Model(manifest.metric, manifest.centroids,
             manifest.floats.get("radii").orNull)
           val probes = math.min(math.max(nprobe, 1), math.max(model.nlist, 1))
@@ -624,15 +722,20 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
               F.col("__graft_qv")) + F.lit(1.0)
           }
           // replay the projection with the original expressions (their
-          // Alias exprIds survive), swapping dist and id for the scan's
+          // Alias exprIds survive), swapping dist and id for the scan's;
+          // every dist alias (SQL text carries the projected dist plus
+          // the analyzer's _w0 order key) maps to one computed distance
+          var di = -1
           val step = joined.select(projList2.map { e =>
-            if (e eq distAlias) distC.as("__graft_dist")
+            if (distIds.contains(e.exprId)) {
+              di += 1; distC.as(s"__graft_dist$di")
+            }
             else if (e eq idEntry) scanDf(idx.idCol).as("__graft_id")
             else Shims.column(e)
           }: _*)
           val ws = org.apache.spark.sql.expressions.Window
             .partitionBy(w.partitionSpec.map(Shims.column): _*)
-            .orderBy((F.col("__graft_dist") +:
+            .orderBy((F.col("__graft_dist0") +:
               (if (w.orderSpec.length > 1) Seq(F.col("__graft_id")) else Nil)): _*)
           val out = step
             .withColumn("__graft_rn", F.row_number().over(ws))
@@ -644,12 +747,14 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
           val newPlan = out.queryExecution.optimizedPlan
           val byName = newPlan.output.map(a => a.name -> a).toMap
           val newId = byName.getOrElse("__graft_id", return None)
-          val newDist = byName.getOrElse("__graft_dist", return None)
           val newRn = byName.getOrElse("__graft_rn", return None)
           // filter output = window output = projList2 outputs ++ rn
+          var dj = -1
           val outProj = projList2.map { e =>
-            if (e eq distAlias)
-              Alias(newDist, distAlias.name)(exprId = distAlias.exprId)
+            if (distIds.contains(e.exprId)) {
+              dj += 1
+              Alias(byName(s"__graft_dist$dj"), e.name)(exprId = e.exprId)
+            }
             else if (e eq idEntry)
               Alias(newId, idEntry.name)(exprId = idEntry.exprId)
             else e.toAttribute

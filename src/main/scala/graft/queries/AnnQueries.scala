@@ -978,6 +978,55 @@ object AnnQueries {
         t(s, d, "embeddings").filter(col("vec_id") % 10 === 0),
         "vec_id", "embedding", k = 10, exact = true)
     }),
+    // table-valued EXACT range join over the graph artifact: per-task
+    // flat scans of the resident payloads — exact at any radius and any
+    // parts, so it carries the full cross-filter oracle (strict <, the
+    // rangeFlat convention).
+    "q_hnsw_range_join" -> ((s, d) => {
+      Hnsw.rangeJoin(s, hnsw(s, d, 4), "vec_id",
+        t(s, d, "embeddings").filter(col("vec_id") % 10 === 0),
+        "vec_id", "embedding", r = 1.5)
+    }),
+    // declarative window-join spelling against an HNSW-kind
+    // registration: the rule dispatches on the manifest kind (the
+    // scalar top-k arm's convention) and swaps in Hnsw.knnJoin. With
+    // hnsw.exact each graph is flat-scanned, so the per-graph union
+    // provably contains the global top-k and the replayed window keeps
+    // exactly it — the brute-force window oracle applies at any parts.
+    "q_hnsw_knn_join_pushdown" -> ((s, d) => {
+      import graft.plans.AnnPushdown
+      import org.apache.spark.sql.expressions.Window
+      hnsw(s, d, 4)
+      AnnPushdown.install(s)
+      val srcPath = s"$d/embeddings.parquet"
+      val prevReg = AnnPushdown.snapshot(srcPath)
+      AnnPushdown.register(srcPath, AnnPushdown.IndexedTable(
+        s"hnsw_l2_p4_${san(d)}", "vec_id", "embedding", "l2"))
+      val prevEnabled = s.conf.get("spark.graft.ann.enabled", "false")
+      val prevExact = s.conf.get("spark.graft.hnsw.exact", "false")
+      s.conf.set("spark.graft.ann.enabled", "true")
+      s.conf.set("spark.graft.hnsw.exact", "true")
+      try {
+        val corpus = s.read.parquet(srcPath)
+        val queries = s.read.parquet(srcPath)
+          .filter(col("vec_id") % 10 === 0)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val df = queries.crossJoin(corpus)
+          .select(queries("qid"), corpus("vec_id"),
+            l2sq(corpus("embedding"), queries("qvec")).as("dist"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("qid")).orderBy(col("dist"), col("vec_id"))))
+          .filter(col("rn") <= 10)
+        val optimized = df.queryExecution.optimizedPlan
+        require(optimized.toString.contains("MapPartitions"),
+          "hnsw knn-join pushdown did not rewrite the window join")
+        org.apache.spark.sql.graftshim.Shims.ofRows(s, optimized)
+      } finally {
+        s.conf.set("spark.graft.ann.enabled", prevEnabled)
+        s.conf.set("spark.graft.hnsw.exact", prevExact)
+        AnnPushdown.restore(srcPath, prevReg)
+      }
+    }),
 
     // HNSW×SQ8: coded resident graphs (4x smaller), LUT traversal,
     // exact rerank of the ef frontier re-fetched from the source
@@ -1873,6 +1922,27 @@ object AnnQueries {
            (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0) q
          WHERE list_aggregate(list_transform(list_zip(e.embedding, q.embedding), p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), 'sum') < 1.5
          ORDER BY qid, vec_id""",
+    // hnsw range join: exact flat scans at any parts — full cross-filter
+    // replay with the strict predicate
+    "q_hnsw_range_join" ->
+      """SELECT q.vec_id AS qid, e.vec_id AS vec_id,
+           list_aggregate(list_transform(list_zip(e.embedding, q.embedding), p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), 'sum') AS dist
+         FROM embeddings e CROSS JOIN
+           (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0) q
+         WHERE list_aggregate(list_transform(list_zip(e.embedding, q.embedding), p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), 'sum') < 1.5
+         ORDER BY qid, vec_id""",
+    // hnsw window-join pushdown runs in exact (flat-scan) mode: the
+    // same brute-force window replay
+    "q_hnsw_knn_join_pushdown" ->
+      """SELECT qid, vec_id, dist, rn FROM (
+           SELECT q.vec_id AS qid, e.vec_id AS vec_id,
+             list_aggregate(list_transform(list_zip(e.embedding, q.embedding), p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), 'sum') AS dist,
+             row_number() OVER (PARTITION BY q.vec_id ORDER BY
+               list_aggregate(list_transform(list_zip(e.embedding, q.embedding), p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), 'sum'),
+               e.vec_id) AS rn
+           FROM embeddings e CROSS JOIN
+             (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0) q)
+         WHERE rn <= 10 ORDER BY qid, rn""",
     // same shape as q_knn_join_exact: the HNSW exact mode flat-scans the
     // single-graph artifact, so the oracle is the brute-force window
     "q_hnsw_knn_join_exact" ->

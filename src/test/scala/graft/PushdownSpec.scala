@@ -670,6 +670,137 @@ class PushdownSpec extends SparkSpec {
     }
   }
 
+  test("join pushdowns fire from spark.sql text") {
+    withPushdown { _ =>
+    val src = s"$sf001/embeddings.parquet"
+    graft.functions.registerAll(spark)
+    spark.read.parquet(src).createOrReplaceTempView("corpus_pd")
+    spark.read.parquet(src).filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      .createOrReplaceTempView("queries_pd")
+    val rangeSql =
+      """SELECT q.qid, c.vec_id, l2sq_distance(c.embedding, q.qvec) AS dist
+         FROM queries_pd q JOIN corpus_pd c
+           ON l2sq_distance(c.embedding, q.qvec) < 1.2D"""
+    // the window form: the analyzer extracts the ORDER BY distance into
+    // its own _w0 alias — a SECOND alias of the same expression the
+    // matcher must accept
+    val knnSql =
+      """SELECT qid, vec_id, dist, rn FROM (
+           SELECT q.qid, c.vec_id, l2sq_distance(c.embedding, q.qvec) AS dist,
+                  row_number() OVER (PARTITION BY q.qid
+                    ORDER BY l2sq_distance(c.embedding, q.qvec), c.vec_id) AS rn
+           FROM queries_pd q CROSS JOIN corpus_pd c)
+         WHERE rn <= 5"""
+    try {
+      spark.conf.set("spark.graft.ann.enabled", "false")
+      val rangeBase = spark.sql(rangeSql).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val knnBase = spark.sql(knnSql).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+      spark.conf.set("spark.graft.ann.enabled", "true")
+      spark.conf.set("spark.graft.ann.nprobe", "16")
+      val rangePushed = spark.sql(rangeSql)
+      assert(rangePushed.queryExecution.optimizedPlan.toString
+        .contains("range_lists"), "SQL range join did not rewrite")
+      assert(rangePushed.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet == rangeBase)
+      val knnPushed = spark.sql(knnSql)
+      assert(knnPushed.queryExecution.optimizedPlan.toString
+        .contains("probe_lists"), "SQL window join did not rewrite")
+      assert(knnPushed.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .toSet == knnBase)
+    } finally {
+      spark.conf.set("spark.graft.ann.nprobe", "10")
+      spark.catalog.dropTempView("corpus_pd")
+      spark.catalog.dropTempView("queries_pd")
+    }
+    }
+  }
+
+  test("KNN window-join pushdown dispatches HNSW-kind registrations") {
+    val src = s"$sf001/embeddings.parquet"
+    val dataDir = AnnQueries.hnsw(spark, sf001, 4)
+    AnnPushdown.install(spark)
+    val prev = AnnPushdown.snapshot(src)
+    AnnPushdown.register(src, AnnPushdown.IndexedTable(
+      s"hnsw_l2_p4_${sf001.replaceAll("[^a-zA-Z0-9]", "_")}",
+      "vec_id", "embedding", "l2"))
+    import org.apache.spark.sql.expressions.{Window => W}
+    def joinDf = {
+      val corpus = spark.read.parquet(src)
+      val queries = spark.read.parquet(src)
+        .filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      queries.crossJoin(corpus)
+        .select(queries("qid"), corpus("vec_id"),
+          graft.functions.l2sq(corpus("embedding"), queries("qvec")).as("dist"))
+        .withColumn("rn", row_number().over(
+          W.partitionBy(col("qid")).orderBy(col("dist"), col("vec_id"))))
+        .filter(col("rn") <= 5)
+    }
+    try {
+      spark.conf.set("spark.graft.ann.enabled", "false")
+      val baseline = joinDf.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+      spark.conf.set("spark.graft.ann.enabled", "true")
+      spark.conf.set("spark.graft.hnsw.exact", "true")
+      val pushed = joinDf
+      val logical = pushed.queryExecution.optimizedPlan.toString
+      assert(logical.contains("MapPartitions"),
+        s"hnsw window join did not rewrite:\n$logical")
+      assert(logical.contains("knnJoin") || !logical.contains("probe_lists"))
+      // exact flat-scan mode: per-graph union contains the global top-k
+      val got = pushed.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+      assert(got == baseline)
+      // approximate beam mode still fills k rows per query
+      spark.conf.set("spark.graft.hnsw.exact", "false")
+      assert(joinDf.collect().length == baseline.size)
+    } finally {
+      spark.conf.set("spark.graft.ann.enabled", "false")
+      spark.conf.set("spark.graft.hnsw.exact", "false")
+      AnnPushdown.restore(src, prev)
+    }
+  }
+
+  test("range JOIN pushdown dispatches HNSW-kind registrations (exact flat scans)") {
+    val src = s"$sf001/embeddings.parquet"
+    AnnQueries.hnsw(spark, sf001, 4)
+    AnnPushdown.install(spark)
+    val prev = AnnPushdown.snapshot(src)
+    AnnPushdown.register(src, AnnPushdown.IndexedTable(
+      s"hnsw_l2_p4_${sf001.replaceAll("[^a-zA-Z0-9]", "_")}",
+      "vec_id", "embedding", "l2"))
+    def joinDf = {
+      val corpus = spark.read.parquet(src)
+      val queries = spark.read.parquet(src)
+        .filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      queries.join(corpus,
+          graft.functions.l2sq(corpus("embedding"), queries("qvec")) < lit(1.2))
+        .select(queries("qid"), corpus("vec_id"),
+          graft.functions.l2sq(corpus("embedding"), queries("qvec")).as("dist"))
+    }
+    try {
+      spark.conf.set("spark.graft.ann.enabled", "false")
+      val baseline = joinDf.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      spark.conf.set("spark.graft.ann.enabled", "true")
+      val pushed = joinDf
+      val logical = pushed.queryExecution.optimizedPlan.toString
+      assert(logical.contains("MapPartitions"),
+        s"hnsw range join did not rewrite:\n$logical")
+      val got = pushed.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == baseline)
+    } finally {
+      spark.conf.set("spark.graft.ann.enabled", "false")
+      AnnPushdown.restore(src, prev)
+    }
+  }
+
   test("range JOIN pushdown guards: extra corpus predicate or non-range shape bail") {
     withPushdown { _ =>
     val src = s"$sf001/embeddings.parquet"
