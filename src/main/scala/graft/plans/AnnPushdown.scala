@@ -530,6 +530,51 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * the sort keys the user wrote), and the rank filter is the sole
     * non-IsNotNull conjunct. Cos follows normalize-at-build, the
     * normalized-replay convention. */
+  /** Join-shape distance spelling: both sides ATTRIBUTES (table vs
+    * table), dense or dual-wrapped typed — the table-valued analog of
+    * [[findDistAlias]]'s literal-query patterns. Returns
+    * (sideA, sideB, metricKey); which side is the indexed column is
+    * resolved by the caller against the join children. */
+  private def joinDistPieces(e: Expression)
+      : Option[(AttributeReference, AttributeReference, String)] = e match {
+    case L2sqDistance(x: AttributeReference, y: AttributeReference) =>
+      Some((x, y, "l2"))
+    case CosDistance(x: AttributeReference, y: AttributeReference) =>
+      Some((x, y, "cos"))
+    case NegDotDistance(x: AttributeReference, y: AttributeReference) =>
+      Some((x, y, "dot"))
+    case BVecHamming(Binarize(x: AttributeReference),
+        Binarize(y: AttributeReference)) => Some((x, y, "bvec:hamming"))
+    case BVecJaccard(Binarize(x: AttributeReference),
+        Binarize(y: AttributeReference)) => Some((x, y, "bvec:jaccard"))
+    case BVecNegDot(Binarize(x: AttributeReference),
+        Binarize(y: AttributeReference)) => Some((x, y, "bvec:dot"))
+    case F16L2sq(ToF16Bits(x: AttributeReference),
+        ToF16Bits(y: AttributeReference)) => Some((x, y, "f16:l2"))
+    case F16NegDot(ToF16Bits(x: AttributeReference),
+        ToF16Bits(y: AttributeReference)) => Some((x, y, "f16:dot"))
+    case F16CosDist(ToF16Bits(x: AttributeReference),
+        ToF16Bits(y: AttributeReference)) => Some((x, y, "f16:cos"))
+    case SVecL2sq(SVecFromDense(x: AttributeReference),
+        SVecFromDense(y: AttributeReference)) => Some((x, y, "svec:l2"))
+    case SVecNegDot(SVecFromDense(x: AttributeReference),
+        SVecFromDense(y: AttributeReference)) => Some((x, y, "svec:dot"))
+    case SVecCosDist(SVecFromDense(x: AttributeReference),
+        SVecFromDense(y: AttributeReference)) => Some((x, y, "svec:cos"))
+    case _ => None
+  }
+
+  /** Expected manifest kind per metric-key family. Dense keys accept
+    * ivf or hnsw (the kind dispatch); typed keys name their compact
+    * artifact kind. */
+  private def expectedJoinKinds(metricKey: String): Set[String] =
+    metricKey.split(':') match {
+      case Array("bvec", _) => Set("ivf_bvec")
+      case Array("svec", _) => Set("ivf_svec")
+      case Array("f16", _) => Set("ivf_f16")
+      case _ => Set("ivf", "hnsw")
+    }
+
   private def matchKnnJoinWindow(cond: Expression, w: Window)
       : Option[LogicalPlan] = {
     import org.apache.spark.sql.{functions => F}
@@ -568,32 +613,22 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     if (j.condition.isDefined) return None
     if (j.joinType != org.apache.spark.sql.catalyst.plans.Inner &&
         j.joinType != org.apache.spark.sql.catalyst.plans.Cross) return None
-    // dist aliases: dist(vecAttr, qAttr) for an indexed metric. SQL text
-    // produces TWO aliases of the same expression (the projected dist
-    // plus the analyzer-extracted `_w0` the window orders by), so every
-    // semantically-equal alias is collected and all map to the one
-    // computed distance in the replacement.
+    // dist aliases: dist(vecAttr, qAttr) for an indexed metric — dense
+    // or the dual-wrapped TYPED spellings (both sides attributes here,
+    // so the query-side wrapper never constant-folds the way literal
+    // queries do). SQL text produces TWO aliases of the same expression
+    // (the projected dist plus the analyzer-extracted `_w0` the window
+    // orders by), so every semantically-equal alias is collected and
+    // all map to the one computed distance in the replacement.
     val distEntries = projList2.collect {
-      case al @ Alias(L2sqDistance(_: AttributeReference,
-          _: AttributeReference), _) => al
-      case al @ Alias(CosDistance(_: AttributeReference,
-          _: AttributeReference), _) => al
-      case al @ Alias(NegDotDistance(_: AttributeReference,
-          _: AttributeReference), _) => al
+      case al: Alias if joinDistPieces(al.child).isDefined => al
     }
     if (distEntries.isEmpty) return None
     if (!distEntries.forall(_.child.semanticEquals(distEntries.head.child)))
       return None
     val distIds = distEntries.map(_.exprId).toSet
-    val (vA, qA, metric) = distEntries.head.child match {
-      case L2sqDistance(x: AttributeReference, y: AttributeReference) =>
-        (x, y, "l2")
-      case CosDistance(x: AttributeReference, y: AttributeReference) =>
-        (x, y, "cos")
-      case NegDotDistance(x: AttributeReference, y: AttributeReference) =>
-        (x, y, "dot")
-      case _ => return None
-    }
+    val (vA, qA, metric) = joinDistPieces(distEntries.head.child)
+      .getOrElse(return None)
     // order: dist ascending first, optional id tie-break matched below
     w.orderSpec.headOption match {
       case Some(SortOrder(at: AttributeReference, Ascending, _, _))
@@ -621,8 +656,10 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         idx <- lookup(pathsOf(rel), metric)
         if vecAttr.name == idx.vecCol
         manifest <- graft.index.IndexCatalog.load(spark, idx.indexName)
-        if (manifest.kind == "ivf" || manifest.kind == "hnsw") &&
-          manifest.metric == metric
+        // dense artifacts bake the metric in; a typed artifact serves
+        // every metric of its family (ranking/scoring are search-time)
+        if expectedJoinKinds(metric).contains(manifest.kind) &&
+          (metric.contains(':') || manifest.metric == metric)
         // the corpus-side id entry: the bare attr or an alias of it
         idEntry <- projList2.find {
           case at: AttributeReference =>
@@ -653,6 +690,48 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       } yield (idx, manifest, idEntry, vecAttr, qAttr)
       pieces match {
         case Some((idx, manifest, idEntry, _, qAttr)) =>
+          if (metric.contains(':')) {
+            // TYPED family dispatch — KnnJoin.joinTyped over the compact
+            // artifact. joinTyped emits only (qid, id, dist, rn), so the
+            // tight projection/window guards of the graph branch apply
+            // (qid keeps its own type — joinTyped never casts it).
+            // Scoring replays the original expression exactly: the
+            // stored compact payload equals wrapper(col) by construction
+            // (the pushdown-registration invariant), so typed rewrites
+            // carry no normalized-replay caveat.
+            val Array(family, met) = metric.split(':')
+            val qidAttr = w.partitionSpec match {
+              case Seq(at: AttributeReference) => at
+              case _ => return None
+            }
+            if (w.orderSpec.length != 2) return None
+            if (projList2.length != 2 + distEntries.length) return None
+            val qidSrc = projList2.collectFirst {
+              case at: AttributeReference if at.exprId == qidAttr.exprId => at
+            }.getOrElse(return None)
+            val qNames = qSide.output.map(_.name)
+            if (qNames.distinct.length != qNames.length) return None
+            if (idx.idCol == "qid") return None
+            val model = IvfIndex.Model(manifest.metric, manifest.centroids,
+              manifest.floats.get("radii").orNull)
+            val probes = math.min(math.max(nprobe, 1),
+              math.max(model.nlist, 1))
+            val dataDir = graft.index.IndexCatalog.dataDir(spark, idx.indexName)
+            val qdf = Shims.ofRows(spark, qSide)
+            val out = graft.operators.KnnJoin.joinTyped(spark, qdf,
+              qidSrc.name, qAttr.name, dataDir, model, idx.idCol, family,
+              kLimit, probes, met)
+            val newPlan = out.queryExecution.optimizedPlan
+            val byName = newPlan.output.map(x => x.name -> x).toMap
+            val outProj = projList2.map { e =>
+              if (distIds.contains(e.exprId))
+                Alias(byName("dist"), e.name)(exprId = e.exprId)
+              else if (e eq idEntry)
+                Alias(byName(idx.idCol), idEntry.name)(exprId = idEntry.exprId)
+              else Alias(byName("qid"), e.name)(exprId = e.exprId)
+            } :+ Alias(byName("rn"), rnAlias.name)(exprId = rnAlias.exprId)
+            return Some(Project(outProj, newPlan))
+          }
           if (manifest.kind == "hnsw") {
             // graph-kind dispatch: Hnsw.knnJoin walks each query
             // partition through the executor-resident graphs and emits

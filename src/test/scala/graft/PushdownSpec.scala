@@ -801,6 +801,64 @@ class PushdownSpec extends SparkSpec {
     }
   }
 
+  test("typed KNN window-join pushdown: f16 and svec spellings rewrite, stay exact") {
+    import graft.functions._
+    import graft.operators.TypedAnn
+    import org.apache.spark.sql.expressions.{Window => W}
+    val src = s"$sf001/embeddings.parquet"
+    val san = sf001.replaceAll("[^a-zA-Z0-9]", "_")
+    val emb = spark.read.parquet(src)
+    TypedAnn.ensureF16(spark, s"pdf16_$san", emb, src,
+      "vec_id", "embedding", nlist = 8)
+    TypedAnn.ensureSvec(spark, s"pdsv_$san",
+      emb.select(col("vec_id"), svecFromDense(col("embedding")).as("sv")),
+      src, "vec_id", "sv", nlist = 8)
+    AnnPushdown.install(spark)
+    val prev = AnnPushdown.snapshot(src)
+    AnnPushdown.register(src, AnnPushdown.IndexedTable(
+      s"pdf16_$san", "vec_id", "embedding", "f16:l2"))
+    AnnPushdown.register(src, AnnPushdown.IndexedTable(
+      s"pdsv_$san", "vec_id", "embedding", "svec:l2"))
+    def windowed(dist: (org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame) => org.apache.spark.sql.Column) = {
+      val corpus = spark.read.parquet(src)
+      val queries = spark.read.parquet(src)
+        .filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      queries.crossJoin(corpus)
+        .select(queries("qid"), corpus("vec_id"),
+          dist(corpus, queries).as("dist"))
+        .withColumn("rn", row_number().over(
+          W.partitionBy(col("qid")).orderBy(col("dist"), col("vec_id"))))
+        .filter(col("rn") <= 5)
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    try {
+      def f16Df = windowed((c, q) =>
+        f16L2sq(toF16Bits(c("embedding")), toF16Bits(q("qvec"))))
+      def svDf = windowed((c, q) =>
+        svecL2sq(svecFromDense(c("embedding")), svecFromDense(q("qvec"))))
+      spark.conf.set("spark.graft.ann.enabled", "false")
+      val f16Base = rows(f16Df)
+      val svBase = rows(svDf)
+      spark.conf.set("spark.graft.ann.enabled", "true")
+      spark.conf.set("spark.graft.ann.nprobe", "8") // = nlist -> exact
+      val f16Pushed = f16Df
+      assert(f16Pushed.queryExecution.optimizedPlan.toString
+        .contains("probe_lists"), "f16 window join did not rewrite")
+      assert(rows(f16Pushed) == f16Base)
+      val svPushed = svDf
+      assert(svPushed.queryExecution.optimizedPlan.toString
+        .contains("probe_lists"), "svec window join did not rewrite")
+      assert(rows(svPushed) == svBase)
+    } finally {
+      spark.conf.set("spark.graft.ann.enabled", "false")
+      spark.conf.set("spark.graft.ann.nprobe", "10")
+      AnnPushdown.restore(src, prev)
+    }
+  }
+
   test("range JOIN pushdown guards: extra corpus predicate or non-range shape bail") {
     withPushdown { _ =>
     val src = s"$sf001/embeddings.parquet"
