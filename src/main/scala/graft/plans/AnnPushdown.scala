@@ -372,26 +372,13 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
           y: AttributeReference), Literal(rr: Double, _)) => (de, x, y, rr, "dot")
       case _ => return None
     }
-    // unwrap pruning Projects / inferred IsNotNull Filters down to the
-    // indexed relation; anything else cannot be replayed on the artifact
-    def stripToRel(plan: LogicalPlan): Option[LogicalPlan] = plan match {
-      case lr: LogicalRelation => Some(lr)
-      case imr: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
-        Some(imr)
-      case Project(pl, child) if pl.forall(_.isInstanceOf[AttributeReference]) =>
-        stripToRel(child)
-      case Filter(c, child)
-          if conjuncts(c).forall(_.isInstanceOf[IsNotNull]) =>
-        stripToRel(child)
-      case _ => None
-    }
     // corpus side preference: right (the `queries.join(corpus, …)`
     // spelling), then left
     val candidates = Seq((j.right, j.left), (j.left, j.right))
     for ((iSide, qSide) <- candidates) {
-      val relOpt = stripToRel(iSide)
+      val sideOpt = stripJoinSide(iSide)
       val pieces = for {
-        rel <- relOpt
+        (rel, extras) <- sideOpt
         vecAttr <- Seq(a, b).find(iSide.outputSet.contains)
         qAttr <- Seq(a, b).find(x => x.exprId != vecAttr.exprId &&
           qSide.outputSet.contains(x))
@@ -401,6 +388,13 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         if manifest.metric == metric &&
           ((manifest.kind == "ivf" && manifest.floats.contains("radii")) ||
             manifest.kind == "hnsw")
+        // a corpus-side predicate (FILTERED range join) is admissible
+        // only on dense IVF artifacts, which store full source rows; it
+        // must not touch the vector column itself (cos artifacts store
+        // normalize-at-build vectors — a vec predicate would evaluate
+        // on different values)
+        if extras.isEmpty || (manifest.kind == "ivf" &&
+          !extras.exists(_.references.exists(_.name == idx.vecCol)))
         distAlias <- projList.collectFirst {
           case al @ Alias(child, _) if child.semanticEquals(distExpr) => al
         }
@@ -417,9 +411,9 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         // internal working columns must not collide with query-side names
         if !qSide.output.map(_.name).exists(Set("__graft_qv",
           "__graft_list", "__graft_id", "__graft_dist"))
-      } yield (idx, manifest, distAlias, idAttr, vecAttr, qAttr)
+      } yield (idx, manifest, distAlias, idAttr, qAttr, extras)
       pieces match {
-        case Some((idx, manifest, distAlias, idAttr, _, qAttr)) =>
+        case Some((idx, manifest, distAlias, idAttr, qAttr, extras)) =>
           if (manifest.kind == "hnsw") {
             // graph-kind dispatch — Hnsw.rangeJoin flat-scans the
             // resident payloads per query partition and emits only
@@ -469,7 +463,23 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
             .withColumn("__graft_list", F.explode(
               graft.operators.KnnJoin.rangeLists(F.col("__graft_qv"), model, r)))
           val scanDf = spark.read.parquet(dataDir)
-          val joined = scanDf.join(probed,
+          // FILTERED range join: the corpus predicate remaps by name
+          // onto the artifact scan (dense IVF rows are source-row
+          // copies — the matchFilteredTopK convention) and pushes into
+          // the pruned scan
+          val scanPlan0 = scanDf.queryExecution.analyzed
+          val scanByName = scanPlan0.output.map(x => x.name -> x).toMap
+          var remapOk = true
+          val remapped = extras.map(_.transformUp {
+            case at: AttributeReference => scanByName.get(at.name) match {
+              case Some(n) => n
+              case None => remapOk = false; at
+            }
+          })
+          if (!remapOk) return None
+          val scanF = if (remapped.isEmpty) scanDf
+            else Shims.ofRows(spark, Filter(remapped.reduce(And), scanPlan0))
+          val joined = scanF.join(probed,
             scanDf("list_id") === probed("__graft_list"))
           val distC = metric match {
             case "l2" => graft.functions.l2sq(scanDf(idx.vecCol),
@@ -530,6 +540,33 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * the sort keys the user wrote), and the rank filter is the sole
     * non-IsNotNull conjunct. Cos follows normalize-at-build, the
     * normalized-replay convention. */
+  /** Strip a join side down to its relation through attribute-only
+    * Projects and Filters, ACCUMULATING the non-IsNotNull filter
+    * conjuncts — the corpus-side predicate of a FILTERED join. The
+    * caller decides whether extras are admissible: dense IVF artifacts
+    * store full source rows, so the predicate remaps onto the pruned
+    * scan (the matchFilteredTopK convention); graph and typed payloads
+    * carry only id + vec/codes, so any extra conjunct bails there. */
+  private def stripJoinSide(plan: LogicalPlan)
+      : Option[(LogicalPlan, Seq[Expression])] = {
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case x => Seq(x)
+    }
+    plan match {
+      case lr: LogicalRelation => Some((lr, Nil))
+      case imr: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+        Some((imr, Nil))
+      case Project(pl, child) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+        stripJoinSide(child)
+      case Filter(c, child) =>
+        stripJoinSide(child).map { case (rel, extras) =>
+          (rel, conjuncts(c).filterNot(_.isInstanceOf[IsNotNull]) ++ extras)
+        }
+      case _ => None
+    }
+  }
+
   /** Join-shape distance spelling: both sides ATTRIBUTES (table vs
     * table), dense or dual-wrapped typed — the table-valued analog of
     * [[findDistAlias]]'s literal-query patterns. Returns
@@ -636,20 +673,9 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case _ => return None
     }
     if (w.orderSpec.length > 2) return None
-    def stripToRel(plan: LogicalPlan): Option[LogicalPlan] = plan match {
-      case lr: LogicalRelation => Some(lr)
-      case imr: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
-        Some(imr)
-      case Project(pl, child) if pl.forall(_.isInstanceOf[AttributeReference]) =>
-        stripToRel(child)
-      case Filter(c, child)
-          if conjuncts(c).forall(_.isInstanceOf[IsNotNull]) =>
-        stripToRel(child)
-      case _ => None
-    }
     for ((iSide, qSide) <- Seq((j.right, j.left), (j.left, j.right))) {
       val pieces = for {
-        rel <- stripToRel(iSide)
+        (rel, extras) <- stripJoinSide(iSide)
         vecAttr <- Seq(vA, qA).find(iSide.outputSet.contains)
         qAttr <- Seq(vA, qA).find(x => x.exprId != vecAttr.exprId &&
           qSide.outputSet.contains(x))
@@ -660,6 +686,11 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         // every metric of its family (ranking/scoring are search-time)
         if expectedJoinKinds(metric).contains(manifest.kind) &&
           (metric.contains(':') || manifest.metric == metric)
+        // a corpus-side predicate (FILTERED KNN join) is admissible only
+        // on dense IVF artifacts (full source rows), never touching the
+        // vector column (the range-join arm's rule)
+        if extras.isEmpty || (manifest.kind == "ivf" &&
+          !extras.exists(_.references.exists(_.name == idx.vecCol)))
         // the corpus-side id entry: the bare attr or an alias of it
         idEntry <- projList2.find {
           case at: AttributeReference =>
@@ -687,9 +718,9 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
           case _ => false
         })
         if !qSide.output.map(_.name).exists(_.startsWith("__graft"))
-      } yield (idx, manifest, idEntry, vecAttr, qAttr)
+      } yield (idx, manifest, idEntry, qAttr, extras)
       pieces match {
-        case Some((idx, manifest, idEntry, _, qAttr)) =>
+        case Some((idx, manifest, idEntry, qAttr, extras)) =>
           if (metric.contains(':')) {
             // TYPED family dispatch — KnnJoin.joinTyped over the compact
             // artifact. joinTyped emits only (qid, id, dist, rn), so the
@@ -790,7 +821,20 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
               graft.operators.KnnJoin.probeLists(F.col("__graft_qv"), model,
                 probes)))
           val scanDf = spark.read.parquet(dataDir)
-          val joined = scanDf.join(probed,
+          // FILTERED KNN join: corpus predicate remaps onto the scan
+          val scanPlan0 = scanDf.queryExecution.analyzed
+          val scanByName = scanPlan0.output.map(x => x.name -> x).toMap
+          var remapOk = true
+          val remapped = extras.map(_.transformUp {
+            case at: AttributeReference => scanByName.get(at.name) match {
+              case Some(n) => n
+              case None => remapOk = false; at
+            }
+          })
+          if (!remapOk) return None
+          val scanF = if (remapped.isEmpty) scanDf
+            else Shims.ofRows(spark, Filter(remapped.reduce(And), scanPlan0))
+          val joined = scanF.join(probed,
             scanDf("list_id") === probed("__graft_list"))
           val distC = metric match {
             case "l2" => graft.functions.l2sq(scanDf(idx.vecCol),

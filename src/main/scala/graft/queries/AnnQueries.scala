@@ -925,6 +925,39 @@ object AnnQueries {
         AnnPushdown.restore(srcPath, prevReg)
       }
     }),
+    // FILTERED declarative range join: the corpus side carries an extra
+    // predicate, which the rule remaps onto the pruned artifact scan
+    // (dense IVF rows are source-row copies). Sound list pruning is
+    // filter-independent, so the rewrite stays EXACT at any radius —
+    // full cross-filter oracle with the predicate replayed.
+    "q_range_join_pushdown_filtered" -> ((s, d) => {
+      import graft.plans.AnnPushdown
+      ivf(s, d, "l2")
+      AnnPushdown.install(s)
+      val srcPath = s"$d/embeddings.parquet"
+      val prevReg = AnnPushdown.snapshot(srcPath)
+      AnnPushdown.register(srcPath, AnnPushdown.IndexedTable(
+        s"ivf_l2_${san(d)}", "vec_id", "embedding", "l2"))
+      val prevEnabled = s.conf.get("spark.graft.ann.enabled", "false")
+      s.conf.set("spark.graft.ann.enabled", "true")
+      try {
+        val corpus = s.read.parquet(srcPath)
+        val queries = s.read.parquet(srcPath)
+          .filter(col("vec_id") % 10 === 0)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val df = queries.join(corpus.filter(col("label") > 2),
+            l2sq(corpus("embedding"), queries("qvec")) < lit(1.5))
+          .select(queries("qid"), corpus("vec_id"),
+            l2sq(corpus("embedding"), queries("qvec")).as("dist"))
+        val optimized = df.queryExecution.optimizedPlan
+        require(optimized.toString.contains("range_lists"),
+          "filtered range-join pushdown did not rewrite the join")
+        org.apache.spark.sql.graftshim.Shims.ofRows(s, optimized)
+      } finally {
+        s.conf.set("spark.graft.ann.enabled", prevEnabled)
+        AnnPushdown.restore(srcPath, prevReg)
+      }
+    }),
     // embedding-level decontamination: the eval set is planted as exact
     // copies of train rows (vec_id%37, id+500000 — the fixtures carry no
     // guaranteed near pairs, the dedup-mirror convention); every train
@@ -1963,6 +1996,16 @@ object AnnQueries {
          FROM embeddings e CROSS JOIN
            (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0) q
          WHERE list_aggregate(list_transform(list_zip(e.embedding, q.embedding), p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), 'sum') <= 1.5
+         ORDER BY qid, vec_id""",
+    // filtered declarative join: the corpus predicate replayed in the
+    // cross filter (exact at any radius, filter-independent pruning)
+    "q_range_join_pushdown_filtered" ->
+      """SELECT q.vec_id AS qid, e.vec_id AS vec_id,
+           list_aggregate(list_transform(list_zip(e.embedding, q.embedding), p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), 'sum') AS dist
+         FROM embeddings e CROSS JOIN
+           (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0) q
+         WHERE e.label > 2
+           AND list_aggregate(list_transform(list_zip(e.embedding, q.embedding), p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), 'sum') < 1.5
          ORDER BY qid, vec_id""",
     // declarative join spelling: same cross-filter replay with the strict
     // predicate of the join condition (the rewrite is exact at any radius)

@@ -859,27 +859,81 @@ class PushdownSpec extends SparkSpec {
     }
   }
 
-  test("range JOIN pushdown guards: extra corpus predicate or non-range shape bail") {
+  test("FILTERED range join pushes the corpus predicate into the scan; guards bail") {
     withPushdown { _ =>
     val src = s"$sf001/embeddings.parquet"
+    def filteredDf = {
+      val corpus = spark.read.parquet(src)
+      val queries = spark.read.parquet(src)
+        .filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      queries.join(corpus.filter(col("label") > 2),
+          graft.functions.l2sq(corpus("embedding"), queries("qvec")) < lit(1.2))
+        .select(queries("qid"), corpus("vec_id"),
+          graft.functions.l2sq(corpus("embedding"), queries("qvec")).as("dist"))
+    }
+    spark.conf.set("spark.graft.ann.enabled", "false")
+    val baseline = filteredDf.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     spark.conf.set("spark.graft.ann.enabled", "true")
+    // dense IVF artifacts store full source rows: the corpus predicate
+    // remaps onto the pruned scan and the rewrite stays exact (sound
+    // list pruning is filter-independent)
+    val pushed = filteredDf
+    assert(pushed.queryExecution.optimizedPlan.toString.contains("range_lists"),
+      "filtered range join did not rewrite")
+    val got = pushed.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == baseline)
     val corpus = spark.read.parquet(src)
     val queries = spark.read.parquet(src).limit(5)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-    // corpus-side non-IsNotNull predicate: the artifact carries only
-    // id + vec, so the filter cannot be replayed — must NOT rewrite
-    val filtered = queries.join(corpus.filter(col("label") > 2),
+    // a predicate on the VECTOR column must bail (cos artifacts store
+    // normalize-at-build vectors; the rule is uniform across metrics)
+    val vecPred = queries.join(
+        corpus.filter(size(corpus("embedding")) > 1),
         graft.functions.l2sq(corpus("embedding"), queries("qvec")) < lit(1.2))
       .select(queries("qid"), corpus("vec_id"),
         graft.functions.l2sq(corpus("embedding"), queries("qvec")).as("dist"))
-    assert(!filtered.queryExecution.optimizedPlan.toString.contains("range_lists"),
-      "rewrote a join whose corpus side carries an extra predicate")
+    assert(!vecPred.queryExecution.optimizedPlan.toString.contains("range_lists"),
+      "rewrote a join whose corpus predicate touches the vector column")
     // >= comparison is not the range shape — must NOT rewrite
     val wrongOp = queries.join(corpus,
         graft.functions.l2sq(corpus("embedding"), queries("qvec")) >= lit(1.2))
       .select(queries("qid"), corpus("vec_id"),
         graft.functions.l2sq(corpus("embedding"), queries("qvec")).as("dist"))
     assert(!wrongOp.queryExecution.optimizedPlan.toString.contains("range_lists"))
+    }
+  }
+
+  test("FILTERED KNN window-join pushes the corpus predicate; exact at nprobe=nlist") {
+    withPushdown { _ =>
+    val src = s"$sf001/embeddings.parquet"
+    import org.apache.spark.sql.expressions.{Window => W}
+    def filteredDf = {
+      val corpus = spark.read.parquet(src)
+      val queries = spark.read.parquet(src)
+        .filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      queries.crossJoin(corpus.filter(col("label") > 2))
+        .select(queries("qid"), corpus("vec_id"),
+          graft.functions.l2sq(corpus("embedding"), queries("qvec")).as("dist"))
+        .withColumn("rn", row_number().over(
+          W.partitionBy(col("qid")).orderBy(col("dist"), col("vec_id"))))
+        .filter(col("rn") <= 5)
+    }
+    spark.conf.set("spark.graft.ann.enabled", "false")
+    val baseline = filteredDf.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    spark.conf.set("spark.graft.ann.enabled", "true")
+    spark.conf.set("spark.graft.ann.nprobe", "16")
+    val pushed = filteredDf
+    assert(pushed.queryExecution.optimizedPlan.toString.contains("probe_lists"),
+      "filtered window join did not rewrite")
+    val got = pushed.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(got == baseline)
+    spark.conf.set("spark.graft.ann.nprobe", "10")
     }
   }
 }
