@@ -38,8 +38,17 @@ object IndexCatalog {
   def dir(spark: SparkSession, name: String): String =
     s"${root(spark)}/$name"
 
+  /** Sub-dir of the index dir holding the current data artifact. "data"
+    * until the first [[reindex]], then the generation dir the manifest's
+    * `data_dir` pointer names — REINDEX swaps artifacts by flipping this
+    * pointer in one atomic manifest commit, never by renaming live dirs
+    * (a crashed swap can then only leave ignorable debris, not a
+    * committed manifest pointing at a missing dir). */
+  def dataSub(spark: SparkSession, name: String): String =
+    load(spark, name).flatMap(_.params.get("data_dir")).getOrElse("data")
+
   def dataDir(spark: SparkSession, name: String): String =
-    s"${dir(spark, name)}/data"
+    s"${dir(spark, name)}/${dataSub(spark, name)}"
 
   /** Cached manifest + the manifest FILE's identity when read: a commit
     * from another JVM bumps mtime/size and invalidates this entry. */
@@ -106,7 +115,14 @@ object IndexCatalog {
   /** Commit a manifest AFTER the data artifact is fully written — the
     * crash-recovery rule (lib.rs:128-211): a dir without a committed
     * manifest is garbage and gets rebuilt. */
-  def commit(spark: SparkSession, name: String, m: Manifest): Manifest = {
+  def commit(spark: SparkSession, name: String, m0: Manifest): Manifest = {
+    // the data_dir pointer is owned by reindex and must survive every
+    // other commit: a rebuilt manifest that dropped it would flip the
+    // artifact path back to data/ while the files live in data-rN/
+    val m = if (m0.params.contains("data_dir")) m0 else
+      load(spark, name).flatMap(_.params.get("data_dir"))
+        .map(s => m0.copy(params = m0.params + ("data_dir" -> s)))
+        .getOrElse(m0)
     val f = manifestFile(spark, name)
     f.getParentFile.mkdirs()
     val tmp = new File(f.getParentFile, "MANIFEST.tmp")
@@ -178,6 +194,41 @@ object IndexCatalog {
       case _ =>
         commit(spark, name, build(dataDir(spark, name)).copy(sourceFp = fp))
     }
+  }
+
+  /** REINDEX (reference tests/sqllogictest/reindex.slt): force-rebuild an
+    * existing index's artifact from its current source, regardless of
+    * staleness. The build runs into a fresh generation dir
+    * (`data-r<gen>`) while readers keep serving the committed artifact —
+    * searches never take the DDL lock, so the REINDEX CONCURRENTLY
+    * property falls out of the commit-after-write design; the swap is
+    * ONE atomic manifest commit flipping the `data_dir` pointer.
+    * Executor-side caches key on file identity (path + mtime/len), so
+    * the new files reload on first touch. The old generation dir is
+    * removed post-commit; a crash at any point leaves either the old
+    * committed state intact or the new one plus ignorable debris (a
+    * data dir no manifest points at), never a torn index. Blocking
+    * REINDEX and REINDEX CONCURRENTLY collapse to the same batch job
+    * here: builds were never able to block readers in the first place. */
+  def reindex(spark: SparkSession, name: String)
+      (build: String => Manifest): Manifest = withIndexLock(spark, name) {
+    val prior = load(spark, name).getOrElse(
+      throw new IllegalArgumentException(s"no such index: $name"))
+    val gen = prior.params.get("reindex_gen").map(_.toLong + 1).getOrElse(1L)
+    val oldData = new File(dataDir(spark, name))
+    val newSub = s"data-r$gen"
+    val newData = new File(dir(spark, name), newSub)
+    def rm(f: File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete()
+    }
+    rm(newData) // debris from a crashed prior attempt
+    val m = build(newData.getAbsolutePath)
+    val committed = commit(spark, name, m.copy(sourceFp = fingerprint(m.source),
+      params = m.params ++ Map("reindex_gen" -> gen.toString,
+        "data_dir" -> newSub)))
+    rm(oldData) // post-commit cleanup only
+    committed
   }
 
   /** Alterable option keys (search-time tuning hints) with their value

@@ -583,7 +583,33 @@ object Hnsw {
     IndexCatalog.ensure(spark, name, source,
         requires = Map("format" -> "flatbin1", "m" -> m.toString,
           "ef_construction" -> efConstruction.toString,
-          "parts" -> parts.toString)) { dataDir =>
+          "parts" -> parts.toString))(
+      buildFlatArtifact(spark, df, source, idCol, vecCol, metric, parts,
+        m, efConstruction))
+    IndexCatalog.dataDir(spark, name)
+  }
+
+  /** REINDEX this artifact (reindex.slt): same build as [[ensure]], forced,
+    * into a fresh generation dir with an atomic pointer swap —
+    * [[graft.index.IndexCatalog.reindex]] owns the concurrency story. */
+  def reindex(spark: org.apache.spark.sql.SparkSession, name: String,
+      df: => DataFrame, source: String, idCol: String, vecCol: String,
+      metric: String, parts: Int, m: Int = 12, efConstruction: Int = 300): String = {
+    import graft.index.IndexCatalog
+    IndexCatalog.reindex(spark, name)(
+      buildFlatArtifact(spark, df, source, idCol, vecCol, metric, parts,
+        m, efConstruction))
+    IndexCatalog.dataDir(spark, name)
+  }
+
+  /** The graph-artifact build job shared by [[ensure]] and [[reindex]]:
+    * write per-partition FlatGraph files under `dataDir`, return the
+    * manifest describing them. */
+  private def buildFlatArtifact(spark: org.apache.spark.sql.SparkSession,
+      df: => DataFrame, source: String, idCol: String, vecCol: String,
+      metric: String, parts: Int, m: Int, efConstruction: Int)
+      : String => graft.index.IndexCatalog.Manifest = { dataDir =>
+      import graft.index.IndexCatalog
       import spark.implicits._
       // cosine follows the IVF rewrite: normalize at build, search by dot.
       // NULL AND non-finite vectors are excluded (null.slt contract): a
@@ -637,8 +663,6 @@ object Hnsw {
         Map("m" -> m.toString, "ef_construction" -> efConstruction.toString,
           "parts" -> parts.toString, "files" -> nFiles.toString,
           "format" -> "flatbin1"))
-    }
-    IndexCatalog.dataDir(spark, name)
   }
 
   /** DDL-option-spelling ensure (reference pgvector compatibility,

@@ -37,10 +37,14 @@ object IncrHnsw {
       .filter(f => f.isFile && f.getName.endsWith(".bin")).toSeq.sortBy(_.getName)
 
   /** Version the rows of a graph file carry: side-<seq>.bin and
-    * side-<seq>-<chunk>.bin -> seq, base graphs -> 0. */
+    * side-<seq>-<chunk>.bin -> seq, rebase-<seq>-*.bin (a REINDEX fold,
+    * whose rows were visible at store seq <seq>) -> seq, base graphs
+    * -> 0. */
   private def fileVer(name: String): Long =
     if (name.startsWith("side-"))
       name.stripPrefix("side-").stripSuffix(".bin").split("-")(0).toLong
+    else if (name.startsWith("rebase-"))
+      name.stripPrefix("rebase-").stripSuffix(".bin").split("-")(0).toLong
     else 0L
 
   /** Build one side/base-chunk graph in ONE EXECUTOR TASK (round-6: the
@@ -176,6 +180,43 @@ object IncrHnsw {
         params = pm.params + ("seq" -> st.seq.toString)))
     }
     dataDir.getAbsolutePath
+  }
+
+  /** REINDEX over the segment store (reference
+    * tests/sqllogictest/reindex.slt): rebuild ONE fresh graph set from
+    * the current VISIBLE rows — dead rows reclaimed, side graphs folded,
+    * the STORE untouched (vs [[vacuum]], which compacts the store too).
+    * The build runs into a fresh generation dir while searches keep
+    * serving the committed graphs ([[graft.index.IndexCatalog.reindex]]
+    * — the REINDEX CONCURRENTLY property), and later appends still get
+    * incremental side graphs: the committed manifest carries the store
+    * (gen, seq) the fold covered.
+    *
+    * Fold files are named `rebase-<seq>-*` and their rows carry graph
+    * version <seq> (the store seq the fold observed): every tombstone
+    * already applied by the fold has version <= seq and tombstones are
+    * per-id, so no surviving row can be hidden by an old tombstone,
+    * while a LATER delete (version > seq) hides exactly as on side
+    * graphs. */
+  def reindex(spark: SparkSession, name: String, segDir: String,
+      idCol: String, vecCol: String, metric: String = "l2",
+      m: Int = 12, efConstruction: Int = 300): String = synchronized {
+    import graft.index.IndexCatalog
+    val st = Segments.state(segDir)
+    require(st.gen >= 0, s"no committed generation under $segDir")
+    IndexCatalog.reindex(spark, name) { dataDir =>
+      val dd = new java.io.File(dataDir)
+      dd.mkdirs()
+      buildSegmentGraphs(spark,
+        Segments.read(spark, segDir, idCol).select(col(idCol), col(vecCol)),
+        idCol, vecCol, metric, dd, f"rebase-${st.seq}%d-00000",
+        m, efConstruction)
+      IndexCatalog.Manifest("hnsw_incr", segDir, metric,
+        Map("gen" -> st.gen.toString, "seq" -> st.seq.toString,
+          "metric_int" -> metric, "m" -> m.toString,
+          "ef_construction" -> efConstruction.toString))
+    }
+    graftDir(spark, name)
   }
 
   /** Compact the segment store WITHOUT rebuilding graphs: snapshot the

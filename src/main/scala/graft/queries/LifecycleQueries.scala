@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import graft.functions._
 import graft.index.IndexCatalog
-import graft.operators.{Hnsw, IvfIndex, Segments}
+import graft.operators.{Hnsw, IncrHnsw, IvfIndex, Segments}
 
 /**
  * Lifecycle + surface queries: result-set (and therefore driver-oracle)
@@ -266,6 +266,53 @@ object LifecycleQueries {
       topkVisible(s, d, segDir, 100)
     }),
 
+    // --- REINDEX / REINDEX CONCURRENTLY (reindex.slt): an incremental
+    //     index over a store with deletes and an append is REINDEXed —
+    //     one fresh fold of the VISIBLE rows swapped in by an atomic
+    //     manifest-pointer flip (IndexCatalog.reindex), dead rows
+    //     reclaimed, the STORE untouched; the swap must be value-
+    //     invisible to searches (required in-query), and an append AFTER
+    //     the reindex must still surface through an incremental side
+    //     graph (the slt's INSERT legs). Exact search -> full visible-set
+    //     oracle. The reindex itself runs once per artifact (guarded by
+    //     the committed reindex_gen), like every multi-step fixture.
+    "q_reindex_scan" -> ((s, d) => {
+      val segDir = tmp + "/graft_reindexseg_" + san(d)
+      buildOnce(segDir) {
+        val e = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+        Segments.init(s, segDir, e.filter(col("vec_id") < 200), "vec_id")
+        Segments.delete(s, segDir,
+          s.range(1).select(lit(3L).as("vec_id"))
+            .unionAll(s.range(1).select(lit(7L).as("vec_id"))), "vec_id")
+        Segments.append(s, segDir, e.filter(col("vec_id") < 5)
+          .select((col("vec_id") + 20000).as("vec_id"), col("embedding")),
+          "vec_id")
+      }
+      val name = s"reindexhnsw_${san(d)}"
+      val q = qvec(s, d)
+      IncrHnsw.ensure(s, name, segDir, "vec_id", "embedding")
+      if (IndexCatalog.load(s, name).exists(m => !m.params.contains("reindex_gen"))) {
+        def ids(df: DataFrame) =
+          df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        val pre = ids(IncrHnsw.search(s, name, segDir, "vec_id", q,
+          k = 100, exact = true))
+        IncrHnsw.reindex(s, name, segDir, "vec_id", "embedding")
+        val post = ids(IncrHnsw.search(s, name, segDir, "vec_id", q,
+          k = 100, exact = true))
+        require(pre == post, "REINDEX changed the visible top-k")
+        require(!new File(IndexCatalog.dataDir(s, name), "dead").exists(),
+          "REINDEX must fold away the dead snapshot")
+      }
+      // insert-after-reindex: exactly once (the store seq guards it)
+      if (Segments.state(segDir).seq == 2L)
+        Segments.append(s, segDir, t(s, d, "embeddings")
+          .filter(col("vec_id") >= 5 && col("vec_id") < 8)
+          .select((col("vec_id") + 21000).as("vec_id"), col("embedding")),
+          "vec_id")
+      IncrHnsw.ensure(s, name, segDir, "vec_id", "embedding")
+      IncrHnsw.search(s, name, segDir, "vec_id", q, k = 100, exact = true)
+    }),
+
     // --- pgvector DDL option spellings (compatibility.rs:7-60): ensure
     //     through `lists` / `m`+`ef_construction` reloption names; both
     //     spellings must land on the SAME manifests the native queries
@@ -359,6 +406,20 @@ object LifecycleQueries {
       s"""SELECT e.vec_id AS vec_id, $qL2 AS dist
           FROM embeddings e
           CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+          ORDER BY dist, vec_id LIMIT 100""",
+
+    "q_reindex_scan" ->
+      s"""WITH m1 AS (SELECT vec_id + 20000 AS vec_id, embedding
+                      FROM embeddings WHERE vec_id < 5),
+            m2 AS (SELECT vec_id + 21000 AS vec_id, embedding
+                   FROM embeddings WHERE vec_id >= 5 AND vec_id < 8),
+            allr AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200
+                     UNION ALL SELECT vec_id, embedding FROM m1
+                     UNION ALL SELECT vec_id, embedding FROM m2)
+          SELECT a.vec_id AS vec_id, $aL2 AS dist
+          FROM allr a
+          CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+          WHERE a.vec_id NOT IN (3, 7)
           ORDER BY dist, vec_id LIMIT 100"""
   )
 }
