@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import graft.functions._
 import graft.index.IndexCatalog
-import graft.operators.{Hnsw, IncrHnsw, IvfIndex, Segments}
+import graft.operators.{Hnsw, IncrHnsw, IvfIndex, PartitionedIndex, Segments}
 
 /**
  * Lifecycle + surface queries: result-set (and therefore driver-oracle)
@@ -266,6 +266,35 @@ object LifecycleQueries {
       topkVisible(s, d, segDir, 100)
     }),
 
+    // --- partitioned table + per-partition indexes (partition.slt): the
+    //     source is a Hive-layout partitioned parquet (the PARTITION BY
+    //     LIST analog), each partition carries its own HNSW artifact,
+    //     and the parent-table top-k composes across them (union + one
+    //     ordered merge), while a partition predicate prunes to a single
+    //     sub-index. Both scopes exact -> one full oracle. Per-partition
+    //     staleness/pruning evidence lives in PartitionedIndexSpec.
+    "q_partitioned_index" -> ((s, d) => {
+      val srcDir = tmp + "/graft_partsrc_" + san(d)
+      Segments.synchronized {
+        if (!new File(srcDir, "_SUCCESS").isFile)
+          t(s, d, "embeddings").filter(col("vec_id") < 300)
+            .select(col("vec_id"), col("embedding"),
+              (col("vec_id") % 3).as("category"))
+            .write.mode("overwrite").partitionBy("category").parquet(srcDir)
+      }
+      val name = s"partidx_${san(d)}"
+      PartitionedIndex.ensureHnsw(s, name, srcDir, "category",
+        "vec_id", "embedding", "l2")
+      val q = qvec(s, d)
+      val full = PartitionedIndex.searchHnsw(s, name, srcDir, "category",
+        "vec_id", q, k = 60, exact = true)
+      val cat1 = PartitionedIndex.searchHnsw(s, name, srcDir, "category",
+        "vec_id", q, k = 40, exact = true, values = Some(Seq("1")))
+      full.withColumn("scope", lit("all"))
+        .unionByName(cat1.withColumn("scope", lit("cat1")))
+        .select(col("scope"), col("vec_id"), col("dist"))
+    }),
+
     // --- REINDEX / REINDEX CONCURRENTLY (reindex.slt): an incremental
     //     index over a store with deletes and an append is REINDEXed —
     //     one fresh fold of the VISIBLE rows swapped in by an atomic
@@ -407,6 +436,19 @@ object LifecycleQueries {
           FROM embeddings e
           CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
           ORDER BY dist, vec_id LIMIT 100""",
+
+    "q_partitioned_index" ->
+      s"""WITH src AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),
+            q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+            fullk AS (
+              SELECT 'all' AS scope, a.vec_id AS vec_id, $aL2 AS dist
+              FROM src a CROSS JOIN q ORDER BY dist, vec_id LIMIT 60),
+            cat1 AS (
+              SELECT 'cat1' AS scope, a.vec_id AS vec_id, $aL2 AS dist
+              FROM src a CROSS JOIN q WHERE a.vec_id % 3 = 1
+              ORDER BY dist, vec_id LIMIT 40)
+          SELECT scope, vec_id, dist FROM fullk
+          UNION ALL SELECT scope, vec_id, dist FROM cat1""",
 
     "q_reindex_scan" ->
       s"""WITH m1 AS (SELECT vec_id + 20000 AS vec_id, embedding

@@ -1,0 +1,92 @@
+package graft
+
+import java.io.File
+import org.apache.spark.sql.functions._
+import graft.index.IndexCatalog
+import graft.operators.PartitionedIndex
+
+/** Partitioned-table indexes (reference tests/sqllogictest/partition.slt):
+  * one HNSW artifact per Hive-layout partition, parent searches compose
+  * across partitions, partition predicates prune to sub-indexes, and a
+  * re-ingested partition rebuilds ONLY its own artifact. */
+class PartitionedIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rm(f: File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+    f.delete()
+  }
+
+  test("parent search merges partitions exactly; predicates prune; staleness is per-partition") {
+    val srcDir = sys.props("java.io.tmpdir") + "/graft_partspec_src"
+    rm(new File(srcDir))
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .filter(col("vec_id") < 120)
+      .select(col("vec_id"), col("embedding"), (col("vec_id") % 3).as("category"))
+    emb.write.mode("overwrite").partitionBy("category").parquet(srcDir)
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+
+    val name = "partspec_idx"
+    Seq("0", "1", "2").foreach(v =>
+      IndexCatalog.drop(spark, PartitionedIndex.subName(name, v)))
+    assert(PartitionedIndex.partitionValues(spark, srcDir, "category") ==
+      Seq("0", "1", "2"))
+    PartitionedIndex.ensureHnsw(spark, name, srcDir, "category",
+      "vec_id", "embedding", "l2")
+
+    def brute(pred: org.apache.spark.sql.Column, k: Int) =
+      emb.filter(pred)
+        .select(col("vec_id"),
+          graft.functions.l2sq(col("embedding"), typedLit(q)).as("dist"))
+        .orderBy(col("dist"), col("vec_id")).limit(k)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    def got(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+    // parent-table exact top-k == brute force over every partition
+    assert(got(PartitionedIndex.searchHnsw(spark, name, srcDir, "category",
+      "vec_id", q, k = 30, exact = true)) == brute(lit(true), 30))
+    // partition predicate prunes to one sub-index, same values as the
+    // filtered brute force
+    assert(got(PartitionedIndex.searchHnsw(spark, name, srcDir, "category",
+        "vec_id", q, k = 20, exact = true, values = Some(Seq("1")))) ==
+      brute(col("category") === 1, 20))
+    // multi-partition pruning (FOR VALUES IN (1, 2) analog)
+    assert(got(PartitionedIndex.searchHnsw(spark, name, srcDir, "category",
+        "vec_id", q, k = 20, exact = true, values = Some(Seq("1", "2")))) ==
+      brute(col("category") === 1 || col("category") === 2, 20))
+    intercept[IllegalArgumentException] {
+      PartitionedIndex.searchHnsw(spark, name, srcDir, "category",
+        "vec_id", q, k = 5, values = Some(Seq("9")))
+    }
+
+    // per-partition staleness: re-ingest partition 1 -> only its
+    // sub-index rebuilds; partitions 0/2 artifacts stay mtime-stable
+    def graphMtimes(v: String): Map[String, Long] = {
+      val dd = new File(IndexCatalog.dataDir(spark,
+        PartitionedIndex.subName(name, v)))
+      Option(dd.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".bin"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val stable = Map("0" -> graphMtimes("0"), "2" -> graphMtimes("2"))
+    Thread.sleep(1100) // mtime granularity
+    emb.filter(col("category") === 1).select(col("vec_id"), col("embedding"))
+      .write.mode("overwrite").parquet(s"$srcDir/category=1")
+    // fingerprint memoization TTL: force a fresh walk
+    Thread.sleep(5100)
+    PartitionedIndex.ensureHnsw(spark, name, srcDir, "category",
+      "vec_id", "embedding", "l2")
+    assert(graphMtimes("0") == stable("0") && graphMtimes("2") == stable("2"),
+      "untouched partitions must not rebuild")
+    // and the rebuilt partition still answers exactly
+    assert(got(PartitionedIndex.searchHnsw(spark, name, srcDir, "category",
+        "vec_id", q, k = 20, exact = true, values = Some(Seq("1")))) ==
+      brute(col("category") === 1, 20))
+
+    Seq("0", "1", "2").foreach(v =>
+      IndexCatalog.drop(spark, PartitionedIndex.subName(name, v)))
+    rm(new File(srcDir))
+  }
+}
