@@ -21,6 +21,44 @@ object IndexOptions {
       opts.get("ef_construction").map(_.trim.toInt).getOrElse(defaultEf))
   }
 
+  /** Known index access methods (`CREATE INDEX ... USING <am>`): the
+    * native AM (finalize.sql:714) plus the pgvector-compatibility
+    * spellings (src/index/compatibility.rs:7-60). Unknown AMs error with
+    * the reference's message (tests/sqllogictest/compact_stmt.slt). */
+  def accessMethod(am: String): String = {
+    require(Set("vectors", "hnsw", "ivfflat").contains(am),
+      s"""access method "$am" does not exist""")
+    am
+  }
+
+  /** Opclass spelling -> (type family, metric) — the reference's full
+    * opclass matrix (finalize.sql:745-803) plus the pgvector names
+    * vector_ip_ops / vector_cosine_ops (compatibility.rs). Unknown
+    * names error with the reference's message (compact_stmt.slt).
+    * The family/metric pair is exactly the key the planner's typed
+    * routing dispatches on ([[graft.plans.AnnPushdown]]). */
+  private val Opclasses: Map[String, (String, String)] = Map(
+    "vector_l2_ops" -> ("vector", "l2"),
+    "vector_dot_ops" -> ("vector", "dot"),
+    "vector_cos_ops" -> ("vector", "cos"),
+    "vector_ip_ops" -> ("vector", "dot"),      // pgvector spelling
+    "vector_cosine_ops" -> ("vector", "cos"),  // pgvector spelling
+    "vecf16_l2_ops" -> ("f16", "l2"),
+    "vecf16_dot_ops" -> ("f16", "dot"),
+    "vecf16_cos_ops" -> ("f16", "cos"),
+    "svector_l2_ops" -> ("svec", "l2"),
+    "svector_dot_ops" -> ("svec", "dot"),
+    "svector_cos_ops" -> ("svec", "cos"),
+    "bvector_hamming_ops" -> ("bvec", "hamming"),
+    "bvector_dot_ops" -> ("bvec", "dot"),
+    "bvector_jaccard_ops" -> ("bvec", "jaccard"))
+
+  def opclass(name: String, am: String = "vectors"): (String, String) = {
+    accessMethod(am)
+    Opclasses.getOrElse(name, throw new IllegalArgumentException(
+      s"""operator class "$name" does not exist for access method "$am""""))
+  }
+
   /** ivf options: pgvector `lists` ≡ native `nlist`; both accepted,
     * conflicting values rejected. */
   def ivf(opts: Map[String, String], defaultNlist: Int = 16): Int = {

@@ -65,4 +65,35 @@ class ErrorContractSpec extends SparkSpec {
     assert(e.toString.contains("dimensions") ||
       Option(e.getCause).exists(_.toString.contains("dimensions")))
   }
+
+  test("unknown access method / opclass spellings error (compact_stmt.slt)") {
+    import graft.index.IndexOptions
+    // CREATE INDEX ... USING wrong_type -> the reference's AM error
+    val e1 = intercept[IllegalArgumentException] {
+      IndexOptions.accessMethod("wrong_type")
+    }
+    assert(e1.getMessage.contains("""access method "wrong_type" does not exist"""))
+    // USING ivfflat (val wrong_operator) -> the opclass error
+    val e2 = intercept[IllegalArgumentException] {
+      IndexOptions.opclass("wrong_operator")
+    }
+    assert(e2.getMessage.contains(
+      """operator class "wrong_operator" does not exist"""))
+    // every finalize.sql opclass resolves to the planner's family/metric
+    // key, incl. the pgvector spellings mapping onto native metrics
+    assert(IndexOptions.opclass("vector_l2_ops") == ("vector", "l2"))
+    assert(IndexOptions.opclass("vector_ip_ops") == ("vector", "dot"))
+    assert(IndexOptions.opclass("vector_cosine_ops", "hnsw") == ("vector", "cos"))
+    assert(IndexOptions.opclass("bvector_jaccard_ops") == ("bvec", "jaccard"))
+    assert(IndexOptions.opclass("vecf16_cos_ops") == ("f16", "cos"))
+    assert(IndexOptions.opclass("svector_dot_ops") == ("svec", "dot"))
+    // index.slt: unknown option fields are rejected by the reloption
+    // parsers (both AM families)
+    intercept[IllegalArgumentException] {
+      IndexOptions.hnsw(Map("unknown_field" -> "1"))
+    }
+    intercept[IllegalArgumentException] {
+      IndexOptions.ivf(Map("unknown_field" -> "1"))
+    }
+  }
 }
