@@ -65,11 +65,26 @@ object PartitionedIndex {
       : Seq[(String, String)] = {
     val values = partitionValues(spark, source, partCol)
     require(values.nonEmpty, s"no $partCol=* partitions under $source")
-    values.map { v =>
+    val built = values.map { v =>
       val sub = s"$source/$partCol=$v"
       v -> Hnsw.ensure(spark, subName(name, v), spark.read.parquet(sub),
         sub, idCol, vecCol, metric, parts, m, efConstruction)
     }
+    // the PARENT catalog entry — the dispatchable index on the
+    // partitioned table itself. It owns no artifact (sub-indexes do);
+    // its manifest records the partition column and value list the
+    // planner prunes against, so an optimizer rule never has to list
+    // the filesystem to dispatch.
+    import graft.index.IndexCatalog
+    val params = Map("partCol" -> partCol, "values" -> values.mkString(","),
+      "m" -> m.toString, "ef_construction" -> efConstruction.toString,
+      "parts" -> parts.toString)
+    val prior = IndexCatalog.load(spark, name)
+    if (!prior.exists(p => p.source == source && p.metric == metric &&
+        params.forall { case (k2, v2) => p.params.get(k2).contains(v2) }))
+      IndexCatalog.commit(spark, name,
+        IndexCatalog.Manifest("hnsw_part", source, metric, params))
+    built
   }
 
   /** Search the parent table: per-partition graph searches unioned, one
@@ -81,10 +96,12 @@ object PartitionedIndex {
       partCol: String, idCol: String, q: Array[Float], k: Int,
       efSearch: Int = 100, exact: Boolean = false,
       values: Option[Seq[String]] = None): DataFrame = {
-    val all = partitionValues(spark, source, partCol)
+    // either way the only driver-side work is one listStatus of the
+    // source dir (metadata, never a job — safe inside an optimizer rule)
     val chosen = values match {
-      case None => all
+      case None => partitionValues(spark, source, partCol)
       case Some(vs) =>
+        val all = partitionValues(spark, source, partCol)
         val missing = vs.filterNot(all.contains)
         require(missing.isEmpty,
           s"no such partition(s): ${missing.mkString(", ")}")

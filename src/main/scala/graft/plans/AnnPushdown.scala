@@ -1204,6 +1204,15 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         val qq = if (metric == "cos") IvfIndex.Kernels.normalize(q) else q
         graft.operators.Hnsw.searchIndex(spark, dataDir, idx.idCol, qq, k,
           efSearch = hnswEfSearch, exact = hnswExact)
+      case ("dense", "hnsw_part") =>
+        // partitioned parent (partition.slt): per-partition graph
+        // searches + one ordered merge; the value list comes from the
+        // parent manifest (the rule does metadata-only work, no jobs)
+        val qq = if (metric == "cos") IvfIndex.Kernels.normalize(q) else q
+        graft.operators.PartitionedIndex.searchHnsw(spark, idx.indexName,
+          manifest.source, manifest.params("partCol"), idx.idCol, qq, k,
+          efSearch = hnswEfSearch, exact = hnswExact,
+          values = Some(manifest.params("values").split(',').toSeq))
       case ("f16", "ivf_f16") =>
         TypedAnn.searchF16(spark, dataDir, model, idx.idCol, q, k, probes,
           metric)
@@ -1255,6 +1264,51 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     val manifest = graft.index.IndexCatalog.load(spark, idx.indexName)
       .getOrElse(return None)
     if (manifest.metric != metric) return None
+    // Partitioned parent (partition.slt): the predicate is absorbed by
+    // PARTITION PRUNING when every non-inferred conjunct constrains the
+    // partition column to literals (`category = 1`, `category IN (…)`) —
+    // Postgres prunes the partitions (and thereby their indexes) before
+    // the index scan; here the pruned value set picks the sub-indexes.
+    // Any other predicate shape bails: graph payloads carry only
+    // (id, vec), so nothing else can be re-evaluated on the artifact.
+    if (manifest.kind == "hnsw_part") {
+      val partCol = manifest.params("partCol")
+      def flat(e: Expression): Seq[Expression] = e match {
+        case And(l, r) => flat(l) ++ flat(r)
+        case x => Seq(x)
+      }
+      val conj = flat(cond).filterNot {
+        // the optimizer infers IsNotNull from the equality/IN itself
+        case IsNotNull(a: AttributeReference) => a.name == partCol
+        case _ => false
+      }
+      val valueSets = conj.map {
+        case EqualTo(a: AttributeReference, l: Literal)
+            if a.name == partCol => Option(Set(String.valueOf(l.value)))
+        case EqualTo(l: Literal, a: AttributeReference)
+            if a.name == partCol => Option(Set(String.valueOf(l.value)))
+        case In(a: AttributeReference, vs)
+            if a.name == partCol && vs.forall(_.isInstanceOf[Literal]) =>
+          Option(vs.map(v =>
+            String.valueOf(v.asInstanceOf[Literal].value)).toSet)
+        case _ => Option.empty[Set[String]]
+      }
+      if (valueSets.isEmpty || valueSets.exists(_.isEmpty)) return None
+      val registered = manifest.params("values").split(',').toSeq
+      val chosen = registered.filter(
+        valueSets.flatten.reduce(_ intersect _).contains)
+      if (chosen.isEmpty) return None // provably-empty: leave to Spark
+      val q = floatsOf(qLit)
+      val qq = if (metric == "cos") IvfIndex.Kernels.normalize(q) else q
+      val searchDf = graft.operators.PartitionedIndex.searchHnsw(spark,
+        idx.indexName, manifest.source, partCol, idx.idCol, qq, k,
+        efSearch = hnswEfSearch, exact = hnswExact, values = Some(chosen))
+      val newPlan = searchDf.queryExecution.analyzed
+      val Seq(newId, newDist) = newPlan.output
+      return Some(Project(Seq(
+        Alias(newId, idAttr.name)(exprId = idAttr.exprId),
+        Alias(newDist, alias.name)(exprId = alias.exprId)), newPlan))
+    }
     // HNSW-kind registrations get the ONE-SHOT breadth form — the
     // `search.mode = basic` contract (a single k·overfetch candidate
     // fetch semi-joined against the predicate-filtered base scan, which

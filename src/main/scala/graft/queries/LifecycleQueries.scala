@@ -295,6 +295,61 @@ object LifecycleQueries {
         .select(col("scope"), col("vec_id"), col("dist"))
     }),
 
+    // --- the DECLARATIVE spelling of partition.slt's actual queries:
+    //     `ORDER BY dist LIMIT k` on the partitioned parent dispatches
+    //     through the optimizer rule onto the per-partition sub-indexes
+    //     (union + ordered merge), and a `category = 1` predicate is
+    //     absorbed by INDEX-level partition pruning. Both rewrites are
+    //     asserted in-query (no base-table FileScan); exact mode -> the
+    //     same oracle shape as the operator-level twin.
+    "q_partitioned_pushdown" -> ((s, d) => {
+      import graft.plans.AnnPushdown
+      val srcDir = tmp + "/graft_partsrc_" + san(d)
+      Segments.synchronized {
+        if (!new File(srcDir, "_SUCCESS").isFile)
+          t(s, d, "embeddings").filter(col("vec_id") < 300)
+            .select(col("vec_id"), col("embedding"),
+              (col("vec_id") % 3).as("category"))
+            .write.mode("overwrite").partitionBy("category").parquet(srcDir)
+      }
+      val name = s"partidx_${san(d)}"
+      PartitionedIndex.ensureHnsw(s, name, srcDir, "category",
+        "vec_id", "embedding", "l2")
+      AnnPushdown.install(s)
+      val prevReg = AnnPushdown.snapshot(srcDir)
+      AnnPushdown.register(srcDir,
+        AnnPushdown.IndexedTable(name, "vec_id", "embedding"))
+      val prevEnabled = s.conf.get("spark.graft.ann.enabled", "false")
+      val prevExact = s.conf.get("spark.graft.hnsw.exact", "false")
+      s.conf.set("spark.graft.ann.enabled", "true")
+      s.conf.set("spark.graft.hnsw.exact", "true")
+      try {
+        val q = qvec(s, d)
+        def topk(pred: Option[org.apache.spark.sql.Column], k: Int) = {
+          val base = s.read.parquet(srcDir)
+          val df = pred.map(base.filter).getOrElse(base)
+            .select(col("vec_id"),
+              l2sq(col("embedding"), typedLit(q)).as("dist"))
+            .orderBy(col("dist")).limit(k)
+          // materialize the REWRITTEN plan (the ofRows convention of the
+          // hnsw-filtered gate): the returned frame must stay the
+          // dispatched plan after the conf/registration restore
+          val opt = df.queryExecution.optimizedPlan
+          require(!opt.toString.contains("Relation"),
+            "partitioned top-k did not dispatch to the sub-indexes")
+          org.apache.spark.sql.graftshim.Shims.ofRows(s, opt)
+        }
+        topk(None, 60).withColumn("scope", lit("all"))
+          .unionByName(topk(Some(col("category") === 1), 40)
+            .withColumn("scope", lit("cat1")))
+          .select(col("scope"), col("vec_id"), col("dist"))
+      } finally {
+        s.conf.set("spark.graft.ann.enabled", prevEnabled)
+        s.conf.set("spark.graft.hnsw.exact", prevExact)
+        AnnPushdown.restore(srcDir, prevReg)
+      }
+    }),
+
     // --- REINDEX / REINDEX CONCURRENTLY (reindex.slt): an incremental
     //     index over a store with deletes and an append is REINDEXed —
     //     one fresh fold of the VISIBLE rows swapped in by an atomic
@@ -438,6 +493,21 @@ object LifecycleQueries {
           ORDER BY dist, vec_id LIMIT 100""",
 
     "q_partitioned_index" ->
+      s"""WITH src AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),
+            q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+            fullk AS (
+              SELECT 'all' AS scope, a.vec_id AS vec_id, $aL2 AS dist
+              FROM src a CROSS JOIN q ORDER BY dist, vec_id LIMIT 60),
+            cat1 AS (
+              SELECT 'cat1' AS scope, a.vec_id AS vec_id, $aL2 AS dist
+              FROM src a CROSS JOIN q WHERE a.vec_id % 3 = 1
+              ORDER BY dist, vec_id LIMIT 40)
+          SELECT scope, vec_id, dist FROM fullk
+          UNION ALL SELECT scope, vec_id, dist FROM cat1""",
+
+    // the declarative twin executes the same exact searches through the
+    // optimizer dispatch — same result contract, same oracle shape
+    "q_partitioned_pushdown" ->
       s"""WITH src AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),
             q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
             fullk AS (

@@ -936,4 +936,73 @@ class PushdownSpec extends SparkSpec {
     spark.conf.set("spark.graft.ann.nprobe", "10")
     }
   }
+
+  test("partitioned parent: top-k dispatches across sub-indexes; partition predicates prune") {
+    import graft.operators.PartitionedIndex
+    val srcDir = sys.props("java.io.tmpdir") + "/graft_partpush_src"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete()
+    }
+    rm(new java.io.File(srcDir))
+    spark.read.parquet(s"$sf001/embeddings.parquet")
+      .filter(col("vec_id") < 150)
+      .select(col("vec_id"), col("embedding"), (col("vec_id") % 3).as("category"))
+      .write.mode("overwrite").partitionBy("category").parquet(srcDir)
+    val name = "partpush_idx"
+    Seq("0", "1", "2").foreach(v =>
+      graft.index.IndexCatalog.drop(spark, PartitionedIndex.subName(name, v)))
+    graft.index.IndexCatalog.drop(spark, name)
+    PartitionedIndex.ensureHnsw(spark, name, srcDir, "category",
+      "vec_id", "embedding", "l2")
+    assert(graft.index.IndexCatalog.load(spark, name)
+      .exists(m => m.kind == "hnsw_part" &&
+        m.params("values") == "0,1,2"), "parent manifest missing")
+    AnnPushdown.install(spark)
+    AnnPushdown.register(srcDir,
+      AnnPushdown.IndexedTable(name, "vec_id", "embedding"))
+    def df(pred: Option[org.apache.spark.sql.Column], k: Int) = {
+      val base = spark.read.parquet(srcDir)
+      pred.map(base.filter).getOrElse(base)
+        .select(col("vec_id"),
+          graft.functions.l2sq(col("embedding"), typedLit(q)).as("dist"))
+        .orderBy(col("dist")).limit(k)
+    }
+    def vals(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    try {
+      spark.conf.set("spark.graft.ann.enabled", "false")
+      val base = vals(df(None, 12))
+      val base1 = vals(df(Some(col("category") === 1), 8))
+      val base12 = vals(df(Some(col("category").isin(1, 2)), 8))
+      spark.conf.set("spark.graft.ann.enabled", "true")
+      spark.conf.set("spark.graft.hnsw.exact", "true")
+      // parent top-k: all three sub-indexes, merged, no base-table scan
+      val full = df(None, 12)
+      assert(!full.queryExecution.executedPlan.toString.contains("FileScan"),
+        "parent top-k still scans the base table")
+      assert(vals(full) == base)
+      // equality and IN predicates prune to sub-indexes, still exact
+      val p1 = df(Some(col("category") === 1), 8)
+      assert(!p1.queryExecution.executedPlan.toString.contains("FileScan"))
+      assert(vals(p1) == base1)
+      assert(vals(df(Some(col("category") === 1), 8)) == base1)
+      assert(vals(df(Some(col("category").isin(1, 2)), 8)) == base12)
+      // a non-partition predicate bails to the unrewritten plan
+      val bail = df(Some(col("vec_id") < 100), 8)
+      assert(bail.queryExecution.executedPlan.toString.contains("FileScan"),
+        "non-partition predicates must not be absorbed")
+      // a predicate naming a value with no partition bails too
+      assert(df(Some(col("category") === 9), 8)
+        .queryExecution.executedPlan.toString.contains("FileScan"))
+    } finally {
+      spark.conf.set("spark.graft.ann.enabled", "false")
+      spark.conf.unset("spark.graft.hnsw.exact")
+      AnnPushdown.unregister(srcDir)
+      Seq("0", "1", "2").foreach(v =>
+        graft.index.IndexCatalog.drop(spark, PartitionedIndex.subName(name, v)))
+      graft.index.IndexCatalog.drop(spark, name)
+      rm(new java.io.File(srcDir))
+    }
+  }
 }
