@@ -186,7 +186,29 @@ object IvfIndex {
     if (IndexCatalog.load(spark, name).exists(m =>
         m.source == source && !m.floats.contains("radii")))
       IndexCatalog.drop(spark, name)
-    val m = IndexCatalog.ensure(spark, name, source) { dataDir =>
+    val m = IndexCatalog.ensure(spark, name, source)(
+      buildIvfArtifact(spark, df, source, vecCol, metric, nlist, seed))
+    (Model(m.metric, m.centroids, m.floats.get("radii").orNull),
+      IndexCatalog.dataDir(spark, name))
+  }
+
+  /** REINDEX (reindex.slt): the [[ensure]] build — retrain included —
+    * forced into a fresh generation dir with the atomic pointer swap
+    * ([[graft.index.IndexCatalog.reindex]]); readers keep serving the
+    * committed artifact throughout. */
+  def reindex(spark: SparkSession, name: String, df: => DataFrame,
+      source: String, vecCol: String, metric: String, nlist: Int,
+      seed: Long = 42L): (Model, String) = {
+    val m = IndexCatalog.reindex(spark, name)(
+      buildIvfArtifact(spark, df, source, vecCol, metric, nlist, seed))
+    (Model(m.metric, m.centroids, m.floats.get("radii").orNull),
+      IndexCatalog.dataDir(spark, name))
+  }
+
+  /** The artifact build job shared by [[ensure]] and [[reindex]]. */
+  private def buildIvfArtifact(spark: SparkSession, df: => DataFrame,
+      source: String, vecCol: String, metric: String, nlist: Int,
+      seed: Long): String => Manifest = { dataDir =>
       val model = train(df, vecCol, metric, nlist, seed = seed)
       // NULL and non-finite vectors are not indexed (issue_427.slt /
       // null.slt: neither may break the build or pollute search results)
@@ -209,9 +231,6 @@ object IvfIndex {
       Manifest("ivf", source, metric,
         Map("nlist" -> nlist.toString), centroids = model.centroids,
         floats = Map("radii" -> radii))
-    }
-    (Model(m.metric, m.centroids, m.floats.get("radii").orNull),
-      IndexCatalog.dataDir(spark, name))
   }
 
   /** DDL-option-spelling ensure (reference pgvector compatibility,

@@ -87,6 +87,45 @@ object PartitionedIndex {
     built
   }
 
+  /** IVF flavor of [[ensureHnsw]]: one list-partitioned IVF artifact per
+    * table partition, each independently stale-checked/trained. No parent
+    * manifest — the declarative parent dispatch is the HNSW kind's;
+    * partitioned IVF is the operator-level shape (a query with a
+    * partition predicate prunes sub-indexes, then each sub-index prunes
+    * lists — two pruning levels composing). */
+  def ensureIvf(spark: SparkSession, name: String, source: String,
+      partCol: String, vecCol: String, metric: String, nlist: Int,
+      seed: Long = 42L): Seq[(String, IvfIndex.Model)] = {
+    val values = partitionValues(spark, source, partCol)
+    require(values.nonEmpty, s"no $partCol=* partitions under $source")
+    values.map { v =>
+      val sub = s"$source/$partCol=$v"
+      val (m, _) = IvfIndex.ensure(spark, subName(name, v),
+        spark.read.parquet(sub), sub, vecCol, metric, nlist, seed)
+      v -> m
+    }
+  }
+
+  /** IVF parent search: per-partition pruned scans unioned, one ordered
+    * merge; exact at nprobe = nlist per sub-index (each partition's exact
+    * top-k is a superset of its global contribution). */
+  def searchIvf(spark: SparkSession, name: String, source: String,
+      partCol: String, idCol: String, vecCol: String, q: Array[Float],
+      k: Int, nprobe: Int, values: Option[Seq[String]] = None): DataFrame = {
+    val chosen = values.getOrElse(partitionValues(spark, source, partCol))
+    require(chosen.nonEmpty, s"no partitions to search under $source")
+    chosen.map { v =>
+      val sub = subName(name, v)
+      val m = graft.index.IndexCatalog.load(spark, sub).getOrElse(
+        throw new IllegalArgumentException(s"no such index: $sub"))
+      val model = IvfIndex.Model(m.metric, m.centroids,
+        m.floats.get("radii").orNull)
+      IvfIndex.search(spark, graft.index.IndexCatalog.dataDir(spark, sub),
+        model, idCol, vecCol, q, k, math.min(nprobe, model.nlist))
+    }.reduce(_ unionByName _)
+      .orderBy(col("dist"), col(idCol)).limit(k)
+  }
+
   /** Search the parent table: per-partition graph searches unioned, one
     * global ordered merge. `values` prunes to the named partitions (the
     * partition-predicate path); None searches them all. Exact mode is

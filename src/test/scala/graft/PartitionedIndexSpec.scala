@@ -89,4 +89,40 @@ class PartitionedIndexSpec extends SparkSpec {
       IndexCatalog.drop(spark, PartitionedIndex.subName(name, v)))
     rm(new File(srcDir))
   }
+
+  test("partitioned IVF: two pruning levels compose, exact at nprobe=nlist") {
+    val srcDir = sys.props("java.io.tmpdir") + "/graft_partspec_ivf_src"
+    rm(new File(srcDir))
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .filter(col("vec_id") < 120)
+      .select(col("vec_id"), col("embedding"), (col("vec_id") % 3).as("category"))
+    emb.write.mode("overwrite").partitionBy("category").parquet(srcDir)
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val name = "partspec_ivf"
+    Seq("0", "1", "2").foreach(v =>
+      IndexCatalog.drop(spark, PartitionedIndex.subName(name, v)))
+    PartitionedIndex.ensureIvf(spark, name, srcDir, "category",
+      "embedding", "l2", nlist = 4)
+    def brute(pred: org.apache.spark.sql.Column, k: Int) =
+      emb.filter(pred)
+        .select(col("vec_id"),
+          graft.functions.l2sq(col("embedding"), typedLit(q)).as("dist"))
+        .orderBy(col("dist"), col("vec_id")).limit(k)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    def got(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got(PartitionedIndex.searchIvf(spark, name, srcDir, "category",
+      "vec_id", "embedding", q, k = 30, nprobe = 4)) == brute(lit(true), 30))
+    assert(got(PartitionedIndex.searchIvf(spark, name, srcDir, "category",
+        "vec_id", "embedding", q, k = 15, nprobe = 4,
+        values = Some(Seq("2")))) ==
+      brute(col("category") === 2, 15))
+    // approximate (nprobe < nlist) still returns k rows per the contract
+    assert(PartitionedIndex.searchIvf(spark, name, srcDir, "category",
+      "vec_id", "embedding", q, k = 15, nprobe = 1).count() == 15)
+    Seq("0", "1", "2").foreach(v =>
+      IndexCatalog.drop(spark, PartitionedIndex.subName(name, v)))
+    rm(new File(srcDir))
+  }
 }

@@ -73,6 +73,27 @@ class ReindexSpec extends SparkSpec {
     IndexCatalog.drop(spark, name)
   }
 
+  test("IVF reindex retrains into a fresh generation, value-invisible at nprobe=nlist") {
+    import graft.operators.IvfIndex
+    val name = "reindex_spec_ivf"
+    IndexCatalog.drop(spark, name)
+    val src = s"$sf0001/embeddings.parquet"
+    def emb = spark.read.parquet(src)
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val (m1, p1) = IvfIndex.ensure(spark, name, emb, src, "embedding", "l2", 4)
+    def got(model: IvfIndex.Model, path: String) =
+      IvfIndex.search(spark, path, model, "vec_id", "embedding", q,
+          k = 50, nprobe = model.nlist)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val pre = got(m1, p1)
+    val (m2, p2) = IvfIndex.reindex(spark, name, emb, src, "embedding", "l2", 4)
+    assert(p2.endsWith("data-r1") &&
+      IndexCatalog.load(spark, name).get.params("reindex_gen") == "1")
+    assert(got(m2, p2) == pre, "IVF REINDEX must not change exact results")
+    IndexCatalog.drop(spark, name)
+  }
+
   test("incremental reindex folds side graphs, reclaims dead, keeps appends incremental") {
     val name = "reindex_spec_incr"
     IndexCatalog.drop(spark, name)
