@@ -165,9 +165,40 @@ object Recall {
         fam -> (recall, 10)
       }
 
+    // partitioned parent search (round-7 second pass): approximate
+    // per-partition beams vs the exact per-partition flat-scan merge —
+    // the same graphs, the beam is the only approximation. Measured
+    // directly (the registered q_partitioned_* gates are exact-mode).
+    def partitionedRecall(dir: String, tag: String): (String, (Double, Int)) = {
+      import org.apache.spark.sql.functions._
+      import graft.operators.PartitionedIndex
+      val san = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val srcDir = sys.props("java.io.tmpdir") + s"/graft_recallpart_$san"
+      if (!new java.io.File(srcDir, "_SUCCESS").isFile)
+        spark.read.parquet(s"$dir/embeddings.parquet")
+          .select(col("vec_id"), col("embedding"),
+            (col("vec_id") % 4).as("part"))
+          .write.mode("overwrite").partitionBy("part").parquet(srcDir)
+      val name = s"recallpart_$san"
+      PartitionedIndex.ensureHnsw(spark, name, srcDir, "part",
+        "vec_id", "embedding", "l2")
+      val q = spark.read.parquet(s"$dir/embeddings.parquet")
+        .filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      def ids(exact: Boolean) = PartitionedIndex.searchHnsw(spark, name,
+          srcDir, "part", "vec_id", q, k = 100, exact = exact)
+        .collect().map(_.getLong(0)).toSet
+      val ex = ids(true)
+      val r = ids(false).intersect(ex).size.toDouble / math.max(ex.size, 1)
+      println(f"[recall] $tag%-9s partitioned_hnsw     recall@100 = $r%.3f")
+      "partitioned_hnsw" -> (r, 100)
+    }
+
     val clDir = ensureClustered(spark, sfDir)
-    val clustered = measure(clDir, "clustered") ++ joinRecall(clDir, "clustered")
-    val random = measure(sfDir, "random") ++ joinRecall(sfDir, "random")
+    val clustered = measure(clDir, "clustered") ++ joinRecall(clDir, "clustered") :+
+      partitionedRecall(clDir, "clustered")
+    val random = measure(sfDir, "random") ++ joinRecall(sfDir, "random") :+
+      partitionedRecall(sfDir, "random")
     clustered.filter(_._2._1 < 0.9).foreach { case (fam, (r, k)) =>
       println(f"[recall] WARNING: $fam below 0.9 on the clustered fixture ($r%.3f@$k)")
     }

@@ -937,6 +937,53 @@ class PushdownSpec extends SparkSpec {
     }
   }
 
+  test("multiple indexes on one column: l2/cos/dot spellings each dispatch their own (index.slt)") {
+    import graft.queries.AnnQueries
+    val src = s"$sf001/embeddings.parquet"
+    val san = sf001.replaceAll("[^a-zA-Z0-9]", "_")
+    // three indexes on the same column, one per metric (index.slt's
+    // "multiple index on single column" block)
+    AnnQueries.ivf(spark, sf001, "l2")
+    AnnQueries.ivf(spark, sf001, "cos")
+    AnnQueries.ivf(spark, sf001, "dot")
+    AnnPushdown.install(spark)
+    val prev = AnnPushdown.snapshot(src)
+    Seq("l2", "cos", "dot").foreach(m => AnnPushdown.register(src,
+      AnnPushdown.IndexedTable(s"ivf_${m}_$san", "vec_id", "embedding", m)))
+    try {
+      spark.conf.set("spark.graft.ann.enabled", "true")
+      spark.conf.set("spark.graft.ann.nprobe", "16")
+      def run(dist: org.apache.spark.sql.Column) = {
+        val df = spark.read.parquet(src)
+          .select(col("vec_id"), dist.as("dist"))
+          .orderBy(col("dist")).limit(10)
+        assert(df.queryExecution.optimizedPlan.toString.contains("list_id"),
+          "spelling did not dispatch to its metric's index")
+        df.collect().map(_.getLong(0)).toSeq
+      }
+      // each operator spelling must pick ITS index — results equal the
+      // unrewritten plan per metric (exact at nprobe = nlist)
+      spark.conf.set("spark.graft.ann.enabled", "false")
+      val bL2 = spark.read.parquet(src).select(col("vec_id"),
+          graft.functions.l2sq(col("embedding"), typedLit(q)).as("dist"))
+        .orderBy(col("dist")).limit(10).collect().map(_.getLong(0)).toSeq
+      val bCos = spark.read.parquet(src).select(col("vec_id"),
+          graft.functions.cosdist(col("embedding"), typedLit(q)).as("dist"))
+        .orderBy(col("dist")).limit(10).collect().map(_.getLong(0)).toSeq
+      val bDot = spark.read.parquet(src).select(col("vec_id"),
+          graft.functions.negdot(col("embedding"), typedLit(q)).as("dist"))
+        .orderBy(col("dist")).limit(10).collect().map(_.getLong(0)).toSeq
+      spark.conf.set("spark.graft.ann.enabled", "true")
+      assert(run(graft.functions.l2sq(col("embedding"), typedLit(q))) == bL2)
+      assert(run(graft.functions.cosdist(col("embedding"), typedLit(q))) == bCos)
+      assert(run(graft.functions.negdot(col("embedding"), typedLit(q))) == bDot)
+    } finally {
+      spark.conf.set("spark.graft.ann.enabled", "false")
+      spark.conf.set("spark.graft.ann.nprobe", "10")
+      AnnPushdown.restore(src, prev)
+    }
+  }
+
   test("partitioned parent: top-k dispatches across sub-indexes; partition predicates prune") {
     import graft.operators.PartitionedIndex
     val srcDir = sys.props("java.io.tmpdir") + "/graft_partpush_src"
