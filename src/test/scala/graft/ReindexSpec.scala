@@ -94,6 +94,37 @@ class ReindexSpec extends SparkSpec {
     IndexCatalog.drop(spark, name)
   }
 
+  test("reindex joins the per-index DDL lock contract: races with ensure serialize") {
+    // the new DDL op must serialize with ensure/drop like every other
+    // (hooks.rs:60-106 analog): a reindex racing an ensure on one name
+    // can never tear the manifest or leave a dangling data_dir pointer.
+    val name = "reindex_spec_race"
+    IndexCatalog.drop(spark, name)
+    def mkManifest(src: String)(dataDir: String) = {
+      Thread.sleep(200) // hold the build long enough for the race
+      new File(dataDir).mkdirs()
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(dataDir, "part-0"), "x")
+      IndexCatalog.Manifest("ivf", src, "l2", Map("nlist" -> "4"))
+    }
+    IndexCatalog.ensure(spark, name, "raceSrc")(mkManifest("raceSrc"))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val rF = Future { IndexCatalog.reindex(spark, name)(mkManifest("raceSrc")) }
+    val eF = Future { IndexCatalog.ensure(spark, name, "raceSrc")(mkManifest("raceSrc")) }
+    Await.result(Future.sequence(Seq(rF, eF)), 60.seconds)
+    val m = IndexCatalog.load(spark, name).get
+    // whichever order the lock granted: exactly one committed manifest,
+    // pointer names an existing dir with the artifact file in it
+    assert(m.params("data_dir") == "data-r1")
+    val dd = new File(IndexCatalog.dataDir(spark, name))
+    assert(dd.isDirectory && new File(dd, "part-0").isFile)
+    assert(!new File(IndexCatalog.dir(spark, name), "data").exists(),
+      "old generation must be cleaned after the swap")
+    IndexCatalog.drop(spark, name)
+  }
+
   test("incremental reindex folds side graphs, reclaims dead, keeps appends incremental") {
     val name = "reindex_spec_incr"
     IndexCatalog.drop(spark, name)
