@@ -115,14 +115,18 @@ object IndexCatalog {
   /** Commit a manifest AFTER the data artifact is fully written — the
     * crash-recovery rule (lib.rs:128-211): a dir without a committed
     * manifest is garbage and gets rebuilt. */
+  /** Params owned by [[reindex]] that must survive every OTHER commit:
+    * a rebuilt manifest that dropped `data_dir` would flip the artifact
+    * path back to data/ while the files live in data-rN/, and a dropped
+    * `reindex_gen` would let a later reindex reuse a live generation
+    * dir (deleting the artifact it just committed). */
+  private val ReindexOwned = Seq("data_dir", "reindex_gen")
+
   def commit(spark: SparkSession, name: String, m0: Manifest): Manifest = {
-    // the data_dir pointer is owned by reindex and must survive every
-    // other commit: a rebuilt manifest that dropped it would flip the
-    // artifact path back to data/ while the files live in data-rN/
-    val m = if (m0.params.contains("data_dir")) m0 else
-      load(spark, name).flatMap(_.params.get("data_dir"))
-        .map(s => m0.copy(params = m0.params + ("data_dir" -> s)))
-        .getOrElse(m0)
+    val prior = ReindexOwned.filterNot(m0.params.contains)
+      .flatMap(k => load(spark, name).flatMap(_.params.get(k)).map(k -> _))
+    val m = if (prior.isEmpty) m0
+      else m0.copy(params = m0.params ++ prior)
     val f = manifestFile(spark, name)
     f.getParentFile.mkdirs()
     val tmp = new File(f.getParentFile, "MANIFEST.tmp")
@@ -152,7 +156,7 @@ object IndexCatalog {
   private def lockTtlMs(spark: SparkSession): Long =
     spark.conf.get("spark.graft.index.lock.ttlMs", "3600000").toLong
 
-  private def withIndexLock[T](spark: SparkSession, name: String)(body: => T): T = {
+  private[graft] def withIndexLock[T](spark: SparkSession, name: String)(body: => T): T = {
     val l = nameLocks.computeIfAbsent(dir(spark, name),
       _ => new java.util.concurrent.locks.ReentrantLock())
     l.lock()
@@ -214,21 +218,37 @@ object IndexCatalog {
       (build: String => Manifest): Manifest = withIndexLock(spark, name) {
     val prior = load(spark, name).getOrElse(
       throw new IllegalArgumentException(s"no such index: $name"))
-    val gen = prior.params.get("reindex_gen").map(_.toLong + 1).getOrElse(1L)
-    val oldData = new File(dataDir(spark, name))
+    // next generation from BOTH the committed counter and the live dir
+    // name: even if a direct commit dropped reindex_gen, newSub can
+    // never collide with the generation being served
+    val curSub = dataSub(spark, name)
+    val curGen =
+      if (curSub.startsWith("data-r")) curSub.stripPrefix("data-r").toLong
+      else 0L
+    val gen = math.max(curGen,
+      prior.params.get("reindex_gen").map(_.toLong).getOrElse(0L)) + 1
+    val oldData = new File(dir(spark, name), curSub)
     val newSub = s"data-r$gen"
     val newData = new File(dir(spark, name), newSub)
-    def rm(f: File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-      f.delete()
-    }
-    rm(newData) // debris from a crashed prior attempt
+    // fingerprint BEFORE the build (the ensure() ordering): a source
+    // re-ingested DURING a long build then compares stale and the next
+    // ensure rebuilds — the race must err toward rebuilding, never
+    // toward serving pre-change rows as current
+    val fp = fingerprint(prior.source)
+    deleteRecursively(newData) // debris from a crashed prior attempt
     val m = build(newData.getAbsolutePath)
-    val committed = commit(spark, name, m.copy(sourceFp = fingerprint(m.source),
+    val committed = commit(spark, name, m.copy(
+      sourceFp = if (m.source == prior.source) fp else fingerprint(m.source),
       params = m.params ++ Map("reindex_gen" -> gen.toString,
         "data_dir" -> newSub)))
-    rm(oldData) // post-commit cleanup only
+    deleteRecursively(oldData) // post-commit cleanup only
     committed
+  }
+
+  private[graft] def deleteRecursively(f: File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete()
   }
 
   /** Alterable option keys (search-time tuning hints) with their value
@@ -288,12 +308,8 @@ object IndexCatalog {
     * in-flight build waits for it instead of deleting files under the
     * writer (drop_index_when_indexing.slt behavior). */
   def drop(spark: SparkSession, name: String): Unit = withIndexLock(spark, name) {
-    def rm(f: File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete()
-    }
     val d = new File(dir(spark, name))
-    if (d.exists()) rm(d)
+    if (d.exists()) deleteRecursively(d)
     cache.remove(manifestFile(spark, name).getAbsolutePath)
   }
 

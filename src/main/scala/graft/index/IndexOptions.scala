@@ -35,14 +35,16 @@ object IndexOptions {
     * opclass matrix (finalize.sql:745-803) plus the pgvector names
     * vector_ip_ops / vector_cosine_ops (compatibility.rs). Unknown
     * names error with the reference's message (compact_stmt.slt).
-    * The family/metric pair is exactly the key the planner's typed
-    * routing dispatches on ([[graft.plans.AnnPushdown]]). */
+    * Families are the PLANNER's: "dense" for f32 vectors (whose
+    * registration key is the bare metric), "f16"/"svec"/"bvec" for the
+    * typed opclasses (family-qualified keys) — [[metricKey]] renders
+    * the exact registration spelling. */
   private val Opclasses: Map[String, (String, String)] = Map(
-    "vector_l2_ops" -> ("vector", "l2"),
-    "vector_dot_ops" -> ("vector", "dot"),
-    "vector_cos_ops" -> ("vector", "cos"),
-    "vector_ip_ops" -> ("vector", "dot"),      // pgvector spelling
-    "vector_cosine_ops" -> ("vector", "cos"),  // pgvector spelling
+    "vector_l2_ops" -> ("dense", "l2"),
+    "vector_dot_ops" -> ("dense", "dot"),
+    "vector_cos_ops" -> ("dense", "cos"),
+    "vector_ip_ops" -> ("dense", "dot"),      // pgvector spelling
+    "vector_cosine_ops" -> ("dense", "cos"),  // pgvector spelling
     "vecf16_l2_ops" -> ("f16", "l2"),
     "vecf16_dot_ops" -> ("f16", "dot"),
     "vecf16_cos_ops" -> ("f16", "cos"),
@@ -57,6 +59,14 @@ object IndexOptions {
     accessMethod(am)
     Opclasses.getOrElse(name, throw new IllegalArgumentException(
       s"""operator class "$name" does not exist for access method "$am""""))
+  }
+
+  /** The [[graft.plans.AnnPushdown.IndexedTable]] metric-key spelling
+    * for an opclass: bare metric for dense f32 ("l2"), family-qualified
+    * for the typed opclasses ("bvec:hamming"). */
+  def metricKey(name: String, am: String = "vectors"): String = {
+    val (family, metric) = opclass(name, am)
+    if (family == "dense") metric else s"$family:$metric"
   }
 
   /** ivf options: pgvector `lists` ≡ native `nlist`; both accepted,

@@ -207,8 +207,13 @@ object IncrHnsw {
     IndexCatalog.reindex(spark, name) { dataDir =>
       val dd = new java.io.File(dataDir)
       dd.mkdirs()
+      // the fold reads the snapshot pinned at `st` — an append that
+      // commits during the build stays invisible here and gets its own
+      // side graph from the next ensure (stamping st.seq while folding
+      // a LATER delta would double-index it)
       buildSegmentGraphs(spark,
-        Segments.read(spark, segDir, idCol).select(col(idCol), col(vecCol)),
+        Segments.readAt(spark, segDir, idCol, st)
+          .select(col(idCol), col(vecCol)),
         idCol, vecCol, metric, dd, f"rebase-${st.seq}%d-00000",
         m, efConstruction)
       IndexCatalog.Manifest("hnsw_incr", segDir, metric,

@@ -34,7 +34,15 @@ import org.apache.spark.sql.functions._
  */
 object PartitionedIndex {
 
-  private def san(v: String) = v.replaceAll("[^a-zA-Z0-9_.-]", "_")
+  /** INJECTIVE encoding of a partition value into a catalog-name-safe
+    * token: [a-zA-Z0-9.-] pass through, everything else — including the
+    * escape char '_' itself — becomes `_XX` hex. A lossy sanitizer
+    * would let two distinct values collide onto one sub-index name and
+    * silently overwrite each other's artifacts. */
+  private def san(v: String) = v.flatMap { c =>
+    if (c.isLetterOrDigit && c < 128 || c == '.' || c == '-') c.toString
+    else f"_${c.toInt}%02x"
+  }
 
   /** Sub-index catalog name for one partition value. */
   def subName(name: String, value: String): String = s"${name}__p${san(value)}"
@@ -73,17 +81,25 @@ object PartitionedIndex {
     // the PARENT catalog entry — the dispatchable index on the
     // partitioned table itself. It owns no artifact (sub-indexes do);
     // its manifest records the partition column and value list the
-    // planner prunes against, so an optimizer rule never has to list
-    // the filesystem to dispatch.
+    // planner validates against the live layout at dispatch time.
+    // Values are comma-joined in the manifest, so comma-carrying
+    // partition values are rejected up front (Spark writes them into
+    // dir names unescaped — a split would manufacture phantom values).
     import graft.index.IndexCatalog
+    require(values.forall(!_.contains(',')),
+      s"partition values must not contain ',': ${values.filter(_.contains(","))}")
     val params = Map("partCol" -> partCol, "values" -> values.mkString(","),
       "m" -> m.toString, "ef_construction" -> efConstruction.toString,
       "parts" -> parts.toString)
-    val prior = IndexCatalog.load(spark, name)
-    if (!prior.exists(p => p.source == source && p.metric == metric &&
-        params.forall { case (k2, v2) => p.params.get(k2).contains(v2) }))
-      IndexCatalog.commit(spark, name,
-        IndexCatalog.Manifest("hnsw_part", source, metric, params))
+    // the parent entry is DDL like any other: commit under the
+    // per-index lock so a racing drop can't interleave
+    IndexCatalog.withIndexLock(spark, name) {
+      val prior = IndexCatalog.load(spark, name)
+      if (!prior.exists(p => p.source == source && p.metric == metric &&
+          params.forall { case (k2, v2) => p.params.get(k2).contains(v2) }))
+        IndexCatalog.commit(spark, name,
+          IndexCatalog.Manifest("hnsw_part", source, metric, params))
+    }
     built
   }
 
@@ -148,8 +164,13 @@ object PartitionedIndex {
     }
     require(chosen.nonEmpty, s"no partitions to search under $source")
     chosen.map { v =>
+      val sub = subName(name, v)
+      // a partition present in the layout but never ensured must be a
+      // clear error, not an empty (silently-wrong) contribution
+      require(graft.index.IndexCatalog.load(spark, sub).nonEmpty,
+        s"no such index: $sub (run ensureHnsw after adding partitions)")
       Hnsw.searchIndex(spark,
-        graft.index.IndexCatalog.dataDir(spark, subName(name, v)),
+        graft.index.IndexCatalog.dataDir(spark, sub),
         idCol, q, k, efSearch, exact)
     }.reduce(_ unionByName _)
       .orderBy(col("dist"), col(idCol)).limit(k)

@@ -146,8 +146,15 @@ object Segments {
   def deltaDirs(dir: String, s: State): Seq[String] = listDirs(dir, "delta-", s)
 
   /** Max tombstone version per id, or None if no tombstones committed. */
-  def tombstoneMax(spark: SparkSession, dir: String, idCol: String): Option[DataFrame] = {
-    val tombDirs = listDirs(dir, "tombs-", state(dir))
+  def tombstoneMax(spark: SparkSession, dir: String, idCol: String): Option[DataFrame] =
+    tombstoneMaxAt(spark, dir, idCol, state(dir))
+
+  /** [[tombstoneMax]] pinned to an explicitly captured state — callers
+    * that must observe one consistent snapshot across several reads
+    * (REINDEX folds) pass the state they captured. */
+  def tombstoneMaxAt(spark: SparkSession, dir: String, idCol: String,
+      s: State): Option[DataFrame] = {
+    val tombDirs = listDirs(dir, "tombs-", s)
     if (tombDirs.isEmpty) None
     else Some(tombDirs.map(spark.read.parquet(_)).reduce(_ unionByName _)
       .groupBy(col(idCol)).agg(max(col("_ver")).as("_tomb_ver")))
@@ -155,12 +162,18 @@ object Segments {
 
   /** Snapshot read: base ∪ committed deltas, minus rows hidden by a
     * tombstone of the same id at version >= the row's version. */
-  def read(spark: SparkSession, dir: String, idCol: String): DataFrame = {
-    val s = state(dir)
+  def read(spark: SparkSession, dir: String, idCol: String): DataFrame =
+    readAt(spark, dir, idCol, state(dir))
+
+  /** [[read]] pinned to an explicitly captured state: an append that
+    * commits AFTER the capture is invisible, so a fold stamped with
+    * that state's seq can never double-index it. */
+  def readAt(spark: SparkSession, dir: String, idCol: String,
+      s: State): DataFrame = {
     require(s.gen >= 0, s"no committed generation under $dir")
     val parts = s"$dir/base-${s.gen}" +: deltaDirs(dir, s)
     val rows = parts.map(spark.read.parquet(_)).reduce(_ unionByName _)
-    tombstoneMax(spark, dir, idCol) match {
+    tombstoneMaxAt(spark, dir, idCol, s) match {
       case None => rows
       case Some(tombs) =>
         rows.join(broadcast(tombs), Seq(idCol), "left_outer")

@@ -1207,12 +1207,20 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case ("dense", "hnsw_part") =>
         // partitioned parent (partition.slt): per-partition graph
         // searches + one ordered merge; the value list comes from the
-        // parent manifest (the rule does metadata-only work, no jobs)
+        // parent manifest (the rule does metadata-only work, no jobs).
+        // If the LAYOUT drifted since ensure (a partition added or
+        // removed), the sub-index set no longer covers the table —
+        // bail to the unrewritten plan rather than erroring or
+        // silently dropping rows.
+        val registered = manifest.params("values").split(',').toSeq
+        if (graft.operators.PartitionedIndex.partitionValues(spark,
+            manifest.source, manifest.params("partCol")).toSet !=
+            registered.toSet) return None
         val qq = if (metric == "cos") IvfIndex.Kernels.normalize(q) else q
         graft.operators.PartitionedIndex.searchHnsw(spark, idx.indexName,
           manifest.source, manifest.params("partCol"), idx.idCol, qq, k,
           efSearch = hnswEfSearch, exact = hnswExact,
-          values = Some(manifest.params("values").split(',').toSeq))
+          values = Some(registered))
       case ("f16", "ivf_f16") =>
         TypedAnn.searchF16(spark, dataDir, model, idx.idCol, q, k, probes,
           metric)
@@ -1295,6 +1303,11 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       }
       if (valueSets.isEmpty || valueSets.exists(_.isEmpty)) return None
       val registered = manifest.params("values").split(',').toSeq
+      // layout drift since ensure -> the sub-index set no longer covers
+      // the table; bail to the unrewritten plan (same guard as the
+      // unfiltered arm)
+      if (graft.operators.PartitionedIndex.partitionValues(spark,
+          manifest.source, partCol).toSet != registered.toSet) return None
       val chosen = registered.filter(
         valueSets.flatten.reduce(_ intersect _).contains)
       if (chosen.isEmpty) return None // provably-empty: leave to Spark

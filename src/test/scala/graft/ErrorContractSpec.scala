@@ -80,13 +80,20 @@ class ErrorContractSpec extends SparkSpec {
     assert(e2.getMessage.contains(
       """operator class "wrong_operator" does not exist"""))
     // every finalize.sql opclass resolves to the planner's family/metric
-    // key, incl. the pgvector spellings mapping onto native metrics
-    assert(IndexOptions.opclass("vector_l2_ops") == ("vector", "l2"))
-    assert(IndexOptions.opclass("vector_ip_ops") == ("vector", "dot"))
-    assert(IndexOptions.opclass("vector_cosine_ops", "hnsw") == ("vector", "cos"))
+    // key, incl. the pgvector spellings mapping onto native metrics;
+    // metricKey renders the exact IndexedTable registration spelling
+    // (bare metric for dense, family-qualified for typed)
+    assert(IndexOptions.opclass("vector_l2_ops") == ("dense", "l2"))
+    assert(IndexOptions.opclass("vector_ip_ops") == ("dense", "dot"))
+    assert(IndexOptions.opclass("vector_cosine_ops", "hnsw") == ("dense", "cos"))
     assert(IndexOptions.opclass("bvector_jaccard_ops") == ("bvec", "jaccard"))
     assert(IndexOptions.opclass("vecf16_cos_ops") == ("f16", "cos"))
     assert(IndexOptions.opclass("svector_dot_ops") == ("svec", "dot"))
+    assert(IndexOptions.metricKey("vector_l2_ops") == "l2")
+    assert(IndexOptions.metricKey("vector_cosine_ops") == "cos")
+    assert(IndexOptions.metricKey("bvector_hamming_ops") == "bvec:hamming")
+    assert(IndexOptions.metricKey("svector_l2_ops") == "svec:l2")
+    assert(IndexOptions.metricKey("vecf16_dot_ops") == "f16:dot")
     // index.slt: unknown option fields are rejected by the reloption
     // parsers (both AM families)
     intercept[IllegalArgumentException] {

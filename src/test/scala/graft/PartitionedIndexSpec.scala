@@ -32,6 +32,12 @@ class PartitionedIndexSpec extends SparkSpec {
       IndexCatalog.drop(spark, PartitionedIndex.subName(name, v)))
     assert(PartitionedIndex.partitionValues(spark, srcDir, "category") ==
       Seq("0", "1", "2"))
+    // sub-name encoding is INJECTIVE: distinct values can never collide
+    // onto one sub-index (a lossy sanitizer would silently overwrite)
+    assert(PartitionedIndex.subName("n", "a_b") != PartitionedIndex.subName("n", "a b"))
+    assert(PartitionedIndex.subName("n", "v+1") != PartitionedIndex.subName("n", "v_1"))
+    assert(PartitionedIndex.subName("n", "2024-06-01") ==
+      "n__p2024-06-01") // plain values stay readable
     PartitionedIndex.ensureHnsw(spark, name, srcDir, "category",
       "vec_id", "embedding", "l2")
 

@@ -61,9 +61,26 @@ class ReindexSpec extends SparkSpec {
     IndexCatalog.alter(spark, name, "ef_search", "64")
     assert(IndexCatalog.load(spark, name).get.params("data_dir") == "data-r2")
     IndexCatalog.commit(spark, name,
-      before.copy(params = before.params - "data_dir"))
+      before.copy(params = before.params - "data_dir" - "reindex_gen"))
     assert(IndexCatalog.load(spark, name).get.params("data_dir") == "data-r2",
       "commit must preserve the reindex pointer")
+    assert(IndexCatalog.load(spark, name).get.params("reindex_gen") == "2",
+      "commit must preserve the generation counter")
+
+    // belt-and-braces: even if a rogue direct write strips BOTH owned
+    // params, the next generation derives from the live dir name — a
+    // reindex must never rebuild INTO the generation it is serving
+    val stripped = IndexCatalog.load(spark, name).get
+    val f = new File(IndexCatalog.dir(spark, name), "MANIFEST.bin")
+    val out = new java.io.ObjectOutputStream(new java.io.FileOutputStream(f))
+    try out.writeObject(stripped.copy(params =
+      stripped.params - "reindex_gen" + ("data_dir" -> "data-r2")))
+    finally out.close()
+    Hnsw.reindex(spark, name, emb, src, "vec_id", "embedding", "l2", 1)
+    val m3 = IndexCatalog.load(spark, name).get
+    assert(m3.params("data_dir") == "data-r3",
+      s"generation must advance past the live dir, got ${m3.params}")
+    assert(topk(name, q, 50) == pre)
 
     // reindex on a missing index errors (REINDEX INDEX no_such)
     intercept[IllegalArgumentException] {
@@ -191,6 +208,16 @@ class ReindexSpec extends SparkSpec {
     Segments.delete(spark, segDir,
       spark.range(1).select(lit(9000L).as("vec_id")), "vec_id")
     assert(!search().exists(_._1 == 9000L))
+
+    // snapshot pinning (the fold's no-double-index guarantee): a state
+    // captured BEFORE an append must not see the appended delta
+    val pinned = Segments.state(segDir)
+    val before9200 = Segments.readAt(spark, segDir, "vec_id", pinned).count()
+    Segments.append(spark, segDir, emb.filter(col("vec_id") === 4)
+      .select((col("vec_id") + 9200).as("vec_id"), col("embedding")), "vec_id")
+    assert(Segments.readAt(spark, segDir, "vec_id", pinned).count() ==
+      before9200, "a pinned read must not see a later append")
+    assert(Segments.read(spark, segDir, "vec_id").count() == before9200 + 1)
 
     IndexCatalog.drop(spark, name)
     rm(new File(segDir))
