@@ -868,9 +868,13 @@ object Hnsw {
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
         val conf = mkConf(hconf)
+        // resolve every graph ONCE per task and hold local refs:
+        // per-row GraphCache.get costs a file-status RPC per
+        // (row, graph) and thrashes the LRU whenever resident graphs
+        // exceed the byte budget (each row would reload each graph)
+        lazy val graphs = bfiles.value.map(f => GraphCache.get(f, conf))
         it.flatMap { case (qid, q) =>
-          bfiles.value.iterator.flatMap { f =>
-            val g = GraphCache.get(f, conf)
+          graphs.iterator.flatMap { g =>
             val off = if (g.metric == "cos") 1.0 else 0.0
             g.rangeFlat(q, r, off).map { case (id, d) => (qid, id, d) }
           }
@@ -913,9 +917,12 @@ object Hnsw {
       .as[(Long, Array[Float])]
     val hits = q0.mapPartitions { it =>
       val conf = mkConf(hconf)
+      // one GraphCache resolve per graph per TASK (see rangeJoin): the
+      // row-outer form would RPC-stat and potentially reload every
+      // graph for every query row
+      lazy val graphs = bfiles.value.map(f => GraphCache.get(f, conf))
       it.flatMap { case (qid, q) =>
-        bfiles.value.iterator.flatMap { f =>
-          val g = GraphCache.get(f, conf)
+        graphs.iterator.flatMap { g =>
           val off = if (g.metric == "cos") 1.0 else 0.0
           val res = if (exact) g.bruteForce(q, k) else g.search(q, k, efSearch)
           res.iterator.map { case (d, id) => (qid, id, d + off) }

@@ -55,7 +55,7 @@ object KnnJoin {
     * inside whole-stage codegen, replacing the driver-side
     * `Model.rankLists` call of the collected-batch path. */
   case class ProbeLists(vec: Expression, flatCentroids: Expression,
-      flatRadii: Expression, nprobe: Int, metric: String)
+      flatRadii: Expression, nprobe: Int, metric: String, dims: Int)
       extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
     override def first: Expression = vec
     override def second: Expression = flatCentroids
@@ -65,10 +65,11 @@ object KnnJoin {
     private val metricCode = KnnJoinKernels.metricCode(metric)
     override def nullSafeEval(v: Any, f: Any, r: Any): Any =
       KnnJoinKernels.probeLists(v.asInstanceOf[ArrayData],
-        f.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData], nprobe, metricCode)
+        f.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData], nprobe,
+        metricCode, dims)
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, (v, f, r) =>
-        s"${ev.value} = graft.operators.KnnJoinKernels.probeLists($v, $f, $r, $nprobe, $metricCode);")
+        s"${ev.value} = graft.operators.KnnJoinKernels.probeLists($v, $f, $r, $nprobe, $metricCode, $dims);")
     override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression) =
       copy(vec = a, flatCentroids = b, flatRadii = c)
     override def prettyName = "probe_lists"
@@ -86,7 +87,8 @@ object KnnJoin {
     val radii = if (model.radii == null) Array.empty[Float] else model.radii
     Shims.column(ProbeLists(Shims.expression(vec),
       Shims.expression(typedLit(flat)), Shims.expression(typedLit(radii)),
-      nprobe, rankMetric))
+      nprobe, rankMetric,
+      if (model.centroids.nonEmpty) model.centroids(0).length else -1))
   }
 
   /** Codegen range-list selection: ALL list ids whose triangle /
@@ -96,7 +98,7 @@ object KnnJoin {
     * probing it never loses a row: the range JOIN built on it is exact,
     * not approximate. Without radii stats every list is kept. */
   case class RangeLists(vec: Expression, flatCentroids: Expression,
-      flatRadii: Expression, r: Double, metric: String)
+      flatRadii: Expression, r: Double, metric: String, dims: Int)
       extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
     override def first: Expression = vec
     override def second: Expression = flatCentroids
@@ -106,10 +108,17 @@ object KnnJoin {
     private val metricCode = KnnJoinKernels.metricCode(metric)
     override def nullSafeEval(v: Any, f: Any, rr: Any): Any =
       KnnJoinKernels.rangeLists(v.asInstanceOf[ArrayData],
-        f.asInstanceOf[ArrayData], rr.asInstanceOf[ArrayData], r, metricCode)
-    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+        f.asInstanceOf[ArrayData], rr.asInstanceOf[ArrayData], r, metricCode,
+        dims)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      // splice the radius as exact bits: a bare Double token would emit
+      // uncompilable Java for Infinity/NaN and silently fall back to
+      // interpreted eval (the zero-ERROR-CodeGenerator rule)
+      val rBits = java.lang.Double.doubleToRawLongBits(r)
       nullSafeCodeGen(ctx, ev, (v, f, rr) =>
-        s"${ev.value} = graft.operators.KnnJoinKernels.rangeLists($v, $f, $rr, $r, $metricCode);")
+        s"${ev.value} = graft.operators.KnnJoinKernels.rangeLists($v, $f, $rr, " +
+          s"java.lang.Double.longBitsToDouble(${rBits}L), $metricCode, $dims);")
+    }
     override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression) =
       copy(vec = a, flatCentroids = b, flatRadii = c)
     override def prettyName = "range_lists"
@@ -120,8 +129,21 @@ object KnnJoin {
     val radii = if (model.radii == null) Array.empty[Float] else model.radii
     Shims.column(RangeLists(Shims.expression(vec),
       Shims.expression(typedLit(flat)), Shims.expression(typedLit(radii)),
-      r, model.metric))
+      r, model.metric,
+      if (model.centroids.nonEmpty) model.centroids(0).length else -1))
   }
+
+  /** The static probed-union INSET prune evaluates the query side
+    * twice (once collecting the union, once inside the join) — a
+    * documented cost trade for the partition pruning it buys. A
+    * NONDETERMINISTIC query plan (sample(), rand()-derived vectors)
+    * could probe DIFFERENT lists on the second evaluation, and the
+    * stale INSET would then silently drop in-range pairs — so such
+    * plans skip the static prune entirely; the list_id equi-join (and
+    * DPP, when Spark fires it) still prunes at runtime. */
+  private def staticPruneSafe(df: DataFrame): Boolean =
+    !df.queryExecution.analyzed.exists(p =>
+      p.expressions.exists(e => e.exists(!_.deterministic)))
 
   /** Distributed vector RANGE join: every (query row, corpus row) pair
     * with dist <= r, both sides tables — the all-pairs-within-radius
@@ -145,7 +167,7 @@ object KnnJoin {
       .withColumn("list_id", explode(rangeLists(col("qv"), model, r)))
     val scan0 = spark.read.parquet(path)
     val scan =
-      if (model.radii == null) scan0
+      if (model.radii == null || !staticPruneSafe(queries)) scan0
       else {
         val lists = probed.select(col("list_id")).distinct()
           .collect().map(_.getInt(0))
@@ -206,7 +228,7 @@ object KnnJoin {
       explode(probeListsMetric(probeInput, model, np, rankMetric)))
     val scan0 = spark.read.parquet(path)
     val scan =
-      if (np >= model.nlist) scan0
+      if (np >= model.nlist || !staticPruneSafe(queries)) scan0
       else {
         val lists = probed.select(col("list_id")).distinct()
           .collect().map(_.getInt(0))
@@ -275,7 +297,7 @@ object KnnJoin {
     // probe decision); skip the extra job when every list is probed anyway
     val scan0 = spark.read.parquet(path)
     val scan =
-      if (np >= model.nlist) scan0
+      if (np >= model.nlist || !staticPruneSafe(queries)) scan0
       else {
         val lists = probed.select(col("list_id")).distinct()
           .collect().map(_.getInt(0))
@@ -316,9 +338,20 @@ object KnnJoinKernels {
     * bound formulas and epsilons (l2 compares on the sqrt scale like
     * rangeScan; the eps only ever ADDS lists, so pruning stays sound).
     * Empty `radii` = no stats: every list is kept (no sound bound). */
+  /** The reference's dimension contract (error.slt): a query row of the
+    * wrong dimension ERRORS instead of reading misaligned centroid
+    * slices. `expectDims < 0` = unknown (no centroids) — skip. */
+  private def checkDims(v: ArrayData, expectDims: Int): Int = {
+    if (expectDims >= 0 && v.numElements() != expectDims)
+      throw new IllegalArgumentException(
+        "The dimension of a vector does not match that in a vector " +
+          s"index column: query ${v.numElements()}, index $expectDims")
+    v.numElements()
+  }
+
   def rangeLists(v: ArrayData, flat: ArrayData, radii: ArrayData,
-      r: Double, metric: Int): ArrayData = {
-    val dims = v.numElements()
+      r: Double, metric: Int, expectDims: Int): ArrayData = {
+    val dims = checkDims(v, expectDims)
     val nlist = flat.numElements() / dims
     val hasRadii = radii.numElements() == nlist
     if (!hasRadii) {
@@ -366,8 +399,8 @@ object KnnJoinKernels {
     * already normalized for cos (the caller normalizes at plan build,
     * matching normalize-at-build artifacts). */
   def probeLists(v: ArrayData, flat: ArrayData, radii: ArrayData,
-      nprobe: Int, metric: Int): ArrayData = {
-    val dims = v.numElements()
+      nprobe: Int, metric: Int, expectDims: Int): ArrayData = {
+    val dims = checkDims(v, expectDims)
     val nlist = flat.numElements() / dims
     val hasRadii = radii.numElements() == nlist
     val lb = new Array[Double](nlist)
@@ -396,7 +429,10 @@ object KnnJoinKernels {
           val x = flat.getFloat(off + i).toDouble
           dot += v.getFloat(i).toDouble * x; cc += x * x; i += 1
         }
-        acc = 1.0 - dot / math.sqrt(cc * math.max(qn, 1e-30))
+        // cc guarded like qn: an all-zero centroid must rank at a
+        // defined (worst) distance, not NaN — mirrored in
+        // TypedAnn.rankLists so the spec-asserted parity holds
+        acc = 1.0 - dot / math.sqrt(math.max(cc, 1e-30) * math.max(qn, 1e-30))
       } else {
         while (i < dims) { acc -= v.getFloat(i).toDouble * flat.getFloat(off + i).toDouble; i += 1 }
       }

@@ -134,8 +134,11 @@ object TypedAnn {
       case "l2" | "hamming" | "jaccard" => c => Kernels.l2sq(c, q)
       case "dot" => c => -Kernels.dot(c, q)
       case "cos" => c =>
+        // both norms guarded: an all-zero centroid ranks at a defined
+        // (worst) distance, never NaN — formula-identical to
+        // KnnJoinKernels CosRaw (spec-asserted parity)
         1.0 - Kernels.dot(c, q) /
-          math.sqrt(Kernels.dot(c, c) * Kernels.dot(q, q).max(1e-30))
+          math.sqrt(Kernels.dot(c, c).max(1e-30) * Kernels.dot(q, q).max(1e-30))
       case m => throw new IllegalArgumentException(s"unknown metric: $m")
     }
     val radii = model.radii

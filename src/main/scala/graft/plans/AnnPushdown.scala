@@ -378,12 +378,13 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     for ((iSide, qSide) <- candidates) {
       val sideOpt = stripJoinSide(iSide)
       val pieces = for {
-        (rel, extras) <- sideOpt
+        (rel, extras0) <- sideOpt
         vecAttr <- Seq(a, b).find(iSide.outputSet.contains)
         qAttr <- Seq(a, b).find(x => x.exprId != vecAttr.exprId &&
           qSide.outputSet.contains(x))
         idx <- lookup(pathsOf(rel), metric)
         if vecAttr.name == idx.vecCol
+        extras = joinExtras(extras0, idx.vecCol)
         manifest <- graft.index.IndexCatalog.load(spark, idx.indexName)
         if manifest.metric == metric &&
           ((manifest.kind == "ivf" && manifest.floats.contains("radii")) ||
@@ -561,9 +562,27 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         stripJoinSide(child)
       case Filter(c, child) =>
         stripJoinSide(child).map { case (rel, extras) =>
-          (rel, conjuncts(c).filterNot(_.isInstanceOf[IsNotNull]) ++ extras)
+          (rel, conjuncts(c) ++ extras)
         }
       case _ => None
+    }
+  }
+
+  /** Corpus-side extras with the SAFE IsNotNull conjuncts dropped: the
+    * optimizer infers `IsNotNull(vecCol)` from the join's distance
+    * expression (artifacts exclude null vectors at build — inner-join
+    * semantics), and `IsNotNull(a)` is implied by any other kept
+    * conjunct referencing `a`. A STANDALONE not-null on some other
+    * column is a selective user predicate and must stay — dropping it
+    * would return rows the original query excluded. */
+  private def joinExtras(extras: Seq[Expression],
+      vecCol: String): Seq[Expression] = {
+    val (nn, rest) = extras.partition(_.isInstanceOf[IsNotNull])
+    rest ++ nn.filter {
+      case IsNotNull(a: AttributeReference) =>
+        a.name != vecCol &&
+          !rest.exists(_.references.exists(_.exprId == a.exprId))
+      case _ => true
     }
   }
 
@@ -675,12 +694,13 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     if (w.orderSpec.length > 2) return None
     for ((iSide, qSide) <- Seq((j.right, j.left), (j.left, j.right))) {
       val pieces = for {
-        (rel, extras) <- stripJoinSide(iSide)
+        (rel, extras0) <- stripJoinSide(iSide)
         vecAttr <- Seq(vA, qA).find(iSide.outputSet.contains)
         qAttr <- Seq(vA, qA).find(x => x.exprId != vecAttr.exprId &&
           qSide.outputSet.contains(x))
         idx <- lookup(pathsOf(rel), metric)
         if vecAttr.name == idx.vecCol
+        extras = joinExtras(extras0, idx.vecCol)
         manifest <- graft.index.IndexCatalog.load(spark, idx.indexName)
         // dense artifacts bake the metric in; a typed artifact serves
         // every metric of its family (ranking/scoring are search-time)

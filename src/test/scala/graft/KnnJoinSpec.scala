@@ -47,7 +47,7 @@ class KnnJoinSpec extends SparkSpec {
           new GenericArrayData(centroids.flatten.map(x => x: Any)),
           new GenericArrayData(
             (if (useRadii) radii else Array.empty[Float]).map(x => x: Any)),
-          5, KnnJoinKernels.metricCode(metric)).toIntArray().toSeq
+          5, KnnJoinKernels.metricCode(metric), dims).toIntArray().toSeq
         assert(got == want, s"metric=$metric radii=$useRadii")
       }
     }
@@ -102,7 +102,7 @@ class KnnJoinSpec extends SparkSpec {
           new GenericArrayData(q.map(x => x: Any)),
           new GenericArrayData(centroids.flatten.map(x => x: Any)),
           new GenericArrayData(radii.map(x => x: Any)),
-          r, mc).toIntArray().toSet
+          r, mc, dims).toIntArray().toSet
         // replicate the driver-side rangeScan{,Cos,Dot} list filters
         val qn = math.sqrt(IvfIndex.Kernels.dot(q, q))
         val want = centroids.indices.filter { i =>
@@ -125,7 +125,7 @@ class KnnJoinSpec extends SparkSpec {
       new GenericArrayData(near0.map(x => x: Any)),
       new GenericArrayData(centroids.flatten.map(x => x: Any)),
       new GenericArrayData(radii.map(x => x: Any)),
-      1.0, KnnJoinKernels.L2).toIntArray().toSet
+      1.0, KnnJoinKernels.L2, dims).toIntArray().toSet
     assert(one == Set(0))
   }
 
@@ -136,7 +136,7 @@ class KnnJoinSpec extends SparkSpec {
       new GenericArrayData(Array(0.5f, 0.5f).map(x => x: Any)),
       new GenericArrayData(m.centroids.flatten.map(x => x: Any)),
       new GenericArrayData(Array.empty[Float].map(x => x: Any)),
-      0.01, KnnJoinKernels.L2).toIntArray().toSet
+      0.01, KnnJoinKernels.L2, 2).toIntArray().toSet
     assert(all == Set(0, 1, 2))
   }
 
@@ -159,7 +159,7 @@ class KnnJoinSpec extends SparkSpec {
           new GenericArrayData(centroids.flatten.map(x => x: Any)),
           new GenericArrayData(
             (if (useRadii) radii else Array.empty[Float]).map(x => x: Any)),
-          4, KnnJoinKernels.metricCode(code)).toIntArray().toSeq
+          4, KnnJoinKernels.metricCode(code), dims).toIntArray().toSeq
         assert(got == want, s"metric=$metric radii=$useRadii")
       }
     }
@@ -297,5 +297,55 @@ class KnnJoinSpec extends SparkSpec {
     // near-random fixture at nprobe 10 / nlist 16: the probed-fraction
     // regime (RECALL.json note) — the clustered number lives in RECALL.json
     assert(recall >= 0.8, s"recall@10 = $recall")
+  }
+
+  test("wrong-dimension query rows error in the join kernels (error.slt)") {
+    val (m, path) = ivf(sf0001)
+    val queries = Seq((1L, Array(0.1f, 0.2f, 0.3f))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      KnnJoin.join(spark, queries, "vec_id", "embedding", path, m,
+        "vec_id", "embedding", k = 3, nprobe = 2).collect()
+    }
+    assert(e.toString.contains("dimension of a vector") ||
+      Option(e.getCause).exists(_.toString.contains("dimension of a vector")))
+    val e2 = intercept[Exception] {
+      KnnJoin.rangeJoin(spark, queries, "vec_id", "embedding", path, m,
+        "vec_id", "embedding", r = 1.0).collect()
+    }
+    assert(e2.toString.contains("dimension of a vector") ||
+      Option(e2.getCause).exists(_.toString.contains("dimension of a vector")))
+  }
+
+  test("nondeterministic query sides skip the static prune, stay exact") {
+    val (m, path) = ivf(sf0001)
+    val det = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .filter(col("vec_id") % 50 === 0)
+    // a rand() column marks the PLAN nondeterministic even though the
+    // vectors themselves are stable — the static INSET must be skipped
+    // (a re-drawn second evaluation could probe different lists)
+    val nondet = det.withColumn("noise", rand(7))
+    // tight radius so the static prune keeps a strict subset of lists
+    def planOf(q: org.apache.spark.sql.DataFrame) =
+      KnnJoin.rangeJoin(spark, q, "vec_id", "embedding", path, m,
+        "vec_id", "embedding", r = 0.05).queryExecution.executedPlan.toString
+    assert(planOf(det).contains("INSET"),
+      "deterministic query side should keep the static prune")
+    val np = planOf(nondet)
+    assert(!np.contains("INSET"),
+      s"nondeterministic query side must skip the static prune:\n$np")
+    // and the result is still the exact cross filter
+    val got = KnnJoin.rangeJoin(spark, nondet, "vec_id", "embedding", path, m,
+      "vec_id", "embedding", r = 0.05)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val corpus = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val want = det.select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      .crossJoin(corpus)
+      .select(col("qid"), col("cid"),
+        graft.functions.l2sq(col("cv"), col("qv")).as("dist"))
+      .filter(col("dist") <= 0.05)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    assert(got == want)
+    assert(got.nonEmpty) // self pairs at dist 0
   }
 }

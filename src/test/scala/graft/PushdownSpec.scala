@@ -903,6 +903,32 @@ class PushdownSpec extends SparkSpec {
       .select(queries("qid"), corpus("vec_id"),
         graft.functions.l2sq(corpus("embedding"), queries("qvec")).as("dist"))
     assert(!wrongOp.queryExecution.optimizedPlan.toString.contains("range_lists"))
+
+    // a STANDALONE corpus-side IS NOT NULL is a selective user predicate:
+    // it must survive as an extra (remapped into the dense scan), never
+    // be silently dropped — the rewrite still fires and the result set
+    // matches the unrewritten join exactly
+    def nnDf = {
+      val c2 = spark.read.parquet(src)
+      val q2 = spark.read.parquet(src).filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      q2.join(c2.filter(c2("label").isNotNull),
+          graft.functions.l2sq(c2("embedding"), q2("qvec")) < lit(1.2))
+        .select(q2("qid"), c2("vec_id"),
+          graft.functions.l2sq(c2("embedding"), q2("qvec")).as("dist"))
+    }
+    spark.conf.set("spark.graft.ann.enabled", "false")
+    val nnBase = nnDf.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    spark.conf.set("spark.graft.ann.enabled", "true")
+    val nnPushed = nnDf
+    val nnPlan = nnPushed.queryExecution.optimizedPlan.toString
+    assert(nnPlan.contains("range_lists"),
+      "standalone IsNotNull should remap like any other corpus predicate")
+    assert(nnPlan.contains("isnotnull(label"),
+      s"standalone IsNotNull must survive in the rewritten plan:\n$nnPlan")
+    assert(nnPushed.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet == nnBase)
     }
   }
 
