@@ -868,14 +868,19 @@ object Hnsw {
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
         val conf = mkConf(hconf)
-        // resolve every graph ONCE per task and hold local refs:
-        // per-row GraphCache.get costs a file-status RPC per
-        // (row, graph) and thrashes the LRU whenever resident graphs
-        // exceed the byte budget (each row would reload each graph)
-        lazy val graphs = bfiles.value.map(f => GraphCache.get(f, conf))
-        it.flatMap { case (qid, q) =>
-          graphs.iterator.flatMap { g =>
-            val off = if (g.metric == "cos") 1.0 else 0.0
+        // graphs-OUTER order (the searchIndexBatch shape): the query
+        // partition is buffered (bounded by maxPartitionBytes — vectors,
+        // small next to graphs) and each graph is resolved ONCE per
+        // task, one at a time. Per-row GraphCache.get would RPC-stat
+        // per (row, graph) and thrash the LRU whenever resident graphs
+        // exceed the byte budget; holding refs to ALL graphs at once
+        // would bypass the budget instead.
+        val rows = it.toArray
+        if (rows.isEmpty) Iterator.empty
+        else bfiles.value.iterator.flatMap { f =>
+          val g = GraphCache.get(f, conf)
+          val off = if (g.metric == "cos") 1.0 else 0.0
+          rows.iterator.flatMap { case (qid, q) =>
             g.rangeFlat(q, r, off).map { case (id, d) => (qid, id, d) }
           }
         }
@@ -917,13 +922,14 @@ object Hnsw {
       .as[(Long, Array[Float])]
     val hits = q0.mapPartitions { it =>
       val conf = mkConf(hconf)
-      // one GraphCache resolve per graph per TASK (see rangeJoin): the
-      // row-outer form would RPC-stat and potentially reload every
-      // graph for every query row
-      lazy val graphs = bfiles.value.map(f => GraphCache.get(f, conf))
-      it.flatMap { case (qid, q) =>
-        graphs.iterator.flatMap { g =>
-          val off = if (g.metric == "cos") 1.0 else 0.0
+      // graphs-outer, rows buffered — see rangeJoin: one GraphCache
+      // resolve per graph per task, one graph resident at a time
+      val rows = it.toArray
+      if (rows.isEmpty) Iterator.empty
+      else bfiles.value.iterator.flatMap { f =>
+        val g = GraphCache.get(f, conf)
+        val off = if (g.metric == "cos") 1.0 else 0.0
+        rows.iterator.flatMap { case (qid, q) =>
           val res = if (exact) g.bruteForce(q, k) else g.search(q, k, efSearch)
           res.iterator.map { case (d, id) => (qid, id, d + off) }
         }
