@@ -73,6 +73,11 @@ object PartitionedIndex {
       : Seq[(String, String)] = {
     val values = partitionValues(spark, source, partCol)
     require(values.nonEmpty, s"no $partCol=* partitions under $source")
+    // checked BEFORE any sub-build: values are comma-joined in the
+    // parent manifest (Spark writes commas into dir names unescaped —
+    // a later split would manufacture phantom values)
+    require(values.forall(!_.contains(',')),
+      s"partition values must not contain ',': ${values.filter(_.contains(","))}")
     val built = values.map { v =>
       val sub = s"$source/$partCol=$v"
       v -> Hnsw.ensure(spark, subName(name, v), spark.read.parquet(sub),
@@ -82,12 +87,7 @@ object PartitionedIndex {
     // partitioned table itself. It owns no artifact (sub-indexes do);
     // its manifest records the partition column and value list the
     // planner validates against the live layout at dispatch time.
-    // Values are comma-joined in the manifest, so comma-carrying
-    // partition values are rejected up front (Spark writes them into
-    // dir names unescaped — a split would manufacture phantom values).
     import graft.index.IndexCatalog
-    require(values.forall(!_.contains(',')),
-      s"partition values must not contain ',': ${values.filter(_.contains(","))}")
     val params = Map("partCol" -> partCol, "values" -> values.mkString(","),
       "m" -> m.toString, "ef_construction" -> efConstruction.toString,
       "parts" -> parts.toString)

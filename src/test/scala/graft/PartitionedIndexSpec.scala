@@ -66,6 +66,25 @@ class PartitionedIndexSpec extends SparkSpec {
       PartitionedIndex.searchHnsw(spark, name, srcDir, "category",
         "vec_id", q, k = 5, values = Some(Seq("9")))
     }
+    // a partition present in the layout but never ensured is a clear
+    // error, not a silent empty contribution
+    new File(s"$srcDir/category=3").mkdirs()
+    val e3 = intercept[IllegalArgumentException] {
+      PartitionedIndex.searchHnsw(spark, name, srcDir, "category",
+        "vec_id", q, k = 5).collect()
+    }
+    assert(e3.getMessage.contains("run ensureHnsw"))
+    rm(new File(s"$srcDir/category=3"))
+    // comma-carrying partition values are rejected at ensure (they are
+    // comma-joined in the parent manifest)
+    val commaSrc = sys.props("java.io.tmpdir") + "/graft_partspec_comma"
+    rm(new File(commaSrc))
+    new File(s"$commaSrc/category=a,b").mkdirs()
+    intercept[IllegalArgumentException] {
+      PartitionedIndex.ensureHnsw(spark, "partspec_comma", commaSrc,
+        "category", "vec_id", "embedding", "l2")
+    }
+    rm(new File(commaSrc))
 
     // per-partition staleness: re-ingest partition 1 -> only its
     // sub-index rebuilds; partitions 0/2 artifacts stay mtime-stable
