@@ -36,12 +36,14 @@ object PartitionedIndex {
 
   /** INJECTIVE encoding of a partition value into a catalog-name-safe
     * token: [a-zA-Z0-9.-] pass through, everything else — including the
-    * escape char '_' itself — becomes `_XX` hex. A lossy sanitizer
-    * would let two distinct values collide onto one sub-index name and
-    * silently overwrite each other's artifacts. */
+    * escape char '_' itself — becomes `_XXXX` (FIXED-width 4-hex-digit
+    * code unit; variable-width escapes would let a two-char value whose
+    * first char is u0012 encode identically to a one-char u0123 value). A lossy sanitizer would let two distinct values collide
+    * onto one sub-index name and silently overwrite each other's
+    * artifacts. */
   private def san(v: String) = v.flatMap { c =>
     if (c.isLetterOrDigit && c < 128 || c == '.' || c == '-') c.toString
-    else f"_${c.toInt}%02x"
+    else f"_${c.toInt}%04x"
   }
 
   /** Sub-index catalog name for one partition value. */

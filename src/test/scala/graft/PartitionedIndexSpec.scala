@@ -115,6 +115,23 @@ class PartitionedIndexSpec extends SparkSpec {
     rm(new File(srcDir))
   }
 
+  test("subName encoding is injective over arbitrary value strings") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val genVal = Gen.listOfN(8, Gen.oneOf(
+      Gen.alphaNumChar, Gen.oneOf(' ', '_', '+', ',', '%', '/', '.', '-', 'é')))
+      .map(_.mkString)
+    val params = Gen.Parameters.default
+    val values = (0 until 300).flatMap(i =>
+      genVal(params, Seed(i.toLong)).toSeq)
+    val collisions = values.distinct
+      .groupBy(v => PartitionedIndex.subName("n", v))
+      .filter(_._2.length > 1)
+    assert(collisions.isEmpty, s"colliding encodings: $collisions")
+    // and round-trip readability: plain values encode as themselves
+    assert(PartitionedIndex.subName("n", "abc42") == "n__pabc42")
+  }
+
   test("partitioned IVF: two pruning levels compose, exact at nprobe=nlist") {
     val srcDir = sys.props("java.io.tmpdir") + "/graft_partspec_ivf_src"
     rm(new File(srcDir))
