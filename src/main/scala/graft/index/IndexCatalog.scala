@@ -208,12 +208,21 @@ object IndexCatalog {
     * property falls out of the commit-after-write design; the swap is
     * ONE atomic manifest commit flipping the `data_dir` pointer.
     * Executor-side caches key on file identity (path + mtime/len), so
-    * the new files reload on first touch. The old generation dir is
-    * removed post-commit; a crash at any point leaves either the old
-    * committed state intact or the new one plus ignorable debris (a
-    * data dir no manifest points at), never a torn index. Blocking
-    * REINDEX and REINDEX CONCURRENTLY collapse to the same batch job
-    * here: builds were never able to block readers in the first place. */
+    * the new files reload on first touch. Old-generation cleanup is
+    * DEFERRED (round 8): searches never take the DDL lock, so an
+    * in-flight query may still hold resolved paths into the previous
+    * generation when the commit lands — deleting it immediately could
+    * fail that query mid-scan with FileNotFound (transient, never wrong
+    * results, but undercutting CONCURRENTLY). Stale generations (any
+    * data/data-r* dir the committed manifest does not name) are instead
+    * swept at the START of the next reindex on this name, by which
+    * point readers of the displaced generation have long drained; the
+    * cost is one stale generation's disk until then (drop reclaims
+    * everything). A crash at any point leaves either the old committed
+    * state intact or the new one plus ignorable debris, never a torn
+    * index. Blocking REINDEX and REINDEX CONCURRENTLY collapse to the
+    * same batch job here: builds were never able to block readers in
+    * the first place. */
   def reindex(spark: SparkSession, name: String)
       (build: String => Manifest): Manifest = withIndexLock(spark, name) {
     val prior = load(spark, name).getOrElse(
@@ -227,22 +236,25 @@ object IndexCatalog {
       else 0L
     val gen = math.max(curGen,
       prior.params.get("reindex_gen").map(_.toLong).getOrElse(0L)) + 1
-    val oldData = new File(dir(spark, name), curSub)
     val newSub = s"data-r$gen"
     val newData = new File(dir(spark, name), newSub)
+    // deferred sweep (see docstring): generations displaced by PRIOR
+    // reindexes — their readers have drained — and debris from crashed
+    // attempts. Never touches the dir the manifest currently serves.
+    Option(new File(dir(spark, name)).listFiles()).getOrElse(Array.empty[File])
+      .filter(f => f.isDirectory && f.getName != curSub &&
+        (f.getName == "data" || f.getName.startsWith("data-r")))
+      .foreach(deleteRecursively(_))
     // fingerprint BEFORE the build (the ensure() ordering): a source
     // re-ingested DURING a long build then compares stale and the next
     // ensure rebuilds — the race must err toward rebuilding, never
     // toward serving pre-change rows as current
     val fp = fingerprint(prior.source)
-    deleteRecursively(newData) // debris from a crashed prior attempt
     val m = build(newData.getAbsolutePath)
-    val committed = commit(spark, name, m.copy(
+    commit(spark, name, m.copy(
       sourceFp = if (m.source == prior.source) fp else fingerprint(m.source),
       params = m.params ++ Map("reindex_gen" -> gen.toString,
         "data_dir" -> newSub)))
-    deleteRecursively(oldData) // post-commit cleanup only
-    committed
   }
 
   private[graft] def deleteRecursively(f: File): Unit = {

@@ -529,6 +529,111 @@ object Hnsw {
     def residentBytes: Long = cache.synchronized { curBytes }
   }
 
+  /** Per-graph routing stats for the table-valued joins — the IVF
+    * rankLists precedent (crates/ivf/src/lib.rs:68-119) lifted to
+    * graph-partitioned HNSW: each graph file carries the k-means
+    * centroid its rows were assigned to plus the covering radius
+    * (max L2 distance of any stored row to that centroid, rounded UP so
+    * float truncation can never shrink a bound below a boundary row).
+    * Joins rank graphs per query by the metric's lower bound and walk
+    * only the top-g ([[knnJoin]]) or provably-reachable ([[rangeJoin]],
+    * sound → still exact) graphs, so per-query cost no longer grows
+    * with graph count. Written as a `routing.bin` sidecar at ensure;
+    * artifacts from before the sidecar carry no `routing` param and
+    * rebuild via the staleness invariant. */
+  object Routing {
+    private val Magic = 0x47525447 // "GRTG"
+    private val Version = 1
+
+    /** pid -> (covering radius [plain L2, not squared], centroid). */
+    def write(fs: org.apache.hadoop.fs.FileSystem,
+        dir: org.apache.hadoop.fs.Path, metric: String,
+        entries: Seq[(Int, Double, Array[Float])], dims: Int): Unit = {
+      val tmp = new org.apache.hadoop.fs.Path(dir, ".routing.bin.tmp")
+      val p = new org.apache.hadoop.fs.Path(dir, "routing.bin")
+      val out = new java.io.DataOutputStream(
+        new java.io.BufferedOutputStream(fs.create(tmp, true), 1 << 16))
+      try {
+        out.writeInt(Magic); out.writeInt(Version)
+        out.writeUTF(metric)
+        out.writeInt(dims); out.writeInt(entries.length)
+        entries.foreach { case (pid, rad, c) =>
+          out.writeInt(pid); out.writeDouble(rad)
+          var i = 0
+          while (i < dims) { out.writeFloat(c(i)); i += 1 }
+        }
+      } finally out.close()
+      if (!fs.rename(tmp, p)) {
+        fs.delete(p, false)
+        if (!fs.rename(tmp, p))
+          throw new java.io.IOException(s"failed to publish $p")
+      }
+    }
+
+    def read(fs: org.apache.hadoop.fs.FileSystem,
+        dir: org.apache.hadoop.fs.Path)
+        : Option[(String, Map[Int, (Double, Array[Float])])] = {
+      val p = new org.apache.hadoop.fs.Path(dir, "routing.bin")
+      if (!fs.exists(p)) return None
+      val in = new java.io.DataInputStream(
+        new java.io.BufferedInputStream(fs.open(p), 1 << 16))
+      try {
+        if (in.readInt() != Magic || in.readInt() != Version) return None
+        val metric = in.readUTF()
+        val dims = in.readInt(); val n = in.readInt()
+        val b = Map.newBuilder[Int, (Double, Array[Float])]
+        var e = 0
+        while (e < n) {
+          val pid = in.readInt(); val rad = in.readDouble()
+          val c = new Array[Float](dims)
+          var i = 0
+          while (i < dims) { c(i) = in.readFloat(); i += 1 }
+          b += pid -> (rad, c)
+          e += 1
+        }
+        Some((metric, b.result()))
+      } finally in.close()
+    }
+
+    /** Lower bound of the REPORTED dist (searchIndex conventions: l2 =
+      * squared L2, cos = 1 - dot on normalized sides, dot = -dot) from
+      * query `q` to any row of a graph with centroid `c`, covering
+      * radius `rad`. `qn` = |q| (only read for cos/dot). Sound by the
+      * triangle inequality (l2) / Cauchy-Schwarz on the residual
+      * (cos/dot) — the rangeScan{,Cos,Dot} bound shapes. */
+    def lowerBound(metric: String, q: Array[Float], qn: Double,
+        c: Array[Float], rad: Double): Double = metric match {
+      case "l2" =>
+        val d = math.sqrt(IvfIndex.Kernels.l2sq(q, c)) - rad
+        if (d > 0) d * d else 0.0
+      case "cos" => 1.0 - IvfIndex.Kernels.dot(q, c) - rad * qn
+      case _ => -(IvfIndex.Kernels.dot(q, c) + rad * qn)
+    }
+
+    /** Pair each sorted graph-file path with its routing entry by the
+      * pid encoded in the file name; None unless EVERY file has one (a
+      * partial sidecar routes nothing — fail safe to all-graphs). */
+    def align(files: Seq[String],
+        entries: Map[Int, (Double, Array[Float])])
+        : Option[Array[(Double, Array[Float])]] = {
+      val pat = ".*graph-(\\d+)\\.bin$".r
+      val out = files.map {
+        case pat(pid) => entries.get(pid.toInt)
+        case _ => None
+      }
+      if (out.forall(_.isDefined)) Some(out.map(_.get).toArray) else None
+    }
+  }
+
+  /** Exact-by-pid RDD partitioner for the spatial build: cluster i's
+    * rows land in partition i, so graph-<pid>.bin IS cluster pid and the
+    * routing sidecar keys align. (repartition(parts, col) hashes — it
+    * can collide two clusters into one graph and strand empty files.) */
+  private class PidPartitioner(n: Int) extends org.apache.spark.Partitioner {
+    def numPartitions: Int = n
+    def getPartition(key: Any): Int = key.asInstanceOf[Int]
+  }
+
   /** Capture the driver's Hadoop configuration as serializable entries —
     * executor-side tasks rebuild it with [[mkConf]] so spark.hadoop.*
     * settings (S3 credentials, kerberos, fs.defaultFS) reach the
@@ -579,11 +684,14 @@ object Hnsw {
     import graft.index.IndexCatalog
     // format AND build params participate in staleness: an older layout
     // or different (m, efConstruction, parts) rebuilds instead of
-    // silently serving the stale artifact
-    IndexCatalog.ensure(spark, name, source,
-        requires = Map("format" -> "flatbin1", "m" -> m.toString,
-          "ef_construction" -> efConstruction.toString,
-          "parts" -> parts.toString))(
+    // silently serving the stale artifact. parts>1 artifacts additionally
+    // require the spatial-partitioning + routing-sidecar generation
+    // (routing=centroid1, round 8) — pre-routing artifacts rebuild.
+    val reqs = Map("format" -> "flatbin1", "m" -> m.toString,
+      "ef_construction" -> efConstruction.toString,
+      "parts" -> parts.toString) ++
+      (if (parts > 1) Map("routing" -> "centroid1") else Map.empty)
+    IndexCatalog.ensure(spark, name, source, requires = reqs)(
       buildFlatArtifact(spark, df, source, idCol, vecCol, metric, parts,
         m, efConstruction))
     IndexCatalog.dataDir(spark, name)
@@ -623,21 +731,39 @@ object Hnsw {
         else nonNull
       val rows0 = prepped.select(col(idCol).cast("long"), col(vecCol))
         .as[(Long, Array[Float])]
-      val rows =
-        if (parts <= 1) rows0.coalesce(1).sortWithinPartitions(col(idCol))
-        else rows0.repartition(parts, col(idCol))
       val dirPath = new org.apache.hadoop.fs.Path(dataDir)
       val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(dirPath)) fs.delete(dirPath, true)
       fs.mkdirs(dirPath)
       val hconf = confEntries(spark)
-      val nFiles = rows.mapPartitions { it =>
-        val g = new Graph(metric, m, efConstruction)
-        it.foreach { case (id, v) => g.insert(id, v) }
-        if (g.size == 0) Iterator.empty
+      /** Build one FlatGraph from this partition's rows and publish it
+        * as graph-<pid>.bin; returns (pid, nRows, covering L2 radius to
+        * `centroidOf(pid)` — 0.0 when no centroid, i.e. the hash path). */
+      def writeGraphTask(it: Iterator[(Long, Array[Float])],
+          centroidOf: Int => Array[Float]): Iterator[(Int, Long, Double)] = {
+        // sorted insertion: deterministic graphs AND deterministic
+        // artifact bytes per (data, params) — matters for the GraphCache
+        // identity key and for spec reproducibility
+        val rows = it.toArray.sortBy(_._1)
+        if (rows.isEmpty) Iterator.empty
         else {
+          val g = new Graph(metric, m, efConstruction)
+          rows.foreach { case (id, v) => g.insert(id, v) }
           val tc = org.apache.spark.TaskContext.get()
           val pid = tc.partitionId()
+          val c = centroidOf(pid)
+          var rad = 0.0
+          if (c != null) {
+            var i = 0
+            while (i < rows.length) {
+              val d = math.sqrt(IvfIndex.Kernels.l2sq(rows(i)._2, c))
+              if (d > rad) rad = d
+              i += 1
+            }
+            // round UP: float noise must never shrink a bound below a
+            // boundary row (the IVF radii convention)
+            rad = java.lang.Math.nextUp(java.lang.Math.nextUp(rad))
+          }
           // tmp is unique PER ATTEMPT: retried/speculative tasks must
           // never interleave writes into a shared file
           val attempt = tc.taskAttemptId()
@@ -656,13 +782,48 @@ object Hnsw {
               throw new java.io.IOException(s"failed to publish $p")
             pfs.delete(tmp, false)
           }
-          Iterator.single(1)
+          Iterator.single((pid, rows.length.toLong, rad))
         }
-      }.collect().sum
-      IndexCatalog.Manifest("hnsw", source, metric,
-        Map("m" -> m.toString, "ef_construction" -> efConstruction.toString,
-          "parts" -> parts.toString, "files" -> nFiles.toString,
-          "format" -> "flatbin1"))
+      }
+      val baseParams = Map("m" -> m.toString,
+        "ef_construction" -> efConstruction.toString,
+        "parts" -> parts.toString, "format" -> "flatbin1")
+      if (parts <= 1) {
+        val rows = rows0.coalesce(1).sortWithinPartitions(col(idCol))
+        val nFiles = rows.mapPartitions(writeGraphTask(_, _ => null))
+          .collect().length
+        IndexCatalog.Manifest("hnsw", source, metric,
+          baseParams + ("files" -> nFiles.toString))
+      } else {
+        // SPATIAL partitioning (round 8): k-means the prepped vectors
+        // into `parts` clusters and build one graph per CLUSTER, so the
+        // per-graph routing stats (centroid + covering radius) carry
+        // real pruning power — hash-partitioned graphs are each a
+        // uniform sample of the corpus, whose radii bound nothing.
+        // Assignment is L2 in the STORED space (cos rows are already
+        // normalize-at-build here), matching the L2-radius bounds the
+        // joins evaluate. Every-graph searches (searchIndex et al.) are
+        // partitioning-agnostic: the per-graph top-k union covers the
+        // same row set either way.
+        val model = IvfIndex.train(prepped, vecCol, "l2", parts)
+        val bcent = spark.sparkContext.broadcast(model.centroids)
+        val stats = rows0
+          .withColumn("cl", IvfIndex.nearestCentroid(col(vecCol), model))
+          .select(col("cl"), col(idCol), col(vecCol))
+          .as[(Int, Long, Array[Float])]
+          .rdd.map { case (c, id, v) => (c, (id, v)) }
+          .partitionBy(new PidPartitioner(parts))
+          .map(_._2)
+          .mapPartitions(writeGraphTask(_, pid => bcent.value(pid)))
+          .collect()
+        Routing.write(fs, dirPath, metric,
+          stats.sortBy(_._1).map { case (pid, _, rad) =>
+            (pid, rad, bcent.value(pid)) }.toSeq,
+          if (model.centroids.nonEmpty) model.centroids(0).length else 0)
+        IndexCatalog.Manifest("hnsw", source, metric,
+          baseParams + ("files" -> stats.length.toString,
+            "routing" -> "centroid1"))
+      }
   }
 
   /** DDL-option-spelling ensure (reference pgvector compatibility,
@@ -860,7 +1021,18 @@ object Hnsw {
       .map(_.getPath.toString).sorted.toSeq
     if (files.isEmpty)
       return spark.emptyDataset[(Long, Long, Double)].toDF("qid", idCol, "dist")
+    // routing sidecar (spatial builds): per-query SOUND graph pruning —
+    // a graph is skipped only when its lower bound proves no stored row
+    // can be within r, so the join stays exact at any radius. The eps
+    // follows the rangeScan/rangeLists convention: it only ever ADDS
+    // graphs. Metric is per graph file; routing bounds need it up front,
+    // so it rides the sidecar alignment (all graphs of one artifact
+    // share the build metric).
+    val routing: Option[(String, Array[(Double, Array[Float])])] =
+      Routing.read(fs, dirPath).flatMap { case (met, ents) =>
+        Routing.align(files, ents).map(a => (met, a)) }
     val bfiles = spark.sparkContext.broadcast(files)
+    val brouting = spark.sparkContext.broadcast(routing)
     val hconf = confEntries(spark)
     queries
       .filter(col(qvecCol).isNotNull && graft.functions.vectorIsFinite(col(qvecCol)))
@@ -877,11 +1049,43 @@ object Hnsw {
         // would bypass the budget instead.
         val rows = it.toArray
         if (rows.isEmpty) Iterator.empty
-        else bfiles.value.iterator.flatMap { f =>
-          val g = GraphCache.get(f, conf)
-          val off = if (g.metric == "cos") 1.0 else 0.0
-          rows.iterator.flatMap { case (qid, q) =>
-            g.rangeFlat(q, r, off).map { case (id, d) => (qid, id, d) }
+        else {
+          val fl = bfiles.value
+          // per-graph list of query indices that can still reach it
+          val sel: Array[Array[Int]] = brouting.value match {
+            case None => null
+            case Some((metric, ents)) =>
+              val buf = Array.fill(fl.length)(
+                new scala.collection.mutable.ArrayBuffer[Int])
+              var i = 0
+              while (i < rows.length) {
+                val q = rows(i)._2
+                val qn = math.sqrt(IvfIndex.Kernels.dot(q, q))
+                val eps = if (metric == "cos") 1e-6 else 1e-9
+                var gi = 0
+                while (gi < fl.length) {
+                  val (rad, c) = ents(gi)
+                  if (Routing.lowerBound(metric, q, qn, c, rad) < r + eps)
+                    buf(gi) += i
+                  gi += 1
+                }
+                i += 1
+              }
+              buf.map(_.toArray)
+          }
+          fl.iterator.zipWithIndex.flatMap { case (f, gi) =>
+            if (sel != null && sel(gi).isEmpty) Iterator.empty
+            else {
+              val g = GraphCache.get(f, conf)
+              val off = if (g.metric == "cos") 1.0 else 0.0
+              val qIdx: Iterator[Int] =
+                if (sel == null) Iterator.range(0, rows.length)
+                else sel(gi).iterator
+              qIdx.flatMap { i =>
+                val (qid, q) = rows(i)
+                g.rangeFlat(q, r, off).map { case (id, d) => (qid, id, d) }
+              }
+            }
           }
         }
       }.toDF("qid", idCol, "dist")
@@ -904,7 +1108,8 @@ object Hnsw {
     * the oracle mode. Null/non-finite query vectors drop (null.slt). */
   def knnJoin(spark: org.apache.spark.sql.SparkSession, path: String,
       idCol: String, queries: DataFrame, qidCol: String, qvecCol: String,
-      k: Int, efSearch: Int = 100, exact: Boolean = false): DataFrame = {
+      k: Int, efSearch: Int = 100, exact: Boolean = false,
+      probeGraphs: Int = 0): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
     val dirPath = new org.apache.hadoop.fs.Path(path)
@@ -914,7 +1119,20 @@ object Hnsw {
     if (files.isEmpty)
       return spark.emptyDataset[(Long, Long, Double, Int)]
         .toDF("qid", idCol, "dist", "rn")
+    // routed mode (round 8): probeGraphs = g > 0 ranks graphs per query
+    // by the metric's lower bound over the routing sidecar (centroid
+    // dist − covering radius, the IVF rankLists shape) and walks only
+    // the top-g — per-query cost stops growing with graph count. The
+    // HNSW-join nprobe: approximate like the beam itself, recall
+    // measured in RECALL.json. Exact mode NEVER routes (per-graph flat
+    // scans of every graph remain the provable brute force — the oracle
+    // contract), and a missing/partial sidecar falls back to all-graphs.
+    val routing: Option[(String, Array[(Double, Array[Float])])] =
+      if (exact || probeGraphs <= 0 || probeGraphs >= files.length) None
+      else Routing.read(fs, dirPath).flatMap { case (met, ents) =>
+        Routing.align(files, ents).map(a => (met, a)) }
     val bfiles = spark.sparkContext.broadcast(files)
+    val brouting = spark.sparkContext.broadcast(routing)
     val hconf = confEntries(spark)
     val q0 = queries
       .filter(col(qvecCol).isNotNull && graft.functions.vectorIsFinite(col(qvecCol)))
@@ -926,12 +1144,47 @@ object Hnsw {
       // resolve per graph per task, one graph resident at a time
       val rows = it.toArray
       if (rows.isEmpty) Iterator.empty
-      else bfiles.value.iterator.flatMap { f =>
-        val g = GraphCache.get(f, conf)
-        val off = if (g.metric == "cos") 1.0 else 0.0
-        rows.iterator.flatMap { case (qid, q) =>
-          val res = if (exact) g.bruteForce(q, k) else g.search(q, k, efSearch)
-          res.iterator.map { case (d, id) => (qid, id, d + off) }
+      else {
+        val fl = bfiles.value
+        // per-graph query selections under routing; null = all queries
+        val sel: Array[Array[Int]] = brouting.value match {
+          case None => null
+          case Some((metric, ents)) =>
+            val buf = Array.fill(fl.length)(
+              new scala.collection.mutable.ArrayBuffer[Int])
+            var i = 0
+            while (i < rows.length) {
+              val q = rows(i)._2
+              val qn = math.sqrt(IvfIndex.Kernels.dot(q, q))
+              val lb = new Array[Double](fl.length)
+              var gi = 0
+              while (gi < fl.length) {
+                val (rad, c) = ents(gi)
+                lb(gi) = Routing.lowerBound(metric, q, qn, c, rad)
+                gi += 1
+              }
+              val order = Array.range(0, fl.length).sortWith { (a, b) =>
+                lb(a) < lb(b) || (lb(a) == lb(b) && a < b) }
+              var j = 0
+              while (j < probeGraphs) { buf(order(j)) += i; j += 1 }
+              i += 1
+            }
+            buf.map(_.toArray)
+        }
+        fl.iterator.zipWithIndex.flatMap { case (f, gi) =>
+          if (sel != null && sel(gi).isEmpty) Iterator.empty
+          else {
+            val g = GraphCache.get(f, conf)
+            val off = if (g.metric == "cos") 1.0 else 0.0
+            val qIdx: Iterator[Int] =
+              if (sel == null) Iterator.range(0, rows.length)
+              else sel(gi).iterator
+            qIdx.flatMap { i =>
+              val (qid, q) = rows(i)
+              val res = if (exact) g.bruteForce(q, k) else g.search(q, k, efSearch)
+              res.iterator.map { case (d, id) => (qid, id, d + off) }
+            }
+          }
         }
       }
     }.toDF("qid", idCol, "dist")

@@ -134,16 +134,39 @@ object KnnJoin {
   }
 
   /** The static probed-union INSET prune evaluates the query side
-    * twice (once collecting the union, once inside the join) — a
-    * documented cost trade for the partition pruning it buys. A
-    * NONDETERMINISTIC query plan (sample(), rand()-derived vectors)
-    * could probe DIFFERENT lists on the second evaluation, and the
-    * stale INSET would then silently drop in-range pairs — so such
-    * plans skip the static prune entirely; the list_id equi-join (and
-    * DPP, when Spark fires it) still prunes at runtime. */
-  private def staticPruneSafe(df: DataFrame): Boolean =
-    !df.queryExecution.analyzed.exists(p =>
+    * twice (once collecting the union, once inside the join) — a cost
+    * trade for the partition pruning it buys, worthwhile only when the
+    * query side is a small deterministic scan. Three gates:
+    *
+    *  - expression determinism: rand()-derived vectors could probe
+    *    DIFFERENT lists on the second evaluation, and the stale INSET
+    *    would silently drop pairs;
+    *  - plan-level determinism: Sample and Limit nodes re-draw their
+    *    row SUBSET on re-evaluation even when every expression is
+    *    deterministic (sample repartitions differently, an un-ordered
+    *    limit takes whichever rows arrive first) — same stale-INSET
+    *    hazard, invisible to the expression walk;
+    *  - cost (round 8): the prune's first evaluation is a FULL pass
+    *    over the query side just to collect ≤nlist ints — pure waste
+    *    when that side is a billion-row table. Sides estimated above
+    *    `spark.graft.join.staticPruneMaxBytes` (default 256 MiB) skip
+    *    it, like the pushdown arms always do.
+    *
+    * Skipping is always sound: the list_id equi-join (and DPP, when
+    * Spark fires it) still prunes at runtime. */
+  private[graft] def staticPruneWorthwhile(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical.{LocalLimit, GlobalLimit, Sample}
+    val plan = df.queryExecution.optimizedPlan
+    val exprDet = !plan.exists(p =>
       p.expressions.exists(e => e.exists(!_.deterministic)))
+    val planDet = !plan.exists {
+      case _: Sample | _: LocalLimit | _: GlobalLimit => true
+      case _ => false
+    }
+    lazy val maxBytes = BigInt(df.sparkSession.conf
+      .get("spark.graft.join.staticPruneMaxBytes", (256L << 20).toString))
+    exprDet && planDet && plan.stats.sizeInBytes <= maxBytes
+  }
 
   /** Distributed vector RANGE join: every (query row, corpus row) pair
     * with dist <= r, both sides tables — the all-pairs-within-radius
@@ -167,7 +190,7 @@ object KnnJoin {
       .withColumn("list_id", explode(rangeLists(col("qv"), model, r)))
     val scan0 = spark.read.parquet(path)
     val scan =
-      if (model.radii == null || !staticPruneSafe(queries)) scan0
+      if (model.radii == null || !staticPruneWorthwhile(queries)) scan0
       else {
         val lists = probed.select(col("list_id")).distinct()
           .collect().map(_.getInt(0))
@@ -228,7 +251,7 @@ object KnnJoin {
       explode(probeListsMetric(probeInput, model, np, rankMetric)))
     val scan0 = spark.read.parquet(path)
     val scan =
-      if (np >= model.nlist || !staticPruneSafe(queries)) scan0
+      if (np >= model.nlist || !staticPruneWorthwhile(queries)) scan0
       else {
         val lists = probed.select(col("list_id")).distinct()
           .collect().map(_.getInt(0))
@@ -297,7 +320,7 @@ object KnnJoin {
     // probe decision); skip the extra job when every list is probed anyway
     val scan0 = spark.read.parquet(path)
     val scan =
-      if (np >= model.nlist || !staticPruneSafe(queries)) scan0
+      if (np >= model.nlist || !staticPruneWorthwhile(queries)) scan0
       else {
         val lists = probed.select(col("list_id")).distinct()
           .collect().map(_.getInt(0))
@@ -340,7 +363,11 @@ object KnnJoinKernels {
     * Empty `radii` = no stats: every list is kept (no sound bound). */
   /** The reference's dimension contract (error.slt): a query row of the
     * wrong dimension ERRORS instead of reading misaligned centroid
-    * slices. `expectDims < 0` = unknown (no centroids) — skip. */
+    * slices. `expectDims < 0` = unknown (no centroids) — skip.
+    * Wording: the reference's literal message reads "does not matched
+    * that in" (error.rs:141, a typo we deliberately do not mirror);
+    * tests assert the shared "dimension of a vector" substring, so both
+    * engines' messages satisfy the same checks. */
   private def checkDims(v: ArrayData, expectDims: Int): Int = {
     if (expectDims >= 0 && v.numElements() != expectDims)
       throw new IllegalArgumentException(

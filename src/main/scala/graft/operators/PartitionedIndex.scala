@@ -50,10 +50,18 @@ object PartitionedIndex {
   def subName(name: String, value: String): String = s"${name}__p${san(value)}"
 
   /** Partition values present in the source layout (`<partCol>=<v>`
-    * sub-dirs), sorted. Listed through the Hadoop FS API so the same
-    * code targets local dirs or HDFS/S3 prefixes. */
+    * sub-dirs), sorted, in USER space: Spark writes Hive-escaped dir
+    * names (`a%20b` for `a b`), so listed names are unescaped with the
+    * same codec ([[org.apache.spark.sql.catalyst.catalog
+    * .ExternalCatalogUtils.unescapePathName]]) — operator `values`
+    * arguments and pushdown partition-predicate literals both live in
+    * user space, and comparing them against raw dir names would miss
+    * every value Hive escapes. [[partitionPath]] re-escapes when
+    * composing sub-source paths. Listed through the Hadoop FS API so
+    * the same code targets local dirs or HDFS/S3 prefixes. */
   def partitionValues(spark: SparkSession, source: String,
       partCol: String): Seq[String] = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
     val p = new org.apache.hadoop.fs.Path(source)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return Nil
@@ -61,8 +69,15 @@ object PartitionedIndex {
       .filter(_.isDirectory)
       .map(_.getPath.getName)
       .filter(_.startsWith(s"$partCol="))
-      .map(_.stripPrefix(s"$partCol="))
+      .map(n => ExternalCatalogUtils.unescapePathName(n.stripPrefix(s"$partCol=")))
       .sorted
+  }
+
+  /** The sub-source path for one USER-space partition value — the
+    * escape inverse of [[partitionValues]]. */
+  def partitionPath(source: String, partCol: String, v: String): String = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    s"$source/$partCol=${ExternalCatalogUtils.escapePathName(v)}"
   }
 
   /** Ensure one HNSW sub-index per partition of the source. Returns
@@ -81,7 +96,7 @@ object PartitionedIndex {
     require(values.forall(!_.contains(',')),
       s"partition values must not contain ',': ${values.filter(_.contains(","))}")
     val built = values.map { v =>
-      val sub = s"$source/$partCol=$v"
+      val sub = partitionPath(source, partCol, v)
       v -> Hnsw.ensure(spark, subName(name, v), spark.read.parquet(sub),
         sub, idCol, vecCol, metric, parts, m, efConstruction)
     }
@@ -117,7 +132,7 @@ object PartitionedIndex {
     val values = partitionValues(spark, source, partCol)
     require(values.nonEmpty, s"no $partCol=* partitions under $source")
     values.map { v =>
-      val sub = s"$source/$partCol=$v"
+      val sub = partitionPath(source, partCol, v)
       val (m, _) = IvfIndex.ensure(spark, subName(name, v),
         spark.read.parquet(sub), sub, vecCol, metric, nlist, seed)
       v -> m
@@ -144,6 +159,44 @@ object PartitionedIndex {
       .orderBy(col("dist"), col(idCol)).limit(k)
   }
 
+  /** Parent-table sphere RANGE (the strategy-2 sphere predicates of
+    * partition.slt's parent queries): per-partition resident flat scans
+    * ([[Hnsw.rangeSearchFlat]]) unioned — range is not top-k, so there
+    * is no merge limit and the union IS the exact answer at any radius.
+    * `values` prunes to the named partitions (the partition-predicate
+    * path); None scans them all. Cos sub-indexes follow
+    * normalize-at-build: the CALLER passes the normalized query. */
+  def rangeHnsw(spark: SparkSession, name: String, source: String,
+      partCol: String, idCol: String, q: Array[Float], r: Double,
+      values: Option[Seq[String]] = None): DataFrame = {
+    val chosen = resolveValues(spark, source, partCol, values)
+    chosen.map { v =>
+      val sub = subName(name, v)
+      require(graft.index.IndexCatalog.load(spark, sub).nonEmpty,
+        s"no such index: $sub (run ensureHnsw after adding partitions)")
+      Hnsw.rangeSearchFlat(spark,
+        graft.index.IndexCatalog.dataDir(spark, sub), idCol, q, r)
+    }.reduce(_ unionByName _)
+  }
+
+  /** Shared partition-value resolution: None = every live partition;
+    * Some = validated against the live layout (a named value with no
+    * partition is a clear error, never a silent empty contribution). */
+  private def resolveValues(spark: SparkSession, source: String,
+      partCol: String, values: Option[Seq[String]]): Seq[String] = {
+    val chosen = values match {
+      case None => partitionValues(spark, source, partCol)
+      case Some(vs) =>
+        val all = partitionValues(spark, source, partCol)
+        val missing = vs.filterNot(all.contains)
+        require(missing.isEmpty,
+          s"no such partition(s): ${missing.mkString(", ")}")
+        vs
+    }
+    require(chosen.nonEmpty, s"no partitions to search under $source")
+    chosen
+  }
+
   /** Search the parent table: per-partition graph searches unioned, one
     * global ordered merge. `values` prunes to the named partitions (the
     * partition-predicate path); None searches them all. Exact mode is
@@ -155,16 +208,7 @@ object PartitionedIndex {
       values: Option[Seq[String]] = None): DataFrame = {
     // either way the only driver-side work is one listStatus of the
     // source dir (metadata, never a job — safe inside an optimizer rule)
-    val chosen = values match {
-      case None => partitionValues(spark, source, partCol)
-      case Some(vs) =>
-        val all = partitionValues(spark, source, partCol)
-        val missing = vs.filterNot(all.contains)
-        require(missing.isEmpty,
-          s"no such partition(s): ${missing.mkString(", ")}")
-        vs
-    }
-    require(chosen.nonEmpty, s"no partitions to search under $source")
+    val chosen = resolveValues(spark, source, partCol, values)
     chosen.map { v =>
       val sub = subName(name, v)
       // a partition present in the layout but never ensured must be a

@@ -182,6 +182,48 @@ object Segments {
     }
   }
 
+  /** Reference `sealing_secs` analog (crates/base/src/index.rs:248-264:
+    * a growing segment seals by AGE as well as by size). The growing
+    * state here is the accumulated pile of small delta dirs a trickle
+    * stream produces — each micro-batch is immutable but the pile
+    * degrades reads (per-delta file opens, per-delta tombstone joins)
+    * until someone folds it. Age threshold: oldest uncompacted delta
+    * older than `spark.graft.segments.sealingSecs` (default 600). */
+  def sealingSecs(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.segments.sealingSecs")
+      .map(_.toLong).getOrElse(600L)
+
+  /** Count threshold for the same policy: more than
+    * `spark.graft.segments.maxDeltas` (default 64) uncompacted deltas
+    * is due regardless of age. */
+  def maxDeltas(spark: SparkSession): Int =
+    spark.conf.getOption("spark.graft.segments.maxDeltas")
+      .map(_.toInt).getOrElse(64)
+
+  /** Fold the delta pile when the sealing policy says it is due
+    * (age of the OLDEST uncompacted delta >= [[sealingSecs]], or delta
+    * count >= [[maxDeltas]]); returns whether it fired. `doCompact`
+    * defaults to the plain [[compact]] — a store serving INCREMENTAL
+    * indexes must pass the index-aware path instead
+    * ([[IncrMaint.vacuum]] / promote-on-compact: plain compact deletes
+    * tombstones those indexes still need to snapshot). Visible rows are
+    * identical before and after — sealing is a layout fold, never a
+    * semantic change. */
+  def sealIfDue(spark: SparkSession, dir: String, idCol: String,
+      doCompact: () => Unit = null): Boolean = {
+    val s = state(dir)
+    if (s.gen < 0) return false
+    val deltas = deltaDirs(dir, s)
+    if (deltas.isEmpty) return false
+    val oldestMs = deltas.map(d => new File(d).lastModified()).min
+    val due = deltas.length >= maxDeltas(spark) ||
+      (System.currentTimeMillis() - oldestMs) / 1000L >= sealingSecs(spark)
+    if (due) {
+      if (doCompact == null) compact(spark, dir, idCol) else doCompact()
+    }
+    due
+  }
+
   /** Fold everything visible into the next sealed generation; data first,
     * pointer swap last, old dirs cleaned only after the commit. */
   def compact(spark: SparkSession, dir: String, idCol: String): Unit = {

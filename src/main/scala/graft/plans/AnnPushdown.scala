@@ -218,6 +218,12 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
   private def hnswExact: Boolean =
     spark.conf.get("spark.graft.hnsw.exact", "false").toBoolean
 
+  /** Routed HNSW-join breadth (round 8): >0 walks only the top-g graphs
+    * per query via the spatial routing sidecar — the HNSW-join nprobe.
+    * 0 (default) walks every graph; exact mode always does. */
+  private def hnswJoinProbe: Int =
+    spark.conf.get("spark.graft.hnsw.join.probe", "0").toInt
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!enabled) return plan
     plan.transformDown {
@@ -814,7 +820,8 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
             else qdf0
             val out = graft.operators.Hnsw.knnJoin(spark, dataDir, idx.idCol,
               qdf, qidSrc.name, qAttr.name, k = kLimit,
-              efSearch = math.max(hnswEfSearch, kLimit), exact = hnswExact)
+              efSearch = math.max(hnswEfSearch, kLimit), exact = hnswExact,
+              probeGraphs = hnswJoinProbe)
             val newPlan = out.queryExecution.optimizedPlan
             val byName = newPlan.output.map(a => a.name -> a).toMap
             val outProj = projList2.map { e =>
@@ -935,23 +942,27 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case x => Seq(x)
     }
     val nonNull = conjuncts(cond).filterNot(_.isInstanceOf[IsNotNull])
-    if (nonNull.length != 1) return None
-    val (vecAttr, qLit, r, metric) = nonNull.collectFirst {
-      case LessThan(L2sqDistance(v: AttributeReference, q: Literal),
-          Literal(r: Double, _)) => (v, q, r, "l2")
-      case LessThan(CosDistance(v: AttributeReference, q: Literal),
-          Literal(r: Double, _)) => (v, q, r, "cos")
-      case LessThan(NegDotDistance(v: AttributeReference, q: Literal),
-          Literal(r: Double, _)) => (v, q, r, "dot")
+    val rangeConj = nonNull.collectFirst {
+      case lt @ LessThan(L2sqDistance(v: AttributeReference, q: Literal),
+          Literal(r: Double, _)) => (lt, v, q, r, "l2")
+      case lt @ LessThan(CosDistance(v: AttributeReference, q: Literal),
+          Literal(r: Double, _)) => (lt, v, q, r, "cos")
+      case lt @ LessThan(NegDotDistance(v: AttributeReference, q: Literal),
+          Literal(r: Double, _)) => (lt, v, q, r, "dot")
     }.getOrElse(return None)
+    val (rangePred, vecAttr, qLit, r, metric) = rangeConj
+    // conjuncts BESIDE the range predicate: none for the single-artifact
+    // kind (graph payloads carry only id + vec — nothing to re-evaluate);
+    // the partitioned parent additionally absorbs partition-column
+    // constraints via index-level pruning (the filtered-top-k arm's rule)
+    val others = nonNull.filterNot(_ eq rangePred)
     val idx = lookup(pathsOf(rel), metric).getOrElse(return None)
     if (vecAttr.name != idx.vecCol) return None
     val manifest = graft.index.IndexCatalog.load(spark, idx.indexName)
       .getOrElse(return None)
-    if (manifest.kind != "hnsw" || manifest.metric != metric) return None
+    if (manifest.metric != metric) return None
     val distAlias = projList.collectFirst {
-      case a @ Alias(child, _) if nonNull.head.asInstanceOf[LessThan]
-        .left.semanticEquals(child) => a
+      case a @ Alias(child, _) if rangePred.left.semanticEquals(child) => a
     }.getOrElse(return None)
     val idAttr = projList.collectFirst {
       case a: AttributeReference if a.name == idx.idCol => a
@@ -961,9 +972,44 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       return None
     val q = floatsOf(qLit)
     val qq = if (metric == "cos") IvfIndex.Kernels.normalize(q) else q
-    val dataDir = graft.index.IndexCatalog.dataDir(spark, idx.indexName)
-    val df = graft.operators.Hnsw.rangeSearchFlat(spark, dataDir,
-      idx.idCol, qq, r)
+    val df = manifest.kind match {
+      case "hnsw" if others.isEmpty =>
+        graft.operators.Hnsw.rangeSearchFlat(spark,
+          graft.index.IndexCatalog.dataDir(spark, idx.indexName),
+          idx.idCol, qq, r)
+      case "hnsw_part" =>
+        // partitioned parent (partition.slt): per-partition flat scans
+        // unioned — exact at any radius like the single-artifact form.
+        // Extra conjuncts are admissible ONLY as partition-column
+        // literal constraints (absorbed by index-level pruning, the
+        // filtered-top-k arm's convention); the layout-drift guard
+        // bails to the unrewritten plan when the live partition set no
+        // longer matches the parent manifest.
+        val partCol = manifest.params("partCol")
+        val valueSets = others.map {
+          case EqualTo(a: AttributeReference, l: Literal)
+              if a.name == partCol => Option(Set(String.valueOf(l.value)))
+          case EqualTo(l: Literal, a: AttributeReference)
+              if a.name == partCol => Option(Set(String.valueOf(l.value)))
+          case In(a: AttributeReference, vs)
+              if a.name == partCol && vs.forall(_.isInstanceOf[Literal]) =>
+            Option(vs.map(v =>
+              String.valueOf(v.asInstanceOf[Literal].value)).toSet)
+          case _ => Option.empty[Set[String]]
+        }
+        if (valueSets.exists(_.isEmpty)) return None
+        val registered = manifest.params("values").split(',').toSeq
+        if (graft.operators.PartitionedIndex.partitionValues(spark,
+            manifest.source, partCol).toSet != registered.toSet) return None
+        val chosen =
+          if (valueSets.isEmpty) registered
+          else registered.filter(
+            valueSets.flatten.reduce(_ intersect _).contains)
+        if (chosen.isEmpty) return None // provably-empty: leave to Spark
+        graft.operators.PartitionedIndex.rangeHnsw(spark, idx.indexName,
+          manifest.source, partCol, idx.idCol, qq, r, values = Some(chosen))
+      case _ => return None
+    }
     val newPlan = df.queryExecution.analyzed
     val byName = newPlan.output.map(a => a.name -> a).toMap
     Some(Project(Seq(

@@ -1038,11 +1038,16 @@ object AnnQueries {
 
     // table-valued HNSW KNN join: the query side is a table that never
     // touches the driver — each task walks its query partition through
-    // the resident graphs. Approximate (exact twin below).
+    // the resident graphs. ROUTED (round 8): graphs are spatially
+    // partitioned at build and each query walks only the top-2-of-4
+    // graphs by routing lower bound — the HNSW-join nprobe. Approximate
+    // (exact twin below ignores routing by contract); pair recall in
+    // RECALL.json.
     "q_hnsw_knn_join" -> ((s, d) => {
       Hnsw.knnJoin(s, hnsw(s, d, 4), "vec_id",
         t(s, d, "embeddings").filter(col("vec_id") % 10 === 0),
-        "vec_id", "embedding", k = 10, efSearch = efSearchConf(s))
+        "vec_id", "embedding", k = 10, efSearch = efSearchConf(s),
+        probeGraphs = 2)
     }),
     // exact mode on the single-graph artifact: per-graph flat scans are
     // provably the brute force -> the cross-join window oracle

@@ -350,6 +350,55 @@ object LifecycleQueries {
       }
     }),
 
+    // --- the RANGE member of the partitioned-parent dispatch (round 8):
+    //     a sphere predicate over the partitioned parent rewrites onto
+    //     per-partition resident flat scans (union — exact at any
+    //     radius, no merge limit), and a partition predicate is absorbed
+    //     by INDEX-level pruning exactly like the top-k arm. Rewrites
+    //     asserted in-query; full oracle (flat scans are exact).
+    "q_partitioned_range_pushdown" -> ((s, d) => {
+      import graft.plans.AnnPushdown
+      val srcDir = tmp + "/graft_partsrc_" + san(d)
+      Segments.synchronized {
+        if (!new File(srcDir, "_SUCCESS").isFile)
+          t(s, d, "embeddings").filter(col("vec_id") < 300)
+            .select(col("vec_id"), col("embedding"),
+              (col("vec_id") % 3).as("category"))
+            .write.mode("overwrite").partitionBy("category").parquet(srcDir)
+      }
+      val name = s"partidx_${san(d)}"
+      PartitionedIndex.ensureHnsw(s, name, srcDir, "category",
+        "vec_id", "embedding", "l2")
+      AnnPushdown.install(s)
+      val prevReg = AnnPushdown.snapshot(srcDir)
+      AnnPushdown.register(srcDir,
+        AnnPushdown.IndexedTable(name, "vec_id", "embedding"))
+      val prevEnabled = s.conf.get("spark.graft.ann.enabled", "false")
+      s.conf.set("spark.graft.ann.enabled", "true")
+      try {
+        val q = qvec(s, d)
+        def range(pred: Option[org.apache.spark.sql.Column], r: Double) = {
+          val base = s.read.parquet(srcDir)
+          val df = pred.map(base.filter).getOrElse(base)
+            .select(col("vec_id"),
+              l2sq(col("embedding"), typedLit(q)).as("dist"))
+            .filter(col("dist") < lit(r))
+          val opt = df.queryExecution.optimizedPlan
+          require(!opt.toString.contains("Relation"),
+            "partitioned range pushdown did not dispatch to the sub-indexes")
+          org.apache.spark.sql.graftshim.Shims.ofRows(s, opt)
+        }
+        range(None, 2.0).withColumn("scope", lit("all"))
+          .unionByName(range(Some(col("category") === 1), 2.0)
+            .withColumn("scope", lit("cat1")))
+          .select(col("scope"), col("vec_id"), col("dist"))
+          .orderBy(col("scope"), col("dist"), col("vec_id"))
+      } finally {
+        s.conf.set("spark.graft.ann.enabled", prevEnabled)
+        AnnPushdown.restore(srcDir, prevReg)
+      }
+    }),
+
     // --- REINDEX / REINDEX CONCURRENTLY (reindex.slt): an incremental
     //     index over a store with deletes and an append is REINDEXed —
     //     one fresh fold of the VISIBLE rows swapped in by an atomic
@@ -519,6 +568,18 @@ object LifecycleQueries {
               ORDER BY dist, vec_id LIMIT 40)
           SELECT scope, vec_id, dist FROM fullk
           UNION ALL SELECT scope, vec_id, dist FROM cat1""",
+
+    // the range member: strict < (the rangeFlat convention), both scopes
+    "q_partitioned_range_pushdown" ->
+      s"""WITH src AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),
+            q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+            d AS (SELECT a.vec_id AS vec_id, $aL2 AS dist
+                  FROM src a CROSS JOIN q)
+          SELECT 'all' AS scope, vec_id, dist FROM d WHERE dist < 2.0
+          UNION ALL
+          SELECT 'cat1' AS scope, vec_id, dist FROM d
+          WHERE dist < 2.0 AND vec_id % 3 = 1
+          ORDER BY scope, dist, vec_id""",
 
     "q_reindex_scan" ->
       s"""WITH m1 AS (SELECT vec_id + 20000 AS vec_id, embedding

@@ -20,13 +20,25 @@ import graft.operators.Segments
 object StreamingIngest {
 
   /** Attach a foreachBatch sink that appends every micro-batch to the
-    * segment store at `dir`. Caller starts/stops the returned writer. */
-  def intoSegments(stream: DataFrame, dir: String, idCol: String)
+    * segment store at `dir`. Caller starts/stops the returned writer.
+    * `autoSeal` (default on) applies the reference's timer/count sealing
+    * policy after each append ([[Segments.sealIfDue]], sealing_secs
+    * analog): a trickle stream folds its accumulated small deltas once
+    * the oldest passes `spark.graft.segments.sealingSecs` or the pile
+    * passes `maxDeltas` — without it the pile grows forever and every
+    * snapshot read pays per-delta costs. Stores that back INCREMENTAL
+    * indexes must pass autoSeal = false and run the index-aware
+    * compaction path on their own schedule (promote-on-compact). */
+  def intoSegments(stream: DataFrame, dir: String, idCol: String,
+      autoSeal: Boolean = true)
       : DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) Segments.append(batch.sparkSession, dir, batch, idCol)
+        if (!batch.isEmpty) {
+          Segments.append(batch.sparkSession, dir, batch, idCol)
+          if (autoSeal) Segments.sealIfDue(batch.sparkSession, dir, idCol)
+        }
         ()
       }
 

@@ -182,15 +182,21 @@ object Recall {
       val name = s"recallpart_$san"
       PartitionedIndex.ensureHnsw(spark, name, srcDir, "part",
         "vec_id", "embedding", "l2")
-      val q = spark.read.parquet(s"$dir/embeddings.parquet")
-        .filter(col("vec_id") === 0)
-        .select(col("embedding")).head().getSeq[Float](0).toArray
-      def ids(exact: Boolean) = PartitionedIndex.searchHnsw(spark, name,
-          srcDir, "part", "vec_id", q, k = 100, exact = exact)
-        .collect().map(_.getLong(0)).toSet
-      val ex = ids(true)
-      val r = ids(false).intersect(ex).size.toDouble / math.max(ex.size, 1)
-      println(f"[recall] $tag%-9s partitioned_hnsw     recall@100 = $r%.3f")
+      // averaged over the SAME N-query sample the other families use —
+      // a single query is far too noisy for the shared >=0.9 bar
+      val qs = spark.read.parquet(s"$dir/embeddings.parquet")
+        .filter(col("vec_id") % 50 === 0).limit(20)
+        .select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).toArray)
+      val perQ = qs.map { q =>
+        def ids(exact: Boolean) = PartitionedIndex.searchHnsw(spark, name,
+            srcDir, "part", "vec_id", q, k = 100, exact = exact)
+          .collect().map(_.getLong(0)).toSet
+        val ex = ids(true)
+        ids(false).intersect(ex).size.toDouble / math.max(ex.size, 1)
+      }
+      val r = perQ.sum / math.max(perQ.length, 1)
+      println(f"[recall] $tag%-9s partitioned_hnsw     recall@100 = $r%.3f (n=${perQ.length})")
       "partitioned_hnsw" -> (r, 100)
     }
 
@@ -224,7 +230,12 @@ object Recall {
       "impact pruning (which assumes skewed impact distributions, the " +
       "shape of real sparse retrieval corpora) legitimately " +
       "decorrelates; its informative number is the random fixture " +
-      "(1.0 under real top-1024-of-~4300 posting truncation)."
+      "(1.0 under real top-1024-of-~4300 posting truncation). " +
+      "hnsw_knn_join measures the ROUTED join (round 8: top-2-of-4 " +
+      "spatially k-means-partitioned graphs per query) - routing is " +
+      "spatial pruning, so like ivf_* its informative number is the " +
+      "clustered fixture; on random data it is probed-fraction-bounded " +
+      "(~g/G) by construction."
     val json =
       s"""{"sf":"$clDir","fixture":"clustered-mog-8","source_sf":"$sfDir",""" +
         s""""defaults":{"nprobe":10,"ef_search":100},"note":"$note",""" +

@@ -190,9 +190,19 @@ object Soak {
     // hnsw join near-flat (beam cost is log-ish in graph size); range
     // join ≤ linear (reachable-list pruning).
     import graft.operators.{KnnJoin => KJ, Hnsw => H}
-    def joinSoak(d: String): Seq[(String, Double)] = {
+    // the routed row scales GRAPH COUNT with the corpus (4 → 40 at 10×,
+    // graphs stay the same SIZE) and probes a FIXED g=4 — the 100-TB
+    // shape, where per-query cost must not grow with graph count. The
+    // unrouted row keeps the round-7 shape (4 graphs growing 10× each)
+    // for comparison.
+    def joinSoak(d: String, routedParts: Int): Seq[(String, Double)] = {
       val (m, ipath) = graft.queries.AnnQueries.ivf(spark, d, "l2")
       val hpath = graft.queries.AnnQueries.hnsw(spark, d, 4)
+      val rname = s"soakroute_${san(d)}"
+      val rpath = H.ensure(spark, rname,
+        spark.read.parquet(s"$d/embeddings.parquet"),
+        s"$d/embeddings.parquet", "vec_id", "embedding", "l2",
+        parts = routedParts)
       val qs = spark.read.parquet(s"$d/embeddings.parquet")
         .filter(col("vec_id") < 500)
       def t(f: => Unit): Double = {
@@ -203,13 +213,16 @@ object Soak {
           "embedding", ipath, m, "vec_id", "embedding", 10, 10).count()),
         "hnsw_knn_join(500q,k=10)" -> (() => H.knnJoin(spark, hpath,
           "vec_id", qs, "vec_id", "embedding", 10).count()),
+        "hnsw_knn_join_routed(500q,g=4)" -> (() => H.knnJoin(spark,
+          rpath, "vec_id", qs, "vec_id", "embedding", 10,
+          probeGraphs = 4).count()),
         "vec_range_join(500q,r=1.5)" -> (() => KJ.rangeJoin(spark, qs,
           "vec_id", "embedding", ipath, m, "vec_id", "embedding", 1.5).count()))
       runs.foreach { case (_, f) => f() } // ensure artifacts + warm, untimed
       runs.map { case (name, f) => name -> t(f()) }
     }
-    val joinS = joinSoak(src)
-    val joinL = joinSoak(dst)
+    val joinS = joinSoak(src, 4)
+    val joinL = joinSoak(dst, 40)
     val joinRows = joinS.zip(joinL).map { case ((n, a), (_, b)) =>
       println(f"[soak] $n%-28s sf0.1 $a%6.2fs   sf1 $b%6.2fs   x${b / a}%.1f")
       (n, a, b)

@@ -284,6 +284,77 @@ class KnnJoinSpec extends SparkSpec {
     assert(recall >= 0.95, s"recall@5 = $recall")
   }
 
+  test("routed hnsw join: sidecar aligns, range join stays exact, " +
+      "top-g recall high on clustered data, exact mode ignores routing") {
+    // 4 well-separated blobs: spatial k-means partitioning recovers
+    // them, so routing bounds carry real pruning power (the fixture
+    // shape routing is FOR — hash-partitioned graphs bound nothing)
+    val dims = 8; val nPer = 120
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 4).flatMap { c =>
+      (0 until nPer).map { i =>
+        val v = Array.tabulate(dims)(j =>
+          (if (j == c * 2) 10f * (c + 1) else 0f) + rnd.nextFloat() * 0.5f)
+        (c.toLong * 1000 + i, v)
+      }
+    }
+    val src = java.nio.file.Files.createTempDirectory("graft_routed").toString
+    rows.toDF("vec_id", "embedding").coalesce(1)
+      .write.mode("overwrite").parquet(src)
+    val name = "routedspec_hnsw"
+    graft.index.IndexCatalog.drop(spark, name)
+    val path = Hnsw.ensure(spark, name, spark.read.parquet(src), src,
+      "vec_id", "embedding", "l2", parts = 4)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.globStatus(
+        new org.apache.hadoop.fs.Path(path, "graph-*.bin"))
+      .map(_.getPath.toString).sorted.toSeq
+    val routing = Hnsw.Routing.read(fs, new org.apache.hadoop.fs.Path(path))
+    assert(routing.isDefined, "routing sidecar missing after spatial ensure")
+    val (met, ents) = routing.get
+    assert(met == "l2")
+    assert(Hnsw.Routing.align(files, ents).isDefined,
+      "routing entries do not cover every graph file")
+
+    val queries = spark.read.parquet(src).filter(col("vec_id") % 7 === 0)
+    import org.apache.spark.sql.expressions.Window
+    val corpus = spark.read.parquet(src)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val qd = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      .crossJoin(corpus)
+      .select(col("qid"), col("cid"),
+        graft.functions.l2sq(col("cv"), col("qv")).as("dist"))
+
+    // range join: routed pruning is SOUND — pairs equal the brute force
+    // at a radius where most graphs are provably unreachable per query
+    val gotRange = Hnsw.rangeJoin(spark, path, "vec_id", queries,
+      "vec_id", "embedding", r = 2.0)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val wantRange = qd.filter(col("dist") < 2.0)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    assert(gotRange == wantRange, "routed range join diverged from brute force")
+
+    // top-g routing: g=1 of 4 on separated blobs keeps (pair) recall ~1
+    val want = qd.withColumn("rn", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("dist"), col("cid"))))
+      .filter(col("rn") <= 5)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    val routed = Hnsw.knnJoin(spark, path, "vec_id", queries, "vec_id",
+      "embedding", k = 5, probeGraphs = 1)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = routed.intersect(want).size.toDouble / want.size
+    assert(recall >= 0.9, s"routed pair recall@5 = $recall")
+
+    // exact mode NEVER routes: probeGraphs is ignored and the per-graph
+    // flat-scan union equals the brute force — the oracle contract
+    val exactRouted = Hnsw.knnJoin(spark, path, "vec_id", queries,
+      "vec_id", "embedding", k = 5, exact = true, probeGraphs = 1)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    assert(exactRouted == want, "exact mode must ignore probeGraphs")
+    graft.index.IndexCatalog.drop(spark, name)
+  }
+
   test("recall@10 at default nprobe stays useful on the driver fixture") {
     val (m, path) = ivf(sf0001)
     val queries = spark.read.parquet(s"$sf0001/embeddings.parquet")
@@ -347,5 +418,55 @@ class KnnJoinSpec extends SparkSpec {
       .select("qid", "cid").as[(Long, Long)].collect().toSet
     assert(got == want)
     assert(got.nonEmpty) // self pairs at dist 0
+  }
+
+  test("static prune is gated on query-side shape and cost: " +
+      "sampled/limited/large sides launch NO job at plan-build time") {
+    val (m, path) = ivf(sf0001)
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    // cheap deterministic scans keep the prune...
+    assert(KnnJoin.staticPruneWorthwhile(emb.filter(col("vec_id") % 10 === 0)))
+    // ...plan-level row-subset nondeterminism skips it even though every
+    // EXPRESSION is deterministic (the stale-INSET hazard)
+    assert(!KnnJoin.staticPruneWorthwhile(emb.sample(0.5, seed = 7)))
+    assert(!KnnJoin.staticPruneWorthwhile(emb.limit(10)))
+    // ...and a query side estimated over the byte threshold skips it:
+    // the prune's extra full pass over a huge table buys ≤nlist ints
+    val prev = spark.conf.getOption("spark.graft.join.staticPruneMaxBytes")
+    spark.conf.set("spark.graft.join.staticPruneMaxBytes", "1")
+    try {
+      assert(!KnnJoin.staticPruneWorthwhile(emb))
+      // end to end: building the join against a too-large query side
+      // must not launch the prune's distinct+collect jobs. Baseline the
+      // incidental plan-build jobs (parquet schema inference) with a
+      // CHEAP query side where the prune DOES fire, then assert the
+      // large side builds with strictly fewer jobs.
+      val tracker = spark.sparkContext.statusTracker
+      def jobsDuring(f: => Unit): Int = {
+        val before = tracker.getJobIdsForGroup(null).length
+        f
+        Thread.sleep(500) // job-start events post asynchronously
+        tracker.getJobIdsForGroup(null).length - before
+      }
+      spark.conf.set("spark.graft.join.staticPruneMaxBytes",
+        (256L << 20).toString)
+      val withPrune = jobsDuring {
+        KnnJoin.join(spark, emb.filter(col("vec_id") % 10 === 0), "vec_id",
+          "embedding", path, m, "vec_id", "embedding", k = 5, nprobe = 2)
+      }
+      spark.conf.set("spark.graft.join.staticPruneMaxBytes", "1")
+      var df: org.apache.spark.sql.DataFrame = null
+      val withoutPrune = jobsDuring {
+        df = KnnJoin.join(spark, emb, "vec_id", "embedding", path, m,
+          "vec_id", "embedding", k = 5, nprobe = 2)
+      }
+      assert(withoutPrune < withPrune,
+        s"large query side should skip the prune's jobs " +
+          s"($withoutPrune vs $withPrune at plan-build)")
+      assert(df.limit(1).count() == 1) // the join itself still runs
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.graft.join.staticPruneMaxBytes", v)
+      case None => spark.conf.unset("spark.graft.join.staticPruneMaxBytes")
+    }
   }
 }

@@ -115,6 +115,50 @@ class PartitionedIndexSpec extends SparkSpec {
     rm(new File(srcDir))
   }
 
+  test("Hive-escaped partition values compare in USER space end to end") {
+    // Spark writes 'north region' as 'category=north%20region'; listing
+    // must unescape so operator `values` args and pushdown literals (both
+    // user-space) match, and sub-source paths must re-escape on the way
+    // back down
+    val srcDir = sys.props("java.io.tmpdir") + "/graft_partspec_esc"
+    rm(new File(srcDir))
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .filter(col("vec_id") < 80)
+      .select(col("vec_id"), col("embedding"),
+        when(col("vec_id") % 2 === 0, "north region")
+          .otherwise("south:east").as("category"))
+    emb.write.mode("overwrite").partitionBy("category").parquet(srcDir)
+    // the dir names on disk are escaped (':' -> %3A; note Spark's Hive
+    // codec does NOT escape spaces)...
+    val raw = new File(srcDir).listFiles().map(_.getName)
+      .filter(_.startsWith("category=")).sorted.toSeq
+    assert(raw.exists(_.contains("%3A")), s"expected Hive escapes in $raw")
+    // ...but the listing is user-space
+    assert(PartitionedIndex.partitionValues(spark, srcDir, "category") ==
+      Seq("north region", "south:east"))
+    val name = "partspec_esc"
+    Seq("north region", "south:east").foreach(v =>
+      IndexCatalog.drop(spark, PartitionedIndex.subName(name, v)))
+    PartitionedIndex.ensureHnsw(spark, name, srcDir, "category",
+      "vec_id", "embedding", "l2")
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    // user-space value selects the right partition's rows
+    val got = PartitionedIndex.searchHnsw(spark, name, srcDir, "category",
+        "vec_id", q, k = 10, exact = true,
+        values = Some(Seq("north region")))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val want = emb.filter(col("category") === "north region")
+      .select(col("vec_id"),
+        graft.functions.l2sq(col("embedding"), typedLit(q)).as("dist"))
+      .orderBy(col("dist"), col("vec_id")).limit(10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == want)
+    Seq("north region", "south:east").foreach(v =>
+      IndexCatalog.drop(spark, PartitionedIndex.subName(name, v)))
+    rm(new File(srcDir))
+  }
+
   test("subName encoding is injective over arbitrary value strings") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed

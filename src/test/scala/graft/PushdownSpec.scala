@@ -1078,4 +1078,81 @@ class PushdownSpec extends SparkSpec {
       rm(new java.io.File(srcDir))
     }
   }
+
+  test("partitioned parent: sphere range dispatches across sub-indexes, " +
+      "partition predicates prune, layout drift bails (round 8)") {
+    import graft.operators.PartitionedIndex
+    val srcDir = sys.props("java.io.tmpdir") + "/graft_partrange_src"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete()
+    }
+    rm(new java.io.File(srcDir))
+    spark.read.parquet(s"$sf001/embeddings.parquet")
+      .filter(col("vec_id") < 150)
+      .select(col("vec_id"), col("embedding"), (col("vec_id") % 3).as("category"))
+      .write.mode("overwrite").partitionBy("category").parquet(srcDir)
+    val name = "partrange_idx"
+    Seq("0", "1", "2").foreach(v =>
+      graft.index.IndexCatalog.drop(spark, PartitionedIndex.subName(name, v)))
+    graft.index.IndexCatalog.drop(spark, name)
+    PartitionedIndex.ensureHnsw(spark, name, srcDir, "category",
+      "vec_id", "embedding", "l2")
+    AnnPushdown.install(spark)
+    AnnPushdown.register(srcDir,
+      AnnPushdown.IndexedTable(name, "vec_id", "embedding"))
+    val r = 2.5
+    def df(pred: Option[org.apache.spark.sql.Column]) = {
+      val base = spark.read.parquet(srcDir)
+      pred.map(base.filter).getOrElse(base)
+        .select(col("vec_id"),
+          graft.functions.l2sq(col("embedding"), typedLit(q)).as("dist"))
+        .filter(col("dist") < lit(r))
+    }
+    def vals(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(x => (x.getLong(0), x.getDouble(1))).toSet
+    try {
+      spark.conf.set("spark.graft.ann.enabled", "false")
+      val base = vals(df(None))
+      val base1 = vals(df(Some(col("category") === 1)))
+      assert(base.nonEmpty && base1.nonEmpty && base1 != base)
+      spark.conf.set("spark.graft.ann.enabled", "true")
+      // parent range: sub-index flat scans, exact at any radius, no
+      // base-table scan
+      val full = df(None)
+      assert(!full.queryExecution.executedPlan.toString.contains("FileScan"),
+        "parent range still scans the base table")
+      assert(vals(full) == base)
+      // partition predicate prunes to one sub-index, still exact
+      val p1 = df(Some(col("category") === 1))
+      assert(!p1.queryExecution.executedPlan.toString.contains("FileScan"))
+      assert(vals(p1) == base1)
+      // a non-partition predicate conjunct bails
+      assert(df(Some(col("vec_id") < 100)).queryExecution.executedPlan
+        .toString.contains("FileScan"),
+        "non-partition predicates must not be absorbed by the range arm")
+      // LAYOUT DRIFT: a partition added since ensure — the sub-index set
+      // no longer covers the table; both range and top-k arms must bail
+      // to the unrewritten plan rather than silently dropping its rows
+      new java.io.File(s"$srcDir/category=3").mkdirs()
+      assert(df(None).queryExecution.executedPlan.toString.contains("FileScan"),
+        "range arm must bail on layout drift")
+      val topk = spark.read.parquet(srcDir)
+        .select(col("vec_id"),
+          graft.functions.l2sq(col("embedding"), typedLit(q)).as("dist"))
+        .orderBy(col("dist")).limit(5)
+      assert(topk.queryExecution.executedPlan.toString.contains("FileScan"),
+        "top-k arm must bail on layout drift")
+      rm(new java.io.File(s"$srcDir/category=3"))
+      assert(!df(None).queryExecution.executedPlan.toString.contains("FileScan"),
+        "rewrite must come back once the layout matches again")
+    } finally {
+      spark.conf.set("spark.graft.ann.enabled", "false")
+      AnnPushdown.unregister(srcDir)
+      Seq("0", "1", "2").foreach(v =>
+        graft.index.IndexCatalog.drop(spark, PartitionedIndex.subName(name, v)))
+      graft.index.IndexCatalog.drop(spark, name)
+      rm(new java.io.File(srcDir))
+    }
+  }
 }

@@ -40,15 +40,23 @@ class ReindexSpec extends SparkSpec {
     val m1 = IndexCatalog.load(spark, name).get
     assert(m1.params("data_dir") == "data-r1" && m1.params("reindex_gen") == "1")
     assert(IndexCatalog.dataDir(spark, name).endsWith("data-r1"))
-    // the previous generation dir is cleaned post-commit
-    assert(!new File(IndexCatalog.dir(spark, name), "data").exists())
+    // DEFERRED cleanup contract (round 8): the displaced generation
+    // survives the commit — searches never take the DDL lock, so an
+    // in-flight reader may still hold paths into it; deleting it here
+    // would fail that reader mid-scan
+    assert(new File(IndexCatalog.dir(spark, name), "data").exists(),
+      "displaced generation must survive its own commit (reader grace)")
     assert(topk(name, q, 50) == pre, "REINDEX must not change results")
 
-    // a second reindex advances the generation and cleans r1
+    // a second reindex advances the generation AND sweeps everything the
+    // served manifest does not name (readers of those have drained)
     Hnsw.reindex(spark, name, emb, src, "vec_id", "embedding", "l2", 1)
     val m2 = IndexCatalog.load(spark, name).get
     assert(m2.params("data_dir") == "data-r2" && m2.params("reindex_gen") == "2")
-    assert(!new File(IndexCatalog.dir(spark, name), "data-r1").exists())
+    assert(!new File(IndexCatalog.dir(spark, name), "data").exists(),
+      "generations displaced two reindexes ago must be swept")
+    assert(new File(IndexCatalog.dir(spark, name), "data-r1").exists(),
+      "the generation displaced by THIS reindex keeps its grace period")
     assert(topk(name, q, 50) == pre)
 
     // ensure after reindex reuses the committed artifact (manifest no-op)
@@ -137,8 +145,9 @@ class ReindexSpec extends SparkSpec {
     assert(m.params("data_dir") == "data-r1")
     val dd = new File(IndexCatalog.dataDir(spark, name))
     assert(dd.isDirectory && new File(dd, "part-0").isFile)
-    assert(!new File(IndexCatalog.dir(spark, name), "data").exists(),
-      "old generation must be cleaned after the swap")
+    // deferred-cleanup contract: the displaced generation survives the
+    // swap (reader grace); drop below reclaims it
+    assert(new File(IndexCatalog.dir(spark, name), "data").exists())
     IndexCatalog.drop(spark, name)
   }
 

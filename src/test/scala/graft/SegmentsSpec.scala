@@ -50,6 +50,44 @@ class SegmentsSpec extends SparkSpec {
     assert(!names.exists(_.startsWith("tombs-")))
   }
 
+  test("timer/count sealing policy (sealing_secs analog): due folds, " +
+      "not-due leaves the pile, visible rows never change") {
+    val dir = freshDir()
+    Segments.init(spark, dir, Seq((1L, 10), (2L, 20)).toDF("id", "v"), "id")
+    Segments.append(spark, dir, Seq((3L, 30)).toDF("id", "v"), "id")
+    Segments.append(spark, dir, Seq((4L, 40)).toDF("id", "v"), "id")
+    val visible = snapshot(dir).map { case (i, v, _) => (i, v) }
+    def deltaCount = new File(dir).listFiles()
+      .count(_.getName.startsWith("delta-"))
+    assert(deltaCount == 2)
+    // neither threshold met: nothing fires, pile untouched
+    spark.conf.set("spark.graft.segments.sealingSecs", "3600")
+    spark.conf.set("spark.graft.segments.maxDeltas", "64")
+    try {
+      assert(!Segments.sealIfDue(spark, dir, "id"))
+      assert(deltaCount == 2)
+      // count threshold met: fold fires, rows identical, pile gone
+      spark.conf.set("spark.graft.segments.maxDeltas", "2")
+      assert(Segments.sealIfDue(spark, dir, "id"))
+      assert(deltaCount == 0)
+      assert(snapshot(dir).map { case (i, v, _) => (i, v) } == visible)
+      // age threshold: a fresh delta with sealingSecs=0 is due at once
+      // (the trickle-stream case — ONE old small delta must still seal)
+      Segments.append(spark, dir, Seq((5L, 50)).toDF("id", "v"), "id")
+      spark.conf.set("spark.graft.segments.maxDeltas", "64")
+      spark.conf.set("spark.graft.segments.sealingSecs", "0")
+      assert(Segments.sealIfDue(spark, dir, "id"))
+      assert(deltaCount == 0)
+      assert(snapshot(dir).map { case (i, v, _) => (i, v) } ==
+        visible + ((5L, 50)))
+      // empty pile: never due
+      assert(!Segments.sealIfDue(spark, dir, "id"))
+    } finally {
+      spark.conf.unset("spark.graft.segments.sealingSecs")
+      spark.conf.unset("spark.graft.segments.maxDeltas")
+    }
+  }
+
   test("append past the growing cap auto-seals into multiple bounded deltas") {
     val dir = freshDir()
     spark.conf.set("spark.graft.segments.maxGrowingRows", "100")
