@@ -845,14 +845,32 @@ object Hnsw {
     * path, so repeat queries do no artifact I/O at all. */
   def searchIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       idCol: String, q: Array[Float], k: Int, efSearch: Int = 100,
-      exact: Boolean = false): DataFrame = {
+      exact: Boolean = false, probeGraphs: Int = 0): DataFrame = {
     import spark.implicits._
     val dirPath = new org.apache.hadoop.fs.Path(path)
     val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val files = fs.globStatus(new org.apache.hadoop.fs.Path(path, "graph-*.bin"))
+    val allFiles = fs.globStatus(new org.apache.hadoop.fs.Path(path, "graph-*.bin"))
       .map(_.getPath.toString).sorted.toSeq
-    if (files.isEmpty)
+    if (allFiles.isEmpty)
       return spark.emptyDataset[(Long, Double)].toDF(idCol, "dist")
+    // routed scalar search (round 8): with a spatial routing sidecar,
+    // rank graphs by the metric's lower bound DRIVER-side (the query is
+    // a plan-time constant; G centroid distances are metadata work) and
+    // search only the top-g — per-query cost stops growing with graph
+    // count, the searchIndex form of the routed joins. Exact mode never
+    // routes (the flat-scan union must stay the provable brute force).
+    val files =
+      if (exact || probeGraphs <= 0 || probeGraphs >= allFiles.length) allFiles
+      else Routing.read(fs, dirPath)
+        .flatMap { case (met, ents) =>
+          Routing.align(allFiles, ents).map { aligned =>
+            val qn = math.sqrt(IvfIndex.Kernels.dot(q, q))
+            allFiles.indices
+              .sortBy(i => (Routing.lowerBound(met, q, qn,
+                aligned(i)._2, aligned(i)._1), i))
+              .take(probeGraphs).sorted.map(allFiles)
+          }
+        }.getOrElse(allFiles)
     val bq = spark.sparkContext.broadcast(q)
     val hconf = confEntries(spark)
     val hits = spark.sparkContext

@@ -224,6 +224,10 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
   private def hnswJoinProbe: Int =
     spark.conf.get("spark.graft.hnsw.join.probe", "0").toInt
 
+  /** Routed SCALAR search breadth: same sidecar, ranked driver-side. */
+  private def hnswProbe: Int =
+    spark.conf.get("spark.graft.hnsw.probe", "0").toInt
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!enabled) return plan
     plan.transformDown {
@@ -1269,7 +1273,8 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         // query (searchIndex reports 1 - dot, the cos-distance convention)
         val qq = if (metric == "cos") IvfIndex.Kernels.normalize(q) else q
         graft.operators.Hnsw.searchIndex(spark, dataDir, idx.idCol, qq, k,
-          efSearch = hnswEfSearch, exact = hnswExact)
+          efSearch = hnswEfSearch, exact = hnswExact,
+          probeGraphs = hnswProbe)
       case ("dense", "hnsw_part") =>
         // partitioned parent (partition.slt): per-partition graph
         // searches + one ordered merge; the value list comes from the

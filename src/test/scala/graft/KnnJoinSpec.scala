@@ -352,6 +352,24 @@ class KnnJoinSpec extends SparkSpec {
       "vec_id", "embedding", k = 5, exact = true, probeGraphs = 1)
       .select("qid", "vec_id").as[(Long, Long)].collect().toSet
     assert(exactRouted == want, "exact mode must ignore probeGraphs")
+
+    // scalar searchIndex routes the same way: driver-side graph ranking,
+    // top-1-of-4 on separated blobs keeps recall ~1; exact never routes
+    val q0 = rows.head._2
+    val exactTop = Hnsw.searchIndex(spark, path, "vec_id", q0, k = 10,
+        exact = true, probeGraphs = 1)
+      .collect().map(_.getLong(0)).toSet
+    val bruteTop = spark.read.parquet(src)
+      .select(col("vec_id"),
+        graft.functions.l2sq(col("embedding"), typedLit(q0)).as("d"))
+      .orderBy(col("d"), col("vec_id")).limit(10)
+      .collect().map(_.getLong(0)).toSet
+    assert(exactTop == bruteTop, "exact searchIndex must ignore probeGraphs")
+    val routedTop = Hnsw.searchIndex(spark, path, "vec_id", q0, k = 10,
+        probeGraphs = 1)
+      .collect().map(_.getLong(0)).toSet
+    val sRecall = routedTop.intersect(bruteTop).size.toDouble / bruteTop.size
+    assert(sRecall >= 0.9, s"routed scalar recall@10 = $sRecall")
     graft.index.IndexCatalog.drop(spark, name)
   }
 
