@@ -125,7 +125,60 @@ object Hnsw {
     /** Freeze the builder into the immutable flat-array search form;
       * neighbor order is preserved, so traversal (and results) are
       * identical to searching the builder directly. */
+    /** Bridge every level-0 component unreachable from the entry into
+      * the reachable component (one bidirectional edge from the orphan
+      * component's first node to its nearest reachable node). Greedy
+      * small-world descent can only ever find what the entry's
+      * component contains; duplicate-heavy spaces (binarized Hamming)
+      * and SPATIALLY partitioned multi-cluster graphs (round-8 routed
+      * builds: one graph may hold several well-separated clusters)
+      * both produce orphans, and an un-bridged orphan cluster is a
+      * silent recall hole for every beam search. Deterministic (first
+      * unseen node in index order, nearest by the build metric, index
+      * tie-break); repair edges deliberately skip the m-prune — a
+      * bridge that got pruned away would re-orphan the component. */
+    private def repairConnectivity(): Unit = {
+      val n = vecs.length
+      if (entry < 0 || n == 0) return
+      val seen = new Array[Boolean](n)
+      def bfs(start: Int): Unit = {
+        var stack = List(start)
+        seen(start) = true
+        while (stack.nonEmpty) {
+          val u = stack.head; stack = stack.tail
+          val nb = links(u)(0); var j = 0
+          while (j < nb.length) {
+            val v = nb(j)
+            if (!seen(v)) { seen(v) = true; stack = v :: stack }
+            j += 1
+          }
+        }
+      }
+      bfs(entry)
+      var u = 0
+      while (u < n) {
+        if (!seen(u)) {
+          var best = -1; var bd = Double.MaxValue
+          var s = 0
+          while (s < n) {
+            if (seen(s)) {
+              val d = dist(vecs(u), vecs(s))
+              if (d < bd || (d == bd && (best < 0 || s < best))) {
+                bd = d; best = s
+              }
+            }
+            s += 1
+          }
+          links(u)(0) += best
+          links(best)(0) += u
+          bfs(u)
+        }
+        u += 1
+      }
+    }
+
     def snapshot: FlatGraph = {
+      repairConnectivity()
       val n = vecs.length
       val dims = if (n == 0) 0 else vecs(0).length
       val flat = new Array[Float](n * dims)
@@ -602,12 +655,26 @@ object Hnsw {
       * triangle inequality (l2) / Cauchy-Schwarz on the residual
       * (cos/dot) — the rangeScan{,Cos,Dot} bound shapes. */
     def lowerBound(metric: String, q: Array[Float], qn: Double,
-        c: Array[Float], rad: Double): Double = metric match {
+        c: Array[Float], rad: Double): Double =
+      boundAndDist(metric, q, qn, c, rad)._1
+
+    /** (lower bound, centroid distance) in one pass — ranking sorts by
+      * (lb, cd, idx), the `IvfIndex.Model.rankLists` ordering: when a
+      * coarse partitioning leaves several graphs with lb = 0 (covering
+      * balls overlapping the query), the centroid-distance tie-break
+      * picks the genuinely nearest regions instead of file order. */
+    def boundAndDist(metric: String, q: Array[Float], qn: Double,
+        c: Array[Float], rad: Double): (Double, Double) = metric match {
       case "l2" =>
-        val d = math.sqrt(IvfIndex.Kernels.l2sq(q, c)) - rad
-        if (d > 0) d * d else 0.0
-      case "cos" => 1.0 - IvfIndex.Kernels.dot(q, c) - rad * qn
-      case _ => -(IvfIndex.Kernels.dot(q, c) + rad * qn)
+        val droot = math.sqrt(IvfIndex.Kernels.l2sq(q, c))
+        val d = droot - rad
+        (if (d > 0) d * d else 0.0, droot * droot)
+      case "cos" =>
+        val dot = IvfIndex.Kernels.dot(q, c)
+        (1.0 - dot - rad * qn, 1.0 - dot)
+      case _ =>
+        val dot = IvfIndex.Kernels.dot(q, c)
+        (-(dot + rad * qn), -dot)
     }
 
     /** Pair each sorted graph-file path with its routing entry by the
@@ -687,7 +754,7 @@ object Hnsw {
     // silently serving the stale artifact. parts>1 artifacts additionally
     // require the spatial-partitioning + routing-sidecar generation
     // (routing=centroid1, round 8) — pre-routing artifacts rebuild.
-    val reqs = Map("format" -> "flatbin1", "m" -> m.toString,
+    val reqs = Map("format" -> "flatbin2", "m" -> m.toString,
       "ef_construction" -> efConstruction.toString,
       "parts" -> parts.toString) ++
       (if (parts > 1) Map("routing" -> "centroid1") else Map.empty)
@@ -787,7 +854,7 @@ object Hnsw {
       }
       val baseParams = Map("m" -> m.toString,
         "ef_construction" -> efConstruction.toString,
-        "parts" -> parts.toString, "format" -> "flatbin1")
+        "parts" -> parts.toString, "format" -> "flatbin2")
       if (parts <= 1) {
         val rows = rows0.coalesce(1).sortWithinPartitions(col(idCol))
         val nFiles = rows.mapPartitions(writeGraphTask(_, _ => null))
@@ -866,8 +933,11 @@ object Hnsw {
           Routing.align(allFiles, ents).map { aligned =>
             val qn = math.sqrt(IvfIndex.Kernels.dot(q, q))
             allFiles.indices
-              .sortBy(i => (Routing.lowerBound(met, q, qn,
-                aligned(i)._2, aligned(i)._1), i))
+              .sortBy { i =>
+                val (b, d) = Routing.boundAndDist(met, q, qn,
+                  aligned(i)._2, aligned(i)._1)
+                (b, d, i) // (lb, centroid dist, idx) — rankLists order
+              }
               .take(probeGraphs).sorted.map(allFiles)
           }
         }.getOrElse(allFiles)
@@ -1175,14 +1245,20 @@ object Hnsw {
               val q = rows(i)._2
               val qn = math.sqrt(IvfIndex.Kernels.dot(q, q))
               val lb = new Array[Double](fl.length)
+              val cd = new Array[Double](fl.length)
               var gi = 0
               while (gi < fl.length) {
                 val (rad, c) = ents(gi)
-                lb(gi) = Routing.lowerBound(metric, q, qn, c, rad)
+                val (b, d) = Routing.boundAndDist(metric, q, qn, c, rad)
+                lb(gi) = b; cd(gi) = d
                 gi += 1
               }
+              // (lb, centroid dist, idx) — the rankLists ordering; the
+              // cd tie-break matters whenever covering balls overlap
+              // the query and several lb hit 0
               val order = Array.range(0, fl.length).sortWith { (a, b) =>
-                lb(a) < lb(b) || (lb(a) == lb(b) && a < b) }
+                lb(a) < lb(b) || (lb(a) == lb(b) &&
+                  (cd(a) < cd(b) || (cd(a) == cd(b) && a < b))) }
               var j = 0
               while (j < probeGraphs) { buf(order(j)) += i; j += 1 }
               i += 1

@@ -406,26 +406,38 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         // on different values)
         if extras.isEmpty || (manifest.kind == "ivf" &&
           !extras.exists(_.references.exists(_.name == idx.vecCol)))
-        distAlias <- projList.collectFirst {
+        // dist alias and corpus id are OPTIONAL in the projection
+        // (round 8): an aggregate on top — the declarative
+        // decontamination shape, `range join → groupBy(qid)` — prunes
+        // the projection down to the columns the agg needs, often just
+        // query-side attrs. The range predicate itself lives in the
+        // JOIN condition, so the rewrite needs neither; multiplicity is
+        // preserved (same inner join, pruned) so aggregates above stay
+        // correct. Every projected column must still be accounted for.
+        distAliasOpt = projList.collectFirst {
           case al @ Alias(child, _) if child.semanticEquals(distExpr) => al
         }
-        idAttr <- projList.collectFirst {
+        idAttrOpt = projList.collectFirst {
           case at: AttributeReference
               if iSide.outputSet.contains(at) && at.name == idx.idCol => at
         }
         if projList.forall {
           case at: AttributeReference =>
-            at.exprId == idAttr.exprId || qSide.outputSet.contains(at)
-          case al: Alias => al.exprId == distAlias.exprId
+            idAttrOpt.exists(_.exprId == at.exprId) ||
+              qSide.outputSet.contains(at)
+          case al: Alias => distAliasOpt.exists(_.exprId == al.exprId)
           case _ => false
         }
         // internal working columns must not collide with query-side names
         if !qSide.output.map(_.name).exists(Set("__graft_qv",
           "__graft_list", "__graft_id", "__graft_dist"))
-      } yield (idx, manifest, distAlias, idAttr, qAttr, extras)
+      } yield (idx, manifest, distAliasOpt, idAttrOpt, qAttr, extras)
       pieces match {
-        case Some((idx, manifest, distAlias, idAttr, qAttr, extras)) =>
+        case Some((idx, manifest, distAliasOpt, idAttrOpt, qAttr, extras)) =>
           if (manifest.kind == "hnsw") {
+            // the graph arm keeps the strict {qid, id, dist} contract
+            val distAlias = distAliasOpt.getOrElse(return None)
+            val idAttr = idAttrOpt.getOrElse(return None)
             // graph-kind dispatch — Hnsw.rangeJoin flat-scans the
             // resident payloads per query partition and emits only
             // (qid, id, dist), so the projection must be exactly
@@ -515,10 +527,11 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
           val newDist = newPlan.output.find(_.name == "__graft_dist")
             .getOrElse(return None)
           val outProj = projList.map {
-            case at: AttributeReference if at.exprId == idAttr.exprId =>
-              Alias(newId, idAttr.name)(exprId = idAttr.exprId)
-            case al: Alias if al.exprId == distAlias.exprId =>
-              Alias(newDist, distAlias.name)(exprId = distAlias.exprId)
+            case at: AttributeReference
+                if idAttrOpt.exists(_.exprId == at.exprId) =>
+              Alias(newId, at.name)(exprId = at.exprId)
+            case al: Alias if distAliasOpt.exists(_.exprId == al.exprId) =>
+              Alias(newDist, al.name)(exprId = al.exprId)
             case ne => ne
           }
           return Some(Project(outProj, newPlan))

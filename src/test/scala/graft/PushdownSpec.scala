@@ -562,6 +562,42 @@ class PushdownSpec extends SparkSpec {
     }
   }
 
+  test("range JOIN pushdown composes under an aggregate: the declarative " +
+      "decontamination shape rewrites with a pruned projection (round 8)") {
+    withPushdown { dataDir =>
+    val src = s"$sf001/embeddings.parquet"
+    // eval-vs-train contamination count: every eval (query) row joined
+    // to the train corpus within r, then aggregated per eval row — the
+    // optimizer prunes the projection between the Aggregate and the
+    // Join down to {qid}, so the arm must rewrite WITHOUT a dist alias
+    // or corpus id in the projection
+    def aggDf = {
+      val corpus = spark.read.parquet(src)
+      val queries = spark.read.parquet(src)
+        .filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      queries.join(corpus,
+          graft.functions.l2sq(corpus("embedding"), queries("qvec")) < lit(1.2))
+        .groupBy(col("qid"))
+        .agg(count(lit(1)).as("n_contaminated"))
+    }
+    spark.conf.set("spark.graft.ann.enabled", "false")
+    val baseline = aggDf.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.conf.set("spark.graft.ann.enabled", "true")
+    val pushed = aggDf
+    val logical = pushed.queryExecution.optimizedPlan.toString
+    assert(logical.contains("range_lists"),
+      s"aggregate-over-range-join did not rewrite:\n$logical")
+    assert(!pushed.queryExecution.executedPlan.toString
+      .contains("BroadcastNestedLoopJoin"))
+    // multiplicity preserved -> counts identical (exact at any radius)
+    val got = pushed.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == baseline)
+    spark.conf.set("spark.graft.ann.enabled", "false")
+    }
+  }
+
   test("range JOIN pushdown: cos metric normalizes the query side in-plan") {
     val (_, dataDir) = AnnQueries.ivf(spark, sf001, "cos")
     val src = s"$sf001/embeddings.parquet"
