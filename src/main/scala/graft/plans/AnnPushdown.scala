@@ -689,7 +689,19 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case Project(pl, jj: Join) => (pl, jj)
       case _ => return None
     }
-    if (j.condition.isDefined) return None
+    // hard-negative mining spelling (round 8): the join may carry
+    // EXACTLY the self-exclusion inequality `anchor_id != corpus_id`
+    // (a WHERE between the cross join and the window pushes into the
+    // join condition). The pair is validated once a side assignment is
+    // chosen below; dense IVF only — the graph/typed arms delegate to
+    // operators that window internally and cannot pre-filter.
+    val selfExPair: Option[(AttributeReference, AttributeReference)] =
+      j.condition match {
+        case None => None
+        case Some(Not(EqualTo(a: AttributeReference, b: AttributeReference))) =>
+          Some((a, b))
+        case Some(_) => return None
+      }
     if (j.joinType != org.apache.spark.sql.catalyst.plans.Inner &&
         j.joinType != org.apache.spark.sql.catalyst.plans.Cross) return None
     // dist aliases: dist(vecAttr, qAttr) for an indexed metric — dense
@@ -742,6 +754,17 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
             iSide.outputSet.contains(at) && at.name == idx.idCol
           case _ => false
         }
+        // the self-exclusion pair, when present, must be the corpus id
+        // against one query-side attribute — anything else bails
+        idUnder = idEntry match {
+          case at: AttributeReference => at
+          case Alias(at: AttributeReference, _) => at
+        }
+        if selfExPair.forall { case (a, b) =>
+          Seq(a, b).exists(_.exprId == idUnder.exprId) &&
+            Seq(a, b).exists(x => x.exprId != idUnder.exprId &&
+              qSide.outputSet.contains(x))
+        }
         // everything else in the projection is query-side
         if projList2.forall { e =>
           distIds.contains(e.exprId) || (e eq idEntry) ||
@@ -764,6 +787,10 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       } yield (idx, manifest, idEntry, qAttr, extras)
       pieces match {
         case Some((idx, manifest, idEntry, qAttr, extras)) =>
+          // self-exclusion is replayable only where the rewrite builds
+          // its own window (dense IVF below); graph/typed operators
+          // window internally at k and a post-filter would underfill
+          if (selfExPair.isDefined && manifest.kind != "ivf") return None
           if (metric.contains(':')) {
             // TYPED family dispatch — KnnJoin.joinTyped over the compact
             // artifact. joinTyped emits only (qid, id, dist, rn), so the
@@ -878,8 +905,22 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
           if (!remapOk) return None
           val scanF = if (remapped.isEmpty) scanDf
             else Shims.ofRows(spark, Filter(remapped.reduce(And), scanPlan0))
-          val joined = scanF.join(probed,
+          val joined0 = scanF.join(probed,
             scanDf("list_id") === probed("__graft_list"))
+          // self-exclusion replay (hard-negative mining): drop the
+          // anchor's own corpus row BEFORE the window, exactly where
+          // the user's filter sat — the subsequent rank is over
+          // non-self rows, so rn <= k keeps the true k negatives
+          val joined = selfExPair match {
+            case Some((a, b)) =>
+              val idUnder = idEntry match {
+                case at: AttributeReference => at
+                case Alias(at: AttributeReference, _) => at
+              }
+              val anchor = if (a.exprId == idUnder.exprId) b else a
+              joined0.filter(Shims.column(anchor) =!= scanDf(idx.idCol))
+            case None => joined0
+          }
           val distC = metric match {
             case "l2" => graft.functions.l2sq(scanDf(idx.vecCol),
               F.col("__graft_qv"))

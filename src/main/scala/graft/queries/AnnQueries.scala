@@ -786,6 +786,84 @@ object AnnQueries {
       }
     }),
 
+    // the HARD-NEGATIVE declarative spelling (round 8): the cross-join
+    // window form with the self-exclusion inequality between join and
+    // window (anchors drawn from the corpus — the dist-0 self match
+    // must not burn a negative slot). The optimizer pushes the filter
+    // into the join condition; the arm replays it before the rewritten
+    // window. Exact at nprobe=nlist -> full oracle.
+    "q_hard_negatives_pushdown" -> ((s, d) => {
+      import graft.plans.AnnPushdown
+      import org.apache.spark.sql.expressions.Window
+      val (m, _) = ivf(s, d, "l2")
+      AnnPushdown.install(s)
+      val srcPath = s"$d/embeddings.parquet"
+      val prevReg = AnnPushdown.snapshot(srcPath)
+      AnnPushdown.register(srcPath, AnnPushdown.IndexedTable(
+        s"ivf_l2_${san(d)}", "vec_id", "embedding", "l2"))
+      val prevEnabled = s.conf.get("spark.graft.ann.enabled", "false")
+      val prevNprobe = s.conf.get("spark.graft.ann.nprobe", "10")
+      s.conf.set("spark.graft.ann.enabled", "true")
+      s.conf.set("spark.graft.ann.nprobe", m.nlist.toString)
+      try {
+        val corpus = s.read.parquet(srcPath)
+        val anchors = s.read.parquet(srcPath)
+          .filter(col("vec_id") % 25 === 0)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val df = anchors.crossJoin(corpus)
+          .filter(anchors("qid") =!= corpus("vec_id"))
+          .select(anchors("qid"), corpus("vec_id"),
+            l2sq(corpus("embedding"), anchors("qvec")).as("dist"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("qid")).orderBy(col("dist"), col("vec_id"))))
+          .filter(col("rn") <= 5)
+        val optimized = df.queryExecution.optimizedPlan
+        require(optimized.toString.contains("probe_lists"),
+          "hard-negative pushdown did not rewrite the window join")
+        org.apache.spark.sql.graftshim.Shims.ofRows(s, optimized)
+      } finally {
+        s.conf.set("spark.graft.ann.enabled", prevEnabled)
+        s.conf.set("spark.graft.ann.nprobe", prevNprobe)
+        AnnPushdown.restore(srcPath, prevReg)
+      }
+    }),
+
+    // the DECONTAMINATION declarative spelling (round 8): range join
+    // aggregated per eval row. The optimizer prunes the projection
+    // between the Aggregate and the Join down to {qid}, so the
+    // range-join arm must fire WITHOUT a dist alias or corpus id in
+    // the projection; multiplicity is preserved so the counts are
+    // exact at any radius -> full oracle.
+    "q_decontaminate_pushdown" -> ((s, d) => {
+      import graft.plans.AnnPushdown
+      val (_, _) = ivf(s, d, "l2")
+      AnnPushdown.install(s)
+      val srcPath = s"$d/embeddings.parquet"
+      val prevReg = AnnPushdown.snapshot(srcPath)
+      AnnPushdown.register(srcPath, AnnPushdown.IndexedTable(
+        s"ivf_l2_${san(d)}", "vec_id", "embedding", "l2"))
+      val prevEnabled = s.conf.get("spark.graft.ann.enabled", "false")
+      s.conf.set("spark.graft.ann.enabled", "true")
+      try {
+        val corpus = s.read.parquet(srcPath)
+        val evalSet = s.read.parquet(srcPath)
+          .filter(col("vec_id") % 25 === 0)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val df = evalSet.join(corpus,
+            l2sq(corpus("embedding"), evalSet("qvec")) < lit(1.2))
+          .groupBy(col("qid"))
+          .agg(count(lit(1)).as("n_contaminated"))
+          .orderBy(col("qid"))
+        val optimized = df.queryExecution.optimizedPlan
+        require(optimized.toString.contains("range_lists"),
+          "decontamination aggregate did not rewrite the range join")
+        org.apache.spark.sql.graftshim.Shims.ofRows(s, optimized)
+      } finally {
+        s.conf.set("spark.graft.ann.enabled", prevEnabled)
+        AnnPushdown.restore(srcPath, prevReg)
+      }
+    }),
+
     // typed table-valued joins: the KnnJoin shape over the compact
     // typed artifacts — query side a table, probe ranking per row in
     // each family's densified space, scoring by the exact payload
@@ -1922,6 +2000,23 @@ object AnnQueries {
            FROM embeddings e CROSS JOIN
              (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0) q)
          WHERE rn <= 10 ORDER BY qid, rn""",
+    "q_hard_negatives_pushdown" ->
+      """SELECT qid, vec_id, dist, rn FROM (
+           SELECT q.vec_id AS qid, e.vec_id AS vec_id,
+             list_aggregate(list_transform(list_zip(e.embedding, q.embedding), p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), 'sum') AS dist,
+             row_number() OVER (PARTITION BY q.vec_id ORDER BY
+               list_aggregate(list_transform(list_zip(e.embedding, q.embedding), p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), 'sum'),
+               e.vec_id) AS rn
+           FROM embeddings e CROSS JOIN
+             (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 25 = 0) q
+           WHERE e.vec_id <> q.vec_id)
+         WHERE rn <= 5 ORDER BY qid, rn""",
+    "q_decontaminate_pushdown" ->
+      """SELECT q.vec_id AS qid, count(*) AS n_contaminated
+         FROM embeddings e CROSS JOIN
+           (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 25 = 0) q
+         WHERE list_aggregate(list_transform(list_zip(e.embedding, q.embedding), p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), 'sum') < 1.2
+         GROUP BY q.vec_id ORDER BY qid""",
     // typed table joins, exact mode: the typed batch-exact oracle
     // shapes with table-derived query sides
     "q_bvec_knn_join_exact" ->

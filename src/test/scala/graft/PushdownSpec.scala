@@ -681,6 +681,65 @@ class PushdownSpec extends SparkSpec {
     }
   }
 
+  test("hard-negative window-join spelling: self-exclusion inequality " +
+      "rewrites on dense IVF, stays exact at nprobe=nlist (round 8)") {
+    withPushdown { dataDir =>
+    val src = s"$sf001/embeddings.parquet"
+    import org.apache.spark.sql.expressions.{Window => W}
+    // anchors drawn from the indexed corpus (the contrastive-training
+    // shape): the dist-0 self match must not burn a negative slot, so
+    // the spelling filters qid != corpus id between the join and the
+    // window — which the optimizer pushes into the join condition
+    def negDf = {
+      val corpus = spark.read.parquet(src)
+      val anchors = spark.read.parquet(src)
+        .filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      anchors.crossJoin(corpus)
+        .filter(anchors("qid") =!= corpus("vec_id"))
+        .select(anchors("qid"), corpus("vec_id"),
+          graft.functions.l2sq(corpus("embedding"), anchors("qvec")).as("dist"))
+        .withColumn("rn", row_number().over(
+          W.partitionBy(col("qid")).orderBy(col("dist"), col("vec_id"))))
+        .filter(col("rn") <= 5)
+    }
+    spark.conf.set("spark.graft.ann.enabled", "false")
+    val baseline = negDf.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(baseline.nonEmpty &&
+      baseline.forall { case (q, c, _, _) => q != c })
+
+    spark.conf.set("spark.graft.ann.enabled", "true")
+    spark.conf.set("spark.graft.ann.nprobe", "16") // = nlist: exact
+    val pushed = negDf
+    val logical = pushed.queryExecution.optimizedPlan.toString
+    assert(logical.contains("probe_lists"),
+      s"self-exclusion window join did not rewrite:\n$logical")
+    assert(!pushed.queryExecution.executedPlan.toString
+      .contains("BroadcastNestedLoopJoin"))
+    val got = pushed.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(got == baseline)
+
+    // any OTHER inequality (not anchor-vs-corpus-id) must bail
+    val corpus = spark.read.parquet(src)
+    val anchors = spark.read.parquet(src).filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+        col("embedding").as("qvec"))
+    val other = anchors.crossJoin(corpus)
+      .filter(anchors("qlabel") =!= corpus("label"))
+      .select(anchors("qid"), corpus("vec_id"),
+        graft.functions.l2sq(corpus("embedding"), anchors("qvec")).as("dist"))
+      .withColumn("rn", row_number().over(
+        W.partitionBy(col("qid")).orderBy(col("dist"), col("vec_id"))))
+      .filter(col("rn") <= 5)
+    assert(!other.queryExecution.optimizedPlan.toString.contains("probe_lists"),
+      "non-self-exclusion join conditions must not rewrite")
+    spark.conf.set("spark.graft.ann.nprobe", "10")
+    spark.conf.set("spark.graft.ann.enabled", "false")
+    }
+  }
+
   test("KNN window-join pushdown guards: rank(), corpus-side partition bail") {
     withPushdown { _ =>
     val src = s"$sf001/embeddings.parquet"
