@@ -89,6 +89,20 @@ object Qps {
         single = (s, q) =>
           Hnsw.searchIndex(s, AnnQueries.hnsw(s, d, 4), "vec_id", q,
             k = 10, efSearch = EfSearch)),
+      // ROUTED join (round 8): top-2-of-4 graphs per query via the
+      // spatial routing sidecar; `single` routes the scalar path the
+      // same way — both sides of the ratio walk half the graph fleet
+      Fam("knn_join_hnsw_routed", 10,
+        batch = (s, qs) => {
+          import s.implicits._
+          val qdf = qs.toDF("vec_id", "embedding")
+          Hnsw.knnJoin(s, AnnQueries.hnsw(s, d, 4), "vec_id", qdf,
+            "vec_id", "embedding", k = 10, efSearch = EfSearch,
+            probeGraphs = 2)
+        },
+        single = (s, q) =>
+          Hnsw.searchIndex(s, AnnQueries.hnsw(s, d, 4), "vec_id", q,
+            k = 10, efSearch = EfSearch, probeGraphs = 2)),
       Fam("bvec_hamming_ivf", 10,
         batch = (s, qs) => {
           val (m, path) = AnnQueries.bvecAnn(s, d)
