@@ -1102,23 +1102,45 @@ object Hnsw {
   def rangeJoin(spark: org.apache.spark.sql.SparkSession, path: String,
       idCol: String, queries: DataFrame, qidCol: String, qvecCol: String,
       r: Double): DataFrame = {
-    import spark.implicits._
+    val (files, routing) = joinArtifacts(spark, path)
+    rangeJoinFiles(spark, files, routing, idCol, queries, qidCol, qvecCol, r)
+  }
+
+  /** Gather a graph artifact's (sorted file list, aligned routing) — the
+    * shared discovery step of the table-valued joins. The partitioned
+    * parent concatenates several artifacts' results before calling the
+    * `*Files` forms directly. */
+  private[graft] def joinArtifacts(spark: org.apache.spark.sql.SparkSession,
+      path: String)
+      : (Seq[String], Option[(String, Array[(Double, Array[Float])])]) = {
     val dirPath = new org.apache.hadoop.fs.Path(path)
     val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val files = fs.globStatus(new org.apache.hadoop.fs.Path(path, "graph-*.bin"))
       .map(_.getPath.toString).sorted.toSeq
-    if (files.isEmpty)
-      return spark.emptyDataset[(Long, Long, Double)].toDF("qid", idCol, "dist")
     // routing sidecar (spatial builds): per-query SOUND graph pruning —
     // a graph is skipped only when its lower bound proves no stored row
-    // can be within r, so the join stays exact at any radius. The eps
-    // follows the rangeScan/rangeLists convention: it only ever ADDS
+    // can be within r, so the range join stays exact at any radius. The
+    // eps follows the rangeScan/rangeLists convention: it only ever ADDS
     // graphs. Metric is per graph file; routing bounds need it up front,
     // so it rides the sidecar alignment (all graphs of one artifact
     // share the build metric).
-    val routing: Option[(String, Array[(Double, Array[Float])])] =
-      Routing.read(fs, dirPath).flatMap { case (met, ents) =>
-        Routing.align(files, ents).map(a => (met, a)) }
+    val routing = Routing.read(fs, dirPath).flatMap { case (met, ents) =>
+      Routing.align(files, ents).map(a => (met, a)) }
+    (files, routing)
+  }
+
+  /** [[rangeJoin]] over an explicit (file list, routing) pair — the form
+    * the partitioned parent calls with the CONCATENATION of its chosen
+    * sub-indexes' graphs, so one query-side pass serves every partition
+    * and routing prunes across the whole fleet. */
+  private[graft] def rangeJoinFiles(spark: org.apache.spark.sql.SparkSession,
+      files: Seq[String],
+      routing: Option[(String, Array[(Double, Array[Float])])],
+      idCol: String, queries: DataFrame, qidCol: String, qvecCol: String,
+      r: Double): DataFrame = {
+    import spark.implicits._
+    if (files.isEmpty)
+      return spark.emptyDataset[(Long, Long, Double)].toDF("qid", idCol, "dist")
     val bfiles = spark.sparkContext.broadcast(files)
     val brouting = spark.sparkContext.broadcast(routing)
     val hconf = confEntries(spark)
@@ -1198,27 +1220,35 @@ object Hnsw {
       idCol: String, queries: DataFrame, qidCol: String, qvecCol: String,
       k: Int, efSearch: Int = 100, exact: Boolean = false,
       probeGraphs: Int = 0): DataFrame = {
+    val (files, routing) = joinArtifacts(spark, path)
+    knnJoinFiles(spark, files, routing, idCol, queries, qidCol, qvecCol,
+      k, efSearch, exact, probeGraphs)
+  }
+
+  /** [[knnJoin]] over an explicit (file list, routing) pair — see
+    * [[rangeJoinFiles]]. Routed mode (round 8): probeGraphs = g > 0
+    * ranks graphs per query by the metric's lower bound over the routing
+    * entries (centroid dist − covering radius, the IVF rankLists shape)
+    * and walks only the top-g — per-query cost stops growing with graph
+    * count. The HNSW-join nprobe: approximate like the beam itself,
+    * recall measured in RECALL.json. Exact mode NEVER routes (per-graph
+    * flat scans of every graph remain the provable brute force — the
+    * oracle contract), and missing/partial routing falls back to
+    * all-graphs. */
+  private[graft] def knnJoinFiles(spark: org.apache.spark.sql.SparkSession,
+      files: Seq[String],
+      routing0: Option[(String, Array[(Double, Array[Float])])],
+      idCol: String, queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int, efSearch: Int = 100, exact: Boolean = false,
+      probeGraphs: Int = 0): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
-    val dirPath = new org.apache.hadoop.fs.Path(path)
-    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val files = fs.globStatus(new org.apache.hadoop.fs.Path(path, "graph-*.bin"))
-      .map(_.getPath.toString).sorted.toSeq
     if (files.isEmpty)
       return spark.emptyDataset[(Long, Long, Double, Int)]
         .toDF("qid", idCol, "dist", "rn")
-    // routed mode (round 8): probeGraphs = g > 0 ranks graphs per query
-    // by the metric's lower bound over the routing sidecar (centroid
-    // dist − covering radius, the IVF rankLists shape) and walks only
-    // the top-g — per-query cost stops growing with graph count. The
-    // HNSW-join nprobe: approximate like the beam itself, recall
-    // measured in RECALL.json. Exact mode NEVER routes (per-graph flat
-    // scans of every graph remain the provable brute force — the oracle
-    // contract), and a missing/partial sidecar falls back to all-graphs.
     val routing: Option[(String, Array[(Double, Array[Float])])] =
       if (exact || probeGraphs <= 0 || probeGraphs >= files.length) None
-      else Routing.read(fs, dirPath).flatMap { case (met, ents) =>
-        Routing.align(files, ents).map(a => (met, a)) }
+      else routing0
     val bfiles = spark.sparkContext.broadcast(files)
     val brouting = spark.sparkContext.broadcast(routing)
     val hconf = confEntries(spark)

@@ -197,6 +197,70 @@ object PartitionedIndex {
     chosen
   }
 
+  /** Gather the chosen partitions' graph files plus a CONCATENATED
+    * routing view: each sub-index contributes its sorted `graph-*.bin`
+    * list and (when present) its aligned `routing.bin` entries. Routing
+    * is all-or-nothing — one sub-index without a complete sidecar (a
+    * parts=1 build, or a pre-sidecar artifact) and the whole parent
+    * falls back to unrouted, because a PARTIAL routing view would rank
+    * only the covered graphs and silently never prune (range) or never
+    * select (knn) the uncovered ones consistently. Metrics agree by
+    * construction (one parent metric), but drift bails to None too. */
+  private def gatherGraphs(spark: SparkSession, name: String, source: String,
+      partCol: String, values: Option[Seq[String]])
+      : (Seq[String], Option[(String, Array[(Double, Array[Float])])]) = {
+    val chosen = resolveValues(spark, source, partCol, values)
+    val per = chosen.map { v =>
+      val sub = subName(name, v)
+      require(graft.index.IndexCatalog.load(spark, sub).nonEmpty,
+        s"no such index: $sub (run ensureHnsw after adding partitions)")
+      Hnsw.joinArtifacts(spark, graft.index.IndexCatalog.dataDir(spark, sub))
+    }
+    val files = per.flatMap(_._1)
+    val metrics = per.flatMap(_._2.map(_._1)).distinct
+    val routing =
+      if (per.forall(_._2.isDefined) && metrics.length == 1)
+        Some((metrics.head, per.toArray.flatMap(_._2.get._2)))
+      else None
+    (files, routing)
+  }
+
+  /** Table-valued KNN JOIN over the partitioned parent — the
+    * composition of partition.slt's parent-table queries with the
+    * dataset-vs-dataset retrieval shapes: ONE pass over the query table
+    * against the concatenation of the chosen partitions' graphs, the
+    * global qid-window keeping the top-k (each sub-index's per-graph
+    * top-k union is a superset of its global contribution, so exact mode
+    * is globally exact — the oracle contract). `probeGraphs = g` routes
+    * ACROSS partitions: graphs of every chosen partition rank together
+    * by routing lower bound, so a query near one partition's clusters
+    * never spends beams in another's. `values` prunes to the named
+    * partitions (the partition-predicate path). Cos parents follow the
+    * [[Hnsw.knnJoin]] convention: the CALLER normalizes the query
+    * column. */
+  def knnJoinHnsw(spark: SparkSession, name: String, source: String,
+      partCol: String, idCol: String, queries: DataFrame, qidCol: String,
+      qvecCol: String, k: Int, efSearch: Int = 100, exact: Boolean = false,
+      probeGraphs: Int = 0, values: Option[Seq[String]] = None): DataFrame = {
+    val (files, routing) = gatherGraphs(spark, name, source, partCol, values)
+    Hnsw.knnJoinFiles(spark, files, routing, idCol, queries, qidCol,
+      qvecCol, k, efSearch, exact, probeGraphs)
+  }
+
+  /** Table-valued EXACT range join over the partitioned parent: one
+    * query-side pass over the chosen partitions' graphs; routing (when
+    * every sub-index carries a sidecar) prunes by the sound per-graph
+    * lower bounds, so the join is exact at any radius — full oracle, no
+    * twin ([[Hnsw.rangeJoin]]'s contract lifted to the parent). */
+  def rangeJoinHnsw(spark: SparkSession, name: String, source: String,
+      partCol: String, idCol: String, queries: DataFrame, qidCol: String,
+      qvecCol: String, r: Double,
+      values: Option[Seq[String]] = None): DataFrame = {
+    val (files, routing) = gatherGraphs(spark, name, source, partCol, values)
+    Hnsw.rangeJoinFiles(spark, files, routing, idCol, queries, qidCol,
+      qvecCol, r)
+  }
+
   /** Search the parent table: per-partition graph searches unioned, one
     * global ordered merge. `values` prunes to the named partitions (the
     * partition-predicate path); None searches them all. Exact mode is

@@ -398,14 +398,16 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         manifest <- graft.index.IndexCatalog.load(spark, idx.indexName)
         if manifest.metric == metric &&
           ((manifest.kind == "ivf" && manifest.floats.contains("radii")) ||
-            manifest.kind == "hnsw")
+            manifest.kind == "hnsw" || manifest.kind == "hnsw_part")
         // a corpus-side predicate (FILTERED range join) is admissible
         // only on dense IVF artifacts, which store full source rows; it
         // must not touch the vector column itself (cos artifacts store
         // normalize-at-build vectors — a vec predicate would evaluate
-        // on different values)
+        // on different values) — or on a partitioned parent, where
+        // partitionChoice later requires partition-column literals only
         if extras.isEmpty || (manifest.kind == "ivf" &&
-          !extras.exists(_.references.exists(_.name == idx.vecCol)))
+          !extras.exists(_.references.exists(_.name == idx.vecCol))) ||
+          manifest.kind == "hnsw_part"
         // dist alias and corpus id are OPTIONAL in the projection
         // (round 8): an aggregate on top — the declarative
         // decontamination shape, `range join → groupBy(qid)` — prunes
@@ -434,7 +436,7 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       } yield (idx, manifest, distAliasOpt, idAttrOpt, qAttr, extras)
       pieces match {
         case Some((idx, manifest, distAliasOpt, idAttrOpt, qAttr, extras)) =>
-          if (manifest.kind == "hnsw") {
+          if (manifest.kind == "hnsw" || manifest.kind == "hnsw_part") {
             // the graph arm keeps the strict {qid, id, dist} contract
             val distAlias = distAliasOpt.getOrElse(return None)
             val idAttr = idAttrOpt.getOrElse(return None)
@@ -442,7 +444,15 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
             // resident payloads per query partition and emits only
             // (qid, id, dist), so the projection must be exactly
             // {qid, id, dist} with a single long query-side qid (the
-            // window-arm HNSW convention). Exact at any radius.
+            // window-arm HNSW convention). Exact at any radius — the
+            // partitioned parent unions its sub-indexes' graphs under
+            // the same sound routing bounds, so it stays exact too;
+            // corpus-side extras must be partition-column literal
+            // constraints and layout drift bails (partitionChoice).
+            val chosen: Option[Seq[String]] =
+              if (manifest.kind == "hnsw_part")
+                Some(partitionChoice(manifest, extras).getOrElse(return None))
+              else None
             val qidAttr = projList.collectFirst {
               case at: AttributeReference
                   if at.exprId != idAttr.exprId &&
@@ -454,14 +464,20 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
             val qNames = qSide.output.map(_.name)
             if (qNames.distinct.length != qNames.length) return None
             if (idx.idCol == "qid") return None
-            val dataDir = graft.index.IndexCatalog.dataDir(spark, idx.indexName)
             val qdf0 = Shims.ofRows(spark, qSide)
             val qdf = if (metric == "cos")
               qdf0.withColumn(qAttr.name,
                 graft.functions.vectorNormalize(Shims.column(qAttr)))
             else qdf0
-            val out = graft.operators.Hnsw.rangeJoin(spark, dataDir,
-              idx.idCol, qdf, qidAttr.name, qAttr.name, r)
+            val out =
+              if (manifest.kind == "hnsw_part")
+                graft.operators.PartitionedIndex.rangeJoinHnsw(spark,
+                  idx.indexName, manifest.source, manifest.params("partCol"),
+                  idx.idCol, qdf, qidAttr.name, qAttr.name, r,
+                  values = chosen)
+              else graft.operators.Hnsw.rangeJoin(spark,
+                graft.index.IndexCatalog.dataDir(spark, idx.indexName),
+                idx.idCol, qdf, qidAttr.name, qAttr.name, r)
             val newPlan = out.queryExecution.optimizedPlan
             val byName = newPlan.output.map(x => x.name -> x).toMap
             val outProj = projList.map {
@@ -651,7 +667,7 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case Array("bvec", _) => Set("ivf_bvec")
       case Array("svec", _) => Set("ivf_svec")
       case Array("f16", _) => Set("ivf_f16")
-      case _ => Set("ivf", "hnsw")
+      case _ => Set("ivf", "hnsw", "hnsw_part")
     }
 
   private def matchKnnJoinWindow(cond: Expression, w: Window)
@@ -743,9 +759,12 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
           (metric.contains(':') || manifest.metric == metric)
         // a corpus-side predicate (FILTERED KNN join) is admissible only
         // on dense IVF artifacts (full source rows), never touching the
-        // vector column (the range-join arm's rule)
+        // vector column (the range-join arm's rule) — or on a
+        // partitioned parent, where partitionChoice later requires every
+        // conjunct to be a partition-column literal constraint
         if extras.isEmpty || (manifest.kind == "ivf" &&
-          !extras.exists(_.references.exists(_.name == idx.vecCol)))
+          !extras.exists(_.references.exists(_.name == idx.vecCol))) ||
+          manifest.kind == "hnsw_part"
         // the corpus-side id entry: the bare attr or an alias of it
         idEntry <- projList2.find {
           case at: AttributeReference =>
@@ -833,7 +852,7 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
             } :+ Alias(byName("rn"), rnAlias.name)(exprId = rnAlias.exprId)
             return Some(Project(outProj, newPlan))
           }
-          if (manifest.kind == "hnsw") {
+          if (manifest.kind == "hnsw" || manifest.kind == "hnsw_part") {
             // graph-kind dispatch: Hnsw.knnJoin walks each query
             // partition through the executor-resident graphs and emits
             // only (qid, id, dist, rn), so the guards tighten — the
@@ -841,7 +860,15 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
             // partitioned by that single long query-side attribute and
             // ordered (dist asc, id asc), knnJoin's own canonical
             // window. Cos graphs are normalize-at-build: the query
-            // column normalizes in-plan before the join.
+            // column normalizes in-plan before the join. The PARTITIONED
+            // parent (hnsw_part) joins against the concatenation of its
+            // sub-indexes' graphs; corpus-side extras must be
+            // partition-column literal constraints (index-level pruning)
+            // and layout drift bails — partitionChoice owns both rules.
+            val chosen: Option[Seq[String]] =
+              if (manifest.kind == "hnsw_part")
+                Some(partitionChoice(manifest, extras).getOrElse(return None))
+              else None
             val qidAttr = w.partitionSpec match {
               case Seq(at: AttributeReference) => at
               case _ => return None
@@ -856,16 +883,24 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
             val qNames = qSide.output.map(_.name)
             if (qNames.distinct.length != qNames.length) return None
             if (idx.idCol == "qid") return None
-            val dataDir = graft.index.IndexCatalog.dataDir(spark, idx.indexName)
             val qdf0 = Shims.ofRows(spark, qSide)
             val qdf = if (metric == "cos")
               qdf0.withColumn(qAttr.name,
                 graft.functions.vectorNormalize(Shims.column(qAttr)))
             else qdf0
-            val out = graft.operators.Hnsw.knnJoin(spark, dataDir, idx.idCol,
-              qdf, qidSrc.name, qAttr.name, k = kLimit,
-              efSearch = math.max(hnswEfSearch, kLimit), exact = hnswExact,
-              probeGraphs = hnswJoinProbe)
+            val out =
+              if (manifest.kind == "hnsw_part")
+                graft.operators.PartitionedIndex.knnJoinHnsw(spark,
+                  idx.indexName, manifest.source, manifest.params("partCol"),
+                  idx.idCol, qdf, qidSrc.name, qAttr.name, k = kLimit,
+                  efSearch = math.max(hnswEfSearch, kLimit),
+                  exact = hnswExact, probeGraphs = hnswJoinProbe,
+                  values = chosen)
+              else graft.operators.Hnsw.knnJoin(spark,
+                graft.index.IndexCatalog.dataDir(spark, idx.indexName),
+                idx.idCol, qdf, qidSrc.name, qAttr.name, k = kLimit,
+                efSearch = math.max(hnswEfSearch, kLimit), exact = hnswExact,
+                probeGraphs = hnswJoinProbe)
             val newPlan = out.queryExecution.optimizedPlan
             val byName = newPlan.output.map(a => a.name -> a).toMap
             val outProj = projList2.map { e =>
@@ -1043,29 +1078,10 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         // filtered-top-k arm's convention); the layout-drift guard
         // bails to the unrewritten plan when the live partition set no
         // longer matches the parent manifest.
-        val partCol = manifest.params("partCol")
-        val valueSets = others.map {
-          case EqualTo(a: AttributeReference, l: Literal)
-              if a.name == partCol => Option(Set(String.valueOf(l.value)))
-          case EqualTo(l: Literal, a: AttributeReference)
-              if a.name == partCol => Option(Set(String.valueOf(l.value)))
-          case In(a: AttributeReference, vs)
-              if a.name == partCol && vs.forall(_.isInstanceOf[Literal]) =>
-            Option(vs.map(v =>
-              String.valueOf(v.asInstanceOf[Literal].value)).toSet)
-          case _ => Option.empty[Set[String]]
-        }
-        if (valueSets.exists(_.isEmpty)) return None
-        val registered = manifest.params("values").split(',').toSeq
-        if (graft.operators.PartitionedIndex.partitionValues(spark,
-            manifest.source, partCol).toSet != registered.toSet) return None
-        val chosen =
-          if (valueSets.isEmpty) registered
-          else registered.filter(
-            valueSets.flatten.reduce(_ intersect _).contains)
-        if (chosen.isEmpty) return None // provably-empty: leave to Spark
+        val chosen = partitionChoice(manifest, others).getOrElse(return None)
         graft.operators.PartitionedIndex.rangeHnsw(spark, idx.indexName,
-          manifest.source, partCol, idx.idCol, qq, r, values = Some(chosen))
+          manifest.source, manifest.params("partCol"), idx.idCol, qq, r,
+          values = Some(chosen))
       case _ => return None
     }
     val newPlan = df.queryExecution.analyzed
@@ -1074,6 +1090,41 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       Alias(byName(idx.idCol), idAttr.name)(exprId = idAttr.exprId),
       Alias(byName("dist"), distAlias.name)(exprId = distAlias.exprId)),
       newPlan))
+  }
+
+  /** Partition choice for an `hnsw_part` dispatch, shared by the range,
+    * window-join, and range-join arms: every extra conjunct must be a
+    * partition-column literal constraint (EqualTo / In — absorbed by
+    * index-level pruning); anything else bails. The layout-drift guard
+    * bails when the LIVE partition set no longer matches the parent
+    * manifest's value list — a partition added or removed without
+    * re-ensure falls back to the unrewritten plan, never errors or
+    * silently drops rows. Returns the chosen USER-space values (listing
+    * unescapes Hive dir names; literals compare unescaped); None = bail,
+    * including the provably-empty intersection (left to Spark). */
+  private def partitionChoice(manifest: graft.index.IndexCatalog.Manifest,
+      extras: Seq[Expression]): Option[Seq[String]] = {
+    val partCol = manifest.params("partCol")
+    val valueSets = extras.map {
+      case EqualTo(a: AttributeReference, l: Literal)
+          if a.name == partCol => Option(Set(String.valueOf(l.value)))
+      case EqualTo(l: Literal, a: AttributeReference)
+          if a.name == partCol => Option(Set(String.valueOf(l.value)))
+      case In(a: AttributeReference, vs)
+          if a.name == partCol && vs.forall(_.isInstanceOf[Literal]) =>
+        Option(vs.map(v =>
+          String.valueOf(v.asInstanceOf[Literal].value)).toSet)
+      case _ => Option.empty[Set[String]]
+    }
+    if (valueSets.exists(_.isEmpty)) return None
+    val registered = manifest.params("values").split(',').toSeq
+    if (graft.operators.PartitionedIndex.partitionValues(spark,
+        manifest.source, partCol).toSet != registered.toSet) return None
+    val chosen =
+      if (valueSets.isEmpty) registered
+      else registered.filter(
+        valueSets.flatten.reduce(_ intersect _).contains)
+    if (chosen.isEmpty) None else Some(chosen)
   }
 
   /** Typed-family sphere range (the strategy-2 members of the bvector /

@@ -65,6 +65,36 @@ object LifecycleQueries {
       }
     }
 
+  /** The shared partitioned-parent fixture (partition.slt analog): a
+    * 300-row Hive-layout source partitioned by category = vec_id % 3,
+    * one SPATIAL (parts=2 → routing sidecar) HNSW sub-index per
+    * partition plus the dispatchable parent entry. parts=2 matters for
+    * the JOIN gates: every sub-index carries routing.bin, so the parent
+    * joins route/prune across the whole 6-graph fleet; the exact-mode
+    * scalar gates are partitioning-agnostic (flat-scan unions). Temp
+    * source → invisible to the q_index_stat VALUES contract. */
+  private def partFixture(s: SparkSession, d: String): (String, String) = {
+    val srcDir = tmp + "/graft_partsrc_" + san(d)
+    Segments.synchronized {
+      if (!new File(srcDir, "_SUCCESS").isFile)
+        t(s, d, "embeddings").filter(col("vec_id") < 300)
+          .select(col("vec_id"), col("embedding"),
+            (col("vec_id") % 3).as("category"))
+          .write.mode("overwrite").partitionBy("category").parquet(srcDir)
+    }
+    val name = s"partidx_${san(d)}"
+    PartitionedIndex.ensureHnsw(s, name, srcDir, "category",
+      "vec_id", "embedding", "l2", parts = 2)
+    (srcDir, name)
+  }
+
+  /** The query side of the partitioned-parent join gates: every 10th
+    * source row, qid = vec_id — a table, never a driver-side batch. */
+  private def partQueries(s: SparkSession, d: String): DataFrame =
+    t(s, d, "embeddings")
+      .filter(col("vec_id") < 300 && col("vec_id") % 10 === 0)
+      .select(col("vec_id"), col("embedding"))
+
   /** The 200-row temp parquet admin fixture (shared by the admin-surface
     * queries; a temp SOURCE keeps their indexes invisible to
     * q_index_stat, whose filter keys on idx_source == the data dir). */
@@ -274,17 +304,7 @@ object LifecycleQueries {
     //     sub-index. Both scopes exact -> one full oracle. Per-partition
     //     staleness/pruning evidence lives in PartitionedIndexSpec.
     "q_partitioned_index" -> ((s, d) => {
-      val srcDir = tmp + "/graft_partsrc_" + san(d)
-      Segments.synchronized {
-        if (!new File(srcDir, "_SUCCESS").isFile)
-          t(s, d, "embeddings").filter(col("vec_id") < 300)
-            .select(col("vec_id"), col("embedding"),
-              (col("vec_id") % 3).as("category"))
-            .write.mode("overwrite").partitionBy("category").parquet(srcDir)
-      }
-      val name = s"partidx_${san(d)}"
-      PartitionedIndex.ensureHnsw(s, name, srcDir, "category",
-        "vec_id", "embedding", "l2")
+      val (srcDir, name) = partFixture(s, d)
       val q = qvec(s, d)
       val full = PartitionedIndex.searchHnsw(s, name, srcDir, "category",
         "vec_id", q, k = 60, exact = true)
@@ -304,17 +324,7 @@ object LifecycleQueries {
     //     same oracle shape as the operator-level twin.
     "q_partitioned_pushdown" -> ((s, d) => {
       import graft.plans.AnnPushdown
-      val srcDir = tmp + "/graft_partsrc_" + san(d)
-      Segments.synchronized {
-        if (!new File(srcDir, "_SUCCESS").isFile)
-          t(s, d, "embeddings").filter(col("vec_id") < 300)
-            .select(col("vec_id"), col("embedding"),
-              (col("vec_id") % 3).as("category"))
-            .write.mode("overwrite").partitionBy("category").parquet(srcDir)
-      }
-      val name = s"partidx_${san(d)}"
-      PartitionedIndex.ensureHnsw(s, name, srcDir, "category",
-        "vec_id", "embedding", "l2")
+      val (srcDir, name) = partFixture(s, d)
       AnnPushdown.install(s)
       val prevReg = AnnPushdown.snapshot(srcDir)
       AnnPushdown.register(srcDir,
@@ -358,17 +368,7 @@ object LifecycleQueries {
     //     asserted in-query; full oracle (flat scans are exact).
     "q_partitioned_range_pushdown" -> ((s, d) => {
       import graft.plans.AnnPushdown
-      val srcDir = tmp + "/graft_partsrc_" + san(d)
-      Segments.synchronized {
-        if (!new File(srcDir, "_SUCCESS").isFile)
-          t(s, d, "embeddings").filter(col("vec_id") < 300)
-            .select(col("vec_id"), col("embedding"),
-              (col("vec_id") % 3).as("category"))
-            .write.mode("overwrite").partitionBy("category").parquet(srcDir)
-      }
-      val name = s"partidx_${san(d)}"
-      PartitionedIndex.ensureHnsw(s, name, srcDir, "category",
-        "vec_id", "embedding", "l2")
+      val (srcDir, name) = partFixture(s, d)
       AnnPushdown.install(s)
       val prevReg = AnnPushdown.snapshot(srcDir)
       AnnPushdown.register(srcDir,
@@ -393,6 +393,115 @@ object LifecycleQueries {
             .withColumn("scope", lit("cat1")))
           .select(col("scope"), col("vec_id"), col("dist"))
           .orderBy(col("scope"), col("dist"), col("vec_id"))
+      } finally {
+        s.conf.set("spark.graft.ann.enabled", prevEnabled)
+        AnnPushdown.restore(srcDir, prevReg)
+      }
+    }),
+
+    // --- table-valued KNN JOIN over the partitioned parent, ROUTED:
+    //     one pass over the query table against the concatenation of
+    //     the partitions' graphs, each query walking only the
+    //     top-2-of-6 by routing lower bound — routing ranks ACROSS
+    //     partitions, so partition count stops mattering per query.
+    //     Approximate (exact twin below); rows-only by the twin
+    //     contract.
+    "q_partitioned_knn_join" -> ((s, d) => {
+      val (srcDir, name) = partFixture(s, d)
+      PartitionedIndex.knnJoinHnsw(s, name, srcDir, "category", "vec_id",
+        partQueries(s, d), "vec_id", "embedding", k = 5,
+        probeGraphs = 2)
+    }),
+    // exact mode walks EVERY graph of the chosen partitions with flat
+    // scans — provably the brute force over the partition union, so
+    // both scopes (all partitions; a 2-of-3 values prune) carry the
+    // full cross-join window oracle.
+    "q_partitioned_knn_join_exact" -> ((s, d) => {
+      val (srcDir, name) = partFixture(s, d)
+      val full = PartitionedIndex.knnJoinHnsw(s, name, srcDir, "category",
+        "vec_id", partQueries(s, d), "vec_id", "embedding", k = 5,
+        exact = true)
+      val pruned = PartitionedIndex.knnJoinHnsw(s, name, srcDir, "category",
+        "vec_id", partQueries(s, d), "vec_id", "embedding", k = 5,
+        exact = true, values = Some(Seq("1", "2")))
+      full.withColumn("scope", lit("all"))
+        .unionByName(pruned.withColumn("scope", lit("p12")))
+        .select(col("scope"), col("qid"), col("vec_id"), col("dist"),
+          col("rn"))
+    }),
+    // --- table-valued EXACT range join over the partitioned parent:
+    //     sound routing bounds prune graphs, never rows — exact at any
+    //     radius, full oracle, no twin (the rangeJoin contract lifted
+    //     to the parent).
+    "q_partitioned_range_join" -> ((s, d) => {
+      val (srcDir, name) = partFixture(s, d)
+      PartitionedIndex.rangeJoinHnsw(s, name, srcDir, "category", "vec_id",
+        partQueries(s, d), "vec_id", "embedding", r = 1.5)
+    }),
+    // --- the DECLARATIVE window-join spelling over the partitioned
+    //     parent: a brute-force cross-join + rank window against the
+    //     parent source dispatches onto the parent KNN join, with the
+    //     corpus-side partition predicate absorbed by INDEX-level
+    //     pruning (category IN (1,2) → sub-indexes 1,2). hnsw.exact →
+    //     every chosen graph flat-scans, so the full window oracle
+    //     applies with the partition filter replayed.
+    "q_partitioned_knn_join_pushdown" -> ((s, d) => {
+      import graft.plans.AnnPushdown
+      import org.apache.spark.sql.expressions.Window
+      val (srcDir, name) = partFixture(s, d)
+      AnnPushdown.install(s)
+      val prevReg = AnnPushdown.snapshot(srcDir)
+      AnnPushdown.register(srcDir,
+        AnnPushdown.IndexedTable(name, "vec_id", "embedding"))
+      val prevEnabled = s.conf.get("spark.graft.ann.enabled", "false")
+      val prevExact = s.conf.get("spark.graft.hnsw.exact", "false")
+      s.conf.set("spark.graft.ann.enabled", "true")
+      s.conf.set("spark.graft.hnsw.exact", "true")
+      try {
+        val corpus = s.read.parquet(srcDir).filter(col("category").isin(1, 2))
+        val queries = partQueries(s, d)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val df = queries.crossJoin(corpus)
+          .select(queries("qid"), corpus("vec_id"),
+            l2sq(corpus("embedding"), queries("qvec")).as("dist"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("qid")).orderBy(col("dist"), col("vec_id"))))
+          .filter(col("rn") <= 5)
+        val optimized = df.queryExecution.optimizedPlan
+        require(optimized.toString.contains("MapPartitions"),
+          "partitioned knn-join pushdown did not rewrite the window join")
+        org.apache.spark.sql.graftshim.Shims.ofRows(s, optimized)
+      } finally {
+        s.conf.set("spark.graft.ann.enabled", prevEnabled)
+        s.conf.set("spark.graft.hnsw.exact", prevExact)
+        AnnPushdown.restore(srcDir, prevReg)
+      }
+    }),
+    // --- the DECLARATIVE range-join spelling over the partitioned
+    //     parent: exact at any radius (sound graph pruning), partition
+    //     predicate pruned at the index level — full oracle with the
+    //     predicate replayed.
+    "q_partitioned_range_join_pushdown" -> ((s, d) => {
+      import graft.plans.AnnPushdown
+      val (srcDir, name) = partFixture(s, d)
+      AnnPushdown.install(s)
+      val prevReg = AnnPushdown.snapshot(srcDir)
+      AnnPushdown.register(srcDir,
+        AnnPushdown.IndexedTable(name, "vec_id", "embedding"))
+      val prevEnabled = s.conf.get("spark.graft.ann.enabled", "false")
+      s.conf.set("spark.graft.ann.enabled", "true")
+      try {
+        val corpus = s.read.parquet(srcDir).filter(col("category") === 1)
+        val queries = partQueries(s, d)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val df = queries.join(corpus,
+            l2sq(corpus("embedding"), queries("qvec")) < lit(1.5))
+          .select(queries("qid"), corpus("vec_id"),
+            l2sq(corpus("embedding"), queries("qvec")).as("dist"))
+        val optimized = df.queryExecution.optimizedPlan
+        require(optimized.toString.contains("MapPartitions"),
+          "partitioned range-join pushdown did not rewrite the join")
+        org.apache.spark.sql.graftshim.Shims.ofRows(s, optimized)
       } finally {
         s.conf.set("spark.graft.ann.enabled", prevEnabled)
         AnnPushdown.restore(srcDir, prevReg)
@@ -478,6 +587,9 @@ object LifecycleQueries {
     "list_aggregate(list_transform(list_zip(e.embedding, q.qv), p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), 'sum')"
   private val aL2 =
     "list_aggregate(list_transform(list_zip(a.embedding, q.qv), p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), 'sum')"
+  // join form: corpus alias a, query alias q, both carrying `embedding`
+  private val jL2 =
+    "list_aggregate(list_transform(list_zip(a.embedding, q.embedding), p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), 'sum')"
 
   val oracles: Map[String, String] = Map(
     "q_sql_surface" ->
@@ -580,6 +692,64 @@ object LifecycleQueries {
           SELECT 'cat1' AS scope, vec_id, dist FROM d
           WHERE dist < 2.0 AND vec_id % 3 = 1
           ORDER BY scope, dist, vec_id""",
+
+    // exact parent knn join: brute-force window replay over the
+    // partition union, both scopes (the q_hnsw_knn_join_exact shape)
+    "q_partitioned_knn_join_exact" ->
+      s"""WITH src AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),
+            qs AS (SELECT vec_id, embedding FROM embeddings
+                   WHERE vec_id < 300 AND vec_id % 10 = 0),
+            allk AS (
+              SELECT 'all' AS scope, q.vec_id AS qid, a.vec_id AS vec_id,
+                $jL2 AS dist,
+                row_number() OVER (PARTITION BY q.vec_id
+                  ORDER BY $jL2, a.vec_id) AS rn
+              FROM src a CROSS JOIN qs q),
+            p12 AS (
+              SELECT 'p12' AS scope, q.vec_id AS qid, a.vec_id AS vec_id,
+                $jL2 AS dist,
+                row_number() OVER (PARTITION BY q.vec_id
+                  ORDER BY $jL2, a.vec_id) AS rn
+              FROM src a CROSS JOIN qs q WHERE a.vec_id % 3 IN (1, 2))
+          SELECT scope, qid, vec_id, dist, rn FROM allk WHERE rn <= 5
+          UNION ALL
+          SELECT scope, qid, vec_id, dist, rn FROM p12 WHERE rn <= 5
+          ORDER BY scope, qid, rn""",
+
+    // parent range join is EXACT at any radius (sound graph pruning):
+    // full cross-filter replay, strict < (the rangeFlat convention)
+    "q_partitioned_range_join" ->
+      s"""WITH src AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),
+            qs AS (SELECT vec_id, embedding FROM embeddings
+                   WHERE vec_id < 300 AND vec_id % 10 = 0)
+          SELECT q.vec_id AS qid, a.vec_id AS vec_id, $jL2 AS dist
+          FROM src a CROSS JOIN qs q
+          WHERE $jL2 < 1.5
+          ORDER BY qid, vec_id""",
+
+    // declarative window join over the parent in exact mode: the same
+    // brute-force window replay with the partition predicate folded in
+    "q_partitioned_knn_join_pushdown" ->
+      s"""SELECT qid, vec_id, dist, rn FROM (
+            SELECT q.vec_id AS qid, a.vec_id AS vec_id, $jL2 AS dist,
+              row_number() OVER (PARTITION BY q.vec_id
+                ORDER BY $jL2, a.vec_id) AS rn
+            FROM (SELECT vec_id, embedding FROM embeddings
+                  WHERE vec_id < 300 AND vec_id % 3 IN (1, 2)) a
+            CROSS JOIN (SELECT vec_id, embedding FROM embeddings
+                        WHERE vec_id < 300 AND vec_id % 10 = 0) q)
+          WHERE rn <= 5 ORDER BY qid, rn""",
+
+    // declarative range join over the parent: exact replay with the
+    // partition predicate folded in
+    "q_partitioned_range_join_pushdown" ->
+      s"""SELECT q.vec_id AS qid, a.vec_id AS vec_id, $jL2 AS dist
+          FROM (SELECT vec_id, embedding FROM embeddings
+                WHERE vec_id < 300 AND vec_id % 3 = 1) a
+          CROSS JOIN (SELECT vec_id, embedding FROM embeddings
+                      WHERE vec_id < 300 AND vec_id % 10 = 0) q
+          WHERE $jL2 < 1.5
+          ORDER BY qid, vec_id""",
 
     "q_reindex_scan" ->
       s"""WITH m1 AS (SELECT vec_id + 20000 AS vec_id, embedding

@@ -176,6 +176,104 @@ class PartitionedIndexSpec extends SparkSpec {
     assert(PartitionedIndex.subName("n", "abc42") == "n__pabc42")
   }
 
+  test("parent table-valued joins: exact == brute force; routing prunes soundly; pushdown bails on drift") {
+    import org.apache.spark.sql.expressions.Window
+    val srcDir = sys.props("java.io.tmpdir") + "/graft_partspec_join_src"
+    rm(new File(srcDir))
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .filter(col("vec_id") < 120)
+      .select(col("vec_id"), col("embedding"), (col("vec_id") % 3).as("category"))
+    emb.write.mode("overwrite").partitionBy("category").parquet(srcDir)
+    val name = "partspec_join"
+    Seq("0", "1", "2").foreach(v =>
+      IndexCatalog.drop(spark, PartitionedIndex.subName(name, v)))
+    // parts=2 -> every sub-index carries a routing sidecar, so the
+    // parent joins route (knn) / prune (range) across all 6 graphs
+    PartitionedIndex.ensureHnsw(spark, name, srcDir, "category",
+      "vec_id", "embedding", "l2", parts = 2)
+    val queries = emb.filter(col("vec_id") % 7 === 0)
+      .select(col("vec_id"), col("embedding"))
+
+    def bruteJoin(pred: org.apache.spark.sql.Column, k: Int) =
+      queries.toDF("qid", "qv").crossJoin(emb.filter(pred))
+        .select(col("qid"), col("vec_id"),
+          graft.functions.l2sq(col("embedding"), col("qv")).as("dist"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("dist"), col("vec_id"))))
+        .filter(col("rn") <= k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+    def got(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("qid"), col("vec_id"), col("dist"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+
+    // exact parent knn join == brute-force window over the union
+    assert(got(PartitionedIndex.knnJoinHnsw(spark, name, srcDir, "category",
+      "vec_id", queries, "vec_id", "embedding", k = 5, exact = true)) ==
+      bruteJoin(lit(true), 5))
+    // values pruning replays the partition predicate
+    assert(got(PartitionedIndex.knnJoinHnsw(spark, name, srcDir, "category",
+        "vec_id", queries, "vec_id", "embedding", k = 5, exact = true,
+        values = Some(Seq("1", "2")))) ==
+      bruteJoin(col("category") === 1 || col("category") === 2, 5))
+    // routed joins keep the k-rows-per-query shape
+    val routed = PartitionedIndex.knnJoinHnsw(spark, name, srcDir,
+      "category", "vec_id", queries, "vec_id", "embedding", k = 5,
+      probeGraphs = 2)
+    assert(routed.groupBy("qid").count().collect()
+      .forall(_.getLong(1) == 5L))
+    // range join is EXACT at any radius even with routing pruning
+    val r = 1.5
+    val bruteRange = queries.toDF("qid", "qv").crossJoin(emb)
+      .select(col("qid"), col("vec_id"),
+        graft.functions.l2sq(col("embedding"), col("qv")).as("dist"))
+      .filter(col("dist") < r)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).toSet
+    assert(got(PartitionedIndex.rangeJoinHnsw(spark, name, srcDir,
+      "category", "vec_id", queries, "vec_id", "embedding", r)) == bruteRange)
+
+    // declarative window join over the parent: rewrites when the layout
+    // matches the manifest, BAILS (plan unchanged, still correct) when a
+    // partition appears without re-ensure
+    import graft.plans.AnnPushdown
+    AnnPushdown.install(spark)
+    val prevReg = AnnPushdown.snapshot(srcDir)
+    AnnPushdown.register(srcDir,
+      AnnPushdown.IndexedTable(name, "vec_id", "embedding"))
+    val prevEnabled = spark.conf.get("spark.graft.ann.enabled", "false")
+    val prevExact = spark.conf.get("spark.graft.hnsw.exact", "false")
+    spark.conf.set("spark.graft.ann.enabled", "true")
+    spark.conf.set("spark.graft.hnsw.exact", "true")
+    try {
+      def joinPlan() = {
+        val corpus = spark.read.parquet(srcDir)
+        val qs = queries.select(col("vec_id").as("qid"),
+          col("embedding").as("qvec"))
+        qs.crossJoin(corpus)
+          .select(qs("qid"), corpus("vec_id"),
+            graft.functions.l2sq(corpus("embedding"), qs("qvec")).as("dist"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("qid")).orderBy(col("dist"), col("vec_id"))))
+          .filter(col("rn") <= 5)
+      }
+      assert(joinPlan().queryExecution.optimizedPlan.toString
+        .contains("MapPartitions"), "expected the parent join rewrite")
+      new File(s"$srcDir/category=9").mkdirs()
+      try assert(!joinPlan().queryExecution.optimizedPlan.toString
+        .contains("MapPartitions"),
+        "layout drift must bail to the unrewritten plan")
+      finally rm(new File(s"$srcDir/category=9"))
+    } finally {
+      spark.conf.set("spark.graft.ann.enabled", prevEnabled)
+      spark.conf.set("spark.graft.hnsw.exact", prevExact)
+      AnnPushdown.restore(srcDir, prevReg)
+    }
+    Seq("0", "1", "2").foreach(v =>
+      IndexCatalog.drop(spark, PartitionedIndex.subName(name, v)))
+    rm(new File(srcDir))
+  }
+
   test("partitioned IVF: two pruning levels compose, exact at nprobe=nlist") {
     val srcDir = sys.props("java.io.tmpdir") + "/graft_partspec_ivf_src"
     rm(new File(srcDir))
