@@ -356,7 +356,7 @@ object Dedup {
   import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
   import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
   import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-  import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+  import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
 
   /** Second independent 64-bit hash via a murmur-style finalizer. */
   @inline def mix64(x0: Long): Long = {
@@ -763,5 +763,78 @@ object Dedup {
         org.apache.spark.sql.graftshim.Shims.expression(
           typedLit(planes.take(bands * rows).flatten)),
         bands, rows))
+  }
+
+  // --- Semantic dedup (cluster-scoped embedding dedup) --------------------
+
+  /** Codegen cosine-argmin assignment over a flattened centroid array —
+    * the semantic-dedup clustering step. DIRECT one-pass cosdist on raw
+    * values (IvfKernels.nearestCos): scale-invariant bit-exactly, and
+    * replayable by the DuckDB oracle because the per-centroid distance
+    * accumulates exactly like DenseKernels.cosDist. */
+  case class NearestCosExpr(vec: Expression, flatCentroids: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+    override def left: Expression = vec
+    override def right: Expression = flatCentroids
+    override def nullIntolerant: Boolean = true
+    override def dataType: DataType = IntegerType
+    override def nullSafeEval(v: Any, f: Any): Any =
+      IvfKernels.nearestCos(v.asInstanceOf[ArrayData], f.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (v, f) =>
+        s"${ev.value} = graft.operators.IvfKernels.nearestCos($v, $f);")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(vec = l, flatCentroids = r)
+    override def prettyName = "nearest_cos_centroid"
+  }
+
+  /** Cosine-argmin cluster id (lowest index wins ties). */
+  def semanticCluster(vec: Column, centroids: Array[Array[Float]]): Column =
+    org.apache.spark.sql.graftshim.Shims.column(
+      NearestCosExpr(
+        org.apache.spark.sql.graftshim.Shims.expression(vec),
+        org.apache.spark.sql.graftshim.Shims.expression(
+          typedLit(centroids.flatten))))
+
+  /** Cluster-scoped embedding dedup — the SemDeDup shape (Abbas et al.
+    * 2023, "SemDeDup: Data-efficient learning at web-scale through
+    * semantic deduplication"): assign every row to its nearest centroid
+    * by cosine, compare pairs ONLY within a cluster, and drop every row
+    * that has a lower-id cluster-mate within `tau` cosine distance (the
+    * keep-first convention of the exact/MinHash dedup family).
+    *
+    * Scale shape: the assignment is one codegen pass (no shuffle); the
+    * within-cluster self-join is an EQUI-join on the cluster id, so the
+    * pairwise cost is Σ|cluster|² instead of n² — the cluster count is
+    * the knob that bounds the quadratic, exactly why SemDeDup clusters
+    * before comparing. At 100 TB you raise the centroid count so cluster
+    * sizes stay bounded and let AQE handle skewed clusters; the
+    * assignment pass stays linear.
+    *
+    * Determinism contract (the dedup-family oracle conventions): the
+    * argmin tie-breaks to the lowest centroid index; removal is an
+    * EXISTS over exact-double cosdist comparisons — both replayed
+    * bit-exactly in DuckDB. `centroids` must be deterministic for the
+    * gate (the q_dedup_semantic fixture uses seed rows as centroids;
+    * production callers can pass k-means centers — approximate clusters
+    * change WHICH pairs are compared, not how).
+    *
+    * Returns (idCol, cluster: long, kept: boolean) for every input row. */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Float]], tau: Double): DataFrame = {
+    val assigned = df.select(col(idCol), col(vecCol),
+      semanticCluster(col(vecCol), centroids).as("cluster"))
+    val a = assigned.select(col(idCol).as("id_a"), col(vecCol).as("va"),
+      col("cluster"))
+    val b = assigned.select(col(idCol).as("id_b"), col(vecCol).as("vb"),
+      col("cluster"))
+    val removed = a.join(b, "cluster")
+      .filter(col("id_a") < col("id_b") &&
+        graft.functions.cosdist(col("va"), col("vb")) < tau)
+      .select(col("id_b").as(idCol)).distinct()
+    assigned
+      .join(removed.withColumn("__rm", lit(true)), Seq(idCol), "left")
+      .select(col(idCol), col("cluster").cast("long").as("cluster"),
+        col("__rm").isNull.as("kept"))
   }
 }

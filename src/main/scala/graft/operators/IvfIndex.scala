@@ -402,6 +402,38 @@ object IvfKernels {
     acc
   }
 
+  /** Nearest centroid by DIRECT one-pass cosine distance over RAW
+    * (unnormalized) values — the semantic-dedup assignment
+    * ([[Dedup.semanticDedup]]). Per-centroid distance accumulates
+    * exactly like [[graft.functions.DenseKernels.cosDist]] (xy/xx/yy in
+    * one interleaved double loop, index order 0..n-1), so the DuckDB
+    * oracle replays assignments bit-exactly; strict `<` keeps the LOWEST
+    * index on ties (the oracle's `ORDER BY cd, cid` row_number). Scaling
+    * a vector by a power of two leaves every accumulator exactly scaled
+    * and the ratio bit-identical, which is what pins the q_dedup_semantic
+    * mirror duplicates (2x embeddings) to their originals' clusters. */
+  def nearestCos(v: ArrayData, flat: ArrayData): Int = {
+    val dims = v.numElements()
+    val nlist = flat.numElements() / dims
+    var vv = 0.0
+    var i = 0
+    while (i < dims) { val x = v.getFloat(i).toDouble; vv += x * x; i += 1 }
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < nlist) {
+      var xy = 0.0; var yy = 0.0; var j = 0; val off = c * dims
+      while (j < dims) {
+        val x = v.getFloat(j).toDouble
+        val y = flat.getFloat(off + j).toDouble
+        xy += x * y; yy += y * y; j += 1
+      }
+      val cd = 1.0 - xy / math.sqrt(vv * yy)
+      if (cd < bestD) { bestD = cd; best = c }
+      c += 1
+    }
+    best
+  }
+
   /** Nearest centroid over a flattened [nlist*dims] centroid array —
     * the codegen'd assign kernel. useDot=true for dot/cos metrics. */
   def nearest(v: ArrayData, flat: ArrayData, useDot: Boolean): Int = {

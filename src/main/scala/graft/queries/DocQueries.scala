@@ -139,6 +139,23 @@ object DocQueries {
         transform(col("embedding"), x => x * lit(2.0f)).as("embedding")))
   }
 
+  /** Deterministic semantic-dedup centroids: the first 8 corpus
+    * embeddings in vec_id order (a k-means would train float-iteratively
+    * — unreplayable; WHICH pairs get compared is approximate by design,
+    * the decision arithmetic is what the oracle pins down). */
+  private def semCentroids(s: SparkSession, d: String): Array[Array[Float]] =
+    Tables.fixture("semcents:" + d) {
+      t(s, d, "embeddings").filter(col("vec_id") < 8)
+        .orderBy(col("vec_id")).select(col("embedding"))
+        .collect().map(_.getSeq[Float](0).toArray)
+    }
+
+  /** DuckDB one-pass-cosdist replay for aliased list columns. */
+  private def cosSql(a: String, b: String) =
+    s"1.0 - list_aggregate(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')" +
+    s" / sqrt(list_aggregate(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')" +
+    s" * list_aggregate(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- text analysis: per-doc token/quality stats (one scan, no
     //     shuffle; every metric is a codegen'd expression) ---
@@ -369,6 +386,20 @@ object DocQueries {
           graft.functions.cosdist(col("ea"), col("eb")).as("cdist"))
         .filter(col("cdist") < 0.05)
         .orderBy(col("vec_a"), col("vec_b"))
+    }),
+
+    // --- SEMANTIC dedup (SemDeDup, Abbas et al. 2023): cosine-argmin
+    //     clusters over deterministic seed-row centroids, pairwise
+    //     compare ONLY within a cluster, drop the higher id of every
+    //     pair under tau — cluster count bounds the quadratic. Full
+    //     oracle: assignment and removal both replay bit-exactly
+    //     (one-pass cosdist accumulator chains; the 2x mirror dups scale
+    //     every accumulator by an exact power of two, so they land in
+    //     their originals' clusters and at cosdist ~0). ---
+    "q_dedup_semantic" -> ((s, d) => {
+      Dedup.semanticDedup(embeddingsWithDups(s, d), "vec_id", "embedding",
+          semCentroids(s, d), tau = 0.05)
+        .orderBy(col("vec_id"))
     }),
 
     // --- multimodal: opaque binary payload + typed metadata (decode
@@ -712,6 +743,32 @@ object DocQueries {
 
     "q_embed_neardup" -> embedNearDupOracle,
     "q_embed_neardup_lsh" -> embedNearDupOracle,
+
+    // semantic dedup: replay the cosine-argmin assignment (row_number
+    // over (cd, cid) == the kernel's strict-< lowest-index tie-break)
+    // and the within-cluster keep-first removal rule
+    "q_dedup_semantic" ->
+      s"""WITH alle AS (
+            SELECT vec_id, embedding FROM embeddings
+            UNION ALL
+            SELECT vec_id + 100000 AS vec_id,
+                   list_transform(embedding, x -> x * CAST(2.0 AS FLOAT)) AS embedding
+            FROM embeddings WHERE vec_id < 50),
+          cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+                    WHERE vec_id < 8),
+          asg AS (
+            SELECT e.vec_id, e.embedding, c.cid,
+              row_number() OVER (PARTITION BY e.vec_id
+                ORDER BY ${cosSql("e.embedding", "c.cv")}, c.cid) AS rk
+            FROM alle e CROSS JOIN cents c),
+          cl AS (SELECT vec_id, embedding, cid FROM asg WHERE rk = 1),
+          rem AS (
+            SELECT DISTINCT b.vec_id
+            FROM cl a JOIN cl b ON a.cid = b.cid AND a.vec_id < b.vec_id
+            WHERE ${cosSql("a.embedding", "b.embedding")} < 0.05)
+          SELECT cl.vec_id AS vec_id, CAST(cl.cid AS BIGINT) AS cluster,
+                 cl.vec_id NOT IN (SELECT vec_id FROM rem) AS kept
+          FROM cl ORDER BY vec_id""",
 
     "q_embed_batch" ->
       """SELECT doc_id, CAST(64 AS BIGINT) AS dims, CAST(1.0 AS DOUBLE) AS norm

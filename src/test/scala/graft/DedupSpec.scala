@@ -125,6 +125,40 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("semantic dedup: mirrors share clusters and drop; kept set matches brute force") {
+    val e0 = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    // 2x-scaled mirrors: cosine-identical (scaling by a power of two
+    // leaves every cosdist accumulator exactly scaled)
+    val e = e0.unionAll(e0.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("embedding"), x => x * lit(2.0f)).as("embedding")))
+    val cents = e0.filter(col("vec_id") < 4).orderBy(col("vec_id"))
+      .select(col("embedding")).collect().map(_.getSeq[Float](0).toArray)
+    val out = Dedup.semanticDedup(e, "vec_id", "embedding", cents, tau = 0.05)
+    val rows = out.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    // every mirror lands in its original's cluster and is removed
+    // (keep-first: the original has the lower id)
+    (0L until 10L).foreach { i =>
+      assert(rows(i)._1 == rows(i + 100000)._1,
+        s"mirror $i must share its original's cluster")
+      assert(rows(i)._2, s"original $i must be kept")
+      assert(!rows(i + 100000)._2, s"mirror of $i must be removed")
+    }
+    // kept set == brute-force replay of the same rule
+    val assigned = e.select(col("vec_id"),
+      Dedup.semanticCluster(col("embedding"), cents).as("cl"), col("embedding"))
+    val pairs = assigned.as("a").join(assigned.as("b"),
+        col("a.cl") === col("b.cl") && col("a.vec_id") < col("b.vec_id"))
+      .filter(graft.functions.cosdist(col("a.embedding"), col("b.embedding")) < 0.05)
+      .select(col("b.vec_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    rows.foreach { case (id, (_, kept)) =>
+      assert(kept == !pairs.contains(id), s"kept($id) mismatch")
+    }
+  }
+
   test("multimodal featurize: fixed dims, normalized, deterministic") {
     val media = MultiModal.asMedia(
       spark.read.parquet(s"$sf0001/documents.parquet").limit(10),
