@@ -169,7 +169,10 @@ object Recall {
     // per-partition beams vs the exact per-partition flat-scan merge —
     // the same graphs, the beam is the only approximation. Measured
     // directly (the registered q_partitioned_* gates are exact-mode).
-    def partitionedRecall(dir: String, tag: String): (String, (Double, Int)) = {
+    // shared partitioned fixture: 4 hash partitions, parts=2 sub-indexes
+    // (every sub-index carries a routing sidecar, so the parent JOIN
+    // measurement below exercises cross-partition routing over 8 graphs)
+    def ensureRecallPart(dir: String): (String, String) = {
       import org.apache.spark.sql.functions._
       import graft.operators.PartitionedIndex
       val san = dir.replaceAll("[^a-zA-Z0-9]", "_")
@@ -181,7 +184,14 @@ object Recall {
           .write.mode("overwrite").partitionBy("part").parquet(srcDir)
       val name = s"recallpart_$san"
       PartitionedIndex.ensureHnsw(spark, name, srcDir, "part",
-        "vec_id", "embedding", "l2")
+        "vec_id", "embedding", "l2", parts = 2)
+      (srcDir, name)
+    }
+
+    def partitionedRecall(dir: String, tag: String): (String, (Double, Int)) = {
+      import org.apache.spark.sql.functions._
+      import graft.operators.PartitionedIndex
+      val (srcDir, name) = ensureRecallPart(dir)
       // averaged over the SAME N-query sample the other families use —
       // a single query is far too noisy for the shared >=0.9 bar
       val qs = spark.read.parquet(s"$dir/embeddings.parquet")
@@ -200,11 +210,36 @@ object Recall {
       "partitioned_hnsw" -> (r, 100)
     }
 
+    // parent table-valued KNN join, ROUTED across partitions (round 8):
+    // top-3-of-8 graphs per query over the concatenated sub-index fleet
+    // vs the exact all-graph flat-scan join — PAIR recall, the joinFams
+    // convention. Routing is spatial pruning, so the clustered fixture
+    // is its informative number (the hnsw_knn_join precedent).
+    def partitionedJoinRecall(dir: String, tag: String): (String, (Double, Int)) = {
+      import org.apache.spark.sql.functions._
+      import graft.operators.PartitionedIndex
+      val (srcDir, name) = ensureRecallPart(dir)
+      val queries = spark.read.parquet(s"$dir/embeddings.parquet")
+        .filter(col("vec_id") % 50 === 0).limit(50)
+        .select(col("vec_id"), col("embedding"))
+      def pairs(exact: Boolean, g: Int) =
+        PartitionedIndex.knnJoinHnsw(spark, name, srcDir, "part", "vec_id",
+            queries, "vec_id", "embedding", k = 10, exact = exact,
+            probeGraphs = g)
+          .select(col("qid"), col("vec_id")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val ex = pairs(exact = true, 0)
+      val ap = pairs(exact = false, 3)
+      val r = ap.intersect(ex).size.toDouble / math.max(ex.size, 1)
+      println(f"[recall] $tag%-9s partitioned_knn_join pair-recall@10 = $r%.3f")
+      "partitioned_knn_join" -> (r, 10)
+    }
+
     val clDir = ensureClustered(spark, sfDir)
     val clustered = measure(clDir, "clustered") ++ joinRecall(clDir, "clustered") :+
-      partitionedRecall(clDir, "clustered")
+      partitionedRecall(clDir, "clustered") :+ partitionedJoinRecall(clDir, "clustered")
     val random = measure(sfDir, "random") ++ joinRecall(sfDir, "random") :+
-      partitionedRecall(sfDir, "random")
+      partitionedRecall(sfDir, "random") :+ partitionedJoinRecall(sfDir, "random")
     clustered.filter(_._2._1 < 0.9).foreach { case (fam, (r, k)) =>
       println(f"[recall] WARNING: $fam below 0.9 on the clustered fixture ($r%.3f@$k)")
     }
@@ -235,7 +270,11 @@ object Recall {
       "spatially k-means-partitioned graphs per query) - routing is " +
       "spatial pruning, so like ivf_* its informative number is the " +
       "clustered fixture; on random data it is probed-fraction-bounded " +
-      "(~g/G) by construction."
+      "(~g/G) by construction. partitioned_knn_join is the parent " +
+      "table-valued join routed ACROSS partitions (top-3-of-8 over the " +
+      "concatenated sub-index fleet, 4 hash partitions x parts=2) - " +
+      "same spatial-pruning caveat; hash partitions each contain every " +
+      "cluster, so the per-partition k-means is what routing sees."
     val json =
       s"""{"sf":"$clDir","fixture":"clustered-mog-8","source_sf":"$sfDir",""" +
         s""""defaults":{"nprobe":10,"ef_search":100},"note":"$note",""" +
