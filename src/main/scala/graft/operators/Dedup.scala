@@ -796,6 +796,20 @@ object Dedup {
         org.apache.spark.sql.graftshim.Shims.expression(
           typedLit(centroids.flatten))))
 
+  /** Corpus-size-ADAPTIVE centroid count for [[semanticDedup]] — the
+    * signBandParams precedent applied to clustering: assignment costs
+    * n·k·d (argmin over k centroids per row) and the within-cluster
+    * pairwise pass costs ~(n²/k)·d on balanced clusters, so the sum is
+    * minimized at k ≈ √n, where BOTH terms are Θ(d·n^1.5) —
+    * subquadratic, but not linear. A FIXED k (like the gate fixture's
+    * 8) leaves the pairwise term Θ(n²/k): fine at gate scale, quadratic
+    * at corpus scale. Beyond ~10⁹ rows the brute-force argmin itself is
+    * the bottleneck and assignment should ride the ANN machinery
+    * (assign via an IVF coarse quantizer — the same centroids ARE an
+    * IVF index); the knob here covers the regimes below that. */
+  def semanticK(n: Long): Int =
+    math.max(8, math.ceil(math.sqrt(math.max(n, 1).toDouble)).toInt)
+
   /** Cluster-scoped embedding dedup — the SemDeDup shape (Abbas et al.
     * 2023, "SemDeDup: Data-efficient learning at web-scale through
     * semantic deduplication"): assign every row to its nearest centroid

@@ -677,6 +677,23 @@ object Hnsw {
         (-(dot + rad * qn), -dot)
     }
 
+    /** Driver-side routed file selection: rank `files` by the metric's
+      * (lower bound, centroid dist, idx) — the rankLists order — and
+      * keep the top-g, re-sorted to file order (deterministic task
+      * layout). Shared by the scalar routed search and the routed
+      * partitioned-parent scalar path. */
+    def rankFiles(metric: String, q: Array[Float], files: Seq[String],
+        aligned: Array[(Double, Array[Float])], g: Int): Seq[String] = {
+      val qn = math.sqrt(IvfIndex.Kernels.dot(q, q))
+      files.indices
+        .sortBy { i =>
+          val (b, d) = boundAndDist(metric, q, qn,
+            aligned(i)._2, aligned(i)._1)
+          (b, d, i)
+        }
+        .take(g).sorted.map(files)
+    }
+
     /** Pair each sorted graph-file path with its routing entry by the
       * pid encoded in the file name; None unless EVERY file has one (a
       * partial sidecar routes nothing — fail safe to all-graphs). */
@@ -930,17 +947,20 @@ object Hnsw {
       if (exact || probeGraphs <= 0 || probeGraphs >= allFiles.length) allFiles
       else Routing.read(fs, dirPath)
         .flatMap { case (met, ents) =>
-          Routing.align(allFiles, ents).map { aligned =>
-            val qn = math.sqrt(IvfIndex.Kernels.dot(q, q))
-            allFiles.indices
-              .sortBy { i =>
-                val (b, d) = Routing.boundAndDist(met, q, qn,
-                  aligned(i)._2, aligned(i)._1)
-                (b, d, i) // (lb, centroid dist, idx) — rankLists order
-              }
-              .take(probeGraphs).sorted.map(allFiles)
-          }
+          Routing.align(allFiles, ents).map(
+            Routing.rankFiles(met, q, allFiles, _, probeGraphs))
         }.getOrElse(allFiles)
+    searchFiles(spark, files, idCol, q, k, efSearch, exact)
+  }
+
+  /** Scalar search over an explicit graph-file list — the per-file tasks
+    * of [[searchIndex]] with discovery/routing already done. The
+    * partitioned parent's routed scalar path calls this with its
+    * cross-partition top-g selection. */
+  private[graft] def searchFiles(spark: org.apache.spark.sql.SparkSession,
+      files: Seq[String], idCol: String, q: Array[Float], k: Int,
+      efSearch: Int, exact: Boolean): DataFrame = {
+    import spark.implicits._
     val bq = spark.sparkContext.broadcast(q)
     val hconf = confEntries(spark)
     val hits = spark.sparkContext

@@ -265,11 +265,27 @@ object PartitionedIndex {
     * global ordered merge. `values` prunes to the named partitions (the
     * partition-predicate path); None searches them all. Exact mode is
     * globally exact — each partition's flat top-k is a superset of its
-    * contribution to the global top-k. */
+    * contribution to the global top-k. `probeGraphs = g` routes ACROSS
+    * partitions (round 8): the query is a plan-time constant, so the
+    * cross-partition routing view ranks driver-side and only the top-g
+    * graphs of the whole fleet are searched — per-query cost stops
+    * growing with partition count. Exact mode never routes, and a
+    * sidecar-less sub-index falls back to all-graphs (the knnJoinHnsw
+    * all-or-nothing rule). */
   def searchHnsw(spark: SparkSession, name: String, source: String,
       partCol: String, idCol: String, q: Array[Float], k: Int,
       efSearch: Int = 100, exact: Boolean = false,
-      values: Option[Seq[String]] = None): DataFrame = {
+      values: Option[Seq[String]] = None, probeGraphs: Int = 0): DataFrame = {
+    if (!exact && probeGraphs > 0) {
+      val (files, routing) = gatherGraphs(spark, name, source, partCol, values)
+      val chosenFiles = routing match {
+        case Some((met, aligned)) if probeGraphs < files.length =>
+          Hnsw.Routing.rankFiles(met, q, files, aligned, probeGraphs)
+        case _ => files
+      }
+      return Hnsw.searchFiles(spark, chosenFiles, idCol, q, k, efSearch,
+        exact = false)
+    }
     // either way the only driver-side work is one listStatus of the
     // source dir (metadata, never a job — safe inside an optimizer rule)
     val chosen = resolveValues(spark, source, partCol, values)

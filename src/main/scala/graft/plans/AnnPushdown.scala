@@ -1396,7 +1396,7 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         graft.operators.PartitionedIndex.searchHnsw(spark, idx.indexName,
           manifest.source, manifest.params("partCol"), idx.idCol, qq, k,
           efSearch = hnswEfSearch, exact = hnswExact,
-          values = Some(registered))
+          values = Some(registered), probeGraphs = hnswProbe)
       case ("f16", "ivf_f16") =>
         TypedAnn.searchF16(spark, dataDir, model, idx.idCol, q, k, probes,
           metric)
@@ -1491,7 +1491,8 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       val qq = if (metric == "cos") IvfIndex.Kernels.normalize(q) else q
       val searchDf = graft.operators.PartitionedIndex.searchHnsw(spark,
         idx.indexName, manifest.source, partCol, idx.idCol, qq, k,
-        efSearch = hnswEfSearch, exact = hnswExact, values = Some(chosen))
+        efSearch = hnswEfSearch, exact = hnswExact, values = Some(chosen),
+        probeGraphs = hnswProbe)
       val newPlan = searchDf.queryExecution.analyzed
       val Seq(newId, newDist) = newPlan.output
       return Some(Project(Seq(

@@ -67,14 +67,14 @@ object StreamingIngest {
     * collect. `exact = true` flat-scans (the spec's oracle mode). */
   def serveKnnHnsw(stream: DataFrame, path: String, idCol: String,
       qidCol: String, qvecCol: String, k: Int, efSearch: Int = 100,
-      exact: Boolean = false)(sink: DataFrame => Unit)
+      exact: Boolean = false, probeGraphs: Int = 0)(sink: DataFrame => Unit)
       : DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty)
           sink(graft.operators.Hnsw.knnJoin(batch.sparkSession, path, idCol,
-            batch, qidCol, qvecCol, k, efSearch, exact))
+            batch, qidCol, qvecCol, k, efSearch, exact, probeGraphs))
         ()
       }
 

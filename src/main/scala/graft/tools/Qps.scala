@@ -42,6 +42,22 @@ object Qps {
   def families(d: String): Seq[Fam] = {
     import graft.operators.{Hnsw, IvfIndex, TypedAnn}
     import graft.queries.AnnQueries
+    // partitioned-parent fixture for the parent-join family: 4 hash
+    // partitions x parts=2 sub-indexes (routing sidecars everywhere)
+    def partParent(s: SparkSession): (String, String) = {
+      import org.apache.spark.sql.functions.col
+      val san = d.replaceAll("[^a-zA-Z0-9]", "_")
+      val srcDir = sys.props("java.io.tmpdir") + s"/graft_qpspart_$san"
+      if (!new java.io.File(srcDir, "_SUCCESS").isFile)
+        s.read.parquet(s"$d/embeddings.parquet")
+          .select(col("vec_id"), col("embedding"),
+            (col("vec_id") % 4).as("part"))
+          .write.mode("overwrite").partitionBy("part").parquet(srcDir)
+      val name = s"qpspart_$san"
+      graft.operators.PartitionedIndex.ensureHnsw(s, name, srcDir, "part",
+        "vec_id", "embedding", "l2", parts = 2)
+      (srcDir, name)
+    }
     Seq(
       Fam("ivf_l2", 10,
         batch = (s, qs) => {
@@ -103,6 +119,24 @@ object Qps {
         single = (s, q) =>
           Hnsw.searchIndex(s, AnnQueries.hnsw(s, d, 4), "vec_id", q,
             k = 10, efSearch = EfSearch, probeGraphs = 2)),
+      // partitioned-parent join (round 8): ONE query-table pass over the
+      // concatenated sub-index graphs vs the per-query parent search
+      // (per-partition union + ordered merge per query) — measures
+      // table-side amortization across a multi-partition fleet
+      Fam("knn_join_partitioned", 10,
+        batch = (s, qs) => {
+          import s.implicits._
+          val (srcDir, name) = partParent(s)
+          val qdf = qs.toDF("vec_id", "embedding")
+          graft.operators.PartitionedIndex.knnJoinHnsw(s, name, srcDir,
+            "part", "vec_id", qdf, "vec_id", "embedding", k = 10,
+            efSearch = EfSearch)
+        },
+        single = (s, q) => {
+          val (srcDir, name) = partParent(s)
+          graft.operators.PartitionedIndex.searchHnsw(s, name, srcDir,
+            "part", "vec_id", q, k = 10, efSearch = EfSearch)
+        }),
       Fam("bvec_hamming_ivf", 10,
         batch = (s, qs) => {
           val (m, path) = AnnQueries.bvecAnn(s, d)

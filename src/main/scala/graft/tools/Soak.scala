@@ -284,6 +284,28 @@ object Soak {
     println(f"[soak] partitioned ensure full $pFullS%.2f->$pFullL%.2f " +
       f"one-partition re-ensure $pIncrS%.2f->$pIncrL%.2f")
 
+    // Semantic-dedup soak (round 8): k follows the √n policy
+    // (Dedup.semanticK), under which assignment (n·k·d) and the
+    // within-cluster pairwise pass ((n²/k)·d) are BOTH Θ(d·n^1.5) —
+    // subquadratic by construction but not linear; a FIXED k would be
+    // O(n²/k), the fixed-banding defect shape the round-5 soak caught.
+    import graft.operators.Dedup
+    def semSoak(d: String): Double = {
+      val e = spark.read.parquet(s"$d/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      val n = e.count()
+      val k = Dedup.semanticK(n)
+      val cents = e.orderBy(col("vec_id")).limit(k)
+        .collect().map(_.getSeq[Float](1).toArray)
+      def run() = Dedup.semanticDedup(e, "vec_id", "embedding",
+        cents, 0.05).count()
+      run() // JIT/codegen warm, untimed
+      val t0 = System.nanoTime(); run(); (System.nanoTime() - t0) / 1e9
+    }
+    val semS = semSoak(src)
+    val semL = semSoak(dst)
+    println(f"[soak] semantic dedup (k=sqrt n)  sf0.1 $semS%6.2fs   sf1 $semL%6.2fs   x${semL / semS}%.1f")
+
     val sb = new StringBuilder
     sb ++= "# SOAK — sf0.1 vs synthetic sf1 (10× replicated fixtures)\n\n"
     sb ++= "10× corpus built by replicating `documents`/`embeddings`/`events`\n"
@@ -361,6 +383,20 @@ object Soak {
     sb ++= f"| partitioned ensure, 8 partitions (full) | $pFullS%.2f | $pFullL%.2f |\n"
     sb ++= f"| re-ensure after ONE partition re-ingested | $pIncrS%.2f | $pIncrL%.2f |\n"
     sb ++= f"| re-ensure / full | ${pIncrS / pFullS}%.2f | ${pIncrL / pFullL}%.2f |\n"
+    sb ++= "\n## Semantic dedup at 10× corpus (round 8)\n\n"
+    sb ++= "k = ⌈√n⌉ centroids (`Dedup.semanticK`): the assignment pass\n"
+    sb ++= "costs n·k·d and the within-cluster pairwise pass (n²/k)·d, so\n"
+    sb ++= "both terms sit at Θ(d·n^1.5) — the honest complexity of exact\n"
+    sb ++= "within-cluster comparison; a FIXED k is O(n²/k), the\n"
+    sb ++= "fixed-banding defect shape. The asymptotic wall ratio at 10×\n"
+    sb ++= "data is therefore √10·10 ≈ 31.6× of the n^1.5 term, with\n"
+    sb ++= "fixture-scale runs still overhead-dominated; past ~10⁹ rows the\n"
+    sb ++= "argmin assignment should ride the IVF coarse machinery instead\n"
+    sb ++= "(the centroids ARE an IVF index). Near-dup pairs themselves are\n"
+    sb ++= "found by the LSH family when linear cost is required — semantic\n"
+    sb ++= "dedup buys cluster-scoped EXACT comparison at the n^1.5 price.\n\n"
+    sb ++= "| operation | sf0.1 (s) | sf1 (s) | ratio |\n|---|---|---|---|\n"
+    sb ++= f"| semantic dedup (k=√n, tau=0.05) | $semS%.2f | $semL%.2f | ${semL / semS}%.1f× |\n"
     sb ++= "\n## Finding fixed by this soak\n\n"
     sb ++= "The first run measured q_embed_neardup_lsh at ~20× wall time for\n"
     sb ++= "10× data: FIXED 16×4 sign-LSH banding collides a random pair in\n"

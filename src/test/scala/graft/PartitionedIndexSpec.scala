@@ -223,6 +223,19 @@ class PartitionedIndexSpec extends SparkSpec {
       probeGraphs = 2)
     assert(routed.groupBy("qid").count().collect()
       .forall(_.getLong(1) == 5L))
+    // routed SCALAR parent search (cross-partition top-g, driver-side
+    // ranking) keeps the k-row shape; exact mode never routes, so the
+    // exact result is unchanged by the probeGraphs knob
+    val q0 = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    assert(PartitionedIndex.searchHnsw(spark, name, srcDir, "category",
+      "vec_id", q0, k = 10, probeGraphs = 2).count() == 10)
+    assert(PartitionedIndex.searchHnsw(spark, name, srcDir, "category",
+        "vec_id", q0, k = 10, exact = true, probeGraphs = 2)
+        .collect().map(_.getLong(0)).toSeq ==
+      PartitionedIndex.searchHnsw(spark, name, srcDir, "category",
+        "vec_id", q0, k = 10, exact = true)
+        .collect().map(_.getLong(0)).toSeq)
     // range join is EXACT at any radius even with routing pruning
     val r = 1.5
     val bruteRange = queries.toDF("qid", "qv").crossJoin(emb)
