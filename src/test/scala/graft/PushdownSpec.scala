@@ -1174,6 +1174,93 @@ class PushdownSpec extends SparkSpec {
     }
   }
 
+  test("partitioned parent JOIN arms: partition predicates prune, " +
+      "non-partition predicates bail, range-join drift bails (round 8)") {
+    import graft.operators.PartitionedIndex
+    import org.apache.spark.sql.expressions.Window
+    val srcDir = sys.props("java.io.tmpdir") + "/graft_partjoin_src"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete()
+    }
+    rm(new java.io.File(srcDir))
+    spark.read.parquet(s"$sf001/embeddings.parquet")
+      .filter(col("vec_id") < 150)
+      .select(col("vec_id"), col("embedding"), (col("vec_id") % 3).as("category"))
+      .write.mode("overwrite").partitionBy("category").parquet(srcDir)
+    val name = "partjoin_idx"
+    Seq("0", "1", "2").foreach(v =>
+      graft.index.IndexCatalog.drop(spark, PartitionedIndex.subName(name, v)))
+    graft.index.IndexCatalog.drop(spark, name)
+    PartitionedIndex.ensureHnsw(spark, name, srcDir, "category",
+      "vec_id", "embedding", "l2", parts = 2)
+    AnnPushdown.install(spark)
+    AnnPushdown.register(srcDir,
+      AnnPushdown.IndexedTable(name, "vec_id", "embedding"))
+    def queries = spark.read.parquet(s"$sf001/embeddings.parquet")
+      .filter(col("vec_id") % 20 === 0 && col("vec_id") < 150)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    def windowDf(pred: Option[org.apache.spark.sql.Column]) = {
+      val base = spark.read.parquet(srcDir)
+      val corpus = pred.map(base.filter).getOrElse(base)
+      val qs = queries
+      qs.crossJoin(corpus)
+        .select(qs("qid"), corpus("vec_id"),
+          graft.functions.l2sq(corpus("embedding"), qs("qvec")).as("dist"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("dist"), col("vec_id"))))
+        .filter(col("rn") <= 4)
+    }
+    def rangeDf(pred: Option[org.apache.spark.sql.Column]) = {
+      val base = spark.read.parquet(srcDir)
+      val corpus = pred.map(base.filter).getOrElse(base)
+      val qs = queries
+      qs.join(corpus,
+          graft.functions.l2sq(corpus("embedding"), qs("qvec")) < lit(1.5))
+        .select(qs("qid"), corpus("vec_id"),
+          graft.functions.l2sq(corpus("embedding"), qs("qvec")).as("dist"))
+    }
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.select(col("qid"), col("vec_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def rewritten(d: org.apache.spark.sql.DataFrame) =
+      d.queryExecution.optimizedPlan.toString.contains("MapPartitions")
+    try {
+      spark.conf.set("spark.graft.ann.enabled", "false")
+      val baseW = rows(windowDf(Some(col("category") === 1)))
+      val baseR = rows(rangeDf(Some(col("category").isin(0, 2))))
+      spark.conf.set("spark.graft.ann.enabled", "true")
+      spark.conf.set("spark.graft.hnsw.exact", "true")
+      // window arm: partition predicate absorbed by sub-index pruning,
+      // values identical to the brute-force window
+      val w1 = windowDf(Some(col("category") === 1))
+      assert(rewritten(w1), "parent window-join arm did not rewrite")
+      assert(rows(w1) == baseW)
+      // range arm: IN-predicate pruning, exact at any radius
+      val r1 = rangeDf(Some(col("category").isin(0, 2)))
+      assert(rewritten(r1), "parent range-join arm did not rewrite")
+      assert(rows(r1) == baseR)
+      // non-partition corpus predicates bail on BOTH arms (graph
+      // payloads carry nothing to re-filter)
+      assert(!rewritten(windowDf(Some(col("vec_id") < 100))))
+      assert(!rewritten(rangeDf(Some(col("vec_id") < 100))))
+      // layout drift bails the range-join arm (window-arm drift is
+      // covered in PartitionedIndexSpec)
+      new java.io.File(s"$srcDir/category=9").mkdirs()
+      try assert(!rewritten(rangeDf(None)),
+        "range-join arm must bail on layout drift")
+      finally rm(new java.io.File(s"$srcDir/category=9"))
+    } finally {
+      spark.conf.set("spark.graft.ann.enabled", "false")
+      spark.conf.unset("spark.graft.hnsw.exact")
+      AnnPushdown.unregister(srcDir)
+      Seq("0", "1", "2").foreach(v =>
+        graft.index.IndexCatalog.drop(spark, PartitionedIndex.subName(name, v)))
+      graft.index.IndexCatalog.drop(spark, name)
+      rm(new java.io.File(srcDir))
+    }
+  }
+
   test("partitioned parent: sphere range dispatches across sub-indexes, " +
       "partition predicates prune, layout drift bails (round 8)") {
     import graft.operators.PartitionedIndex

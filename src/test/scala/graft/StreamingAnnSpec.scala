@@ -193,4 +193,34 @@ class StreamingAnnSpec extends SparkSpec {
       assert(sink.toSet == want, s"$kind: streamed serve diverged")
     }
   }
+
+  test("serveKnnHnsw routes micro-batches like the routed batch join") {
+    import graft.streaming.StreamingIngest
+    // parts=4 -> spatial build with a routing sidecar; g=2 routed serve
+    // must equal the routed batch join on the same query set
+    val hpath = graft.queries.AnnQueries.hnsw(spark, sf0001, parts = 4)
+    val queriesDf = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .filter($"vec_id" < 8).select($"vec_id", $"embedding")
+    val queries = queriesDf.as[(Long, Array[Float])].collect().toSeq
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Long, Array[Float])]
+    val sink = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
+    def drain(df: org.apache.spark.sql.DataFrame): Unit = sink.synchronized {
+      sink ++= df.select($"qid", $"vec_id", $"dist")
+        .as[(Long, Long, Double)].collect()
+    }
+    val writer = StreamingIngest.serveKnnHnsw(
+      source.toDS().toDF("vec_id", "embedding"), hpath, "vec_id",
+      "vec_id", "embedding", k = 5, probeGraphs = 2)(drain)
+    val q = writer.start()
+    try {
+      source.addData(queries: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val want = graft.operators.Hnsw.knnJoin(spark, hpath, "vec_id",
+        queriesDf, "vec_id", "embedding", k = 5, probeGraphs = 2)
+      .select($"qid", $"vec_id", $"dist").as[(Long, Long, Double)]
+      .collect().toSet
+    assert(sink.toSet == want, "routed streamed serve diverged")
+  }
 }
