@@ -121,22 +121,36 @@ object PartitionedIndex {
   }
 
   /** IVF flavor of [[ensureHnsw]]: one list-partitioned IVF artifact per
-    * table partition, each independently stale-checked/trained. No parent
-    * manifest — the declarative parent dispatch is the HNSW kind's;
-    * partitioned IVF is the operator-level shape (a query with a
+    * table partition, each independently stale-checked/trained, plus a
+    * dispatchable `ivf_part` PARENT manifest (round 8 — partition.slt's
+    * parent queries compose with every index form, so the IVF parent is
+    * declarative like the HNSW one). Two pruning levels compose: a
     * partition predicate prunes sub-indexes, then each sub-index prunes
-    * lists — two pruning levels composing). */
+    * centroid lists. */
   def ensureIvf(spark: SparkSession, name: String, source: String,
       partCol: String, vecCol: String, metric: String, nlist: Int,
       seed: Long = 42L): Seq[(String, IvfIndex.Model)] = {
     val values = partitionValues(spark, source, partCol)
     require(values.nonEmpty, s"no $partCol=* partitions under $source")
-    values.map { v =>
+    require(values.forall(!_.contains(',')),
+      s"partition values must not contain ',': ${values.filter(_.contains(","))}")
+    val built = values.map { v =>
       val sub = partitionPath(source, partCol, v)
       val (m, _) = IvfIndex.ensure(spark, subName(name, v),
         spark.read.parquet(sub), sub, vecCol, metric, nlist, seed)
       v -> m
     }
+    import graft.index.IndexCatalog
+    val params = Map("partCol" -> partCol, "values" -> values.mkString(","),
+      "nlist" -> nlist.toString)
+    IndexCatalog.withIndexLock(spark, name) {
+      val prior = IndexCatalog.load(spark, name)
+      if (!prior.exists(p => p.source == source && p.metric == metric &&
+          params.forall { case (k2, v2) => p.params.get(k2).contains(v2) }))
+        IndexCatalog.commit(spark, name,
+          IndexCatalog.Manifest("ivf_part", source, metric, params))
+    }
+    built
   }
 
   /** IVF parent search: per-partition pruned scans unioned, one ordered

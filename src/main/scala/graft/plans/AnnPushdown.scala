@@ -1380,23 +1380,31 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         graft.operators.Hnsw.searchIndex(spark, dataDir, idx.idCol, qq, k,
           efSearch = hnswEfSearch, exact = hnswExact,
           probeGraphs = hnswProbe)
-      case ("dense", "hnsw_part") =>
-        // partitioned parent (partition.slt): per-partition graph
-        // searches + one ordered merge; the value list comes from the
-        // parent manifest (the rule does metadata-only work, no jobs).
-        // If the LAYOUT drifted since ensure (a partition added or
-        // removed), the sub-index set no longer covers the table —
-        // bail to the unrewritten plan rather than erroring or
-        // silently dropping rows.
+      case ("dense", "hnsw_part" | "ivf_part") =>
+        // partitioned parent (partition.slt): per-partition searches +
+        // one ordered merge; the value list comes from the parent
+        // manifest (the rule does metadata-only work, no jobs). If the
+        // LAYOUT drifted since ensure (a partition added or removed),
+        // the sub-index set no longer covers the table — bail to the
+        // unrewritten plan rather than erroring or silently dropping
+        // rows. The IVF parent is exact at nprobe >= every sub's nlist
+        // (per-sub clamp), the scalar IVF arm's contract per partition.
         val registered = manifest.params("values").split(',').toSeq
         if (graft.operators.PartitionedIndex.partitionValues(spark,
             manifest.source, manifest.params("partCol")).toSet !=
             registered.toSet) return None
-        val qq = if (metric == "cos") IvfIndex.Kernels.normalize(q) else q
-        graft.operators.PartitionedIndex.searchHnsw(spark, idx.indexName,
-          manifest.source, manifest.params("partCol"), idx.idCol, qq, k,
-          efSearch = hnswEfSearch, exact = hnswExact,
-          values = Some(registered), probeGraphs = hnswProbe)
+        if (manifest.kind == "ivf_part")
+          graft.operators.PartitionedIndex.searchIvf(spark, idx.indexName,
+            manifest.source, manifest.params("partCol"), idx.idCol,
+            idx.vecCol, q, k, nprobe = math.max(nprobe, 1),
+            values = Some(registered))
+        else {
+          val qq = if (metric == "cos") IvfIndex.Kernels.normalize(q) else q
+          graft.operators.PartitionedIndex.searchHnsw(spark, idx.indexName,
+            manifest.source, manifest.params("partCol"), idx.idCol, qq, k,
+            efSearch = hnswEfSearch, exact = hnswExact,
+            values = Some(registered), probeGraphs = hnswProbe)
+        }
       case ("f16", "ivf_f16") =>
         TypedAnn.searchF16(spark, dataDir, model, idx.idCol, q, k, probes,
           metric)
@@ -1455,7 +1463,7 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     // the index scan; here the pruned value set picks the sub-indexes.
     // Any other predicate shape bails: graph payloads carry only
     // (id, vec), so nothing else can be re-evaluated on the artifact.
-    if (manifest.kind == "hnsw_part") {
+    if (manifest.kind == "hnsw_part" || manifest.kind == "ivf_part") {
       val partCol = manifest.params("partCol")
       def flat(e: Expression): Seq[Expression] = e match {
         case And(l, r) => flat(l) ++ flat(r)
@@ -1488,11 +1496,18 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         valueSets.flatten.reduce(_ intersect _).contains)
       if (chosen.isEmpty) return None // provably-empty: leave to Spark
       val q = floatsOf(qLit)
-      val qq = if (metric == "cos") IvfIndex.Kernels.normalize(q) else q
-      val searchDf = graft.operators.PartitionedIndex.searchHnsw(spark,
-        idx.indexName, manifest.source, partCol, idx.idCol, qq, k,
-        efSearch = hnswEfSearch, exact = hnswExact, values = Some(chosen),
-        probeGraphs = hnswProbe)
+      val searchDf =
+        if (manifest.kind == "ivf_part")
+          graft.operators.PartitionedIndex.searchIvf(spark, idx.indexName,
+            manifest.source, partCol, idx.idCol, idx.vecCol, q, k,
+            nprobe = math.max(nprobe, 1), values = Some(chosen))
+        else {
+          val qq = if (metric == "cos") IvfIndex.Kernels.normalize(q) else q
+          graft.operators.PartitionedIndex.searchHnsw(spark,
+            idx.indexName, manifest.source, partCol, idx.idCol, qq, k,
+            efSearch = hnswEfSearch, exact = hnswExact,
+            values = Some(chosen), probeGraphs = hnswProbe)
+        }
       val newPlan = searchDf.queryExecution.analyzed
       val Seq(newId, newDist) = newPlan.output
       return Some(Project(Seq(

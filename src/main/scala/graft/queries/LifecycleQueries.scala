@@ -399,6 +399,55 @@ object LifecycleQueries {
       }
     }),
 
+    // --- the IVF member of the partitioned-parent dispatch (round 8):
+    //     parent queries compose with EVERY index form, so an ivf_part
+    //     parent over the same partitioned source dispatches `ORDER BY
+    //     dist LIMIT k` onto per-partition radii-pruned IVF scans (two
+    //     pruning levels: partition predicate -> sub-indexes, then
+    //     centroids -> lists). nprobe=nlist -> per-sub exact -> the
+    //     merged union is globally exact, same oracle shape as the HNSW
+    //     parent twin.
+    "q_partitioned_ivf_pushdown" -> ((s, d) => {
+      import graft.plans.AnnPushdown
+      val (srcDir, _) = partFixture(s, d)
+      val name = s"partivf_${san(d)}"
+      PartitionedIndex.ensureIvf(s, name, srcDir, "category",
+        "embedding", "l2", nlist = 4)
+      AnnPushdown.install(s)
+      val prevReg = AnnPushdown.snapshot(srcDir)
+      AnnPushdown.register(srcDir,
+        AnnPushdown.IndexedTable(name, "vec_id", "embedding"))
+      val prevEnabled = s.conf.get("spark.graft.ann.enabled", "false")
+      val prevNp = s.conf.get("spark.graft.ann.nprobe", "10")
+      s.conf.set("spark.graft.ann.enabled", "true")
+      s.conf.set("spark.graft.ann.nprobe", "4")
+      try {
+        val q = qvec(s, d)
+        def topk(pred: Option[org.apache.spark.sql.Column], k: Int) = {
+          val base = s.read.parquet(srcDir)
+          val df = pred.map(base.filter).getOrElse(base)
+            .select(col("vec_id"),
+              l2sq(col("embedding"), typedLit(q)).as("dist"))
+            .orderBy(col("dist")).limit(k)
+          val opt = df.queryExecution.optimizedPlan
+          // the rewritten plan scans the list-partitioned sub-artifacts
+          // (list_id appears); the base partitioned table has no such
+          // column, so this asserts the dispatch fired
+          require(opt.toString.contains("list_id"),
+            "partitioned IVF top-k did not dispatch to the sub-indexes")
+          org.apache.spark.sql.graftshim.Shims.ofRows(s, opt)
+        }
+        topk(None, 60).withColumn("scope", lit("all"))
+          .unionByName(topk(Some(col("category") === 1), 40)
+            .withColumn("scope", lit("cat1")))
+          .select(col("scope"), col("vec_id"), col("dist"))
+      } finally {
+        s.conf.set("spark.graft.ann.enabled", prevEnabled)
+        s.conf.set("spark.graft.ann.nprobe", prevNp)
+        AnnPushdown.restore(srcDir, prevReg)
+      }
+    }),
+
     // --- table-valued KNN JOIN over the partitioned parent, ROUTED:
     //     one pass over the query table against the concatenation of
     //     the partitions' graphs, each query walking only the
@@ -692,6 +741,21 @@ object LifecycleQueries {
           SELECT 'cat1' AS scope, vec_id, dist FROM d
           WHERE dist < 2.0 AND vec_id % 3 = 1
           ORDER BY scope, dist, vec_id""",
+
+    // the IVF parent dispatch runs at nprobe=nlist (per-sub exact), so
+    // it shares the HNSW parent's brute-force oracle shape
+    "q_partitioned_ivf_pushdown" ->
+      s"""WITH src AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),
+            q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+            fullk AS (
+              SELECT 'all' AS scope, a.vec_id AS vec_id, $aL2 AS dist
+              FROM src a CROSS JOIN q ORDER BY dist, vec_id LIMIT 60),
+            cat1 AS (
+              SELECT 'cat1' AS scope, a.vec_id AS vec_id, $aL2 AS dist
+              FROM src a CROSS JOIN q WHERE a.vec_id % 3 = 1
+              ORDER BY dist, vec_id LIMIT 40)
+          SELECT scope, vec_id, dist FROM fullk
+          UNION ALL SELECT scope, vec_id, dist FROM cat1""",
 
     // exact parent knn join: brute-force window replay over the
     // partition union, both scopes (the q_hnsw_knn_join_exact shape)

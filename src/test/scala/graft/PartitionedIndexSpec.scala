@@ -299,8 +299,13 @@ class PartitionedIndexSpec extends SparkSpec {
     val name = "partspec_ivf"
     Seq("0", "1", "2").foreach(v =>
       IndexCatalog.drop(spark, PartitionedIndex.subName(name, v)))
+    IndexCatalog.drop(spark, name)
     PartitionedIndex.ensureIvf(spark, name, srcDir, "category",
       "embedding", "l2", nlist = 4)
+    // round 8: the IVF parent is dispatchable like the HNSW one
+    assert(IndexCatalog.load(spark, name)
+      .exists(m => m.kind == "ivf_part" && m.params("values") == "0,1,2"),
+      "ivf_part parent manifest missing")
     def brute(pred: org.apache.spark.sql.Column, k: Int) =
       emb.filter(pred)
         .select(col("vec_id"),
@@ -318,8 +323,45 @@ class PartitionedIndexSpec extends SparkSpec {
     // approximate (nprobe < nlist) still returns k rows per the contract
     assert(PartitionedIndex.searchIvf(spark, name, srcDir, "category",
       "vec_id", "embedding", q, k = 15, nprobe = 1).count() == 15)
+
+    // declarative dispatch: ORDER BY dist LIMIT k on the parent rewrites
+    // onto the per-partition pruned scans (exact at nprobe=nlist); a
+    // partition predicate prunes; layout drift bails
+    import graft.plans.AnnPushdown
+    AnnPushdown.install(spark)
+    AnnPushdown.register(srcDir,
+      AnnPushdown.IndexedTable(name, "vec_id", "embedding"))
+    spark.conf.set("spark.graft.ann.enabled", "true")
+    spark.conf.set("spark.graft.ann.nprobe", "4")
+    try {
+      def df(pred: Option[org.apache.spark.sql.Column], k: Int) = {
+        val base = spark.read.parquet(srcDir)
+        pred.map(base.filter).getOrElse(base)
+          .select(col("vec_id"),
+            graft.functions.l2sq(col("embedding"), typedLit(q)).as("dist"))
+          .orderBy(col("dist")).limit(k)
+      }
+      val full = df(None, 30)
+      assert(full.queryExecution.optimizedPlan.toString.contains("list_id"),
+        "parent IVF top-k did not dispatch to the sub-indexes")
+      assert(full.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+        brute(lit(true), 30))
+      val p2 = df(Some(col("category") === 2), 15)
+      assert(p2.queryExecution.optimizedPlan.toString.contains("list_id"))
+      assert(p2.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+        brute(col("category") === 2, 15))
+      new File(s"$srcDir/category=9").mkdirs()
+      try assert(!df(None, 15).queryExecution.optimizedPlan.toString
+          .contains("list_id"), "ivf_part drift must bail")
+      finally rm(new File(s"$srcDir/category=9"))
+    } finally {
+      spark.conf.set("spark.graft.ann.enabled", "false")
+      spark.conf.unset("spark.graft.ann.nprobe")
+      AnnPushdown.unregister(srcDir)
+    }
     Seq("0", "1", "2").foreach(v =>
       IndexCatalog.drop(spark, PartitionedIndex.subName(name, v)))
+    IndexCatalog.drop(spark, name)
     rm(new File(srcDir))
   }
 }
