@@ -86,6 +86,28 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // --- deterministic shard shuffle (training reproducibility): every
+    //     run must see the SAME pseudo-random permutation regardless of
+    //     cluster size or input split order. Key = md5(seed ++ doc_id)
+    //     (content-independent, stable across re-ingest); shard = the
+    //     key's first hex nibble range-bucketed into 8 (uniform — md5
+    //     nibbles are uniform); position = rank within shard. The window
+    //     partitions BY SHARD, so the permutation computes distributed —
+    //     never one global sort partition. Both engines emit identical
+    //     lowercase-hex md5 → full value oracle. ---
+    "q_shard_shuffle" -> ((s, d) => {
+      docs(s, d)
+        .select(col("doc_id"),
+          md5(concat(lit("ep1:"), col("doc_id").cast("string"))).as("k"))
+        .withColumn("shard", expr(
+          "CAST((instr('0123456789abcdef', substring(k, 1, 1)) - 1) div 2 AS BIGINT)"))
+        .withColumn("pos", row_number().over(
+          Window.partitionBy(col("shard"))
+            .orderBy(col("k"), col("doc_id"))).cast("long"))
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .orderBy(col("doc_id"))
+    }),
+
     // --- sequence packing (concat-and-chunk): docs in doc_id order are
     //     concatenated per language; a doc's pack is its starting token
     //     offset / budget. Exactly the packing step that turns a cleaned
@@ -303,6 +325,18 @@ object PipelineQueries {
              x -> CASE WHEN x = 'customer' OR x = 'value' OR x = 'table'
                   THEN '[MASK]' ELSE x END), ' ') AS redacted
          FROM documents ORDER BY doc_id""",
+
+    "q_shard_shuffle" ->
+      """WITH keyed AS (
+           SELECT doc_id,
+             md5('ep1:' || CAST(doc_id AS VARCHAR)) AS k
+           FROM documents)
+         SELECT doc_id,
+           CAST((strpos('0123456789abcdef', substr(k, 1, 1)) - 1) // 2 AS BIGINT) AS shard,
+           CAST(row_number() OVER (
+             PARTITION BY (strpos('0123456789abcdef', substr(k, 1, 1)) - 1) // 2
+             ORDER BY k, doc_id) AS BIGINT) AS pos
+         FROM keyed ORDER BY doc_id""",
 
     "q_pack_sequences" ->
       """WITH s AS (
