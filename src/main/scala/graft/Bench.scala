@@ -19,6 +19,7 @@ object Bench {
     graft.queries.AnnQueries.ensureAll(spark, sfDir)
     graft.queries.DocQueries.ensureAll(spark, sfDir)
     graft.queries.CoreQueries.ensureSegments(spark, sfDir)
+    graft.queries.LifecycleQueries.ensureAll(spark, sfDir)
     // untimed warmup: JIT + codegen + parquet reader init
     SparkEntry.queries("q_topk_l2")(spark, sfDir).count()
     def timedPass() = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
