@@ -449,7 +449,7 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
             // the same sound routing bounds, so it stays exact too;
             // corpus-side extras must be partition-column literal
             // constraints and layout drift bails (partitionChoice).
-            val chosen: Option[Seq[String]] =
+            val choice: Option[(String, Seq[String])] =
               if (manifest.kind == "hnsw_part")
                 Some(partitionChoice(manifest, extras).getOrElse(return None))
               else None
@@ -469,15 +469,17 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
               qdf0.withColumn(qAttr.name,
                 graft.functions.vectorNormalize(Shims.column(qAttr)))
             else qdf0
-            val out =
-              if (manifest.kind == "hnsw_part")
+            val out = choice match {
+              case Some((partCol, chosen)) =>
                 graft.operators.PartitionedIndex.rangeJoinHnsw(spark,
-                  idx.indexName, manifest.source, manifest.params("partCol"),
+                  idx.indexName, manifest.source, partCol,
                   idx.idCol, qdf, qidAttr.name, qAttr.name, r,
-                  values = chosen)
-              else graft.operators.Hnsw.rangeJoin(spark,
-                graft.index.IndexCatalog.dataDir(spark, idx.indexName),
-                idx.idCol, qdf, qidAttr.name, qAttr.name, r)
+                  values = Some(chosen))
+              case None =>
+                graft.operators.Hnsw.rangeJoin(spark,
+                  graft.index.IndexCatalog.dataDir(spark, idx.indexName),
+                  idx.idCol, qdf, qidAttr.name, qAttr.name, r)
+            }
             val newPlan = out.queryExecution.optimizedPlan
             val byName = newPlan.output.map(x => x.name -> x).toMap
             val outProj = projList.map {
@@ -865,7 +867,7 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
             // sub-indexes' graphs; corpus-side extras must be
             // partition-column literal constraints (index-level pruning)
             // and layout drift bails — partitionChoice owns both rules.
-            val chosen: Option[Seq[String]] =
+            val choice: Option[(String, Seq[String])] =
               if (manifest.kind == "hnsw_part")
                 Some(partitionChoice(manifest, extras).getOrElse(return None))
               else None
@@ -888,19 +890,21 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
               qdf0.withColumn(qAttr.name,
                 graft.functions.vectorNormalize(Shims.column(qAttr)))
             else qdf0
-            val out =
-              if (manifest.kind == "hnsw_part")
+            val out = choice match {
+              case Some((partCol, chosen)) =>
                 graft.operators.PartitionedIndex.knnJoinHnsw(spark,
-                  idx.indexName, manifest.source, manifest.params("partCol"),
+                  idx.indexName, manifest.source, partCol,
                   idx.idCol, qdf, qidSrc.name, qAttr.name, k = kLimit,
                   efSearch = math.max(hnswEfSearch, kLimit),
                   exact = hnswExact, probeGraphs = hnswJoinProbe,
-                  values = chosen)
-              else graft.operators.Hnsw.knnJoin(spark,
-                graft.index.IndexCatalog.dataDir(spark, idx.indexName),
-                idx.idCol, qdf, qidSrc.name, qAttr.name, k = kLimit,
-                efSearch = math.max(hnswEfSearch, kLimit), exact = hnswExact,
-                probeGraphs = hnswJoinProbe)
+                  values = Some(chosen))
+              case None =>
+                graft.operators.Hnsw.knnJoin(spark,
+                  graft.index.IndexCatalog.dataDir(spark, idx.indexName),
+                  idx.idCol, qdf, qidSrc.name, qAttr.name, k = kLimit,
+                  efSearch = math.max(hnswEfSearch, kLimit), exact = hnswExact,
+                  probeGraphs = hnswJoinProbe)
+            }
             val newPlan = out.queryExecution.optimizedPlan
             val byName = newPlan.output.map(a => a.name -> a).toMap
             val outProj = projList2.map { e =>
@@ -1078,9 +1082,10 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         // filtered-top-k arm's convention); the layout-drift guard
         // bails to the unrewritten plan when the live partition set no
         // longer matches the parent manifest.
-        val chosen = partitionChoice(manifest, others).getOrElse(return None)
+        val (partCol, chosen) =
+          partitionChoice(manifest, others).getOrElse(return None)
         graft.operators.PartitionedIndex.rangeHnsw(spark, idx.indexName,
-          manifest.source, manifest.params("partCol"), idx.idCol, qq, r,
+          manifest.source, partCol, idx.idCol, qq, r,
           values = Some(chosen))
       case _ => return None
     }
@@ -1102,9 +1107,19 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * silently drops rows. Returns the chosen USER-space values (listing
     * unescapes Hive dir names; literals compare unescaped); None = bail,
     * including the provably-empty intersection (left to Spark). */
+  /** The parent manifest's (partCol, registered values) — None (bail,
+    * never throw inside the rule) when a hand-edited manifest lost
+    * either param. */
+  private def partParams(manifest: graft.index.IndexCatalog.Manifest)
+      : Option[(String, Seq[String])] =
+    for {
+      pc <- manifest.params.get("partCol")
+      vs <- manifest.params.get("values")
+    } yield (pc, vs.split(',').toSeq)
+
   private def partitionChoice(manifest: graft.index.IndexCatalog.Manifest,
-      extras: Seq[Expression]): Option[Seq[String]] = {
-    val partCol = manifest.params("partCol")
+      extras: Seq[Expression]): Option[(String, Seq[String])] = {
+    val (partCol, registered) = partParams(manifest).getOrElse(return None)
     val valueSets = extras.map {
       case EqualTo(a: AttributeReference, l: Literal)
           if a.name == partCol => Option(Set(String.valueOf(l.value)))
@@ -1117,14 +1132,13 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case _ => Option.empty[Set[String]]
     }
     if (valueSets.exists(_.isEmpty)) return None
-    val registered = manifest.params("values").split(',').toSeq
     if (graft.operators.PartitionedIndex.partitionValues(spark,
         manifest.source, partCol).toSet != registered.toSet) return None
     val chosen =
       if (valueSets.isEmpty) registered
       else registered.filter(
         valueSets.flatten.reduce(_ intersect _).contains)
-    if (chosen.isEmpty) None else Some(chosen)
+    if (chosen.isEmpty) None else Some((partCol, chosen))
   }
 
   /** Typed-family sphere range (the strategy-2 members of the bvector /
@@ -1389,19 +1403,18 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         // unrewritten plan rather than erroring or silently dropping
         // rows. The IVF parent is exact at nprobe >= every sub's nlist
         // (per-sub clamp), the scalar IVF arm's contract per partition.
-        val registered = manifest.params("values").split(',').toSeq
+        val (partCol, registered) = partParams(manifest).getOrElse(return None)
         if (graft.operators.PartitionedIndex.partitionValues(spark,
-            manifest.source, manifest.params("partCol")).toSet !=
-            registered.toSet) return None
+            manifest.source, partCol).toSet != registered.toSet) return None
         if (manifest.kind == "ivf_part")
           graft.operators.PartitionedIndex.searchIvf(spark, idx.indexName,
-            manifest.source, manifest.params("partCol"), idx.idCol,
+            manifest.source, partCol, idx.idCol,
             idx.vecCol, q, k, nprobe = math.max(nprobe, 1),
             values = Some(registered))
         else {
           val qq = if (metric == "cos") IvfIndex.Kernels.normalize(q) else q
           graft.operators.PartitionedIndex.searchHnsw(spark, idx.indexName,
-            manifest.source, manifest.params("partCol"), idx.idCol, qq, k,
+            manifest.source, partCol, idx.idCol, qq, k,
             efSearch = hnswEfSearch, exact = hnswExact,
             values = Some(registered), probeGraphs = hnswProbe)
         }
@@ -1464,7 +1477,7 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     // Any other predicate shape bails: graph payloads carry only
     // (id, vec), so nothing else can be re-evaluated on the artifact.
     if (manifest.kind == "hnsw_part" || manifest.kind == "ivf_part") {
-      val partCol = manifest.params("partCol")
+      val (partCol, registered) = partParams(manifest).getOrElse(return None)
       def flat(e: Expression): Seq[Expression] = e match {
         case And(l, r) => flat(l) ++ flat(r)
         case x => Seq(x)
@@ -1486,7 +1499,6 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         case _ => Option.empty[Set[String]]
       }
       if (valueSets.isEmpty || valueSets.exists(_.isEmpty)) return None
-      val registered = manifest.params("values").split(',').toSeq
       // layout drift since ensure -> the sub-index set no longer covers
       // the table; bail to the unrewritten plan (same guard as the
       // unfiltered arm)

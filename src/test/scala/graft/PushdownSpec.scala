@@ -1174,6 +1174,59 @@ class PushdownSpec extends SparkSpec {
     }
   }
 
+  test("partitioned parent: Hive-escaped STRING values prune through the " +
+      "pushdown literal path in user space (round 8)") {
+    import graft.operators.PartitionedIndex
+    val srcDir = sys.props("java.io.tmpdir") + "/graft_partpush_esc"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete()
+    }
+    rm(new java.io.File(srcDir))
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+      .filter(col("vec_id") < 120)
+      .select(col("vec_id"), col("embedding"),
+        when(col("vec_id") % 2 === 0, "north region")
+          .otherwise("south:east").as("category"))
+    emb.write.mode("overwrite").partitionBy("category").parquet(srcDir)
+    val name = "partpush_esc"
+    Seq("north region", "south:east").foreach(v =>
+      graft.index.IndexCatalog.drop(spark, PartitionedIndex.subName(name, v)))
+    graft.index.IndexCatalog.drop(spark, name)
+    PartitionedIndex.ensureHnsw(spark, name, srcDir, "category",
+      "vec_id", "embedding", "l2")
+    AnnPushdown.install(spark)
+    AnnPushdown.register(srcDir,
+      AnnPushdown.IndexedTable(name, "vec_id", "embedding"))
+    spark.conf.set("spark.graft.ann.enabled", "true")
+    spark.conf.set("spark.graft.hnsw.exact", "true")
+    try {
+      // 'south:east' is Hive-escaped on disk (category=south%3Aeast);
+      // the pushdown literal is user-space and must still prune + match
+      val df = spark.read.parquet(srcDir)
+        .filter(col("category") === "south:east")
+        .select(col("vec_id"),
+          graft.functions.l2sq(col("embedding"), typedLit(q)).as("dist"))
+        .orderBy(col("dist")).limit(10)
+      assert(!df.queryExecution.executedPlan.toString.contains("FileScan"),
+        "escaped-value partition predicate was not absorbed")
+      val want = emb.filter(col("category") === "south:east")
+        .select(col("vec_id"),
+          graft.functions.l2sq(col("embedding"), typedLit(q)).as("dist"))
+        .orderBy(col("dist"), col("vec_id")).limit(10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq == want)
+    } finally {
+      spark.conf.set("spark.graft.ann.enabled", "false")
+      spark.conf.unset("spark.graft.hnsw.exact")
+      AnnPushdown.unregister(srcDir)
+      Seq("north region", "south:east").foreach(v =>
+        graft.index.IndexCatalog.drop(spark, PartitionedIndex.subName(name, v)))
+      graft.index.IndexCatalog.drop(spark, name)
+      rm(new java.io.File(srcDir))
+    }
+  }
+
   test("partitioned parent JOIN arms: partition predicates prune, " +
       "non-partition predicates bail, range-join drift bails (round 8)") {
     import graft.operators.PartitionedIndex
