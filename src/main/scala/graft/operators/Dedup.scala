@@ -836,8 +836,15 @@ object Dedup {
     * Returns (idCol, cluster: long, kept: boolean) for every input row. */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
       centroids: Array[Array[Float]], tau: Double): DataFrame = {
+    // the assigned frame feeds BOTH self-join sides and the final
+    // kept-flag join — without persistence Spark re-runs the n·k·d
+    // argmin pass three times (the dominant Θ(d·n^1.5) term under the
+    // √n centroid policy). MEMORY_AND_DISK: spills instead of
+    // recomputing at corpus scale; recomputation would be CORRECT
+    // (the expression is deterministic), this is purely cost.
     val assigned = df.select(col(idCol), col(vecCol),
       semanticCluster(col(vecCol), centroids).as("cluster"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = assigned.select(col(idCol).as("id_a"), col(vecCol).as("va"),
       col("cluster"))
     val b = assigned.select(col(idCol).as("id_b"), col(vecCol).as("vb"),

@@ -677,6 +677,27 @@ object Hnsw {
         (-(dot + rad * qn), -dot)
     }
 
+    /** rangeLists-PARITY reachability: can any stored row of a graph
+      * with centroid `c` / covering radius `rad` lie within reported
+      * dist `r` of `q`? Slack conventions are exactly
+      * [[KnnJoinKernels.rangeLists]]': l2 compares in SQRT space with
+      * 1e-9 — an absolute epsilon on the SQUARED lower bound would be
+      * orders of magnitude tighter at large distances (squared-space
+      * noise scales with 2·sqrt(r)·ulp) and could prune a graph holding
+      * a boundary row, silently breaking the range join's exact-at-any-
+      * radius contract. Cos/dot slacks follow the same kernel (cos 1e-6,
+      * dot 1e-9); cos queries are caller-normalized, so rad·qn ≈ rad
+      * within the slack. */
+    def reachable(metric: String, q: Array[Float], qn: Double,
+        c: Array[Float], rad: Double, r: Double): Boolean = metric match {
+      case "l2" =>
+        math.sqrt(IvfIndex.Kernels.l2sq(q, c)) - rad <= math.sqrt(r) + 1e-9
+      case "cos" =>
+        1.0 - IvfIndex.Kernels.dot(q, c) - rad * qn <= r + 1e-6
+      case _ =>
+        -(IvfIndex.Kernels.dot(q, c) + rad * qn) <= r + 1e-9
+    }
+
     /** Driver-side routed file selection: rank `files` by the metric's
       * (lower bound, centroid dist, idx) — the rankLists order — and
       * keep the top-g, re-sorted to file order (deterministic task
@@ -1191,11 +1212,12 @@ object Hnsw {
               while (i < rows.length) {
                 val q = rows(i)._2
                 val qn = math.sqrt(IvfIndex.Kernels.dot(q, q))
-                val eps = if (metric == "cos") 1e-6 else 1e-9
                 var gi = 0
                 while (gi < fl.length) {
                   val (rad, c) = ents(gi)
-                  if (Routing.lowerBound(metric, q, qn, c, rad) < r + eps)
+                  // rangeLists-parity slack (sqrt-space for l2): the
+                  // prune must never drop a graph holding a boundary row
+                  if (Routing.reachable(metric, q, qn, c, rad, r))
                     buf(gi) += i
                   gi += 1
                 }

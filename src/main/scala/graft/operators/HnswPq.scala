@@ -61,7 +61,7 @@ object HnswPq {
       efConstruction: Int = 300): (Pq.Model, String) = {
     import graft.index.IndexCatalog
     val mf = IndexCatalog.ensure(spark, name, source,
-        requires = Map("format" -> "pqflatbin1", "m" -> m.toString,
+        requires = Map("format" -> "pqflatbin2", "m" -> m.toString,
           "ks" -> ks.toString, "hnsw_m" -> hm.toString,
           "ef_construction" -> efConstruction.toString,
           "parts" -> parts.toString)) { dataDir =>
@@ -109,7 +109,7 @@ object HnswPq {
           "hnsw_m" -> hm.toString, "dims" -> model.dims.toString,
           "ef_construction" -> efConstruction.toString,
           "parts" -> parts.toString, "files" -> nFiles.toString,
-          "format" -> "pqflatbin1"),
+          "format" -> "pqflatbin2"),
         floats = Map("codebook" -> model.codebook))
     }
     val model = Pq.Model(mf.params("dims").toInt, mf.params("m").toInt,

@@ -306,7 +306,7 @@ object HnswRq {
       : (Rabitq.Model, String) = {
     import graft.index.IndexCatalog
     val mf = IndexCatalog.ensure(spark, name, source,
-        requires = Map("format" -> "rqflatbin1", "m" -> m.toString,
+        requires = Map("format" -> "rqflatbin2", "m" -> m.toString,
           "ef_construction" -> efConstruction.toString,
           "parts" -> parts.toString)) { dataDir =>
       import spark.implicits._
@@ -351,7 +351,7 @@ object HnswRq {
       IndexCatalog.Manifest("hnsw_rabitq", source, "l2",
         Map("m" -> m.toString, "ef_construction" -> efConstruction.toString,
           "parts" -> parts.toString, "files" -> nFiles.toString,
-          "dims" -> model.dims.toString, "format" -> "rqflatbin1"),
+          "dims" -> model.dims.toString, "format" -> "rqflatbin2"),
         floats = Map("centroid" -> model.centroid, "rot" -> model.rot))
     }
     val model = Rabitq.Model(mf.params("dims").toInt,

@@ -270,7 +270,7 @@ object HnswSq {
       : (Array[Float], Array[Float], String) = {
     import graft.index.IndexCatalog
     val mf = IndexCatalog.ensure(spark, name, source,
-        requires = Map("format" -> "sqflatbin1", "m" -> m.toString,
+        requires = Map("format" -> "sqflatbin2", "m" -> m.toString,
           "ef_construction" -> efConstruction.toString,
           "parts" -> parts.toString)) { dataDir =>
       import spark.implicits._
@@ -317,7 +317,7 @@ object HnswSq {
       IndexCatalog.Manifest("hnsw_sq8", source, "l2",
         Map("m" -> m.toString, "ef_construction" -> efConstruction.toString,
           "parts" -> parts.toString, "files" -> nFiles.toString,
-          "bits" -> "8", "format" -> "sqflatbin1"),
+          "bits" -> "8", "format" -> "sqflatbin2"),
         floats = Map("mins" -> mins, "widths" -> widths))
     }
     (mf.floats("mins"), mf.floats("widths"), IndexCatalog.dataDir(spark, name))

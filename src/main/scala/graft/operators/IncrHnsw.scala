@@ -29,6 +29,12 @@ import org.apache.spark.sql.functions._
  */
 object IncrHnsw {
 
+  /** Stored-graph layout generation — tracks the plain hnsw kind's
+    * format key (flatbin2 = snapshot-time connectivity repair, round 8):
+    * graph bytes come from the same Graph.snapshot, so an edge-layout
+    * change there must invalidate incremental artifacts too. */
+  private val GraphFormat = "flatbin2"
+
   private def graftDir(spark: SparkSession, name: String): String =
     graft.index.IndexCatalog.dataDir(spark, name)
 
@@ -143,6 +149,11 @@ object IncrHnsw {
     val prior = IndexCatalog.load(spark, name)
       .filter(_.source == segDir)
       .filter(_.params.get("metric_int").contains(metric))
+      // graph-layout generation: snapshot-time connectivity repair
+      // (round 8) changed stored edges, so pre-repair artifacts (no
+      // format key, or an older one) must full-rebuild — the staleness
+      // invariant the plain hnsw kind satisfies via flatbin2
+      .filter(_.params.get("format").contains(GraphFormat))
     val priorGen = prior.flatMap(_.params.get("gen")).map(_.toLong).getOrElse(-1L)
     val priorSeq = prior.flatMap(_.params.get("seq")).map(_.toLong).getOrElse(-1L)
     val promotedGen = prior.flatMap(_.params.get("promoted_gen")).map(_.toLong).getOrElse(-1L)
@@ -164,7 +175,8 @@ object IncrHnsw {
         "hnsw_incr", segDir, metric,
         Map("gen" -> st.gen.toString, "seq" -> st.seq.toString,
           "metric_int" -> metric, "m" -> m.toString,
-          "ef_construction" -> efConstruction.toString)))
+          "ef_construction" -> efConstruction.toString,
+          "format" -> GraphFormat)))
     } else if (st.seq > priorSeq) {
       // incremental: ONLY deltas newer than what the index covers get a
       // side graph; existing files are untouched (deletes are pure
@@ -219,7 +231,8 @@ object IncrHnsw {
       IndexCatalog.Manifest("hnsw_incr", segDir, metric,
         Map("gen" -> st.gen.toString, "seq" -> st.seq.toString,
           "metric_int" -> metric, "m" -> m.toString,
-          "ef_construction" -> efConstruction.toString))
+          "ef_construction" -> efConstruction.toString,
+          "format" -> GraphFormat))
     }
     graftDir(spark, name)
   }

@@ -1477,36 +1477,24 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     // Any other predicate shape bails: graph payloads carry only
     // (id, vec), so nothing else can be re-evaluated on the artifact.
     if (manifest.kind == "hnsw_part" || manifest.kind == "ivf_part") {
-      val (partCol, registered) = partParams(manifest).getOrElse(return None)
+      val (partCol0, _) = partParams(manifest).getOrElse(return None)
       def flat(e: Expression): Seq[Expression] = e match {
         case And(l, r) => flat(l) ++ flat(r)
         case x => Seq(x)
       }
       val conj = flat(cond).filterNot {
         // the optimizer infers IsNotNull from the equality/IN itself
-        case IsNotNull(a: AttributeReference) => a.name == partCol
+        case IsNotNull(a: AttributeReference) => a.name == partCol0
         case _ => false
       }
-      val valueSets = conj.map {
-        case EqualTo(a: AttributeReference, l: Literal)
-            if a.name == partCol => Option(Set(String.valueOf(l.value)))
-        case EqualTo(l: Literal, a: AttributeReference)
-            if a.name == partCol => Option(Set(String.valueOf(l.value)))
-        case In(a: AttributeReference, vs)
-            if a.name == partCol && vs.forall(_.isInstanceOf[Literal]) =>
-          Option(vs.map(v =>
-            String.valueOf(v.asInstanceOf[Literal].value)).toSet)
-        case _ => Option.empty[Set[String]]
-      }
-      if (valueSets.isEmpty || valueSets.exists(_.isEmpty)) return None
-      // layout drift since ensure -> the sub-index set no longer covers
-      // the table; bail to the unrewritten plan (same guard as the
-      // unfiltered arm)
-      if (graft.operators.PartitionedIndex.partitionValues(spark,
-          manifest.source, partCol).toSet != registered.toSet) return None
-      val chosen = registered.filter(
-        valueSets.flatten.reduce(_ intersect _).contains)
-      if (chosen.isEmpty) return None // provably-empty: leave to Spark
+      // the FILTERED arm requires at least one partition conjunct (an
+      // empty predicate wouldn't have reached this arm absorbed);
+      // conjunct classification, the layout-drift guard, and the value
+      // intersection are partitionChoice's — shared with the range and
+      // join arms so the admissibility rule cannot drift between arms
+      if (conj.isEmpty) return None
+      val (partCol, chosen) =
+        partitionChoice(manifest, conj).getOrElse(return None)
       val q = floatsOf(qLit)
       val searchDf =
         if (manifest.kind == "ivf_part")

@@ -487,4 +487,24 @@ class KnnJoinSpec extends SparkSpec {
       case None => spark.conf.unset("spark.graft.join.staticPruneMaxBytes")
     }
   }
+
+  test("Routing.reachable keeps the rangeLists sqrt-space l2 slack " +
+      "(an absolute squared-space epsilon would drop boundary graphs)") {
+    // a graph whose covering ball touches the query radius boundary:
+    // droot - rad = sqrt(r) + 5e-10 — INSIDE the 1e-9 sqrt-space slack
+    // rangeLists uses, but the squared lower bound exceeds r + 1e-9 by
+    // ~1e-8 (squared-space noise scales with 2*sqrt(r)*eps), so the old
+    // `lowerBound < r + 1e-9` prune would silently drop the graph and
+    // with it any boundary pair — breaking exact-at-any-radius.
+    val c = Array.fill(4)(0f)
+    val q = Array(20f, 0f, 0f, 0f) // droot = 20 from the origin centroid
+    val r = 100.0
+    val rad = 20.0 - math.sqrt(r) - 5e-10
+    assert(Hnsw.Routing.reachable("l2", q, 20.0, c, rad, r),
+      "boundary graph must stay reachable under the sqrt-space slack")
+    assert(Hnsw.Routing.lowerBound("l2", q, 20.0, c, rad) > r + 1e-9,
+      "the squared-space epsilon the fix replaced really was tighter")
+    // well-separated graphs still prune
+    assert(!Hnsw.Routing.reachable("l2", q, 20.0, c, rad - 1.0, r))
+  }
 }
