@@ -837,22 +837,31 @@ object Dedup {
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
       centroids: Array[Array[Float]], tau: Double): DataFrame = {
     // the assigned frame feeds BOTH self-join sides and the final
-    // kept-flag join — without persistence Spark re-runs the n·k·d
-    // argmin pass three times (the dominant Θ(d·n^1.5) term under the
-    // √n centroid policy). MEMORY_AND_DISK: spills instead of
-    // recomputing at corpus scale; recomputation would be CORRECT
-    // (the expression is deterministic), this is purely cost.
+    // kept-flag join — unmanaged, Spark re-runs the n·k·d argmin pass
+    // three times (the dominant Θ(d·n^1.5) term under the √n centroid
+    // policy). Scope the cache to THIS call: persist while the pairwise
+    // pass materializes `removed` (an eager localCheckpoint of the
+    // id-only removal set — small, ContextCleaner-managed, and it
+    // truncates the lineage so the returned frame never re-runs the
+    // join), then unpersist — the final frame re-evaluates the argmin
+    // exactly once per downstream action, and a long-lived session
+    // calling the operator repeatedly accumulates no cache entries
+    // (the leak the unpersist-less version had).
     val assigned = df.select(col(idCol), col(vecCol),
       semanticCluster(col(vecCol), centroids).as("cluster"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = assigned.select(col(idCol).as("id_a"), col(vecCol).as("va"),
-      col("cluster"))
-    val b = assigned.select(col(idCol).as("id_b"), col(vecCol).as("vb"),
-      col("cluster"))
-    val removed = a.join(b, "cluster")
-      .filter(col("id_a") < col("id_b") &&
-        graft.functions.cosdist(col("va"), col("vb")) < tau)
-      .select(col("id_b").as(idCol)).distinct()
+    val removed =
+      try {
+        val a = assigned.select(col(idCol).as("id_a"), col(vecCol).as("va"),
+          col("cluster"))
+        val b = assigned.select(col(idCol).as("id_b"), col(vecCol).as("vb"),
+          col("cluster"))
+        a.join(b, "cluster")
+          .filter(col("id_a") < col("id_b") &&
+            graft.functions.cosdist(col("va"), col("vb")) < tau)
+          .select(col("id_b").as(idCol)).distinct()
+          .localCheckpoint()
+      } finally assigned.unpersist(false)
     assigned
       .join(removed.withColumn("__rm", lit(true)), Seq(idCol), "left")
       .select(col(idCol), col("cluster").cast("long").as("cluster"),

@@ -805,9 +805,9 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
           case _ => false
         })
         if !qSide.output.map(_.name).exists(_.startsWith("__graft"))
-      } yield (idx, manifest, idEntry, qAttr, extras)
+      } yield (idx, manifest, idEntry, idUnder, qAttr, extras)
       pieces match {
-        case Some((idx, manifest, idEntry, qAttr, extras)) =>
+        case Some((idx, manifest, idEntry, idUnder, qAttr, extras)) =>
           // self-exclusion is replayable only where the rewrite builds
           // its own window (dense IVF below); graph/typed operators
           // window internally at k and a post-filter would underfill
@@ -952,10 +952,8 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
           // non-self rows, so rn <= k keeps the true k negatives
           val joined = selfExPair match {
             case Some((a, b)) =>
-              val idUnder = idEntry match {
-                case at: AttributeReference => at
-                case Alias(at: AttributeReference, _) => at
-              }
+              // idUnder is the comprehension's validated binding — the
+              // same attribute the guard checked the pair against
               val anchor = if (a.exprId == idUnder.exprId) b else a
               joined0.filter(Shims.column(anchor) =!= scanDf(idx.idCol))
             case None => joined0

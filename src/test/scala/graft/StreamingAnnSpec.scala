@@ -34,8 +34,12 @@ class StreamingAnnSpec extends SparkSpec {
       .select($"embedding").head().getSeq[Float](0).toArray
     implicit val sqlCtx = spark.sqlContext
     val source = MemoryStream[(Long, Array[Float])]
+    // autoSeal=false: this store backs an INCREMENTAL index, and plain
+    // compact would delete tombstones promote-on-compact still needs
+    // (the round-8 sealing convention)
     val sq = StreamingIngest.intoSegments(
-      source.toDF().toDF("vec_id", "embedding"), segDir, "vec_id").start()
+      source.toDF().toDF("vec_id", "embedding"), segDir, "vec_id",
+      autoSeal = false).start()
     try {
       source.addData((50007L, qv)); sq.processAllAvailable()
       source.addData((50008L, qv)); sq.processAllAvailable()
@@ -83,8 +87,12 @@ class StreamingAnnSpec extends SparkSpec {
       .select($"embedding").head().getSeq[Float](0).toArray
     implicit val sqlCtx = spark.sqlContext
     val source = MemoryStream[(Long, Array[Float])]
+    // autoSeal=false: this store backs an INCREMENTAL index, and plain
+    // compact would delete tombstones promote-on-compact still needs
+    // (the round-8 sealing convention)
     val sq = StreamingIngest.intoSegments(
-      source.toDF().toDF("vec_id", "embedding"), segDir, "vec_id").start()
+      source.toDF().toDF("vec_id", "embedding"), segDir, "vec_id",
+      autoSeal = false).start()
     try {
       source.addData((60007L, qv)); sq.processAllAvailable()
       source.addData((60008L, qv)); sq.processAllAvailable()
