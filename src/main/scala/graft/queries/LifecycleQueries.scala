@@ -411,6 +411,65 @@ object LifecycleQueries {
       }
     }),
 
+    // --- streaming NEAR-dup (the continuous-ingest q_dedup_minhash):
+    //     base docs arrive in micro-batch 1, near-mirror dups in batch 2
+    //     — every mirror pair crosses micro-batches through bucket
+    //     STATE; organic base pairs emit in-batch. Same banding + exact
+    //     hash-set verify as the batch path, so the exact-Jaccard pair
+    //     oracle applies (the q_dedup_minhash convention, FNV collision
+    //     odds shared). Pairs can emit once per shared band, so the sink
+    //     dedups per micro-batch (the documented emission contract).
+    "q_stream_neardup" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val srcDir = tmp + "/graft_streamndup_src_" + san(d)
+      val outDir = tmp + "/graft_streamndup_out_" + san(d)
+      val ckDir = tmp + "/graft_streamndup_ck_" + san(d)
+      buildOnce(outDir) {
+        rmrf(new File(srcDir)); rmrf(new File(ckDir))
+        new File(srcDir).mkdirs()
+        def writeOne(df: DataFrame, name: String, mtime: Long): Unit = {
+          val stage = srcDir + s"/.stage_$name"
+          df.coalesce(1).write.mode("overwrite").parquet(stage)
+          val part = new File(stage).listFiles()
+            .find(_.getName.endsWith(".parquet")).get
+          val dst = Paths.get(srcDir, name)
+          Files.move(part.toPath, dst)
+          rmrf(new File(stage))
+          Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(mtime))
+        }
+        val base = t(s, d, "documents").select(col("doc_id"), col("text"))
+        val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+        val t1 = java.sql.Timestamp.valueOf("2026-01-01 00:05:00")
+        // ordered mtimes -> FileStreamSource (latestFirst=false,
+        // maxFilesPerTrigger=1) serves base before mirrors
+        writeOne(base.withColumn("ts", lit(t0)), "0-base.parquet",
+          1000000000000L)
+        writeOne(base.filter(col("doc_id") < 50)
+          .select((col("doc_id") + 100000).as("doc_id"),
+            concat(col("text"), lit(" zzzextra")).as("text"))
+          .withColumn("ts", lit(t1)), "1-dups.parquet", 1000000020000L)
+        val sch = s.read.parquet(srcDir).schema
+        val stream = s.readStream.schema(sch)
+          .option("maxFilesPerTrigger", 1).parquet(srcDir)
+        val hits = graft.streaming.StreamingNearDup.hits(stream,
+          "doc_id", "text", "ts", watermarkDelay = "10 minutes")
+        val q = hits.toDF().writeStream
+          .outputMode("append")
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            b.dropDuplicates("doc_a", "doc_b")
+              .write.mode("append").parquet(outDir)
+            ()
+          }
+          .option("checkpointLocation", ckDir)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      s.read.parquet(outDir)
+        .select(col("doc_a"), col("doc_b"), col("jacc"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // --- the IVF member of the partitioned-parent dispatch (round 8):
     //     parent queries compose with EVERY index form, so an ivf_part
     //     parent over the same partitioned source dispatches `ORDER BY
@@ -753,6 +812,28 @@ object LifecycleQueries {
           SELECT 'cat1' AS scope, vec_id, dist FROM d
           WHERE dist < 2.0 AND vec_id % 3 = 1
           ORDER BY scope, dist, vec_id""",
+
+    // streaming near-dup carries the batch minhash family's exact-
+    // Jaccard oracle over the same near-mirror corpus (LSH misses a
+    // jacc>=0.8 pair with p~1e-15 under 16x4 banding; hash-set counts
+    // equal string-set counts modulo the family's accepted FNV odds)
+    "q_stream_neardup" ->
+      """WITH alldocs AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 100000 AS doc_id, text || ' zzzextra' AS text
+           FROM documents WHERE doc_id < 50),
+         sh AS (SELECT doc_id,
+           list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+             i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2])) AS s
+           FROM alldocs)
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jacc
+         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
+         ORDER BY doc_a, doc_b""",
 
     // the IVF parent dispatch runs at nprobe=nlist (per-sub exact), so
     // it shares the HNSW parent's brute-force oracle shape
