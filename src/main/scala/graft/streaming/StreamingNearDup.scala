@@ -78,11 +78,19 @@ object StreamingNearDup {
     * (idCol: long-castable, textCol: string, tsCol: timestamp); returns
     * the stream of [[NearDupHit]]s. Start it with your own writeStream
     * (per-batch `dropDuplicates` in the sink — see the emission
-    * contract above). */
+    * contract above).
+    *
+    * `bootstrap`: an optional BATCH corpus (same idCol/textCol/tsCol
+    * shape) that seeds the bucket state before the first micro-batch —
+    * the historical-corpus dedup a real ingest pipeline needs WITHOUT
+    * replaying history through the stream (flatMapGroupsWithState's
+    * initial-state path; seeded entries age out through the same
+    * retention horizon as streamed ones). */
   def hits(docs: DataFrame, idCol: String, textCol: String, tsCol: String,
       watermarkDelay: String, retention: String = "7 days",
       shingleK: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
-      minJacc: Double = 0.8): Dataset[NearDupHit] = {
+      minJacc: Double = 0.8, bootstrap: Option[DataFrame] = None)
+      : Dataset[NearDupHit] = {
     import docs.sparkSession.implicits._
     val retentionUs =
       org.apache.spark.sql.catalyst.util.IntervalUtils
@@ -92,8 +100,7 @@ object StreamingNearDup {
           require(iv.months == 0, "retention must not use month units")
           iv.days * 86400000000L + iv.microseconds
       }
-    val keyed = docs
-      .withWatermark(tsCol, watermarkDelay)
+    def keyDocs(df: DataFrame): Dataset[NearDupBucketDoc] = df
       .select(col(idCol).cast("long").as("doc_id"),
         unix_micros(col(tsCol)).as("ts_us"), col(tsCol).as("ts"),
         Dedup.shingleHashes(col(textCol), shingleK).as("sh"),
@@ -106,11 +113,23 @@ object StreamingNearDup {
       .select(col("band_idx").cast("int"), col("band_hash").cast("int"),
         col("doc_id"), col("ts_us"), col("sh"), col("ts"))
       .as[NearDupBucketDoc]
-    keyed.groupByKey(d => (d.band_idx, d.band_hash))
-      .flatMapGroupsWithState[NearDupBucketState, NearDupHit](
-        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (_: (Int, Int), it: Iterator[NearDupBucketDoc],
-            state: GroupState[NearDupBucketState]) =>
+    val keyed = keyDocs(docs.withWatermark(tsCol, watermarkDelay))
+    // seeded buckets arm their timeout on first visit (the retention
+    // trim runs per visit regardless); until then they live like any
+    // other pre-first-watermark state
+    val initialState = bootstrap.map { corpus =>
+      keyDocs(corpus)
+        .groupByKey(d => (d.band_idx, d.band_hash))
+        .mapGroups { (k, it) =>
+          val arr = it.toArray.sortBy(d => (d.ts_us, d.doc_id))
+          (k, NearDupBucketState(arr.map(_.doc_id), arr.map(_.ts_us),
+            arr.map(_.sh)))
+        }
+        .groupByKey(_._1)
+        .mapValues(_._2)
+    }
+    val func = (_: (Int, Int), it: Iterator[NearDupBucketDoc],
+        state: GroupState[NearDupBucketState]) => {
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
             val arr = it.toArray.sortBy(d => (d.ts_us, d.doc_id))
@@ -149,6 +168,15 @@ object StreamingNearDup {
                 state.getCurrentWatermarkMs() + 1L))
             out.iterator
           }
-      }
+        }: Iterator[NearDupHit]
+    val grouped = keyed.groupByKey(d => (d.band_idx, d.band_hash))
+    initialState match {
+      case Some(init) =>
+        grouped.flatMapGroupsWithState[NearDupBucketState, NearDupHit](
+          OutputMode.Append, GroupStateTimeout.EventTimeTimeout, init)(func)
+      case None =>
+        grouped.flatMapGroupsWithState[NearDupBucketState, NearDupHit](
+          OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(func)
+    }
   }
 }

@@ -59,6 +59,53 @@ class StreamingNearDupSpec extends SparkSpec {
       s"streamed hits diverged: got ${sink.size} want ${want.size}")
   }
 
+  test("bootstrap seeds bucket state from a batch corpus: streamed docs " +
+      "match history without replaying it") {
+    val docs0 = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select($"doc_id", $"text").filter($"doc_id" < 60)
+    val history = docs0.withColumn("ts", lit(T0))
+    // stream ONLY the mirrors; every hit must come from seeded state
+    val mirrors = docs0.filter($"doc_id" < 20)
+      .select(($"doc_id" + 100000).as("doc_id"),
+        concat($"text", lit(" zzz")).as("text"))
+    val sh = docs0.unionAll(mirrors)
+      .select($"doc_id", Dedup.shingleHashes($"text", 3).as("sh"))
+    val sig = sh.select($"doc_id",
+      Dedup.minhashSignatureHashed($"sh", 64).as("sig"))
+    val want = Dedup.verifyJaccard(
+        Dedup.lshCandidates(sig, "doc_id", "sig", bands = 16, rows = 4),
+        sh, "doc_id", "sh")
+      .filter($"jacc" >= 0.8 && $"doc_b" >= 100000 && $"doc_a" < 100000)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(want.nonEmpty)
+
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val sink = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    val hits = StreamingNearDup.hits(
+      source.toDS().toDF("doc_id", "text", "ts"),
+      "doc_id", "text", "ts", watermarkDelay = "1 hour",
+      bootstrap = Some(history))
+    val q = hits.toDF().writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        sink.synchronized {
+          sink ++= b.dropDuplicates("doc_a", "doc_b")
+            .select($"doc_a", $"doc_b").as[(Long, Long)].collect()
+        }
+        ()
+      }.start()
+    try {
+      val rows = mirrors.collect()
+        .map(r => (r.getLong(0), r.getString(1),
+          new java.sql.Timestamp(T0.getTime + 60000L)))
+      source.addData(rows.toSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    // streamed mirrors never saw each other's originals in-stream —
+    // every (history, mirror) pair must surface via the seeded state
+    assert(sink.toSet.filter(p => p._1 < 100000) == want,
+      s"bootstrap hits diverged: got ${sink.size} want ${want.size}")
+  }
+
   test("retention bounds bucket state: matches beyond the horizon don't emit") {
     implicit val sqlCtx = spark.sqlContext
     val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
