@@ -19,6 +19,28 @@ import org.apache.spark.sql.functions._
  */
 object Hnsw {
 
+  /** `probeGraphs` sentinel: resolve the routed breadth from the
+    * artifact's own graph count ([[autoProbeGraphs]]) whenever a
+    * complete routing sidecar exists — the DEFAULT of the declarative
+    * pushdown arms (round 9). 0 stays "walk every graph"; exact mode
+    * never routes regardless. */
+  val AutoProbe: Int = -1
+
+  /** The auto routing policy: ⌈√G⌉ graphs with a floor of 2 — sublinear
+    * in graph count (the point of routing: per-query cost must stop
+    * growing with corpus size), matching the measured 2-of-4 setting of
+    * the round-8 routed-join recall record (RECALL.json
+    * hnsw_knn_join ≥ 0.9 clustered). The reference's own defaults are
+    * approximate the same way (nprobe=10, ef_search=100,
+    * crates/base/src/index.rs:558-563). */
+  def autoProbeGraphs(nFiles: Int): Int =
+    if (nFiles <= 1) nFiles
+    else math.min(nFiles,
+      math.max(2, math.ceil(math.sqrt(nFiles.toDouble)).toInt))
+
+  private[graft] def resolveProbe(probeGraphs: Int, nFiles: Int): Int =
+    if (probeGraphs == AutoProbe) autoProbeGraphs(nFiles) else probeGraphs
+
   final class Graph(val metric: String, m: Int = 12, efConstruction: Int = 300,
       seed: Long = 42L) extends Serializable {
     private val mMax0 = 2 * m
@@ -964,12 +986,13 @@ object Hnsw {
     // search only the top-g — per-query cost stops growing with graph
     // count, the searchIndex form of the routed joins. Exact mode never
     // routes (the flat-scan union must stay the provable brute force).
+    val g = resolveProbe(probeGraphs, allFiles.length)
     val files =
-      if (exact || probeGraphs <= 0 || probeGraphs >= allFiles.length) allFiles
+      if (exact || g <= 0 || g >= allFiles.length) allFiles
       else Routing.read(fs, dirPath)
         .flatMap { case (met, ents) =>
           Routing.align(allFiles, ents).map(
-            Routing.rankFiles(met, q, allFiles, _, probeGraphs))
+            Routing.rankFiles(met, q, allFiles, _, g))
         }.getOrElse(allFiles)
     searchFiles(spark, files, idCol, q, k, efSearch, exact)
   }
@@ -1288,8 +1311,9 @@ object Hnsw {
     if (files.isEmpty)
       return spark.emptyDataset[(Long, Long, Double, Int)]
         .toDF("qid", idCol, "dist", "rn")
+    val g = resolveProbe(probeGraphs, files.length)
     val routing: Option[(String, Array[(Double, Array[Float])])] =
-      if (exact || probeGraphs <= 0 || probeGraphs >= files.length) None
+      if (exact || g <= 0 || g >= files.length) None
       else routing0
     val bfiles = spark.sparkContext.broadcast(files)
     val brouting = spark.sparkContext.broadcast(routing)
@@ -1332,7 +1356,7 @@ object Hnsw {
                 lb(a) < lb(b) || (lb(a) == lb(b) &&
                   (cd(a) < cd(b) || (cd(a) == cd(b) && a < b))) }
               var j = 0
-              while (j < probeGraphs) { buf(order(j)) += i; j += 1 }
+              while (j < g) { buf(order(j)) += i; j += 1 }
               i += 1
             }
             buf.map(_.toArray)

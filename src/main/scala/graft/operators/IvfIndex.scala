@@ -411,7 +411,11 @@ object IvfKernels {
     * index on ties (the oracle's `ORDER BY cd, cid` row_number). Scaling
     * a vector by a power of two leaves every accumulator exactly scaled
     * and the ratio bit-identical, which is what pins the q_dedup_semantic
-    * mirror duplicates (2x embeddings) to their originals' clusters. */
+    * mirror duplicates (2x embeddings) to their originals' clusters.
+    * Both norms are guarded with max(., 1e-30) — the CosRaw/TypedAnn
+    * parity convention — so an all-zero row or centroid gets a DEFINED
+    * (worst) distance instead of NaN and a silent argmin-0 default; the
+    * q_dedup_semantic oracle mirrors the guard (greatest(., 1e-30)). */
   def nearestCos(v: ArrayData, flat: ArrayData): Int = {
     val dims = v.numElements()
     val nlist = flat.numElements() / dims
@@ -427,7 +431,7 @@ object IvfKernels {
         val y = flat.getFloat(off + j).toDouble
         xy += x * y; yy += y * y; j += 1
       }
-      val cd = 1.0 - xy / math.sqrt(vv * yy)
+      val cd = 1.0 - xy / math.sqrt(math.max(vv, 1e-30) * math.max(yy, 1e-30))
       if (cd < bestD) { bestD = cd; best = c }
       c += 1
     }

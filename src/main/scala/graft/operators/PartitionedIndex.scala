@@ -290,11 +290,12 @@ object PartitionedIndex {
       partCol: String, idCol: String, q: Array[Float], k: Int,
       efSearch: Int = 100, exact: Boolean = false,
       values: Option[Seq[String]] = None, probeGraphs: Int = 0): DataFrame = {
-    if (!exact && probeGraphs > 0) {
+    if (!exact && (probeGraphs > 0 || probeGraphs == Hnsw.AutoProbe)) {
       val (files, routing) = gatherGraphs(spark, name, source, partCol, values)
+      val g = Hnsw.resolveProbe(probeGraphs, files.length)
       val chosenFiles = routing match {
-        case Some((met, aligned)) if probeGraphs < files.length =>
-          Hnsw.Routing.rankFiles(met, q, files, aligned, probeGraphs)
+        case Some((met, aligned)) if g > 0 && g < files.length =>
+          Hnsw.Routing.rankFiles(met, q, files, aligned, g)
         case _ => files
       }
       return Hnsw.searchFiles(spark, chosenFiles, idCol, q, k, efSearch,

@@ -220,13 +220,25 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   /** Routed HNSW-join breadth (round 8): >0 walks only the top-g graphs
     * per query via the spatial routing sidecar — the HNSW-join nprobe.
-    * 0 (default) walks every graph; exact mode always does. */
+    * DEFAULT "auto" (round 9): resolve g = ⌈√G⌉ (floor 2) from the
+    * artifact's graph count whenever a complete sidecar exists
+    * ([[graft.operators.Hnsw.autoProbeGraphs]]) — the default path must
+    * be the routed one, matching the reference's own approximate
+    * defaults (nprobe=10/ef_search=100, base/src/index.rs:558-563).
+    * "0" walks every graph; exact mode always does; a missing/partial
+    * sidecar falls back to all-graphs either way. */
   private def hnswJoinProbe: Int =
-    spark.conf.get("spark.graft.hnsw.join.probe", "0").toInt
+    probeConf("spark.graft.hnsw.join.probe")
 
   /** Routed SCALAR search breadth: same sidecar, ranked driver-side. */
   private def hnswProbe: Int =
-    spark.conf.get("spark.graft.hnsw.probe", "0").toInt
+    probeConf("spark.graft.hnsw.probe")
+
+  private def probeConf(key: String): Int =
+    spark.conf.get(key, "auto") match {
+      case "auto" => graft.operators.Hnsw.AutoProbe
+      case v => v.toInt
+    }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!enabled) return plan
@@ -451,7 +463,7 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
             // constraints and layout drift bails (partitionChoice).
             val choice: Option[(String, Seq[String])] =
               if (manifest.kind == "hnsw_part")
-                Some(partitionChoice(manifest, extras).getOrElse(return None))
+                Some(partitionChoice(idx.indexName, manifest, extras).getOrElse(return None))
               else None
             val qidAttr = projList.collectFirst {
               case at: AttributeReference
@@ -869,7 +881,7 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
             // and layout drift bails — partitionChoice owns both rules.
             val choice: Option[(String, Seq[String])] =
               if (manifest.kind == "hnsw_part")
-                Some(partitionChoice(manifest, extras).getOrElse(return None))
+                Some(partitionChoice(idx.indexName, manifest, extras).getOrElse(return None))
               else None
             val qidAttr = w.partitionSpec match {
               case Seq(at: AttributeReference) => at
@@ -1081,7 +1093,7 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         // bails to the unrewritten plan when the live partition set no
         // longer matches the parent manifest.
         val (partCol, chosen) =
-          partitionChoice(manifest, others).getOrElse(return None)
+          partitionChoice(idx.indexName, manifest, others).getOrElse(return None)
         graft.operators.PartitionedIndex.rangeHnsw(spark, idx.indexName,
           manifest.source, partCol, idx.idCol, qq, r,
           values = Some(chosen))
@@ -1115,7 +1127,8 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       vs <- manifest.params.get("values")
     } yield (pc, vs.split(',').toSeq)
 
-  private def partitionChoice(manifest: graft.index.IndexCatalog.Manifest,
+  private def partitionChoice(name: String,
+      manifest: graft.index.IndexCatalog.Manifest,
       extras: Seq[Expression]): Option[(String, Seq[String])] = {
     val (partCol, registered) = partParams(manifest).getOrElse(return None)
     val valueSets = extras.map {
@@ -1136,8 +1149,20 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       if (valueSets.isEmpty) registered
       else registered.filter(
         valueSets.flatten.reduce(_ intersect _).contains)
-    if (chosen.isEmpty) None else Some((partCol, chosen))
+    if (chosen.isEmpty) None
+    else if (!subsExist(name, chosen)) None
+    else Some((partCol, chosen))
   }
+
+  /** Dropped-sub-index staleness guard: a parent dispatch whose chosen
+    * sub-index manifest was dropped (parent manifest + layout intact)
+    * must BAIL to the unrewritten plan — the operators' hard `require`
+    * would otherwise THROW inside the optimizer rule, breaking the
+    * drift-bails-never-errors convention for that one staleness mode.
+    * The requires stay for direct operator-API calls. */
+  private def subsExist(name: String, chosen: Seq[String]): Boolean =
+    chosen.forall(v => graft.index.IndexCatalog.load(spark,
+      graft.operators.PartitionedIndex.subName(name, v)).nonEmpty)
 
   /** Typed-family sphere range (the strategy-2 members of the bvector /
     * vecf16 / svector opclasses): `dist(wrapper(col), q) < r` over an
@@ -1404,6 +1429,7 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         val (partCol, registered) = partParams(manifest).getOrElse(return None)
         if (graft.operators.PartitionedIndex.partitionValues(spark,
             manifest.source, partCol).toSet != registered.toSet) return None
+        if (!subsExist(idx.indexName, registered)) return None
         if (manifest.kind == "ivf_part")
           graft.operators.PartitionedIndex.searchIvf(spark, idx.indexName,
             manifest.source, partCol, idx.idCol,
@@ -1492,7 +1518,7 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       // join arms so the admissibility rule cannot drift between arms
       if (conj.isEmpty) return None
       val (partCol, chosen) =
-        partitionChoice(manifest, conj).getOrElse(return None)
+        partitionChoice(idx.indexName, manifest, conj).getOrElse(return None)
       val q = floatsOf(qLit)
       val searchDf =
         if (manifest.kind == "ivf_part")

@@ -156,6 +156,16 @@ object DocQueries {
     s" / sqrt(list_aggregate(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')" +
     s" * list_aggregate(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))"
 
+  /** [[cosSql]] with both norm sums guarded by greatest(., 1e-30) — the
+    * replay of [[graft.operators.IvfKernels.nearestCos]]'s guarded
+    * denominator (the CosRaw/TypedAnn convention). The UNguarded form
+    * stays for [[graft.functions.DenseKernels.cosDist]] replays (that
+    * kernel is unguarded, and the two must not desync). */
+  private def cosSqlGuarded(a: String, b: String) =
+    s"1.0 - list_aggregate(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')" +
+    s" / sqrt(greatest(list_aggregate(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'), 1e-30)" +
+    s" * greatest(list_aggregate(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'), 1e-30))"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- text analysis: per-doc token/quality stats (one scan, no
     //     shuffle; every metric is a codegen'd expression) ---
@@ -759,7 +769,7 @@ object DocQueries {
           asg AS (
             SELECT e.vec_id, e.embedding, c.cid,
               row_number() OVER (PARTITION BY e.vec_id
-                ORDER BY ${cosSql("e.embedding", "c.cv")}, c.cid) AS rk
+                ORDER BY ${cosSqlGuarded("e.embedding", "c.cv")}, c.cid) AS rk
             FROM alle e CROSS JOIN cents c),
           cl AS (SELECT vec_id, embedding, cid FROM asg WHERE rk = 1),
           rem AS (

@@ -373,6 +373,68 @@ class KnnJoinSpec extends SparkSpec {
     graft.index.IndexCatalog.drop(spark, name)
   }
 
+  test("AutoProbe: ⌈√G⌉ floor-2 policy, auto == explicit g, exact ignores it") {
+    // the policy itself — sublinear in G, floor 2, matching the round-8
+    // measured 2-of-4 routed setting at G=4
+    assert(Hnsw.autoProbeGraphs(1) == 1)
+    assert(Hnsw.autoProbeGraphs(2) == 2)
+    assert(Hnsw.autoProbeGraphs(4) == 2)
+    assert(Hnsw.autoProbeGraphs(9) == 3)
+    assert(Hnsw.autoProbeGraphs(16) == 4)
+    assert(Hnsw.autoProbeGraphs(100) == 10)
+
+    val dims = 8; val nPer = 60
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 4).flatMap { c =>
+      (0 until nPer).map { i =>
+        val v = Array.tabulate(dims)(j =>
+          (if (j == c * 2) 10f * (c + 1) else 0f) + rnd.nextFloat() * 0.5f)
+        (c.toLong * 1000 + i, v)
+      }
+    }
+    val src = java.nio.file.Files.createTempDirectory("graft_autoprobe").toString
+    rows.toDF("vec_id", "embedding").coalesce(1)
+      .write.mode("overwrite").parquet(src)
+    val name = "autoprobespec_hnsw"
+    graft.index.IndexCatalog.drop(spark, name)
+    val path = Hnsw.ensure(spark, name, spark.read.parquet(src), src,
+      "vec_id", "embedding", "l2", parts = 4)
+    val queries = spark.read.parquet(src).filter(col("vec_id") % 11 === 0)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    // auto at G=4 resolves to the same deterministic routed result as
+    // an explicit probeGraphs=2 — same ranked graph choice per query
+    val auto = pairs(Hnsw.knnJoin(spark, path, "vec_id", queries,
+      "vec_id", "embedding", k = 5, probeGraphs = Hnsw.AutoProbe))
+    val g2 = pairs(Hnsw.knnJoin(spark, path, "vec_id", queries,
+      "vec_id", "embedding", k = 5, probeGraphs = 2))
+    assert(auto == g2, "AutoProbe(G=4) must equal explicit probeGraphs=2")
+    // exact mode never routes, auto or not: equals the brute force
+    import org.apache.spark.sql.expressions.Window
+    val corpus = spark.read.parquet(src)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val want = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      .crossJoin(corpus)
+      .select(col("qid"), col("cid"),
+        graft.functions.l2sq(col("cv"), col("qv")).as("dist"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("dist"), col("cid"))))
+      .filter(col("rn") <= 5)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    val exactAuto = pairs(Hnsw.knnJoin(spark, path, "vec_id", queries,
+      "vec_id", "embedding", k = 5, exact = true,
+      probeGraphs = Hnsw.AutoProbe))
+    assert(exactAuto == want, "exact mode must ignore AutoProbe")
+    // scalar searchIndex: same resolution
+    val q0 = rows.head._2
+    val sAuto = Hnsw.searchIndex(spark, path, "vec_id", q0, k = 10,
+      probeGraphs = Hnsw.AutoProbe).collect().map(_.getLong(0)).toSeq
+    val s2 = Hnsw.searchIndex(spark, path, "vec_id", q0, k = 10,
+      probeGraphs = 2).collect().map(_.getLong(0)).toSeq
+    assert(sAuto == s2, "scalar AutoProbe(G=4) must equal probeGraphs=2")
+    graft.index.IndexCatalog.drop(spark, name)
+  }
+
   test("recall@10 at default nprobe stays useful on the driver fixture") {
     val (m, path) = ivf(sf0001)
     val queries = spark.read.parquet(s"$sf0001/embeddings.parquet")

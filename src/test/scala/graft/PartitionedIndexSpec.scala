@@ -277,6 +277,15 @@ class PartitionedIndexSpec extends SparkSpec {
         .contains("MapPartitions"),
         "layout drift must bail to the unrewritten plan")
       finally rm(new File(s"$srcDir/category=9"))
+      // a DROPPED sub-index (parent manifest + layout intact) is the
+      // other staleness mode: the rule must BAIL, never throw — the
+      // operators' hard requires are for direct API calls only
+      IndexCatalog.drop(spark, PartitionedIndex.subName(name, "2"))
+      try assert(!joinPlan().queryExecution.optimizedPlan.toString
+        .contains("MapPartitions"),
+        "dropped sub-index must bail to the unrewritten plan")
+      finally PartitionedIndex.ensureHnsw(spark, name, srcDir, "category",
+        "vec_id", "embedding", "l2", parts = 2)
     } finally {
       spark.conf.set("spark.graft.ann.enabled", prevEnabled)
       spark.conf.set("spark.graft.hnsw.exact", prevExact)
