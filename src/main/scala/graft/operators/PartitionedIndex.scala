@@ -239,6 +239,156 @@ object PartitionedIndex {
     (files, routing)
   }
 
+  /** Gather the chosen partitions' IVF sub-indexes as ONE combined
+    * model: centroids and per-list radii concatenate in partition-value
+    * order, sub `i`'s lists occupying combined ids
+    * [offset_i, offset_i + nlist_i). One [[KnnJoin.ProbeLists]] /
+    * [[KnnJoin.RangeLists]] expression over the combined model then
+    * serves the WHOLE parent — one pass over the query table, the
+    * hnsw_part concatenation rule applied to the IVF form (per-partition
+    * joins unioned would scan the query side P times). Radii combine
+    * all-or-nothing: one sub-index without stats and the combined model
+    * carries none (rangeLists then keeps every list — still exact; probe
+    * ranking falls back to raw centroid distance). */
+  private def gatherIvf(spark: SparkSession, name: String, source: String,
+      partCol: String, values: Option[Seq[String]])
+      : (Seq[(String, Int)], IvfIndex.Model) = {
+    val chosen = resolveValues(spark, source, partCol, values)
+    var off = 0
+    val subs = chosen.map { v =>
+      val sub = subName(name, v)
+      val m = graft.index.IndexCatalog.load(spark, sub).getOrElse(
+        throw new IllegalArgumentException(
+          s"no such index: $sub (run ensureIvf after adding partitions)"))
+      val model = IvfIndex.Model(m.metric, m.centroids,
+        m.floats.get("radii").orNull)
+      val t = (graft.index.IndexCatalog.dataDir(spark, sub), off, model)
+      off += model.nlist
+      t
+    }
+    val cents = subs.toArray.flatMap(_._3.centroids)
+    val radii =
+      if (subs.forall(_._3.radii != null)) subs.toArray.flatMap(_._3.radii)
+      else null
+    (subs.map(s => (s._1, s._2)),
+      IvfIndex.Model(subs.head._3.metric, cents, radii))
+  }
+
+  /** The chosen partitions' artifact rows, each tagged with its
+    * sub-index ordinal — the corpus side of the IVF parent joins. The
+    * join key is (__graft_sub, RAW list_id): joining on the raw
+    * partition column (never a shifted derivation of it) keeps the
+    * equi-join DPP-prunable exactly like the single-artifact KnnJoin
+    * shape — a derived key materializes a DynamicPruningSubquery on an
+    * expression that breaks re-analysis of the spliced subtree. */
+  private def ivfScan(spark: SparkSession, subs: Seq[(String, Int)],
+      idCol: String, vecCol: String): DataFrame =
+    subs.zipWithIndex.map { case ((dir, _), i) =>
+      spark.read.parquet(dir).select(
+        lit(i).as("__graft_sub"), col("list_id"), col(idCol), col(vecCol))
+    }.reduce(_ unionByName _)
+
+  /** Decompose a COMBINED list id column into (__graft_sub, local
+    * list_id) via array-literal lookups (O(1) per row, codegen'd
+    * element_at — never a P-long when-chain). */
+  private def decompose(df: DataFrame, combinedCol: String,
+      subs: Seq[(String, Int)], totalLists: Int): DataFrame = {
+    val subArr = new Array[Int](totalLists)
+    subs.indices.foreach { i =>
+      val lo = subs(i)._2
+      val hi = if (i + 1 < subs.length) subs(i + 1)._2 else totalLists
+      java.util.Arrays.fill(subArr, lo, hi, i)
+    }
+    val offArr = subs.map(_._2).toArray
+    df.withColumn("__graft_sub",
+        element_at(typedLit(subArr), col(combinedCol) + 1))
+      .withColumn("list_id", col(combinedCol) -
+        element_at(typedLit(offArr), col("__graft_sub") + 1))
+      .drop(combinedCol)
+  }
+
+  /** Table-valued KNN JOIN over the `ivf_part` parent (round 9 — the
+    * join arms compose with every parent index form, the partition.slt
+    * rule): one query-side pass computes per-row probe lists against the
+    * COMBINED centroid set ([[gatherIvf]]) — cross-partition bound-first
+    * ranking, the IVF analog of routed graph joins, so a query near one
+    * partition's clusters never spends probes in another's — then the
+    * standard list_id equi-join + qid window. probesTotal =
+    * Σ min(nprobe, nlist_i): at nprobe ≥ every sub's nlist every list of
+    * every sub is probed, so the join IS the brute-force window — exact
+    * per sub-index, the scalar [[searchIvf]] contract lifted to the join
+    * (the gate's oracle relies on it). Cos parents follow
+    * normalize-at-build (query normalized here, artifacts store
+    * normalized rows). Returns (qid, idCol, dist, rn). */
+  def knnJoinIvf(spark: SparkSession, name: String, source: String,
+      partCol: String, idCol: String, vecCol: String, queries: DataFrame,
+      qidCol: String, qvecCol: String, k: Int, nprobe: Int,
+      values: Option[Seq[String]] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (subs, combined) = gatherIvf(spark, name, source, partCol, values)
+    val probesTotal = math.min(
+      subs.indices.map(i => math.min(nprobe,
+        (if (i + 1 < subs.length) subs(i + 1)._2 else combined.nlist)
+          - subs(i)._2)).sum,
+      combined.nlist)
+    val qv0 = queries
+      .filter(col(qvecCol).isNotNull &&
+        graft.functions.vectorIsFinite(col(qvecCol)))
+      .select(col(qidCol).as("qid"),
+        (if (combined.metric == "cos")
+          graft.functions.vectorNormalize(col(qvecCol))
+        else col(qvecCol)).as("qv"))
+    val probed = decompose(
+      qv0.withColumn("__graft_clist",
+        explode(KnnJoin.probeLists(col("qv"), combined, probesTotal))),
+      "__graft_clist", subs, combined.nlist)
+    val distCol = combined.metric match {
+      case "l2" => graft.functions.l2sq(col(vecCol), col("qv"))
+      case "dot" => graft.functions.negdot(col(vecCol), col("qv"))
+      case "cos" => graft.functions.negdot(col(vecCol), col("qv")) + lit(1.0)
+    }
+    val w = Window.partitionBy(col("qid")).orderBy(col("dist"), col(idCol))
+    ivfScan(spark, subs, idCol, vecCol)
+      .join(probed, Seq("__graft_sub", "list_id"))
+      .select(col("qid"), col(idCol), distCol.as("dist"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+  }
+
+  /** Table-valued RANGE join over the `ivf_part` parent: per-row
+    * [[KnnJoin.rangeLists]] against the combined model (sound triangle /
+    * Cauchy-Schwarz bounds over the concatenated per-list radii — never
+    * prunes a list holding an in-range row), so the join is EXACT at any
+    * radius like [[KnnJoin.rangeJoin]]. `strict` picks `<` (the
+    * declarative pushdown spelling / rangeFlat convention) vs the
+    * operator-API `<=`. Returns (qid, idCol, dist). */
+  def rangeJoinIvf(spark: SparkSession, name: String, source: String,
+      partCol: String, idCol: String, vecCol: String, queries: DataFrame,
+      qidCol: String, qvecCol: String, r: Double, strict: Boolean = false,
+      values: Option[Seq[String]] = None): DataFrame = {
+    val (subs, combined) = gatherIvf(spark, name, source, partCol, values)
+    val qv0 = queries
+      .filter(col(qvecCol).isNotNull &&
+        graft.functions.vectorIsFinite(col(qvecCol)))
+      .select(col(qidCol).as("qid"),
+        (if (combined.metric == "cos")
+          graft.functions.vectorNormalize(col(qvecCol))
+        else col(qvecCol)).as("qv"))
+    val probed = decompose(
+      qv0.withColumn("__graft_clist",
+        explode(KnnJoin.rangeLists(col("qv"), combined, r))),
+      "__graft_clist", subs, combined.nlist)
+    val distCol = combined.metric match {
+      case "l2" => graft.functions.l2sq(col(vecCol), col("qv"))
+      case "dot" => graft.functions.negdot(col(vecCol), col("qv"))
+      case "cos" => graft.functions.negdot(col(vecCol), col("qv")) + lit(1.0)
+    }
+    ivfScan(spark, subs, idCol, vecCol)
+      .join(probed, Seq("__graft_sub", "list_id"))
+      .select(col("qid"), col(idCol), distCol.as("dist"))
+      .filter(if (strict) col("dist") < r else col("dist") <= r)
+  }
+
   /** Table-valued KNN JOIN over the partitioned parent — the
     * composition of partition.slt's parent-table queries with the
     * dataset-vs-dataset retrieval shapes: ONE pass over the query table

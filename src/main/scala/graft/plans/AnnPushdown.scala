@@ -410,16 +410,18 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         manifest <- graft.index.IndexCatalog.load(spark, idx.indexName)
         if manifest.metric == metric &&
           ((manifest.kind == "ivf" && manifest.floats.contains("radii")) ||
-            manifest.kind == "hnsw" || manifest.kind == "hnsw_part")
+            manifest.kind == "hnsw" || manifest.kind == "hnsw_part" ||
+            manifest.kind == "ivf_part")
         // a corpus-side predicate (FILTERED range join) is admissible
         // only on dense IVF artifacts, which store full source rows; it
         // must not touch the vector column itself (cos artifacts store
         // normalize-at-build vectors — a vec predicate would evaluate
-        // on different values) — or on a partitioned parent, where
-        // partitionChoice later requires partition-column literals only
+        // on different values) — or on a partitioned parent
+        // (hnsw_part / ivf_part), where partitionChoice later requires
+        // partition-column literals only
         if extras.isEmpty || (manifest.kind == "ivf" &&
           !extras.exists(_.references.exists(_.name == idx.vecCol))) ||
-          manifest.kind == "hnsw_part"
+          manifest.kind == "hnsw_part" || manifest.kind == "ivf_part"
         // dist alias and corpus id are OPTIONAL in the projection
         // (round 8): an aggregate on top — the declarative
         // decontamination shape, `range join → groupBy(qid)` — prunes
@@ -448,6 +450,44 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       } yield (idx, manifest, distAliasOpt, idAttrOpt, qAttr, extras)
       pieces match {
         case Some((idx, manifest, distAliasOpt, idAttrOpt, qAttr, extras)) =>
+          if (manifest.kind == "ivf_part") {
+            // IVF parent dispatch (round 9): per-row rangeLists against
+            // the combined per-list radii — sound bounds, EXACT at any
+            // radius like the dense IVF arm. rangeJoinIvf emits only
+            // (qid, id, dist), so the graph branch's tight projection
+            // contract applies (qid keeps its own type); extras must be
+            // partition-column literals, drift/dropped-sub bail via
+            // partitionChoice. strict=true replays the spelling's `<`.
+            val distAlias = distAliasOpt.getOrElse(return None)
+            val idAttr = idAttrOpt.getOrElse(return None)
+            val (partCol, chosen) =
+              partitionChoice(idx.indexName, manifest, extras)
+                .getOrElse(return None)
+            val qidAttr = projList.collectFirst {
+              case at: AttributeReference
+                  if at.exprId != idAttr.exprId &&
+                    qSide.outputSet.contains(at) => at
+            }.getOrElse(return None)
+            if (projList.length != 3) return None
+            val qNames = qSide.output.map(_.name)
+            if (qNames.distinct.length != qNames.length) return None
+            if (idx.idCol == "qid") return None
+            val qdf = Shims.ofRows(spark, qSide)
+            val out = graft.operators.PartitionedIndex.rangeJoinIvf(spark,
+              idx.indexName, manifest.source, partCol, idx.idCol,
+              idx.vecCol, qdf, qidAttr.name, qAttr.name, r, strict = true,
+              values = Some(chosen))
+            val newPlan = stripDpp(out.queryExecution.optimizedPlan)
+            val byName = newPlan.output.map(x => x.name -> x).toMap
+            val outProj = projList.map {
+              case at: AttributeReference if at.exprId == idAttr.exprId =>
+                Alias(byName(idx.idCol), idAttr.name)(exprId = idAttr.exprId)
+              case al: Alias if al.exprId == distAlias.exprId =>
+                Alias(byName("dist"), distAlias.name)(exprId = distAlias.exprId)
+              case ne => Alias(byName("qid"), ne.name)(exprId = ne.exprId)
+            }
+            return Some(Project(outProj, newPlan))
+          }
           if (manifest.kind == "hnsw" || manifest.kind == "hnsw_part") {
             // the graph arm keeps the strict {qid, id, dist} contract
             val distAlias = distAliasOpt.getOrElse(return None)
@@ -681,7 +721,7 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case Array("bvec", _) => Set("ivf_bvec")
       case Array("svec", _) => Set("ivf_svec")
       case Array("f16", _) => Set("ivf_f16")
-      case _ => Set("ivf", "hnsw", "hnsw_part")
+      case _ => Set("ivf", "hnsw", "hnsw_part", "ivf_part")
     }
 
   private def matchKnnJoinWindow(cond: Expression, w: Window)
@@ -774,11 +814,12 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         // a corpus-side predicate (FILTERED KNN join) is admissible only
         // on dense IVF artifacts (full source rows), never touching the
         // vector column (the range-join arm's rule) — or on a
-        // partitioned parent, where partitionChoice later requires every
-        // conjunct to be a partition-column literal constraint
+        // partitioned parent (hnsw_part / ivf_part), where
+        // partitionChoice later requires every conjunct to be a
+        // partition-column literal constraint
         if extras.isEmpty || (manifest.kind == "ivf" &&
           !extras.exists(_.references.exists(_.name == idx.vecCol))) ||
-          manifest.kind == "hnsw_part"
+          manifest.kind == "hnsw_part" || manifest.kind == "ivf_part"
         // the corpus-side id entry: the bare attr or an alias of it
         idEntry <- projList2.find {
           case at: AttributeReference =>
@@ -856,6 +897,47 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
               qidSrc.name, qAttr.name, dataDir, model, idx.idCol, family,
               kLimit, probes, met)
             val newPlan = out.queryExecution.optimizedPlan
+            val byName = newPlan.output.map(x => x.name -> x).toMap
+            val outProj = projList2.map { e =>
+              if (distIds.contains(e.exprId))
+                Alias(byName("dist"), e.name)(exprId = e.exprId)
+              else if (e eq idEntry)
+                Alias(byName(idx.idCol), idEntry.name)(exprId = idEntry.exprId)
+              else Alias(byName("qid"), e.name)(exprId = e.exprId)
+            } :+ Alias(byName("rn"), rnAlias.name)(exprId = rnAlias.exprId)
+            return Some(Project(outProj, newPlan))
+          }
+          if (manifest.kind == "ivf_part") {
+            // IVF parent dispatch (round 9): the combined-model probed
+            // join — one query pass over the concatenation of the chosen
+            // partitions' lists, exact at nprobe >= every sub's nlist
+            // (the gate's contract). knnJoinIvf emits only
+            // (qid, id, dist, rn), so the graph branch's tight guards
+            // apply, except qid keeps its own type (no long cast — the
+            // joinTyped convention). Corpus extras must be
+            // partition-column literal constraints; drift and dropped
+            // sub-indexes bail via partitionChoice.
+            val (partCol, chosen) =
+              partitionChoice(idx.indexName, manifest, extras)
+                .getOrElse(return None)
+            val qidAttr = w.partitionSpec match {
+              case Seq(at: AttributeReference) => at
+              case _ => return None
+            }
+            if (w.orderSpec.length != 2) return None
+            if (projList2.length != 2 + distEntries.length) return None
+            val qidSrc = projList2.collectFirst {
+              case at: AttributeReference if at.exprId == qidAttr.exprId => at
+            }.getOrElse(return None)
+            val qNames = qSide.output.map(_.name)
+            if (qNames.distinct.length != qNames.length) return None
+            if (idx.idCol == "qid") return None
+            val qdf = Shims.ofRows(spark, qSide)
+            val out = graft.operators.PartitionedIndex.knnJoinIvf(spark,
+              idx.indexName, manifest.source, partCol, idx.idCol,
+              idx.vecCol, qdf, qidSrc.name, qAttr.name, k = kLimit,
+              nprobe = math.max(nprobe, 1), values = Some(chosen))
+            val newPlan = stripDpp(out.queryExecution.optimizedPlan)
             val byName = newPlan.output.map(x => x.name -> x).toMap
             val outProj = projList2.map { e =>
               if (distIds.contains(e.exprId))
@@ -1153,6 +1235,19 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     else if (!subsExist(name, chosen)) None
     else Some((partCol, chosen))
   }
+
+  /** Strip DynamicPruningSubquery placeholders from a nested-OPTIMIZED
+    * replacement subtree. The nested optimize may plant a DPP filter on
+    * the artifact scan (the probed side is selective); the placeholder
+    * is only resolvable by PHYSICAL planning, so a subtree carrying one
+    * fails CheckAnalysis when the frame is re-planned from the logical
+    * plan (the ofRows gate convention — the driver re-plans returned
+    * frames). Dropping it is sound: DPP is an optimization, and the
+    * list_id equi-join still discards unprobed lists at runtime. */
+  private def stripDpp(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case _: DynamicPruningSubquery => Literal.TrueLiteral
+    }
 
   /** Dropped-sub-index staleness guard: a parent dispatch whose chosen
     * sub-index manifest was dropped (parent manifest + layout intact)

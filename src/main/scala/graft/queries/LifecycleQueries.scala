@@ -519,6 +519,84 @@ object LifecycleQueries {
       }
     }),
 
+    // --- the IVF parent JOIN arms (round 9): a declarative window join
+    //     against an ivf_part registration dispatches onto the
+    //     combined-model probed join (PartitionedIndex.knnJoinIvf) — one
+    //     query pass over the concatenation of the partitions' lists,
+    //     partition predicate absorbed by index-level pruning. At
+    //     nprobe=nlist every list of every sub is probed, so the full
+    //     brute-force window oracle applies with the predicate replayed.
+    "q_partitioned_ivf_knn_join_pushdown" -> ((s, d) => {
+      import graft.plans.AnnPushdown
+      import org.apache.spark.sql.expressions.Window
+      val (srcDir, _) = partFixture(s, d)
+      val name = s"partivf_${san(d)}"
+      PartitionedIndex.ensureIvf(s, name, srcDir, "category",
+        "embedding", "l2", nlist = 4)
+      AnnPushdown.install(s)
+      val prevReg = AnnPushdown.snapshot(srcDir)
+      AnnPushdown.register(srcDir,
+        AnnPushdown.IndexedTable(name, "vec_id", "embedding"))
+      val prevEnabled = s.conf.get("spark.graft.ann.enabled", "false")
+      val prevNp = s.conf.get("spark.graft.ann.nprobe", "10")
+      s.conf.set("spark.graft.ann.enabled", "true")
+      s.conf.set("spark.graft.ann.nprobe", "4")
+      try {
+        val corpus = s.read.parquet(srcDir).filter(col("category").isin(1, 2))
+        val queries = partQueries(s, d)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val df = queries.crossJoin(corpus)
+          .select(queries("qid"), corpus("vec_id"),
+            l2sq(corpus("embedding"), queries("qvec")).as("dist"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("qid")).orderBy(col("dist"), col("vec_id"))))
+          .filter(col("rn") <= 5)
+        val optimized = df.queryExecution.optimizedPlan
+        // the rewritten plan joins the list-partitioned sub-artifacts
+        // (list_id appears); the source table has no such column
+        require(optimized.toString.contains("list_id"),
+          "partitioned IVF knn-join pushdown did not rewrite the window join")
+        org.apache.spark.sql.graftshim.Shims.ofRows(s, optimized)
+      } finally {
+        s.conf.set("spark.graft.ann.enabled", prevEnabled)
+        s.conf.set("spark.graft.ann.nprobe", prevNp)
+        AnnPushdown.restore(srcDir, prevReg)
+      }
+    }),
+    // --- the IVF parent RANGE-join arm: per-row rangeLists over the
+    //     combined per-list radii — sound bounds, exact at ANY radius
+    //     (nprobe never enters), full oracle with the partition
+    //     predicate replayed.
+    "q_partitioned_ivf_range_join_pushdown" -> ((s, d) => {
+      import graft.plans.AnnPushdown
+      val (srcDir, _) = partFixture(s, d)
+      val name = s"partivf_${san(d)}"
+      PartitionedIndex.ensureIvf(s, name, srcDir, "category",
+        "embedding", "l2", nlist = 4)
+      AnnPushdown.install(s)
+      val prevReg = AnnPushdown.snapshot(srcDir)
+      AnnPushdown.register(srcDir,
+        AnnPushdown.IndexedTable(name, "vec_id", "embedding"))
+      val prevEnabled = s.conf.get("spark.graft.ann.enabled", "false")
+      s.conf.set("spark.graft.ann.enabled", "true")
+      try {
+        val corpus = s.read.parquet(srcDir).filter(col("category") === 2)
+        val queries = partQueries(s, d)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val df = queries.join(corpus,
+            l2sq(corpus("embedding"), queries("qvec")) < lit(1.5))
+          .select(queries("qid"), corpus("vec_id"),
+            l2sq(corpus("embedding"), queries("qvec")).as("dist"))
+        val optimized = df.queryExecution.optimizedPlan
+        require(optimized.toString.contains("list_id"),
+          "partitioned IVF range-join pushdown did not rewrite the join")
+        org.apache.spark.sql.graftshim.Shims.ofRows(s, optimized)
+      } finally {
+        s.conf.set("spark.graft.ann.enabled", prevEnabled)
+        AnnPushdown.restore(srcDir, prevReg)
+      }
+    }),
+
     // --- table-valued KNN JOIN over the partitioned parent, ROUTED:
     //     one pass over the query table against the concatenation of
     //     the partitions' graphs, each query walking only the
@@ -896,6 +974,31 @@ object LifecycleQueries {
             CROSS JOIN (SELECT vec_id, embedding FROM embeddings
                         WHERE vec_id < 300 AND vec_id % 10 = 0) q)
           WHERE rn <= 5 ORDER BY qid, rn""",
+
+    // IVF parent window-join arm at nprobe=nlist: every list of every
+    // sub-index is probed, so the brute-force window replay applies
+    // with the partition predicate folded in
+    "q_partitioned_ivf_knn_join_pushdown" ->
+      s"""SELECT qid, vec_id, dist, rn FROM (
+            SELECT q.vec_id AS qid, a.vec_id AS vec_id, $jL2 AS dist,
+              row_number() OVER (PARTITION BY q.vec_id
+                ORDER BY $jL2, a.vec_id) AS rn
+            FROM (SELECT vec_id, embedding FROM embeddings
+                  WHERE vec_id < 300 AND vec_id % 3 IN (1, 2)) a
+            CROSS JOIN (SELECT vec_id, embedding FROM embeddings
+                        WHERE vec_id < 300 AND vec_id % 10 = 0) q)
+          WHERE rn <= 5 ORDER BY qid, rn""",
+
+    // IVF parent range-join arm: exact at any radius (sound combined
+    // list bounds) — full strict-< replay with the predicate folded in
+    "q_partitioned_ivf_range_join_pushdown" ->
+      s"""SELECT q.vec_id AS qid, a.vec_id AS vec_id, $jL2 AS dist
+          FROM (SELECT vec_id, embedding FROM embeddings
+                WHERE vec_id < 300 AND vec_id % 3 = 2) a
+          CROSS JOIN (SELECT vec_id, embedding FROM embeddings
+                      WHERE vec_id < 300 AND vec_id % 10 = 0) q
+          WHERE $jL2 < 1.5
+          ORDER BY qid, vec_id""",
 
     // declarative range join over the parent: exact replay with the
     // partition predicate folded in

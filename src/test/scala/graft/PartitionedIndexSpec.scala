@@ -363,6 +363,78 @@ class PartitionedIndexSpec extends SparkSpec {
       try assert(!df(None, 15).queryExecution.optimizedPlan.toString
           .contains("list_id"), "ivf_part drift must bail")
       finally rm(new File(s"$srcDir/category=9"))
+
+      // round 9: the JOIN arms dispatch ivf_part parents too
+      import org.apache.spark.sql.expressions.Window
+      val queries = emb.filter(col("vec_id") % 7 === 0)
+        .select(col("vec_id"), col("embedding"))
+      def bruteJoin(pred: org.apache.spark.sql.Column, k: Int) =
+        queries.toDF("qid", "qv").crossJoin(emb.filter(pred))
+          .select(col("qid"), col("vec_id"),
+            graft.functions.l2sq(col("embedding"), col("qv")).as("dist"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("qid")).orderBy(col("dist"), col("vec_id"))))
+          .filter(col("rn") <= k)
+          .select("qid", "vec_id", "dist")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+          .toSet
+      def gotJ(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("qid"), col("vec_id"), col("dist"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+          .toSet
+      // operator API: exact at nprobe = nlist per sub; values prune
+      assert(gotJ(PartitionedIndex.knnJoinIvf(spark, name, srcDir,
+        "category", "vec_id", "embedding", queries, "vec_id", "embedding",
+        k = 5, nprobe = 4)) == bruteJoin(lit(true), 5))
+      assert(gotJ(PartitionedIndex.knnJoinIvf(spark, name, srcDir,
+          "category", "vec_id", "embedding", queries, "vec_id", "embedding",
+          k = 5, nprobe = 4, values = Some(Seq("1", "2")))) ==
+        bruteJoin(col("category") === 1 || col("category") === 2, 5))
+      // range join: exact at any radius even at nprobe-free pruning
+      val bruteRange = queries.toDF("qid", "qv").crossJoin(emb)
+        .select(col("qid"), col("vec_id"),
+          graft.functions.l2sq(col("embedding"), col("qv")).as("dist"))
+        .filter(col("dist") < 1.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      assert(gotJ(PartitionedIndex.rangeJoinIvf(spark, name, srcDir,
+        "category", "vec_id", "embedding", queries, "vec_id", "embedding",
+        r = 1.5, strict = true)) == bruteRange)
+      // declarative window-join dispatch + drift bail
+      def joinPlan() = {
+        val corpus = spark.read.parquet(srcDir)
+        val qs = queries.select(col("vec_id").as("qid"),
+          col("embedding").as("qvec"))
+        qs.crossJoin(corpus)
+          .select(qs("qid"), corpus("vec_id"),
+            graft.functions.l2sq(corpus("embedding"), qs("qvec")).as("dist"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("qid")).orderBy(col("dist"), col("vec_id"))))
+          .filter(col("rn") <= 5)
+      }
+      assert(joinPlan().queryExecution.optimizedPlan.toString
+        .contains("list_id"), "ivf_part window-join arm must dispatch")
+      assert(joinPlan().collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet ==
+        bruteJoin(lit(true), 5))
+      new File(s"$srcDir/category=9").mkdirs()
+      try assert(!joinPlan().queryExecution.optimizedPlan.toString
+          .contains("list_id"), "ivf_part join-arm drift must bail")
+      finally rm(new File(s"$srcDir/category=9"))
+      // declarative range-join dispatch
+      def rangePlan() = {
+        val corpus = spark.read.parquet(srcDir)
+        val qs = queries.select(col("vec_id").as("qid"),
+          col("embedding").as("qvec"))
+        qs.join(corpus,
+            graft.functions.l2sq(corpus("embedding"), qs("qvec")) < lit(1.5))
+          .select(qs("qid"), corpus("vec_id"),
+            graft.functions.l2sq(corpus("embedding"), qs("qvec")).as("dist"))
+      }
+      assert(rangePlan().queryExecution.optimizedPlan.toString
+        .contains("list_id"), "ivf_part range-join arm must dispatch")
+      assert(rangePlan().collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet == bruteRange)
     } finally {
       spark.conf.set("spark.graft.ann.enabled", "false")
       spark.conf.unset("spark.graft.ann.nprobe")
