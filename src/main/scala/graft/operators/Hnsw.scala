@@ -41,6 +41,14 @@ object Hnsw {
   private[graft] def resolveProbe(probeGraphs: Int, nFiles: Int): Int =
     if (probeGraphs == AutoProbe) autoProbeGraphs(nFiles) else probeGraphs
 
+  /** Connectivity-repair tuning: seen sets at or below the cutoff use
+    * the exact O(|seen|·d) bridge scan (trivially cheap there); larger
+    * ones use the (d, idx)-ordered beam ([[Graph.bridgeByBeam]]) with
+    * this ef. Generous ef keeps tie clusters explored to their lowest
+    * index — the byte-identity contract with the scan. */
+  private[graft] val RepairScanCutoff = 2048
+  private[graft] val RepairEf = 128
+
   final class Graph(val metric: String, m: Int = 12, efConstruction: Int = 300,
       seed: Long = 42L) extends Serializable {
     private val mMax0 = 2 * m
@@ -159,19 +167,109 @@ object Hnsw {
       * unseen node in index order, nearest by the build metric, index
       * tie-break); repair edges deliberately skip the m-prune — a
       * bridge that got pruned away would re-orphan the component. */
-    private def repairConnectivity(): Unit = {
+    private def repairConnectivity(): Unit = repairConnectivity(false)
+
+    /** Exact (d, idx)-argmin over the seen set — the reference bridge
+      * choice. O(|seen|·d) per orphan component: fine for small seen
+      * sets, O(n²) when duplicate-heavy corpora shatter into many
+      * components — the beam path below exists for exactly that case. */
+    private def bridgeByScan(u: Int, seen: Array[Boolean]): Int = {
       val n = vecs.length
+      var best = -1; var bd = Double.MaxValue
+      var s = 0
+      while (s < n) {
+        if (seen(s)) {
+          val d = dist(vecs(u), vecs(s))
+          if (d < bd || (d == bd && (best < 0 || s < best))) {
+            bd = d; best = s
+          }
+        }
+        s += 1
+      }
+      best
+    }
+
+    /** Beam bridge search (round 9): the seen component is a searchable
+      * graph, so the orphan's nearest reachable node is found by a
+      * seen-restricted greedy descent + a level-0 best-first beam —
+      * O(ef·m·d) instead of O(n·d) per component. Every ordering is
+      * (d, idx)-LEXICOGRAPHIC (heaps and the tracked global best), so
+      * tie clusters — the duplicate-heavy corpora repair exists for —
+      * keep expanding toward lower indices and the result reproduces
+      * the scan's nearest-by-metric/index-tie-break choice
+      * (HybridSpec asserts byte-identical snapshots against
+      * [[bridgeByScan]] on a many-component duplicate-heavy corpus).
+      * Restriction to `seen` matters twice over: upper-level links can
+      * reach level-0-unreachable nodes (a bridge to one would not
+      * connect the component), and the bridge must come from the
+      * already-connected set by definition. */
+    private def bridgeByBeam(u: Int, seen: Array[Boolean], ef: Int): Int = {
+      val q = vecs(u)
+      var ep = entry
+      var lc = maxLevel
+      while (lc > 0) {
+        var curD = dist(q, vecs(ep))
+        var improved = true
+        while (improved) {
+          improved = false
+          for (nb <- links(ep)(lc) if seen(nb)) {
+            val d = dist(q, vecs(nb))
+            if (d < curD) { curD = d; ep = nb; improved = true }
+          }
+        }
+        lc -= 1
+      }
+      val lex = Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Int)
+      val visited = mutable.BitSet(ep)
+      val epD = dist(q, vecs(ep))
+      val cand = mutable.PriorityQueue((epD, ep))(lex.reverse) // min-heap
+      val res = mutable.PriorityQueue((epD, ep))(lex)          // max-heap, <= ef
+      var best = ep; var bestD = epD
+      while (cand.nonEmpty) {
+        val (cd, c) = cand.dequeue()
+        val stop = res.size >= ef && {
+          val (wd, wn) = res.head
+          cd > wd || (cd == wd && c > wn)
+        }
+        if (stop) cand.clear()
+        else {
+          for (nb <- links(c)(0) if seen(nb) && !visited.contains(nb)) {
+            visited += nb
+            val d = dist(q, vecs(nb))
+            if (d < bestD || (d == bestD && nb < best)) { bestD = d; best = nb }
+            val admit = res.size < ef || {
+              val (wd, wn) = res.head
+              d < wd || (d == wd && nb < wn)
+            }
+            if (admit) {
+              cand.enqueue((d, nb))
+              res.enqueue((d, nb))
+              if (res.size > ef) res.dequeue()
+            }
+          }
+        }
+      }
+      best
+    }
+
+    /** Bridges added by the last repair pass — spec observability. */
+    private[graft] var lastRepairBridges = 0
+
+    private def repairConnectivity(forceScan: Boolean): Unit = {
+      val n = vecs.length
+      lastRepairBridges = 0
       if (entry < 0 || n == 0) return
       val seen = new Array[Boolean](n)
+      var seenCount = 0
       def bfs(start: Int): Unit = {
         var stack = List(start)
-        seen(start) = true
+        seen(start) = true; seenCount += 1
         while (stack.nonEmpty) {
           val u = stack.head; stack = stack.tail
           val nb = links(u)(0); var j = 0
           while (j < nb.length) {
             val v = nb(j)
-            if (!seen(v)) { seen(v) = true; stack = v :: stack }
+            if (!seen(v)) { seen(v) = true; seenCount += 1; stack = v :: stack }
             j += 1
           }
         }
@@ -180,27 +278,35 @@ object Hnsw {
       var u = 0
       while (u < n) {
         if (!seen(u)) {
-          var best = -1; var bd = Double.MaxValue
-          var s = 0
-          while (s < n) {
-            if (seen(s)) {
-              val d = dist(vecs(u), vecs(s))
-              if (d < bd || (d == bd && (best < 0 || s < best))) {
-                bd = d; best = s
-              }
-            }
-            s += 1
-          }
+          // small seen sets scan (trivially cheap AND provably exact);
+          // large ones beam — the O(c·n) worst case the scan had on
+          // duplicate-shattered corpora
+          val best =
+            if (forceScan || seenCount <= RepairScanCutoff)
+              bridgeByScan(u, seen)
+            else bridgeByBeam(u, seen, RepairEf)
           links(u)(0) += best
           links(best)(0) += u
+          lastRepairBridges += 1
           bfs(u)
         }
         u += 1
       }
     }
 
+    /** Spec hook: snapshot with the exact-scan bridge forced — the
+      * byte-identity reference for [[bridgeByBeam]]. */
+    private[graft] def snapshotWithScanRepair: FlatGraph = {
+      repairConnectivity(true)
+      buildFlat()
+    }
+
     def snapshot: FlatGraph = {
       repairConnectivity()
+      buildFlat()
+    }
+
+    private def buildFlat(): FlatGraph = {
       val n = vecs.length
       val dims = if (n == 0) 0 else vecs(0).length
       val flat = new Array[Float](n * dims)

@@ -206,4 +206,56 @@ class HybridSpec extends SparkSpec {
         s"(${published.length} vs ${buf.toByteArray.length} bytes)")
     graft.index.IndexCatalog.drop(spark, name)
   }
+
+  test("beam bridge repair is byte-identical to the exact-scan repair " +
+      "on a many-component duplicate-heavy corpus") {
+    import graft.operators.Hnsw
+    // one large connected cluster (> RepairScanCutoff, so bridges for
+    // the later components take the BEAM path) plus many far-away tiny
+    // cliques of EXACT duplicates — the duplicate-heavy shape whose
+    // m-pruned insertion shatters level-0 connectivity and whose tie
+    // clusters are exactly where a naive beam diverges from the scan's
+    // (d, idx) tie-break
+    val dims = 8
+    val rnd = new scala.util.Random(13)
+    def mk(seedRow: => Array[Float], n: Int): Seq[Array[Float]] =
+      (0 until n).map(_ => seedRow)
+    val main = (0 until 2500).map { _ =>
+      Array.tabulate(dims)(_ => rnd.nextFloat())
+    }
+    val cliques = (0 until 30).flatMap { c =>
+      val base = Array.tabulate(dims)(j =>
+        100f * (c + 1) * (if (j % 2 == 0) 1f else -1f))
+      mk(base.clone(), 15)
+    }
+    val rows = main ++ cliques
+    def build(): Hnsw.Graph = {
+      val g = new Hnsw.Graph("l2", m = 4, efConstruction = 40)
+      rows.zipWithIndex.foreach { case (v, i) => g.insert(i.toLong, v) }
+      g
+    }
+    val beamG = build()
+    val beamBytes = {
+      val buf = new java.io.ByteArrayOutputStream()
+      val os = new java.io.DataOutputStream(buf)
+      Hnsw.FlatGraph.write(os, beamG.snapshot)
+      os.close(); buf.toByteArray
+    }
+    // the fixture must genuinely exercise repair (orphan components
+    // exist) or this test asserts nothing
+    assert(beamG.lastRepairBridges > 0,
+      "fixture produced no orphan components - repair never ran")
+    val scanG = build()
+    val scanBytes = {
+      val buf = new java.io.ByteArrayOutputStream()
+      val os = new java.io.DataOutputStream(buf)
+      Hnsw.FlatGraph.write(os, scanG.snapshotWithScanRepair)
+      os.close(); buf.toByteArray
+    }
+    assert(scanG.lastRepairBridges == beamG.lastRepairBridges)
+    assert(java.util.Arrays.equals(beamBytes, scanBytes),
+      s"beam repair diverged from the exact scan " +
+        s"(${beamBytes.length} vs ${scanBytes.length} bytes, " +
+        s"${beamG.lastRepairBridges} bridges)")
+  }
 }
