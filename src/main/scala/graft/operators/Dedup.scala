@@ -796,6 +796,84 @@ object Dedup {
         org.apache.spark.sql.graftshim.Shims.expression(
           typedLit(centroids.flatten))))
 
+  /** Two-level cosine argmin (coarse-then-refine) — the assignment
+    * kernel of the SCALE path: see [[IvfKernels.nearestCosTwoLevel]]. */
+  case class NearestCosTwoLevelExpr(vec: Expression,
+      flatCentroids: Expression, flatCoarse: Expression,
+      groupOf: Expression, pc: Int)
+      extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression {
+    override def first: Expression = vec
+    override def second: Expression = flatCentroids
+    override def third: Expression = flatCoarse
+    override def fourth: Expression = groupOf
+    override def nullIntolerant: Boolean = true
+    override def dataType: DataType = IntegerType
+    override def nullSafeEval(v: Any, f: Any, c: Any, g: Any): Any =
+      IvfKernels.nearestCosTwoLevel(v.asInstanceOf[ArrayData],
+        f.asInstanceOf[ArrayData], c.asInstanceOf[ArrayData],
+        g.asInstanceOf[ArrayData], pc)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (v, f, c, g) =>
+        s"${ev.value} = graft.operators.IvfKernels.nearestCosTwoLevel($v, $f, $c, $g, $pc);")
+    override protected def withNewChildrenInternal(a: Expression, b: Expression,
+        c: Expression, d: Expression) =
+      copy(vec = a, flatCentroids = b, flatCoarse = c, groupOf = d)
+    override def prettyName = "nearest_cos_two_level"
+  }
+
+  /** The two-level assignment policy: nc = ⌈2√k⌉ coarse groups, probe
+    * the top pc = 4 — per-row cost (nc + pc·k/nc)·d ≈ 4√k·d vs the flat
+    * argmin's k·d, turning the √n-centroid SemDeDup assignment from
+    * Θ(d·n^1.5) into ~Θ(d·n·n^0.25) (SOAK records the measured ratio).
+    * pc stays a small constant: the probed-mass/agreement trade was
+    * measured on the clustered twin fixture (DedupSpec ≥98% agreement).
+    * Below [[TwoLevelMinK]] the coarse level cannot win (4√k ≥ k up to
+    * k=16, marginal to 32) and pruning near-random small-k fixtures
+    * only costs agreement — [[semanticClusterTwoLevel]] degenerates to
+    * the exact flat argmin there, which is also what pins gate-fixture
+    * (k=8) assignments bit-identical to the oracle's flat replay. */
+  val TwoLevelMinK = 33
+
+  def twoLevelParams(k: Int): (Int, Int) = {
+    val nc = math.min(k, math.max(1,
+      math.ceil(2 * math.sqrt(k.toDouble)).toInt))
+    (nc, math.min(4, nc))
+  }
+
+  /** Two-level cosine-argmin cluster id. Coarse representatives are the
+    * centroids at the nc evenly-spaced indices (deterministic — the
+    * fixed-seed-rows convention of the gate, never float-iterative
+    * training); each centroid joins its guarded-cosdist-nearest rep's
+    * group (strict <, lowest rep index on ties). Degenerates to the
+    * exact [[semanticCluster]] when the coarse level cannot prune
+    * (nc >= k). */
+  def semanticClusterTwoLevel(vec: Column,
+      centroids: Array[Array[Float]]): Column = {
+    val k = centroids.length
+    val (nc, pc) = twoLevelParams(k)
+    if (k < TwoLevelMinK || nc >= k) return semanticCluster(vec, centroids)
+    val reps = Array.tabulate(nc)(i => centroids((i.toLong * k / nc).toInt))
+    val groupOf = centroids.map { c =>
+      var best = 0; var bd = Double.MaxValue
+      var r = 0
+      while (r < nc) {
+        val d = IvfKernels.cosDistGuarded(c, reps(r))
+        if (d < bd) { bd = d; best = r }
+        r += 1
+      }
+      best
+    }
+    org.apache.spark.sql.graftshim.Shims.column(
+      NearestCosTwoLevelExpr(
+        org.apache.spark.sql.graftshim.Shims.expression(vec),
+        org.apache.spark.sql.graftshim.Shims.expression(
+          typedLit(centroids.flatten)),
+        org.apache.spark.sql.graftshim.Shims.expression(
+          typedLit(reps.flatten)),
+        org.apache.spark.sql.graftshim.Shims.expression(typedLit(groupOf)),
+        pc))
+  }
+
   /** Corpus-size-ADAPTIVE centroid count for [[semanticDedup]] — the
     * signBandParams precedent applied to clustering: assignment costs
     * n·k·d (argmin over k centroids per row) and the within-cluster
@@ -833,9 +911,18 @@ object Dedup {
     * production callers can pass k-means centers — approximate clusters
     * change WHICH pairs are compared, not how).
     *
-    * Returns (idCol, cluster: long, kept: boolean) for every input row. */
+    * Returns (idCol, cluster: long, kept: boolean) for every input row.
+    *
+    * `twoLevel = true` switches assignment to the coarse-then-refine
+    * argmin ([[semanticClusterTwoLevel]]) — the SCALE path under the √n
+    * centroid policy, cutting the assignment pass from Θ(d·n·√n) to
+    * ~Θ(d·n·n^0.25). The GATE keeps the flat argmin (its fixed-k=8
+    * oracle replays that kernel bit-exactly; the two-level path is
+    * approximate in WHICH cluster a boundary row joins, the part
+    * SemDeDup already treats as approximate). */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
-      centroids: Array[Array[Float]], tau: Double): DataFrame = {
+      centroids: Array[Array[Float]], tau: Double,
+      twoLevel: Boolean = false): DataFrame = {
     // the assigned frame feeds BOTH self-join sides and the final
     // kept-flag join — unmanaged, Spark re-runs the n·k·d argmin pass
     // three times (the dominant Θ(d·n^1.5) term under the √n centroid
@@ -847,8 +934,11 @@ object Dedup {
     // exactly once per downstream action, and a long-lived session
     // calling the operator repeatedly accumulates no cache entries
     // (the leak the unpersist-less version had).
+    val clusterCol =
+      if (twoLevel) semanticClusterTwoLevel(col(vecCol), centroids)
+      else semanticCluster(col(vecCol), centroids)
     val assigned = df.select(col(idCol), col(vecCol),
-      semanticCluster(col(vecCol), centroids).as("cluster"))
+      clusterCol.as("cluster"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val removed =
       try {

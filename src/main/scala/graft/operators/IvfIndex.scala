@@ -438,6 +438,75 @@ object IvfKernels {
     best
   }
 
+  /** Driver-side guarded one-pass cosdist over plain float arrays — the
+    * [[nearestCos]] accumulation (xy/xx/yy interleaved, index order,
+    * max(., 1e-30) norm guards) for centroid→coarse-rep grouping. */
+  def cosDistGuarded(a: Array[Float], b: Array[Float]): Double = {
+    var xy = 0.0; var xx = 0.0; var yy = 0.0; var i = 0
+    while (i < a.length) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      xy += x * y; xx += x * x; yy += y * y; i += 1
+    }
+    1.0 - xy / math.sqrt(math.max(xx, 1e-30) * math.max(yy, 1e-30))
+  }
+
+  /** TWO-LEVEL cosine argmin (round 9, the semantic-dedup scale path):
+    * rank `nc` coarse representatives first, then run the EXACT
+    * [[nearestCos]] accumulation only over centroids whose coarse group
+    * is among the top-`pc` ranks — per-row cost O((nc + pc·k/nc)·d)
+    * instead of O(k·d), ~O(√k·d) under the [[graft.operators
+    * .Dedup.twoLevelParams]] policy. Approximate by design (the true
+    * argmin's group can fall outside the probed ranks — SemDeDup
+    * clusters are approximate to begin with; WHICH pairs get compared
+    * changes, not how); per-centroid arithmetic and tie-breaks are
+    * bit-identical to [[nearestCos]], so on well-separated fixtures the
+    * assignments agree exactly (spec-asserted on the gate fixture).
+    * Falls back to the full argmin when every probed group is empty. */
+  def nearestCosTwoLevel(v: ArrayData, flat: ArrayData, coarse: ArrayData,
+      groupOf: ArrayData, pc: Int): Int = {
+    val dims = v.numElements()
+    val nc = coarse.numElements() / dims
+    val k = flat.numElements() / dims
+    var vv = 0.0
+    var i = 0
+    while (i < dims) { val x = v.getFloat(i).toDouble; vv += x * x; i += 1 }
+    val cd = new Array[Double](nc)
+    var c = 0
+    while (c < nc) {
+      var xy = 0.0; var yy = 0.0; var j = 0; val off = c * dims
+      while (j < dims) {
+        val x = v.getFloat(j).toDouble
+        val y = coarse.getFloat(off + j).toDouble
+        xy += x * y; yy += y * y; j += 1
+      }
+      cd(c) = 1.0 - xy / math.sqrt(math.max(vv, 1e-30) * math.max(yy, 1e-30))
+      c += 1
+    }
+    val order = Array.range(0, nc).sortWith { (a, b) =>
+      cd(a) < cd(b) || (cd(a) == cd(b) && a < b)
+    }
+    val p = math.min(pc, nc)
+    val chosen = new Array[Boolean](nc)
+    i = 0
+    while (i < p) { chosen(order(i)) = true; i += 1 }
+    var best = -1; var bestD = Double.MaxValue
+    c = 0
+    while (c < k) {
+      if (chosen(groupOf.getInt(c))) {
+        var xy = 0.0; var yy = 0.0; var j = 0; val off = c * dims
+        while (j < dims) {
+          val x = v.getFloat(j).toDouble
+          val y = flat.getFloat(off + j).toDouble
+          xy += x * y; yy += y * y; j += 1
+        }
+        val d = 1.0 - xy / math.sqrt(math.max(vv, 1e-30) * math.max(yy, 1e-30))
+        if (d < bestD || best < 0) { bestD = d; best = c }
+      }
+      c += 1
+    }
+    if (best < 0) nearestCos(v, flat) else best
+  }
+
   /** Nearest centroid over a flattened [nlist*dims] centroid array —
     * the codegen'd assign kernel. useDot=true for dot/cos metrics. */
   def nearest(v: ArrayData, flat: ArrayData, useDot: Boolean): Int = {

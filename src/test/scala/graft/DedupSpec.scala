@@ -159,6 +159,52 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("two-level semantic assignment: exact agreement on the gate fixture, " +
+      ">=98% on the clustered twin at larger k") {
+    // gate-fixture shape: k=8 first-row centroids over the full sf0.001
+    // embeddings — below TwoLevelMinK the policy degenerates to the
+    // exact flat argmin (the coarse level can't win at small k, and
+    // pruning near-random small-k data only costs agreement), so
+    // gate-fixture assignments are identical BY CONSTRUCTION
+    val e0 = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val cents8 = e0.filter(col("vec_id") < 8).orderBy(col("vec_id"))
+      .select(col("embedding")).collect().map(_.getSeq[Float](0).toArray)
+    val both8 = e0.select(col("vec_id"),
+        Dedup.semanticCluster(col("embedding"), cents8).as("flat"),
+        Dedup.semanticClusterTwoLevel(col("embedding"), cents8).as("two"))
+      .collect()
+    assert(both8.forall(r => r.getInt(1) == r.getInt(2)),
+      "two-level assignment must equal the flat argmin on the gate fixture")
+
+    // clustered mixture at larger k (the scale regime the policy is
+    // FOR): assignment is approximate by design — WHICH cluster a
+    // boundary row joins can differ — but on separated clusters the
+    // probed coarse groups contain the true argmin almost always
+    val dims = 16; val nClusters = 8; val perC = 250
+    val rnd = new scala.util.Random(17)
+    import spark.implicits._
+    val rows = (0 until nClusters).flatMap { c =>
+      (0 until perC).map { i =>
+        val v = Array.tabulate(dims)(j =>
+          (if (j == c * 2) 5f else 0f) + (rnd.nextGaussian() * 0.25).toFloat)
+        ((c * perC + i).toLong, v)
+      }
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    // k=64 seed-row centroids SPREAD across the corpus (every n/k-th
+    // row → 8 per cluster), the deterministic-seed-rows convention
+    val k = 64
+    val cents = (0 until k).map(i =>
+      rows(i * rows.length / k)._2).toArray
+    val both = df.select(
+        Dedup.semanticCluster(col("embedding"), cents).as("flat"),
+        Dedup.semanticClusterTwoLevel(col("embedding"), cents).as("two"))
+      .collect()
+    val agree = both.count(r => r.getInt(0) == r.getInt(1)).toDouble / both.length
+    assert(agree >= 0.98, s"two-level agreement = $agree")
+  }
+
   test("multimodal featurize: fixed dims, normalized, deterministic") {
     val media = MultiModal.asMedia(
       spark.read.parquet(s"$sf0001/documents.parquet").limit(10),
