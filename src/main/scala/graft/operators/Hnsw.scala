@@ -805,6 +805,48 @@ object Hnsw {
         (-(dot + rad * qn), -dot)
     }
 
+    /** (lower bound, centroid dist) under a search-time OVERRIDE metric
+      * on an l2-built sidecar (typed graphs store densified payloads and
+      * build with l2; metric is a search-time choice) — the
+      * TypedAnn.rankLists metric map applied to graph routing:
+      * hamming/jaccard rank by the l2 bounds (hamming IS l2sq on 0/1
+      * payloads), dot by Cauchy-Schwarz with the l2 covering radius, cos
+      * by the RAW guarded cosdist of the centroid with radii ignored (no
+      * sound bound from L2 radii on unnormalized payloads). Ranking
+      * needs no soundness (top-g routing is approximate); rankLists
+      * parity keeps the IVF and graph forms consistent. `qn` = |q|,
+      * `qq` = q·q. */
+    def boundAndDistOverride(overrideMetric: String, q: Array[Float],
+        qn: Double, qq: Double, c: Array[Float], rad: Double)
+        : (Double, Double) = overrideMetric match {
+      case "hamming" | "jaccard" | "l2" => boundAndDist("l2", q, qn, c, rad)
+      case "cos" =>
+        var dot = 0.0; var cc = 0.0; var i = 0
+        while (i < q.length) {
+          val y = c(i).toDouble
+          dot += q(i).toDouble * y; cc += y * y; i += 1
+        }
+        val d = 1.0 - dot / math.sqrt(
+          math.max(cc, 1e-30) * math.max(qq, 1e-30))
+        (d, d)
+      case other => boundAndDist(other, q, qn, c, rad)
+    }
+
+    /** [[rankFiles]] under a search-time override metric. */
+    def rankFilesOverride(overrideMetric: String, q: Array[Float],
+        files: Seq[String], aligned: Array[(Double, Array[Float])],
+        g: Int): Seq[String] = {
+      val qq = IvfIndex.Kernels.dot(q, q)
+      val qn = math.sqrt(qq)
+      files.indices
+        .sortBy { i =>
+          val (b, d) = boundAndDistOverride(overrideMetric, q, qn, qq,
+            aligned(i)._2, aligned(i)._1)
+          (b, d, i)
+        }
+        .take(g).sorted.map(files)
+    }
+
     /** rangeLists-PARITY reachability: can any stored row of a graph
       * with centroid `c` / covering radius `rad` lie within reported
       * dist `r` of `q`? Slack conventions are exactly
@@ -1190,14 +1232,26 @@ object Hnsw {
     * provable exact twin. */
   def searchIndexMetric(spark: org.apache.spark.sql.SparkSession,
       path: String, idCol: String, q: Array[Float], k: Int, metric: String,
-      efSearch: Int = 100, exact: Boolean = false): DataFrame = {
+      efSearch: Int = 100, exact: Boolean = false,
+      probeGraphs: Int = 0): DataFrame = {
     import spark.implicits._
     val dirPath = new org.apache.hadoop.fs.Path(path)
     val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val files = fs.globStatus(new org.apache.hadoop.fs.Path(path, "graph-*.bin"))
+    val allFiles = fs.globStatus(new org.apache.hadoop.fs.Path(path, "graph-*.bin"))
       .map(_.getPath.toString).sorted.toSeq
-    if (files.isEmpty)
+    if (allFiles.isEmpty)
       return spark.emptyDataset[(Long, Double)].toDF(idCol, "dist")
+    // routed typed scalar search (round 9): the same sidecar routes
+    // override-metric searches through the TypedAnn.rankLists metric
+    // map; exact mode never routes (flat-scan union = the oracle mode)
+    val g = resolveProbe(probeGraphs, allFiles.length)
+    val files =
+      if (exact || g <= 0 || g >= allFiles.length) allFiles
+      else Routing.read(fs, dirPath)
+        .flatMap { case (_, ents) =>
+          Routing.align(allFiles, ents).map(
+            Routing.rankFilesOverride(metric, q, allFiles, _, g))
+        }.getOrElse(allFiles)
     val bq = spark.sparkContext.broadcast(q)
     val hconf = confEntries(spark)
     val hits = spark.sparkContext
@@ -1396,6 +1450,24 @@ object Hnsw {
       k, efSearch, exact, probeGraphs)
   }
 
+  /** Table-valued KNN join with a search-time METRIC OVERRIDE over the
+    * shared typed graphs (round 9) — the [[searchIndexMetric]] form of
+    * [[knnJoin]], completing typed routing parity: per-query graph
+    * ranking goes through the TypedAnn.rankLists metric map
+    * ([[Routing.boundAndDistOverride]]), so typed joins stop walking
+    * every graph at parts>1 when routed. Override kernels score the
+    * stored densified payloads directly (cos is the DIRECT one-pass
+    * form — no +1 offset); exact mode flat-scans every graph with the
+    * override kernel, the provable brute force. */
+  def knnJoinMetric(spark: org.apache.spark.sql.SparkSession, path: String,
+      idCol: String, queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int, metric: String, efSearch: Int = 100, exact: Boolean = false,
+      probeGraphs: Int = 0): DataFrame = {
+    val (files, routing) = joinArtifacts(spark, path)
+    knnJoinFiles(spark, files, routing, idCol, queries, qidCol, qvecCol,
+      k, efSearch, exact, probeGraphs, metricOverride = Some(metric))
+  }
+
   /** [[knnJoin]] over an explicit (file list, routing) pair — see
     * [[rangeJoinFiles]]. Routed mode (round 8): probeGraphs = g > 0
     * ranks graphs per query by the metric's lower bound over the routing
@@ -1411,7 +1483,8 @@ object Hnsw {
       routing0: Option[(String, Array[(Double, Array[Float])])],
       idCol: String, queries: DataFrame, qidCol: String, qvecCol: String,
       k: Int, efSearch: Int = 100, exact: Boolean = false,
-      probeGraphs: Int = 0): DataFrame = {
+      probeGraphs: Int = 0,
+      metricOverride: Option[String] = None): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
     if (files.isEmpty)
@@ -1445,13 +1518,18 @@ object Hnsw {
             var i = 0
             while (i < rows.length) {
               val q = rows(i)._2
-              val qn = math.sqrt(IvfIndex.Kernels.dot(q, q))
+              val qq = IvfIndex.Kernels.dot(q, q)
+              val qn = math.sqrt(qq)
               val lb = new Array[Double](fl.length)
               val cd = new Array[Double](fl.length)
               var gi = 0
               while (gi < fl.length) {
                 val (rad, c) = ents(gi)
-                val (b, d) = Routing.boundAndDist(metric, q, qn, c, rad)
+                val (b, d) = metricOverride match {
+                  case Some(om) =>
+                    Routing.boundAndDistOverride(om, q, qn, qq, c, rad)
+                  case None => Routing.boundAndDist(metric, q, qn, c, rad)
+                }
                 lb(gi) = b; cd(gi) = d
                 gi += 1
               }
@@ -1471,13 +1549,23 @@ object Hnsw {
           if (sel != null && sel(gi).isEmpty) Iterator.empty
           else {
             val g = GraphCache.get(f, conf)
-            val off = if (g.metric == "cos") 1.0 else 0.0
+            // override kernels score payloads directly — no cos offset
+            // (the searchIndexMetric convention); build-metric searches
+            // keep the normalize-at-build +1 cos reporting
+            val off =
+              if (metricOverride.isEmpty && g.metric == "cos") 1.0 else 0.0
             val qIdx: Iterator[Int] =
               if (sel == null) Iterator.range(0, rows.length)
               else sel(gi).iterator
             qIdx.flatMap { i =>
               val (qid, q) = rows(i)
-              val res = if (exact) g.bruteForce(q, k) else g.search(q, k, efSearch)
+              val res = metricOverride match {
+                case Some(om) =>
+                  if (exact) g.bruteForceMetric(q, k, om)
+                  else g.searchMetric(q, k, efSearch, om)
+                case None =>
+                  if (exact) g.bruteForce(q, k) else g.search(q, k, efSearch)
+              }
               res.iterator.map { case (d, id) => (qid, id, d + off) }
             }
           }

@@ -1466,6 +1466,29 @@ object AnnQueries {
     "q_svec_hnsw_exact" -> ((s, d) =>
       Hnsw.searchIndexExact(s, svecHnsw(s, d, 1), "vec_id",
         qvecSparse(s, d), k = 100)),
+    // typed GRAPH table-valued join (round 9): metric-override KNN join
+    // over the shared densified-CSR graphs, ROUTED — per-query graph
+    // ranking goes through the override metric map (dot =
+    // Cauchy-Schwarz on the l2 sidecar radii), so typed joins stop
+    // walking every graph at parts>1. Approximate (exact twin below);
+    // pair recall in RECALL.json (svec_hnsw_knn_join, clustered).
+    "q_svec_hnsw_knn_join" -> ((s, d) => {
+      val qs = t(s, d, "embeddings").filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id"), sparsify(col("embedding")).as("qd"))
+      Hnsw.knnJoinMetric(s, svecHnsw(s, d, 4), "vec_id", qs, "vec_id",
+        "qd", k = 10, metric = "dot", efSearch = efSearchConf(s),
+        probeGraphs = 2)
+    }),
+    // exact mode on the single-graph artifact: per-graph flat scan with
+    // the dot override kernel (stored densified payloads, index-order
+    // double accumulation) == the brute-force negdot window — full
+    // oracle, the graph-join exact-twin convention.
+    "q_svec_hnsw_knn_join_exact" -> ((s, d) => {
+      val qs = t(s, d, "embeddings").filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id"), sparsify(col("embedding")).as("qd"))
+      Hnsw.knnJoinMetric(s, svecHnsw(s, d, 1), "vec_id", qs, "vec_id",
+        "qd", k = 10, metric = "dot", exact = true)
+    }),
 
     // vecf16 L2 IVF: f16 half-word payload scan, f16-rounded centroids
     "q_vecf16_ann_topk" -> ((s, d) => {
@@ -2046,6 +2069,19 @@ object AnnQueries {
              list_aggregate(list_transform(list_zip($spD, $spQ), p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), 'sum') AS dist,
              row_number() OVER (PARTITION BY q.vec_id ORDER BY
                list_aggregate(list_transform(list_zip($spD, $spQ), p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), 'sum'),
+               d.vec_id) AS rn
+           FROM embeddings d CROSS JOIN
+             (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 100 = 0) q)
+         WHERE rn <= 10 ORDER BY qid, rn""",
+    // typed-graph dot-override join, exact mode: negdot over the
+    // sparsified views — the kernel negates the index-order double sum
+    // once (distWith code 2), exactly -list_aggregate(sum)
+    "q_svec_hnsw_knn_join_exact" ->
+      s"""SELECT qid, vec_id, dist, rn FROM (
+           SELECT q.vec_id AS qid, d.vec_id AS vec_id,
+             -list_aggregate(list_transform(list_zip($spD, $spQ), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum') AS dist,
+             row_number() OVER (PARTITION BY q.vec_id ORDER BY
+               -list_aggregate(list_transform(list_zip($spD, $spQ), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum'),
                d.vec_id) AS rn
            FROM embeddings d CROSS JOIN
              (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 100 = 0) q)

@@ -149,6 +149,10 @@ object Recall {
       ("hnsw_knn_join", "q_hnsw_knn_join", "q_hnsw_knn_join_exact"),
       ("bvec_knn_join", "q_bvec_knn_join", "q_bvec_knn_join_exact"),
       ("svec_knn_join", "q_svec_knn_join", "q_svec_knn_join_exact"),
+      // round 9: the ROUTED typed-graph join (dot override ranking via
+      // the TypedAnn metric map on the l2 sidecar, top-2-of-4)
+      ("svec_hnsw_knn_join", "q_svec_hnsw_knn_join",
+        "q_svec_hnsw_knn_join_exact"),
       ("f16_knn_join", "q_vecf16_knn_join", "q_vecf16_knn_join_exact"))
     def joinRecall(dir: String, tag: String): Seq[(String, (Double, Int))] =
       joinFams.map { case (fam, a, e) =>
@@ -235,11 +239,40 @@ object Recall {
       "partitioned_knn_join" -> (r, 10)
     }
 
+    // scalar searchIndex at probeGraphs = AUTO — the round-9 DEFAULT of
+    // the declarative pushdown arms (spark.graft.hnsw.probe = "auto",
+    // g = ceil(sqrt(G)) floor 2): measured against the parts=4
+    // artifact's own exact flat-scan union (= the global brute force),
+    // averaged over the partitionedRecall 20-query sample.
+    def routedAutoRecall(dir: String, tag: String): (String, (Double, Int)) = {
+      import org.apache.spark.sql.functions._
+      import graft.operators.Hnsw
+      val p4 = graft.queries.AnnQueries.hnsw(spark, dir, 4)
+      val qs = spark.read.parquet(s"$dir/embeddings.parquet")
+        .filter(col("vec_id") % 50 === 0).limit(20)
+        .select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).toArray)
+      val perQ = qs.map { q =>
+        def ids(probe: Int, exact: Boolean) =
+          Hnsw.searchIndex(spark, p4, "vec_id", q, k = 100,
+            exact = exact, probeGraphs = probe)
+            .collect().map(_.getLong(0)).toSet
+        val ex = ids(0, exact = true)
+        ids(Hnsw.AutoProbe, exact = false).intersect(ex).size.toDouble /
+          math.max(ex.size, 1)
+      }
+      val r = perQ.sum / math.max(perQ.length, 1)
+      println(f"[recall] $tag%-9s hnsw_scalar_routed_auto recall@100 = $r%.3f (n=${perQ.length})")
+      "hnsw_scalar_routed_auto" -> (r, 100)
+    }
+
     val clDir = ensureClustered(spark, sfDir)
     val clustered = measure(clDir, "clustered") ++ joinRecall(clDir, "clustered") :+
-      partitionedRecall(clDir, "clustered") :+ partitionedJoinRecall(clDir, "clustered")
+      partitionedRecall(clDir, "clustered") :+ partitionedJoinRecall(clDir, "clustered") :+
+      routedAutoRecall(clDir, "clustered")
     val random = measure(sfDir, "random") ++ joinRecall(sfDir, "random") :+
-      partitionedRecall(sfDir, "random") :+ partitionedJoinRecall(sfDir, "random")
+      partitionedRecall(sfDir, "random") :+ partitionedJoinRecall(sfDir, "random") :+
+      routedAutoRecall(sfDir, "random")
     clustered.filter(_._2._1 < 0.9).foreach { case (fam, (r, k)) =>
       println(f"[recall] WARNING: $fam below 0.9 on the clustered fixture ($r%.3f@$k)")
     }
@@ -274,7 +307,13 @@ object Recall {
       "table-valued join routed ACROSS partitions (top-3-of-8 over the " +
       "concatenated sub-index fleet, 4 hash partitions x parts=2) - " +
       "same spatial-pruning caveat; hash partitions each contain every " +
-      "cluster, so the per-partition k-means is what routing sees."
+      "cluster, so the per-partition k-means is what routing sees. " +
+      "hnsw_scalar_routed_auto (round 9) measures scalar searchIndex at " +
+      "the new pushdown DEFAULT probeGraphs=auto (ceil(sqrt(G)) floor " +
+      "2, here 2-of-4); svec_hnsw_knn_join is the ROUTED typed-graph " +
+      "join (dot override ranked through the TypedAnn metric map on " +
+      "the l2 sidecar) - both spatial-pruning families, clustered is " +
+      "their informative fixture."
     val json =
       s"""{"sf":"$clDir","fixture":"clustered-mog-8","source_sf":"$sfDir",""" +
         s""""defaults":{"nprobe":10,"ef_search":100},"note":"$note",""" +

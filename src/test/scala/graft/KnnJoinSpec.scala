@@ -435,6 +435,54 @@ class KnnJoinSpec extends SparkSpec {
     graft.index.IndexCatalog.drop(spark, name)
   }
 
+  test("metric-override knn join: exact == typed brute force, routed " +
+      "override ranking keeps recall on clustered data") {
+    val dims = 8; val nPer = 80
+    val rnd = new scala.util.Random(23)
+    val rows = (0 until 4).flatMap { c =>
+      (0 until nPer).map { i =>
+        val v = Array.tabulate(dims)(j =>
+          (if (j == c * 2) 10f * (c + 1) else 0f) + rnd.nextFloat() * 0.5f)
+        (c.toLong * 1000 + i, v)
+      }
+    }
+    val src = java.nio.file.Files.createTempDirectory("graft_ovr").toString
+    rows.toDF("vec_id", "embedding").coalesce(1)
+      .write.mode("overwrite").parquet(src)
+    val name = "ovrspec_hnsw"
+    graft.index.IndexCatalog.drop(spark, name)
+    val path = Hnsw.ensure(spark, name, spark.read.parquet(src), src,
+      "vec_id", "embedding", "l2", parts = 4)
+    val queries = spark.read.parquet(src).filter(col("vec_id") % 7 === 0)
+    import org.apache.spark.sql.expressions.Window
+    val corpus = spark.read.parquet(src)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    // exact mode flat-scans every graph with the DOT override kernel —
+    // must equal the brute-force negdot window
+    val want = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      .crossJoin(corpus)
+      .select(col("qid"), col("cid"),
+        graft.functions.negdot(col("cv"), col("qv")).as("dist"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("dist"), col("cid"))))
+      .filter(col("rn") <= 5)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    val exactJ = Hnsw.knnJoinMetric(spark, path, "vec_id", queries,
+        "vec_id", "embedding", k = 5, metric = "dot", exact = true,
+        probeGraphs = 1)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    assert(exactJ == want,
+      "exact override join must equal the typed brute force (and ignore routing)")
+    // routed 1-of-4 via the override (Cauchy-Schwarz dot) ranking:
+    // separated blobs keep pair recall high
+    val routed = Hnsw.knnJoinMetric(spark, path, "vec_id", queries,
+        "vec_id", "embedding", k = 5, metric = "dot", probeGraphs = 1)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = routed.intersect(want).size.toDouble / want.size
+    assert(recall >= 0.9, s"routed override pair recall@5 = $recall")
+    graft.index.IndexCatalog.drop(spark, name)
+  }
+
   test("recall@10 at default nprobe stays useful on the driver fixture") {
     val (m, path) = ivf(sf0001)
     val queries = spark.read.parquet(s"$sf0001/embeddings.parquet")
