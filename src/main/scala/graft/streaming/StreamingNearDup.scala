@@ -46,11 +46,16 @@ private[streaming] case class NearDupBucketState(
  * impossible). Within a batch, bucket slices process in (ts_us, doc_id)
  * order, the sessionize convention.
  *
- * State is bounded two ways (the watermark contract every stateful op
+ * State is bounded three ways (the watermark contract every stateful op
  * here follows): entries older than `retention` behind the watermark are
- * trimmed on every bucket visit, and an idle bucket's whole state is
- * dropped by event-time timeout. Historical dedup beyond the retention
- * horizon is the batch path's job (dedupByContent's documented split).
+ * trimmed on every bucket visit, an idle bucket's whole state is
+ * dropped by event-time timeout, and a HOT bucket (near-constant band
+ * hash on boilerplate corpora) is capped at `maxBucketMembers` retained
+ * members WITHIN the horizon — oldest evicted first, drops counted in
+ * the `graft.streamNearDup.capDrops` accumulator (a bounded-state
+ * recall trade: evicted members can no longer match later arrivals).
+ * Historical dedup beyond the retention horizon is the batch path's job
+ * (dedupByContent's documented split).
  *
  * Scale shape: each doc emits `bands` rows; the only shuffle is the
  * bucket groupBy (uniform murmur3 band hashes); per-bucket state is
@@ -89,9 +94,40 @@ object StreamingNearDup {
   def hits(docs: DataFrame, idCol: String, textCol: String, tsCol: String,
       watermarkDelay: String, retention: String = "7 days",
       shingleK: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
-      minJacc: Double = 0.8, bootstrap: Option[DataFrame] = None)
-      : Dataset[NearDupHit] = {
+      minJacc: Double = 0.8, bootstrap: Option[DataFrame] = None,
+      maxBucketMembers: Int = 4096): Dataset[NearDupHit] = {
     import docs.sparkSession.implicits._
+    require(maxBucketMembers > 0, "maxBucketMembers must be positive")
+    // hot-bucket cap (round 9): a near-constant band hash — boilerplate
+    // corpora hashing most docs into one bucket — would otherwise grow
+    // that bucket's state unboundedly WITHIN the retention horizon.
+    // Evict-OLDEST by (ts, id) beyond the cap; evicted members can no
+    // longer match later arrivals (a bounded-state recall trade,
+    // surfaced through the `graft.streamNearDup.capDrops` accumulator
+    // and an executor-side warn). The gate corpus never hits the
+    // default cap, so the q_dedup_minhash oracle is untouched.
+    val dropAcc = docs.sparkSession.sparkContext
+      .longAccumulator("graft.streamNearDup.capDrops")
+    def capped(ids: Array[Long], tss: Array[Long],
+        shs: Array[Array[Long]])
+        : (Array[Long], Array[Long], Array[Array[Long]]) = {
+      if (ids.length <= maxBucketMembers) (ids, tss, shs)
+      else {
+        val dropped = ids.length - maxBucketMembers
+        dropAcc.add(dropped)
+        // name-based logger: `getClass` would capture the enclosing
+        // (non-serializable) singleton in the stateful-func closure
+        org.slf4j.LoggerFactory.getLogger("graft.streaming.StreamingNearDup").warn(
+          s"near-dup bucket over cap ($maxBucketMembers): evicting " +
+            s"$dropped oldest member(s)")
+        val keep = ids.indices
+          .sortBy(i => (tss(i), ids(i)))
+          .drop(dropped)
+          .sorted
+        (keep.map(ids).toArray, keep.map(tss).toArray,
+          keep.map(shs).toArray)
+      }
+    }
     val retentionUs =
       org.apache.spark.sql.catalyst.util.IntervalUtils
         .stringToInterval(org.apache.spark.unsafe.types.UTF8String
@@ -122,8 +158,9 @@ object StreamingNearDup {
         .groupByKey(d => (d.band_idx, d.band_hash))
         .mapGroups { (k, it) =>
           val arr = it.toArray.sortBy(d => (d.ts_us, d.doc_id))
-          (k, NearDupBucketState(arr.map(_.doc_id), arr.map(_.ts_us),
-            arr.map(_.sh)))
+          val (ci, ct, cs) = capped(arr.map(_.doc_id), arr.map(_.ts_us),
+            arr.map(_.sh))
+          (k, NearDupBucketState(ci, ct, cs))
         }
         .groupByKey(_._1)
         .mapValues(_._2)
@@ -160,7 +197,8 @@ object StreamingNearDup {
               shs = shs :+ d.sh
               if (d.ts_us > maxTsUs) maxTsUs = d.ts_us
             }
-            state.update(NearDupBucketState(ids, tss, shs))
+            val (ci, ct, cs) = capped(ids, tss, shs)
+            state.update(NearDupBucketState(ci, ct, cs))
             // drop the whole bucket once the watermark passes its newest
             // member's retention horizon (the sessionize clamp)
             state.setTimeoutTimestamp(

@@ -77,6 +77,22 @@ object Qps {
         single = (s, q) =>
           Hnsw.searchIndex(s, AnnQueries.hnsw(s, d, 4), "vec_id", q,
             k = 10, efSearch = EfSearch)),
+      // ROUTED AUTO scalar (round 9): the declarative pushdown arms'
+      // DEFAULT (spark.graft.hnsw.probe = auto → ⌈√G⌉ floor 2, here
+      // 2-of-4) — compare p50/p95 against hnsw_l2's unrouted scalar
+      // rows for the serving-side win of routing; batch rides the
+      // routed join at the same breadth
+      Fam("hnsw_l2_routed_auto", 10,
+        batch = (s, qs) => {
+          import s.implicits._
+          val qdf = qs.toDF("vec_id", "embedding")
+          Hnsw.knnJoin(s, AnnQueries.hnsw(s, d, 4), "vec_id", qdf,
+            "vec_id", "embedding", k = 10, efSearch = EfSearch,
+            probeGraphs = Hnsw.AutoProbe)
+        },
+        single = (s, q) =>
+          Hnsw.searchIndex(s, AnnQueries.hnsw(s, d, 4), "vec_id", q,
+            k = 10, efSearch = EfSearch, probeGraphs = Hnsw.AutoProbe)),
       // table-valued joins: same index families, query side a DataFrame
       // (the round-7 KnnJoin/Hnsw.knnJoin paths). `single` is the
       // family's query-at-a-time entry point — the joins ARE the batch

@@ -135,4 +135,41 @@ class StreamingNearDupSpec extends SparkSpec {
     assert(!sink.exists(p => p == (1L, 3L)),
       s"evicted entry still matched: $sink")
   }
+
+  test("hot-bucket cap bounds retained members; drops are counted") {
+    // 30 IDENTICAL docs collide in EVERY band -> one hot bucket per
+    // band key; cap=8 must bound state and count evictions, and the
+    // capped run still matches new arrivals against the RETAINED set
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val sink = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    val hits = StreamingNearDup.hits(
+      source.toDS().toDF("doc_id", "text", "ts"),
+      "doc_id", "text", "ts", watermarkDelay = "1 hour",
+      maxBucketMembers = 8)
+    val q = hits.toDF().writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        sink.synchronized {
+          sink ++= b.dropDuplicates("doc_a", "doc_b")
+            .select($"doc_a", $"doc_b").as[(Long, Long)].collect()
+        }
+        ()
+      }.start()
+    val boiler = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    try {
+      source.addData((0L until 30L).map(i => (i, boiler, T0)): _*)
+      q.processAllAvailable()
+      // a later arrival still matches the newest retained members
+      source.addData((100L, boiler, T0))
+      q.processAllAvailable()
+    } finally q.stop()
+    // assert the OBSERVABLE contract: the late doc matched at most cap
+    // retained members, and pairs against the evicted oldest docs did
+    // NOT emit for it (the accumulator is UI/monitoring surface)
+    val lateHits = sink.filter(_._2 == 100L).map(_._1).toSet
+    assert(lateHits.size <= 8, s"late doc matched ${lateHits.size} > cap")
+    assert(lateHits.nonEmpty, "late doc must match the retained members")
+    assert(lateHits.forall(_ >= 22L),
+      s"late doc matched evicted (oldest) members: $lateHits")
+  }
 }
