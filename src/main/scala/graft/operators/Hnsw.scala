@@ -41,13 +41,6 @@ object Hnsw {
   private[graft] def resolveProbe(probeGraphs: Int, nFiles: Int): Int =
     if (probeGraphs == AutoProbe) autoProbeGraphs(nFiles) else probeGraphs
 
-  /** Connectivity-repair tuning: seen sets at or below the cutoff use
-    * the exact O(|seen|·d) bridge scan (trivially cheap there); larger
-    * ones use the (d, idx)-ordered beam ([[Graph.bridgeByBeam]]) with
-    * this ef. Generous ef keeps tie clusters explored to their lowest
-    * index — the byte-identity contract with the scan. */
-  private[graft] val RepairScanCutoff = 2048
-  private[graft] val RepairEf = 128
 
   final class Graph(val metric: String, m: Int = 12, efConstruction: Int = 300,
       seed: Long = 42L) extends Serializable {
@@ -170,9 +163,11 @@ object Hnsw {
     private def repairConnectivity(): Unit = repairConnectivity(false)
 
     /** Exact (d, idx)-argmin over the seen set — the reference bridge
-      * choice. O(|seen|·d) per orphan component: fine for small seen
-      * sets, O(n²) when duplicate-heavy corpora shatter into many
-      * components — the beam path below exists for exactly that case. */
+      * choice. O(|seen|·d) per orphan component: O(c·n·d) total when
+      * duplicate-heavy corpora shatter into many components. The
+      * default path below memoizes this by representative VECTOR, which
+      * bounds the pathological case; this naive form stays as the
+      * byte-identity reference for the spec hook. */
     private def bridgeByScan(u: Int, seen: Array[Boolean]): Int = {
       val n = vecs.length
       var best = -1; var bd = Double.MaxValue
@@ -189,102 +184,84 @@ object Hnsw {
       best
     }
 
-    /** Beam bridge search (round 9): the seen component is a searchable
-      * graph, so the orphan's nearest reachable node is found by a
-      * seen-restricted greedy descent + a level-0 best-first beam —
-      * O(ef·m·d) instead of O(n·d) per component. Every ordering is
-      * (d, idx)-LEXICOGRAPHIC (heaps and the tracked global best), so
-      * tie clusters — the duplicate-heavy corpora repair exists for —
-      * keep expanding toward lower indices and the result reproduces
-      * the scan's nearest-by-metric/index-tie-break choice
-      * (HybridSpec asserts byte-identical snapshots against
-      * [[bridgeByScan]] on a many-component duplicate-heavy corpus).
-      * Restriction to `seen` matters twice over: upper-level links can
-      * reach level-0-unreachable nodes (a bridge to one would not
-      * connect the component), and the bridge must come from the
-      * already-connected set by definition. */
-    private def bridgeByBeam(u: Int, seen: Array[Boolean], ef: Int): Int = {
-      val q = vecs(u)
-      var ep = entry
-      var lc = maxLevel
-      while (lc > 0) {
-        var curD = dist(q, vecs(ep))
-        var improved = true
-        while (improved) {
-          improved = false
-          for (nb <- links(ep)(lc) if seen(nb)) {
-            val d = dist(q, vecs(nb))
-            if (d < curD) { curD = d; ep = nb; improved = true }
-          }
-        }
-        lc -= 1
+    /** Hash key over exact float content — two orphan components whose
+      * representatives are exact duplicates share one bridge scan. */
+    private final class VKey(val v: Array[Float]) {
+      override val hashCode: Int = java.util.Arrays.hashCode(v)
+      override def equals(o: Any): Boolean = o match {
+        case k: VKey => java.util.Arrays.equals(v, k.v)
+        case _ => false
       }
-      val lex = Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Int)
-      val visited = mutable.BitSet(ep)
-      val epD = dist(q, vecs(ep))
-      val cand = mutable.PriorityQueue((epD, ep))(lex.reverse) // min-heap
-      val res = mutable.PriorityQueue((epD, ep))(lex)          // max-heap, <= ef
-      var best = ep; var bestD = epD
-      while (cand.nonEmpty) {
-        val (cd, c) = cand.dequeue()
-        val stop = res.size >= ef && {
-          val (wd, wn) = res.head
-          cd > wd || (cd == wd && c > wn)
-        }
-        if (stop) cand.clear()
-        else {
-          for (nb <- links(c)(0) if seen(nb) && !visited.contains(nb)) {
-            visited += nb
-            val d = dist(q, vecs(nb))
-            if (d < bestD || (d == bestD && nb < best)) { bestD = d; best = nb }
-            val admit = res.size < ef || {
-              val (wd, wn) = res.head
-              d < wd || (d == wd && nb < wn)
-            }
-            if (admit) {
-              cand.enqueue((d, nb))
-              res.enqueue((d, nb))
-              if (res.size > ef) res.dequeue()
-            }
-          }
-        }
-      }
-      best
+    }
+    private final class BridgeBest {
+      var d: Double = Double.MaxValue
+      var idx: Int = -1
+      var upTo: Int = 0
     }
 
     /** Bridges added by the last repair pass — spec observability. */
     private[graft] var lastRepairBridges = 0
 
+    /** Bridge every level-0 component unreachable from the entry into
+      * the reachable component. Worst-case bound (round 9): the naive
+      * form scans all seen nodes PER component — O(c·n·d) when
+      * duplicate-heavy corpora shatter into many components, exactly
+      * the corpora repair exists for. Those corpora's components are
+      * largely exact DUPLICATES of each other, so the scan is memoized
+      * by representative vector: each unique rep folds every seen node
+      * exactly once (incremental over the bfs discovery log), cutting
+      * the total to O(u·n·d + Σincrements) with u = DISTINCT orphan rep
+      * vectors. Bit-identical to the naive scan by construction — the
+      * (d, idx)-argmin is order-insensitive and identical rep vectors
+      * produce identical distances — so the artifact format key is
+      * unchanged (HybridSpec asserts byte-identity; a beam-search
+      * variant was evaluated and REJECTED: under symmetric ties a local
+      * search provably cannot reproduce the global lowest-index
+      * tie-break, measured diverging in graft.tools.RepairBench). */
     private def repairConnectivity(forceScan: Boolean): Unit = {
       val n = vecs.length
       lastRepairBridges = 0
       if (entry < 0 || n == 0) return
       val seen = new Array[Boolean](n)
-      var seenCount = 0
+      // discovery log: append-only order the bfs saw nodes in — the
+      // memoized scans fold suffixes of this list
+      val seenLog = new mutable.ArrayBuffer[Int](n)
       def bfs(start: Int): Unit = {
         var stack = List(start)
-        seen(start) = true; seenCount += 1
+        seen(start) = true; seenLog += start
         while (stack.nonEmpty) {
           val u = stack.head; stack = stack.tail
           val nb = links(u)(0); var j = 0
           while (j < nb.length) {
             val v = nb(j)
-            if (!seen(v)) { seen(v) = true; seenCount += 1; stack = v :: stack }
+            if (!seen(v)) { seen(v) = true; seenLog += v; stack = v :: stack }
             j += 1
           }
         }
       }
       bfs(entry)
+      val memo = new java.util.HashMap[VKey, BridgeBest]()
       var u = 0
       while (u < n) {
         if (!seen(u)) {
-          // small seen sets scan (trivially cheap AND provably exact);
-          // large ones beam — the O(c·n) worst case the scan had on
-          // duplicate-shattered corpora
           val best =
-            if (forceScan || seenCount <= RepairScanCutoff)
-              bridgeByScan(u, seen)
-            else bridgeByBeam(u, seen, RepairEf)
+            if (forceScan) bridgeByScan(u, seen)
+            else {
+              val key = new VKey(vecs(u))
+              var b = memo.get(key)
+              if (b == null) { b = new BridgeBest; memo.put(key, b) }
+              var t = b.upTo
+              while (t < seenLog.length) {
+                val s = seenLog(t)
+                val d = dist(vecs(u), vecs(s))
+                if (d < b.d || (d == b.d && (b.idx < 0 || s < b.idx))) {
+                  b.d = d; b.idx = s
+                }
+                t += 1
+              }
+              b.upTo = seenLog.length
+              b.idx
+            }
           links(u)(0) += best
           links(best)(0) += u
           lastRepairBridges += 1
@@ -294,8 +271,8 @@ object Hnsw {
       }
     }
 
-    /** Spec hook: snapshot with the exact-scan bridge forced — the
-      * byte-identity reference for [[bridgeByBeam]]. */
+    /** Spec hook: snapshot with the NAIVE per-component scan forced —
+      * the byte-identity reference for the memoized default. */
     private[graft] def snapshotWithScanRepair: FlatGraph = {
       repairConnectivity(true)
       buildFlat()

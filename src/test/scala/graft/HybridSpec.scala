@@ -207,15 +207,14 @@ class HybridSpec extends SparkSpec {
     graft.index.IndexCatalog.drop(spark, name)
   }
 
-  test("beam bridge repair is byte-identical to the exact-scan repair " +
-      "on a many-component duplicate-heavy corpus") {
+  test("memoized bridge repair is byte-identical to the naive per-component " +
+      "scan on a many-component duplicate-heavy corpus") {
     import graft.operators.Hnsw
-    // one large connected cluster (> RepairScanCutoff, so bridges for
-    // the later components take the BEAM path) plus many far-away tiny
-    // cliques of EXACT duplicates — the duplicate-heavy shape whose
-    // m-pruned insertion shatters level-0 connectivity and whose tie
-    // clusters are exactly where a naive beam diverges from the scan's
-    // (d, idx) tie-break
+    // one large connected cluster plus many far-away tiny cliques of
+    // EXACT duplicates — the duplicate-heavy shape whose m-pruned
+    // insertion shatters level-0 connectivity; duplicate reps share the
+    // memoized incremental scan, which must reproduce the naive
+    // per-component scan's (d, idx) argmin bit-exactly
     val dims = 8
     val rnd = new scala.util.Random(13)
     def mk(seedRow: => Array[Float], n: Int): Seq[Array[Float]] =
@@ -234,16 +233,16 @@ class HybridSpec extends SparkSpec {
       rows.zipWithIndex.foreach { case (v, i) => g.insert(i.toLong, v) }
       g
     }
-    val beamG = build()
-    val beamBytes = {
+    val memoG = build()
+    val memoBytes = {
       val buf = new java.io.ByteArrayOutputStream()
       val os = new java.io.DataOutputStream(buf)
-      Hnsw.FlatGraph.write(os, beamG.snapshot)
+      Hnsw.FlatGraph.write(os, memoG.snapshot)
       os.close(); buf.toByteArray
     }
     // the fixture must genuinely exercise repair (orphan components
     // exist) or this test asserts nothing
-    assert(beamG.lastRepairBridges > 0,
+    assert(memoG.lastRepairBridges > 0,
       "fixture produced no orphan components - repair never ran")
     val scanG = build()
     val scanBytes = {
@@ -252,10 +251,10 @@ class HybridSpec extends SparkSpec {
       Hnsw.FlatGraph.write(os, scanG.snapshotWithScanRepair)
       os.close(); buf.toByteArray
     }
-    assert(scanG.lastRepairBridges == beamG.lastRepairBridges)
-    assert(java.util.Arrays.equals(beamBytes, scanBytes),
-      s"beam repair diverged from the exact scan " +
-        s"(${beamBytes.length} vs ${scanBytes.length} bytes, " +
-        s"${beamG.lastRepairBridges} bridges)")
+    assert(scanG.lastRepairBridges == memoG.lastRepairBridges)
+    assert(java.util.Arrays.equals(memoBytes, scanBytes),
+      s"memoized repair diverged from the naive scan " +
+        s"(${memoBytes.length} vs ${scanBytes.length} bytes, " +
+        s"${memoG.lastRepairBridges} bridges)")
   }
 }
