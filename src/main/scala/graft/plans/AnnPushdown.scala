@@ -1537,6 +1537,45 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
             efSearch = hnswEfSearch, exact = hnswExact,
             values = Some(registered), probeGraphs = hnswProbe)
         }
+      // typed opclasses under the hnsw AM (finalize.sql:719-803,
+      // round 9): the registered graphs store the family's DENSIFIED
+      // payload view (bvec: 0/1, f16: f16-rounded floats) built with
+      // l2, so hamming (= l2sq on 0/1) and f16 l2 walk the build
+      // metric, and jaccard/dot/cos are searchIndexMetric overrides
+      // scoring the stored payloads directly. Queries densify exactly
+      // like the typed-IVF prune views. Routed under the same auto
+      // default; exact mode flat-scans (the typed exact twins'
+      // contract). svector graphs are deliberately NOT dispatchable:
+      // the shared artifacts store SPARSIFIED densified views (the
+      // ingest |x|>0.15 rule), which a source-table svec spelling over
+      // unsparsified vectors does not mean.
+      case ("bvec", "hnsw") =>
+        val q01 = q.map(x => if (x > 0f) 1f else 0f)
+        metric match {
+          case "hamming" =>
+            graft.operators.Hnsw.searchIndex(spark, dataDir, idx.idCol,
+              q01, k, efSearch = hnswEfSearch, exact = hnswExact,
+              probeGraphs = hnswProbe)
+          case "jaccard" | "dot" =>
+            graft.operators.Hnsw.searchIndexMetric(spark, dataDir,
+              idx.idCol, q01, k, metric, efSearch = hnswEfSearch,
+              exact = hnswExact, probeGraphs = hnswProbe)
+          case _ => return None
+        }
+      case ("f16", "hnsw") =>
+        val q16 = q.map(x =>
+          graft.types.Fp16.halfToFloat(graft.types.Fp16.floatToHalf(x)))
+        metric match {
+          case "l2" =>
+            graft.operators.Hnsw.searchIndex(spark, dataDir, idx.idCol,
+              q16, k, efSearch = hnswEfSearch, exact = hnswExact,
+              probeGraphs = hnswProbe)
+          case "dot" | "cos" =>
+            graft.operators.Hnsw.searchIndexMetric(spark, dataDir,
+              idx.idCol, q16, k, metric, efSearch = hnswEfSearch,
+              exact = hnswExact, probeGraphs = hnswProbe)
+          case _ => return None
+        }
       case ("f16", "ivf_f16") =>
         TypedAnn.searchF16(spark, dataDir, model, idx.idCol, q, k, probes,
           metric)

@@ -446,6 +446,41 @@ object AnnQueries {
         AnnPushdown.restore(srcPath, prevReg)
       }
     }),
+    // typed opclass under the hnsw AM, DECLARATIVE (round 9 — the
+    // reference's bvector_hamming_ops on hnsw, finalize.sql:719-803):
+    // the dual-wrapped hamming spelling over a bvec:hamming-registered
+    // HNSW manifest rewrites onto the 0/1-densified graph search
+    // (hamming IS l2sq on the stored payloads). hnsw.exact flat-scans,
+    // so the q_bvec_hnsw_exact brute-force Hamming oracle applies.
+    "q_bvec_hnsw_pushdown" -> ((s, d) => {
+      import graft.plans.AnnPushdown
+      bvecHnsw(s, d, 1)
+      AnnPushdown.install(s)
+      val srcPath = s"$d/embeddings.parquet"
+      val prevReg = AnnPushdown.snapshot(srcPath)
+      AnnPushdown.register(srcPath, AnnPushdown.IndexedTable(
+        s"hnswbv_p1_${san(d)}", "vec_id", "embedding", "bvec:hamming"))
+      val prevEnabled = s.conf.get("spark.graft.ann.enabled", "false")
+      val prevExact = s.conf.get("spark.graft.hnsw.exact", "false")
+      s.conf.set("spark.graft.ann.enabled", "true")
+      s.conf.set("spark.graft.hnsw.exact", "true")
+      try {
+        val df = s.read.parquet(srcPath)
+          .select(col("vec_id"),
+            bvecHamming(binarize(col("embedding")),
+              binarize(typedLit(qvec(s, d)))).as("dist"))
+          .orderBy(col("dist"), col("vec_id")).limit(100)
+        val optimized = df.queryExecution.optimizedPlan
+        require(!optimized.toString.contains("embeddings.parquet"),
+          "typed bvec hnsw pushdown did not rewrite the top-k plan")
+        org.apache.spark.sql.graftshim.Shims.ofRows(s, optimized)
+          .orderBy(col("dist"), col("vec_id"))
+      } finally {
+        s.conf.set("spark.graft.ann.enabled", prevEnabled)
+        s.conf.set("spark.graft.hnsw.exact", prevExact)
+        AnnPushdown.restore(srcPath, prevReg)
+      }
+    }),
     // Filtered top-k over an HNSW-only registration through the
     // optimizer rule: the one-shot basic-mode breadth form (k*overfetch
     // exact candidates broadcast-joined against the filtered base scan).
@@ -1905,6 +1940,13 @@ object AnnQueries {
            + CAST(c_custkey % 7 AS DOUBLE) * 3 + CAST(c_custkey % 13 AS DOUBLE) * 7) AS dist
          FROM customer ORDER BY dist, c_custkey LIMIT 100""",
     "q_bvec_hnsw_exact" ->
+      """SELECT e.vec_id AS vec_id,
+         CAST(list_aggregate(list_transform(list_zip(e.embedding, q.qv), p -> CASE WHEN (p[1] > 0) <> (p[2] > 0) THEN 1 ELSE 0 END), 'sum') AS DOUBLE) AS dist
+         FROM embeddings e CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+         ORDER BY dist, vec_id LIMIT 100""",
+    // declarative typed-hnsw dispatch in exact mode == the flat scan,
+    // so it shares q_bvec_hnsw_exact's brute-force Hamming oracle
+    "q_bvec_hnsw_pushdown" ->
       """SELECT e.vec_id AS vec_id,
          CAST(list_aggregate(list_transform(list_zip(e.embedding, q.qv), p -> CASE WHEN (p[1] > 0) <> (p[2] > 0) THEN 1 ELSE 0 END), 'sum') AS DOUBLE) AS dist
          FROM embeddings e CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q

@@ -1390,4 +1390,93 @@ class PushdownSpec extends SparkSpec {
       rm(new java.io.File(srcDir))
     }
   }
+
+  test("typed opclasses dispatch HNSW-kind registrations: bvec hamming/jaccard, f16 l2") {
+    import graft.operators.Hnsw
+    val src = s"$sf001/embeddings.parquet"
+    // shared 0/1-densified graph artifact (the bvector-on-hnsw AM shape)
+    AnnQueries.bvecHnsw(spark, sf001, 1)
+    val name = s"hnswbv_p1_${sf001.replaceAll("[^a-zA-Z0-9]", "_")}"
+    AnnPushdown.install(spark)
+    val prevReg = AnnPushdown.snapshot(src)
+    spark.conf.set("spark.graft.ann.enabled", "true")
+    spark.conf.set("spark.graft.hnsw.exact", "true")
+    try {
+      val q01 = q.map(x => if (x > 0f) 1f else 0f)
+      // hamming: rewrite fires and equals the operator's exact flat scan
+      AnnPushdown.register(src, AnnPushdown.IndexedTable(
+        name, "vec_id", "embedding", "bvec:hamming"))
+      val ham = spark.read.parquet(src)
+        .select(col("vec_id"),
+          graft.functions.bvecHamming(graft.functions.binarize(col("embedding")),
+            graft.functions.binarize(typedLit(q))).as("dist"))
+        .orderBy(col("dist"), col("vec_id")).limit(50)
+      assert(!ham.queryExecution.optimizedPlan.toString
+        .contains("embeddings.parquet"), "bvec:hamming hnsw dispatch missing")
+      val wantHam = Hnsw.searchIndexExact(spark,
+          graft.index.IndexCatalog.dataDir(spark, name), "vec_id", q01, 50)
+        .orderBy(col("dist"), col("vec_id"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(ham.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        == wantHam)
+      // jaccard override on the same shared graphs
+      AnnPushdown.restore(src, prevReg)
+      AnnPushdown.register(src, AnnPushdown.IndexedTable(
+        name, "vec_id", "embedding", "bvec:jaccard"))
+      val jac = spark.read.parquet(src)
+        .select(col("vec_id"),
+          graft.functions.bvecJaccard(graft.functions.binarize(col("embedding")),
+            graft.functions.binarize(typedLit(q))).as("dist"))
+        .orderBy(col("dist"), col("vec_id")).limit(50)
+      assert(!jac.queryExecution.optimizedPlan.toString
+        .contains("embeddings.parquet"), "bvec:jaccard hnsw dispatch missing")
+      val wantJac = Hnsw.searchIndexMetric(spark,
+          graft.index.IndexCatalog.dataDir(spark, name), "vec_id", q01, 50,
+          metric = "jaccard", exact = true)
+        .orderBy(col("dist"), col("vec_id"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(jac.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        == wantJac)
+      AnnPushdown.restore(src, prevReg)
+
+      // f16 l2 over a TEMP parquet whose vector is a real column (the
+      // registration path keys on relation attributes)
+      val f16src = java.nio.file.Files.createTempDirectory("graft_f16hnsw").toString
+      spark.read.parquet(src).limit(300)
+        .select(col("vec_id"),
+          graft.functions.f16ToVector(graft.functions.toF16Bits(col("embedding")))
+            .as("v16"))
+        .write.mode("overwrite").parquet(f16src)
+      val fname = "pushspec_f16_hnsw"
+      graft.index.IndexCatalog.drop(spark, fname)
+      Hnsw.ensure(spark, fname, spark.read.parquet(f16src), f16src,
+        "vec_id", "v16", "l2", parts = 1)
+      AnnPushdown.register(f16src, AnnPushdown.IndexedTable(
+        fname, "vec_id", "v16", "f16:l2"))
+      try {
+        val q16 = q.map(x =>
+          graft.types.Fp16.halfToFloat(graft.types.Fp16.floatToHalf(x)))
+        val f16 = spark.read.parquet(f16src)
+          .select(col("vec_id"),
+            graft.functions.f16L2sq(graft.functions.toF16Bits(col("v16")),
+              graft.functions.toF16Bits(typedLit(q))).as("dist"))
+          .orderBy(col("dist"), col("vec_id")).limit(50)
+        assert(!f16.queryExecution.optimizedPlan.toString
+          .contains(f16src.split('/').last), "f16:l2 hnsw dispatch missing")
+        val wantF16 = Hnsw.searchIndexExact(spark,
+            graft.index.IndexCatalog.dataDir(spark, fname), "vec_id", q16, 50)
+          .orderBy(col("dist"), col("vec_id"))
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        assert(f16.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+          == wantF16)
+      } finally {
+        AnnPushdown.unregister(f16src)
+        graft.index.IndexCatalog.drop(spark, fname)
+      }
+    } finally {
+      spark.conf.set("spark.graft.ann.enabled", "false")
+      spark.conf.unset("spark.graft.hnsw.exact")
+      AnnPushdown.restore(src, prevReg)
+    }
+  }
 }
