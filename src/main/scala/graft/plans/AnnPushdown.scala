@@ -718,9 +718,9 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * artifact kind. */
   private def expectedJoinKinds(metricKey: String): Set[String] =
     metricKey.split(':') match {
-      case Array("bvec", _) => Set("ivf_bvec")
+      case Array("bvec", _) => Set("ivf_bvec", "hnsw")
       case Array("svec", _) => Set("ivf_svec")
-      case Array("f16", _) => Set("ivf_f16")
+      case Array("f16", _) => Set("ivf_f16", "hnsw")
       case _ => Set("ivf", "hnsw", "hnsw_part", "ivf_part")
     }
 
@@ -887,11 +887,52 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
             val qNames = qSide.output.map(_.name)
             if (qNames.distinct.length != qNames.length) return None
             if (idx.idCol == "qid") return None
+            val dataDir = graft.index.IndexCatalog.dataDir(spark, idx.indexName)
+            if (manifest.kind == "hnsw") {
+              // typed opclass under the hnsw AM, table-valued (round 9):
+              // dispatch onto Hnsw.knnJoinMetric over the densified
+              // shared graphs — the query column densifies IN-PLAN the
+              // way the family's prune view does (bvec 0/1, f16
+              // rounded); hamming walks the build metric (l2sq on 0/1
+              // payloads IS hamming), the rest are distWith overrides.
+              // svec is NOT dispatchable (sparsified-view semantics,
+              // the scalar arm's rule); knnJoinMetric casts qid to
+              // long, so the graph branch's LongType guard applies.
+              if (family == "svec") return None
+              if (qidAttr.dataType !=
+                org.apache.spark.sql.types.LongType) return None
+              import org.apache.spark.sql.{functions => F}
+              val qdf0 = Shims.ofRows(spark, qSide)
+              val qdf = family match {
+                case "bvec" => qdf0.withColumn(qAttr.name,
+                  F.transform(Shims.column(qAttr),
+                    x => F.when(x > F.lit(0f), F.lit(1f)).otherwise(F.lit(0f))))
+                case "f16" => qdf0.withColumn(qAttr.name,
+                  graft.functions.f16ToVector(
+                    graft.functions.toF16Bits(Shims.column(qAttr))))
+                case _ => return None
+              }
+              val overrideMet = if (met == "hamming") "l2" else met
+              val out = graft.operators.Hnsw.knnJoinMetric(spark, dataDir,
+                idx.idCol, qdf, qidSrc.name, qAttr.name, k = kLimit,
+                metric = overrideMet,
+                efSearch = math.max(hnswEfSearch, kLimit),
+                exact = hnswExact, probeGraphs = hnswJoinProbe)
+              val newPlan = out.queryExecution.optimizedPlan
+              val byName = newPlan.output.map(x => x.name -> x).toMap
+              val outProj = projList2.map { e =>
+                if (distIds.contains(e.exprId))
+                  Alias(byName("dist"), e.name)(exprId = e.exprId)
+                else if (e eq idEntry)
+                  Alias(byName(idx.idCol), idEntry.name)(exprId = idEntry.exprId)
+                else Alias(byName("qid"), e.name)(exprId = e.exprId)
+              } :+ Alias(byName("rn"), rnAlias.name)(exprId = rnAlias.exprId)
+              return Some(Project(outProj, newPlan))
+            }
             val model = IvfIndex.Model(manifest.metric, manifest.centroids,
               manifest.floats.get("radii").orNull)
             val probes = math.min(math.max(nprobe, 1),
               math.max(model.nlist, 1))
-            val dataDir = graft.index.IndexCatalog.dataDir(spark, idx.indexName)
             val qdf = Shims.ofRows(spark, qSide)
             val out = graft.operators.KnnJoin.joinTyped(spark, qdf,
               qidSrc.name, qAttr.name, dataDir, model, idx.idCol, family,

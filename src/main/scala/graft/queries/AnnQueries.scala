@@ -949,6 +949,48 @@ object AnnQueries {
         AnnPushdown.restore(srcPath, prevReg)
       }
     }),
+    // typed-graph window-join spelling (round 9): the dual-wrapped
+    // bvector hamming window join against a bvec:hamming-registered
+    // HNSW manifest dispatches onto Hnsw.knnJoinMetric over the
+    // 0/1-densified shared graphs (query side densified in-plan;
+    // hamming walks the build metric). hnsw.exact flat-scans every
+    // graph, so the brute-force hamming window oracle applies — the
+    // same SQL as q_bvec_knn_join_exact.
+    "q_bvec_hnsw_knn_join_pushdown" -> ((s, d) => {
+      import graft.plans.AnnPushdown
+      import org.apache.spark.sql.expressions.Window
+      bvecHnsw(s, d, 1)
+      AnnPushdown.install(s)
+      val srcPath = s"$d/embeddings.parquet"
+      val prevReg = AnnPushdown.snapshot(srcPath)
+      AnnPushdown.register(srcPath, AnnPushdown.IndexedTable(
+        s"hnswbv_p1_${san(d)}", "vec_id", "embedding", "bvec:hamming"))
+      val prevEnabled = s.conf.get("spark.graft.ann.enabled", "false")
+      val prevExact = s.conf.get("spark.graft.hnsw.exact", "false")
+      s.conf.set("spark.graft.ann.enabled", "true")
+      s.conf.set("spark.graft.hnsw.exact", "true")
+      try {
+        val corpus = s.read.parquet(srcPath)
+        val queries = s.read.parquet(srcPath)
+          .filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val df = queries.crossJoin(corpus)
+          .select(queries("qid"), corpus("vec_id"),
+            bvecHamming(binarize(corpus("embedding")),
+              binarize(queries("qvec"))).as("dist"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("qid")).orderBy(col("dist"), col("vec_id"))))
+          .filter(col("rn") <= 10)
+        val optimized = df.queryExecution.optimizedPlan
+        require(optimized.toString.contains("MapPartitions"),
+          "typed-graph knn-join pushdown did not rewrite the window join")
+        org.apache.spark.sql.graftshim.Shims.ofRows(s, optimized)
+      } finally {
+        s.conf.set("spark.graft.ann.enabled", prevEnabled)
+        s.conf.set("spark.graft.hnsw.exact", prevExact)
+        AnnPushdown.restore(srcPath, prevReg)
+      }
+    }),
     "q_bvec_knn_join" -> ((s, d) => {
       val (m, path) = bvecAnn(s, d)
       KnnJoin.joinTyped(s, t(s, d, "embeddings").filter(col("vec_id") % 100 === 0),
@@ -2085,6 +2127,18 @@ object AnnQueries {
     // typed table joins, exact mode: the typed batch-exact oracle
     // shapes with table-derived query sides
     "q_bvec_knn_join_exact" ->
+      """SELECT qid, vec_id, dist, rn FROM (
+           SELECT q.vec_id AS qid, e.vec_id AS vec_id,
+             CAST(list_aggregate(list_transform(list_zip(e.embedding, q.embedding), p -> CASE WHEN (p[1] > 0) <> (p[2] > 0) THEN 1 ELSE 0 END), 'sum') AS DOUBLE) AS dist,
+             row_number() OVER (PARTITION BY q.vec_id ORDER BY
+               CAST(list_aggregate(list_transform(list_zip(e.embedding, q.embedding), p -> CASE WHEN (p[1] > 0) <> (p[2] > 0) THEN 1 ELSE 0 END), 'sum') AS DOUBLE),
+               e.vec_id) AS rn
+           FROM embeddings e CROSS JOIN
+             (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 100 = 0) q)
+         WHERE rn <= 10 ORDER BY qid, rn""",
+    // typed-graph window-join arm in exact mode == the flat-scan
+    // brute force over the same rows
+    "q_bvec_hnsw_knn_join_pushdown" ->
       """SELECT qid, vec_id, dist, rn FROM (
            SELECT q.vec_id AS qid, e.vec_id AS vec_id,
              CAST(list_aggregate(list_transform(list_zip(e.embedding, q.embedding), p -> CASE WHEN (p[1] > 0) <> (p[2] > 0) THEN 1 ELSE 0 END), 'sum') AS DOUBLE) AS dist,
