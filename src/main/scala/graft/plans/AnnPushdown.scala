@@ -1355,6 +1355,31 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       return None
     val manifest = graft.index.IndexCatalog.load(spark, idx.indexName)
       .getOrElse(return None)
+    if (manifest.kind == "hnsw") {
+      // typed sphere range under the hnsw AM (round 9): resident flat
+      // scan over the densified shared graphs — exact at any radius,
+      // no pruning stats needed (the dense HNSW range arm's shape).
+      // l2-FAMILY keys only: rangeFlat scores the build metric, and
+      // l2sq on the densified payloads IS the hamming / f16-l2 kernel
+      // value; dot/cos graph ranges would need override scoring inside
+      // rangeFlat, and svec stays excluded (sparsified-view semantics).
+      val qRaw = AnnPushdown.typedQueryFloats(qLit)
+      val qDens = metricKey match {
+        case "bvec:hamming" => qRaw.map(x => if (x > 0f) 1f else 0f)
+        case "f16:l2" => qRaw.map(x =>
+          graft.types.Fp16.halfToFloat(graft.types.Fp16.floatToHalf(x)))
+        case _ => return None
+      }
+      val df = graft.operators.Hnsw.rangeSearchFlat(spark,
+        graft.index.IndexCatalog.dataDir(spark, idx.indexName),
+        idx.idCol, qDens, r)
+      val newPlan = df.queryExecution.analyzed
+      val byName = newPlan.output.map(a => a.name -> a).toMap
+      return Some(Project(Seq(
+        Alias(byName(idx.idCol), idAttr.name)(exprId = idAttr.exprId),
+        Alias(byName("dist"), distAlias.name)(exprId = distAlias.exprId)),
+        newPlan))
+    }
     if (!manifest.floats.contains("radii")) return None
     val expectedKind = Map("bvec:hamming" -> "ivf_bvec",
       "f16:l2" -> "ivf_f16", "svec:l2" -> "ivf_svec",

@@ -578,6 +578,37 @@ object AnnQueries {
         AnnPushdown.restore(srcPath, prevReg)
       }
     }),
+    // typed sphere range under the hnsw AM (round 9): the same hamming
+    // range spelling against a bvec:hamming-registered HNSW manifest
+    // rewrites onto the resident flat scan of the 0/1-densified graphs
+    // — exact at ANY radius (range is not top-k; no twin), same oracle
+    // as the IVF form.
+    "q_range_pushdown_bvec_hnsw" -> ((s, d) => {
+      import graft.plans.AnnPushdown
+      bvecHnsw(s, d, 1)
+      AnnPushdown.install(s)
+      val srcPath = s"$d/embeddings.parquet"
+      val prevReg = AnnPushdown.snapshot(srcPath)
+      AnnPushdown.register(srcPath, AnnPushdown.IndexedTable(
+        s"hnswbv_p1_${san(d)}", "vec_id", "embedding", "bvec:hamming"))
+      val prevEnabled = s.conf.get("spark.graft.ann.enabled", "false")
+      s.conf.set("spark.graft.ann.enabled", "true")
+      try {
+        val df = s.read.parquet(srcPath)
+          .select(col("vec_id"),
+            bvecHamming(binarize(col("embedding")),
+              binarize(typedLit(qvec(s, d)))).as("dist"))
+          .filter(col("dist") < lit(27.0))
+        val optimized = df.queryExecution.optimizedPlan
+        require(!optimized.toString.contains("embeddings.parquet"),
+          "typed bvec hnsw range pushdown did not rewrite the plan")
+        org.apache.spark.sql.graftshim.Shims.ofRows(s, optimized)
+          .orderBy(col("dist"), col("vec_id"))
+      } finally {
+        s.conf.set("spark.graft.ann.enabled", prevEnabled)
+        AnnPushdown.restore(srcPath, prevReg)
+      }
+    }),
     // svector l2 sphere range: the CSR merge kernel over
     // svec_from_dense(embedding) equals the dense l2 chain exactly
     // (index-ordered merge, zero terms are exact identities) -> full
@@ -1909,6 +1940,13 @@ object AnnQueries {
            FROM embeddings e CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q)
          WHERE dist < 1.5 ORDER BY dist, vec_id""",
     "q_range_pushdown_bvec" ->
+      """SELECT vec_id, dist FROM (
+           SELECT e.vec_id AS vec_id,
+             CAST(list_aggregate(list_transform(list_zip(e.embedding, q.qv), p -> CASE WHEN (p[1] > 0) <> (p[2] > 0) THEN 1 ELSE 0 END), 'sum') AS DOUBLE) AS dist
+           FROM embeddings e CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q)
+         WHERE dist < 27 ORDER BY dist, vec_id""",
+    // exact flat-scan range over the densified graphs == the IVF form
+    "q_range_pushdown_bvec_hnsw" ->
       """SELECT vec_id, dist FROM (
            SELECT e.vec_id AS vec_id,
              CAST(list_aggregate(list_transform(list_zip(e.embedding, q.qv), p -> CASE WHEN (p[1] > 0) <> (p[2] > 0) THEN 1 ELSE 0 END), 'sum') AS DOUBLE) AS dist
