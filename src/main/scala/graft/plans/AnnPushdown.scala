@@ -719,7 +719,7 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
   private def expectedJoinKinds(metricKey: String): Set[String] =
     metricKey.split(':') match {
       case Array("bvec", _) => Set("ivf_bvec", "hnsw")
-      case Array("svec", _) => Set("ivf_svec")
+      case Array("svec", _) => Set("ivf_svec", "hnsw")
       case Array("f16", _) => Set("ivf_f16", "hnsw")
       case _ => Set("ivf", "hnsw", "hnsw_part", "ivf_part")
     }
@@ -895,10 +895,11 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
               // way the family's prune view does (bvec 0/1, f16
               // rounded); hamming walks the build metric (l2sq on 0/1
               // payloads IS hamming), the rest are distWith overrides.
-              // svec is NOT dispatchable (sparsified-view semantics,
-              // the scalar arm's rule); knnJoinMetric casts qid to
-              // long, so the graph branch's LongType guard applies.
-              if (family == "svec") return None
+              // svec l2/dot dispatch against RAW-vector graphs (the
+              // scalar arm's registration-invariant rule — the CSR
+              // kernels equal the dense chains exactly on raw
+              // vectors); knnJoinMetric casts qid to long, so the
+              // graph branch's LongType guard applies.
               if (qidAttr.dataType !=
                 org.apache.spark.sql.types.LongType) return None
               import org.apache.spark.sql.{functions => F}
@@ -910,6 +911,7 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
                 case "f16" => qdf0.withColumn(qAttr.name,
                   graft.functions.f16ToVector(
                     graft.functions.toF16Bits(Shims.column(qAttr))))
+                case "svec" if met == "l2" || met == "dot" => qdf0
                 case _ => return None
               }
               val overrideMet = if (met == "hamming") "l2" else met
@@ -1360,14 +1362,16 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       // scan over the densified shared graphs — exact at any radius,
       // no pruning stats needed (the dense HNSW range arm's shape).
       // l2-FAMILY keys only: rangeFlat scores the build metric, and
-      // l2sq on the densified payloads IS the hamming / f16-l2 kernel
-      // value; dot/cos graph ranges would need override scoring inside
-      // rangeFlat, and svec stays excluded (sparsified-view semantics).
+      // l2sq on the densified payloads IS the hamming / f16-l2 /
+      // svec-l2 kernel value (svec against RAW-vector graphs, the
+      // registration-invariant rule); dot/cos graph ranges would need
+      // override scoring inside rangeFlat.
       val qRaw = AnnPushdown.typedQueryFloats(qLit)
       val qDens = metricKey match {
         case "bvec:hamming" => qRaw.map(x => if (x > 0f) 1f else 0f)
         case "f16:l2" => qRaw.map(x =>
           graft.types.Fp16.halfToFloat(graft.types.Fp16.floatToHalf(x)))
+        case "svec:l2" => qRaw
         case _ => return None
       }
       val df = graft.operators.Hnsw.rangeSearchFlat(spark,
@@ -1611,10 +1615,14 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       // scoring the stored payloads directly. Queries densify exactly
       // like the typed-IVF prune views. Routed under the same auto
       // default; exact mode flat-scans (the typed exact twins'
-      // contract). svector graphs are deliberately NOT dispatchable:
-      // the shared artifacts store SPARSIFIED densified views (the
-      // ingest |x|>0.15 rule), which a source-table svec spelling over
-      // unsparsified vectors does not mean.
+      // contract). svec l2/dot dispatch too: the CSR merge kernels
+      // over svec_from_dense(col) equal the dense chains EXACTLY on
+      // raw vectors (zero terms are exact identities — the
+      // q_range_pushdown_svec oracle convention), so a registration
+      // against a RAW-vector graph artifact satisfies the
+      // registration invariant; artifacts storing SPARSIFIED views
+      // (the shared svecHnsw fixtures) must simply not be registered
+      // under svec keys, like any other artifact/spelling mismatch.
       case ("bvec", "hnsw") =>
         val q01 = q.map(x => if (x > 0f) 1f else 0f)
         metric match {
@@ -1639,6 +1647,18 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
           case "dot" | "cos" =>
             graft.operators.Hnsw.searchIndexMetric(spark, dataDir,
               idx.idCol, q16, k, metric, efSearch = hnswEfSearch,
+              exact = hnswExact, probeGraphs = hnswProbe)
+          case _ => return None
+        }
+      case ("svec", "hnsw") =>
+        metric match {
+          case "l2" =>
+            graft.operators.Hnsw.searchIndex(spark, dataDir, idx.idCol,
+              q, k, efSearch = hnswEfSearch, exact = hnswExact,
+              probeGraphs = hnswProbe)
+          case "dot" =>
+            graft.operators.Hnsw.searchIndexMetric(spark, dataDir,
+              idx.idCol, q, k, metric, efSearch = hnswEfSearch,
               exact = hnswExact, probeGraphs = hnswProbe)
           case _ => return None
         }

@@ -1479,4 +1479,48 @@ class PushdownSpec extends SparkSpec {
       AnnPushdown.restore(src, prevReg)
     }
   }
+
+  test("svec l2/dot spellings dispatch a RAW-vector HNSW registration") {
+    import graft.operators.Hnsw
+    val src = s"$sf001/embeddings.parquet"
+    // the DENSE l2 graph over raw embeddings: svec_l2sq(svec_from_dense(x), q)
+    // == l2sq(x, qdense) exactly (zero terms are exact identities), so a
+    // RAW-vector artifact satisfies the registration invariant for svec keys
+    AnnQueries.hnsw(spark, sf001, 1)
+    val name = s"hnsw_l2_p1_${sf001.replaceAll("[^a-zA-Z0-9]", "_")}"
+    AnnPushdown.install(spark)
+    val prevReg = AnnPushdown.snapshot(src)
+    spark.conf.set("spark.graft.ann.enabled", "true")
+    spark.conf.set("spark.graft.hnsw.exact", "true")
+    try {
+      AnnPushdown.register(src, AnnPushdown.IndexedTable(
+        name, "vec_id", "embedding", "svec:l2"))
+      val df = spark.read.parquet(src)
+        .select(col("vec_id"),
+          graft.functions.svecL2sq(graft.functions.svecFromDense(col("embedding")),
+            graft.functions.svecFromDense(typedLit(q))).as("dist"))
+        .orderBy(col("dist"), col("vec_id")).limit(50)
+      assert(!df.queryExecution.optimizedPlan.toString
+        .contains("embeddings.parquet"), "svec:l2 hnsw dispatch missing")
+      val want = Hnsw.searchIndexExact(spark,
+          graft.index.IndexCatalog.dataDir(spark, name), "vec_id", q, 50)
+        .orderBy(col("dist"), col("vec_id"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        == want)
+      // ... and the graph dist values equal the svec kernel's own
+      val brute = spark.read.parquet(src)
+        .select(col("vec_id"),
+          graft.functions.svecL2sq(graft.functions.svecFromDense(col("embedding")),
+            graft.functions.svecFromDense(typedLit(q))).as("dist"))
+        .orderBy(col("dist"), col("vec_id")).limit(50)
+      spark.conf.set("spark.graft.ann.enabled", "false")
+      val wantKernel = brute.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(want == wantKernel, "graph l2 must equal the svec CSR kernel")
+    } finally {
+      spark.conf.set("spark.graft.ann.enabled", "false")
+      spark.conf.unset("spark.graft.hnsw.exact")
+      AnnPushdown.restore(src, prevReg)
+    }
+  }
 }
