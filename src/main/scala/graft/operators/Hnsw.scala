@@ -1078,6 +1078,73 @@ object Hnsw {
       }
   }
 
+  /** Shared graph-file build for the CODED graph families (round 9):
+    * parts<=1 publishes one id-sorted graph; parts>1 runs the SPATIAL
+    * build — k-means assignment through the exact [[PidPartitioner]],
+    * one graph per cluster, id-sorted insertion, and a `routing.bin`
+    * sidecar (l2 centroid + nextUp-rounded covering radius per pid) —
+    * the dense [[buildFlatArtifact]] convention lifted so coded
+    * searches route too ([[Routing.align]]'s pid regex accepts any
+    * `*graph-` file prefix). `encode` turns each partition's snapshot
+    * into the family's on-disk form; rows must already be
+    * null/non-finite filtered; the build metric is l2 (every coded
+    * family's). Returns the published file count. */
+  private[graft] def buildGraphFiles(spark: org.apache.spark.sql.SparkSession,
+      rows0: org.apache.spark.sql.Dataset[(Long, Array[Float])],
+      parts: Int, dataDir: String, filePrefix: String, m: Int,
+      efConstruction: Int,
+      encode: GraphEncode): Int = {
+    import spark.implicits._
+    val dirPath = new org.apache.hadoop.fs.Path(dataDir)
+    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(dirPath)) fs.delete(dirPath, true)
+    fs.mkdirs(dirPath)
+    val hconf = confEntries(spark)
+    val df = rows0.toDF("id", "vec")
+    if (parts <= 1) {
+      val writer = new GraphFileWriter(dataDir, filePrefix, m,
+        efConstruction, hconf, null, encode)
+      df.as[(Long, Array[Float])].coalesce(1)
+        .mapPartitions(writer.run _).collect().length
+    } else {
+      val model = IvfIndex.train(df, "vec", "l2", parts)
+      val bcent = spark.sparkContext.broadcast(model.centroids)
+      val writer = new GraphFileWriter(dataDir, filePrefix, m,
+        efConstruction, hconf, bcent, encode)
+      val stats = df
+        .withColumn("cl", IvfIndex.nearestCentroid(col("vec"), model))
+        .select(col("cl"), col("id"), col("vec"))
+        .as[(Int, Long, Array[Float])]
+        .rdd.map { case (c, id, v) => (c, (id, v)) }
+        .partitionBy(new PidPartitioner(parts))
+        .map(_._2)
+        .mapPartitions(writer.run _)
+        .collect()
+      Routing.write(fs, dirPath, "l2",
+        stats.sortBy(_._1).map { case (pid, _, rad) =>
+          (pid, rad, bcent.value(pid)) }.toSeq,
+        if (model.centroids.nonEmpty) model.centroids(0).length else 0)
+      stats.length
+    }
+  }
+
+  /** Driver-side routed file selection for the coded searches: same
+    * sidecar + ranking as the dense scalar path; missing/partial
+    * routing or g <= 0 keeps every file. */
+  private[graft] def routeFiles(spark: org.apache.spark.sql.SparkSession,
+      path: String, files: Seq[String], q: Array[Float],
+      probeGraphs: Int): Seq[String] = {
+    val g = resolveProbe(probeGraphs, files.length)
+    if (g <= 0 || g >= files.length) return files
+    val dirPath = new org.apache.hadoop.fs.Path(path)
+    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Routing.read(fs, dirPath)
+      .flatMap { case (met, ents) =>
+        Routing.align(files, ents).map(
+          Routing.rankFiles(met, q, files, _, g))
+      }.getOrElse(files)
+  }
+
   /** DDL-option-spelling ensure (reference pgvector compatibility,
     * src/index/compatibility.rs:7-60): `m` / `ef_construction` reloption
     * names parsed by [[graft.index.IndexOptions.hnsw]] — both the
@@ -1585,5 +1652,60 @@ object Hnsw {
     hits.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .orderBy(col("qid"), col("rn"))
+  }
+}
+
+/** Serializable per-partition graph encoder for
+  * [[Hnsw.buildGraphFiles]] — a named trait instead of a Function2 so
+  * family implementations are explicit serializable objects/closures. */
+private[graft] trait GraphEncode extends Serializable {
+  def write(g: Hnsw.FlatGraph, out: java.io.DataOutputStream): Unit
+}
+
+/** Top-level serializable task for [[Hnsw.buildGraphFiles]]: a lambda
+  * or local def here would be lifted as an Hnsw$ instance method and
+  * capture the non-serializable singleton (measured — the closure
+  * cleaner cannot null indylambda captures). Fields are all
+  * serializable; `bcent` is null on the single/hash path. */
+private[graft] class GraphFileWriter(dataDir: String, filePrefix: String,
+    m: Int, efConstruction: Int, hconf: Seq[(String, String)],
+    bcent: org.apache.spark.broadcast.Broadcast[Array[Array[Float]]],
+    encode: GraphEncode) extends Serializable {
+  def run(it: Iterator[(Long, Array[Float])])
+      : Iterator[(Int, Long, Double)] = {
+    val rows = it.toArray.sortBy(_._1)
+    if (rows.isEmpty) Iterator.empty
+    else {
+      val g = new Hnsw.Graph("l2", m, efConstruction)
+      rows.foreach { case (id, v) => g.insert(id, v) }
+      val tc = org.apache.spark.TaskContext.get()
+      val pid = tc.partitionId()
+      val c = if (bcent == null) null else bcent.value(pid)
+      var rad = 0.0
+      if (c != null) {
+        var i = 0
+        while (i < rows.length) {
+          val d = math.sqrt(IvfIndex.Kernels.l2sq(rows(i)._2, c))
+          if (d > rad) rad = d
+          i += 1
+        }
+        rad = java.lang.Math.nextUp(java.lang.Math.nextUp(rad))
+      }
+      val attempt = tc.taskAttemptId()
+      val p = new org.apache.hadoop.fs.Path(
+        f"$dataDir/$filePrefix-$pid%05d.bin")
+      val tmp = new org.apache.hadoop.fs.Path(
+        f"$dataDir/.$filePrefix-$pid%05d-$attempt.tmp")
+      val pfs = p.getFileSystem(Hnsw.mkConf(hconf))
+      val out = new java.io.DataOutputStream(
+        new java.io.BufferedOutputStream(pfs.create(tmp, true), 1 << 20))
+      try encode.write(g.snapshot, out) finally out.close()
+      if (!pfs.rename(tmp, p)) {
+        if (!pfs.exists(p))
+          throw new java.io.IOException(s"failed to publish $p")
+        pfs.delete(tmp, false)
+      }
+      Iterator.single((pid, rows.length.toLong, rad))
+    }
   }
 }

@@ -61,7 +61,7 @@ object HnswPq {
       efConstruction: Int = 300): (Pq.Model, String) = {
     import graft.index.IndexCatalog
     val mf = IndexCatalog.ensure(spark, name, source,
-        requires = Map("format" -> "pqflatbin2", "m" -> m.toString,
+        requires = Map("format" -> "pqflatbin3", "m" -> m.toString,
           "ks" -> ks.toString, "hnsw_m" -> hm.toString,
           "ef_construction" -> efConstruction.toString,
           "parts" -> parts.toString)) { dataDir =>
@@ -71,45 +71,21 @@ object HnswPq {
       val model = Pq.train(nonNull, vecCol, m, ks)
       val rows0 = nonNull.select(col(idCol).cast("long"), col(vecCol))
         .as[(Long, Array[Float])]
-      val rows =
-        if (parts <= 1) rows0.coalesce(1).sortWithinPartitions(col(idCol))
-        else rows0.repartition(parts, col(idCol))
-      val dirPath = new org.apache.hadoop.fs.Path(dataDir)
-      val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(dirPath)) fs.delete(dirPath, true)
-      fs.mkdirs(dirPath)
-      val hconf = Hnsw.confEntries(spark)
+      // round 9: shared SPATIAL build + routing sidecar (pqflatbin3 —
+      // the format-bump invariant, build partitioning changed)
       val bModel = spark.sparkContext.broadcast(model)
-      val nFiles = rows.mapPartitions { it =>
-        val g = new Hnsw.Graph("l2", hm, efConstruction)
-        it.foreach { case (id, v) => g.insert(id, v) }
-        if (g.size == 0) Iterator.empty
-        else {
-          val tc = org.apache.spark.TaskContext.get()
-          val pid = tc.partitionId()
-          val attempt = tc.taskAttemptId()
-          val p = new org.apache.hadoop.fs.Path(f"$dataDir/pqgraph-$pid%05d.bin")
-          val tmp = new org.apache.hadoop.fs.Path(
-            f"$dataDir/.pqgraph-$pid%05d-$attempt.tmp")
-          val pfs = p.getFileSystem(Hnsw.mkConf(hconf))
-          val out = new java.io.DataOutputStream(
-            new java.io.BufferedOutputStream(pfs.create(tmp, true), 1 << 20))
-          try HnswSq.SqGraph.write(out, fromFlat(g.snapshot, bModel.value))
-          finally out.close()
-          if (!pfs.rename(tmp, p)) {
-            if (!pfs.exists(p))
-              throw new java.io.IOException(s"failed to publish $p")
-            pfs.delete(tmp, false)
-          }
-          Iterator.single(1)
-        }
-      }.collect().sum
+      val nFiles = Hnsw.buildGraphFiles(spark, rows0, parts, dataDir,
+        "pqgraph", hm, efConstruction, new GraphEncode {
+          def write(flat: Hnsw.FlatGraph, out: java.io.DataOutputStream): Unit =
+            HnswSq.SqGraph.write(out, fromFlat(flat, bModel.value))
+        })
       IndexCatalog.Manifest("hnsw_pq", source, "l2",
         Map("m" -> m.toString, "ks" -> ks.toString,
           "hnsw_m" -> hm.toString, "dims" -> model.dims.toString,
           "ef_construction" -> efConstruction.toString,
           "parts" -> parts.toString, "files" -> nFiles.toString,
-          "format" -> "pqflatbin2"),
+          "format" -> "pqflatbin3") ++
+          (if (parts > 1) Map("routing" -> "centroid1") else Map.empty),
         floats = Map("codebook" -> model.codebook))
     }
     val model = Pq.Model(mf.params("dims").toInt, mf.params("m").toInt,
@@ -123,7 +99,8 @@ object HnswPq {
   def searchIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       indexed: DataFrame, idCol: String, vecCol: String, q: Array[Float],
       k: Int, model: Pq.Model, efSearch: Int = 100,
-      window: Int = 8, exact: Boolean = false): DataFrame = {
+      window: Int = 8, exact: Boolean = false,
+      probeGraphs: Int = 0): DataFrame = {
     import spark.implicits._
     import graft.functions.l2sq
     val coarse =
@@ -131,10 +108,12 @@ object HnswPq {
       else {
         val dirPath = new org.apache.hadoop.fs.Path(path)
         val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val files = fs.globStatus(new org.apache.hadoop.fs.Path(path, "pqgraph-*.bin"))
+        val allFiles = fs.globStatus(new org.apache.hadoop.fs.Path(path, "pqgraph-*.bin"))
           .map(_.getPath.toString).sorted.toSeq
-        if (files.isEmpty)
+        if (allFiles.isEmpty)
           return spark.emptyDataset[(Long, Double)].toDF(idCol, "dist")
+        // routed coded search (round 9): sidecar l2 bounds on the raw query
+        val files = Hnsw.routeFiles(spark, path, allFiles, q, probeGraphs)
         // per-query ADC LUT (m×ks doubles), broadcast once for the batch
         // of graph tasks
         val lut = model.lut(q).map(_.toDouble)

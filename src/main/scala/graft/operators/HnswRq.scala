@@ -306,7 +306,7 @@ object HnswRq {
       : (Rabitq.Model, String) = {
     import graft.index.IndexCatalog
     val mf = IndexCatalog.ensure(spark, name, source,
-        requires = Map("format" -> "rqflatbin2", "m" -> m.toString,
+        requires = Map("format" -> "rqflatbin3", "m" -> m.toString,
           "ef_construction" -> efConstruction.toString,
           "parts" -> parts.toString)) { dataDir =>
       import spark.implicits._
@@ -315,43 +315,19 @@ object HnswRq {
       val model = Rabitq.train(nonNull, vecCol)
       val rows0 = nonNull.select(col(idCol).cast("long"), col(vecCol))
         .as[(Long, Array[Float])]
-      val rows =
-        if (parts <= 1) rows0.coalesce(1).sortWithinPartitions(col(idCol))
-        else rows0.repartition(parts, col(idCol))
-      val dirPath = new org.apache.hadoop.fs.Path(dataDir)
-      val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(dirPath)) fs.delete(dirPath, true)
-      fs.mkdirs(dirPath)
-      val hconf = Hnsw.confEntries(spark)
+      // round 9: shared SPATIAL build + routing sidecar (rqflatbin3 —
+      // the format-bump invariant, build partitioning changed)
       val bModel = spark.sparkContext.broadcast(model)
-      val nFiles = rows.mapPartitions { it =>
-        val g = new Hnsw.Graph("l2", m, efConstruction)
-        it.foreach { case (id, v) => g.insert(id, v) }
-        if (g.size == 0) Iterator.empty
-        else {
-          val tc = org.apache.spark.TaskContext.get()
-          val pid = tc.partitionId()
-          val attempt = tc.taskAttemptId()
-          val p = new org.apache.hadoop.fs.Path(f"$dataDir/rqgraph-$pid%05d.bin")
-          val tmp = new org.apache.hadoop.fs.Path(
-            f"$dataDir/.rqgraph-$pid%05d-$attempt.tmp")
-          val pfs = p.getFileSystem(Hnsw.mkConf(hconf))
-          val out = new java.io.DataOutputStream(
-            new java.io.BufferedOutputStream(pfs.create(tmp, true), 1 << 20))
-          try RqGraph.write(out, RqGraph.fromFlat(g.snapshot, bModel.value))
-          finally out.close()
-          if (!pfs.rename(tmp, p)) {
-            if (!pfs.exists(p))
-              throw new java.io.IOException(s"failed to publish $p")
-            pfs.delete(tmp, false)
-          }
-          Iterator.single(1)
-        }
-      }.collect().sum
+      val nFiles = Hnsw.buildGraphFiles(spark, rows0, parts, dataDir,
+        "rqgraph", m, efConstruction, new GraphEncode {
+          def write(flat: Hnsw.FlatGraph, out: java.io.DataOutputStream): Unit =
+            RqGraph.write(out, RqGraph.fromFlat(flat, bModel.value))
+        })
       IndexCatalog.Manifest("hnsw_rabitq", source, "l2",
         Map("m" -> m.toString, "ef_construction" -> efConstruction.toString,
           "parts" -> parts.toString, "files" -> nFiles.toString,
-          "dims" -> model.dims.toString, "format" -> "rqflatbin2"),
+          "dims" -> model.dims.toString, "format" -> "rqflatbin3") ++
+          (if (parts > 1) Map("routing" -> "centroid1") else Map.empty),
         floats = Map("centroid" -> model.centroid, "rot" -> model.rot))
     }
     val model = Rabitq.Model(mf.params("dims").toInt,
@@ -365,7 +341,8 @@ object HnswRq {
   def searchIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       indexed: DataFrame, idCol: String, vecCol: String, q: Array[Float],
       k: Int, model: Rabitq.Model, efSearch: Int = 100,
-      window: Int = 4, exact: Boolean = false): DataFrame = {
+      window: Int = 4, exact: Boolean = false,
+      probeGraphs: Int = 0): DataFrame = {
     import spark.implicits._
     import graft.functions.l2sq
     val coarse =
@@ -373,10 +350,14 @@ object HnswRq {
       else {
         val dirPath = new org.apache.hadoop.fs.Path(path)
         val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val files = fs.globStatus(new org.apache.hadoop.fs.Path(path, "rqgraph-*.bin"))
+        val allFiles = fs.globStatus(new org.apache.hadoop.fs.Path(path, "rqgraph-*.bin"))
           .map(_.getPath.toString).sorted.toSeq
-        if (files.isEmpty)
+        if (allFiles.isEmpty)
           return spark.emptyDataset[(Long, Double)].toDF(idCol, "dist")
+        // routed coded search (round 9): sidecar l2 bounds on the RAW
+        // query (the rotation is an isometry — raw-space ranking is the
+        // rotated-space ranking)
+        val files = Hnsw.routeFiles(spark, path, allFiles, q, probeGraphs)
         val rq = model.rotate(q)
         val qNorm = math.sqrt(rq.map(x => x * x).sum)
         val bRq = spark.sparkContext.broadcast(rq)

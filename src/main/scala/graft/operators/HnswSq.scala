@@ -270,7 +270,7 @@ object HnswSq {
       : (Array[Float], Array[Float], String) = {
     import graft.index.IndexCatalog
     val mf = IndexCatalog.ensure(spark, name, source,
-        requires = Map("format" -> "sqflatbin2", "m" -> m.toString,
+        requires = Map("format" -> "sqflatbin3", "m" -> m.toString,
           "ef_construction" -> efConstruction.toString,
           "parts" -> parts.toString)) { dataDir =>
       import spark.implicits._
@@ -279,45 +279,22 @@ object HnswSq {
       val (mins, widths) = Sq8.train(nonNull, vecCol)
       val rows0 = nonNull.select(col(idCol).cast("long"), col(vecCol))
         .as[(Long, Array[Float])]
-      val rows =
-        if (parts <= 1) rows0.coalesce(1).sortWithinPartitions(col(idCol))
-        else rows0.repartition(parts, col(idCol))
-      val dirPath = new org.apache.hadoop.fs.Path(dataDir)
-      val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(dirPath)) fs.delete(dirPath, true)
-      fs.mkdirs(dirPath)
-      val hconf = Hnsw.confEntries(spark)
+      // round 9: the shared SPATIAL build — k-means partitioning + a
+      // routing sidecar at parts>1, so coded searches route like the
+      // dense family (sqflatbin3: the build partitioning changed, the
+      // format-bump invariant)
       val bMins = spark.sparkContext.broadcast(mins)
       val bWidths = spark.sparkContext.broadcast(widths)
-      val nFiles = rows.mapPartitions { it =>
-        val g = new Hnsw.Graph("l2", m, efConstruction)
-        it.foreach { case (id, v) => g.insert(id, v) }
-        if (g.size == 0) Iterator.empty
-        else {
-          val tc = org.apache.spark.TaskContext.get()
-          val pid = tc.partitionId()
-          val attempt = tc.taskAttemptId()
-          val p = new org.apache.hadoop.fs.Path(f"$dataDir/sqgraph-$pid%05d.bin")
-          val tmp = new org.apache.hadoop.fs.Path(
-            f"$dataDir/.sqgraph-$pid%05d-$attempt.tmp")
-          val pfs = p.getFileSystem(Hnsw.mkConf(hconf))
-          val out = new java.io.DataOutputStream(
-            new java.io.BufferedOutputStream(pfs.create(tmp, true), 1 << 20))
-          try SqGraph.write(out,
-            SqGraph.fromFlat(g.snapshot, bMins.value, bWidths.value))
-          finally out.close()
-          if (!pfs.rename(tmp, p)) {
-            if (!pfs.exists(p))
-              throw new java.io.IOException(s"failed to publish $p")
-            pfs.delete(tmp, false)
-          }
-          Iterator.single(1)
-        }
-      }.collect().sum
+      val nFiles = Hnsw.buildGraphFiles(spark, rows0, parts, dataDir,
+        "sqgraph", m, efConstruction, new GraphEncode {
+          def write(flat: Hnsw.FlatGraph, out: java.io.DataOutputStream): Unit =
+            SqGraph.write(out, SqGraph.fromFlat(flat, bMins.value, bWidths.value))
+        })
       IndexCatalog.Manifest("hnsw_sq8", source, "l2",
         Map("m" -> m.toString, "ef_construction" -> efConstruction.toString,
           "parts" -> parts.toString, "files" -> nFiles.toString,
-          "bits" -> "8", "format" -> "sqflatbin2"),
+          "bits" -> "8", "format" -> "sqflatbin3") ++
+          (if (parts > 1) Map("routing" -> "centroid1") else Map.empty),
         floats = Map("mins" -> mins, "widths" -> widths))
     }
     (mf.floats("mins"), mf.floats("widths"), IndexCatalog.dataDir(spark, name))
@@ -332,7 +309,7 @@ object HnswSq {
   def searchIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       indexed: DataFrame, idCol: String, vecCol: String, q: Array[Float],
       k: Int, mins: Array[Float], widths: Array[Float], efSearch: Int = 100,
-      exact: Boolean = false): DataFrame = {
+      exact: Boolean = false, probeGraphs: Int = 0): DataFrame = {
     import spark.implicits._
     import graft.functions.l2sq
     val coarse =
@@ -340,10 +317,13 @@ object HnswSq {
       else {
         val dirPath = new org.apache.hadoop.fs.Path(path)
         val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val files = fs.globStatus(new org.apache.hadoop.fs.Path(path, "sqgraph-*.bin"))
+        val allFiles = fs.globStatus(new org.apache.hadoop.fs.Path(path, "sqgraph-*.bin"))
           .map(_.getPath.toString).sorted.toSeq
-        if (files.isEmpty)
+        if (allFiles.isEmpty)
           return spark.emptyDataset[(Long, Double)].toDF(idCol, "dist")
+        // routed coded search (round 9): rank graphs by the sidecar's
+        // l2 bounds; exact mode skips the graphs entirely
+        val files = Hnsw.routeFiles(spark, path, allFiles, q, probeGraphs)
         val bq = spark.sparkContext.broadcast(q)
         val bMins = spark.sparkContext.broadcast(mins)
         val bWidths = spark.sparkContext.broadcast(widths)

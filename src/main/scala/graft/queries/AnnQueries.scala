@@ -1296,9 +1296,11 @@ object AnnQueries {
     // exact rerank of the ef frontier re-fetched from the source
     "q_hnswsq8_topk_l2" -> ((s, d) => {
       val (mins, widths, path) = hnswsq(s, d, 4)
+      // ROUTED (round 9): top-2-of-4 spatially partitioned coded graphs
+      // by the sidecar's l2 bounds; recall in RECALL.json (hnsw_sq8)
       HnswSq.searchIndex(s, path, t(s, d, "embeddings"), "vec_id",
         "embedding", qvec(s, d), k = 100, mins, widths,
-        efSearch = efSearchConf(s))
+        efSearch = efSearchConf(s), probeGraphs = 2)
     }),
     // exact mode (Sq8 window<=0 contract): skip the graphs, score every
     // source row -> provably the flat top-k, carries the flat oracle
@@ -1314,7 +1316,8 @@ object AnnQueries {
       val (model, path) = hnswpq(s, d, 4)
       HnswPq.searchIndex(s, path, t(s, d, "embeddings"), "vec_id",
         "embedding", qvec(s, d), k = 100, model,
-        efSearch = efSearchConf(s), window = pqWindowConf(s))
+        efSearch = efSearchConf(s), window = pqWindowConf(s),
+        probeGraphs = 2)
     }),
     // exact mode: skip graphs, score every source row -> flat oracle
     "q_hnswpq_exact_l2" -> ((s, d) => {
@@ -1330,7 +1333,8 @@ object AnnQueries {
       HnswRq.searchIndex(s, path, t(s, d, "embeddings"), "vec_id",
         "embedding", qvec(s, d), k = 100, model,
         efSearch = efSearchConf(s),
-        window = s.conf.get("spark.graft.rabitq.rerankWindow", "4").toInt)
+        window = s.conf.get("spark.graft.rabitq.rerankWindow", "4").toInt,
+        probeGraphs = 2)
     }),
     // exact mode: skip graphs, score every source row -> flat oracle
     "q_hnswrq_exact_l2" -> ((s, d) => {

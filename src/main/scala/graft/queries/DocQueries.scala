@@ -550,9 +550,9 @@ object DocQueries {
            ('hnswf16_p1__root_testdata_sf0_01','hnsw','l2','ef_construction=300,files=1,format=flatbin2,m=12,parts=1',TRUE),
            ('hnswsv_p1__root_testdata_sf0_01','hnsw','l2','ef_construction=300,files=1,format=flatbin2,m=12,parts=1',TRUE),
            ('hnswsv_p4__root_testdata_sf0_01','hnsw','l2','ef_construction=300,files=4,format=flatbin2,m=12,parts=4,routing=centroid1',TRUE),
-           ('hnswpq_p4__root_testdata_sf0_01','hnsw_pq','l2','dims=64,ef_construction=300,files=4,format=pqflatbin2,hnsw_m=12,ks=16,m=8,parts=4',TRUE),
-           ('hnswrq_p4__root_testdata_sf0_01','hnsw_rabitq','l2','dims=64,ef_construction=300,files=4,format=rqflatbin2,m=12,parts=4',TRUE),
-           ('hnswsq8_p4__root_testdata_sf0_01','hnsw_sq8','l2','bits=8,ef_construction=300,files=4,format=sqflatbin2,m=12,parts=4',TRUE),
+           ('hnswpq_p4__root_testdata_sf0_01','hnsw_pq','l2','dims=64,ef_construction=300,files=4,format=pqflatbin3,hnsw_m=12,ks=16,m=8,parts=4,routing=centroid1',TRUE),
+           ('hnswrq_p4__root_testdata_sf0_01','hnsw_rabitq','l2','dims=64,ef_construction=300,files=4,format=rqflatbin3,m=12,parts=4,routing=centroid1',TRUE),
+           ('hnswsq8_p4__root_testdata_sf0_01','hnsw_sq8','l2','bits=8,ef_construction=300,files=4,format=sqflatbin3,m=12,parts=4,routing=centroid1',TRUE),
            ('hnsw_l2_p4__root_testdata_sf0_01','hnsw','l2','ef_construction=300,files=4,format=flatbin2,m=12,parts=4,routing=centroid1',TRUE),
            ('ivf_cos__root_testdata_sf0_01','ivf','cos','nlist=16',TRUE),
            ('ivf_l2_part7__root_testdata_sf0_01','ivf','l2','nlist=8',TRUE),

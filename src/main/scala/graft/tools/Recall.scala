@@ -312,8 +312,11 @@ object Recall {
       "the new pushdown DEFAULT probeGraphs=auto (ceil(sqrt(G)) floor " +
       "2, here 2-of-4); svec_hnsw_knn_join is the ROUTED typed-graph " +
       "join (dot override ranked through the TypedAnn metric map on " +
-      "the l2 sidecar) - both spatial-pruning families, clustered is " +
-      "their informative fixture."
+      "the l2 sidecar); hnsw_sq8/hnsw_pq/hnsw_rabitq measure the " +
+      "round-9 ROUTED coded searches (spatial coded builds + sidecar, " +
+      "top-2-of-4 before the exact rerank) - all spatial-pruning " +
+      "families whose informative fixture is clustered; on random " +
+      "data they sit at the probed-fraction-plus-rerank floor (~0.81)."
     val json =
       s"""{"sf":"$clDir","fixture":"clustered-mog-8","source_sf":"$sfDir",""" +
         s""""defaults":{"nprobe":10,"ef_search":100},"note":"$note",""" +
