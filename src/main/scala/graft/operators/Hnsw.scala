@@ -42,6 +42,22 @@ object Hnsw {
     if (probeGraphs == AutoProbe) autoProbeGraphs(nFiles) else probeGraphs
 
 
+  /** Hash key over exact float content — two orphan components whose
+    * representatives are exact duplicates share one bridge scan
+    * ([[Graph]] repair memoization). */
+  private final class VKey(val v: Array[Float]) {
+    override val hashCode: Int = java.util.Arrays.hashCode(v)
+    override def equals(o: Any): Boolean = o match {
+      case k: VKey => java.util.Arrays.equals(v, k.v)
+      case _ => false
+    }
+  }
+  private final class BridgeBest {
+    var d: Double = Double.MaxValue
+    var idx: Int = -1
+    var upTo: Int = 0
+  }
+
   final class Graph(val metric: String, m: Int = 12, efConstruction: Int = 300,
       seed: Long = 42L) extends Serializable {
     private val mMax0 = 2 * m
@@ -182,21 +198,6 @@ object Hnsw {
         s += 1
       }
       best
-    }
-
-    /** Hash key over exact float content — two orphan components whose
-      * representatives are exact duplicates share one bridge scan. */
-    private final class VKey(val v: Array[Float]) {
-      override val hashCode: Int = java.util.Arrays.hashCode(v)
-      override def equals(o: Any): Boolean = o match {
-        case k: VKey => java.util.Arrays.equals(v, k.v)
-        case _ => false
-      }
-    }
-    private final class BridgeBest {
-      var d: Double = Double.MaxValue
-      var idx: Int = -1
-      var upTo: Int = 0
     }
 
     /** Bridges added by the last repair pass — spec observability. */
