@@ -1134,15 +1134,21 @@ object Hnsw {
     * routing or g <= 0 keeps every file. */
   private[graft] def routeFiles(spark: org.apache.spark.sql.SparkSession,
       path: String, files: Seq[String], q: Array[Float],
-      probeGraphs: Int): Seq[String] = {
+      probeGraphs: Int,
+      overrideMetric: Option[String] = None): Seq[String] = {
     val g = resolveProbe(probeGraphs, files.length)
     if (g <= 0 || g >= files.length) return files
     val dirPath = new org.apache.hadoop.fs.Path(path)
     val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     Routing.read(fs, dirPath)
       .flatMap { case (met, ents) =>
-        Routing.align(files, ents).map(
-          Routing.rankFiles(met, q, files, _, g))
+        Routing.align(files, ents).map { aligned =>
+          overrideMetric match {
+            case Some(om) =>
+              Routing.rankFilesOverride(om, q, files, aligned, g)
+            case None => Routing.rankFiles(met, q, files, aligned, g)
+          }
+        }
       }.getOrElse(files)
   }
 
@@ -1179,14 +1185,9 @@ object Hnsw {
     // search only the top-g — per-query cost stops growing with graph
     // count, the searchIndex form of the routed joins. Exact mode never
     // routes (the flat-scan union must stay the provable brute force).
-    val g = resolveProbe(probeGraphs, allFiles.length)
     val files =
-      if (exact || g <= 0 || g >= allFiles.length) allFiles
-      else Routing.read(fs, dirPath)
-        .flatMap { case (met, ents) =>
-          Routing.align(allFiles, ents).map(
-            Routing.rankFiles(met, q, allFiles, _, g))
-        }.getOrElse(allFiles)
+      if (exact) allFiles
+      else routeFiles(spark, path, allFiles, q, probeGraphs)
     searchFiles(spark, files, idCol, q, k, efSearch, exact)
   }
 
@@ -1289,14 +1290,10 @@ object Hnsw {
     // routed typed scalar search (round 9): the same sidecar routes
     // override-metric searches through the TypedAnn.rankLists metric
     // map; exact mode never routes (flat-scan union = the oracle mode)
-    val g = resolveProbe(probeGraphs, allFiles.length)
     val files =
-      if (exact || g <= 0 || g >= allFiles.length) allFiles
-      else Routing.read(fs, dirPath)
-        .flatMap { case (_, ents) =>
-          Routing.align(allFiles, ents).map(
-            Routing.rankFilesOverride(metric, q, allFiles, _, g))
-        }.getOrElse(allFiles)
+      if (exact) allFiles
+      else routeFiles(spark, path, allFiles, q, probeGraphs,
+        overrideMetric = Some(metric))
     val bq = spark.sparkContext.broadcast(q)
     val hconf = confEntries(spark)
     val hits = spark.sparkContext
