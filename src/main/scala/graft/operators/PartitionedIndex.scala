@@ -282,9 +282,15 @@ object PartitionedIndex {
     * shape — a derived key materializes a DynamicPruningSubquery on an
     * expression that breaks re-analysis of the spliced subtree. */
   private def ivfScan(spark: SparkSession, subs: Seq[(String, Int)],
-      idCol: String, vecCol: String): DataFrame =
+      idCol: String, vecCol: String,
+      corpusFilter: Option[org.apache.spark.sql.Column] = None): DataFrame =
     subs.zipWithIndex.map { case ((dir, _), i) =>
-      spark.read.parquet(dir).select(
+      // FILTERED joins (round 9): sub-artifacts store the partition's
+      // full source rows (the dense-IVF property), so a non-partition
+      // corpus predicate applies per sub BEFORE the union and Catalyst
+      // pushes it into each parquet scan
+      val base = spark.read.parquet(dir)
+      corpusFilter.fold(base)(base.filter).select(
         lit(i).as("__graft_sub"), col("list_id"), col(idCol), col(vecCol))
     }.reduce(_ unionByName _)
 
@@ -323,7 +329,9 @@ object PartitionedIndex {
   def knnJoinIvf(spark: SparkSession, name: String, source: String,
       partCol: String, idCol: String, vecCol: String, queries: DataFrame,
       qidCol: String, qvecCol: String, k: Int, nprobe: Int,
-      values: Option[Seq[String]] = None): DataFrame = {
+      values: Option[Seq[String]] = None,
+      corpusFilter: Option[org.apache.spark.sql.Column] = None)
+      : DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val (subs, combined) = gatherIvf(spark, name, source, partCol, values)
     val probesTotal = math.min(
@@ -348,7 +356,7 @@ object PartitionedIndex {
       case "cos" => graft.functions.negdot(col(vecCol), col("qv")) + lit(1.0)
     }
     val w = Window.partitionBy(col("qid")).orderBy(col("dist"), col(idCol))
-    ivfScan(spark, subs, idCol, vecCol)
+    ivfScan(spark, subs, idCol, vecCol, corpusFilter)
       .join(probed, Seq("__graft_sub", "list_id"))
       .select(col("qid"), col(idCol), distCol.as("dist"))
       .withColumn("rn", row_number().over(w))
@@ -365,7 +373,9 @@ object PartitionedIndex {
   def rangeJoinIvf(spark: SparkSession, name: String, source: String,
       partCol: String, idCol: String, vecCol: String, queries: DataFrame,
       qidCol: String, qvecCol: String, r: Double, strict: Boolean = false,
-      values: Option[Seq[String]] = None): DataFrame = {
+      values: Option[Seq[String]] = None,
+      corpusFilter: Option[org.apache.spark.sql.Column] = None)
+      : DataFrame = {
     val (subs, combined) = gatherIvf(spark, name, source, partCol, values)
     val qv0 = queries
       .filter(col(qvecCol).isNotNull &&
@@ -383,7 +393,7 @@ object PartitionedIndex {
       case "dot" => graft.functions.negdot(col(vecCol), col("qv"))
       case "cos" => graft.functions.negdot(col(vecCol), col("qv")) + lit(1.0)
     }
-    ivfScan(spark, subs, idCol, vecCol)
+    ivfScan(spark, subs, idCol, vecCol, corpusFilter)
       .join(probed, Seq("__graft_sub", "list_id"))
       .select(col("qid"), col(idCol), distCol.as("dist"))
       .filter(if (strict) col("dist") < r else col("dist") <= r)

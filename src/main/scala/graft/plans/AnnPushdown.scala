@@ -460,8 +460,8 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
             // partitionChoice. strict=true replays the spelling's `<`.
             val distAlias = distAliasOpt.getOrElse(return None)
             val idAttr = idAttrOpt.getOrElse(return None)
-            val (partCol, chosen) =
-              partitionChoice(idx.indexName, manifest, extras)
+            val (partCol, chosen, corpusFilter) =
+              ivfPartChoice(idx.indexName, manifest, extras, idx.vecCol)
                 .getOrElse(return None)
             val qidAttr = projList.collectFirst {
               case at: AttributeReference
@@ -476,7 +476,7 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
             val out = graft.operators.PartitionedIndex.rangeJoinIvf(spark,
               idx.indexName, manifest.source, partCol, idx.idCol,
               idx.vecCol, qdf, qidAttr.name, qAttr.name, r, strict = true,
-              values = Some(chosen))
+              values = Some(chosen), corpusFilter = corpusFilter)
             val newPlan = stripDpp(out.queryExecution.optimizedPlan)
             val byName = newPlan.output.map(x => x.name -> x).toMap
             val outProj = projList.map {
@@ -960,8 +960,8 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
             // joinTyped convention). Corpus extras must be
             // partition-column literal constraints; drift and dropped
             // sub-indexes bail via partitionChoice.
-            val (partCol, chosen) =
-              partitionChoice(idx.indexName, manifest, extras)
+            val (partCol, chosen, corpusFilter) =
+              ivfPartChoice(idx.indexName, manifest, extras, idx.vecCol)
                 .getOrElse(return None)
             val qidAttr = w.partitionSpec match {
               case Seq(at: AttributeReference) => at
@@ -979,7 +979,8 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
             val out = graft.operators.PartitionedIndex.knnJoinIvf(spark,
               idx.indexName, manifest.source, partCol, idx.idCol,
               idx.vecCol, qdf, qidSrc.name, qAttr.name, k = kLimit,
-              nprobe = math.max(nprobe, 1), values = Some(chosen))
+              nprobe = math.max(nprobe, 1), values = Some(chosen),
+              corpusFilter = corpusFilter)
             val newPlan = stripDpp(out.queryExecution.optimizedPlan)
             val byName = newPlan.output.map(x => x.name -> x).toMap
             val outProj = projList2.map { e =>
@@ -1291,6 +1292,54 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     plan.transformAllExpressions {
       case _: DynamicPruningSubquery => Literal.TrueLiteral
     }
+
+  /** ivf_part extras split (round 9, FILTERED parent joins): partition-
+    * column literal constraints feed [[partitionChoice]] (index-level
+    * pruning); the REST remap by NAME onto the sub-artifact scans —
+    * ivf_part sub-artifacts store the partition's full source rows (the
+    * dense-IVF property), so a non-partition corpus predicate pushes
+    * into each sub scan like the dense FILTERED join. Bails when a
+    * leftover conjunct references the partition column in a non-literal
+    * shape (the artifact rows don't carry it — it lives in the dir
+    * name), touches the vector column (the dense arm's cos
+    * normalize-at-build rule), or names a column absent from the
+    * sub-artifact schema (checked against one sub's parquet footer —
+    * metadata-only, no job). */
+  private def ivfPartChoice(name: String,
+      manifest: graft.index.IndexCatalog.Manifest,
+      extras: Seq[Expression], vecCol: String)
+      : Option[(String, Seq[String],
+        Option[org.apache.spark.sql.Column])] = {
+    val (partCol0, _) = partParams(manifest).getOrElse(return None)
+    val isPartConj: Expression => Boolean = {
+      case EqualTo(a: AttributeReference, _: Literal) => a.name == partCol0
+      case EqualTo(_: Literal, a: AttributeReference) => a.name == partCol0
+      case In(a: AttributeReference, vs) =>
+        a.name == partCol0 && vs.forall(_.isInstanceOf[Literal])
+      case _ => false
+    }
+    val (partConj, rest) = extras.partition(isPartConj)
+    if (rest.exists(_.references.exists(r =>
+        r.name == partCol0 || r.name == vecCol))) return None
+    val (pc, chosen) =
+      partitionChoice(name, manifest, partConj).getOrElse(return None)
+    val filterOpt =
+      if (rest.isEmpty) None
+      else {
+        val schema = spark.read.parquet(graft.index.IndexCatalog.dataDir(
+          spark, graft.operators.PartitionedIndex.subName(name, chosen.head)))
+          .schema.fieldNames.toSet
+        if (!rest.forall(_.references.forall(r => schema.contains(r.name))))
+          return None
+        val unresolved = rest.map(_.transform {
+          case a: AttributeReference =>
+            org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(a.name)
+        })
+        Some(org.apache.spark.sql.graftshim.Shims.column(
+          unresolved.reduce(And)))
+      }
+    Some((pc, chosen, filterOpt))
+  }
 
   /** Dropped-sub-index staleness guard: a parent dispatch whose chosen
     * sub-index manifest was dropped (parent manifest + layout intact)

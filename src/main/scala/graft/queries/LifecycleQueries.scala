@@ -563,6 +563,48 @@ object LifecycleQueries {
         AnnPushdown.restore(srcDir, prevReg)
       }
     }),
+    // --- FILTERED IVF parent window-join arm (round 9): the corpus
+    //     predicate mixes a partition conjunct (absorbed by sub-index
+    //     pruning) with a NON-partition conjunct (remapped onto the
+    //     sub-artifact scans — full source rows, the dense-IVF
+    //     property). nprobe=nlist -> exact -> the brute-force window
+    //     oracle with both conjuncts replayed.
+    "q_partitioned_ivf_filtered_join_pushdown" -> ((s, d) => {
+      import graft.plans.AnnPushdown
+      import org.apache.spark.sql.expressions.Window
+      val (srcDir, _) = partFixture(s, d)
+      val name = s"partivf_${san(d)}"
+      PartitionedIndex.ensureIvf(s, name, srcDir, "category",
+        "embedding", "l2", nlist = 4)
+      AnnPushdown.install(s)
+      val prevReg = AnnPushdown.snapshot(srcDir)
+      AnnPushdown.register(srcDir,
+        AnnPushdown.IndexedTable(name, "vec_id", "embedding"))
+      val prevEnabled = s.conf.get("spark.graft.ann.enabled", "false")
+      val prevNp = s.conf.get("spark.graft.ann.nprobe", "10")
+      s.conf.set("spark.graft.ann.enabled", "true")
+      s.conf.set("spark.graft.ann.nprobe", "4")
+      try {
+        val corpus = s.read.parquet(srcDir)
+          .filter(col("vec_id") % 2 === 0 && col("category").isin(1, 2))
+        val queries = partQueries(s, d)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val df = queries.crossJoin(corpus)
+          .select(queries("qid"), corpus("vec_id"),
+            l2sq(corpus("embedding"), queries("qvec")).as("dist"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("qid")).orderBy(col("dist"), col("vec_id"))))
+          .filter(col("rn") <= 5)
+        val optimized = df.queryExecution.optimizedPlan
+        require(optimized.toString.contains("list_id"),
+          "filtered partitioned IVF knn-join pushdown did not rewrite")
+        org.apache.spark.sql.graftshim.Shims.ofRows(s, optimized)
+      } finally {
+        s.conf.set("spark.graft.ann.enabled", prevEnabled)
+        s.conf.set("spark.graft.ann.nprobe", prevNp)
+        AnnPushdown.restore(srcDir, prevReg)
+      }
+    }),
     // --- the IVF parent RANGE-join arm: per-row rangeLists over the
     //     combined per-list radii — sound bounds, exact at ANY radius
     //     (nprobe never enters), full oracle with the partition
@@ -985,6 +1027,20 @@ object LifecycleQueries {
                 ORDER BY $jL2, a.vec_id) AS rn
             FROM (SELECT vec_id, embedding FROM embeddings
                   WHERE vec_id < 300 AND vec_id % 3 IN (1, 2)) a
+            CROSS JOIN (SELECT vec_id, embedding FROM embeddings
+                        WHERE vec_id < 300 AND vec_id % 10 = 0) q)
+          WHERE rn <= 5 ORDER BY qid, rn""",
+
+    // filtered IVF parent window-join at nprobe=nlist: brute-force
+    // window replay with BOTH conjuncts folded in
+    "q_partitioned_ivf_filtered_join_pushdown" ->
+      s"""SELECT qid, vec_id, dist, rn FROM (
+            SELECT q.vec_id AS qid, a.vec_id AS vec_id, $jL2 AS dist,
+              row_number() OVER (PARTITION BY q.vec_id
+                ORDER BY $jL2, a.vec_id) AS rn
+            FROM (SELECT vec_id, embedding FROM embeddings
+                  WHERE vec_id < 300 AND vec_id % 3 IN (1, 2)
+                    AND vec_id % 2 = 0) a
             CROSS JOIN (SELECT vec_id, embedding FROM embeddings
                         WHERE vec_id < 300 AND vec_id % 10 = 0) q)
           WHERE rn <= 5 ORDER BY qid, rn""",

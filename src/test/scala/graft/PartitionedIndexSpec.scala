@@ -435,6 +435,32 @@ class PartitionedIndexSpec extends SparkSpec {
         .contains("list_id"), "ivf_part range-join arm must dispatch")
       assert(rangePlan().collect().map(r =>
           (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet == bruteRange)
+
+      // FILTERED parent join (round 9): a NON-partition corpus
+      // predicate remaps onto the sub-artifact scans (full source
+      // rows) while partition conjuncts still prune sub-indexes
+      def filteredPlan(pred: org.apache.spark.sql.Column) = {
+        val corpus = spark.read.parquet(srcDir).filter(pred)
+        val qs = queries.select(col("vec_id").as("qid"),
+          col("embedding").as("qvec"))
+        qs.crossJoin(corpus)
+          .select(qs("qid"), corpus("vec_id"),
+            graft.functions.l2sq(corpus("embedding"), qs("qvec")).as("dist"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("qid")).orderBy(col("dist"), col("vec_id"))))
+          .filter(col("rn") <= 5)
+      }
+      val fp = filteredPlan(col("vec_id") % 2 === 0 && col("category").isin(1, 2))
+      assert(fp.queryExecution.optimizedPlan.toString.contains("list_id"),
+        "filtered ivf_part window-join arm must dispatch")
+      assert(fp.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet ==
+        bruteJoin(col("vec_id") % 2 === 0 &&
+          (col("category") === 1 || col("category") === 2), 5))
+      // a predicate on the VECTOR column bails (the dense arm's rule)
+      assert(!filteredPlan(graft.functions.vectorNorm(col("embedding")) > 0.1)
+        .queryExecution.optimizedPlan.toString.contains("list_id"),
+        "vector-column corpus predicate must bail")
     } finally {
       spark.conf.set("spark.graft.ann.enabled", "false")
       spark.conf.unset("spark.graft.ann.nprobe")
