@@ -23,7 +23,12 @@ object Hnsw {
     * artifact's own graph count ([[autoProbeGraphs]]) whenever a
     * complete routing sidecar exists — the DEFAULT of the declarative
     * pushdown arms (round 9). 0 stays "walk every graph"; exact mode
-    * never routes regardless. */
+    * never routes regardless. Round 10: AUTO is additionally
+    * SEPARABILITY-GUARDED ([[Routing.autoResolve]]) — when the sidecar's
+    * own geometry says the spatial partitioning did not separate
+    * (near-uniform corpora), auto falls back to all-graphs instead of
+    * silently serving ~g/G recall. Explicit probeGraphs > 0 is an
+    * informed override and never falls back. */
   val AutoProbe: Int = -1
 
   /** The auto routing policy: ⌈√G⌉ graphs with a floor of 2 — sublinear
@@ -40,6 +45,13 @@ object Hnsw {
 
   private[graft] def resolveProbe(probeGraphs: Int, nFiles: Int): Int =
     if (probeGraphs == AutoProbe) autoProbeGraphs(nFiles) else probeGraphs
+
+  /** Routing-sidecar manifest generation (staleness key for parts>1
+    * graph builds): centroid2 = centroid1's sidecar layout plus the
+    * `routable` separability flag in the manifest params (round 10) —
+    * pre-flag artifacts rebuild once so q_index_stat surfaces
+    * routability for every spatial artifact. */
+  private[graft] val RoutingGen = "centroid2"
 
 
   /** Hash key over exact float content — two orphan components whose
@@ -863,6 +875,66 @@ object Hnsw {
         .take(g).sorted.map(files)
     }
 
+    /** Routability guard threshold for [[separability]] — calibrated on
+      * the two recall fixtures (tools/routing_stat.py over the committed
+      * artifacts): clustered mixture-of-Gaussians measures 0.72–0.80,
+      * the near-random driver fixture 2.1–3.1, so 1.5 splits them with
+      * wide margin on both sides. */
+    val SepThreshold: Double = 1.5
+
+    /** Separability of the spatial partitioning: mean covering radius
+      * over mean nearest-other-centroid L2 distance. When k-means did
+      * not separate the corpus (near-uniform data), every cluster's
+      * covering ball spans most of the corpus while centroids crowd
+      * together — the ratio blows past 1 and routing to the top-g balls
+      * prunes rows that ARE in the true top-k (measured 0.663 recall at
+      * the unguarded round-9 auto default on the random fixture). The
+      * statistic is pure sidecar geometry (L2 space for every build —
+      * cos rows normalize at build), so the guard costs one G² driver-
+      * side pass over metadata and needs no artifact format change.
+      * Reference analog: the cost-model use-it-or-don't gate
+      * (src/index/am.rs:105-133) — the engine decides when the routed
+      * path is sound, not the user. */
+    def separability(aligned: Array[(Double, Array[Float])]): Double = {
+      val n = aligned.length
+      if (n <= 1) return 0.0
+      var sumRad = 0.0
+      var sumNear = 0.0
+      var i = 0
+      while (i < n) {
+        sumRad += aligned(i)._1
+        var best = Double.MaxValue
+        var j = 0
+        while (j < n) {
+          if (j != i) {
+            val d = math.sqrt(IvfIndex.Kernels.l2sq(aligned(i)._2, aligned(j)._2))
+            if (d < best) best = d
+          }
+          j += 1
+        }
+        sumNear += best
+        i += 1
+      }
+      if (sumNear <= 0.0) Double.PositiveInfinity else sumRad / sumNear
+    }
+
+    /** Did the spatial partitioning separate well enough for top-g
+      * routing to be quality-safe? AUTO-mode resolution falls back to
+      * all-graphs when false; explicit probeGraphs > 0 is the user's
+      * informed override and never consults this. */
+    def separable(aligned: Array[(Double, Array[Float])]): Boolean =
+      separability(aligned) <= SepThreshold
+
+    /** Resolve an [[AutoProbe]] request against the artifact's own
+      * sidecar: not separable → 0 (unrouted — the default path must
+      * never silently trade recall on corpora the partitioning couldn't
+      * split); separable → ⌈√G⌉ floor 2. Explicit values pass through
+      * unchanged. */
+    def autoResolve(probeGraphs: Int, nFiles: Int,
+        aligned: Array[(Double, Array[Float])]): Int =
+      if (probeGraphs == AutoProbe && !separable(aligned)) 0
+      else resolveProbe(probeGraphs, nFiles)
+
     /** Pair each sorted graph-file path with its routing entry by the
       * pid encoded in the file name; None unless EVERY file has one (a
       * partial sidecar routes nothing — fail safe to all-graphs). */
@@ -939,11 +1011,12 @@ object Hnsw {
     // or different (m, efConstruction, parts) rebuilds instead of
     // silently serving the stale artifact. parts>1 artifacts additionally
     // require the spatial-partitioning + routing-sidecar generation
-    // (routing=centroid1, round 8) — pre-routing artifacts rebuild.
+    // (routing=centroid2 since round 10 — the separability flag joined
+    // the manifest) — pre-routing artifacts rebuild.
     val reqs = Map("format" -> "flatbin2", "m" -> m.toString,
       "ef_construction" -> efConstruction.toString,
       "parts" -> parts.toString) ++
-      (if (parts > 1) Map("routing" -> "centroid1") else Map.empty)
+      (if (parts > 1) Map("routing" -> RoutingGen) else Map.empty)
     IndexCatalog.ensure(spark, name, source, requires = reqs)(
       buildFlatArtifact(spark, df, source, idCol, vecCol, metric, parts,
         m, efConstruction))
@@ -1069,13 +1142,16 @@ object Hnsw {
           .map(_._2)
           .mapPartitions(writeGraphTask(_, pid => bcent.value(pid)))
           .collect()
-        Routing.write(fs, dirPath, metric,
-          stats.sortBy(_._1).map { case (pid, _, rad) =>
-            (pid, rad, bcent.value(pid)) }.toSeq,
+        val ents = stats.sortBy(_._1).map { case (pid, _, rad) =>
+          (pid, rad, bcent.value(pid)) }.toSeq
+        Routing.write(fs, dirPath, metric, ents,
           if (model.centroids.nonEmpty) model.centroids(0).length else 0)
+        val routable =
+          if (Routing.separable(ents.map(e => (e._2, e._3)).toArray)) "yes"
+          else "no"
         IndexCatalog.Manifest("hnsw", source, metric,
           baseParams + ("files" -> stats.length.toString,
-            "routing" -> "centroid1"))
+            "routing" -> RoutingGen, "routable" -> routable))
       }
   }
 
@@ -1089,12 +1165,14 @@ object Hnsw {
     * `*graph-` file prefix). `encode` turns each partition's snapshot
     * into the family's on-disk form; rows must already be
     * null/non-finite filtered; the build metric is l2 (every coded
-    * family's). Returns the published file count. */
+    * family's). Returns the published file count plus the routing
+    * manifest params (generation + separability flag at parts>1, empty
+    * otherwise) for the caller's manifest. */
   private[graft] def buildGraphFiles(spark: org.apache.spark.sql.SparkSession,
       rows0: org.apache.spark.sql.Dataset[(Long, Array[Float])],
       parts: Int, dataDir: String, filePrefix: String, m: Int,
       efConstruction: Int,
-      encode: GraphEncode): Int = {
+      encode: GraphEncode): (Int, Map[String, String]) = {
     import spark.implicits._
     val dirPath = new org.apache.hadoop.fs.Path(dataDir)
     val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1105,8 +1183,8 @@ object Hnsw {
     if (parts <= 1) {
       val writer = new GraphFileWriter(dataDir, filePrefix, m,
         efConstruction, hconf, null, encode)
-      df.as[(Long, Array[Float])].coalesce(1)
-        .mapPartitions(writer.run _).collect().length
+      (df.as[(Long, Array[Float])].coalesce(1)
+        .mapPartitions(writer.run _).collect().length, Map.empty)
     } else {
       val model = IvfIndex.train(df, "vec", "l2", parts)
       val bcent = spark.sparkContext.broadcast(model.centroids)
@@ -1121,29 +1199,37 @@ object Hnsw {
         .map(_._2)
         .mapPartitions(writer.run _)
         .collect()
-      Routing.write(fs, dirPath, "l2",
-        stats.sortBy(_._1).map { case (pid, _, rad) =>
-          (pid, rad, bcent.value(pid)) }.toSeq,
+      val ents = stats.sortBy(_._1).map { case (pid, _, rad) =>
+        (pid, rad, bcent.value(pid)) }.toSeq
+      Routing.write(fs, dirPath, "l2", ents,
         if (model.centroids.nonEmpty) model.centroids(0).length else 0)
-      stats.length
+      val routable =
+        if (Routing.separable(ents.map(e => (e._2, e._3)).toArray)) "yes"
+        else "no"
+      (stats.length,
+        Map("routing" -> RoutingGen, "routable" -> routable))
     }
   }
 
   /** Driver-side routed file selection for the coded searches: same
     * sidecar + ranking as the dense scalar path; missing/partial
-    * routing or g <= 0 keeps every file. */
+    * routing or g <= 0 keeps every file. AUTO requests resolve against
+    * the sidecar's own separability ([[Routing.autoResolve]]): a
+    * partitioning that didn't separate falls back to all-graphs. */
   private[graft] def routeFiles(spark: org.apache.spark.sql.SparkSession,
       path: String, files: Seq[String], q: Array[Float],
       probeGraphs: Int,
       overrideMetric: Option[String] = None): Seq[String] = {
-    val g = resolveProbe(probeGraphs, files.length)
-    if (g <= 0 || g >= files.length) return files
+    if (probeGraphs == 0 || files.length <= 1) return files
+    if (probeGraphs > 0 && probeGraphs >= files.length) return files
     val dirPath = new org.apache.hadoop.fs.Path(path)
     val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     Routing.read(fs, dirPath)
       .flatMap { case (met, ents) =>
         Routing.align(files, ents).map { aligned =>
-          overrideMetric match {
+          val g = Routing.autoResolve(probeGraphs, files.length, aligned)
+          if (g <= 0 || g >= files.length) files
+          else overrideMetric match {
             case Some(om) =>
               Routing.rankFilesOverride(om, q, files, aligned, g)
             case None => Routing.rankFiles(met, q, files, aligned, g)
@@ -1532,9 +1618,16 @@ object Hnsw {
     if (files.isEmpty)
       return spark.emptyDataset[(Long, Long, Double, Int)]
         .toDF("qid", idCol, "dist", "rn")
-    val g = resolveProbe(probeGraphs, files.length)
+    // AUTO resolves against the fleet's own separability — on a
+    // partitioning that didn't separate the default path walks every
+    // graph instead of silently losing recall (routing_stat-calibrated)
+    val probeCount = routing0 match {
+      case Some((_, aligned)) =>
+        Routing.autoResolve(probeGraphs, files.length, aligned)
+      case None => resolveProbe(probeGraphs, files.length)
+    }
     val routing: Option[(String, Array[(Double, Array[Float])])] =
-      if (exact || g <= 0 || g >= files.length) None
+      if (exact || probeCount <= 0 || probeCount >= files.length) None
       else routing0
     val bfiles = spark.sparkContext.broadcast(files)
     val brouting = spark.sparkContext.broadcast(routing)
@@ -1582,7 +1675,7 @@ object Hnsw {
                 lb(a) < lb(b) || (lb(a) == lb(b) &&
                   (cd(a) < cd(b) || (cd(a) == cd(b) && a < b))) }
               var j = 0
-              while (j < g) { buf(order(j)) += i; j += 1 }
+              while (j < probeCount) { buf(order(j)) += i; j += 1 }
               i += 1
             }
             buf.map(_.toArray)

@@ -64,7 +64,9 @@ object HnswPq {
         requires = Map("format" -> "pqflatbin3", "m" -> m.toString,
           "ks" -> ks.toString, "hnsw_m" -> hm.toString,
           "ef_construction" -> efConstruction.toString,
-          "parts" -> parts.toString)) { dataDir =>
+          "parts" -> parts.toString) ++
+          (if (parts > 1) Map("routing" -> Hnsw.RoutingGen)
+           else Map.empty)) { dataDir =>
       import spark.implicits._
       val nonNull = df.filter(col(vecCol).isNotNull &&
         graft.functions.vectorIsFinite(col(vecCol)))
@@ -74,7 +76,8 @@ object HnswPq {
       // round 9: shared SPATIAL build + routing sidecar (pqflatbin3 —
       // the format-bump invariant, build partitioning changed)
       val bModel = spark.sparkContext.broadcast(model)
-      val nFiles = Hnsw.buildGraphFiles(spark, rows0, parts, dataDir,
+      val (nFiles, routingParams) = Hnsw.buildGraphFiles(spark, rows0,
+        parts, dataDir,
         "pqgraph", hm, efConstruction, new GraphEncode {
           def write(flat: Hnsw.FlatGraph, out: java.io.DataOutputStream): Unit =
             HnswSq.SqGraph.write(out, fromFlat(flat, bModel.value))
@@ -84,8 +87,7 @@ object HnswPq {
           "hnsw_m" -> hm.toString, "dims" -> model.dims.toString,
           "ef_construction" -> efConstruction.toString,
           "parts" -> parts.toString, "files" -> nFiles.toString,
-          "format" -> "pqflatbin3") ++
-          (if (parts > 1) Map("routing" -> "centroid1") else Map.empty),
+          "format" -> "pqflatbin3") ++ routingParams,
         floats = Map("codebook" -> model.codebook))
     }
     val model = Pq.Model(mf.params("dims").toInt, mf.params("m").toInt,

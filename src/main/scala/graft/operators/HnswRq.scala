@@ -308,7 +308,9 @@ object HnswRq {
     val mf = IndexCatalog.ensure(spark, name, source,
         requires = Map("format" -> "rqflatbin3", "m" -> m.toString,
           "ef_construction" -> efConstruction.toString,
-          "parts" -> parts.toString)) { dataDir =>
+          "parts" -> parts.toString) ++
+          (if (parts > 1) Map("routing" -> Hnsw.RoutingGen)
+           else Map.empty)) { dataDir =>
       import spark.implicits._
       val nonNull = df.filter(col(vecCol).isNotNull &&
         graft.functions.vectorIsFinite(col(vecCol)))
@@ -318,7 +320,8 @@ object HnswRq {
       // round 9: shared SPATIAL build + routing sidecar (rqflatbin3 —
       // the format-bump invariant, build partitioning changed)
       val bModel = spark.sparkContext.broadcast(model)
-      val nFiles = Hnsw.buildGraphFiles(spark, rows0, parts, dataDir,
+      val (nFiles, routingParams) = Hnsw.buildGraphFiles(spark, rows0,
+        parts, dataDir,
         "rqgraph", m, efConstruction, new GraphEncode {
           def write(flat: Hnsw.FlatGraph, out: java.io.DataOutputStream): Unit =
             RqGraph.write(out, RqGraph.fromFlat(flat, bModel.value))
@@ -327,7 +330,7 @@ object HnswRq {
         Map("m" -> m.toString, "ef_construction" -> efConstruction.toString,
           "parts" -> parts.toString, "files" -> nFiles.toString,
           "dims" -> model.dims.toString, "format" -> "rqflatbin3") ++
-          (if (parts > 1) Map("routing" -> "centroid1") else Map.empty),
+          routingParams,
         floats = Map("centroid" -> model.centroid, "rot" -> model.rot))
     }
     val model = Rabitq.Model(mf.params("dims").toInt,

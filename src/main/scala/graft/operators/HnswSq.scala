@@ -272,7 +272,9 @@ object HnswSq {
     val mf = IndexCatalog.ensure(spark, name, source,
         requires = Map("format" -> "sqflatbin3", "m" -> m.toString,
           "ef_construction" -> efConstruction.toString,
-          "parts" -> parts.toString)) { dataDir =>
+          "parts" -> parts.toString) ++
+          (if (parts > 1) Map("routing" -> Hnsw.RoutingGen)
+           else Map.empty)) { dataDir =>
       import spark.implicits._
       val nonNull = df.filter(col(vecCol).isNotNull &&
         graft.functions.vectorIsFinite(col(vecCol)))
@@ -285,7 +287,8 @@ object HnswSq {
       // format-bump invariant)
       val bMins = spark.sparkContext.broadcast(mins)
       val bWidths = spark.sparkContext.broadcast(widths)
-      val nFiles = Hnsw.buildGraphFiles(spark, rows0, parts, dataDir,
+      val (nFiles, routingParams) = Hnsw.buildGraphFiles(spark, rows0,
+        parts, dataDir,
         "sqgraph", m, efConstruction, new GraphEncode {
           def write(flat: Hnsw.FlatGraph, out: java.io.DataOutputStream): Unit =
             SqGraph.write(out, SqGraph.fromFlat(flat, bMins.value, bWidths.value))
@@ -293,8 +296,7 @@ object HnswSq {
       IndexCatalog.Manifest("hnsw_sq8", source, "l2",
         Map("m" -> m.toString, "ef_construction" -> efConstruction.toString,
           "parts" -> parts.toString, "files" -> nFiles.toString,
-          "bits" -> "8", "format" -> "sqflatbin3") ++
-          (if (parts > 1) Map("routing" -> "centroid1") else Map.empty),
+          "bits" -> "8", "format" -> "sqflatbin3") ++ routingParams,
         floats = Map("mins" -> mins, "widths" -> widths))
     }
     (mf.floats("mins"), mf.floats("widths"), IndexCatalog.dataDir(spark, name))

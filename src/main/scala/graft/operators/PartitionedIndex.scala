@@ -266,6 +266,13 @@ object PartitionedIndex {
       off += model.nlist
       t
     }
+    // the combined model ranks and scores EVERY partition with one
+    // metric — mixed sub metrics (only reachable via manual sub-index
+    // DDL, never ensureIvf) must be a hard error, not a silent
+    // first-sub win
+    require(subs.forall(_._3.metric == subs.head._3.metric),
+      s"partitioned parent $name has mixed sub-index metrics: " +
+        subs.map(_._3.metric).distinct.mkString(", "))
     val cents = subs.toArray.flatMap(_._3.centroids)
     val radii =
       if (subs.forall(_._3.radii != null)) subs.toArray.flatMap(_._3.radii)
@@ -452,10 +459,15 @@ object PartitionedIndex {
       values: Option[Seq[String]] = None, probeGraphs: Int = 0): DataFrame = {
     if (!exact && (probeGraphs > 0 || probeGraphs == Hnsw.AutoProbe)) {
       val (files, routing) = gatherGraphs(spark, name, source, partCol, values)
-      val g = Hnsw.resolveProbe(probeGraphs, files.length)
       val chosenFiles = routing match {
-        case Some((met, aligned)) if g > 0 && g < files.length =>
-          Hnsw.Routing.rankFiles(met, q, files, aligned, g)
+        case Some((met, aligned)) =>
+          // AUTO resolves against the CONCATENATED fleet's separability
+          // (Routing.autoResolve) — a non-separated partitioning walks
+          // every graph instead of silently losing recall
+          val g = Hnsw.Routing.autoResolve(probeGraphs, files.length, aligned)
+          if (g > 0 && g < files.length)
+            Hnsw.Routing.rankFiles(met, q, files, aligned, g)
+          else files
         case _ => files
       }
       return Hnsw.searchFiles(spark, chosenFiles, idCol, q, k, efSearch,

@@ -44,29 +44,59 @@ object SparseSearch {
     IndexCatalog.dataDir(spark, name)
   }
 
+  /** Impact-pruning applies only when the kept postings capture at least
+    * this fraction of the corpus's total |value| mass. Static top-M
+    * truncation assumes SKEWED per-token impact distributions (the shape
+    * of real sparse retrieval corpora); on flat-impact corpora every
+    * posting matters and truncation silently destroys recall (measured
+    * 0.04 on the clustered recall fixture, whose top-1024 mass fraction
+    * is 0.80 — vs 1.0 on the random fixture where pruning is vacuous).
+    * 0.9 splits the two with margin. */
+  val PruneMassThreshold = 0.9
+
   /** One-time CREATE INDEX job for the PRUNED (approximate) variant:
     * impact-ordered posting truncation — keep only the `topM`
     * highest-|value| postings per token (the static index-pruning used
     * by real sparse engines: low-impact postings can't move the top-k
     * much). At 100 TB this caps every posting list, turning worst-case
-    * hot tokens from full-corpus scans into M-row reads. Approximate:
-    * recall measured in SparseSpec; the exact twin is [[ensure]]. */
+    * hot tokens from full-corpus scans into M-row reads.
+    *
+    * ADAPTIVE (round 10): the build measures the impact skew — the
+    * fraction of total |value| mass the kept postings capture — and
+    * SKIPS pruning when it falls below [[PruneMassThreshold]], degrading
+    * to the exact posting index instead of silently losing recall on
+    * flat-impact corpora (the separability-guard convention: the engine
+    * decides when the approximate path is sound, and the manifest
+    * surfaces the decision as `pruning=applied|skipped`). Approximate
+    * when applied: recall measured in RECALL.json; the exact twin is
+    * [[ensure]]. */
   def ensurePruned(spark: org.apache.spark.sql.SparkSession, name: String,
       docs: => DataFrame, source: String, idCol: String, svecCol: String,
       topM: Int): String = {
     import graft.index.IndexCatalog
     import org.apache.spark.sql.expressions.Window
     IndexCatalog.ensure(spark, name, source,
-        requires = Map("top_m" -> topM.toString)) { dataDir =>
+        requires = Map("top_m" -> topM.toString,
+          "adaptive" -> "mass1")) { dataDir =>
       val w = Window.partitionBy(col("token"))
         .orderBy(abs(col("value")).desc, col(idCol))
-      buildPostings(docs, idCol, svecCol)
+      val ranked = buildPostings(docs, idCol, svecCol)
         .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= topM).drop("rank")
+      val stats = ranked.agg(
+        sum(abs(col("value")).cast("double")).as("total"),
+        sum(when(col("rank") <= topM, abs(col("value")).cast("double"))
+          .otherwise(lit(0.0))).as("kept")).head()
+      val total = if (stats.isNullAt(0)) 0.0 else stats.getDouble(0)
+      val kept = if (stats.isNullAt(1)) 0.0 else stats.getDouble(1)
+      val prune = total <= 0.0 || kept / total >= PruneMassThreshold
+      val out = if (prune) ranked.filter(col("rank") <= topM) else ranked
+      out.drop("rank")
         .withColumn("bucket", pmod(col("token"), lit(TokenBuckets)))
         .write.mode("overwrite").partitionBy("bucket").parquet(dataDir)
       IndexCatalog.Manifest("sparse_pruned", source, "dot",
-        Map("buckets" -> TokenBuckets.toString, "top_m" -> topM.toString))
+        Map("buckets" -> TokenBuckets.toString, "top_m" -> topM.toString,
+          "adaptive" -> "mass1",
+          "pruning" -> (if (prune) "applied" else "skipped")))
     }
     IndexCatalog.dataDir(spark, name)
   }

@@ -103,6 +103,20 @@ object AnnPushdown {
     }.sql).sorted
   }
 
+  /** Sub-artifact field-name sets for the FILTERED ivf_part arm, keyed
+    * by the artifact DATA DIR (reindex bumps the generation dir, so a
+    * rebuilt artifact misses the cache and re-reads its footer) — the
+    * rule fires on every optimizer pass over filtered-join shapes and
+    * must not do parquet footer I/O each time. */
+  private val subSchemaCache = new ConcurrentHashMap[String, Set[String]]()
+
+  private[plans] def subFieldNames(spark: SparkSession,
+      subIndexName: String): Set[String] = {
+    val dir = graft.index.IndexCatalog.dataDir(spark, subIndexName)
+    subSchemaCache.computeIfAbsent(dir,
+      d => spark.read.parquet(d).schema.fieldNames.toSet)
+  }
+
   def unregister(sourcePath: String): Unit =
     registry.remove(normalize(sourcePath))
 
@@ -237,7 +251,9 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
   private def probeConf(key: String): Int =
     spark.conf.get(key, "auto") match {
       case "auto" => graft.operators.Hnsw.AutoProbe
-      case v => v.toInt
+      // unparseable values resolve to AutoProbe instead of throwing from
+      // inside the optimizer rule (drift bails, never errors)
+      case v => v.toIntOption.getOrElse(graft.operators.Hnsw.AutoProbe)
     }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
@@ -1276,7 +1292,7 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       else registered.filter(
         valueSets.flatten.reduce(_ intersect _).contains)
     if (chosen.isEmpty) None
-    else if (!subsExist(name, chosen)) None
+    else if (!subsExist(name, chosen, manifest.metric)) None
     else Some((partCol, chosen))
   }
 
@@ -1326,9 +1342,13 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     val filterOpt =
       if (rest.isEmpty) None
       else {
-        val schema = spark.read.parquet(graft.index.IndexCatalog.dataDir(
-          spark, graft.operators.PartitionedIndex.subName(name, chosen.head)))
-          .schema.fieldNames.toSet
+        // the leftover predicate remaps onto EVERY chosen sub scan: the
+        // guard must hold against the INTERSECTION of their schemas (a
+        // partition re-ensured after a source schema change can drift),
+        // and the footer lookups are cached per artifact generation
+        val schema = chosen.map(v => AnnPushdown.subFieldNames(spark,
+            graft.operators.PartitionedIndex.subName(name, v)))
+          .reduce(_ intersect _)
         if (!rest.forall(_.references.forall(r => schema.contains(r.name))))
           return None
         val unresolved = rest.map(_.transform {
@@ -1341,15 +1361,18 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     Some((pc, chosen, filterOpt))
   }
 
-  /** Dropped-sub-index staleness guard: a parent dispatch whose chosen
-    * sub-index manifest was dropped (parent manifest + layout intact)
-    * must BAIL to the unrewritten plan — the operators' hard `require`
-    * would otherwise THROW inside the optimizer rule, breaking the
-    * drift-bails-never-errors convention for that one staleness mode.
+  /** Dropped/drifted-sub-index staleness guard: a parent dispatch whose
+    * chosen sub-index manifest was dropped — or re-ensured under a
+    * DIFFERENT metric via manual sub-index DDL — must BAIL to the
+    * unrewritten plan: the operators' hard `require`s would otherwise
+    * THROW inside the optimizer rule, breaking the
+    * drift-bails-never-errors convention for those staleness modes.
     * The requires stay for direct operator-API calls. */
-  private def subsExist(name: String, chosen: Seq[String]): Boolean =
+  private def subsExist(name: String, chosen: Seq[String],
+      parentMetric: String): Boolean =
     chosen.forall(v => graft.index.IndexCatalog.load(spark,
-      graft.operators.PartitionedIndex.subName(name, v)).nonEmpty)
+        graft.operators.PartitionedIndex.subName(name, v))
+      .exists(_.metric == parentMetric))
 
   /** Typed-family sphere range (the strategy-2 members of the bvector /
     * vecf16 / svector opclasses): `dist(wrapper(col), q) < r` over an
@@ -1643,7 +1666,7 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         val (partCol, registered) = partParams(manifest).getOrElse(return None)
         if (graft.operators.PartitionedIndex.partitionValues(spark,
             manifest.source, partCol).toSet != registered.toSet) return None
-        if (!subsExist(idx.indexName, registered)) return None
+        if (!subsExist(idx.indexName, registered, manifest.metric)) return None
         if (manifest.kind == "ivf_part")
           graft.operators.PartitionedIndex.searchIvf(spark, idx.indexName,
             manifest.source, partCol, idx.idCol,

@@ -293,7 +293,8 @@ class AnnSpec extends SparkSpec {
     }
   }
 
-  test("sparse pruned postings: lists capped at top-M, recall tracks M") {
+  test("sparse pruned postings: ADAPTIVE impact pruning — skewed corpora " +
+      "cap lists, flat-impact corpora degrade to the exact posting index") {
     import graft.operators.SparseSearch
     val sv = emb.select($"vec_id",
       graft.functions.svecFromDense(
@@ -305,29 +306,56 @@ class AnnSpec extends SparkSpec {
     val exact = SparseSearch
       .search(SparseSearch.buildPostings(sv, "vec_id", "sv"), "vec_id", terms, 50)
       .select("vec_id").as[Long].collect().toSet
-    // NOTE: this synthetic corpus has a 64-token vocabulary, so every
-    // posting list holds ~40% of all docs — impact pruning is unusually
-    // harsh here compared to Zipfian real-text vocabularies. The spec
-    // checks the MECHANISM (hard cap per token) and that recall rises
-    // with M toward exactness.
-    def recallAt(m: Int): Double = {
-      val name = s"annspec_sparsepr_$m"
+    def build(name: String, df: org.apache.spark.sql.DataFrame, src: String,
+        m: Int): (String, String) = {
       graft.index.IndexCatalog.drop(spark, name)
-      val path = SparseSearch.ensurePruned(spark, name, sv,
-        s"$sf001/embeddings.parquet", "vec_id", "sv", topM = m)
-      val maxLen = spark.read.parquet(path)
-        .groupBy($"token").count().agg(max($"count")).as[Long].head()
-      assert(maxLen <= m, s"posting list exceeded cap: $maxLen > $m")
-      val pruned = SparseSearch.searchIndex(spark, path, "vec_id", terms, 50)
-        .select("vec_id").as[Long].collect()
-      assert(pruned.length == 50)
-      graft.index.IndexCatalog.drop(spark, name)
-      (pruned.toSet & exact).size / 50.0
+      val path = SparseSearch.ensurePruned(spark, name, df, src,
+        "vec_id", "sv", topM = m)
+      (path, graft.index.IndexCatalog.load(spark, name)
+        .get.params("pruning"))
     }
-    val r64 = recallAt(64)
-    val r192 = recallAt(192)
-    assert(r192 >= r64, s"recall must not fall as M grows: $r64 -> $r192")
-    assert(r192 >= 0.9, s"recall@M=192 too low: $r192")
+    // this corpus has a 64-token vocabulary with near-flat impacts:
+    // top-64 captures only ~0.64 of the |value| mass, so the adaptive
+    // build SKIPS pruning — the index degrades to the exact posting
+    // join instead of silently losing recall
+    val (p64, d64) = build("annspec_sparsepr_64", sv,
+      s"$sf001/embeddings.parquet", 64)
+    assert(d64 == "skipped", s"flat-impact corpus must skip pruning: $d64")
+    val r64 = SparseSearch.searchIndex(spark, p64, "vec_id", terms, 50)
+      .select("vec_id").as[Long].collect().toSet
+    assert(r64 == exact, "skipped-pruning index must equal the exact search")
+    // at m=192 the kept mass is 1.0 (no list exceeds 139): APPLIED
+    val (p192, d192) = build("annspec_sparsepr_192", sv,
+      s"$sf001/embeddings.parquet", 192)
+    assert(d192 == "applied", s"vacuous cap must stay applied: $d192")
+    val maxLen = spark.read.parquet(p192)
+      .groupBy($"token").count().agg(max($"count")).as[Long].head()
+    assert(maxLen <= 192, s"posting list exceeded cap: $maxLen")
+    // genuinely SKEWED corpus (32 big-impact docs per token over a 268-doc
+    // low-impact tail: kept mass at m=64 ≈ 0.985): pruning applies, the
+    // cap truly cuts (300-row lists -> 64), and the big-impact top-k
+    // survives — the corpus shape static pruning was built for
+    val skew = spark.range(300).select($"id".cast("long").as("vec_id"),
+      graft.functions.svecFromDense(array((0 until 8).map(_ =>
+        when($"id" < 32, lit(5.0f)).otherwise(lit(0.01f))): _*)).as("sv"))
+    val skewSrc = java.nio.file.Files.createTempDirectory("graft_sparseskew").toString
+    skew.coalesce(1).write.mode("overwrite").parquet(skewSrc)
+    val (pSkew, dSkew) = build("annspec_sparsepr_skew",
+      spark.read.parquet(skewSrc), skewSrc, 64)
+    assert(dSkew == "applied", s"skewed corpus must keep pruning: $dSkew")
+    val skewMax = spark.read.parquet(pSkew)
+      .groupBy($"token").count().agg(max($"count")).as[Long].head()
+    assert(skewMax == 64, s"cap must actually cut: $skewMax")
+    val skewTerms = (0 until 8).map(t => (t, 5.0f))
+    val skewExact = SparseSearch
+      .search(SparseSearch.buildPostings(skew, "vec_id", "sv"), "vec_id",
+        skewTerms, 50).select("vec_id").as[Long].collect().toSet
+    val skewPruned = SparseSearch.searchIndex(spark, pSkew, "vec_id",
+      skewTerms, 50).select("vec_id").as[Long].collect().toSet
+    assert((skewPruned & skewExact).size >= 45,
+      s"pruned recall on the skewed corpus: ${(skewPruned & skewExact).size}/50")
+    Seq("annspec_sparsepr_64", "annspec_sparsepr_192", "annspec_sparsepr_skew")
+      .foreach(graft.index.IndexCatalog.drop(spark, _))
   }
 
   test("HNSW flat artifact: binary roundtrip preserves search; cache resident") {

@@ -195,9 +195,17 @@ class PushdownSpec extends SparkSpec {
       // approximate graph traversal still returns k rows
       spark.conf.set("spark.graft.hnsw.exact", "false")
       assert(topkDf.count() == 10)
+      // unparseable probe conf values resolve to AUTO instead of
+      // throwing from inside the optimizer rule (ADVICE r9)
+      for (bad <- Seq("Auto", "", "2.0")) {
+        spark.conf.set("spark.graft.hnsw.probe", bad)
+        assert(topkDf.count() == 10, s"probe conf '$bad' must not break the rule")
+      }
+      spark.conf.unset("spark.graft.hnsw.probe")
     } finally {
       spark.conf.set("spark.graft.ann.enabled", "false")
       spark.conf.unset("spark.graft.hnsw.exact")
+      spark.conf.unset("spark.graft.hnsw.probe")
       AnnPushdown.unregister(src)
     }
   }
