@@ -215,5 +215,38 @@ package object functions {
     spark.udf.register("pgvectors_upgrade", (prefix: String) =>
       graft.index.IndexCatalog.upgrade(SparkSession.active, prefix)
         .sorted.mkString(","))
+    // SQL-text CREATE INDEX / VACUUM (finalize.sql:714, am.rs:135-244;
+    // every reference test drives CREATE INDEX as SQL) — the last
+    // lifecycle step a SQL-only user couldn't reach (round 10). These
+    // LAUNCH SPARK JOBS, so unlike the metadata-only admin UDFs above
+    // they cannot run inside a task: the registry builder performs the
+    // DDL at statement ANALYSIS, driver-side by construction (the
+    // reference's CREATE INDEX likewise executes at statement time), and
+    // the resolved expression is just the returned literal. Arguments
+    // must be string literals; create is idempotent ensure semantics, so
+    // a re-analysis of the same statement text is a harmless no-op.
+    def constStr(e: Expression, what: String): String = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v, _: org.apache.spark.sql.types.StringType) =>
+        if (v == null) throw new IllegalArgumentException(s"$what must not be NULL")
+        else v.toString
+      case _ => throw new IllegalArgumentException(
+        s"$what expects a string literal")
+    }
+    def lit(s: String): Expression =
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s),
+        org.apache.spark.sql.types.StringType)
+    reg.createOrReplaceTempFunction("create_vector_index",
+      es => lit(graft.index.SqlDdl.create(SparkSession.active,
+        constStr(es(0), "create_vector_index(name, ...)"),
+        constStr(es(1), "create_vector_index(..., source, ...)"),
+        constStr(es(2), "create_vector_index(..., id_col, ...)"),
+        constStr(es(3), "create_vector_index(..., vec_col, ...)"),
+        constStr(es(4), "create_vector_index(..., method, ...)"),
+        constStr(es(5), "create_vector_index(..., opclass, ...)"),
+        constStr(es(6), "create_vector_index(..., options)"))), "scala_udf")
+    reg.createOrReplaceTempFunction("vacuum_vector_index",
+      es => lit(graft.index.SqlDdl.vacuum(SparkSession.active,
+        constStr(es(0), "vacuum_vector_index(name)"))), "scala_udf")
   }
 }

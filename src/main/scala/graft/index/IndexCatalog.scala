@@ -273,8 +273,16 @@ object IndexCatalog {
   private val Alterable: Map[String, String => Boolean] = {
     val posInt = (v: String) => v.forall(_.isDigit) && v.nonEmpty &&
       v.length <= 9 && v.toInt > 0
+    // sql_cols = "idCol,vecCol" recorded by the SQL-text CREATE path
+    // (graft.index.SqlDdl) so vacuum_vector_index(name) can reconstruct
+    // the build without re-asking for the columns — informational, never
+    // read by searches
+    val colPair = (v: String) => v.matches("[A-Za-z_][A-Za-z0-9_]*,[A-Za-z_][A-Za-z0-9_]*")
     Map("probe_hint" -> posInt, "nprobe" -> posInt,
-      "ef_search" -> posInt, "rerank_window" -> posInt)
+      "ef_search" -> posInt, "rerank_window" -> posInt,
+      "sql_cols" -> colPair,
+      "sql_am" -> ((v: String) => Set("vectors", "hnsw", "ivfflat")(v)),
+      "sql_opclass" -> IndexOptions.isOpclass _)
   }
 
   /** Live-alter an index option (`alter_vector_index` analog,

@@ -55,6 +55,8 @@ object IndexOptions {
     "bvector_dot_ops" -> ("bvec", "dot"),
     "bvector_jaccard_ops" -> ("bvec", "jaccard"))
 
+  def isOpclass(name: String): Boolean = Opclasses.contains(name)
+
   def opclass(name: String, am: String = "vectors"): (String, String) = {
     accessMethod(am)
     Opclasses.getOrElse(name, throw new IllegalArgumentException(

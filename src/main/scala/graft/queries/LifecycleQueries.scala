@@ -819,6 +819,56 @@ object LifecycleQueries {
         "re-ensuring under the pgvector spelling must be a manifest no-op")
       IvfIndex.search(s, path, m, "vec_id", "embedding", qvec(s, d),
         k = 100, nprobe = m.nlist)
+    }),
+
+    // --- SQL-text CREATE INDEX / VACUUM (finalize.sql:714,
+    //     am.rs:135-244 — the reference's entire index lifecycle is SQL
+    //     DDL; round 10 closes the one surface a SQL-only user couldn't
+    //     reach). Creates via spark.sql text, `require`s manifest
+    //     equivalence with the Scala-ensure path (the q_pgvector_opts
+    //     precedent), checks the pgvector `lists` reloption maps, VACUUMs
+    //     (= REINDEX into a fresh generation, one atomic pointer swap),
+    //     then searches exact through the SQL-created artifact.
+    "q_sql_create_index" -> ((s, d) => {
+      val srcDir = adminSrc(s, d)
+      val name = s"sqlddl_hnsw_${san(d)}"
+      val res = s.sql(
+        s"""SELECT create_vector_index('$name', '$srcDir', 'vec_id',
+              'embedding', 'hnsw', 'vector_l2_ops',
+              'm=12,ef_construction=300')""").head().getString(0)
+      require(res == "ok", s"create_vector_index returned $res")
+      // manifest equivalence with the Scala-API ensure (modulo the SQL
+      // recipe params and the reindex-owned generation pointer)
+      val refName = s"sqlddl_ref_${san(d)}"
+      Hnsw.ensure(s, refName, s.read.parquet(srcDir), srcDir,
+        "vec_id", "embedding", "l2", 1,
+        Map("m" -> "12", "ef_construction" -> "300"))
+      val strip = (p: Map[String, String]) =>
+        p -- Seq("sql_cols", "sql_am", "sql_opclass", "data_dir", "reindex_gen")
+      val mSql = IndexCatalog.load(s, name).get
+      val mRef = IndexCatalog.load(s, refName).get
+      require(mSql.kind == mRef.kind && mSql.metric == mRef.metric &&
+        strip(mSql.params) == strip(mRef.params),
+        s"SQL-created manifest drifted from ensure: ${mSql.params} vs ${mRef.params}")
+      // pgvector ivfflat spelling: lists -> nlist
+      val ivfName = s"sqlddl_ivf_${san(d)}"
+      require(s.sql(
+        s"""SELECT create_vector_index('$ivfName', '$srcDir', 'vec_id',
+              'embedding', 'ivfflat', 'vector_cosine_ops', 'lists=4')""")
+        .head().getString(0) == "ok")
+      require(IndexCatalog.load(s, ivfName).get.params.get("nlist").contains("4"),
+        "pgvector lists=4 must map to nlist=4")
+      // VACUUM: rebuilds into data-r<gen> with the pointer swapped in one
+      // commit; the SQL recipe params survive so vacuum stays repeatable
+      require(s.sql(s"SELECT vacuum_vector_index('$name')")
+        .head().getString(0) == "ok")
+      val mVac = IndexCatalog.load(s, name).get
+      require(mVac.params.contains("data_dir"),
+        "vacuum must REINDEX into a fresh generation dir")
+      require(mVac.params.get("sql_cols").contains("vec_id,embedding"),
+        "vacuum must restore the SQL recipe params")
+      Hnsw.searchIndex(s, IndexCatalog.dataDir(s, name), "vec_id",
+        qvec(s, d), k = 100, exact = true)
     })
   )
 
@@ -891,6 +941,15 @@ object LifecycleQueries {
       s"""SELECT e.vec_id AS vec_id, $qL2 AS dist
           FROM embeddings e
           CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+          ORDER BY dist, vec_id LIMIT 100""",
+
+    // the SQL-created artifact indexes the 200-row admin fixture (a
+    // vec_id < 200 slice of embeddings); exact search == brute force
+    "q_sql_create_index" ->
+      s"""SELECT e.vec_id AS vec_id, $qL2 AS dist
+          FROM embeddings e
+          CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+          WHERE e.vec_id < 200
           ORDER BY dist, vec_id LIMIT 100""",
 
     "q_partitioned_index" ->
