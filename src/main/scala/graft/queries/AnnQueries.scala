@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions._
-import graft.operators.{Hnsw, HnswPq, HnswRq, HnswSq, IncrHnsw, IvfIndex, IvfPq, IvfSq, KnnJoin, Pq, Rabitq, Rabitq4, SparseSearch, Sq8, TypedAnn}
+import graft.operators.{Hnsw, HnswPq, HnswRq, HnswSq, IncrHnsw, IvfIndex, IvfPq, IvfSq, KnnJoin, MaxSimJoin, Pq, Rabitq, Rabitq4, SparseSearch, Sq8, TypedAnn}
 
 /**
  * ANN search paths (SURVEY §2.6): IVF (partition-pruned index table),
@@ -780,6 +780,39 @@ object AnnQueries {
         .select(col("gid"),
           (col("m0") + col("m1") + col("m2") + col("m3")).as("score"))
         .orderBy(col("score").desc, col("gid")).limit(50)
+    }),
+    // TABLE-VALUED MaxSim join (round 10): the multi-vector QUERY side is
+    // a distributed table (10 query docs × 4 token vectors), candidates
+    // from one per-position KnnJoin pass, bounded rescore with the
+    // q_maxsim_topk fixed-order Σ-of-maxes kernel. Approximate
+    // (rows-only; recall in RECALL.json + KnnJoinSpec).
+    "q_maxsim_join" -> ((s, d) => {
+      val (m, path) = ivf(s, d, "l2")
+      val e = t(s, d, "embeddings")
+      val corpus = e.filter(col("vec_id") >= 40)
+        .select(org.apache.spark.sql.functions.expr("vec_id div 4").as("gid"),
+          col("vec_id"), col("embedding"))
+      val qdocs = e.filter(col("vec_id") < 40)
+        .select(org.apache.spark.sql.functions.expr("vec_id div 4").as("qdoc"),
+          (col("vec_id") % 4).as("qpos"), col("embedding"))
+      MaxSimJoin.join(s, qdocs, "qdoc", "qpos", "embedding", positions = 4,
+        path, m, corpus, "gid", "vec_id", "embedding",
+        k = 5, kPerPos = 20, nprobe = nprobeConf(s))
+    }),
+    // exact twin: every (query doc, group) pair scored — full cross-join
+    // oracle, the Σ-of-maxes brute force (per-position candidate top-k is
+    // not provably complete for a sum objective, so exact mode skips
+    // candidate generation entirely, the window<=0 precedent)
+    "q_maxsim_join_exact" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val corpus = e.filter(col("vec_id") >= 40)
+        .select(org.apache.spark.sql.functions.expr("vec_id div 4").as("gid"),
+          col("embedding"))
+      val qdocs = e.filter(col("vec_id") < 40)
+        .select(org.apache.spark.sql.functions.expr("vec_id div 4").as("qdoc"),
+          (col("vec_id") % 4).as("qpos"), col("embedding"))
+      MaxSimJoin.joinExact(s, qdocs, "qdoc", "qpos", "embedding",
+        positions = 4, corpus, "gid", "embedding", k = 5)
     }),
     "q_ivf_batch" -> ((s, d) => {
       val (m, path) = ivf(s, d, "l2")
@@ -2127,6 +2160,31 @@ object AnnQueries {
     // the KNN-join exact twin is the same cross-product-with-window shape
     // as the batch oracles, with the query side a table subset instead of
     // three collected rows
+    // full cross-join Σ-of-maxes replay: the dot kernel, per-position
+    // maxes, and the FIXED m0+m1+m2+m3 CASE chain mirror q_maxsim_topk;
+    // the window replays (score desc, gid) like the knn-join oracles
+    "q_maxsim_join_exact" ->
+      """WITH q AS (SELECT vec_id // 4 AS qdoc, vec_id % 4 AS qpos,
+                      embedding AS qv FROM embeddings WHERE vec_id < 40),
+         c AS (SELECT vec_id // 4 AS gid, embedding AS dv
+               FROM embeddings WHERE vec_id >= 40),
+         p AS (SELECT q.qdoc, q.qpos, c.gid,
+                 list_aggregate(list_transform(list_zip(c.dv, q.qv),
+                   p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum') AS dotv
+               FROM c, q),
+         m AS (SELECT qdoc, gid, qpos, max(dotv) AS mx
+               FROM p GROUP BY qdoc, gid, qpos),
+         sc AS (SELECT qdoc, gid,
+                  max(CASE WHEN qpos = 0 THEN mx END)
+                + max(CASE WHEN qpos = 1 THEN mx END)
+                + max(CASE WHEN qpos = 2 THEN mx END)
+                + max(CASE WHEN qpos = 3 THEN mx END) AS score
+                FROM m GROUP BY qdoc, gid)
+         SELECT qdoc, gid, score, rn FROM (
+           SELECT qdoc, gid, score,
+             row_number() OVER (PARTITION BY qdoc ORDER BY score DESC, gid) AS rn
+           FROM sc)
+         WHERE rn <= 5 ORDER BY qdoc, rn""",
     "q_knn_join_exact" ->
       """SELECT qid, vec_id, dist, rn FROM (
            SELECT q.vec_id AS qid, e.vec_id AS vec_id,

@@ -153,7 +153,10 @@ object Recall {
       // the TypedAnn metric map on the l2 sidecar, top-2-of-4)
       ("svec_hnsw_knn_join", "q_svec_hnsw_knn_join",
         "q_svec_hnsw_knn_join_exact"),
-      ("f16_knn_join", "q_vecf16_knn_join", "q_vecf16_knn_join_exact"))
+      ("f16_knn_join", "q_vecf16_knn_join", "q_vecf16_knn_join_exact"),
+      // round 10: table-valued MaxSim join — (qdoc, gid) pair recall of
+      // the PLAID-style bounded-candidate path vs the full Σ-of-maxes
+      ("maxsim_join", "q_maxsim_join", "q_maxsim_join_exact"))
     def joinRecall(dir: String, tag: String): Seq[(String, (Double, Int))] =
       joinFams.map { case (fam, a, e) =>
         def pairs(n: String) = { // (qid, id) are always columns 0 and 1

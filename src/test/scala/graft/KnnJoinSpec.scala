@@ -31,6 +31,55 @@ class KnnJoinSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("MaxSim table-valued join: exact == Σ-of-maxes brute force; " +
+      "exhaustive candidates reproduce it; bounded candidates keep recall") {
+    import graft.operators.MaxSimJoin
+    val (m, path) = ivf(sf0001)
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val corpus = e.filter(col("vec_id") >= 40)
+      .select(expr("vec_id div 4").as("gid"), col("vec_id"), col("embedding"))
+    val qdocs = e.filter(col("vec_id") < 40)
+      .select(expr("vec_id div 4").as("qdoc"),
+        (col("vec_id") % 4).as("qpos"), col("embedding"))
+    val exact = MaxSimJoin.joinExact(spark, qdocs, "qdoc", "qpos",
+      "embedding", positions = 4, corpus, "gid", "embedding", k = 5)
+      .select("qdoc", "gid").as[(Long, Long)].collect().toSet
+    // independent brute-force spelling: per-(qdoc,gid,qpos) max over an
+    // explicit pair frame, then the fixed 4-term sum
+    import org.apache.spark.sql.expressions.Window
+    val pairs = corpus.select(col("gid"), col("embedding").as("dv"))
+      .crossJoin(qdocs.select(col("qdoc"), col("qpos"), col("embedding").as("qv")))
+      .select(col("qdoc"), col("gid"), col("qpos"),
+        (-graft.functions.negdot(col("dv"), col("qv"))).as("dotv"))
+      .groupBy(col("qdoc"), col("gid"), col("qpos"))
+      .agg(max(col("dotv")).as("mx"))
+    def pm(i: Int) = max(when(col("qpos") === i, col("mx"))).as(s"m$i")
+    val w = Window.partitionBy(col("qdoc")).orderBy(col("score").desc, col("gid"))
+    val want = pairs.groupBy(col("qdoc"), col("gid"))
+      .agg(pm(0), pm(1), pm(2), pm(3))
+      .select(col("qdoc"), col("gid"),
+        (col("m0") + col("m1") + col("m2") + col("m3")).as("score"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      .select("qdoc", "gid").as[(Long, Long)].collect().toSet
+    assert(exact == want, "joinExact must equal the brute-force spelling")
+    // exhaustive candidates (kPerPos >= corpus rows, nprobe = nlist):
+    // every gid is a candidate, so the approximate path must reproduce
+    // the exact join verbatim
+    val full = MaxSimJoin.join(spark, qdocs, "qdoc", "qpos", "embedding",
+      positions = 4, path, m, corpus, "gid", "vec_id", "embedding",
+      k = 5, kPerPos = 100, nprobe = m.nlist)
+      .select("qdoc", "gid").as[(Long, Long)].collect().toSet
+    assert(full == exact, "exhaustive candidates must reproduce exact")
+    // bounded candidates: pair recall against exact
+    val approx = MaxSimJoin.join(spark, qdocs, "qdoc", "qpos", "embedding",
+      positions = 4, path, m, corpus, "gid", "vec_id", "embedding",
+      k = 5, kPerPos = 20, nprobe = m.nlist)
+      .select("qdoc", "gid").as[(Long, Long)].collect().toSet
+    val rec = (approx & exact).size.toDouble / exact.size
+    info(s"maxsim join pair recall (kPerPos=20) = $rec")
+    assert(rec >= 0.8, s"maxsim join recall $rec")
+  }
+
   test("probe kernel reproduces Model.rankLists ordering (radii and raw)") {
     val rnd = new scala.util.Random(7)
     val dims = 16
@@ -399,6 +448,10 @@ class KnnJoinSpec extends SparkSpec {
     graft.index.IndexCatalog.drop(spark, name)
     val path = Hnsw.ensure(spark, name, spark.read.parquet(src), src,
       "vec_id", "embedding", "l2", parts = 4)
+    // this clustered fixture separates: the guard keeps AUTO routed and
+    // the manifest surfaces it
+    assert(graft.index.IndexCatalog.load(spark, name).get
+      .params.get("routable").contains("yes"))
     val queries = spark.read.parquet(src).filter(col("vec_id") % 11 === 0)
     def pairs(df: org.apache.spark.sql.DataFrame) =
       df.select("qid", "vec_id").as[(Long, Long)].collect().toSet
@@ -432,6 +485,66 @@ class KnnJoinSpec extends SparkSpec {
     val s2 = Hnsw.searchIndex(spark, path, "vec_id", q0, k = 10,
       probeGraphs = 2).collect().map(_.getLong(0)).toSeq
     assert(sAuto == s2, "scalar AutoProbe(G=4) must equal probeGraphs=2")
+    graft.index.IndexCatalog.drop(spark, name)
+  }
+
+  test("separability guard: AUTO falls back to all-graphs on a " +
+      "non-separated partitioning; explicit g still routes") {
+    val dims = 8; val n = 240
+    val rnd = new scala.util.Random(17)
+    // near-uniform corpus: k-means cannot separate it — covering radii
+    // span the corpus while centroids crowd together
+    val rows = (0 until n).map { i =>
+      (i.toLong, Array.fill(dims)(rnd.nextFloat() * 2f - 1f))
+    }
+    val src = java.nio.file.Files.createTempDirectory("graft_sepguard").toString
+    rows.toDF("vec_id", "embedding").coalesce(1)
+      .write.mode("overwrite").parquet(src)
+    val name = "sepguardspec_hnsw"
+    graft.index.IndexCatalog.drop(spark, name)
+    val path = Hnsw.ensure(spark, name, spark.read.parquet(src), src,
+      "vec_id", "embedding", "l2", parts = 4)
+    // the sidecar's own geometry says "did not separate"
+    val dirPath = new org.apache.hadoop.fs.Path(path)
+    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (_, ents) = Hnsw.Routing.read(fs, dirPath).get
+    val aligned = ents.toSeq.sortBy(_._1).map(_._2).toArray
+    val sep = Hnsw.Routing.separability(aligned)
+    assert(sep > Hnsw.Routing.SepThreshold,
+      s"uniform fixture must measure non-separable (got $sep)")
+    assert(Hnsw.Routing.autoResolve(Hnsw.AutoProbe, 4, aligned) == 0,
+      "AUTO on a non-separable sidecar must resolve to unrouted")
+    assert(Hnsw.Routing.autoResolve(2, 4, aligned) == 2,
+      "explicit probeGraphs is an informed override — never guarded")
+    // manifest surfaces the flag (the q_index_stat contract)
+    val mf = graft.index.IndexCatalog.load(spark, name).get
+    assert(mf.params.get("routable").contains("no"))
+    assert(mf.params.get("routing").contains("centroid2"))
+    // end to end: AUTO == unrouted on this artifact (fallback fired),
+    // while explicit g=2 genuinely routes (differs from unrouted for at
+    // least one query on a corpus where top-g pruning loses rows)
+    val queries = spark.read.parquet(src).filter(col("vec_id") % 13 === 0)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val auto = pairs(Hnsw.knnJoin(spark, path, "vec_id", queries,
+      "vec_id", "embedding", k = 5, probeGraphs = Hnsw.AutoProbe))
+    val unrouted = pairs(Hnsw.knnJoin(spark, path, "vec_id", queries,
+      "vec_id", "embedding", k = 5, probeGraphs = 0))
+    assert(auto == unrouted, "guarded AUTO must equal the unrouted join")
+    val routed2 = pairs(Hnsw.knnJoin(spark, path, "vec_id", queries,
+      "vec_id", "embedding", k = 5, probeGraphs = 2))
+    assert(routed2 != unrouted,
+      "explicit probeGraphs=2 must still route on this corpus")
+    // scalar path: same resolution
+    val q0 = rows.head._2
+    val sAuto = Hnsw.searchIndex(spark, path, "vec_id", q0, k = 10,
+      probeGraphs = Hnsw.AutoProbe).collect().map(_.getLong(0)).toSeq
+    val sUnrouted = Hnsw.searchIndex(spark, path, "vec_id", q0, k = 10,
+      probeGraphs = 0).collect().map(_.getLong(0)).toSeq
+    assert(sAuto == sUnrouted, "guarded scalar AUTO must equal unrouted")
+    // the clustered AutoProbe-spec fixture measures separable — the
+    // threshold splits the two corpus shapes (routable=yes surfaced
+    // there via the same manifest param)
     graft.index.IndexCatalog.drop(spark, name)
   }
 
