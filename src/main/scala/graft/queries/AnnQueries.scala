@@ -795,9 +795,12 @@ object AnnQueries {
       val qdocs = e.filter(col("vec_id") < 40)
         .select(org.apache.spark.sql.functions.expr("vec_id div 4").as("qdoc"),
           (col("vec_id") % 4).as("qpos"), col("embedding"))
+      // kPerPos 40: a Σ-of-maxes objective needs broader per-position
+      // candidate sets on clustered corpora (near-tied in-cluster sums —
+      // 20 measured 0.88 pair recall, 40 clears the 0.9 bar)
       MaxSimJoin.join(s, qdocs, "qdoc", "qpos", "embedding", positions = 4,
         path, m, corpus, "gid", "vec_id", "embedding",
-        k = 5, kPerPos = 20, nprobe = nprobeConf(s))
+        k = 5, kPerPos = 40, nprobe = nprobeConf(s))
     }),
     // exact twin: every (query doc, group) pair scored — full cross-join
     // oracle, the Σ-of-maxes brute force (per-position candidate top-k is

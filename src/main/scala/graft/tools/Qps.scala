@@ -77,11 +77,13 @@ object Qps {
         single = (s, q) =>
           Hnsw.searchIndex(s, AnnQueries.hnsw(s, d, 4), "vec_id", q,
             k = 10, efSearch = EfSearch)),
-      // ROUTED AUTO scalar (round 9): the declarative pushdown arms'
-      // DEFAULT (spark.graft.hnsw.probe = auto → ⌈√G⌉ floor 2, here
-      // 2-of-4) — compare p50/p95 against hnsw_l2's unrouted scalar
-      // rows for the serving-side win of routing; batch rides the
-      // routed join at the same breadth
+      // ROUTED AUTO scalar: the declarative pushdown arms' DEFAULT
+      // (spark.graft.hnsw.probe = auto). Round 10: AUTO is
+      // separability-guarded — on THIS near-random fixture it detects
+      // the non-separated partitioning and falls back to all-graphs, so
+      // this row now measures the guarded default (≈ hnsw_l2, full
+      // recall); the routed speedup where auto STAYS routed is the
+      // *_clustered rows below.
       Fam("hnsw_l2_routed_auto", 10,
         batch = (s, qs) => {
           import s.implicits._
@@ -221,8 +223,8 @@ object Qps {
       .sortBy(_._1)
     require(baseQs.nonEmpty, s"no embeddings under $sfDir")
 
-    val rows = families(sfDir).map { f =>
-      val qs = baseQs.map { case (id, v) => (id, f.mkQuery(id, v)) }
+    def measure(f: Fam, base: Seq[(Long, Array[Float])]) = {
+      val qs = base.map { case (id, v) => (id, f.mkQuery(id, v)) }
       // untimed: ensure the artifact + warm codegen/caches on a tiny batch
       f.batch(spark, qs.take(2)).count()
       f.single(spark, qs.head._2).count()
@@ -236,10 +238,45 @@ object Qps {
       val p50 = lats(lats.length / 2) * 1e3
       val p95 = lats(math.min(lats.length - 1, (lats.length * 95) / 100)) * 1e3
       val qps = qs.length / tBatch
-      println(f"[qps] ${f.family}%-18s qps_batch=$qps%9.1f  " +
+      println(f"[qps] ${f.family}%-26s qps_batch=$qps%9.1f  " +
         f"(n=${qs.length}, ${tBatch}%.2f s)  seq p50=$p50%7.1f ms p95=$p95%7.1f ms")
       (f.family, f.k, qs.length, qps, tBatch, p50, p95)
     }
+    val mainRows = families(sfDir).map(measure(_, baseQs))
+
+    // round 10: the clustered twin shows the routed default where auto
+    // STAYS routed (the sidecar measures separable) — unrouted vs auto
+    // over the same clustered artifact is the serving-side win of
+    // routing with the guard in the loop
+    val clDir = Recall.ensureClustered(spark, sfDir)
+    val clQs: Seq[(Long, Array[Float])] = spark.read
+      .parquet(s"$clDir/embeddings.parquet")
+      .filter(col("vec_id") < n).select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+      .sortBy(_._1)
+    import graft.operators.Hnsw
+    import graft.queries.AnnQueries
+    val clFams = Seq(
+      Fam("hnsw_l2_clustered", 10,
+        batch = (s, qs) =>
+          Hnsw.searchIndexBatch(s, AnnQueries.hnsw(s, clDir, 4), "vec_id",
+            qs, k = 10, efSearch = EfSearch),
+        single = (s, q) =>
+          Hnsw.searchIndex(s, AnnQueries.hnsw(s, clDir, 4), "vec_id", q,
+            k = 10, efSearch = EfSearch)),
+      Fam("hnsw_l2_routed_auto_clustered", 10,
+        batch = (s, qs) => {
+          import s.implicits._
+          val qdf = qs.toDF("vec_id", "embedding")
+          Hnsw.knnJoin(s, AnnQueries.hnsw(s, clDir, 4), "vec_id", qdf,
+            "vec_id", "embedding", k = 10, efSearch = EfSearch,
+            probeGraphs = Hnsw.AutoProbe)
+        },
+        single = (s, q) =>
+          Hnsw.searchIndex(s, AnnQueries.hnsw(s, clDir, 4), "vec_id", q,
+            k = 10, efSearch = EfSearch, probeGraphs = Hnsw.AutoProbe)))
+    val rows = mainRows ++ clFams.map(measure(_, clQs))
 
     def r1(x: Double) = BigDecimal(x).setScale(1, BigDecimal.RoundingMode.HALF_UP)
     val json = rows.map { case (fam, k, nq, qps, t, p50, p95) =>
@@ -251,7 +288,13 @@ object Qps {
         """"note":"qps_batch = n/sec through the family's batched entry """ +
         """point (one pruned scan / resident-graph pass per batch); """ +
         """p50/p95 from a sequential single-query sample - the """ +
-        """reference CLI loop shape (crates/cli/src/main.rs:152-159)",""" +
+        """reference CLI loop shape (crates/cli/src/main.rs:152-159). """ +
+        """Round 10: hnsw_l2_routed_auto on this near-random fixture """ +
+        """measures the separability-GUARDED default (auto falls back """ +
+        """to all-graphs - full recall, ~hnsw_l2 speed); the """ +
+        """*_clustered rows measure the same default on the clustered """ +
+        """twin where auto stays routed 2-of-4 - the serving-side win """ +
+        """of routing with the guard in the loop",""" +
         """"families":{""",
       ",", "}}")
     java.nio.file.Files.writeString(

@@ -293,33 +293,32 @@ object Recall {
       "nprobe/nlist=10/16 is informative (ivf_* ~1.0 vs the " +
       "probed-fraction floor of ~0.88-0.89 on random data). " +
       "worst_case_random_fixture = the driver's near-random fixture - " +
-      "the coarse-pruning worst case, kept as the honest floor. The " +
-      "one sub-0.9 cell, sparse_inverted on clustered, is an " +
-      "assumption mismatch of the DERIVED workload, not the index: " +
-      "sparsifying MoG embeddings yields ~87%-dense vectors with " +
-      "near-tied per-token impacts inside a cluster, so static top-M " +
-      "impact pruning (which assumes skewed impact distributions, the " +
-      "shape of real sparse retrieval corpora) legitimately " +
-      "decorrelates; its informative number is the random fixture " +
-      "(1.0 under real top-1024-of-~4300 posting truncation). " +
+      "the coarse-pruning worst case, kept as the honest floor. " +
+      "ROUND 10: every DEFAULT path is now guard-protected on such " +
+      "corpora - hnsw_scalar_routed_auto (the pushdown default, " +
+      "probeGraphs=auto) measures 1.0 on random because " +
+      "Routing.autoResolve detects the non-separated partitioning from " +
+      "the sidecar geometry and falls back to all-graphs, and " +
+      "sparse_inverted measures 1.0 on clustered because the adaptive " +
+      "ensure saw the flat impact-mass distribution (top-1024 keeps " +
+      "only 0.80 of |value| mass there) and skipped pruning, degrading " +
+      "to the exact posting index (it was 0.04 under unconditional " +
+      "truncation). Families probing an EXPLICIT fixed g are the " +
+      "user's informed override and keep the honest probed-fraction " +
+      "floor on random data (~g/G: hnsw_sq8/pq/rabitq at explicit " +
+      "2-of-4 sit at ~0.58 there; their informative fixture is " +
+      "clustered, 0.97-1.0) - routing is spatial pruning, like ivf_*. " +
       "hnsw_knn_join measures the ROUTED join (round 8: top-2-of-4 " +
-      "spatially k-means-partitioned graphs per query) - routing is " +
-      "spatial pruning, so like ivf_* its informative number is the " +
-      "clustered fixture; on random data it is probed-fraction-bounded " +
-      "(~g/G) by construction. partitioned_knn_join is the parent " +
-      "table-valued join routed ACROSS partitions (top-3-of-8 over the " +
-      "concatenated sub-index fleet, 4 hash partitions x parts=2) - " +
-      "same spatial-pruning caveat; hash partitions each contain every " +
-      "cluster, so the per-partition k-means is what routing sees. " +
-      "hnsw_scalar_routed_auto (round 9) measures scalar searchIndex at " +
-      "the new pushdown DEFAULT probeGraphs=auto (ceil(sqrt(G)) floor " +
-      "2, here 2-of-4); svec_hnsw_knn_join is the ROUTED typed-graph " +
-      "join (dot override ranked through the TypedAnn metric map on " +
-      "the l2 sidecar); hnsw_sq8/hnsw_pq/hnsw_rabitq measure the " +
-      "round-9 ROUTED coded searches (spatial coded builds + sidecar, " +
-      "top-2-of-4 before the exact rerank) - all spatial-pruning " +
-      "families whose informative fixture is clustered; on random " +
-      "data they sit at the probed-fraction-plus-rerank floor (~0.81)."
+      "spatially k-means-partitioned graphs per query), " +
+      "partitioned_knn_join the parent table-valued join routed " +
+      "ACROSS partitions (top-3-of-8 over the concatenated sub-index " +
+      "fleet; hash partitions each contain every cluster, so the " +
+      "per-partition k-means is what routing sees), " +
+      "svec_hnsw_knn_join the ROUTED typed-graph join (dot override " +
+      "ranked through the TypedAnn metric map on the l2 sidecar), and " +
+      "maxsim_join the round-10 table-valued MaxSim join (PLAID-style " +
+      "per-position candidates at kPerPos=40 rescored with the exact " +
+      "sum-of-maxes kernel)."
     val json =
       s"""{"sf":"$clDir","fixture":"clustered-mog-8","source_sf":"$sfDir",""" +
         s""""defaults":{"nprobe":10,"ef_search":100},"note":"$note",""" +

@@ -228,6 +228,91 @@ object Soak {
       (n, a, b)
     }
 
+    // Round-10 soak: the round-9 routed/combined serving paths. Fixed
+    // query sides (the round-7 convention). Coded/typed graph fleets
+    // scale GRAPH COUNT with the corpus (parts 4 → 40, graphs stay the
+    // same size) and probe an EXPLICIT fixed g — explicit because the
+    // round-10 separability guard makes AUTO fall back to all-graphs on
+    // these near-random replicas (the guard working as designed;
+    // explicit g is the informed override, and it is the quantity that
+    // must stay flat as graphs multiply). ivf_part joins keep 8
+    // partitions while the corpus grows 10x — the combined-model pass
+    // must scale with the probed fraction, not the partition count.
+    def routedSoak(d: String, parts: Int): Seq[(String, Double)] = {
+      import graft.operators.{HnswSq, HnswPq, HnswRq, MaxSimJoin}
+      val tag = san(d)
+      val ePath = s"$d/embeddings.parquet"
+      def e = spark.read.parquet(ePath)
+      val q0 = e.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      val (mins, widths, sqPath) = HnswSq.ensure(spark, s"soaksq_$tag",
+        e, ePath, "vec_id", "embedding", parts)
+      val (pqModel, pqPath) = HnswPq.ensure(spark, s"soakpq_$tag",
+        e, ePath, "vec_id", "embedding", parts)
+      val (rqModel, rqPath) = HnswRq.ensure(spark, s"soakrq_$tag",
+        e, ePath, "vec_id", "embedding", parts)
+      val svPath = graft.queries.AnnQueries.svecHnsw(spark, d, parts)
+      val sparsifyQ = transform(col("embedding"),
+        x => when(abs(x) > lit(0.15f), x).otherwise(lit(0.0f)))
+      val qsTyped = e.filter(col("vec_id") < 500)
+        .select(col("vec_id"), sparsifyQ.as("qd"))
+      val qs500 = e.filter(col("vec_id") < 500)
+        .select(col("vec_id"), col("embedding"))
+      // ivf_part parent over an 8-way partitioned copy
+      val pSrc = sys.props("java.io.tmpdir") + s"/graft_soakivfpart_$tag"
+      if (!new java.io.File(pSrc, "_SUCCESS").isFile)
+        e.select(col("vec_id"), col("embedding"),
+            (col("vec_id") % 8).as("part"))
+          .write.mode("overwrite").partitionBy("part").parquet(pSrc)
+      graft.operators.PartitionedIndex.ensureIvf(spark, s"soakivfpart_$tag",
+        pSrc, "part", "embedding", "l2", nlist = 16)
+      // maxsim: fixed 10 query docs x 4 tokens; corpus = every group
+      val (im, ipath) = graft.queries.AnnQueries.ivf(spark, d, "l2")
+      val msCorpus = e.filter(col("vec_id") >= 40)
+        .select(org.apache.spark.sql.functions.expr("vec_id div 4").as("gid"),
+          col("vec_id"), col("embedding"))
+      val msQ = e.filter(col("vec_id") < 40)
+        .select(org.apache.spark.sql.functions.expr("vec_id div 4").as("qdoc"),
+          (col("vec_id") % 4).as("qpos"), col("embedding"))
+      def t(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      def runs = Seq(
+        "hnsw_sq8_routed(g=4)" -> (() => HnswSq.searchIndex(spark, sqPath,
+          e, "vec_id", "embedding", q0, 100, mins, widths,
+          probeGraphs = 4).count()),
+        "hnsw_pq_routed(g=4)" -> (() => HnswPq.searchIndex(spark, pqPath,
+          e, "vec_id", "embedding", q0, 100, pqModel,
+          probeGraphs = 4).count()),
+        "hnsw_rq_routed(g=4)" -> (() => HnswRq.searchIndex(spark, rqPath,
+          e, "vec_id", "embedding", q0, 100, rqModel,
+          probeGraphs = 4).count()),
+        "svec_hnsw_knn_join_routed(500q,g=4)" -> (() =>
+          graft.operators.Hnsw.knnJoinMetric(spark, svPath, "vec_id",
+            qsTyped, "vec_id", "qd", k = 10, metric = "dot",
+            probeGraphs = 4).count()),
+        "ivf_part_knn_join(500q,np=4)" -> (() =>
+          graft.operators.PartitionedIndex.knnJoinIvf(spark,
+            s"soakivfpart_$tag", pSrc, "part", "vec_id", "embedding",
+            qs500, "vec_id", "embedding", k = 10, nprobe = 4).count()),
+        "ivf_part_range_join(500q,r=1.5)" -> (() =>
+          graft.operators.PartitionedIndex.rangeJoinIvf(spark,
+            s"soakivfpart_$tag", pSrc, "part", "vec_id", "embedding",
+            qs500, "vec_id", "embedding", r = 1.5).count()),
+        "maxsim_join(10qdoc,kpp=20)" -> (() => MaxSimJoin.join(spark,
+          msQ, "qdoc", "qpos", "embedding", 4, ipath, im, msCorpus,
+          "gid", "vec_id", "embedding", k = 5, kPerPos = 20,
+          nprobe = 10).count()))
+      runs.foreach { case (_, f) => f() } // ensure + warm, untimed
+      runs.map { case (name, f) => name -> t(f()) }
+    }
+    val routedS = routedSoak(src, 4)
+    val routedL = routedSoak(dst, 40)
+    val routedRows = routedS.zip(routedL).map { case ((n, a), (_, b)) =>
+      println(f"[soak] $n%-36s sf0.1 $a%6.2fs   sf1 $b%6.2fs   x${b / a}%.1f")
+      (n, a, b)
+    }
+
     def fullHnswEnsure(d: String): Double = {
       val name = s"soakhnsw_${san(d)}"
       graft.index.IndexCatalog.drop(spark, name)
