@@ -14,6 +14,12 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // static conf, default 100: a 215-query pass generates far more
+      // distinct codegen units than that, so the Janino cache thrashes
+      // and the warm pass re-COMPILES most stages. 2000 entries keeps
+      // every generated class of a full pass resident (round 10 —
+      // measured cold/warm win; weak-ref keys, bounded metaspace)
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.queries.AnnQueries.ensureAll(spark, sfDir)

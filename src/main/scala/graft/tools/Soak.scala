@@ -457,6 +457,21 @@ object Soak {
     sb ++= "| join (fixed 500-query side) | sf0.1 (s) | sf1 (s) | ratio |\n|---|---|---|---|\n"
     for ((q, a, b) <- joinRows)
       sb ++= f"| $q | $a%.2f | $b%.2f | ${b / a}%.1f× |\n"
+    sb ++= "\n## Routed/combined serving paths at 10× corpus (rounds 9–10)\n\n"
+    sb ++= "Fixed query sides again. The coded/typed graph fleets scale GRAPH\n"
+    sb ++= "COUNT with the corpus (parts 4 → 40, graphs stay the same size)\n"
+    sb ++= "and probe an EXPLICIT fixed g=4 — explicit because the round-10\n"
+    sb ++= "separability guard makes AUTO fall back to all-graphs on these\n"
+    sb ++= "near-random replicas (the guard working as designed; explicit g is\n"
+    sb ++= "the informed override, and per-query cost at fixed g is what must\n"
+    sb ++= "stay flat as graphs multiply). The ivf_part joins keep 8\n"
+    sb ++= "partitions while the corpus grows 10× — the combined-model pass\n"
+    sb ++= "scales with the probed fraction, never the partition count; the\n"
+    sb ++= "maxsim join holds 10 query docs fixed while candidate groups and\n"
+    sb ++= "members grow with the corpus.\n\n"
+    sb ++= "| path (fixed query side) | sf0.1 (s) | sf1 (s) | ratio |\n|---|---|---|---|\n"
+    for ((q, a, b) <- routedRows)
+      sb ++= f"| $q | $a%.2f | $b%.2f | ${b / a}%.1f× |\n"
     sb ++= "\n"
     sb ++= "Build cost, by contrast, IS linear in the corpus — the timed full\n"
     sb ++= f"HNSW ensure: ${ensS}%.2f s at 1× → ${ensL}%.2f s at 10× "

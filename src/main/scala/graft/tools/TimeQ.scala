@@ -18,6 +18,7 @@ object TimeQ {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.codegen.cache.maxEntries", "2000") // Bench parity
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     for (name <- args) {
