@@ -1015,7 +1015,8 @@ object Hnsw {
     // the manifest) — pre-routing artifacts rebuild.
     val reqs = Map("format" -> "flatbin2", "m" -> m.toString,
       "ef_construction" -> efConstruction.toString,
-      "parts" -> parts.toString) ++
+      "parts" -> parts.toString,
+      "sample" -> graft.index.SampleSidecar.Gen) ++
       (if (parts > 1) Map("routing" -> RoutingGen) else Map.empty)
     IndexCatalog.ensure(spark, name, source, requires = reqs)(
       buildFlatArtifact(spark, df, source, idCol, vecCol, metric, parts,
@@ -1111,9 +1112,14 @@ object Hnsw {
           Iterator.single((pid, rows.length.toLong, rad))
         }
       }
+      // selectivity sample for the filtered pushdown arm's cost gate —
+      // over the RAW source frame (the population the unrewritten
+      // pre-filter plan would scan), not the null-filtered build rows
+      graft.index.SampleSidecar.write(spark, df, idCol, dataDir)
       val baseParams = Map("m" -> m.toString,
         "ef_construction" -> efConstruction.toString,
-        "parts" -> parts.toString, "format" -> "flatbin2")
+        "parts" -> parts.toString, "format" -> "flatbin2",
+        "sample" -> graft.index.SampleSidecar.Gen)
       if (parts <= 1) {
         val rows = rows0.coalesce(1).sortWithinPartitions(col(idCol))
         val nFiles = rows.mapPartitions(writeGraphTask(_, _ => null))

@@ -186,7 +186,8 @@ object IvfIndex {
     if (IndexCatalog.load(spark, name).exists(m =>
         m.source == source && !m.floats.contains("radii")))
       IndexCatalog.drop(spark, name)
-    val m = IndexCatalog.ensure(spark, name, source)(
+    val m = IndexCatalog.ensure(spark, name, source,
+      requires = Map("sample" -> graft.index.SampleSidecar.Gen))(
       buildIvfArtifact(spark, df, source, vecCol, metric, nlist, seed))
     (Model(m.metric, m.centroids, m.floats.get("radii").orNull),
       IndexCatalog.dataDir(spark, name))
@@ -216,6 +217,10 @@ object IvfIndex {
           vecCol, model)
         .repartition(col("list_id"))
         .write.mode("overwrite").partitionBy("list_id").parquet(dataDir)
+      // selectivity sample for the filtered pushdown arm's probe sizing
+      // — AFTER the overwrite (which clears the dir); underscore-named
+      // so the parquet reader never treats it as a data file
+      graft.index.SampleSidecar.write(spark, df, "", dataDir)
       // per-list max l2² radius to the centroid (range-pruning stats)
       val flat = typedLit(model.centroids.flatten)
       val maxima = spark.read.parquet(dataDir)
@@ -229,7 +234,9 @@ object IvfIndex {
       val radii = Array.tabulate(model.centroids.length)(i =>
         java.lang.Math.nextUp(maxima.getOrElse(i, 0.0).toFloat))
       Manifest("ivf", source, metric,
-        Map("nlist" -> nlist.toString), centroids = model.centroids,
+        Map("nlist" -> nlist.toString,
+          "sample" -> graft.index.SampleSidecar.Gen),
+        centroids = model.centroids,
         floats = Map("radii" -> radii))
   }
 

@@ -222,6 +222,38 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
   private def filteredOverfetch: Int =
     spark.conf.get("spark.graft.ann.filteredOverfetch", "4").toInt
 
+  /** Sampling-based selectivity guard for the filtered arm (round 10):
+    * when the dense artifact carries a `_sample.bin` sidecar, the
+    * predicate is evaluated on it driver-side and the candidate breadth
+    * sized to the measured selectivity — hyper-selective predicates
+    * fall back to the unrewritten pre-filter exact plan instead of the
+    * underfilling fixed-breadth fetch (the reference's amcostestimate
+    * use-the-index-or-don't decision, src/index/am.rs:105-133).
+    * Unparseable conf values resolve to the default, never an
+    * optimizer-rule throw. */
+  private def filteredAdaptive: Boolean =
+    spark.conf.get("spark.graft.ann.filteredAdaptive", "true")
+      .toBooleanOption.getOrElse(true)
+
+  /** Cap on the adaptive candidate fetch: beyond this the one-shot
+    * candidate set stops being "small" (it is broadcast), and the
+    * unrewritten pre-filter plan — one corpus scan, provably exact —
+    * is the better access path. */
+  private def filteredMaxCandidates: Int =
+    spark.conf.get("spark.graft.ann.filteredMaxCandidates", "16384")
+      .toIntOption.getOrElse(16384)
+
+  /** Candidates needed so the breadth-kr fetch plausibly holds k
+    * predicate survivors: 2k / (Wilson lower bound on selectivity),
+    * i.e. conservative on BOTH factors. Long.MaxValue = no credible
+    * lower bound (zero sample matches) — the caller treats it as
+    * "pre-filter wins". */
+  private def neededCandidates(k: Int, m: Long, n: Long): Long = {
+    val sLo = graft.index.SampleSidecar.wilsonLower(m, n)
+    if (m == 0 || sLo <= 0.0) Long.MaxValue
+    else math.ceil(2.0 * k / sLo).toLong
+  }
+
   /** HNSW search-time tunables (pgvector spelling wins, the GUC alias
     * convention of AnnQueries.conf2). `spark.graft.hnsw.exact` routes the
     * rewrite to the provable flat scan of the artifact — the ef=∞ analog
@@ -1840,8 +1872,23 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     // set is a distance-prefix of the full ranking, so whenever it
     // contains >= k survivors the result IS the exact filtered top-k.
     if (manifest.kind == "hnsw") {
-      val kr = math.min(k.toLong * math.max(filteredOverfetch, 2),
-        Int.MaxValue.toLong).toInt
+      val baseKr = math.min(k.toLong * math.max(filteredOverfetch, 2),
+        Int.MaxValue.toLong)
+      // selectivity guard (round 10): size the one-shot fetch to the
+      // sampled selectivity; when no credible breadth can hold k
+      // survivors (needed > cap, or >= the whole corpus), DON'T rewrite
+      // — the untouched Filter+Sort+Limit plan is the pre-filter exact
+      // scan, the access path the reference's cost model would pick.
+      val kr = (if (filteredAdaptive)
+          graft.index.SampleSidecar.estimate(spark,
+            graft.index.IndexCatalog.dataDir(spark, idx.indexName), cond)
+        else None) match {
+        case Some((m, n, total)) =>
+          val need = neededCandidates(k, m, n)
+          if (need > filteredMaxCandidates || need >= total) return None
+          math.min(math.max(baseKr, need), Int.MaxValue.toLong).toInt
+        case None => baseKr.toInt
+      }
       val q = floatsOf(qLit)
       val qq = if (metric == "cos") IvfIndex.Kernels.normalize(q) else q
       val cands = graft.operators.Hnsw.searchIndex(spark,
@@ -1874,9 +1921,25 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     if (manifest.kind != "ivf") return None
     val model = IvfIndex.Model(manifest.metric, manifest.centroids,
       manifest.floats.get("radii").orNull)
-    val probes = math.min(
-      math.max(nprobe.toLong * math.max(filteredOverfetch, 1), 1L),
-      model.nlist.toLong).toInt
+    val baseProbes = math.max(nprobe.toLong * math.max(filteredOverfetch, 1), 1L)
+    // selectivity guard (round 10): widen the probed-list fraction so
+    // the expected survivor count in probed lists covers k (survivors
+    // assumed list-uniform — the conservative Wilson bound absorbs the
+    // slack). Zero sample matches escalate to nprobe = nlist, where the
+    // pruned scan + filter IS the exact filtered top-k: the IVF shape
+    // degrades gracefully instead of bailing.
+    val probes = ((if (filteredAdaptive)
+        graft.index.SampleSidecar.estimate(spark,
+          graft.index.IndexCatalog.dataDir(spark, idx.indexName), cond)
+      else None) match {
+      case Some((m, n, total)) =>
+        val need = neededCandidates(k, m, n)
+        val fromNeed =
+          if (need == Long.MaxValue || total <= 0) model.nlist.toLong
+          else math.ceil(model.nlist.toDouble * need / total).toLong
+        math.min(math.max(baseProbes, fromNeed), model.nlist.toLong)
+      case None => math.min(baseProbes, model.nlist.toLong)
+    }).toInt
     val q = floatsOf(qLit)
     val scanDf = IvfIndex.prunedScan(spark,
       graft.index.IndexCatalog.dataDir(spark, idx.indexName), model, q, probes)

@@ -1,0 +1,171 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
+import graft.plans.AnnPushdown
+import graft.index.SampleSidecar
+
+/** Round-10 selectivity guard for the filtered top-k pushdown arm:
+  * dense ensures persist a deterministic `_sample.bin` of the source's
+  * filterable columns; the arm evaluates the query predicate on it
+  * driver-side and (a) refuses the HNSW candidate-join rewrite when no
+  * credible breadth can hold k survivors (the pre-filter exact plan
+  * wins — the reference's amcostestimate decision), (b) widens the
+  * candidate fetch / IVF probe count to the measured selectivity so the
+  * one-shot basic-mode form stops underfilling on moderately selective
+  * predicates. */
+class AdaptiveFilterSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/tmp/graft_adfl_src"
+  private val srcPath = s"$dir/rows.parquet"
+  private val N = 2000
+
+  private def ensureCorpus(): Unit = {
+    val f = new java.io.File(srcPath)
+    if (f.exists()) return
+    val rows = (0 until N).map { id =>
+      val vec = Array.tabulate(8)(d => math.sin(id * 0.7 + d * 1.3).toFloat)
+      (id.toLong, vec, id % 10)
+    }
+    rows.toDF("id", "vec", "label")
+      .repartition(1).write.mode("overwrite").parquet(srcPath)
+  }
+
+  private lazy val q: Array[Float] =
+    Array.tabulate(8)(d => math.sin(d * 1.3).toFloat) // row 0's vector
+
+  private def ensureHnsw(): String = {
+    ensureCorpus()
+    graft.operators.Hnsw.ensure(spark, "adfl_hnsw",
+      spark.read.parquet(srcPath), srcPath, "id", "vec", "l2", parts = 1)
+  }
+
+  private def ensureIvf(): String = {
+    ensureCorpus()
+    graft.operators.IvfIndex.ensure(spark, "adfl_ivf",
+      spark.read.parquet(srcPath), srcPath, "vec", "l2", 16)._2
+  }
+
+  private def topk(pred: org.apache.spark.sql.Column, k: Int): DataFrame =
+    spark.read.parquet(srcPath)
+      .filter(pred)
+      .select(col("id"), graft.functions.l2sq(col("vec"), typedLit(q)).as("dist"))
+      .orderBy(col("dist")).limit(k)
+
+  private def bruteRows(pred: org.apache.spark.sql.Column, k: Int): Seq[(Long, Double)] = {
+    val prev = spark.conf.get("spark.graft.ann.enabled", "false")
+    spark.conf.set("spark.graft.ann.enabled", "false")
+    try topk(pred, k).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    finally spark.conf.set("spark.graft.ann.enabled", prev)
+  }
+
+  private def withArm(name: String)(body: => Unit): Unit = {
+    AnnPushdown.install(spark)
+    AnnPushdown.register(srcPath,
+      AnnPushdown.IndexedTable(name, "id", "vec", "l2"))
+    spark.conf.set("spark.graft.ann.enabled", "true")
+    try body
+    finally {
+      spark.conf.set("spark.graft.ann.enabled", "false")
+      spark.conf.set("spark.graft.hnsw.exact", "false")
+      spark.conf.set("spark.graft.ann.filteredAdaptive", "true")
+      spark.conf.set("spark.graft.ann.nprobe", "10")
+      AnnPushdown.unregister(srcPath)
+    }
+  }
+
+  test("sample sidecar: deterministic write, load, and estimates") {
+    val dataDir = ensureHnsw()
+    val s = SampleSidecar.load(spark, dataDir).get
+    assert(s.total == N)
+    assert(s.n == N) // under the 4096 cap the sample IS the table
+    assert(s.names.toSet == Set("id", "label")) // vec is not filterable
+
+    def est(c: org.apache.spark.sql.Column) =
+      SampleSidecar.estimate(spark, dataDir,
+        spark.read.parquet(srcPath).filter(c)
+          .queryExecution.analyzed.asInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Filter]
+          .condition)
+    assert(est(col("label") === 3).contains((200L, N.toLong, N.toLong)))
+    assert(est(col("id") % 401 === 0).contains((5L, N.toLong, N.toLong)))
+    // vector-column and unknown-column predicates get no estimate
+    assert(est(col("vec").isNotNull).isEmpty)
+
+    // rebuild reproduces the sample byte-for-byte
+    val p = java.nio.file.Paths.get(dataDir, SampleSidecar.FileName)
+    val bytes1 = java.nio.file.Files.readAllBytes(p)
+    graft.index.IndexCatalog.drop(spark, "adfl_hnsw")
+    val dataDir2 = ensureHnsw()
+    val bytes2 = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dataDir2, SampleSidecar.FileName))
+    assert(java.util.Arrays.equals(bytes1, bytes2))
+  }
+
+  test("hyper-selective predicate: guard refuses the rewrite, pre-filter exact wins") {
+    ensureHnsw()
+    withArm("adfl_hnsw") {
+      spark.conf.set("spark.graft.hnsw.exact", "true")
+      val pred = col("id") % 401 === 0 // 5 of 2000 rows
+      val expected = bruteRows(pred, 10)
+
+      val kept = topk(pred, 10)
+      assert(!kept.queryExecution.optimizedPlan.toString.contains("Join"),
+        "guard should refuse the candidate join on a 0.25% predicate")
+      val got = kept.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got == expected) // all 5 survivors, exactly
+
+      // fixed breadth (guard off): the one-shot 40-candidate fetch
+      // rewrites and underfills — the defect the guard removes.
+      // (count through the MATERIALIZED rewritten plan: a fresh
+      // df.count() optimizes an Aggregate shape the arm doesn't match)
+      spark.conf.set("spark.graft.ann.filteredAdaptive", "false")
+      val fixedPlan = topk(pred, 10).queryExecution.optimizedPlan
+      assert(fixedPlan.toString.contains("Join"))
+      val fixedN = org.apache.spark.sql.graftshim.Shims
+        .ofRows(spark, fixedPlan).count()
+      assert(fixedN < expected.length,
+        "fixed breadth should underfill on this fixture")
+    }
+  }
+
+  test("moderate predicate: widened candidate breadth fills k exactly") {
+    ensureHnsw()
+    withArm("adfl_hnsw") {
+      spark.conf.set("spark.graft.hnsw.exact", "true")
+      val pred = col("label") === 7 // 10%
+      val expected = bruteRows(pred, 10)
+
+      val adaptive = topk(pred, 10)
+      assert(adaptive.queryExecution.optimizedPlan.toString.contains("Join"),
+        "10% selectivity should keep the candidate-join rewrite")
+      val got = adaptive.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got == expected, "widened exact prefix must yield the exact filtered top-k")
+
+      spark.conf.set("spark.graft.ann.filteredAdaptive", "false")
+      val fixedN = org.apache.spark.sql.graftshim.Shims
+        .ofRows(spark, topk(pred, 10).queryExecution.optimizedPlan).count()
+      assert(fixedN < 10,
+        "fixed 4x breadth should underfill at 10% selectivity on this fixture")
+    }
+  }
+
+  test("ivf arm: probe count escalates to cover the sampled selectivity") {
+    ensureIvf()
+    withArm("adfl_ivf") {
+      spark.conf.set("spark.graft.ann.nprobe", "1")
+      val pred = col("id") % 401 === 0
+      val expected = bruteRows(pred, 10)
+
+      val adaptive = topk(pred, 10)
+      assert(adaptive.queryExecution.optimizedPlan.toString.contains("list_id"))
+      val got = adaptive.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got == expected, "escalated probes must recover every survivor")
+
+      spark.conf.set("spark.graft.ann.filteredAdaptive", "false")
+      val fixed = topk(pred, 10).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(fixed.length < expected.length,
+        "4-of-16 probed lists should miss survivors on this fixture")
+    }
+  }
+}
