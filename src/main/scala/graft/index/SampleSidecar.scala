@@ -88,7 +88,6 @@ object SampleSidecar {
       dataDir: String): Unit = {
     val fields = df.schema.fields.filter(f => supported(f.dataType))
     if (fields.isEmpty) return
-    val total = df.count()
     val schema = StructType(fields.toIndexedSeq)
     val cols = fields.map(f => col(f.name)).toIndexedSeq
     val hashCol =
@@ -100,6 +99,10 @@ object SampleSidecar {
       .limit(MaxRows)
       .drop("__gs_h")
       .collect()
+    // an underfull sample IS the table — the count job only runs when
+    // the cap was hit (one job instead of two on small/medium sources)
+    val total =
+      if (sampled.length < MaxRows) sampled.length.toLong else df.count()
     val toCatalyst = CatalystTypeConverters.createToCatalystConverter(schema)
     val internal = sampled.map(r => toCatalyst(r).asInstanceOf[InternalRow])
     val p = new Path(dataDir, FileName)

@@ -1104,8 +1104,30 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
           }
           val model = IvfIndex.Model(manifest.metric, manifest.centroids,
             manifest.floats.get("radii").orNull)
-          val probes = math.min(math.max(nprobe, 1), math.max(model.nlist, 1))
           val dataDir = graft.index.IndexCatalog.dataDir(spark, idx.indexName)
+          val baseProbes = math.min(math.max(nprobe, 1),
+            math.max(model.nlist, 1))
+          // FILTERED join selectivity guard (round 10): a selective
+          // corpus predicate inside fixed probe lists starves the
+          // per-query window top-k the same way the scalar arm's fixed
+          // breadth did — escalate the probe count so expected
+          // survivors in probed lists cover k (the scalar IVF arm's
+          // sizing; escalation to nlist = the exact filtered join).
+          // extras carry the ORIGINAL corpus attributes, which map onto
+          // the sample by name; no estimate -> base behavior.
+          val probes =
+            if (extras.isEmpty || !filteredAdaptive) baseProbes
+            else graft.index.SampleSidecar.estimate(spark, dataDir,
+                extras.reduce(And)) match {
+              case Some((sm, sn, total)) =>
+                val need = neededCandidates(kLimit, sm, sn)
+                val fromNeed =
+                  if (need == Long.MaxValue || total <= 0) model.nlist.toLong
+                  else math.ceil(model.nlist.toDouble * need / total).toLong
+                math.min(math.max(baseProbes.toLong, fromNeed),
+                  model.nlist.toLong).toInt
+              case None => baseProbes
+            }
           val qdf = Shims.ofRows(spark, qSide)
           val qCol = Shims.column(qAttr)
           val qv = if (metric == "cos") graft.functions.vectorNormalize(qCol)

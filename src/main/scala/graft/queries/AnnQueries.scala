@@ -1019,6 +1019,48 @@ object AnnQueries {
       }
     }),
 
+    // SELECTIVITY-GUARDED filtered KNN join (round 10): nprobe pinned
+    // to 1, but the corpus predicate keeps ~1.4% of rows — the sample
+    // says probed-list survivors can't cover k, so the arm escalates
+    // the probe count to nlist, where the filtered window join is
+    // exact by construction -> full oracle, which only passes at full
+    // probes (the q_ivf_filtered_adaptive contract on the join shape).
+    "q_ivf_filtered_join_adaptive" -> ((s, d) => {
+      import graft.plans.AnnPushdown
+      import org.apache.spark.sql.expressions.Window
+      val (m, _) = ivf(s, d, "l2")
+      AnnPushdown.install(s)
+      val srcPath = s"$d/embeddings.parquet"
+      val prevReg = AnnPushdown.snapshot(srcPath)
+      AnnPushdown.register(srcPath, AnnPushdown.IndexedTable(
+        s"ivf_l2_${san(d)}", "vec_id", "embedding", "l2"))
+      val prevEnabled = s.conf.get("spark.graft.ann.enabled", "false")
+      val prevNprobe = s.conf.get("spark.graft.ann.nprobe", "10")
+      s.conf.set("spark.graft.ann.enabled", "true")
+      s.conf.set("spark.graft.ann.nprobe", "1")
+      try {
+        val corpus = s.read.parquet(srcPath)
+          .filter(col("vec_id") % 83 === 0)
+        val queries = s.read.parquet(srcPath)
+          .filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val df = queries.crossJoin(corpus)
+          .select(queries("qid"), corpus("vec_id"),
+            l2sq(corpus("embedding"), queries("qvec")).as("dist"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("qid")).orderBy(col("dist"), col("vec_id"))))
+          .filter(col("rn") <= 3)
+        val optimized = df.queryExecution.optimizedPlan
+        require(optimized.toString.contains("probe_lists"),
+          "filtered knn-join pushdown did not rewrite the window join")
+        org.apache.spark.sql.graftshim.Shims.ofRows(s, optimized)
+      } finally {
+        s.conf.set("spark.graft.ann.enabled", prevEnabled)
+        s.conf.set("spark.graft.ann.nprobe", prevNprobe)
+        AnnPushdown.restore(srcPath, prevReg)
+      }
+    }),
+
     // the HARD-NEGATIVE declarative spelling (round 8): the cross-join
     // window form with the self-exclusion inequality between join and
     // window (anchors drawn from the corpus — the dist-0 self match
@@ -2363,6 +2405,17 @@ object AnnQueries {
            FROM embeddings e CROSS JOIN
              (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0) q)
          WHERE rn <= 10 ORDER BY qid, rn""",
+    // probe escalation to nlist = the exact filtered window join
+    "q_ivf_filtered_join_adaptive" ->
+      """SELECT qid, vec_id, dist, rn FROM (
+           SELECT q.vec_id AS qid, e.vec_id AS vec_id,
+             list_aggregate(list_transform(list_zip(e.embedding, q.embedding), p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), 'sum') AS dist,
+             row_number() OVER (PARTITION BY q.vec_id ORDER BY
+               list_aggregate(list_transform(list_zip(e.embedding, q.embedding), p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), 'sum'),
+               e.vec_id) AS rn
+           FROM (SELECT * FROM embeddings WHERE vec_id % 83 = 0) e CROSS JOIN
+             (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 100 = 0) q)
+         WHERE rn <= 3 ORDER BY qid, rn""",
     "q_hard_negatives_pushdown" ->
       """SELECT qid, vec_id, dist, rn FROM (
            SELECT q.vec_id AS qid, e.vec_id AS vec_id,

@@ -150,6 +150,49 @@ class AdaptiveFilterSpec extends SparkSpec {
     }
   }
 
+  test("filtered knn join: probe escalation recovers every (qid, id) pair") {
+    import org.apache.spark.sql.expressions.Window
+    ensureIvf()
+    withArm("adfl_ivf") {
+      spark.conf.set("spark.graft.ann.nprobe", "1")
+      val pred = col("id") % 401 === 0 // 5 of 2000 corpus rows
+
+      def joinDf(): DataFrame = {
+        val corpus = spark.read.parquet(srcPath).filter(pred)
+        val queries = spark.read.parquet(srcPath)
+          .filter(col("id") % 500 === 0)
+          .select(col("id").as("qid"), col("vec").as("qvec"))
+        queries.crossJoin(corpus)
+          .select(queries("qid"), corpus("id"),
+            graft.functions.l2sq(corpus("vec"), queries("qvec")).as("dist"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("qid")).orderBy(col("dist"), col("id"))))
+          .filter(col("rn") <= 3)
+      }
+      def pairs(df: DataFrame): Set[(Long, Long)] =
+        df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+      val prevEnabled = spark.conf.get("spark.graft.ann.enabled")
+      spark.conf.set("spark.graft.ann.enabled", "false")
+      val expected = pairs(joinDf())
+      spark.conf.set("spark.graft.ann.enabled", prevEnabled)
+      assert(expected.size == 4 * 3)
+
+      val adaptive = joinDf()
+      assert(adaptive.queryExecution.optimizedPlan.toString
+        .contains("probe_lists"), "filtered knn join should rewrite")
+      assert(pairs(org.apache.spark.sql.graftshim.Shims.ofRows(spark,
+        adaptive.queryExecution.optimizedPlan)) == expected,
+        "escalated probes must recover every filtered pair")
+
+      spark.conf.set("spark.graft.ann.filteredAdaptive", "false")
+      val fixed = pairs(org.apache.spark.sql.graftshim.Shims.ofRows(spark,
+        joinDf().queryExecution.optimizedPlan))
+      assert(fixed.subsetOf(expected) && fixed != expected,
+        "nprobe=1 should miss filtered pairs on this fixture")
+    }
+  }
+
   test("ivf arm: probe count escalates to cover the sampled selectivity") {
     ensureIvf()
     withArm("adfl_ivf") {
