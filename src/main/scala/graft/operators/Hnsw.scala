@@ -1333,7 +1333,30 @@ object Hnsw {
       efSearch: Int = 100, overfetch: Int = 4, maxRounds: Int = 8,
       exact: Boolean = false): DataFrame = {
     val filteredIds = source.filter(pred).select(col(idCol))
-    var kr = math.max(k.toLong * math.max(overfetch, 2), k + 1L)
+    // Selectivity-seeded first fetch (round 10): when the artifact
+    // carries a `_sample.bin`, size round 1 to 2k / Wilson-lower(sel)
+    // so selective predicates skip the quadrupling rounds (each round
+    // is a candidate search + two actions). Zero sample matches seed
+    // the EXHAUSTIVE fetch — one brute round instead of log(n/k)
+    // escalations. Results are unchanged by construction: every round
+    // is exact in exact mode, and a larger kr only widens the
+    // candidate prefix in approximate mode.
+    val seeded: Long =
+      if (!spark.conf.get("spark.graft.ann.filteredAdaptive", "true")
+          .toBooleanOption.getOrElse(true)) 0L
+      else (source.filter(pred).queryExecution.analyzed match {
+        case org.apache.spark.sql.catalyst.plans.logical.Filter(c, _) =>
+          graft.index.SampleSidecar.estimate(spark, path, c)
+        case _ => None
+      }) match {
+        case Some((m, n, total)) =>
+          val sLo = graft.index.SampleSidecar.wilsonLower(m, n)
+          if (m == 0 || sLo <= 0.0) total
+          else math.min(math.ceil(2.0 * k / sLo).toLong, total)
+        case None => 0L
+      }
+    var kr = math.max(math.max(k.toLong * math.max(overfetch, 2), k + 1L),
+      seeded)
     var rounds = 0
     var result: DataFrame = null
     while (result == null && rounds < maxRounds) {
@@ -1354,8 +1377,14 @@ object Hnsw {
       result = filteredIds.join(broadcast(searchIndex(spark, path, idCol, q,
           math.min(kr, Int.MaxValue.toLong).toInt, efSearch, exact)), Seq(idCol))
         .orderBy(col("dist"), col(idCol)).limit(k)
+    lastFilteredRounds = rounds
     result
   }
+
+  /** Refill rounds taken by the last [[searchIndexFiltered]] call on
+    * this driver — test observability for the selectivity seeding (the
+    * round count is otherwise invisible in the returned frame). */
+  @volatile private[graft] var lastFilteredRounds: Int = 0
 
   /** Typed-opclass search over an EXISTING graph artifact with a
     * search-time metric override — completes the typed HNSW metric

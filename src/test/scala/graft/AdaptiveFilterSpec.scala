@@ -150,6 +150,30 @@ class AdaptiveFilterSpec extends SparkSpec {
     }
   }
 
+  test("vbase refill: sample-seeded first fetch collapses the rounds") {
+    val dataDir = ensureHnsw()
+    val pred = col("id") % 401 === 0 // 5 of 2000 rows
+    val expected = bruteRows(pred, 3)
+
+    def run(): Seq[(Long, Double)] =
+      graft.operators.Hnsw.searchIndexFiltered(spark, dataDir, "id", q,
+        3, spark.read.parquet(srcPath), pred, exact = true)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+    spark.conf.set("spark.graft.ann.filteredAdaptive", "true")
+    try {
+      assert(run() == expected)
+      assert(graft.operators.Hnsw.lastFilteredRounds == 1,
+        "seeded fetch should hold k survivors in round 1")
+
+      spark.conf.set("spark.graft.ann.filteredAdaptive", "false")
+      assert(run() == expected) // exact in every round regardless
+      assert(graft.operators.Hnsw.lastFilteredRounds > 1,
+        "unseeded k*overfetch start should need refill rounds here")
+    } finally
+      spark.conf.set("spark.graft.ann.filteredAdaptive", "true")
+  }
+
   test("filtered knn join: probe escalation recovers every (qid, id) pair") {
     import org.apache.spark.sql.expressions.Window
     ensureIvf()
