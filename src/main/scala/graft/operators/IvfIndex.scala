@@ -372,6 +372,25 @@ object IvfIndex {
     scan.select(col(idCol), distCol.as("dist"))
       .orderBy(col("dist"), col(idCol)).limit(k)
   }
+
+  /** [[search]] with a row predicate applied on the pruned scan — the
+    * filtered-ANN shape (artifact rows are full source rows, so any
+    * source predicate re-evaluates on the scan). Exact filtered top-k
+    * at nprobe = nlist; below that, exact within the probed lists. */
+  def searchFiltered(spark: SparkSession, path: String, model: Model,
+      idCol: String, vecCol: String, q: Array[Float], k: Int,
+      nprobe: Int, filter: Column): DataFrame = {
+    val qq = if (model.metric == "cos") Kernels.normalize(q) else q
+    val qLit = typedLit(qq)
+    val scan = prunedScan(spark, path, model, q, nprobe).filter(filter)
+    val distCol = model.metric match {
+      case "l2" => l2sq(col(vecCol), qLit)
+      case "dot" => negdot(col(vecCol), qLit)
+      case "cos" => negdot(col(vecCol), qLit) + lit(1.0)
+    }
+    scan.select(col(idCol), distCol.as("dist"))
+      .orderBy(col("dist"), col(idCol)).limit(k)
+  }
 }
 
 /** Float/centroid kernels shared by the IVF family. Top-level so the

@@ -173,6 +173,41 @@ object PartitionedIndex {
       .orderBy(col("dist"), col(idCol)).limit(k)
   }
 
+  /** FILTERED IVF parent search (round 10 — the mixed-predicate form of
+    * partition.slt's parent queries): a non-partition source predicate
+    * re-evaluates on each chosen sub-artifact's pruned scan (sub rows
+    * are the partition's full source rows, the dense-IVF property),
+    * with a PER-SUB probe count — the declarative arm escalates each
+    * sub independently from its own selectivity sample, so a predicate
+    * that is rare in one partition probes that partition exhaustively
+    * without over-probing the others. Exact when every sub's probes
+    * reach its nlist (each partition's exact filtered top-k is a
+    * superset of its global contribution). `filter` binds by NAME on
+    * the sub scans (unresolved-attribute Column, the filtered-join
+    * convention). */
+  def searchIvfFiltered(spark: SparkSession, name: String, source: String,
+      partCol: String, idCol: String, vecCol: String, q: Array[Float],
+      k: Int, probesBySub: Seq[(String, Int)],
+      filter: org.apache.spark.sql.Column): DataFrame = {
+    require(probesBySub.nonEmpty, s"no partitions to search under $source")
+    val subs = probesBySub.map { case (v, probes) =>
+      val sub = subName(name, v)
+      val m = graft.index.IndexCatalog.load(spark, sub).getOrElse(
+        throw new IllegalArgumentException(s"no such index: $sub"))
+      (sub, IvfIndex.Model(m.metric, m.centroids,
+        m.floats.get("radii").orNull), probes)
+    }
+    require(subs.forall(_._2.metric == subs.head._2.metric),
+      s"partitioned parent $name has mixed sub-index metrics: " +
+        subs.map(_._2.metric).distinct.mkString(", "))
+    subs.map { case (sub, model, probes) =>
+      IvfIndex.searchFiltered(spark,
+        graft.index.IndexCatalog.dataDir(spark, sub), model, idCol, vecCol,
+        q, k, math.min(math.max(probes, 1), model.nlist), filter)
+    }.reduce(_ unionByName _)
+      .orderBy(col("dist"), col(idCol)).limit(k)
+  }
+
   /** Parent-table sphere RANGE (the strategy-2 sphere predicates of
     * partition.slt's parent queries): per-partition resident flat scans
     * ([[Hnsw.rangeSearchFlat]]) unioned — range is not top-k, so there

@@ -1857,32 +1857,157 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         case IsNotNull(a: AttributeReference) => a.name == partCol0
         case _ => false
       }
-      // the FILTERED arm requires at least one partition conjunct (an
+      // the FILTERED arm requires at least one surviving conjunct (an
       // empty predicate wouldn't have reached this arm absorbed);
-      // conjunct classification, the layout-drift guard, and the value
-      // intersection are partitionChoice's — shared with the range and
-      // join arms so the admissibility rule cannot drift between arms
+      // partition-conjunct classification, the layout-drift guard, and
+      // the value intersection are partitionChoice's — shared with the
+      // range and join arms so the admissibility rule cannot drift
       if (conj.isEmpty) return None
+      // MIXED predicates (round 10 — the Postgres shape: partition
+      // pruning first, remaining quals at the per-partition index
+      // scan): partition-column literal conjuncts pick the sub-indexes;
+      // the REST either re-evaluates on the sub-artifact scans
+      // (ivf_part — full source rows) or semi-joins the base table
+      // against a sample-sized candidate fetch (hnsw_part — graph
+      // payloads carry only id/vec). A leftover referencing the
+      // partition column in a non-literal shape, or the vector column,
+      // bails (the ivfPartChoice rule).
+      val isPartConj: Expression => Boolean = {
+        case EqualTo(a: AttributeReference, _: Literal) => a.name == partCol0
+        case EqualTo(_: Literal, a: AttributeReference) => a.name == partCol0
+        case In(a: AttributeReference, vs) =>
+          a.name == partCol0 && vs.forall(_.isInstanceOf[Literal])
+        case _ => false
+      }
+      val (partConj, rest) = conj.partition(isPartConj)
+      if (rest.exists(_.references.exists(r =>
+          r.name == partCol0 || r.name == idx.vecCol))) return None
       val (partCol, chosen) =
-        partitionChoice(idx.indexName, manifest, conj).getOrElse(return None)
+        partitionChoice(idx.indexName, manifest, partConj).getOrElse(return None)
       val q = floatsOf(qLit)
-      val searchDf =
-        if (manifest.kind == "ivf_part")
-          graft.operators.PartitionedIndex.searchIvf(spark, idx.indexName,
-            manifest.source, partCol, idx.idCol, idx.vecCol, q, k,
-            nprobe = math.max(nprobe, 1), values = Some(chosen))
-        else {
-          val qq = if (metric == "cos") IvfIndex.Kernels.normalize(q) else q
-          graft.operators.PartitionedIndex.searchHnsw(spark,
-            idx.indexName, manifest.source, partCol, idx.idCol, qq, k,
-            efSearch = hnswEfSearch, exact = hnswExact,
-            values = Some(chosen), probeGraphs = hnswProbe)
+      if (rest.isEmpty) {
+        // pure partition predicate: fully absorbed by sub-index pruning
+        val searchDf =
+          if (manifest.kind == "ivf_part")
+            graft.operators.PartitionedIndex.searchIvf(spark, idx.indexName,
+              manifest.source, partCol, idx.idCol, idx.vecCol, q, k,
+              nprobe = math.max(nprobe, 1), values = Some(chosen))
+          else {
+            val qq = if (metric == "cos") IvfIndex.Kernels.normalize(q) else q
+            graft.operators.PartitionedIndex.searchHnsw(spark,
+              idx.indexName, manifest.source, partCol, idx.idCol, qq, k,
+              efSearch = hnswEfSearch, exact = hnswExact,
+              values = Some(chosen), probeGraphs = hnswProbe)
+          }
+        val newPlan = searchDf.queryExecution.analyzed
+        val Seq(newId, newDist) = newPlan.output
+        return Some(Project(Seq(
+          Alias(newId, idAttr.name)(exprId = idAttr.exprId),
+          Alias(newDist, alias.name)(exprId = alias.exprId)), newPlan))
+      }
+      val restExpr = rest.reduce(And)
+      if (manifest.kind == "ivf_part") {
+        // leftovers remap by NAME onto every chosen sub scan — guard
+        // against the INTERSECTION of their schemas (cached footers)
+        val schema = chosen.map(v => AnnPushdown.subFieldNames(spark,
+            graft.operators.PartitionedIndex.subName(idx.indexName, v)))
+          .reduce(_ intersect _)
+        if (!rest.forall(_.references.forall(r => schema.contains(r.name))))
+          return None
+        val filterCol = org.apache.spark.sql.graftshim.Shims.column(
+          rest.map(_.transform {
+            case a: AttributeReference =>
+              org.apache.spark.sql.catalyst.analysis
+                .UnresolvedAttribute(a.name)
+          }).reduce(And))
+        // PER-SUB probe escalation from each sub's own sample (the
+        // dense filtered-IVF formula applied per partition): a
+        // predicate that is rare in one partition probes that sub
+        // exhaustively — graceful, never bails
+        val baseProbes =
+          math.max(nprobe.toLong * math.max(filteredOverfetch, 1), 1L)
+        val probesBySub = chosen.map { v =>
+          val subM = graft.index.IndexCatalog.load(spark,
+            graft.operators.PartitionedIndex.subName(idx.indexName, v))
+            .getOrElse(return None)
+          val nlist = subM.centroids.length
+          val probes = (if (filteredAdaptive)
+              graft.index.SampleSidecar.estimate(spark,
+                graft.index.IndexCatalog.dataDir(spark,
+                  graft.operators.PartitionedIndex.subName(idx.indexName, v)),
+                restExpr)
+            else None) match {
+            case Some((m, n, total)) =>
+              val need = neededCandidates(k, m, n)
+              val fromNeed =
+                if (need == Long.MaxValue || total <= 0) nlist.toLong
+                else math.ceil(nlist.toDouble * need / total).toLong
+              math.min(math.max(baseProbes, fromNeed), nlist.toLong)
+            case None => math.min(baseProbes, nlist.toLong)
+          }
+          v -> probes.toInt
         }
-      val newPlan = searchDf.queryExecution.analyzed
-      val Seq(newId, newDist) = newPlan.output
+        val searchDf = graft.operators.PartitionedIndex.searchIvfFiltered(
+          spark, idx.indexName, manifest.source, partCol, idx.idCol,
+          idx.vecCol, q, k, probesBySub, filterCol)
+        val newPlan = searchDf.queryExecution.analyzed
+        val Seq(newId, newDist) = newPlan.output
+        return Some(Project(Seq(
+          Alias(newId, idAttr.name)(exprId = idAttr.exprId),
+          Alias(newDist, alias.name)(exprId = alias.exprId)), newPlan))
+      }
+      // hnsw_part MIXED: the one-shot dense form lifted to the parent —
+      // a candidate fetch over the CHOSEN partitions sized by their
+      // POOLED samples (Σ totalᵢ·wilson(mᵢ,nᵢ) / Σ totalᵢ, the natural
+      // multi-sample lower bound — equal to the single-artifact formula
+      // at one sub), semi-joined against the predicate-filtered base
+      // scan. Refuses like the dense arm when no credible breadth can
+      // hold k survivors (the pre-filter exact plan wins); a sub
+      // without a sample refuses ADAPTIVITY (fixed breadth), never the
+      // rewrite.
+      val baseKr = math.min(k.toLong * math.max(filteredOverfetch, 2),
+        Int.MaxValue.toLong)
+      val perSub =
+        if (filteredAdaptive)
+          Some(chosen.map(v => graft.index.SampleSidecar.estimate(spark,
+            graft.index.IndexCatalog.dataDir(spark,
+              graft.operators.PartitionedIndex.subName(idx.indexName, v)),
+            restExpr)))
+        else None
+      val kr = perSub match {
+        case Some(ests) if ests.forall(_.isDefined) =>
+          val ms = ests.flatten
+          val totalAll = ms.map(_._3).sum
+          val mLo = ms.map { case (m, n, t) =>
+            t * graft.index.SampleSidecar.wilsonLower(m, n) }.sum
+          val selLo = if (totalAll > 0) mLo / totalAll else 0.0
+          val need =
+            if (selLo <= 0.0) Long.MaxValue
+            else math.ceil(2.0 * k / selLo).toLong
+          if (need > filteredMaxCandidates || need >= totalAll) return None
+          math.min(math.max(baseKr, need), Int.MaxValue.toLong).toInt
+        case _ => baseKr.toInt
+      }
+      val qq = if (metric == "cos") IvfIndex.Kernels.normalize(q) else q
+      val cands = graft.operators.PartitionedIndex.searchHnsw(spark,
+        idx.indexName, manifest.source, partCol, idx.idCol, qq, kr,
+        efSearch = math.max(hnswEfSearch, kr), exact = hnswExact,
+        values = Some(chosen), probeGraphs = hnswProbe)
+      val nf = Filter(cond, rel)
+      nf.setTagValue(RewrittenTag, true)
+      val filteredIds = org.apache.spark.sql.graftshim.Shims
+        .ofRows(spark, Project(Seq(rel.output.find(_.name == idx.idCol)
+          .getOrElse(return None)), nf))
+      val joined = filteredIds
+        .join(org.apache.spark.sql.functions.broadcast(cands), idx.idCol)
+        .orderBy(org.apache.spark.sql.functions.col("dist"),
+          org.apache.spark.sql.functions.col(idx.idCol))
+        .limit(k)
+      val newPlan = joined.queryExecution.optimizedPlan
+      val byName = newPlan.output.map(a => a.name -> a).toMap
       return Some(Project(Seq(
-        Alias(newId, idAttr.name)(exprId = idAttr.exprId),
-        Alias(newDist, alias.name)(exprId = alias.exprId)), newPlan))
+        Alias(byName(idx.idCol), idAttr.name)(exprId = idAttr.exprId),
+        Alias(byName("dist"), alias.name)(exprId = alias.exprId)), newPlan))
     }
     // HNSW-kind registrations get the ONE-SHOT breadth form — the
     // `search.mode = basic` contract (a single k·overfetch candidate

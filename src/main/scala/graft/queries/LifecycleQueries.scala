@@ -519,6 +519,97 @@ object LifecycleQueries {
       }
     }),
 
+    // --- MIXED-predicate filtered top-k on the hnsw_part parent
+    //     (round 10 — the Postgres shape: partition pruning first,
+    //     remaining quals at the per-partition index scan): the
+    //     partition conjunct picks the sub-indexes, the non-partition
+    //     conjunct semi-joins the base table against a candidate fetch
+    //     sized by the POOLED sub samples. Two scopes pin BOTH guard
+    //     decisions: ~50% selectivity widens the fetch and fills k
+    //     (exact mode -> distance prefix -> exact, full oracle); ~1%
+    //     refuses the rewrite and the pre-filter exact scan survives.
+    "q_partitioned_filtered_pushdown" -> ((s, d) => {
+      import graft.plans.AnnPushdown
+      val (srcDir, name) = partFixture(s, d)
+      AnnPushdown.install(s)
+      val prevReg = AnnPushdown.snapshot(srcDir)
+      AnnPushdown.register(srcDir,
+        AnnPushdown.IndexedTable(name, "vec_id", "embedding"))
+      val prevEnabled = s.conf.get("spark.graft.ann.enabled", "false")
+      val prevExact = s.conf.get("spark.graft.hnsw.exact", "false")
+      s.conf.set("spark.graft.ann.enabled", "true")
+      s.conf.set("spark.graft.hnsw.exact", "true")
+      try {
+        val q = qvec(s, d)
+        def topk(pred: org.apache.spark.sql.Column, k: Int) = s.read
+          .parquet(srcDir).filter(pred)
+          .select(col("vec_id"),
+            l2sq(col("embedding"), typedLit(q)).as("dist"))
+          .orderBy(col("dist")).limit(k)
+        val widened = topk(col("category") === 1 && col("vec_id") % 2 === 0,
+          10).queryExecution.optimizedPlan
+        require(widened.toString.contains("Join"),
+          "mixed-predicate partitioned top-k should take the candidate join")
+        val widenDf = org.apache.spark.sql.graftshim.Shims.ofRows(s, widened)
+        require(widenDf.count() == 10,
+          "pooled-sample candidate breadth did not fill k survivors")
+        val refused = topk(col("category") === 1 && col("vec_id") % 97 === 0,
+          5).queryExecution.optimizedPlan
+        require(!refused.toString.contains("Join") &&
+            refused.toString.contains("Relation"),
+          "hyper-selective mixed predicate should stay on the pre-filter scan")
+        widenDf.withColumn("scope", lit("widen"))
+          .unionByName(org.apache.spark.sql.graftshim.Shims.ofRows(s, refused)
+            .withColumn("scope", lit("refuse")))
+          .select(col("scope"), col("vec_id"), col("dist"))
+      } finally {
+        s.conf.set("spark.graft.ann.enabled", prevEnabled)
+        s.conf.set("spark.graft.hnsw.exact", prevExact)
+        AnnPushdown.restore(srcDir, prevReg)
+      }
+    }),
+    // --- MIXED-predicate filtered top-k on the ivf_part parent: the
+    //     non-partition conjunct re-evaluates on each chosen sub's
+    //     pruned scan (full source rows), with PER-SUB probe escalation
+    //     from each sub's own sample — nprobe pinned 1 and overfetch 1
+    //     so only the escalation can reach nlist, where the result is
+    //     the exact filtered top-k (full oracle passes only there).
+    "q_partitioned_ivf_filtered_pushdown" -> ((s, d) => {
+      import graft.plans.AnnPushdown
+      val (srcDir, _) = partFixture(s, d)
+      val name = s"partivf_${san(d)}"
+      PartitionedIndex.ensureIvf(s, name, srcDir, "category",
+        "embedding", "l2", nlist = 4)
+      AnnPushdown.install(s)
+      val prevReg = AnnPushdown.snapshot(srcDir)
+      AnnPushdown.register(srcDir,
+        AnnPushdown.IndexedTable(name, "vec_id", "embedding"))
+      val prevEnabled = s.conf.get("spark.graft.ann.enabled", "false")
+      val prevNp = s.conf.get("spark.graft.ann.nprobe", "10")
+      val prevOf = s.conf.get("spark.graft.ann.filteredOverfetch", "4")
+      s.conf.set("spark.graft.ann.enabled", "true")
+      s.conf.set("spark.graft.ann.nprobe", "1")
+      s.conf.set("spark.graft.ann.filteredOverfetch", "1")
+      try {
+        val q = qvec(s, d)
+        val df = s.read.parquet(srcDir)
+          .filter(col("category").isin(1, 2) && col("vec_id") % 83 === 0)
+          .select(col("vec_id"),
+            l2sq(col("embedding"), typedLit(q)).as("dist"))
+          .orderBy(col("dist")).limit(5)
+        val optimized = df.queryExecution.optimizedPlan
+        require(optimized.toString.contains("list_id"),
+          "mixed-predicate partitioned IVF top-k did not dispatch")
+        org.apache.spark.sql.graftshim.Shims.ofRows(s, optimized)
+          .orderBy(col("dist"), col("vec_id"))
+      } finally {
+        s.conf.set("spark.graft.ann.enabled", prevEnabled)
+        s.conf.set("spark.graft.ann.nprobe", prevNp)
+        s.conf.set("spark.graft.ann.filteredOverfetch", prevOf)
+        AnnPushdown.restore(srcDir, prevReg)
+      }
+    }),
+
     // --- the IVF parent JOIN arms (round 9): a declarative window join
     //     against an ivf_part registration dispatches onto the
     //     combined-model probed join (PartitionedIndex.knnJoinIvf) — one
@@ -1028,6 +1119,37 @@ object LifecycleQueries {
               ORDER BY dist, vec_id LIMIT 40)
           SELECT scope, vec_id, dist FROM fullk
           UNION ALL SELECT scope, vec_id, dist FROM cat1""",
+
+    // mixed-predicate filtered top-k on the parent: both scopes are
+    // exact by construction (widen fills k in exact mode — a distance
+    // prefix; refuse IS the pre-filter scan), so the brute replay with
+    // both conjuncts applies to each
+    "q_partitioned_filtered_pushdown" ->
+      s"""WITH src AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),
+            q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+            widen AS (
+              SELECT 'widen' AS scope, a.vec_id AS vec_id, $aL2 AS dist
+              FROM src a CROSS JOIN q
+              WHERE a.vec_id % 3 = 1 AND a.vec_id % 2 = 0
+              ORDER BY dist, vec_id LIMIT 10),
+            refuse AS (
+              SELECT 'refuse' AS scope, a.vec_id AS vec_id, $aL2 AS dist
+              FROM src a CROSS JOIN q
+              WHERE a.vec_id % 3 = 1 AND a.vec_id % 97 = 0
+              ORDER BY dist, vec_id LIMIT 5)
+          SELECT scope, vec_id, dist FROM widen
+          UNION ALL SELECT scope, vec_id, dist FROM refuse""",
+
+    // per-sub escalation reaches nlist on the ~1% predicate, so the
+    // dispatched result is the exact filtered top-k over the chosen
+    // partitions — the oracle only passes at full probes
+    "q_partitioned_ivf_filtered_pushdown" ->
+      s"""WITH src AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),
+            q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+          SELECT a.vec_id AS vec_id, $aL2 AS dist
+          FROM src a CROSS JOIN q
+          WHERE a.vec_id % 3 IN (1, 2) AND a.vec_id % 83 = 0
+          ORDER BY dist, vec_id LIMIT 5""",
 
     // exact parent knn join: brute-force window replay over the
     // partition union, both scopes (the q_hnsw_knn_join_exact shape)

@@ -217,6 +217,102 @@ class AdaptiveFilterSpec extends SparkSpec {
     }
   }
 
+  // --- mixed-predicate filtered top-k on partitioned parents (round
+  //     10): partition conjuncts prune sub-indexes, leftovers either
+  //     semi-join the base scan (hnsw_part, pooled-sample breadth) or
+  //     re-evaluate on the sub scans (ivf_part, per-sub escalation)
+
+  private val partSrc = "/tmp/graft_adfl_partsrc"
+
+  private def ensurePartCorpus(): Unit = {
+    if (new java.io.File(partSrc, "_SUCCESS").isFile) return
+    ensureCorpus()
+    spark.read.parquet(srcPath)
+      .withColumn("cat", (col("id") % 4).cast("int"))
+      .write.mode("overwrite").partitionBy("cat").parquet(partSrc)
+  }
+
+  private def partTopk(pred: org.apache.spark.sql.Column, k: Int): DataFrame =
+    spark.read.parquet(partSrc)
+      .filter(pred)
+      .select(col("id"), graft.functions.l2sq(col("vec"), typedLit(q)).as("dist"))
+      .orderBy(col("dist")).limit(k)
+
+  private def partBrute(pred: org.apache.spark.sql.Column, k: Int): Seq[(Long, Double)] = {
+    val prev = spark.conf.get("spark.graft.ann.enabled", "false")
+    spark.conf.set("spark.graft.ann.enabled", "false")
+    try partTopk(pred, k).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    finally spark.conf.set("spark.graft.ann.enabled", prev)
+  }
+
+  private def withPartArm(name: String)(body: => Unit): Unit = {
+    AnnPushdown.install(spark)
+    AnnPushdown.register(partSrc,
+      AnnPushdown.IndexedTable(name, "id", "vec", "l2"))
+    spark.conf.set("spark.graft.ann.enabled", "true")
+    try body
+    finally {
+      spark.conf.set("spark.graft.ann.enabled", "false")
+      spark.conf.set("spark.graft.hnsw.exact", "false")
+      spark.conf.set("spark.graft.ann.filteredAdaptive", "true")
+      spark.conf.set("spark.graft.ann.nprobe", "10")
+      spark.conf.set("spark.graft.ann.filteredOverfetch", "4")
+      AnnPushdown.unregister(partSrc)
+    }
+  }
+
+  test("hnsw_part mixed predicate: widen fills k exactly, hyper-selective refuses") {
+    ensurePartCorpus()
+    graft.operators.PartitionedIndex.ensureHnsw(spark, "adfl_part",
+      partSrc, "cat", "id", "vec", "l2")
+    withPartArm("adfl_part") {
+      spark.conf.set("spark.graft.hnsw.exact", "true")
+
+      // label is uncorrelated with the partition key (cat = id%4 makes
+      // id%2 DEGENERATE within a partition — every cat-1 id is odd)
+      val widen = col("cat") === 1 && col("label") === 3
+      val adaptive = partTopk(widen, 10)
+      assert(adaptive.queryExecution.optimizedPlan.toString.contains("Join"),
+        "20%-within-partition predicate should take the candidate join")
+      val got = adaptive.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got == partBrute(widen, 10),
+        "pooled-sample exact prefix must yield the exact filtered top-k")
+
+      val refuse = col("cat") === 1 && col("id") % 401 === 0 // 1 row
+      val kept = partTopk(refuse, 5)
+      assert(!kept.queryExecution.optimizedPlan.toString.contains("Join"),
+        "guard should refuse the rewrite on a 0.2% mixed predicate")
+      assert(kept.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        == partBrute(refuse, 5))
+    }
+  }
+
+  test("ivf_part mixed predicate: per-sub probes escalate to recover every survivor") {
+    ensurePartCorpus()
+    graft.operators.PartitionedIndex.ensureIvf(spark, "adfl_partivf",
+      partSrc, "cat", "vec", "l2", nlist = 8)
+    withPartArm("adfl_partivf") {
+      spark.conf.set("spark.graft.ann.nprobe", "1")
+      spark.conf.set("spark.graft.ann.filteredOverfetch", "1")
+      // 5 survivors spread over both chosen partitions
+      val pred = col("cat").isin(1, 2) && col("id") % 201 === 0
+      val expected = partBrute(pred, 10)
+      assert(expected.length == 5)
+
+      val adaptive = partTopk(pred, 10)
+      assert(adaptive.queryExecution.optimizedPlan.toString.contains("list_id"),
+        "mixed-predicate ivf_part top-k should dispatch to the sub scans")
+      val got = adaptive.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got == expected, "per-sub escalation must recover every survivor")
+
+      spark.conf.set("spark.graft.ann.filteredAdaptive", "false")
+      val fixed = partTopk(pred, 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(fixed.length < expected.length,
+        "1-of-8 probed lists per sub should miss survivors on this fixture")
+    }
+  }
+
   test("ivf arm: probe count escalates to cover the sampled selectivity") {
     ensureIvf()
     withArm("adfl_ivf") {
