@@ -1,0 +1,168 @@
+package graft.index
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.execution.command.{ExplainCommand, LeafRunnableCommand}
+import org.apache.spark.sql.types.{DataType, StringType, StructType}
+
+/**
+ * Parser-injected native index DDL — the reference drives its entire
+ * index lifecycle as parsed SQL statements (CREATE INDEX ... USING
+ * vectors, src/index/am.rs:135-244; finalize.sql:714; every slt file),
+ * and the Spark-native analog of a DDL statement is a parsed
+ * `RunnableCommand`: planned at parse time, EXECUTED exactly once per
+ * execution. This replaces the analysis-time side effects of the
+ * `SELECT create_vector_index(...)` spelling (which constant-folds in
+ * the FunctionRegistry builder, so an EXPLAIN alone triggers a build
+ * and re-analysis re-runs it) — those registrations stay for
+ * compatibility, but statements are the idiomatic surface:
+ *
+ * {{{
+ * CREATE VECTOR INDEX [IF NOT EXISTS] name ON '/path/t.parquet'
+ *   USING vectors (id_col, vec_col vector_l2_ops)
+ *   WITH (m = 12, ef_construction = 300)
+ * VACUUM VECTOR INDEX name
+ * DROP VECTOR INDEX [IF EXISTS] name
+ * EXPLAIN <any of the above>     -- plans, never builds
+ * }}}
+ *
+ * The statement shape mirrors Postgres `CREATE INDEX ... USING am (col
+ * opclass) WITH (reloptions)`, carrying the id column a path-based
+ * catalog needs where the reference reads the heap TID. `USING` takes
+ * the [[IndexOptions.accessMethod]] spellings (`vectors`, `hnsw`,
+ * `ivfflat`), the opclass defaults to `vector_l2_ops`, and `WITH`
+ * reloptions accept both pgvector and native keys ([[SqlDdl.create]]
+ * dispatch). Injected via [[graft.plans.GraftExtensions]]
+ * (`spark.sql.extensions`); unrecognized statements delegate verbatim,
+ * so the parser is a pure extension of the Spark surface.
+ */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+  override def parsePlan(sqlText: String): LogicalPlan =
+    GraftSqlParser.parseVectorDdl(sqlText).getOrElse(delegate.parsePlan(sqlText))
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType =
+    delegate.parseDataType(sqlText)
+}
+
+object GraftSqlParser {
+  private val Ident = "[A-Za-z_][A-Za-z0-9_]*"
+
+  // CREATE VECTOR INDEX [IF NOT EXISTS] name ON '<path>' USING am
+  //   (idCol, vecCol [opclass]) [WITH (k = v, ...)]
+  private val CreateRe =
+    ("""(?is)\s*CREATE\s+VECTOR\s+INDEX\s+(?:(IF\s+NOT\s+EXISTS)\s+)?""" +
+      s"($Ident)" + """\s+ON\s+'([^']+)'\s+USING\s+""" + s"($Ident)" +
+      """\s*\(\s*""" + s"($Ident)" + """\s*,\s*""" + s"($Ident)" +
+      """(?:\s+""" + s"($Ident)" + """)?\s*\)""" +
+      """(?:\s+WITH\s*\((.*?)\))?\s*;?\s*""").r
+
+  private val DropRe =
+    ("""(?is)\s*DROP\s+VECTOR\s+INDEX\s+(?:(IF\s+EXISTS)\s+)?""" +
+      s"($Ident)" + """\s*;?\s*""").r
+
+  private val VacuumRe =
+    ("""(?is)\s*VACUUM\s+VECTOR\s+INDEX\s+""" + s"($Ident)" +
+      """\s*;?\s*""").r
+
+  private val ExplainRe =
+    """(?is)\s*EXPLAIN(?:\s+(EXTENDED|CODEGEN|COST|FORMATTED))?\s+(.*)""".r
+
+  /** `WITH (m = 12, ef_construction = 300)` body → the `k=v,k=v` string
+    * [[SqlDdl.parseOpts]] takes. Values may be bare words/numbers or
+    * single-quoted strings. */
+  private def withOpts(body: String): String = {
+    val s = Option(body).getOrElse("").trim
+    if (s.isEmpty) ""
+    else s.split(',').map { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) =>
+          s"${k.trim}=${v.trim.stripPrefix("'").stripSuffix("'")}"
+        case _ => throw new IllegalArgumentException(
+          s"malformed WITH option '$kv' (expected key = value)")
+      }
+    }.mkString(",")
+  }
+
+  /** Try the vector-DDL grammar; None → not ours, delegate. Statement
+    * recognition is all that happens at parse time — the catalog work
+    * lives in the commands' run(), the execute-once contract. */
+  private[index] def parseVectorDdl(sqlText: String): Option[LogicalPlan] =
+    sqlText match {
+      case CreateRe(ifNot, name, source, am, idCol, vecCol, opclass, opts) =>
+        Some(CreateVectorIndexCommand(name, source, idCol, vecCol, am,
+          Option(opclass).getOrElse("vector_l2_ops"),
+          withOpts(opts), ifNotExists = ifNot != null))
+      case DropRe(ifExists, name) =>
+        Some(DropVectorIndexCommand(name, ifExists = ifExists != null))
+      case VacuumRe(name) =>
+        Some(VacuumVectorIndexCommand(name))
+      case ExplainRe(mode, inner) =>
+        // EXPLAIN <vector ddl>: plan the command, wrap it — the
+        // RunnableCommand body never runs under ExplainCommand
+        parseVectorDdl(inner).map(cmd => ExplainCommand(cmd,
+          ExplainMode.fromString(
+            Option(mode).map(_.toLowerCase).getOrElse("simple"))))
+      case _ => None
+    }
+
+  /** Is the vector-DDL grammar live on this session's parser? */
+  def installed(spark: SparkSession): Boolean =
+    spark.sessionState.sqlParser.isInstanceOf[GraftSqlParser]
+}
+
+private[index] trait VectorIndexCommand extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("result", StringType, nullable = false)())
+}
+
+/** CREATE VECTOR INDEX: idempotent ensure semantics via
+  * [[SqlDdl.create]] (an existing non-stale artifact with the same
+  * params is a no-op — the reference's re-CREATE behavior); IF NOT
+  * EXISTS short-circuits on ANY committed manifest of that name. */
+case class CreateVectorIndexCommand(name: String, source: String,
+    idCol: String, vecCol: String, am: String, opclass: String,
+    options: String, ifNotExists: Boolean) extends VectorIndexCommand {
+  override def run(spark: SparkSession): Seq[Row] =
+    if (ifNotExists && IndexCatalog.load(spark, name).isDefined)
+      Seq(Row("exists"))
+    else Seq(Row(SqlDdl.create(spark, name, source, idCol, vecCol, am,
+      opclass, options)))
+}
+
+/** VACUUM VECTOR INDEX: [[SqlDdl.vacuum]] — rebuild from the current
+  * source, reclaiming deleted rows, serving readers throughout. */
+case class VacuumVectorIndexCommand(name: String) extends VectorIndexCommand {
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(SqlDdl.vacuum(spark, name)))
+}
+
+/** DROP VECTOR INDEX: [[IndexCatalog.drop]] (waits for in-flight builds
+  * under the DDL lock). Without IF EXISTS a missing index errors, the
+  * Postgres DROP INDEX contract. */
+case class DropVectorIndexCommand(name: String, ifExists: Boolean)
+    extends VectorIndexCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val present = IndexCatalog.load(spark, name).isDefined
+    if (!present && !ifExists)
+      throw new IllegalArgumentException(s"no such index: $name")
+    if (present) IndexCatalog.drop(spark, name)
+    Seq(Row(if (present) "ok" else "skipped"))
+  }
+}

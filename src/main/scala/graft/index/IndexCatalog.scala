@@ -276,13 +276,25 @@ object IndexCatalog {
     // sql_cols = "idCol,vecCol" recorded by the SQL-text CREATE path
     // (graft.index.SqlDdl) so vacuum_vector_index(name) can reconstruct
     // the build without re-asking for the columns — informational, never
-    // read by searches
-    val colPair = (v: String) => v.matches("[A-Za-z_][A-Za-z0-9_]*,[A-Za-z_][A-Za-z0-9_]*")
+    // read by searches. Column names accept anything comma-free that an
+    // ensure accepted (Spark allows dots/hyphens/unicode in names — a
+    // stricter pattern here would strand a BUILT index without its
+    // recipe, round-10 advice); the comma is the recipe's one structural
+    // delimiter.
+    val colPair = (v: String) => {
+      val p = v.split(",", -1)
+      p.length == 2 && p.forall(s => s.trim.nonEmpty) &&
+        !v.exists(_ < ' ')
+    }
     Map("probe_hint" -> posInt, "nprobe" -> posInt,
       "ef_search" -> posInt, "rerank_window" -> posInt,
       "sql_cols" -> colPair,
       "sql_am" -> ((v: String) => Set("vectors", "hnsw", "ivfflat")(v)),
-      "sql_opclass" -> IndexOptions.isOpclass _)
+      "sql_opclass" -> IndexOptions.isOpclass _,
+      // the verbatim WITH-options string of the SQL CREATE (the vacuum
+      // replay recipe — preserves reloptions like indexing=ivf that the
+      // structural params can't reconstruct); empty allowed
+      "sql_options" -> ((v: String) => !v.exists(_ < ' ')))
   }
 
   /** Live-alter an index option (`alter_vector_index` analog,
@@ -299,6 +311,26 @@ object IndexCatalog {
     if (!validate(value))
       throw new IllegalArgumentException(s"invalid index option value: $key = $value")
     commit(spark, name, m.copy(params = m.params + (key -> value)))
+  }
+
+  /** Alter several options in ONE commit (one atomic manifest rename) —
+    * the SQL-recipe writer: a crash between separate alters must never
+    * leave a partial recipe that a later vacuum would misread (it
+    * refuses on ANY missing recipe key, but partial recipes shouldn't
+    * exist in the first place). Validates every pair before touching
+    * the manifest. */
+  def alterAll(spark: SparkSession, name: String,
+      kvs: Map[String, String]): Manifest = withIndexLock(spark, name) {
+    val m = load(spark, name).getOrElse(
+      throw new IllegalArgumentException(s"no such index: $name"))
+    kvs.foreach { case (key, value) =>
+      val validate = Alterable.getOrElse(key,
+        throw new IllegalArgumentException(s"option not found: $key"))
+      if (!validate(value))
+        throw new IllegalArgumentException(
+          s"invalid index option value: $key = $value")
+    }
+    commit(spark, name, m.copy(params = m.params ++ kvs))
   }
 
   /** `fence_vector_index` analog (functions.rs:16-41): block until the

@@ -6,9 +6,13 @@ import org.apache.spark.sql.functions.col
 /** SQL-text index DDL — the reference's CREATE INDEX surface
   * (`CREATE ACCESS METHOD vectors` finalize.sql:714; ambuild
   * src/index/am.rs:135-244; every slt file drives index creation as SQL)
-  * exposed as spark.sql functions on the admin-UDF precedent
+  * reachable two ways: the parsed statements
+  * ([[GraftSqlParser]] — `CREATE/VACUUM/DROP VECTOR INDEX`, the
+  * idiomatic execute-once RunnableCommand surface) and the
+  * compatibility spark.sql functions on the admin-UDF precedent
   * ([[graft.functions]] registerAll: literal args constant-fold, so the
-  * catalog work runs driver-side exactly once per execution):
+  * catalog work runs driver-side — once per ANALYSIS, the documented
+  * wart the statements don't have):
   *
   * {{{
   * SELECT create_vector_index('idx', '/data/t.parquet', 'id', 'vec',
@@ -27,12 +31,13 @@ import org.apache.spark.sql.functions.col
   * non-stale artifact with the same params is a no-op, the reference's
   * re-CREATE behavior under the catalog.
   *
-  * The SQL path records `sql_cols` / `sql_am` / `sql_opclass` manifest
-  * params so [[vacuum]] can reconstruct the build from the name alone
-  * (the reference's VACUUM knows its table from the pg catalog; a
-  * path-based catalog must remember the columns itself). Those params
-  * are informational — searches never read them, and ensure-built
-  * artifacts are otherwise manifest-identical.
+  * The SQL path records `sql_cols` / `sql_am` / `sql_opclass` /
+  * `sql_options` manifest params IN ONE COMMIT so [[vacuum]] can replay
+  * the exact build from the name alone (the reference's VACUUM knows
+  * its table from the pg catalog; a path-based catalog must remember
+  * the recipe itself — and a torn recipe must be impossible, not merely
+  * refused). Those params are informational — searches never read them,
+  * and ensure-built artifacts are otherwise manifest-identical.
   */
 object SqlDdl {
 
@@ -49,11 +54,15 @@ object SqlDdl {
     }.toMap
   }
 
-  /** CREATE INDEX as SQL text. Returns "ok". */
-  def create(spark: SparkSession, name: String, source: String,
-      idCol: String, vecCol: String, method: String, opclassName: String,
-      options: String): String = {
-    val am = IndexOptions.accessMethod(method)
+  /** The (family, indexing) build dispatch shared by [[create]]
+    * (`rebuild = false`: idempotent ensure) and [[vacuum]]
+    * (`rebuild = true`: REINDEX — fresh generation dir, one atomic
+    * pointer flip, readers served throughout; NO kind serves vacuum by
+    * drop-any-more, so there is never a no-index window and a crashed
+    * rebuild leaves the old generation committed). */
+  private def dispatch(spark: SparkSession, name: String, source: String,
+      idCol: String, vecCol: String, am: String, opclassName: String,
+      options: String, rebuild: Boolean): Unit = {
     val (family, metric) = IndexOptions.opclass(opclassName, am)
     val opts = parseOpts(options)
     val indexing = am match {
@@ -70,103 +79,140 @@ object SqlDdl {
     val parts = opts.get("parts").map(_.trim.toInt).getOrElse(1)
     val rest = opts - "indexing" - "parts"
     def df = spark.read.parquet(source)
+    import graft.operators.{Hnsw, IvfIndex, TypedAnn}
     (family, indexing) match {
       case ("dense", "hnsw") =>
-        graft.operators.Hnsw.ensure(spark, name, df, source, idCol, vecCol,
-          metric, parts, rest)
+        val (m, efc) = IndexOptions.hnsw(rest)
+        if (rebuild) Hnsw.reindex(spark, name, df, source, idCol, vecCol,
+          metric, parts, m, efc)
+        else Hnsw.ensure(spark, name, df, source, idCol, vecCol,
+          metric, parts, m, efc)
       case ("dense", "ivf") =>
-        graft.operators.IvfIndex.ensure(spark, name, df, source, vecCol,
-          metric, rest)
+        val nlist = IndexOptions.ivf(rest)
+        if (rebuild) IvfIndex.reindex(spark, name, df, source, vecCol,
+          metric, nlist)
+        else IvfIndex.ensure(spark, name, df, source, vecCol, metric, nlist)
       // typed IVF opclasses: one artifact per type family, the metric is
       // a search-time choice (TypedAnn convention) — validated above
       case ("bvec", "ivf") =>
-        graft.operators.TypedAnn.ensureBvec(spark, name, df, source,
-          idCol, vecCol, nlist = IndexOptions.ivf(rest))
+        val nlist = IndexOptions.ivf(rest)
+        if (rebuild) TypedAnn.reindexBvec(spark, name, df, source,
+          idCol, vecCol, nlist)
+        else TypedAnn.ensureBvec(spark, name, df, source, idCol, vecCol, nlist)
       case ("f16", "ivf") =>
-        graft.operators.TypedAnn.ensureF16(spark, name, df, source,
-          idCol, vecCol, nlist = IndexOptions.ivf(rest))
+        val nlist = IndexOptions.ivf(rest)
+        if (rebuild) TypedAnn.reindexF16(spark, name, df, source,
+          idCol, vecCol, nlist)
+        else TypedAnn.ensureF16(spark, name, df, source, idCol, vecCol, nlist)
       case ("svec", "ivf") =>
         // pushdown-registered svec artifacts store their CSR column as
         // "sv" = svec_from_dense(col), the value-identity convention
-        graft.operators.TypedAnn.ensureSvec(spark, name,
-          df.select(col(idCol),
-            graft.functions.svecFromDense(col(vecCol)).as("sv")),
-          source, idCol, "sv", nlist = IndexOptions.ivf(rest))
+        val nlist = IndexOptions.ivf(rest)
+        def sdf = df.select(col(idCol),
+          graft.functions.svecFromDense(col(vecCol)).as("sv"))
+        if (rebuild) TypedAnn.reindexSvec(spark, name, sdf, source,
+          idCol, "sv", nlist)
+        else TypedAnn.ensureSvec(spark, name, sdf, source, idCol, "sv", nlist)
       // typed opclasses under the hnsw AM: graphs over the family's
       // DENSIFIED view (l2 on the view IS the family metric or its
       // search-time override) — the declarative-closure conventions
       case ("bvec", "hnsw") =>
-        graft.operators.Hnsw.ensure(spark, name,
-          df.select(col(idCol), graft.functions.bvecToDense(
-            graft.functions.binarize(col(vecCol))).as("bv01")),
-          source, idCol, "bv01", "l2", parts, rest)
+        val (m, efc) = IndexOptions.hnsw(rest)
+        def bdf = df.select(col(idCol), graft.functions.bvecToDense(
+          graft.functions.binarize(col(vecCol))).as("bv01"))
+        if (rebuild) Hnsw.reindex(spark, name, bdf, source, idCol, "bv01",
+          "l2", parts, m, efc)
+        else Hnsw.ensure(spark, name, bdf, source, idCol, "bv01",
+          "l2", parts, m, efc)
       case ("f16", "hnsw") =>
-        graft.operators.Hnsw.ensure(spark, name,
-          df.select(col(idCol), graft.functions.f16ToVector(
-            graft.functions.toF16Bits(col(vecCol))).as("v16")),
-          source, idCol, "v16", "l2", parts, rest)
+        val (m, efc) = IndexOptions.hnsw(rest)
+        def fdf = df.select(col(idCol), graft.functions.f16ToVector(
+          graft.functions.toF16Bits(col(vecCol))).as("v16"))
+        if (rebuild) Hnsw.reindex(spark, name, fdf, source, idCol, "v16",
+          "l2", parts, m, efc)
+        else Hnsw.ensure(spark, name, fdf, source, idCol, "v16",
+          "l2", parts, m, efc)
       case ("svec", "hnsw") =>
-        graft.operators.Hnsw.ensure(spark, name,
-          df.select(col(idCol), graft.functions.svecToDense(
-            graft.functions.svecFromDense(col(vecCol))).as("dv")),
-          source, idCol, "dv", "l2", parts, rest)
+        val (m, efc) = IndexOptions.hnsw(rest)
+        def vdf = df.select(col(idCol), graft.functions.svecToDense(
+          graft.functions.svecFromDense(col(vecCol))).as("dv"))
+        if (rebuild) Hnsw.reindex(spark, name, vdf, source, idCol, "dv",
+          "l2", parts, m, efc)
+        else Hnsw.ensure(spark, name, vdf, source, idCol, "dv",
+          "l2", parts, m, efc)
       case other =>
         throw new IllegalArgumentException(
           s"unsupported (opclass family, indexing) combination: $other")
     }
-    // record what vacuum needs to reconstruct the build; alter goes
-    // through commit (atomic rename) under the DDL lock
-    IndexCatalog.alter(spark, name, "sql_cols", s"$idCol,$vecCol")
-    IndexCatalog.alter(spark, name, "sql_am", am)
-    IndexCatalog.alter(spark, name, "sql_opclass", opclassName)
+  }
+
+  /** The recipe params [[create]] writes and [[vacuum]] replays. */
+  private def recipeParams(idCol: String, vecCol: String, am: String,
+      opclassName: String, options: String): Map[String, String] =
+    Map("sql_cols" -> s"$idCol,$vecCol", "sql_am" -> am,
+      "sql_opclass" -> opclassName,
+      "sql_options" -> Option(options).getOrElse("").trim)
+
+  /** CREATE INDEX as SQL text. Returns "ok". */
+  def create(spark: SparkSession, name: String, source: String,
+      idCol: String, vecCol: String, method: String, opclassName: String,
+      options: String): String = {
+    val am = IndexOptions.accessMethod(method)
+    // validate the FULL recipe before dispatching the build: a
+    // post-build failure here would strand an artifact whose vacuum
+    // then refuses (round-10 advice) — the column-name rule is the
+    // recipe format's own (comma-free, non-empty), not a lexer's
+    val recipe = recipeParams(idCol, vecCol, am, opclassName, options)
+    IndexOptions.opclass(opclassName, am)
+    require(Seq(idCol, vecCol).forall(c =>
+      c.trim.nonEmpty && !c.contains(",") && !c.exists(_ < ' ')),
+      s"column names must be non-empty and comma-free: ('$idCol', '$vecCol')")
+    dispatch(spark, name, source, idCol, vecCol, am, opclassName, options,
+      rebuild = false)
+    // ONE commit (atomic rename) under the DDL lock — a torn recipe
+    // cannot exist
+    IndexCatalog.alterAll(spark, name, recipe)
     "ok"
   }
 
   /** VACUUM as SQL text: rebuild the artifact from its current source,
-    * reclaiming rows deleted from it. Dense artifacts rebuild through
+    * reclaiming rows deleted from it. EVERY kind rebuilds through
     * REINDEX (fresh generation dir + one atomic pointer swap — readers
-    * keep serving throughout, the CONCURRENTLY property); typed-family
-    * artifacts rebuild via drop + re-create (no reindex path — a brief
-    * no-index window, documented). Requires the index to have been
-    * created via [[create]] (the sql_* params carry the reconstruction
-    * recipe). Returns "ok". */
+    * keep serving throughout, the CONCURRENTLY property; since round 11
+    * the typed families take the same path, closing the documented
+    * drop+create no-index window). Requires the index to have been
+    * created via [[create]] with a COMPLETE recipe — any missing
+    * sql_* param refuses rather than rebuilding under defaults that
+    * could silently flip the artifact kind or metric. Returns "ok". */
   def vacuum(spark: SparkSession, name: String): String = {
     val m = IndexCatalog.load(spark, name).getOrElse(
       throw new IllegalArgumentException(s"no such index: $name"))
-    val cols = m.params.getOrElse("sql_cols", throw new IllegalArgumentException(
-      s"index $name was not created via create_vector_index — " +
-        "vacuum via the Scala API (reindex / IncrMaint.vacuum)"))
-    val Array(idCol, vecCol) = cols.split(',')
-    val am = m.params.getOrElse("sql_am", "vectors")
-    val opclassName = m.params.getOrElse("sql_opclass", "vector_l2_ops")
-    val (family, _) = IndexOptions.opclass(opclassName, am)
-    def df = spark.read.parquet(m.source)
-    (family, m.kind) match {
-      case ("dense", "hnsw") =>
-        graft.operators.Hnsw.reindex(spark, name, df, m.source, idCol,
-          vecCol, m.metric,
-          m.params.getOrElse("parts", "1").toInt,
-          m.params.getOrElse("m", "12").toInt,
-          m.params.getOrElse("ef_construction", "300").toInt)
-      case ("dense", "ivf") =>
-        graft.operators.IvfIndex.reindex(spark, name, df, m.source,
-          vecCol, m.metric, m.params.getOrElse("nlist", "16").toInt)
-      case _ =>
-        // typed families and densified-view graphs: rebuild through the
-        // same dispatch that created them
-        val opts = Seq(
-          m.params.get("m").map("m=" + _),
-          m.params.get("ef_construction").map("ef_construction=" + _),
-          m.params.get("nlist").map("nlist=" + _),
-          m.params.get("parts").map("parts=" + _)).flatten.mkString(",")
-        IndexCatalog.drop(spark, name)
-        create(spark, name, m.source, idCol, vecCol, am, opclassName, opts)
-    }
-    // reindex/rebuild manifests come from the family builders and drop
-    // the sql_* recipe — restore it so vacuum stays repeatable
-    IndexCatalog.alter(spark, name, "sql_cols", cols)
-    IndexCatalog.alter(spark, name, "sql_am", am)
-    IndexCatalog.alter(spark, name, "sql_opclass", opclassName)
+    def recipe(key: String): String = m.params.getOrElse(key,
+      throw new IllegalArgumentException(
+        s"index $name carries no complete SQL recipe ($key missing) — " +
+          "created via the Scala API or a pre-recipe version; vacuum via " +
+          "the Scala API (reindex / IncrMaint.vacuum)"))
+    val cols = recipe("sql_cols")
+    val am = recipe("sql_am")
+    val opclassName = recipe("sql_opclass")
+    val Array(idCol, vecCol) = cols.split(",", 2)
+    // the replay options: the verbatim CREATE string when recorded;
+    // legacy recipes (pre-sql_options) reconstruct from the structural
+    // build params. Either way the INDEXING KIND comes from the
+    // committed manifest — the artifact's own truth — so a typed IVF
+    // can never silently rebuild as a densified graph.
+    val baseOpts = m.params.get("sql_options").map(parseOpts).getOrElse(
+      Seq("m", "ef_construction", "nlist", "parts")
+        .flatMap(k => m.params.get(k).map(k -> _)).toMap)
+    val indexing = if (m.kind.startsWith("ivf")) "ivf" else "hnsw"
+    val opts = (baseOpts + ("indexing" -> indexing))
+      .map { case (k, v) => s"$k=$v" }.mkString(",")
+    dispatch(spark, name, m.source, idCol, vecCol, am, opclassName, opts,
+      rebuild = true)
+    // reindex manifests come from the family builders and drop the
+    // sql_* recipe — restore it (one commit) so vacuum stays repeatable
+    IndexCatalog.alterAll(spark, name, recipeParams(idCol, vecCol, am,
+      opclassName, m.params.getOrElse("sql_options", "")))
     "ok"
   }
 }

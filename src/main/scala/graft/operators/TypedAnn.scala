@@ -90,28 +90,44 @@ object TypedAnn {
       seed: Long = 42L): (IvfIndex.Model, String) = {
     val m = IndexCatalog.ensure(spark, name, source,
         requires = Map("type" -> "bvector", "nlist" -> nlist.toString,
-          "stats" -> StatsVersion)) { dataDir =>
-      val base = df.filter(col(fCol).isNotNull &&
-          graft.functions.vectorIsFinite(col(fCol)))
-        .select(col(idCol), binarize(col(fCol)).as("bv"))
-      val densified = base.withColumn("d01", bvecToDense(col("bv")))
-      val model = IvfIndex.train(densified, "d01", "l2", nlist, seed = seed)
-      val assigned = densified
-        .withColumn("list_id", IvfIndex.nearestCentroid(col("d01"), model))
-        .cache()
-      assigned
-        .select(col(idCol), col("bv"), col("list_id"))
-        .repartition(col("list_id"))
-        .write.mode("overwrite").partitionBy("list_id").parquet(dataDir)
-      val radii = listRadii(assigned, "d01", model)
-      assigned.unpersist()
-      Manifest("ivf_bvec", source, "hamming",
-        Map("nlist" -> nlist.toString, "type" -> "bvector",
-          "stats" -> StatsVersion),
-        centroids = model.centroids, floats = Map("radii" -> radii))
-    }
+          "stats" -> StatsVersion))(
+      buildBvecArtifact(spark, df, source, idCol, fCol, nlist, seed))
     (IvfIndex.Model("l2", m.centroids, m.floats.get("radii").orNull),
       IndexCatalog.dataDir(spark, name))
+  }
+
+  /** REINDEX the bvector artifact (fresh generation + atomic pointer
+    * swap — readers keep serving; the typed-family vacuum path). */
+  def reindexBvec(spark: SparkSession, name: String, df: => DataFrame,
+      source: String, idCol: String, fCol: String, nlist: Int,
+      seed: Long = 42L): (IvfIndex.Model, String) = {
+    val m = IndexCatalog.reindex(spark, name)(
+      buildBvecArtifact(spark, df, source, idCol, fCol, nlist, seed))
+    (IvfIndex.Model("l2", m.centroids, m.floats.get("radii").orNull),
+      IndexCatalog.dataDir(spark, name))
+  }
+
+  private def buildBvecArtifact(spark: SparkSession, df: => DataFrame,
+      source: String, idCol: String, fCol: String, nlist: Int,
+      seed: Long): String => Manifest = { dataDir =>
+    val base = df.filter(col(fCol).isNotNull &&
+        graft.functions.vectorIsFinite(col(fCol)))
+      .select(col(idCol), binarize(col(fCol)).as("bv"))
+    val densified = base.withColumn("d01", bvecToDense(col("bv")))
+    val model = IvfIndex.train(densified, "d01", "l2", nlist, seed = seed)
+    val assigned = densified
+      .withColumn("list_id", IvfIndex.nearestCentroid(col("d01"), model))
+      .cache()
+    assigned
+      .select(col(idCol), col("bv"), col("list_id"))
+      .repartition(col("list_id"))
+      .write.mode("overwrite").partitionBy("list_id").parquet(dataDir)
+    val radii = listRadii(assigned, "d01", model)
+    assigned.unpersist()
+    Manifest("ivf_bvec", source, "hamming",
+      Map("nlist" -> nlist.toString, "type" -> "bvector",
+        "stats" -> StatsVersion),
+      centroids = model.centroids, floats = Map("radii" -> radii))
   }
 
   /** Rank lists by the SEARCH metric over the stored f32 centroids —
@@ -277,28 +293,43 @@ object TypedAnn {
       seed: Long = 42L): (IvfIndex.Model, String) = {
     val m = IndexCatalog.ensure(spark, name, source,
         requires = Map("type" -> "vecf16", "nlist" -> nlist.toString,
-          "stats" -> StatsVersion)) { dataDir =>
-      val base = df.filter(col(fCol).isNotNull &&
-          graft.functions.vectorIsFinite(col(fCol)))
-        .select(col(idCol), toF16Bits(col(fCol)).as("bits"))
-      val rounded = base.withColumn("rf", f16ToVector(col("bits")))
-      val model = IvfIndex.train(rounded, "rf", "l2", nlist, seed = seed)
-      val assigned = rounded
-        .withColumn("list_id", IvfIndex.nearestCentroid(col("rf"), model))
-        .cache()
-      assigned
-        .select(col(idCol), col("bits"), col("list_id"))
-        .repartition(col("list_id"))
-        .write.mode("overwrite").partitionBy("list_id").parquet(dataDir)
-      val radii = listRadii(assigned, "rf", model)
-      assigned.unpersist()
-      Manifest("ivf_f16", source, "l2",
-        Map("nlist" -> nlist.toString, "type" -> "vecf16",
-          "stats" -> StatsVersion),
-        centroids = model.centroids, floats = Map("radii" -> radii))
-    }
+          "stats" -> StatsVersion))(
+      buildF16Artifact(spark, df, source, idCol, fCol, nlist, seed))
     (IvfIndex.Model("l2", m.centroids, m.floats.get("radii").orNull),
       IndexCatalog.dataDir(spark, name))
+  }
+
+  /** REINDEX the vecf16 artifact (the typed-family vacuum path). */
+  def reindexF16(spark: SparkSession, name: String, df: => DataFrame,
+      source: String, idCol: String, fCol: String, nlist: Int,
+      seed: Long = 42L): (IvfIndex.Model, String) = {
+    val m = IndexCatalog.reindex(spark, name)(
+      buildF16Artifact(spark, df, source, idCol, fCol, nlist, seed))
+    (IvfIndex.Model("l2", m.centroids, m.floats.get("radii").orNull),
+      IndexCatalog.dataDir(spark, name))
+  }
+
+  private def buildF16Artifact(spark: SparkSession, df: => DataFrame,
+      source: String, idCol: String, fCol: String, nlist: Int,
+      seed: Long): String => Manifest = { dataDir =>
+    val base = df.filter(col(fCol).isNotNull &&
+        graft.functions.vectorIsFinite(col(fCol)))
+      .select(col(idCol), toF16Bits(col(fCol)).as("bits"))
+    val rounded = base.withColumn("rf", f16ToVector(col("bits")))
+    val model = IvfIndex.train(rounded, "rf", "l2", nlist, seed = seed)
+    val assigned = rounded
+      .withColumn("list_id", IvfIndex.nearestCentroid(col("rf"), model))
+      .cache()
+    assigned
+      .select(col(idCol), col("bits"), col("list_id"))
+      .repartition(col("list_id"))
+      .write.mode("overwrite").partitionBy("list_id").parquet(dataDir)
+    val radii = listRadii(assigned, "rf", model)
+    assigned.unpersist()
+    Manifest("ivf_f16", source, "l2",
+      Map("nlist" -> nlist.toString, "type" -> "vecf16",
+        "stats" -> StatsVersion),
+      centroids = model.centroids, floats = Map("radii" -> radii))
   }
 
   /** CREATE INDEX: svector IVF (the reference's svector_l2/dot/cos_ops,
@@ -311,30 +342,45 @@ object TypedAnn {
       seed: Long = 42L): (IvfIndex.Model, String) = {
     val m = IndexCatalog.ensure(spark, name, source,
         requires = Map("type" -> "svector", "nlist" -> nlist.toString,
-          "stats" -> StatsVersion)) { dataDir =>
-      // CSR structs have no direct finiteness predicate: filter on the
-      // densified view (restored zeros are finite, so dv is non-finite
-      // iff some stored val is)
-      val densified = df.filter(col(svCol).isNotNull)
-        .withColumn("dv", svecToDense(col(svCol)))
-        .filter(graft.functions.vectorIsFinite(col("dv")))
-      val model = IvfIndex.train(densified, "dv", "l2", nlist, seed = seed)
-      val assigned = densified
-        .withColumn("list_id", IvfIndex.nearestCentroid(col("dv"), model))
-        .cache()
-      assigned
-        .select(col(idCol), col(svCol), col("list_id"))
-        .repartition(col("list_id"))
-        .write.mode("overwrite").partitionBy("list_id").parquet(dataDir)
-      val radii = listRadii(assigned, "dv", model)
-      assigned.unpersist()
-      Manifest("ivf_svec", source, "l2",
-        Map("nlist" -> nlist.toString, "type" -> "svector",
-          "stats" -> StatsVersion),
-        centroids = model.centroids, floats = Map("radii" -> radii))
-    }
+          "stats" -> StatsVersion))(
+      buildSvecArtifact(spark, df, source, idCol, svCol, nlist, seed))
     (IvfIndex.Model("l2", m.centroids, m.floats.get("radii").orNull),
       IndexCatalog.dataDir(spark, name))
+  }
+
+  /** REINDEX the svector artifact (the typed-family vacuum path). */
+  def reindexSvec(spark: SparkSession, name: String, df: => DataFrame,
+      source: String, idCol: String, svCol: String, nlist: Int,
+      seed: Long = 42L): (IvfIndex.Model, String) = {
+    val m = IndexCatalog.reindex(spark, name)(
+      buildSvecArtifact(spark, df, source, idCol, svCol, nlist, seed))
+    (IvfIndex.Model("l2", m.centroids, m.floats.get("radii").orNull),
+      IndexCatalog.dataDir(spark, name))
+  }
+
+  private def buildSvecArtifact(spark: SparkSession, df: => DataFrame,
+      source: String, idCol: String, svCol: String, nlist: Int,
+      seed: Long): String => Manifest = { dataDir =>
+    // CSR structs have no direct finiteness predicate: filter on the
+    // densified view (restored zeros are finite, so dv is non-finite
+    // iff some stored val is)
+    val densified = df.filter(col(svCol).isNotNull)
+      .withColumn("dv", svecToDense(col(svCol)))
+      .filter(graft.functions.vectorIsFinite(col("dv")))
+    val model = IvfIndex.train(densified, "dv", "l2", nlist, seed = seed)
+    val assigned = densified
+      .withColumn("list_id", IvfIndex.nearestCentroid(col("dv"), model))
+      .cache()
+    assigned
+      .select(col(idCol), col(svCol), col("list_id"))
+      .repartition(col("list_id"))
+      .write.mode("overwrite").partitionBy("list_id").parquet(dataDir)
+    val radii = listRadii(assigned, "dv", model)
+    assigned.unpersist()
+    Manifest("ivf_svec", source, "l2",
+      Map("nlist" -> nlist.toString, "type" -> "svector",
+        "stats" -> StatsVersion),
+      centroids = model.centroids, floats = Map("radii" -> radii))
   }
 
   /** Search: rank lists by the search metric from the DENSE query view

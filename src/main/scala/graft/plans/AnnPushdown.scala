@@ -202,10 +202,16 @@ object AnnPushdown {
 }
 
 /** spark.sql.extensions entry point: inject via
-  * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`. */
+  * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`.
+  * Installs the ANN rewrite rule (conf-gated, spark.graft.ann.enabled)
+  * and the vector-DDL statement parser ([[graft.index.GraftSqlParser]]
+  * — a pure delegating extension, non-vector statements parse
+  * unchanged). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(AnnRewriteRule)
+    ext.injectParser((_, delegate) => new graft.index.GraftSqlParser(delegate))
+  }
 }
 
 case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
@@ -213,8 +219,27 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private def enabled: Boolean =
     spark.conf.get("spark.graft.ann.enabled", "false").toBoolean
-  private def nprobe: Int =
-    spark.conf.get("spark.graft.ann.nprobe", "10").toInt
+  /** spark.graft.ann.nprobe, default "auto" (round 11): AUTO resolves
+    * per ARTIFACT as max(10, its manifest `probe_hint`) — for cos IVF
+    * artifacts the hint is MEASURED at ensure time
+    * ([[graft.operators.IvfIndex]] probe calibration: cos has no sound
+    * radii lower bound in the raw ranking, so on non-clustered corpora
+    * the fixed default under-probes — the separability-guard philosophy
+    * applied to probe count). Artifacts without a hint resolve to the
+    * reference default 10, exactly the old behavior. An explicit
+    * numeric conf is the user's informed override and never consults
+    * the hint; garbage values resolve to auto (toIntOption convention,
+    * never an optimizer-rule throw). Manifest loads are driver-side and
+    * mtime-cached — no job. */
+  private def nprobeFor(idx: IndexedTable): Int = {
+    val raw = spark.conf.get("spark.graft.ann.nprobe", "auto").trim
+    raw.toIntOption.getOrElse {
+      val hint = graft.index.IndexCatalog.load(spark, idx.indexName)
+        .flatMap(_.params.get("probe_hint")).flatMap(_.toIntOption)
+        .getOrElse(0)
+      math.max(10, hint)
+    }
+  }
 
   /** Marker to stop the rule re-matching its own replacement. */
   private val RewrittenTag = org.apache.spark.sql.catalyst.trees.TreeNodeTag[Boolean]("graft.ann.rewritten")
@@ -981,7 +1006,7 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
             }
             val model = IvfIndex.Model(manifest.metric, manifest.centroids,
               manifest.floats.get("radii").orNull)
-            val probes = math.min(math.max(nprobe, 1),
+            val probes = math.min(math.max(nprobeFor(idx), 1),
               math.max(model.nlist, 1))
             val qdf = Shims.ofRows(spark, qSide)
             val out = graft.operators.KnnJoin.joinTyped(spark, qdf,
@@ -1027,7 +1052,7 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
             val out = graft.operators.PartitionedIndex.knnJoinIvf(spark,
               idx.indexName, manifest.source, partCol, idx.idCol,
               idx.vecCol, qdf, qidSrc.name, qAttr.name, k = kLimit,
-              nprobe = math.max(nprobe, 1), values = Some(chosen),
+              nprobe = math.max(nprobeFor(idx), 1), values = Some(chosen),
               corpusFilter = corpusFilter)
             val newPlan = stripDpp(out.queryExecution.optimizedPlan)
             val byName = newPlan.output.map(x => x.name -> x).toMap
@@ -1105,7 +1130,7 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
           val model = IvfIndex.Model(manifest.metric, manifest.centroids,
             manifest.floats.get("radii").orNull)
           val dataDir = graft.index.IndexCatalog.dataDir(spark, idx.indexName)
-          val baseProbes = math.min(math.max(nprobe, 1),
+          val baseProbes = math.min(math.max(nprobeFor(idx), 1),
             math.max(model.nlist, 1))
           // FILTERED join selectivity guard (round 10): a selective
           // corpus predicate inside fixed probe lists starves the
@@ -1695,7 +1720,7 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     // typed families dispatch to their compact-payload pruned scans
     val model = IvfIndex.Model(manifest.metric, manifest.centroids,
       manifest.floats.get("radii").orNull)
-    val probes = math.min(math.max(nprobe, 1),
+    val probes = math.min(math.max(nprobeFor(idx), 1),
       math.max(model.nlist, 1))
     val searchDf = (family, manifest.kind) match {
       case ("dense", "ivf") =>
@@ -1724,7 +1749,7 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         if (manifest.kind == "ivf_part")
           graft.operators.PartitionedIndex.searchIvf(spark, idx.indexName,
             manifest.source, partCol, idx.idCol,
-            idx.vecCol, q, k, nprobe = math.max(nprobe, 1),
+            idx.vecCol, q, k, nprobe = math.max(nprobeFor(idx), 1),
             values = Some(registered))
         else {
           val qq = if (metric == "cos") IvfIndex.Kernels.normalize(q) else q
@@ -1891,7 +1916,7 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
           if (manifest.kind == "ivf_part")
             graft.operators.PartitionedIndex.searchIvf(spark, idx.indexName,
               manifest.source, partCol, idx.idCol, idx.vecCol, q, k,
-              nprobe = math.max(nprobe, 1), values = Some(chosen))
+              nprobe = math.max(nprobeFor(idx), 1), values = Some(chosen))
           else {
             val qq = if (metric == "cos") IvfIndex.Kernels.normalize(q) else q
             graft.operators.PartitionedIndex.searchHnsw(spark,
@@ -1925,7 +1950,7 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         // predicate that is rare in one partition probes that sub
         // exhaustively — graceful, never bails
         val baseProbes =
-          math.max(nprobe.toLong * math.max(filteredOverfetch, 1), 1L)
+          math.max(nprobeFor(idx).toLong * math.max(filteredOverfetch, 1), 1L)
         val probesBySub = chosen.map { v =>
           val subM = graft.index.IndexCatalog.load(spark,
             graft.operators.PartitionedIndex.subName(idx.indexName, v))
@@ -2068,7 +2093,7 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     if (manifest.kind != "ivf") return None
     val model = IvfIndex.Model(manifest.metric, manifest.centroids,
       manifest.floats.get("radii").orNull)
-    val baseProbes = math.max(nprobe.toLong * math.max(filteredOverfetch, 1), 1L)
+    val baseProbes = math.max(nprobeFor(idx).toLong * math.max(filteredOverfetch, 1), 1L)
     // selectivity guard (round 10): widen the probed-list fraction so
     // the expected survivor count in probed lists covers k (survivors
     // assumed list-uniform — the conservative Wilson bound absorbs the

@@ -121,6 +121,29 @@ object LifecycleQueries {
     srcDir
   }
 
+  /** A session whose parser speaks the vector-DDL statements. Verify /
+    * Bench / the test harness all build with
+    * spark.sql.extensions=graft.plans.GraftExtensions so this is the
+    * identity; the fallback (a caller session built without the
+    * extension — a session's parser is fixed at build time) derives a
+    * sibling session on the same SparkContext with the extension
+    * applied, leaving the caller's active/default slots untouched. */
+  private def ddlSession(s: SparkSession): SparkSession =
+    if (graft.index.GraftSqlParser.installed(s)) s
+    else Tables.fixture("ddl-session") {
+      val active = SparkSession.getActiveSession
+      val deflt = SparkSession.getDefaultSession
+      SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+      try SparkSession.builder()
+        .withExtensions(new graft.plans.GraftExtensions())
+        .getOrCreate()
+      finally {
+        SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+        deflt.foreach(SparkSession.setDefaultSession)
+        active.foreach(SparkSession.setActiveSession)
+      }
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // --- SQL surface (finalize.sql analog): the query text goes through
@@ -935,7 +958,8 @@ object LifecycleQueries {
         "vec_id", "embedding", "l2", 1,
         Map("m" -> "12", "ef_construction" -> "300"))
       val strip = (p: Map[String, String]) =>
-        p -- Seq("sql_cols", "sql_am", "sql_opclass", "data_dir", "reindex_gen")
+        p -- Seq("sql_cols", "sql_am", "sql_opclass", "sql_options",
+          "data_dir", "reindex_gen")
       val mSql = IndexCatalog.load(s, name).get
       val mRef = IndexCatalog.load(s, refName).get
       require(mSql.kind == mRef.kind && mSql.metric == mRef.metric &&
@@ -958,6 +982,74 @@ object LifecycleQueries {
         "vacuum must REINDEX into a fresh generation dir")
       require(mVac.params.get("sql_cols").contains("vec_id,embedding"),
         "vacuum must restore the SQL recipe params")
+      Hnsw.searchIndex(s, IndexCatalog.dataDir(s, name), "vec_id",
+        qvec(s, d), k = 100, exact = true)
+    }),
+
+    // --- Parser-injected native DDL statements (round 11): the
+    //     reference's lifecycle is parsed DDL (am.rs:135-244, every slt
+    //     file); the Spark-native analog is a RunnableCommand — planned
+    //     at parse time, executed exactly ONCE per execution. The gate
+    //     proves the execute-once contract the SELECT-function spelling
+    //     cannot give: EXPLAIN of the statement plans the command and
+    //     provably builds nothing, then CREATE/VACUUM/DROP run as
+    //     statements with manifest equivalence to the Scala ensure path
+    //     required in-query.
+    "q_sql_ddl_stmt" -> ((s0, d) => {
+      val s = ddlSession(s0)
+      val srcDir = adminSrc(s, d)
+      val name = s"sqlstmt_hnsw_${san(d)}"
+      val createStmt =
+        s"""CREATE VECTOR INDEX $name ON '$srcDir'
+            USING vectors (vec_id, embedding vector_l2_ops)
+            WITH (m = 12, ef_construction = 300)"""
+      // EXPLAIN first, from a clean slate: planning must not build
+      IndexCatalog.drop(s, name)
+      val plan = s.sql(s"EXPLAIN $createStmt").head().getString(0)
+      require(plan.contains("CreateVectorIndexCommand"),
+        s"EXPLAIN must plan the parsed command, got: $plan")
+      require(IndexCatalog.load(s, name).isEmpty,
+        "EXPLAIN of CREATE VECTOR INDEX must not build the index")
+      // CREATE executes exactly once per spark.sql call
+      require(s.sql(createStmt).head().getString(0) == "ok",
+        "CREATE VECTOR INDEX statement must return ok")
+      // manifest equivalence with the Scala-API ensure (the
+      // q_sql_create_index convention: modulo SQL recipe params and the
+      // reindex-owned generation pointer)
+      val refName = s"sqlstmt_ref_${san(d)}"
+      Hnsw.ensure(s, refName, s.read.parquet(srcDir), srcDir,
+        "vec_id", "embedding", "l2", 1,
+        Map("m" -> "12", "ef_construction" -> "300"))
+      val strip = (p: Map[String, String]) =>
+        p -- Seq("sql_cols", "sql_am", "sql_opclass", "sql_options",
+          "data_dir", "reindex_gen")
+      val mStmt = IndexCatalog.load(s, name).get
+      val mRef = IndexCatalog.load(s, refName).get
+      require(mStmt.kind == mRef.kind && mStmt.metric == mRef.metric &&
+        strip(mStmt.params) == strip(mRef.params),
+        s"statement-created manifest drifted: ${mStmt.params} vs ${mRef.params}")
+      // IF NOT EXISTS short-circuits on any committed manifest
+      require(s.sql(s"""CREATE VECTOR INDEX IF NOT EXISTS $name ON '$srcDir'
+          USING vectors (vec_id, embedding vector_l2_ops)""")
+        .head().getString(0) == "exists",
+        "IF NOT EXISTS must short-circuit on an existing index")
+      // VACUUM statement = REINDEX generation swap, recipe preserved
+      require(s.sql(s"VACUUM VECTOR INDEX $name").head().getString(0) == "ok")
+      val mVac = IndexCatalog.load(s, name).get
+      require(mVac.params.contains("data_dir"),
+        "VACUUM VECTOR INDEX must REINDEX into a fresh generation dir")
+      // DROP statement (pgvector ivfflat spelling exercises lists→nlist)
+      val scratch = s"sqlstmt_scratch_${san(d)}"
+      s.sql(s"""CREATE VECTOR INDEX $scratch ON '$srcDir'
+          USING ivfflat (vec_id, embedding vector_l2_ops) WITH (lists = 4)""")
+      require(IndexCatalog.load(s, scratch).get.params.get("nlist").contains("4"),
+        "ivfflat lists=4 must map to nlist=4 through the statement path")
+      require(s.sql(s"DROP VECTOR INDEX $scratch").head().getString(0) == "ok")
+      require(IndexCatalog.load(s, scratch).isEmpty,
+        "DROP VECTOR INDEX must remove the index")
+      require(s.sql(s"DROP VECTOR INDEX IF EXISTS $scratch")
+        .head().getString(0) == "skipped",
+        "DROP IF EXISTS on a missing index must be a no-op")
       Hnsw.searchIndex(s, IndexCatalog.dataDir(s, name), "vec_id",
         qvec(s, d), k = 100, exact = true)
     })
@@ -1037,6 +1129,14 @@ object LifecycleQueries {
     // the SQL-created artifact indexes the 200-row admin fixture (a
     // vec_id < 200 slice of embeddings); exact search == brute force
     "q_sql_create_index" ->
+      s"""SELECT e.vec_id AS vec_id, $qL2 AS dist
+          FROM embeddings e
+          CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+          WHERE e.vec_id < 200
+          ORDER BY dist, vec_id LIMIT 100""",
+
+    // same 200-row admin fixture, statement-created artifact
+    "q_sql_ddl_stmt" ->
       s"""SELECT e.vec_id AS vec_id, $qL2 AS dist
           FROM embeddings e
           CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q

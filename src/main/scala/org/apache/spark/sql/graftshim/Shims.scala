@@ -28,10 +28,24 @@ object Shims {
     ext.buildOptimizerRules(spark)
 
   /** Wrap an already-built logical plan as a DataFrame (freezes a plan
-    * produced under temporary session confs). */
+    * produced under temporary session confs). DynamicPruningSubquery
+    * placeholders are stripped first: they only resolve at PHYSICAL
+    * planning, so re-analyzing an OPTIMIZED plan that carries one (the
+    * gate convention of returning ofRows(optimizedPlan); since the
+    * rewrite rule is also extension-injected into the operator batch,
+    * PartitionPruning can decorate a rewritten join within the same
+    * optimization) throws INTERNAL_ERROR. Stripping is always sound —
+    * DPP is a runtime prune hint, and Spark re-plants it when the
+    * returned frame is re-planned (the round-9 stripDpp convention,
+    * applied at the one chokepoint every ofRows goes through). */
   def ofRows(spark: org.apache.spark.sql.SparkSession,
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
-      : org.apache.spark.sql.DataFrame =
+      : org.apache.spark.sql.DataFrame = {
+    val stripped = plan.transformAllExpressions {
+      case _: org.apache.spark.sql.catalyst.expressions.DynamicPruningSubquery =>
+        org.apache.spark.sql.catalyst.expressions.Literal.TrueLiteral
+    }
     org.apache.spark.sql.classic.Dataset.ofRows(
-      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], stripped)
+  }
 }

@@ -1,0 +1,184 @@
+package graft
+
+import java.io.File
+import graft.index.{GraftSqlParser, IndexCatalog}
+
+/** Parser-injected vector DDL statements (round 11): recognition,
+  * delegation, the execute-once RunnableCommand contract, and EXPLAIN
+  * building nothing. The session comes from SparkSpec, which wires
+  * spark.sql.extensions=graft.plans.GraftExtensions. */
+class SqlDdlStmtSpec extends SparkSpec {
+
+  private def tmpSrc(n: Int = 50): String = {
+    val dir = new File(sys.props("java.io.tmpdir"), "graft_stmtspec_src")
+    if (!new File(dir, "_SUCCESS").isFile) {
+      import org.apache.spark.sql.functions._
+      spark.read.parquet(s"$sf0001/embeddings.parquet")
+        .filter(col("vec_id") < n).select(col("vec_id"), col("embedding"))
+        .write.mode("overwrite").parquet(dir.getAbsolutePath)
+    }
+    dir.getAbsolutePath
+  }
+
+  test("the extension injects the delegating parser") {
+    assert(GraftSqlParser.installed(spark))
+    // delegation: ordinary SQL still parses and runs
+    assert(spark.sql("SELECT 1 + 1 AS v").head().getInt(0) === 2)
+    // and ordinary parse errors still surface as ParseException
+    intercept[org.apache.spark.sql.catalyst.parser.ParseException] {
+      spark.sql("SELEKT 1")
+    }
+  }
+
+  test("CREATE VECTOR INDEX statement builds; EXPLAIN does not") {
+    val src = tmpSrc()
+    val name = "stmtspec_create"
+    IndexCatalog.drop(spark, name)
+    val stmt = s"""CREATE VECTOR INDEX $name ON '$src'
+                   USING vectors (vec_id, embedding vector_l2_ops)
+                   WITH (m = 8, ef_construction = 100)"""
+    val plan = spark.sql(s"EXPLAIN $stmt").head().getString(0)
+    assert(plan.contains("CreateVectorIndexCommand"))
+    assert(IndexCatalog.load(spark, name).isEmpty,
+      "EXPLAIN must not build")
+    assert(spark.sql(stmt).head().getString(0) === "ok")
+    val m = IndexCatalog.load(spark, name).get
+    assert(m.kind === "hnsw" && m.metric === "l2")
+    assert(m.params.get("m").contains("8"))
+    assert(m.params.get("sql_cols").contains("vec_id,embedding"))
+    // IF NOT EXISTS short-circuits
+    assert(spark.sql(s"""CREATE VECTOR INDEX IF NOT EXISTS $name ON '$src'
+        USING vectors (vec_id, embedding)""").head().getString(0) === "exists")
+    IndexCatalog.drop(spark, name)
+  }
+
+  test("opclass defaults to vector_l2_ops; quoted WITH values parse") {
+    val src = tmpSrc()
+    val name = "stmtspec_defaults"
+    IndexCatalog.drop(spark, name)
+    assert(spark.sql(s"""CREATE VECTOR INDEX $name ON '$src'
+        USING ivfflat (vec_id, embedding) WITH (lists = '4')""")
+      .head().getString(0) === "ok")
+    val m = IndexCatalog.load(spark, name).get
+    assert(m.kind === "ivf" && m.metric === "l2")
+    assert(m.params.get("nlist").contains("4"))
+    IndexCatalog.drop(spark, name)
+  }
+
+  test("VACUUM VECTOR INDEX reindexes; DROP removes; IF EXISTS no-ops") {
+    val src = tmpSrc()
+    val name = "stmtspec_vacuum"
+    IndexCatalog.drop(spark, name)
+    spark.sql(s"""CREATE VECTOR INDEX $name ON '$src'
+        USING vectors (vec_id, embedding vector_l2_ops)""")
+    assert(spark.sql(s"VACUUM VECTOR INDEX $name").head().getString(0) === "ok")
+    val m = IndexCatalog.load(spark, name).get
+    assert(m.params.contains("data_dir"), "vacuum must swap generations")
+    assert(m.params.get("sql_cols").contains("vec_id,embedding"),
+      "vacuum must restore the recipe")
+    assert(spark.sql(s"DROP VECTOR INDEX $name").head().getString(0) === "ok")
+    assert(IndexCatalog.load(spark, name).isEmpty)
+    assert(spark.sql(s"DROP VECTOR INDEX IF EXISTS $name")
+      .head().getString(0) === "skipped")
+    intercept[Exception] { spark.sql(s"DROP VECTOR INDEX $name").collect() }
+  }
+
+  test("statement executes once per sql() call, not per analysis") {
+    val src = tmpSrc()
+    val name = "stmtspec_once"
+    IndexCatalog.drop(spark, name)
+    val df = spark.sql(s"""CREATE VECTOR INDEX $name ON '$src'
+        USING vectors (vec_id, embedding vector_l2_ops)""")
+    val gen0 = IndexCatalog.load(spark, name).get.params.get("reindex_gen")
+    // re-reading the ALREADY-EXECUTED command frame re-runs nothing:
+    // commands execute eagerly at sql() time and the frame serves the
+    // captured result
+    df.collect(); df.collect()
+    assert(IndexCatalog.load(spark, name).get.params.get("reindex_gen") === gen0)
+    IndexCatalog.drop(spark, name)
+  }
+
+  test("typed vacuum preserves the artifact KIND and reindexes in place") {
+    val src = tmpSrc()
+    val name = "stmtspec_typed_vac"
+    IndexCatalog.drop(spark, name)
+    // bvector opclass under the native AM with indexing=ivf -> ivf_bvec;
+    // before round 11 vacuum rebuilt this through create() defaults and
+    // silently flipped it to a densified hnsw graph
+    spark.sql(s"""CREATE VECTOR INDEX $name ON '$src'
+        USING vectors (vec_id, embedding bvector_hamming_ops)
+        WITH (indexing = ivf, nlist = 4)""")
+    val m0 = IndexCatalog.load(spark, name).get
+    assert(m0.kind === "ivf_bvec")
+    assert(m0.params.get("sql_options").contains("indexing=ivf,nlist=4"))
+    // concurrent reader: the typed vacuum is a REINDEX (no drop), so a
+    // search loop must find a servable committed artifact THROUGHOUT
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    @volatile var stop = false
+    val reader = Future {
+      var reads = 0
+      while (!stop) {
+        val m = IndexCatalog.load(spark, name).getOrElse(
+          fail("index vanished mid-vacuum — the no-index window is back"))
+        assert(m.kind == "ivf_bvec", s"kind flipped mid-vacuum: ${m.kind}")
+        assert(spark.read.parquet(IndexCatalog.dataDir(spark, name))
+          .limit(1).count() >= 0)
+        reads += 1
+      }
+      reads
+    }
+    // ONE vacuum while reading: the displaced generation survives its
+    // own commit (the REINDEX grace window), so every concurrent read
+    // finds live files. A SECOND vacuum would sweep that displaced
+    // generation — readers still scanning it then hit the documented
+    // transient FileNotFound (ReindexSpec's grace-window contract), so
+    // it runs after the reader stops.
+    try assert(spark.sql(s"VACUUM VECTOR INDEX $name").head().getString(0) === "ok")
+    finally stop = true
+    val reads = Await.result(reader, 120.seconds)
+    info(s"concurrent reader completed $reads reads across the vacuum")
+    assert(spark.sql(s"VACUUM VECTOR INDEX $name").head().getString(0) === "ok")
+    val m1 = IndexCatalog.load(spark, name).get
+    assert(m1.kind === "ivf_bvec", "vacuum must never flip the artifact kind")
+    assert(m1.params.get("data_dir").exists(_.startsWith("data-r")),
+      "typed vacuum must rebuild through the REINDEX generation swap")
+    assert(m1.params.get("sql_options").contains("indexing=ivf,nlist=4"),
+      "the recipe must survive vacuum")
+    assert(m1.params.get("nlist").contains("4"))
+    IndexCatalog.drop(spark, name)
+  }
+
+  test("vacuum refuses a partial SQL recipe instead of default rebuild") {
+    val src = tmpSrc()
+    val name = "stmtspec_partial_recipe"
+    IndexCatalog.drop(spark, name)
+    // a Scala-API index has no recipe at all
+    graft.operators.IvfIndex.ensure(spark, name,
+      spark.read.parquet(src), src, "embedding", "l2", 4)
+    val e = intercept[Exception] {
+      spark.sql(s"VACUUM VECTOR INDEX $name").collect()
+    }
+    assert(e.getMessage.contains("sql_cols"),
+      s"must name the missing recipe key, got: ${e.getMessage}")
+    // a TORN recipe (sql_cols present, sql_am missing) must refuse too —
+    // a default rebuild could silently change AM/opclass semantics
+    IndexCatalog.alter(spark, name, "sql_cols", "vec_id,embedding")
+    val e2 = intercept[Exception] {
+      spark.sql(s"VACUUM VECTOR INDEX $name").collect()
+    }
+    assert(e2.getMessage.contains("sql_am"),
+      s"must name the missing recipe key, got: ${e2.getMessage}")
+    IndexCatalog.drop(spark, name)
+  }
+
+  test("malformed WITH options fail at parse-plan time, build nothing") {
+    val src = tmpSrc()
+    intercept[IllegalArgumentException] {
+      spark.sql(s"""CREATE VECTOR INDEX stmtspec_bad ON '$src'
+          USING vectors (vec_id, embedding) WITH (m 8)""")
+    }
+    assert(IndexCatalog.load(spark, "stmtspec_bad").isEmpty)
+  }
+}
