@@ -187,7 +187,8 @@ object IvfIndex {
         m.source == source && !m.floats.contains("radii")))
       IndexCatalog.drop(spark, name)
     val m = IndexCatalog.ensure(spark, name, source,
-      requires = Map("sample" -> graft.index.SampleSidecar.Gen))(
+      requires = Map("sample" -> graft.index.SampleSidecar.Gen) ++
+        (if (metric == "cos") Map("probe_cal" -> CosCalGen) else Map.empty))(
       buildIvfArtifact(spark, df, source, vecCol, metric, nlist, seed))
     (Model(m.metric, m.centroids, m.floats.get("radii").orNull),
       IndexCatalog.dataDir(spark, name))
@@ -233,11 +234,114 @@ object IvfIndex {
       // a list's bound below a boundary point
       val radii = Array.tabulate(model.centroids.length)(i =>
         java.lang.Math.nextUp(maxima.getOrElse(i, 0.0).toFloat))
+      // probe calibration (round 11, cos only): cos has no sound lower
+      // bound from L2 radii in the ranking, so on weakly-clustered
+      // corpora the fixed default nprobe under-probes (RECALL random
+      // ivf_cos 0.83 at 10/16). Measure the artifact's own probe-depth
+      // requirement once at build time and surface it as probe_hint —
+      // the separability-guard philosophy applied to probe count; the
+      // declarative default (spark.graft.ann.nprobe=auto) resolves
+      // max(10, hint), explicit values never consult it.
+      val calParams =
+        if (metric != "cos") Map.empty[String, String]
+        else Map(
+          "probe_hint" -> calibrateCosProbes(spark, dataDir, vecCol,
+            Model(metric, model.centroids, radii)).toString,
+          "probe_cal" -> CosCalGen)
       Manifest("ivf", source, metric,
         Map("nlist" -> nlist.toString,
-          "sample" -> graft.index.SampleSidecar.Gen),
+          "sample" -> graft.index.SampleSidecar.Gen) ++ calParams,
         centroids = model.centroids,
         floats = Map("radii" -> radii))
+  }
+
+  /** Calibration generation for the cos `probe_hint` (staleness key:
+    * bump when the statistic or sampling changes — artifacts with an
+    * older calibration rebuild on the next ensure). cal2 = 95%-coverage
+    * of top-100 per query, p90 across the 64-query holdout. */
+  val CosCalGen = "cal2"
+
+  /** Probe depth a cos artifact actually needs: on a deterministic
+    * 64-query holdout drawn from the artifact itself (lowest xxhash64
+    * of the stored vector — corpus-size-independent like the
+    * SampleSidecar), compute for each query the prefix of the
+    * SEARCH-time [[Model.rankLists]] order covering ≥95% of its true
+    * top-100 rows (the recall convention's k), and return the 90th
+    * percentile across queries, clamped to [1, nlist]. On a clustered
+    * corpus the top-100 lives in a couple of lists → the hint stays at
+    * or below the default; on a weakly-clustered one it honestly
+    * approaches nlist — "this geometry does not support cos pruning,
+    * probe everything", the routable=no analog.
+    *
+    * Cost: ONE extra pass over the artifact at ensure time with 64
+    * distance evaluations per row. Scale shape: per-partition bounded
+    * heaps (64 queries × top-100) — no N-row shuffle; the partial
+    * top-k merges over #partitions × 6400 tiny rows. */
+  private def calibrateCosProbes(spark: SparkSession, path: String,
+      vecCol: String, model: Model): Int = {
+    val art = spark.read.parquet(path)
+    val qRows = art
+      .select(col(vecCol).as("qv"), xxhash64(col(vecCol)).as("qh"))
+      .orderBy(col("qh")).limit(64)
+      .collect().map(_.getSeq[Float](0).toArray)
+    if (qRows.isEmpty || model.nlist <= 1) return math.max(model.nlist, 1)
+    val bq = spark.sparkContext.broadcast(qRows)
+    import spark.implicits._
+    // per-partition: keep the 100 smallest (dist, list_id) per query —
+    // deterministic lexicographic order so replica merges tie-break
+    // identically
+    val partials = art.select(col(vecCol), col("list_id"))
+      .mapPartitions { it =>
+        val qs = bq.value
+        val heaps = Array.fill(qs.length)(
+          scala.collection.mutable.PriorityQueue.empty[(Double, Int)](
+            Ordering.Tuple2[Double, Int]))
+        it.foreach { r =>
+          val v = r.getSeq[Float](0)
+          val arr = new Array[Float](v.length)
+          var i = 0
+          while (i < arr.length) { arr(i) = v(i); i += 1 }
+          val lid = r.getInt(1)
+          var qi = 0
+          while (qi < qs.length) {
+            // stored vectors are normalize-at-build units: cosdist =
+            // 1 - dot. IvfKernels referenced DIRECTLY: naming the
+            // IvfIndex.Kernels alias inside this closure would capture
+            // the non-serializable IvfIndex$ outer (the round-9
+            // GraphFileWriter lesson).
+            val d = 1.0 - IvfKernels.dot(arr, qs(qi))
+            val h = heaps(qi)
+            if (h.size < 100) h.enqueue((d, lid))
+            else if (Ordering.Tuple2[Double, Int].lt((d, lid), h.head)) {
+              h.dequeue(); h.enqueue((d, lid))
+            }
+            qi += 1
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+          h.iterator.map { case (d, lid) => (qi, d, lid) }
+        }
+      }.toDF("qi", "dist", "list_id")
+    // final top-100 per query over the tiny partial set, driver-side
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("qi"))
+      .orderBy(col("dist"), col("list_id"))
+    val nbrLists = partials
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("rn") <= 100).select(col("qi"), col("list_id"))
+      .collect().groupBy(_.getInt(0))
+      .map { case (qi, rs) => qi -> rs.map(_.getInt(1)) }
+    val depths = qRows.indices.map { qi =>
+      val rank = model.rankLists(qRows(qi)).zipWithIndex.toMap
+      // per-ROW list ranks (a multiset — one list can hold many of the
+      // top-100): the 95%-coverage depth is the 95th-percentile rank
+      val ranks = nbrLists.getOrElse(qi, Array.empty[Int])
+        .map(l => rank(l) + 1).sorted
+      if (ranks.isEmpty) 1
+      else ranks(math.max(math.ceil(ranks.length * 0.95).toInt - 1, 0))
+    }.sorted
+    val p90 = depths(math.max(math.ceil(depths.length * 0.9).toInt - 1, 0))
+    math.min(math.max(p90, 1), math.max(model.nlist, 1))
   }
 
   /** DDL-option-spelling ensure (reference pgvector compatibility,

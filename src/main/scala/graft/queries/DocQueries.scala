@@ -554,7 +554,7 @@ object DocQueries {
            ('hnswrq_p4__root_testdata_sf0_01','hnsw_rabitq','l2','dims=64,ef_construction=300,files=4,format=rqflatbin3,m=12,parts=4,routable=no,routing=centroid2',TRUE),
            ('hnswsq8_p4__root_testdata_sf0_01','hnsw_sq8','l2','bits=8,ef_construction=300,files=4,format=sqflatbin3,m=12,parts=4,routable=no,routing=centroid2',TRUE),
            ('hnsw_l2_p4__root_testdata_sf0_01','hnsw','l2','ef_construction=300,files=4,format=flatbin2,m=12,parts=4,routable=no,routing=centroid2,sample=rows1',TRUE),
-           ('ivf_cos__root_testdata_sf0_01','ivf','cos','nlist=16,sample=rows1',TRUE),
+           ('ivf_cos__root_testdata_sf0_01','ivf','cos','nlist=16,probe_cal=cal2,probe_hint=15,sample=rows1',TRUE),
            ('ivf_l2_part7__root_testdata_sf0_01','ivf','l2','nlist=8,sample=rows1',TRUE),
            ('ivf_dot__root_testdata_sf0_01','ivf','dot','nlist=16,sample=rows1',TRUE),
            ('ivf_l2__root_testdata_sf0_01','ivf','l2','nlist=16,sample=rows1',TRUE),
