@@ -38,7 +38,13 @@ object MaxSimJoin {
 
   /** Σ-of-maxes + per-qdoc top-k over (qdoc, gid, qpos, dotv) pair rows.
     * The sum is the fixed left-assoc chain (reduceLeft == the oracle's
-    * m0 + m1 + ... CASE chain). */
+    * m0 + m1 + ... CASE chain). A query doc that supplies FEWER than
+    * `positions` token vectors (e.g. a null/non-finite token dropped by
+    * the callers' finiteness filter) has a NULL per-position max, so its
+    * left-assoc sum is NULL: those (qdoc, gid) rows are dropped — a
+    * partial query doc never emits NULL-scored rows (the driver compare
+    * is NULL-fragile, and a NULL score ranked after real ones is
+    * silently wrong output). */
   private def scorePairs(pairs: DataFrame, positions: Int, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val mx = posMaxes(positions)
@@ -47,6 +53,7 @@ object MaxSimJoin {
     pairs
       .groupBy(col("qdoc"), col("gid")).agg(mx.head, mx.tail: _*)
       .select(col("qdoc"), col("gid"), score.as("score"))
+      .filter(col("score").isNotNull)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
   }
@@ -95,16 +102,53 @@ object MaxSimJoin {
       model: IvfIndex.Model, corpus: DataFrame, gidCol: String,
       idCol: String, vecCol: String, k: Int, kPerPos: Int,
       nprobe: Int): DataFrame = {
-    val qs = queries
+    val qs = tokenQueries(queries, qdocCol, qposCol, qvecCol)
+    val cand = KnnJoin.join(spark, tokens(qs, positions), "__mq", "qv",
+      path, model, idCol, vecCol, k = kPerPos, nprobe = nprobe)
+    rescore(cand, qs, positions, corpus, gidCol, idCol, vecCol, k)
+  }
+
+  /** Approximate MaxSim join over an HNSW-KIND artifact (round 11): the
+    * same shape as [[join]] with the per-position candidate pass served
+    * by [[Hnsw.knnJoin]] graph beams instead of IVF probes — a
+    * graph-indexed corpus serves ColBERT retrieval without a parallel
+    * IVF build. `probeGraphs` routes via the spatial sidecar
+    * ([[Hnsw.AutoProbe]]-aware; exactness is never claimed — recall vs
+    * [[joinExact]] in RECALL.json/KnnJoinSpec, rows-only gate). The
+    * artifact's BUILD metric ranks candidates (for cos artifacts pass
+    * caller-normalized token vectors, the knnJoin convention); the
+    * rescore is always the exact Σ-of-maxes dot kernel. */
+  def joinHnsw(spark: SparkSession, queries: DataFrame, qdocCol: String,
+      qposCol: String, qvecCol: String, positions: Int, path: String,
+      idCol: String, corpus: DataFrame, gidCol: String, vecCol: String,
+      k: Int, kPerPos: Int, efSearch: Int = 100,
+      probeGraphs: Int = 0): DataFrame = {
+    val qs = tokenQueries(queries, qdocCol, qposCol, qvecCol)
+    val cand = Hnsw.knnJoin(spark, path, idCol, tokens(qs, positions),
+      "__mq", "qv", k = kPerPos, efSearch = efSearch,
+      probeGraphs = probeGraphs)
+    rescore(cand, qs, positions, corpus, gidCol, idCol, vecCol, k)
+  }
+
+  private def tokenQueries(queries: DataFrame, qdocCol: String,
+      qposCol: String, qvecCol: String): DataFrame =
+    queries
       .filter(col(qvecCol).isNotNull && vectorIsFinite(col(qvecCol)))
       .select(col(qdocCol).cast("long").as("qdoc"),
         col(qposCol).cast("int").as("qpos"), col(qvecCol).as("qv"))
-    // one unique token id per query row so the KNN join's qid contract
-    // holds; integral div recovers the doc
-    val tokens = qs.select(
-      (col("qdoc") * positions + col("qpos")).as("__mq"), col("qv"))
-    val cand = KnnJoin.join(spark, tokens, "__mq", "qv", path, model,
-      idCol, vecCol, k = kPerPos, nprobe = nprobe)
+
+  /** One unique token id per query row so the KNN joins' qid contract
+    * holds; integral div recovers the doc. */
+  private def tokens(qs: DataFrame, positions: Int): DataFrame =
+    qs.select((col("qdoc") * positions + col("qpos")).as("__mq"), col("qv"))
+
+  /** The shared bounded rescore: (qdoc, gid) dedup of the candidate
+    * hits (hits outside `corpus` — e.g. indexed query tokens — drop via
+    * the inner gid join), two key-joins into ONE hash aggregate with
+    * map-side partial maxes, fixed-order Σ-of-maxes, per-qdoc window. */
+  private def rescore(cand: DataFrame, qs: DataFrame, positions: Int,
+      corpus: DataFrame, gidCol: String, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
     val idToGid = corpus.select(col(idCol),
       col(gidCol).cast("long").as("gid"))
     val candPairs = cand.join(idToGid, idCol)

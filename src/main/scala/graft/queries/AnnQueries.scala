@@ -933,6 +933,24 @@ object AnnQueries {
         path, m, corpus, "gid", "vec_id", "embedding",
         k = 5, kPerPos = 40, nprobe = nprobeConf(s))
     }),
+    // MaxSim join over the HNSW-KIND artifact (round 11): same query/
+    // corpus fixture and Σ-of-maxes rescore, candidates from Hnsw.knnJoin
+    // graph beams (routed 2-of-4, the q_hnsw_knn_join convention) — a
+    // graph-indexed corpus serves ColBERT retrieval without a parallel
+    // IVF build. Approximate (rows-only; q_maxsim_join_exact is the
+    // exact twin; recall in RECALL.json + KnnJoinSpec parity).
+    "q_maxsim_hnsw_join" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val corpus = e.filter(col("vec_id") >= 40)
+        .select(org.apache.spark.sql.functions.expr("vec_id div 4").as("gid"),
+          col("vec_id"), col("embedding"))
+      val qdocs = e.filter(col("vec_id") < 40)
+        .select(org.apache.spark.sql.functions.expr("vec_id div 4").as("qdoc"),
+          (col("vec_id") % 4).as("qpos"), col("embedding"))
+      MaxSimJoin.joinHnsw(s, qdocs, "qdoc", "qpos", "embedding",
+        positions = 4, hnsw(s, d, 4), "vec_id", corpus, "gid", "embedding",
+        k = 5, kPerPos = 40, efSearch = efSearchConf(s), probeGraphs = 2)
+    }),
     // exact twin: every (query doc, group) pair scored — full cross-join
     // oracle, the Σ-of-maxes brute force (per-position candidate top-k is
     // not provably complete for a sum objective, so exact mode skips

@@ -78,6 +78,45 @@ class KnnJoinSpec extends SparkSpec {
     val rec = (approx & exact).size.toDouble / exact.size
     info(s"maxsim join pair recall (kPerPos=20) = $rec")
     assert(rec >= 0.8, s"maxsim join recall $rec")
+    // HNSW-backed candidate pass (round 11): on the single-graph
+    // artifact with ef >= n the beam IS the exact per-token top-k, so
+    // the candidate set equals the IVF nprobe=nlist form's and the
+    // rescore must reproduce exact verbatim
+    val hnsw1 = graft.queries.AnnQueries.hnsw(spark, sf0001, 1)
+    val fullH = MaxSimJoin.joinHnsw(spark, qdocs, "qdoc", "qpos",
+      "embedding", positions = 4, hnsw1, "vec_id", corpus, "gid",
+      "embedding", k = 5, kPerPos = 100, efSearch = 500)
+      .select("qdoc", "gid").as[(Long, Long)].collect().toSet
+    assert(fullH == exact, "HNSW exhaustive candidates must reproduce exact")
+    // routed bounded candidates (the q_maxsim_hnsw_join shape) keep recall
+    val hnsw4 = graft.queries.AnnQueries.hnsw(spark, sf0001, 4)
+    val approxH = MaxSimJoin.joinHnsw(spark, qdocs, "qdoc", "qpos",
+      "embedding", positions = 4, hnsw4, "vec_id", corpus, "gid",
+      "embedding", k = 5, kPerPos = 40, efSearch = 100, probeGraphs = 2)
+      .select("qdoc", "gid").as[(Long, Long)].collect().toSet
+    val recH = (approxH & exact).size.toDouble / exact.size
+    info(s"maxsim HNSW join pair recall (kPerPos=40, 2-of-4) = $recH")
+    assert(recH >= 0.8, s"maxsim hnsw join recall $recH")
+  }
+
+  test("MaxSim join drops partial query docs instead of NULL scores") {
+    import graft.operators.MaxSimJoin
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val corpus = e.filter(col("vec_id") >= 40)
+      .select(expr("vec_id div 4").as("gid"), col("embedding"))
+    // qdoc 2 loses its qpos=1 token (the null/non-finite-filtered shape)
+    val qdocs = e.filter(col("vec_id") < 40)
+      .filter(!(col("vec_id") === 9)) // 9 div 4 = 2, 9 % 4 = 1
+      .select(expr("vec_id div 4").as("qdoc"),
+        (col("vec_id") % 4).as("qpos"), col("embedding"))
+    val res = MaxSimJoin.joinExact(spark, qdocs, "qdoc", "qpos",
+      "embedding", positions = 4, corpus, "gid", "embedding", k = 5)
+    assert(res.filter(col("score").isNull).count() === 0,
+      "no NULL-scored rows may be emitted")
+    assert(res.filter(col("qdoc") === 2).count() === 0,
+      "a partial query doc drops entirely")
+    assert(res.filter(col("qdoc") === 3).count() === 5,
+      "complete query docs are unaffected")
   }
 
   test("probe kernel reproduces Model.rankLists ordering (radii and raw)") {
