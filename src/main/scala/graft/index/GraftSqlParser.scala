@@ -159,10 +159,21 @@ case class VacuumVectorIndexCommand(name: String) extends VectorIndexCommand {
 case class DropVectorIndexCommand(name: String, ifExists: Boolean)
     extends VectorIndexCommand {
   override def run(spark: SparkSession): Seq[Row] = {
-    val present = IndexCatalog.load(spark, name).isDefined
-    if (!present && !ifExists)
+    val m = IndexCatalog.load(spark, name)
+    if (m.isEmpty && !ifExists)
       throw new IllegalArgumentException(s"no such index: $name")
-    if (present) IndexCatalog.drop(spark, name)
-    Seq(Row(if (present) "ok" else "skipped"))
+    m.foreach { man =>
+      // drop the planner's view of the index too (best-effort: only
+      // SQL-created indexes carry the recipe that names the entry)
+      for (cols <- man.params.get("sql_cols");
+           am <- man.params.get("sql_am");
+           op <- man.params.get("sql_opclass")) {
+        val Array(idCol, vecCol) = cols.split(",", 2)
+        graft.plans.AnnPushdown.unregister(man.source,
+          SqlDdl.pushdownEntry(name, idCol, vecCol, am, op))
+      }
+      IndexCatalog.drop(spark, name)
+    }
+    Seq(Row(if (m.isDefined) "ok" else "skipped"))
   }
 }

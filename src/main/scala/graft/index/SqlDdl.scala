@@ -172,8 +172,20 @@ object SqlDdl {
     // ONE commit (atomic rename) under the DDL lock — a torn recipe
     // cannot exist
     IndexCatalog.alterAll(spark, name, recipe)
+    // a SQL-only user's declarative queries accelerate without any
+    // Scala call: CREATE registers the (source, metric) pushdown entry
+    // (the reference's planner sees the index through pg_index; DROP
+    // unregisters). Driver-local like the registry itself.
+    graft.plans.AnnPushdown.register(source, pushdownEntry(name, idCol,
+      vecCol, am, opclassName))
     "ok"
   }
+
+  private[index] def pushdownEntry(name: String, idCol: String,
+      vecCol: String, am: String, opclassName: String)
+      : graft.plans.AnnPushdown.IndexedTable =
+    graft.plans.AnnPushdown.IndexedTable(name, idCol, vecCol,
+      IndexOptions.metricKey(opclassName, am))
 
   /** VACUUM as SQL text: rebuild the artifact from its current source,
     * reclaiming rows deleted from it. EVERY kind rebuilds through

@@ -211,6 +211,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(AnnRewriteRule)
     ext.injectParser((_, delegate) => new graft.index.GraftSqlParser(delegate))
+    // the pg_vector_index_stat VIEW (reference views.rs:17-80) as a SQL
+    // table function: `SELECT * FROM pg_vector_index_stat()` — resolved
+    // fresh per query from the catalog (driver-side manifest/file
+    // listing, a LocalRelation: metadata-only, never a job)
+    ext.injectTableFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("pg_vector_index_stat"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        "graft.index.IndexCatalog", "pg_vector_index_stat"),
+      (_: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.index.IndexCatalog.stats(SparkSession.active)
+          .queryExecution.analyzed))
   }
 }
 

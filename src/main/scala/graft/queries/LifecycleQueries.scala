@@ -134,10 +134,13 @@ object LifecycleQueries {
       val active = SparkSession.getActiveSession
       val deflt = SparkSession.getDefaultSession
       SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
-      try SparkSession.builder()
-        .withExtensions(new graft.plans.GraftExtensions())
-        .getOrCreate()
-      finally {
+      try {
+        val s2 = SparkSession.builder()
+          .withExtensions(new graft.plans.GraftExtensions())
+          .getOrCreate()
+        graft.functions.registerAll(s2)
+        s2
+      } finally {
         SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
         deflt.foreach(SparkSession.setDefaultSession)
         active.foreach(SparkSession.setActiveSession)
@@ -1052,6 +1055,69 @@ object LifecycleQueries {
         "DROP IF EXISTS on a missing index must be a no-op")
       Hnsw.searchIndex(s, IndexCatalog.dataDir(s, name), "vec_id",
         qvec(s, d), k = 100, exact = true)
+    }),
+
+    // --- The PySpark-user contract (round 11): the ENTIRE lifecycle —
+    //     create → stat → declarative search → vacuum → drop — through
+    //     spark.sql TEXT only, no Scala imports. CREATE registers the
+    //     pushdown entry itself (pg_index analog), so the plain
+    //     ORDER BY l2sq_distance(...) LIMIT k statement is rewritten
+    //     onto the artifact (required in-query via the list_id
+    //     discriminator); pg_vector_index_stat() is the injected SQL
+    //     table function. Exactness pinned via nprobe = nlist → full
+    //     DuckDB oracle.
+    "q_sql_e2e" -> ((s0, d) => {
+      val s = ddlSession(s0)
+      val srcDir = adminSrc(s, d)
+      val name = s"sqle2e_${san(d)}"
+      s.sql(s"DROP VECTOR INDEX IF EXISTS $name")
+      require(s.sql(s"""CREATE VECTOR INDEX $name ON '$srcDir'
+          USING vectors (vec_id, embedding vector_l2_ops)
+          WITH (indexing = ivf, nlist = 4)""").head().getString(0) == "ok")
+      // stat through the SQL table function
+      val st = s.sql(s"""SELECT idx_type, idx_metric
+          FROM pg_vector_index_stat() WHERE idx_name = '$name'""").collect()
+      require(st.length == 1 && st(0).getString(0) == "ivf" &&
+        st(0).getString(1) == "l2",
+        s"pg_vector_index_stat() must list the created index, got ${st.toSeq}")
+      // declarative search, pure SQL text; CREATE's own registration
+      // serves it (no AnnPushdown.register here — that is the point)
+      val qv = qvec(s, d)
+      val qLit = "array(" + qv.map(f => s"CAST($f AS FLOAT)").mkString(",") + ")"
+      val searchSql =
+        s"""SELECT vec_id, l2sq_distance(embedding, $qLit) AS dist
+            FROM parquet.`$srcDir` ORDER BY dist LIMIT 100"""
+      val prevEnabled = s.conf.get("spark.graft.ann.enabled", "false")
+      val prevNprobe = s.conf.get("spark.graft.ann.nprobe", "auto")
+      s.conf.set("spark.graft.ann.enabled", "true")
+      s.conf.set("spark.graft.ann.nprobe", "4") // = nlist -> exact
+      try {
+        val optimized = s.sql(searchSql).queryExecution.optimizedPlan
+        require(optimized.toString.contains("list_id"),
+          "the SQL-text search must be rewritten onto the artifact")
+        // VACUUM mid-lifecycle: generation swap, searches keep working
+        require(s.sql(s"VACUUM VECTOR INDEX $name").head().getString(0) == "ok")
+        val optimized2 = s.sql(searchSql).queryExecution.optimizedPlan
+        require(optimized2.toString.contains("list_id"),
+          "the rewrite must survive VACUUM (fresh generation dir)")
+        // DROP end-of-life on a scratch clone (the returned frame's own
+        // artifact must outlive this query): stat stops listing it AND
+        // the planner stops rewriting queries it served
+        val scratch = s"sqle2e_scratch_${san(d)}"
+        s.sql(s"""CREATE VECTOR INDEX $scratch ON '$srcDir'
+            USING vectors (vec_id, embedding vector_cos_ops)
+            WITH (indexing = ivf, nlist = 4)""")
+        require(s.sql(s"""SELECT count(*) FROM pg_vector_index_stat()
+            WHERE idx_name = '$scratch'""").head().getLong(0) == 1L)
+        require(s.sql(s"DROP VECTOR INDEX $scratch").head().getString(0) == "ok")
+        require(s.sql(s"""SELECT count(*) FROM pg_vector_index_stat()
+            WHERE idx_name = '$scratch'""").head().getLong(0) == 0L)
+        org.apache.spark.sql.graftshim.Shims.ofRows(s, optimized2)
+          .orderBy(col("dist"), col("vec_id"))
+      } finally {
+        s.conf.set("spark.graft.ann.enabled", prevEnabled)
+        s.conf.set("spark.graft.ann.nprobe", prevNprobe)
+      }
     })
   )
 
@@ -1137,6 +1203,15 @@ object LifecycleQueries {
 
     // same 200-row admin fixture, statement-created artifact
     "q_sql_ddl_stmt" ->
+      s"""SELECT e.vec_id AS vec_id, $qL2 AS dist
+          FROM embeddings e
+          CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+          WHERE e.vec_id < 200
+          ORDER BY dist, vec_id LIMIT 100""",
+
+    // SQL-text-only lifecycle: the declarative search is exact at
+    // nprobe = nlist over the same 200-row fixture
+    "q_sql_e2e" ->
       s"""SELECT e.vec_id AS vec_id, $qL2 AS dist
           FROM embeddings e
           CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q

@@ -173,6 +173,41 @@ class SqlDdlStmtSpec extends SparkSpec {
     IndexCatalog.drop(spark, name)
   }
 
+  test("SQL-only surface: stat TVF lists indexes; CREATE registers the " +
+      "pushdown, DROP unregisters it") {
+    val src = tmpSrc()
+    val name = "stmtspec_sqlonly"
+    IndexCatalog.drop(spark, name)
+    spark.sql(s"DROP VECTOR INDEX IF EXISTS $name")
+    assert(spark.sql(s"""SELECT count(*) FROM pg_vector_index_stat()
+        WHERE idx_name = '$name'""").head().getLong(0) === 0L)
+    spark.sql(s"""CREATE VECTOR INDEX $name ON '$src'
+        USING vectors (vec_id, embedding vector_l2_ops)
+        WITH (indexing = ivf, nlist = 4)""")
+    assert(spark.sql(s"""SELECT idx_type FROM pg_vector_index_stat()
+        WHERE idx_name = '$name'""").head().getString(0) === "ivf")
+    // the CREATE registered the planner entry: a pure-SQL top-k over the
+    // source rewrites onto the artifact without any Scala registration
+    val prevE = spark.conf.get("spark.graft.ann.enabled", "false")
+    spark.conf.set("spark.graft.ann.enabled", "true")
+    try {
+      val q = spark.read.parquet(src).where("vec_id = 0")
+        .head().getSeq[Float](1)
+      val qLit = "array(" + q.map(f => s"CAST($f AS FLOAT)").mkString(",") + ")"
+      val opt = spark.sql(s"""SELECT vec_id, l2sq_distance(embedding, $qLit)
+          AS d FROM parquet.`$src` ORDER BY d LIMIT 5""")
+        .queryExecution.optimizedPlan
+      assert(opt.toString.contains("list_id"),
+        "CREATE must have registered the pushdown entry")
+      spark.sql(s"DROP VECTOR INDEX $name")
+      val opt2 = spark.sql(s"""SELECT vec_id, l2sq_distance(embedding, $qLit)
+          AS d FROM parquet.`$src` ORDER BY d LIMIT 5""")
+        .queryExecution.optimizedPlan
+      assert(!opt2.toString.contains("list_id"),
+        "DROP must unregister the pushdown entry")
+    } finally spark.conf.set("spark.graft.ann.enabled", prevE)
+  }
+
   test("malformed WITH options fail at parse-plan time, build nothing") {
     val src = tmpSrc()
     intercept[IllegalArgumentException] {
