@@ -269,14 +269,106 @@ object Recall {
       "hnsw_scalar_routed_auto" -> (r, 100)
     }
 
+    // round 11: the GUARDED DEFAULT (probeGraphs = AUTO / calibrated
+    // probes) measured on EVERY routed entry point — join families,
+    // coded graphs, and ivf_cos at its ensure-calibrated probe_hint —
+    // mirroring hnsw_scalar_routed_auto. Expectation per the code:
+    // random → the separability guard (or calibration) escalates to
+    // all-graphs / deeper probes → at or above the unrouted floor;
+    // clustered → stays routed/pruned at ≥0.9.
+    def autoRecall(dir: String, tag: String): Seq[(String, (Double, Int))] = {
+      import org.apache.spark.sql.functions._
+      import graft.operators._
+      val A = graft.queries.AnnQueries
+      val auto = Hnsw.AutoProbe
+      def emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val q0 = emb.filter(col("vec_id") === 0).select(col("embedding"))
+        .head().getSeq[Float](0).toArray
+      def pairsOf(df: org.apache.spark.sql.DataFrame) =
+        df.select(df.columns(0), df.columns(1)).collect()
+          .map(r => (r.get(0).asInstanceOf[Number].longValue,
+            r.get(1).asInstanceOf[Number].longValue)).toSet
+      def exPairs(name: String) =
+        pairsOf(graft.SparkEntry.queries(name)(spark, dir))
+      def row(fam: String, ap: Set[(Long, Long)], ex: Set[(Long, Long)],
+          k: Int) = {
+        val r = ap.intersect(ex).size.toDouble / math.max(ex.size, 1)
+        println(f"[recall] $tag%-9s $fam%-24s pair-recall@$k = $r%.3f")
+        fam -> (r, k)
+      }
+      val jq = emb.filter(col("vec_id") % 10 === 0)
+        .select(col("vec_id"), col("embedding"))
+      val hj = row("hnsw_knn_join_auto",
+        pairsOf(Hnsw.knnJoin(spark, A.hnsw(spark, dir, 4), "vec_id", jq,
+          "vec_id", "embedding", k = 10, probeGraphs = auto)),
+        exPairs("q_hnsw_knn_join_exact"), 10)
+      val sq2 = emb.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id"), transform(col("embedding"),
+          x => when(abs(x) > lit(0.15), x).otherwise(lit(0.0f))).as("qd"))
+      val sj = row("svec_hnsw_knn_join_auto",
+        pairsOf(Hnsw.knnJoinMetric(spark, A.svecHnsw(spark, dir, 4),
+          "vec_id", sq2, "vec_id", "qd", k = 10, metric = "dot",
+          probeGraphs = auto)),
+        exPairs("q_svec_hnsw_knn_join_exact"), 10)
+      val (srcDir, pname) = ensureRecallPart(dir)
+      val pQueries = emb.filter(col("vec_id") % 50 === 0).limit(50)
+      def pPairs(exact: Boolean, g: Int) =
+        pairsOf(PartitionedIndex.knnJoinHnsw(spark, pname, srcDir, "part",
+          "vec_id", pQueries, "vec_id", "embedding", k = 10,
+          exact = exact, probeGraphs = g))
+      val pj = row("partitioned_knn_join_auto", pPairs(false, auto),
+        pPairs(true, 0), 10)
+      // MaxSim over the HNSW-kind artifact (round 11, gate knobs 2-of-4)
+      val mx = row("maxsim_hnsw_join",
+        pairsOf(graft.SparkEntry.queries("q_maxsim_hnsw_join")(spark, dir)),
+        pairsOf(graft.SparkEntry.queries("q_maxsim_join_exact")(spark, dir)),
+        5)
+      def scoreRow(fam: String, ap: Array[Double], exName: String) = {
+        val ex = scores(exName, dir)
+        val kth = ex.max
+        val r = math.min(
+          ap.count(_ <= kth + 1e-9).toDouble / math.max(ex.length, 1), 1.0)
+        println(f"[recall] $tag%-9s $fam%-24s recall@${ex.length} = $r%.3f")
+        fam -> (r, ex.length)
+      }
+      def dists(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.get(1).asInstanceOf[Number].doubleValue())
+      val (mins, widths, sqPath) = A.hnswsq(spark, dir, 4)
+      val csq = scoreRow("hnsw_sq8_auto",
+        dists(HnswSq.searchIndex(spark, sqPath, emb, "vec_id", "embedding",
+          q0, 100, mins, widths, probeGraphs = auto)), "q_hnswsq8_exact_l2")
+      val (pqm, pqPath) = A.hnswpq(spark, dir, 4)
+      val cpq = scoreRow("hnsw_pq_auto",
+        dists(HnswPq.searchIndex(spark, pqPath, emb, "vec_id", "embedding",
+          q0, 100, pqm, probeGraphs = auto)), "q_hnswpq_exact_l2")
+      val (rqm, rqPath) = A.hnswrq(spark, dir, 4)
+      val crq = scoreRow("hnsw_rabitq_auto",
+        dists(HnswRq.searchIndex(spark, rqPath, emb, "vec_id", "embedding",
+          q0, 100, rqm, probeGraphs = auto)), "q_hnswrq_exact_l2")
+      // ivf_cos at the RESOLVED default: max(10, ensure-calibrated hint)
+      val (cm, cPath) = A.ivf(spark, dir, "cos")
+      val hname = "ivf_cos_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val hint = graft.index.IndexCatalog.load(spark, hname)
+        .flatMap(_.params.get("probe_hint")).flatMap(_.toIntOption)
+        .getOrElse(0)
+      val resolved = math.min(math.max(10, hint), math.max(cm.nlist, 1))
+      println(s"[recall] $tag ivf_cos_auto resolved nprobe = $resolved (hint $hint)")
+      val cos = scoreRow("ivf_cos_auto",
+        dists(IvfIndex.search(spark, cPath, cm, "vec_id", "embedding", q0,
+          100, resolved)), "q_ivf_exact_cos")
+      Seq(hj, sj, pj, mx, csq, cpq, crq, cos)
+    }
+
     val clDir = ensureClustered(spark, sfDir)
     val clustered = measure(clDir, "clustered") ++ joinRecall(clDir, "clustered") :+
       partitionedRecall(clDir, "clustered") :+ partitionedJoinRecall(clDir, "clustered") :+
       routedAutoRecall(clDir, "clustered")
+    val clusteredAll = clustered ++ autoRecall(clDir, "clustered")
     val random = measure(sfDir, "random") ++ joinRecall(sfDir, "random") :+
       partitionedRecall(sfDir, "random") :+ partitionedJoinRecall(sfDir, "random") :+
       routedAutoRecall(sfDir, "random")
-    clustered.filter(_._2._1 < 0.9).foreach { case (fam, (r, k)) =>
+    val randomAll = random ++ autoRecall(sfDir, "random")
+    clusteredAll.filter(_._2._1 < 0.9).foreach { case (fam, (r, k)) =>
       println(f"[recall] WARNING: $fam below 0.9 on the clustered fixture ($r%.3f@$k)")
     }
 
@@ -318,16 +410,26 @@ object Recall {
       "ranked through the TypedAnn metric map on the l2 sidecar), and " +
       "maxsim_join the round-10 table-valued MaxSim join (PLAID-style " +
       "per-position candidates at kPerPos=40 rescored with the exact " +
-      "sum-of-maxes kernel)."
+      "sum-of-maxes kernel). ROUND 11: the *_auto rows measure the " +
+      "GUARDED DEFAULT on every remaining routed entry point - " +
+      "hnsw_knn_join_auto / svec_hnsw_knn_join_auto / " +
+      "partitioned_knn_join_auto (table-valued joins at " +
+      "probeGraphs=auto), hnsw_sq8/pq/rabitq_auto (coded graphs at " +
+      "auto), and ivf_cos_auto (the declarative default nprobe=auto " +
+      "resolving max(10, the ensure-time calibrated probe_hint) - on " +
+      "the random fixture the calibration honestly resolves to " +
+      "~nlist, on clustered it keeps the reference default 10). " +
+      "maxsim_hnsw_join is the round-11 graph-served MaxSim join at " +
+      "its gate knobs (kPerPos=40, 2-of-4)."
     val json =
       s"""{"sf":"$clDir","fixture":"clustered-mog-8","source_sf":"$sfDir",""" +
         s""""defaults":{"nprobe":10,"ef_search":100},"note":"$note",""" +
-        s""""families":${famJson(clustered)},""" +
+        s""""families":${famJson(clusteredAll)},""" +
         s""""worst_case_random_fixture":{"sf":"$sfDir",""" +
-        s""""families":${famJson(random)}}}"""
+        s""""families":${famJson(randomAll)}}}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("RECALL.json"), json + "\n")
     spark.stop()
-    println(s"[recall] wrote RECALL.json (${clustered.length} families x 2 fixtures)")
+    println(s"[recall] wrote RECALL.json (${clusteredAll.length} families x 2 fixtures)")
   }
 }
