@@ -104,17 +104,33 @@ object AnnPushdown {
   }
 
   /** Sub-artifact field-name sets for the FILTERED ivf_part arm, keyed
-    * by the artifact DATA DIR (reindex bumps the generation dir, so a
-    * rebuilt artifact misses the cache and re-reads its footer) — the
-    * rule fires on every optimizer pass over filtered-join shapes and
-    * must not do parquet footer I/O each time. */
-  private val subSchemaCache = new ConcurrentHashMap[String, Set[String]]()
+    * by artifact DATA DIR and validated against a cheap content
+    * fingerprint (top-level entry count + max mtime — the GraphCache/
+    * SampleSidecar file-identity convention): reindex bumps the
+    * generation dir, and an IN-PLACE re-ensure into the same dir bumps
+    * the mtimes, so a rebuilt artifact always re-reads its footer
+    * instead of serving a stale field set (whose remapped attribute
+    * would fail analysis inside the rule — the convention is
+    * drift-bails, never errors). One dir listing per rule pass,
+    * metadata-only; footer I/O only on fingerprint change. */
+  private val subSchemaCache =
+    new ConcurrentHashMap[String, (String, Set[String])]()
 
   private[plans] def subFieldNames(spark: SparkSession,
       subIndexName: String): Set[String] = {
     val dir = graft.index.IndexCatalog.dataDir(spark, subIndexName)
-    subSchemaCache.computeIfAbsent(dir,
-      d => spark.read.parquet(d).schema.fieldNames.toSet)
+    val entries = Option(new java.io.File(dir).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+    val fp = entries.length.toString + ":" +
+      (if (entries.isEmpty) "0"
+       else entries.map(_.lastModified()).max.toString)
+    val cached = subSchemaCache.get(dir)
+    if (cached != null && cached._1 == fp) cached._2
+    else {
+      val names = spark.read.parquet(dir).schema.fieldNames.toSet
+      subSchemaCache.put(dir, (fp, names))
+      names
+    }
   }
 
   def unregister(sourcePath: String): Unit =
