@@ -65,13 +65,13 @@ object GraftSqlParser {
   private val Ident = "[A-Za-z_][A-Za-z0-9_]*"
 
   // CREATE VECTOR INDEX [IF NOT EXISTS] name ON '<path>' USING am
-  //   (idCol, vecCol [opclass]) [WITH (k = v, ...)]
+  //   (idCol, vecCol [opclass]) [WITH (k = v, ...)] [WHERE pred]
   private val CreateRe =
     ("""(?is)\s*CREATE\s+VECTOR\s+INDEX\s+(?:(IF\s+NOT\s+EXISTS)\s+)?""" +
       s"($Ident)" + """\s+ON\s+'([^']+)'\s+USING\s+""" + s"($Ident)" +
       """\s*\(\s*""" + s"($Ident)" + """\s*,\s*""" + s"($Ident)" +
       """(?:\s+""" + s"($Ident)" + """)?\s*\)""" +
-      """(?:\s+WITH\s*\((.*?)\))?\s*;?\s*""").r
+      """(?:\s+WITH\s*\((.*?)\))?(?:\s+WHERE\s+(.+?))?\s*;?\s*""").r
 
   private val DropRe =
     ("""(?is)\s*DROP\s+VECTOR\s+INDEX\s+(?:(IF\s+EXISTS)\s+)?""" +
@@ -105,10 +105,12 @@ object GraftSqlParser {
     * lives in the commands' run(), the execute-once contract. */
   private[index] def parseVectorDdl(sqlText: String): Option[LogicalPlan] =
     sqlText match {
-      case CreateRe(ifNot, name, source, am, idCol, vecCol, opclass, opts) =>
+      case CreateRe(ifNot, name, source, am, idCol, vecCol, opclass, opts,
+          where) =>
         Some(CreateVectorIndexCommand(name, source, idCol, vecCol, am,
           Option(opclass).getOrElse("vector_l2_ops"),
-          withOpts(opts), ifNotExists = ifNot != null))
+          withOpts(opts), ifNotExists = ifNot != null,
+          where = Option(where).map(_.trim).getOrElse("")))
       case DropRe(ifExists, name) =>
         Some(DropVectorIndexCommand(name, ifExists = ifExists != null))
       case VacuumRe(name) =>
@@ -135,15 +137,18 @@ private[index] trait VectorIndexCommand extends LeafRunnableCommand {
 /** CREATE VECTOR INDEX: idempotent ensure semantics via
   * [[SqlDdl.create]] (an existing non-stale artifact with the same
   * params is a no-op — the reference's re-CREATE behavior); IF NOT
-  * EXISTS short-circuits on ANY committed manifest of that name. */
+  * EXISTS short-circuits on ANY committed manifest of that name. A
+  * WHERE clause builds a PARTIAL index over the matching rows and
+  * registers it predicate-scoped (the Postgres partial-index shape). */
 case class CreateVectorIndexCommand(name: String, source: String,
     idCol: String, vecCol: String, am: String, opclass: String,
-    options: String, ifNotExists: Boolean) extends VectorIndexCommand {
+    options: String, ifNotExists: Boolean,
+    where: String = "") extends VectorIndexCommand {
   override def run(spark: SparkSession): Seq[Row] =
     if (ifNotExists && IndexCatalog.load(spark, name).isDefined)
       Seq(Row("exists"))
     else Seq(Row(SqlDdl.create(spark, name, source, idCol, vecCol, am,
-      opclass, options)))
+      opclass, options, where)))
 }
 
 /** VACUUM VECTOR INDEX: [[SqlDdl.vacuum]] — rebuild from the current
@@ -164,13 +169,19 @@ case class DropVectorIndexCommand(name: String, ifExists: Boolean)
       throw new IllegalArgumentException(s"no such index: $name")
     m.foreach { man =>
       // drop the planner's view of the index too (best-effort: only
-      // SQL-created indexes carry the recipe that names the entry)
+      // SQL-created indexes carry the recipe that names the entry; a
+      // partial entry needs the same canonical conjuncts to match)
       for (cols <- man.params.get("sql_cols");
            am <- man.params.get("sql_am");
            op <- man.params.get("sql_opclass")) {
         val Array(idCol, vecCol) = cols.split(",", 2)
+        val conj = man.params.get("sql_where").map(_.trim).filter(_.nonEmpty)
+          .flatMap(w => scala.util.Try(
+            graft.plans.AnnPushdown.canonicalConjuncts(spark, man.source, w)
+          ).toOption)
         graft.plans.AnnPushdown.unregister(man.source,
-          SqlDdl.pushdownEntry(name, idCol, vecCol, am, op))
+          SqlDdl.pushdownEntry(name, idCol, vecCol, am, op)
+            .copy(partialConjuncts = conj))
       }
       IndexCatalog.drop(spark, name)
     }

@@ -294,7 +294,11 @@ object IndexCatalog {
       // the verbatim WITH-options string of the SQL CREATE (the vacuum
       // replay recipe — preserves reloptions like indexing=ivf that the
       // structural params can't reconstruct); empty allowed
-      "sql_options" -> ((v: String) => !v.exists(_ < ' ')))
+      "sql_options" -> ((v: String) => !v.exists(_ < ' ')),
+      // the verbatim WHERE predicate of a PARTIAL SQL CREATE (vacuum
+      // rebuilds over the same row scope; drop unregisters the
+      // predicate-scoped planner entry); empty = full index
+      "sql_where" -> ((v: String) => !v.exists(_ < ' ')))
   }
 
   /** Live-alter an index option (`alter_vector_index` analog,

@@ -62,7 +62,7 @@ object SqlDdl {
     * rebuild leaves the old generation committed). */
   private def dispatch(spark: SparkSession, name: String, source: String,
       idCol: String, vecCol: String, am: String, opclassName: String,
-      options: String, rebuild: Boolean): Unit = {
+      options: String, rebuild: Boolean, where: String = ""): Unit = {
     val (family, metric) = IndexOptions.opclass(opclassName, am)
     val opts = parseOpts(options)
     val indexing = am match {
@@ -78,7 +78,14 @@ object SqlDdl {
     }
     val parts = opts.get("parts").map(_.trim.toInt).getOrElse(1)
     val rest = opts - "indexing" - "parts"
-    def df = spark.read.parquet(source)
+    // a WHERE clause scopes the build to matching rows — the Postgres
+    // PARTIAL index: the artifact holds only the predicate's rows, and
+    // registration is predicate-scoped so the planner claims exactly
+    // the queries carrying the same canonical conjuncts
+    def df = {
+      val base = spark.read.parquet(source)
+      if (where.isEmpty) base else base.filter(where)
+    }
     import graft.operators.{Hnsw, IvfIndex, TypedAnn}
     (family, indexing) match {
       case ("dense", "hnsw") =>
@@ -148,27 +155,34 @@ object SqlDdl {
 
   /** The recipe params [[create]] writes and [[vacuum]] replays. */
   private def recipeParams(idCol: String, vecCol: String, am: String,
-      opclassName: String, options: String): Map[String, String] =
+      opclassName: String, options: String, where: String): Map[String, String] =
     Map("sql_cols" -> s"$idCol,$vecCol", "sql_am" -> am,
       "sql_opclass" -> opclassName,
-      "sql_options" -> Option(options).getOrElse("").trim)
+      "sql_options" -> Option(options).getOrElse("").trim,
+      "sql_where" -> Option(where).getOrElse("").trim)
 
-  /** CREATE INDEX as SQL text. Returns "ok". */
+  /** CREATE INDEX as SQL text; `where` non-empty builds a PARTIAL
+    * index over the predicate's rows and registers it
+    * predicate-scoped. Returns "ok". */
   def create(spark: SparkSession, name: String, source: String,
       idCol: String, vecCol: String, method: String, opclassName: String,
-      options: String): String = {
+      options: String, where: String = ""): String = {
     val am = IndexOptions.accessMethod(method)
     // validate the FULL recipe before dispatching the build: a
     // post-build failure here would strand an artifact whose vacuum
     // then refuses (round-10 advice) — the column-name rule is the
     // recipe format's own (comma-free, non-empty), not a lexer's
-    val recipe = recipeParams(idCol, vecCol, am, opclassName, options)
+    val recipe = recipeParams(idCol, vecCol, am, opclassName, options, where)
     IndexOptions.opclass(opclassName, am)
     require(Seq(idCol, vecCol).forall(c =>
       c.trim.nonEmpty && !c.contains(",") && !c.exists(_ < ' ')),
       s"column names must be non-empty and comma-free: ('$idCol', '$vecCol')")
+    // a partial predicate must canonicalize BEFORE the build too — a
+    // constant-folding predicate ("1 = 1") errors here, not post-build
+    val conj = Option(where).map(_.trim).filter(_.nonEmpty)
+      .map(w => graft.plans.AnnPushdown.canonicalConjuncts(spark, source, w))
     dispatch(spark, name, source, idCol, vecCol, am, opclassName, options,
-      rebuild = false)
+      rebuild = false, where = Option(where).getOrElse("").trim)
     // ONE commit (atomic rename) under the DDL lock — a torn recipe
     // cannot exist
     IndexCatalog.alterAll(spark, name, recipe)
@@ -177,7 +191,7 @@ object SqlDdl {
     // (the reference's planner sees the index through pg_index; DROP
     // unregisters). Driver-local like the registry itself.
     graft.plans.AnnPushdown.register(source, pushdownEntry(name, idCol,
-      vecCol, am, opclassName))
+      vecCol, am, opclassName).copy(partialConjuncts = conj))
     "ok"
   }
 
@@ -219,12 +233,13 @@ object SqlDdl {
     val indexing = if (m.kind.startsWith("ivf")) "ivf" else "hnsw"
     val opts = (baseOpts + ("indexing" -> indexing))
       .map { case (k, v) => s"$k=$v" }.mkString(",")
+    val where = m.params.getOrElse("sql_where", "")
     dispatch(spark, name, m.source, idCol, vecCol, am, opclassName, opts,
-      rebuild = true)
+      rebuild = true, where = where)
     // reindex manifests come from the family builders and drop the
     // sql_* recipe — restore it (one commit) so vacuum stays repeatable
     IndexCatalog.alterAll(spark, name, recipeParams(idCol, vecCol, am,
-      opclassName, m.params.getOrElse("sql_options", "")))
+      opclassName, m.params.getOrElse("sql_options", ""), where))
     "ok"
   }
 }

@@ -69,7 +69,7 @@ object AnnPushdown {
     register(sourcePath, t.copy(partialConjuncts = Some(conj)))
   }
 
-  private[plans] def canonicalConjuncts(spark: SparkSession,
+  private[graft] def canonicalConjuncts(spark: SparkSession,
       sourcePath: String, predSql: String): Seq[String] = {
     val plan = spark.read.parquet(sourcePath).filter(predSql)
       .queryExecution.optimizedPlan

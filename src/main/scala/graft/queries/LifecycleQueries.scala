@@ -121,6 +121,22 @@ object LifecycleQueries {
     srcDir
   }
 
+  /** A dedicated 150-row temp source for the PARTIAL-statement gate:
+    * its claim/no-claim plan assertions need a source carrying ONLY the
+    * partial registration (other gates register full entries on the
+    * shared admin fixture, whose filtered arm would also claim the
+    * probe queries). */
+  private def partialSrc(s: SparkSession, d: String): String = {
+    val srcDir = tmp + "/graft_partialsrc_" + san(d)
+    Segments.synchronized {
+      if (!new File(srcDir, "_SUCCESS").isFile)
+        t(s, d, "embeddings").filter(col("vec_id") < 150)
+          .select(col("vec_id"), col("embedding"))
+          .write.mode("overwrite").parquet(srcDir)
+    }
+    srcDir
+  }
+
   /** A session whose parser speaks the vector-DDL statements. Verify /
     * Bench / the test harness all build with
     * spark.sql.extensions=graft.plans.GraftExtensions so this is the
@@ -962,7 +978,7 @@ object LifecycleQueries {
         Map("m" -> "12", "ef_construction" -> "300"))
       val strip = (p: Map[String, String]) =>
         p -- Seq("sql_cols", "sql_am", "sql_opclass", "sql_options",
-          "data_dir", "reindex_gen")
+          "sql_where", "data_dir", "reindex_gen")
       val mSql = IndexCatalog.load(s, name).get
       val mRef = IndexCatalog.load(s, refName).get
       require(mSql.kind == mRef.kind && mSql.metric == mRef.metric &&
@@ -1025,7 +1041,7 @@ object LifecycleQueries {
         Map("m" -> "12", "ef_construction" -> "300"))
       val strip = (p: Map[String, String]) =>
         p -- Seq("sql_cols", "sql_am", "sql_opclass", "sql_options",
-          "data_dir", "reindex_gen")
+          "sql_where", "data_dir", "reindex_gen")
       val mStmt = IndexCatalog.load(s, name).get
       val mRef = IndexCatalog.load(s, refName).get
       require(mStmt.kind == mRef.kind && mStmt.metric == mRef.metric &&
@@ -1113,6 +1129,61 @@ object LifecycleQueries {
         require(s.sql(s"""SELECT count(*) FROM pg_vector_index_stat()
             WHERE idx_name = '$scratch'""").head().getLong(0) == 0L)
         org.apache.spark.sql.graftshim.Shims.ofRows(s, optimized2)
+          .orderBy(col("dist"), col("vec_id"))
+      } finally {
+        s.conf.set("spark.graft.ann.enabled", prevEnabled)
+        s.conf.set("spark.graft.ann.nprobe", prevNprobe)
+      }
+    }),
+
+    // --- PARTIAL index by statement (round 11; the Postgres
+    //     `CREATE INDEX ... WHERE pred` shape over the reference's AM):
+    //     WHERE scopes the build to the predicate's rows and registers
+    //     the planner entry predicate-scoped — a matching declarative
+    //     filter is claimed (rewrite REQUIRED in-query), a non-matching
+    //     one provably is not, and VACUUM replays the same row scope
+    //     (the rebuilt artifact is required to contain no off-predicate
+    //     rows). Dedicated temp source: the claim/no-claim assertions
+    //     must see only this gate's registration. Exact at
+    //     nprobe = nlist → full oracle.
+    "q_sql_partial_stmt" -> ((s0, d) => {
+      val s = ddlSession(s0)
+      val srcDir = partialSrc(s, d)
+      val name = s"sqlpart_${san(d)}"
+      s.sql(s"DROP VECTOR INDEX IF EXISTS $name")
+      require(s.sql(s"""CREATE VECTOR INDEX $name ON '$srcDir'
+          USING vectors (vec_id, embedding vector_l2_ops)
+          WITH (indexing = ivf, nlist = 4)
+          WHERE vec_id % 7 = 0""").head().getString(0) == "ok")
+      val m0 = IndexCatalog.load(s, name).get
+      require(m0.params.get("sql_where").contains("vec_id % 7 = 0"),
+        s"the WHERE predicate must be recorded, got ${m0.params}")
+      val qv = qvec(s, d)
+      val qLit = "array(" + qv.map(f => s"CAST($f AS FLOAT)").mkString(",") + ")"
+      def searchSql(modulus: Int) =
+        s"""SELECT vec_id, l2sq_distance(embedding, $qLit) AS dist
+            FROM parquet.`$srcDir` WHERE vec_id % $modulus = 0
+            ORDER BY dist LIMIT 20"""
+      val prevEnabled = s.conf.get("spark.graft.ann.enabled", "false")
+      val prevNprobe = s.conf.get("spark.graft.ann.nprobe", "auto")
+      s.conf.set("spark.graft.ann.enabled", "true")
+      s.conf.set("spark.graft.ann.nprobe", "4") // = nlist -> exact
+      try {
+        require(s.sql(searchSql(7)).queryExecution.optimizedPlan
+          .toString.contains("list_id"),
+          "the partial statement index must claim the matching filter")
+        require(!s.sql(searchSql(5)).queryExecution.optimizedPlan
+          .toString.contains("list_id"),
+          "a non-matching filter must not be claimed by the partial index")
+        // VACUUM replays the row scope through the generation swap
+        require(s.sql(s"VACUUM VECTOR INDEX $name").head().getString(0) == "ok")
+        require(s.read.parquet(IndexCatalog.dataDir(s, name))
+          .filter(col("vec_id") % 7 =!= 0).count() == 0,
+          "vacuum must rebuild over the partial predicate's rows only")
+        val optimized = s.sql(searchSql(7)).queryExecution.optimizedPlan
+        require(optimized.toString.contains("list_id"),
+          "the partial claim must survive VACUUM")
+        org.apache.spark.sql.graftshim.Shims.ofRows(s, optimized)
           .orderBy(col("dist"), col("vec_id"))
       } finally {
         s.conf.set("spark.graft.ann.enabled", prevEnabled)
@@ -1217,6 +1288,15 @@ object LifecycleQueries {
           CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
           WHERE e.vec_id < 200
           ORDER BY dist, vec_id LIMIT 100""",
+
+    // partial statement index: the 150-row fixture, predicate rows only,
+    // exact at nprobe = nlist
+    "q_sql_partial_stmt" ->
+      s"""SELECT e.vec_id AS vec_id, $qL2 AS dist
+          FROM embeddings e
+          CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+          WHERE e.vec_id < 150 AND e.vec_id % 7 = 0
+          ORDER BY dist, vec_id LIMIT 20""",
 
     "q_partitioned_index" ->
       s"""WITH src AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),

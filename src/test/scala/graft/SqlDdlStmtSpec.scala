@@ -1,6 +1,7 @@
 package graft
 
 import java.io.File
+import org.apache.spark.sql.functions.col
 import graft.index.{GraftSqlParser, IndexCatalog}
 
 /** Parser-injected vector DDL statements (round 11): recognition,
@@ -206,6 +207,32 @@ class SqlDdlStmtSpec extends SparkSpec {
       assert(!opt2.toString.contains("list_id"),
         "DROP must unregister the pushdown entry")
     } finally spark.conf.set("spark.graft.ann.enabled", prevE)
+  }
+
+  test("WHERE clause builds a PARTIAL index: scoped rows, scoped claim") {
+    val src = tmpSrc()
+    val name = "stmtspec_partial"
+    IndexCatalog.drop(spark, name)
+    spark.sql(s"DROP VECTOR INDEX IF EXISTS $name")
+    spark.sql(s"""CREATE VECTOR INDEX $name ON '$src'
+        USING vectors (vec_id, embedding vector_l2_ops)
+        WITH (indexing = ivf, nlist = 2) WHERE vec_id % 3 = 0""")
+    val m = IndexCatalog.load(spark, name).get
+    assert(m.params.get("sql_where").contains("vec_id % 3 = 0"))
+    // the artifact holds only the predicate's rows
+    assert(spark.read.parquet(IndexCatalog.dataDir(spark, name))
+      .filter(col("vec_id") % 3 =!= 0).count() === 0L)
+    // vacuum replays the scope
+    assert(spark.sql(s"VACUUM VECTOR INDEX $name").head().getString(0) === "ok")
+    assert(spark.read.parquet(IndexCatalog.dataDir(spark, name))
+      .filter(col("vec_id") % 3 =!= 0).count() === 0L)
+    // a fold-away predicate fails BEFORE building anything
+    intercept[Exception] {
+      spark.sql(s"""CREATE VECTOR INDEX stmtspec_partial_bad ON '$src'
+          USING vectors (vec_id, embedding) WHERE 1 = 1""").collect()
+    }
+    assert(IndexCatalog.load(spark, "stmtspec_partial_bad").isEmpty)
+    spark.sql(s"DROP VECTOR INDEX $name")
   }
 
   test("malformed WITH options fail at parse-plan time, build nothing") {
