@@ -71,7 +71,10 @@ object GraftSqlParser {
       s"($Ident)" + """\s+ON\s+'([^']+)'\s+USING\s+""" + s"($Ident)" +
       """\s*\(\s*""" + s"($Ident)" + """\s*,\s*""" + s"($Ident)" +
       """(?:\s+""" + s"($Ident)" + """)?\s*\)""" +
-      """(?:\s+WITH\s*\((.*?)\))?(?:\s+WHERE\s+(.+?))?\s*;?\s*""").r
+      // WITH body: quoted strings or any non-quote non-paren char — a
+      // ')' or ',' INSIDE quotes never terminates the group
+      """(?:\s+WITH\s*\(((?:'[^']*'|[^)'])*)\))?""" +
+      """(?:\s+WHERE\s+(.+?))?\s*;?\s*""").r
 
   private val DropRe =
     ("""(?is)\s*DROP\s+VECTOR\s+INDEX\s+(?:(IF\s+EXISTS)\s+)?""" +
@@ -86,14 +89,29 @@ object GraftSqlParser {
 
   /** `WITH (m = 12, ef_construction = 300)` body → the `k=v,k=v` string
     * [[SqlDdl.parseOpts]] takes. Values may be bare words/numbers or
-    * single-quoted strings. */
+    * single-quoted strings; pairs split on commas OUTSIDE quotes. A
+    * comma inside a value is rejected with a clear error — the recipe's
+    * flat k=v serialization (replayed by vacuum through the same
+    * parser) cannot carry it, and no reloption takes one. */
   private def withOpts(body: String): String = {
     val s = Option(body).getOrElse("").trim
-    if (s.isEmpty) ""
-    else s.split(',').map { kv =>
+    if (s.isEmpty) return ""
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var inQ = false
+    s.foreach {
+      case '\'' => inQ = !inQ; cur += '\''
+      case ',' if !inQ => parts += cur.toString; cur.clear()
+      case c => cur += c
+    }
+    parts += cur.toString
+    parts.map { kv =>
       kv.split("=", 2) match {
-        case Array(k, v) =>
-          s"${k.trim}=${v.trim.stripPrefix("'").stripSuffix("'")}"
+        case Array(k, v0) =>
+          val v = v0.trim.stripPrefix("'").stripSuffix("'")
+          if (v.contains(",")) throw new IllegalArgumentException(
+            s"option values may not contain ',': ${k.trim} = $v")
+          s"${k.trim}=$v"
         case _ => throw new IllegalArgumentException(
           s"malformed WITH option '$kv' (expected key = value)")
       }
@@ -145,9 +163,12 @@ case class CreateVectorIndexCommand(name: String, source: String,
     options: String, ifNotExists: Boolean,
     where: String = "") extends VectorIndexCommand {
   override def run(spark: SparkSession): Seq[Row] =
-    if (ifNotExists && IndexCatalog.load(spark, name).isDefined)
+    if (ifNotExists && IndexCatalog.load(spark, name).isDefined) {
+      // the planner registry is driver-LOCAL: a fresh JVM's
+      // IF NOT EXISTS over a persisted index must still register
+      SqlDdl.registerFromRecipe(spark, name)
       Seq(Row("exists"))
-    else Seq(Row(SqlDdl.create(spark, name, source, idCol, vecCol, am,
+    } else Seq(Row(SqlDdl.create(spark, name, source, idCol, vecCol, am,
       opclass, options, where)))
 }
 
@@ -168,21 +189,11 @@ case class DropVectorIndexCommand(name: String, ifExists: Boolean)
     if (m.isEmpty && !ifExists)
       throw new IllegalArgumentException(s"no such index: $name")
     m.foreach { man =>
-      // drop the planner's view of the index too (best-effort: only
-      // SQL-created indexes carry the recipe that names the entry; a
-      // partial entry needs the same canonical conjuncts to match)
-      for (cols <- man.params.get("sql_cols");
-           am <- man.params.get("sql_am");
-           op <- man.params.get("sql_opclass")) {
-        val Array(idCol, vecCol) = cols.split(",", 2)
-        val conj = man.params.get("sql_where").map(_.trim).filter(_.nonEmpty)
-          .flatMap(w => scala.util.Try(
-            graft.plans.AnnPushdown.canonicalConjuncts(spark, man.source, w)
-          ).toOption)
-        graft.plans.AnnPushdown.unregister(man.source,
-          SqlDdl.pushdownEntry(name, idCol, vecCol, am, op)
-            .copy(partialConjuncts = conj))
-      }
+      // drop the planner's view of the index too — by NAME identity:
+      // a (metric, conjuncts) match would deregister a surviving
+      // same-metric index whose registration replaced this one's, and
+      // partial entries would need the source alive to re-canonicalize
+      graft.plans.AnnPushdown.unregisterNamed(man.source, name)
       IndexCatalog.drop(spark, name)
     }
     Seq(Row(if (m.isDefined) "ok" else "skipped"))

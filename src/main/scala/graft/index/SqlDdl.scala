@@ -201,6 +201,29 @@ object SqlDdl {
     graft.plans.AnnPushdown.IndexedTable(name, idCol, vecCol,
       IndexOptions.metricKey(opclassName, am))
 
+  /** Re-register the planner entry of an ALREADY-COMMITTED SQL-created
+    * index from its manifest recipe — the IF NOT EXISTS path: the
+    * registry is driver-local, so a fresh JVM's `CREATE ... IF NOT
+    * EXISTS` over a persisted index must still hand the planner its
+    * entry (round-11 review finding). No-op for indexes without a
+    * complete recipe (Scala-created names). Driver-side only
+    * (canonicalizing a partial predicate is plan analysis, no job). */
+  private[index] def registerFromRecipe(spark: SparkSession,
+      name: String): Unit =
+    for (m <- IndexCatalog.load(spark, name);
+         cols <- m.params.get("sql_cols");
+         am <- m.params.get("sql_am");
+         op <- m.params.get("sql_opclass")) {
+      val Array(idCol, vecCol) = cols.split(",", 2)
+      val conj = m.params.get("sql_where").map(_.trim).filter(_.nonEmpty)
+        .flatMap(w => scala.util.Try(
+          graft.plans.AnnPushdown.canonicalConjuncts(spark, m.source, w)
+        ).toOption)
+      graft.plans.AnnPushdown.register(m.source,
+        pushdownEntry(name, idCol, vecCol, am, op)
+          .copy(partialConjuncts = conj))
+    }
+
   /** VACUUM as SQL text: rebuild the artifact from its current source,
     * reclaiming rows deleted from it. EVERY kind rebuilds through
     * REINDEX (fresh generation dir + one atomic pointer swap — readers
@@ -227,9 +250,15 @@ object SqlDdl {
     // build params. Either way the INDEXING KIND comes from the
     // committed manifest — the artifact's own truth — so a typed IVF
     // can never silently rebuild as a densified graph.
-    val baseOpts = m.params.get("sql_options").map(parseOpts).getOrElse(
-      Seq("m", "ef_construction", "nlist", "parts")
-        .flatMap(k => m.params.get(k).map(k -> _)).toMap)
+    // filter(nonEmpty): a create WITHOUT options records sql_options=""
+    // — an empty RECORDED recipe must still fall back to the manifest's
+    // structural params, otherwise the SECOND vacuum of such an index
+    // (whose first vacuum restored "") silently rebuilds with defaults
+    // (round-11 review finding)
+    val baseOpts = m.params.get("sql_options").filter(_.nonEmpty)
+      .map(parseOpts).getOrElse(
+        Seq("m", "ef_construction", "nlist", "parts")
+          .flatMap(k => m.params.get(k).map(k -> _)).toMap)
     val indexing = if (m.kind.startsWith("ivf")) "ivf" else "hnsw"
     val opts = (baseOpts + ("indexing" -> indexing))
       .map { case (k, v) => s"$k=$v" }.mkString(",")

@@ -24,7 +24,9 @@ import graft.operators.{IvfIndex, TypedAnn}
  *
  * GUC analogs (src/gucs/executing.rs:4-23), read per query:
  *  - spark.graft.ann.enabled  (default false): master switch
- *  - spark.graft.ann.nprobe   (default 10): probed lists; = nlist → exact
+ *  - spark.graft.ann.nprobe   (default "auto" since round 11: resolves
+ *    max(10, the artifact's calibrated probe_hint) per artifact —
+ *    numeric values are the user's fixed override); = nlist → exact
  *
  * Tables opt in via [[AnnPushdown.register]], mapping the source parquet
  * path to a cataloged IVF index (a real engine would keep this in the
@@ -135,6 +137,19 @@ object AnnPushdown {
 
   def unregister(sourcePath: String): Unit =
     registry.remove(normalize(sourcePath))
+
+  /** Remove the entries OWNED by an index name — the DROP-statement
+    * path: matching on (metric, conjuncts) alone would deregister a
+    * SURVIVING same-metric index that replaced this one's entry
+    * (round-11 review finding), and recomputing a partial entry's
+    * conjuncts at drop time needs the source to still exist. Name
+    * identity needs neither. */
+  def unregisterNamed(sourcePath: String, indexName: String): Unit =
+    registry.computeIfPresent(normalize(sourcePath), (_, cur) =>
+      cur.filterNot(_.indexName == indexName) match {
+        case Nil => null
+        case rest => rest
+      })
 
   /** Remove ONLY the entry matching (metric, partialConjuncts) — a bench
     * helper tearing down its own registration must not clobber the user's

@@ -317,10 +317,16 @@ object AnnQueries {
     * pgvector compatibility mode (src/index/compatibility.rs:7-60):
     * the pgvector spellings (`ivfflat.probes`, `hnsw.ef_search`) are
     * accepted as aliases and win when set. */
+  /** Non-numeric values (notably "auto" — the round-11 documented
+    * default spelling of spark.graft.ann.nprobe, whose per-artifact
+    * resolution lives in the REWRITE RULE) resolve to the fixed default
+    * here: these direct-call gates pass explicit knobs and must never
+    * throw on a conf another component understands. */
   private def conf2(s: SparkSession, pgvector: String, native: String,
       dflt: String): Int =
     s.conf.getOption(pgvector)
-      .getOrElse(s.conf.get(native, dflt)).toInt
+      .getOrElse(s.conf.get(native, dflt))
+      .trim.toIntOption.getOrElse(dflt.toInt)
   private def nprobeConf(s: SparkSession) =
     conf2(s, "spark.graft.ivfflat.probes", "spark.graft.ann.nprobe", "10")
   private def efSearchConf(s: SparkSession) =

@@ -1110,7 +1110,10 @@ object LifecycleQueries {
         s"""SELECT vec_id, l2sq_distance(embedding, $qLit) AS dist
             FROM parquet.`$srcDir` ORDER BY dist LIMIT 100"""
       val prevEnabled = s.conf.get("spark.graft.ann.enabled", "false")
-      val prevNprobe = s.conf.get("spark.graft.ann.nprobe", "auto")
+      // getOption, not get-with-default: restoring a synthesized "auto"
+      // into a previously UNSET conf would poison later fixed-default
+      // readers (round-11 review finding)
+      val prevNprobe = s.conf.getOption("spark.graft.ann.nprobe")
       s.conf.set("spark.graft.ann.enabled", "true")
       s.conf.set("spark.graft.ann.nprobe", "4") // = nlist -> exact
       try {
@@ -1142,7 +1145,10 @@ object LifecycleQueries {
           .orderBy(col("dist"), col("vec_id"))
       } finally {
         s.conf.set("spark.graft.ann.enabled", prevEnabled)
-        s.conf.set("spark.graft.ann.nprobe", prevNprobe)
+        prevNprobe match {
+          case Some(v) => s.conf.set("spark.graft.ann.nprobe", v)
+          case None => s.conf.unset("spark.graft.ann.nprobe")
+        }
       }
     }),
 
@@ -1176,7 +1182,10 @@ object LifecycleQueries {
             FROM parquet.`$srcDir` WHERE vec_id % $modulus = 0
             ORDER BY dist LIMIT 20"""
       val prevEnabled = s.conf.get("spark.graft.ann.enabled", "false")
-      val prevNprobe = s.conf.get("spark.graft.ann.nprobe", "auto")
+      // getOption, not get-with-default: restoring a synthesized "auto"
+      // into a previously UNSET conf would poison later fixed-default
+      // readers (round-11 review finding)
+      val prevNprobe = s.conf.getOption("spark.graft.ann.nprobe")
       s.conf.set("spark.graft.ann.enabled", "true")
       s.conf.set("spark.graft.ann.nprobe", "4") // = nlist -> exact
       try {
@@ -1198,7 +1207,10 @@ object LifecycleQueries {
           .orderBy(col("dist"), col("vec_id"))
       } finally {
         s.conf.set("spark.graft.ann.enabled", prevEnabled)
-        s.conf.set("spark.graft.ann.nprobe", prevNprobe)
+        prevNprobe match {
+          case Some(v) => s.conf.set("spark.graft.ann.nprobe", v)
+          case None => s.conf.unset("spark.graft.ann.nprobe")
+        }
       }
     })
   )

@@ -235,6 +235,68 @@ class SqlDdlStmtSpec extends SparkSpec {
     spark.sql(s"DROP VECTOR INDEX $name")
   }
 
+  test("review fixes: legacy-recipe vacuum, survivor registration, " +
+      "IF NOT EXISTS re-registration") {
+    import graft.plans.AnnPushdown
+    val src = tmpSrc()
+    // (1) empty RECORDED sql_options must fall back to structural
+    // params — the legacy/first-vacuum-restored state must not rebuild
+    // with defaults on the second vacuum
+    val lg = "stmtspec_legacy"
+    IndexCatalog.drop(spark, lg)
+    spark.sql(s"""CREATE VECTOR INDEX $lg ON '$src'
+        USING vectors (vec_id, embedding vector_l2_ops)
+        WITH (indexing = ivf, nlist = 8)""")
+    IndexCatalog.alter(spark, lg, "sql_options", "")
+    assert(spark.sql(s"VACUUM VECTOR INDEX $lg").head().getString(0) === "ok")
+    assert(IndexCatalog.load(spark, lg).get.params.get("nlist").contains("8"),
+      "vacuum with an empty recorded recipe must keep structural params")
+    spark.sql(s"DROP VECTOR INDEX $lg")
+    // (2) dropping one of two same-metric indexes must not deregister
+    // the survivor (unregister is by NAME identity)
+    val a = "stmtspec_surv_a"; val b = "stmtspec_surv_b"
+    IndexCatalog.drop(spark, a); IndexCatalog.drop(spark, b)
+    spark.sql(s"""CREATE VECTOR INDEX $a ON '$src'
+        USING vectors (vec_id, embedding vector_l2_ops)
+        WITH (indexing = ivf, nlist = 2)""")
+    spark.sql(s"""CREATE VECTOR INDEX $b ON '$src'
+        USING vectors (vec_id, embedding vector_l2_ops)
+        WITH (indexing = ivf, nlist = 4)""")
+    val q = spark.read.parquet(src).where("vec_id = 0").head().getSeq[Float](1)
+    val qLit = "array(" + q.map(f => s"CAST($f AS FLOAT)").mkString(",") + ")"
+    def topkPlan() = spark.sql(s"""SELECT vec_id,
+        l2sq_distance(embedding, $qLit) AS d
+        FROM parquet.`$src` ORDER BY d LIMIT 5""").queryExecution.optimizedPlan
+    val prevE = spark.conf.get("spark.graft.ann.enabled", "false")
+    spark.conf.set("spark.graft.ann.enabled", "true")
+    try {
+      spark.sql(s"DROP VECTOR INDEX $a")
+      assert(topkPlan().toString.contains("list_id"),
+        "dropping index A must leave index B's registration serving")
+      // (3) a fresh JVM's IF NOT EXISTS must re-register: simulate the
+      // empty driver-local registry, then IF NOT EXISTS restores it
+      AnnPushdown.unregisterNamed(src, b)
+      assert(!topkPlan().toString.contains("list_id"))
+      assert(spark.sql(s"""CREATE VECTOR INDEX IF NOT EXISTS $b ON '$src'
+          USING vectors (vec_id, embedding vector_l2_ops)
+          WITH (indexing = ivf, nlist = 4)""").head().getString(0) === "exists")
+      assert(topkPlan().toString.contains("list_id"),
+        "IF NOT EXISTS over a persisted index must register the planner entry")
+      spark.sql(s"DROP VECTOR INDEX $b")
+      assert(!topkPlan().toString.contains("list_id"))
+    } finally spark.conf.set("spark.graft.ann.enabled", prevE)
+  }
+
+  test("quoted WITH values with commas are rejected clearly; quoted ')' parses") {
+    val src = tmpSrc()
+    val e = intercept[IllegalArgumentException] {
+      spark.sql(s"""CREATE VECTOR INDEX stmtspec_qc ON '$src'
+          USING vectors (vec_id, embedding) WITH (nlist = 'a,b')""").collect()
+    }
+    assert(e.getMessage.contains("','"), e.getMessage)
+    assert(IndexCatalog.load(spark, "stmtspec_qc").isEmpty)
+  }
+
   test("malformed WITH options fail at parse-plan time, build nothing") {
     val src = tmpSrc()
     intercept[IllegalArgumentException] {
