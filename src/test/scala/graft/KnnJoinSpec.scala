@@ -722,11 +722,16 @@ class KnnJoinSpec extends SparkSpec {
       // CHEAP query side where the prune DOES fire, then assert the
       // large side builds with strictly fewer jobs.
       val tracker = spark.sparkContext.statusTracker
+      // count jobs in a THREAD-LOCAL job group: suites run in parallel
+      // on the shared context, and counting all jobs made this flake
+      // whenever another suite's jobs landed inside the window
       def jobsDuring(f: => Unit): Int = {
-        val before = tracker.getJobIdsForGroup(null).length
-        f
+        val g = s"prunegate-${java.util.UUID.randomUUID()}"
+        spark.sparkContext.setJobGroup(g, "static-prune gate",
+          interruptOnCancel = false)
+        try f finally spark.sparkContext.clearJobGroup()
         Thread.sleep(500) // job-start events post asynchronously
-        tracker.getJobIdsForGroup(null).length - before
+        tracker.getJobIdsForGroup(g).length
       }
       spark.conf.set("spark.graft.join.staticPruneMaxBytes",
         (256L << 20).toString)
