@@ -1156,7 +1156,7 @@ object Hnsw {
           if (Routing.separable(ents.map(e => (e._2, e._3)).toArray)) "yes"
           else "no"
         IndexCatalog.Manifest("hnsw", source, metric,
-          baseParams + ("files" -> stats.length.toString,
+          baseParams ++ Map("files" -> stats.length.toString,
             "routing" -> RoutingGen, "routable" -> routable))
       }
   }
