@@ -128,7 +128,13 @@ object GraftSqlParser {
         Some(CreateVectorIndexCommand(name, source, idCol, vecCol, am,
           Option(opclass).getOrElse("vector_l2_ops"),
           withOpts(opts), ifNotExists = ifNot != null,
-          where = Option(where).map(_.trim).getOrElse("")))
+          // control chars → spaces: a multi-line WHERE must survive the
+          // single-line recipe serialization the manifest stores (plain
+          // runs of spaces are preserved — they could sit inside string
+          // literals)
+          where = Option(where)
+            .map(_.replaceAll("[\\u0000-\\u001f]+", " ").trim)
+            .getOrElse("")))
       case DropRe(ifExists, name) =>
         Some(DropVectorIndexCommand(name, ifExists = ifExists != null))
       case VacuumRe(name) =>
@@ -195,6 +201,11 @@ case class DropVectorIndexCommand(name: String, ifExists: Boolean)
       // partial entries would need the source alive to re-canonicalize
       graft.plans.AnnPushdown.unregisterNamed(man.source, name)
       IndexCatalog.drop(spark, name)
+      // ...and surviving same-source indexes whose claims THIS index's
+      // registration had replaced come back (register keys on
+      // (metric, conjuncts), so the newest same-metric create shadows
+      // older ones — the shadow must lift when it drops)
+      SqlDdl.reregisterSource(spark, man.source, excluding = name)
     }
     Seq(Row(if (m.isDefined) "ok" else "skipped"))
   }

@@ -171,18 +171,31 @@ object SqlDdl {
     // validate the FULL recipe before dispatching the build: a
     // post-build failure here would strand an artifact whose vacuum
     // then refuses (round-10 advice) — the column-name rule is the
-    // recipe format's own (comma-free, non-empty), not a lexer's
+    // recipe format's own (comma-free, non-empty), and every value must
+    // pass the SAME Alterable rules alterAll applies after the build
+    // (a multi-line WHERE must error here, not post-build)
     val recipe = recipeParams(idCol, vecCol, am, opclassName, options, where)
     IndexOptions.opclass(opclassName, am)
     require(Seq(idCol, vecCol).forall(c =>
       c.trim.nonEmpty && !c.contains(",") && !c.exists(_ < ' ')),
       s"column names must be non-empty and comma-free: ('$idCol', '$vecCol')")
+    require(recipe.values.forall(v => !v.exists(_ < ' ')),
+      "recipe values must be single-line (no control characters)")
     // a partial predicate must canonicalize BEFORE the build too — a
     // constant-folding predicate ("1 = 1") errors here, not post-build
-    val conj = Option(where).map(_.trim).filter(_.nonEmpty)
+    val newWhere = Option(where).getOrElse("").trim
+    val conj = Some(newWhere).filter(_.nonEmpty)
       .map(w => graft.plans.AnnPushdown.canonicalConjuncts(spark, source, w))
+    // the ROW SCOPE participates in staleness: ensure() only checks
+    // source + fingerprint + structural requires, so a re-CREATE with a
+    // CHANGED (or removed) WHERE over an unchanged source would no-op
+    // the build while rewriting the recipe and the planner claim to the
+    // new predicate — the artifact would serve the OLD scope as the new
+    // one. A differing recorded sql_where forces REINDEX instead.
+    val scopeChanged = IndexCatalog.load(spark, name).exists(m =>
+      !m.params.get("sql_where").map(_.trim).contains(newWhere))
     dispatch(spark, name, source, idCol, vecCol, am, opclassName, options,
-      rebuild = false, where = Option(where).getOrElse("").trim)
+      rebuild = scopeChanged, where = newWhere)
     // ONE commit (atomic rename) under the DDL lock — a torn recipe
     // cannot exist
     IndexCatalog.alterAll(spark, name, recipe)
@@ -206,23 +219,55 @@ object SqlDdl {
     * registry is driver-local, so a fresh JVM's `CREATE ... IF NOT
     * EXISTS` over a persisted index must still hand the planner its
     * entry (round-11 review finding). No-op for indexes without a
-    * complete recipe (Scala-created names). Driver-side only
-    * (canonicalizing a partial predicate is plan analysis, no job). */
-  private[index] def registerFromRecipe(spark: SparkSession,
-      name: String): Unit =
-    for (m <- IndexCatalog.load(spark, name);
+    * complete recipe (Scala-created names), and for names already
+    * registered (repeat IF NOT EXISTS loops stay cheap). A PARTIAL
+    * predicate that fails to canonicalize registers NOTHING — a full
+    * (unscoped) claim over a predicate-scoped artifact would silently
+    * lose every off-predicate row; no registration only loses the
+    * acceleration. Driver-side only (canonicalizing is plan analysis,
+    * no job). */
+  private[index] def registerFromRecipe(spark: SparkSession, name: String,
+      preloaded: Option[IndexCatalog.Manifest] = None): Unit =
+    for (m <- preloaded.orElse(IndexCatalog.load(spark, name));
          cols <- m.params.get("sql_cols");
          am <- m.params.get("sql_am");
-         op <- m.params.get("sql_opclass")) {
+         op <- m.params.get("sql_opclass")
+         if !graft.plans.AnnPushdown.snapshot(m.source)
+           .exists(_.indexName == name)) {
       val Array(idCol, vecCol) = cols.split(",", 2)
-      val conj = m.params.get("sql_where").map(_.trim).filter(_.nonEmpty)
-        .flatMap(w => scala.util.Try(
-          graft.plans.AnnPushdown.canonicalConjuncts(spark, m.source, w)
-        ).toOption)
-      graft.plans.AnnPushdown.register(m.source,
+      val conj: Option[Option[Seq[String]]] =
+        m.params.get("sql_where").map(_.trim).filter(_.nonEmpty) match {
+          case None => Some(None) // full index
+          case Some(w) => scala.util.Try(
+            graft.plans.AnnPushdown.canonicalConjuncts(spark, m.source, w)
+          ).toOption match {
+            case Some(c) => Some(Some(c))
+            case None => None // cannot scope the claim -> register nothing
+          }
+        }
+      conj.foreach(c => graft.plans.AnnPushdown.register(m.source,
         pushdownEntry(name, idCol, vecCol, am, op)
-          .copy(partialConjuncts = conj))
+          .copy(partialConjuncts = c)))
     }
+
+  /** After a DROP, surviving same-source SQL-created indexes re-register
+    * from their recipes: register() replaces same-(metric, conjuncts)
+    * entries, so the dropped index may have been SHADOWING a survivor's
+    * claim — without this, dropping the newer of two same-metric indexes
+    * leaves the older one cataloged but invisible to the planner for the
+    * rest of the session (round-11 review finding). Driver-side catalog
+    * listing; DROP is rare. */
+  private[index] def reregisterSource(spark: SparkSession, source: String,
+      excluding: String): Unit =
+    Option(new java.io.File(IndexCatalog.root(spark)).listFiles())
+      .getOrElse(Array.empty)
+      .filter(d => d.isDirectory && d.getName != excluding &&
+        new java.io.File(d, "MANIFEST.bin").isFile)
+      .foreach { d =>
+        IndexCatalog.load(spark, d.getName)
+          .filter(_.source == source)
+          .foreach(m => registerFromRecipe(spark, d.getName, Some(m)))
+      }
 
   /** VACUUM as SQL text: rebuild the artifact from its current source,
     * reclaiming rows deleted from it. EVERY kind rebuilds through

@@ -317,16 +317,29 @@ object AnnQueries {
     * pgvector compatibility mode (src/index/compatibility.rs:7-60):
     * the pgvector spellings (`ivfflat.probes`, `hnsw.ef_search`) are
     * accepted as aliases and win when set. */
-  /** Non-numeric values (notably "auto" — the round-11 documented
-    * default spelling of spark.graft.ann.nprobe, whose per-artifact
-    * resolution lives in the REWRITE RULE) resolve to the fixed default
-    * here: these direct-call gates pass explicit knobs and must never
-    * throw on a conf another component understands. */
+  /** "auto" — the round-11 default spelling of spark.graft.ann.nprobe,
+    * whose per-artifact resolution lives in the REWRITE RULE — resolves
+    * to the fixed default here (direct-call gates must not throw on a
+    * conf another component understands). Any OTHER non-numeric value
+    * still errors like before: silently mapping a typo to the default
+    * would discard the user's intent. */
+  /** Restore spark.graft.ann.nprobe to its pre-gate state. UNSET is a
+    * meaningful state (the round-11 "auto" default resolves in the
+    * rewrite rule): restoring a synthesized "10" into a previously
+    * unset conf would pin the session away from the calibrated
+    * per-artifact default for its remaining lifetime. */
+  private def restoreNprobe(s: SparkSession, prev: Option[String]): Unit =
+    prev match {
+      case Some(v) => s.conf.set("spark.graft.ann.nprobe", v)
+      case None => s.conf.unset("spark.graft.ann.nprobe")
+    }
+
   private def conf2(s: SparkSession, pgvector: String, native: String,
-      dflt: String): Int =
-    s.conf.getOption(pgvector)
-      .getOrElse(s.conf.get(native, dflt))
-      .trim.toIntOption.getOrElse(dflt.toInt)
+      dflt: String): Int = {
+    val raw = s.conf.getOption(pgvector)
+      .getOrElse(s.conf.get(native, dflt)).trim
+    if (raw.equalsIgnoreCase("auto")) dflt.toInt else raw.toInt
+  }
   private def nprobeConf(s: SparkSession) =
     conf2(s, "spark.graft.ivfflat.probes", "spark.graft.ann.nprobe", "10")
   private def efSearchConf(s: SparkSession) =
@@ -356,7 +369,7 @@ object AnnQueries {
       AnnPushdown.IndexedTable(s"ivf_${metric}_${san(d)}", "vec_id",
         "embedding", metric))
     val prevEnabled = s.conf.get("spark.graft.ann.enabled", "false")
-    val prevNprobe = s.conf.get("spark.graft.ann.nprobe", "10")
+    val prevNprobe = s.conf.getOption("spark.graft.ann.nprobe")
     s.conf.set("spark.graft.ann.enabled", "true")
     s.conf.set("spark.graft.ann.nprobe", m.nlist.toString)
     try {
@@ -368,7 +381,7 @@ object AnnQueries {
         .orderBy(col("dist"), col("vec_id"))
     } finally {
       s.conf.set("spark.graft.ann.enabled", prevEnabled)
-      s.conf.set("spark.graft.ann.nprobe", prevNprobe)
+      restoreNprobe(s, prevNprobe)
       AnnPushdown.restore(srcPath, prevReg)
     }
   }
@@ -432,7 +445,7 @@ object AnnQueries {
       AnnPushdown.register(srcPath, AnnPushdown.IndexedTable(
         s"bvecann_${san(d)}", "vec_id", "embedding", "bvec:hamming"))
       val prevEnabled = s.conf.get("spark.graft.ann.enabled", "false")
-      val prevNprobe = s.conf.get("spark.graft.ann.nprobe", "10")
+      val prevNprobe = s.conf.getOption("spark.graft.ann.nprobe")
       s.conf.set("spark.graft.ann.enabled", "true")
       s.conf.set("spark.graft.ann.nprobe", m.nlist.toString)
       try {
@@ -448,7 +461,7 @@ object AnnQueries {
           .orderBy(col("dist"), col("vec_id"))
       } finally {
         s.conf.set("spark.graft.ann.enabled", prevEnabled)
-        s.conf.set("spark.graft.ann.nprobe", prevNprobe)
+        restoreNprobe(s, prevNprobe)
         AnnPushdown.restore(srcPath, prevReg)
       }
     }),
@@ -634,7 +647,7 @@ object AnnQueries {
         AnnPushdown.IndexedTable(s"ivf_l2_${san(d)}", "vec_id",
           "embedding", "l2"))
       val prevEnabled = s.conf.get("spark.graft.ann.enabled", "false")
-      val prevNprobe = s.conf.get("spark.graft.ann.nprobe", "10")
+      val prevNprobe = s.conf.getOption("spark.graft.ann.nprobe")
       s.conf.set("spark.graft.ann.enabled", "true")
       s.conf.set("spark.graft.ann.nprobe", "1")
       try {
@@ -650,7 +663,7 @@ object AnnQueries {
           .orderBy(col("dist"), col("vec_id"))
       } finally {
         s.conf.set("spark.graft.ann.enabled", prevEnabled)
-        s.conf.set("spark.graft.ann.nprobe", prevNprobe)
+        restoreNprobe(s, prevNprobe)
         AnnPushdown.restore(srcPath, prevReg)
       }
     }),
@@ -841,7 +854,7 @@ object AnnQueries {
         AnnPushdown.IndexedTable(s"ivf_l2_part7_${san(d)}", "vec_id",
           "embedding"), "vec_id % 7 = 0")
       val prevEnabled = s.conf.get("spark.graft.ann.enabled", "false")
-      val prevNprobe = s.conf.get("spark.graft.ann.nprobe", "10")
+      val prevNprobe = s.conf.getOption("spark.graft.ann.nprobe")
       s.conf.set("spark.graft.ann.enabled", "true")
       s.conf.set("spark.graft.ann.nprobe", m.nlist.toString)
       try {
@@ -858,7 +871,7 @@ object AnnQueries {
           .orderBy(col("dist"), col("vec_id"))
       } finally {
         s.conf.set("spark.graft.ann.enabled", prevEnabled)
-        s.conf.set("spark.graft.ann.nprobe", prevNprobe)
+        restoreNprobe(s, prevNprobe)
         AnnPushdown.restore(srcPath, prevReg)
       }
     }),
@@ -1018,7 +1031,7 @@ object AnnQueries {
       AnnPushdown.register(srcPath, AnnPushdown.IndexedTable(
         s"ivf_l2_${san(d)}", "vec_id", "embedding", "l2"))
       val prevEnabled = s.conf.get("spark.graft.ann.enabled", "false")
-      val prevNprobe = s.conf.get("spark.graft.ann.nprobe", "10")
+      val prevNprobe = s.conf.getOption("spark.graft.ann.nprobe")
       s.conf.set("spark.graft.ann.enabled", "true")
       s.conf.set("spark.graft.ann.nprobe", m.nlist.toString)
       try {
@@ -1038,7 +1051,7 @@ object AnnQueries {
         org.apache.spark.sql.graftshim.Shims.ofRows(s, optimized)
       } finally {
         s.conf.set("spark.graft.ann.enabled", prevEnabled)
-        s.conf.set("spark.graft.ann.nprobe", prevNprobe)
+        restoreNprobe(s, prevNprobe)
         AnnPushdown.restore(srcPath, prevReg)
       }
     }),
@@ -1059,7 +1072,7 @@ object AnnQueries {
       AnnPushdown.register(srcPath, AnnPushdown.IndexedTable(
         s"ivf_l2_${san(d)}", "vec_id", "embedding", "l2"))
       val prevEnabled = s.conf.get("spark.graft.ann.enabled", "false")
-      val prevNprobe = s.conf.get("spark.graft.ann.nprobe", "10")
+      val prevNprobe = s.conf.getOption("spark.graft.ann.nprobe")
       s.conf.set("spark.graft.ann.enabled", "true")
       s.conf.set("spark.graft.ann.nprobe", "1")
       try {
@@ -1080,7 +1093,7 @@ object AnnQueries {
         org.apache.spark.sql.graftshim.Shims.ofRows(s, optimized)
       } finally {
         s.conf.set("spark.graft.ann.enabled", prevEnabled)
-        s.conf.set("spark.graft.ann.nprobe", prevNprobe)
+        restoreNprobe(s, prevNprobe)
         AnnPushdown.restore(srcPath, prevReg)
       }
     }),
@@ -1101,7 +1114,7 @@ object AnnQueries {
       AnnPushdown.register(srcPath, AnnPushdown.IndexedTable(
         s"ivf_l2_${san(d)}", "vec_id", "embedding", "l2"))
       val prevEnabled = s.conf.get("spark.graft.ann.enabled", "false")
-      val prevNprobe = s.conf.get("spark.graft.ann.nprobe", "10")
+      val prevNprobe = s.conf.getOption("spark.graft.ann.nprobe")
       s.conf.set("spark.graft.ann.enabled", "true")
       s.conf.set("spark.graft.ann.nprobe", m.nlist.toString)
       try {
@@ -1122,7 +1135,7 @@ object AnnQueries {
         org.apache.spark.sql.graftshim.Shims.ofRows(s, optimized)
       } finally {
         s.conf.set("spark.graft.ann.enabled", prevEnabled)
-        s.conf.set("spark.graft.ann.nprobe", prevNprobe)
+        restoreNprobe(s, prevNprobe)
         AnnPushdown.restore(srcPath, prevReg)
       }
     }),
@@ -1188,7 +1201,7 @@ object AnnQueries {
       AnnPushdown.register(srcPath, AnnPushdown.IndexedTable(
         s"bvecann_${san(d)}", "vec_id", "embedding", "bvec:hamming"))
       val prevEnabled = s.conf.get("spark.graft.ann.enabled", "false")
-      val prevNprobe = s.conf.get("spark.graft.ann.nprobe", "10")
+      val prevNprobe = s.conf.getOption("spark.graft.ann.nprobe")
       s.conf.set("spark.graft.ann.enabled", "true")
       s.conf.set("spark.graft.ann.nprobe", m.nlist.toString)
       try {
@@ -1209,7 +1222,7 @@ object AnnQueries {
         org.apache.spark.sql.graftshim.Shims.ofRows(s, optimized)
       } finally {
         s.conf.set("spark.graft.ann.enabled", prevEnabled)
-        s.conf.set("spark.graft.ann.nprobe", prevNprobe)
+        restoreNprobe(s, prevNprobe)
         AnnPushdown.restore(srcPath, prevReg)
       }
     }),

@@ -531,7 +531,7 @@ object LifecycleQueries {
       AnnPushdown.register(srcDir,
         AnnPushdown.IndexedTable(name, "vec_id", "embedding"))
       val prevEnabled = s.conf.get("spark.graft.ann.enabled", "false")
-      val prevNp = s.conf.get("spark.graft.ann.nprobe", "10")
+      val prevNp = s.conf.getOption("spark.graft.ann.nprobe")
       s.conf.set("spark.graft.ann.enabled", "true")
       s.conf.set("spark.graft.ann.nprobe", "4")
       try {
@@ -556,7 +556,10 @@ object LifecycleQueries {
           .select(col("scope"), col("vec_id"), col("dist"))
       } finally {
         s.conf.set("spark.graft.ann.enabled", prevEnabled)
-        s.conf.set("spark.graft.ann.nprobe", prevNp)
+        prevNp match {
+          case Some(v) => s.conf.set("spark.graft.ann.nprobe", v)
+          case None => s.conf.unset("spark.graft.ann.nprobe")
+        }
         AnnPushdown.restore(srcDir, prevReg)
       }
     }),
@@ -627,7 +630,7 @@ object LifecycleQueries {
       AnnPushdown.register(srcDir,
         AnnPushdown.IndexedTable(name, "vec_id", "embedding"))
       val prevEnabled = s.conf.get("spark.graft.ann.enabled", "false")
-      val prevNp = s.conf.get("spark.graft.ann.nprobe", "10")
+      val prevNp = s.conf.getOption("spark.graft.ann.nprobe")
       val prevOf = s.conf.get("spark.graft.ann.filteredOverfetch", "4")
       s.conf.set("spark.graft.ann.enabled", "true")
       s.conf.set("spark.graft.ann.nprobe", "1")
@@ -646,7 +649,10 @@ object LifecycleQueries {
           .orderBy(col("dist"), col("vec_id"))
       } finally {
         s.conf.set("spark.graft.ann.enabled", prevEnabled)
-        s.conf.set("spark.graft.ann.nprobe", prevNp)
+        prevNp match {
+          case Some(v) => s.conf.set("spark.graft.ann.nprobe", v)
+          case None => s.conf.unset("spark.graft.ann.nprobe")
+        }
         s.conf.set("spark.graft.ann.filteredOverfetch", prevOf)
         AnnPushdown.restore(srcDir, prevReg)
       }
@@ -671,7 +677,7 @@ object LifecycleQueries {
       AnnPushdown.register(srcDir,
         AnnPushdown.IndexedTable(name, "vec_id", "embedding"))
       val prevEnabled = s.conf.get("spark.graft.ann.enabled", "false")
-      val prevNp = s.conf.get("spark.graft.ann.nprobe", "10")
+      val prevNp = s.conf.getOption("spark.graft.ann.nprobe")
       s.conf.set("spark.graft.ann.enabled", "true")
       s.conf.set("spark.graft.ann.nprobe", "4")
       try {
@@ -692,7 +698,10 @@ object LifecycleQueries {
         org.apache.spark.sql.graftshim.Shims.ofRows(s, optimized)
       } finally {
         s.conf.set("spark.graft.ann.enabled", prevEnabled)
-        s.conf.set("spark.graft.ann.nprobe", prevNp)
+        prevNp match {
+          case Some(v) => s.conf.set("spark.graft.ann.nprobe", v)
+          case None => s.conf.unset("spark.graft.ann.nprobe")
+        }
         AnnPushdown.restore(srcDir, prevReg)
       }
     }),
@@ -714,7 +723,7 @@ object LifecycleQueries {
       AnnPushdown.register(srcDir,
         AnnPushdown.IndexedTable(name, "vec_id", "embedding"))
       val prevEnabled = s.conf.get("spark.graft.ann.enabled", "false")
-      val prevNp = s.conf.get("spark.graft.ann.nprobe", "10")
+      val prevNp = s.conf.getOption("spark.graft.ann.nprobe")
       s.conf.set("spark.graft.ann.enabled", "true")
       s.conf.set("spark.graft.ann.nprobe", "4")
       try {
@@ -734,7 +743,10 @@ object LifecycleQueries {
         org.apache.spark.sql.graftshim.Shims.ofRows(s, optimized)
       } finally {
         s.conf.set("spark.graft.ann.enabled", prevEnabled)
-        s.conf.set("spark.graft.ann.nprobe", prevNp)
+        prevNp match {
+          case Some(v) => s.conf.set("spark.graft.ann.nprobe", v)
+          case None => s.conf.unset("spark.graft.ann.nprobe")
+        }
         AnnPushdown.restore(srcDir, prevReg)
       }
     }),

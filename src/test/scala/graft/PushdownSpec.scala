@@ -473,7 +473,7 @@ class PushdownSpec extends SparkSpec {
     val prevReg = AnnPushdown.snapshot(src)
     AnnPushdown.registerPartial(spark, src, AnnPushdown.IndexedTable(
       s"pdbvpart_$san", "vec_id", "embedding", "bvec:hamming"), "vec_id % 7 = 0")
-    val prevNp = spark.conf.get("spark.graft.ann.nprobe", "10")
+    val prevNp = spark.conf.getOption("spark.graft.ann.nprobe")
     spark.conf.set("spark.graft.ann.nprobe", "8") // = nlist -> exact
     spark.conf.set("spark.graft.ann.enabled", "true")
     try {
@@ -498,7 +498,10 @@ class PushdownSpec extends SparkSpec {
         "broader filter wrongly absorbed by the typed partial index")
     } finally {
       spark.conf.set("spark.graft.ann.enabled", "false")
-      spark.conf.set("spark.graft.ann.nprobe", prevNp)
+      prevNp match {
+          case Some(v) => spark.conf.set("spark.graft.ann.nprobe", v)
+          case None => spark.conf.unset("spark.graft.ann.nprobe")
+        }
       AnnPushdown.restore(src, prevReg)
     }
   }

@@ -287,6 +287,75 @@ class SqlDdlStmtSpec extends SparkSpec {
     } finally spark.conf.set("spark.graft.ann.enabled", prevE)
   }
 
+  test("re-CREATE with a changed WHERE rebuilds the artifact's row scope") {
+    val src = tmpSrc()
+    val name = "stmtspec_scope"
+    IndexCatalog.drop(spark, name)
+    spark.sql(s"""CREATE VECTOR INDEX $name ON '$src'
+        USING vectors (vec_id, embedding vector_l2_ops)
+        WITH (indexing = ivf, nlist = 2) WHERE vec_id % 3 = 0""")
+    assert(spark.read.parquet(IndexCatalog.dataDir(spark, name))
+      .filter(col("vec_id") % 3 =!= 0).count() === 0L)
+    // same source, DIFFERENT predicate: ensure's structural staleness
+    // would no-op — the scope change must force the rebuild
+    spark.sql(s"""CREATE VECTOR INDEX $name ON '$src'
+        USING vectors (vec_id, embedding vector_l2_ops)
+        WITH (indexing = ivf, nlist = 2) WHERE vec_id % 5 = 0""")
+    val rows5 = spark.read.parquet(IndexCatalog.dataDir(spark, name))
+    assert(rows5.filter(col("vec_id") % 5 =!= 0).count() === 0L,
+      "the re-created artifact must hold the NEW predicate's rows")
+    assert(rows5.count() > 0)
+    // and removing the WHERE goes back to the full scope
+    spark.sql(s"""CREATE VECTOR INDEX $name ON '$src'
+        USING vectors (vec_id, embedding vector_l2_ops)
+        WITH (indexing = ivf, nlist = 2)""")
+    assert(spark.read.parquet(IndexCatalog.dataDir(spark, name)).count()
+      === spark.read.parquet(src).count())
+    // a MULTI-LINE WHERE survives the single-line recipe (control chars
+    // normalize to spaces at parse time)
+    spark.sql(s"""CREATE VECTOR INDEX $name ON '$src'
+        USING vectors (vec_id, embedding vector_l2_ops)
+        WITH (indexing = ivf, nlist = 2)
+        WHERE vec_id % 3 = 0
+          AND vec_id >= 0""")
+    val recorded = IndexCatalog.load(spark, name).get.params("sql_where")
+    assert(!recorded.exists(_ < ' '), "recipe must be single-line")
+    assert(recorded.replaceAll("\\s+", " ") === "vec_id % 3 = 0 AND vec_id >= 0")
+    // and it replays: vacuum rebuilds over the multi-line predicate
+    assert(spark.sql(s"VACUUM VECTOR INDEX $name").head().getString(0) === "ok")
+    assert(spark.read.parquet(IndexCatalog.dataDir(spark, name))
+      .filter(col("vec_id") % 3 =!= 0).count() === 0L)
+    spark.sql(s"DROP VECTOR INDEX $name")
+  }
+
+  test("dropping the shadowing index re-registers the survivor's claim") {
+    import graft.plans.AnnPushdown
+    val src = tmpSrc()
+    val a = "stmtspec_shadow_a"; val b = "stmtspec_shadow_b"
+    IndexCatalog.drop(spark, a); IndexCatalog.drop(spark, b)
+    spark.sql(s"""CREATE VECTOR INDEX $a ON '$src'
+        USING vectors (vec_id, embedding vector_l2_ops)
+        WITH (indexing = ivf, nlist = 2)""")
+    spark.sql(s"""CREATE VECTOR INDEX $b ON '$src'
+        USING vectors (vec_id, embedding vector_l2_ops)
+        WITH (indexing = ivf, nlist = 4)""") // B's entry shadows A's
+    val q = spark.read.parquet(src).where("vec_id = 0").head().getSeq[Float](1)
+    val qLit = "array(" + q.map(f => s"CAST($f AS FLOAT)").mkString(",") + ")"
+    def plan() = spark.sql(s"""SELECT vec_id,
+        l2sq_distance(embedding, $qLit) AS d
+        FROM parquet.`$src` ORDER BY d LIMIT 5""").queryExecution.optimizedPlan
+    val prevE = spark.conf.get("spark.graft.ann.enabled", "false")
+    spark.conf.set("spark.graft.ann.enabled", "true")
+    try {
+      spark.sql(s"DROP VECTOR INDEX $b")
+      assert(plan().toString.contains("list_id"),
+        "dropping the shadowing index must lift the shadow off the survivor")
+      assert(AnnPushdown.snapshot(src).exists(_.indexName == a))
+      spark.sql(s"DROP VECTOR INDEX $a")
+      assert(!plan().toString.contains("list_id"))
+    } finally spark.conf.set("spark.graft.ann.enabled", prevE)
+  }
+
   test("quoted WITH values with commas are rejected clearly; quoted ')' parses") {
     val src = tmpSrc()
     val e = intercept[IllegalArgumentException] {
