@@ -80,6 +80,13 @@ object GraftSqlParser {
     ("""(?is)\s*DROP\s+VECTOR\s+INDEX\s+(?:(IF\s+EXISTS)\s+)?""" +
       s"($Ident)" + """\s*;?\s*""").r
 
+  // ALTER VECTOR INDEX name SET (k = v, ...) — the index_edit.slt
+  // surface (alter_vector_index) as a statement; same quote-aware
+  // option body as CREATE's WITH
+  private val AlterRe =
+    ("""(?is)\s*ALTER\s+VECTOR\s+INDEX\s+""" + s"($Ident)" +
+      """\s+SET\s*\(((?:'[^']*'|[^)'])*)\)\s*;?\s*""").r
+
   private val VacuumRe =
     ("""(?is)\s*VACUUM\s+VECTOR\s+INDEX\s+""" + s"($Ident)" +
       """\s*;?\s*""").r
@@ -139,6 +146,8 @@ object GraftSqlParser {
         Some(DropVectorIndexCommand(name, ifExists = ifExists != null))
       case VacuumRe(name) =>
         Some(VacuumVectorIndexCommand(name))
+      case AlterRe(name, opts) =>
+        Some(AlterVectorIndexCommand(name, withOpts(opts)))
       case ExplainRe(mode, inner) =>
         // EXPLAIN <vector ddl>: plan the command, wrap it — the
         // RunnableCommand body never runs under ExplainCommand
@@ -183,6 +192,22 @@ case class CreateVectorIndexCommand(name: String, source: String,
 case class VacuumVectorIndexCommand(name: String) extends VectorIndexCommand {
   override def run(spark: SparkSession): Seq[Row] =
     Seq(Row(SqlDdl.vacuum(spark, name)))
+}
+
+/** ALTER VECTOR INDEX ... SET (k = v, ...): live-alter search-time
+  * options through [[IndexCatalog.alterAll]] — ONE commit, every pair
+  * validated against the Alterable rules first (unknown keys and
+  * invalid values error, the index_edit.slt contract; structural build
+  * params stay rebuild-only). */
+case class AlterVectorIndexCommand(name: String,
+    options: String) extends VectorIndexCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val kvs = SqlDdl.parseOpts(options)
+    if (kvs.isEmpty)
+      throw new IllegalArgumentException("ALTER ... SET requires options")
+    IndexCatalog.alterAll(spark, name, kvs)
+    Seq(Row("ok"))
+  }
 }
 
 /** DROP VECTOR INDEX: [[IndexCatalog.drop]] (waits for in-flight builds

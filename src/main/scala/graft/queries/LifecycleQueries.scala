@@ -1073,6 +1073,16 @@ object LifecycleQueries {
       val mVac = IndexCatalog.load(s, name).get
       require(mVac.params.contains("data_dir"),
         "VACUUM VECTOR INDEX must REINDEX into a fresh generation dir")
+      // ALTER statement: live-alter a search-time option (index_edit.slt
+      // contract — unknown keys error, valid ones commit)
+      require(s.sql(s"ALTER VECTOR INDEX $name SET (probe_hint = 7)")
+        .head().getString(0) == "ok")
+      require(IndexCatalog.load(s, name).get.params
+        .get("probe_hint").contains("7"),
+        "ALTER VECTOR INDEX must commit the altered option")
+      require(scala.util.Try(s.sql(
+        s"ALTER VECTOR INDEX $name SET (nlist = 9)").collect()).isFailure,
+        "altering a structural build param must be rejected")
       // DROP statement (pgvector ivfflat spelling exercises lists→nlist)
       val scratch = s"sqlstmt_scratch_${san(d)}"
       s.sql(s"""CREATE VECTOR INDEX $scratch ON '$srcDir'

@@ -356,6 +356,27 @@ class SqlDdlStmtSpec extends SparkSpec {
     } finally spark.conf.set("spark.graft.ann.enabled", prevE)
   }
 
+  test("ALTER VECTOR INDEX SET: valid options commit, structural reject") {
+    val src = tmpSrc()
+    val name = "stmtspec_alter"
+    IndexCatalog.drop(spark, name)
+    spark.sql(s"""CREATE VECTOR INDEX $name ON '$src'
+        USING vectors (vec_id, embedding vector_l2_ops)
+        WITH (indexing = ivf, nlist = 2)""")
+    assert(spark.sql(s"ALTER VECTOR INDEX $name SET (probe_hint = 3, " +
+      "ef_search = 64)").head().getString(0) === "ok")
+    val m = IndexCatalog.load(spark, name).get
+    assert(m.params.get("probe_hint").contains("3"))
+    assert(m.params.get("ef_search").contains("64"))
+    intercept[Exception] {
+      spark.sql(s"ALTER VECTOR INDEX $name SET (nlist = 9)").collect()
+    }
+    intercept[Exception] {
+      spark.sql(s"ALTER VECTOR INDEX $name SET (probe_hint = 0)").collect()
+    }
+    spark.sql(s"DROP VECTOR INDEX $name")
+  }
+
   test("quoted WITH values with commas are rejected clearly; quoted ')' parses") {
     val src = tmpSrc()
     val e = intercept[IllegalArgumentException] {
