@@ -187,8 +187,8 @@ object IvfIndex {
         m.source == source && !m.floats.contains("radii")))
       IndexCatalog.drop(spark, name)
     val m = IndexCatalog.ensure(spark, name, source,
-      requires = Map("sample" -> graft.index.SampleSidecar.Gen) ++
-        (if (metric == "cos") Map("probe_cal" -> CosCalGen) else Map.empty))(
+      requires = Map("sample" -> graft.index.SampleSidecar.Gen,
+        "probe_cal" -> CalGen))(
       buildIvfArtifact(spark, df, source, vecCol, metric, nlist, seed))
     (Model(m.metric, m.centroids, m.floats.get("radii").orNull),
       IndexCatalog.dataDir(spark, name))
@@ -234,20 +234,21 @@ object IvfIndex {
       // a list's bound below a boundary point
       val radii = Array.tabulate(model.centroids.length)(i =>
         java.lang.Math.nextUp(maxima.getOrElse(i, 0.0).toFloat))
-      // probe calibration (round 11, cos only): cos has no sound lower
-      // bound from L2 radii in the ranking, so on weakly-clustered
-      // corpora the fixed default nprobe under-probes (RECALL random
-      // ivf_cos 0.83 at 10/16). Measure the artifact's own probe-depth
-      // requirement once at build time and surface it as probe_hint —
-      // the separability-guard philosophy applied to probe count; the
-      // declarative default (spark.graft.ann.nprobe=auto) resolves
-      // max(10, hint), explicit values never consult it.
-      val calParams =
-        if (metric != "cos") Map.empty[String, String]
-        else Map(
-          "probe_hint" -> calibrateCosProbes(spark, dataDir, vecCol,
-            Model(metric, model.centroids, radii)).toString,
-          "probe_cal" -> CosCalGen)
+      // probe calibration (round 11; cos first, generalized to the full
+      // dense family): on weakly-clustered corpora a fixed default
+      // nprobe silently under-probes — cos worst (no sound radii lower
+      // bound; RECALL random ivf_cos 0.83 at 10/16), l2/dot at the
+      // ~probed-fraction floor (~0.88). Measure the artifact's own
+      // probe-depth requirement once at build time and surface it as
+      // probe_hint — the separability-guard philosophy applied to probe
+      // count; the declarative default (spark.graft.ann.nprobe=auto)
+      // resolves max(10, hint), explicit values never consult it. On
+      // genuinely clustered corpora the hint stays at/below the default
+      // and nothing changes.
+      val calParams = Map(
+        "probe_hint" -> calibrateProbes(spark, dataDir, vecCol,
+          Model(metric, model.centroids, radii)).toString,
+        "probe_cal" -> CalGen)
       Manifest("ivf", source, metric,
         Map("nlist" -> nlist.toString,
           "sample" -> graft.index.SampleSidecar.Gen) ++ calParams,
@@ -255,13 +256,15 @@ object IvfIndex {
         floats = Map("radii" -> radii))
   }
 
-  /** Calibration generation for the cos `probe_hint` (staleness key:
-    * bump when the statistic or sampling changes — artifacts with an
-    * older calibration rebuild on the next ensure). cal2 = 95%-coverage
-    * of top-100 per query, p90 across the 64-query holdout. */
-  val CosCalGen = "cal2"
+  /** Calibration generation for the `probe_hint` (staleness key: bump
+    * when the statistic or sampling changes — artifacts with an older
+    * calibration rebuild on the next ensure). cal2 = 95%-coverage of
+    * top-100 per query, p90 across the 64-query holdout; since round 11
+    * it applies to EVERY dense IVF metric, not just cos. */
+  val CalGen = "cal2"
 
-  /** Probe depth a cos artifact actually needs: on a deterministic
+  /** Probe depth the artifact actually needs under its SEARCH metric:
+    * on a deterministic
     * 64-query holdout drawn from the artifact itself (lowest xxhash64
     * of the stored vector — corpus-size-independent like the
     * SampleSidecar), compute for each query the prefix of the
@@ -270,14 +273,14 @@ object IvfIndex {
     * percentile across queries, clamped to [1, nlist]. On a clustered
     * corpus the top-100 lives in a couple of lists → the hint stays at
     * or below the default; on a weakly-clustered one it honestly
-    * approaches nlist — "this geometry does not support cos pruning,
-    * probe everything", the routable=no analog.
+    * approaches nlist — "this geometry does not support coarse
+    * pruning, probe everything", the routable=no analog.
     *
     * Cost: ONE extra pass over the artifact at ensure time with 64
     * distance evaluations per row. Scale shape: per-partition bounded
     * heaps (64 queries × top-100) — no N-row shuffle; the partial
     * top-k merges over #partitions × 6400 tiny rows. */
-  private def calibrateCosProbes(spark: SparkSession, path: String,
+  private def calibrateProbes(spark: SparkSession, path: String,
       vecCol: String, model: Model): Int = {
     val art = spark.read.parquet(path)
     val qRows = art
@@ -286,6 +289,12 @@ object IvfIndex {
       .collect().map(_.getSeq[Float](0).toArray)
     if (qRows.isEmpty || model.nlist <= 1) return math.max(model.nlist, 1)
     val bq = spark.sparkContext.broadcast(qRows)
+    // metric code for the closure (string matching per row is waste)
+    val mcode = model.metric match {
+      case "l2" => 0
+      case "dot" => 1
+      case _ => 2
+    }
     import spark.implicits._
     // per-partition: keep the 100 smallest (dist, list_id) per query —
     // deterministic lexicographic order so replica merges tie-break
@@ -304,12 +313,17 @@ object IvfIndex {
           val lid = r.getInt(1)
           var qi = 0
           while (qi < qs.length) {
-            // stored vectors are normalize-at-build units: cosdist =
-            // 1 - dot. IvfKernels referenced DIRECTLY: naming the
+            // per-metric kernel on the STORED payloads (cos rows are
+            // normalize-at-build units, so cosdist = 1 - dot).
+            // IvfKernels referenced DIRECTLY: naming the
             // IvfIndex.Kernels alias inside this closure would capture
             // the non-serializable IvfIndex$ outer (the round-9
             // GraphFileWriter lesson).
-            val d = 1.0 - IvfKernels.dot(arr, qs(qi))
+            val d = mcode match {
+              case 0 => IvfKernels.l2sq(arr, qs(qi))
+              case 1 => -IvfKernels.dot(arr, qs(qi))
+              case _ => 1.0 - IvfKernels.dot(arr, qs(qi))
+            }
             val h = heaps(qi)
             if (h.size < 100) h.enqueue((d, lid))
             else if (Ordering.Tuple2[Double, Int].lt((d, lid), h.head)) {

@@ -1055,9 +1055,11 @@ object LifecycleQueries {
       Hnsw.ensure(s, refName, s.read.parquet(srcDir), srcDir,
         "vec_id", "embedding", "l2", 1,
         Map("m" -> "12", "ef_construction" -> "300"))
+      // probe_hint joins the strip: this gate's own ALTER assertion
+      // plants it, and altered options persist across runs by design
       val strip = (p: Map[String, String]) =>
         p -- Seq("sql_cols", "sql_am", "sql_opclass", "sql_options",
-          "sql_where", "data_dir", "reindex_gen")
+          "sql_where", "data_dir", "reindex_gen", "probe_hint")
       val mStmt = IndexCatalog.load(s, name).get
       val mRef = IndexCatalog.load(s, refName).get
       require(mStmt.kind == mRef.kind && mStmt.metric == mRef.metric &&
