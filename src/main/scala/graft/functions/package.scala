@@ -205,6 +205,13 @@ package object functions {
     // the swept names.
     spark.udf.register("alter_vector_index",
       (name: String, key: String, value: String) => {
+        // the sql_* vacuum-replay recipe is CREATE/VACUUM-owned: a user
+        // alter of it desyncs recipe from artifact (round-11 advice) —
+        // same guard as ALTER VECTOR INDEX ... SET
+        if (key.startsWith("sql_"))
+          throw new IllegalArgumentException(
+            s"option not alterable: $key (recipe keys are owned by " +
+              "CREATE/VACUUM VECTOR INDEX)")
         graft.index.IndexCatalog.alter(SparkSession.active, name, key, value)
         "ok"
       })

@@ -64,11 +64,15 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 object GraftSqlParser {
   private val Ident = "[A-Za-z_][A-Za-z0-9_]*"
 
-  // CREATE VECTOR INDEX [IF NOT EXISTS] name ON '<path>' USING am
+  // CREATE VECTOR INDEX [IF NOT EXISTS] name ON <target> USING am
   //   (idCol, vecCol [opclass]) [WITH (k = v, ...)] [WHERE pred]
+  // <target> = '<parquet path>' | catalog table (ident, optionally
+  // db-qualified — resolved to the table's parquet location at RUN
+  // time, the Postgres CREATE INDEX ... ON table shape)
   private val CreateRe =
     ("""(?is)\s*CREATE\s+VECTOR\s+INDEX\s+(?:(IF\s+NOT\s+EXISTS)\s+)?""" +
-      s"($Ident)" + """\s+ON\s+'([^']+)'\s+USING\s+""" + s"($Ident)" +
+      s"($Ident)" + """\s+ON\s+(?:'([^']+)'|(""" + s"$Ident(?:\\.$Ident)*" +
+      """))\s+USING\s+""" + s"($Ident)" +
       """\s*\(\s*""" + s"($Ident)" + """\s*,\s*""" + s"($Ident)" +
       """(?:\s+""" + s"($Ident)" + """)?\s*\)""" +
       // WITH body: quoted strings or any non-quote non-paren char — a
@@ -86,6 +90,13 @@ object GraftSqlParser {
   private val AlterRe =
     ("""(?is)\s*ALTER\s+VECTOR\s+INDEX\s+""" + s"($Ident)" +
       """\s+SET\s*\(((?:'[^']*'|[^)'])*)\)\s*;?\s*""").r
+
+  // ALTER VECTOR INDEX name RESET (k, ...) — the Postgres ALTER INDEX
+  // RESET pair: remove the options so their defaults apply again
+  private val AlterResetRe =
+    ("""(?is)\s*ALTER\s+VECTOR\s+INDEX\s+""" + s"($Ident)" +
+      """\s+RESET\s*\(\s*""" + s"($Ident(?:\\s*,\\s*$Ident)*)" +
+      """\s*\)\s*;?\s*""").r
 
   private val VacuumRe =
     ("""(?is)\s*VACUUM\s+VECTOR\s+INDEX\s+""" + s"($Ident)" +
@@ -130,11 +141,13 @@ object GraftSqlParser {
     * lives in the commands' run(), the execute-once contract. */
   private[index] def parseVectorDdl(sqlText: String): Option[LogicalPlan] =
     sqlText match {
-      case CreateRe(ifNot, name, source, am, idCol, vecCol, opclass, opts,
-          where) =>
-        Some(CreateVectorIndexCommand(name, source, idCol, vecCol, am,
+      case CreateRe(ifNot, name, path, table, am, idCol, vecCol, opclass,
+          opts, where) =>
+        Some(CreateVectorIndexCommand(name,
+          Option(path).getOrElse(table), idCol, vecCol, am,
           Option(opclass).getOrElse("vector_l2_ops"),
           withOpts(opts), ifNotExists = ifNot != null,
+          sourceIsTable = path == null,
           // control chars → spaces: a multi-line WHERE must survive the
           // single-line recipe serialization the manifest stores (plain
           // runs of spaces are preserved — they could sit inside string
@@ -148,6 +161,9 @@ object GraftSqlParser {
         Some(VacuumVectorIndexCommand(name))
       case AlterRe(name, opts) =>
         Some(AlterVectorIndexCommand(name, withOpts(opts)))
+      case AlterResetRe(name, keys) =>
+        Some(AlterResetVectorIndexCommand(name,
+          keys.split(",").map(_.trim).toSeq))
       case ExplainRe(mode, inner) =>
         // EXPLAIN <vector ddl>: plan the command, wrap it — the
         // RunnableCommand body never runs under ExplainCommand
@@ -172,19 +188,65 @@ private[index] trait VectorIndexCommand extends LeafRunnableCommand {
   * params is a no-op — the reference's re-CREATE behavior); IF NOT
   * EXISTS short-circuits on ANY committed manifest of that name. A
   * WHERE clause builds a PARTIAL index over the matching rows and
-  * registers it predicate-scoped (the Postgres partial-index shape). */
+  * registers it predicate-scoped (the Postgres partial-index shape).
+  *
+  * `sourceIsTable` = the `ON db.table` spelling (every reference slt
+  * drives CREATE INDEX at a TABLE — finalize.sql:714): the identifier
+  * resolves through the SESSION CATALOG to the table's parquet
+  * location at RUN time (execute-once, like the build itself — an
+  * EXPLAIN resolves nothing), and the manifest records the RESOLVED
+  * path, so vacuum/search replay needs no catalog. Non-parquet
+  * providers and views error clearly — the artifact reads the files
+  * directly and a transactional/managed format's files are not a
+  * stable snapshot of the table. */
 case class CreateVectorIndexCommand(name: String, source: String,
     idCol: String, vecCol: String, am: String, opclass: String,
     options: String, ifNotExists: Boolean,
-    where: String = "") extends VectorIndexCommand {
+    where: String = "", sourceIsTable: Boolean = false)
+    extends VectorIndexCommand {
   override def run(spark: SparkSession): Seq[Row] =
     if (ifNotExists && IndexCatalog.load(spark, name).isDefined) {
       // the planner registry is driver-LOCAL: a fresh JVM's
-      // IF NOT EXISTS over a persisted index must still register
+      // IF NOT EXISTS over a persisted index must still register.
+      // (No table resolution here — the manifest already records the
+      // resolved path, and the committed artifact must stay usable
+      // even if the catalog entry was since dropped.)
       SqlDdl.registerFromRecipe(spark, name)
       Seq(Row("exists"))
-    } else Seq(Row(SqlDdl.create(spark, name, source, idCol, vecCol, am,
-      opclass, options, where)))
+    } else Seq(Row(SqlDdl.create(spark, name,
+      if (sourceIsTable)
+        CreateVectorIndexCommand.resolveTableLocation(spark, source)
+      else source,
+      idCol, vecCol, am, opclass, options, where)))
+}
+
+object CreateVectorIndexCommand {
+  /** Session-catalog table → its parquet location path. Views carry no
+    * files; non-parquet sources (ORC, JDBC, Delta, hive-serde) are
+    * refused rather than mis-read — the index artifact scans the
+    * location's files directly, which is only the table's content for
+    * plain parquet layouts. */
+  private[index] def resolveTableLocation(spark: SparkSession,
+      table: String): String = {
+    val id = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val meta = spark.sessionState.catalog.getTableMetadata(id)
+    if (meta.tableType == org.apache.spark.sql.catalyst.catalog.CatalogTableType.VIEW)
+      throw new IllegalArgumentException(
+        s"cannot index view $table — CREATE VECTOR INDEX needs a parquet table")
+    val provider = meta.provider.getOrElse("hive")
+    if (!provider.equalsIgnoreCase("parquet"))
+      throw new IllegalArgumentException(
+        s"cannot index table $table with provider '$provider' — " +
+          "CREATE VECTOR INDEX reads the table's files directly and " +
+          "supports only parquet sources (point ON at a parquet path " +
+          "or re-register the data as a parquet table)")
+    // file:///x → /x: the catalog and registry compare plain local
+    // paths (a triple-slash URI would never match a scan's root path);
+    // non-file schemes keep their full URI spelling
+    val loc = meta.location
+    if (loc.getScheme == null || loc.getScheme == "file") loc.getPath
+    else loc.toString
+  }
 }
 
 /** VACUUM VECTOR INDEX: [[SqlDdl.vacuum]] — rebuild from the current
@@ -205,7 +267,35 @@ case class AlterVectorIndexCommand(name: String,
     val kvs = SqlDdl.parseOpts(options)
     if (kvs.isEmpty)
       throw new IllegalArgumentException("ALTER ... SET requires options")
+    // sql_* keys are the internal vacuum-replay recipe written in one
+    // commit by SqlDdl — a user ALTER of (say) sql_where would desync
+    // the recorded recipe from the built artifact and the next VACUUM
+    // would silently rebuild under the altered scope while the planner
+    // registration still claims the old predicate (round-11 advice).
+    // Re-scoping goes through CREATE (which reindexes on a changed
+    // WHERE), never ALTER.
+    kvs.keys.find(_.startsWith("sql_")).foreach(k =>
+      throw new IllegalArgumentException(
+        s"option not alterable: $k (recipe keys are owned by " +
+          "CREATE/VACUUM VECTOR INDEX — re-CREATE to change the recipe)"))
     IndexCatalog.alterAll(spark, name, kvs)
+    Seq(Row("ok"))
+  }
+}
+
+/** ALTER VECTOR INDEX ... RESET (k, ...): remove alterable options in
+  * ONE commit so their defaults apply again ([[IndexCatalog.resetAll]]
+  * — the Postgres ALTER INDEX RESET pair to SET). Unknown keys error
+  * (index_edit.slt contract); the sql_* recipe keys are CREATE-owned,
+  * same guard as SET. */
+case class AlterResetVectorIndexCommand(name: String,
+    keys: Seq[String]) extends VectorIndexCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    keys.find(_.startsWith("sql_")).foreach(k =>
+      throw new IllegalArgumentException(
+        s"option not alterable: $k (recipe keys are owned by " +
+          "CREATE/VACUUM VECTOR INDEX)"))
+    IndexCatalog.resetAll(spark, name, keys)
     Seq(Row("ok"))
   }
 }

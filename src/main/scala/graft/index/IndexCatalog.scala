@@ -337,6 +337,27 @@ object IndexCatalog {
     commit(spark, name, m.copy(params = m.params ++ kvs))
   }
 
+  /** Remove alterable options in ONE commit — the Postgres
+    * `ALTER INDEX ... RESET (k, ...)` shape: a removed key reverts to
+    * its default resolution (session conf / auto) on the next query.
+    * Unknown keys reject like [[alter]] ("option not found", the
+    * index_edit.slt contract); resetting a key that isn't set is a
+    * no-op, matching Postgres. */
+  def resetAll(spark: SparkSession, name: String,
+      keys: Seq[String]): Manifest = withIndexLock(spark, name) {
+    val m = load(spark, name).getOrElse(
+      throw new IllegalArgumentException(s"no such index: $name"))
+    keys.foreach(key => if (!Alterable.contains(key))
+      throw new IllegalArgumentException(s"option not found: $key"))
+    // resetting the calibrated probe_hint also drops its generation tag:
+    // a manifest claiming probe_cal with no hint would never recalibrate
+    // (ensure's staleness check only sees probe_cal) — dropping both
+    // makes the next ensure re-measure and restore an honest hint
+    val dropped = if (keys.contains("probe_hint")) keys :+ "probe_cal"
+      else keys
+    commit(spark, name, m.copy(params = m.params -- dropped))
+  }
+
   /** `fence_vector_index` analog (functions.rs:16-41): block until the
     * index is fully built. Builds here are synchronous jobs, so fencing
     * reduces to asserting a committed manifest exists. */

@@ -203,6 +203,18 @@ object SqlDdl {
     // Scala call: CREATE registers the (source, metric) pushdown entry
     // (the reference's planner sees the index through pg_index; DROP
     // unregisters). Driver-local like the registry itself.
+    // Every CREATE first retires ALL of this name's prior claims:
+    // register() only replaces the same-(metric, conjuncts) entry, so a
+    // re-CREATE with a changed/removed WHERE would otherwise leave the
+    // old-conjuncts entry live and rewrite old-predicate queries onto
+    // the re-scoped artifact — silent wrong results (round-11 advice).
+    // A survivor the old entry was shadowing re-registers from its
+    // recipe, the DROP-path convention.
+    // order: survivors first, THEN this name — the newest CREATE must
+    // end up shadowing any same-(metric, conjuncts) survivor, not the
+    // other way around.
+    graft.plans.AnnPushdown.unregisterNamed(source, name)
+    reregisterSource(spark, source, excluding = name)
     graft.plans.AnnPushdown.register(source, pushdownEntry(name, idCol,
       vecCol, am, opclassName).copy(partialConjuncts = conj))
     "ok"

@@ -250,9 +250,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       org.apache.spark.sql.catalyst.FunctionIdentifier("pg_vector_index_stat"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         "graft.index.IndexCatalog", "pg_vector_index_stat"),
-      (_: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        // the Postgres function surface takes no arguments — silently
+        // returning the full listing for pg_vector_index_stat('typo')
+        // would hide the user's mistake (round-11 advice)
+        if (args.nonEmpty) throw new IllegalArgumentException(
+          "pg_vector_index_stat() takes no arguments")
         graft.index.IndexCatalog.stats(SparkSession.active)
-          .queryExecution.analyzed))
+          .queryExecution.analyzed
+      }))
   }
 }
 

@@ -554,10 +554,10 @@ object DocQueries {
            ('hnswrq_p4__root_testdata_sf0_01','hnsw_rabitq','l2','dims=64,ef_construction=300,files=4,format=rqflatbin3,m=12,parts=4,routable=no,routing=centroid2',TRUE),
            ('hnswsq8_p4__root_testdata_sf0_01','hnsw_sq8','l2','bits=8,ef_construction=300,files=4,format=sqflatbin3,m=12,parts=4,routable=no,routing=centroid2',TRUE),
            ('hnsw_l2_p4__root_testdata_sf0_01','hnsw','l2','ef_construction=300,files=4,format=flatbin2,m=12,parts=4,routable=no,routing=centroid2,sample=rows1',TRUE),
-           ('ivf_cos__root_testdata_sf0_01','ivf','cos','nlist=16,probe_cal=cal2,probe_hint=15,sample=rows1',TRUE),
-           ('ivf_l2_part7__root_testdata_sf0_01','ivf','l2','nlist=8,probe_cal=cal2,probe_hint=7,sample=rows1',TRUE),
-           ('ivf_dot__root_testdata_sf0_01','ivf','dot','nlist=16,probe_cal=cal2,probe_hint=15,sample=rows1',TRUE),
-           ('ivf_l2__root_testdata_sf0_01','ivf','l2','nlist=16,probe_cal=cal2,probe_hint=12,sample=rows1',TRUE),
+           ('ivf_cos__root_testdata_sf0_01','ivf','cos','nlist=16,probe_cal=cal3,probe_hint=15,sample=rows1',TRUE),
+           ('ivf_l2_part7__root_testdata_sf0_01','ivf','l2','nlist=8,probe_cal=cal3,probe_hint=7,sample=rows1',TRUE),
+           ('ivf_dot__root_testdata_sf0_01','ivf','dot','nlist=16,probe_cal=cal3,probe_hint=15,sample=rows1',TRUE),
+           ('ivf_l2__root_testdata_sf0_01','ivf','l2','nlist=16,probe_cal=cal3,probe_hint=12,sample=rows1',TRUE),
            ('ivfpq__root_testdata_sf0_01','ivfpq','l2','dims=64,kind2=ivfpq,ks=16,m=8,nlist=16',TRUE),
            ('ivfsq8__root_testdata_sf0_01','ivfsq8','l2','bits=8,kind2=ivfsq8,nlist=16',TRUE),
            ('pq4__root_testdata_sf0_01','pq4','l2','dims=64,ks=16,m=8',TRUE),

@@ -1097,6 +1097,24 @@ object LifecycleQueries {
       require(s.sql(s"DROP VECTOR INDEX IF EXISTS $scratch")
         .head().getString(0) == "skipped",
         "DROP IF EXISTS on a missing index must be a no-op")
+      // CATALOG-TABLE target (round 12): every reference slt drives
+      // CREATE INDEX at a TABLE — ON <ident> resolves through the
+      // session catalog to the table's parquet location at RUN time,
+      // and the manifest records the RESOLVED path (vacuum/search need
+      // no catalog). Temp-sourced, so the q_index_stat oracle is
+      // untouched; idempotent ensure keeps re-runs build-free.
+      val tbl = s"sqlstmt_tbl_${san(d)}"
+      val tblIdx = s"sqlstmt_tblidx_${san(d)}"
+      s.sql(s"CREATE TABLE IF NOT EXISTS $tbl USING parquet LOCATION '$srcDir'")
+      require(s.sql(s"""CREATE VECTOR INDEX $tblIdx ON $tbl
+          USING vectors (vec_id, embedding vector_l2_ops)
+          WITH (indexing = ivf, nlist = 4)""").head().getString(0) == "ok",
+        "CREATE VECTOR INDEX ON <table> must build")
+      require(IndexCatalog.load(s, tblIdx).exists(_.source == srcDir),
+        "the manifest must record the table's RESOLVED parquet location")
+      require(graft.plans.AnnPushdown.snapshot(srcDir)
+        .exists(_.indexName == tblIdx),
+        "the planner claim must land on the resolved location")
       Hnsw.searchIndex(s, IndexCatalog.dataDir(s, name), "vec_id",
         qvec(s, d), k = 100, exact = true)
     }),

@@ -395,4 +395,172 @@ class SqlDdlStmtSpec extends SparkSpec {
     }
     assert(IndexCatalog.load(spark, "stmtspec_bad").isEmpty)
   }
+
+  test("CREATE ON a catalog table resolves through the session catalog") {
+    val src = tmpSrc()
+    val name = "stmtspec_tbl_idx"
+    IndexCatalog.drop(spark, name)
+    spark.sql("DROP TABLE IF EXISTS stmtspec_tbl")
+    spark.sql(s"CREATE TABLE stmtspec_tbl USING parquet LOCATION '$src'")
+    try {
+      // EXPLAIN resolves nothing (no catalog lookup, no build)
+      val plan = spark.sql(s"""EXPLAIN CREATE VECTOR INDEX $name
+          ON stmtspec_tbl USING vectors (vec_id, embedding vector_l2_ops)
+          WITH (indexing = ivf, nlist = 2)""").head().getString(0)
+      assert(plan.contains("CreateVectorIndexCommand"))
+      assert(IndexCatalog.load(spark, name).isEmpty)
+      assert(spark.sql(s"""CREATE VECTOR INDEX $name ON stmtspec_tbl
+          USING vectors (vec_id, embedding vector_l2_ops)
+          WITH (indexing = ivf, nlist = 2)""").head().getString(0) === "ok")
+      val m = IndexCatalog.load(spark, name).get
+      // the manifest records the RESOLVED location as a plain path —
+      // vacuum/search need no catalog
+      assert(m.source === src)
+      assert(m.kind === "ivf")
+      // ...and the planner claim is on the LOCATION, so declarative
+      // queries over the files rewrite
+      val q = spark.read.parquet(src).where("vec_id = 0")
+        .head().getSeq[Float](1)
+      val qLit = "array(" + q.map(f => s"CAST($f AS FLOAT)").mkString(",") + ")"
+      val prevE = spark.conf.get("spark.graft.ann.enabled", "false")
+      spark.conf.set("spark.graft.ann.enabled", "true")
+      try assert(spark.sql(s"""SELECT vec_id,
+            l2sq_distance(embedding, $qLit) AS d
+            FROM parquet.`$src` ORDER BY d LIMIT 5""")
+          .queryExecution.optimizedPlan.toString.contains("list_id"),
+        "a table-created index must accelerate queries over its files")
+      finally spark.conf.set("spark.graft.ann.enabled", prevE)
+      // vacuum replays from the recorded path alone
+      assert(spark.sql(s"VACUUM VECTOR INDEX $name").head().getString(0) === "ok")
+      spark.sql(s"DROP VECTOR INDEX $name")
+    } finally spark.sql("DROP TABLE IF EXISTS stmtspec_tbl")
+  }
+
+  test("CREATE ON view / non-parquet table errors clearly, builds nothing") {
+    val src = tmpSrc()
+    spark.sql("DROP VIEW IF EXISTS stmtspec_view")
+    spark.sql(s"CREATE VIEW stmtspec_view AS SELECT * FROM parquet.`$src`")
+    try {
+      val e = intercept[Exception] {
+        spark.sql("""CREATE VECTOR INDEX stmtspec_v_idx ON stmtspec_view
+            USING vectors (vec_id, embedding)""").collect()
+      }
+      assert(e.getMessage.contains("view"), e.getMessage)
+      assert(IndexCatalog.load(spark, "stmtspec_v_idx").isEmpty)
+    } finally spark.sql("DROP VIEW IF EXISTS stmtspec_view")
+    spark.sql("DROP TABLE IF EXISTS stmtspec_json_tbl")
+    spark.sql("CREATE TABLE stmtspec_json_tbl (vec_id BIGINT) USING json")
+    try {
+      val e2 = intercept[Exception] {
+        spark.sql("""CREATE VECTOR INDEX stmtspec_j_idx ON stmtspec_json_tbl
+            USING vectors (vec_id, embedding)""").collect()
+      }
+      assert(e2.getMessage.contains("json"), e2.getMessage)
+      assert(IndexCatalog.load(spark, "stmtspec_j_idx").isEmpty)
+    } finally spark.sql("DROP TABLE IF EXISTS stmtspec_json_tbl")
+    // a missing table errors at run (not parse) and builds nothing
+    intercept[Exception] {
+      spark.sql("""CREATE VECTOR INDEX stmtspec_m_idx ON no_such_table
+          USING vectors (vec_id, embedding)""").collect()
+    }
+    assert(IndexCatalog.load(spark, "stmtspec_m_idx").isEmpty)
+  }
+
+  test("ALTER RESET removes options; unknown and recipe keys reject") {
+    val src = tmpSrc()
+    val name = "stmtspec_reset"
+    IndexCatalog.drop(spark, name)
+    spark.sql(s"""CREATE VECTOR INDEX $name ON '$src'
+        USING vectors (vec_id, embedding vector_l2_ops)
+        WITH (indexing = ivf, nlist = 2)""")
+    spark.sql(s"ALTER VECTOR INDEX $name SET (nprobe = 4, ef_search = 64)")
+    assert(spark.sql(s"ALTER VECTOR INDEX $name RESET (ef_search)")
+      .head().getString(0) === "ok")
+    val m = IndexCatalog.load(spark, name).get
+    assert(m.params.get("ef_search").isEmpty, "reset key must be removed")
+    assert(m.params.get("nprobe").contains("4"), "others must survive")
+    // RESET of the calibrated probe_hint drops probe_cal too, so the
+    // next ensure re-measures instead of serving a hint-less claim
+    assert(m.params.contains("probe_cal"))
+    spark.sql(s"ALTER VECTOR INDEX $name RESET (probe_hint, nprobe)")
+    val m2 = IndexCatalog.load(spark, name).get
+    assert(m2.params.get("probe_hint").isEmpty)
+    assert(m2.params.get("probe_cal").isEmpty)
+    assert(m2.params.get("nprobe").isEmpty)
+    // unknown key: the index_edit.slt "not found" contract
+    val e = intercept[Exception] {
+      spark.sql(s"ALTER VECTOR INDEX $name RESET (nlist)").collect()
+    }
+    assert(e.getMessage.contains("not found"), e.getMessage)
+    // recipe keys are CREATE-owned — same guard as SET
+    val e2 = intercept[Exception] {
+      spark.sql(s"ALTER VECTOR INDEX $name RESET (sql_where)").collect()
+    }
+    assert(e2.getMessage.contains("not alterable"), e2.getMessage)
+    spark.sql(s"DROP VECTOR INDEX $name")
+  }
+
+  test("user ALTER surfaces reject the sql_* recipe keys") {
+    val src = tmpSrc()
+    val name = "stmtspec_recipeguard"
+    IndexCatalog.drop(spark, name)
+    spark.sql(s"""CREATE VECTOR INDEX $name ON '$src'
+        USING vectors (vec_id, embedding vector_l2_ops)
+        WITH (indexing = ivf, nlist = 2) WHERE vec_id % 3 = 0""")
+    // statement SET: altering sql_where would desync recipe from
+    // artifact — the next VACUUM would rebuild under the altered scope
+    // while the planner still claims the old predicate
+    val e = intercept[Exception] {
+      spark.sql(s"ALTER VECTOR INDEX $name SET (sql_where = 'vec_id > 5')")
+        .collect()
+    }
+    assert(e.getMessage.contains("not alterable"), e.getMessage)
+    // ...and the compatibility UDF spelling guards identically
+    val e2 = intercept[Exception] {
+      spark.sql(s"SELECT alter_vector_index('$name', 'sql_where', 'vec_id > 5')")
+        .collect()
+    }
+    assert(e2.getMessage.contains("not alterable"), e2.getMessage)
+    assert(IndexCatalog.load(spark, name).get.params("sql_where")
+      === "vec_id % 3 = 0", "the recipe must be untouched")
+    spark.sql(s"DROP VECTOR INDEX $name")
+  }
+
+  test("re-CREATE with a changed WHERE retires the old predicate claim") {
+    import graft.plans.AnnPushdown
+    val src = tmpSrc()
+    val name = "stmtspec_rescope"
+    IndexCatalog.drop(spark, name)
+    spark.sql(s"""CREATE VECTOR INDEX $name ON '$src'
+        USING vectors (vec_id, embedding vector_l2_ops)
+        WITH (indexing = ivf, nlist = 2) WHERE vec_id % 3 = 0""")
+    val before = AnnPushdown.snapshot(src).filter(_.indexName == name)
+    assert(before.nonEmpty && before.forall(_.partialConjuncts.isDefined))
+    spark.sql(s"""CREATE VECTOR INDEX $name ON '$src'
+        USING vectors (vec_id, embedding vector_l2_ops)
+        WITH (indexing = ivf, nlist = 2) WHERE vec_id % 5 = 0""")
+    val after = AnnPushdown.snapshot(src).filter(_.indexName == name)
+    assert(after.size === 1,
+      s"exactly the new claim must remain, got $after")
+    assert(after.head.partialConjuncts !== before.head.partialConjuncts,
+      "the old-predicate claim must be gone — it would rewrite " +
+        "old-predicate queries onto the re-scoped artifact")
+    spark.sql(s"DROP VECTOR INDEX $name")
+  }
+
+  test("pg_vector_index_stat() with arguments errors instead of ignoring them") {
+    // the builder's AnalysisException may surface wrapped depending on
+    // where resolution runs — the contract is "errors, never silently
+    // returns the full listing"
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM pg_vector_index_stat('typo')").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("takes no arguments")),
+      e.toString)
+    // the no-arg form still resolves
+    spark.sql("SELECT * FROM pg_vector_index_stat()").collect()
+  }
 }
