@@ -47,11 +47,12 @@ object Hnsw {
     if (probeGraphs == AutoProbe) autoProbeGraphs(nFiles) else probeGraphs
 
   /** Routing-sidecar manifest generation (staleness key for parts>1
-    * graph builds): centroid2 = centroid1's sidecar layout plus the
-    * `routable` separability flag in the manifest params (round 10) —
-    * pre-flag artifacts rebuild once so q_index_stat surfaces
-    * routability for every spatial artifact. */
-  private[graft] val RoutingGen = "centroid2"
+    * graph builds): centroid3 = centroid2's layout plus the build-time
+    * calibrated probeGraphs hint in the sidecar (round 12 — version-2
+    * routing.bin; separable fleets measure the 95%-coverage graph depth
+    * on the ProbeCal holdout and AUTO resolves max(⌈√G⌉, hint)).
+    * Pre-hint artifacts rebuild once on the next ensure. */
+  private[graft] val RoutingGen = "centroid3"
 
 
   /** Hash key over exact float content — two orphan components whose
@@ -714,19 +715,26 @@ object Hnsw {
     * rebuild via the staleness invariant. */
   object Routing {
     private val Magic = 0x47525447 // "GRTG"
-    private val Version = 1
+    private val Version = 2
 
-    /** pid -> (covering radius [plain L2, not squared], centroid). */
+    /** pid -> (covering radius [plain L2, not squared], centroid).
+      * `hint` = the build-time calibrated probeGraphs depth (round 12,
+      * the IVF probe_hint convention lifted to graph fleets; 0 = not
+      * calibrated — non-separable builds skip the measurement because
+      * the guarded default never routes them). Version 2 adds the hint
+      * field; version-1 sidecars read as None (unrouted fallback) until
+      * the routing=centroid3 staleness rebuild replaces them. */
     def write(fs: org.apache.hadoop.fs.FileSystem,
         dir: org.apache.hadoop.fs.Path, metric: String,
-        entries: Seq[(Int, Double, Array[Float])], dims: Int): Unit = {
+        entries: Seq[(Int, Double, Array[Float])], dims: Int,
+        hint: Int = 0): Unit = {
       val tmp = new org.apache.hadoop.fs.Path(dir, ".routing.bin.tmp")
       val p = new org.apache.hadoop.fs.Path(dir, "routing.bin")
       val out = new java.io.DataOutputStream(
         new java.io.BufferedOutputStream(fs.create(tmp, true), 1 << 16))
       try {
         out.writeInt(Magic); out.writeInt(Version)
-        out.writeUTF(metric)
+        out.writeUTF(metric); out.writeInt(hint)
         out.writeInt(dims); out.writeInt(entries.length)
         entries.foreach { case (pid, rad, c) =>
           out.writeInt(pid); out.writeDouble(rad)
@@ -743,7 +751,13 @@ object Hnsw {
 
     def read(fs: org.apache.hadoop.fs.FileSystem,
         dir: org.apache.hadoop.fs.Path)
-        : Option[(String, Map[Int, (Double, Array[Float])])] = {
+        : Option[(String, Map[Int, (Double, Array[Float])])] =
+      readFull(fs, dir).map { case (met, ents, _) => (met, ents) }
+
+    /** [[read]] plus the calibrated probe hint (0 = none). */
+    def readFull(fs: org.apache.hadoop.fs.FileSystem,
+        dir: org.apache.hadoop.fs.Path)
+        : Option[(String, Map[Int, (Double, Array[Float])], Int)] = {
       val p = new org.apache.hadoop.fs.Path(dir, "routing.bin")
       if (!fs.exists(p)) return None
       val in = new java.io.DataInputStream(
@@ -751,6 +765,7 @@ object Hnsw {
       try {
         if (in.readInt() != Magic || in.readInt() != Version) return None
         val metric = in.readUTF()
+        val hint = in.readInt()
         val dims = in.readInt(); val n = in.readInt()
         val b = Map.newBuilder[Int, (Double, Array[Float])]
         var e = 0
@@ -762,7 +777,7 @@ object Hnsw {
           b += pid -> (rad, c)
           e += 1
         }
-        Some((metric, b.result()))
+        Some((metric, b.result(), hint))
       } finally in.close()
     }
 
@@ -928,11 +943,17 @@ object Hnsw {
     /** Resolve an [[AutoProbe]] request against the artifact's own
       * sidecar: not separable → 0 (unrouted — the default path must
       * never silently trade recall on corpora the partitioning couldn't
-      * split); separable → ⌈√G⌉ floor 2. Explicit values pass through
-      * unchanged. */
+      * split); separable → max(⌈√G⌉ floor 2, the build-time calibrated
+      * `hint` when the sidecar carries one — round 12, the IVF
+      * nprobe=auto convention: the heuristic is the floor, the measured
+      * depth raises it when the fleet's geometry needs more graphs).
+      * Explicit values pass through unchanged. */
     def autoResolve(probeGraphs: Int, nFiles: Int,
-        aligned: Array[(Double, Array[Float])]): Int =
+        aligned: Array[(Double, Array[Float])], hint: Int = 0): Int =
       if (probeGraphs == AutoProbe && !separable(aligned)) 0
+      else if (probeGraphs == AutoProbe)
+        math.min(nFiles, math.max(resolveProbe(probeGraphs, nFiles),
+          math.max(hint, 0)))
       else resolveProbe(probeGraphs, nFiles)
 
     /** Pair each sorted graph-file path with its routing entry by the
@@ -1011,7 +1032,7 @@ object Hnsw {
     // or different (m, efConstruction, parts) rebuilds instead of
     // silently serving the stale artifact. parts>1 artifacts additionally
     // require the spatial-partitioning + routing-sidecar generation
-    // (routing=centroid2 since round 10 — the separability flag joined
+    // (routing=centroid3 since round 12 — the calibrated probe hint joined
     // the manifest) — pre-routing artifacts rebuild.
     val reqs = Map("format" -> "flatbin2", "m" -> m.toString,
       "ef_construction" -> efConstruction.toString,
@@ -1150,14 +1171,26 @@ object Hnsw {
           .collect()
         val ents = stats.sortBy(_._1).map { case (pid, _, rad) =>
           (pid, rad, bcent.value(pid)) }.toSeq
-        Routing.write(fs, dirPath, metric, ents,
-          if (model.centroids.nonEmpty) model.centroids(0).length else 0)
         val routable =
           if (Routing.separable(ents.map(e => (e._2, e._3)).toArray)) "yes"
           else "no"
+        // probeGraphs calibration (round 12, the IVF cal3 convention):
+        // only separable fleets measure — the guarded AUTO default
+        // never routes a non-separated partitioning, so the extra
+        // corpus pass would buy nothing there
+        val hint = if (routable == "no") 0
+          else calibrateGraphProbes(spark,
+            prepped.select(col(vecCol).as("v"),
+              IvfIndex.nearestCentroid(col(vecCol), model).as("pid")),
+            metric, ents)
+        Routing.write(fs, dirPath, metric, ents,
+          if (model.centroids.nonEmpty) model.centroids(0).length else 0,
+          hint)
         IndexCatalog.Manifest("hnsw", source, metric,
           baseParams ++ Map("files" -> stats.length.toString,
-            "routing" -> RoutingGen, "routable" -> routable))
+            "routing" -> RoutingGen, "routable" -> routable) ++
+            (if (hint > 0) Map("probe_hint" -> hint.toString)
+             else Map.empty))
       }
   }
 
@@ -1207,14 +1240,52 @@ object Hnsw {
         .collect()
       val ents = stats.sortBy(_._1).map { case (pid, _, rad) =>
         (pid, rad, bcent.value(pid)) }.toSeq
-      Routing.write(fs, dirPath, "l2", ents,
-        if (model.centroids.nonEmpty) model.centroids(0).length else 0)
       val routable =
         if (Routing.separable(ents.map(e => (e._2, e._3)).toArray)) "yes"
         else "no"
+      // coded fleets calibrate like the dense one — the coded searches
+      // route on the RAW query through the same sidecar
+      val hint = if (routable == "no") 0
+        else calibrateGraphProbes(spark,
+          df.select(col("vec").as("v"),
+            IvfIndex.nearestCentroid(col("vec"), model).as("pid")),
+          "l2", ents)
+      Routing.write(fs, dirPath, "l2", ents,
+        if (model.centroids.nonEmpty) model.centroids(0).length else 0,
+        hint)
       (stats.length,
-        Map("routing" -> RoutingGen, "routable" -> routable))
+        Map("routing" -> RoutingGen, "routable" -> routable) ++
+          (if (hint > 0) Map("probe_hint" -> hint.toString)
+           else Map.empty))
     }
+  }
+
+  /** Graph-fleet probe calibration ([[ProbeCal]], round 12): on the
+    * deterministic 64-query holdout, the p90 across queries of each
+    * query's 95%-coverage graph depth under the SEARCH-time routing
+    * ranking ([[Routing.boundAndDist]] (lb, cd, idx) order — rankFiles
+    * parity), clamped to [1, parts]. `frame` = (v = stored-space
+    * vector, pid = assigned cluster); cos fleets store
+    * normalize-at-build rows, so the stored-space kernel is 1 - dot,
+    * matching the reported search distance. */
+  private def calibrateGraphProbes(spark: org.apache.spark.sql.SparkSession,
+      frame: DataFrame, metric: String,
+      ents: Seq[(Int, Double, Array[Float])]): Int = {
+    if (ents.length <= 1) return math.max(ents.length, 1)
+    val mcode = metric match {
+      case "l2" => 0
+      case "dot" => 1
+      case _ => 2
+    }
+    val h = ProbeCal.hint(spark, frame, mcode, q => {
+      val qn = math.sqrt(IvfIndex.Kernels.dot(q, q))
+      ents.indices.sortBy { i =>
+        val (b, d) = Routing.boundAndDist(metric, q, qn,
+          ents(i)._3, ents(i)._2)
+        (b, d, i)
+      }.zipWithIndex.map { case (i, r) => ents(i)._1 -> (r + 1) }.toMap
+    })
+    math.min(math.max(h, 1), ents.length)
   }
 
   /** Driver-side routed file selection for the coded searches: same
@@ -1230,10 +1301,15 @@ object Hnsw {
     if (probeGraphs > 0 && probeGraphs >= files.length) return files
     val dirPath = new org.apache.hadoop.fs.Path(path)
     val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    Routing.read(fs, dirPath)
-      .flatMap { case (met, ents) =>
+    Routing.readFull(fs, dirPath)
+      .flatMap { case (met, ents, hint) =>
         Routing.align(files, ents).map { aligned =>
-          val g = Routing.autoResolve(probeGraphs, files.length, aligned)
+          // hint calibrated under the BUILD metric; override searches
+          // still consult it — the fleet geometry (how many clusters a
+          // neighborhood straddles) is what it measures, and the
+          // densified ranking spaces map onto the same l2 build
+          val g = Routing.autoResolve(probeGraphs, files.length, aligned,
+            hint)
           if (g <= 0 || g >= files.length) files
           else overrideMetric match {
             case Some(om) =>

@@ -284,98 +284,18 @@ object IvfIndex {
     * top-k merges over #partitions × 6400 tiny rows. */
   private def calibrateProbes(spark: SparkSession, path: String,
       vecCol: String, model: Model): Int = {
-    val art = spark.read.parquet(path)
-    val qPairs = art
-      .select(col(vecCol).as("qv"), xxhash64(col(vecCol)).as("qh"))
-      .orderBy(col("qh")).limit(64)
-      .collect().map(r => (r.getSeq[Float](0).toArray, r.getLong(1)))
-    val qRows = qPairs.map(_._1)
-    if (qRows.isEmpty || model.nlist <= 1) return math.max(model.nlist, 1)
-    val bq = spark.sparkContext.broadcast(qPairs)
-    // metric code for the closure (string matching per row is waste)
+    if (model.nlist <= 1) return math.max(model.nlist, 1)
     val mcode = model.metric match {
       case "l2" => 0
       case "dot" => 1
       case _ => 2
     }
-    import spark.implicits._
-    // per-partition: keep the 100 smallest (dist, list_id) per query —
-    // deterministic lexicographic order so replica merges tie-break
-    // identically
-    val partials = art
-      .select(col(vecCol), col("list_id"), xxhash64(col(vecCol)).as("rh"))
-      .mapPartitions { it =>
-        val qp = bq.value
-        val qs = qp.map(_._1)
-        val qhs = qp.map(_._2)
-        val heaps = Array.fill(qs.length)(
-          scala.collection.mutable.PriorityQueue.empty[(Double, Int)](
-            Ordering.Tuple2[Double, Int]))
-        it.foreach { r =>
-          val v = r.getSeq[Float](0)
-          val arr = new Array[Float](v.length)
-          var i = 0
-          while (i < arr.length) { arr(i) = v(i); i += 1 }
-          val lid = r.getInt(1)
-          val rh = r.getLong(2)
-          var qi = 0
-          while (qi < qs.length) {
-            // per-metric kernel on the STORED payloads (cos rows are
-            // normalize-at-build units, so cosdist = 1 - dot).
-            // IvfKernels referenced DIRECTLY: naming the
-            // IvfIndex.Kernels alias inside this closure would capture
-            // the non-serializable IvfIndex$ outer (the round-9
-            // GraphFileWriter lesson).
-            // de-bias (cal3): skip rows byte-identical to the holdout
-            // query (the query's own stored row and exact duplicates) —
-            // a self-hit at dist 0 always lands in the query's own
-            // top-ranked list and made the 95%-coverage statistic
-            // mildly optimistic for out-of-corpus queries (round-11
-            // judge note). Hash equality on the vector bytes is the
-            // exact identity the holdout was drawn by.
-            if (rh != qhs(qi)) {
-              val d = mcode match {
-                case 0 => IvfKernels.l2sq(arr, qs(qi))
-                case 1 => -IvfKernels.dot(arr, qs(qi))
-                case _ => 1.0 - IvfKernels.dot(arr, qs(qi))
-              }
-              val h = heaps(qi)
-              if (h.size < 100) h.enqueue((d, lid))
-              else if (Ordering.Tuple2[Double, Int].lt((d, lid), h.head)) {
-                h.dequeue(); h.enqueue((d, lid))
-              }
-            }
-            qi += 1
-          }
-        }
-        heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
-          h.iterator.map { case (d, lid) => (qi, d, lid) }
-        }
-      }.toDF("qi", "dist", "list_id")
-    // final top-100 per query over the tiny partial set, driver-side
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("qi"))
-      .orderBy(col("dist"), col("list_id"))
-    val nbrLists = partials
-      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
-      .filter(col("rn") <= 100).select(col("qi"), col("list_id"))
-      .collect().groupBy(_.getInt(0))
-      .map { case (qi, rs) => qi -> rs.map(_.getInt(1)) }
-    // the holdout broadcast is per-ensure; long-lived drivers run many
-    // ensures (ensureAll) — release it once the partials are in
-    // (round-11 advice)
-    bq.destroy()
-    val depths = qRows.indices.map { qi =>
-      val rank = model.rankLists(qRows(qi)).zipWithIndex.toMap
-      // per-ROW list ranks (a multiset — one list can hold many of the
-      // top-100): the 95%-coverage depth is the 95th-percentile rank
-      val ranks = nbrLists.getOrElse(qi, Array.empty[Int])
-        .map(l => rank(l) + 1).sorted
-      if (ranks.isEmpty) 1
-      else ranks(math.max(math.ceil(ranks.length * 0.95).toInt - 1, 0))
-    }.sorted
-    val p90 = depths(math.max(math.ceil(depths.length * 0.9).toInt - 1, 0))
-    math.min(math.max(p90, 1), math.max(model.nlist, 1))
+    val frame = spark.read.parquet(path)
+      .select(col(vecCol).as("v"), col("list_id").as("pid"))
+    val h = ProbeCal.hint(spark, frame, mcode,
+      q => model.rankLists(q).zipWithIndex
+        .map { case (l, i) => l -> (i + 1) }.toMap)
+    math.min(math.max(h, 1), math.max(model.nlist, 1))
   }
 
   /** DDL-option-spelling ensure (reference pgvector compatibility,

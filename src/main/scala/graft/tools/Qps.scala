@@ -70,6 +70,20 @@ object Qps {
           IvfIndex.search(s, path, m, "vec_id", "embedding", q,
             k = 10, nprobe = Nprobe)
         }),
+      // the SHIPPING declarative default since round 11: nprobe=auto =
+      // max(10, the artifact's calibrated probe_hint) — the fixed
+      // nprobe=10 row above is the legacy-default comparison
+      Fam("ivf_l2_auto", 10,
+        batch = (s, qs) => {
+          val (m, path) = AnnQueries.ivf(s, d, "l2")
+          IvfIndex.batchSearch(s, path, m, "vec_id", "embedding", qs,
+            k = 10, nprobe = Qps.autoNprobe(s, d))
+        },
+        single = (s, q) => {
+          val (m, path) = AnnQueries.ivf(s, d, "l2")
+          IvfIndex.search(s, path, m, "vec_id", "embedding", q,
+            k = 10, nprobe = Qps.autoNprobe(s, d))
+        }),
       Fam("hnsw_l2", 10,
         batch = (s, qs) =>
           Hnsw.searchIndexBatch(s, AnnQueries.hnsw(s, d, 4), "vec_id", qs,
@@ -194,6 +208,15 @@ object Qps {
           (qid % 7).toFloat, (qid % 13).toFloat)))
   }
 
+  /** The round-11 nprobe=auto resolution (AnnRewriteRule.nprobeFor
+    * shape): max(default 10, the artifact's calibrated probe_hint). */
+  private[tools] def autoNprobe(s: SparkSession, dir: String): Int = {
+    val san = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val hint = graft.index.IndexCatalog.load(s, s"ivf_l2_$san")
+      .flatMap(_.params.get("probe_hint")).map(_.toInt).getOrElse(0)
+    math.max(Nprobe, hint)
+  }
+
   private def timeSec[T](body: => T): Double = {
     val t0 = System.nanoTime()
     body
@@ -275,7 +298,18 @@ object Qps {
         },
         single = (s, q) =>
           Hnsw.searchIndex(s, AnnQueries.hnsw(s, clDir, 4), "vec_id", q,
-            k = 10, efSearch = EfSearch, probeGraphs = Hnsw.AutoProbe)))
+            k = 10, efSearch = EfSearch, probeGraphs = Hnsw.AutoProbe)),
+      Fam("ivf_l2_auto_clustered", 10,
+        batch = (s, qs) => {
+          val (m, path) = AnnQueries.ivf(s, clDir, "l2")
+          graft.operators.IvfIndex.batchSearch(s, path, m, "vec_id",
+            "embedding", qs, k = 10, nprobe = Qps.autoNprobe(s, clDir))
+        },
+        single = (s, q) => {
+          val (m, path) = AnnQueries.ivf(s, clDir, "l2")
+          graft.operators.IvfIndex.search(s, path, m, "vec_id",
+            "embedding", q, k = 10, nprobe = Qps.autoNprobe(s, clDir))
+        }))
     val rows = mainRows ++ clFams.map(measure(_, clQs))
 
     def r1(x: Double) = BigDecimal(x).setScale(1, BigDecimal.RoundingMode.HALF_UP)
@@ -294,7 +328,11 @@ object Qps {
         """to all-graphs - full recall, ~hnsw_l2 speed); the """ +
         """*_clustered rows measure the same default on the clustered """ +
         """twin where auto stays routed 2-of-4 - the serving-side win """ +
-        """of routing with the guard in the loop",""" +
+        """of routing with the guard in the loop. Round 12: ivf_l2_auto """ +
+        """rows measure the SHIPPING nprobe=auto default (max(10, """ +
+        """calibrated probe_hint)) next to the fixed nprobe=10 row - """ +
+        """the hint raises probes only where the artifact's geometry """ +
+        """needs them",""" +
         """"families":{""",
       ",", "}}")
     java.nio.file.Files.writeString(

@@ -154,6 +154,47 @@ object Soak {
     println(f"[soak] ivf full ${fIvfS}%.2f->${fIvfL}%.2f incr ${iIvfS}%.2f->${iIvfL}%.2f")
     println(f"[soak] sq8 full ${fSq8S}%.2f->${fSq8L}%.2f incr ${iSq8S}%.2f->${iSq8L}%.2f")
 
+    // Probe-calibration build cost (round 12): the dense-IVF ensure's
+    // ProbeCal pass is linear with a 64×-kernel constant — time the
+    // full ensure (calibration included) and the calibration pass alone
+    // at both scales, and check the statistic's stability under the
+    // judge-proposed mitigation (lowest-xxhash row-sampling of the
+    // scored side) so the sampling lever is evidence-backed if the
+    // measured cost ever justifies pulling it.
+    def calSoak(d: String): (Double, Double, Int, Int) = {
+      val tag = san(d)
+      val name = s"soakcal_$tag"
+      graft.index.IndexCatalog.drop(spark, name)
+      val embPath = s"$d/embeddings.parquet"
+      def t(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      val full = t(graft.operators.IvfIndex.ensure(spark, name,
+        spark.read.parquet(embPath), embPath, "embedding", "l2", 16))
+      val m = graft.index.IndexCatalog.load(spark, name).get
+      val model = graft.operators.IvfIndex.Model(m.metric, m.centroids,
+        m.floats.get("radii").orNull)
+      val art = spark.read.parquet(
+        graft.index.IndexCatalog.dataDir(spark, name))
+      def rank(q: Array[Float]) = model.rankLists(q).zipWithIndex
+        .map { case (l, i) => l -> (i + 1) }.toMap
+      val frame = art.select(col("embedding").as("v"),
+        col("list_id").as("pid"))
+      val hintFull = graft.operators.ProbeCal.hint(spark, frame, 0, rank _)
+      val calT = t(graft.operators.ProbeCal.hint(spark, frame, 0, rank _))
+      // sampled scored side: keep ~1/4 of the rows deterministically
+      val sampled = frame.filter(
+        pmod(xxhash64(col("v")), lit(4L)) === 0L)
+      val hintSampled = graft.operators.ProbeCal.hint(spark, sampled, 0,
+        rank _)
+      println(f"[soak] dense ensure $tag full=$full%.2fs cal=$calT%.2fs " +
+        s"hint=$hintFull sampledHint=$hintSampled")
+      graft.index.IndexCatalog.drop(spark, name)
+      (full, calT, hintFull, hintSampled)
+    }
+    val (cEnsS, cCalS, cHintS, cHintSmpS) = calSoak(src)
+    val (cEnsL, cCalL, cHintL, cHintSmpL) = calSoak(dst)
+
     // ANN/search soak (round-6): artifacts pre-ensured and caches warmed
     // UNTIMED at both scales, then the SERVING path timed. Pruned scans
     // and resident-graph searches should be strongly sublinear in corpus
@@ -574,6 +615,20 @@ object Soak {
     sb ++= f"| partitioned ensure, 8 partitions (full) | $pFullS%.2f | $pFullL%.2f |\n"
     sb ++= f"| re-ensure after ONE partition re-ingested | $pIncrS%.2f | $pIncrL%.2f |\n"
     sb ++= f"| re-ensure / full | ${pIncrS / pFullS}%.2f | ${pIncrL / pFullL}%.2f |\n"
+    sb ++= "\n## Probe-calibration build cost (round 12)\n\n"
+    sb ++= "The dense-IVF ensure's ProbeCal pass scores every stored row\n"
+    sb ++= "against the 64-query holdout — linear, 64× kernel constant, no\n"
+    sb ++= "N-row shuffle (per-partition bounded heaps). Timed: the full\n"
+    sb ++= "ensure (train + assign + write + radii + calibration) and the\n"
+    sb ++= "calibration pass alone, at 1× and 10×. The sampled-hint column\n"
+    sb ++= "is the mitigation lever (lowest-xxhash 1/4 row-sample of the\n"
+    sb ++= "scored side): if the measured cal share ever dominates a build,\n"
+    sb ++= "sampling cuts it 4× — stability of the hint under the sample is\n"
+    sb ++= "the evidence it would not change the shipped resolution.\n\n"
+    sb ++= "| operation | sf0.1 | sf1 | ratio |\n|---|---|---|---|\n"
+    sb ++= f"| dense IVF ensure, calibration included (s) | $cEnsS%.2f | $cEnsL%.2f | ${cEnsL / cEnsS}%.1f× |\n"
+    sb ++= f"| calibration pass alone (s) | $cCalS%.2f | $cCalL%.2f | ${cCalL / cCalS}%.1f× |\n"
+    sb ++= f"| probe_hint (full / 1-in-4 sampled rows) | $cHintS / $cHintSmpS | $cHintL / $cHintSmpL | — |\n"
     sb ++= "\n## Semantic dedup at 10× corpus (rounds 8–9)\n\n"
     sb ++= "k = ⌈√n⌉ centroids (`Dedup.semanticK`): the FLAT-argmin\n"
     sb ++= "assignment costs n·k·d and the within-cluster pairwise pass\n"

@@ -558,7 +558,7 @@ class KnnJoinSpec extends SparkSpec {
     // manifest surfaces the flag (the q_index_stat contract)
     val mf = graft.index.IndexCatalog.load(spark, name).get
     assert(mf.params.get("routable").contains("no"))
-    assert(mf.params.get("routing").contains("centroid2"))
+    assert(mf.params.get("routing").contains("centroid3"))
     // end to end: AUTO == unrouted on this artifact (fallback fired),
     // while explicit g=2 genuinely routes (differs from unrouted for at
     // least one query on a corpus where top-g pruning loses rows)
@@ -584,6 +584,65 @@ class KnnJoinSpec extends SparkSpec {
     // the clustered AutoProbe-spec fixture measures separable — the
     // threshold splits the two corpus shapes (routable=yes surfaced
     // there via the same manifest param)
+    graft.index.IndexCatalog.drop(spark, name)
+  }
+
+  test("graph probe calibration (round 12): separable fleets store a " +
+      "hint, AUTO resolves max(ceil-sqrt, hint), guard still wins") {
+    val dims = 8; val nPer = 60
+    val rnd = new scala.util.Random(41)
+    // 4 well-separated clusters: separable by construction
+    val rows = (0 until 4).flatMap { c =>
+      (0 until nPer).map { i =>
+        val v = Array.tabulate(dims)(j =>
+          (if (j == c * 2) 8f * (c + 1) else 0f) + rnd.nextFloat() * 0.3f)
+        (c.toLong * 1000 + i, v)
+      }
+    }
+    val src = java.nio.file.Files.createTempDirectory("graft_ghint").toString
+    rows.toDF("vec_id", "embedding").coalesce(1)
+      .write.mode("overwrite").parquet(src)
+    val name = "ghintspec_hnsw"
+    graft.index.IndexCatalog.drop(spark, name)
+    val path = Hnsw.ensure(spark, name, spark.read.parquet(src), src,
+      "vec_id", "embedding", "l2", parts = 4)
+    val dirPath = new org.apache.hadoop.fs.Path(path)
+    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (_, ents, hint) = Hnsw.Routing.readFull(fs, dirPath).get
+    val aligned = ents.toSeq.sortBy(_._1).map(_._2).toArray
+    assert(Hnsw.Routing.separable(aligned),
+      "clustered fixture must measure separable")
+    assert(hint >= 1 && hint <= 4,
+      s"separable fleet must store a calibrated hint in [1, parts], got $hint")
+    // manifest surfaces it (the q_index_stat contract, routable=yes rows)
+    val mf = graft.index.IndexCatalog.load(spark, name).get
+    assert(mf.params.get("routable").contains("yes"))
+    assert(mf.params.get("probe_hint").contains(hint.toString))
+    // AUTO resolution: the heuristic is the floor, the hint raises it
+    assert(Hnsw.Routing.autoResolve(Hnsw.AutoProbe, 4, aligned, 0) == 2,
+      "no hint: AUTO = ceil(sqrt(4)) = 2")
+    assert(Hnsw.Routing.autoResolve(Hnsw.AutoProbe, 4, aligned, 3) == 3,
+      "a hint above the heuristic must raise the resolution")
+    assert(Hnsw.Routing.autoResolve(Hnsw.AutoProbe, 4, aligned, 1) == 2,
+      "a hint below the heuristic never lowers it")
+    assert(Hnsw.Routing.autoResolve(Hnsw.AutoProbe, 4, aligned, 99) == 4,
+      "the hint is clamped to the fleet size")
+    // explicit values never consult the hint
+    assert(Hnsw.Routing.autoResolve(1, 4, aligned, 4) == 1)
+    // the guard still wins: a non-separable sidecar ignores its hint
+    val spread = aligned.map { case (_, c) => (1e6, c) }
+    assert(!Hnsw.Routing.separable(spread))
+    assert(Hnsw.Routing.autoResolve(Hnsw.AutoProbe, 4, spread, 4) == 0,
+      "non-separable: AUTO must stay unrouted regardless of the hint")
+    // end to end: AUTO-routed scalar search on this clustered fixture
+    // returns the true top-k (neighborhoods live inside one cluster)
+    val q0 = rows.head._2
+    val sAuto = Hnsw.searchIndex(spark, path, "vec_id", q0, k = 10,
+      probeGraphs = Hnsw.AutoProbe).collect().map(_.getLong(0)).toSet
+    val sExact = Hnsw.searchIndex(spark, path, "vec_id", q0, k = 10,
+      exact = true).collect().map(_.getLong(0)).toSet
+    assert(sAuto == sExact,
+      "routed AUTO must find the within-cluster top-k on separated data")
     graft.index.IndexCatalog.drop(spark, name)
   }
 
