@@ -82,4 +82,15 @@ object IndexOptions {
     opts.get("lists").orElse(opts.get("nlist"))
       .map(_.trim.toInt).getOrElse(defaultNlist)
   }
+
+  /** `kmeans_iters` reloption: k-means training iterations for IVF
+    * builds (default 10, the reference's build default). A build-cost
+    * knob — partition QUALITY degrades gracefully (exactness at
+    * nprobe = nlist never depends on the clustering), useful for small
+    * fixture/staging indexes where training dominates build time. */
+  def ivfIters(opts: Map[String, String]): Int = {
+    val it = opts.get("kmeans_iters").map(_.trim.toInt).getOrElse(10)
+    require(it > 0 && it <= 1000, s"kmeans_iters out of range: $it")
+    it
+  }
 }

@@ -95,10 +95,14 @@ object SqlDdl {
         else Hnsw.ensure(spark, name, df, source, idCol, vecCol,
           metric, parts, m, efc)
       case ("dense", "ivf") =>
-        val nlist = IndexOptions.ivf(rest)
+        // kmeans_iters is a DENSE build option only — the typed arms
+        // below keep rejecting it through IndexOptions.ivf's strict set
+        val nlist = IndexOptions.ivf(rest - "kmeans_iters")
+        val iters = IndexOptions.ivfIters(rest)
         if (rebuild) IvfIndex.reindex(spark, name, df, source, vecCol,
-          metric, nlist)
-        else IvfIndex.ensure(spark, name, df, source, vecCol, metric, nlist)
+          metric, nlist, maxIter = iters)
+        else IvfIndex.ensure(spark, name, df, source, vecCol, metric, nlist,
+          maxIter = iters)
       // typed IVF opclasses: one artifact per type family, the metric is
       // a search-time choice (TypedAnn convention) — validated above
       case ("bvec", "ivf") =>

@@ -1565,7 +1565,7 @@ object Hnsw {
   def rangeJoin(spark: org.apache.spark.sql.SparkSession, path: String,
       idCol: String, queries: DataFrame, qidCol: String, qvecCol: String,
       r: Double): DataFrame = {
-    val (files, routing) = joinArtifacts(spark, path)
+    val (files, routing, _) = joinArtifacts(spark, path)
     rangeJoinFiles(spark, files, routing, idCol, queries, qidCol, qvecCol, r)
   }
 
@@ -1575,7 +1575,8 @@ object Hnsw {
     * `*Files` forms directly. */
   private[graft] def joinArtifacts(spark: org.apache.spark.sql.SparkSession,
       path: String)
-      : (Seq[String], Option[(String, Array[(Double, Array[Float])])]) = {
+      : (Seq[String], Option[(String, Array[(Double, Array[Float])])],
+         Int) = {
     val dirPath = new org.apache.hadoop.fs.Path(path)
     val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val files = fs.globStatus(new org.apache.hadoop.fs.Path(path, "graph-*.bin"))
@@ -1587,9 +1588,10 @@ object Hnsw {
     // graphs. Metric is per graph file; routing bounds need it up front,
     // so it rides the sidecar alignment (all graphs of one artifact
     // share the build metric).
-    val routing = Routing.read(fs, dirPath).flatMap { case (met, ents) =>
+    val full = Routing.readFull(fs, dirPath)
+    val routing = full.flatMap { case (met, ents, _) =>
       Routing.align(files, ents).map(a => (met, a)) }
-    (files, routing)
+    (files, routing, full.map(_._3).getOrElse(0))
   }
 
   /** [[rangeJoin]] over an explicit (file list, routing) pair — the form
@@ -1684,9 +1686,9 @@ object Hnsw {
       idCol: String, queries: DataFrame, qidCol: String, qvecCol: String,
       k: Int, efSearch: Int = 100, exact: Boolean = false,
       probeGraphs: Int = 0): DataFrame = {
-    val (files, routing) = joinArtifacts(spark, path)
+    val (files, routing, hint) = joinArtifacts(spark, path)
     knnJoinFiles(spark, files, routing, idCol, queries, qidCol, qvecCol,
-      k, efSearch, exact, probeGraphs)
+      k, efSearch, exact, probeGraphs, hint = hint)
   }
 
   /** Table-valued KNN join with a search-time METRIC OVERRIDE over the
@@ -1702,9 +1704,10 @@ object Hnsw {
       idCol: String, queries: DataFrame, qidCol: String, qvecCol: String,
       k: Int, metric: String, efSearch: Int = 100, exact: Boolean = false,
       probeGraphs: Int = 0): DataFrame = {
-    val (files, routing) = joinArtifacts(spark, path)
+    val (files, routing, hint) = joinArtifacts(spark, path)
     knnJoinFiles(spark, files, routing, idCol, queries, qidCol, qvecCol,
-      k, efSearch, exact, probeGraphs, metricOverride = Some(metric))
+      k, efSearch, exact, probeGraphs, metricOverride = Some(metric),
+      hint = hint)
   }
 
   /** [[knnJoin]] over an explicit (file list, routing) pair — see
@@ -1723,7 +1726,7 @@ object Hnsw {
       idCol: String, queries: DataFrame, qidCol: String, qvecCol: String,
       k: Int, efSearch: Int = 100, exact: Boolean = false,
       probeGraphs: Int = 0,
-      metricOverride: Option[String] = None): DataFrame = {
+      metricOverride: Option[String] = None, hint: Int = 0): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
     if (files.isEmpty)
@@ -1734,7 +1737,7 @@ object Hnsw {
     // graph instead of silently losing recall (routing_stat-calibrated)
     val probeCount = routing0 match {
       case Some((_, aligned)) =>
-        Routing.autoResolve(probeGraphs, files.length, aligned)
+        Routing.autoResolve(probeGraphs, files.length, aligned, hint)
       case None => resolveProbe(probeGraphs, files.length)
     }
     val routing: Option[(String, Array[(Double, Array[Float])])] =

@@ -180,16 +180,23 @@ object IvfIndex {
     * until `source` changes. */
   def ensure(spark: SparkSession, name: String, df: => DataFrame,
       source: String, vecCol: String, metric: String, nlist: Int,
-      seed: Long = 42L): (Model, String) = {
+      seed: Long = 42L, maxIter: Int = 10): (Model, String) = {
     // manifests from before the range-pruning stats carry no radii —
     // rebuild them (staleness of the manifest *format*)
     if (IndexCatalog.load(spark, name).exists(m =>
         m.source == source && !m.floats.contains("radii")))
       IndexCatalog.drop(spark, name)
+    // kmeans_iters joins staleness only when NON-default: existing
+    // default-built artifacts stay untouched, and an explicit value
+    // forces the retrain it asks for (default-over-explicit is the
+    // documented asymmetric no-op — a perf hint, not a semantic key)
     val m = IndexCatalog.ensure(spark, name, source,
       requires = Map("sample" -> graft.index.SampleSidecar.Gen,
-        "probe_cal" -> CalGen))(
-      buildIvfArtifact(spark, df, source, vecCol, metric, nlist, seed))
+        "probe_cal" -> CalGen) ++
+        (if (maxIter != 10) Map("kmeans_iters" -> maxIter.toString)
+         else Map.empty))(
+      buildIvfArtifact(spark, df, source, vecCol, metric, nlist, seed,
+        maxIter))
     (Model(m.metric, m.centroids, m.floats.get("radii").orNull),
       IndexCatalog.dataDir(spark, name))
   }
@@ -200,9 +207,10 @@ object IvfIndex {
     * committed artifact throughout. */
   def reindex(spark: SparkSession, name: String, df: => DataFrame,
       source: String, vecCol: String, metric: String, nlist: Int,
-      seed: Long = 42L): (Model, String) = {
+      seed: Long = 42L, maxIter: Int = 10): (Model, String) = {
     val m = IndexCatalog.reindex(spark, name)(
-      buildIvfArtifact(spark, df, source, vecCol, metric, nlist, seed))
+      buildIvfArtifact(spark, df, source, vecCol, metric, nlist, seed,
+        maxIter))
     (Model(m.metric, m.centroids, m.floats.get("radii").orNull),
       IndexCatalog.dataDir(spark, name))
   }
@@ -210,8 +218,9 @@ object IvfIndex {
   /** The artifact build job shared by [[ensure]] and [[reindex]]. */
   private def buildIvfArtifact(spark: SparkSession, df: => DataFrame,
       source: String, vecCol: String, metric: String, nlist: Int,
-      seed: Long): String => Manifest = { dataDir =>
-      val model = train(df, vecCol, metric, nlist, seed = seed)
+      seed: Long, maxIter: Int = 10): String => Manifest = { dataDir =>
+      val model = train(df, vecCol, metric, nlist, maxIter = maxIter,
+        seed = seed)
       // NULL and non-finite vectors are not indexed (issue_427.slt /
       // null.slt: neither may break the build or pollute search results)
       assign(df.filter(col(vecCol).isNotNull && vectorIsFinite(col(vecCol))),
@@ -251,7 +260,11 @@ object IvfIndex {
         "probe_cal" -> CalGen)
       Manifest("ivf", source, metric,
         Map("nlist" -> nlist.toString,
-          "sample" -> graft.index.SampleSidecar.Gen) ++ calParams,
+          "sample" -> graft.index.SampleSidecar.Gen) ++ calParams ++
+          // recorded only when non-default, mirroring the requires key —
+          // an absent param + present require would re-stale every run
+          (if (maxIter != 10) Map("kmeans_iters" -> maxIter.toString)
+           else Map.empty),
         centroids = model.centroids,
         floats = Map("radii" -> radii))
   }
@@ -307,7 +320,8 @@ object IvfIndex {
       source: String, vecCol: String, metric: String,
       options: Map[String, String]): (Model, String) =
     ensure(spark, name, df, source, vecCol, metric,
-      graft.index.IndexOptions.ivf(options))
+      graft.index.IndexOptions.ivf(options - "kmeans_iters"),
+      maxIter = graft.index.IndexOptions.ivfIters(options))
 
   /** EXACT within-radius search (sphere predicate pushdown): prune lists
     * whose triangle-inequality lower bound exceeds the radius —

@@ -257,7 +257,8 @@ object PartitionedIndex {
     * construction (one parent metric), but drift bails to None too. */
   private def gatherGraphs(spark: SparkSession, name: String, source: String,
       partCol: String, values: Option[Seq[String]])
-      : (Seq[String], Option[(String, Array[(Double, Array[Float])])]) = {
+      : (Seq[String], Option[(String, Array[(Double, Array[Float])])],
+         Int) = {
     val chosen = resolveValues(spark, source, partCol, values)
     val per = chosen.map { v =>
       val sub = subName(name, v)
@@ -271,7 +272,11 @@ object PartitionedIndex {
       if (per.forall(_._2.isDefined) && metrics.length == 1)
         Some((metrics.head, per.toArray.flatMap(_._2.get._2)))
       else None
-    (files, routing)
+    // concatenated-fleet hint = max of the sub hints (round 12): each
+    // sub measured its own 95%-coverage depth, and the combined AUTO
+    // must probe at least the deepest sub's need — a floor, never a
+    // ceiling (it only ever raises g, so recall cannot drop)
+    (files, routing, per.map(_._3).foldLeft(0)(math.max))
   }
 
   /** Gather the chosen partitions' IVF sub-indexes as ONE combined
@@ -458,9 +463,10 @@ object PartitionedIndex {
       partCol: String, idCol: String, queries: DataFrame, qidCol: String,
       qvecCol: String, k: Int, efSearch: Int = 100, exact: Boolean = false,
       probeGraphs: Int = 0, values: Option[Seq[String]] = None): DataFrame = {
-    val (files, routing) = gatherGraphs(spark, name, source, partCol, values)
+    val (files, routing, hint) = gatherGraphs(spark, name, source,
+      partCol, values)
     Hnsw.knnJoinFiles(spark, files, routing, idCol, queries, qidCol,
-      qvecCol, k, efSearch, exact, probeGraphs)
+      qvecCol, k, efSearch, exact, probeGraphs, hint = hint)
   }
 
   /** Table-valued EXACT range join over the partitioned parent: one
@@ -472,7 +478,8 @@ object PartitionedIndex {
       partCol: String, idCol: String, queries: DataFrame, qidCol: String,
       qvecCol: String, r: Double,
       values: Option[Seq[String]] = None): DataFrame = {
-    val (files, routing) = gatherGraphs(spark, name, source, partCol, values)
+    val (files, routing, _) = gatherGraphs(spark, name, source, partCol,
+      values)
     Hnsw.rangeJoinFiles(spark, files, routing, idCol, queries, qidCol,
       qvecCol, r)
   }
@@ -493,13 +500,16 @@ object PartitionedIndex {
       efSearch: Int = 100, exact: Boolean = false,
       values: Option[Seq[String]] = None, probeGraphs: Int = 0): DataFrame = {
     if (!exact && (probeGraphs > 0 || probeGraphs == Hnsw.AutoProbe)) {
-      val (files, routing) = gatherGraphs(spark, name, source, partCol, values)
+      val (files, routing, hint) = gatherGraphs(spark, name, source,
+        partCol, values)
       val chosenFiles = routing match {
         case Some((met, aligned)) =>
           // AUTO resolves against the CONCATENATED fleet's separability
           // (Routing.autoResolve) — a non-separated partitioning walks
-          // every graph instead of silently losing recall
-          val g = Hnsw.Routing.autoResolve(probeGraphs, files.length, aligned)
+          // every graph instead of silently losing recall; the fleet
+          // hint (max of sub hints) raises g like the scalar path
+          val g = Hnsw.Routing.autoResolve(probeGraphs, files.length,
+            aligned, hint)
           if (g > 0 && g < files.length)
             Hnsw.Routing.rankFiles(met, q, files, aligned, g)
           else files

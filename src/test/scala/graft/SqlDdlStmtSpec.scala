@@ -548,6 +548,46 @@ class SqlDdlStmtSpec extends SparkSpec {
     spark.sql(s"DROP VECTOR INDEX $name")
   }
 
+  test("kmeans_iters reloption: recorded, staleness-forcing, dense-only") {
+    val src = tmpSrc()
+    val name = "stmtspec_kiters"
+    IndexCatalog.drop(spark, name)
+    spark.sql(s"""CREATE VECTOR INDEX $name ON '$src'
+        USING vectors (vec_id, embedding vector_l2_ops)
+        WITH (indexing = ivf, nlist = 2, kmeans_iters = 2)""")
+    val m = IndexCatalog.load(spark, name).get
+    assert(m.params.get("kmeans_iters").contains("2"),
+      "non-default kmeans_iters must be recorded (the staleness mirror)")
+    assert(m.params.get("nlist").contains("2"))
+    // idempotent: the same statement re-runs as a no-op (params match)
+    val dd = IndexCatalog.dataDir(spark, name)
+    val mt0 = new File(dd).lastModified()
+    spark.sql(s"""CREATE VECTOR INDEX $name ON '$src'
+        USING vectors (vec_id, embedding vector_l2_ops)
+        WITH (indexing = ivf, nlist = 2, kmeans_iters = 2)""")
+    assert(new File(dd).lastModified() === mt0,
+      "same kmeans_iters must not rebuild")
+    // vacuum replays the recipe including the knob
+    spark.sql(s"VACUUM VECTOR INDEX $name")
+    assert(IndexCatalog.load(spark, name).get.params
+      .get("kmeans_iters").contains("2"),
+      "vacuum must rebuild with the recorded kmeans_iters")
+    // typed arms reject it (dense-only build knob)
+    intercept[Exception] {
+      spark.sql(s"""CREATE VECTOR INDEX stmtspec_kity ON '$src'
+          USING vectors (vec_id, embedding vecf16_l2_ops)
+          WITH (indexing = ivf, kmeans_iters = 2)""").collect()
+    }
+    assert(IndexCatalog.load(spark, "stmtspec_kity").isEmpty)
+    // out-of-range rejects
+    intercept[Exception] {
+      spark.sql(s"""CREATE VECTOR INDEX stmtspec_kit0 ON '$src'
+          USING vectors (vec_id, embedding vector_l2_ops)
+          WITH (indexing = ivf, kmeans_iters = 0)""").collect()
+    }
+    spark.sql(s"DROP VECTOR INDEX $name")
+  }
+
   test("pg_vector_index_stat() with arguments errors instead of ignoring them") {
     // the builder's AnalysisException may surface wrapped depending on
     // where resolution runs — the contract is "errors, never silently
