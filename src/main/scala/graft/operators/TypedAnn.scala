@@ -90,7 +90,7 @@ object TypedAnn {
       seed: Long = 42L): (IvfIndex.Model, String) = {
     val m = IndexCatalog.ensure(spark, name, source,
         requires = Map("type" -> "bvector", "nlist" -> nlist.toString,
-          "stats" -> StatsVersion))(
+          "stats" -> StatsVersion, "probe_cal" -> IvfIndex.CalGen))(
       buildBvecArtifact(spark, df, source, idCol, fCol, nlist, seed))
     (IvfIndex.Model("l2", m.centroids, m.floats.get("radii").orNull),
       IndexCatalog.dataDir(spark, name))
@@ -105,6 +105,34 @@ object TypedAnn {
       buildBvecArtifact(spark, df, source, idCol, fCol, nlist, seed))
     (IvfIndex.Model("l2", m.centroids, m.floats.get("radii").orNull),
       IndexCatalog.dataDir(spark, name))
+  }
+
+
+  /** Build-time probe calibration for the typed IVF families (round 12
+    * — the dense cal3 statistic applied symmetrically): the hint is
+    * measured in the DENSIFIED payload space under the artifact's
+    * canonical metric ranking (hamming ≡ l2sq on 0/1 payloads; one hint
+    * per artifact — list ranking under the other search-time metrics of
+    * the family shares the same fleet geometry). nprobe=auto resolves
+    * max(10, hint) through the same per-artifact path as dense IVF. */
+  private def calParams(spark: SparkSession,
+      assigned: org.apache.spark.sql.DataFrame, denseCol: String,
+      metric: String, model: IvfIndex.Model,
+      radii: Array[Float]): Map[String, String] = {
+    val full = IvfIndex.Model(model.metric, model.centroids, radii)
+    val mcode = metric match {
+      case "dot" => 1
+      case "cos" => 2
+      case _ => 0 // l2 / hamming / jaccard score densified l2
+    }
+    val h = ProbeCal.hint(spark,
+      assigned.select(col(denseCol).as("v"), col("list_id").as("pid")),
+      mcode,
+      q => rankLists(full, q, metric).zipWithIndex
+        .map { case (l, i) => l -> (i + 1) }.toMap)
+    Map("probe_cal" -> IvfIndex.CalGen,
+      "probe_hint" ->
+        math.min(math.max(h, 1), math.max(model.nlist, 1)).toString)
   }
 
   private def buildBvecArtifact(spark: SparkSession, df: => DataFrame,
@@ -123,10 +151,11 @@ object TypedAnn {
       .repartition(col("list_id"))
       .write.mode("overwrite").partitionBy("list_id").parquet(dataDir)
     val radii = listRadii(assigned, "d01", model)
+    val cal = calParams(spark, assigned, "d01", "hamming", model, radii)
     assigned.unpersist()
     Manifest("ivf_bvec", source, "hamming",
       Map("nlist" -> nlist.toString, "type" -> "bvector",
-        "stats" -> StatsVersion),
+        "stats" -> StatsVersion) ++ cal,
       centroids = model.centroids, floats = Map("radii" -> radii))
   }
 
@@ -293,7 +322,7 @@ object TypedAnn {
       seed: Long = 42L): (IvfIndex.Model, String) = {
     val m = IndexCatalog.ensure(spark, name, source,
         requires = Map("type" -> "vecf16", "nlist" -> nlist.toString,
-          "stats" -> StatsVersion))(
+          "stats" -> StatsVersion, "probe_cal" -> IvfIndex.CalGen))(
       buildF16Artifact(spark, df, source, idCol, fCol, nlist, seed))
     (IvfIndex.Model("l2", m.centroids, m.floats.get("radii").orNull),
       IndexCatalog.dataDir(spark, name))
@@ -325,10 +354,11 @@ object TypedAnn {
       .repartition(col("list_id"))
       .write.mode("overwrite").partitionBy("list_id").parquet(dataDir)
     val radii = listRadii(assigned, "rf", model)
+    val cal = calParams(spark, assigned, "rf", "l2", model, radii)
     assigned.unpersist()
     Manifest("ivf_f16", source, "l2",
       Map("nlist" -> nlist.toString, "type" -> "vecf16",
-        "stats" -> StatsVersion),
+        "stats" -> StatsVersion) ++ cal,
       centroids = model.centroids, floats = Map("radii" -> radii))
   }
 
@@ -342,7 +372,7 @@ object TypedAnn {
       seed: Long = 42L): (IvfIndex.Model, String) = {
     val m = IndexCatalog.ensure(spark, name, source,
         requires = Map("type" -> "svector", "nlist" -> nlist.toString,
-          "stats" -> StatsVersion))(
+          "stats" -> StatsVersion, "probe_cal" -> IvfIndex.CalGen))(
       buildSvecArtifact(spark, df, source, idCol, svCol, nlist, seed))
     (IvfIndex.Model("l2", m.centroids, m.floats.get("radii").orNull),
       IndexCatalog.dataDir(spark, name))
@@ -376,10 +406,11 @@ object TypedAnn {
       .repartition(col("list_id"))
       .write.mode("overwrite").partitionBy("list_id").parquet(dataDir)
     val radii = listRadii(assigned, "dv", model)
+    val cal = calParams(spark, assigned, "dv", "l2", model, radii)
     assigned.unpersist()
     Manifest("ivf_svec", source, "l2",
       Map("nlist" -> nlist.toString, "type" -> "svector",
-        "stats" -> StatsVersion),
+        "stats" -> StatsVersion) ++ cal,
       centroids = model.centroids, floats = Map("radii" -> radii))
   }
 

@@ -539,9 +539,9 @@ object DocQueries {
     // keep in sync when adding index families.
     "q_index_stat" ->
       """SELECT * FROM (VALUES
-           ('bvecann__root_testdata_sf0_01','ivf_bvec','hamming','nlist=16,stats=radii1,type=bvector',TRUE),
+           ('bvecann__root_testdata_sf0_01','ivf_bvec','hamming','nlist=16,probe_cal=cal3,probe_hint=13,stats=radii1,type=bvector',TRUE),
            ('dedupcc__root_testdata_sf0_01','dedup_cc','jaccard','bands=16,jacc=0.8,minhash=64,rows=4,shingle=3',TRUE),
-           ('f16ann__root_testdata_sf0_01','ivf_f16','l2','nlist=16,stats=radii1,type=vecf16',TRUE),
+           ('f16ann__root_testdata_sf0_01','ivf_f16','l2','nlist=16,probe_cal=cal3,probe_hint=4,stats=radii1,type=vecf16',TRUE),
            ('hnsw_cos_p1__root_testdata_sf0_01','hnsw','cos','ef_construction=300,files=1,format=flatbin2,m=12,parts=1,sample=rows1',TRUE),
            ('hnsw_cos_p4__root_testdata_sf0_01','hnsw','cos','ef_construction=300,files=4,format=flatbin2,m=12,parts=4,routable=no,routing=centroid3,sample=rows1',TRUE),
            ('hnsw_l2_p1__root_testdata_sf0_01','hnsw','l2','ef_construction=300,files=1,format=flatbin2,m=12,parts=1,sample=rows1',TRUE),
@@ -567,8 +567,8 @@ object DocQueries {
            ('sparse__root_testdata_sf0_01','sparse','dot','buckets=64',TRUE),
            ('sparsepr__root_testdata_sf0_01','sparse_pruned','dot','adaptive=mass1,buckets=64,pruning=applied,top_m=1024',TRUE),
            ('sq8__root_testdata_sf0_01','sq8','l2','bits=8',TRUE),
-           ('svecann__root_testdata_sf0_01','ivf_svec','l2','nlist=16,stats=radii1,type=svector',TRUE),
-           ('svecrange__root_testdata_sf0_01','ivf_svec','l2','nlist=16,stats=radii1,type=svector',TRUE)
+           ('svecann__root_testdata_sf0_01','ivf_svec','l2','nlist=16,probe_cal=cal3,probe_hint=13,stats=radii1,type=svector',TRUE),
+           ('svecrange__root_testdata_sf0_01','ivf_svec','l2','nlist=16,probe_cal=cal3,probe_hint=12,stats=radii1,type=svector',TRUE)
          ) AS t(idx_name, idx_type, idx_metric, idx_options, has_data)
          ORDER BY idx_name""",
     "q_doc_stats" ->

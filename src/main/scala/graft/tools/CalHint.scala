@@ -24,9 +24,14 @@ object CalHint {
     AnnQueries.ivf(spark, sfDir, "cos")
     AnnQueries.ivf(spark, sfDir, "dot")
     AnnQueries.ivfPartial(spark, sfDir)
+    AnnQueries.bvecAnn(spark, sfDir)
+    AnnQueries.f16Ann(spark, sfDir)
+    AnnQueries.svecAnn(spark, sfDir)
+    AnnQueries.svecRange(spark, sfDir)
     val san = sfDir.replaceAll("[^A-Za-z0-9]", "_")
     for (n <- Seq(s"ivf_l2_$san", s"ivf_cos_$san", s"ivf_dot_$san",
-        s"ivf_l2_part7_$san");
+        s"ivf_l2_part7_$san", s"bvecann_$san", s"f16ann_$san",
+        s"svecann_$san", s"svecrange_$san");
         m <- graft.index.IndexCatalog.load(spark, n))
       println(s"[calhint] $n probe_hint=${m.params.getOrElse("probe_hint", "?")} " +
         s"probe_cal=${m.params.getOrElse("probe_cal", "?")}")

@@ -360,7 +360,25 @@ object Recall {
           dists(IvfIndex.search(spark, cPath, cm, "vec_id", "embedding",
             q0, 100, resolved)), s"q_ivf_exact_$metric")
       }
-      Seq(hj, sj, pj, mx, csq, cpq, crq) ++ ivfAuto
+      // typed IVF at the resolved default (round 12: the typed ensures
+      // calibrate like dense — the bvec rows were the typed floors at
+      // fixed nprobe=10, 0.91 hamming / 0.93 jaccard)
+      val bSan = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val (bm, bPath) = A.bvecAnn(spark, dir)
+      val bHint = graft.index.IndexCatalog.load(spark, s"bvecann_$bSan")
+        .flatMap(_.params.get("probe_hint")).flatMap(_.toIntOption)
+        .getOrElse(0)
+      val bRes = math.min(math.max(10, bHint), math.max(bm.nlist, 1))
+      println(s"[recall] $tag bvec_*_ivf_auto resolved nprobe = " +
+        s"$bRes (hint $bHint)")
+      val bh = scoreRow("bvec_hamming_ivf_auto",
+        dists(graft.operators.TypedAnn.searchBvec(spark, bPath, bm,
+          "vec_id", q0, k = 100, nprobe = bRes)), "q_bvec_ann_exact")
+      val bj = scoreRow("bvec_jaccard_ivf_auto",
+        dists(graft.operators.TypedAnn.searchBvec(spark, bPath, bm,
+          "vec_id", q0, k = 100, nprobe = bRes, metric = "jaccard")),
+        "q_bvec_jaccard_ann_exact")
+      Seq(hj, sj, pj, mx, csq, cpq, crq, bh, bj) ++ ivfAuto
     }
 
     val clDir = ensureClustered(spark, sfDir)
