@@ -228,7 +228,24 @@ object CreateVectorIndexCommand {
     * plain parquet layouts. */
   private[index] def resolveTableLocation(spark: SparkSession,
       table: String): String = {
-    val id = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    // the grammar accepts any ident(.ident)* chain; the session catalog
+    // resolves at most db.table — a leading session-catalog qualifier
+    // (spark_catalog.db.t) is stripped, anything deeper errors clearly
+    // instead of surfacing a raw parse exception (round-12 review)
+    val parts = spark.sessionState.sqlParser.parseMultipartIdentifier(table)
+    val trimmed =
+      if (parts.length == 3 &&
+          parts.head.equalsIgnoreCase("spark_catalog")) parts.tail
+      else parts
+    if (trimmed.length > 2)
+      throw new IllegalArgumentException(
+        s"cannot resolve $table — CREATE VECTOR INDEX ON accepts " +
+          "<table> or <db>.<table> in the session catalog (or a quoted " +
+          "parquet path)")
+    val id = trimmed match {
+      case Seq(t) => org.apache.spark.sql.catalyst.TableIdentifier(t)
+      case Seq(db, t) => org.apache.spark.sql.catalyst.TableIdentifier(t, Some(db))
+    }
     val meta = spark.sessionState.catalog.getTableMetadata(id)
     if (meta.tableType == org.apache.spark.sql.catalyst.catalog.CatalogTableType.VIEW)
       throw new IllegalArgumentException(

@@ -314,7 +314,23 @@ object IndexCatalog {
       throw new IllegalArgumentException(s"option not found: $key"))
     if (!validate(value))
       throw new IllegalArgumentException(s"invalid index option value: $key = $value")
+    // graph fleets SERVE probe_hint from the routing sidecar, not the
+    // manifest — keep the two in sync or the alter silently changes
+    // nothing (round-12 review finding)
+    if (key == "probe_hint" && m.kind.startsWith("hnsw"))
+      syncSidecarHint(spark, name, value.toInt)
     commit(spark, name, m.copy(params = m.params + (key -> value)))
+  }
+
+  /** Mirror a probe_hint alter into a graph artifact's routing.bin (the
+    * sidecar is what searches read); no-op for sidecar-less artifacts
+    * (parts=1, partitioned parents). */
+  private def syncSidecarHint(spark: SparkSession, name: String,
+      hint: Int): Unit = {
+    val dirPath = new org.apache.hadoop.fs.Path(dataDir(spark, name))
+    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(dirPath))
+      graft.operators.Hnsw.Routing.setHint(fs, dirPath, hint)
   }
 
   /** Alter several options in ONE commit (one atomic manifest rename) —
@@ -352,9 +368,14 @@ object IndexCatalog {
     // resetting the calibrated probe_hint also drops its generation tag:
     // a manifest claiming probe_cal with no hint would never recalibrate
     // (ensure's staleness check only sees probe_cal) — dropping both
-    // makes the next ensure re-measure and restore an honest hint
+    // makes the next ensure re-measure and restore an honest hint.
+    // Graph fleets additionally zero the SIDECAR hint (what searches
+    // read): AUTO reverts to the ceil-sqrt heuristic — the default the
+    // RESET asks for — immediately, no rebuild needed.
     val dropped = if (keys.contains("probe_hint")) keys :+ "probe_cal"
       else keys
+    if (keys.contains("probe_hint") && m.kind.startsWith("hnsw"))
+      syncSidecarHint(spark, name, 0)
     commit(spark, name, m.copy(params = m.params -- dropped))
   }
 

@@ -216,11 +216,23 @@ object SqlDdl {
     // recipe, the DROP-path convention.
     // order: survivors first, THEN this name — the newest CREATE must
     // end up shadowing any same-(metric, conjuncts) survivor, not the
-    // other way around.
-    graft.plans.AnnPushdown.unregisterNamed(source, name)
-    reregisterSource(spark, source, excluding = name)
-    graft.plans.AnnPushdown.register(source, pushdownEntry(name, idCol,
-      vecCol, am, opclassName).copy(partialConjuncts = conj))
+    // other way around. The retire + catalog-root survivor sweep
+    // (manifest loads + plan analysis per partial recipe) runs only
+    // when this name's prior claim DIFFERS from the new one — the
+    // common idempotent re-CREATE has an identical claim, which
+    // register() replaces in place, and lifts no shadow (round-12
+    // review: the sweep was running on every CREATE).
+    val newEntry = pushdownEntry(name, idCol, vecCol, am, opclassName)
+      .copy(partialConjuncts = conj)
+    val rescoped = graft.plans.AnnPushdown.snapshot(source)
+      .filter(_.indexName == name)
+      .exists(p => p.metric != newEntry.metric ||
+        p.partialConjuncts != newEntry.partialConjuncts)
+    if (rescoped) {
+      graft.plans.AnnPushdown.unregisterNamed(source, name)
+      reregisterSource(spark, source, excluding = name)
+    }
+    graft.plans.AnnPushdown.register(source, newEntry)
     "ok"
   }
 

@@ -754,6 +754,20 @@ object Hnsw {
         : Option[(String, Map[Int, (Double, Array[Float])])] =
       readFull(fs, dir).map { case (met, ents, _) => (met, ents) }
 
+    /** Rewrite ONLY the sidecar's probe hint (entries unchanged) — the
+      * ALTER/RESET probe_hint path for graph fleets: serving reads the
+      * hint from the sidecar, so a manifest-only alter would silently
+      * change nothing (round-12 review finding). No-op when the dir
+      * carries no (readable current-version) sidecar. */
+    def setHint(fs: org.apache.hadoop.fs.FileSystem,
+        dir: org.apache.hadoop.fs.Path, hint: Int): Unit =
+      readFull(fs, dir).foreach { case (metric, ents, _) =>
+        val seq = ents.toSeq.sortBy(_._1)
+          .map { case (pid, (rad, c)) => (pid, rad, c) }
+        val dims = seq.headOption.map(_._3.length).getOrElse(0)
+        write(fs, dir, metric, seq, dims, hint)
+      }
+
     /** [[read]] plus the calibrated probe hint (0 = none). */
     def readFull(fs: org.apache.hadoop.fs.FileSystem,
         dir: org.apache.hadoop.fs.Path)

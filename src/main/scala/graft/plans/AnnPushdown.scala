@@ -144,12 +144,15 @@ object AnnPushdown {
     * (round-11 review finding), and recomputing a partial entry's
     * conjuncts at drop time needs the source to still exist. Name
     * identity needs neither. */
-  def unregisterNamed(sourcePath: String, indexName: String): Unit =
-    registry.computeIfPresent(normalize(sourcePath), (_, cur) =>
-      cur.filterNot(_.indexName == indexName) match {
-        case Nil => null
-        case rest => rest
-      })
+  def unregisterNamed(sourcePath: String, indexName: String): Boolean = {
+    var removed = false
+    registry.computeIfPresent(normalize(sourcePath), (_, cur) => {
+      val rest = cur.filterNot(_.indexName == indexName)
+      removed = rest.lengthCompare(cur.length) != 0
+      if (rest.isEmpty) null else rest
+    })
+    removed
+  }
 
   /** Remove ONLY the entry matching (metric, partialConjuncts) — a bench
     * helper tearing down its own registration must not clobber the user's

@@ -180,8 +180,9 @@ object Soak {
         .map { case (l, i) => l -> (i + 1) }.toMap
       val frame = art.select(col("embedding").as("v"),
         col("list_id").as("pid"))
-      val hintFull = graft.operators.ProbeCal.hint(spark, frame, 0, rank _)
-      val calT = t(graft.operators.ProbeCal.hint(spark, frame, 0, rank _))
+      var hintFull = 0
+      val calT = t { hintFull =
+        graft.operators.ProbeCal.hint(spark, frame, 0, rank _) }
       // sampled scored side: keep ~1/4 of the rows deterministically
       val sampled = frame.filter(
         pmod(xxhash64(col("v")), lit(4L)) === 0L)

@@ -643,6 +643,18 @@ class KnnJoinSpec extends SparkSpec {
       exact = true).collect().map(_.getLong(0)).toSet
     assert(sAuto == sExact,
       "routed AUTO must find the within-cluster top-k on separated data")
+    // ALTER/RESET of probe_hint must reach the SIDECAR (what searches
+    // read), not just the manifest — round-12 review finding
+    graft.index.IndexCatalog.alter(spark, name, "probe_hint", "4")
+    val (_, _, altered) = Hnsw.Routing.readFull(fs, dirPath).get
+    assert(altered === 4, "SET probe_hint must rewrite the sidecar hint")
+    graft.index.IndexCatalog.resetAll(spark, name, Seq("probe_hint"))
+    val (_, ents2, reset) = Hnsw.Routing.readFull(fs, dirPath).get
+    assert(reset === 0, "RESET probe_hint must zero the sidecar hint")
+    assert(ents2.keySet === ents.keySet,
+      "the hint rewrite must preserve the routing entries")
+    assert(graft.index.IndexCatalog.load(spark, name).get
+      .params.get("probe_hint").isEmpty)
     graft.index.IndexCatalog.drop(spark, name)
   }
 

@@ -464,6 +464,27 @@ class SqlDdlStmtSpec extends SparkSpec {
           USING vectors (vec_id, embedding)""").collect()
     }
     assert(IndexCatalog.load(spark, "stmtspec_m_idx").isEmpty)
+    // a session-catalog qualifier resolves (spark_catalog.db.t == db.t);
+    // deeper chains error CLEARLY, never as a raw parse exception
+    spark.sql("DROP TABLE IF EXISTS stmtspec_q_tbl")
+    spark.sql(s"CREATE TABLE stmtspec_q_tbl USING parquet LOCATION '$src'")
+    try {
+      IndexCatalog.drop(spark, "stmtspec_q_idx")
+      assert(spark.sql(
+        s"""CREATE VECTOR INDEX stmtspec_q_idx
+            ON spark_catalog.default.stmtspec_q_tbl
+            USING vectors (vec_id, embedding vector_l2_ops)
+            WITH (indexing = ivf, nlist = 2, kmeans_iters = 2)""")
+        .head().getString(0) === "ok")
+      assert(IndexCatalog.load(spark, "stmtspec_q_idx").exists(_.source == src))
+      spark.sql("DROP VECTOR INDEX stmtspec_q_idx")
+      val e3 = intercept[Exception] {
+        spark.sql("""CREATE VECTOR INDEX stmtspec_d_idx ON a.b.c.d
+            USING vectors (vec_id, embedding)""").collect()
+      }
+      assert(e3.getMessage.contains("CREATE VECTOR INDEX ON accepts"),
+        e3.getMessage)
+    } finally spark.sql("DROP TABLE IF EXISTS stmtspec_q_tbl")
   }
 
   test("ALTER RESET removes options; unknown and recipe keys reject") {
