@@ -123,6 +123,9 @@ object IncrIvf {
       .filter(_.source == segDir).filter(_.kind == fam.kind)
       .filter(_.metric == fam.metric)
       .filter(_.params.get("nlist").contains(nlist.toString))
+      // pre-calibration artifacts rebuild once (the probe_cal staleness
+      // convention — round 12)
+      .filter(_.params.get("probe_cal").contains(IvfIndex.CalGen))
     val priorGen = prior.flatMap(_.params.get("gen")).map(_.toLong).getOrElse(-1L)
     val priorSeq = prior.flatMap(_.params.get("seq")).map(_.toLong).getOrElse(-1L)
     val promotedGen = prior.flatMap(_.params.get("promoted_gen")).map(_.toLong).getOrElse(-1L)
@@ -143,10 +146,32 @@ object IncrIvf {
         writeSegment(spark, fam, dataDir, spark.read.parquet(dd), idCol, fCol,
           model, ver = seq, overwrite = false)
       }
+      // probe calibration (round 12): measured once on the BASE segment
+      // and FROZEN across appends — the IncrQuant frozen-trained-state
+      // convention; vacuum retrains and re-measures. The rank closure is
+      // search's own ranking (raw-centroid rankLists on the same model —
+      // incremental models carry no radii), so coverage is measured in
+      // exactly the space the probes are chosen in. Deltas are unseen by
+      // the statistic, like they are by the centroids; exactness at
+      // nprobe = nlist never depends on either.
+      val calFrame = fam.prep(base.filter(col(fCol).isNotNull &&
+          graft.functions.vectorIsFinite(col(fCol))), fCol)
+        .withColumn("pid", IvfIndex.nearestCentroid(col(fam.rankCol), model))
+        .select(col(fam.rankCol).as("v"), col("pid"))
+      val mcode = fam.metric match {
+        case "dot" => 1
+        case "cos" => 2
+        case _ => 0 // l2 / hamming / f16-l2 / svec-l2 score densified l2
+      }
+      val hint = math.min(math.max(ProbeCal.hint(spark, calFrame, mcode,
+        q => model.rankLists(q).zipWithIndex
+          .map { case (l, i) => l -> (i + 1) }.toMap), 1),
+        math.max(nlist, 1))
       IndexCatalog.commit(spark, name, IndexCatalog.Manifest(
         fam.kind, segDir, fam.metric,
         Map("gen" -> st.gen.toString, "seq" -> st.seq.toString,
-          "nlist" -> nlist.toString),
+          "nlist" -> nlist.toString,
+          "probe_cal" -> IvfIndex.CalGen, "probe_hint" -> hint.toString),
         centroids = model.centroids))
     } else if (st.seq > priorSeq) {
       val pm = prior.get

@@ -342,6 +342,22 @@ object AnnQueries {
   }
   private def nprobeConf(s: SparkSession) =
     conf2(s, "spark.graft.ivfflat.probes", "spark.graft.ann.nprobe", "10")
+  /** Per-ARTIFACT nprobe resolution for direct (non-declarative) search
+    * entry points whose artifacts carry a calibrated probe_hint —
+    * AnnRewriteRule.nprobeFor's shape: an explicit numeric conf wins,
+    * "auto" (the default) resolves max(10, hint). Round 12: IncrIvf
+    * calibrates its base segment, and its searches have no declarative
+    * arm (tombstone filtering), so the query layer resolves here. */
+  private def nprobeConfFor(s: SparkSession, name: String): Int = {
+    val raw = s.conf.getOption("spark.graft.ivfflat.probes")
+      .getOrElse(s.conf.get("spark.graft.ann.nprobe", "auto")).trim
+    raw.toIntOption.getOrElse {
+      val hint = graft.index.IndexCatalog.load(s, name)
+        .flatMap(_.params.get("probe_hint")).flatMap(_.toIntOption)
+        .getOrElse(0)
+      math.max(10, hint)
+    }
+  }
   private def efSearchConf(s: SparkSession) =
     conf2(s, "spark.graft.hnsw.ef_search", "spark.graft.hnsw.efSearch", "100")
   private def sq8WindowConf(s: SparkSession) =
@@ -1926,7 +1942,7 @@ object AnnQueries {
       graft.operators.IncrIvf.ensure(s, name, segDir, "vec_id", "embedding",
         metric = "l2", nlist = 16)
       graft.operators.IncrIvf.search(s, name, segDir, "vec_id", qvec(s, d),
-        k = 100, nprobe = nprobeConf(s))
+        k = 100, nprobe = nprobeConfFor(s, name))
     }),
     // exact twin: every list probed + the version filter — provably the
     // visible set, the same sealed ∪ growing ∖ deleted oracle

@@ -33,6 +33,11 @@ class IncrIvfSpec extends SparkSpec {
       metric = "l2", nlist = 8)
     val m0 = parquetFiles(dataDir)
     assert(m0.nonEmpty)
+    // base build calibrates (round 12) — hint measured once, in range
+    val cal0 = graft.index.IndexCatalog.load(spark, name).get.params
+    assert(cal0.get("probe_cal").contains(graft.operators.IvfIndex.CalGen))
+    val hint0 = cal0("probe_hint").toInt
+    assert(hint0 >= 1 && hint0 <= 8, s"hint out of range: $hint0")
 
     def got(k: Int): Seq[(Long, Double)] =
       IncrIvf.search(spark, name, segDir, "vec_id", q, k, nprobe = 8)
@@ -58,6 +63,13 @@ class IncrIvfSpec extends SparkSpec {
     assert(m0.forall { case (f, t) => m1(f) == t }, "an append rewrote a sealed list file")
     assert(m1.size > m0.size, "no files were appended")
     assert(got(4).map(_._1) == Seq(0L, 9000L, 9001L, 9002L))
+    // the hint is FROZEN across appends (the IncrQuant frozen-state
+    // convention) — an append must not re-measure
+    val calAfterAppend = graft.index.IndexCatalog.load(spark, name).get.params
+    assert(calAfterAppend("probe_hint").toInt == hint0,
+      "an append re-measured the frozen probe hint")
+    assert(calAfterAppend.get("probe_cal")
+      .contains(graft.operators.IvfIndex.CalGen))
 
     // delete: zero artifact changes, rows vanish from results
     Segments.delete(spark, segDir, Seq(9001L, 0L).toDF("vec_id"), "vec_id")
@@ -93,6 +105,11 @@ class IncrIvfSpec extends SparkSpec {
       "vacuum left dead rows in the artifact")
     assert(got(3).map(_._1) == Seq(9000L, 9002L, 9100L))
     assert(got(30) == want(30))
+    // vacuum retrains AND re-measures the hint on the folded corpus
+    val calVac = graft.index.IndexCatalog.load(spark, name).get.params
+    assert(calVac.get("probe_cal")
+      .contains(graft.operators.IvfIndex.CalGen))
+    assert(calVac("probe_hint").toInt >= 1 && calVac("probe_hint").toInt <= 8)
     graft.index.IndexCatalog.drop(spark, name)
   }
 
