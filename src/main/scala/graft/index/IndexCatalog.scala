@@ -314,17 +314,47 @@ object IndexCatalog {
       throw new IllegalArgumentException(s"option not found: $key"))
     if (!validate(value))
       throw new IllegalArgumentException(s"invalid index option value: $key = $value")
-    // graph fleets SERVE probe_hint from the routing sidecar, not the
-    // manifest — keep the two in sync or the alter silently changes
-    // nothing (round-12 review finding)
-    if (key == "probe_hint" && m.kind.startsWith("hnsw"))
-      syncSidecarHint(spark, name, value.toInt)
-    commit(spark, name, m.copy(params = m.params + (key -> value)))
+    val committed = commit(spark, name, m.copy(params = m.params + (key -> value)))
+    // AFTER the commit (the manifest — the source of truth — mutates
+    // first; a crash between the two leaves only the already-accepted
+    // manifest-vs-sidecar gap, never a sidecar ahead of the manifest)
+    propagateHint(spark, name, m, isHint = key == "probe_hint",
+      hint = if (key == "probe_hint") value.toInt else 0,
+      reset = false, keys = Seq(key), value = value)
+    committed
+  }
+
+  /** Keep what SEARCHES read in step with a probe_hint alter/reset:
+    * graph fleets serve the hint from their routing.bin (round-12
+    * review — a manifest-only alter silently changed nothing), and a
+    * partitioned PARENT serves max(sub sidecar hints), so the alter
+    * recurses into every sub-index (each sub alter is itself atomic;
+    * a crash mid-loop leaves some subs altered, each consistent).
+    * NOTE the semantics: the hint RAISES the AUTO floor
+    * (max(ceil-sqrt, hint)) and the separability guard still wins on
+    * non-separable fleets — to LOWER probing use the probe confs
+    * (spark.graft.hnsw.probe / spark.graft.ann.nprobe), the explicit
+    * informed override. */
+  private def propagateHint(spark: SparkSession, name: String, m: Manifest,
+      isHint: Boolean, hint: Int, reset: Boolean, keys: Seq[String],
+      value: String): Unit = {
+    if (!isHint) return
+    if (m.kind == "hnsw_part") {
+      val subs = m.params.get("values").toSeq
+        .flatMap(_.split(",", -1)).filter(_.nonEmpty)
+        .map(v => graft.operators.PartitionedIndex.subName(name, v))
+        .filter(s => load(spark, s).isDefined)
+      subs.foreach { sub =>
+        if (reset) resetAll(spark, sub, keys)
+        else alter(spark, sub, "probe_hint", value)
+      }
+    } else if (m.kind.startsWith("hnsw"))
+      syncSidecarHint(spark, name, hint)
   }
 
   /** Mirror a probe_hint alter into a graph artifact's routing.bin (the
     * sidecar is what searches read); no-op for sidecar-less artifacts
-    * (parts=1, partitioned parents). */
+    * (parts=1). */
   private def syncSidecarHint(spark: SparkSession, name: String,
       hint: Int): Unit = {
     val dirPath = new org.apache.hadoop.fs.Path(dataDir(spark, name))
@@ -350,7 +380,14 @@ object IndexCatalog {
         throw new IllegalArgumentException(
           s"invalid index option value: $key = $value")
     }
-    commit(spark, name, m.copy(params = m.params ++ kvs))
+    val committed = commit(spark, name, m.copy(params = m.params ++ kvs))
+    // the statement ALTER ... SET goes through here — it must reach the
+    // sidecar/subs exactly like the single-key path (round-12 review:
+    // only alter()/resetAll() were synced at first)
+    kvs.get("probe_hint").foreach(v =>
+      propagateHint(spark, name, m, isHint = true, hint = v.toInt,
+        reset = false, keys = Seq("probe_hint"), value = v))
+    committed
   }
 
   /** Remove alterable options in ONE commit — the Postgres
@@ -374,9 +411,10 @@ object IndexCatalog {
     // RESET asks for — immediately, no rebuild needed.
     val dropped = if (keys.contains("probe_hint")) keys :+ "probe_cal"
       else keys
-    if (keys.contains("probe_hint") && m.kind.startsWith("hnsw"))
-      syncSidecarHint(spark, name, 0)
-    commit(spark, name, m.copy(params = m.params -- dropped))
+    val committed = commit(spark, name, m.copy(params = m.params -- dropped))
+    propagateHint(spark, name, m, isHint = keys.contains("probe_hint"),
+      hint = 0, reset = true, keys = keys, value = "")
+    committed
   }
 
   /** `fence_vector_index` analog (functions.rs:16-41): block until the

@@ -139,8 +139,20 @@ object IncrIvf {
       // carry the assignment metric on the model so base and later delta
       // assigns use the SAME rule (nearestCentroid keys useDot off it)
       val model = IvfIndex.Model(if (fam.useDot) "dot" else "l2", trained.centroids)
-      writeSegment(spark, fam, dataDir, base, idCol, fCol, model,
-        ver = 0L, overwrite = true)
+      // prep + assign the base ONCE (cached): both the artifact write
+      // and the calibration below read it — a second full prep/assign
+      // pass over the base segment would roughly double the dominant
+      // rebuild cost (round-12 review; the TypedAnn cached-frame shape)
+      val baseAssigned = fam.prep(base.filter(col(fCol).isNotNull &&
+          graft.functions.vectorIsFinite(col(fCol))), fCol)
+        .withColumn("list_id",
+          IvfIndex.nearestCentroid(col(fam.rankCol), model))
+        .cache()
+      baseAssigned
+        .select((col(idCol) +: fam.payload.map(col) :+ col("list_id")
+          :+ lit(0L).as("_ver")): _*)
+        .repartition(col("list_id"))
+        .write.mode("overwrite").partitionBy("list_id").parquet(dataDir)
       Segments.deltaDirs(segDir, st).foreach { dd =>
         val seq = new java.io.File(dd).getName.stripPrefix("delta-").toLong
         writeSegment(spark, fam, dataDir, spark.read.parquet(dd), idCol, fCol,
@@ -154,10 +166,8 @@ object IncrIvf {
       // exactly the space the probes are chosen in. Deltas are unseen by
       // the statistic, like they are by the centroids; exactness at
       // nprobe = nlist never depends on either.
-      val calFrame = fam.prep(base.filter(col(fCol).isNotNull &&
-          graft.functions.vectorIsFinite(col(fCol))), fCol)
-        .withColumn("pid", IvfIndex.nearestCentroid(col(fam.rankCol), model))
-        .select(col(fam.rankCol).as("v"), col("pid"))
+      val calFrame = baseAssigned
+        .select(col(fam.rankCol).as("v"), col("list_id").as("pid"))
       val mcode = fam.metric match {
         case "dot" => 1
         case "cos" => 2
@@ -167,6 +177,7 @@ object IncrIvf {
         q => model.rankLists(q).zipWithIndex
           .map { case (l, i) => l -> (i + 1) }.toMap), 1),
         math.max(nlist, 1))
+      baseAssigned.unpersist()
       IndexCatalog.commit(spark, name, IndexCatalog.Manifest(
         fam.kind, segDir, fam.metric,
         Map("gen" -> st.gen.toString, "seq" -> st.seq.toString,

@@ -351,12 +351,15 @@ object AnnQueries {
   private def nprobeConfFor(s: SparkSession, name: String): Int = {
     val raw = s.conf.getOption("spark.graft.ivfflat.probes")
       .getOrElse(s.conf.get("spark.graft.ann.nprobe", "auto")).trim
-    raw.toIntOption.getOrElse {
+    // the conf2 contract: only the literal "auto" resolves — garbage
+    // still errors like every sibling query (round-12 review; the
+    // rule-side never-throw leniency doesn't apply to a direct entry)
+    if (raw.equalsIgnoreCase("auto")) {
       val hint = graft.index.IndexCatalog.load(s, name)
         .flatMap(_.params.get("probe_hint")).flatMap(_.toIntOption)
         .getOrElse(0)
       math.max(10, hint)
-    }
+    } else raw.toInt
   }
   private def efSearchConf(s: SparkSession) =
     conf2(s, "spark.graft.hnsw.ef_search", "spark.graft.hnsw.efSearch", "100")

@@ -644,8 +644,9 @@ class KnnJoinSpec extends SparkSpec {
     assert(sAuto == sExact,
       "routed AUTO must find the within-cluster top-k on separated data")
     // ALTER/RESET of probe_hint must reach the SIDECAR (what searches
-    // read), not just the manifest — round-12 review finding
-    graft.index.IndexCatalog.alter(spark, name, "probe_hint", "4")
+    // read), not just the manifest — round-12 review finding. alterAll
+    // is the STATEMENT surface's path (ALTER ... SET goes through it).
+    graft.index.IndexCatalog.alterAll(spark, name, Map("probe_hint" -> "4"))
     val (_, _, altered) = Hnsw.Routing.readFull(fs, dirPath).get
     assert(altered === 4, "SET probe_hint must rewrite the sidecar hint")
     graft.index.IndexCatalog.resetAll(spark, name, Seq("probe_hint"))

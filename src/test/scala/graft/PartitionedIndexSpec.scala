@@ -296,6 +296,47 @@ class PartitionedIndexSpec extends SparkSpec {
     rm(new File(srcDir))
   }
 
+  test("parent probe_hint alters propagate to sub manifests and sidecars") {
+    // the parent serves max(sub SIDECAR hints) (gatherGraphs), so a
+    // parent-level ALTER/RESET that stopped at the parent manifest
+    // would silently change nothing — round-12 review finding
+    val srcDir = sys.props("java.io.tmpdir") + "/graft_partspec_hint_src"
+    rm(new File(srcDir))
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .filter(col("vec_id") < 120)
+      .select(col("vec_id"), col("embedding"), (col("vec_id") % 2).as("category"))
+    emb.write.mode("overwrite").partitionBy("category").parquet(srcDir)
+    val name = "partspec_hint"
+    Seq("0", "1").foreach(v =>
+      IndexCatalog.drop(spark, PartitionedIndex.subName(name, v)))
+    IndexCatalog.drop(spark, name)
+    PartitionedIndex.ensureHnsw(spark, name, srcDir, "category",
+      "vec_id", "embedding", "l2", parts = 2)
+    def subHints: Seq[Int] = Seq("0", "1").map { v =>
+      val sub = PartitionedIndex.subName(name, v)
+      val dirPath = new org.apache.hadoop.fs.Path(
+        IndexCatalog.dataDir(spark, sub))
+      val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      graft.operators.Hnsw.Routing.readFull(fs, dirPath).get._3
+    }
+    IndexCatalog.alterAll(spark, name, Map("probe_hint" -> "3"))
+    assert(subHints == Seq(3, 3),
+      "a parent probe_hint alter must reach every sub sidecar")
+    assert(Seq("0", "1").forall(v => IndexCatalog
+      .load(spark, PartitionedIndex.subName(name, v)).get
+      .params.get("probe_hint").contains("3")),
+      "...and every sub manifest")
+    IndexCatalog.resetAll(spark, name, Seq("probe_hint"))
+    assert(subHints == Seq(0, 0),
+      "a parent RESET must zero every sub sidecar hint")
+    assert(Seq("0", "1").forall(v => IndexCatalog
+      .load(spark, PartitionedIndex.subName(name, v)).get
+      .params.get("probe_hint").isEmpty))
+    Seq("0", "1").foreach(v =>
+      IndexCatalog.drop(spark, PartitionedIndex.subName(name, v)))
+    IndexCatalog.drop(spark, name)
+  }
+
   test("partitioned IVF: two pruning levels compose, exact at nprobe=nlist") {
     val srcDir = sys.props("java.io.tmpdir") + "/graft_partspec_ivf_src"
     rm(new File(srcDir))
