@@ -318,9 +318,7 @@ object IndexCatalog {
     // AFTER the commit (the manifest — the source of truth — mutates
     // first; a crash between the two leaves only the already-accepted
     // manifest-vs-sidecar gap, never a sidecar ahead of the manifest)
-    propagateHint(spark, name, m, isHint = key == "probe_hint",
-      hint = if (key == "probe_hint") value.toInt else 0,
-      reset = false, keys = Seq(key), value = value)
+    if (key == "probe_hint") propagateHint(spark, name, m, Some(value.toInt))
     committed
   }
 
@@ -336,20 +334,28 @@ object IndexCatalog {
     * (spark.graft.hnsw.probe / spark.graft.ann.nprobe), the explicit
     * informed override. */
   private def propagateHint(spark: SparkSession, name: String, m: Manifest,
-      isHint: Boolean, hint: Int, reset: Boolean, keys: Seq[String],
-      value: String): Unit = {
-    if (!isHint) return
+      hint: Option[Int]): Unit = {
     if (m.kind == "hnsw_part") {
-      val subs = m.params.get("values").toSeq
+      // ONLY probe_hint propagates — a parent RESET naming other keys
+      // must not wipe a sub's independently-tuned options or its sql_*
+      // recipe (round-12 follow-up review). A sub dropped between the
+      // listing and its turn is skipped, mirroring the rule-side
+      // "a dropped sub-index must never throw" discipline.
+      m.params.get("values").toSeq
         .flatMap(_.split(",", -1)).filter(_.nonEmpty)
         .map(v => graft.operators.PartitionedIndex.subName(name, v))
-        .filter(s => load(spark, s).isDefined)
-      subs.foreach { sub =>
-        if (reset) resetAll(spark, sub, keys)
-        else alter(spark, sub, "probe_hint", value)
-      }
+        .foreach { sub =>
+          if (load(spark, sub).isDefined)
+            try hint match {
+              case Some(n) => alter(spark, sub, "probe_hint", n.toString)
+              case None => resetAll(spark, sub, Seq("probe_hint"))
+            } catch {
+              case e: IllegalArgumentException
+                  if e.getMessage.startsWith("no such index") => ()
+            }
+        }
     } else if (m.kind.startsWith("hnsw"))
-      syncSidecarHint(spark, name, hint)
+      syncSidecarHint(spark, name, hint.getOrElse(0))
   }
 
   /** Mirror a probe_hint alter into a graph artifact's routing.bin (the
@@ -385,8 +391,7 @@ object IndexCatalog {
     // sidecar/subs exactly like the single-key path (round-12 review:
     // only alter()/resetAll() were synced at first)
     kvs.get("probe_hint").foreach(v =>
-      propagateHint(spark, name, m, isHint = true, hint = v.toInt,
-        reset = false, keys = Seq("probe_hint"), value = v))
+      propagateHint(spark, name, m, Some(v.toInt)))
     committed
   }
 
@@ -412,8 +417,7 @@ object IndexCatalog {
     val dropped = if (keys.contains("probe_hint")) keys :+ "probe_cal"
       else keys
     val committed = commit(spark, name, m.copy(params = m.params -- dropped))
-    propagateHint(spark, name, m, isHint = keys.contains("probe_hint"),
-      hint = 0, reset = true, keys = keys, value = "")
+    if (keys.contains("probe_hint")) propagateHint(spark, name, m, None)
     committed
   }
 

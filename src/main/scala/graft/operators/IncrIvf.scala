@@ -148,6 +148,7 @@ object IncrIvf {
         .withColumn("list_id",
           IvfIndex.nearestCentroid(col(fam.rankCol), model))
         .cache()
+      try {
       baseAssigned
         .select((col(idCol) +: fam.payload.map(col) :+ col("list_id")
           :+ lit(0L).as("_ver")): _*)
@@ -177,13 +178,15 @@ object IncrIvf {
         q => model.rankLists(q).zipWithIndex
           .map { case (l, i) => l -> (i + 1) }.toMap), 1),
         math.max(nlist, 1))
-      baseAssigned.unpersist()
       IndexCatalog.commit(spark, name, IndexCatalog.Manifest(
         fam.kind, segDir, fam.metric,
         Map("gen" -> st.gen.toString, "seq" -> st.seq.toString,
           "nlist" -> nlist.toString,
           "probe_cal" -> IvfIndex.CalGen, "probe_hint" -> hint.toString),
         centroids = model.centroids))
+      // finally, not post-commit: a failed delta write or calibration
+      // must not leak the cached base segment for the session
+      } finally baseAssigned.unpersist()
     } else if (st.seq > priorSeq) {
       val pm = prior.get
       val model = IvfIndex.Model(if (fam.useDot) "dot" else "l2", pm.centroids)

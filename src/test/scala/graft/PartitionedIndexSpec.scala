@@ -335,6 +335,7 @@ class PartitionedIndexSpec extends SparkSpec {
     Seq("0", "1").foreach(v =>
       IndexCatalog.drop(spark, PartitionedIndex.subName(name, v)))
     IndexCatalog.drop(spark, name)
+    rm(new File(srcDir))
   }
 
   test("partitioned IVF: two pruning levels compose, exact at nprobe=nlist") {
