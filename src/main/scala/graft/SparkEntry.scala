@@ -28,7 +28,8 @@ object SparkEntry {
       ++ graft.queries.AnnQueries.queries ++ graft.queries.DocQueries.queries
       ++ graft.queries.PipelineQueries.queries
       ++ graft.queries.EventQueries.queries
-      ++ graft.queries.LifecycleQueries.queries)
+      ++ graft.queries.LifecycleQueries.queries
+      ++ graft.queries.OperatorSqlQueries.queries)
       .map { case (k, f) =>
         k -> ((s: SparkSession, d: String) => f(withFns(s), d))
       }
@@ -39,5 +40,6 @@ object SparkEntry {
     graft.queries.CoreQueries.oracles ++ graft.queries.TypeQueries.oracles ++
       graft.queries.AnnQueries.oracles ++ graft.queries.DocQueries.oracles ++
       graft.queries.PipelineQueries.oracles ++ graft.queries.EventQueries.oracles ++
-      graft.queries.LifecycleQueries.oracles
+      graft.queries.LifecycleQueries.oracles ++
+      graft.queries.OperatorSqlQueries.oracles
 }

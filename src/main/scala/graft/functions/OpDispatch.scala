@@ -1,0 +1,193 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.trees.BinaryLike
+import org.apache.spark.sql.types._
+import graft.types.VectorTypes
+
+/**
+ * Type-dispatching distance / sphere operators — the analysis-time
+ * analog of the reference's operator overload sets (finalize.sql
+ * CREATE OPERATOR blocks, src/sql/finalize.sql:408-574): one SQL
+ * spelling per operator, resolved to the operand type family's kernel.
+ * The injected parser rewrites the reference's operator tokens onto
+ * these functions ([[graft.index.OpSqlRewrite]]):
+ *
+ *   `a <-> b`  -> graft_op_l2(a, b)       (l2sq; bvector: hamming)
+ *   `a <#> b`  -> graft_op_dot(a, b)      (negative dot)
+ *   `a <=> b`  -> graft_op_cos(a, b)      (cosine distance)
+ *   `a <~> b`  -> graft_op_jaccard(a, b)  (bvector jaccard)
+ *   `v <<->> sphere(c, r)` -> graft_sphere_l2(v, sphere(c, r))  etc.
+ *
+ * Families by Spark type ([[VectorTypes]]): dense f32 AND vecf16
+ * surface columns are `array<float>` (vecf16 stores f16-ROUNDED floats
+ * — the dense kernels over them equal the reference's f16 operators,
+ * the q_vecf16_dist convention), f16 BIT arrays are `array<short>`,
+ * svector/bvector are their CSR / packed-word structs. A string operand
+ * coerces through the OTHER side's parser (the reference's implicit
+ * unknown-literal casts): dense <- parse_vector, svec <- parse_svector,
+ * bvec <- parse_bvector, f16 bits <- to_f16_bits(parse_vector).
+ *
+ * [[RuntimeReplaceable]]: the dispatch happens once children resolve,
+ * and the optimizer's ReplaceExpressions (Finish Analysis) swaps in the
+ * concrete kernel BEFORE the ANN pushdown arms run — so a rewritten
+ * `ORDER BY val <-> '[...]' LIMIT k` hits the very same
+ * L2sqDistance-shaped match as the native spelling.
+ *
+ * `<=>` collision: Spark spells null-safe equality `<=>`. On any
+ * vector-typed operand the reference dialect wins (cosine distance);
+ * on every other type graft_op_cos falls back to EqualNullSafe, so
+ * ordinary Spark SQL text keeps its meaning.
+ */
+object OpDispatch {
+  private def isSvec(t: DataType): Boolean = t match {
+    case s: StructType => s.fieldNames.toSeq == Seq("dims", "indexes", "values")
+    case _ => false
+  }
+  private def isBvec(t: DataType): Boolean = t match {
+    case s: StructType => s.fieldNames.toSeq == Seq("dims", "words")
+    case _ => false
+  }
+
+  /** Operand type -> family key, None for non-vector types. */
+  private[functions] def family(t: DataType): Option[String] = t match {
+    case ArrayType(FloatType, _) => Some("dense")
+    case ArrayType(ShortType, _) => Some("f16")
+    case t if isSvec(t) => Some("svec")
+    case t if isBvec(t) => Some("bvec")
+    case _ => None
+  }
+
+  /** String literal -> the family's vector parser. */
+  private def coerce(e: Expression, fam: String): Expression = fam match {
+    case "dense" => ParseVector(e)
+    case "f16" => ToF16Bits(ParseVector(e))
+    case "svec" => ParseSVector(e)
+    case "bvec" => ParseBVector(e)
+  }
+
+  /** Dispatch (left, right, metric) onto the family kernel; scala.Left(msg)
+    * when no overload exists (the reference's "operator does not exist"
+    * analog, surfaced as a type-check failure). */
+  def dist(left: Expression, right: Expression, metric: String)
+      : Either[String, Expression] = {
+    val lf = family(left.dataType)
+    val rf = family(right.dataType)
+    val fam = lf.orElse(rf).getOrElse(return scala.Left(
+      s"operator ${opSpelling(metric)} needs a vector operand, got " +
+        s"${left.dataType.catalogString} and ${right.dataType.catalogString}"))
+    def side(e: Expression, f: Option[String]): Either[String, Expression] =
+      f match {
+        case Some(`fam`) => scala.Right(e)
+        case Some(other) => scala.Left(s"operator ${opSpelling(metric)} operand " +
+          s"families differ: $fam vs $other")
+        case None if e.dataType == StringType => scala.Right(coerce(e, fam))
+        case None => scala.Left(s"operator ${opSpelling(metric)} cannot coerce " +
+          s"${e.dataType.catalogString} to $fam")
+      }
+    for {
+      l <- side(left, lf)
+      r <- side(right, rf)
+      d <- kernel(fam, metric, l, r)
+    } yield d
+  }
+
+  private def kernel(fam: String, metric: String, l: Expression, r: Expression)
+      : Either[String, Expression] = (fam, metric) match {
+    case ("dense", "l2") => scala.Right(L2sqDistance(l, r))
+    case ("dense", "dot") => scala.Right(NegDotDistance(l, r))
+    case ("dense", "cos") => scala.Right(CosDistance(l, r))
+    case ("f16", "l2") => scala.Right(F16L2sq(l, r))
+    case ("f16", "dot") => scala.Right(F16NegDot(l, r))
+    case ("f16", "cos") => scala.Right(F16CosDist(l, r))
+    case ("svec", "l2") => scala.Right(SVecL2sq(l, r))
+    case ("svec", "dot") => scala.Right(SVecNegDot(l, r))
+    case ("svec", "cos") => scala.Right(SVecCosDist(l, r))
+    case ("bvec", "l2") => scala.Right(BVecHamming(l, r))
+    case ("bvec", "dot") => scala.Right(BVecNegDot(l, r))
+    case ("bvec", "jaccard") => scala.Right(BVecJaccard(l, r))
+    case ("bvec", "cos") =>
+      scala.Left("operator <=> (cosine) has no bvector overload (finalize.sql " +
+        "defines <=> for vector/vecf16/svector only)")
+    case (_, "jaccard") =>
+      scala.Left("operator <~> (jaccard) is defined only for bvector operands")
+    case _ => scala.Left(s"no $metric overload for $fam")
+  }
+
+  private[functions] def opSpelling(metric: String): String = metric match {
+    case "l2" => "<->"
+    case "dot" => "<#>"
+    case "cos" => "<=>"
+    case "jaccard" => "<~>"
+    case other => other
+  }
+}
+
+/** `a <op> b` distance under the reference's operator overload rules;
+  * see [[OpDispatch]]. metric in {l2, dot, cos, jaccard}. */
+case class OpDist(left: Expression, right: Expression, metric: String)
+    extends Expression with RuntimeReplaceable with BinaryLike[Expression] {
+  private lazy val dispatched: Either[String, Expression] =
+    OpDispatch.dist(left, right, metric) match {
+      // the <=> spelling doubles as Spark's null-safe equality: when
+      // NEITHER side is vector-typed keep Spark semantics rather than
+      // erroring (a vector-family dispatch failure — e.g. the reference
+      // defines no bvector <=> — still errors like the other operators)
+      case scala.Left(_) if metric == "cos" &&
+          OpDispatch.family(left.dataType).isEmpty &&
+          OpDispatch.family(right.dataType).isEmpty &&
+          left.dataType == right.dataType =>
+        scala.Right(EqualNullSafe(left, right))
+      case other => other
+    }
+  override def checkInputDataTypes(): TypeCheckResult = dispatched match {
+    case scala.Right(_) => TypeCheckResult.TypeCheckSuccess
+    case scala.Left(msg) => TypeCheckResult.TypeCheckFailure(msg)
+  }
+  override lazy val replacement: Expression = dispatched match {
+    case scala.Right(e) => e
+    case scala.Left(msg) => throw new IllegalStateException(msg)
+  }
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(left = newLeft, right = newRight)
+  override def prettyName: String = s"graft_op_$metric"
+}
+
+/** `v <<op>> sphere(center, radius)` — strict within-sphere predicate
+  * (reference src/datatype/operators_vecf32.rs:91-150: every sphere
+  * member is `dist(lhs, center) < radius`). The right operand is any
+  * struct with `center`/`radius` fields — the registered `sphere()`
+  * builds one as a named_struct, so after constant folding the
+  * replacement is the plain `dist(v, lit) < lit` shape the range
+  * pushdown arms match. */
+case class SphereIn(left: Expression, right: Expression, metric: String)
+    extends Expression with RuntimeReplaceable with BinaryLike[Expression] {
+  private lazy val dispatched: Either[String, Expression] =
+    right.dataType match {
+      case s: StructType =>
+        val ci = s.fieldNames.indexOf("center")
+        val ri = s.fieldNames.indexOf("radius")
+        if (ci < 0 || ri < 0)
+          scala.Left(s"sphere operand must be sphere(center, radius), got " +
+            s"${right.dataType.catalogString}")
+        else OpDispatch.dist(left,
+            GetStructField(right, ci, Some("center")), metric)
+          .map(d => LessThan(d,
+            Cast(GetStructField(right, ri, Some("radius")), DoubleType)))
+      case other =>
+        scala.Left(s"sphere operand must be sphere(center, radius), got " +
+          s"${other.catalogString}")
+    }
+  override def checkInputDataTypes(): TypeCheckResult = dispatched match {
+    case scala.Right(_) => TypeCheckResult.TypeCheckSuccess
+    case scala.Left(msg) => TypeCheckResult.TypeCheckFailure(msg)
+  }
+  override lazy val replacement: Expression = dispatched match {
+    case scala.Right(e) => e
+    case scala.Left(msg) => throw new IllegalStateException(msg)
+  }
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(left = newLeft, right = newRight)
+  override def prettyName: String = s"graft_sphere_$metric"
+}

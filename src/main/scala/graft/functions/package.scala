@@ -108,6 +108,17 @@ package object functions {
     reg2("l2sq_distance", L2sqDistance(_, _))
     reg2("negdot_distance", NegDotDistance(_, _))
     reg2("cos_distance", CosDistance(_, _))
+    // type-dispatching operator surface (the reference's CREATE OPERATOR
+    // overload sets): the injected parser rewrites `<->` `<#>` `<=>`
+    // `<~>` and the `<<..>>` sphere forms onto these — see OpDispatch
+    reg2("graft_op_l2", OpDist(_, _, "l2"))
+    reg2("graft_op_dot", OpDist(_, _, "dot"))
+    reg2("graft_op_cos", OpDist(_, _, "cos"))
+    reg2("graft_op_jaccard", OpDist(_, _, "jaccard"))
+    reg2("graft_sphere_l2", SphereIn(_, _, "l2"))
+    reg2("graft_sphere_dot", SphereIn(_, _, "dot"))
+    reg2("graft_sphere_cos", SphereIn(_, _, "cos"))
+    reg2("graft_sphere_jaccard", SphereIn(_, _, "jaccard"))
     reg2("vec_add", DenseArith(_, _, '+'))
     reg2("vec_sub", DenseArith(_, _, '-'))
     reg2("vec_mul", DenseArith(_, _, '*'))

@@ -41,10 +41,18 @@ import org.apache.spark.sql.types.{DataType, StringType, StructType}
  * so the parser is a pure extension of the Spark surface.
  */
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
-  override def parsePlan(sqlText: String): LogicalPlan =
-    GraftSqlParser.parseVectorDdl(sqlText).getOrElse(delegate.parsePlan(sqlText))
+  // reference-dialect operators (`<->` `<#>` `<=>` `<~>`, sphere forms,
+  // `::vector` casts) rewrite to the registered dispatch functions
+  // BEFORE statement recognition — reference slt queries run verbatim
+  // and, being RuntimeReplaceable-resolved to the native kernel shapes,
+  // hit the existing ANN pushdown arms (see OpSqlRewrite)
+  override def parsePlan(sqlText: String): LogicalPlan = {
+    val rewritten = OpSqlRewrite(sqlText)
+    GraftSqlParser.parseVectorDdl(rewritten)
+      .getOrElse(delegate.parsePlan(rewritten))
+  }
   override def parseExpression(sqlText: String): Expression =
-    delegate.parseExpression(sqlText)
+    delegate.parseExpression(OpSqlRewrite(sqlText))
   override def parseTableIdentifier(sqlText: String): TableIdentifier =
     delegate.parseTableIdentifier(sqlText)
   override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =

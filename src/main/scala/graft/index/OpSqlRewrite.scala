@@ -1,0 +1,320 @@
+package graft.index
+
+/**
+ * Reference-dialect operator rewrite for SQL text — the last mile of
+ * pgvecto.rs SQL compatibility (every reference query spells search as
+ * `ORDER BY val <-> '[...]'` / `val <<->> sphere(...)`:
+ * tests/sqllogictest/vector.slt:1-40, pushdown_plan.slt,
+ * src/sql/finalize.sql:408-574). Spark's grammar has no user-defined
+ * operators, so [[GraftSqlParser]] runs this token-level rewrite over
+ * every statement BEFORE delegating:
+ *
+ *   `a <-> b`   -> `graft_op_l2(a, b)`        l2sq (bvector: hamming)
+ *   `a <#> b`   -> `graft_op_dot(a, b)`       negative dot
+ *   `a <=> b`   -> `graft_op_cos(a, b)`       cosine distance
+ *   `a <~> b`   -> `graft_op_jaccard(a, b)`   bvector jaccard
+ *   `v <<->> s` -> `graft_sphere_l2(v, s)`    sphere predicates
+ *   `v <<#>> s` / `v <<=>> s` / `v <<~>> s`   (dot / cos / jaccard)
+ *   `x::vector` -> `parse_vector(x)`          (and ::svector /
+ *   ::bvector / ::vecf16 via their parsers — the literal-cast spelling)
+ *
+ * The functions are [[graft.functions.OpDist]] /
+ * [[graft.functions.SphereIn]] — type-dispatching RuntimeReplaceables,
+ * so by optimization time the plan carries the exact kernel shapes the
+ * ANN pushdown arms match: reference queries run verbatim AND push
+ * down. `<=>` (Spark's null-safe equality) keeps its Spark meaning on
+ * non-vector operands via the dispatch fallback.
+ *
+ * The rewrite is a real tokenizer, not a regex: operator tokens inside
+ * string literals, quoted identifiers, or comments are never touched.
+ * Operand capture takes the adjacent primary expression — an identifier
+ * chain (`t.val`), a literal, a function call, or a parenthesized /
+ * bracketed group — which covers every reference spelling; an operator
+ * whose operand can't be delimited throws a clear error (the delegate
+ * parser could only produce an opaque one: no Spark grammar accepts
+ * these tokens), except `<=>`, which is left for Spark to parse.
+ */
+object OpSqlRewrite {
+  // token kinds
+  private final val WS = 0      // whitespace + comments
+  private final val STR = 1     // '...' or "..." literal
+  private final val IDENT = 2   // identifier, `quoted`, or a spliced call
+  private final val NUM = 3
+  private final val OP = 4      // one of the 8 graft operators
+  private final val SYM = 5     // anything else (single char, or ::)
+
+  private case class Tok(kind: Int, text: String)
+
+  /** Longest-match graft operators, tried in order at each '<'. */
+  private val Ops: Seq[(String, String)] = Seq(
+    "<<->>" -> "graft_sphere_l2",
+    "<<#>>" -> "graft_sphere_dot",
+    "<<=>>" -> "graft_sphere_cos",
+    "<<~>>" -> "graft_sphere_jaccard",
+    "<->" -> "graft_op_l2",
+    "<#>" -> "graft_op_dot",
+    "<=>" -> "graft_op_cos",
+    "<~>" -> "graft_op_jaccard")
+
+  private val CastFns: Map[String, String => String] = Map(
+    "vector" -> (p => s"parse_vector($p)"),
+    "svector" -> (p => s"parse_svector($p)"),
+    "bvector" -> (p => s"parse_bvector($p)"),
+    "vecf16" -> (p => s"to_vecf16(parse_vector($p))"))
+
+  /** Keywords that must not be absorbed as a call name when a
+    * parenthesized group is captured backward (`WHERE (a+b) <-> q`). */
+  private val Keywords: Set[String] = Set(
+    "select", "from", "where", "and", "or", "not", "on", "join", "inner",
+    "left", "right", "full", "cross", "outer", "group", "order", "by",
+    "having", "limit", "union", "all", "distinct", "as", "when", "then",
+    "else", "end", "case", "in", "like", "rlike", "ilike", "between",
+    "is", "null", "true", "false", "values", "over", "partition", "range",
+    "rows", "exists", "any", "some", "interval", "escape", "div")
+
+  /** Fast path: statements without any operator/cast spelling skip the
+    * tokenizer entirely. The four 3-char cores cover the sphere forms
+    * too (`<<->>` contains `<->`, etc.). */
+  def apply(sql: String): String =
+    if (sql == null || !(sql.contains("<->") || sql.contains("<#>") ||
+        sql.contains("<=>") || sql.contains("<~>") || sql.contains("::")))
+      sql
+    else rewrite(sql)
+
+  private def rewrite(sql: String): String = {
+    var toks = lex(sql)
+    toks = rewriteCasts(toks)
+    toks = rewriteOps(toks)
+    toks.iterator.map(_.text).mkString
+  }
+
+  // ---------------------------------------------------------- lexer
+  private def lex(s: String): Vector[Tok] = {
+    val out = Vector.newBuilder[Tok]
+    val n = s.length
+    var i = 0
+    def run(from: Int, p: Char => Boolean): Int = {
+      var j = from; while (j < n && p(s.charAt(j))) j += 1; j
+    }
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c.isWhitespace) {
+        val j = run(i, _.isWhitespace); out += Tok(WS, s.substring(i, j)); i = j
+      } else if (c == '-' && i + 1 < n && s.charAt(i + 1) == '-') {
+        var j = i; while (j < n && s.charAt(j) != '\n') j += 1
+        out += Tok(WS, s.substring(i, j)); i = j
+      } else if (c == '/' && i + 1 < n && s.charAt(i + 1) == '*') {
+        val e = s.indexOf("*/", i + 2)
+        val j = if (e < 0) n else e + 2
+        out += Tok(WS, s.substring(i, j)); i = j
+      } else if (c == '\'' || c == '"') {
+        // Spark string literal: backslash escapes + doubled-quote escape
+        var j = i + 1
+        var done = false
+        while (j < n && !done) {
+          val cj = s.charAt(j)
+          if (cj == '\\' && j + 1 < n) j += 2
+          else if (cj == c) {
+            if (j + 1 < n && s.charAt(j + 1) == c) j += 2 else { done = true; j += 1 }
+          } else j += 1
+        }
+        out += Tok(STR, s.substring(i, j)); i = j
+      } else if (c == '`') {
+        var j = i + 1
+        var done = false
+        while (j < n && !done) {
+          if (s.charAt(j) == '`') {
+            if (j + 1 < n && s.charAt(j + 1) == '`') j += 2 else { done = true; j += 1 }
+          } else j += 1
+        }
+        out += Tok(IDENT, s.substring(i, j)); i = j
+      } else if (c.isLetter || c == '_') {
+        val j = run(i, ch => ch.isLetterOrDigit || ch == '_')
+        out += Tok(IDENT, s.substring(i, j)); i = j
+      } else if (c.isDigit || (c == '.' && i + 1 < n && s.charAt(i + 1).isDigit)) {
+        var j = run(i, ch => ch.isDigit || ch == '.')
+        if (j < n && (s.charAt(j) == 'e' || s.charAt(j) == 'E')) {
+          var k = j + 1
+          if (k < n && (s.charAt(k) == '+' || s.charAt(k) == '-')) k += 1
+          val k2 = run(k, _.isDigit)
+          if (k2 > k) j = k2
+        }
+        // type-suffix letters (1L, 2.5D, 3BD, 4S, 5Y)
+        j = run(j, _.isLetter)
+        out += Tok(NUM, s.substring(i, j)); i = j
+      } else if (c == '<') {
+        Ops.find { case (op, _) => s.regionMatches(i, op, 0, op.length) } match {
+          case Some((op, _)) => out += Tok(OP, op); i += op.length
+          case None => out += Tok(SYM, c.toString); i += 1
+        }
+      } else if (c == ':' && i + 1 < n && s.charAt(i + 1) == ':') {
+        out += Tok(SYM, "::"); i += 2
+      } else {
+        out += Tok(SYM, c.toString); i += 1
+      }
+    }
+    out.result()
+  }
+
+  // --------------------------------------------- operand delimiting
+  private def prevIdx(toks: Vector[Tok], from: Int): Int = {
+    var j = from - 1; while (j >= 0 && toks(j).kind == WS) j -= 1; j
+  }
+  private def nextIdx(toks: Vector[Tok], from: Int): Int = {
+    var j = from + 1; while (j < toks.length && toks(j).kind == WS) j += 1; j
+  }
+  private def isOpen(t: Tok) = t.kind == SYM && (t.text == "(" || t.text == "[")
+  private def isClose(t: Tok) = t.kind == SYM && (t.text == ")" || t.text == "]")
+
+  /** Start index of the primary expression ending AT `end` (inclusive).
+    * -1 when no primary can be delimited. */
+  private def backPrimary(toks: Vector[Tok], end: Int): Int = {
+    var start = end
+    toks(end) match {
+      case Tok(STR | NUM, _) => // single token primary
+      case Tok(IDENT, t) =>
+        if (Keywords.contains(t.toLowerCase)) return -1
+      case t if isClose(t) =>
+        var depth = 0
+        var j = end
+        while (j >= 0) {
+          if (isClose(toks(j))) depth += 1
+          else if (isOpen(toks(j))) { depth -= 1; if (depth == 0) { start = j; j = -1 } }
+          if (j >= 0) j -= 1
+        }
+        if (depth != 0) return -1
+        // function call / array index: absorb a preceding identifier
+        val p = prevIdx(toks, start)
+        if (p >= 0 && toks(p).kind == IDENT &&
+            !Keywords.contains(toks(p).text.toLowerCase)) start = p
+      case _ => return -1
+    }
+    // qualified chains: a.b.c / fn(x).f
+    var done = false
+    while (!done) {
+      val dot = prevIdx(toks, start)
+      if (dot >= 0 && toks(dot).kind == SYM && toks(dot).text == ".") {
+        val id = prevIdx(toks, dot)
+        if (id >= 0 && toks(id).kind == IDENT) start = id else done = true
+      } else done = true
+    }
+    start
+  }
+
+  /** End index (inclusive) of the primary starting AT `start`;
+    * -1 when no primary can be delimited. */
+  private def fwdPrimary(toks: Vector[Tok], start0: Int): Int = {
+    if (start0 >= toks.length) return -1
+    var start = start0
+    // unary sign before a numeric literal
+    if (toks(start).kind == SYM &&
+        (toks(start).text == "-" || toks(start).text == "+")) {
+      val nx = nextIdx(toks, start)
+      if (nx < toks.length && toks(nx).kind == NUM) start = nx else return -1
+    }
+    var end = start
+    toks(start) match {
+      case Tok(STR | NUM, _) => // literal
+      case Tok(IDENT, t) =>
+        if (Keywords.contains(t.toLowerCase)) return -1
+        // fall through to the extension loop
+      case t if isOpen(t) =>
+        var depth = 0
+        var j = start
+        var stop = false
+        while (j < toks.length && !stop) {
+          if (isOpen(toks(j))) depth += 1
+          else if (isClose(toks(j))) { depth -= 1; if (depth == 0) { end = j; stop = true } }
+          j += 1
+        }
+        if (!stop) return -1
+      case _ => return -1
+    }
+    // extensions: call args, member access, indexing
+    var done = false
+    while (!done) {
+      val nx = nextIdx(toks, end)
+      if (nx < toks.length && isOpen(toks(nx)) &&
+          (toks(end).kind == IDENT || isClose(toks(end)))) {
+        var depth = 0
+        var j = nx
+        var stop = false
+        while (j < toks.length && !stop) {
+          if (isOpen(toks(j))) depth += 1
+          else if (isClose(toks(j))) { depth -= 1; if (depth == 0) { end = j; stop = true } }
+          j += 1
+        }
+        if (!stop) return -1
+      } else if (nx < toks.length && toks(nx).kind == SYM && toks(nx).text == "." &&
+          (toks(end).kind == IDENT || isClose(toks(end)))) {
+        val id = nextIdx(toks, nx)
+        if (id < toks.length && toks(id).kind == IDENT) end = id else done = true
+      } else done = true
+    }
+    end
+  }
+
+  private def text(toks: Vector[Tok], from: Int, to: Int): String =
+    toks.slice(from, to + 1).iterator.map(_.text).mkString.trim
+
+  // ------------------------------------------------------- rewrites
+  /** `primary::vector` (and the other three type names) -> parser call.
+    * Iterates until no vector casts remain (left-to-right). */
+  private def rewriteCasts(toks0: Vector[Tok]): Vector[Tok] = {
+    var toks = toks0
+    var again = true
+    while (again) {
+      again = false
+      var i = 0
+      while (i < toks.length && !again) {
+        if (toks(i).kind == SYM && toks(i).text == "::") {
+          val tyIdx = nextIdx(toks, i)
+          if (tyIdx < toks.length && toks(tyIdx).kind == IDENT) {
+            CastFns.get(toks(tyIdx).text.toLowerCase) match {
+              case Some(wrap) =>
+                val p = prevIdx(toks, i)
+                if (p < 0) throw new IllegalArgumentException(
+                  s"cannot delimit the operand of ::${toks(tyIdx).text}")
+                val start = backPrimary(toks, p)
+                if (start < 0) throw new IllegalArgumentException(
+                  s"cannot delimit the operand of ::${toks(tyIdx).text}")
+                val call = wrap(text(toks, start, p))
+                toks = toks.take(start) ++ Vector(Tok(IDENT, call)) ++
+                  toks.drop(tyIdx + 1)
+                again = true
+              case None => ()
+            }
+          }
+        }
+        i += 1
+      }
+    }
+    toks
+  }
+
+  /** Operator tokens -> dispatch-function calls, left-to-right. */
+  private def rewriteOps(toks0: Vector[Tok]): Vector[Tok] = {
+    var toks = toks0
+    var i = 0
+    while (i < toks.length) {
+      if (toks(i).kind == OP) {
+        val fn = Ops.find(_._1 == toks(i).text).get._2
+        val lEnd = prevIdx(toks, i)
+        val lStart = if (lEnd < 0) -1 else backPrimary(toks, lEnd)
+        val rStart = nextIdx(toks, i)
+        val rEnd = if (rStart >= toks.length) -1 else fwdPrimary(toks, rStart)
+        if (lStart < 0 || rEnd < 0) {
+          if (toks(i).text == "<=>") { i += 1 } // Spark's null-safe equality
+          else throw new IllegalArgumentException(
+            s"cannot delimit the operands of ${toks(i).text} near: " +
+              text(toks, math.max(0, i - 4), math.min(toks.length - 1, i + 4)))
+        } else {
+          val call = s"$fn(${text(toks, lStart, lEnd)}, ${text(toks, rStart, rEnd)})"
+          toks = toks.take(lStart) ++ Vector(Tok(IDENT, call)) ++ toks.drop(rEnd + 1)
+          i = lStart // the spliced call can be a later operator's left operand
+        }
+      } else i += 1
+    }
+    toks
+  }
+}

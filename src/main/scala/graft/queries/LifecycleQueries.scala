@@ -159,7 +159,7 @@ object LifecycleQueries {
     * extension — a session's parser is fixed at build time) derives a
     * sibling session on the same SparkContext with the extension
     * applied, leaving the caller's active/default slots untouched. */
-  private def ddlSession(s: SparkSession): SparkSession =
+  private[queries] def ddlSession(s: SparkSession): SparkSession =
     if (graft.index.GraftSqlParser.installed(s)) s
     else Tables.fixture("ddl-session") {
       val active = SparkSession.getActiveSession
