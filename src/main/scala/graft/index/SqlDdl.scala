@@ -196,7 +196,11 @@ object SqlDdl {
     // the build while rewriting the recipe and the planner claim to the
     // new predicate — the artifact would serve the OLD scope as the new
     // one. A differing recorded sql_where forces REINDEX instead.
-    val scopeChanged = IndexCatalog.load(spark, name).exists(m =>
+    // the prior manifest is loaded BEFORE dispatch commits the new one:
+    // both the scope check and the old-SOURCE retire below need the
+    // pre-CREATE state
+    val prior = IndexCatalog.load(spark, name)
+    val scopeChanged = prior.exists(m =>
       !m.params.get("sql_where").map(_.trim).contains(newWhere))
     dispatch(spark, name, source, idCol, vecCol, am, opclassName, options,
       rebuild = scopeChanged, where = newWhere)
@@ -222,6 +226,16 @@ object SqlDdl {
     // common idempotent re-CREATE has an identical claim, which
     // register() replaces in place, and lifts no shadow (round-12
     // review: the sweep was running on every CREATE).
+    // re-CREATE ON A DIFFERENT PATH moves the name: the artifact now
+    // indexes the new source's data, but the OLD source's registry
+    // entry (indexName == name) would stay live for the session and
+    // keep rewriting old-path queries onto it — silent wrong results
+    // until driver restart (round-12 advice). Retire the name's claims
+    // on the old source and lift any shadow it held there.
+    prior.map(_.source).filter(_ != source).foreach { oldSrc =>
+      graft.plans.AnnPushdown.unregisterNamed(oldSrc, name)
+      reregisterSource(spark, oldSrc, excluding = name)
+    }
     val newEntry = pushdownEntry(name, idCol, vecCol, am, opclassName)
       .copy(partialConjuncts = conj)
     val rescoped = graft.plans.AnnPushdown.snapshot(source)

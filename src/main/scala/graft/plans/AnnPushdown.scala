@@ -282,14 +282,35 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * the hint; garbage values resolve to auto (toIntOption convention,
     * never an optimizer-rule throw). Manifest loads are driver-side and
     * mtime-cached — no job. */
-  private def nprobeFor(idx: IndexedTable): Int = {
+  private[graft] def nprobeFor(idx: IndexedTable): Int = {
     val raw = spark.conf.get("spark.graft.ann.nprobe", "auto").trim
     raw.toIntOption.getOrElse {
-      val hint = graft.index.IndexCatalog.load(spark, idx.indexName)
-        .flatMap(_.params.get("probe_hint")).flatMap(_.toIntOption)
+      val m = graft.index.IndexCatalog.load(spark, idx.indexName)
+      val hint = m.flatMap(_.params.get("probe_hint")).flatMap(_.toIntOption)
+        .orElse(m.filter(_.kind == "ivf_part")
+          .flatMap(ivfPartSubHint(idx.indexName, _)))
         .getOrElse(0)
       math.max(10, hint)
     }
+  }
+
+  /** ivf_part parents own no data and never calibrate, so at
+    * nprobe=auto the parent manifest carries no probe_hint of its own —
+    * serve the MAX of the chosen subs' calibrated hints instead, the
+    * hnsw_part convention (gatherGraphs takes max of sub sidecar
+    * hints; round-12 advice). Metadata-only (manifest loads); a
+    * missing/hint-less sub contributes nothing, and an empty result
+    * falls back to the fixed floor like any uncalibrated artifact. */
+  private def ivfPartSubHint(name: String,
+      m: graft.index.IndexCatalog.Manifest): Option[Int] = {
+    val hints = for {
+      (_, values) <- partParams(m).toSeq
+      v <- values
+      sub <- graft.index.IndexCatalog.load(spark,
+        graft.operators.PartitionedIndex.subName(name, v))
+      h <- sub.params.get("probe_hint").flatMap(_.toIntOption)
+    } yield h
+    hints.maxOption
   }
 
   /** Marker to stop the rule re-matching its own replacement. */

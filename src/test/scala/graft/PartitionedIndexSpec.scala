@@ -513,4 +513,45 @@ class PartitionedIndexSpec extends SparkSpec {
     IndexCatalog.drop(spark, name)
     rm(new File(srcDir))
   }
+
+  test("ivf_part at nprobe=auto serves the max of the subs' probe_hint") {
+    import graft.plans.AnnPushdown
+    val srcDir = sys.props("java.io.tmpdir") + "/graft_partspec_hint_src"
+    rm(new File(srcDir))
+    spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .filter(col("vec_id") < 90)
+      .select(col("vec_id"), col("embedding"), (col("vec_id") % 3).as("category"))
+      .write.mode("overwrite").partitionBy("category").parquet(srcDir)
+    val name = "partspec_hint"
+    Seq("0", "1", "2").foreach(v =>
+      IndexCatalog.drop(spark, PartitionedIndex.subName(name, v)))
+    IndexCatalog.drop(spark, name)
+    PartitionedIndex.ensureIvf(spark, name, srcDir, "category",
+      "embedding", "l2", nlist = 4)
+    // pin one sub's calibrated hint above the fixed floor: the parent
+    // owns no data and never calibrates, so auto must fall back to the
+    // MAX of the sub hints (the hnsw_part gatherGraphs convention)
+    IndexCatalog.alterAll(spark, PartitionedIndex.subName(name, "1"),
+      Map("probe_hint" -> "37"))
+    val idx = AnnPushdown.IndexedTable(name, "vec_id", "embedding", "l2")
+    val rule = graft.plans.AnnRewriteRule(spark)
+    val prevNprobe = spark.conf.getOption("spark.graft.ann.nprobe")
+    try {
+      spark.conf.set("spark.graft.ann.nprobe", "auto")
+      assert(rule.nprobeFor(idx) === 37,
+        "auto must serve max of sub probe_hints on a hint-less parent")
+      // an explicit numeric conf never consults the hint
+      spark.conf.set("spark.graft.ann.nprobe", "3")
+      assert(rule.nprobeFor(idx) === 3)
+    } finally {
+      prevNprobe match {
+        case Some(v) => spark.conf.set("spark.graft.ann.nprobe", v)
+        case None => spark.conf.unset("spark.graft.ann.nprobe")
+      }
+    }
+    Seq("0", "1", "2").foreach(v =>
+      IndexCatalog.drop(spark, PartitionedIndex.subName(name, v)))
+    IndexCatalog.drop(spark, name)
+    rm(new File(srcDir))
+  }
 }

@@ -569,6 +569,36 @@ class SqlDdlStmtSpec extends SparkSpec {
     spark.sql(s"DROP VECTOR INDEX $name")
   }
 
+  test("re-CREATE on a different path retires the old source's claim") {
+    import graft.plans.AnnPushdown
+    import org.apache.spark.sql.functions._
+    val srcA = tmpSrc()
+    val dirB = new File(sys.props("java.io.tmpdir"), "graft_stmtspec_srcB")
+    if (!new File(dirB, "_SUCCESS").isFile)
+      spark.read.parquet(s"$sf0001/embeddings.parquet")
+        .filter(col("vec_id") >= 100 && col("vec_id") < 150)
+        .select(col("vec_id"), col("embedding"))
+        .write.mode("overwrite").parquet(dirB.getAbsolutePath)
+    val srcB = dirB.getAbsolutePath
+    val name = "stmtspec_movesrc"
+    IndexCatalog.drop(spark, name)
+    spark.sql(s"""CREATE VECTOR INDEX $name ON '$srcA'
+        USING vectors (vec_id, embedding vector_l2_ops)
+        WITH (indexing = ivf, nlist = 2)""")
+    assert(AnnPushdown.snapshot(srcA).exists(_.indexName == name))
+    // the name moves to a different path: the artifact now indexes B's
+    // rows, so A's registry entry must retire — a live one would
+    // rewrite A-path queries onto B's data for the rest of the session
+    spark.sql(s"""CREATE VECTOR INDEX $name ON '$srcB'
+        USING vectors (vec_id, embedding vector_l2_ops)
+        WITH (indexing = ivf, nlist = 2)""")
+    assert(!AnnPushdown.snapshot(srcA).exists(_.indexName == name),
+      "old-source claim must retire on re-CREATE over a new path")
+    assert(AnnPushdown.snapshot(srcB).exists(_.indexName == name))
+    assert(IndexCatalog.load(spark, name).exists(_.source == srcB))
+    spark.sql(s"DROP VECTOR INDEX $name")
+  }
+
   test("kmeans_iters reloption: recorded, staleness-forcing, dense-only") {
     val src = tmpSrc()
     val name = "stmtspec_kiters"
