@@ -4,6 +4,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen._
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftshim.Shims.AbstractDataType
 import org.apache.spark.sql.types._
 import graft.types.{Fp16, VectorTypes}
 
@@ -65,6 +66,47 @@ object F16Kernels {
       i += 1
     }
     acc
+  }
+
+  /** vecf16-domain element-wise arithmetic over the SURFACE arrays
+    * (f16-rounded floats): each op computes in f32 and rounds the
+    * result back through binary16 — the reference's half-precision
+    * operators promote to f32 per op and round the result
+    * (src/datatype/operators_vecf16.rs:7-14, finalize.sql:97-148),
+    * unlike the dense f32 `vec_add` family which never rounds.
+    * op: 0 add, 1 sub, 2 mul. */
+  def arith(a: ArrayData, b: ArrayData, op: Int): ArrayData = {
+    val n = a.numElements(); checkDims(n, b.numElements())
+    val out = new Array[Float](n)
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i); val y = b.getFloat(i)
+      val r = op match {
+        case 0 => x + y
+        case 1 => x - y
+        case _ => x * y
+      }
+      out(i) = Fp16.roundTrip(r)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** vecf16 normalize (finalize.sql:628-629): norm accumulated in
+    * double, index order (the repo's kernel convention), divide in
+    * double, round each element back through binary16 — the per-op f16
+    * rounding the dense normalize never applies. */
+  def normalize(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    var acc = 0.0; var i = 0
+    while (i < n) { val x = a.getFloat(i).toDouble; acc += x * x; i += 1 }
+    val nrm = math.sqrt(acc)
+    val out = new Array[Float](n)
+    i = 0
+    while (i < n) {
+      out(i) = Fp16.roundTrip((a.getFloat(i) / nrm).toFloat); i += 1
+    }
+    new GenericArrayData(out)
   }
 
   /** Same accumulation order as DenseKernels.cosDist (one pass, three
@@ -216,6 +258,41 @@ case class F16CosDist(left: Expression, right: Expression) extends F16Dist {
     F16Kernels.cosdist(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
   override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
   override def prettyName = "f16_cosdist"
+}
+
+/** vecf16 `+ - *` over the f16-rounded surface arrays (finalize.sql:
+  * 97-148): f32 op + binary16 result rounding per element. op: 0 add,
+  * 1 sub, 2 mul. */
+case class F16Arith(left: Expression, right: Expression, op: Int)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(l: Any, r: Any): Any =
+    F16Kernels.arith(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData], op)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.F16Kernels.arith($a, $b, $op);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+  override def prettyName: String = Seq("f16_add", "f16_sub", "f16_mul")(op)
+}
+
+/** vector_normalize(vecf16) (finalize.sql:628-629): per-element f16
+  * rounding of v / ||v|| over the f16-rounded surface arrays. */
+case class F16Normalize(child: Expression) extends UnaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    F16Kernels.normalize(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.F16Kernels.normalize($c);")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "f16_normalize"
 }
 
 /** Cast vector -> bvector (0/1-only rule). */

@@ -154,6 +154,38 @@ case class OpDist(left: Expression, right: Expression, metric: String)
   override def prettyName: String = s"graft_op_$metric"
 }
 
+/** `vector_normalize(v)` overload set (finalize.sql:625-632 defines it
+  * for vector, vecf16 AND svector): dense arrays normalize in f32,
+  * svectors through [[SVecNormalize]] (dims/indexes preserved). The
+  * vecf16 SURFACE is `array<float>` and indistinguishable from dense by
+  * type, so it takes the f32 path here — the explicit `f16_normalize`
+  * spelling applies the reference's per-element f16 result rounding.
+  * A string literal normalizes as a dense vector. */
+case class NormalizeDispatch(child: Expression)
+    extends UnaryExpression with RuntimeReplaceable {
+  private lazy val dispatched: Either[String, Expression] =
+    child.dataType match {
+      case ArrayType(FloatType, _) => scala.Right(VectorNormalize(child))
+      case t if OpDispatch.family(t).contains("svec") =>
+        scala.Right(SVecNormalize(child))
+      case StringType => scala.Right(VectorNormalize(ParseVector(child)))
+      case other => scala.Left(
+        s"vector_normalize does not support type ${other.catalogString} " +
+          "(vector, svector, or a vector literal; vecf16 surfaces use " +
+          "f16_normalize)")
+    }
+  override def checkInputDataTypes(): TypeCheckResult = dispatched match {
+    case scala.Right(_) => TypeCheckResult.TypeCheckSuccess
+    case scala.Left(msg) => TypeCheckResult.TypeCheckFailure(msg)
+  }
+  override lazy val replacement: Expression = dispatched match {
+    case scala.Right(e) => e
+    case scala.Left(msg) => throw new IllegalStateException(msg)
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "vector_normalize"
+}
+
 /** `v <<op>> sphere(center, radius)` — strict within-sphere predicate
   * (reference src/datatype/operators_vecf32.rs:91-150: every sphere
   * member is `dist(lhs, center) < radius`). The right operand is any

@@ -126,6 +126,28 @@ object SparseKernels {
   def mk(dims: Int, idx: Array[Int], vals: Array[Float]): InternalRow =
     InternalRow(dims, new GenericArrayData(idx), new GenericArrayData(vals))
 
+  /** vector_normalize(svector) (finalize.sql:631-632): values / ||v||,
+    * norm accumulated in double over the CSR values in index order —
+    * zero terms contribute exactly 0.0, so the result equals the dense
+    * normalize of the densified view element-wise (the oracle replay).
+    * Dims/indexes are unchanged; a produced zero (float underflow of a
+    * subnormal value) is dropped to keep the type's nonzero invariant,
+    * the SVecArith mul convention. */
+  def normalize(a: InternalRow): InternalRow = {
+    val dims = a.getInt(0)
+    val ai = a.getArray(1); val av = a.getArray(2)
+    val n = ai.numElements()
+    val nrm = norm(a)
+    val outI = new Array[Int](n); val outV = new Array[Float](n)
+    var i = 0; var k = 0
+    while (i < n) {
+      val v = (av.getFloat(i) / nrm).toFloat
+      if (v != 0.0f) { outI(k) = ai.getInt(i); outV(k) = v; k += 1 }
+      i += 1
+    }
+    mk(dims, java.util.Arrays.copyOf(outI, k), java.util.Arrays.copyOf(outV, k))
+  }
+
   /** to_svector(dims, idx[], val[]): sorts pairs, errors on dup/oob,
     * drops zeros (reference: src/datatype/functions_svecf32.rs:22-61). */
   def toSVector(dims: Int, idx: ArrayData, vals: ArrayData): InternalRow = {
@@ -263,6 +285,19 @@ case class SVecArith(left: Expression, right: Expression, op: Int)
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(left = l, right = r)
   override def prettyName = Seq("svec_add", "svec_sub", "svec_mul")(op)
+}
+
+/** vector_normalize(svector): see [[SparseKernels.normalize]]. */
+case class SVecNormalize(child: Expression) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = VectorTypes.SVectorType
+  override def nullSafeEval(v: Any): Any =
+    SparseKernels.normalize(v.asInstanceOf[InternalRow])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SparseKernels.normalize($c);")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName = "svec_normalize"
 }
 
 case class SVecNorm(child: Expression) extends UnaryExpression {

@@ -47,6 +47,11 @@ package object functions {
   def svecSub(a: Column, b: Column): Column = toCol(SVecArith(expr(a), expr(b), 1))
   def svecMul(a: Column, b: Column): Column = toCol(SVecArith(expr(a), expr(b), 2))
   def svecNorm(v: Column): Column = toCol(SVecNorm(expr(v)))
+  def svecNormalize(v: Column): Column = toCol(SVecNormalize(expr(v)))
+  def f16Add(a: Column, b: Column): Column = toCol(F16Arith(expr(a), expr(b), 0))
+  def f16Sub(a: Column, b: Column): Column = toCol(F16Arith(expr(a), expr(b), 1))
+  def f16Mul(a: Column, b: Column): Column = toCol(F16Arith(expr(a), expr(b), 2))
+  def f16Normalize(v: Column): Column = toCol(F16Normalize(expr(v)))
   def toSVector(dims: Column, idx: Column, vals: Column): Column =
     toCol(ToSVector(expr(dims), expr(idx), expr(vals)))
   def svecToDense(v: Column): Column = toCol(SVecToDense(expr(v)))
@@ -123,7 +128,15 @@ package object functions {
     reg2("vec_sub", DenseArith(_, _, '-'))
     reg2("vec_mul", DenseArith(_, _, '*'))
     reg1("vector_norm", VectorNorm(_))
-    reg1("vector_normalize", VectorNormalize(_))
+    // the SQL name carries the reference's full overload set
+    // (finalize.sql:625-632: vector, vecf16, svector) via type dispatch;
+    // the Column helper below stays the direct dense expression
+    reg1("vector_normalize", NormalizeDispatch(_))
+    reg1("svec_normalize", SVecNormalize(_))
+    reg1("f16_normalize", F16Normalize(_))
+    reg2("f16_add", F16Arith(_, _, 0))
+    reg2("f16_sub", F16Arith(_, _, 1))
+    reg2("f16_mul", F16Arith(_, _, 2))
     reg1("to_vecf16", ToF16(_))
     reg1("parse_vector", ParseVector(_))
     reg1("format_vector", FormatVector(_))

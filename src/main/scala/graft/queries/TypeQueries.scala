@@ -144,6 +144,69 @@ object TypeQueries {
         .orderBy(col("c_custkey"))
     }),
 
+    // --- vecf16-DOMAIN arithmetic (round 13; finalize.sql:97-148,
+    //     operators_vecf16.rs:7-14): each op rounds its f32 result back
+    //     through binary16, unlike the dense vec_add family. Small-int
+    //     inputs keep every op's result f16-exact (|mul| <= 1140 <
+    //     2048), so the oracle replays in plain integer float math. ---
+    "q_vecf16_arith" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      def v16(body: org.apache.spark.sql.Column) = toVecf16(parseVector(concat(lit("["), body, lit("]"))))
+      val va = v16(concat(col("c_nationkey"), lit(", "), col("c_custkey") % 30))
+      val vb = v16(concat((col("c_custkey") % 25) + 1, lit(", "),
+        col("c_nationkey") * 2 - 10))
+      c.select(col("c_custkey"),
+          f16Add(va, vb).as("x_add"), f16Sub(va, vb).as("x_sub"),
+          f16Mul(va, vb).as("x_mul"))
+        .select(col("c_custkey"),
+          posexplode(arrays_zip(col("x_add"), col("x_sub"), col("x_mul")))
+            .as(Seq("i", "z")))
+        .select(col("c_custkey"), col("i").cast("long").as("i"),
+          col("z.x_add").as("x_add"), col("z.x_sub").as("x_sub"),
+          col("z.x_mul").as("x_mul"))
+        .orderBy(col("c_custkey"), col("i"))
+    }),
+
+    // --- vecf16 normalize (finalize.sql:628-629) + the dispatching
+    //     vector_normalize SQL overload: per-row ROTATED pattern
+    //     (6,2,2,2,4)*scale has sum-of-squares 64*scale^2, so every
+    //     normalized element is an exact dyadic (0.75/0.25/0.5) — the
+    //     f16 result rounding is the identity and the f32 dispatch path
+    //     computes the identical values, both replayable exactly. ---
+    "q_vecf16_normalize" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      val scale = (col("c_custkey") % 7 + 1).cast("int")
+      val rot = (col("c_custkey") % 5).cast("int")
+      val pat = array(lit(6), lit(2), lit(2), lit(2), lit(4))
+      val vn = transform(sequence(lit(0), lit(4)),
+        i => (element_at(pat, ((i + rot) % 5) + 1) * scale).cast("float"))
+      c.select(col("c_custkey"), toVecf16(vn).as("vn"))
+        .selectExpr("c_custkey", "f16_normalize(vn) AS nx",
+          "vector_normalize(vn) AS dx")
+        .select(col("c_custkey"),
+          posexplode(arrays_zip(col("nx"), col("dx"))).as(Seq("i", "z")))
+        .select(col("c_custkey"), col("i").cast("long").as("i"),
+          col("z.nx").as("x_f16"), col("z.dx").as("x_f32"))
+        .orderBy(col("c_custkey"), col("i"))
+    }),
+
+    // --- svector normalize (finalize.sql:631-632): CSR values / ||v||,
+    //     norm over the nonzeros in index order == the dense chain with
+    //     exact zero terms, so the densified view replays in DuckDB.
+    //     Both the direct svec_normalize and the dispatching
+    //     vector_normalize overload are gated. ---
+    "q_svec_normalize" -> ((s, d) => {
+      t(s, d, "embeddings")
+        .select(col("vec_id"), svecFromDense(sparsified(col("embedding"))).as("sv"))
+        .selectExpr("vec_id", "svec_to_dense(svec_normalize(sv)) AS nv",
+          "svec_to_dense(vector_normalize(sv)) AS dv")
+        .select(col("vec_id"),
+          posexplode(arrays_zip(col("nv"), col("dv"))).as(Seq("i", "z")))
+        .select(col("vec_id"), col("i").cast("long").as("i"),
+          col("z.nv").as("x_n"), col("z.dv").as("x_d"))
+        .orderBy(col("vec_id"), col("i"))
+    }),
+
     // --- lexicographic comparison ---
     "q_vec_compare" -> ((s, d) => {
       pairs(s, d).select(col("vec_id"),
@@ -363,6 +426,42 @@ object TypeQueries {
            + (CAST(c_custkey % 100 AS DOUBLE) - 50) * (CAST(c_custkey % 100 AS DOUBLE) - 50) AS dist,
          '[' || CAST(c_nationkey AS VARCHAR) || '.0, ' || CAST(c_custkey % 100 AS VARCHAR) || '.0]' AS txt
          FROM customer ORDER BY c_custkey""",
+
+    "q_vecf16_arith" ->
+      """WITH p AS (SELECT c_custkey,
+           [CAST(c_nationkey AS FLOAT), CAST(c_custkey % 30 AS FLOAT)] AS va,
+           [CAST(c_custkey % 25 + 1 AS FLOAT), CAST(c_nationkey * 2 - 10 AS FLOAT)] AS vb
+           FROM customer)
+         SELECT c_custkey, unnest(range(2)) AS i,
+           unnest(list_transform(list_zip(va, vb), p -> p[1] + p[2])) AS x_add,
+           unnest(list_transform(list_zip(va, vb), p -> p[1] - p[2])) AS x_sub,
+           unnest(list_transform(list_zip(va, vb), p -> p[1] * p[2])) AS x_mul
+         FROM p ORDER BY c_custkey, i""",
+
+    "q_vecf16_normalize" ->
+      """WITH v AS (SELECT c_custkey,
+           list_transform(range(5), i ->
+             CAST(([6, 2, 2, 2, 4])[CAST((i + c_custkey % 5) % 5 AS INT) + 1]
+               * (c_custkey % 7 + 1) AS FLOAT)) AS vn
+           FROM customer)
+         SELECT c_custkey, unnest(range(5)) AS i,
+           unnest(list_transform(vn, x -> CAST(CAST(x AS DOUBLE)
+             / sqrt(list_aggregate(list_transform(vn, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)), 'sum')) AS FLOAT))) AS x_f16,
+           unnest(list_transform(vn, x -> CAST(CAST(x AS DOUBLE)
+             / sqrt(list_aggregate(list_transform(vn, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)), 'sum')) AS FLOAT))) AS x_f32
+         FROM v ORDER BY c_custkey, i""",
+
+    "q_svec_normalize" ->
+      s"""WITH p AS (SELECT vec_id, ${sparseSql.format("embedding")} AS sv
+            FROM embeddings)
+          SELECT vec_id, unnest(range(len(sv))) AS i,
+            unnest(list_transform(sv, x -> CASE WHEN x = 0 THEN CAST(0 AS FLOAT)
+              ELSE CAST(CAST(x AS DOUBLE)
+                / sqrt(list_aggregate(list_transform(sv, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)), 'sum')) AS FLOAT) END)) AS x_n,
+            unnest(list_transform(sv, x -> CASE WHEN x = 0 THEN CAST(0 AS FLOAT)
+              ELSE CAST(CAST(x AS DOUBLE)
+                / sqrt(list_aggregate(list_transform(sv, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)), 'sum')) AS FLOAT) END)) AS x_d
+          FROM p ORDER BY vec_id, i""",
 
     "q_vec_compare" ->
       """SELECT a.vec_id AS vec_id,

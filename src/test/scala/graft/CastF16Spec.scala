@@ -72,4 +72,48 @@ class CastF16Spec extends SparkSpec {
     val long2 = Seq.fill(64)(1f) ++ Seq(1f, 0f)
     assert(cmp(long1, long2) == -1)
   }
+
+  test("f16 arith rounds each op's result through binary16 (round 13)") {
+    // 2049 is not f16-representable: 1024 + 1025 must round to 2048
+    // (nearest-even), where the dense f32 add keeps 2049 exactly
+    val df = Seq((Seq(1024f, 0.4f), Seq(1025f, 0.4f))).toDF("a", "b")
+    val r = df.select(f16Add(col("a"), col("b")).as("s"),
+      vecAdd(col("a"), col("b")).as("d")).head()
+    assert(r.getSeq[Float](0)(0) === 2048f)
+    assert(r.getSeq[Float](1)(0) === 2049f)
+    // 0.4 is f16-rounded on input in real vecf16 columns; on raw floats
+    // the OP result still rounds: f16(0.8) = 0.7998047
+    assert(r.getSeq[Float](0)(1) === Fp16.roundTrip(0.4f + 0.4f))
+    val m = df.select(f16Mul(col("a"), col("b"))).head().getSeq[Float](0)
+    assert(m(0) === Fp16.roundTrip(1024f * 1025f)) // 1049600 -> f16 inf? no: 65504 cap -> inf
+    val sub = df.select(f16Sub(col("a"), col("b"))).head().getSeq[Float](0)
+    assert(sub(0) === -1f)
+  }
+
+  test("f16 normalize: exact dyadics identity, non-dyadics f16-round") {
+    val r = Seq((Seq(6f, 2f, 2f, 2f, 4f))).toDF("v")
+      .select(f16Normalize(col("v"))).head().getSeq[Float](0)
+    assert(r === Seq(0.75f, 0.25f, 0.25f, 0.25f, 0.5f))
+    // [3,4]: 0.6/0.8 are NOT f16-exact -> the f16 path differs from f32
+    val q = Seq((Seq(3f, 4f))).toDF("v")
+      .select(f16Normalize(col("v")).as("h"),
+        vectorNormalize(col("v")).as("f")).head()
+    assert(q.getSeq[Float](0) === Seq(Fp16.roundTrip(0.6f), Fp16.roundTrip(0.8f)))
+    assert(q.getSeq[Float](1) === Seq(0.6f, 0.8f))
+    assert(q.getSeq[Float](0) !== q.getSeq[Float](1))
+  }
+
+  test("svec normalize preserves dims/indexes; densified == dense chain") {
+    val df = Seq((Seq(0f, 3f, 0f, 4f, 0f))).toDF("v")
+      .select(svecFromDense(col("v")).as("sv"))
+    val r = df.select(svecNormalize(col("sv")).as("n"))
+      .select(col("n.dims"), col("n.indexes"), col("n.values")).head()
+    assert(r.getInt(0) === 5)
+    assert(r.getSeq[Int](1) === Seq(1, 3))
+    assert(r.getSeq[Float](2) === Seq(0.6f, 0.8f))
+    // the dispatching SQL overload resolves svector -> SVecNormalize
+    val d = df.selectExpr("svec_to_dense(vector_normalize(sv)) AS nv")
+      .head().getSeq[Float](0)
+    assert(d === Seq(0f, 0.6f, 0f, 0.8f, 0f))
+  }
 }
