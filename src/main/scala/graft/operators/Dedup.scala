@@ -58,7 +58,7 @@ object Dedup {
     val keyed = docs
       .select(col(idCol), posexplode(bandKeys(col(sigCol), bands, rows))
         .as(Seq("band_idx", "band_hash")))
-    keyed.as("a").join(keyed.as("b"),
+    keyed.as("a").join(keyed.as("b").hint("shuffle_hash"),
         col("a.band_idx") === col("b.band_idx") &&
         col("a.band_hash") === col("b.band_hash") &&
         col(s"a.$idCol") < col(s"b.$idCol"))
@@ -66,18 +66,28 @@ object Dedup {
       .distinct()
   }
 
-  /** Exact set-Jaccard for candidate pairs: join the shingle sets back and
-    * intersect. `withSets`: (idCol, setCol). */
+  /** Exact set-Jaccard for candidate pairs: join the shingle sets back
+    * and merge-count the intersection ([[intersectCountKernel]] — the
+    * sets are sorted by construction). `withSets`: (idCol, setCol). */
   def verifyJaccard(pairs: DataFrame, withSets: DataFrame, idCol: String,
       setCol: String): DataFrame = {
     val sa = withSets.select(col(idCol).as("doc_a"), col(setCol).as("set_a"))
     val sb = withSets.select(col(idCol).as("doc_b"), col(setCol).as("set_b"))
+    // hashed sets ([[shingleHashes]]) are sorted long arrays — one
+    // zero-allocation merge walk; string-shingle sets (unsorted,
+    // array_distinct order) keep the built-in set intersection
+    val isHashed = withSets.schema(setCol).dataType ==
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType, containsNull = false)
+    val inter =
+      if (isHashed) intersectCount(col("set_a"), col("set_b"))
+      else size(array_intersect(col("set_a"), col("set_b"))).cast("long")
     pairs.join(sa, "doc_a").join(sb, "doc_b")
+      .select(col("doc_a"), col("doc_b"), inter.as("inter"),
+        size(col("set_a")).as("na"), size(col("set_b")).as("nb"))
       .select(col("doc_a"), col("doc_b"),
-        (size(array_intersect(col("set_a"), col("set_b"))).cast("double") /
-          (size(col("set_a")) + size(col("set_b"))
-            - size(array_intersect(col("set_a"), col("set_b")))).cast("double")
-        ).as("jacc"))
+        (col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")).cast("double")).as("jacc"))
   }
 
   /** EXACT all-pairs Jaccard >= tau via the shingle inverted-list join
@@ -104,7 +114,12 @@ object Dedup {
   def exactJaccardPairsHashed(docs: DataFrame, idCol: String,
       hashCol: String, tau: Double): DataFrame = {
     val flat = docs.select(col(idCol), explode(col(hashCol)).as("tok"))
-    val inter = flat.as("a").join(flat.as("b"),
+    // shuffle-HASH join on the token postings: the sides are the same
+    // exploded frame, and a sort-merge join pays two full sorts of the
+    // postings per partition that a hash build skips — measured 2.17 s
+    // -> 0.86 s warm at sf0.1 (round 13). The shuffle itself is
+    // unchanged, so the 100 TB shape is identical minus the sorts.
+    val inter = flat.as("a").join(flat.as("b").hint("shuffle_hash"),
         col("a.tok") === col("b.tok") && col(s"a.$idCol") < col(s"b.$idCol"))
       .groupBy(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
@@ -357,6 +372,55 @@ object Dedup {
   import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
   import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
   import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
+  import org.apache.spark.sql.catalyst.expressions.BinaryExpression
+
+  /** Intersection size of two SORTED-ascending distinct long arrays by
+    * one merge walk — the verify-stage kernel (round 13).
+    * [[shingleHashKernel]] emits TreeSet-ordered arrays, so both verify
+    * inputs qualify by construction. Replaces `array_intersect` (which
+    * builds a hash set AND materializes the intersection array, twice
+    * per row the way the jacc expression used it): one pass, no
+    * allocation, same count on distinct inputs. */
+  def intersectCountKernel(a: ArrayData, b: ArrayData): Long = {
+    val n = a.numElements(); val m = b.numElements()
+    var i = 0; var j = 0; var c = 0L
+    while (i < n && j < m) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  /** Codegen wrapper over [[intersectCountKernel]]; inputs must be
+    * sorted-ascending distinct (the shingleHashes contract). */
+  case class IntersectCountExpr(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+          TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects two array<bigint>, got $other")
+      }
+    override def nullIntolerant: Boolean = true
+    override def dataType: DataType = LongType
+    override def nullSafeEval(a: Any, b: Any): Any =
+      intersectCountKernel(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) =>
+        s"graft.operators.Dedup.intersectCountKernel($a, $b)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(left = l, right = r)
+    override def prettyName = "intersect_count"
+  }
+
+  def intersectCount(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftshim.Shims.column(IntersectCountExpr(
+      org.apache.spark.sql.graftshim.Shims.expression(a),
+      org.apache.spark.sql.graftshim.Shims.expression(b)))
+
 
   /** Second independent 64-bit hash via a murmur-style finalizer. */
   @inline def mix64(x0: Long): Long = {
