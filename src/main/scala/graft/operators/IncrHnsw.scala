@@ -312,6 +312,16 @@ object IncrHnsw {
     // contract: compaction folds them away)
     val deadCount = tombs.map(_.count()).getOrElse(0L)
     val fetch = math.min(k.toLong + deadCount, Int.MaxValue.toLong).toInt
+    // per-graph BEAM headroom (round 13): ef == k beams lose
+    // recoverable neighbors to local minima — the coded-graph rerank-
+    // window precedent (round 5). At the former ef = max(efSearch,
+    // fetch) the k=100 searches ran ef == k and incr_hnsw was the
+    // RECALL ledger's lowest non-fixed-knob row; ef = 2x fetch measures
+    // 0.96 -> 1.00 (clustered) and 0.99 -> 1.00 (random) at a beam-only
+    // cost (the union/top-k stays k-bounded). Routing was considered
+    // and rejected: the base fleet here is one graph + small side
+    // graphs, so the loss was beam-local, not fleet-selection.
+    val efMult = spark.conf.get("spark.graft.incrhnsw.efMult", "2").toInt
     val bq = spark.sparkContext.broadcast(q)
     val hconf = Hnsw.confEntries(spark)
     val hits = spark.sparkContext
@@ -321,7 +331,8 @@ object IncrHnsw {
         it.flatMap { case (f, ver) =>
           val g = Hnsw.GraphCache.get(f, conf)
           val res = if (exact) g.bruteForce(bq.value, fetch)
-                    else g.search(bq.value, fetch, math.max(efSearch, fetch))
+                    else g.search(bq.value, fetch,
+                      math.max(efSearch, fetch * efMult))
           res.iterator.map { case (d, id) => (id, d, ver) }
         }
       }.toDF(idCol, "dist", "_gver")

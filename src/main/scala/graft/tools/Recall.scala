@@ -390,7 +390,48 @@ object Recall {
       partitionedRecall(sfDir, "random") :+ partitionedJoinRecall(sfDir, "random") :+
       routedAutoRecall(sfDir, "random")
     val randomAll = random ++ autoRecall(sfDir, "random")
-    clusteredAll.filter(_._2._1 < 0.9).foreach { case (fam, (r, k)) =>
+
+    // Round 13: the HEADLINE `families` table is what a user gets at
+    // SHIPPING DEFAULTS (nprobe=auto, probeGraphs=auto) — the *_auto
+    // measurements take over the base family names; the fixed-knob
+    // measurements (nprobe=10 / explicit g-of-G — the user's informed
+    // override) move to the fixed_knob_appendix, renamed after their
+    // knob. The worst_case_random_fixture precedent: honest floors stay
+    // published, they just stop being the headline.
+    val autoToBase = Map(
+      "ivf_l2_auto" -> "ivf_l2", "ivf_cos_auto" -> "ivf_cos",
+      "ivf_dot_auto" -> "ivf_dot",
+      "bvec_hamming_ivf_auto" -> "bvec_hamming_ivf",
+      "bvec_jaccard_ivf_auto" -> "bvec_jaccard_ivf",
+      "hnsw_sq8_auto" -> "hnsw_sq8", "hnsw_pq_auto" -> "hnsw_pq",
+      "hnsw_rabitq_auto" -> "hnsw_rabitq",
+      "hnsw_knn_join_auto" -> "hnsw_knn_join",
+      "svec_hnsw_knn_join_auto" -> "svec_hnsw_knn_join",
+      "partitioned_knn_join_auto" -> "partitioned_knn_join")
+    val fixedName = Map(
+      "ivf_l2" -> "ivf_l2_nprobe10", "ivf_cos" -> "ivf_cos_nprobe10",
+      "bvec_hamming_ivf" -> "bvec_hamming_ivf_nprobe10",
+      "bvec_jaccard_ivf" -> "bvec_jaccard_ivf_nprobe10",
+      "hnsw_sq8" -> "hnsw_sq8_g2of4", "hnsw_pq" -> "hnsw_pq_g2of4",
+      "hnsw_rabitq" -> "hnsw_rabitq_g2of4",
+      "hnsw_knn_join" -> "hnsw_knn_join_g2of4",
+      "svec_hnsw_knn_join" -> "svec_hnsw_knn_join_g2of4",
+      "partitioned_knn_join" -> "partitioned_knn_join_g3of8")
+    def organize(all: Seq[(String, (Double, Int))])
+        : (Seq[(String, (Double, Int))], Seq[(String, (Double, Int))]) = {
+      val headline = all.collect {
+        case (f, v) if autoToBase.contains(f) => autoToBase(f) -> v
+        case (f, v) if !fixedName.contains(f) && !autoToBase.contains(f) =>
+          f -> v
+      }
+      val appendix = all.collect {
+        case (f, v) if fixedName.contains(f) => fixedName(f) -> v
+      }
+      (headline, appendix)
+    }
+    val (clHead, clFixed) = organize(clusteredAll)
+    val (rnHead, rnFixed) = organize(randomAll)
+    clHead.filter(_._2._1 < 0.9).foreach { case (fam, (r, k)) =>
       println(f"[recall] WARNING: $fam below 0.9 on the clustered fixture ($r%.3f@$k)")
     }
 
@@ -445,16 +486,28 @@ object Recall {
       "0.83-0.88 probed-fraction floor; on clustered the hints sit " +
       "at/below the default and nothing changes). " +
       "maxsim_hnsw_join is the round-11 graph-served MaxSim join at " +
-      "its gate knobs (kPerPos=40, 2-of-4)."
+      "its gate knobs (kPerPos=40, 2-of-4). ROUND 13: the headline " +
+      "families table now IS the shipping-default behavior - the " +
+      "former *_auto rows carry the base family names, and the " +
+      "fixed-knob measurements (the user explicitly pinning nprobe=10 " +
+      "or g-of-G) live in fixed_knob_appendix under knob-suffixed " +
+      "names. incr_hnsw's per-graph beam now runs ef = 2x fetch " +
+      "(ef == k lost recoverable neighbors; 0.96 -> 1.00 clustered, " +
+      "0.99 -> 1.00 random, timing unchanged - the graph walk is not " +
+      "that query's bottleneck)."
     val json =
       s"""{"sf":"$clDir","fixture":"clustered-mog-8","source_sf":"$sfDir",""" +
-        s""""defaults":{"nprobe":10,"ef_search":100},"note":"$note",""" +
-        s""""families":${famJson(clusteredAll)},""" +
+        s""""defaults":{"nprobe":"auto","probe_graphs":"auto","ef_search":100},""" +
+        s""""note":"$note",""" +
+        s""""families":${famJson(clHead)},""" +
+        s""""fixed_knob_appendix":${famJson(clFixed)},""" +
         s""""worst_case_random_fixture":{"sf":"$sfDir",""" +
-        s""""families":${famJson(randomAll)}}}"""
+        s""""families":${famJson(rnHead)},""" +
+        s""""fixed_knob_appendix":${famJson(rnFixed)}}}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("RECALL.json"), json + "\n")
     spark.stop()
-    println(s"[recall] wrote RECALL.json (${clusteredAll.length} families x 2 fixtures)")
+    println(s"[recall] wrote RECALL.json (${clHead.length} headline + " +
+      s"${clFixed.length} fixed-knob families x 2 fixtures)")
   }
 }
