@@ -403,6 +403,23 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
             rewritten
           case None => gl
         }
+      // INLINE-sort top-k (round 13): `SELECT id FROM t ORDER BY
+      // val <-> '[...]' LIMIT k` — the reference's verbatim spelling
+      // (vector.slt:1-40) projects NO dist column, so the analyzer
+      // leaves the distance expression inline in the SortOrder under a
+      // pruning Project. Rewrites when the projection is exactly the
+      // registered id column; the replacement drops the dist column
+      // after the (already sorted+limited) index search.
+      case gl @ GlobalLimit(Literal(k: Int, _), LocalLimit(_,
+          Project(outList,
+            Sort(Seq(SortOrder(distExpr, Ascending, _, _)), true, inner, _))))
+          if gl.getTagValue(RewrittenTag).isEmpty =>
+        matchInlineTopK(k, distExpr, outList, inner) match {
+          case Some(rewritten) =>
+            rewritten.setTagValue(RewrittenTag, true)
+            rewritten
+          case None => gl
+        }
       // sphere predicate (strategy-2 "FOR SEARCH") pushdown: EXACT —
       // triangle-inequality list pruning + the same filter on top
       case p @ Project(projList, f @ Filter(cond, rel))
@@ -1674,41 +1691,48 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * of the three indexed metrics. Returns (alias, vecAttr, qLit, metric). */
   private def findDistAlias(projList: Seq[NamedExpression])
       : Option[(Alias, AttributeReference, Literal, String)] =
-    projList.collectFirst {
-      case a @ Alias(L2sqDistance(v: AttributeReference, q: Literal), _) =>
-        (a, v, q, "l2")
-      case a @ Alias(CosDistance(v: AttributeReference, q: Literal), _) =>
-        (a, v, q, "cos")
-      case a @ Alias(NegDotDistance(v: AttributeReference, q: Literal), _) =>
-        (a, v, q, "dot")
-      // typed opclasses, the reference's vecf16/bvector/svector index AMs
-      // (finalize.sql:723-741, 765-803): the natural Spark spelling wraps
-      // BOTH sides in the type constructor (to_f16_bits / binarize /
-      // svec_from_dense). The column side keeps its wrapper (attrs never
-      // fold); the query side is usually CONSTANT-FOLDED into a typed
-      // literal (f16-bit shorts / packed-word struct / CSR struct), so
-      // QueryLit accepts both forms and typedQueryFloats decodes by
-      // literal type. Metric keys are family-qualified so a dense
-      // registration can never satisfy a typed query or vice versa.
-      case a @ Alias(F16L2sq(ToF16Bits(v: AttributeReference),
-          QueryLit(q)), _) => (a, v, q, "f16:l2")
-      case a @ Alias(F16NegDot(ToF16Bits(v: AttributeReference),
-          QueryLit(q)), _) => (a, v, q, "f16:dot")
-      case a @ Alias(F16CosDist(ToF16Bits(v: AttributeReference),
-          QueryLit(q)), _) => (a, v, q, "f16:cos")
-      case a @ Alias(BVecHamming(Binarize(v: AttributeReference),
-          QueryLit(q)), _) => (a, v, q, "bvec:hamming")
-      case a @ Alias(BVecJaccard(Binarize(v: AttributeReference),
-          QueryLit(q)), _) => (a, v, q, "bvec:jaccard")
-      case a @ Alias(BVecNegDot(Binarize(v: AttributeReference),
-          QueryLit(q)), _) => (a, v, q, "bvec:dot")
-      case a @ Alias(SVecL2sq(SVecFromDense(v: AttributeReference),
-          QueryLit(q)), _) => (a, v, q, "svec:l2")
-      case a @ Alias(SVecNegDot(SVecFromDense(v: AttributeReference),
-          QueryLit(q)), _) => (a, v, q, "svec:dot")
-      case a @ Alias(SVecCosDist(SVecFromDense(v: AttributeReference),
-          QueryLit(q)), _) => (a, v, q, "svec:cos")
-    }
+    projList.iterator.flatMap {
+      case a: Alias => distOf(a.child).map { case (v, q, m) => (a, v, q, m) }
+      case _ => None
+    }.nextOption()
+
+  /** The distance-expression shapes every top-k arm recognizes — shared
+    * by the alias form (findDistAlias) and the round-13 INLINE sort form
+    * (`ORDER BY val <-> '[...]'` with no projected dist). Typed
+    * opclasses (finalize.sql:723-741, 765-803): the natural Spark
+    * spelling wraps BOTH sides in the type constructor (to_f16_bits /
+    * binarize / svec_from_dense). The column side keeps its wrapper
+    * (attrs never fold); the query side is usually CONSTANT-FOLDED into
+    * a typed literal (f16-bit shorts / packed-word struct / CSR
+    * struct), so QueryLit accepts both forms and typedQueryFloats
+    * decodes by literal type. Metric keys are family-qualified so a
+    * dense registration can never satisfy a typed query or vice
+    * versa. */
+  private def distOf(e: Expression)
+      : Option[(AttributeReference, Literal, String)] = e match {
+    case L2sqDistance(v: AttributeReference, q: Literal) => Some((v, q, "l2"))
+    case CosDistance(v: AttributeReference, q: Literal) => Some((v, q, "cos"))
+    case NegDotDistance(v: AttributeReference, q: Literal) => Some((v, q, "dot"))
+    case F16L2sq(ToF16Bits(v: AttributeReference), QueryLit(q)) =>
+      Some((v, q, "f16:l2"))
+    case F16NegDot(ToF16Bits(v: AttributeReference), QueryLit(q)) =>
+      Some((v, q, "f16:dot"))
+    case F16CosDist(ToF16Bits(v: AttributeReference), QueryLit(q)) =>
+      Some((v, q, "f16:cos"))
+    case BVecHamming(Binarize(v: AttributeReference), QueryLit(q)) =>
+      Some((v, q, "bvec:hamming"))
+    case BVecJaccard(Binarize(v: AttributeReference), QueryLit(q)) =>
+      Some((v, q, "bvec:jaccard"))
+    case BVecNegDot(Binarize(v: AttributeReference), QueryLit(q)) =>
+      Some((v, q, "bvec:dot"))
+    case SVecL2sq(SVecFromDense(v: AttributeReference), QueryLit(q)) =>
+      Some((v, q, "svec:l2"))
+    case SVecNegDot(SVecFromDense(v: AttributeReference), QueryLit(q)) =>
+      Some((v, q, "svec:dot"))
+    case SVecCosDist(SVecFromDense(v: AttributeReference), QueryLit(q)) =>
+      Some((v, q, "svec:cos"))
+    case _ => None
+  }
 
   /** Query-side literal in either spelling: the raw (possibly folded)
     * typed literal, or the type constructor still wrapped around an f32
@@ -1766,6 +1790,37 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     val (idx, alias, idAttr, qLit, metricKey) =
       topkPieces(order, projList, rel).getOrElse(return None)
     rewriteTopK(k, idx, alias, idAttr, qLit, metricKey)
+  }
+
+  /** Inline-sort top-k (no projected dist — the reference's verbatim
+    * `SELECT id FROM t ORDER BY val <-> q LIMIT k`): the projection
+    * must be exactly the registered id column (the search output
+    * carries only id + dist, so any other column would need a
+    * join-back; that shape stays unrewritten), the sort expression one
+    * of the recognized distance shapes over an indexed relation. The
+    * replacement projects the id off the sorted+limited search plan —
+    * ordering is preserved, the dist column is simply dropped. */
+  private def matchInlineTopK(k: Int, distExpr: Expression,
+      outList: Seq[NamedExpression], inner: LogicalPlan)
+      : Option[LogicalPlan] = {
+    val rel = inner match {
+      case Project(pl, r) if pl.forall(_.isInstanceOf[AttributeReference]) => r
+      case r => r
+    }
+    if (!rel.isInstanceOf[LogicalRelation] &&
+        !rel.isInstanceOf[org.apache.spark.sql.execution.columnar.InMemoryRelation])
+      return None
+    val (vecAttr, qLit, metric) = distOf(distExpr).getOrElse(return None)
+    val idAttr = outList match {
+      case Seq(a: AttributeReference) => a
+      case _ => return None
+    }
+    val idx = lookupAll(pathsOf(rel), metric)
+      .find(_.partialConjuncts.isEmpty).getOrElse(return None)
+    if (vecAttr.name != idx.vecCol || idAttr.name != idx.idCol) return None
+    val alias = Alias(distExpr, "dist")()
+    rewriteTopK(k, idx, alias, idAttr, qLit, metric)
+      .map(p => Project(Seq(p.output.head), p))
   }
 
   /** The index-kind dispatch shared by the plain and the

@@ -68,8 +68,12 @@ object OperatorSqlQueries {
       val optimized = df.queryExecution.optimizedPlan
       require(optimized.toString.contains("list_id"),
         "reference-dialect operator SQL did not rewrite onto the index")
-      org.apache.spark.sql.graftshim.Shims.ofRows(ds, optimized)
-        .orderBy(col("dist"), col("vec_id"))
+      val frozen = org.apache.spark.sql.graftshim.Shims.ofRows(ds, optimized)
+      // the inline-sort spelling projects NO dist column — sort by what
+      // the query returns (the driver compare sorts by every column)
+      if (frozen.columns.contains("dist"))
+        frozen.orderBy(col("dist"), col("vec_id"))
+      else frozen.orderBy(col("vec_id"))
     } finally {
       ds.conf.set("spark.graft.ann.enabled", prevEnabled)
       restoreNprobe(ds, prevNprobe)
@@ -103,6 +107,17 @@ object OperatorSqlQueries {
     "q_operator_sql_topk" -> ((s, d) => withOpSqlRewrite(s, d, "l2") {
       s"""SELECT vec_id, embedding <-> '${qlit(s, d)}' AS dist
           FROM graft_opsql_src ORDER BY dist LIMIT 100"""
+    }),
+
+    // --- the VERBATIM reference spelling — no dist alias, the distance
+    //     inline in ORDER BY (vector.slt:1-40) — through the round-13
+    //     INLINE arm: the projection is just the id column, the dist is
+    //     dropped after the pruned search. Exact mode -> the id SET is
+    //     the flat top-k, so the driver's sorted compare holds without
+    //     a dist column. ---
+    "q_operator_sql_topk_inline" -> ((s, d) => withOpSqlRewrite(s, d, "l2") {
+      s"""SELECT vec_id FROM graft_opsql_src
+          ORDER BY embedding <-> '${qlit(s, d)}' LIMIT 100"""
     }),
 
     // --- the cos spelling `<=>` through the same arm (normalize-at-
@@ -142,6 +157,12 @@ object OperatorSqlQueries {
          list_aggregate(list_transform(list_zip(e.embedding, q.qv), p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), 'sum') AS dist
          FROM embeddings e CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
          ORDER BY dist, vec_id LIMIT 100""",
+
+    "q_operator_sql_topk_inline" ->
+      """SELECT e.vec_id AS vec_id
+         FROM embeddings e CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+         ORDER BY list_aggregate(list_transform(list_zip(e.embedding, q.qv), p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), 'sum'), vec_id
+         LIMIT 100""",
 
     "q_operator_sql_topk_cos" ->
       """WITH n AS (SELECT vec_id,

@@ -61,6 +61,31 @@ class PushdownSpec extends SparkSpec {
     }
   }
 
+  test("inline-sort top-k (no dist alias) rewrites; extra columns bail") {
+    withPushdown { dataDir =>
+      spark.conf.set("spark.graft.ann.enabled", "true")
+      spark.conf.set("spark.graft.ann.nprobe", "16")
+      val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+      // exact-mode baseline id set (order-insensitive: dist is dropped)
+      val want = topkDf.collect().map(_.getLong(0)).toSet
+      val inline = emb
+        .orderBy(graft.functions.l2sq(col("embedding"), typedLit(q)))
+        .select(col("vec_id")).limit(10)
+      val plan = inline.queryExecution.executedPlan.toString
+      assert(plan.contains(dataDir) && plan.contains("list_id"),
+        s"inline-sort top-k did not rewrite:\n$plan")
+      assert(inline.collect().map(_.getLong(0)).toSet === want)
+      // a projection beyond the id column cannot be served by the
+      // (id, dist) search output — must stay unrewritten, never error
+      val wide = emb
+        .orderBy(graft.functions.l2sq(col("embedding"), typedLit(q)))
+        .select(col("vec_id"), col("label")).limit(10)
+      assert(!wide.queryExecution.executedPlan.toString.contains(dataDir),
+        "inline arm must bail when extra columns are projected")
+      assert(wide.count() === 10)
+    }
+  }
+
   test("filtered ANN top-k rewrites; exact at nprobe=nlist with selective filter") {
     withPushdown { dataDir =>
     // selective predicate: keeps ~1/7 of rows
