@@ -51,7 +51,7 @@ object OpDispatch {
   }
 
   /** Operand type -> family key, None for non-vector types. */
-  private[functions] def family(t: DataType): Option[String] = t match {
+  private[graft] def family(t: DataType): Option[String] = t match {
     case ArrayType(FloatType, _) => Some("dense")
     case ArrayType(ShortType, _) => Some("f16")
     case t if isSvec(t) => Some("svec")
@@ -113,6 +113,50 @@ object OpDispatch {
     case (_, "jaccard") =>
       scala.Left("operator <~> (jaccard) is defined only for bvector operands")
     case _ => scala.Left(s"no $metric overload for $fam")
+  }
+
+  /** `+ - *` overloads (finalize.sql:90-148: vector, vecf16, svector;
+    * dispatched by [[graft.plans.VectorArithRule]] once children
+    * resolve — Spark's own Add/Subtract/Multiply reject array/struct
+    * operands, so nothing else claims these shapes). The vecf16 SURFACE
+    * is array<float> and indistinguishable from dense here: it takes
+    * the f32 path (f16_add/f16_sub/f16_mul are the explicit per-op
+    * rounding spellings). String literals coerce through the other
+    * side's parser. None -> leave the plan unchanged (Spark's own
+    * type error surfaces). op: 0 add, 1 sub, 2 mul. */
+  def arith(left: Expression, right: Expression, op: Int)
+      : Option[Expression] = {
+    val lf = family(left.dataType)
+    val rf = family(right.dataType)
+    val fam = lf.orElse(rf).getOrElse(return None)
+    if (fam != "dense" && fam != "svec") return None
+    def side(e: Expression, f: Option[String]): Option[Expression] = f match {
+      case Some(`fam`) => Some(e)
+      case Some(_) => None
+      case None if e.dataType == StringType => Some(coerce(e, fam))
+      case None => None
+    }
+    for (l <- side(left, lf); r <- side(right, rf)) yield fam match {
+      case "dense" => DenseArith(l, r, "+-*".charAt(op))
+      case "svec" => SVecArith(l, r, op)
+    }
+  }
+
+  /** bvector `& | ^` overloads (finalize.sql:148-170, operator_and/or/
+    * xor in src/datatype/operators_bvector.rs): dispatched like arith.
+    * op: 0 and, 1 or, 2 xor. */
+  def bitop(left: Expression, right: Expression, op: Int)
+      : Option[Expression] = {
+    val lf = family(left.dataType)
+    val rf = family(right.dataType)
+    if (!lf.contains("bvec") && !rf.contains("bvec")) return None
+    def side(e: Expression, f: Option[String]): Option[Expression] = f match {
+      case Some("bvec") => Some(e)
+      case Some(_) => None
+      case None if e.dataType == StringType => Some(ParseBVector(e))
+      case None => None
+    }
+    for (l <- side(left, lf); r <- side(right, rf)) yield BVecOp(l, r, op)
   }
 
   private[functions] def opSpelling(metric: String): String = metric match {

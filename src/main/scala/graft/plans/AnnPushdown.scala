@@ -245,6 +245,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(AnnRewriteRule)
     ext.injectParser((_, delegate) => new graft.index.GraftSqlParser(delegate))
+    // `+ - *` on vector/svector and `& | ^` on bvector operands — the
+    // reference's arithmetic operator overloads (finalize.sql:90-170)
+    // resolved at analysis; non-vector operands are never touched
+    ext.injectResolutionRule(VectorArithRule)
     // the pg_vector_index_stat VIEW (reference views.rs:17-80) as a SQL
     // table function: `SELECT * FROM pg_vector_index_stat()` — resolved
     // fresh per query from the catalog (driver-side manifest/file

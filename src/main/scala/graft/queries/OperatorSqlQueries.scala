@@ -102,6 +102,34 @@ object OperatorSqlQueries {
             WHERE e.vec_id < 200 ORDER BY e.vec_id""")
     }),
 
+    // --- the arithmetic operator overloads (finalize.sql:90-170):
+    //     `+ - *` on dense vectors (VectorArithRule analyzer dispatch)
+    //     and `& | ^` on bvectors, plus a one-sided string coercion —
+    //     all verbatim SQL text, exact float/integer arithmetic ---
+    "q_operator_sql_arith" -> ((s, d) => {
+      val ds = LifecycleQueries.ddlSession(s)
+      t(ds, d, "embeddings").createOrReplaceTempView("graft_opsql_emb")
+      ds.sql(
+        """SELECT e.vec_id AS vec_id,
+                  e.embedding + q.embedding AS v_add,
+                  e.embedding - q.embedding AS v_sub,
+                  e.embedding * q.embedding AS v_mul,
+                  bvec_to_dense(binarize(e.embedding) & binarize(q.embedding)) AS v_and,
+                  bvec_to_dense(binarize(e.embedding) | binarize(q.embedding)) AS v_or,
+                  bvec_to_dense(binarize(e.embedding) ^ binarize(q.embedding)) AS v_xor
+           FROM graft_opsql_emb e CROSS JOIN
+                (SELECT embedding FROM graft_opsql_emb WHERE vec_id = 0) q
+           WHERE e.vec_id < 100""")
+        .select(col("vec_id"),
+          posexplode(arrays_zip(col("v_add"), col("v_sub"), col("v_mul"),
+            col("v_and"), col("v_or"), col("v_xor"))).as(Seq("i", "z")))
+        .select(col("vec_id"), col("i").cast("long").as("i"),
+          col("z.v_add").as("x_add"), col("z.v_sub").as("x_sub"),
+          col("z.v_mul").as("x_mul"), col("z.v_and").as("x_and"),
+          col("z.v_or").as("x_or"), col("z.v_xor").as("x_xor"))
+        .orderBy(col("vec_id"), col("i"))
+    }),
+
     // --- `ORDER BY val <-> '[...]' LIMIT k` (vector.slt:1-40) through
     //     the top-k pushdown arm, exact mode -> full value oracle ---
     "q_operator_sql_topk" -> ((s, d) => withOpSqlRewrite(s, d, "l2") {
@@ -157,6 +185,19 @@ object OperatorSqlQueries {
          list_aggregate(list_transform(list_zip(e.embedding, q.qv), p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), 'sum') AS dist
          FROM embeddings e CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
          ORDER BY dist, vec_id LIMIT 100""",
+
+    "q_operator_sql_arith" ->
+      """WITH p AS (SELECT e.vec_id AS vec_id, e.embedding AS a, q.embedding AS b
+           FROM embeddings e CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+           WHERE e.vec_id < 100)
+         SELECT vec_id, unnest(range(len(a))) AS i,
+           unnest(list_transform(list_zip(a, b), p -> p[1] + p[2])) AS x_add,
+           unnest(list_transform(list_zip(a, b), p -> p[1] - p[2])) AS x_sub,
+           unnest(list_transform(list_zip(a, b), p -> p[1] * p[2])) AS x_mul,
+           unnest(list_transform(list_zip(a, b), p -> CAST(CASE WHEN (p[1] > 0) AND (p[2] > 0) THEN 1 ELSE 0 END AS FLOAT))) AS x_and,
+           unnest(list_transform(list_zip(a, b), p -> CAST(CASE WHEN (p[1] > 0) OR (p[2] > 0) THEN 1 ELSE 0 END AS FLOAT))) AS x_or,
+           unnest(list_transform(list_zip(a, b), p -> CAST(CASE WHEN (p[1] > 0) <> (p[2] > 0) THEN 1 ELSE 0 END AS FLOAT))) AS x_xor
+         FROM p ORDER BY vec_id, i""",
 
     "q_operator_sql_topk_inline" ->
       """SELECT e.vec_id AS vec_id

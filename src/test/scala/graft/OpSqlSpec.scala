@@ -164,6 +164,32 @@ class OpSqlSpec extends SparkSpec {
     assert(e2.getMessage.toLowerCase.contains("bvector"))
   }
 
+  test("vector + - * and bvector & | ^ resolve in SQL text (round 13)") {
+    val r = spark.sql(
+      """SELECT '[1, 2]'::vector + '[3, 4]'::vector AS a,
+                '[1, 2]'::vector - '[3, 4]'::vector AS s,
+                '[1, 2]'::vector * '[3, 4]'::vector AS m,
+                bvec_to_dense('[1, 0, 1]'::bvector & '[1, 1, 0]'::bvector) AS band,
+                bvec_to_dense('[1, 0, 1]'::bvector | '[1, 1, 0]'::bvector) AS bor,
+                bvec_to_dense('[1, 0, 1]'::bvector ^ '[1, 1, 0]'::bvector) AS bxor,
+                svec_to_dense('{0:1.5}/3'::svector + '{1:2}/3'::svector) AS sadd""")
+      .head()
+    assert(r.getSeq[Float](0) === Seq(4f, 6f))
+    assert(r.getSeq[Float](1) === Seq(-2f, -2f))
+    assert(r.getSeq[Float](2) === Seq(3f, 8f))
+    assert(r.getSeq[Float](3) === Seq(1f, 0f, 0f))
+    assert(r.getSeq[Float](4) === Seq(1f, 1f, 1f))
+    assert(r.getSeq[Float](5) === Seq(0f, 1f, 1f))
+    assert(r.getSeq[Float](6) === Seq(1.5f, 2f, 0f))
+    // string coercion on one side (the reference's unknown-literal cast)
+    val c = spark.sql("SELECT '[1, 2]'::vector + '[3, 4]' AS a").head()
+    assert(c.getSeq[Float](0) === Seq(4f, 6f))
+    // ordinary arithmetic is untouched
+    assert(spark.sql("SELECT 2 + 3").head().getInt(0) === 5)
+    assert(spark.sql("SELECT 6 & 3").head().getInt(0) === 2)
+    assert(spark.sql("SELECT 2.5 * 2").head().getDecimal(0).doubleValue === 5.0)
+  }
+
   test("undelimitable non-cos operator errors clearly") {
     val e = intercept[IllegalArgumentException] {
       OpSqlRewrite("SELECT <-> FROM t")
