@@ -48,7 +48,8 @@ object OperatorSqlQueries {
     * embeddings table registered for pushdown against the dense IVF
     * artifact of `metric`, in EXACT mode (nprobe = nlist); assert the
     * optimizer rewrote onto the artifact scan and freeze the plan. */
-  private def withOpSqlRewrite(s: SparkSession, d: String, metric: String)
+  private def withOpSqlRewrite(s: SparkSession, d: String, metric: String,
+      needle: String = "list_id", sortCols: Seq[String] = Nil)
       (sql: String): DataFrame = {
     import graft.plans.AnnPushdown
     val ds = LifecycleQueries.ddlSession(s)
@@ -66,12 +67,13 @@ object OperatorSqlQueries {
       ds.read.parquet(srcPath).createOrReplaceTempView("graft_opsql_src")
       val df = ds.sql(sql)
       val optimized = df.queryExecution.optimizedPlan
-      require(optimized.toString.contains("list_id"),
+      require(optimized.toString.contains(needle),
         "reference-dialect operator SQL did not rewrite onto the index")
       val frozen = org.apache.spark.sql.graftshim.Shims.ofRows(ds, optimized)
       // the inline-sort spelling projects NO dist column — sort by what
       // the query returns (the driver compare sorts by every column)
-      if (frozen.columns.contains("dist"))
+      if (sortCols.nonEmpty) frozen.orderBy(sortCols.map(col): _*)
+      else if (frozen.columns.contains("dist"))
         frozen.orderBy(col("dist"), col("vec_id"))
       else frozen.orderBy(col("vec_id"))
     } finally {
@@ -155,6 +157,25 @@ object OperatorSqlQueries {
           FROM graft_opsql_src ORDER BY dist LIMIT 100"""
     }),
 
+    // --- the table-valued KNN JOIN in reference dialect: the window
+    //     top-k spelling with `<->` as the join distance rewrites
+    //     through the window-join arm (probe-list explode + list_id
+    //     equi-join); exact at nprobe=nlist -> the q_knn_join_pushdown
+    //     oracle verbatim ---
+    "q_operator_sql_knn_join" -> ((s, d) => withOpSqlRewrite(s, d, "l2",
+        needle = "probe_lists", sortCols = Seq("qid", "rn")) {
+      """SELECT qid, vec_id, dist, rn FROM (
+           SELECT qid, vec_id, dist,
+                  row_number() OVER (PARTITION BY qid
+                    ORDER BY dist, vec_id) AS rn
+           FROM (SELECT q.vec_id AS qid, e.vec_id AS vec_id,
+                        e.embedding <-> q.embedding AS dist
+                 FROM graft_opsql_src e CROSS JOIN
+                      (SELECT vec_id, embedding FROM graft_opsql_src
+                       WHERE vec_id % 10 = 0) q))
+         WHERE rn <= 10"""
+    }),
+
     // --- `val <<->> sphere('[...]', r)` (pushdown_plan.slt) through
     //     the sphere-range arm: triangle list pruning + the exact
     //     predicate re-applied -> exact at any radius, full oracle ---
@@ -214,6 +235,17 @@ object OperatorSqlQueries {
            1.0 - list_aggregate(list_transform(list_zip(e.ne, q.ne), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum') AS dist
          FROM n e CROSS JOIN (SELECT ne FROM n WHERE vec_id = 0) q
          ORDER BY dist, vec_id LIMIT 100""",
+
+    "q_operator_sql_knn_join" ->
+      """SELECT qid, vec_id, dist, rn FROM (
+           SELECT q.vec_id AS qid, e.vec_id AS vec_id,
+             list_aggregate(list_transform(list_zip(e.embedding, q.embedding), p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), 'sum') AS dist,
+             row_number() OVER (PARTITION BY q.vec_id ORDER BY
+               list_aggregate(list_transform(list_zip(e.embedding, q.embedding), p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), 'sum'),
+               e.vec_id) AS rn
+           FROM embeddings e CROSS JOIN
+             (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0) q)
+         WHERE rn <= 10 ORDER BY qid, rn""",
 
     "q_operator_sql_range" ->
       """SELECT vec_id, dist FROM (

@@ -164,6 +164,20 @@ class OpSqlSpec extends SparkSpec {
     assert(e2.getMessage.toLowerCase.contains("bvector"))
   }
 
+  test("no-space spellings and Column-expression strings rewrite too") {
+    assert(OpSqlRewrite("SELECT a<->b FROM t") ===
+      "SELECT graft_op_l2(a, b) FROM t")
+    assert(OpSqlRewrite("SELECT a<#>'[1]' FROM t") ===
+      "SELECT graft_op_dot(a, '[1]') FROM t")
+    // ASC/DESC after the operand stays outside the capture
+    assert(OpSqlRewrite("SELECT id FROM t ORDER BY v <-> q ASC LIMIT 3") ===
+      "SELECT id FROM t ORDER BY graft_op_l2(v, q) ASC LIMIT 3")
+    // expr() strings go through parseExpression -> the same rewrite
+    val d = spark.sql("SELECT array(1.0F, 2.0F) AS a, array(2.0F, 4.0F) AS b")
+      .select(expr("a <-> b").as("l2")).head().getDouble(0)
+    assert(d === 5.0)
+  }
+
   test("vector + - * and bvector & | ^ resolve in SQL text (round 13)") {
     val r = spark.sql(
       """SELECT '[1, 2]'::vector + '[3, 4]'::vector AS a,
