@@ -230,6 +230,33 @@ case class NormalizeDispatch(child: Expression)
   override def prettyName: String = "vector_normalize"
 }
 
+/** `vector_norm(v)` overload set (finalize.sql:613-623 defines it for
+  * all four vector kinds): dense arrays (incl. the vecf16 surface),
+  * svector, bvector, and a string literal as a dense vector. */
+case class NormDispatch(child: Expression)
+    extends UnaryExpression with RuntimeReplaceable {
+  private lazy val dispatched: Either[String, Expression] =
+    OpDispatch.family(child.dataType) match {
+      case Some("dense") => scala.Right(VectorNorm(child))
+      case Some("svec") => scala.Right(SVecNorm(child))
+      case Some("bvec") => scala.Right(BVecNorm(child))
+      case _ if child.dataType == StringType =>
+        scala.Right(VectorNorm(ParseVector(child)))
+      case _ => scala.Left(
+        s"vector_norm does not support type ${child.dataType.catalogString}")
+    }
+  override def checkInputDataTypes(): TypeCheckResult = dispatched match {
+    case scala.Right(_) => TypeCheckResult.TypeCheckSuccess
+    case scala.Left(msg) => TypeCheckResult.TypeCheckFailure(msg)
+  }
+  override lazy val replacement: Expression = dispatched match {
+    case scala.Right(e) => e
+    case scala.Left(msg) => throw new IllegalStateException(msg)
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "vector_norm"
+}
+
 /** `v <<op>> sphere(center, radius)` — strict within-sphere predicate
   * (reference src/datatype/operators_vecf32.rs:91-150: every sphere
   * member is `dist(lhs, center) < radius`). The right operand is any

@@ -127,7 +127,10 @@ package object functions {
     reg2("vec_add", DenseArith(_, _, '+'))
     reg2("vec_sub", DenseArith(_, _, '-'))
     reg2("vec_mul", DenseArith(_, _, '*'))
-    reg1("vector_norm", VectorNorm(_))
+    // the SQL name dispatches the reference's full overload set
+    // (finalize.sql:613-623, ×4 vector kinds); the Column helper stays
+    // the direct dense expression
+    reg1("vector_norm", NormDispatch(_))
     // the SQL name carries the reference's full overload set
     // (finalize.sql:625-632: vector, vecf16, svector) via type dispatch;
     // the Column helper below stays the direct dense expression

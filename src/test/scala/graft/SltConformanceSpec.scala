@@ -1,0 +1,80 @@
+package graft
+
+import graft.types.VectorText
+
+/** Reference sqllogictest conformance (round 13): the pure-expression
+  * queries from tests/sqllogictest/operator.slt, vector.slt,
+  * svector.slt, and bvector.slt run VERBATIM through spark.sql (the
+  * dialect rewrite + type dispatches) and reproduce the reference's
+  * printed answers. Expected vectors compare as PARSED floats — the
+  * reference prints shortest-roundtrip f32 decimals, so parsing its
+  * output text yields exactly the f32 values its kernels computed, and
+  * bit-equality with ours is the assertion. Table-bound slt queries
+  * are exercised by the gate inventory; this spec pins the LITERAL
+  * surface (casts, arithmetic, comparisons, distances, norms). */
+class SltConformanceSpec extends SparkSpec {
+
+  private def floats(sql: String): Seq[Float] =
+    spark.sql(sql).head().getSeq[Float](0)
+  private def dbl(sql: String): Double = spark.sql(sql).head().getDouble(0)
+  private def bool(sql: String): Boolean = spark.sql(sql).head().getBoolean(0)
+  private def expect(lit: String): Seq[Float] =
+    VectorText.parseDense(lit).toSeq
+
+  test("operator.slt: vector + - * (verbatim, f32 expected values)") {
+    assert(floats("SELECT '[1,2.3,4e5]'::vector + '[6,7.8,9e10]'") ===
+      expect("[7, 10.1, 90000400000]"))
+    assert(floats("SELECT '[1,2.3,4e5]'::vector - '[6,7.8,9e10]'") ===
+      expect("[-5, -5.5, -89999600000]"))
+    assert(floats("SELECT '[1,2,3]'::vector * '[4,5,6]'::vector") ===
+      expect("[4, 10, 18]"))
+  }
+
+  test("operator.slt: vector comparisons (equal dims)") {
+    assert(bool("SELECT '[1,2,3]'::vector = '[1,2,3]'::vector"))
+    assert(!bool("SELECT '[1,2,3]'::vector <> '[1,2,3]'::vector"))
+    assert(bool("SELECT '[1,2]'::vector < '[2,2]'::vector"))
+    assert(bool("SELECT '[1,2]'::vector < '[1,3]'::vector"))
+    assert(bool("SELECT '[1,2]'::vector <= '[2,2]'::vector"))
+    assert(!bool("SELECT '[1,2]'::vector > '[2,2]'::vector"))
+    assert(!bool("SELECT '[1,2]'::vector >= '[2,2]'::vector"))
+  }
+
+  test("operator.slt: <-> <#> <=> distances") {
+    assert(dbl("SELECT '[1,2]'::vector <-> '[3,4]'") === 8.0)
+    assert(dbl("SELECT '[1,2]'::vector <#> '[3,4]'") === -11.0)
+    assert(bool("SELECT '[1,2]'::vector <=> '[3,4]' > -1"))
+  }
+
+  test("vector.slt / svector.slt / bvector.slt: norms and dims") {
+    assert(dbl("SELECT vector_norm('[3,4]'::vector)") === 5.0)
+    assert(dbl("SELECT vector_norm('{0:3, 1:4}/2'::svector)") === 5.0)
+    assert(dbl("SELECT vector_norm('[1, 1, 0, 1]'::bvector)") ===
+      math.sqrt(3.0))
+    assert(spark.sql("SELECT vector_dims('[1,2,3]'::vector)")
+      .head().getInt(0) === 3)
+    assert(spark.sql("SELECT vector_dims('{0:1}/7'::svector)")
+      .head().getInt(0) === 7)
+    // parse tolerance from cast.slt: one trailing comma is accepted
+    assert(floats("SELECT '[1,]'::vector") === Seq(1f))
+  }
+
+  test("svector.slt: sparse distances and arithmetic") {
+    assert(dbl("SELECT '{0:3, 1:4}/2'::svector <-> '{0:0}/2'") === 25.0)
+    assert(dbl("SELECT '{0:1, 1:2}/2'::svector <#> '{0:3, 1:4}/2'") === -11.0)
+    assert(spark.sql(
+      "SELECT svec_to_dense('{0:1}/3'::svector + '{1:2}/3'::svector)")
+      .head().getSeq[Float](0) === Seq(1f, 2f, 0f))
+  }
+
+  test("bvector.slt: hamming / jaccard / bit ops") {
+    assert(dbl("SELECT '[1, 0, 1]'::bvector <-> '[0, 0, 1]'") === 1.0)
+    assert(dbl("SELECT '[1, 0, 1]'::bvector <~> '[0, 0, 1]'") === 0.5)
+    assert(spark.sql(
+      "SELECT format_bvector('[1, 0, 1]'::bvector & '[1, 1, 0]'::bvector)")
+      .head().getString(0) === "[1, 0, 0]")
+    assert(spark.sql(
+      "SELECT format_bvector('[1, 0, 1]'::bvector | '[1, 1, 0]'::bvector)")
+      .head().getString(0) === "[1, 1, 1]")
+  }
+}
