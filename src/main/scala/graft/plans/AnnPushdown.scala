@@ -1807,9 +1807,17 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
   private def matchInlineTopK(k: Int, distExpr: Expression,
       outList: Seq[NamedExpression], inner: LogicalPlan)
       : Option[LogicalPlan] = {
-    val rel = inner match {
+    def stripProj(pl0: LogicalPlan): LogicalPlan = pl0 match {
       case Project(pl, r) if pl.forall(_.isInstanceOf[AttributeReference]) => r
       case r => r
+    }
+    // the FILTERED inline form (`WHERE pred ORDER BY val <-> q LIMIT k`,
+    // pushdown_range.slt) carries the Filter below the Sort's pruning
+    // Project; it routes through the alias-form filtered dispatch with
+    // synthesized (alias, order) pieces
+    val (cond, rel) = stripProj(inner) match {
+      case Filter(c, r) => (Some(c), stripProj(r))
+      case r => (None, r)
     }
     if (!rel.isInstanceOf[LogicalRelation] &&
         !rel.isInstanceOf[org.apache.spark.sql.execution.columnar.InMemoryRelation])
@@ -1819,12 +1827,19 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case Seq(a: AttributeReference) => a
       case _ => return None
     }
-    val idx = lookupAll(pathsOf(rel), metric)
-      .find(_.partialConjuncts.isEmpty).getOrElse(return None)
-    if (vecAttr.name != idx.vecCol || idAttr.name != idx.idCol) return None
     val alias = Alias(distExpr, "dist")()
-    rewriteTopK(k, idx, alias, idAttr, qLit, metric)
-      .map(p => Project(Seq(p.output.head), p))
+    val rewritten = cond match {
+      case None =>
+        val idx = lookupAll(pathsOf(rel), metric)
+          .find(_.partialConjuncts.isEmpty).getOrElse(return None)
+        if (vecAttr.name != idx.vecCol || idAttr.name != idx.idCol) return None
+        rewriteTopK(k, idx, alias, idAttr, qLit, metric)
+      case Some(c) =>
+        matchFilteredTopK(k, Seq(SortOrder(alias.toAttribute, Ascending)),
+          Seq(idAttr, alias), c, rel)
+    }
+    rewritten.flatMap(p => p.output.find(_.exprId == idAttr.exprId)
+      .map(id => Project(Seq(id), p)))
   }
 
   /** The index-kind dispatch shared by the plain and the

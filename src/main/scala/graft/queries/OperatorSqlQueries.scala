@@ -150,6 +150,15 @@ object OperatorSqlQueries {
           ORDER BY embedding <-> '${qlit(s, d)}' LIMIT 100"""
     }),
 
+    // --- FILTERED verbatim spelling (pushdown_range.slt): WHERE +
+    //     inline ORDER BY routes through the filtered dispatch; exact
+    //     at nprobe=nlist -> the filtered flat top-k oracle ---
+    "q_operator_sql_topk_filtered_inline" -> ((s, d) =>
+      withOpSqlRewrite(s, d, "l2") {
+        s"""SELECT vec_id FROM graft_opsql_src WHERE vec_id % 7 = 0
+            ORDER BY embedding <-> '${qlit(s, d)}' LIMIT 100"""
+      }),
+
     // --- the cos spelling `<=>` through the same arm (normalize-at-
     //     build artifact; the oracle replays the normalized dot) ---
     "q_operator_sql_topk_cos" -> ((s, d) => withOpSqlRewrite(s, d, "cos") {
@@ -219,6 +228,13 @@ object OperatorSqlQueries {
            unnest(list_transform(list_zip(a, b), p -> CAST(CASE WHEN (p[1] > 0) OR (p[2] > 0) THEN 1 ELSE 0 END AS FLOAT))) AS x_or,
            unnest(list_transform(list_zip(a, b), p -> CAST(CASE WHEN (p[1] > 0) <> (p[2] > 0) THEN 1 ELSE 0 END AS FLOAT))) AS x_xor
          FROM p ORDER BY vec_id, i""",
+
+    "q_operator_sql_topk_filtered_inline" ->
+      """SELECT e.vec_id AS vec_id
+         FROM embeddings e CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+         WHERE e.vec_id % 7 = 0
+         ORDER BY list_aggregate(list_transform(list_zip(e.embedding, q.qv), p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), 'sum'), vec_id
+         LIMIT 100""",
 
     "q_operator_sql_topk_inline" ->
       """SELECT e.vec_id AS vec_id

@@ -75,6 +75,20 @@ class PushdownSpec extends SparkSpec {
       assert(plan.contains(dataDir) && plan.contains("list_id"),
         s"inline-sort top-k did not rewrite:\n$plan")
       assert(inline.collect().map(_.getLong(0)).toSet === want)
+      // filtered inline form: WHERE + inline ORDER BY routes through
+      // the filtered dispatch (exact at nprobe=nlist within the
+      // selective-filter contract of the alias-form gate)
+      val fwant = emb.filter(col("vec_id") % 7 === 0)
+        .select(col("vec_id"),
+          graft.functions.l2sq(col("embedding"), typedLit(q)).as("dist"))
+        .orderBy(col("dist")).limit(10).collect().map(_.getLong(0)).toSet
+      val finline = emb.filter(col("vec_id") % 7 === 0)
+        .orderBy(graft.functions.l2sq(col("embedding"), typedLit(q)))
+        .select(col("vec_id")).limit(10)
+      val fplan = finline.queryExecution.executedPlan.toString
+      assert(fplan.contains(dataDir) && fplan.contains("list_id"),
+        s"filtered inline-sort top-k did not rewrite:\n$fplan")
+      assert(finline.collect().map(_.getLong(0)).toSet === fwant)
       // a projection beyond the id column cannot be served by the
       // (id, dist) search output — must stay unrewritten, never error
       val wide = emb
