@@ -63,13 +63,16 @@ object OpSqlRewrite {
     "vecf16" -> (p => s"to_vecf16(parse_vector($p))"))
 
   /** Keywords that must not be absorbed as a call name when a
-    * parenthesized group is captured backward (`WHERE (a+b) <-> q`). */
+    * parenthesized group is captured backward (`WHERE (a+b) <-> q`) or
+    * taken as a bare operand. NULL/TRUE/FALSE are deliberately absent:
+    * they are literal primaries (`SELECT NULL::vector <-> ...` is a
+    * null.slt spelling and must capture). */
   private val Keywords: Set[String] = Set(
     "select", "from", "where", "and", "or", "not", "on", "join", "inner",
     "left", "right", "full", "cross", "outer", "group", "order", "by",
     "having", "limit", "union", "all", "distinct", "as", "when", "then",
     "else", "end", "case", "in", "like", "rlike", "ilike", "between",
-    "is", "null", "true", "false", "values", "over", "partition", "range",
+    "is", "values", "over", "partition", "range",
     "rows", "exists", "any", "some", "interval", "escape", "div")
 
   /** Fast path: statements without any operator/cast spelling skip the

@@ -77,4 +77,18 @@ class SltConformanceSpec extends SparkSpec {
       "SELECT format_bvector('[1, 0, 1]'::bvector | '[1, 1, 0]'::bvector)")
       .head().getString(0) === "[1, 1, 1]")
   }
+
+  test("null.slt / error.slt: NULL propagation and dims-mismatch errors") {
+    // STRICT semantics: NULL in -> NULL out, through casts and operators
+    assert(spark.sql("SELECT NULL::vector <-> '[1]'").head().isNullAt(0))
+    assert(spark.sql("SELECT '[1]'::vector <#> NULL::vector").head().isNullAt(0))
+    assert(spark.sql("SELECT vector_norm(NULL::vector)").head().isNullAt(0))
+    // dims mismatches error at runtime with the reference's wording
+    val e = intercept[Exception] {
+      spark.sql("SELECT '[1,2]'::vector <-> '[1,2,3]'").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("differ")), s"got: ${msgs(e)}")
+  }
 }
