@@ -384,7 +384,10 @@ object DocQueries {
       val keyed = e.select(col("vec_id"),
         explode(Dedup.signBandKeys(col("embedding"), planes,
           bands = bands, rows = rows)).as("bucket"))
-      val cands = keyed.as("a").join(keyed.as("b"),
+      // shuffle-hash on the band buckets: same shuffle as sort-merge
+      // minus the two per-partition sorts (the round-13 postings-join
+      // precedent in Dedup.exactJaccardPairsHashed)
+      val cands = keyed.as("a").join(keyed.as("b").hint("shuffle_hash"),
           col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
