@@ -159,6 +159,21 @@ object OpDispatch {
     for (l <- side(left, lf); r <- side(right, rf)) yield BVecOp(l, r, op)
   }
 
+  /** `v[lo:hi]` slice overloads (the reference's subscript fetch,
+    * src/datatype/subscript_*.rs + *_subscript.slt): dense/bvec/svec by
+    * child type, strings as dense. The bounds law lives in the slice
+    * kernels (0-based, hi exclusive, NULL on any invalid range). */
+  def slice(child: Expression, lo: Expression, hi: Expression)
+      : Either[String, Expression] = family(child.dataType) match {
+    case Some("dense") => scala.Right(VecSlice(child, lo, hi))
+    case Some("bvec") => scala.Right(BVecSlice(child, lo, hi))
+    case Some("svec") => scala.Right(SVecSlice(child, lo, hi))
+    case _ if child.dataType == StringType =>
+      scala.Right(VecSlice(ParseVector(child), lo, hi))
+    case _ => scala.Left(
+      s"slice subscript does not support type ${child.dataType.catalogString}")
+  }
+
   private[functions] def opSpelling(metric: String): String = metric match {
     case "l2" => "<->"
     case "dot" => "<#>"
@@ -255,6 +270,51 @@ case class NormDispatch(child: Expression)
   }
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
   override def prettyName: String = "vector_norm"
+}
+
+/** `v[lo:hi]` subscript slice ([[OpDispatch.slice]]); the parser emits
+  * a missing lo as literal 0 and a missing hi via [[SliceToEnd]]. */
+case class SliceDispatch(child: Expression, lo: Expression, hi: Expression)
+    extends Expression with RuntimeReplaceable {
+  override def children: Seq[Expression] = Seq(child, lo, hi)
+  private lazy val dispatched: Either[String, Expression] =
+    OpDispatch.slice(child, lo, hi)
+  override def checkInputDataTypes(): TypeCheckResult = dispatched match {
+    case scala.Right(_) => TypeCheckResult.TypeCheckSuccess
+    case scala.Left(msg) => TypeCheckResult.TypeCheckFailure(msg)
+  }
+  override lazy val replacement: Expression = dispatched match {
+    case scala.Right(e) => e
+    case scala.Left(msg) => throw new IllegalStateException(msg)
+  }
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): Expression =
+    copy(child = c(0), lo = c(1), hi = c(2))
+  override def prettyName: String = "graft_slice"
+}
+
+/** `v[lo:]` — hi defaults to the vector's dims (the subscript-slt law:
+  * a lo at/past dims still NULLs via lo >= hi). */
+case class SliceToEnd(child: Expression, lo: Expression)
+    extends Expression with RuntimeReplaceable with BinaryLike[Expression] {
+  override def left: Expression = child
+  override def right: Expression = lo
+  private lazy val dispatched: Either[String, Expression] = {
+    // strings parse ONCE so dims sees the parsed vector too
+    val base = if (child.dataType == StringType) ParseVector(child) else child
+    OpDispatch.slice(base, lo, VectorDims(base))
+  }
+  override def checkInputDataTypes(): TypeCheckResult = dispatched match {
+    case scala.Right(_) => TypeCheckResult.TypeCheckSuccess
+    case scala.Left(msg) => TypeCheckResult.TypeCheckFailure(msg)
+  }
+  override lazy val replacement: Expression = dispatched match {
+    case scala.Right(e) => e
+    case scala.Left(msg) => throw new IllegalStateException(msg)
+  }
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(child = newLeft, lo = newRight)
+  override def prettyName: String = "graft_slice"
 }
 
 /** `v <<op>> sphere(center, radius)` — strict within-sphere predicate

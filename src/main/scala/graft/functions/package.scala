@@ -124,6 +124,11 @@ package object functions {
     reg2("graft_sphere_dot", SphereIn(_, _, "dot"))
     reg2("graft_sphere_cos", SphereIn(_, _, "cos"))
     reg2("graft_sphere_jaccard", SphereIn(_, _, "jaccard"))
+    // v[lo:hi] subscript slices (the parser's emission; arity picks the
+    // open-ended form — v[lo:] runs to the vector's dims)
+    reg.createOrReplaceTempFunction("graft_slice",
+      es => if (es.length == 3) SliceDispatch(es(0), es(1), es(2))
+            else SliceToEnd(es(0), es(1)), "scala_udf")
     reg2("vec_add", DenseArith(_, _, '+'))
     reg2("vec_sub", DenseArith(_, _, '-'))
     reg2("vec_mul", DenseArith(_, _, '*'))

@@ -80,13 +80,15 @@ object OpSqlRewrite {
     * too (`<<->>` contains `<->`, etc.). */
   def apply(sql: String): String =
     if (sql == null || !(sql.contains("<->") || sql.contains("<#>") ||
-        sql.contains("<=>") || sql.contains("<~>") || sql.contains("::")))
+        sql.contains("<=>") || sql.contains("<~>") || sql.contains("::") ||
+        (sql.contains("[") && sql.contains(":"))))
       sql
     else rewrite(sql)
 
   private def rewrite(sql: String): String = {
     var toks = lex(sql)
     toks = rewriteCasts(toks)
+    toks = rewriteSlices(toks)
     toks = rewriteOps(toks)
     toks.iterator.map(_.text).mkString
   }
@@ -286,6 +288,57 @@ object OpSqlRewrite {
                   toks.drop(tyIdx + 1)
                 again = true
               case None => ()
+            }
+          }
+        }
+        i += 1
+      }
+    }
+    toks
+  }
+
+  /** `primary[lo:hi]` subscript slices (the reference's slice fetch,
+    * *_subscript.slt: lo 0-based inclusive, hi exclusive, either bound
+    * optional) -> `graft_slice(primary, lo[, hi])`. A `[...]` group
+    * WITHOUT a top-level ':' is Spark's own element subscript and stays
+    * untouched. Iterates left-to-right so a later operator can take the
+    * spliced call as its operand. */
+  private def rewriteSlices(toks0: Vector[Tok]): Vector[Tok] = {
+    var toks = toks0
+    var again = true
+    while (again) {
+      again = false
+      var i = 0
+      while (i < toks.length && !again) {
+        if (toks(i).kind == SYM && toks(i).text == "[") {
+          // balanced group + the top-level ':' inside it
+          var depth = 0
+          var close = -1
+          var colon = -1
+          var j = i
+          while (j < toks.length && close < 0) {
+            if (isOpen(toks(j))) depth += 1
+            else if (isClose(toks(j))) { depth -= 1; if (depth == 0) close = j }
+            else if (depth == 1 && toks(j).kind == SYM && toks(j).text == ":")
+              colon = j
+            j += 1
+          }
+          val p = prevIdx(toks, i)
+          val isSubscript = close > 0 && colon > 0 && p >= 0 &&
+            (toks(p).kind == IDENT || toks(p).kind == STR || isClose(toks(p)))
+          if (isSubscript) {
+            val start = backPrimary(toks, p)
+            if (start >= 0) {
+              val prim = text(toks, start, p)
+              val loTxt = text(toks, i + 1, colon - 1)
+              val hiTxt = text(toks, colon + 1, close - 1)
+              val lo = if (loTxt.isEmpty) "0" else loTxt
+              val call =
+                if (hiTxt.isEmpty) s"graft_slice($prim, $lo)"
+                else s"graft_slice($prim, $lo, $hiTxt)"
+              toks = toks.take(start) ++ Vector(Tok(IDENT, call)) ++
+                toks.drop(close + 1)
+              again = true
             }
           }
         }

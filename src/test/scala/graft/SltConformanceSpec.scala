@@ -91,4 +91,27 @@ class SltConformanceSpec extends SparkSpec {
       if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
     assert(msgs(e).exists(_.contains("differ")), s"got: ${msgs(e)}")
   }
+
+  test("bvector_subscript.slt: slice fetch, optional bounds, NULL law") {
+    def bits(sql: String): String =
+      spark.sql(s"SELECT format_bvector(($sql))").head().getString(0)
+    assert(bits("('[0, 1, 0, 1, 0, 1, 0, 1]'::bvector)[3:6]") === "[1, 0, 1]")
+    assert(bits("('[0, 1, 0, 1, 0, 1, 0, 1]'::bvector)[:4]") === "[0, 1, 0, 1]")
+    assert(bits("('[0, 1, 0, 1, 0, 1, 0, 1]'::bvector)[5:]") === "[1, 0, 1]")
+    assert(bits("('[0, 1, 0, 1, 0, 1, 0, 1]'::bvector)[1:8]") ===
+      "[1, 0, 1, 0, 1, 0, 1]")
+    // invalid ranges are NULL (reversed, past-the-end, empty, negative)
+    for (sub <- Seq("[5:4]", "[9:]", "[:0]", "[:-1]"))
+      assert(spark.sql(
+        s"SELECT ('[0, 1, 0, 1, 0, 1, 0, 1]'::bvector)$sub").head().isNullAt(0),
+        s"$sub must be NULL")
+    // dense and sparse take the same subscript law
+    assert(spark.sql("SELECT ('[1, 2, 3, 4]'::vector)[1:3]")
+      .head().getSeq[Float](0) === Seq(2f, 3f))
+    assert(spark.sql(
+      "SELECT svec_to_dense(('{1:5}/4'::svector)[1:3])")
+      .head().getSeq[Float](0) === Seq(5f, 0f))
+    // Spark's own single-index subscript is untouched
+    assert(spark.sql("SELECT array(7, 8, 9)[1]").head().getInt(0) === 8)
+  }
 }
