@@ -272,6 +272,65 @@ case class NormDispatch(child: Expression)
   override def prettyName: String = "vector_norm"
 }
 
+/** `expr::<vector type>` — the reference's CAST MATRIX (finalize.sql
+  * CREATE CAST set: real[]<->vector, vector<->vecf16, vector<->svector,
+  * vector<->bvector) as one type-dispatching expression per TARGET.
+  * String operands parse (the literal-cast spelling); vector operands
+  * convert through the cast expressions (vecf16 = f16 rounding, bvector
+  * = the 0/1 rule); NUMERIC arrays take the real[]->vector implicit
+  * cast first (`ARRAY(1,2,3)::vector`); the identity cast is a no-op. */
+case class CastDispatch(child: Expression, target: String)
+    extends UnaryExpression with RuntimeReplaceable {
+  private def asDense(e: Expression): Option[Expression] = e.dataType match {
+    case t if OpDispatch.family(t).contains("dense") => Some(e)
+    case ArrayType(_: NumericType, _) =>
+      Some(Cast(e, ArrayType(FloatType, containsNull = false)))
+    case _ => None
+  }
+  private lazy val dispatched: Either[String, Expression] = {
+    val fam = OpDispatch.family(child.dataType)
+    val out: Option[Expression] = (target, fam) match {
+      // NULL literals type as NullType; the replacement must be
+      // self-resolving (no analyzer coercion visits it), so emit a
+      // typed null directly — the STRICT NULL-in/NULL-out law
+      case (t, _) if child.dataType == NullType =>
+        Some(Literal.create(null, t match {
+          case "svector" => VectorTypes.SVectorType
+          case "bvector" => VectorTypes.BVectorType
+          case _ => VectorTypes.VectorType
+        }))
+      case (t, _) if child.dataType == StringType => Some(t match {
+        case "vector" => ParseVector(child)
+        case "svector" => ParseSVector(child)
+        case "bvector" => ParseBVector(child)
+        case "vecf16" => ToF16(ParseVector(child))
+      })
+      case ("vector", Some("dense")) => Some(child)
+      case ("vector", Some("svec")) => Some(SVecToDense(child))
+      case ("vector", Some("bvec")) => Some(BVecToDense(child))
+      case ("vector", Some("f16")) => Some(F16BitsToVector(child))
+      case ("vector", None) => asDense(child)
+      case ("svector", Some("svec")) => Some(child)
+      case ("svector", _) => asDense(child).map(SVecFromDense)
+      case ("bvector", Some("bvec")) => Some(child)
+      case ("bvector", _) => asDense(child).map(CastVecToBVec)
+      case ("vecf16", _) => asDense(child).map(ToF16)
+      case _ => None
+    }
+    out.toRight(s"cannot cast ${child.dataType.catalogString} to $target")
+  }
+  override def checkInputDataTypes(): TypeCheckResult = dispatched match {
+    case scala.Right(_) => TypeCheckResult.TypeCheckSuccess
+    case scala.Left(msg) => TypeCheckResult.TypeCheckFailure(msg)
+  }
+  override lazy val replacement: Expression = dispatched match {
+    case scala.Right(e) => e
+    case scala.Left(msg) => throw new IllegalStateException(msg)
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = s"graft_cast_$target"
+}
+
 /** `v[lo:hi]` subscript slice ([[OpDispatch.slice]]); the parser emits
   * a missing lo as literal 0 and a missing hi via [[SliceToEnd]]. */
 case class SliceDispatch(child: Expression, lo: Expression, hi: Expression)

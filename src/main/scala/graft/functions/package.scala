@@ -124,6 +124,12 @@ package object functions {
     reg2("graft_sphere_dot", SphereIn(_, _, "dot"))
     reg2("graft_sphere_cos", SphereIn(_, _, "cos"))
     reg2("graft_sphere_jaccard", SphereIn(_, _, "jaccard"))
+    // expr::<vector type> casts — the full reference cast matrix per
+    // target, dispatched by operand type (CastDispatch)
+    reg1("graft_cast_vector", CastDispatch(_, "vector"))
+    reg1("graft_cast_svector", CastDispatch(_, "svector"))
+    reg1("graft_cast_bvector", CastDispatch(_, "bvector"))
+    reg1("graft_cast_vecf16", CastDispatch(_, "vecf16"))
     // v[lo:hi] subscript slices (the parser's emission; arity picks the
     // open-ended form — v[lo:] runs to the vector's dims)
     reg.createOrReplaceTempFunction("graft_slice",

@@ -56,11 +56,14 @@ object OpSqlRewrite {
     "<=>" -> "graft_op_cos",
     "<~>" -> "graft_op_jaccard")
 
+  // each target dispatches the full CAST MATRIX by operand type
+  // (graft.functions.CastDispatch): string literals parse, vector
+  // operands convert, numeric arrays take the real[]->vector implicit
   private val CastFns: Map[String, String => String] = Map(
-    "vector" -> (p => s"parse_vector($p)"),
-    "svector" -> (p => s"parse_svector($p)"),
-    "bvector" -> (p => s"parse_bvector($p)"),
-    "vecf16" -> (p => s"to_vecf16(parse_vector($p))"))
+    "vector" -> (p => s"graft_cast_vector($p)"),
+    "svector" -> (p => s"graft_cast_svector($p)"),
+    "bvector" -> (p => s"graft_cast_bvector($p)"),
+    "vecf16" -> (p => s"graft_cast_vecf16($p)"))
 
   /** Keywords that must not be absorbed as a call name when a
     * parenthesized group is captured backward (`WHERE (a+b) <-> q`) or

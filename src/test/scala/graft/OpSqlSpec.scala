@@ -61,21 +61,24 @@ class OpSqlSpec extends SparkSpec {
       "SELECT /* <~> */ graft_op_dot(v, q) FROM t")
   }
 
-  test("vector casts rewrite to the family parsers") {
+  test("vector casts rewrite to the type-dispatching cast matrix") {
     assert(OpSqlRewrite("SELECT '[1,2]'::vector") ===
-      "SELECT parse_vector('[1,2]')")
+      "SELECT graft_cast_vector('[1,2]')")
     assert(OpSqlRewrite("SELECT '{0:1}/3'::svector AS s") ===
-      "SELECT parse_svector('{0:1}/3') AS s")
+      "SELECT graft_cast_svector('{0:1}/3') AS s")
     assert(OpSqlRewrite("SELECT '[0,1]'::bvector") ===
-      "SELECT parse_bvector('[0,1]')")
+      "SELECT graft_cast_bvector('[0,1]')")
     assert(OpSqlRewrite("SELECT '[1,2]'::vecf16") ===
-      "SELECT to_vecf16(parse_vector('[1,2]'))")
-    // cast + operator compose
+      "SELECT graft_cast_vecf16('[1,2]')")
+    // cast + operator compose; chained casts nest (the cast-matrix
+    // spelling '[..]'::vector::bvector)
     assert(OpSqlRewrite("SELECT v <-> '[1,2]'::vector FROM t") ===
-      "SELECT graft_op_l2(v, parse_vector('[1,2]')) FROM t")
+      "SELECT graft_op_l2(v, graft_cast_vector('[1,2]')) FROM t")
+    assert(OpSqlRewrite("SELECT '[1]'::vector::bvector") ===
+      "SELECT graft_cast_bvector(graft_cast_vector('[1]'))")
     // non-vector casts untouched
     assert(OpSqlRewrite("SELECT x::int, '[1]'::vector FROM t") ===
-      "SELECT x::int, parse_vector('[1]') FROM t")
+      "SELECT x::int, graft_cast_vector('[1]') FROM t")
   }
 
   // -------------------------------------------------- live execution

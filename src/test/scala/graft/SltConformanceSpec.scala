@@ -114,4 +114,33 @@ class SltConformanceSpec extends SparkSpec {
     // Spark's own single-index subscript is untouched
     assert(spark.sql("SELECT array(7, 8, 9)[1]").head().getInt(0) === 8)
   }
+
+  test("cast.slt / finalize.sql cast matrix: cross-type :: casts") {
+    // string literal casts (cast.slt) and vector<->vector conversions
+    // (finalize.sql CREATE CAST set) through the same :: spelling
+    assert(spark.sql("SELECT '[1,2,3]'::vector").head().getSeq[Float](0) ===
+      Seq(1f, 2f, 3f))
+    assert(spark.sql("SELECT array(1, 2, 3)::vector")
+      .head().getSeq[Float](0) === Seq(1f, 2f, 3f))          // real[]->vector
+    assert(spark.sql("SELECT '{1:5}/3'::svector::vector")
+      .head().getSeq[Float](0) === Seq(0f, 5f, 0f))          // svector->vector
+    assert(spark.sql("SELECT format_bvector('[1, 0, 1]'::vector::bvector)")
+      .head().getString(0) === "[1, 0, 1]")                  // vector->bvector
+    assert(spark.sql("SELECT '[0, 1]'::bvector::vector")
+      .head().getSeq[Float](0) === Seq(0f, 1f))              // bvector->vector
+    assert(spark.sql("SELECT svec_to_dense('[0, 5, 0]'::vector::svector)")
+      .head().getSeq[Float](0) === Seq(0f, 5f, 0f))          // vector->svector
+    // vector->vecf16 applies f16 rounding; small ints are exact
+    assert(spark.sql("SELECT '[1, 2]'::vector::vecf16 <-> '[3, 4]'")
+      .head().getDouble(0) === 8.0)
+    assert(spark.sql("SELECT '[0.4]'::vector::vecf16")
+      .head().getSeq[Float](0) === Seq(graft.types.Fp16.roundTrip(0.4f)))
+    // the 0/1 rule still guards vector->bvector
+    val e = intercept[Exception] {
+      spark.sql("SELECT '[0.5]'::vector::bvector").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("not 0 or 1")))
+  }
 }
