@@ -163,15 +163,34 @@ object OpDispatch {
     * src/datatype/subscript_*.rs + *_subscript.slt): dense/bvec/svec by
     * child type, strings as dense. The bounds law lives in the slice
     * kernels (0-based, hi exclusive, NULL on any invalid range). */
-  def slice(child: Expression, lo: Expression, hi: Expression)
-      : Either[String, Expression] = family(child.dataType) match {
-    case Some("dense") => scala.Right(VecSlice(child, lo, hi))
-    case Some("bvec") => scala.Right(BVecSlice(child, lo, hi))
-    case Some("svec") => scala.Right(SVecSlice(child, lo, hi))
-    case _ if child.dataType == StringType =>
-      scala.Right(VecSlice(ParseVector(child), lo, hi))
-    case _ => scala.Left(
-      s"slice subscript does not support type ${child.dataType.catalogString}")
+  /** A NULL subscript bound NULLs the slice (*_subscript.slt:
+    * `v[NULL:8]` etc. are NULL, not errors): NullType literals become
+    * typed null ints so the null-intolerant slice kernels resolve —
+    * the CastDispatch self-resolving-replacement lesson (replacements
+    * see no analyzer coercion). Other integral widths narrow safely. */
+  private def sliceBound(e: Expression): Expression = e.dataType match {
+    case NullType => Literal(null, IntegerType)
+    case IntegerType => e
+    case ByteType | ShortType | LongType => Cast(e, IntegerType)
+    case _ => e // non-integral bounds fail the kernel's type check below
+  }
+
+  def slice(child: Expression, lo0: Expression, hi0: Expression)
+      : Either[String, Expression] = {
+    val lo = sliceBound(lo0); val hi = sliceBound(hi0)
+    family(child.dataType) match {
+      case Some("dense") => scala.Right(VecSlice(child, lo, hi))
+      case Some("bvec") => scala.Right(BVecSlice(child, lo, hi))
+      case Some("svec") => scala.Right(SVecSlice(child, lo, hi))
+      // vecf16 bits: slice elementwise through the exact f32 widening
+      // (vecf16_subscript.slt) — bits→f32→bits round-trips bit-exactly
+      case Some("f16") =>
+        scala.Right(ToF16Bits(VecSlice(F16BitsToVector(child), lo, hi)))
+      case _ if child.dataType == StringType =>
+        scala.Right(VecSlice(ParseVector(child), lo, hi))
+      case _ => scala.Left(
+        s"slice subscript does not support type ${child.dataType.catalogString}")
+    }
   }
 
   private[functions] def opSpelling(metric: String): String = metric match {

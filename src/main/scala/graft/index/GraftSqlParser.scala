@@ -47,7 +47,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   // and, being RuntimeReplaceable-resolved to the native kernel shapes,
   // hit the existing ANN pushdown arms (see OpSqlRewrite)
   override def parsePlan(sqlText: String): LogicalPlan = {
-    val rewritten = OpSqlRewrite(sqlText)
+    // reference GUC spellings (`SET vectors.ivf_nprobe=…`, and with
+    // pgvector compatibility on, `SET ivfflat.probes=…`) land on the
+    // native spark.graft.* confs — the compatibility.rs name swap
+    val rewritten = OpSqlRewrite(Gucs.rewriteSet(sqlText))
     GraftSqlParser.parseVectorDdl(rewritten)
       .getOrElse(delegate.parsePlan(rewritten))
   }

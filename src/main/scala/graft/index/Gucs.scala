@@ -1,0 +1,103 @@
+package graft.index
+
+import org.apache.spark.sql.SparkSession
+
+/**
+ * Reference GUC surface (src/gucs/planning.rs:11-43, executing.rs:4-23)
+ * and the pgvector-compatibility aliasing contract
+ * (src/index/compatibility.rs:7-59, tests/sqllogictest/compact_var.slt).
+ *
+ * Two layers:
+ *
+ *  1. SQL-text `SET` statements spelled with the reference's own GUC
+ *     names rewrite onto the native `spark.graft.*` confs before
+ *     parsing ([[rewriteSet]], applied by [[GraftSqlParser.parsePlan]]).
+ *     `vectors.*` names always map (they ARE this engine's GUCs under
+ *     the reference's spelling); the pgvector spellings
+ *     (`ivfflat.probes`, `hnsw.ef_search`) map ONLY while
+ *     `vectors.pgvector_compatibility` is on — with it off they remain
+ *     inert foreign keys, exactly the reference's behavior where the
+ *     utility-hook name swap is skipped (compatibility.rs:9-11).
+ *     Because the swap happens at SET time, last-write-wins shared
+ *     storage falls out for free: compact_var.slt's
+ *     `SET vectors.hnsw_ef_search=600` then `SHOW hnsw.ef_search`
+ *     sequence reads 600 through the same rewrite on the read form.
+ *
+ *  2. Conf-layer read-time aliases for programmatic
+ *     `spark.conf.set` users: [[alias]] returns the pgvector-spelled
+ *     key's value only while compatibility mode is on. The native key
+ *     is the storage; the alias wins when set AND enabled (it exists
+ *     only for porting convenience — reference-native code uses the
+ *     `vectors.*` spellings, which always map to the native keys).
+ *
+ * Default matches the reference: compatibility OFF
+ * (planning.rs:15 `GucSetting::<bool>::new(false)`).
+ */
+object Gucs {
+
+  val CompatKey = "spark.graft.pgvector.compatibility"
+
+  /** GUC-style booleans: the reference accepts on/off (PG GUC syntax);
+    * Spark conf reads elsewhere use strict toBoolean, so SET-time
+    * rewriting normalizes to true/false ([[rewriteSet]]). */
+  def gucBool(v: String): Boolean = v.trim.toLowerCase match {
+    case "on" | "true" | "1" | "yes" => true
+    case _ => false
+  }
+
+  def pgvectorCompat(s: SparkSession): Boolean =
+    gucBool(s.conf.get(CompatKey, "off"))
+
+  /** The pgvector-spelled alias key's value, honored only in
+    * compatibility mode (compact_var.slt: with compat off,
+    * `SET ivfflat.probes=40` leaves `vectors.ivf_nprobe` at 10). */
+  def alias(s: SparkSession, aliasKey: String): Option[String] =
+    if (pgvectorCompat(s)) s.conf.getOption(aliasKey) else None
+
+  /** `vectors.*` GUC names -> native conf keys: unconditional (these
+    * are the reference's native spellings of OUR tunables). Value is
+    * (native key, normalize-bool?). */
+  private val VectorsGucs: Map[String, (String, Boolean)] = Map(
+    "vectors.ivf_nprobe" -> ("spark.graft.ann.nprobe", false),
+    "vectors.hnsw_ef_search" -> ("spark.graft.hnsw.efSearch", false),
+    "vectors.search_mode" -> ("spark.graft.search.mode", false),
+    "vectors.enable_index" -> ("spark.graft.ann.enabled", true),
+    "vectors.pgvector_compatibility" -> (CompatKey, true))
+
+  /** pgvector GUC names -> native conf keys: applied only while
+    * compatibility mode is on at statement-parse time. */
+  private val PgvectorGucs: Map[String, (String, Boolean)] = Map(
+    "ivfflat.probes" -> ("spark.graft.ann.nprobe", false),
+    "hnsw.ef_search" -> ("spark.graft.hnsw.efSearch", false))
+
+  // SET <key> [= <value>] — never matches ALTER ... SET (anchored), the
+  // PG `SET x TO y` form (trailing text breaks the anchor), or Spark's
+  // `SET -v`. Key charset is the GUC dotted-identifier shape.
+  private val SetRe =
+    """(?is)^\s*SET\s+([A-Za-z_][A-Za-z0-9_.]*)\s*(?:=\s*(\S.*?))?\s*;?\s*$""".r
+
+  /** Rewrite a `SET` statement whose key is a reference GUC spelling
+    * onto the native conf key (identity for everything else). Applies
+    * to bare reads too — Spark's `SET key` IS the reference's `SHOW`,
+    * so the compat-on read of `hnsw.ef_search` sees the shared native
+    * value. */
+  def rewriteSet(sqlText: String): String = sqlText match {
+    case SetRe(key, value) =>
+      val k = key.toLowerCase
+      val mapped = VectorsGucs.get(k).orElse {
+        val compat = SparkSession.getActiveSession.exists(pgvectorCompat)
+        if (compat) PgvectorGucs.get(k) else None
+      }
+      mapped match {
+        case Some((native, normBool)) =>
+          Option(value) match {
+            case Some(v) =>
+              val nv = if (normBool) gucBool(v).toString else v
+              s"SET $native=$nv"
+            case None => s"SET $native"
+          }
+        case None => sqlText
+      }
+    case _ => sqlText
+  }
+}

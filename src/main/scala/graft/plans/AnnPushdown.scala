@@ -355,12 +355,13 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     else math.ceil(2.0 * k / sLo).toLong
   }
 
-  /** HNSW search-time tunables (pgvector spelling wins, the GUC alias
-    * convention of AnnQueries.conf2). `spark.graft.hnsw.exact` routes the
-    * rewrite to the provable flat scan of the artifact — the ef=∞ analog
-    * that exact-mode queries rely on. */
+  /** HNSW search-time tunables (the pgvector spelling wins only in
+    * compatibility mode — the GUC alias convention of
+    * [[graft.index.Gucs.alias]], compact_var.slt). `spark.graft.hnsw.exact`
+    * routes the rewrite to the provable flat scan of the artifact — the
+    * ef=∞ analog that exact-mode queries rely on. */
   private def hnswEfSearch: Int =
-    spark.conf.getOption("spark.graft.hnsw.ef_search")
+    graft.index.Gucs.alias(spark, "spark.graft.hnsw.ef_search")
       .getOrElse(spark.conf.get("spark.graft.hnsw.efSearch", "100")).toInt
   private def hnswExact: Boolean =
     spark.conf.get("spark.graft.hnsw.exact", "false").toBoolean

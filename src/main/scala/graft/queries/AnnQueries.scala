@@ -314,9 +314,12 @@ object AnnQueries {
     }
 
   /** Search-time tunables — GUC analogs (src/gucs/executing.rs:4-23).
-    * pgvector compatibility mode (src/index/compatibility.rs:7-60):
-    * the pgvector spellings (`ivfflat.probes`, `hnsw.ef_search`) are
-    * accepted as aliases and win when set. */
+    * pgvector compatibility mode (src/index/compatibility.rs:7-60,
+    * compact_var.slt): the pgvector spellings (`ivfflat.probes`,
+    * `hnsw.ef_search`) are honored as aliases ONLY while
+    * `spark.graft.pgvector.compatibility` is on — with it off they are
+    * inert, exactly the reference (the utility hook returns without
+    * swapping names when the GUC is disabled). */
   /** "auto" — the round-11 default spelling of spark.graft.ann.nprobe,
     * whose per-artifact resolution lives in the REWRITE RULE — resolves
     * to the fixed default here (direct-call gates must not throw on a
@@ -336,7 +339,7 @@ object AnnQueries {
 
   private def conf2(s: SparkSession, pgvector: String, native: String,
       dflt: String): Int = {
-    val raw = s.conf.getOption(pgvector)
+    val raw = graft.index.Gucs.alias(s, pgvector)
       .getOrElse(s.conf.get(native, dflt)).trim
     if (raw.equalsIgnoreCase("auto")) dflt.toInt else raw.toInt
   }
@@ -349,7 +352,7 @@ object AnnQueries {
     * calibrates its base segment, and its searches have no declarative
     * arm (tombstone filtering), so the query layer resolves here. */
   private def nprobeConfFor(s: SparkSession, name: String): Int = {
-    val raw = s.conf.getOption("spark.graft.ivfflat.probes")
+    val raw = graft.index.Gucs.alias(s, "spark.graft.ivfflat.probes")
       .getOrElse(s.conf.get("spark.graft.ann.nprobe", "auto")).trim
     // the conf2 contract: only the literal "auto" resolves — garbage
     // still errors like every sibling query (round-12 review; the

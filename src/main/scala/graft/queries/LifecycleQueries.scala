@@ -981,6 +981,76 @@ object LifecycleQueries {
         k = 100, nprobe = m.nlist)
     }),
 
+    // --- reference GUC spellings + pgvector compatibility aliasing
+    //     (compact_var.slt verbatim semantics; compatibility.rs:7-59,
+    //     gucs/planning.rs:15 default OFF): `SET vectors.*` always maps
+    //     to the native confs; `SET ivfflat.probes` / `SET
+    //     hnsw.ef_search` map ONLY while compat is on (off -> inert
+    //     foreign keys). The swap is SET-time (the reference's utility
+    //     hook), so shared-storage last-write-wins holds and the bare
+    //     `SET <key>` read form IS the reference's SHOW.
+    "q_pgvector_gucs" -> ((s, d) => {
+      // a FRESH newSession (the injected parser carries over, the
+      // runtime SQLConf does not): this gate mutates session-global
+      // tunables, and the shared session may be serving parallel
+      // suites or carry caller-set probes — isolation makes the
+      // printed values deterministic and leaves the caller untouched
+      val ds = ddlSession(s).newSession()
+      import graft.index.Gucs
+      val keys = Seq(Gucs.CompatKey, "spark.graft.ann.nprobe",
+        "spark.graft.hnsw.efSearch", "spark.graft.search.mode",
+        "spark.graft.ann.enabled", "ivfflat.probes", "hnsw.ef_search")
+      val saved = keys.map(k => k -> ds.conf.getOption(k))
+      // the conf2 contract, observed: compat-gated alias, auto->default
+      def eff(alias: String, native: String, dflt: String): String = {
+        val raw = Gucs.alias(ds, s"spark.graft.$alias")
+          .getOrElse(ds.conf.get(native, dflt)).trim
+        if (raw.equalsIgnoreCase("auto")) dflt else raw
+      }
+      def nprobe = eff("ivfflat.probes", "spark.graft.ann.nprobe", "10")
+      def ef = eff("hnsw.ef_search", "spark.graft.hnsw.efSearch", "100")
+      def show(key: String): String = ds.sql(s"SET $key").head().getString(1)
+      try {
+        ds.sql("SET vectors.pgvector_compatibility=off")
+        ds.sql("SET ivfflat.probes=40")
+        val r01 = nprobe                  // 10: compat off, alias inert
+        val r02 = show("ivfflat.probes")  // 40: its own (foreign) storage
+        ds.sql("SET hnsw.ef_search=400")
+        val r03 = ef                      // 100
+        ds.sql("SET vectors.pgvector_compatibility=on")
+        ds.sql("SET ivfflat.probes=50")
+        val r04 = nprobe                  // 50: SET-time swap to native
+        ds.sql("SET hnsw.ef_search=500")
+        val r05 = ef                      // 500
+        ds.sql("SET vectors.ivf_nprobe=60")
+        val r06 = nprobe                  // 60: vectors.* always native
+        val r07 = show("ivfflat.probes")  // 60: shared storage via SHOW
+        ds.sql("SET vectors.hnsw_ef_search=600")
+        val r08 = ef                      // 600
+        val r09 = show("hnsw.ef_search")  // 600
+        ds.sql("SET vectors.search_mode=basic")
+        val r10 = ds.conf.get("spark.graft.search.mode", "vbase")
+        ds.sql("SET vectors.enable_index=on")
+        val r11 = ds.conf.get("spark.graft.ann.enabled", "false")
+        import s.implicits._
+        Seq(("s01_compat_off_probes_inert", r01),
+          ("s02_show_foreign_storage", r02),
+          ("s03_compat_off_ef_inert", r03),
+          ("s04_compat_on_probes_maps", r04),
+          ("s05_compat_on_ef_maps", r05),
+          ("s06_vectors_nprobe_native", r06),
+          ("s07_show_probes_shared", r07),
+          ("s08_vectors_ef_native", r08),
+          ("s09_show_ef_shared", r09),
+          ("s10_search_mode_maps", r10),
+          ("s11_enable_index_bool_norm", r11))
+          .toDF("step", "result").orderBy(col("step"))
+      } finally saved.foreach {
+        case (k, Some(v)) => ds.conf.set(k, v)
+        case (k, None) => ds.conf.unset(k)
+      }
+    }),
+
     // --- SQL-text CREATE INDEX / VACUUM (finalize.sql:714,
     //     am.rs:135-244 — the reference's entire index lifecycle is SQL
     //     DDL; round 10 closes the one surface a SQL-only user couldn't
@@ -1355,6 +1425,22 @@ object LifecycleQueries {
           FROM embeddings e
           CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
           ORDER BY dist, vec_id LIMIT 100""",
+
+    // compact_var.slt's printed SHOW values, verbatim
+    "q_pgvector_gucs" ->
+      """SELECT * FROM (VALUES
+           ('s01_compat_off_probes_inert', '10'),
+           ('s02_show_foreign_storage', '40'),
+           ('s03_compat_off_ef_inert', '100'),
+           ('s04_compat_on_probes_maps', '50'),
+           ('s05_compat_on_ef_maps', '500'),
+           ('s06_vectors_nprobe_native', '60'),
+           ('s07_show_probes_shared', '60'),
+           ('s08_vectors_ef_native', '600'),
+           ('s09_show_ef_shared', '600'),
+           ('s10_search_mode_maps', 'basic'),
+           ('s11_enable_index_bool_norm', 'true')
+         ) AS t(step, result) ORDER BY step""",
 
     // the SQL-created artifact indexes the 200-row admin fixture (a
     // vec_id < 200 slice of embeddings); exact search == brute force

@@ -424,7 +424,7 @@ object TypeQueries {
       """SELECT c_custkey,
          (CAST(c_nationkey AS DOUBLE) - 12) * (CAST(c_nationkey AS DOUBLE) - 12)
            + (CAST(c_custkey % 100 AS DOUBLE) - 50) * (CAST(c_custkey % 100 AS DOUBLE) - 50) AS dist,
-         '[' || CAST(c_nationkey AS VARCHAR) || '.0, ' || CAST(c_custkey % 100 AS VARCHAR) || '.0]' AS txt
+         '[' || CAST(c_nationkey AS VARCHAR) || ', ' || CAST(c_custkey % 100 AS VARCHAR) || ']' AS txt
          FROM customer ORDER BY c_custkey""",
 
     "q_vecf16_arith" ->
@@ -546,10 +546,10 @@ object TypeQueries {
          (CAST(c_nationkey AS DOUBLE) - 12) * (CAST(c_nationkey AS DOUBLE) - 12)
            + (CAST(c_custkey % 100 AS DOUBLE) - 50) * (CAST(c_custkey % 100 AS DOUBLE) - 50) AS dist,
          -(CAST(c_nationkey AS DOUBLE) * 12 + CAST(c_custkey % 100 AS DOUBLE) * 50) + 0 AS nd,
-         '[' || CAST(c_nationkey AS VARCHAR) || '.0, ' || CAST(c_custkey % 100 AS VARCHAR) || '.0]' AS txt,
+         '[' || CAST(c_nationkey AS VARCHAR) || ', ' || CAST(c_custkey % 100 AS VARCHAR) || ']' AS txt,
          '[0.39990234, 1.7001953]' AS rounded,
-         '[4.0, 10.0, 18.0]' AS f16_mul,
-         '[5.0, 7.0, 9.0]' AS f16_add
+         '[4, 10, 18]' AS f16_mul,
+         '[5, 7, 9]' AS f16_add
          FROM customer ORDER BY c_custkey"""
   )
 }

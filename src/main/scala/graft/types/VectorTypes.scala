@@ -119,8 +119,34 @@ object VectorText {
     out
   }
 
+  /** One f32 the way the reference prints it (Rust `{}` Display,
+    * src/datatype/text_vecf32.rs -> f32's shortest-roundtrip Display):
+    * fewest digits that parse back to the same f32, plain decimal
+    * (never exponent notation — 9.00004e10f prints 90000400000),
+    * integral values without a fractional part. Java 17's
+    * Float.toString supplies the shortest digit string; BigDecimal
+    * expands the exponent form losslessly. */
+  def formatFloat(f: Float): String = {
+    if (java.lang.Float.isNaN(f)) "NaN"
+    else if (java.lang.Float.isInfinite(f)) (if (f > 0) "inf" else "-inf")
+    else {
+      val s = java.lang.Float.toString(f)
+      if (s.indexOf('E') < 0) {
+        if (s.endsWith(".0")) s.substring(0, s.length - 2) else s
+      } else {
+        val plain = new java.math.BigDecimal(s).toPlainString
+        if (plain.indexOf('.') >= 0) {
+          var e = plain.length
+          while (e > 0 && plain.charAt(e - 1) == '0') e -= 1
+          if (e > 0 && plain.charAt(e - 1) == '.') e -= 1
+          plain.substring(0, e)
+        } else plain
+      }
+    }
+  }
+
   def formatDense(v: Array[Float]): String =
-    v.mkString("[", ", ", "]")
+    v.map(formatFloat).mkString("[", ", ", "]")
 
   /** Parse `'{i:v, ...}/dims'`. Sorts by index, rejects duplicates and
     * out-of-bounds indexes, drops zero values (reference semantics). */
@@ -156,7 +182,8 @@ object VectorText {
   }
 
   def formatSparse(dims: Int, indexes: Array[Int], values: Array[Float]): String = {
-    val body = indexes.zip(values).map { case (i, v) => s"$i:$v" }.mkString(", ")
+    val body = indexes.zip(values)
+      .map { case (i, v) => s"$i:${formatFloat(v)}" }.mkString(", ")
     s"{$body}/$dims"
   }
 

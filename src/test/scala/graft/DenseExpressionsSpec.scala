@@ -52,7 +52,7 @@ class DenseExpressionsSpec extends SparkSpec {
     val v = df.select(parseVector($"s")).as[Array[Float]].head()
     assert(v.toSeq == Seq(1f, 2.5f, -3f))
     val s = df.select(formatVector(parseVector($"s"))).as[String].head()
-    assert(s == "[1.0, 2.5, -3.0]")
+    assert(s == "[1, 2.5, -3]") // reference Display: integral f32 prints bare
   }
 
   test("cast.slt literal edge cases") {

@@ -1,0 +1,94 @@
+package graft
+
+import graft.index.Gucs
+
+/** compact_var.slt conformance: reference GUC spellings in SQL text and
+  * the pgvector-compatibility aliasing contract (compatibility.rs:7-59;
+  * default OFF, planning.rs:15).
+  *
+  * Conf mutations run on a FRESH `newSession()` (same extensions —
+  * the injected parser carries over — but an isolated runtime SQLConf):
+  * suites share one context and run in parallel, so asserting the
+  * SHARED session's conf absence races with sibling suites'
+  * set/restore windows (observed: ann.nprobe=10 mid-flight). */
+class GucsSpec extends SparkSpec {
+
+  test("compact_var.slt: SET-time name swap, compat-gated, shared storage") {
+    val ds = spark.newSession()
+    ds.sql("SET vectors.pgvector_compatibility=off")
+    assert(!Gucs.pgvectorCompat(ds))
+    ds.sql("SET ivfflat.probes=40")
+    // off: the pgvector spelling is an inert foreign key
+    assert(ds.conf.getOption("spark.graft.ann.nprobe").isEmpty)
+    assert(ds.conf.get("ivfflat.probes") === "40")
+    ds.sql("SET hnsw.ef_search=400")
+    assert(ds.conf.getOption("spark.graft.hnsw.efSearch").isEmpty)
+    ds.sql("SET vectors.pgvector_compatibility=on")
+    assert(Gucs.pgvectorCompat(ds))
+    ds.sql("SET ivfflat.probes=50")
+    assert(ds.conf.get("spark.graft.ann.nprobe") === "50")
+    ds.sql("SET vectors.ivf_nprobe=60")
+    assert(ds.conf.get("spark.graft.ann.nprobe") === "60")
+    // the bare SET read form IS the reference's SHOW: shared storage
+    val shown = ds.sql("SET ivfflat.probes").head()
+    assert(shown.getString(0) === "spark.graft.ann.nprobe")
+    assert(shown.getString(1) === "60")
+    ds.sql("SET vectors.hnsw_ef_search=600")
+    assert(ds.sql("SET hnsw.ef_search").head().getString(1) === "600")
+  }
+
+  test("vectors.* GUCs always map; bool values normalize from on/off") {
+    val ds = spark.newSession()
+    ds.sql("SET vectors.search_mode=basic")
+    assert(ds.conf.get("spark.graft.search.mode") === "basic")
+    ds.sql("SET vectors.enable_index=on")
+    assert(ds.conf.get("spark.graft.ann.enabled") === "true")
+    ds.sql("SET vectors.enable_index=off")
+    assert(ds.conf.get("spark.graft.ann.enabled") === "false")
+  }
+
+  test("conf-layer alias (programmatic spark.conf.set) is compat-gated") {
+    val ds = spark.newSession()
+    ds.conf.set(Gucs.CompatKey, "off")
+    ds.conf.set("spark.graft.ivfflat.probes", "40")
+    assert(Gucs.alias(ds, "spark.graft.ivfflat.probes").isEmpty)
+    ds.conf.set(Gucs.CompatKey, "on")
+    assert(Gucs.alias(ds, "spark.graft.ivfflat.probes").contains("40"))
+  }
+
+  test("q_pgvector_gucs gate replays compact_var.slt's printed values") {
+    val Touched = Seq(Gucs.CompatKey, "spark.graft.ann.nprobe",
+      "spark.graft.hnsw.efSearch", "spark.graft.search.mode",
+      "spark.graft.ann.enabled", "ivfflat.probes", "hnsw.ef_search")
+    val before = Touched.map(k => k -> spark.conf.getOption(k))
+    val df = SparkEntry.queries("q_pgvector_gucs")(spark, sf001)
+    val got = df.collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(got === Seq(
+      ("s01_compat_off_probes_inert", "10"),
+      ("s02_show_foreign_storage", "40"),
+      ("s03_compat_off_ef_inert", "100"),
+      ("s04_compat_on_probes_maps", "50"),
+      ("s05_compat_on_ef_maps", "500"),
+      ("s06_vectors_nprobe_native", "60"),
+      ("s07_show_probes_shared", "60"),
+      ("s08_vectors_ef_native", "600"),
+      ("s09_show_ef_shared", "600"),
+      ("s10_search_mode_maps", "basic"),
+      ("s11_enable_index_bool_norm", "true")))
+    // the gate runs on its own newSession: the caller's confs untouched
+    assert(Touched.map(k => k -> spark.conf.getOption(k)) === before)
+  }
+
+  test("rewriteSet leaves non-GUC SETs and other statements untouched") {
+    assert(Gucs.rewriteSet("SET spark.sql.shuffle.partitions=7") ===
+      "SET spark.sql.shuffle.partitions=7")
+    assert(Gucs.rewriteSet("SET search_path TO pg_temp, vectors;") ===
+      "SET search_path TO pg_temp, vectors;")
+    assert(Gucs.rewriteSet("SELECT 1") === "SELECT 1")
+    assert(Gucs.rewriteSet(
+      "ALTER VECTOR INDEX foo SET (nprobe = 4)") ===
+      "ALTER VECTOR INDEX foo SET (nprobe = 4)")
+    assert(Gucs.rewriteSet("SET vectors.ivf_nprobe = 12") ===
+      "SET spark.graft.ann.nprobe=12")
+  }
+}

@@ -115,6 +115,83 @@ class SltConformanceSpec extends SparkSpec {
     assert(spark.sql("SELECT array(7, 8, 9)[1]").head().getInt(0) === 8)
   }
 
+  test("vector/svector/vecf16_subscript.slt: NULL bounds, re-based sparse, f16") {
+    val v = "('[0, 1, 2, 3, 4, 5, 6, 7]'::vector)"
+    assert(spark.sql(s"SELECT $v[3:6]").head().getSeq[Float](0) ===
+      Seq(3f, 4f, 5f))
+    // any NULL bound NULLs the slice (never an analysis error)
+    for (sub <- Seq("[NULL:NULL]", "[NULL:8]", "[1:NULL]", "[NULL:]", "[:NULL]"))
+      assert(spark.sql(s"SELECT $v$sub").head().isNullAt(0),
+        s"$sub must be NULL")
+    // sparse slices re-base indexes against the new dims
+    def sfmt(sql: String): String =
+      spark.sql(s"SELECT format_svector(($sql))").head().getString(0)
+    val sv = "('{1:1, 2:2, 3:3, 4:4, 5:5, 6:6, 7:7}/8'::svector)"
+    assert(sfmt(s"$sv[3:6]") === "{0:3, 1:4, 2:5}/3")
+    assert(sfmt(s"$sv[:4]") === "{1:1, 2:2, 3:3}/4")
+    assert(sfmt(s"$sv[5:]") === "{0:5, 1:6, 2:7}/3")
+    assert(spark.sql(s"SELECT $sv[NULL:]").head().isNullAt(0))
+    // vecf16 surface slices through the dense arm (f32 storage of
+    // f16-rounded values); the bits form slices bit-exactly too
+    assert(spark.sql("SELECT ('[0, 1, 2, 3, 4, 5, 6, 7]'::vecf16)[3:6]")
+      .head().getSeq[Float](0) === Seq(3f, 4f, 5f))
+    assert(spark.sql(
+      "SELECT f16_to_vector(graft_slice(to_f16_bits(parse_vector('[0,1,2,3]')), 1, 3))")
+      .head().getSeq[Float](0) === Seq(1f, 2f))
+  }
+
+  test("pushdown_range.slt: table-bound operator + sphere queries, printed values") {
+    // the slt's 4-row, 4-type fixture (CREATE INDEX lines skipped —
+    // the printed answers are index-independent); values compare as
+    // the reference's OWN printed text now that the formatters carry
+    // Rust-Display parity
+    spark.sql(
+      """SELECT * FROM VALUES
+           ('[0.1, 0.1, 0.1]', '[0.1, 0.1, 0.1]', '{0:-0.1, 1:0.1, 2:0.1}/3', '[0, 0, 0]'),
+           ('[0.2, 0.2, 0.2]', '[-0.2, 0.2, 0.2]', '{0:0.2, 1:-0.2, 2:0.2}/3', '[0, 0, 1]'),
+           ('[0.3, 0.3, 0.3]', '[0.3, 0.3, -0.3]', '{0:-0.3, 1:0.3, 2:-0.3}/3', '[1, 1, 0]'),
+           ('[0.4, 0.4, 0.4]', '[0.4, -0.4, 0.4]', '{0:-0.4, 1:-0.4, 2:-0.4}/3', '[1, 1, 1]')
+           AS v(s0, s1, s2, s3)""")
+      .selectExpr("s0::vector AS val0", "s1::vecf16 AS val1",
+        "s2::svector AS val2", "s3::bvector AS val3")
+      .createOrReplaceTempView("slt_range_t")
+    // original style + sphere style: project through the formatter so
+    // the assertion text is the slt's own printed column
+    def col0(sql: String): Seq[String] = spark.sql(sql.replace(
+      "SELECT val0", "SELECT format_vector(val0)")).collect().toSeq.map(_.getString(0))
+    def col1(sql: String): Seq[String] = spark.sql(sql.replace(
+      "SELECT val1", "SELECT format_vector(val1)")).collect().toSeq.map(_.getString(0))
+    def col2(sql: String): Seq[String] = spark.sql(sql.replace(
+      "SELECT val2", "SELECT format_svector(val2)")).collect().toSeq.map(_.getString(0))
+    def col3(sql: String): Seq[String] = spark.sql(sql.replace(
+      "SELECT val3", "SELECT format_bvector(val3)")).collect().toSeq.map(_.getString(0))
+    assert(col0("SELECT val0 FROM slt_range_t WHERE val0 <-> '[0.24, 0.24, 0.24]' < 0.012 ORDER BY val0 <-> '[0.24, 0.24, 0.24]'") ===
+      Seq("[0.2, 0.2, 0.2]", "[0.3, 0.3, 0.3]"))
+    assert(col0("SELECT val0 FROM slt_range_t WHERE val0 <<->> sphere('[0.24, 0.24, 0.24]'::vector, 0.012) ORDER BY val0 <-> '[0.24, 0.24, 0.24]'") ===
+      Seq("[0.2, 0.2, 0.2]", "[0.3, 0.3, 0.3]"))
+    assert(col1("SELECT val1 FROM slt_range_t WHERE val1 <#> '[0.24, -0.24, 0.24]' < 0 ORDER BY val1 <#> '[0.24, -0.24, 0.24]'") ===
+      Seq("[0.39990234, -0.39990234, 0.39990234]",
+        "[0.099975586, 0.099975586, 0.099975586]"))
+    assert(col1("SELECT val1 FROM slt_range_t WHERE val1 <<#>> sphere('[0.24, -0.24, 0.24]'::vecf16, 0) ORDER BY val1 <#> '[0.24, -0.24, 0.24]'") ===
+      Seq("[0.39990234, -0.39990234, 0.39990234]",
+        "[0.099975586, 0.099975586, 0.099975586]"))
+    assert(col2("SELECT val2 FROM slt_range_t WHERE val2 <=> '{0:0.12, 1:0.24, 2:0.36}/3' < 1 ORDER BY val2 <=> '{0:0.12, 1:0.24, 2:0.36}/3'") ===
+      Seq("{0:-0.1, 1:0.1, 2:0.1}/3", "{0:0.2, 1:-0.2, 2:0.2}/3"))
+    assert(col2("SELECT val2 FROM slt_range_t WHERE val2 <<=>> sphere('{0:0.12, 1:0.24, 2:0.36}/3'::svector, 1) ORDER BY val2 <=> '{0:0.12, 1:0.24, 2:0.36}/3'") ===
+      Seq("{0:-0.1, 1:0.1, 2:0.1}/3", "{0:0.2, 1:-0.2, 2:0.2}/3"))
+    assert(col3("SELECT val3 FROM slt_range_t WHERE val3 <~> '[1, 1, 1]' <= 0.4 ORDER BY val3 <~> '[1, 1, 1]'") ===
+      Seq("[1, 1, 1]", "[1, 1, 0]"))
+    assert(col3("SELECT val3 FROM slt_range_t WHERE val3 <<~>> sphere('[1, 1, 1]'::bvector, 0.4) ORDER BY val3 <~> '[1, 1, 1]'") ===
+      Seq("[1, 1, 1]", "[1, 1, 0]"))
+    // multiple sphere keys, and order-by on a DIFFERENT column's operator
+    assert(col0("SELECT val0 FROM slt_range_t WHERE val0 <<->> sphere('[0.24, 0.24, 0.24]'::vector, 0.012) AND val1 <<#>> sphere('[0.24, -0.24, 0.24]'::vecf16, 0.05) ORDER BY val0 <-> '[0.24, 0.24, 0.24]'") ===
+      Seq("[0.2, 0.2, 0.2]"))
+    // the sphere keeps 0.2 and 0.3; val1 negdot orders 0.3 first
+    // (val1 row3 = [0.3, 0.3, -0.3] -> dot 0.9 -> -0.9 < row2's 0.2)
+    assert(col0("SELECT val0 FROM slt_range_t WHERE val0 <<->> sphere('[0.24, 0.24, 0.24]'::vector, 0.012) ORDER BY val1 <#> '[1, 1, -1]'") ===
+      Seq("[0.3, 0.3, 0.3]", "[0.2, 0.2, 0.2]"))
+  }
+
   test("cast.slt / finalize.sql cast matrix: cross-type :: casts") {
     // string literal casts (cast.slt) and vector<->vector conversions
     // (finalize.sql CREATE CAST set) through the same :: spelling

@@ -88,7 +88,7 @@ class SqlSurfaceSpec extends SparkSpec {
            SELECT parse_svector('{0:1, 1:2, 2:3}/3') AS v
            UNION ALL SELECT parse_svector('{0:-1, 1:2, 2:-3}/3'))""")
       .head().getString(0)
-    assert(agg == "{1:2.0}/3")
+    assert(agg == "{1:2}/3") // reference Display: integral f32 prints bare
     // unsupported input type is an analysis error
     val err = intercept[Exception](
       spark.sql("SELECT vector_dims('not a vector')").head())

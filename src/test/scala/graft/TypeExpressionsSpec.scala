@@ -26,12 +26,12 @@ class TypeExpressionsSpec extends SparkSpec {
     val two = Seq("{0:1, 1:2, 2:3}/3", "{0:-1, 1:2, 2:-3}/3").toDF("s")
       .select(parseSVector($"s").as("v"))
     assert(two.agg(formatSVector(svecAvgAgg($"v", 3))).as[String].head()
-      == "{1:2.0}/3")
+      == "{1:2}/3")
     // NULL rows are skipped, not counted in the divisor
     val withNull = Seq(Some("{0:1, 1:2, 2:3}/3"), None).toDF("s")
       .select(when($"s".isNotNull, parseSVector($"s")).as("v"))
     assert(withNull.agg(formatSVector(svecAvgAgg($"v", 3))).as[String].head()
-      == "{0:1.0, 1:2.0, 2:3.0}/3")
+      == "{0:1, 1:2, 2:3}/3")
     // empty input aggregates to NULL
     val empty = Seq.empty[String].toDF("s").select(parseSVector($"s").as("v"))
     assert(empty.agg(svecAvgAgg($"v", 3)).head().isNullAt(0))
@@ -41,10 +41,10 @@ class TypeExpressionsSpec extends SparkSpec {
   test("svector arithmetic: mul keeps intersection, add drops produced zeros") {
     val mul = one.select(formatSVector(
       svecMul(sv("{0:1, 2:3}/5"), sv("{2:2, 4:2}/5")))).as[String].head()
-    assert(mul == "{2:6.0}/5")
+    assert(mul == "{2:6}/5")
     val add = one.select(formatSVector(
       svecAdd(sv("{0:1, 2:-2}/5"), sv("{2:2, 4:5}/5")))).as[String].head()
-    assert(add == "{0:1.0, 4:5.0}/5") // index 2: -2+2 = 0 dropped
+    assert(add == "{0:1, 4:5}/5") // index 2: -2+2 = 0 dropped
   }
 
   test("svector dims mismatch errors") {
@@ -97,7 +97,7 @@ class TypeExpressionsSpec extends SparkSpec {
   test("svec slice re-bases indexes") {
     val s = one.select(formatSVector(
       svecSlice(sv("{1:5, 3:7}/6"), lit(1), lit(4)))).as[String].head()
-    assert(s == "{0:5.0, 2:7.0}/3")
+    assert(s == "{0:5, 2:7}/3")
   }
 
   test("lexicographic compare incl. shorter-prefix-less") {
@@ -127,7 +127,7 @@ class TypeExpressionsSpec extends SparkSpec {
   test("to_svector sorts and validates") {
     val s = one.select(formatSVector(toSVector(lit(10),
       array(lit(5), lit(1)), array(lit(2.0f), lit(3.0f))))).as[String].head()
-    assert(s == "{1:3.0, 5:2.0}/10")
+    assert(s == "{1:3, 5:2}/10")
     intercept[Exception] {
       one.select(toSVector(lit(10), array(lit(1), lit(1)),
         array(lit(1.0f), lit(2.0f)))).collect()
