@@ -113,6 +113,52 @@ object GraftSqlParser {
     ("""(?is)\s*VACUUM\s+VECTOR\s+INDEX\s+""" + s"($Ident)" +
       """\s*;?\s*""").r
 
+  // ---- the reference's NATIVE Postgres spellings (round 13: every slt
+  // file drives the lifecycle as plain CREATE INDEX / DROP INDEX /
+  // REINDEX INDEX / VACUUM — a pgvecto.rs user ports these verbatim) ----
+
+  // CREATE INDEX [CONCURRENTLY] [IF NOT EXISTS] [name] ON [ONLY] <target>
+  //   USING <am> ( <col> [[schema.]opclass] )
+  //   [WITH (reloptions — incl. options = "TOML" | $$TOML$$ | 'TOML')]
+  //   [WHERE pred]
+  // The WITH body admits $$-quoted multi-line TOML spans; claimed only
+  // for the vector access methods / the two-ident (col opclass) column
+  // shape — Spark's own DSv2 CREATE INDEX grammar never parses those,
+  // and non-vector single-column forms delegate untouched.
+  private val CreatePgRe =
+    ("""(?is)\s*CREATE\s+INDEX\s+(?:CONCURRENTLY\s+)?""" +
+      """(?:(IF\s+NOT\s+EXISTS)\s+)?""" +
+      s"(?:($Ident)\\s+)?" +
+      """ON\s+(?:ONLY\s+)?(?:'([^']+)'|(""" + s"$Ident(?:\\.$Ident)*" +
+      """))\s+USING\s+""" + s"($Ident)" +
+      """\s*\(\s*""" + s"($Ident)" +
+      """(?:\s+(?:""" + s"$Ident" + """\.)?(""" + s"$Ident" + """))?\s*\)""" +
+      """(?:\s+WITH\s*\(((?:\$\$.*?\$\$|"[^"]*"|'[^']*'|[^)"'])*)\))?""" +
+      """(?:\s+WHERE\s+(.+?))?\s*;?\s*""").r
+
+  // DROP INDEX [CONCURRENTLY] [IF EXISTS] name[, name ...]
+  // (never matches Spark's own `DROP INDEX ident ON table` — the ON
+  // clause fails the full-match)
+  private val DropIndexRe =
+    ("""(?is)\s*DROP\s+INDEX\s+(?:CONCURRENTLY\s+)?""" +
+      """(?:(IF\s+EXISTS)\s+)?""" +
+      s"($Ident(?:\\s*,\\s*$Ident)*)" + """\s*;?\s*""").r
+
+  // REINDEX INDEX [CONCURRENTLY] name (reindex.slt) — blocking and
+  // CONCURRENTLY collapse: builds here never block readers
+  private val ReindexIndexRe =
+    ("""(?is)\s*REINDEX\s+INDEX\s+(?:CONCURRENTLY\s+)?""" + s"($Ident)" +
+      """\s*;?\s*""").r
+
+  // VACUUM [FULL] [<table>] (index_vacuum.slt: `VACUUM FULL;`):
+  // FULL rebuilds every SQL-recipe vector index (scoped to the table's
+  // resolved location when given); plain VACUUM is a no-op success —
+  // Postgres plain vacuum never rebuilds indexes, and tombstone
+  // visibility here is versioned, not dead-tuple-based.
+  private val VacuumTableRe =
+    ("""(?is)\s*VACUUM(?:\s+(FULL))?(?:\s+(?:'([^']+)'|(""" +
+      s"$Ident(?:\\.$Ident)*" + """)))?\s*;?\s*""").r
+
   private val ExplainRe =
     """(?is)\s*EXPLAIN(?:\s+(EXTENDED|CODEGEN|COST|FORMATTED))?\s+(.*)""".r
 
@@ -147,6 +193,54 @@ object GraftSqlParser {
     }.mkString(",")
   }
 
+  /** A PG `WITH (...)` reloption body → (key -> raw unquoted value):
+    * top-level commas split outside '…', "…" and $$…$$ spans; values
+    * strip one layer of whichever quoting they carry. The reference
+    * spells its TOML options as `options = "[indexing.hnsw]"` or a
+    * dollar-quoted multi-line block (ivf.slt). */
+  private[index] def pgWithPairs(body: String): Map[String, String] = {
+    val s = Option(body).getOrElse("").trim
+    if (s.isEmpty) return Map.empty
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var i = 0; var inS = false; var inD = false; var inDollar = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inDollar) {
+        if (c == '$' && i + 1 < s.length && s.charAt(i + 1) == '$') {
+          inDollar = false; cur.append("$$"); i += 2
+        } else { cur.append(c); i += 1 }
+      } else if (inS) { if (c == '\'') inS = false; cur.append(c); i += 1 }
+      else if (inD) { if (c == '"') inD = false; cur.append(c); i += 1 }
+      else c match {
+        case '\'' => inS = true; cur.append(c); i += 1
+        case '"' => inD = true; cur.append(c); i += 1
+        case '$' if i + 1 < s.length && s.charAt(i + 1) == '$' =>
+          inDollar = true; cur.append("$$"); i += 2
+        case ',' => parts += cur.toString; cur.clear(); i += 1
+        case _ => cur.append(c); i += 1
+      }
+    }
+    parts += cur.toString
+    parts.filter(_.trim.nonEmpty).map { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v0) =>
+          val v = v0.trim
+          val unq =
+            if (v.startsWith("$$") && v.endsWith("$$") && v.length >= 4)
+              v.substring(2, v.length - 2)
+            else if (v.length >= 2 &&
+                ((v.head == '\'' && v.last == '\'') ||
+                  (v.head == '"' && v.last == '"')))
+              v.substring(1, v.length - 1)
+            else v
+          k.trim.toLowerCase -> unq
+        case _ => throw new IllegalArgumentException(
+          s"malformed WITH option '$kv' (expected key = value)")
+      }
+    }.toMap
+  }
+
   /** Try the vector-DDL grammar; None → not ours, delegate. Statement
     * recognition is all that happens at parse time — the catalog work
     * lives in the commands' run(), the execute-once contract. */
@@ -175,6 +269,30 @@ object GraftSqlParser {
       case AlterResetRe(name, keys) =>
         Some(AlterResetVectorIndexCommand(name,
           keys.split(",").map(_.trim).toSeq))
+      // the reference's native PG spellings — claimed only for the
+      // vector AMs or the (col opclass) two-ident column shape (which
+      // Spark's own DSv2 CREATE INDEX grammar never parses); other
+      // CREATE INDEX statements delegate untouched
+      case CreatePgRe(ifNot, name, path, table, am, col, opclass, withBody,
+          where)
+          if Set("vectors", "hnsw", "ivfflat")(am.toLowerCase) ||
+            opclass != null =>
+        Some(CreatePgIndexCommand(Option(name),
+          Option(path).getOrElse(table), sourceIsTable = path == null,
+          am = am, col = col, opclassOpt = Option(opclass),
+          withBody = Option(withBody).getOrElse(""),
+          where = Option(where)
+            .map(_.replaceAll("[\\u0000-\\u001f]+", " ").trim)
+            .getOrElse(""),
+          ifNotExists = ifNot != null))
+      case DropIndexRe(ifExists, names) =>
+        Some(DropPgIndexCommand(
+          names.split(",").map(_.trim).toSeq, ifExists = ifExists != null))
+      case ReindexIndexRe(name) =>
+        Some(ReindexIndexCommand(name))
+      case VacuumTableRe(full, path, table) =>
+        Some(VacuumTableCommand(full != null,
+          Option(path).orElse(Option(table)), isPath = path != null))
       case ExplainRe(mode, inner) =>
         // EXPLAIN <vector ddl>: plan the command, wrap it — the
         // RunnableCommand body never runs under ExplainCommand
@@ -187,6 +305,31 @@ object GraftSqlParser {
   /** Is the vector-DDL grammar live on this session's parser? */
   def installed(spark: SparkSession): Boolean =
     spark.sessionState.sqlParser.isInstanceOf[GraftSqlParser]
+
+  /** The shared DROP body (DROP VECTOR INDEX and the PG DROP INDEX
+    * spelling): retire the planner claim by NAME, drop the artifact,
+    * lift any shadow this registration held over same-source
+    * survivors. */
+  private[index] def dropOne(spark: SparkSession, name: String,
+      ifExists: Boolean): String = {
+    val m = IndexCatalog.load(spark, name)
+    if (m.isEmpty && !ifExists)
+      throw new IllegalArgumentException(s"no such index: $name")
+    m.foreach { man =>
+      // drop the planner's view of the index too — by NAME identity:
+      // a (metric, conjuncts) match would deregister a surviving
+      // same-metric index whose registration replaced this one's, and
+      // partial entries would need the source alive to re-canonicalize
+      graft.plans.AnnPushdown.unregisterNamed(man.source, name)
+      IndexCatalog.drop(spark, name)
+      // ...and surviving same-source indexes whose claims THIS index's
+      // registration had replaced come back (register keys on
+      // (metric, conjuncts), so the newest same-metric create shadows
+      // older ones — the shadow must lift when it drops)
+      SqlDdl.reregisterSource(spark, man.source, excluding = name)
+    }
+    if (m.isDefined) "ok" else "skipped"
+  }
 }
 
 private[index] trait VectorIndexCommand extends LeafRunnableCommand {
@@ -333,23 +476,174 @@ case class AlterResetVectorIndexCommand(name: String,
   * Postgres DROP INDEX contract. */
 case class DropVectorIndexCommand(name: String, ifExists: Boolean)
     extends VectorIndexCommand {
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(GraftSqlParser.dropOne(spark, name, ifExists)))
+}
+
+/** The reference's native `CREATE INDEX ... USING vectors (col opclass)
+  * WITH (options = "<TOML>")` spelling (src/index/am.rs:135-244; every
+  * sqllogictest file), plus the pgvector-compatibility
+  * `USING hnsw/ivfflat (col ops) WITH (m=…, lists=…)` forms
+  * (compact_stmt.slt) — all mapped onto [[SqlDdl.create]]:
+  *
+  *  - `USING hnsw` / `USING ivfflat` exist only while
+  *    `vectors.pgvector_compatibility` is on (compatibility.rs:9-11 —
+  *    the utility-hook swap is skipped otherwise and PG then reports
+  *    the AM unknown); the swap maps them to the native AM with the
+  *    `[indexing.*]` selection, so opclass errors cite "vectors", the
+  *    reference's own message shape.
+  *  - An ANONYMOUS create generates the PG name `<table>_<col>_idx`,
+  *    uniquified with a numeric suffix unless an existing index of that
+  *    name carries the IDENTICAL recipe (then create is the idempotent
+  *    ensure — re-running an slt file doesn't accrete indexes).
+  *  - The reference indexes heap TIDs; a path-based catalog needs an id
+  *    COLUMN: `WITH (id_col = '…')` wins, else a column named `id`,
+  *    else the first atomic-typed non-vector column of the schema —
+  *    resolved at RUN time, documented divergence (SURVEY §2.0).
+  */
+case class CreatePgIndexCommand(nameOpt: Option[String], source: String,
+    sourceIsTable: Boolean, am: String, col: String,
+    opclassOpt: Option[String], withBody: String, where: String,
+    ifNotExists: Boolean) extends VectorIndexCommand {
+
   override def run(spark: SparkSession): Seq[Row] = {
-    val m = IndexCatalog.load(spark, name)
-    if (m.isEmpty && !ifExists)
-      throw new IllegalArgumentException(s"no such index: $name")
-    m.foreach { man =>
-      // drop the planner's view of the index too — by NAME identity:
-      // a (metric, conjuncts) match would deregister a surviving
-      // same-metric index whose registration replaced this one's, and
-      // partial entries would need the source alive to re-canonicalize
-      graft.plans.AnnPushdown.unregisterNamed(man.source, name)
-      IndexCatalog.drop(spark, name)
-      // ...and surviving same-source indexes whose claims THIS index's
-      // registration had replaced come back (register keys on
-      // (metric, conjuncts), so the newest same-metric create shadows
-      // older ones — the shadow must lift when it drops)
-      SqlDdl.reregisterSource(spark, man.source, excluding = name)
+    val amLc = am.toLowerCase
+    if ((amLc == "hnsw" || amLc == "ivfflat") && !Gucs.pgvectorCompat(spark))
+      throw new IllegalArgumentException(
+        s"""access method "$amLc" does not exist""")
+    if (!Set("vectors", "hnsw", "ivfflat")(amLc))
+      throw new IllegalArgumentException(
+        s"""access method "$am" does not exist""")
+    val pairs = GraftSqlParser.pgWithPairs(withBody)
+    val idColOpt = pairs.get("id_col")
+    val rel = pairs - "id_col"
+    val (amEff, reloptStr) = amLc match {
+      case "vectors" =>
+        val bad = rel.keySet - "options"
+        require(bad.isEmpty, s"unknown reloption `${bad.toSeq.sorted.head}` " +
+          "for access method vectors (expected options [, id_col])")
+        ("vectors",
+          IndexToml.toReloptions(IndexToml.parse(rel.getOrElse("options", ""))))
+      case "hnsw" =>
+        val bad = rel.keySet -- Set("m", "ef_construction")
+        require(bad.isEmpty, s"unknown reloption `${bad.toSeq.sorted.head}` " +
+          "for access method hnsw (expected m, ef_construction [, id_col])")
+        ("vectors", (Seq("indexing" -> "hnsw") ++ rel.toSeq.sortBy(_._1))
+          .map { case (k, v) => s"$k=$v" }.mkString(","))
+      case "ivfflat" =>
+        val bad = rel.keySet - "lists"
+        require(bad.isEmpty, s"unknown reloption `${bad.toSeq.sorted.head}` " +
+          "for access method ivfflat (expected lists [, id_col])")
+        ("vectors", (Seq("indexing" -> "ivf") ++ rel.toSeq.sortBy(_._1))
+          .map { case (k, v) => s"$k=$v" }.mkString(","))
     }
-    Seq(Row(if (m.isDefined) "ok" else "skipped"))
+    val opclass = opclassOpt.getOrElse("vector_l2_ops")
+    IndexOptions.opclass(opclass, amEff) // errors cite the post-swap AM
+    val resolved =
+      if (sourceIsTable)
+        CreateVectorIndexCommand.resolveTableLocation(spark, source)
+      else source
+    val idCol = idColOpt.getOrElse(
+      CreatePgIndexCommand.resolveIdColumn(spark, resolved, col))
+    val recipeOf = (n: String) => IndexCatalog.load(spark, n).map(m =>
+      (m.source, m.params.getOrElse("sql_cols", ""),
+        m.params.getOrElse("sql_am", ""), m.params.getOrElse("sql_opclass", ""),
+        m.params.getOrElse("sql_options", ""),
+        m.params.getOrElse("sql_where", "")))
+    val target = (resolved, s"$idCol,$col", amEff, opclass, reloptStr,
+      where.trim)
+    val name = nameOpt.getOrElse {
+      val base = {
+        val last =
+          if (sourceIsTable) source.split("\\.").last
+          else source.split("/").last.replaceAll("\\.[A-Za-z0-9]+$", "")
+        (last.replaceAll("[^A-Za-z0-9_]", "_") + s"_${col}_idx")
+          .replaceAll("^_+", "")
+      }
+      // PG-style uniquification: the bare name, then base1, base2, …;
+      // an existing name with the IDENTICAL recipe is reused (create is
+      // then the idempotent ensure)
+      (Iterator(base) ++ Iterator.from(1).map(i => s"$base$i"))
+        .take(1000)
+        .find(n => recipeOf(n).forall(_ == target))
+        .getOrElse(throw new IllegalStateException(
+          s"could not generate a free index name from $base"))
+    }
+    if (ifNotExists && IndexCatalog.load(spark, name).isDefined) {
+      SqlDdl.registerFromRecipe(spark, name)
+      Seq(Row("exists"))
+    } else Seq(Row(SqlDdl.create(spark, name, resolved, idCol, col, amEff,
+      opclass, reloptStr, where)))
+  }
+}
+
+object CreatePgIndexCommand {
+  /** The heap-TID analog: prefer a column literally named `id`, else
+    * the FIRST atomic-typed (int/long/short/string) column that is not
+    * the vector column. Metadata-only (one schema read). */
+  private[index] def resolveIdColumn(spark: SparkSession, path: String,
+      vecCol: String): String = {
+    import org.apache.spark.sql.types.{IntegerType, LongType, ShortType, StringType}
+    val schema = spark.read.parquet(path).schema
+    schema.fields.find(_.name == "id").map(_.name)
+      .orElse(schema.fields.find(f => f.name != vecCol &&
+        Set[org.apache.spark.sql.types.DataType](IntegerType, LongType,
+          ShortType, StringType).contains(f.dataType)).map(_.name))
+      .getOrElse(throw new IllegalArgumentException(
+        s"cannot infer an id column for $path (no `id` column and no " +
+          "atomic-typed non-vector column) — spell it explicitly: " +
+          "WITH (id_col = '<column>')"))
+  }
+}
+
+/** PG `DROP INDEX [IF EXISTS] name[, …]` — per-name, the
+  * DROP VECTOR INDEX semantics (planner claim retired, shadowed
+  * survivors re-registered). */
+case class DropPgIndexCommand(names: Seq[String], ifExists: Boolean)
+    extends VectorIndexCommand {
+  override def run(spark: SparkSession): Seq[Row] =
+    names.map(n => Row(GraftSqlParser.dropOne(spark, n, ifExists)))
+}
+
+/** PG `REINDEX INDEX [CONCURRENTLY] name` (reindex.slt) — the recipe
+  * replay rebuild, identical to VACUUM VECTOR INDEX: a fresh generation
+  * dir committed by one atomic pointer flip, readers served throughout
+  * (blocking REINDEX and CONCURRENTLY collapse — builds here never
+  * blocked readers in the first place). */
+case class ReindexIndexCommand(name: String) extends VectorIndexCommand {
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(SqlDdl.vacuum(spark, name)))
+}
+
+/** PG `VACUUM [FULL] [table]` (index_vacuum.slt): FULL rebuilds every
+  * vector index carrying a complete SQL recipe — scoped to the table's
+  * resolved location when one is named. Plain VACUUM is a no-op
+  * success: Postgres plain vacuum never rebuilds indexes, and row
+  * visibility here is versioned (tombstones), not dead-tuple-based.
+  * Scala-created indexes (no recipe) are skipped and reported — their
+  * vacuum path is the typed Scala API (IncrMaint.vacuum / reindex). */
+case class VacuumTableCommand(full: Boolean, target: Option[String],
+    isPath: Boolean) extends VectorIndexCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    if (!full) return Seq(Row("ok (plain VACUUM reclaims nothing here — " +
+      "visibility is versioned; use VACUUM FULL to rebuild indexes)"))
+    val scope = target.map(t =>
+      if (isPath) t
+      else CreateVectorIndexCommand.resolveTableLocation(spark, t))
+    val all = Option(new java.io.File(IndexCatalog.root(spark)).listFiles())
+      .getOrElse(Array.empty)
+      .filter(d => d.isDirectory &&
+        new java.io.File(d, "MANIFEST.bin").isFile)
+      .map(_.getName).sorted
+      .flatMap(n => IndexCatalog.load(spark, n).map(n -> _))
+      .filter { case (_, m) => scope.forall(_ == m.source) }
+    val (withRecipe, without) = all.partition { case (_, m) =>
+      Seq("sql_cols", "sql_am", "sql_opclass").forall(m.params.contains)
+    }
+    withRecipe.foreach { case (n, _) => SqlDdl.vacuum(spark, n) }
+    val skipped =
+      if (without.isEmpty) ""
+      else s"; skipped ${without.length} without a SQL recipe"
+    Seq(Row(s"ok (${withRecipe.length} reindexed$skipped)"))
   }
 }

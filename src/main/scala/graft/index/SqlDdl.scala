@@ -69,15 +69,35 @@ object SqlDdl {
       case "hnsw" => "hnsw"
       case "ivfflat" => "ivf"
       case _ => opts.getOrElse("indexing", "hnsw") match {
-        case k @ ("hnsw" | "ivf") => k
-        case "flat" => throw new IllegalArgumentException(
-          "indexing=flat is the unindexed exact scan — nothing to create")
+        case k @ ("hnsw" | "ivf" | "flat" | "sparse_inverted_index") => k
         case other => throw new IllegalArgumentException(
-          s"unknown indexing kind: $other (expected hnsw or ivf)")
+          s"unknown indexing kind: $other (expected hnsw, ivf, flat or " +
+            "sparse_inverted_index)")
       }
     }
     val parts = opts.get("parts").map(_.trim.toInt).getOrElse(1)
-    val rest = opts - "indexing" - "parts"
+    // the reference's quantization sub-table ([indexing.X.quantization.Y],
+    // crates/base/src/index.rs QuantizationOptions) and IVF extras —
+    // validated upstream by IndexToml for the TOML spelling, re-checked
+    // here for the flat k=v spelling
+    val quant = opts.get("quantization")
+    val qBits = opts.get("bits").map(_.trim.toInt).getOrElse(8)
+    val qRatio = opts.get("ratio").map(_.trim.toInt).getOrElse(1)
+    require(opts.get("spherical_centroids").forall(_ == "false"),
+      "spherical_centroids is not supported — centroids are trained in " +
+        "the stored space (cos artifacts already normalize at build)")
+    // residual_quantization: accepted and recorded; the IVF×PQ/SQ8
+    // builds here ALWAYS encode residuals (IvfPq.residual) — a strict
+    // estimate-quality improvement over the reference's non-residual
+    // default, and exact twins (window<=0) never read codes
+    val rest = opts - "indexing" - "parts" - "quantization" - "bits" -
+      "ratio" - "spherical_centroids" - "residual_quantization"
+    if (indexing == "sparse_inverted_index" || indexing == "flat" ||
+        quant.isDefined) {
+      dispatchExtended(spark, name, source, idCol, vecCol, family, metric,
+        indexing, quant, qBits, qRatio, parts, rest, rebuild, where)
+      return
+    }
     // a WHERE clause scopes the build to matching rows — the Postgres
     // PARTIAL index: the artifact holds only the predicate's rows, and
     // registration is predicate-scoped so the planner claims exactly
@@ -157,6 +177,141 @@ object SqlDdl {
     }
   }
 
+  /** The reference indexing matrix beyond plain hnsw/ivf
+    * (crates/base/src/index.rs IndexingOptions/QuantizationOptions; the
+    * `[indexing.flat]` / `[indexing.sparse_inverted_index]` /
+    * `[indexing.X.quantization.Y]` TOML selections):
+    *
+    *  - flat, no quantization → a catalog-only manifest (kind `flat`).
+    *    The exact `ORDER BY dist LIMIT k` plan IS the flat scan on this
+    *    engine (TakeOrderedAndProject over the parquet source), so
+    *    there is no artifact to build and nothing registers with the
+    *    planner — the reference's flat index is its brute-force scan
+    *    operator, which Spark already executes optimally.
+    *  - flat.scalar/product/rabitq → the standalone coded flat scans
+    *    (Sq8 / Pq / Rabitq artifacts: code-column coarse scan +
+    *    windowed exact rerank; window<=0 = exact).
+    *  - hnsw.scalar/product/rabitq → the coded graph fleets
+    *    (HnswSq / HnswPq / HnswRq).
+    *  - ivf.scalar/product → the residual-coded pruned scans
+    *    (IvfSq / IvfPq). ivf.rabitq is rejected with a pointer to
+    *    flat.rabitq (the rabitq artifact here is corpus-wide).
+    *  - sparse_inverted_index → the token-bucketed posting index
+    *    (SparseSearch) over the sparsified view, svector_dot_ops only.
+    *
+    * Quantized builds are dense-l2 only (the coded kernels score l2;
+    * the reference likewise rejects quantization for non-dense types).
+    * Scalar quantization supports bits=8 (the sq8 kernels); product
+    * maps the reference's `ratio` (dims per subspace) to the subspace
+    * count and `bits` to per-subspace centroids (ks = 2^bits). */
+  private def dispatchExtended(spark: SparkSession, name: String,
+      source: String, idCol: String, vecCol: String, family: String,
+      metric: String, indexing: String, quant: Option[String], qBits: Int,
+      qRatio: Int, parts: Int, rest: Map[String, String], rebuild: Boolean,
+      where: String): Unit = {
+    def df = {
+      val base = spark.read.parquet(source)
+      if (where.isEmpty) base else base.filter(where)
+    }
+    import graft.operators.{HnswPq, HnswRq, HnswSq, IvfPq, IvfSq, Pq,
+      Rabitq, SparseSearch, Sq8}
+    val allowedKeys: Set[String] = indexing match {
+      case "hnsw" => Set("m", "ef_construction")
+      case "ivf" => Set("lists", "nlist")
+      case _ => Set.empty
+    }
+    val badKeys = rest.keySet -- allowedKeys
+    require(badKeys.isEmpty,
+      s"unknown field `${badKeys.toSeq.sorted.head}` in [indexing.$indexing]")
+    if (indexing == "sparse_inverted_index") {
+      require(family == "svec",
+        s"sparse_inverted_index requires an svector opclass (got $family)")
+      require(metric == "dot",
+        "sparse_inverted_index serves dot-product ranking — use " +
+          s"svector_dot_ops (got ${family}_${metric}_ops)")
+      def sdf = df.select(col(idCol),
+        graft.functions.svecFromDense(col(vecCol)).as("sv"))
+      if (rebuild) SparseSearch.reindex(spark, name, sdf, source, idCol, "sv")
+      else SparseSearch.ensure(spark, name, sdf, source, idCol, "sv")
+      return
+    }
+    if (quant.isEmpty) { // plain [indexing.flat]: catalog entry only
+      val build = (_: String) => IndexCatalog.Manifest("flat", source,
+        metric, Map("indexing" -> "flat", "family" -> family))
+      if (rebuild) IndexCatalog.reindex(spark, name)(build)
+      else IndexCatalog.ensure(spark, name, source,
+        requires = Map("indexing" -> "flat"))(build)
+      return
+    }
+    require(family == "dense",
+      "quantization is only supported for dense vectors")
+    require(metric == "l2",
+      s"quantized indexing scores l2 here — use vector_l2_ops (got $metric)")
+    def requireBits8(): Unit = require(qBits == 8,
+      s"only 8-bit scalar quantization is implemented (got bits=$qBits)")
+    // product geometry: the reference's ratio = dims per subspace
+    // (crates/quantization/src/product.rs), so subspaces = dims/ratio
+    // and ks = 2^bits centroids per subspace. One row-limit job reads
+    // the dims; ratio must divide them (Pq.train's divisibility rule).
+    lazy val (pqM, pqKs) = {
+      val dims = df.select(org.apache.spark.sql.functions
+        .size(col(vecCol)).as("d")).filter(col("d") > 0).first().getInt(0)
+      require(dims % qRatio == 0,
+        s"product quantization ratio $qRatio must divide dims $dims")
+      (dims / qRatio, 1 << qBits)
+    }
+    val (hm, efc) = IndexOptions.hnsw(rest.filter { case (k, _) =>
+      k == "m" || k == "ef_construction" })
+    def nlist = IndexOptions.ivf(rest.filter { case (k, _) =>
+      k == "lists" || k == "nlist" })
+    (indexing, quant.get) match {
+      case ("flat", "scalar") =>
+        requireBits8()
+        if (rebuild) Sq8.reindex(spark, name, df, source, idCol, vecCol)
+        else Sq8.ensure(spark, name, df, source, idCol, vecCol)
+      case ("flat", "product") =>
+        if (rebuild) Pq.reindex(spark, name, df, source, idCol, vecCol,
+          pqM, pqKs)
+        else Pq.ensure(spark, name, df, source, idCol, vecCol, pqM, pqKs)
+      case ("flat", "rabitq") =>
+        if (rebuild) Rabitq.reindex(spark, name, df, source, idCol, vecCol)
+        else Rabitq.ensure(spark, name, df, source, idCol, vecCol)
+      case ("hnsw", "scalar") =>
+        requireBits8()
+        if (rebuild) HnswSq.reindex(spark, name, df, source, idCol, vecCol,
+          parts, hm, efc)
+        else HnswSq.ensure(spark, name, df, source, idCol, vecCol,
+          parts, hm, efc)
+      case ("hnsw", "product") =>
+        if (rebuild) HnswPq.reindex(spark, name, df, source, idCol, vecCol,
+          parts, pqM, pqKs, hm, efc)
+        else HnswPq.ensure(spark, name, df, source, idCol, vecCol,
+          parts, pqM, pqKs, hm, efc)
+      case ("hnsw", "rabitq") =>
+        if (rebuild) HnswRq.reindex(spark, name, df, source, idCol, vecCol,
+          parts, hm, efc)
+        else HnswRq.ensure(spark, name, df, source, idCol, vecCol,
+          parts, hm, efc)
+      case ("ivf", "scalar") =>
+        requireBits8()
+        if (rebuild) IvfSq.reindex(spark, name, df, source, idCol, vecCol,
+          nlist)
+        else IvfSq.ensure(spark, name, df, source, idCol, vecCol, nlist)
+      case ("ivf", "product") =>
+        if (rebuild) IvfPq.reindex(spark, name, df, source, idCol, vecCol,
+          nlist, pqM, pqKs)
+        else IvfPq.ensure(spark, name, df, source, idCol, vecCol,
+          nlist, pqM, pqKs)
+      case ("ivf", "rabitq") =>
+        throw new IllegalArgumentException(
+          "ivf.quantization.rabitq is not built here — the rabitq " +
+            "artifact is a corpus-wide coded scan: use " +
+            "[indexing.flat.quantization.rabitq]")
+      case other => throw new IllegalArgumentException(
+        s"unsupported (indexing, quantization) combination: $other")
+    }
+  }
+
   /** The recipe params [[create]] writes and [[vacuum]] replays. */
   private def recipeParams(idCol: String, vecCol: String, am: String,
       opclassName: String, options: String, where: String): Map[String, String] =
@@ -202,8 +357,20 @@ object SqlDdl {
     val prior = IndexCatalog.load(spark, name)
     val scopeChanged = prior.exists(m =>
       !m.params.get("sql_where").map(_.trim).contains(newWhere))
+    // any OTHER recipe drift forces REINDEX too (round 13): several
+    // artifact kinds (sq8/pq/rabitq/flat/sparse) carry no structural
+    // `requires`, so a re-CREATE changing their options/opclass/columns
+    // over an unchanged source would no-op the build while rewriting
+    // the recipe — the artifact would silently serve the old geometry.
+    // Only SQL-created priors participate (a Scala-created name has no
+    // recipe to drift from; requires-based staleness still applies).
+    val recipeChanged = prior.exists { m =>
+      m.params.contains("sql_am") &&
+        Seq("sql_cols", "sql_am", "sql_opclass", "sql_options").exists(k =>
+          !m.params.get(k).map(_.trim).contains(recipe(k).trim))
+    }
     dispatch(spark, name, source, idCol, vecCol, am, opclassName, options,
-      rebuild = scopeChanged, where = newWhere)
+      rebuild = scopeChanged || recipeChanged, where = newWhere)
     // ONE commit (atomic rename) under the DDL lock — a torn recipe
     // cannot exist
     IndexCatalog.alterAll(spark, name, recipe)
@@ -246,9 +413,29 @@ object SqlDdl {
       graft.plans.AnnPushdown.unregisterNamed(source, name)
       reregisterSource(spark, source, excluding = name)
     }
-    graft.plans.AnnPushdown.register(source, newEntry)
+    // register only kinds the rewrite arms dispatch — a flat/quantized/
+    // sparse claim would never rewrite (the arms' kind guards bail), and
+    // for `flat` the unrewritten exact plan IS the index's semantics.
+    // A re-CREATE that flipped a registrable kind to a non-registrable
+    // one already retired the stale claim through unregisterNamed above
+    // (rescoped covers metric/scope drift; same-metric kind flips are
+    // retired by the recipeChanged REINDEX path keeping the name's
+    // single-claim identity: register() below simply doesn't re-add it).
+    if (registrableKind(IndexCatalog.load(spark, name).map(_.kind)
+        .getOrElse("")))
+      graft.plans.AnnPushdown.register(source, newEntry)
+    else {
+      graft.plans.AnnPushdown.unregisterNamed(source, name)
+      reregisterSource(spark, source, excluding = name)
+    }
     "ok"
   }
+
+  /** Manifest kinds with declarative rewrite arms (plans/AnnPushdown):
+    * everything else serves through the query APIs and the exact plan. */
+  private[index] def registrableKind(kind: String): Boolean =
+    Set("hnsw", "ivf", "hnsw_part", "ivf_part",
+      "ivf_bvec", "ivf_f16", "ivf_svec").contains(kind)
 
   private[index] def pushdownEntry(name: String, idCol: String,
       vecCol: String, am: String, opclassName: String)
@@ -270,7 +457,8 @@ object SqlDdl {
     * no job). */
   private[index] def registerFromRecipe(spark: SparkSession, name: String,
       preloaded: Option[IndexCatalog.Manifest] = None): Unit =
-    for (m <- preloaded.orElse(IndexCatalog.load(spark, name));
+    for (m <- preloaded.orElse(IndexCatalog.load(spark, name))
+         if registrableKind(m.kind);
          cols <- m.params.get("sql_cols");
          am <- m.params.get("sql_am");
          op <- m.params.get("sql_opclass")
@@ -346,8 +534,25 @@ object SqlDdl {
       .map(parseOpts).getOrElse(
         Seq("m", "ef_construction", "nlist", "parts")
           .flatMap(k => m.params.get(k).map(k -> _)).toMap)
-    val indexing = if (m.kind.startsWith("ivf")) "ivf" else "hnsw"
-    val opts = (baseOpts + ("indexing" -> indexing))
+    // the INDEXING KIND (and quantization variant) come from the
+    // committed manifest — the artifact's own truth (round 13: the
+    // extended kinds too; a quantized artifact can never silently
+    // rebuild as a plain graph even if its recorded options were
+    // stripped)
+    val indexing = m.kind match {
+      case k if k.startsWith("ivf") => "ivf" // ivf, ivfpq, ivfsq8, ivf_*
+      case "sparse" => "sparse_inverted_index"
+      case "flat" | "sq8" | "pq" | "rabitq" => "flat"
+      case _ => "hnsw" // hnsw, hnsw_sq8, hnsw_pq, hnsw_rabitq
+    }
+    val quantFromKind = m.kind match {
+      case "sq8" | "ivfsq8" | "hnsw_sq8" => Some("scalar")
+      case "pq" | "ivfpq" | "hnsw_pq" => Some("product")
+      case "rabitq" | "hnsw_rabitq" => Some("rabitq")
+      case _ => None
+    }
+    val opts = (baseOpts + ("indexing" -> indexing) ++
+        quantFromKind.map("quantization" -> _))
       .map { case (k, v) => s"$k=$v" }.mkString(",")
     val where = m.params.getOrElse("sql_where", "")
     dispatch(spark, name, m.source, idCol, vecCol, am, opclassName, opts,

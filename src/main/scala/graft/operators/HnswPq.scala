@@ -66,33 +66,57 @@ object HnswPq {
           "ef_construction" -> efConstruction.toString,
           "parts" -> parts.toString) ++
           (if (parts > 1) Map("routing" -> Hnsw.RoutingGen)
-           else Map.empty)) { dataDir =>
-      import spark.implicits._
-      val nonNull = df.filter(col(vecCol).isNotNull &&
-        graft.functions.vectorIsFinite(col(vecCol)))
-      val model = Pq.train(nonNull, vecCol, m, ks)
-      val rows0 = nonNull.select(col(idCol).cast("long"), col(vecCol))
-        .as[(Long, Array[Float])]
-      // round 9: shared SPATIAL build + routing sidecar (pqflatbin3 —
-      // the format-bump invariant, build partitioning changed)
-      val bModel = spark.sparkContext.broadcast(model)
-      val (nFiles, routingParams) = Hnsw.buildGraphFiles(spark, rows0,
-        parts, dataDir,
-        "pqgraph", hm, efConstruction, new GraphEncode {
-          def write(flat: Hnsw.FlatGraph, out: java.io.DataOutputStream): Unit =
-            HnswSq.SqGraph.write(out, fromFlat(flat, bModel.value))
-        })
-      IndexCatalog.Manifest("hnsw_pq", source, "l2",
-        Map("m" -> m.toString, "ks" -> ks.toString,
-          "hnsw_m" -> hm.toString, "dims" -> model.dims.toString,
-          "ef_construction" -> efConstruction.toString,
-          "parts" -> parts.toString, "files" -> nFiles.toString,
-          "format" -> "pqflatbin3") ++ routingParams,
-        floats = Map("codebook" -> model.codebook))
-    }
+           else Map.empty))(
+      buildInto(spark, df, source, idCol, vecCol, parts, m, ks, hm,
+        efConstruction))
     val model = Pq.Model(mf.params("dims").toInt, mf.params("m").toInt,
       mf.params("ks").toInt, mf.floats("codebook"))
     (model, IndexCatalog.dataDir(spark, name))
+  }
+
+  /** REINDEX: rebuild into a fresh generation dir with one atomic
+    * pointer flip — the vacuum path for SQL-created
+    * `[indexing.hnsw.quantization.product]` artifacts. */
+  def reindex(spark: org.apache.spark.sql.SparkSession, name: String,
+      df: => DataFrame, source: String, idCol: String, vecCol: String,
+      parts: Int, m: Int = 8, ks: Int = 16, hm: Int = 12,
+      efConstruction: Int = 300): (Pq.Model, String) = {
+    import graft.index.IndexCatalog
+    val mf = IndexCatalog.reindex(spark, name)(
+      buildInto(spark, df, source, idCol, vecCol, parts, m, ks, hm,
+        efConstruction))
+    val model = Pq.Model(mf.params("dims").toInt, mf.params("m").toInt,
+      mf.params("ks").toInt, mf.floats("codebook"))
+    (model, IndexCatalog.dataDir(spark, name))
+  }
+
+  private def buildInto(spark: org.apache.spark.sql.SparkSession,
+      df: => DataFrame, source: String, idCol: String, vecCol: String,
+      parts: Int, m: Int, ks: Int, hm: Int, efConstruction: Int)
+      (dataDir: String): graft.index.IndexCatalog.Manifest = {
+    import graft.index.IndexCatalog
+    import spark.implicits._
+    val nonNull = df.filter(col(vecCol).isNotNull &&
+      graft.functions.vectorIsFinite(col(vecCol)))
+    val model = Pq.train(nonNull, vecCol, m, ks)
+    val rows0 = nonNull.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+    // round 9: shared SPATIAL build + routing sidecar (pqflatbin3 —
+    // the format-bump invariant, build partitioning changed)
+    val bModel = spark.sparkContext.broadcast(model)
+    val (nFiles, routingParams) = Hnsw.buildGraphFiles(spark, rows0,
+      parts, dataDir,
+      "pqgraph", hm, efConstruction, new GraphEncode {
+        def write(flat: Hnsw.FlatGraph, out: java.io.DataOutputStream): Unit =
+          HnswSq.SqGraph.write(out, fromFlat(flat, bModel.value))
+      })
+    IndexCatalog.Manifest("hnsw_pq", source, "l2",
+      Map("m" -> m.toString, "ks" -> ks.toString,
+        "hnsw_m" -> hm.toString, "dims" -> model.dims.toString,
+        "ef_construction" -> efConstruction.toString,
+        "parts" -> parts.toString, "files" -> nFiles.toString,
+        "format" -> "pqflatbin3") ++ routingParams,
+      floats = Map("codebook" -> model.codebook))
   }
 
   /** Two-stage search: ADC-LUT graph frontier per resident coded graph,

@@ -310,32 +310,54 @@ object HnswRq {
           "ef_construction" -> efConstruction.toString,
           "parts" -> parts.toString) ++
           (if (parts > 1) Map("routing" -> Hnsw.RoutingGen)
-           else Map.empty)) { dataDir =>
-      import spark.implicits._
-      val nonNull = df.filter(col(vecCol).isNotNull &&
-        graft.functions.vectorIsFinite(col(vecCol)))
-      val model = Rabitq.train(nonNull, vecCol)
-      val rows0 = nonNull.select(col(idCol).cast("long"), col(vecCol))
-        .as[(Long, Array[Float])]
-      // round 9: shared SPATIAL build + routing sidecar (rqflatbin3 —
-      // the format-bump invariant, build partitioning changed)
-      val bModel = spark.sparkContext.broadcast(model)
-      val (nFiles, routingParams) = Hnsw.buildGraphFiles(spark, rows0,
-        parts, dataDir,
-        "rqgraph", m, efConstruction, new GraphEncode {
-          def write(flat: Hnsw.FlatGraph, out: java.io.DataOutputStream): Unit =
-            RqGraph.write(out, RqGraph.fromFlat(flat, bModel.value))
-        })
-      IndexCatalog.Manifest("hnsw_rabitq", source, "l2",
-        Map("m" -> m.toString, "ef_construction" -> efConstruction.toString,
-          "parts" -> parts.toString, "files" -> nFiles.toString,
-          "dims" -> model.dims.toString, "format" -> "rqflatbin3") ++
-          routingParams,
-        floats = Map("centroid" -> model.centroid, "rot" -> model.rot))
-    }
+           else Map.empty))(
+      buildInto(spark, df, source, idCol, vecCol, parts, m, efConstruction))
     val model = Rabitq.Model(mf.params("dims").toInt,
       mf.floats("centroid"), mf.floats("rot"))
     (model, IndexCatalog.dataDir(spark, name))
+  }
+
+  /** REINDEX: rebuild into a fresh generation dir with one atomic
+    * pointer flip — the vacuum path for SQL-created
+    * `[indexing.hnsw.quantization.rabitq]` artifacts. */
+  def reindex(spark: org.apache.spark.sql.SparkSession, name: String,
+      df: => DataFrame, source: String, idCol: String, vecCol: String,
+      parts: Int, m: Int = 12, efConstruction: Int = 300)
+      : (Rabitq.Model, String) = {
+    import graft.index.IndexCatalog
+    val mf = IndexCatalog.reindex(spark, name)(
+      buildInto(spark, df, source, idCol, vecCol, parts, m, efConstruction))
+    val model = Rabitq.Model(mf.params("dims").toInt,
+      mf.floats("centroid"), mf.floats("rot"))
+    (model, IndexCatalog.dataDir(spark, name))
+  }
+
+  private def buildInto(spark: org.apache.spark.sql.SparkSession,
+      df: => DataFrame, source: String, idCol: String, vecCol: String,
+      parts: Int, m: Int, efConstruction: Int)(dataDir: String)
+      : graft.index.IndexCatalog.Manifest = {
+    import graft.index.IndexCatalog
+    import spark.implicits._
+    val nonNull = df.filter(col(vecCol).isNotNull &&
+      graft.functions.vectorIsFinite(col(vecCol)))
+    val model = Rabitq.train(nonNull, vecCol)
+    val rows0 = nonNull.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+    // round 9: shared SPATIAL build + routing sidecar (rqflatbin3 —
+    // the format-bump invariant, build partitioning changed)
+    val bModel = spark.sparkContext.broadcast(model)
+    val (nFiles, routingParams) = Hnsw.buildGraphFiles(spark, rows0,
+      parts, dataDir,
+      "rqgraph", m, efConstruction, new GraphEncode {
+        def write(flat: Hnsw.FlatGraph, out: java.io.DataOutputStream): Unit =
+          RqGraph.write(out, RqGraph.fromFlat(flat, bModel.value))
+      })
+    IndexCatalog.Manifest("hnsw_rabitq", source, "l2",
+      Map("m" -> m.toString, "ef_construction" -> efConstruction.toString,
+        "parts" -> parts.toString, "files" -> nFiles.toString,
+        "dims" -> model.dims.toString, "format" -> "rqflatbin3") ++
+        routingParams,
+      floats = Map("centroid" -> model.centroid, "rot" -> model.rot))
   }
 
   /** Two-stage search: estimator-scored graph frontier per resident

@@ -274,32 +274,52 @@ object HnswSq {
           "ef_construction" -> efConstruction.toString,
           "parts" -> parts.toString) ++
           (if (parts > 1) Map("routing" -> Hnsw.RoutingGen)
-           else Map.empty)) { dataDir =>
-      import spark.implicits._
-      val nonNull = df.filter(col(vecCol).isNotNull &&
-        graft.functions.vectorIsFinite(col(vecCol)))
-      val (mins, widths) = Sq8.train(nonNull, vecCol)
-      val rows0 = nonNull.select(col(idCol).cast("long"), col(vecCol))
-        .as[(Long, Array[Float])]
-      // round 9: the shared SPATIAL build — k-means partitioning + a
-      // routing sidecar at parts>1, so coded searches route like the
-      // dense family (sqflatbin3: the build partitioning changed, the
-      // format-bump invariant)
-      val bMins = spark.sparkContext.broadcast(mins)
-      val bWidths = spark.sparkContext.broadcast(widths)
-      val (nFiles, routingParams) = Hnsw.buildGraphFiles(spark, rows0,
-        parts, dataDir,
-        "sqgraph", m, efConstruction, new GraphEncode {
-          def write(flat: Hnsw.FlatGraph, out: java.io.DataOutputStream): Unit =
-            SqGraph.write(out, SqGraph.fromFlat(flat, bMins.value, bWidths.value))
-        })
-      IndexCatalog.Manifest("hnsw_sq8", source, "l2",
-        Map("m" -> m.toString, "ef_construction" -> efConstruction.toString,
-          "parts" -> parts.toString, "files" -> nFiles.toString,
-          "bits" -> "8", "format" -> "sqflatbin3") ++ routingParams,
-        floats = Map("mins" -> mins, "widths" -> widths))
-    }
+           else Map.empty))(
+      buildInto(spark, df, source, idCol, vecCol, parts, m, efConstruction))
     (mf.floats("mins"), mf.floats("widths"), IndexCatalog.dataDir(spark, name))
+  }
+
+  /** REINDEX: rebuild into a fresh generation dir with one atomic
+    * pointer flip — the vacuum path for SQL-created
+    * `[indexing.hnsw.quantization.scalar]` artifacts. */
+  def reindex(spark: org.apache.spark.sql.SparkSession, name: String,
+      df: => DataFrame, source: String, idCol: String, vecCol: String,
+      parts: Int, m: Int = 12, efConstruction: Int = 300)
+      : (Array[Float], Array[Float], String) = {
+    import graft.index.IndexCatalog
+    val mf = IndexCatalog.reindex(spark, name)(
+      buildInto(spark, df, source, idCol, vecCol, parts, m, efConstruction))
+    (mf.floats("mins"), mf.floats("widths"), IndexCatalog.dataDir(spark, name))
+  }
+
+  private def buildInto(spark: org.apache.spark.sql.SparkSession,
+      df: => DataFrame, source: String, idCol: String, vecCol: String,
+      parts: Int, m: Int, efConstruction: Int)(dataDir: String)
+      : graft.index.IndexCatalog.Manifest = {
+    import graft.index.IndexCatalog
+    import spark.implicits._
+    val nonNull = df.filter(col(vecCol).isNotNull &&
+      graft.functions.vectorIsFinite(col(vecCol)))
+    val (mins, widths) = Sq8.train(nonNull, vecCol)
+    val rows0 = nonNull.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+    // round 9: the shared SPATIAL build — k-means partitioning + a
+    // routing sidecar at parts>1, so coded searches route like the
+    // dense family (sqflatbin3: the build partitioning changed, the
+    // format-bump invariant)
+    val bMins = spark.sparkContext.broadcast(mins)
+    val bWidths = spark.sparkContext.broadcast(widths)
+    val (nFiles, routingParams) = Hnsw.buildGraphFiles(spark, rows0,
+      parts, dataDir,
+      "sqgraph", m, efConstruction, new GraphEncode {
+        def write(flat: Hnsw.FlatGraph, out: java.io.DataOutputStream): Unit =
+          SqGraph.write(out, SqGraph.fromFlat(flat, bMins.value, bWidths.value))
+      })
+    IndexCatalog.Manifest("hnsw_sq8", source, "l2",
+      Map("m" -> m.toString, "ef_construction" -> efConstruction.toString,
+        "parts" -> parts.toString, "files" -> nFiles.toString,
+        "bits" -> "8", "format" -> "sqflatbin3") ++ routingParams,
+      floats = Map("mins" -> mins, "widths" -> widths))
   }
 
   /** Two-stage search: coded-graph frontier (per resident graph, LUT

@@ -72,31 +72,51 @@ object IvfPq {
       m: Int = 8, ks: Int = 16, seed: Long = 42L): (Model, String) = {
     val mf = IndexCatalog.ensure(spark, name, source,
         requires = Map("kind2" -> "ivfpq", "nlist" -> nlist.toString,
-          "m" -> m.toString, "ks" -> ks.toString)) { dataDir =>
-      val nn = df.filter(col(vecCol).isNotNull &&
-        graft.functions.vectorIsFinite(col(vecCol)))
-      val coarse = IvfIndex.train(nn, vecCol, "l2", nlist, seed = seed)
-      val assigned = nn
-        .withColumn("list_id", IvfIndex.nearestCentroid(col(vecCol), coarse))
-        .withColumn("resid", residual(col(vecCol), coarse, col("list_id")))
-      val pqModel = Pq.train(assigned.select(col("resid")), "resid", m, ks,
-        seed = seed)
-      assigned
-        .select(col(idCol), col(vecCol),
-          Pq.encode(col("resid"), pqModel).as("codes"), col("list_id"))
-        .repartition(col("list_id"))
-        .write.mode("overwrite").partitionBy("list_id").parquet(dataDir)
-      Manifest("ivfpq", source, "l2",
-        Map("nlist" -> nlist.toString, "m" -> m.toString, "ks" -> ks.toString,
-          "dims" -> pqModel.dims.toString, "kind2" -> "ivfpq"),
-        centroids = coarse.centroids,
-        floats = Map("codebook" -> pqModel.codebook))
-    }
+          "m" -> m.toString, "ks" -> ks.toString))(
+      buildInto(df, source, idCol, vecCol, nlist, m, ks, seed))
     val model = Model(
       IvfIndex.Model("l2", mf.centroids),
       Pq.Model(mf.params("dims").toInt, mf.params("m").toInt,
         mf.params("ks").toInt, mf.floats("codebook")))
     (model, IndexCatalog.dataDir(spark, name))
+  }
+
+  /** REINDEX: rebuild into a fresh generation dir with one atomic
+    * pointer flip — the vacuum path for SQL-created
+    * `[indexing.ivf.quantization.product]` artifacts. */
+  def reindex(spark: SparkSession, name: String, df: => DataFrame,
+      source: String, idCol: String, vecCol: String, nlist: Int,
+      m: Int = 8, ks: Int = 16, seed: Long = 42L): (Model, String) = {
+    val mf = IndexCatalog.reindex(spark, name)(
+      buildInto(df, source, idCol, vecCol, nlist, m, ks, seed))
+    val model = Model(
+      IvfIndex.Model("l2", mf.centroids),
+      Pq.Model(mf.params("dims").toInt, mf.params("m").toInt,
+        mf.params("ks").toInt, mf.floats("codebook")))
+    (model, IndexCatalog.dataDir(spark, name))
+  }
+
+  private def buildInto(df: => DataFrame, source: String, idCol: String,
+      vecCol: String, nlist: Int, m: Int, ks: Int, seed: Long)
+      (dataDir: String): Manifest = {
+    val nn = df.filter(col(vecCol).isNotNull &&
+      graft.functions.vectorIsFinite(col(vecCol)))
+    val coarse = IvfIndex.train(nn, vecCol, "l2", nlist, seed = seed)
+    val assigned = nn
+      .withColumn("list_id", IvfIndex.nearestCentroid(col(vecCol), coarse))
+      .withColumn("resid", residual(col(vecCol), coarse, col("list_id")))
+    val pqModel = Pq.train(assigned.select(col("resid")), "resid", m, ks,
+      seed = seed)
+    assigned
+      .select(col(idCol), col(vecCol),
+        Pq.encode(col("resid"), pqModel).as("codes"), col("list_id"))
+      .repartition(col("list_id"))
+      .write.mode("overwrite").partitionBy("list_id").parquet(dataDir)
+    Manifest("ivfpq", source, "l2",
+      Map("nlist" -> nlist.toString, "m" -> m.toString, "ks" -> ks.toString,
+        "dims" -> pqModel.dims.toString, "kind2" -> "ivfpq"),
+      centroids = coarse.centroids,
+      floats = Map("codebook" -> pqModel.codebook))
   }
 
   /** Search: rank centroids, scan the pruned partitions' code column with

@@ -28,27 +28,44 @@ object IvfSq {
       source: String, idCol: String, vecCol: String, nlist: Int,
       seed: Long = 42L): (Model, String) = {
     val mf = IndexCatalog.ensure(spark, name, source,
-        requires = Map("kind2" -> "ivfsq8", "nlist" -> nlist.toString)) { dataDir =>
-      val nn = df.filter(col(vecCol).isNotNull &&
-        graft.functions.vectorIsFinite(col(vecCol)))
-      val coarse = IvfIndex.train(nn, vecCol, "l2", nlist, seed = seed)
-      val assigned = nn
-        .withColumn("list_id", IvfIndex.nearestCentroid(col(vecCol), coarse))
-        .withColumn("resid", IvfPq.residual(col(vecCol), coarse, col("list_id")))
-      val (mins, widths) = Sq8.train(assigned.select(col("resid")), "resid")
-      assigned
-        .select(col(idCol), col(vecCol),
-          Sq8.encode(col("resid"), mins, widths).as("codes"), col("list_id"))
-        .repartition(col("list_id"))
-        .write.mode("overwrite").partitionBy("list_id").parquet(dataDir)
-      Manifest("ivfsq8", source, "l2",
-        Map("nlist" -> nlist.toString, "bits" -> "8", "kind2" -> "ivfsq8"),
-        centroids = coarse.centroids,
-        floats = Map("mins" -> mins, "widths" -> widths))
-    }
+        requires = Map("kind2" -> "ivfsq8", "nlist" -> nlist.toString))(
+      buildInto(df, source, idCol, vecCol, nlist, seed))
     val model = Model(IvfIndex.Model("l2", mf.centroids),
       mf.floats("mins"), mf.floats("widths"))
     (model, IndexCatalog.dataDir(spark, name))
+  }
+
+  /** REINDEX: rebuild into a fresh generation dir with one atomic
+    * pointer flip — the vacuum path for SQL-created
+    * `[indexing.ivf.quantization.scalar]` artifacts. */
+  def reindex(spark: SparkSession, name: String, df: => DataFrame,
+      source: String, idCol: String, vecCol: String, nlist: Int,
+      seed: Long = 42L): (Model, String) = {
+    val mf = IndexCatalog.reindex(spark, name)(
+      buildInto(df, source, idCol, vecCol, nlist, seed))
+    val model = Model(IvfIndex.Model("l2", mf.centroids),
+      mf.floats("mins"), mf.floats("widths"))
+    (model, IndexCatalog.dataDir(spark, name))
+  }
+
+  private def buildInto(df: => DataFrame, source: String, idCol: String,
+      vecCol: String, nlist: Int, seed: Long)(dataDir: String): Manifest = {
+    val nn = df.filter(col(vecCol).isNotNull &&
+      graft.functions.vectorIsFinite(col(vecCol)))
+    val coarse = IvfIndex.train(nn, vecCol, "l2", nlist, seed = seed)
+    val assigned = nn
+      .withColumn("list_id", IvfIndex.nearestCentroid(col(vecCol), coarse))
+      .withColumn("resid", IvfPq.residual(col(vecCol), coarse, col("list_id")))
+    val (mins, widths) = Sq8.train(assigned.select(col("resid")), "resid")
+    assigned
+      .select(col(idCol), col(vecCol),
+        Sq8.encode(col("resid"), mins, widths).as("codes"), col("list_id"))
+      .repartition(col("list_id"))
+      .write.mode("overwrite").partitionBy("list_id").parquet(dataDir)
+    Manifest("ivfsq8", source, "l2",
+      Map("nlist" -> nlist.toString, "bits" -> "8", "kind2" -> "ivfsq8"),
+      centroids = coarse.centroids,
+      floats = Map("mins" -> mins, "widths" -> widths))
   }
 
   /** Search: pruned partitions, codes scored against the per-list

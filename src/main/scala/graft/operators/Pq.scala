@@ -326,19 +326,37 @@ object Pq {
   def ensure(spark: SparkSession, name: String, df: => DataFrame,
       source: String, idCol: String, vecCol: String, m: Int = 8, ks: Int = 16)
       : (Model, String) = {
-    val mf = IndexCatalog.ensure(spark, name, source) { dataDir =>
-      val nn = df.filter(col(vecCol).isNotNull &&
-        graft.functions.vectorIsFinite(col(vecCol)))
-      val model = train(nn, vecCol, m, ks)
-      nn.select(col(idCol), col(vecCol), encode(col(vecCol), model).as("codes"))
-        .write.mode("overwrite").parquet(dataDir)
-      IndexCatalog.Manifest("pq", source, "l2",
-        Map("m" -> m.toString, "ks" -> ks.toString, "dims" -> model.dims.toString),
-        floats = Map("codebook" -> model.codebook))
-    }
+    val mf = IndexCatalog.ensure(spark, name, source)(
+      buildInto(df, source, idCol, vecCol, m, ks))
     val model = Model(mf.params("dims").toInt, mf.params("m").toInt,
       mf.params("ks").toInt, mf.floats("codebook"))
     (model, IndexCatalog.dataDir(spark, name))
+  }
+
+  /** REINDEX: rebuild into a fresh generation dir with one atomic
+    * pointer flip — the vacuum path for SQL-created
+    * `[indexing.flat.quantization.product]` artifacts. */
+  def reindex(spark: SparkSession, name: String, df: => DataFrame,
+      source: String, idCol: String, vecCol: String, m: Int = 8, ks: Int = 16)
+      : (Model, String) = {
+    val mf = IndexCatalog.reindex(spark, name)(
+      buildInto(df, source, idCol, vecCol, m, ks))
+    val model = Model(mf.params("dims").toInt, mf.params("m").toInt,
+      mf.params("ks").toInt, mf.floats("codebook"))
+    (model, IndexCatalog.dataDir(spark, name))
+  }
+
+  private def buildInto(df: => DataFrame, source: String, idCol: String,
+      vecCol: String, m: Int, ks: Int)(dataDir: String)
+      : IndexCatalog.Manifest = {
+    val nn = df.filter(col(vecCol).isNotNull &&
+      graft.functions.vectorIsFinite(col(vecCol)))
+    val model = train(nn, vecCol, m, ks)
+    nn.select(col(idCol), col(vecCol), encode(col(vecCol), model).as("codes"))
+      .write.mode("overwrite").parquet(dataDir)
+    IndexCatalog.Manifest("pq", source, "l2",
+      Map("m" -> m.toString, "ks" -> ks.toString, "dims" -> model.dims.toString),
+      floats = Map("codebook" -> model.codebook))
   }
 
   /** ADC coarse scan over the m-byte code column ONLY + windowed exact

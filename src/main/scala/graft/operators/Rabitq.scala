@@ -212,18 +212,33 @@ object Rabitq {
 
   def ensure(spark: SparkSession, name: String, df: => DataFrame,
       source: String, idCol: String, vecCol: String): (Model, String) = {
-    val mf = IndexCatalog.ensure(spark, name, source) { dataDir =>
-      val nn = df.filter(col(vecCol).isNotNull &&
-        graft.functions.vectorIsFinite(col(vecCol)))
-      val model = train(nn, vecCol)
-      nn.select(col(idCol), col(vecCol), encode(col(vecCol), model).as("code"))
-        .write.mode("overwrite").parquet(dataDir)
-      IndexCatalog.Manifest("rabitq", source, "l2",
-        Map("dims" -> model.dims.toString),
-        floats = Map("centroid" -> model.centroid, "rot" -> model.rot))
-    }
+    val mf = IndexCatalog.ensure(spark, name, source)(
+      buildInto(df, source, idCol, vecCol))
     val model = Model(mf.params("dims").toInt, mf.floats("centroid"), mf.floats("rot"))
     (model, IndexCatalog.dataDir(spark, name))
+  }
+
+  /** REINDEX: rebuild into a fresh generation dir with one atomic
+    * pointer flip — the vacuum path for SQL-created
+    * `[indexing.flat.quantization.rabitq]` artifacts. */
+  def reindex(spark: SparkSession, name: String, df: => DataFrame,
+      source: String, idCol: String, vecCol: String): (Model, String) = {
+    val mf = IndexCatalog.reindex(spark, name)(
+      buildInto(df, source, idCol, vecCol))
+    val model = Model(mf.params("dims").toInt, mf.floats("centroid"), mf.floats("rot"))
+    (model, IndexCatalog.dataDir(spark, name))
+  }
+
+  private def buildInto(df: => DataFrame, source: String, idCol: String,
+      vecCol: String)(dataDir: String): IndexCatalog.Manifest = {
+    val nn = df.filter(col(vecCol).isNotNull &&
+      graft.functions.vectorIsFinite(col(vecCol)))
+    val model = train(nn, vecCol)
+    nn.select(col(idCol), col(vecCol), encode(col(vecCol), model).as("code"))
+      .write.mode("overwrite").parquet(dataDir)
+    IndexCatalog.Manifest("rabitq", source, "l2",
+      Map("dims" -> model.dims.toString),
+      floats = Map("centroid" -> model.centroid, "rot" -> model.rot))
   }
 
   /** Bit-estimated coarse scan over codes ONLY + windowed exact rerank

@@ -34,14 +34,30 @@ object SparseSearch {
   def ensure(spark: org.apache.spark.sql.SparkSession, name: String,
       docs: => DataFrame, source: String, idCol: String, svecCol: String): String = {
     import graft.index.IndexCatalog
-    IndexCatalog.ensure(spark, name, source) { dataDir =>
-      buildPostings(docs, idCol, svecCol)
-        .withColumn("bucket", pmod(col("token"), lit(TokenBuckets)))
-        .write.mode("overwrite").partitionBy("bucket").parquet(dataDir)
-      IndexCatalog.Manifest("sparse", source, "dot",
-        Map("buckets" -> TokenBuckets.toString))
-    }
+    IndexCatalog.ensure(spark, name, source)(
+      buildInto(docs, source, idCol, svecCol))
     IndexCatalog.dataDir(spark, name)
+  }
+
+  /** REINDEX: rebuild the postings into a fresh generation dir with one
+    * atomic pointer flip — the vacuum path for SQL-created
+    * `[indexing.sparse_inverted_index]` artifacts. */
+  def reindex(spark: org.apache.spark.sql.SparkSession, name: String,
+      docs: => DataFrame, source: String, idCol: String, svecCol: String): String = {
+    import graft.index.IndexCatalog
+    IndexCatalog.reindex(spark, name)(
+      buildInto(docs, source, idCol, svecCol))
+    IndexCatalog.dataDir(spark, name)
+  }
+
+  private def buildInto(docs: => DataFrame, source: String, idCol: String,
+      svecCol: String)(dataDir: String): graft.index.IndexCatalog.Manifest = {
+    import graft.index.IndexCatalog
+    buildPostings(docs, idCol, svecCol)
+      .withColumn("bucket", pmod(col("token"), lit(TokenBuckets)))
+      .write.mode("overwrite").partitionBy("bucket").parquet(dataDir)
+    IndexCatalog.Manifest("sparse", source, "dot",
+      Map("buckets" -> TokenBuckets.toString))
   }
 
   /** Impact-pruning applies only when the kept postings capture at least

@@ -43,17 +43,35 @@ object Sq8 {
       df: => DataFrame, source: String, idCol: String, vecCol: String)
       : (Array[Float], Array[Float], String) = {
     import graft.index.IndexCatalog
-    val m = IndexCatalog.ensure(spark, name, source) { dataDir =>
-      val nn = df.filter(col(vecCol).isNotNull &&
-        graft.functions.vectorIsFinite(col(vecCol)))
-      val (mins, widths) = train(nn, vecCol)
-      nn.select(col(idCol), col(vecCol),
-          encode(col(vecCol), mins, widths).as("codes"))
-        .write.mode("overwrite").parquet(dataDir)
-      IndexCatalog.Manifest("sq8", source, "l2", Map("bits" -> "8"),
-        floats = Map("mins" -> mins, "widths" -> widths))
-    }
+    val m = IndexCatalog.ensure(spark, name, source)(
+      buildInto(df, source, idCol, vecCol))
     (m.floats("mins"), m.floats("widths"), IndexCatalog.dataDir(spark, name))
+  }
+
+  /** REINDEX: the same build into a fresh generation dir, committed by
+    * one atomic pointer flip (readers served throughout) — the vacuum
+    * path for SQL-created `[indexing.flat.quantization.scalar]`
+    * artifacts. */
+  def reindex(spark: org.apache.spark.sql.SparkSession, name: String,
+      df: => DataFrame, source: String, idCol: String, vecCol: String)
+      : (Array[Float], Array[Float], String) = {
+    import graft.index.IndexCatalog
+    val m = IndexCatalog.reindex(spark, name)(
+      buildInto(df, source, idCol, vecCol))
+    (m.floats("mins"), m.floats("widths"), IndexCatalog.dataDir(spark, name))
+  }
+
+  private def buildInto(df: => DataFrame, source: String, idCol: String,
+      vecCol: String)(dataDir: String): graft.index.IndexCatalog.Manifest = {
+    import graft.index.IndexCatalog
+    val nn = df.filter(col(vecCol).isNotNull &&
+      graft.functions.vectorIsFinite(col(vecCol)))
+    val (mins, widths) = train(nn, vecCol)
+    nn.select(col(idCol), col(vecCol),
+        encode(col(vecCol), mins, widths).as("codes"))
+      .write.mode("overwrite").parquet(dataDir)
+    IndexCatalog.Manifest("sq8", source, "l2", Map("bits" -> "8"),
+      floats = Map("mins" -> mins, "widths" -> widths))
   }
 
   def encodeKernel(v: ArrayData, mins: ArrayData, widths: ArrayData): Array[Byte] = {

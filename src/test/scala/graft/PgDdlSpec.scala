@@ -1,0 +1,235 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.index.{IndexCatalog, IndexToml}
+
+/** The reference's NATIVE Postgres DDL spellings (round 13): plain
+  * `CREATE INDEX ... USING vectors (col opclass) WITH (options =
+  * "<TOML>")`, the pgvector-compat `USING hnsw/ivfflat` forms
+  * (compact_stmt.slt), `DROP INDEX`, `REINDEX INDEX` (reindex.slt),
+  * `VACUUM FULL` (index_vacuum.slt), and the TOML `[indexing.*]`
+  * matrix (index.rs IndexingOptions/QuantizationOptions). */
+class PgDdlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val srcDir: String = {
+    val dir = sys.props("java.io.tmpdir") + "/graft_pgddl_src"
+    if (!new java.io.File(dir, "_SUCCESS").isFile) {
+      val rnd = new scala.util.Random(7)
+      (0 until 64).map(i =>
+          (i.toLong, Array.fill(4)(rnd.nextFloat() * 2f - 1f)))
+        .toDF("vec_id", "val")
+        .coalesce(1).write.mode("overwrite").parquet(dir)
+    }
+    dir
+  }
+
+  test("IndexToml: defaults, multi-line ivf, quantization, unknown fields") {
+    assert(IndexToml.parse("") ===
+      IndexToml.Indexing("hnsw", Map.empty, None))
+    assert(IndexToml.parse("[indexing.hnsw]") ===
+      IndexToml.Indexing("hnsw", Map.empty, None))
+    assert(IndexToml.parse("\n[indexing.ivf]\nnlist = 20\n") ===
+      IndexToml.Indexing("ivf", Map("nlist" -> "20"), None))
+    assert(IndexToml.parse("[indexing.hnsw.quantization.product]") ===
+      IndexToml.Indexing("hnsw", Map.empty, Some(("product", Map.empty))))
+    assert(IndexToml.parse("[indexing.flat]") ===
+      IndexToml.Indexing("flat", Map.empty, None))
+    assert(IndexToml.parse("[indexing.sparse_inverted_index]") ===
+      IndexToml.Indexing("sparse_inverted_index", Map.empty, None))
+    // serde deny_unknown_fields parity: the index.slt error contract
+    val e1 = intercept[IllegalArgumentException](
+      IndexToml.parse("unknown_field = 1"))
+    assert(e1.getMessage.contains("unknown"))
+    val e2 = intercept[IllegalArgumentException](
+      IndexToml.parse("[indexing.hnsw]\nbogus = 2"))
+    assert(e2.getMessage.contains("unknown field `bogus`"))
+    val e3 = intercept[IllegalArgumentException](
+      IndexToml.parse("[indexing.btree]"))
+    assert(e3.getMessage.contains("unknown variant `btree`"))
+    // validation ranges (index.rs validators)
+    intercept[IllegalArgumentException](
+      IndexToml.parse("[indexing.hnsw]\nm = 2"))
+    intercept[IllegalArgumentException](IndexToml.parse(
+      "[indexing.hnsw.quantization.scalar]\nbits = 3"))
+    intercept[IllegalArgumentException](IndexToml.parse("[segment]"))
+    // quantization is dense-only (reference validate())
+    val e4 = intercept[IllegalArgumentException](IndexToml.parse(
+      "[indexing.sparse_inverted_index.quantization.scalar]"))
+    assert(e4.getMessage.contains("only supported for dense"))
+    assert(IndexToml.toReloptions(
+      IndexToml.parse("[indexing.ivf]\nnlist = 20")) === "indexing=ivf,nlist=20")
+    assert(IndexToml.toReloptions(IndexToml.parse(
+      "[indexing.hnsw.quantization.scalar]\nbits = 8")) ===
+      "indexing=hnsw,quantization=scalar,bits=8")
+  }
+
+  test("native CREATE INDEX: anonymous naming, REINDEX INDEX, DROP INDEX") {
+    val tbl = "pgddl_t"
+    spark.sql(s"CREATE TABLE IF NOT EXISTS $tbl USING parquet LOCATION '$srcDir'")
+    // debris guard for re-runs with drifted recipes
+    Seq("pgddl_t_val_idx", "pgddl_t_val_idx1").foreach(IndexCatalog.drop(spark, _))
+    // EXPLAIN plans the command, builds nothing
+    val plan = spark.sql(s"""EXPLAIN CREATE INDEX ON $tbl USING vectors
+        (val vector_l2_ops) WITH (options = "[indexing.hnsw]")""")
+      .head().getString(0)
+    assert(plan.contains("CreatePgIndexCommand"))
+    assert(IndexCatalog.load(spark, "pgddl_t_val_idx").isEmpty)
+    // anonymous create -> the PG name <table>_<col>_idx
+    assert(spark.sql(s"""CREATE INDEX ON $tbl USING vectors
+        (val vector_l2_ops) WITH (options = "[indexing.hnsw]")""")
+      .head().getString(0) === "ok")
+    val m = IndexCatalog.load(spark, "pgddl_t_val_idx").get
+    assert(m.kind === "hnsw" && m.metric === "l2" && m.source === srcDir)
+    // the heap-TID analog: vec_id (first atomic non-vector column)
+    assert(m.params.get("sql_cols").contains("vec_id,val"))
+    // idempotent re-run: the identical recipe REUSES the name
+    assert(spark.sql(s"""CREATE INDEX ON $tbl USING vectors
+        (val vector_l2_ops) WITH (options = "[indexing.hnsw]")""")
+      .head().getString(0) === "ok")
+    assert(IndexCatalog.load(spark, "pgddl_t_val_idx1").isEmpty)
+    // a DIFFERENT opclass suffixes like PG (index.slt stacks three)
+    assert(spark.sql(s"""CREATE INDEX ON $tbl USING vectors
+        (val vectors.vector_dot_ops) WITH (options = "[indexing.hnsw]")""")
+      .head().getString(0) === "ok")
+    assert(IndexCatalog.load(spark, "pgddl_t_val_idx1").get.metric === "dot")
+    // REINDEX INDEX (reindex.slt): generation swap via the recipe
+    assert(spark.sql("REINDEX INDEX pgddl_t_val_idx").head().getString(0) === "ok")
+    assert(IndexCatalog.load(spark, "pgddl_t_val_idx").get.params
+      .contains("data_dir"))
+    assert(spark.sql("REINDEX INDEX CONCURRENTLY pgddl_t_val_idx")
+      .head().getString(0) === "ok")
+    // DROP INDEX list form + IF EXISTS
+    assert(spark.sql("DROP INDEX pgddl_t_val_idx, pgddl_t_val_idx1")
+      .collect().map(_.getString(0)).toSeq === Seq("ok", "ok"))
+    assert(IndexCatalog.load(spark, "pgddl_t_val_idx").isEmpty)
+    assert(spark.sql("DROP INDEX IF EXISTS pgddl_t_val_idx")
+      .head().getString(0) === "skipped")
+    intercept[Exception](spark.sql("DROP INDEX pgddl_t_val_idx").collect())
+  }
+
+  test("pgvector-compat CREATE INDEX forms are compatibility-gated") {
+    val ds = spark.newSession()
+    ds.sql(s"CREATE TABLE IF NOT EXISTS pgddl_c USING parquet LOCATION '$srcDir'")
+    IndexCatalog.drop(ds, "pgddl_hnsw_ix")
+    // off (the default): the hnsw AM does not exist (compatibility.rs
+    // skips the swap; compact_stmt.slt sets the GUC on first)
+    val e = intercept[Exception](ds.sql(
+      "CREATE INDEX pgddl_hnsw_ix ON pgddl_c USING hnsw (val vector_l2_ops)")
+      .collect())
+    assert(e.getMessage.contains("access method \"hnsw\" does not exist"))
+    ds.sql("SET vectors.pgvector_compatibility=on")
+    assert(ds.sql(
+      """CREATE INDEX pgddl_hnsw_ix ON pgddl_c USING hnsw (val vector_l2_ops)
+         WITH (m = 12, ef_construction = 80)""").head().getString(0) === "ok")
+    val m = IndexCatalog.load(ds, "pgddl_hnsw_ix").get
+    // the swap records the NATIVE am (the reference's hook rewrites the
+    // statement before PG stores anything)
+    assert(m.kind === "hnsw" && m.params.get("sql_am").contains("vectors"))
+    assert(m.params.get("ef_construction").contains("80"))
+    // unknown AM / opclass error shapes (compact_stmt.slt)
+    val e2 = intercept[Exception](ds.sql(
+      "CREATE INDEX pgddl_w ON pgddl_c USING wrong_type (val vector_cosine_ops)")
+      .collect())
+    assert(e2.getMessage.contains("access method \"wrong_type\" does not exist"))
+    val e3 = intercept[Exception](ds.sql(
+      "CREATE INDEX pgddl_w ON pgddl_c USING ivfflat (val wrong_operator)")
+      .collect())
+    assert(e3.getMessage.contains(
+      "operator class \"wrong_operator\" does not exist for access method \"vectors\""))
+    assert(ds.sql("DROP INDEX pgddl_hnsw_ix").head().getString(0) === "ok")
+  }
+
+  test("TOML indexing matrix: dollar-quoted ivf, flat, quantized, sparse") {
+    // $$-quoted multi-line options (ivf.slt) through the statement
+    IndexCatalog.drop(spark, "pgddl_ivf_ix")
+    assert(spark.sql(s"""CREATE INDEX pgddl_ivf_ix ON '$srcDir'
+        USING vectors (val vector_l2_ops)
+        WITH (options = $$$$
+        [indexing.ivf]
+        nlist = 4
+        $$$$)""").head().getString(0) === "ok")
+    val mIvf = IndexCatalog.load(spark, "pgddl_ivf_ix").get
+    assert(mIvf.kind === "ivf" && mIvf.params.get("nlist").contains("4"))
+    // flat: catalog-only (the exact ORDER BY plan IS the flat scan) —
+    // no pushdown registration
+    IndexCatalog.drop(spark, "pgddl_flat_ix")
+    assert(spark.sql(s"""CREATE INDEX pgddl_flat_ix ON '$srcDir'
+        USING vectors (val vector_l2_ops)
+        WITH (options = "[indexing.flat]")""").head().getString(0) === "ok")
+    assert(IndexCatalog.load(spark, "pgddl_flat_ix").get.kind === "flat")
+    assert(!graft.plans.AnnPushdown.snapshot(srcDir)
+      .exists(_.indexName == "pgddl_flat_ix"))
+    // quantized kinds (quantization.slt / ivf.slt shapes)
+    for ((nm, opts, kind) <- Seq(
+        ("pgddl_sq_ix", "[indexing.hnsw.quantization.scalar]", "hnsw_sq8"),
+        ("pgddl_pq_ix", "[indexing.hnsw.quantization.product]", "hnsw_pq"),
+        ("pgddl_rq_ix", "[indexing.flat.quantization.rabitq]", "rabitq"),
+        ("pgddl_ipq_ix", "[indexing.ivf.quantization.product]", "ivfpq"),
+        ("pgddl_isq_ix", "[indexing.ivf.quantization.scalar]", "ivfsq8"))) {
+      IndexCatalog.drop(spark, nm)
+      assert(spark.sql(s"""CREATE INDEX $nm ON '$srcDir'
+          USING vectors (val vector_l2_ops)
+          WITH (options = "$opts")""").head().getString(0) === "ok", nm)
+      assert(IndexCatalog.load(spark, nm).get.kind === kind, nm)
+      assert(!graft.plans.AnnPushdown.snapshot(srcDir).exists(_.indexName == nm))
+    }
+    // ivf rabitq is rejected with the flat pointer
+    val e = intercept[Exception](spark.sql(s"""CREATE INDEX pgddl_bad ON
+        '$srcDir' USING vectors (val vector_l2_ops)
+        WITH (options = "[indexing.ivf.quantization.rabitq]")""").collect())
+    assert(e.getMessage.contains("flat.quantization.rabitq"))
+    // sparse inverted index needs svector_dot_ops
+    IndexCatalog.drop(spark, "pgddl_sp_ix")
+    assert(spark.sql(s"""CREATE INDEX pgddl_sp_ix ON '$srcDir'
+        USING vectors (val svector_dot_ops)
+        WITH (options = "[indexing.sparse_inverted_index]")""")
+      .head().getString(0) === "ok")
+    assert(IndexCatalog.load(spark, "pgddl_sp_ix").get.kind === "sparse")
+    val e2 = intercept[Exception](spark.sql(s"""CREATE INDEX pgddl_bad2 ON
+        '$srcDir' USING vectors (val svector_l2_ops)
+        WITH (options = "[indexing.sparse_inverted_index]")""").collect())
+    assert(e2.getMessage.contains("svector_dot_ops"))
+    // unknown TOML field through the statement: the index.slt contract
+    val e3 = intercept[Exception](spark.sql(s"""CREATE INDEX pgddl_bad3 ON
+        '$srcDir' USING vectors (val vector_l2_ops)
+        WITH (options = "unknown_field = 1")""").collect())
+    assert(e3.getMessage.contains("unknown"))
+  }
+
+  test("VACUUM FULL sweeps recipe-complete indexes; quantized kinds reindex") {
+    IndexCatalog.drop(spark, "pgddl_vac_ix")
+    assert(spark.sql(s"""CREATE INDEX pgddl_vac_ix ON '$srcDir'
+        USING vectors (val vector_l2_ops)
+        WITH (options = "[indexing.flat.quantization.scalar]")""")
+      .head().getString(0) === "ok")
+    assert(IndexCatalog.load(spark, "pgddl_vac_ix").get.kind === "sq8")
+    // REINDEX of the quantized kind: generation swap, kind preserved
+    assert(spark.sql("REINDEX INDEX pgddl_vac_ix").head().getString(0) === "ok")
+    val m2 = IndexCatalog.load(spark, "pgddl_vac_ix").get
+    assert(m2.kind === "sq8" && m2.params.contains("data_dir"))
+    // plain VACUUM: no-op success; VACUUM FULL '<path>': scoped sweep
+    assert(spark.sql("VACUUM").head().getString(0).startsWith("ok"))
+    val swept = spark.sql(s"VACUUM FULL '$srcDir'").head().getString(0)
+    assert(swept.startsWith("ok ("), swept)
+    val m3 = IndexCatalog.load(spark, "pgddl_vac_ix").get
+    assert(m3.kind === "sq8" &&
+      m3.params("reindex_gen").toLong > m2.params("reindex_gen").toLong)
+    assert(spark.sql("DROP INDEX pgddl_vac_ix").head().getString(0) === "ok")
+  }
+
+  test("partial PG-form create (partition.slt WHERE shape) scopes rows") {
+    IndexCatalog.drop(spark, "pgddl_part_ix")
+    assert(spark.sql(s"""CREATE INDEX pgddl_part_ix ON '$srcDir'
+        USING vectors (val vector_l2_ops)
+        WITH (options = "[indexing.ivf]
+          nlist = 2") WHERE (vec_id < 32)""").head().getString(0) === "ok")
+    val m = IndexCatalog.load(spark, "pgddl_part_ix").get
+    assert(m.params.get("sql_where").exists(_.contains("vec_id < 32")))
+    // the artifact holds only the scoped rows
+    val rows = spark.read.parquet(IndexCatalog.dataDir(spark, "pgddl_part_ix"))
+      .count()
+    assert(rows === 32)
+    assert(spark.sql("DROP INDEX pgddl_part_ix").head().getString(0) === "ok")
+  }
+}
