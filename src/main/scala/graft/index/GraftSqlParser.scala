@@ -49,8 +49,15 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   override def parsePlan(sqlText: String): LogicalPlan = {
     // reference GUC spellings (`SET vectors.ivf_nprobe=…`, and with
     // pgvector compatibility on, `SET ivfflat.probes=…`) land on the
-    // native spark.graft.* confs — the compatibility.rs name swap
-    val rewritten = OpSqlRewrite(Gucs.rewriteSet(sqlText))
+    // native spark.graft.* confs — the compatibility.rs name swap;
+    // vector COLUMN TYPES in table DDL (`val vector(3)`) land on the
+    // Spark storage types (gated to CREATE/REPLACE TABLE statements so
+    // a function or column named `vector` is never touched elsewhere)
+    val typed =
+      if (GraftSqlParser.TableDdlGate.matcher(sqlText).matches())
+        OpSqlRewrite.tableTypes(sqlText)
+      else sqlText
+    val rewritten = OpSqlRewrite(Gucs.rewriteSet(typed))
     GraftSqlParser.parseVectorDdl(rewritten)
       .getOrElse(delegate.parsePlan(rewritten))
   }
@@ -74,6 +81,21 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
 object GraftSqlParser {
   private val Ident = "[A-Za-z_][A-Za-z0-9_]*"
+
+  // table-DDL statements whose column types may carry the reference's
+  // vector(n)/vecf16(n)/svector(n)/bvector(n) spellings
+  private[index] val TableDdlGate = java.util.regex.Pattern.compile(
+    """(?is)\s*(?:CREATE|REPLACE)\s+(?:OR\s+REPLACE\s+)?""" +
+      """(?:GLOBAL\s+|LOCAL\s+|TEMPORARY\s+|TEMP\s+|EXTERNAL\s+)*TABLE\b.*""")
+
+  // `SET search_path TO pg_temp, vectors;` — every reference slt file's
+  // prologue. PG schema namespacing has no analog here (functions are
+  // session-registered, indexes path-cataloged), so the statement is a
+  // recognized NO-OP rather than a delegate parse error
+  // (out_of_search_path.slt's namespacing semantics stay out of scope,
+  // documented in SURVEY §2.0).
+  private val SearchPathRe =
+    """(?is)\s*SET\s+search_path\s*(?:=|\s+TO\s+)[^;]*;?\s*""".r
 
   // CREATE VECTOR INDEX [IF NOT EXISTS] name ON <target> USING am
   //   (idCol, vecCol [opclass]) [WITH (k = v, ...)] [WHERE pred]
@@ -293,6 +315,8 @@ object GraftSqlParser {
       case VacuumTableRe(full, path, table) =>
         Some(VacuumTableCommand(full != null,
           Option(path).orElse(Option(table)), isPath = path != null))
+      case SearchPathRe() =>
+        Some(SetSearchPathCommand())
       case ExplainRe(mode, inner) =>
         // EXPLAIN <vector ddl>: plan the command, wrap it — the
         // RunnableCommand body never runs under ExplainCommand
@@ -613,6 +637,14 @@ case class DropPgIndexCommand(names: Seq[String], ifExists: Boolean)
 case class ReindexIndexCommand(name: String) extends VectorIndexCommand {
   override def run(spark: SparkSession): Seq[Row] =
     Seq(Row(SqlDdl.vacuum(spark, name)))
+}
+
+/** PG `SET search_path TO ...` — recognized no-op (every slt file's
+  * prologue; schema namespacing has no analog in a session-registered,
+  * path-cataloged engine). */
+case class SetSearchPathCommand() extends VectorIndexCommand {
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row("ok (search_path is a no-op here)"))
 }
 
 /** PG `VACUUM [FULL] [table]` (index_vacuum.slt): FULL rebuilds every

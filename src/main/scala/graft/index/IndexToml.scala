@@ -21,10 +21,17 @@ package graft.index
 object IndexToml {
 
   /** Parsed `[indexing.*]` selection: the kind (`flat` | `ivf` | `hnsw`
-    * | `sparse_inverted_index`), its scalar options, and the optional
-    * quantization sub-table (variant name -> its scalar options). */
+    * | `sparse_inverted_index`), its scalar options, the optional
+    * quantization sub-table (variant name -> its scalar options), and
+    * the validated-but-advisory `[segment]` / `[optimizing]` lifecycle
+    * knobs (`"optimizing.optimizing_threads" -> "16"`, vbase.slt's
+    * spelling): accepted so reference DDL ports verbatim, never part
+    * of the build recipe — the executing analogs here are the
+    * spark.graft.segments.* session confs and Spark's own task
+    * parallelism. */
   case class Indexing(kind: String, keys: Map[String, String],
-      quantization: Option[(String, Map[String, String])])
+      quantization: Option[(String, Map[String, String])],
+      lifecycle: Map[String, String] = Map.empty)
 
   private def fail(msg: String): Nothing =
     throw new IllegalArgumentException(s"invalid index options: $msg")
@@ -71,6 +78,16 @@ object IndexToml {
         } else line.split("=", 2) match {
           case Array(k, v) if k.trim.matches("[A-Za-z0-9_-]+") =>
             out(current)(k.trim) = stripValue(v)
+          // TOML dotted keys (`optimizing.optimizing_threads = 16`,
+          // vbase.slt): the prefix nests under the current table
+          case Array(k, v)
+              if k.trim.matches("[A-Za-z0-9_-]+(\\.[A-Za-z0-9_-]+)+") =>
+            val segs = k.trim.split("\\.")
+            val tablePath = (Option(current).filter(_.nonEmpty).toSeq ++
+              segs.init).mkString(".")
+            if (!out.contains(tablePath))
+              out(tablePath) = scala.collection.mutable.LinkedHashMap.empty
+            out(tablePath)(segs.last) = stripValue(v)
           case _ => fail(s"malformed line: $line")
         }
       }
@@ -109,6 +126,11 @@ object IndexToml {
     var kind: Option[String] = None
     var kindKeys = Map.empty[String, String]
     var quant: Option[(String, Map[String, String])] = None
+    val lifecycle = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val LifecycleKeys: Map[String, Set[String]] = Map(
+      "segment" -> Set("max_growing_segment_size", "max_sealed_segment_size"),
+      "optimizing" -> Set("sealing_secs", "sealing_size", "optimizing_secs",
+        "optimizing_threads", "delete_threshold"))
     tbls.filter(_._1.nonEmpty).foreach { case (path, keys) =>
       path.split("\\.").toSeq match {
         case Seq("indexing") =>
@@ -134,11 +156,16 @@ object IndexToml {
           kind = Some(k)
           if (quant.exists(_._1 != q)) fail("multiple quantization variants")
           quant = Some((q, keys))
-        case Seq("segment", _*) | Seq("optimizing", _*) =>
-          // the reference's background-worker lifecycle knobs; this
-          // engine's analogs are session confs (spark.graft.segments.*)
-          fail(s"[$path] is not supported here — the segment/optimizing " +
-            "lifecycle knobs are session confs (spark.graft.segments.*)")
+        case Seq(t @ ("segment" | "optimizing")) =>
+          // the reference's background-worker lifecycle knobs
+          // (index.rs SegmentOptions/OptimizingOptions; vbase.slt sets
+          // optimizing.optimizing_threads): validated and ACCEPTED so
+          // reference DDL ports verbatim, advisory here — the
+          // executing analogs are spark.graft.segments.* confs and
+          // Spark's task parallelism, never per-artifact state
+          val bad = keys.keySet -- LifecycleKeys(t)
+          if (bad.nonEmpty) fail(s"unknown field `${bad.head}` in [$t]")
+          keys.foreach { case (k, v) => lifecycle(s"$t.$k") = v }
         case _ => fail(s"unknown field `$path`")
       }
     }
@@ -163,7 +190,7 @@ object IndexToml {
     checkInt(s"indexing.$k", kindKeys, "nlist", 1, 1000000)
     checkBool(s"indexing.$k", kindKeys, "spherical_centroids")
     checkBool(s"indexing.$k", kindKeys, "residual_quantization")
-    Indexing(k, kindKeys, quant)
+    Indexing(k, kindKeys, quant, lifecycle.toMap)
   }
 
   /** Render a parsed selection as the flat `k=v,k=v` reloptions string

@@ -78,21 +78,75 @@ object OpSqlRewrite {
     "is", "values", "over", "partition", "range",
     "rows", "exists", "any", "some", "interval", "escape", "div")
 
+  /** PG array-typed casts (`::real[]`, the slt INSERT spelling) →
+    * Spark element types. */
+  private val PgArrayElems: Map[String, String] = Map(
+    "real" -> "FLOAT", "float4" -> "FLOAT",
+    "float8" -> "DOUBLE", "double" -> "DOUBLE",
+    "int" -> "INT", "int4" -> "INT", "integer" -> "INT",
+    "int8" -> "BIGINT", "bigint" -> "BIGINT",
+    "int2" -> "SMALLINT", "smallint" -> "SMALLINT",
+    "text" -> "STRING", "varchar" -> "STRING")
+
   /** Fast path: statements without any operator/cast spelling skip the
     * tokenizer entirely. The four 3-char cores cover the sphere forms
-    * too (`<<->>` contains `<->`, etc.). */
+    * too (`<<->>` contains `<->`, etc.); `ARRAY[` catches the PG array
+    * constructor the slt INSERTs use. */
   def apply(sql: String): String =
     if (sql == null || !(sql.contains("<->") || sql.contains("<#>") ||
         sql.contains("<=>") || sql.contains("<~>") || sql.contains("::") ||
-        (sql.contains("[") && sql.contains(":"))))
+        (sql.contains("[") && (sql.contains(":") ||
+          sql.toLowerCase.contains("array")))))
       sql
     else rewrite(sql)
 
   private def rewrite(sql: String): String = {
     var toks = lex(sql)
+    toks = rewriteArrayCtor(toks)
     toks = rewriteCasts(toks)
     toks = rewriteSlices(toks)
     toks = rewriteOps(toks)
+    toks.iterator.map(_.text).mkString
+  }
+
+  /** The reference's COLUMN TYPE spellings in CREATE/REPLACE TABLE text
+    * (`val vector(3)`, every slt file's setup) -> the Spark storage
+    * types ([[graft.types.VectorTypes]]). Token-level — string
+    * literals/comments untouched; applied by [[GraftSqlParser]] only to
+    * table-DDL statements, so a function named `vector` elsewhere is
+    * never touched. The DIMS are dropped: dimensions here are enforced
+    * by the kernels and index builds, not the column type (documented
+    * divergence — the reference's typmod check happens at INSERT). */
+  private val TableTypeMap: Map[String, String] = Map(
+    "vector" -> "ARRAY<FLOAT>",
+    "vecf16" -> "ARRAY<FLOAT>",
+    "svector" -> "STRUCT<dims: INT, indexes: ARRAY<INT>, values: ARRAY<FLOAT>>",
+    "bvector" -> "STRUCT<dims: INT, words: ARRAY<BIGINT>>")
+
+  def tableTypes(sql: String): String = {
+    if (sql == null || !TableTypeMap.keysIterator.exists(sql.toLowerCase.contains))
+      return sql
+    var toks = lex(sql)
+    var i = 0
+    while (i < toks.length) {
+      if (toks(i).kind == IDENT &&
+          TableTypeMap.contains(toks(i).text.toLowerCase)) {
+        val open = nextIdx(toks, i)
+        if (open < toks.length && toks(open).kind == SYM &&
+            toks(open).text == "(") {
+          val num = nextIdx(toks, open)
+          val cls = if (num < toks.length) nextIdx(toks, num) else -1
+          if (num < toks.length && toks(num).kind == NUM &&
+              cls < toks.length && toks(cls).kind == SYM &&
+              toks(cls).text == ")") {
+            toks = toks.take(i) ++
+              Vector(Tok(IDENT, TableTypeMap(toks(i).text.toLowerCase))) ++
+              toks.drop(cls + 1)
+          }
+        }
+      }
+      i += 1
+    }
     toks.iterator.map(_.text).mkString
   }
 
@@ -266,8 +320,43 @@ object OpSqlRewrite {
     toks.slice(from, to + 1).iterator.map(_.text).mkString.trim
 
   // ------------------------------------------------------- rewrites
+  /** The PG `ARRAY[a, b, c]` constructor (the slt INSERT spelling) ->
+    * Spark's `array(a, b, c)`: the `ARRAY` ident's bracket group flips
+    * to parens; inner constructors handled by iteration order (the
+    * outermost match re-lexes nothing — brackets are single tokens). */
+  private def rewriteArrayCtor(toks0: Vector[Tok]): Vector[Tok] = {
+    var toks = toks0
+    var i = 0
+    while (i < toks.length) {
+      if (toks(i).kind == IDENT && toks(i).text.equalsIgnoreCase("array")) {
+        val open = nextIdx(toks, i)
+        if (open < toks.length && toks(open).kind == SYM &&
+            toks(open).text == "[") {
+          var depth = 0
+          var close = -1
+          var j = open
+          while (j < toks.length && close < 0) {
+            if (isOpen(toks(j))) depth += 1
+            else if (isClose(toks(j))) { depth -= 1; if (depth == 0) close = j }
+            j += 1
+          }
+          if (close > 0) {
+            toks = toks.updated(open, Tok(SYM, "("))
+              .updated(close, Tok(SYM, ")"))
+          }
+        }
+      }
+      i += 1
+    }
+    toks
+  }
+
   /** `primary::vector` (and the other three type names) -> parser call.
-    * Iterates until no vector casts remain (left-to-right). */
+    * Iterates until no vector casts remain (left-to-right). Dims
+    * suffixes (`::vector(3)`, cos.slt) are accepted and swallowed —
+    * dimensions are enforced by the kernels and index builds here, not
+    * the cast (documented divergence). PG array-typed casts
+    * (`::real[]`) become Spark array casts. */
   private def rewriteCasts(toks0: Vector[Tok]): Vector[Tok] = {
     var toks = toks0
     var again = true
@@ -278,7 +367,32 @@ object OpSqlRewrite {
         if (toks(i).kind == SYM && toks(i).text == "::") {
           val tyIdx = nextIdx(toks, i)
           if (tyIdx < toks.length && toks(tyIdx).kind == IDENT) {
-            CastFns.get(toks(tyIdx).text.toLowerCase) match {
+            val tyName = toks(tyIdx).text.toLowerCase
+            // optional (dims) suffix after a vector type name
+            def dimsEnd: Int = {
+              val open = nextIdx(toks, tyIdx)
+              if (open < toks.length && toks(open).kind == SYM &&
+                  toks(open).text == "(") {
+                val num = nextIdx(toks, open)
+                val cls = if (num < toks.length) nextIdx(toks, num) else -1
+                if (num < toks.length && toks(num).kind == NUM &&
+                    cls < toks.length && toks(cls).kind == SYM &&
+                    toks(cls).text == ")") cls
+                else tyIdx
+              } else tyIdx
+            }
+            // `::real[]`-family: the PG array cast
+            def arrayBracketEnd: Int = {
+              val open = nextIdx(toks, tyIdx)
+              if (open < toks.length && toks(open).kind == SYM &&
+                  toks(open).text == "[") {
+                val cls = nextIdx(toks, open)
+                if (cls < toks.length && toks(cls).kind == SYM &&
+                    toks(cls).text == "]") cls
+                else -1
+              } else -1
+            }
+            CastFns.get(tyName) match {
               case Some(wrap) =>
                 val p = prevIdx(toks, i)
                 if (p < 0) throw new IllegalArgumentException(
@@ -288,9 +402,21 @@ object OpSqlRewrite {
                   s"cannot delimit the operand of ::${toks(tyIdx).text}")
                 val call = wrap(text(toks, start, p))
                 toks = toks.take(start) ++ Vector(Tok(IDENT, call)) ++
-                  toks.drop(tyIdx + 1)
+                  toks.drop(dimsEnd + 1)
                 again = true
-              case None => ()
+              case None if PgArrayElems.contains(tyName) &&
+                  arrayBracketEnd > 0 =>
+                val cls = arrayBracketEnd
+                val p = prevIdx(toks, i)
+                val start = if (p < 0) -1 else backPrimary(toks, p)
+                if (start < 0) throw new IllegalArgumentException(
+                  s"cannot delimit the operand of ::${toks(tyIdx).text}[]")
+                val call = s"CAST(${text(toks, start, p)} AS " +
+                  s"ARRAY<${PgArrayElems(tyName)}>)"
+                toks = toks.take(start) ++ Vector(Tok(IDENT, call)) ++
+                  toks.drop(cls + 1)
+                again = true
+              case _ => ()
             }
           }
         }

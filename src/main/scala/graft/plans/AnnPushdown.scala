@@ -266,6 +266,42 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.index.IndexCatalog.stats(SparkSession.active)
           .queryExecution.analyzed
       }))
+    // PG's generate_series(start, stop [, step]) — the row generator
+    // every reference slt INSERT uses — as Spark's Range plan (stop is
+    // INCLUSIVE, the PG contract; the output column carries PG's own
+    // name). Literal arguments only: the table function resolves at
+    // analysis, exactly like PG plans a constant series.
+    ext.injectTableFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("generate_series"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        "graft.plans.GraftExtensions", "generate_series"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        if (args.length < 2 || args.length > 3)
+          throw new IllegalArgumentException(
+            "generate_series(start, stop[, step]) takes 2 or 3 arguments")
+        def longArg(i: Int, what: String): Long = {
+          val e = args(i)
+          if (!e.foldable) throw new IllegalArgumentException(
+            s"generate_series $what must be a literal")
+          e.eval() match {
+            case n: Number => n.longValue()
+            case other => throw new IllegalArgumentException(
+              s"generate_series $what must be an integer, got $other")
+          }
+        }
+        val start = longArg(0, "start")
+        val stop = longArg(1, "stop")
+        val step = if (args.length == 3) longArg(2, "step") else 1L
+        if (step == 0) throw new IllegalArgumentException(
+          "generate_series step must not be zero")
+        val end = if (step > 0) stop + 1 else stop - 1
+        val range = org.apache.spark.sql.catalyst.plans.logical.Range(
+          start, end, step, None)
+        org.apache.spark.sql.catalyst.plans.logical.Project(
+          Seq(org.apache.spark.sql.catalyst.expressions.Alias(
+            range.output.head, "generate_series")()),
+          range)
+      }))
   }
 }
 

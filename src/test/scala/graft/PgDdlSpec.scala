@@ -52,7 +52,17 @@ class PgDdlSpec extends SparkSpec {
       IndexToml.parse("[indexing.hnsw]\nm = 2"))
     intercept[IllegalArgumentException](IndexToml.parse(
       "[indexing.hnsw.quantization.scalar]\nbits = 3"))
-    intercept[IllegalArgumentException](IndexToml.parse("[segment]"))
+    // vbase.slt's root dotted-key lifecycle knob: accepted (advisory),
+    // validated against the reference's own field set
+    assert(IndexToml.parse(
+      "optimizing.optimizing_threads = 16\n[indexing.hnsw]") ===
+      IndexToml.Indexing("hnsw", Map.empty, None,
+        Map("optimizing.optimizing_threads" -> "16")))
+    assert(IndexToml.parse("[segment]\nmax_sealed_segment_size = 100")
+      .lifecycle === Map("segment.max_sealed_segment_size" -> "100"))
+    val e5 = intercept[IllegalArgumentException](
+      IndexToml.parse("[optimizing]\nbogus_knob = 1"))
+    assert(e5.getMessage.contains("unknown field `bogus_knob`"))
     // quantization is dense-only (reference validate())
     val e4 = intercept[IllegalArgumentException](IndexToml.parse(
       "[indexing.sparse_inverted_index.quantization.scalar]"))

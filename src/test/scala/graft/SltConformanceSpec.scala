@@ -192,6 +192,59 @@ class SltConformanceSpec extends SparkSpec {
       Seq("[0.3, 0.3, 0.3]", "[0.2, 0.2, 0.2]"))
   }
 
+  test("index.slt / cos.slt setup + lifecycle statements run verbatim") {
+    // the slt prologue + table setup, verbatim modulo ONE documented
+    // divergence: the reference indexes heap TIDs, a path-based catalog
+    // needs an id COLUMN — so the CREATE TABLE carries one and the
+    // INSERT selects it from generate_series (PG's own column name).
+    // Everything else is the reference's spelling: SET search_path,
+    // vector(3) column type, ARRAY[...]::real[], generate_series,
+    // anonymous CREATE INDEX with TOML options, operator queries,
+    // REINDEX, DROP.
+    graft.index.IndexCatalog.drop(spark, "pgslt_t_val_idx")
+    spark.sql("SET search_path TO pg_temp, vectors;")
+    spark.sql("DROP TABLE IF EXISTS pgslt_t")
+    spark.sql("CREATE TABLE pgslt_t (id BIGINT, val vector(3))")
+    spark.sql("""INSERT INTO pgslt_t
+      SELECT generate_series, ARRAY[random(), random(), random()]::real[]
+      FROM generate_series(1, 1000)""")
+    assert(spark.table("pgslt_t").count() === 1000L)
+    // the slt's own smoke query shape (index.slt:29-41)
+    def count10(op: String): Long = spark.sql(
+      s"""SELECT COUNT(1) FROM (SELECT 1 FROM pgslt_t
+          ORDER BY val $op '[0.5,0.5,0.5]' limit 10) t2""").head().getLong(0)
+    assert(count10("<->") === 10L)
+    assert(count10("<=>") === 10L)
+    assert(count10("<#>") === 10L)
+    assert(spark.sql("""CREATE INDEX ON pgslt_t USING vectors
+        (val vector_l2_ops) WITH (options = "[indexing.hnsw]")""")
+      .head().getString(0) === "ok")
+    // reindex.slt: the generated PG name, both REINDEX spellings
+    assert(spark.sql("REINDEX INDEX pgslt_t_val_idx")
+      .head().getString(0) === "ok")
+    assert(spark.sql("REINDEX INDEX CONCURRENTLY pgslt_t_val_idx")
+      .head().getString(0) === "ok")
+    assert(count10("<->") === 10L)
+    // vbase.slt's options block with the root dotted lifecycle knob
+    graft.index.IndexCatalog.drop(spark, "pgslt_vb")
+    assert(spark.sql("""CREATE INDEX pgslt_vb ON pgslt_t USING vectors
+        (val vector_l2_ops) WITH (options = $$
+        optimizing.optimizing_threads = 16
+        [indexing.hnsw]
+        $$)""").head().getString(0) === "ok")
+    val savedMode = spark.conf.getOption("spark.graft.search.mode")
+    try {
+      spark.sql("SET vectors.search_mode=vbase")
+      assert(count10("<->") === 10L)
+    } finally savedMode match {
+      case Some(v) => spark.conf.set("spark.graft.search.mode", v)
+      case None => spark.conf.unset("spark.graft.search.mode")
+    }
+    assert(spark.sql("DROP INDEX pgslt_vb").head().getString(0) === "ok")
+    assert(spark.sql("DROP INDEX pgslt_t_val_idx").head().getString(0) === "ok")
+    spark.sql("DROP TABLE pgslt_t")
+  }
+
   test("cast.slt / finalize.sql cast matrix: cross-type :: casts") {
     // string literal casts (cast.slt) and vector<->vector conversions
     // (finalize.sql CREATE CAST set) through the same :: spelling
