@@ -172,6 +172,13 @@ object GraftSqlParser {
     ("""(?is)\s*REINDEX\s+INDEX\s+(?:CONCURRENTLY\s+)?""" + s"($Ident)" +
       """\s*;?\s*""").r
 
+  // REINDEX TABLE [CONCURRENTLY] <table> (update.slt): rebuild every
+  // recipe-complete vector index on the table — the VACUUM FULL sweep
+  // scoped to one source
+  private val ReindexTableRe =
+    ("""(?is)\s*REINDEX\s+TABLE\s+(?:CONCURRENTLY\s+)?""" +
+      s"(?:'([^']+)'|($Ident(?:\\.$Ident)*))" + """\s*;?\s*""").r
+
   // VACUUM [FULL] [<table>] (index_vacuum.slt: `VACUUM FULL;`):
   // FULL rebuilds every SQL-recipe vector index (scoped to the table's
   // resolved location when given); plain VACUUM is a no-op success —
@@ -312,6 +319,9 @@ object GraftSqlParser {
           names.split(",").map(_.trim).toSeq, ifExists = ifExists != null))
       case ReindexIndexRe(name) =>
         Some(ReindexIndexCommand(name))
+      case ReindexTableRe(path, table) =>
+        Some(VacuumTableCommand(full = true,
+          Option(path).orElse(Option(table)), isPath = path != null))
       case VacuumTableRe(full, path, table) =>
         Some(VacuumTableCommand(full != null,
           Option(path).orElse(Option(table)), isPath = path != null))

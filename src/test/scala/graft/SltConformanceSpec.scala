@@ -245,6 +245,32 @@ class SltConformanceSpec extends SparkSpec {
     spark.sql("DROP TABLE pgslt_t")
   }
 
+  test("issue_427.slt / update.slt: NULL-only builds, subquery operands, REINDEX TABLE") {
+    graft.index.IndexCatalog.drop(spark, "pgslt_n_val_idx")
+    spark.sql("DROP TABLE IF EXISTS pgslt_n")
+    spark.sql("CREATE TABLE pgslt_n (id BIGINT, val vector(3))")
+    // issue_427: an all-NULL vector column must index (builds filter
+    // NULLs — the artifact is empty) and search without crashing
+    spark.sql("""INSERT INTO pgslt_n
+      SELECT generate_series, NULL::vector FROM generate_series(1, 100)""")
+    assert(spark.sql("""CREATE INDEX ON pgslt_n USING vectors
+        (val vector_l2_ops)""").head().getString(0) === "ok")
+    // the slt's search: a scalar-subquery operand (itself NULL here) —
+    // the dialect captures the parenthesized subquery as the operand,
+    // kernels NULL-propagate, and the statement succeeds with all-NULL
+    // distances (PG 'statement ok' semantics)
+    val rows = spark.sql("""SELECT val FROM pgslt_n
+        ORDER BY val <-> (SELECT val FROM pgslt_n LIMIT 1) limit 10""")
+      .collect()
+    assert(rows.length === 10 && rows.forall(_.isNullAt(0)))
+    // update.slt's REINDEX TABLE CONCURRENTLY: the per-source sweep
+    val swept = spark.sql("REINDEX TABLE CONCURRENTLY pgslt_n")
+      .head().getString(0)
+    assert(swept.startsWith("ok (1 reindexed"), swept)
+    assert(spark.sql("DROP INDEX pgslt_n_val_idx").head().getString(0) === "ok")
+    spark.sql("DROP TABLE pgslt_n")
+  }
+
   test("cast.slt / finalize.sql cast matrix: cross-type :: casts") {
     // string literal casts (cast.slt) and vector<->vector conversions
     // (finalize.sql CREATE CAST set) through the same :: spelling
