@@ -86,7 +86,17 @@ object OpSqlRewrite {
     "int" -> "INT", "int4" -> "INT", "integer" -> "INT",
     "int8" -> "BIGINT", "bigint" -> "BIGINT",
     "int2" -> "SMALLINT", "smallint" -> "SMALLINT",
-    "text" -> "STRING", "varchar" -> "STRING")
+    "text" -> "STRING", "varchar" -> "STRING",
+    "numeric" -> "DECIMAL(38, 18)")
+
+  /** PG SCALAR type names Spark's own `::` cast grammar lacks
+    * (`RANDOM()::numeric`, bvector.slt) → Spark types. Names Spark
+    * already accepts (int, bigint, float, string, …) are left for the
+    * delegate. */
+  private val PgScalarTypes: Map[String, String] = Map(
+    "numeric" -> "DECIMAL(38, 18)",
+    "real" -> "FLOAT", "float4" -> "FLOAT", "float8" -> "DOUBLE",
+    "int2" -> "SMALLINT", "int4" -> "INT", "int8" -> "BIGINT")
 
   /** Fast path: statements without any operator/cast spelling skip the
     * tokenizer entirely. The four 3-char cores cover the sphere forms
@@ -415,6 +425,17 @@ object OpSqlRewrite {
                   s"ARRAY<${PgArrayElems(tyName)}>)"
                 toks = toks.take(start) ++ Vector(Tok(IDENT, call)) ++
                   toks.drop(cls + 1)
+                again = true
+              case None if PgScalarTypes.contains(tyName) &&
+                  arrayBracketEnd < 0 =>
+                val p = prevIdx(toks, i)
+                val start = if (p < 0) -1 else backPrimary(toks, p)
+                if (start < 0) throw new IllegalArgumentException(
+                  s"cannot delimit the operand of ::${toks(tyIdx).text}")
+                val call = s"CAST(${text(toks, start, p)} AS " +
+                  s"${PgScalarTypes(tyName)})"
+                toks = toks.take(start) ++ Vector(Tok(IDENT, call)) ++
+                  toks.drop(tyIdx + 1)
                 again = true
               case _ => ()
             }

@@ -124,12 +124,26 @@ object SqlDdl {
         else IvfIndex.ensure(spark, name, df, source, vecCol, metric, nlist,
           maxIter = iters)
       // typed IVF opclasses: one artifact per type family, the metric is
-      // a search-time choice (TypedAnn convention) — validated above
+      // a search-time choice (TypedAnn convention) — validated above.
+      // The SOURCE COLUMN may already be stored in the family's OWN
+      // type (a `bvector(n)`/`svector(n)` table column from the
+      // reference's CREATE TABLE spelling — the round-13 type mapping)
+      // or be a dense array the build converts: columnIsStruct
+      // dispatches on the stored schema (one metadata read, no job).
+      // bvecToDense of a stored bvector yields exact 0/1 floats, whose
+      // binarize inside the build is the identity — value-equal to the
+      // dense-source path by construction.
       case ("bvec", "ivf") =>
         val nlist = IndexOptions.ivf(rest)
-        if (rebuild) TypedAnn.reindexBvec(spark, name, df, source,
-          idCol, vecCol, nlist)
-        else TypedAnn.ensureBvec(spark, name, df, source, idCol, vecCol, nlist)
+        val struct = columnIsStruct(spark, source, vecCol)
+        def bdf =
+          if (struct) df.select(col(idCol),
+            graft.functions.bvecToDense(col(vecCol)).as("bv01"))
+          else df
+        val c = if (struct) "bv01" else vecCol
+        if (rebuild) TypedAnn.reindexBvec(spark, name, bdf, source,
+          idCol, c, nlist)
+        else TypedAnn.ensureBvec(spark, name, bdf, source, idCol, c, nlist)
       case ("f16", "ivf") =>
         val nlist = IndexOptions.ivf(rest)
         if (rebuild) TypedAnn.reindexF16(spark, name, df, source,
@@ -137,10 +151,12 @@ object SqlDdl {
         else TypedAnn.ensureF16(spark, name, df, source, idCol, vecCol, nlist)
       case ("svec", "ivf") =>
         // pushdown-registered svec artifacts store their CSR column as
-        // "sv" = svec_from_dense(col), the value-identity convention
+        // "sv" = svec_from_dense(col), the value-identity convention; a
+        // column ALREADY stored as the svector struct IS that value
         val nlist = IndexOptions.ivf(rest)
         def sdf = df.select(col(idCol),
-          graft.functions.svecFromDense(col(vecCol)).as("sv"))
+          (if (columnIsStruct(spark, source, vecCol)) col(vecCol)
+           else graft.functions.svecFromDense(col(vecCol))).as("sv"))
         if (rebuild) TypedAnn.reindexSvec(spark, name, sdf, source,
           idCol, "sv", nlist)
         else TypedAnn.ensureSvec(spark, name, sdf, source, idCol, "sv", nlist)
@@ -149,8 +165,11 @@ object SqlDdl {
       // search-time override) — the declarative-closure conventions
       case ("bvec", "hnsw") =>
         val (m, efc) = IndexOptions.hnsw(rest)
-        def bdf = df.select(col(idCol), graft.functions.bvecToDense(
-          graft.functions.binarize(col(vecCol))).as("bv01"))
+        def bdf = df.select(col(idCol),
+          (if (columnIsStruct(spark, source, vecCol))
+            graft.functions.bvecToDense(col(vecCol))
+          else graft.functions.bvecToDense(
+            graft.functions.binarize(col(vecCol)))).as("bv01"))
         if (rebuild) Hnsw.reindex(spark, name, bdf, source, idCol, "bv01",
           "l2", parts, m, efc)
         else Hnsw.ensure(spark, name, bdf, source, idCol, "bv01",
@@ -165,8 +184,11 @@ object SqlDdl {
           "l2", parts, m, efc)
       case ("svec", "hnsw") =>
         val (m, efc) = IndexOptions.hnsw(rest)
-        def vdf = df.select(col(idCol), graft.functions.svecToDense(
-          graft.functions.svecFromDense(col(vecCol))).as("dv"))
+        def vdf = df.select(col(idCol),
+          (if (columnIsStruct(spark, source, vecCol))
+            graft.functions.svecToDense(col(vecCol))
+          else graft.functions.svecToDense(
+            graft.functions.svecFromDense(col(vecCol)))).as("dv"))
         if (rebuild) Hnsw.reindex(spark, name, vdf, source, idCol, "dv",
           "l2", parts, m, efc)
         else Hnsw.ensure(spark, name, vdf, source, idCol, "dv",
@@ -230,7 +252,8 @@ object SqlDdl {
         "sparse_inverted_index serves dot-product ranking — use " +
           s"svector_dot_ops (got ${family}_${metric}_ops)")
       def sdf = df.select(col(idCol),
-        graft.functions.svecFromDense(col(vecCol)).as("sv"))
+        (if (columnIsStruct(spark, source, vecCol)) col(vecCol)
+         else graft.functions.svecFromDense(col(vecCol))).as("sv"))
       if (rebuild) SparseSearch.reindex(spark, name, sdf, source, idCol, "sv")
       else SparseSearch.ensure(spark, name, sdf, source, idCol, "sv")
       return
@@ -311,6 +334,16 @@ object SqlDdl {
         s"unsupported (indexing, quantization) combination: $other")
     }
   }
+
+  /** Is the source column stored as a STRUCT (the svector CSR /
+    * bvector packed-words storage types — a `svector(n)`/`bvector(n)`
+    * table column from the reference's CREATE TABLE spelling)? Dense
+    * f32/f16 columns are arrays. One metadata-only schema read. */
+  private def columnIsStruct(spark: SparkSession, source: String,
+      vecCol: String): Boolean =
+    spark.read.parquet(source).schema.fields
+      .find(_.name == vecCol)
+      .exists(_.dataType.isInstanceOf[org.apache.spark.sql.types.StructType])
 
   /** The recipe params [[create]] writes and [[vacuum]] replays. */
   private def recipeParams(idCol: String, vecCol: String, am: String,

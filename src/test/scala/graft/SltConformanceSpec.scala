@@ -271,6 +271,68 @@ class SltConformanceSpec extends SparkSpec {
     spark.sql("DROP TABLE pgslt_n")
   }
 
+  test("sparse.slt / bvector.slt / fp16.slt: typed table columns end to end") {
+    import graft.index.IndexCatalog
+    // --- sparse.slt: svector(6) column, chained ::real[]::vector::svector
+    //     INSERT, three opclass indexes on the STRUCT column, operator
+    //     queries over an ::svector literal ---
+    Seq("pgslt_sv_val_idx", "pgslt_sv_val_idx1", "pgslt_sv_val_idx2")
+      .foreach(IndexCatalog.drop(spark, _))
+    spark.sql("DROP TABLE IF EXISTS pgslt_sv")
+    spark.sql("CREATE TABLE pgslt_sv (id BIGINT, val svector(6))")
+    spark.sql("""INSERT INTO pgslt_sv SELECT generate_series,
+      ARRAY[0, random(), 0, 0, random(), random()]::real[]::vector::svector
+      FROM generate_series(1, 200)""")
+    for (ops <- Seq("svector_l2_ops", "svector_dot_ops", "svector_cos_ops"))
+      assert(spark.sql(s"""CREATE INDEX ON pgslt_sv USING vectors
+          (val $ops) WITH (options = "[indexing.hnsw]")""")
+        .head().getString(0) === "ok", ops)
+    def count10(tbl: String, op: String, lit: String): Long = spark.sql(
+      s"""SELECT COUNT(1) FROM (SELECT 1 FROM $tbl
+          ORDER BY val $op $lit limit 10) t2""").head().getLong(0)
+    assert(count10("pgslt_sv", "<->", "'{1:3,2:1}/6'::svector") === 10L)
+    assert(count10("pgslt_sv", "<=>", "'{1:3,2:1}/6'::svector") === 10L)
+    assert(count10("pgslt_sv", "<#>", "'{1:3,2:1}/6'::svector") === 10L)
+    spark.sql("DROP TABLE pgslt_sv")
+    // --- bvector.slt: bvector(10) struct column, ROUND(RANDOM()::numeric)
+    //     INSERT chain, hamming index on the struct column ---
+    IndexCatalog.drop(spark, "pgslt_bv_val_idx")
+    spark.sql("DROP TABLE IF EXISTS pgslt_bv")
+    spark.sql("CREATE TABLE pgslt_bv (id BIGINT, val bvector(10))")
+    spark.sql("""INSERT INTO pgslt_bv SELECT generate_series,
+      ARRAY[ROUND(RANDOM()::numeric, 0), ROUND(RANDOM()::numeric, 0),
+            ROUND(RANDOM()::numeric, 0), ROUND(RANDOM()::numeric, 0),
+            ROUND(RANDOM()::numeric, 0), ROUND(RANDOM()::numeric, 0),
+            ROUND(RANDOM()::numeric, 0), ROUND(RANDOM()::numeric, 0),
+            ROUND(RANDOM()::numeric, 0), ROUND(RANDOM()::numeric, 0)
+      ]::real[]::vector::bvector FROM generate_series(1, 200)""")
+    assert(spark.sql("""CREATE INDEX ON pgslt_bv USING vectors
+        (val bvector_hamming_ops) WITH (options = "[indexing.hnsw]")""")
+      .head().getString(0) === "ok")
+    assert(count10("pgslt_bv", "<->", "'[0,1,0,1,0,1,0,1,0,1]'::bvector") === 10L)
+    spark.sql("DROP TABLE pgslt_bv")
+    // --- fp16.slt: vecf16(3) column (f32-surface storage), index,
+    //     operator queries, and the printed f16 arithmetic value ---
+    IndexCatalog.drop(spark, "pgslt_f16_val_idx")
+    spark.sql("DROP TABLE IF EXISTS pgslt_f16")
+    spark.sql("CREATE TABLE pgslt_f16 (id BIGINT, val vecf16(3))")
+    spark.sql("""INSERT INTO pgslt_f16 SELECT generate_series,
+      ARRAY[random(), random(), random()]::real[]::vector::vecf16
+      FROM generate_series(1, 200)""")
+    assert(spark.sql("""CREATE INDEX ON pgslt_f16 USING vectors
+        (val vecf16_l2_ops) WITH (options = "[indexing.hnsw]")""")
+      .head().getString(0) === "ok")
+    assert(count10("pgslt_f16", "<->", "'[0.5,0.5,0.5]'::vecf16") === 10L)
+    // fp16.slt's printed value: '[1,2,3]'::vecf16 * '[4,5,6]'::vecf16
+    assert(spark.sql(
+      "SELECT format_vector('[1,2,3]'::vecf16 * '[4,5,6]'::vecf16)")
+      .head().getString(0) === "[4, 10, 18]")
+    spark.sql("DROP TABLE pgslt_f16")
+    Seq("pgslt_sv_val_idx", "pgslt_sv_val_idx1", "pgslt_sv_val_idx2",
+      "pgslt_bv_val_idx", "pgslt_f16_val_idx")
+      .foreach(IndexCatalog.drop(spark, _))
+  }
+
   test("cast.slt / finalize.sql cast matrix: cross-type :: casts") {
     // string literal casts (cast.slt) and vector<->vector conversions
     // (finalize.sql CREATE CAST set) through the same :: spelling
