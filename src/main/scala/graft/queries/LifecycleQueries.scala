@@ -110,6 +110,7 @@ object LifecycleQueries {
     // vacuum precedent). Temp sources — q_index_stat untouched.
     queries("q_pg_toml_matrix")(s, d).collect()
     queries("q_pg_index_ddl")(s, d).collect()
+    queries("q_pg_typed_ddl")(s, d).collect()
     ()
   }
 
@@ -1139,6 +1140,71 @@ object LifecycleQueries {
         .toDF("step", "result").orderBy(col("step"))
     }),
 
+    // --- typed TABLE COLUMNS through the native statement (round 13;
+    //     sparse.slt/bvector.slt store svector/bvector-typed columns):
+    //     CREATE INDEX over the STRUCT columns dispatches on the stored
+    //     schema — a stored svector IS the sv payload, a stored bvector
+    //     densifies to exact 0/1. Manifest equivalence with the Scala
+    //     TypedAnn builds is required in-query; the returned frame is
+    //     the svec dot search at nprobe = nlist (exact), whose oracle
+    //     replays dense negdot over the source slice — svecFromDense is
+    //     value identity and zero terms add exact 0.0 to the double
+    //     accumulation, so CSR-intersection and dense index-order sums
+    //     are bit-identical.
+    "q_pg_typed_ddl" -> ((s0, d) => {
+      val s = ddlSession(s0)
+      val srcDir = tmp + "/graft_typedsrc_" + san(d)
+      Segments.synchronized {
+        if (!new File(srcDir, "_SUCCESS").isFile)
+          t(s, d, "embeddings").filter(col("vec_id") < 16)
+            .select(col("vec_id"),
+              svecFromDense(col("embedding")).as("sv"),
+              // binarize, not the ::bvector cast — the cast enforces the
+              // strict 0/1 rule and the embeddings are arbitrary floats
+              binarize(col("embedding")).as("bv"))
+            .coalesce(1).write.mode("overwrite").parquet(srcDir)
+      }
+      val strip = (p: Map[String, String]) =>
+        p -- Seq("sql_cols", "sql_am", "sql_opclass", "sql_options",
+          "sql_where", "data_dir", "reindex_gen")
+      // svec IVF on the struct column, by statement
+      val svName = s"pgt_sv_${san(d)}"
+      require(s.sql(s"""CREATE INDEX $svName ON '$srcDir'
+          USING vectors (sv svector_dot_ops)
+          WITH (options = "[indexing.ivf]
+            nlist = 2", id_col = 'vec_id')""").head().getString(0) == "ok")
+      val mSv = IndexCatalog.load(s, svName).get
+      require(mSv.kind == "ivf_svec", s"svec statement built ${mSv.kind}")
+      val svRef = s"pgt_svref_${san(d)}"
+      graft.operators.TypedAnn.ensureSvec(s, svRef,
+        s.read.parquet(srcDir).select(col("vec_id"), col("sv")),
+        srcDir, "vec_id", "sv", nlist = 2)
+      val mSvRef = IndexCatalog.load(s, svRef).get
+      require(mSv.metric == mSvRef.metric &&
+        strip(mSv.params) == strip(mSvRef.params),
+        s"svec statement manifest drifted: ${mSv.params} vs ${mSvRef.params}")
+      // bvec IVF on the struct column, by statement
+      val bvName = s"pgt_bv_${san(d)}"
+      require(s.sql(s"""CREATE INDEX $bvName ON '$srcDir'
+          USING vectors (bv bvector_hamming_ops)
+          WITH (options = "[indexing.ivf]
+            nlist = 2", id_col = 'vec_id')""").head().getString(0) == "ok")
+      require(IndexCatalog.load(s, bvName).get.kind == "ivf_bvec")
+      // sparse inverted index on the struct column, by statement
+      val spName = s"pgt_sp_${san(d)}"
+      require(s.sql(s"""CREATE INDEX $spName ON '$srcDir'
+          USING vectors (sv svector_dot_ops)
+          WITH (options = "[indexing.sparse_inverted_index]",
+                id_col = 'vec_id')""").head().getString(0) == "ok")
+      require(IndexCatalog.load(s, spName).get.kind == "sparse")
+      // the exact svec search over the statement-built artifact
+      val model = graft.operators.IvfIndex.Model("l2", mSv.centroids,
+        mSv.floats.get("radii").orNull)
+      graft.operators.TypedAnn.searchSvec(s,
+        IndexCatalog.dataDir(s, svName), model, "vec_id", "sv",
+        qvec(s, d), k = 8, nprobe = 2, metric = "dot")
+    }),
+
     "q_pgvector_gucs" -> ((s, d) => {
       // a FRESH newSession (the injected parser carries over, the
       // runtime SQLConf does not): this gate mutates session-global
@@ -1575,6 +1641,18 @@ object LifecycleQueries {
           FROM embeddings e
           CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
           ORDER BY dist, vec_id LIMIT 100""",
+
+    // dense negdot over the 16-row slice: svecFromDense is value
+    // identity, zero terms add exact 0.0 — bit-identical to the CSR
+    // intersection sum
+    "q_pg_typed_ddl" ->
+      """SELECT e.vec_id AS vec_id,
+           -(list_aggregate(list_transform(list_zip(e.embedding, q.qv),
+               p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')) AS dist
+         FROM embeddings e
+         CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+         WHERE e.vec_id < 16
+         ORDER BY dist, vec_id LIMIT 8""",
 
     // the native PG DDL lifecycle contract: every step's printed result
     "q_pg_index_ddl" ->
