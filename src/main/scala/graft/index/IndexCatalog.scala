@@ -455,6 +455,47 @@ object IndexCatalog {
 
   /** The `pg_vector_index_stat` analog (views.rs:17-80): one row per
     * committed index with its artifact footprint. */
+  /** Stored tuple count of an artifact, DRIVER-side metadata I/O only
+    * (the stats TVF's no-job contract): parquet row-store kinds sum the
+    * files' footer row counts; plain-hnsw graphs read the FlatGraph
+    * header's n (Magic, Version, dims, N — offset 12). Kinds whose
+    * layout doesn't expose a cheap count (coded graph fleets, posting
+    * indexes where rows ≠ tuples, parents owning no data, incr bases
+    * with tombstone visibility) report None — honest NULL beats a
+    * wrong number (reference idx_tuples: views.rs:36-39). */
+  private def tupleCount(kind: String, dataDir: File): Option[Long] = {
+    def parquetFiles(f: File): Seq[File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(parquetFiles)
+      else if (f.isFile && f.getName.endsWith(".parquet")) Seq(f)
+      else Seq.empty
+    def footerRows: Option[Long] = scala.util.Try {
+      val conf = new org.apache.hadoop.conf.Configuration()
+      parquetFiles(dataDir).map { f =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
+      }.sum
+    }.toOption
+    def graphRows: Option[Long] = scala.util.Try {
+      Option(dataDir.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.startsWith("graph-") &&
+          f.getName.endsWith(".bin"))
+        .map { f =>
+          val in = new java.io.DataInputStream(
+            new java.io.FileInputStream(f))
+          try { in.skipBytes(12); in.readInt().toLong } finally in.close()
+        }.sum
+    }.toOption
+    kind match {
+      case "ivf" | "ivfpq" | "ivfsq8" | "sq8" | "pq" | "rabitq" |
+          "ivf_bvec" | "ivf_f16" | "ivf_svec" | "rabitq4" => footerRows
+      case "hnsw" => graphRows
+      case _ => None
+    }
+  }
+
   def stats(spark: SparkSession): DataFrame = {
     import spark.implicits._
     def du(f: File): Long =
@@ -466,10 +507,15 @@ object IndexCatalog {
         load(spark, d.getName).map { m =>
           (d.getName, m.kind, m.metric, m.source,
             m.params.map { case (k, v) => s"$k=$v" }.toSeq.sorted.mkString(","),
-            du(d))
+            du(d),
+            // reference stat-view parity (views.rs:33-71): status is
+            // NORMAL by construction — commits are atomic, a listed
+            // manifest is always servable
+            "NORMAL",
+            tupleCount(m.kind, new File(dataDir(spark, d.getName))))
         }
       }.toSeq
     rows.toDF("idx_name", "idx_type", "idx_metric", "idx_source",
-      "idx_options", "idx_size_bytes")
+      "idx_options", "idx_size_bytes", "idx_status", "idx_tuples")
   }
 }

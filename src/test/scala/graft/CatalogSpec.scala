@@ -29,9 +29,16 @@ class CatalogSpec extends SparkSpec {
     // stat view surfaces it
     val row = IndexCatalog.stats(spark)
       .filter(col("idx_name") === name)
-      .select("idx_type", "idx_metric", "idx_size_bytes").head()
+      .select("idx_type", "idx_metric", "idx_size_bytes",
+        "idx_status", "idx_tuples").head()
     assert(row.getString(0) == "ivf" && row.getString(1) == "l2")
     assert(row.getLong(2) > 0)
+    // reference stat-view parity (views.rs): status + stored tuples —
+    // the ivf artifact stores every embedding row; the count comes from
+    // driver-side parquet footers, never a job
+    assert(row.getString(3) == "NORMAL")
+    assert(row.getLong(4) ==
+      spark.read.parquet(s"$sf0001/embeddings.parquet").count())
 
     // fence: committed build -> returns; missing index -> error
     IndexCatalog.fence(spark, name)
