@@ -185,7 +185,8 @@ object GraftSqlParser {
   // Postgres plain vacuum never rebuilds indexes, and tombstone
   // visibility here is versioned, not dead-tuple-based.
   private val VacuumTableRe =
-    ("""(?is)\s*VACUUM(?:\s+(FULL))?(?:\s+(?:'([^']+)'|(""" +
+    ("""(?is)\s*VACUUM(?:\s+(FULL))?(?:\s+(?:FREEZE|VERBOSE|ANALYZE))*""" +
+      """(?:\s+(?:'([^']+)'|(""" +
       s"$Ident(?:\\.$Ident)*" + """)))?\s*;?\s*""").r
 
   private val ExplainRe =

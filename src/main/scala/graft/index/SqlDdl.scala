@@ -89,15 +89,21 @@ object SqlDdl {
     // residual_quantization: accepted and recorded; the IVF×PQ/SQ8
     // builds here ALWAYS encode residuals (IvfPq.residual) — a strict
     // estimate-quality improvement over the reference's non-residual
-    // default, and exact twins (window<=0) never read codes
-    val rest = opts - "indexing" - "parts" - "quantization" - "bits" -
-      "ratio" - "spherical_centroids" - "residual_quantization"
+    // default, and exact twins (window<=0) never read codes.
+    // spherical/residual are stripped on BOTH paths (valid [indexing.ivf]
+    // keys with or without quantization); bits/ratio are quantization
+    // sub-table keys and stay in `rest` for the PLAIN path so stray
+    // spellings keep erroring through the strict option sets.
+    val base = opts - "indexing" - "parts" - "spherical_centroids" -
+      "residual_quantization"
     if (indexing == "sparse_inverted_index" || indexing == "flat" ||
         quant.isDefined) {
       dispatchExtended(spark, name, source, idCol, vecCol, family, metric,
-        indexing, quant, qBits, qRatio, parts, rest, rebuild, where)
+        indexing, quant, qBits, qRatio, parts,
+        base - "quantization" - "bits" - "ratio", rebuild, where)
       return
     }
+    val rest = base
     // a WHERE clause scopes the build to matching rows — the Postgres
     // PARTIAL index: the artifact holds only the predicate's rows, and
     // registration is predicate-scoped so the planner claims exactly

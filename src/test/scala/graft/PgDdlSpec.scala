@@ -184,6 +184,28 @@ class PgDdlSpec extends SparkSpec {
       assert(IndexCatalog.load(spark, nm).get.kind === kind, nm)
       assert(!graft.plans.AnnPushdown.snapshot(srcDir).exists(_.indexName == nm))
     }
+    // quantization sub-table keys on a PLAIN kind keep erroring at BOTH
+    // layers: IndexToml (the TOML spelling) and the strict option sets
+    // (the flat k=v spelling through CREATE VECTOR INDEX) — while
+    // spherical_centroids=false is a valid [indexing.ivf] key with or
+    // without quantization
+    val ePlain = intercept[Exception](spark.sql(s"""CREATE INDEX pgddl_badb
+        ON '$srcDir' USING vectors (val vector_l2_ops)
+        WITH (options = "[indexing.hnsw]
+          bits = 8")""").collect())
+    assert(ePlain.getMessage.contains("unknown"), ePlain.getMessage)
+    val eKv = intercept[Exception](spark.sql(s"""CREATE VECTOR INDEX
+        pgddl_badkv ON '$srcDir' USING vectors (vec_id, val vector_l2_ops)
+        WITH (indexing = hnsw, bits = 8)""").collect())
+    assert(eKv.getMessage.contains("unknown"), eKv.getMessage)
+    IndexCatalog.drop(spark, "pgddl_sphf_ix")
+    assert(spark.sql(s"""CREATE INDEX pgddl_sphf_ix ON '$srcDir'
+        USING vectors (val vector_l2_ops)
+        WITH (options = "[indexing.ivf]
+          nlist = 2
+          spherical_centroids = false")""").head().getString(0) === "ok")
+    assert(IndexCatalog.load(spark, "pgddl_sphf_ix").get.kind === "ivf")
+    assert(spark.sql("DROP INDEX pgddl_sphf_ix").head().getString(0) === "ok")
     // ivf rabitq is rejected with the flat pointer
     val e = intercept[Exception](spark.sql(s"""CREATE INDEX pgddl_bad ON
         '$srcDir' USING vectors (val vector_l2_ops)
