@@ -615,15 +615,21 @@ case class CreatePgIndexCommand(nameOpt: Option[String], source: String,
 object CreatePgIndexCommand {
   /** The heap-TID analog: prefer a column literally named `id`, else
     * the FIRST atomic-typed (int/long/short/string) column that is not
-    * the vector column. Metadata-only (one schema read). */
+    * the vector column. The `id` pick applies the SAME type/column
+    * guards — a double-typed or vector-valued `id` must not be silently
+    * truncated through the build's cast("long"); it falls through to
+    * the generic pick or the actionable error. Metadata-only (one
+    * schema read). */
   private[index] def resolveIdColumn(spark: SparkSession, path: String,
       vecCol: String): String = {
     import org.apache.spark.sql.types.{IntegerType, LongType, ShortType, StringType}
     val schema = spark.read.parquet(path).schema
-    schema.fields.find(_.name == "id").map(_.name)
-      .orElse(schema.fields.find(f => f.name != vecCol &&
-        Set[org.apache.spark.sql.types.DataType](IntegerType, LongType,
-          ShortType, StringType).contains(f.dataType)).map(_.name))
+    val idTypes = Set[org.apache.spark.sql.types.DataType](IntegerType,
+      LongType, ShortType, StringType)
+    def ok(f: org.apache.spark.sql.types.StructField): Boolean =
+      f.name != vecCol && idTypes.contains(f.dataType)
+    schema.fields.find(f => f.name == "id" && ok(f)).map(_.name)
+      .orElse(schema.fields.find(ok).map(_.name))
       .getOrElse(throw new IllegalArgumentException(
         s"cannot infer an id column for $path (no `id` column and no " +
           "atomic-typed non-vector column) — spell it explicitly: " +

@@ -39,14 +39,29 @@ object Gucs {
 
   /** GUC-style booleans: the reference accepts on/off (PG GUC syntax);
     * Spark conf reads elsewhere use strict toBoolean, so SET-time
-    * rewriting normalizes to true/false ([[rewriteSet]]). */
+    * rewriting normalizes to true/false ([[rewriteSet]]). Garbage
+    * values ERROR like PG's invalid-bool-GUC message — silently
+    * defaulting a typo'd `SET vectors.enable_index=ture` to false would
+    * turn off acceleration with no diagnostic (the conf2 garbage-errors
+    * convention). */
   def gucBool(v: String): Boolean = v.trim.toLowerCase match {
     case "on" | "true" | "1" | "yes" => true
-    case _ => false
+    case "off" | "false" | "0" | "no" => false
+    case other => throw new IllegalArgumentException(
+      s"""parameter requires a Boolean value: "$other" (on/off)""")
   }
 
+  /** LENIENT read (garbage -> false, the default): this is consulted
+    * inside the ANN rewrite rule ([[graft.plans]] hnswEfSearch) and the
+    * parse path, where the round-10 convention is "unparseable conf
+    * values resolve to the default, never an optimizer-rule throw".
+    * SET-time values are strictly validated by [[gucBool]], so garbage
+    * can only arrive through a programmatic conf.set. */
   def pgvectorCompat(s: SparkSession): Boolean =
-    gucBool(s.conf.get(CompatKey, "off"))
+    s.conf.get(CompatKey, "off").trim.toLowerCase match {
+      case "on" | "true" | "1" | "yes" => true
+      case _ => false
+    }
 
   /** The pgvector-spelled alias key's value, honored only in
     * compatibility mode (compact_var.slt: with compat off,

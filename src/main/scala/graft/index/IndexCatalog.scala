@@ -457,21 +457,35 @@ object IndexCatalog {
     * committed index with its artifact footprint. */
   /** Stored tuple count of an artifact, DRIVER-side metadata I/O only
     * (the stats TVF's no-job contract): parquet row-store kinds sum the
-    * files' footer row counts; plain-hnsw graphs read the FlatGraph
-    * header's n (Magic, Version, dims, N — offset 12). Kinds whose
-    * layout doesn't expose a cheap count (coded graph fleets, posting
-    * indexes where rows ≠ tuples, parents owning no data, incr bases
-    * with tombstone visibility) report None — honest NULL beats a
-    * wrong number (reference idx_tuples: views.rs:36-39). */
+    * files' footer row counts (rabitq4 counts only its rows/ side — the
+    * blocks/ side is per-32-vector metadata, not tuples); plain-hnsw
+    * graphs parse the FlatGraph header (Magic, Version, UTF metric,
+    * dims, N — the metric field is variable-width, so the header is
+    * parsed, never offset-skipped). Kinds whose layout doesn't expose a
+    * cheap count (coded graph fleets, posting indexes where rows ≠
+    * tuples, parents owning no data, incr bases with tombstone
+    * visibility) report None — honest NULL beats a wrong number
+    * (reference idx_tuples: views.rs:36-39).
+    *
+    * Results are CACHED per (dir, mtime, file count): the TVF resolves
+    * fresh per analysis, and re-opening every footer on each EXPLAIN
+    * would put real I/O latency on the driver. Generation dirs are
+    * immutable once committed (REINDEX builds into fresh dirs; in-place
+    * ensure rebuilds bump mtimes), so the fingerprint invalidates
+    * exactly when content can have changed. */
+  private case class TupleKey(path: String, mtime: Long, files: Int)
+  private val tupleCache =
+    new ConcurrentHashMap[TupleKey, Option[Long]]()
+
   private def tupleCount(kind: String, dataDir: File): Option[Long] = {
     def parquetFiles(f: File): Seq[File] =
       if (f.isDirectory)
         Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(parquetFiles)
       else if (f.isFile && f.getName.endsWith(".parquet")) Seq(f)
       else Seq.empty
-    def footerRows: Option[Long] = scala.util.Try {
+    def footerRows(dir: File): Option[Long] = scala.util.Try {
       val conf = new org.apache.hadoop.conf.Configuration()
-      parquetFiles(dataDir).map { f =>
+      parquetFiles(dir).map { f =>
         val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
           new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf)
         val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
@@ -483,17 +497,25 @@ object IndexCatalog {
         .filter(f => f.getName.startsWith("graph-") &&
           f.getName.endsWith(".bin"))
         .map { f =>
-          val in = new java.io.DataInputStream(
-            new java.io.FileInputStream(f))
-          try { in.skipBytes(12); in.readInt().toLong } finally in.close()
+          val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
+            new java.io.FileInputStream(f)))
+          try {
+            in.readInt(); in.readInt() // magic, version
+            in.readUTF()               // metric (variable width)
+            in.readInt()               // dims
+            in.readInt().toLong        // n
+          } finally in.close()
         }.sum
     }.toOption
-    kind match {
+    val key = TupleKey(dataDir.getAbsolutePath, dataDir.lastModified,
+      Option(dataDir.list()).map(_.length).getOrElse(-1))
+    tupleCache.computeIfAbsent(key, _ => kind match {
       case "ivf" | "ivfpq" | "ivfsq8" | "sq8" | "pq" | "rabitq" |
-          "ivf_bvec" | "ivf_f16" | "ivf_svec" | "rabitq4" => footerRows
+          "ivf_bvec" | "ivf_f16" | "ivf_svec" => footerRows(dataDir)
+      case "rabitq4" => footerRows(new File(dataDir, "rows"))
       case "hnsw" => graphRows
       case _ => None
-    }
+    })
   }
 
   def stats(spark: SparkSession): DataFrame = {

@@ -139,8 +139,14 @@ object OpSqlRewrite {
     var toks = lex(sql)
     var i = 0
     while (i < toks.length) {
+      // NOT after '::' — a `'[...]'::vector(3)` cast inside a CTAS body
+      // belongs to rewriteCasts (which swallows the dims); flipping the
+      // TYPE of the cast here would strip the graft cast semantics
       if (toks(i).kind == IDENT &&
-          TableTypeMap.contains(toks(i).text.toLowerCase)) {
+          TableTypeMap.contains(toks(i).text.toLowerCase) && {
+            val p = prevIdx(toks, i)
+            !(p >= 0 && toks(p).kind == SYM && toks(p).text == "::")
+          }) {
         val open = nextIdx(toks, i)
         if (open < toks.length && toks(open).kind == SYM &&
             toks(open).text == "(") {
@@ -333,12 +339,18 @@ object OpSqlRewrite {
   /** The PG `ARRAY[a, b, c]` constructor (the slt INSERT spelling) ->
     * Spark's `array(a, b, c)`: the `ARRAY` ident's bracket group flips
     * to parens; inner constructors handled by iteration order (the
-    * outermost match re-lexes nothing — brackets are single tokens). */
+    * outermost match re-lexes nothing — brackets are single tokens).
+    * A QUALIFIED access (`t.array[0]` — a column named array) keeps
+    * Spark's element-subscript meaning; a BARE `array[...]` follows the
+    * PG reading (PG itself parses it as the constructor keyword). */
   private def rewriteArrayCtor(toks0: Vector[Tok]): Vector[Tok] = {
     var toks = toks0
     var i = 0
     while (i < toks.length) {
-      if (toks(i).kind == IDENT && toks(i).text.equalsIgnoreCase("array")) {
+      if (toks(i).kind == IDENT && toks(i).text.equalsIgnoreCase("array") && {
+            val p = prevIdx(toks, i)
+            !(p >= 0 && toks(p).kind == SYM && toks(p).text == ".")
+          }) {
         val open = nextIdx(toks, i)
         if (open < toks.length && toks(open).kind == SYM &&
             toks(open).text == "[") {

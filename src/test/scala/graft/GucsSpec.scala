@@ -45,6 +45,14 @@ class GucsSpec extends SparkSpec {
     assert(ds.conf.get("spark.graft.ann.enabled") === "true")
     ds.sql("SET vectors.enable_index=off")
     assert(ds.conf.get("spark.graft.ann.enabled") === "false")
+    // a typo'd bool ERRORS at SET time (PG invalid-GUC-bool parity) —
+    // silently mapping it to false would disable acceleration with no
+    // diagnostic; a programmatic garbage COMPAT value stays lenient
+    // (rule-safe read: resolves to the off default)
+    val e = intercept[Exception](ds.sql("SET vectors.enable_index=ture"))
+    assert(e.getMessage.contains("Boolean"))
+    ds.conf.set(Gucs.CompatKey, "garbage")
+    assert(!Gucs.pgvectorCompat(ds))
   }
 
   test("conf-layer alias (programmatic spark.conf.set) is compat-gated") {

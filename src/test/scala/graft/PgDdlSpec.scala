@@ -103,6 +103,14 @@ class PgDdlSpec extends SparkSpec {
         (val vectors.vector_dot_ops) WITH (options = "[indexing.hnsw]")""")
       .head().getString(0) === "ok")
     assert(IndexCatalog.load(spark, "pgddl_t_val_idx1").get.metric === "dot")
+    // stat-view parity on the graph artifact: idx_tuples parses the
+    // FlatGraph header (variable-width metric field — a fixed offset
+    // would read dims)
+    val st = IndexCatalog.stats(spark)
+      .filter(col("idx_name") === "pgddl_t_val_idx")
+      .select("idx_status", "idx_tuples").head()
+    assert(st.getString(0) === "NORMAL")
+    assert(st.getLong(1) === 64L, s"hnsw idx_tuples must be the row count")
     // REINDEX INDEX (reindex.slt): generation swap via the recipe
     assert(spark.sql("REINDEX INDEX pgddl_t_val_idx").head().getString(0) === "ok")
     assert(IndexCatalog.load(spark, "pgddl_t_val_idx").get.params
@@ -248,6 +256,30 @@ class PgDdlSpec extends SparkSpec {
     assert(m3.kind === "sq8" &&
       m3.params("reindex_gen").toLong > m2.params("reindex_gen").toLong)
     assert(spark.sql("DROP INDEX pgddl_vac_ix").head().getString(0) === "ok")
+  }
+
+  test("rewrite guards: CTAS vector casts and qualified array access survive") {
+    import graft.index.OpSqlRewrite
+    // a ::vector(3) CAST inside table DDL belongs to rewriteCasts — the
+    // column-type rewrite must not strip its graft semantics
+    val ctas = "CREATE TABLE x AS SELECT '[1,2,3]'::vector(3) AS v"
+    assert(OpSqlRewrite.tableTypes(ctas) === ctas)
+    // ...while a column TYPE in the same statement still rewrites
+    assert(OpSqlRewrite.tableTypes("CREATE TABLE x (v vector(3))")
+      .contains("ARRAY<FLOAT>"))
+    // end to end: the CTAS parses and builds the parsed-vector column
+    spark.sql("DROP TABLE IF EXISTS pgddl_ctas")
+    spark.sql("CREATE TABLE pgddl_ctas AS SELECT '[1,2,3]'::vector(3) AS v")
+    assert(spark.table("pgddl_ctas").head().getSeq[Float](0) ===
+      Seq(1f, 2f, 3f))
+    spark.sql("DROP TABLE pgddl_ctas")
+    // a QUALIFIED access to a column named array keeps Spark's
+    // element-subscript meaning; the bare spelling is PG's constructor
+    val q = spark.sql(
+      "SELECT t.array[0], array[7] FROM (SELECT array(5, 6) AS array) t")
+      .head()
+    assert(q.getInt(0) === 5)
+    assert(q.getSeq[Int](1) === Seq(7))
   }
 
   test("partial PG-form create (partition.slt WHERE shape) scopes rows") {
