@@ -473,9 +473,25 @@ object IndexCatalog {
     * immutable once committed (REINDEX builds into fresh dirs; in-place
     * ensure rebuilds bump mtimes), so the fingerprint invalidates
     * exactly when content can have changed. */
-  private case class TupleKey(path: String, mtime: Long, files: Int)
+  private case class TupleKey(path: String, files: Int, bytes: Long)
   private val tupleCache =
     new ConcurrentHashMap[TupleKey, Option[Long]]()
+  private val TupleSidecar = "_tuples"
+
+  /** Content fingerprint of an artifact dir EXCLUDING the sidecar the
+    * count itself persists (writing it must not invalidate the key):
+    * (non-sidecar file count, total bytes). */
+  private def tupleFp(dataDir: File): (Int, Long) = {
+    var files = 0; var bytes = 0L
+    def walk(f: File): Unit =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(walk)
+      else if (f.isFile && !f.getName.startsWith(TupleSidecar)) {
+        files += 1; bytes += f.length() // crash debris _tuples.tmp excluded too
+      }
+    walk(dataDir)
+    (files, bytes)
+  }
 
   private def tupleCount(kind: String, dataDir: File): Option[Long] = {
     def parquetFiles(f: File): Seq[File] =
@@ -483,14 +499,27 @@ object IndexCatalog {
         Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(parquetFiles)
       else if (f.isFile && f.getName.endsWith(".parquet")) Seq(f)
       else Seq.empty
+    // footer reads are independent small I/O — a fresh catalog sweep
+    // over a many-partition artifact opens hundreds of files, so they
+    // run on a bounded pool (driver threads, still no Spark job)
     def footerRows(dir: File): Option[Long] = scala.util.Try {
       val conf = new org.apache.hadoop.conf.Configuration()
-      parquetFiles(dir).map { f =>
-        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-          new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf)
-        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-        try r.getRecordCount finally r.close()
-      }.sum
+      val files = parquetFiles(dir)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.max(1, math.min(16, files.length)))
+      try {
+        val futures = files.map(f => pool.submit(
+          new java.util.concurrent.Callable[Long] {
+            override def call(): Long = {
+              val in = org.apache.parquet.hadoop.util.HadoopInputFile
+                .fromPath(new org.apache.hadoop.fs.Path(f.getAbsolutePath),
+                  conf)
+              val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+              try r.getRecordCount finally r.close()
+            }
+          }))
+        futures.map(_.get()).sum
+      } finally pool.shutdown()
     }.toOption
     def graphRows: Option[Long] = scala.util.Try {
       Option(dataDir.listFiles()).getOrElse(Array.empty)
@@ -507,14 +536,41 @@ object IndexCatalog {
           } finally in.close()
         }.sum
     }.toOption
-    val key = TupleKey(dataDir.getAbsolutePath, dataDir.lastModified,
-      Option(dataDir.list()).map(_.length).getOrElse(-1))
-    tupleCache.computeIfAbsent(key, _ => kind match {
+    def compute(): Option[Long] = kind match {
       case "ivf" | "ivfpq" | "ivfsq8" | "sq8" | "pq" | "rabitq" |
           "ivf_bvec" | "ivf_f16" | "ivf_svec" => footerRows(dataDir)
       case "rabitq4" => footerRows(new File(dataDir, "rows"))
       case "hnsw" => graphRows
       case _ => None
+    }
+    val (files, bytes) = tupleFp(dataDir)
+    val key = TupleKey(dataDir.getAbsolutePath, files, bytes)
+    tupleCache.computeIfAbsent(key, _ => {
+      // persistent sidecar: a FRESH JVM's first stat call reuses the
+      // previous process's sweep instead of re-opening every footer
+      // (atomic-rename write; readers of the artifact ignore _-prefixed
+      // files). Content: "<files>:<bytes>:<count|none>".
+      val sidecar = new File(dataDir, TupleSidecar)
+      val fromDisk: Option[Option[Long]] = scala.util.Try {
+        val s = new String(java.nio.file.Files.readAllBytes(
+          sidecar.toPath), java.nio.charset.StandardCharsets.UTF_8).trim
+        s.split(":") match {
+          case Array(f, b, v) if f.toInt == files && b.toLong == bytes =>
+            Some(if (v == "none") None else Some(v.toLong))
+          case _ => None
+        }
+      }.toOption.flatten
+      fromDisk.getOrElse {
+        val v = compute()
+        scala.util.Try {
+          val tmp = new File(dataDir, TupleSidecar + ".tmp")
+          java.nio.file.Files.write(tmp.toPath,
+            s"$files:$bytes:${v.map(_.toString).getOrElse("none")}"
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          tmp.renameTo(sidecar)
+        }
+        v
+      }
     })
   }
 
