@@ -614,26 +614,34 @@ case class CreatePgIndexCommand(nameOpt: Option[String], source: String,
 
 object CreatePgIndexCommand {
   /** The heap-TID analog: prefer a column literally named `id`, else
-    * the FIRST atomic-typed (int/long/short/string) column that is not
-    * the vector column. The `id` pick applies the SAME type/column
-    * guards — a double-typed or vector-valued `id` must not be silently
-    * truncated through the build's cast("long"); it falls through to
-    * the generic pick or the actionable error. Metadata-only (one
-    * schema read). */
+    * the FIRST integral-typed column that is not the vector column.
+    * Auto-picks are INTEGRAL only — graph builds key on
+    * col(id).cast("long"), where a double would silently truncate and a
+    * string would null out. A PRESENT-but-wrong-typed `id` column errors
+    * actionably rather than silently keying the index on some other
+    * column (review finding); an explicit `WITH (id_col = …)` remains
+    * the user's informed choice for any column the target kind accepts.
+    * Metadata-only (one schema read). */
   private[index] def resolveIdColumn(spark: SparkSession, path: String,
       vecCol: String): String = {
-    import org.apache.spark.sql.types.{IntegerType, LongType, ShortType, StringType}
+    import org.apache.spark.sql.types.{IntegerType, LongType, ShortType}
     val schema = spark.read.parquet(path).schema
     val idTypes = Set[org.apache.spark.sql.types.DataType](IntegerType,
-      LongType, ShortType, StringType)
+      LongType, ShortType)
     def ok(f: org.apache.spark.sql.types.StructField): Boolean =
       f.name != vecCol && idTypes.contains(f.dataType)
-    schema.fields.find(f => f.name == "id" && ok(f)).map(_.name)
-      .orElse(schema.fields.find(ok).map(_.name))
-      .getOrElse(throw new IllegalArgumentException(
-        s"cannot infer an id column for $path (no `id` column and no " +
-          "atomic-typed non-vector column) — spell it explicitly: " +
-          "WITH (id_col = '<column>')"))
+    schema.fields.find(_.name == "id") match {
+      case Some(f) if ok(f) => f.name
+      case Some(f) => throw new IllegalArgumentException(
+        s"column `id` of $path has type ${f.dataType.catalogString} — " +
+          "index ids must be integral (a cast to long would corrupt " +
+          "them); spell the id column explicitly: WITH (id_col = '<column>')")
+      case None => schema.fields.find(ok).map(_.name)
+        .getOrElse(throw new IllegalArgumentException(
+          s"cannot infer an id column for $path (no `id` column and no " +
+            "integral-typed non-vector column) — spell it explicitly: " +
+            "WITH (id_col = '<column>')"))
+    }
   }
 }
 

@@ -106,7 +106,16 @@ object Gucs {
       mapped match {
         case Some((native, normBool)) =>
           Option(value) match {
-            case Some(v) =>
+            case Some(v0) =>
+              // PG quotes any GUC value (`SET x = 'on'` is valid PG):
+              // strip one layer of surrounding single quotes before
+              // normalizing/storing
+              val v = {
+                val t = v0.trim
+                if (t.length >= 2 && t.head == '\'' && t.last == '\'')
+                  t.substring(1, t.length - 1)
+                else t
+              }
               val nv = if (normBool) gucBool(v).toString else v
               s"SET $native=$nv"
             case None => s"SET $native"

@@ -473,24 +473,30 @@ object IndexCatalog {
     * immutable once committed (REINDEX builds into fresh dirs; in-place
     * ensure rebuilds bump mtimes), so the fingerprint invalidates
     * exactly when content can have changed. */
-  private case class TupleKey(path: String, files: Int, bytes: Long)
+  /** One cache entry PER ARTIFACT PATH (bounded by catalog size —
+    * a mutating store polled by a monitoring loop must not mint
+    * unbounded keys): path -> (fingerprint, count). */
+  private case class TupleFp(files: Int, bytes: Long, mtime: Long)
   private val tupleCache =
-    new ConcurrentHashMap[TupleKey, Option[Long]]()
+    new ConcurrentHashMap[String, (TupleFp, Option[Long])]()
   private val TupleSidecar = "_tuples"
 
   /** Content fingerprint of an artifact dir EXCLUDING the sidecar the
     * count itself persists (writing it must not invalidate the key):
-    * (non-sidecar file count, total bytes). */
-  private def tupleFp(dataDir: File): (Int, Long) = {
-    var files = 0; var bytes = 0L
+    * (non-sidecar file count, total bytes, max mtime) — mtime joins so
+    * a byte-count-preserving in-place rewrite can't serve a stale
+    * count, the repo's mtime/size staleness convention. */
+  private def tupleFp(dataDir: File): TupleFp = {
+    var files = 0; var bytes = 0L; var mtime = 0L
     def walk(f: File): Unit =
       if (f.isDirectory)
         Option(f.listFiles()).getOrElse(Array.empty).foreach(walk)
       else if (f.isFile && !f.getName.startsWith(TupleSidecar)) {
         files += 1; bytes += f.length() // crash debris _tuples.tmp excluded too
+        mtime = math.max(mtime, f.lastModified())
       }
     walk(dataDir)
-    (files, bytes)
+    TupleFp(files, bytes, mtime)
   }
 
   private def tupleCount(kind: String, dataDir: File): Option[Long] = {
@@ -536,49 +542,66 @@ object IndexCatalog {
           } finally in.close()
         }.sum
     }.toOption
-    def compute(): Option[Long] = kind match {
+    // kinds whose layout exposes no cheap count are a STATIC None: no
+    // sweep, no cache entry, no sidecar write (a polled mutating store
+    // must not pay a tmp+rename per stat call)
+    val countable: Option[File] = kind match {
       case "ivf" | "ivfpq" | "ivfsq8" | "sq8" | "pq" | "rabitq" |
-          "ivf_bvec" | "ivf_f16" | "ivf_svec" => footerRows(dataDir)
-      case "rabitq4" => footerRows(new File(dataDir, "rows"))
-      case "hnsw" => graphRows
+          "ivf_bvec" | "ivf_f16" | "ivf_svec" => Some(dataDir)
+      case "rabitq4" => Some(new File(dataDir, "rows"))
+      case "hnsw" => Some(dataDir)
       case _ => None
     }
-    val (files, bytes) = tupleFp(dataDir)
-    val key = TupleKey(dataDir.getAbsolutePath, files, bytes)
-    tupleCache.computeIfAbsent(key, _ => {
-      // persistent sidecar: a FRESH JVM's first stat call reuses the
-      // previous process's sweep instead of re-opening every footer
-      // (atomic-rename write; readers of the artifact ignore _-prefixed
-      // files). Content: "<files>:<bytes>:<count|none>".
-      val sidecar = new File(dataDir, TupleSidecar)
-      val fromDisk: Option[Option[Long]] = scala.util.Try {
-        val s = new String(java.nio.file.Files.readAllBytes(
-          sidecar.toPath), java.nio.charset.StandardCharsets.UTF_8).trim
-        s.split(":") match {
-          case Array(f, b, v) if f.toInt == files && b.toLong == bytes =>
-            Some(if (v == "none") None else Some(v.toLong))
-          case _ => None
+    if (countable.isEmpty) return None
+    def compute(): Option[Long] =
+      if (kind == "hnsw") graphRows else footerRows(countable.get)
+    val fp = tupleFp(dataDir)
+    val path = dataDir.getAbsolutePath
+    tupleCache.compute(path, (_, prior) => {
+      if (prior != null && prior._1 == fp) prior
+      else {
+        // persistent sidecar: a FRESH JVM's first stat call reuses the
+        // previous process's sweep instead of re-opening every footer
+        // (atomic-rename write; readers of the artifact ignore
+        // _-prefixed files). Content: "<files>:<bytes>:<mtime>:<count|none>".
+        val sidecar = new File(dataDir, TupleSidecar)
+        val fromDisk: Option[Option[Long]] = scala.util.Try {
+          val s = new String(java.nio.file.Files.readAllBytes(
+            sidecar.toPath), java.nio.charset.StandardCharsets.UTF_8).trim
+          s.split(":") match {
+            case Array(f, b, m, v) if f.toInt == fp.files &&
+                b.toLong == fp.bytes && m.toLong == fp.mtime =>
+              Some(if (v == "none") None else Some(v.toLong))
+            case _ => None
+          }
+        }.toOption.flatten
+        val v = fromDisk.getOrElse {
+          val computed = compute()
+          scala.util.Try {
+            val tmp = new File(dataDir, TupleSidecar + ".tmp")
+            java.nio.file.Files.write(tmp.toPath,
+              (s"${fp.files}:${fp.bytes}:${fp.mtime}:" +
+                computed.map(_.toString).getOrElse("none"))
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            tmp.renameTo(sidecar)
+          }
+          computed
         }
-      }.toOption.flatten
-      fromDisk.getOrElse {
-        val v = compute()
-        scala.util.Try {
-          val tmp = new File(dataDir, TupleSidecar + ".tmp")
-          java.nio.file.Files.write(tmp.toPath,
-            s"$files:$bytes:${v.map(_.toString).getOrElse("none")}"
-              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          tmp.renameTo(sidecar)
-        }
-        v
+        (fp, v)
       }
-    })
+    })._2
   }
 
   def stats(spark: SparkSession): DataFrame = {
     import spark.implicits._
+    // data bytes: metadata files (_SUCCESS, _tuples, .crc) excluded so
+    // the reported size is stable across calls (the tuple sweep itself
+    // writes a sidecar on first touch)
     def du(f: File): Long =
-      if (f.isDirectory) f.listFiles().map(du).sum
-      else if (f.isFile) f.length() else 0L
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).map(du).sum
+      else if (f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith(".")) f.length()
+      else 0L
     val rows = Option(new File(root(spark)).listFiles()).getOrElse(Array.empty)
       .filter(d => new File(d, "MANIFEST.bin").isFile)
       .flatMap { d =>

@@ -141,11 +141,19 @@ object OpSqlRewrite {
     while (i < toks.length) {
       // NOT after '::' — a `'[...]'::vector(3)` cast inside a CTAS body
       // belongs to rewriteCasts (which swallows the dims); flipping the
-      // TYPE of the cast here would strip the graft cast semantics
+      // TYPE of the cast here would strip the graft cast semantics.
+      // NOT after a bare `AS` either — `CAST(x AS vector(3))` rewritten
+      // to a plain array cast would silently NULL the column; left
+      // alone it fails loudly (unsupported datatype — spell the cast
+      // `::vector`, the reference's own slt spelling). A column cannot
+      // be NAMED bare `as` (reserved; the backquoted spelling lexes
+      // with its quotes), so column definitions never hit this guard.
       if (toks(i).kind == IDENT &&
           TableTypeMap.contains(toks(i).text.toLowerCase) && {
             val p = prevIdx(toks, i)
-            !(p >= 0 && toks(p).kind == SYM && toks(p).text == "::")
+            !(p >= 0 && ((toks(p).kind == SYM && toks(p).text == "::") ||
+              (toks(p).kind == IDENT &&
+                toks(p).text.equalsIgnoreCase("as"))))
           }) {
         val open = nextIdx(toks, i)
         if (open < toks.length && toks(open).kind == SYM &&

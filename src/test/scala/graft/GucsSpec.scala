@@ -53,6 +53,11 @@ class GucsSpec extends SparkSpec {
     assert(e.getMessage.contains("Boolean"))
     ds.conf.set(Gucs.CompatKey, "garbage")
     assert(!Gucs.pgvectorCompat(ds))
+    // PG quotes any GUC value: one layer of single quotes strips
+    ds.sql("SET vectors.enable_index='on'")
+    assert(ds.conf.get("spark.graft.ann.enabled") === "true")
+    ds.sql("SET vectors.ivf_nprobe = '40'")
+    assert(ds.conf.get("spark.graft.ann.nprobe") === "40")
   }
 
   test("conf-layer alias (programmatic spark.conf.set) is compat-gated") {

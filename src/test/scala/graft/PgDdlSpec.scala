@@ -280,6 +280,42 @@ class PgDdlSpec extends SparkSpec {
       .head()
     assert(q.getInt(0) === 5)
     assert(q.getSeq[Int](1) === Seq(7))
+    // CAST(x AS vector(3)) in table DDL is NOT rewritten to a plain
+    // array cast (which would silently NULL the column) — it fails
+    // loudly; the supported cast spelling is ::vector
+    val eCast = intercept[Exception](spark.sql(
+      "CREATE TABLE pgddl_castas AS SELECT CAST('[1,2,3]' AS vector(3)) AS v"))
+    assert(eCast.getMessage.toLowerCase.contains("datatype") ||
+      eCast.getMessage.contains("vector"), eCast.getMessage)
+  }
+
+  test("id inference: wrong-typed id errors; integral-only auto-pick") {
+    val dir = sys.props("java.io.tmpdir") + "/graft_pgddl_badid"
+    if (!new java.io.File(dir, "_SUCCESS").isFile)
+      (0 until 8).map(i => (i.toDouble + 0.5, s"t$i",
+          Array.fill(4)(i.toFloat)))
+        .toDF("id", "title", "val")
+        .coalesce(1).write.mode("overwrite").parquet(dir)
+    // a PRESENT `id` of double type must error actionably, never pick
+    // `title` (whose cast to long would null every key)
+    val e = intercept[Exception](spark.sql(s"""CREATE INDEX pgddl_badid
+        ON '$dir' USING vectors (val vector_l2_ops)
+        WITH (options = "[indexing.flat]")""").collect())
+    assert(e.getMessage.contains("id_col"), e.getMessage)
+    assert(e.getMessage.contains("double"), e.getMessage)
+  }
+
+  test("stats sizes are stable across calls (sidecar excluded from du)") {
+    IndexCatalog.drop(spark, "pgddl_size_ix")
+    spark.sql(s"""CREATE INDEX pgddl_size_ix ON '$srcDir'
+        USING vectors (val vector_l2_ops)
+        WITH (options = "[indexing.flat.quantization.scalar]")""")
+    def size(): Long = IndexCatalog.stats(spark)
+      .filter(col("idx_name") === "pgddl_size_ix")
+      .select("idx_size_bytes").head().getLong(0)
+    val s1 = size(); val s2 = size()
+    assert(s1 === s2, "the tuple sweep's sidecar must not change idx_size_bytes")
+    assert(spark.sql("DROP INDEX pgddl_size_ix").head().getString(0) === "ok")
   }
 
   test("partial PG-form create (partition.slt WHERE shape) scopes rows") {
