@@ -97,6 +97,12 @@ object GraftSqlParser {
   private val SearchPathRe =
     """(?is)\s*SET\s+search_path\s*(?:=|\s+TO\s+)[^;]*;?\s*""".r
 
+  // PG `SHOW <guc>` (compact_var.slt's read statements) — claimed only
+  // for the reference GUC spellings (Gucs.isGucName), so Spark's own
+  // SHOW TABLES/DATABASES/... always delegate
+  private val ShowGucRe =
+    """(?is)\s*SHOW\s+([A-Za-z_][A-Za-z0-9_.]*)\s*;?\s*""".r
+
   // CREATE VECTOR INDEX [IF NOT EXISTS] name ON <target> USING am
   //   (idCol, vecCol [opclass]) [WITH (k = v, ...)] [WHERE pred]
   // <target> = '<parquet path>' | catalog table (ident, optionally
@@ -328,6 +334,8 @@ object GraftSqlParser {
           Option(path).orElse(Option(table)), isPath = path != null))
       case SearchPathRe() =>
         Some(SetSearchPathCommand())
+      case ShowGucRe(key) if Gucs.isGucName(key) =>
+        Some(ShowGucCommand(key))
       case ExplainRe(mode, inner) =>
         // EXPLAIN <vector ddl>: plan the command, wrap it — the
         // RunnableCommand body never runs under ExplainCommand
@@ -670,6 +678,17 @@ case class ReindexIndexCommand(name: String) extends VectorIndexCommand {
 case class SetSearchPathCommand() extends VectorIndexCommand {
   override def run(spark: SparkSession): Seq[Row] =
     Seq(Row("ok (search_path is a no-op here)"))
+}
+
+/** PG `SHOW <guc>` (compact_var.slt): one row, one column named after
+  * the parameter (the PG shape), value in the PG spelling
+  * ([[Gucs.showValue]] — bools print on/off). */
+case class ShowGucCommand(key: String)
+    extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference(key, StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(Gucs.showValue(spark, key)))
 }
 
 /** PG `VACUUM [FULL] [table]` (index_vacuum.slt): FULL rebuilds every

@@ -85,6 +85,56 @@ object Gucs {
     "ivfflat.probes" -> ("spark.graft.ann.nprobe", false),
     "hnsw.ef_search" -> ("spark.graft.hnsw.efSearch", false))
 
+  /** Is this a reference GUC spelling ([[rewriteSet]]'s name set)?
+    * Gates the parser's claim on `SHOW <key>` so Spark's own SHOW
+    * statements (TABLES, DATABASES, …) always delegate. */
+  def isGucName(key: String): Boolean = {
+    val k = key.toLowerCase
+    VectorsGucs.contains(k) || PgvectorGucs.contains(k)
+  }
+
+  /** PG `SHOW <guc>` (compact_var.slt's read statements): the stored
+    * value in the PG spelling — bools print on/off; `vectors.*` names
+    * read the native conf (defaults: compatibility off, search_mode
+    * vbase, hnsw_ef_search 100; enable_index prints `off` when unset —
+    * acceleration is opt-in here where the reference defaults on, and
+    * ivf_nprobe prints `auto`, this engine's stronger default that
+    * resolves max(10, the artifact's calibrated hint) — both divergences
+    * documented in SURVEY rows 53/31). A pgvector-spelled name reads the
+    * native conf in compatibility mode, its own foreign storage
+    * otherwise; an unset foreign name errors like PG's unrecognized
+    * parameter. */
+  def showValue(s: SparkSession, key: String): String = {
+    val k = key.toLowerCase
+    def boolSpelling(v: String): String =
+      if (gucBool(v)) "on" else "off"
+    VectorsGucs.get(k) match {
+      case Some((native, normBool)) =>
+        val dflt = k match {
+          case "vectors.pgvector_compatibility" => "false"
+          case "vectors.enable_index" => "false"
+          case "vectors.search_mode" => "vbase"
+          case "vectors.ivf_nprobe" => "auto"
+          case "vectors.hnsw_ef_search" => "100"
+          case _ => ""
+        }
+        val v = s.conf.get(native, dflt)
+        if (normBool) boolSpelling(v) else v
+      case None =>
+        val (native, _) = PgvectorGucs(k)
+        if (pgvectorCompat(s)) {
+          // shared storage: read through the vectors.* spelling so the
+          // unset default matches (ivfflat.probes ≡ vectors.ivf_nprobe)
+          val vectorsName = VectorsGucs.collectFirst {
+            case (vk, (n, _)) if n == native => vk
+          }.get
+          showValue(s, vectorsName)
+        } else s.conf.getOption(key).getOrElse(
+          throw new IllegalArgumentException(
+            s"""unrecognized configuration parameter "$key""""))
+    }
+  }
+
   // SET <key> [= <value>] — never matches ALTER ... SET (anchored), the
   // PG `SET x TO y` form (trailing text breaks the anchor), or Spark's
   // `SET -v`. Key charset is the GUC dotted-identifier shape.

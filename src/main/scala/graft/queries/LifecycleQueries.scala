@@ -1225,7 +1225,9 @@ object LifecycleQueries {
       }
       def nprobe = eff("ivfflat.probes", "spark.graft.ann.nprobe", "10")
       def ef = eff("hnsw.ef_search", "spark.graft.hnsw.efSearch", "100")
-      def show(key: String): String = ds.sql(s"SET $key").head().getString(1)
+      // the reference's OWN read statement (compact_var.slt SHOW keys;
+      // round 13: `SHOW <guc>` is a parsed command, PG value spelling)
+      def show(key: String): String = ds.sql(s"SHOW $key").head().getString(0)
       try {
         ds.sql("SET vectors.pgvector_compatibility=off")
         ds.sql("SET ivfflat.probes=40")

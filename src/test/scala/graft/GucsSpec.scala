@@ -92,6 +92,49 @@ class GucsSpec extends SparkSpec {
     assert(Touched.map(k => k -> spark.conf.getOption(k)) === before)
   }
 
+  test("compact_var.slt SHOW statements run verbatim") {
+    val ds = spark.newSession()
+    def show(key: String): String = {
+      val row = ds.sql(s"SHOW $key;").head()
+      row.getString(0)
+    }
+    // the slt's own sequence; one documented divergence: a never-set
+    // vectors.ivf_nprobe prints `auto` (this engine's stronger default,
+    // resolving max(10, the artifact's calibrated hint)) where the
+    // reference prints its fixed default 10
+    ds.sql("SET vectors.pgvector_compatibility=off;")
+    assert(show("vectors.pgvector_compatibility") === "off")
+    ds.sql("SET ivfflat.probes=40;")
+    assert(show("vectors.ivf_nprobe") === "auto") // slt: 10 (see above)
+    assert(show("ivfflat.probes") === "40")
+    ds.sql("SET hnsw.ef_search=400;")
+    assert(show("vectors.hnsw_ef_search") === "100")
+    assert(show("hnsw.ef_search") === "400")
+    ds.sql("SET vectors.pgvector_compatibility=on;")
+    assert(show("vectors.pgvector_compatibility") === "on")
+    ds.sql("SET ivfflat.probes=50;")
+    assert(show("vectors.ivf_nprobe") === "50")
+    assert(show("ivfflat.probes") === "50")
+    ds.sql("SET hnsw.ef_search=500;")
+    assert(show("vectors.hnsw_ef_search") === "500")
+    assert(show("hnsw.ef_search") === "500")
+    ds.sql("SET ivfflat.probes=60;")
+    assert(show("vectors.ivf_nprobe") === "60")
+    assert(show("ivfflat.probes") === "60")
+    ds.sql("SET vectors.hnsw_ef_search=600;")
+    assert(show("vectors.hnsw_ef_search") === "600")
+    assert(show("hnsw.ef_search") === "600")
+    // the column carries the parameter name (the PG SHOW shape), and
+    // Spark's own SHOW statements are never claimed
+    assert(ds.sql("SHOW vectors.search_mode").schema.head.name ===
+      "vectors.search_mode")
+    assert(ds.sql("SHOW TABLES").schema.head.name !== "TABLES")
+    // an unset FOREIGN name errors like PG's unrecognized parameter
+    val ds2 = spark.newSession()
+    val e = intercept[Exception](ds2.sql("SHOW ivfflat.probes").collect())
+    assert(e.getMessage.contains("unrecognized configuration parameter"))
+  }
+
   test("rewriteSet leaves non-GUC SETs and other statements untouched") {
     assert(Gucs.rewriteSet("SET spark.sql.shuffle.partitions=7") ===
       "SET spark.sql.shuffle.partitions=7")
