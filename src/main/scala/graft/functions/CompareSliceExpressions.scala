@@ -31,6 +31,21 @@ object CompareKernels {
     java.lang.Integer.compare(n, m)
   }
 
+  /** [[compare]] with the OPERATOR-function dims check: the reference's
+    * comparison operators error on mismatched dims
+    * (src/error.rs:81 "Operands of the operator differs in dimensions
+    * or scalar type.", operator.slt:35) while the bare trait compare
+    * prefix-compares. Dispatched by the analyzer rule for the `< <= >
+    * >= =` spellings over vector operands; the registered vec_compare
+    * SQL function keeps the total-order trait semantics. */
+  def compareStrict(a: ArrayData, b: ArrayData): Int = {
+    val n = a.numElements(); val m = b.numElements()
+    if (n != m) throw new IllegalArgumentException(
+      "Operands of the operator differs in dimensions or scalar type: " +
+        s"$n != $m")
+    compare(a, b)
+  }
+
   /** [lo, hi) 0-based half-open; NULL on negative/inverted/out-of-range
     * bounds — NO clamping: the reference's `slice.get((start, end))`
     * returns None when hi > dims, and its SQL layer nulls negative
@@ -60,6 +75,26 @@ case class VecCompare(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(left = l, right = r)
   override def prettyName = "vec_compare"
+}
+
+/** Dims-checked three-way comparison — the reference's operator-class
+  * semantics (errors on mismatched dims where [[VecCompare]] orders by
+  * prefix). Analyzer-dispatched only, never SQL-registered. */
+case class VecCompareStrict(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(a: Any, b: Any): Any =
+    CompareKernels.compareStrict(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.CompareKernels.compareStrict($a, $b);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+  override def prettyName = "vec_compare_strict"
 }
 
 case class VecSlice(child: Expression, lo: Expression, hi: Expression)

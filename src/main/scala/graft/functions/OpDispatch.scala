@@ -142,6 +142,35 @@ object OpDispatch {
     }
   }
 
+  /** `< <= > >= = <>` comparison overloads for vector operands — the
+    * reference's dims-CHECKED operator classes (operators_vecf32.rs:
+    * 37-70 error with "differs in dimensions" on mismatch,
+    * operator.slt:35), dispatched by [[graft.plans.VectorArithRule]].
+    * Returns the three-way Int compare to wrap in `cmp OP 0`; string
+    * literals coerce through the family's parser (`'[1,2]'::vector <
+    * '[2,2]'` — the slt right operands are bare literals). f16 bits
+    * compare in the widened f32 space (exact: binary16 → f32 is an
+    * order-preserving injection). Cross-family operand pairs return
+    * None — the plan stays as-is and Spark's own type error (or struct
+    * comparison) surfaces, matching "operator does not exist". */
+  def comparison(left: Expression, right: Expression): Option[Expression] = {
+    val lf = family(left.dataType)
+    val rf = family(right.dataType)
+    val fam = lf.orElse(rf).getOrElse(return None)
+    def side(e: Expression, f: Option[String]): Option[Expression] = f match {
+      case Some(`fam`) => Some(e)
+      case Some(_) => None
+      case None if e.dataType == StringType => Some(coerce(e, fam))
+      case None => None
+    }
+    for (l <- side(left, lf); r <- side(right, rf)) yield fam match {
+      case "dense" => VecCompareStrict(l, r)
+      case "f16" => VecCompareStrict(F16BitsToVector(l), F16BitsToVector(r))
+      case "svec" => SVecCompare(l, r)
+      case "bvec" => BVecCompare(l, r)
+    }
+  }
+
   /** bvector `& | ^` overloads (finalize.sql:148-170, operator_and/or/
     * xor in src/datatype/operators_bvector.rs): dispatched like arith.
     * op: 0 and, 1 or, 2 xor. */

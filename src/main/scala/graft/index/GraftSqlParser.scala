@@ -311,8 +311,13 @@ object GraftSqlParser {
       // CREATE INDEX statements delegate untouched
       case CreatePgRe(ifNot, name, path, table, am, col, opclass, withBody,
           where)
+          // claim the vector AMs unconditionally; the bare two-ident
+          // (col opclass) shape only for the vector opclass families —
+          // CREATE INDEX ... USING btree (c text_ops) delegates instead
+          // of failing at run() with 'access method does not exist'
           if Set("vectors", "hnsw", "ivfflat")(am.toLowerCase) ||
-            opclass != null =>
+            (opclass != null && opclass.toLowerCase.matches(
+              "(vector|svector|bvector|vecf16)_[a-z0-9_]+")) =>
         Some(CreatePgIndexCommand(Option(name),
           Option(path).getOrElse(table), sourceIsTable = path == null,
           am = am, col = col, opclassOpt = Option(opclass),

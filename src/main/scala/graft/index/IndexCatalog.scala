@@ -535,7 +535,12 @@ object IndexCatalog {
           val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
             new java.io.FileInputStream(f)))
           try {
-            in.readInt(); in.readInt() // magic, version
+            // header must be a FlatGraph we know how to parse (magic
+            // "GRFT", version 1 — Hnsw.FlatGraph.write): a corrupt or
+            // foreign .bin must yield the honest NULL, not a garbage
+            // count (the Try turns this require into None)
+            require(in.readInt() == 0x47524654 && in.readInt() == 1,
+              "not a graft hnsw artifact header")
             in.readUTF()               // metric (variable width)
             in.readInt()               // dims
             in.readInt().toLong        // n
@@ -555,6 +560,19 @@ object IndexCatalog {
     if (countable.isEmpty) return None
     def compute(): Option[Long] =
       if (kind == "hnsw") graphRows else footerRows(countable.get)
+    // evict keys whose dir is gone (REINDEX/VACUUM mint data-r<gen>
+    // paths; displaced generations are swept later — without pruning,
+    // a long-lived driver with periodic vacuums accretes dead entries
+    // and the 'one entry per artifact' bound silently becomes
+    // 'one per generation ever served'). The map is catalog-sized, so
+    // the sweep is a few dozen File.exists calls.
+    locally {
+      val it = tupleCache.keys()
+      while (it.hasMoreElements) {
+        val k = it.nextElement()
+        if (!new File(k).exists()) tupleCache.remove(k)
+      }
+    }
     val fp = tupleFp(dataDir)
     val path = dataDir.getAbsolutePath
     tupleCache.compute(path, (_, prior) => {

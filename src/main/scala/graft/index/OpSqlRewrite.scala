@@ -387,6 +387,33 @@ object OpSqlRewrite {
     * dimensions are enforced by the kernels and index builds here, not
     * the cast (documented divergence). PG array-typed casts
     * (`::real[]`) become Spark array casts. */
+  /** A PG typmod group `( NUM [, NUM] )` right after a cast type name:
+    * Some((comma-joined args, close-paren index)), None when absent or
+    * not the typmod shape. */
+  private def precSuffix(toks: Vector[Tok], tyIdx: Int): Option[(String, Int)] = {
+    val open = nextIdx(toks, tyIdx)
+    if (open < toks.length && toks(open).kind == SYM &&
+        toks(open).text == "(") {
+      val a = nextIdx(toks, open)
+      if (a < toks.length && toks(a).kind == NUM) {
+        val after = nextIdx(toks, a)
+        if (after < toks.length && toks(after).kind == SYM &&
+            toks(after).text == ")")
+          Some((toks(a).text, after))
+        else if (after < toks.length && toks(after).kind == SYM &&
+            toks(after).text == ",") {
+          val b = nextIdx(toks, after)
+          val cls = if (b < toks.length) nextIdx(toks, b) else toks.length
+          if (b < toks.length && toks(b).kind == NUM &&
+              cls < toks.length && toks(cls).kind == SYM &&
+              toks(cls).text == ")")
+            Some((s"${toks(a).text},${toks(b).text}", cls))
+          else None
+        } else None
+      } else None
+    } else None
+  }
+
   private def rewriteCasts(toks0: Vector[Tok]): Vector[Tok] = {
     var toks = toks0
     var again = true
@@ -452,10 +479,23 @@ object OpSqlRewrite {
                 val start = if (p < 0) -1 else backPrimary(toks, p)
                 if (start < 0) throw new IllegalArgumentException(
                   s"cannot delimit the operand of ::${toks(tyIdx).text}")
-                val call = s"CAST(${text(toks, start, p)} AS " +
-                  s"${PgScalarTypes(tyName)})"
+                // PG typmod suffix: `::numeric(10,2)` maps onto
+                // DECIMAL(p[,s]); other scalar names with a precision
+                // group error clearly instead of leaving the `(10,2)`
+                // dangling after the spliced CAST (a confusing delegate
+                // parse error otherwise)
+                val (target, end) = precSuffix(toks, tyIdx) match {
+                  case Some((args, cls)) if tyName == "numeric" =>
+                    (s"DECIMAL($args)", cls)
+                  case Some((args, _)) =>
+                    throw new IllegalArgumentException(
+                      s"precision arguments unsupported for " +
+                        s"::${toks(tyIdx).text}($args)")
+                  case None => (PgScalarTypes(tyName), tyIdx)
+                }
+                val call = s"CAST(${text(toks, start, p)} AS $target)"
                 toks = toks.take(start) ++ Vector(Tok(IDENT, call)) ++
-                  toks.drop(tyIdx + 1)
+                  toks.drop(end + 1)
                 again = true
               case _ => ()
             }

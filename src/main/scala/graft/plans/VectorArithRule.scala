@@ -4,7 +4,8 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
-import graft.functions.OpDispatch
+import graft.functions.{CastDispatch, F16BitsToVector, OpDispatch,
+  ParseBVector, ParseSVector, ParseVector, ToF16Bits}
 
 /**
  * Vector-operand arithmetic operators in SQL text — the reference's
@@ -28,6 +29,25 @@ case class VectorArithRule(spark: SparkSession) extends Rule[LogicalPlan] {
   private def bothResolved(l: Expression, r: Expression): Boolean =
     l.resolved && r.resolved
 
+  /** Does the operand stem from an explicit vector literal/cast (a
+    * `::vector`-family spelling or parse call)? Gates the claim on
+    * RESOLVED equality: `'[1,2]'::vector = '[1,2,3]'::vector` takes the
+    * reference's dims-checked operator (errors on mismatch), while a
+    * bare-column `ON a.emb = b.emb` keeps Spark's native array equality
+    * — rewriting it to `cmp = 0` would also destroy the equi-join shape
+    * (hash join → nested loop), a scale hazard no semantics gain
+    * justifies (equal-dims results are identical either way). */
+  private def graftOperand(e: Expression): Boolean = e.exists {
+    case _: ParseVector | _: ParseSVector | _: ParseBVector |
+        _: ToF16Bits | _: F16BitsToVector | _: CastDispatch => true
+    case _ => false
+  }
+
+  /** Wrap the three-way compare in the comparison shape. */
+  private def cmp(orig: Expression, l: Expression, r: Expression,
+      mk: Expression => Expression): Expression =
+    OpDispatch.comparison(l, r).map(mk).getOrElse(orig)
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.resolveOperatorsUp {
       case p =>
@@ -44,6 +64,36 @@ case class VectorArithRule(spark: SparkSession) extends Rule[LogicalPlan] {
             OpDispatch.bitop(l, r, 1).getOrElse(a)
           case a @ BitwiseXor(l, r) if bothResolved(l, r) && !a.resolved =>
             OpDispatch.bitop(l, r, 2).getOrElse(a)
+
+          // --- the reference's dims-checked comparison operators
+          //     (operator.slt: `'[1,2]'::vector < '[1,2,3]'` must error
+          //     "differs in dimensions"; bare-string right operands
+          //     coerce through the family parser). Two claim tiers:
+          //     UNRESOLVED comparisons (a string mixed with a vector
+          //     operand — nothing else claims the shape, exactly like
+          //     arith), and RESOLVED orderings over vector operands
+          //     (Spark's native array/struct ordering prefix-compares /
+          //     field-compares where the reference dims-checks).
+          //     RESOLVED equality is claimed only for explicit
+          //     literal/cast operands — see graftOperand. EqualNullSafe
+          //     is never touched: `<=>` on vectors is cosine distance.
+          case c @ LessThan(l, r) if bothResolved(l, r) &&
+              (!c.resolved || OpDispatch.family(l.dataType).isDefined) =>
+            cmp(c, l, r, LessThan(_, Literal(0)))
+          case c @ LessThanOrEqual(l, r) if bothResolved(l, r) &&
+              (!c.resolved || OpDispatch.family(l.dataType).isDefined) =>
+            cmp(c, l, r, LessThanOrEqual(_, Literal(0)))
+          case c @ GreaterThan(l, r) if bothResolved(l, r) &&
+              (!c.resolved || OpDispatch.family(l.dataType).isDefined) =>
+            cmp(c, l, r, GreaterThan(_, Literal(0)))
+          case c @ GreaterThanOrEqual(l, r) if bothResolved(l, r) &&
+              (!c.resolved || OpDispatch.family(l.dataType).isDefined) =>
+            cmp(c, l, r, GreaterThanOrEqual(_, Literal(0)))
+          case c @ EqualTo(l, r) if bothResolved(l, r) &&
+              (!c.resolved ||
+                (OpDispatch.family(l.dataType).isDefined &&
+                  (graftOperand(l) || graftOperand(r)))) =>
+            cmp(c, l, r, EqualTo(_, Literal(0)))
         }
     }
 }

@@ -30,14 +30,34 @@ class SltConformanceSpec extends SparkSpec {
       expect("[4, 10, 18]"))
   }
 
-  test("operator.slt: vector comparisons (equal dims)") {
-    assert(bool("SELECT '[1,2,3]'::vector = '[1,2,3]'::vector"))
-    assert(!bool("SELECT '[1,2,3]'::vector <> '[1,2,3]'::vector"))
+  test("operator.slt: vector comparisons (VERBATIM, incl. dims error)") {
+    // the slt spellings exactly: bare-string right operands coerce
+    // through the family parser (VectorArithRule → OpDispatch.comparison)
+    assert(bool("SELECT '[1,2,3]'::vector = '[1,2,3]'"))
+    assert(!bool("SELECT '[1,2,3]'::vector <> '[1,2,3]'"))
+    assert(bool("SELECT '[1,2]'::vector < '[2,2]'"))
+    assert(bool("SELECT '[1,2]'::vector < '[1,3]'"))
+    assert(bool("SELECT '[1,2]'::vector <= '[2,2]'"))
+    assert(!bool("SELECT '[1,2]'::vector > '[2,2]'"))
+    assert(!bool("SELECT '[1,2]'::vector >= '[2,2]'"))
+    // operator.slt:35 `statement error differs in dimensions`
+    val e = intercept[Exception] {
+      spark.sql("SELECT '[1,2]'::vector < '[1,2,3]'").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("differs in dimensions")),
+      s"got: ${msgs(e)}")
+    // both-cast spellings take the same dims-checked operator
     assert(bool("SELECT '[1,2]'::vector < '[2,2]'::vector"))
-    assert(bool("SELECT '[1,2]'::vector < '[1,3]'::vector"))
-    assert(bool("SELECT '[1,2]'::vector <= '[2,2]'::vector"))
-    assert(!bool("SELECT '[1,2]'::vector > '[2,2]'::vector"))
-    assert(!bool("SELECT '[1,2]'::vector >= '[2,2]'::vector"))
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT '[1,2]'::vector = '[1,2,3]'::vector").collect()
+    }
+    assert(msgs(e2).exists(_.contains("differs in dimensions")))
+    // svector/bvector comparisons under the same rule (their kernels
+    // already dims-check)
+    assert(bool("SELECT '{0:1, 1:2}/2'::svector < '{0:2}/2'"))
+    assert(bool("SELECT '[1, 0, 1]'::bvector = '[1, 0, 1]'"))
   }
 
   test("operator.slt: <-> <#> <=> distances") {
