@@ -198,6 +198,21 @@ object GraftSqlParser {
   private val ExplainRe =
     """(?is)\s*EXPLAIN(?:\s+(EXTENDED|CODEGEN|COST|FORMATTED))?\s+(.*)""".r
 
+  // ---- row DML (update.slt): UPDATE / DELETE over catalog tables,
+  // plain parquet paths, or segment-store paths (SqlDml semantics);
+  // INSERT ... VALUES claimed ONLY when a bare vector text literal
+  // appears (the slt spelling) — everything else delegates ----
+  private val UpdateDmlRe =
+    ("""(?is)\s*UPDATE\s+(?:'([^']+)'|(""" + s"$Ident(?:\\.$Ident)*" +
+      """))\s+SET\s+(.+?)\s*;?\s*""").r
+  private val DeleteDmlRe =
+    ("""(?is)\s*DELETE\s+FROM\s+(?:'([^']+)'|(""" +
+      s"$Ident(?:\\.$Ident)*" +
+      """))(?:\s+WHERE\s+(.+?))?\s*;?\s*""").r
+  private val InsertValuesRe =
+    ("""(?is)\s*INSERT\s+INTO\s+(""" + s"$Ident(?:\\.$Ident)*" +
+      """)\s*(?:\(\s*([^()]*?)\s*\)\s*)?VALUES\s*(.+?)\s*;?\s*""").r
+
   /** `WITH (m = 12, ef_construction = 300)` body → the `k=v,k=v` string
     * [[SqlDdl.parseOpts]] takes. Values may be bare words/numbers or
     * single-quoted strings; pairs split on commas OUTSIDE quotes. A
@@ -337,6 +352,19 @@ object GraftSqlParser {
       case VacuumTableRe(full, path, table) =>
         Some(VacuumTableCommand(full != null,
           Option(path).orElse(Option(table)), isPath = path != null))
+      case UpdateDmlRe(path, table, setBlob) =>
+        Some(UpdateDmlCommand(Option(path).getOrElse(table),
+          isPath = path != null, setBlob))
+      case DeleteDmlRe(path, table, where) =>
+        Some(DeleteDmlCommand(Option(path).getOrElse(table),
+          isPath = path != null, Option(where)))
+      case InsertValuesRe(table, cols, vals)
+          if SqlDml.hasBareVectorLiteral(vals) =>
+        Some(InsertVectorValuesCommand(table,
+          Option(cols).map(_.split(",").map(_.trim
+            .stripPrefix("\"").stripSuffix("\"")
+            .stripPrefix("`").stripSuffix("`")).toSeq),
+          vals))
       case SearchPathRe() =>
         Some(SetSearchPathCommand())
       case ShowGucRe(key) if Gucs.isGucName(key) =>

@@ -1,0 +1,413 @@
+package graft.index
+
+import java.io.File
+import java.nio.file.Files
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.OpDispatch
+import graft.operators.Segments
+
+/**
+ * SQL `UPDATE` / `DELETE` / vector-literal `INSERT ... VALUES`
+ * statements — the reference's row-lifecycle surface (update.slt:14
+ * `UPDATE t SET val = ...`, :29 `DELETE FROM t WHERE ...`; the bare
+ * `INSERT INTO t (val) VALUES ('[0.6,0.6,0.6]')` spelling every index
+ * slt file uses). Postgres executes these against heap tuples; the
+ * Spark-native analogs are:
+ *
+ *  - **Segment-store targets** (a quoted path whose dir carries the
+ *    [[Segments]] VERSION pointer): UPDATE decomposes into the
+ *    versioned DELETE + INSERT the engine's row lifecycle is built on
+ *    (q_update_scan semantics) — matched rows are re-appended with the
+ *    new values and the append's shadow tombstone hides the old
+ *    versions; DELETE writes an id tombstone set. Only touched rows
+ *    move — the 100 TB path: no table rewrite, incremental indexes see
+ *    the change through their version filters.
+ *  - **Catalog tables / plain parquet paths**: copy-on-write — the new
+ *    table content (CASE WHEN on the predicate for UPDATE, the keep
+ *    filter for DELETE) is materialized to a staging dir by a
+ *    distributed write, then swapped in (INSERT OVERWRITE for tables,
+ *    atomic-ish dir rename for paths). This is the correct general
+ *    fallback without a transactional format: Postgres itself writes a
+ *    new version of every updated tuple, and Delta's copy-on-write is
+ *    the same shape at file granularity. Tables that need cheap
+ *    updates at scale should live in a segment store.
+ *
+ * Predicate and assignment expressions parse through the session
+ * parser, so the reference dialect (`val = '[0.1,0.1,0.1]'`,
+ * `ORDER BY val <-> ...` subqueries) works inside them verbatim.
+ * UPDATE matches rows where the predicate is TRUE (NULL keeps the old
+ * value); DELETE removes rows where it is TRUE (NULL rows survive) —
+ * the PG three-valued semantics.
+ */
+object SqlDml {
+
+  // ---------------------------------------------------------------- text
+  private def isIdentChar(c: Char): Boolean =
+    Character.isLetterOrDigit(c) || c == '_'
+
+  /** Scan `s` outside quotes/backticks, tracking paren/bracket depth;
+    * `f(i, depth)` is called at each unquoted position — return true to
+    * stop and yield that index. */
+  private def scan(s: String)(f: (Int, Int) => Boolean): Int = {
+    var i = 0; var depth = 0
+    var inQ = false; var inD = false; var inB = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inQ) { if (c == '\'') inQ = false }
+      else if (inD) { if (c == '"') inD = false }
+      else if (inB) { if (c == '`') inB = false }
+      else c match {
+        case '\'' => inQ = true
+        case '"' => inD = true
+        case '`' => inB = true
+        case '(' | '[' => depth += 1
+        case ')' | ']' => depth -= 1
+        case _ => if (f(i, depth)) return i
+      }
+      i += 1
+    }
+    -1
+  }
+
+  /** First depth-0 word-bounded occurrence of `word` (case-insensitive)
+    * outside quotes, or -1. */
+  private[graft] def topLevelWord(s: String, word: String): Int =
+    scan(s) { (i, depth) =>
+      depth == 0 &&
+        s.regionMatches(true, i, word, 0, word.length) &&
+        (i == 0 || !isIdentChar(s.charAt(i - 1))) &&
+        (i + word.length >= s.length || !isIdentChar(s.charAt(i + word.length)))
+    }
+
+  /** Split at depth-0 commas outside quotes. */
+  private[graft] def splitTopLevelCommas(s: String): Seq[String] = {
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    var start = 0
+    var idx = 0
+    while (idx >= 0) {
+      val rest = s.substring(start)
+      idx = scan(rest)((i, depth) => depth == 0 && rest.charAt(i) == ',')
+      if (idx >= 0) { parts += rest.substring(0, idx); start += idx + 1 }
+      else parts += rest
+    }
+    parts.toSeq
+  }
+
+  /** The SET blob of an UPDATE → (assignments, optional WHERE text):
+    * split at the first depth-0 WHERE keyword (a WHERE inside a
+    * parenthesized subquery never splits). */
+  private[graft] def splitSetWhere(blob: String): (String, Option[String]) = {
+    val i = topLevelWord(blob, "where")
+    if (i < 0) (blob.trim, None)
+    else (blob.substring(0, i).trim, Some(blob.substring(i + 5).trim))
+  }
+
+  /** `col = expr, col2 = expr2` → pairs; the assignment's `=` is the
+    * first depth-0 one in each comma part. */
+  private[graft] def parseAssignments(setPart: String): Seq[(String, String)] =
+    splitTopLevelCommas(setPart).map { a =>
+      val eq = scan(a)((i, depth) => depth == 0 && a.charAt(i) == '=')
+      if (eq <= 0) throw new IllegalArgumentException(
+        s"malformed SET assignment '${a.trim}' (expected column = expression)")
+      val colRaw = a.substring(0, eq).trim
+      val col = colRaw.stripPrefix("\"").stripSuffix("\"")
+        .stripPrefix("`").stripSuffix("`")
+      if (col.isEmpty) throw new IllegalArgumentException(
+        s"malformed SET assignment '${a.trim}' (empty column name)")
+      (col, a.substring(eq + 1).trim)
+    }
+
+  /** Is the trimmed cell one bare single-quoted string literal spanning
+    * the whole cell ('' escapes respected)? */
+  private[graft] def isBareStringLiteral(cell: String): Boolean = {
+    val c = cell.trim
+    if (c.length < 2 || c.charAt(0) != '\'') return false
+    var i = 1
+    while (i < c.length) {
+      if (c.charAt(i) == '\'') {
+        if (i + 1 < c.length && c.charAt(i + 1) == '\'') i += 2
+        else return i == c.length - 1
+      } else i += 1
+    }
+    false
+  }
+
+  private def literalBody(cell: String): String = {
+    val c = cell.trim
+    c.substring(1, c.length - 1).replace("''", "'").trim
+  }
+
+  /** Does a VALUES blob carry at least one bare string literal in the
+    * reference's vector text shape (`'[...]'` dense/bvector,
+    * `'{i:v}/d'` sparse)? Gates the INSERT claim — statements without
+    * one delegate verbatim. */
+  private[graft] def hasBareVectorLiteral(valuesBlob: String): Boolean =
+    splitTuples(valuesBlob).exists(t => splitTopLevelCommas(t).exists { cell =>
+      isBareStringLiteral(cell) && {
+        val b = literalBody(cell)
+        b.startsWith("[") || b.startsWith("{")
+      }
+    })
+
+  /** `(a, b), (c, d)` → Seq("a, b", "c, d"). */
+  private[graft] def splitTuples(valuesBlob: String): Seq[String] =
+    splitTopLevelCommas(valuesBlob).map { t =>
+      val s = t.trim
+      if (!(s.startsWith("(") && s.endsWith(")")))
+        throw new IllegalArgumentException(
+          s"malformed VALUES tuple '$s' (expected parenthesized row)")
+      s.substring(1, s.length - 1)
+    }
+
+  // ------------------------------------------------------------- typing
+  /** Target column type → the `::`-cast dispatch function covering the
+    * full conversion matrix (strings parse, vector kinds convert,
+    * numeric arrays take the real[]→vector implicit). */
+  private def familyCastFn(t: DataType): Option[String] =
+    OpDispatch.family(t).map {
+      case "dense" => "graft_cast_vector"
+      case "f16" => "graft_cast_vecf16"
+      case "svec" => "graft_cast_svector"
+      case "bvec" => "graft_cast_bvector"
+    }
+
+  private def quote(n: String): String = "`" + n.replace("`", "``") + "`"
+
+  /** The assignment value as a Column typed for its target field: same
+    * type passes through; vector-typed targets convert through the
+    * cast-dispatch function (so `SET val = '[1,2,3]'` parses like the
+    * reference's implicit cast); anything else takes a plain cast. */
+  private def valueColumn(df: DataFrame, f: StructField, txt: String): Column = {
+    val raw = expr(txt)
+    val vt = df.select(raw.as("_v")).schema.head.dataType
+    if (vt.catalogString == f.dataType.catalogString) raw
+    else familyCastFn(f.dataType) match {
+      case Some(fn) => expr(s"$fn($txt)")
+      case None => raw.cast(f.dataType)
+    }
+  }
+
+  private def resolveField(df: DataFrame, name: String): StructField =
+    df.schema.fields.find(_.name.equalsIgnoreCase(name)).getOrElse(
+      throw new IllegalArgumentException(
+        s"""column "$name" does not exist"""))
+
+  /** TRUE-matching condition (PG semantics: NULL never matches). */
+  private def matchCond(whereOpt: Option[String]): Column =
+    whereOpt.map(w => coalesce(expr(w), lit(false))).getOrElse(lit(true))
+
+  /** Full-row projection applying the assignments where `cond` holds. */
+  private def updated(df: DataFrame, assigns: Seq[(String, String)],
+      cond: Column): DataFrame = {
+    val amap = assigns.map { case (n, t) =>
+      resolveField(df, n).name -> t
+    }.toMap
+    val cols = df.schema.fields.map { f =>
+      amap.get(f.name) match {
+        case Some(txt) =>
+          when(cond, valueColumn(df, f, txt))
+            .otherwise(col(quote(f.name))).as(f.name)
+        case None => col(quote(f.name))
+      }
+    }
+    df.select(cols.toIndexedSeq: _*)
+  }
+
+  // ---------------------------------------------------------- targets
+  private def isSegmentStore(path: String): Boolean =
+    new File(path, "VERSION").isFile
+
+  /** Id column of a segment store (resolveIdColumn's policy on the base
+    * generation's schema: `id` if integral, else the first integral
+    * column). */
+  private def segIdCol(spark: SparkSession, dir: String): String = {
+    val s = Segments.state(dir)
+    val schema = spark.read.parquet(s"$dir/base-${s.gen}").schema
+    val idTypes = Set[DataType](IntegerType, LongType, ShortType)
+    schema.fields.find(f => f.name == "id" && idTypes.contains(f.dataType))
+      .orElse(schema.fields.find(f => f.name != "_ver" &&
+        idTypes.contains(f.dataType)))
+      .map(_.name)
+      .getOrElse(throw new IllegalArgumentException(
+        s"cannot infer an id column for segment store $dir"))
+  }
+
+  private def rm(f: File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+    f.delete()
+  }
+
+  /** Table metadata guard: temp views and catalog views are not
+    * updatable here. Returns nothing — errors are the output. */
+  private def checkUpdatableTable(spark: SparkSession, table: String): Unit = {
+    val parts = spark.sessionState.sqlParser.parseMultipartIdentifier(table)
+    val trimmed =
+      if (parts.length == 3 && parts.head.equalsIgnoreCase("spark_catalog"))
+        parts.tail
+      else parts
+    if (trimmed.length > 2) throw new IllegalArgumentException(
+      s"cannot resolve $table — UPDATE/DELETE accept <table> or " +
+        "<db>.<table> in the session catalog (or a quoted path)")
+    val cat = spark.sessionState.catalog
+    val id = trimmed match {
+      case Seq(t) => org.apache.spark.sql.catalyst.TableIdentifier(t)
+      case Seq(db, t) =>
+        org.apache.spark.sql.catalyst.TableIdentifier(t, Some(db))
+    }
+    if (cat.isTempView(trimmed) ||
+        cat.getTableMetadata(id).tableType ==
+          org.apache.spark.sql.catalyst.catalog.CatalogTableType.VIEW)
+      throw new IllegalArgumentException(
+        s"""cannot UPDATE/DELETE view "$table" — target a table or a""" +
+          " segment-store path")
+  }
+
+  // -------------------------------------------------------- execution
+  /** One staged materialization: evaluate `out` exactly once into a tmp
+    * dir and hand back the re-read frame (nondeterministic SET exprs —
+    * update.slt's `random()` — must not be re-drawn between the store's
+    * write passes). Caller must [[rm]] the returned dir. */
+  private def stage(spark: SparkSession, out: DataFrame): (DataFrame, File) = {
+    val dir = Files.createTempDirectory("graft_dml_").toFile
+    val rows = new File(dir, "rows").getAbsolutePath
+    out.write.parquet(rows)
+    (spark.read.parquet(rows), dir)
+  }
+
+  def update(spark: SparkSession, target: String, isPath: Boolean,
+      setBlob: String): String = {
+    val (setPart, whereOpt) = splitSetWhere(setBlob)
+    val assigns = parseAssignments(setPart)
+    if (isPath && isSegmentStore(target)) {
+      // scale path: only matched rows move; the append's shadow
+      // tombstone hides the old versions (reinsert = delete + insert)
+      val idCol = segIdCol(spark, target)
+      val visible = Segments.read(spark, target, idCol).drop("_ver")
+      val matched = visible.filter(matchCond(whereOpt))
+      val (staged, tmp) = stage(spark,
+        updated(matched, assigns, lit(true)))
+      try {
+        val n = staged.count()
+        if (n > 0) Segments.append(spark, target, staged, idCol)
+        s"ok ($n rows updated)"
+      } finally rm(tmp)
+    } else {
+      // copy-on-write rewrite (see the object doc): staged distributed
+      // write, then swap
+      val df = if (isPath) spark.read.parquet(target)
+        else { checkUpdatableTable(spark, target); spark.table(target) }
+      val n = df.filter(matchCond(whereOpt)).count()
+      val out = updated(df, assigns, matchCond(whereOpt))
+      swapIn(spark, target, isPath, out)
+      s"ok ($n rows updated)"
+    }
+  }
+
+  def delete(spark: SparkSession, target: String, isPath: Boolean,
+      whereOpt: Option[String]): String = {
+    if (isPath && isSegmentStore(target)) {
+      val idCol = segIdCol(spark, target)
+      val visible = Segments.read(spark, target, idCol)
+      val (staged, tmp) = stage(spark,
+        visible.filter(matchCond(whereOpt)).select(col(quote(idCol))))
+      try {
+        val n = staged.count()
+        if (n > 0) Segments.delete(spark, target, staged, idCol)
+        s"ok ($n rows deleted)"
+      } finally rm(tmp)
+    } else {
+      val df = if (isPath) spark.read.parquet(target)
+        else { checkUpdatableTable(spark, target); spark.table(target) }
+      val cond = matchCond(whereOpt)
+      val n = df.filter(cond).count()
+      swapIn(spark, target, isPath, df.filter(!cond))
+      s"ok ($n rows deleted)"
+    }
+  }
+
+  /** Replace the target's content with `out`: INSERT OVERWRITE for
+    * catalog tables (Spark's own staged truncate-and-write), dir
+    * rename for paths (new content written fully before the swap — a
+    * crash leaves either the old dir or the new one plus debris, never
+    * a half-written table). */
+  private def swapIn(spark: SparkSession, target: String, isPath: Boolean,
+      out: DataFrame): Unit = {
+    if (isPath) {
+      val tmpDir = new File(target + ".graft-cow-tmp")
+      val oldDir = new File(target + ".graft-cow-old")
+      rm(tmpDir); rm(oldDir)
+      out.write.parquet(tmpDir.getAbsolutePath)
+      Files.move(new File(target).toPath, oldDir.toPath)
+      Files.move(tmpDir.toPath, new File(target).toPath)
+      rm(oldDir)
+    } else {
+      val (staged, tmp) = stage(spark, out)
+      try staged.write.mode("overwrite").insertInto(target)
+      finally rm(tmp)
+    }
+  }
+
+  /** Vector-literal INSERT: rebuild the statement with each bare string
+    * literal destined for a vector-typed column wrapped in the family's
+    * cast-dispatch function, then hand it back to the parser (the
+    * rebuilt cells are function calls, so the claim never re-fires).
+    * Non-vector cells and columns pass through untouched. */
+  def insertValues(spark: SparkSession, table: String,
+      colList: Option[Seq[String]], valuesBlob: String): String = {
+    val df = spark.table(table)
+    val targets: Seq[StructField] = colList match {
+      case Some(names) => names.map(resolveField(df, _))
+      case None => df.schema.fields.toSeq
+    }
+    val tuples = splitTuples(valuesBlob)
+    val rebuilt = tuples.map { t =>
+      val cells = splitTopLevelCommas(t)
+      if (cells.length != targets.length)
+        throw new IllegalArgumentException(
+          s"INSERT has ${cells.length} expressions but ${targets.length} " +
+            "target columns")
+      cells.zip(targets).map { case (cell, f) =>
+        familyCastFn(f.dataType) match {
+          case Some(fn) if isBareStringLiteral(cell) && {
+            val b = literalBody(cell)
+            b.startsWith("[") || b.startsWith("{")
+          } => s"$fn(${cell.trim})"
+          case _ => cell.trim
+        }
+      }.mkString("(", ", ", ")")
+    }.mkString(", ")
+    val colSql = colList.map(_.map(quote).mkString(" (", ", ", ")"))
+      .getOrElse("")
+    spark.sql(s"INSERT INTO $table$colSql VALUES $rebuilt")
+    s"ok (${tuples.length} rows)"
+  }
+}
+
+/** `UPDATE <table|'path'> SET col = expr[, ...] [WHERE pred]`. */
+case class UpdateDmlCommand(target: String, isPath: Boolean,
+    setBlob: String) extends VectorIndexCommand {
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(SqlDml.update(spark, target, isPath, setBlob)))
+}
+
+/** `DELETE FROM <table|'path'> [WHERE pred]`. */
+case class DeleteDmlCommand(target: String, isPath: Boolean,
+    whereOpt: Option[String]) extends VectorIndexCommand {
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(SqlDml.delete(spark, target, isPath, whereOpt)))
+}
+
+/** `INSERT INTO t [(cols)] VALUES (...)` with at least one bare vector
+  * text literal (the slt spelling) — claimed only then; every other
+  * INSERT delegates verbatim. */
+case class InsertVectorValuesCommand(table: String,
+    colList: Option[Seq[String]], valuesBlob: String)
+    extends VectorIndexCommand {
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(SqlDml.insertValues(spark, table, colList, valuesBlob)))
+}

@@ -224,6 +224,49 @@ object AnnQueries {
     segDir
   }
 
+  /** Build-once UPDATE store driven by the STATEMENT surface
+    * (update.slt:14/:29 executable): identical final visible set to
+    * [[ensureUpdateSegments]], but the tombstone deletes and the row
+    * update run as parsed `DELETE FROM '<dir>'` / `UPDATE '<dir>' SET
+    * ...` statements — SqlDml's segment-store arm, where UPDATE
+    * re-appends matched rows (the shadow tombstone hides old versions)
+    * and DELETE writes an id tombstone set. The in-fixture `require`s
+    * pin the reported row counts, so a statement that silently matched
+    * nothing fails the gate, not just a spec. */
+  def ensureUpdateStmtSegments(s0: SparkSession, d: String): String = {
+    import graft.operators.Segments
+    val s = LifecycleQueries.ddlSession(s0)
+    val segDir = sys.props("java.io.tmpdir") + "/graft_updstmtsegs_" + san(d)
+    val marker = new java.io.File(segDir, "_GRAFT_FIXTURE_DONE")
+    Segments.synchronized {
+      if (!marker.isFile) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory)
+            Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+          f.delete()
+        }
+        rm(new java.io.File(segDir))
+        val e = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+        Segments.init(s, segDir, e, "vec_id")
+        Segments.append(s, segDir, e.filter(col("vec_id") < 5)
+          .select((col("vec_id") + 20000).as("vec_id"), col("embedding")),
+          "vec_id")
+        val del = s.sql(
+          s"DELETE FROM '$segDir' WHERE vec_id = 1 OR vec_id = 20003")
+          .head().getString(0)
+        require(del == "ok (2 rows deleted)", s"DELETE statement: $del")
+        Segments.read(s, segDir, "vec_id").drop("_ver")
+          .createOrReplaceTempView("graft_updstmt_src")
+        val upd = s.sql(s"UPDATE '$segDir' SET embedding = " +
+          "(SELECT embedding FROM graft_updstmt_src WHERE vec_id = 0) " +
+          "WHERE vec_id = 2").head().getString(0)
+        require(upd == "ok (1 rows updated)", s"UPDATE statement: $upd")
+        marker.createNewFile()
+      }
+    }
+    segDir
+  }
+
   /** Build-once SPARSIFIED vector segment store (the ingest pipeline
     * owns sparsification — IncrIvf's svec-family convention): base =
     * sparsified embeddings, same mirror/delete construction as
@@ -2045,6 +2088,19 @@ object AnnQueries {
       hn
     }),
 
+    // the same UPDATE semantics driven by the parsed SQL statement
+    // surface (update.slt:14/:29 run verbatim against a segment-store
+    // path) — the fixture's require()s pin the statement row counts,
+    // and the visible set replays the q_update_scan oracle exactly
+    "q_sql_update_stmt" -> ((s, d) => {
+      val segDir = ensureUpdateStmtSegments(s, d)
+      val q = qvec(s, d)
+      val name = s"updstmthnsw_${san(d)}"
+      graft.operators.IncrHnsw.ensure(s, name, segDir, "vec_id", "embedding")
+      graft.operators.IncrHnsw.search(s, name, segDir, "vec_id", q,
+        k = 100, exact = true)
+    }),
+
     // incremental sparse inverted index over the SPARSIFIED segment
     // store: appends explode into bucket partitions (no trained state to
     // freeze); tombstone version filter on posting rows before the
@@ -2133,6 +2189,25 @@ object AnnQueries {
        allr AS (
          SELECT vec_id, embedding FROM embeddings
          UNION ALL SELECT vec_id, embedding FROM delta)
+       SELECT a.vec_id AS vec_id,
+         list_aggregate(list_transform(list_zip(a.embedding, q.qv), p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), 'sum') AS dist
+       FROM allr a CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+       WHERE a.vec_id NOT IN (1, 20003)
+       ORDER BY dist, vec_id LIMIT 100"""
+
+  /** [[hybridVisibleOracle]]'s construction + the UPDATE: row 2 carries
+    * row 0's embedding (old value excluded, mirrors untouched). Shared
+    * by q_update_scan (API-driven store) and q_sql_update_stmt
+    * (statement-driven store) — both converge to this visible set. */
+  private val updateVisibleOracle =
+    """WITH delta AS (
+         SELECT vec_id + 20000 AS vec_id, embedding FROM embeddings WHERE vec_id < 5),
+       upd AS (
+         SELECT CAST(2 AS BIGINT) AS vec_id, embedding FROM embeddings WHERE vec_id = 0),
+       allr AS (
+         SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 2
+         UNION ALL SELECT vec_id, embedding FROM delta
+         UNION ALL SELECT vec_id, embedding FROM upd)
        SELECT a.vec_id AS vec_id,
          list_aggregate(list_transform(list_zip(a.embedding, q.qv), p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), 'sum') AS dist
        FROM allr a CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
@@ -2357,20 +2432,10 @@ object AnnQueries {
     "q_incrhnsw_exact" -> hybridVisibleOracle,
     // hybridVisibleOracle's construction + the UPDATE: row 2 now carries
     // row 0's embedding (old value excluded, mirrors untouched)
-    "q_update_scan" ->
-      """WITH delta AS (
-           SELECT vec_id + 20000 AS vec_id, embedding FROM embeddings WHERE vec_id < 5),
-         upd AS (
-           SELECT CAST(2 AS BIGINT) AS vec_id, embedding FROM embeddings WHERE vec_id = 0),
-         allr AS (
-           SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 2
-           UNION ALL SELECT vec_id, embedding FROM delta
-           UNION ALL SELECT vec_id, embedding FROM upd)
-         SELECT a.vec_id AS vec_id,
-           list_aggregate(list_transform(list_zip(a.embedding, q.qv), p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), 'sum') AS dist
-         FROM allr a CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
-         WHERE a.vec_id NOT IN (1, 20003)
-         ORDER BY dist, vec_id LIMIT 100""",
+    "q_update_scan" -> updateVisibleOracle,
+    // the statement-driven store converges to the IDENTICAL visible set
+    // (DELETE statement = tombstones, UPDATE statement = shadow-append)
+    "q_sql_update_stmt" -> updateVisibleOracle,
     // exact incremental-IVF search of the same store: same visible set
     "q_ivfincr_exact" -> hybridVisibleOracle,
     // exact (window<=0) incremental-quantized searches score the stored

@@ -291,6 +291,48 @@ class SltConformanceSpec extends SparkSpec {
     spark.sql("DROP TABLE pgslt_n")
   }
 
+  test("update.slt: UPDATE / DELETE / vector-literal INSERT statements verbatim") {
+    // the full update.slt lifecycle with the statements run VERBATIM
+    // (table gains the conventional id column — the heap-TID
+    // divergence documented in SURVEY row 30); UPDATE/DELETE execute
+    // through SqlDml's copy-on-write path, the bare string-literal
+    // INSERT through InsertVectorValuesCommand's cast wrapping
+    graft.index.IndexCatalog.drop(spark, "pgslt_u_val_idx")
+    spark.sql("DROP TABLE IF EXISTS pgslt_u")
+    spark.sql("CREATE TABLE pgslt_u (id BIGINT, val vector(3))")
+    spark.sql("""INSERT INTO pgslt_u SELECT generate_series,
+      ARRAY[random(), random(), random()]::real[]
+      FROM generate_series(1, 1000)""")
+    assert(spark.sql("""CREATE INDEX CONCURRENTLY ON pgslt_u USING vectors
+        (val vector_l2_ops)""").head().getString(0) === "ok")
+    // update.slt:14
+    assert(spark.sql(
+      """UPDATE pgslt_u SET val = ARRAY[0.2, random(), random()]::real[]
+         WHERE val = (SELECT val FROM pgslt_u
+                      ORDER BY val <-> '[0.1,0.1,0.1]' LIMIT 1)""")
+      .head().getString(0) === "ok (1 rows updated)")
+    // update.slt:17 — the bare vector text literal INSERT (the id cell
+    // is the documented heap-TID divergence: our rows carry explicit
+    // integral ids, and an id-less insert would put an unindexable
+    // NULL-id row into the store)
+    assert(spark.sql("INSERT INTO pgslt_u (id, val) VALUES (2000, '[0.1,0.1,0.1]')")
+      .head().getString(0).startsWith("ok"))
+    // query I: nearest IS the inserted row, runner-up is not equal
+    val rows = spark.sql("""SELECT val = '[0.1,0.1,0.1]' FROM pgslt_u
+        ORDER BY val <-> '[0.1,0.1,0.1]' LIMIT 2""").collect()
+    assert(rows.map(_.getBoolean(0)).toSeq === Seq(true, false))
+    assert(spark.sql("REINDEX TABLE CONCURRENTLY pgslt_u")
+      .head().getString(0).startsWith("ok"))
+    // update.slt:29
+    assert(spark.sql("DELETE FROM pgslt_u WHERE val = '[0.1,0.1,0.1]'")
+      .head().getString(0) === "ok (1 rows deleted)")
+    val rows2 = spark.sql("""SELECT val = '[0.1,0.1,0.1]' FROM pgslt_u
+        ORDER BY val <-> '[0.1,0.1,0.1]' LIMIT 1""").collect()
+    assert(rows2.map(_.getBoolean(0)).toSeq === Seq(false))
+    assert(spark.sql("DROP INDEX pgslt_u_val_idx").head().getString(0) === "ok")
+    spark.sql("DROP TABLE pgslt_u")
+  }
+
   test("sparse.slt / bvector.slt / fp16.slt: typed table columns end to end") {
     import graft.index.IndexCatalog
     // --- sparse.slt: svector(6) column, chained ::real[]::vector::svector

@@ -1,0 +1,119 @@
+package graft
+
+import java.io.File
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.index.SqlDml
+import graft.operators.Segments
+
+/** SQL UPDATE / DELETE / vector-literal INSERT statements (SqlDml):
+  * text-scanner laws, the copy-on-write path arm, and the segment-store
+  * arm (tombstone delete, shadow-append update). The catalog-table COW
+  * arm and the INSERT cast wrapping run in SltConformanceSpec's
+  * update.slt lifecycle. */
+class SqlDmlSpec extends SparkSpec {
+
+  test("scanner: SET/WHERE split ignores subquery WHEREs and quoted text") {
+    val (set1, w1) = SqlDml.splitSetWhere(
+      "a = (SELECT x FROM t WHERE y = 1), b = 'where' WHERE c = 2")
+    assert(set1 === "a = (SELECT x FROM t WHERE y = 1), b = 'where'")
+    assert(w1 === Some("c = 2"))
+    val (set2, w2) = SqlDml.splitSetWhere("a = 1")
+    assert(set2 === "a = 1" && w2.isEmpty)
+    // assignments: first top-level '=' splits; commas inside parens and
+    // strings never split
+    val as = SqlDml.parseAssignments(
+      "a = array(1, 2), b = 'x,y', c = (SELECT max(v) FROM t WHERE k = 1)")
+    assert(as === Seq("a" -> "array(1, 2)", "b" -> "'x,y'",
+      "c" -> "(SELECT max(v) FROM t WHERE k = 1)"))
+    intercept[IllegalArgumentException] {
+      SqlDml.parseAssignments("no_equals_here")
+    }
+  }
+
+  test("scanner: bare string literals and the INSERT claim guard") {
+    assert(SqlDml.isBareStringLiteral("'[1,2,3]'"))
+    assert(SqlDml.isBareStringLiteral(" '{0:1}/3' "))
+    assert(SqlDml.isBareStringLiteral("'it''s quoted'"))
+    assert(!SqlDml.isBareStringLiteral("f('[1]')"))
+    assert(!SqlDml.isBareStringLiteral("'a' || 'b'"))
+    assert(SqlDml.hasBareVectorLiteral("(1, '[0.1,0.2]'), (2, '[0.3,0.4]')"))
+    assert(SqlDml.hasBareVectorLiteral("('{0:1}/4')"))
+    assert(!SqlDml.hasBareVectorLiteral("(1, 'plain text'), (2, NULL)"))
+    assert(!SqlDml.hasBareVectorLiteral("(1, 2.5)"))
+  }
+
+  test("plain parquet path: UPDATE and DELETE rewrite copy-on-write") {
+    val dir = Files.createTempDirectory("graft_dmlspec_").toFile
+    val p = new File(dir, "t").getAbsolutePath
+    import spark.implicits._
+    Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("id", "v")
+      .write.parquet(p)
+    assert(spark.sql(s"UPDATE '$p' SET v = v + 1 WHERE id >= 2")
+      .head().getString(0) === "ok (2 rows updated)")
+    assert(spark.read.parquet(p).orderBy("id").as[(Long, Double)]
+      .collect().toSeq === Seq((1L, 10.0), (2L, 21.0), (3L, 31.0)))
+    assert(spark.sql(s"DELETE FROM '$p' WHERE v > 25")
+      .head().getString(0) === "ok (1 rows deleted)")
+    assert(spark.read.parquet(p).orderBy("id").as[(Long, Double)]
+      .collect().toSeq === Seq((1L, 10.0), (2L, 21.0)))
+    // a NULL predicate row survives DELETE and keeps its value on
+    // UPDATE (PG three-valued semantics)
+    val p2 = new File(dir, "t2").getAbsolutePath
+    Seq((1L, Some(5.0)), (2L, None)).toDF("id", "v").write.parquet(p2)
+    assert(spark.sql(s"DELETE FROM '$p2' WHERE v < 100")
+      .head().getString(0) === "ok (1 rows deleted)")
+    assert(spark.read.parquet(p2).select("id").as[Long].collect().toSeq ===
+      Seq(2L))
+  }
+
+  test("segment-store path: DELETE tombstones, UPDATE shadow-appends") {
+    val dir = Files.createTempDirectory("graft_dmlspec_seg_").toFile
+    val store = new File(dir, "store").getAbsolutePath
+    import spark.implicits._
+    val base = Seq((1L, Seq(1f, 0f)), (2L, Seq(0f, 1f)), (3L, Seq(1f, 1f)))
+      .toDF("id", "vec")
+    Segments.init(spark, store, base, "id")
+    assert(spark.sql(s"DELETE FROM '$store' WHERE id = 3")
+      .head().getString(0) === "ok (1 rows deleted)")
+    // only a tombstone moved: base dir untouched, visible set shrinks
+    assert(Segments.read(spark, store, "id").count() === 2L)
+    assert(spark.sql(
+      s"UPDATE '$store' SET vec = array(CAST(9 AS FLOAT), CAST(9 AS FLOAT)) WHERE id = 2")
+      .head().getString(0) === "ok (1 rows updated)")
+    val vis = Segments.read(spark, store, "id")
+      .select("id", "vec").as[(Long, Seq[Float])].collect().toMap
+    assert(vis.keySet === Set(1L, 2L))
+    assert(vis(2L) === Seq(9f, 9f))
+    // the old version is hidden, not rewritten: base-0 still holds 3 rows
+    assert(spark.read.parquet(s"$store/base-0").count() === 3L)
+  }
+
+  test("plain INSERT statements delegate (claim guard)") {
+    spark.sql("DROP TABLE IF EXISTS dmlspec_plain")
+    SqlDmlSpec.rmWarehouse(spark, "dmlspec_plain")
+    spark.sql("CREATE TABLE dmlspec_plain (id BIGINT, s STRING)")
+    // no vector literal -> delegates to Spark's own INSERT
+    spark.sql("INSERT INTO dmlspec_plain VALUES (1, 'plain text')")
+    assert(spark.table("dmlspec_plain").count() === 1L)
+    spark.sql("DROP TABLE dmlspec_plain")
+  }
+}
+
+object SqlDmlSpec {
+  /** Managed-table debris from a crashed prior run (warehouse dir
+    * without a catalog entry) blocks CREATE TABLE. */
+  def rmWarehouse(spark: org.apache.spark.sql.SparkSession,
+      table: String): Unit = {
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:")
+    def rm(f: File): Unit = {
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete()
+    }
+    rm(new File(wh, table))
+  }
+}
