@@ -213,6 +213,23 @@ object GraftSqlParser {
     ("""(?is)\s*INSERT\s+INTO\s+(""" + s"$Ident(?:\\.$Ident)*" +
       """)\s*(?:\(\s*([^()]*?)\s*\)\s*)?VALUES\s*(.+?)\s*;?\s*""").r
 
+  // ---- PG partitioned-table DDL (partition.slt): parent → native
+  // PARTITIONED BY parquet table; children → driver-registered partial
+  // scopes over the parent (PgPartitions); the multi-name DROP TABLE
+  // list form (Spark's own takes one name) ----
+  private val CreatePartByRe =
+    ("""(?is)\s*CREATE\s+TABLE\s+(?:(IF\s+NOT\s+EXISTS)\s+)?(""" +
+      s"$Ident(?:\\.$Ident)*" + """)\s*\((.*)\)\s*PARTITION\s+BY\s+(""" +
+      s"$Ident" + """)\s*\(\s*(""" + s"$Ident" + """)\s*\)\s*;?\s*""").r
+  private val CreatePartOfRe =
+    ("""(?is)\s*CREATE\s+TABLE\s+(?:(IF\s+NOT\s+EXISTS)\s+)?(""" +
+      s"$Ident" + """)\s+PARTITION\s+OF\s+(""" + s"$Ident(?:\\.$Ident)*" +
+      """)\s+FOR\s+VALUES\s+IN\s*\(([^)]*)\)\s*;?\s*""").r
+  private val DropTablesRe =
+    ("""(?is)\s*DROP\s+TABLE\s+(?:(IF\s+EXISTS)\s+)?(""" +
+      s"$Ident(?:\\.$Ident)*(?:\\s*,\\s*$Ident(?:\\.$Ident)*)*" +
+      """)\s*;?\s*""").r
+
   /** `WITH (m = 12, ef_construction = 300)` body → the `k=v,k=v` string
     * [[SqlDdl.parseOpts]] takes. Values may be bare words/numbers or
     * single-quoted strings; pairs split on commas OUTSIDE quotes. A
@@ -365,6 +382,19 @@ object GraftSqlParser {
             .stripPrefix("\"").stripSuffix("\"")
             .stripPrefix("`").stripSuffix("`")).toSeq),
           vals))
+      case CreatePartByRe(ifNot, name, cols, kind, pcol) =>
+        Some(CreatePartitionedTableCommand(ifNot != null, name, cols,
+          kind, pcol))
+      case CreatePartOfRe(ifNot, name, parent, vals) =>
+        Some(CreatePartitionOfCommand(ifNot != null, name, parent, vals))
+      case DropTablesRe(ifEx, names0) =>
+        // list form always ours; single names only when they are
+        // registered partition children — Spark's own DROP TABLE keeps
+        // every other single-name statement
+        val names = names0.split(",").map(_.trim).toSeq
+        if (names.length > 1 || PgPartitions.resolve(names.head).isDefined)
+          Some(DropTablesCommand(ifEx != null, names))
+        else None
       case SearchPathRe() =>
         Some(SetSearchPathCommand())
       case ShowGucRe(key) if Gucs.isGucName(key) =>
@@ -615,10 +645,23 @@ case class CreatePgIndexCommand(nameOpt: Option[String], source: String,
     }
     val opclass = opclassOpt.getOrElse("vector_l2_ops")
     IndexOptions.opclass(opclass, amEff) // errors cite the post-swap AM
-    val resolved =
-      if (sourceIsTable)
+    // a registered PG partition child indexes the PARENT's location
+    // scoped by its value set — the Postgres semantics of indexing one
+    // partition, served by the existing partial-index machinery
+    val partChild =
+      if (sourceIsTable) PgPartitions.resolve(source) else None
+    val resolved = partChild match {
+      case Some(c) =>
+        CreateVectorIndexCommand.resolveTableLocation(spark, c.parent)
+      case None if sourceIsTable =>
         CreateVectorIndexCommand.resolveTableLocation(spark, source)
-      else source
+      case None => source
+    }
+    val whereEff = partChild match {
+      case Some(c) if where.trim.isEmpty => PgPartitions.whereSql(c)
+      case Some(c) => s"(${where.trim}) AND ${PgPartitions.whereSql(c)}"
+      case None => where
+    }
     val idCol = idColOpt.getOrElse(
       CreatePgIndexCommand.resolveIdColumn(spark, resolved, col))
     val recipeOf = (n: String) => IndexCatalog.load(spark, n).map(m =>
@@ -627,7 +670,7 @@ case class CreatePgIndexCommand(nameOpt: Option[String], source: String,
         m.params.getOrElse("sql_options", ""),
         m.params.getOrElse("sql_where", "")))
     val target = (resolved, s"$idCol,$col", amEff, opclass, reloptStr,
-      where.trim)
+      whereEff.trim)
     val name = nameOpt.getOrElse {
       val base = {
         val last =
@@ -649,7 +692,7 @@ case class CreatePgIndexCommand(nameOpt: Option[String], source: String,
       SqlDdl.registerFromRecipe(spark, name)
       Seq(Row("exists"))
     } else Seq(Row(SqlDdl.create(spark, name, resolved, idCol, col, amEff,
-      opclass, reloptStr, where)))
+      opclass, reloptStr, whereEff)))
   }
 }
 

@@ -1373,6 +1373,20 @@ object Hnsw {
     searchFiles(spark, files, idCol, q, k, efSearch, exact)
   }
 
+  /** Default beam floor for plain-graph searches: effective ef =
+    * max(efSearch, efMult·k), efMult = spark.graft.hnsw.efMult
+    * (default 2). The IncrHnsw ef=2× lesson (round 13, 0.96→1.00
+    * clustered) applied to every resident-graph beam: an ef == k beam
+    * loses recoverable neighbors whenever the per-graph frontier is as
+    * narrow as the answer set (measured hnsw_l2 clustered recall@100
+    * 0.97 at ef = k = 100). An explicit efSearch above the floor always
+    * wins; efMult=1 restores the raw knob; exact modes never beam.
+    * Computed DRIVER-side (conf reads don't belong in tasks). */
+  private[graft] def beamEf(spark: org.apache.spark.sql.SparkSession,
+      efSearch: Int, k: Int): Int =
+    math.max(efSearch,
+      k * spark.conf.get("spark.graft.hnsw.efMult", "2").toInt)
+
   /** Scalar search over an explicit graph-file list — the per-file tasks
     * of [[searchIndex]] with discovery/routing already done. The
     * partitioned parent's routed scalar path calls this with its
@@ -1381,6 +1395,7 @@ object Hnsw {
       files: Seq[String], idCol: String, q: Array[Float], k: Int,
       efSearch: Int, exact: Boolean): DataFrame = {
     import spark.implicits._
+    val efb = beamEf(spark, efSearch, k)
     val bq = spark.sparkContext.broadcast(q)
     val hconf = confEntries(spark)
     val hits = spark.sparkContext
@@ -1394,7 +1409,7 @@ object Hnsw {
           // (am_options.rs:244-249), matching the IVF cos path.
           val off = if (g.metric == "cos") 1.0 else 0.0
           val res = if (exact) g.bruteForce(bq.value, k)
-                    else g.search(bq.value, k, efSearch)
+                    else g.search(bq.value, k, efb)
           res.iterator.map { case (d, id) => (id, d + off) }
         }
       }.toDF(idCol, "dist")
@@ -1492,6 +1507,7 @@ object Hnsw {
       efSearch: Int = 100, exact: Boolean = false,
       probeGraphs: Int = 0): DataFrame = {
     import spark.implicits._
+    val efb = beamEf(spark, efSearch, k)
     val dirPath = new org.apache.hadoop.fs.Path(path)
     val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val allFiles = fs.globStatus(new org.apache.hadoop.fs.Path(path, "graph-*.bin"))
@@ -1514,7 +1530,7 @@ object Hnsw {
         it.flatMap { f =>
           val g = GraphCache.get(f, conf)
           val res = if (exact) g.bruteForceMetric(bq.value, k, metric)
-                    else g.searchMetric(bq.value, k, efSearch, metric)
+                    else g.searchMetric(bq.value, k, efb, metric)
           res.iterator.map { case (d, id) => (id, d) }
         }
       }.toDF(idCol, "dist")
@@ -1743,6 +1759,7 @@ object Hnsw {
       metricOverride: Option[String] = None, hint: Int = 0): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
+    val efb = beamEf(spark, efSearch, k)
     if (files.isEmpty)
       return spark.emptyDataset[(Long, Long, Double, Int)]
         .toDF("qid", idCol, "dist", "rn")
@@ -1825,9 +1842,9 @@ object Hnsw {
               val res = metricOverride match {
                 case Some(om) =>
                   if (exact) g.bruteForceMetric(q, k, om)
-                  else g.searchMetric(q, k, efSearch, om)
+                  else g.searchMetric(q, k, efb, om)
                 case None =>
-                  if (exact) g.bruteForce(q, k) else g.search(q, k, efSearch)
+                  if (exact) g.bruteForce(q, k) else g.search(q, k, efb)
               }
               res.iterator.map { case (d, id) => (qid, id, d + off) }
             }
@@ -1845,6 +1862,7 @@ object Hnsw {
       k: Int, efSearch: Int = 100, exact: Boolean = false): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
+    val efb = beamEf(spark, efSearch, k)
     val dirPath = new org.apache.hadoop.fs.Path(path)
     val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val files = fs.globStatus(new org.apache.hadoop.fs.Path(path, "graph-*.bin"))
@@ -1862,7 +1880,7 @@ object Hnsw {
           val g = GraphCache.get(f, conf)
           val off = if (g.metric == "cos") 1.0 else 0.0
           bq.value.iterator.flatMap { case (qid, q) =>
-            val res = if (exact) g.bruteForce(q, k) else g.search(q, k, efSearch)
+            val res = if (exact) g.bruteForce(q, k) else g.search(q, k, efb)
             res.iterator.map { case (d, id) => (qid, id, d + off) }
           }
         }

@@ -1489,6 +1489,39 @@ object AnnQueries {
         k = 100, source = t(s, d, "embeddings"), pred = col("label") < 5,
         exact = true)
     }),
+    // vbase.slt's search-mode flow under the GUC SPELLING: the `SET
+    // vectors.search_mode=vbase` statement flips the native conf, the
+    // slt's own dialect count query runs as SQL text, and the filtered
+    // search dispatches on the GUC value into the VBASE refill loop
+    // (exact mode -> the q_hnsw_filtered_exact oracle). In-query
+    // requires: (a) the GUC landed on spark.graft.search.mode, (b) the
+    // slt count query returns 100, (c) the refill loop actually engaged
+    // (Hnsw.lastFilteredRounds observability — round-10 convention).
+    "q_operator_sql_vbase" -> ((s0, d) => {
+      val s = LifecycleQueries.ddlSession(s0)
+      val prevMode = s.conf.getOption("spark.graft.search.mode")
+      try {
+        s.sql("SET vectors.search_mode=vbase")
+        val mode = s.conf.get("spark.graft.search.mode", "")
+        require(mode == "vbase",
+          s"SET vectors.search_mode did not land on the native conf: $mode")
+        t(s, d, "embeddings").createOrReplaceTempView("graft_vbase_emb")
+        val lit = qvec(s, d).mkString("[", ", ", "]")
+        val cnt = s.sql(
+          s"""SELECT COUNT(1) FROM (SELECT 1 FROM graft_vbase_emb
+              ORDER BY embedding <-> '$lit' limit 100) t2""").head().getLong(0)
+        require(cnt == 100L, s"vbase.slt count query returned $cnt")
+        val res = Hnsw.searchIndexFiltered(s, hnsw(s, d, 1), "vec_id",
+          qvec(s, d), k = 100, source = t(s, d, "embeddings"),
+          pred = col("label") < 5, exact = true)
+        require(Hnsw.lastFilteredRounds >= 1,
+          "VBASE refill loop did not engage")
+        res
+      } finally prevMode match {
+        case Some(v) => s.conf.set("spark.graft.search.mode", v)
+        case None => s.conf.unset("spark.graft.search.mode")
+      }
+    }),
     // approximate twin: graph traversal at default ef with the same
     // refill loop (rows-only; the exact twin above carries the oracle).
     // `spark.graft.search.mode` mirrors vectors.search_mode: "vbase"
@@ -2340,6 +2373,15 @@ object AnnQueries {
          ORDER BY dist, vec_id LIMIT 100""",
     "q_hnsw_exact_l2" -> exactL2Oracle,
     "q_hnsw_filtered_exact" ->
+      """SELECT e.vec_id AS vec_id,
+         list_aggregate(list_transform(list_zip(e.embedding, q.qv), p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), 'sum') AS dist
+         FROM embeddings e CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+         WHERE e.label < 5
+         ORDER BY dist, vec_id LIMIT 100""",
+    // the vbase GUC gate runs the same exact filtered search (every
+    // refill round is exact in exact mode — results are mode-invariant
+    // by construction, the requires pin the mode plumbing)
+    "q_operator_sql_vbase" ->
       """SELECT e.vec_id AS vec_id,
          list_aggregate(list_transform(list_zip(e.embedding, q.qv), p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), 'sum') AS dist
          FROM embeddings e CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q

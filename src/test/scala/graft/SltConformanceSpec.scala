@@ -395,6 +395,62 @@ class SltConformanceSpec extends SparkSpec {
       .foreach(IndexCatalog.drop(spark, _))
   }
 
+  test("partition.slt: PARTITION BY LIST / PARTITION OF / partition index verbatim") {
+    import graft.index.IndexCatalog
+    val idxNames = Seq("pgslt_items_val_idx", "pgslt_id123_val_idx",
+      "pgslt_items_val_idx1")
+    idxNames.foreach(IndexCatalog.drop(spark, _))
+    spark.sql("DROP TABLE IF EXISTS pgslt_items")
+    SqlDmlSpec.rmWarehouse(spark, "pgslt_items")
+    // partition.slt:6 (id column added — the documented heap-TID
+    // divergence); parent becomes a native PARTITIONED BY parquet table
+    spark.sql("""CREATE TABLE pgslt_items (id BIGINT, val vector(3),
+      category_id int) PARTITION BY LIST(category_id)""")
+    // partition.slt:9-15: children register as value-scoped aliases
+    assert(spark.sql(
+      "CREATE TABLE pgslt_id123 PARTITION OF pgslt_items FOR VALUES IN (1, 2, 3)")
+      .head().getString(0) === "ok")
+    assert(spark.sql(
+      "CREATE TABLE pgslt_id456 PARTITION OF pgslt_items FOR VALUES IN (4, 5, 6)")
+      .head().getString(0) === "ok")
+    assert(spark.sql(
+      "CREATE TABLE pgslt_id789 PARTITION OF pgslt_items FOR VALUES IN (7, 8, 9)")
+      .head().getString(0) === "ok")
+    spark.sql("""INSERT INTO pgslt_items (id, val, category_id)
+      SELECT generate_series, ARRAY[random(), random(), random()]::real[],
+        (random() * 6 + 1)::int
+      FROM generate_series(1, 1000)""")
+    // whole-parent index + query (partition.slt:26-33)
+    assert(spark.sql("""CREATE INDEX ON pgslt_items USING vectors
+        (val vectors.vector_l2_ops) WITH (options = "[indexing.hnsw]")""")
+      .head().getString(0) === "ok")
+    def count10(op: String, filter: String = ""): Long = spark.sql(
+      s"""SELECT COUNT(1) FROM (SELECT 1 FROM pgslt_items $filter
+          ORDER BY val $op '[0.5,0.5,0.5]' limit 10) t2""").head().getLong(0)
+    assert(count10("<->") === 10L)
+    // index on ONE PARTITION → a partial index over the parent scoped
+    // by the child's value set (partition.slt:36-41)
+    assert(spark.sql("""CREATE INDEX ON pgslt_id123 USING vectors
+        (val vectors.vector_cos_ops) WITH (options = "[indexing.hnsw]")""")
+      .head().getString(0) === "ok")
+    assert(IndexCatalog.load(spark, "pgslt_id123_val_idx")
+      .exists(_.params.getOrElse("sql_where", "")
+        .contains("category_id IN (1, 2, 3)")))
+    assert(count10("<=>") === 10L)
+    // partial index (partition.slt:44-51)
+    assert(spark.sql("""CREATE INDEX ON pgslt_items USING vectors
+        (val vectors.vector_dot_ops) WITH (options = "[indexing.hnsw]")
+        WHERE (category_id = 1)""").head().getString(0) === "ok")
+    assert(count10("<#>", "WHERE (category_id = 1)") === 10L)
+    // partition.slt:54 — the multi-name DROP TABLE spelling
+    assert(spark.sql(
+      "DROP TABLE pgslt_id789, pgslt_id456, pgslt_id123, pgslt_items")
+      .head().getString(0) === "ok (4 dropped)")
+    assert(spark.sessionState.catalog.tableExists(
+      org.apache.spark.sql.catalyst.TableIdentifier("pgslt_items")) === false)
+    idxNames.foreach(IndexCatalog.drop(spark, _))
+  }
+
   test("cast.slt / finalize.sql cast matrix: cross-type :: casts") {
     // string literal casts (cast.slt) and vector<->vector conversions
     // (finalize.sql CREATE CAST set) through the same :: spelling
