@@ -229,11 +229,28 @@ object Qps {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** The Bench host-health control (32-thread multiply-add wall,
+    * JIT-warmed; ~0.55 s healthy on this box): published alongside the
+    * rates so a loaded-host run is self-documenting. */
+  private def hostControlSec(): Double = {
+    def work(): Long = {
+      var x = 0L; var i = 0L
+      while (i < 400000000L) { x += i * i; i += 1 }
+      x
+    }
+    work() // JIT warmup
+    val t0 = System.nanoTime()
+    val threads = (1 to 32).map(_ => new Thread(() => { work(); () }))
+    threads.foreach(_.start()); threads.foreach(_.join())
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse(
       sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     val n = args.lift(1).map(_.toInt).getOrElse(1000)
     val seqSample = 32
+    val hostControl = hostControlSec()
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -399,6 +416,8 @@ object Qps {
         s""""p50_ms":${r1(p50)},"p95_ms":${r1(p95)}}"""
     }.mkString(
       s"""{"sf":"$sfDir","n":${baseQs.length},"seq_sample":$seqSample,""" +
+        s""""host_control_sec":${BigDecimal(hostControl)
+          .setScale(3, BigDecimal.RoundingMode.HALF_UP)},""" +
         s""""defaults":{"nprobe":$Nprobe,"ef_search":$EfSearch},""" +
         """"note":"qps_batch = n/sec through the family's batched entry """ +
         """point (one pruned scan / resident-graph pass per batch); """ +

@@ -167,6 +167,24 @@ class OpSqlSpec extends SparkSpec {
     assert(e2.getMessage.toLowerCase.contains("bvector"))
   }
 
+  test("PG typmod casts: ::numeric(p,s) maps, others error clearly (round 14)") {
+    // numeric with a typmod → DECIMAL(p[,s]); the suffix is consumed
+    assert(spark.sql("SELECT 1.23456::numeric(10,2)").head()
+      .getDecimal(0).toPlainString === "1.23")
+    assert(spark.sql("SELECT 7.9::numeric(3)").head()
+      .getDecimal(0).toPlainString === "8")
+    // bare ::numeric keeps the wide default
+    assert(spark.sql("SELECT 1::numeric").schema.head.dataType
+      .typeName.startsWith("decimal"))
+    // a precision group on a non-numeric scalar cast errors actionably
+    // instead of leaving '(10,2)' dangling after the spliced CAST
+    val e = intercept[Exception] {
+      spark.sql("SELECT 1.5::float4(10,2)").collect()
+    }
+    assert(e.getMessage.contains("precision arguments unsupported"),
+      e.getMessage)
+  }
+
   test("no-space spellings and Column-expression strings rewrite too") {
     assert(OpSqlRewrite("SELECT a<->b FROM t") ===
       "SELECT graft_op_l2(a, b) FROM t")

@@ -318,6 +318,26 @@ class PgDdlSpec extends SparkSpec {
     assert(spark.sql("DROP INDEX pgddl_size_ix").head().getString(0) === "ok")
   }
 
+  test("unknown AM + non-vector opclass delegates (round-14 claim narrowing)") {
+    // CREATE INDEX ... USING btree (c text_ops) must NOT be claimed —
+    // it falls through to Spark's grammar, whose error is about the
+    // statement surface, never our 'access method does not exist'
+    val e = intercept[Exception] {
+      spark.sql("CREATE INDEX pgddl_bt ON pgddl_nosuch USING btree (c text_ops)")
+        .collect()
+    }
+    assert(!e.getMessage.contains("does not exist\""), e.getMessage)
+    // vector-family opclasses under an unknown AM stay CLAIMED and give
+    // the PG error shape
+    val e2 = intercept[Exception] {
+      spark.sql(
+        "CREATE INDEX pgddl_vx ON pgddl_nosuch USING weird (c vector_l2_ops)")
+        .collect()
+    }
+    assert(e2.getMessage.contains("""access method "weird" does not exist"""),
+      e2.getMessage)
+  }
+
   test("partial PG-form create (partition.slt WHERE shape) scopes rows") {
     IndexCatalog.drop(spark, "pgddl_part_ix")
     assert(spark.sql(s"""CREATE INDEX pgddl_part_ix ON '$srcDir'
