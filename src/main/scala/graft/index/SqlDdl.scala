@@ -408,6 +408,25 @@ object SqlDdl {
         Seq("sql_cols", "sql_am", "sql_opclass", "sql_options").exists(k =>
           !m.params.get(k).map(_.trim).contains(recipe(k).trim))
     }
+    // NULL ids are un-indexable — the heap-TID divergence: the
+    // reference keys rows by TID (never NULL), our builds key on idCol
+    // and would otherwise fail with an opaque encoder assert (graph
+    // writers) or silently store null-id rows (parquet-scan kinds).
+    // Checked only when this CREATE can plausibly build (fresh name,
+    // changed recipe/scope/source): one limit-1 scan with the IS NULL
+    // filter pushed to parquet — the common idempotent re-CREATE pays
+    // nothing.
+    if (prior.isEmpty || scopeChanged || recipeChanged ||
+        prior.exists(_.source != source)) {
+      val hasNullId = spark.read.parquet(source)
+        .filter(org.apache.spark.sql.functions.col(idCol).isNull)
+        .limit(1).count() > 0
+      require(!hasNullId,
+        s"column `$idCol` of $source contains NULL ids — index ids must " +
+          "be non-null (rows are keyed by the id column here where " +
+          "Postgres uses the heap TID); clean the source or choose " +
+          "another id_col")
+    }
     dispatch(spark, name, source, idCol, vecCol, am, opclassName, options,
       rebuild = scopeChanged || recipeChanged, where = newWhere)
     // ONE commit (atomic rename) under the DDL lock — a torn recipe

@@ -338,6 +338,21 @@ class PgDdlSpec extends SparkSpec {
       e2.getMessage)
   }
 
+  test("NULL ids in the source error actionably at CREATE (round 14)") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("pgddl_nullid_").toFile
+    val p = new java.io.File(dir, "t").getAbsolutePath
+    import spark.implicits._
+    Seq((Some(1L), Seq(1f, 2f)), (None, Seq(3f, 4f)))
+      .toDF("id", "vec").write.parquet(p)
+    val e = intercept[Exception] {
+      spark.sql(s"CREATE INDEX pgddl_nullid ON '$p' USING vectors (vec vector_l2_ops)")
+        .collect()
+    }
+    assert(e.getMessage.contains("NULL ids"), e.getMessage)
+    graft.index.IndexCatalog.drop(spark, "pgddl_nullid")
+  }
+
   test("partial PG-form create (partition.slt WHERE shape) scopes rows") {
     IndexCatalog.drop(spark, "pgddl_part_ix")
     assert(spark.sql(s"""CREATE INDEX pgddl_part_ix ON '$srcDir'
