@@ -284,16 +284,32 @@ object SqlDml {
     val (setPart, whereOpt) = splitSetWhere(setBlob)
     val assigns = parseAssignments(setPart)
     if (isPath && isSegmentStore(target)) {
-      // scale path: only matched rows move; the append's shadow
-      // tombstone hides the old versions (reinsert = delete + insert)
+      // scale path: only matched rows move. The MATCHED ORIGINALS are
+      // staged once (one evaluation of the predicate — nondeterministic
+      // exprs must not re-draw), then the update is the explicit
+      // DELETE + INSERT decomposition: tombstone the OLD ids, append
+      // the new rows at a younger version. The explicit delete matters
+      // when an assignment REASSIGNS the id column — the append's
+      // shadow tombstone only covers the NEW ids, and relying on it
+      // alone would leave the old row visible.
       val idCol = segIdCol(spark, target)
       val visible = Segments.read(spark, target, idCol).drop("_ver")
       val matched = visible.filter(matchCond(whereOpt))
-      val (staged, tmp) = stage(spark,
-        updated(matched, assigns, lit(true)))
+      val (staged, tmp) = stage(spark, matched)
       try {
         val n = staged.count()
-        if (n > 0) Segments.append(spark, target, staged, idCol)
+        if (n > 0) {
+          // assignments evaluated exactly once too (append runs several
+          // passes over its input; a nondeterministic SET must not
+          // re-draw between the delta write and the shadow tombstone)
+          val (stagedNew, tmp2) = stage(spark,
+            updated(staged, assigns, lit(true)))
+          try {
+            Segments.delete(spark, target,
+              staged.select(col(quote(idCol))), idCol)
+            Segments.append(spark, target, stagedNew, idCol)
+          } finally rm(tmp2)
+        }
         s"ok ($n rows updated)"
       } finally rm(tmp)
     } else {

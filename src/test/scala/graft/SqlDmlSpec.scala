@@ -89,6 +89,14 @@ class SqlDmlSpec extends SparkSpec {
     assert(vis(2L) === Seq(9f, 9f))
     // the old version is hidden, not rewritten: base-0 still holds 3 rows
     assert(spark.read.parquet(s"$store/base-0").count() === 3L)
+    // ID REASSIGNMENT: the explicit delete+append decomposition must
+    // tombstone the OLD id — the append's shadow tombstone only covers
+    // the new one, and without the delete the old row stays visible
+    assert(spark.sql(s"UPDATE '$store' SET id = 42 WHERE id = 1")
+      .head().getString(0) === "ok (1 rows updated)")
+    val ids = Segments.read(spark, store, "id")
+      .select("id").as[Long].collect().toSet
+    assert(ids === Set(2L, 42L), s"old id must be hidden, got $ids")
   }
 
   test("plain INSERT statements delegate (claim guard)") {
