@@ -494,7 +494,20 @@ object Recall {
       "names. incr_hnsw's per-graph beam now runs ef = 2x fetch " +
       "(ef == k lost recoverable neighbors; 0.96 -> 1.00 clustered, " +
       "0.99 -> 1.00 random, timing unchanged - the graph walk is not " +
-      "that query's bottleneck)."
+      "that query's bottleneck). ROUND 14: the ef=2x lesson " +
+      "generalized - every plain-graph beam floors ef at efMult*k " +
+      "(spark.graft.hnsw.efMult, default 2) and HnswSq frontiers take " +
+      "the coded-graph k*window convention, lifting hnsw_l2 and " +
+      "hnsw_sq8 clustered 0.97 -> 1.00 with k=10 serving rows " +
+      "unchanged (the floor engages only when efMult*k exceeds " +
+      "ef_search). ivf_l2's 0.98 is the cal3 DESIGN POINT, kept " +
+      "deliberately: the calibrated hint targets 95%-coverage at p90 " +
+      "of queries, and pushing the statistic to full coverage was " +
+      "measured-and-rejected reasoning - per-query full-coverage " +
+      "depth is driven by single outlier neighbors in far lists, so " +
+      "it raises DEFAULT probe counts (and every default-path " +
+      "latency) broadly to buy 0.01-0.02 recall; explicit nprobe " +
+      "remains the user's recall knob and nprobe=16 measures 1.0."
     val json =
       s"""{"sf":"$clDir","fixture":"clustered-mog-8","source_sf":"$sfDir",""" +
         s""""defaults":{"nprobe":"auto","probe_graphs":"auto","ef_search":100},""" +

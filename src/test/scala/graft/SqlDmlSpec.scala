@@ -99,6 +99,21 @@ class SqlDmlSpec extends SparkSpec {
     assert(ids === Set(2L, 42L), s"old id must be hidden, got $ids")
   }
 
+  test("EXPLAIN UPDATE/DELETE plans the command, writes nothing") {
+    val dir = Files.createTempDirectory("graft_dmlspec_ex_").toFile
+    val p = new File(dir, "t").getAbsolutePath
+    import spark.implicits._
+    Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v").write.parquet(p)
+    val before = spark.read.parquet(p).as[(Long, Double)].collect().toSet
+    val plan = spark.sql(s"EXPLAIN UPDATE '$p' SET v = 99 WHERE id = 1")
+      .head().getString(0)
+    assert(plan.contains("UpdateDmlCommand"), plan)
+    val plan2 = spark.sql(s"EXPLAIN DELETE FROM '$p' WHERE id = 1")
+      .head().getString(0)
+    assert(plan2.contains("DeleteDmlCommand"), plan2)
+    assert(spark.read.parquet(p).as[(Long, Double)].collect().toSet === before)
+  }
+
   test("plain INSERT statements delegate (claim guard)") {
     spark.sql("DROP TABLE IF EXISTS dmlspec_plain")
     SqlDmlSpec.rmWarehouse(spark, "dmlspec_plain")
