@@ -319,7 +319,7 @@ object SqlDml {
         else { checkUpdatableTable(spark, target); spark.table(target) }
       val n = df.filter(matchCond(whereOpt)).count()
       val out = updated(df, assigns, matchCond(whereOpt))
-      swapIn(spark, target, isPath, out)
+      swapIn(spark, target, isPath, df, out)
       s"ok ($n rows updated)"
     }
   }
@@ -341,23 +341,39 @@ object SqlDml {
         else { checkUpdatableTable(spark, target); spark.table(target) }
       val cond = matchCond(whereOpt)
       val n = df.filter(cond).count()
-      swapIn(spark, target, isPath, df.filter(!cond))
+      swapIn(spark, target, isPath, df, df.filter(!cond))
       s"ok ($n rows deleted)"
     }
   }
 
+  /** Hive partition columns of a path-read frame (discovered layout) —
+    * the COW rewrite must re-write WITH them or the swapped-in dir
+    * silently loses its layout (data-equivalent, but partition pruning
+    * is gone — a scale regression, not a correctness one). */
+  private def pathPartitionCols(df: DataFrame): Seq[String] =
+    df.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.partitionSchema.fieldNames.toSeq
+          case _ => Seq.empty[String]
+        }
+    }.getOrElse(Seq.empty)
+
   /** Replace the target's content with `out`: INSERT OVERWRITE for
-    * catalog tables (Spark's own staged truncate-and-write), dir
-    * rename for paths (new content written fully before the swap — a
-    * crash leaves either the old dir or the new one plus debris, never
-    * a half-written table). */
+    * catalog tables (Spark's own staged truncate-and-write; the table
+    * definition carries its partitioning), dir rename for paths (new
+    * content written fully before the swap — a crash leaves either the
+    * old dir or the new one plus debris, never a half-written table;
+    * discovered Hive partition columns are preserved). */
   private def swapIn(spark: SparkSession, target: String, isPath: Boolean,
-      out: DataFrame): Unit = {
+      src: DataFrame, out: DataFrame): Unit = {
     if (isPath) {
       val tmpDir = new File(target + ".graft-cow-tmp")
       val oldDir = new File(target + ".graft-cow-old")
       rm(tmpDir); rm(oldDir)
-      out.write.parquet(tmpDir.getAbsolutePath)
+      val pcols = pathPartitionCols(src)
+      out.write.partitionBy(pcols: _*).parquet(tmpDir.getAbsolutePath)
       Files.move(new File(target).toPath, oldDir.toPath)
       Files.move(tmpDir.toPath, new File(target).toPath)
       rm(oldDir)

@@ -99,6 +99,21 @@ class SqlDmlSpec extends SparkSpec {
     assert(ids === Set(2L, 42L), s"old id must be hidden, got $ids")
   }
 
+  test("path COW preserves discovered Hive partition layout") {
+    val dir = Files.createTempDirectory("graft_dmlspec_part_").toFile
+    val p = new File(dir, "t").getAbsolutePath
+    import spark.implicits._
+    Seq((1L, 10.0, 1), (2L, 20.0, 1), (3L, 30.0, 2))
+      .toDF("id", "v", "part").write.partitionBy("part").parquet(p)
+    assert(spark.sql(s"UPDATE '$p' SET v = v + 1 WHERE id = 2")
+      .head().getString(0) === "ok (1 rows updated)")
+    // the partition dirs survive the rewrite (pruning stays possible)
+    assert(new File(p, "part=1").isDirectory && new File(p, "part=2").isDirectory)
+    val rows = spark.read.parquet(p).orderBy("id")
+      .select("id", "v", "part").as[(Long, Double, Int)].collect().toSeq
+    assert(rows === Seq((1L, 10.0, 1), (2L, 21.0, 1), (3L, 30.0, 2)))
+  }
+
   test("EXPLAIN UPDATE/DELETE plans the command, writes nothing") {
     val dir = Files.createTempDirectory("graft_dmlspec_ex_").toFile
     val p = new File(dir, "t").getAbsolutePath
