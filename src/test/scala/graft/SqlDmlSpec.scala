@@ -129,6 +129,34 @@ class SqlDmlSpec extends SparkSpec {
     assert(spark.read.parquet(p).as[(Long, Double)].collect().toSet === before)
   }
 
+  test("vector-literal SET values and typed-column INSERTs parse by family") {
+    spark.sql("DROP TABLE IF EXISTS dmlspec_vec")
+    SqlDmlSpec.rmWarehouse(spark, "dmlspec_vec")
+    // dense storage column: a bare string literal assignment goes
+    // through the family cast (the PG implicit-cast shape)
+    spark.sql("CREATE TABLE dmlspec_vec (id BIGINT, val vector(3))")
+    spark.sql("INSERT INTO dmlspec_vec VALUES (1, array(1.0f, 2.0f, 3.0f))")
+    assert(spark.sql("UPDATE dmlspec_vec SET val = '[9,8,7]' WHERE id = 1")
+      .head().getString(0) === "ok (1 rows updated)")
+    assert(spark.table("dmlspec_vec").head().getSeq[Float](1) ===
+      Seq(9f, 8f, 7f))
+    // WHERE-less DELETE empties the table (PG semantics)
+    assert(spark.sql("DELETE FROM dmlspec_vec").head().getString(0) ===
+      "ok (1 rows deleted)")
+    assert(spark.table("dmlspec_vec").count() === 0L)
+    spark.sql("DROP TABLE dmlspec_vec")
+    // svector struct column: the INSERT claim wraps the sparse literal
+    // in graft_cast_svector
+    spark.sql("DROP TABLE IF EXISTS dmlspec_sv")
+    SqlDmlSpec.rmWarehouse(spark, "dmlspec_sv")
+    spark.sql("CREATE TABLE dmlspec_sv (id BIGINT, val svector(3))")
+    assert(spark.sql("INSERT INTO dmlspec_sv VALUES (1, '{1:5}/3')")
+      .head().getString(0).startsWith("ok"))
+    assert(spark.sql("SELECT svec_to_dense(val) FROM dmlspec_sv")
+      .head().getSeq[Float](0) === Seq(0f, 5f, 0f))
+    spark.sql("DROP TABLE dmlspec_sv")
+  }
+
   test("plain INSERT statements delegate (claim guard)") {
     spark.sql("DROP TABLE IF EXISTS dmlspec_plain")
     SqlDmlSpec.rmWarehouse(spark, "dmlspec_plain")
