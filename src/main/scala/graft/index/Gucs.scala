@@ -71,13 +71,49 @@ object Gucs {
 
   /** `vectors.*` GUC names -> native conf keys: unconditional (these
     * are the reference's native spellings of OUR tunables). Value is
-    * (native key, normalize-bool?). */
+    * (native key, normalize-bool?). Round 14 completes the executing.rs
+    * set: the rerank sizes EXECUTE (absolute candidate counts
+    * overriding the window-multiplier defaults in the quantized
+    * two-stage searches); the fast_scan bools and internal_transport
+    * are ACCEPTED AS ADVISORY (fast-scan here is a CREATE-time layout
+    * choice — [indexing.flat.quantization.product] vs the pq4/rq4
+    * blocked kinds — not a search-time toggle, and there is no IPC
+    * transport to pick; the TOML [optimizing]-knob precedent); the
+    * openai keys store like PG (the embedding surface itself stays
+    * in-engine — openai_options.slt's documented scope). */
   private val VectorsGucs: Map[String, (String, Boolean)] = Map(
     "vectors.ivf_nprobe" -> ("spark.graft.ann.nprobe", false),
     "vectors.hnsw_ef_search" -> ("spark.graft.hnsw.efSearch", false),
     "vectors.search_mode" -> ("spark.graft.search.mode", false),
     "vectors.enable_index" -> ("spark.graft.ann.enabled", true),
-    "vectors.pgvector_compatibility" -> (CompatKey, true))
+    "vectors.pgvector_compatibility" -> (CompatKey, true),
+    "vectors.sq_rerank_size" -> ("spark.graft.sq8.rerankSize", false),
+    "vectors.pq_rerank_size" -> ("spark.graft.pq.rerankSize", false),
+    "vectors.sq_fast_scan" -> ("spark.graft.sq8.fastScan", true),
+    "vectors.pq_fast_scan" -> ("spark.graft.pq.fastScan", true),
+    "vectors.rq_fast_scan" -> ("spark.graft.rabitq.fastScan", true),
+    "vectors.internal_transport" -> ("spark.graft.internal.transport", false),
+    "vectors.openai_api_key" -> ("spark.graft.openai.apiKey", false),
+    "vectors.openai_base_url" -> ("spark.graft.openai.baseUrl", false))
+
+  /** SET-time value validation beyond bool normalization (PG errors on
+    * out-of-domain GUC values at SET): the rerank sizes take the
+    * reference's 0..65535 int range, internal_transport its enum. */
+  private def validateSet(key: String, v: String): Unit = key match {
+    case "vectors.sq_rerank_size" | "vectors.pq_rerank_size" =>
+      val n = try v.toInt catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"""parameter "$key" requires an integer value: "$v"""")
+      }
+      if (n < 0 || n > 65535) throw new IllegalArgumentException(
+        s"""$n is outside the valid range for parameter "$key" (0 .. 65535)""")
+    case "vectors.internal_transport" =>
+      if (!Set("unix", "mmap")(v.toLowerCase))
+        throw new IllegalArgumentException(
+          s"""invalid value for parameter "$key": "$v" """.trim +
+            " (unix/mmap)")
+    case _ => ()
+  }
 
   /** pgvector GUC names -> native conf keys: applied only while
     * compatibility mode is on at statement-parse time. */
@@ -116,6 +152,16 @@ object Gucs {
           case "vectors.search_mode" => "vbase"
           case "vectors.ivf_nprobe" => "auto"
           case "vectors.hnsw_ef_search" => "100"
+          // unset rerank sizes print `auto`: the engine's stronger
+          // default is the window MULTIPLIER (4k/8k candidates), not
+          // the reference's 0 — the ivf_nprobe divergence convention
+          case "vectors.sq_rerank_size" | "vectors.pq_rerank_size" => "auto"
+          // advisory knobs print the reference defaults (executing.rs /
+          // internal.rs): fast-scan layouts are CREATE-time choices
+          // here, and there is no IPC transport
+          case "vectors.sq_fast_scan" | "vectors.pq_fast_scan" => "false"
+          case "vectors.rq_fast_scan" => "true"
+          case "vectors.internal_transport" => "mmap"
           case _ => ""
         }
         val v = s.conf.get(native, dflt)
@@ -166,6 +212,7 @@ object Gucs {
                   t.substring(1, t.length - 1)
                 else t
               }
+              validateSet(k, v)
               val nv = if (normBool) gucBool(v).toString else v
               s"SET $native=$nv"
             case None => s"SET $native"

@@ -409,10 +409,24 @@ object AnnQueries {
   }
   private def efSearchConf(s: SparkSession) =
     conf2(s, "spark.graft.hnsw.ef_search", "spark.graft.hnsw.efSearch", "100")
+  /** Reference `vectors.sq_rerank_size` / `vectors.pq_rerank_size`
+    * (executing.rs: an ABSOLUTE candidate count) override the native
+    * window MULTIPLIER when set > 0: effective window =
+    * ceil(size / k) — every quantized gate runs k = 100, and the ceil
+    * reads as "at least size candidates before the exact rerank". A
+    * stored 0 (the reference's default sentinel) keeps the engine's
+    * richer multiplier default. */
+  private def absWindow(s: SparkSession, sizeKey: String, dflt: Int): Int =
+    s.conf.getOption(sizeKey).map(_.trim.toInt) match {
+      case Some(sz) if sz > 0 => math.max(1, (sz + 99) / 100)
+      case _ => dflt
+    }
   private def sq8WindowConf(s: SparkSession) =
-    s.conf.get("spark.graft.sq8.rerankWindow", "4").toInt
+    absWindow(s, "spark.graft.sq8.rerankSize",
+      s.conf.get("spark.graft.sq8.rerankWindow", "4").toInt)
   private def pqWindowConf(s: SparkSession) =
-    s.conf.get("spark.graft.pq.rerankWindow", "8").toInt
+    absWindow(s, "spark.graft.pq.rerankSize",
+      s.conf.get("spark.graft.pq.rerankWindow", "8").toInt)
   // spark.graft.rabitq.epsilon (default 1.9): error-bound confidence for
   // the RaBitQ bounded reranker — read inline in q_rabitq_bounded_l2
 

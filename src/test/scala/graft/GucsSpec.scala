@@ -135,6 +135,44 @@ class GucsSpec extends SparkSpec {
     assert(e.getMessage.contains("unrecognized configuration parameter"))
   }
 
+  test("executing.rs GUCs: rerank sizes, fast-scan/transport advisory (round 14)") {
+    val ds = spark.newSession()
+    org.apache.spark.sql.SparkSession.setActiveSession(ds)
+    try {
+      def show(k: String): String =
+        Gucs.showValue(ds, k)
+      // unset rerank sizes SHOW the engine's stronger default (the
+      // ivf_nprobe `auto` divergence convention)
+      assert(show("vectors.sq_rerank_size") === "auto")
+      assert(show("vectors.pq_rerank_size") === "auto")
+      // SET lands on the native conf; SHOW reads it back
+      assert(Gucs.rewriteSet("SET vectors.sq_rerank_size = 250") ===
+        "SET spark.graft.sq8.rerankSize=250")
+      ds.conf.set("spark.graft.sq8.rerankSize", "250")
+      assert(show("vectors.sq_rerank_size") === "250")
+      // out-of-range / non-integer values error at SET like PG
+      intercept[IllegalArgumentException](
+        Gucs.rewriteSet("SET vectors.pq_rerank_size = 70000"))
+      intercept[IllegalArgumentException](
+        Gucs.rewriteSet("SET vectors.sq_rerank_size = lots"))
+      // fast-scan bools normalize on/off and SHOW reference defaults
+      assert(Gucs.rewriteSet("SET vectors.pq_fast_scan = on") ===
+        "SET spark.graft.pq.fastScan=true")
+      assert(show("vectors.sq_fast_scan") === "off")
+      assert(show("vectors.rq_fast_scan") === "on")
+      // internal_transport validates its enum, defaults mmap
+      assert(show("vectors.internal_transport") === "mmap")
+      assert(Gucs.rewriteSet("SET vectors.internal_transport = unix") ===
+        "SET spark.graft.internal.transport=unix")
+      intercept[IllegalArgumentException](
+        Gucs.rewriteSet("SET vectors.internal_transport = carrier_pigeon"))
+      // openai keys store like PG (quoted values strip one layer)
+      assert(Gucs.rewriteSet("SET vectors.openai_api_key = 'sk-x'") ===
+        "SET spark.graft.openai.apiKey=sk-x")
+    } finally
+      org.apache.spark.sql.SparkSession.setActiveSession(spark)
+  }
+
   test("rewriteSet leaves non-GUC SETs and other statements untouched") {
     assert(Gucs.rewriteSet("SET spark.sql.shuffle.partitions=7") ===
       "SET spark.sql.shuffle.partitions=7")
