@@ -304,6 +304,14 @@ object AnnQueries {
     sparse(s, d); sparsePruned(s, d)
     val segDir = ensureVecSegments(s, d)
     IncrHnsw.ensure(s, s"incrhnsw_${san(d)}", segDir, "vec_id", "embedding")
+    // the statement-driven update store (q_sql_update_stmt) is a
+    // multi-step fixture — pre-built untimed per the round-8 rule;
+    // tmp-sourced, so the q_index_stat idx_source filter never sees it
+    locally {
+      val updStmtDir = ensureUpdateStmtSegments(s, d)
+      IncrHnsw.ensure(s, s"updstmthnsw_${san(d)}", updStmtDir,
+        "vec_id", "embedding")
+    }
     graft.operators.IncrIvf.ensure(s, s"ivfincr_${san(d)}", segDir,
       "vec_id", "embedding", metric = "l2", nlist = 16)
     Seq("sq8", "pq", "rabitq").foreach { sch =>
