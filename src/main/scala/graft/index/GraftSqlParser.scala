@@ -41,6 +41,12 @@ import org.apache.spark.sql.types.{DataType, StringType, StructType}
  * so the parser is a pure extension of the Spark surface.
  */
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+  /** The wrapped Spark parser — for claimed statements that rebuild a
+    * statement text and must re-parse it WITHOUT re-claiming (the
+    * vector-literal INSERT rewrite: a rebuilt statement whose remaining
+    * bare `[...]`/`{...}` literals target non-vector columns would
+    * otherwise re-fire the claim forever). */
+  private[graft] def delegateParser: ParserInterface = delegate
   // reference-dialect operators (`<->` `<#>` `<=>` `<~>`, sphere forms,
   // `::vector` casts) rewrite to the registered dispatch functions
   // BEFORE statement recognition — reference slt queries run verbatim

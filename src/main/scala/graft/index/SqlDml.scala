@@ -222,18 +222,26 @@ object SqlDml {
     new File(path, "VERSION").isFile
 
   /** Id column of a segment store (resolveIdColumn's policy on the base
-    * generation's schema: `id` if integral, else the first integral
-    * column). */
+    * generation's schema): case-insensitive `id` if integral — a
+    * present-but-wrong-typed id ERRORS actionably rather than silently
+    * tombstoning by an unrelated integral column — else the first
+    * integral non-`_ver` column. */
   private def segIdCol(spark: SparkSession, dir: String): String = {
     val s = Segments.state(dir)
     val schema = spark.read.parquet(s"$dir/base-${s.gen}").schema
     val idTypes = Set[DataType](IntegerType, LongType, ShortType)
-    schema.fields.find(f => f.name == "id" && idTypes.contains(f.dataType))
-      .orElse(schema.fields.find(f => f.name != "_ver" &&
-        idTypes.contains(f.dataType)))
-      .map(_.name)
-      .getOrElse(throw new IllegalArgumentException(
-        s"cannot infer an id column for segment store $dir"))
+    schema.fields.find(_.name.equalsIgnoreCase("id")) match {
+      case Some(f) if idTypes.contains(f.dataType) => f.name
+      case Some(f) => throw new IllegalArgumentException(
+        s"column `${f.name}` of segment store $dir has type " +
+          s"${f.dataType.catalogString} — DML tombstones rows by an " +
+          "integral id; store the key as an integral `id` column")
+      case None => schema.fields.find(f => f.name != "_ver" &&
+          idTypes.contains(f.dataType)).map(_.name)
+        .getOrElse(throw new IllegalArgumentException(
+          s"cannot infer an id column for segment store $dir (no `id` " +
+            "column and no integral non-_ver column)"))
+    }
   }
 
   private def rm(f: File): Unit = {
@@ -279,10 +287,45 @@ object SqlDml {
     (spark.read.parquet(rows), dir)
   }
 
+  /** Is every expression of `cond` deterministic once resolved against
+    * `df`? Parsed predicate text is unresolved — determinism is only
+    * knowable after analysis. */
+  private def condDeterministic(df: DataFrame, cond: Column): Boolean =
+    df.select(cond.as("_m")).queryExecution.analyzed.expressions
+      .forall(_.deterministic)
+
+  /** A column name free in `df` (case-insensitive) for the match flag. */
+  private def freshCol(df: DataFrame, base: String): String =
+    Iterator.from(0).map(i => if (i == 0) base else s"$base$i")
+      .find(n => !df.columns.exists(_.equalsIgnoreCase(n))).get
+
+  /** `df` extended with a TRUE-match flag column — staged to disk first
+    * when the predicate is nondeterministic, so the reported row count
+    * and the rewritten content see ONE draw (the segment arm's
+    * staging-once discipline, applied to the COW predicate). Returns
+    * (frame, flag column, tmp dir to clean). */
+  private def matchedFrame(spark: SparkSession, df: DataFrame,
+      cond: Column): (DataFrame, String, Option[File]) = {
+    val flag = freshCol(df, "_graft_matched")
+    val flagged = df.withColumn(flag, cond)
+    if (condDeterministic(df, cond)) (flagged, flag, None)
+    else { val (s, t) = stage(spark, flagged); (s, flag, Some(t)) }
+  }
+
+  /** Path-COW crash recovery: a crash between [[swapIn]]'s two moves
+    * leaves the data stranded in `<path>.graft-cow-old` with NO dir at
+    * the target — restore it before touching the path. */
+  private def recoverCow(target: String): Unit = {
+    val oldDir = new File(target + ".graft-cow-old")
+    if (oldDir.isDirectory && !new File(target).exists())
+      Files.move(oldDir.toPath, new File(target).toPath)
+  }
+
   def update(spark: SparkSession, target: String, isPath: Boolean,
       setBlob: String): String = {
     val (setPart, whereOpt) = splitSetWhere(setBlob)
     val assigns = parseAssignments(setPart)
+    if (isPath) recoverCow(target)
     if (isPath && isSegmentStore(target)) {
       // scale path: only matched rows move. The MATCHED ORIGINALS are
       // staged once (one evaluation of the predicate — nondeterministic
@@ -314,18 +357,23 @@ object SqlDml {
       } finally rm(tmp)
     } else {
       // copy-on-write rewrite (see the object doc): staged distributed
-      // write, then swap
+      // write, then swap; the match flag is staged once when the
+      // predicate is nondeterministic
       val df = if (isPath) spark.read.parquet(target)
         else { checkUpdatableTable(spark, target); spark.table(target) }
-      val n = df.filter(matchCond(whereOpt)).count()
-      val out = updated(df, assigns, matchCond(whereOpt))
-      swapIn(spark, target, isPath, df, out)
-      s"ok ($n rows updated)"
+      val (frame, flag, tmpOpt) = matchedFrame(spark, df, matchCond(whereOpt))
+      try {
+        val n = frame.filter(col(quote(flag))).count()
+        val out = updated(frame, assigns, col(quote(flag))).drop(flag)
+        swapIn(spark, target, isPath, df, out)
+        s"ok ($n rows updated)"
+      } finally tmpOpt.foreach(rm)
     }
   }
 
   def delete(spark: SparkSession, target: String, isPath: Boolean,
       whereOpt: Option[String]): String = {
+    if (isPath) recoverCow(target)
     if (isPath && isSegmentStore(target)) {
       val idCol = segIdCol(spark, target)
       val visible = Segments.read(spark, target, idCol)
@@ -339,10 +387,13 @@ object SqlDml {
     } else {
       val df = if (isPath) spark.read.parquet(target)
         else { checkUpdatableTable(spark, target); spark.table(target) }
-      val cond = matchCond(whereOpt)
-      val n = df.filter(cond).count()
-      swapIn(spark, target, isPath, df, df.filter(!cond))
-      s"ok ($n rows deleted)"
+      val (frame, flag, tmpOpt) = matchedFrame(spark, df, matchCond(whereOpt))
+      try {
+        val n = frame.filter(col(quote(flag))).count()
+        swapIn(spark, target, isPath, df,
+          frame.filter(!col(quote(flag))).drop(flag))
+        s"ok ($n rows deleted)"
+      } finally tmpOpt.foreach(rm)
     }
   }
 
@@ -362,10 +413,13 @@ object SqlDml {
 
   /** Replace the target's content with `out`: INSERT OVERWRITE for
     * catalog tables (Spark's own staged truncate-and-write; the table
-    * definition carries its partitioning), dir rename for paths (new
-    * content written fully before the swap — a crash leaves either the
-    * old dir or the new one plus debris, never a half-written table;
-    * discovered Hive partition columns are preserved). */
+    * definition carries its partitioning), dir rename for paths. The
+    * path swap is two moves, not one atomic op: new content is written
+    * fully before either move, so a crash never leaves a half-written
+    * table, but a crash BETWEEN the moves leaves no dir at the target
+    * with the old data intact in `<path>.graft-cow-old` — the next DML
+    * statement on that path restores it ([[recoverCow]]). Discovered
+    * Hive partition columns are preserved. */
   private def swapIn(spark: SparkSession, target: String, isPath: Boolean,
       src: DataFrame, out: DataFrame): Unit = {
     if (isPath) {
@@ -378,17 +432,32 @@ object SqlDml {
       Files.move(tmpDir.toPath, new File(target).toPath)
       rm(oldDir)
     } else {
-      val (staged, tmp) = stage(spark, out)
-      try staged.write.mode("overwrite").insertInto(target)
-      finally rm(tmp)
+      // dynamic partition overwrite only replaces partitions PRESENT in
+      // the new content — a DELETE that empties a partition would
+      // silently resurrect its old files. Pin static around the swap.
+      val key = "spark.sql.sources.partitionOverwriteMode"
+      val prior = spark.conf.getOption(key)
+      spark.conf.set(key, "static")
+      try {
+        val (staged, tmp) = stage(spark, out)
+        try staged.write.mode("overwrite").insertInto(target)
+        finally rm(tmp)
+      } finally prior match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
     }
   }
 
   /** Vector-literal INSERT: rebuild the statement with each bare string
     * literal destined for a vector-typed column wrapped in the family's
-    * cast-dispatch function, then hand it back to the parser (the
-    * rebuilt cells are function calls, so the claim never re-fires).
-    * Non-vector cells and columns pass through untouched. */
+    * cast-dispatch function, then parse the rebuilt text through the
+    * DELEGATE parser — the claim's job is done, and a bare `[...]` or
+    * `{...}` literal that targets a NON-vector column (JSON/array-shaped
+    * text into a string) survives the rebuild verbatim, so re-parsing
+    * through GraftSqlParser would re-claim the identical statement and
+    * recurse forever. Non-vector cells and columns pass through
+    * untouched. */
   def insertValues(spark: SparkSession, table: String,
       colList: Option[Seq[String]], valuesBlob: String): String = {
     val df = spark.table(table)
@@ -415,7 +484,13 @@ object SqlDml {
     }.mkString(", ")
     val colSql = colList.map(_.map(quote).mkString(" (", ", ", ")"))
       .getOrElse("")
-    spark.sql(s"INSERT INTO $table$colSql VALUES $rebuilt")
+    val stmt = s"INSERT INTO $table$colSql VALUES $rebuilt"
+    val parser = spark.sessionState.sqlParser match {
+      case g: GraftSqlParser => g.delegateParser
+      case p => p
+    }
+    org.apache.spark.sql.graftshim.Shims.ofRows(spark, parser.parsePlan(stmt))
+      .collect()
     s"ok (${tuples.length} rows)"
   }
 }

@@ -157,6 +157,105 @@ class SqlDmlSpec extends SparkSpec {
     spark.sql("DROP TABLE dmlspec_sv")
   }
 
+  test("claimed INSERT with bracket-shaped TEXT cells terminates") {
+    // the claim fires on any bare '[...]'/'{...}' string literal, but
+    // only cells whose TARGET column is vector-typed get wrapped — a
+    // JSON/array-shaped literal into a STRING column survives the
+    // rebuild verbatim, and re-parsing through GraftSqlParser would
+    // re-claim the identical statement forever (ADVICE round 15). The
+    // rebuilt text must go through the delegate parser.
+    spark.sql("DROP TABLE IF EXISTS dmlspec_json")
+    SqlDmlSpec.rmWarehouse(spark, "dmlspec_json")
+    spark.sql("CREATE TABLE dmlspec_json (id BIGINT, s STRING)")
+    // zero cells wrapped: previously an infinite parse loop
+    spark.sql("""INSERT INTO dmlspec_json VALUES (1, '{"a": 1}')""")
+    spark.sql("INSERT INTO dmlspec_json (id, s) VALUES (2, '[note]')")
+    assert(spark.table("dmlspec_json").orderBy("id")
+      .collect().map(_.getString(1)).toSeq === Seq("""{"a": 1}""", "[note]"))
+    spark.sql("DROP TABLE dmlspec_json")
+    // mixed: the vector cell wraps, the string cell stays bare — must
+    // still terminate and keep the string verbatim
+    spark.sql("DROP TABLE IF EXISTS dmlspec_mixed")
+    SqlDmlSpec.rmWarehouse(spark, "dmlspec_mixed")
+    spark.sql("CREATE TABLE dmlspec_mixed (id BIGINT, val vector(2), s STRING)")
+    assert(spark.sql(
+      "INSERT INTO dmlspec_mixed VALUES (1, '[1,2]', '[tag]')")
+      .head().getString(0).startsWith("ok"))
+    val r = spark.table("dmlspec_mixed").head()
+    assert(r.getSeq[Float](1) === Seq(1f, 2f) && r.getString(2) === "[tag]")
+    spark.sql("DROP TABLE dmlspec_mixed")
+  }
+
+  test("table COW pins static partition overwrite for the swap") {
+    // under dynamic partition overwrite, INSERT OVERWRITE only replaces
+    // partitions PRESENT in the new content — a DELETE that empties a
+    // partition would resurrect its old files
+    spark.sql("DROP TABLE IF EXISTS dmlspec_dyn")
+    SqlDmlSpec.rmWarehouse(spark, "dmlspec_dyn")
+    spark.sql(
+      "CREATE TABLE dmlspec_dyn (id BIGINT, v DOUBLE) PARTITIONED BY (part INT)")
+    spark.sql("INSERT INTO dmlspec_dyn VALUES (1, 1.0, 1), (2, 2.0, 2)")
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try {
+      assert(spark.sql("DELETE FROM dmlspec_dyn WHERE part = 2")
+        .head().getString(0) === "ok (1 rows deleted)")
+      assert(spark.table("dmlspec_dyn").select("id")
+        .collect().map(_.getLong(0)).toSeq === Seq(1L),
+        "emptied partition must not resurrect")
+      // the session's own conf choice is restored after the swap
+      assert(spark.conf.get(key) === "dynamic")
+    } finally prior match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+    spark.sql("DROP TABLE dmlspec_dyn")
+  }
+
+  test("path COW: a crash between the two swap moves is recovered") {
+    val dir = Files.createTempDirectory("graft_dmlspec_crash_").toFile
+    val p = new File(dir, "t").getAbsolutePath
+    import spark.implicits._
+    Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v").write.parquet(p)
+    // simulate the crash window: target moved aside, second move never ran
+    Files.move(new File(p).toPath, new File(p + ".graft-cow-old").toPath)
+    assert(!new File(p).exists())
+    assert(spark.sql(s"DELETE FROM '$p' WHERE id = 2")
+      .head().getString(0) === "ok (1 rows deleted)")
+    assert(spark.read.parquet(p).select("id").as[Long].collect().toSeq ===
+      Seq(1L))
+    assert(!new File(p + ".graft-cow-old").exists())
+  }
+
+  test("COW nondeterministic predicate: one draw for count AND content") {
+    val dir = Files.createTempDirectory("graft_dmlspec_rand_").toFile
+    val p = new File(dir, "t").getAbsolutePath
+    import spark.implicits._
+    (1L to 200L).map(i => (i, 0.0)).toDF("id", "v").write.parquet(p)
+    // rand() is nondeterministic even seeded — without the staged match
+    // flag, the count job and the rewrite job draw independently and the
+    // reported count disagrees with the rows actually changed
+    val msg = spark.sql(s"UPDATE '$p' SET v = -1.0 WHERE rand(7) < 0.5")
+      .head().getString(0)
+    val n = msg.stripPrefix("ok (").stripSuffix(" rows updated)").toLong
+    val changed = spark.read.parquet(p).filter(col("v") === -1.0).count()
+    assert(changed === n, s"reported $n but changed $changed")
+    assert(n > 0 && n < 200, s"degenerate draw n=$n")
+  }
+
+  test("segment store with non-integral id errors actionably") {
+    val dir = Files.createTempDirectory("graft_dmlspec_badid_").toFile
+    val store = new File(dir, "store").getAbsolutePath
+    import spark.implicits._
+    Segments.init(spark, store,
+      Seq(("a", 1.0), ("b", 2.0)).toDF("id", "v"), "id")
+    val e = intercept[IllegalArgumentException] {
+      spark.sql(s"DELETE FROM '$store' WHERE v = 1.0").collect()
+    }
+    assert(e.getMessage.contains("integral"), e.getMessage)
+  }
+
   test("plain INSERT statements delegate (claim guard)") {
     spark.sql("DROP TABLE IF EXISTS dmlspec_plain")
     SqlDmlSpec.rmWarehouse(spark, "dmlspec_plain")
