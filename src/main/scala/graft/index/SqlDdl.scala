@@ -109,7 +109,7 @@ object SqlDdl {
     // registration is predicate-scoped so the planner claims exactly
     // the queries carrying the same canonical conjuncts
     def df = {
-      val base = spark.read.parquet(source)
+      val base = TableSnapshotResolver.readSource(spark, source)
       if (where.isEmpty) base else base.filter(where)
     }
     import graft.operators.{Hnsw, IvfIndex, TypedAnn}
@@ -238,7 +238,7 @@ object SqlDdl {
       qRatio: Int, parts: Int, rest: Map[String, String], rebuild: Boolean,
       where: String): Unit = {
     def df = {
-      val base = spark.read.parquet(source)
+      val base = TableSnapshotResolver.readSource(spark, source)
       if (where.isEmpty) base else base.filter(where)
     }
     import graft.operators.{HnswPq, HnswRq, HnswSq, IvfPq, IvfSq, Pq,
@@ -347,7 +347,7 @@ object SqlDdl {
     * f32/f16 columns are arrays. One metadata-only schema read. */
   private def columnIsStruct(spark: SparkSession, source: String,
       vecCol: String): Boolean =
-    spark.read.parquet(source).schema.fields
+    TableSnapshotResolver.readSource(spark, source).schema.fields
       .find(_.name == vecCol)
       .exists(_.dataType.isInstanceOf[org.apache.spark.sql.types.StructType])
 
@@ -408,6 +408,19 @@ object SqlDdl {
         Seq("sql_cols", "sql_am", "sql_opclass", "sql_options").exists(k =>
           !m.params.get(k).map(_.trim).contains(recipe(k).trim))
     }
+    // transactional sources (TableSnapshotResolver): the snapshot
+    // version joins the recipe — a NEW COMMIT since the recorded build
+    // forces REINDEX here, because dir-mtime staleness cannot tell a
+    // new snapshot from compaction debris. Resolved BEFORE the build
+    // (the fingerprint ordering: a racing commit errs toward rebuild).
+    // Plain parquet sources resolve to "" and never join the recipe.
+    val snapVersion = TableSnapshotResolver.snapshotOf(spark, source)
+      .map(_.version.trim).getOrElse("")
+    require(!snapVersion.exists(_ < ' '),
+      "snapshot version tokens must be single-line (no control characters)")
+    val snapChanged = prior.exists(m =>
+      m.params.contains("sql_am") &&
+        m.params.getOrElse("sql_snapshot", "").trim != snapVersion)
     // NULL ids are un-indexable — the heap-TID divergence: the
     // reference keys rows by TID (never NULL), our builds key on idCol
     // and would otherwise fail with an opaque encoder assert (graph
@@ -416,9 +429,9 @@ object SqlDdl {
     // changed recipe/scope/source): one limit-1 scan with the IS NULL
     // filter pushed to parquet — the common idempotent re-CREATE pays
     // nothing.
-    if (prior.isEmpty || scopeChanged || recipeChanged ||
+    if (prior.isEmpty || scopeChanged || recipeChanged || snapChanged ||
         prior.exists(_.source != source)) {
-      val hasNullId = spark.read.parquet(source)
+      val hasNullId = TableSnapshotResolver.readSource(spark, source)
         .filter(org.apache.spark.sql.functions.col(idCol).isNull)
         .limit(1).count() > 0
       require(!hasNullId,
@@ -428,10 +441,19 @@ object SqlDdl {
           "another id_col")
     }
     dispatch(spark, name, source, idCol, vecCol, am, opclassName, options,
-      rebuild = scopeChanged || recipeChanged, where = newWhere)
+      rebuild = scopeChanged || recipeChanged || snapChanged,
+      where = newWhere)
     // ONE commit (atomic rename) under the DDL lock — a torn recipe
     // cannot exist
-    IndexCatalog.alterAll(spark, name, recipe)
+    // sql_snapshot is written whenever a version resolved OR a prior
+    // build recorded one (writing "" after the resolver was unset keeps
+    // the drift check from forcing a rebuild on every CREATE); plain
+    // parquet recipes never carry the key
+    IndexCatalog.alterAll(spark, name, recipe ++
+      (if (snapVersion.nonEmpty ||
+           prior.exists(_.params.contains("sql_snapshot")))
+         Map("sql_snapshot" -> snapVersion)
+       else Map.empty))
     // a SQL-only user's declarative queries accelerate without any
     // Scala call: CREATE registers the (source, metric) pushdown entry
     // (the reference's planner sees the index through pg_index; DROP
@@ -538,6 +560,49 @@ object SqlDdl {
           .copy(partialConjuncts = c)))
     }
 
+  // ---- restart durability (round 15) ----
+  // planner registrations are driver-local while manifests are durable:
+  // PG keeps serving a CREATE'd index after restart (the reference's
+  // src/index/am.rs scan path reads the durable catalog), but a fresh
+  // JVM here would silently run declarative `ORDER BY val <-> q LIMIT k`
+  // queries unrewritten over persisted artifacts — a perf cliff, not
+  // wrong results. The rewrite rule sweeps the manifest catalog into
+  // registrations, fingerprint-cached so the steady state is one
+  // driver-side dir listing per pass (the subSchemaCache convention;
+  // never a job).
+  private val sweepCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def resetSweepForTest(): Unit = sweepCache.clear()
+
+  /** Sweep every recipe-complete, registrable-kind manifest under the
+    * catalog root into a planner registration. Purely ADDITIVE: names
+    * this session has already registered or retired are skipped
+    * (AnnPushdown.nameTouched), so an in-session DROP or a test-scoped
+    * unregistration is never undone. Manifests sweep oldest-first by
+    * commit mtime so the newest same-claim CREATE ends up shadowing —
+    * the in-session newest-create-shadows order. A manifest that fails
+    * to load or scope registers nothing (registerFromRecipe's partial
+    * contract); the sweep itself never throws into the optimizer. */
+  def sweepRegistrations(spark: SparkSession): Unit = {
+    val root = IndexCatalog.root(spark)
+    val manifests = Option(new java.io.File(root).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .map(d => (d, new java.io.File(d, "MANIFEST.bin")))
+      .filter { case (d, mf) => d.isDirectory && mf.isFile }
+    val fp = manifests.length.toString + ":" +
+      (if (manifests.isEmpty) "0"
+       else manifests.map(_._2.lastModified()).max.toString)
+    if (sweepCache.get(root) == fp) return
+    sweepCache.put(root, fp)
+    manifests
+      .sortBy { case (d, mf) => (mf.lastModified(), d.getName) }
+      .foreach { case (d, _) =>
+        if (!graft.plans.AnnPushdown.nameTouched(d.getName))
+          scala.util.Try(registerFromRecipe(spark, d.getName))
+      }
+  }
+
   /** After a DROP, surviving same-source SQL-created indexes re-register
     * from their recipes: register() replaces same-(metric, conjuncts)
     * entries, so the dropped index may have been SHADOWING a survivor's
@@ -613,12 +678,20 @@ object SqlDdl {
         quantFromKind.map("quantization" -> _))
       .map { case (k, v) => s"$k=$v" }.mkString(",")
     val where = m.params.getOrElse("sql_where", "")
+    // snapshot version resolved BEFORE the rebuild (a racing commit errs
+    // toward one more rebuild on the next CREATE/VACUUM)
+    val snapVersion = TableSnapshotResolver.snapshotOf(spark, m.source)
+      .map(_.version.trim).getOrElse("")
     dispatch(spark, name, m.source, idCol, vecCol, am, opclassName, opts,
       rebuild = true, where = where)
     // reindex manifests come from the family builders and drop the
-    // sql_* recipe — restore it (one commit) so vacuum stays repeatable
+    // sql_* recipe — restore it (one commit) so vacuum stays repeatable;
+    // the refreshed sql_snapshot records what this rebuild scanned
     IndexCatalog.alterAll(spark, name, recipeParams(idCol, vecCol, am,
-      opclassName, m.params.getOrElse("sql_options", ""), where))
+      opclassName, m.params.getOrElse("sql_options", ""), where) ++
+      (if (snapVersion.nonEmpty || m.params.contains("sql_snapshot"))
+         Map("sql_snapshot" -> snapVersion)
+       else Map.empty))
     "ok"
   }
 }

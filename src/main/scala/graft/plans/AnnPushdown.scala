@@ -54,11 +54,39 @@ object AnnPushdown {
 
   private val registry = new ConcurrentHashMap[String, List[IndexedTable]]()
 
-  def register(sourcePath: String, t: IndexedTable): Unit =
+  /** Index names whose claims this JVM has explicitly touched
+    * (registered, retired, or scope-managed): the restart-recovery
+    * catalog sweep ([[graft.index.SqlDdl.sweepRegistrations]]) is purely
+    * ADDITIVE and skips them, so it can never undo an in-session
+    * CREATE/DROP decision or a test-scoped unregistration. */
+  private val touchedNames = ConcurrentHashMap.newKeySet[String]()
+
+  private[graft] def nameTouched(indexName: String): Boolean =
+    touchedNames.contains(indexName)
+
+  /** Simulate a driver restart for specs, SCOPED to one source and a
+    * set of names (suites share the JVM-global registry in parallel —
+    * a blanket clear would race them): the names' claims and touched
+    * marks reset, and the sweep fingerprint clears so the next rule
+    * pass re-sweeps — a fresh JVM's state for exactly these indexes. */
+  private[graft] def resetNamesForTest(sourcePath: String,
+      names: Set[String]): Unit = {
+    names.foreach(touchedNames.remove)
+    registry.computeIfPresent(normalize(sourcePath), (_, cur) =>
+      cur.filterNot(t => names.contains(t.indexName)) match {
+        case Nil => null
+        case rest => rest
+      })
+    graft.index.SqlDdl.resetSweepForTest()
+  }
+
+  def register(sourcePath: String, t: IndexedTable): Unit = {
+    touchedNames.add(t.indexName)
     registry.compute(normalize(sourcePath), (_, cur) =>
       t :: Option(cur).getOrElse(Nil)
         .filterNot(x => x.metric == t.metric &&
           x.partialConjuncts == t.partialConjuncts))
+  }
 
   /** Register a PARTIAL index (reference: partial indexes over
     * `CREATE INDEX ... WHERE pred`): `predSql` must be the same predicate
@@ -135,8 +163,10 @@ object AnnPushdown {
     }
   }
 
-  def unregister(sourcePath: String): Unit =
+  def unregister(sourcePath: String): Unit = {
+    snapshot(sourcePath).foreach(t => touchedNames.add(t.indexName))
     registry.remove(normalize(sourcePath))
+  }
 
   /** Remove the entries OWNED by an index name — the DROP-statement
     * path: matching on (metric, conjuncts) alone would deregister a
@@ -145,6 +175,7 @@ object AnnPushdown {
     * conjuncts at drop time needs the source to still exist. Name
     * identity needs neither. */
   def unregisterNamed(sourcePath: String, indexName: String): Boolean = {
+    touchedNames.add(indexName)
     var removed = false
     registry.computeIfPresent(normalize(sourcePath), (_, cur) => {
       val rest = cur.filterNot(_.indexName == indexName)
@@ -170,9 +201,11 @@ object AnnPushdown {
   def snapshot(sourcePath: String): List[IndexedTable] =
     Option(registry.get(normalize(sourcePath))).getOrElse(Nil)
 
-  def restore(sourcePath: String, entries: List[IndexedTable]): Unit =
+  def restore(sourcePath: String, entries: List[IndexedTable]): Unit = {
+    entries.foreach(t => touchedNames.add(t.indexName))
     if (entries.isEmpty) registry.remove(normalize(sourcePath))
     else registry.put(normalize(sourcePath), entries)
+  }
 
   def lookupAll(paths: Seq[String], metric: String): Seq[IndexedTable] =
     paths.map(normalize)
@@ -428,6 +461,9 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!enabled) return plan
+    // restart durability: persisted SQL-created indexes re-register on
+    // first use in a fresh driver (fingerprint-cached, metadata-only)
+    graft.index.SqlDdl.sweepRegistrations(spark)
     plan.transformDown {
       case gl @ GlobalLimit(Literal(k: Int, _),
           LocalLimit(_, s @ Sort(order, true, p @ Project(projList, child), _)))

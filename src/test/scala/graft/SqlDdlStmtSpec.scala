@@ -639,6 +639,68 @@ class SqlDdlStmtSpec extends SparkSpec {
     spark.sql(s"DROP VECTOR INDEX $name")
   }
 
+  test("restart durability: persisted CREATE'd indexes re-register on " +
+      "first rule pass, newest-create-shadows, drops never undone") {
+    import graft.plans.AnnPushdown
+    import graft.index.SqlDdl
+    val src = tmpSrc()
+    val a = "stmtspec_restart_a"; val b = "stmtspec_restart_b"
+    // sweep-proof the fixture: crash debris from a prior JVM on this
+    // source would re-register in the sweep and perturb the claim
+    // assertions below (only this suite uses this source; tests within
+    // a suite run sequentially)
+    Option(new File(IndexCatalog.root(spark)).listFiles())
+      .getOrElse(Array.empty).map(_.getName)
+      .filter(n => IndexCatalog.load(spark, n).exists(_.source == src))
+      .foreach(n => IndexCatalog.drop(spark, n))
+    spark.sql(s"DROP VECTOR INDEX IF EXISTS $a")
+    spark.sql(s"DROP VECTOR INDEX IF EXISTS $b")
+    spark.sql(s"""CREATE VECTOR INDEX $a ON '$src'
+        USING vectors (vec_id, embedding vector_l2_ops)
+        WITH (indexing = ivf, nlist = 2)""")
+    Thread.sleep(20) // distinct manifest mtimes pin the sweep order
+    spark.sql(s"""CREATE VECTOR INDEX $b ON '$src'
+        USING vectors (vec_id, embedding vector_l2_ops)
+        WITH (indexing = ivf, nlist = 4)""")
+    val q = spark.read.parquet(src).where("vec_id = 0").head().getSeq[Float](1)
+    val qLit = "array(" + q.map(f => s"CAST($f AS FLOAT)").mkString(",") + ")"
+    def plan() = spark.sql(s"""SELECT vec_id,
+        l2sq_distance(embedding, $qLit) AS d
+        FROM parquet.`$src` ORDER BY d LIMIT 5""").queryExecution.optimizedPlan
+    def l2Claims() = AnnPushdown.snapshot(src).filter(_.metric == "l2")
+    val prevE = spark.conf.get("spark.graft.ann.enabled", "false")
+    spark.conf.set("spark.graft.ann.enabled", "true")
+    try {
+      assert(plan().toString.contains("list_id"))
+      // "restart": both names' claims and touched marks gone, sweep
+      // fingerprint cleared — the fresh-JVM state for these indexes
+      AnnPushdown.resetNamesForTest(src, Set(a, b))
+      assert(l2Claims().isEmpty, "reset must clear the claims")
+      // first rule pass sweeps the durable catalog back in — ZERO
+      // re-CREATE, the declarative query rewrites again
+      assert(plan().toString.contains("list_id"),
+        "a fresh driver must re-register persisted CREATE'd indexes")
+      // newest-create-shadows preserved across the sweep: B's manifest
+      // is younger, so B's claim holds the (l2, full) slot
+      assert(l2Claims().map(_.indexName) === List(b),
+        s"sweep must preserve newest-create-shadows, got ${l2Claims()}")
+      // additive-only: an in-session retire is never undone by a later
+      // sweep, even after the fingerprint is cleared
+      AnnPushdown.unregisterNamed(src, b)
+      SqlDdl.resetSweepForTest()
+      assert(!plan().toString.contains("list_id"),
+        "a retired claim must stay retired through re-sweeps")
+      // a real DROP deletes the manifest: another restart re-sweeps only
+      // the survivor
+      spark.sql(s"DROP VECTOR INDEX $b")
+      AnnPushdown.resetNamesForTest(src, Set(a, b))
+      assert(plan().toString.contains("list_id"))
+      assert(l2Claims().map(_.indexName) === List(a),
+        s"only the surviving manifest may re-register, got ${l2Claims()}")
+      spark.sql(s"DROP VECTOR INDEX $a")
+    } finally spark.conf.set("spark.graft.ann.enabled", prevE)
+  }
+
   test("pg_vector_index_stat() with arguments errors instead of ignoring them") {
     // the builder's AnalysisException may surface wrapped depending on
     // where resolution runs — the contract is "errors, never silently
