@@ -398,7 +398,8 @@ object GraftSqlParser {
         // registered partition children — Spark's own DROP TABLE keeps
         // every other single-name statement
         val names = names0.split(",").map(_.trim).toSeq
-        if (names.length > 1 || PgPartitions.resolve(names.head).isDefined)
+        if (names.length > 1 ||
+            PgPartitions.resolveParseTime(names.head).isDefined)
           Some(DropTablesCommand(ifEx != null, names))
         else None
       case SearchPathRe() =>
@@ -516,19 +517,29 @@ object CreateVectorIndexCommand {
     if (meta.tableType == org.apache.spark.sql.catalyst.catalog.CatalogTableType.VIEW)
       throw new IllegalArgumentException(
         s"cannot index view $table — CREATE VECTOR INDEX needs a parquet table")
-    val provider = meta.provider.getOrElse("hive")
-    if (!provider.equalsIgnoreCase("parquet"))
-      throw new IllegalArgumentException(
-        s"cannot index table $table with provider '$provider' — " +
-          "CREATE VECTOR INDEX reads the table's files directly and " +
-          "supports only parquet sources (point ON at a parquet path " +
-          "or re-register the data as a parquet table)")
     // file:///x → /x: the catalog and registry compare plain local
     // paths (a triple-slash URI would never match a scan's root path);
     // non-file schemes keep their full URI spelling
     val loc = meta.location
-    if (loc.getScheme == null || loc.getScheme == "file") loc.getPath
-    else loc.toString
+    val path =
+      if (loc.getScheme == null || loc.getScheme == "file") loc.getPath
+      else loc.toString
+    val provider = meta.provider.getOrElse("hive")
+    // non-parquet providers index ONLY through the snapshot SPI: a
+    // configured TableSnapshotResolver that OWNS the location supplies
+    // the committed file list + version (builds scan exactly that
+    // snapshot — see TableSnapshotResolver); without one, refuse rather
+    // than mis-read the raw dir
+    if (!provider.equalsIgnoreCase("parquet") &&
+        TableSnapshotResolver.snapshotOf(spark, path).isEmpty)
+      throw new IllegalArgumentException(
+        s"cannot index table $table with provider '$provider' — " +
+          "CREATE VECTOR INDEX reads the table's files directly and " +
+          "supports only parquet sources (point ON at a parquet path, " +
+          "re-register the data as a parquet table, or configure " +
+          s"${TableSnapshotResolver.ConfKey} with a snapshot resolver " +
+          "for this provider)")
+    path
   }
 }
 
@@ -655,7 +666,7 @@ case class CreatePgIndexCommand(nameOpt: Option[String], source: String,
     // scoped by its value set — the Postgres semantics of indexing one
     // partition, served by the existing partial-index machinery
     val partChild =
-      if (sourceIsTable) PgPartitions.resolve(source) else None
+      if (sourceIsTable) PgPartitions.resolve(spark, source) else None
     val resolved = partChild match {
       case Some(c) =>
         CreateVectorIndexCommand.resolveTableLocation(spark, c.parent)

@@ -21,10 +21,15 @@ import org.apache.spark.sql.{Row, SparkSession}
  * index over the child's rows, which is precisely the Postgres
  * semantics of indexing one partition (and what the predicate-scoped
  * registration machinery already serves). Child registrations are
- * in-memory only: they are DDL aliases carrying no data (every row
- * lives in the parent's layout), so a restarted driver re-runs the
- * two CREATE statements — documented divergence from PG catalog
- * durability.
+ * DURABLE (round 15, closing the partition.slt durability divergence):
+ * they persist as one commit-after-write registry file under
+ * `spark.graft.index.root` (`_pg_partitions.bin` — the MANIFEST.bin
+ * serialization convention, written to `.tmp` then atomically renamed)
+ * and lazily reload per root, so a restarted driver still resolves
+ * `CREATE INDEX ON <child>` like PG's durable catalog does. In-memory
+ * state stays authoritative within a session; the file is the
+ * restart-recovery source. Single-driver last-write-wins across
+ * processes — the pgvectors_upgrade convention.
  *
  * Only LIST partitioning maps (`FOR VALUES IN`): RANGE/HASH bounds
  * error clearly rather than mis-map.
@@ -32,14 +37,95 @@ import org.apache.spark.sql.{Row, SparkSession}
 object PgPartitions {
   case class Child(parent: String, partCol: String, values: Seq[String])
 
+  // key: <root>|<lowercased child name> — sessions with different
+  // index roots never see each other's aliases
   private val children =
     new java.util.concurrent.ConcurrentHashMap[String, Child]()
+  private val loadedRoots =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val ioLock = new Object
 
-  private def key(name: String): String = name.toLowerCase
+  private def file(root: String) =
+    new java.io.File(root, "_pg_partitions.bin")
 
-  def register(name: String, c: Child): Unit = children.put(key(name), c)
-  def resolve(name: String): Option[Child] = Option(children.get(key(name)))
-  def drop(name: String): Boolean = children.remove(key(name)) != null
+  private def key(root: String, name: String): String =
+    root + "|" + name.toLowerCase
+
+  /** One lazy reload per root: persisted aliases fill in UNDER the
+    * in-memory state (putIfAbsent — an in-session registration is never
+    * clobbered by the file). */
+  private def load(root: String): Unit =
+    if (loadedRoots.add(root)) ioLock.synchronized {
+      val f = file(root)
+      if (f.isFile) {
+        val in = new java.io.ObjectInputStream(new java.io.FileInputStream(f))
+        try in.readObject().asInstanceOf[Map[String, Child]]
+          .foreach { case (n, c) => children.putIfAbsent(key(root, n), c) }
+        finally in.close()
+      }
+    }
+
+  /** Commit-after-write of this root's full alias map. */
+  private def persist(root: String): Unit = ioLock.synchronized {
+    val prefix = root + "|"
+    import scala.jdk.CollectionConverters._
+    val m = children.asScala.collect {
+      case (k, v) if k.startsWith(prefix) => k.stripPrefix(prefix) -> v
+    }.toMap
+    new java.io.File(root).mkdirs()
+    val tmp = new java.io.File(root, "_pg_partitions.bin.tmp")
+    val out = new java.io.ObjectOutputStream(new java.io.FileOutputStream(tmp))
+    try out.writeObject(m) finally out.close()
+    java.nio.file.Files.move(tmp.toPath, file(root).toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  def register(spark: SparkSession, name: String, c: Child): Unit = {
+    val root = IndexCatalog.root(spark)
+    load(root)
+    children.put(key(root, name), c)
+    persist(root)
+  }
+
+  def resolve(spark: SparkSession, name: String): Option[Child] = {
+    val root = IndexCatalog.root(spark)
+    load(root)
+    Option(children.get(key(root, name)))
+  }
+
+  def drop(spark: SparkSession, name: String): Boolean = {
+    val root = IndexCatalog.root(spark)
+    load(root)
+    val removed = children.remove(key(root, name)) != null
+    if (removed) persist(root)
+    removed
+  }
+
+  /** Parse-time claim check (DROP TABLE single-name dispatch): the
+    * parser has no session parameter, so the active session supplies
+    * the root; with none active, only in-memory aliases answer. */
+  private[index] def resolveParseTime(name: String): Option[Child] =
+    SparkSession.getActiveSession match {
+      case Some(s) => resolve(s, name)
+      case None =>
+        import scala.jdk.CollectionConverters._
+        val suffix = "|" + name.toLowerCase
+        children.asScala.collectFirst {
+          case (k, c) if k.endsWith(suffix) => c
+        }
+    }
+
+  /** Simulate a driver restart for specs, scoped to `names` (the
+    * AnnPushdown.resetNamesForTest convention — suites share the JVM): the
+    * in-memory aliases clear and the root re-loads lazily from the
+    * persisted registry. */
+  private[graft] def resetNamesForTest(spark: SparkSession,
+      names: Set[String]): Unit = {
+    val root = IndexCatalog.root(spark)
+    names.foreach(n => children.remove(key(root, n)))
+    loadedRoots.remove(root)
+  }
 
   /** The child's row scope as a predicate over the parent. */
   def whereSql(c: Child): String =
@@ -74,7 +160,7 @@ case class CreatePartitionedTableCommand(ifNotExists: Boolean, name: String,
 case class CreatePartitionOfCommand(ifNotExists: Boolean, name: String,
     parent: String, valuesBlob: String) extends VectorIndexCommand {
   override def run(spark: SparkSession): Seq[Row] = {
-    if (ifNotExists && PgPartitions.resolve(name).isDefined)
+    if (ifNotExists && PgPartitions.resolve(spark, name).isDefined)
       return Seq(Row("exists"))
     val parts = spark.sessionState.sqlParser.parseMultipartIdentifier(parent)
     val id = parts match {
@@ -94,7 +180,7 @@ case class CreatePartitionOfCommand(ifNotExists: Boolean, name: String,
       .filter(_.nonEmpty)
     if (values.isEmpty) throw new IllegalArgumentException(
       "FOR VALUES IN (...) needs at least one value")
-    PgPartitions.register(name,
+    PgPartitions.register(spark, name,
       PgPartitions.Child(parent, pcols.head, values))
     Seq(Row("ok"))
   }
@@ -111,7 +197,7 @@ case class DropTablesCommand(ifExists: Boolean, names: Seq[String])
   override def run(spark: SparkSession): Seq[Row] = {
     val ine = if (ifExists) "IF EXISTS " else ""
     names.foreach { n =>
-      if (!PgPartitions.drop(n)) spark.sql(s"DROP TABLE $ine$n")
+      if (!PgPartitions.drop(spark, n)) spark.sql(s"DROP TABLE $ine$n")
     }
     Seq(Row(s"ok (${names.length} dropped)"))
   }

@@ -451,6 +451,40 @@ class SltConformanceSpec extends SparkSpec {
     idxNames.foreach(IndexCatalog.drop(spark, _))
   }
 
+  test("partition.slt durability: child aliases survive a driver restart") {
+    import graft.index.{IndexCatalog, PgPartitions}
+    val idx = "pgslt_dur_child_val_idx"
+    IndexCatalog.drop(spark, idx)
+    spark.sql("DROP TABLE IF EXISTS pgslt_dur")
+    SqlDmlSpec.rmWarehouse(spark, "pgslt_dur")
+    spark.sql("""CREATE TABLE pgslt_dur (id BIGINT, val vector(3),
+      category_id int) PARTITION BY LIST(category_id)""")
+    assert(spark.sql("""CREATE TABLE pgslt_dur_child PARTITION OF pgslt_dur
+        FOR VALUES IN (1, 2)""").head().getString(0) === "ok")
+    spark.sql("""INSERT INTO pgslt_dur (id, val, category_id) VALUES
+      (1, '[1,0,0]', 1), (2, '[0,1,0]', 2), (3, '[0,0,1]', 3)""")
+    // simulated restart (the scoped reset convention): the in-memory
+    // alias clears; CREATE INDEX ON the child must still resolve through
+    // the persisted registry under the index root — PG's partition DDL
+    // is catalog-durable (partition.slt assumes it)
+    PgPartitions.resetNamesForTest(spark, Set("pgslt_dur_child"))
+    assert(spark.sql("""CREATE INDEX ON pgslt_dur_child USING vectors
+        (val vectors.vector_l2_ops) WITH (options = "[indexing.hnsw]")""")
+      .head().getString(0) === "ok")
+    assert(IndexCatalog.load(spark, idx).exists(_.params
+      .getOrElse("sql_where", "").contains("category_id IN (1, 2)")),
+      "the post-restart child index must carry the child's value scope")
+    // restart again: the single-name DROP TABLE claim resolves durably
+    PgPartitions.resetNamesForTest(spark, Set("pgslt_dur_child"))
+    assert(spark.sql("DROP TABLE pgslt_dur_child")
+      .head().getString(0) === "ok (1 dropped)")
+    // and the drop itself is durable — a third restart resurrects nothing
+    PgPartitions.resetNamesForTest(spark, Set("pgslt_dur_child"))
+    assert(PgPartitions.resolve(spark, "pgslt_dur_child").isEmpty)
+    spark.sql("DROP TABLE pgslt_dur")
+    IndexCatalog.drop(spark, idx)
+  }
+
   test("cast.slt / finalize.sql cast matrix: cross-type :: casts") {
     // string literal casts (cast.slt) and vector<->vector conversions
     // (finalize.sql CREATE CAST set) through the same :: spelling
