@@ -298,7 +298,12 @@ object IndexCatalog {
       // the verbatim WHERE predicate of a PARTIAL SQL CREATE (vacuum
       // rebuilds over the same row scope; drop unregisters the
       // predicate-scoped planner entry); empty = full index
-      "sql_where" -> ((v: String) => !v.exists(_ < ' ')))
+      "sql_where" -> ((v: String) => !v.exists(_ < ' ')),
+      // the TableSnapshotResolver version token the build scanned
+      // (transactional sources — a drift forces REINDEX on the next
+      // CREATE/VACUUM); CREATE-owned like every sql_* key (the user
+      // ALTER surfaces reject the prefix), empty = plain parquet
+      "sql_snapshot" -> ((v: String) => !v.exists(_ < ' ')))
   }
 
   /** Live-alter an index option (`alter_vector_index` analog,
