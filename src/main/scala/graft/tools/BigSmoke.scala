@@ -1,0 +1,193 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One genuinely large single-node smoke (round 15): every other scale
+  * claim in this repo extrapolates from sf0.1 + the 10× soak replicas
+  * (20k vectors). This tool synthesizes a ~5M-row 64-dim clustered
+  * corpus (~1.3 GB of raw float payload; mixture of 64 Gaussians via a
+  * deterministic codegen hash — no driver-side row materialization, no
+  * Math.random), builds the two flagship index families at fleet width
+  * (hnsw parts=16, ivf nlist=1024), and records:
+  *
+  *   - build wall per family (the 1000-executor extrapolation basis:
+  *     both builds are one-task-per-partition shapes),
+  *   - routed scalar search p50/p95 over 64 queries (AUTO probing),
+  *   - one 1000-query knn_join (the dataset-vs-dataset shape),
+  *   - a 1M-doc minhash near-dup pass (documents replicated from sf0.1
+  *     with token suffixes — the Soak independence convention).
+  *
+  * Appends the numbers to SOAK.md ("Large-corpus smoke" section) and
+  * prints them. Fixture cached under /tmp/graft_bigsmoke (marker file);
+  * artifacts go through the normal IndexCatalog root. Run:
+  * `SPARK_GRAFT_CPUS=32 sbt "runMain graft.tools.BigSmoke"`.
+  */
+object BigSmoke {
+  private val N = 5000000L
+  private val Dims = 64
+  private val Clusters = 64
+  private val DocReps = 200
+
+  private def hashNoise(idExpr: String, j: String): String =
+    // the classic fract(sin(h)*43758.5453) shader hash: deterministic,
+    // codegen-friendly, uniform-ish in [0,1)
+    s"(sin($idExpr * 12.9898d + $j * 78.233d) * 43758.5453d) - " +
+      s"floor((sin($idExpr * 12.9898d + $j * 78.233d) * 43758.5453d))"
+
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val dir = sys.props("java.io.tmpdir") + "/graft_bigsmoke"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.memory", "48g")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.functions.registerAll(spark)
+
+    // ---- corpus ----
+    val embPath = s"$dir/embeddings.parquet"
+    val docPath = s"$dir/documents.parquet"
+    if (!new java.io.File(s"$embPath/_SUCCESS").exists) {
+      val cRnd = new scala.util.Random(42)
+      val flat = Array.fill(Clusters * Dims)(cRnd.nextGaussian().toFloat)
+      val centers = typedlit(flat.toSeq)
+      val t0 = System.nanoTime()
+      spark.range(N).repartition(cpus.toInt * 2)
+        .select(col("id").as("vec_id"),
+          pmod(col("id"), lit(Clusters)).cast("int").as("c"))
+        .withColumn("centers", centers)
+        .withColumn("embedding", expr(
+          s"transform(sequence(0, ${Dims - 1}), j -> " +
+            s"element_at(centers, c * $Dims + j + 1) + " +
+            s"CAST(0.5d * (${hashNoise("vec_id", "j")} - 0.5d) AS FLOAT))"))
+        .withColumn("label", pmod(col("vec_id"), lit(10)).cast("int"))
+        .select("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(embPath)
+      println(f"[bigsmoke] corpus embeddings ${N}%d rows written in " +
+        f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
+    if (!new java.io.File(s"$docPath/_SUCCESS").exists) {
+      val d0 = spark.read.parquet(s"$src/documents.parquet")
+      val t0 = System.nanoTime()
+      (0 until DocReps).map { i =>
+        val shifted = d0.withColumn("doc_id", col("doc_id") + lit(i.toLong * 10000000L))
+        if (i == 0) shifted
+        else shifted.withColumn("text",
+          array_join(transform(split(col("text"), " "),
+            x => concat(x, lit(s"_$i"))), " "))
+      }.reduce(_.unionAll(_))
+        .repartition(cpus.toInt * 2)
+        .write.mode("overwrite").parquet(docPath)
+      println(f"[bigsmoke] corpus documents written in " +
+        f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
+    val embBytes = Option(new java.io.File(embPath).listFiles())
+      .getOrElse(Array.empty).map(_.length()).sum
+    val docBytes = Option(new java.io.File(docPath).listFiles())
+      .getOrElse(Array.empty).map(_.length()).sum
+    val nDocs = spark.read.parquet(docPath).count()
+    println(f"[bigsmoke] corpus: $N%d vectors (${embBytes / 1e9}%.2f GB " +
+      f"parquet, ${N * Dims * 4 / 1e9}%.2f GB raw floats), $nDocs%d docs " +
+      f"(${docBytes / 1e9}%.2f GB parquet)")
+
+    def wall(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+
+    // ---- builds (drop first so the wall is a real build) ----
+    import graft.operators.{Hnsw, IvfIndex, KnnJoin}
+    import graft.index.IndexCatalog
+    def emb = spark.read.parquet(embPath)
+    IndexCatalog.drop(spark, "bigsmoke_hnsw")
+    val tHnsw = wall {
+      Hnsw.ensure(spark, "bigsmoke_hnsw", emb, embPath, "vec_id",
+        "embedding", "l2", parts = 16, m = 12, efConstruction = 100)
+    }
+    println(f"[bigsmoke] hnsw parts=16 build ${tHnsw}%.1f s")
+    IndexCatalog.drop(spark, "bigsmoke_ivf")
+    val tIvf = wall {
+      IvfIndex.ensure(spark, "bigsmoke_ivf", emb, embPath, "embedding",
+        "l2", nlist = 1024, maxIter = 4)
+    }
+    println(f"[bigsmoke] ivf nlist=1024 build ${tIvf}%.1f s")
+
+    // ---- routed scalar search p50/p95 (64 queries, AUTO probing) ----
+    val hDir = IndexCatalog.dataDir(spark, "bigsmoke_hnsw")
+    val qs = emb.filter(col("vec_id") % lit(N / 64) === 0)
+      .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+    // warm the graph cache once untimed
+    Hnsw.searchIndex(spark, hDir, "vec_id", qs.head, 10,
+      probeGraphs = Hnsw.AutoProbe).collect()
+    val lat = qs.map(q => wall {
+      Hnsw.searchIndex(spark, hDir, "vec_id", q, 10,
+        probeGraphs = Hnsw.AutoProbe).collect()
+    }).sorted
+    val p50 = lat(lat.length / 2); val p95 = lat((lat.length * 95) / 100 - 1)
+    println(f"[bigsmoke] routed search p50 ${p50 * 1000}%.0f ms " +
+      f"p95 ${p95 * 1000}%.0f ms over ${qs.length}%d queries")
+
+    // ---- knn_join: 1000-query side, k=10, nprobe=32 ----
+    val (ivfModel, ivfDir) = IvfIndex.ensure(spark, "bigsmoke_ivf", emb,
+      embPath, "embedding", "l2", nlist = 1024, maxIter = 4)
+    val qSide = emb.filter(col("vec_id") % lit(N / 1000) === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val tJoin = wall {
+      KnnJoin.join(spark, qSide, "qid", "qv", ivfDir, ivfModel,
+        "vec_id", "embedding", k = 10, nprobe = 32).count()
+    }
+    println(f"[bigsmoke] knn_join 1000q k=10 nprobe=32 ${tJoin}%.1f s")
+
+    // ---- minhash near-dup over the doc corpus ----
+    import graft.operators.Dedup
+    val docs = spark.read.parquet(docPath).select(
+      col("doc_id"), col("text"))
+    val tDedup = wall {
+      // the q_dedup_minhash chain: hashed shingles -> signatures ->
+      // banded LSH candidates -> exact-Jaccard verify
+      val sh = docs.select(col("doc_id"),
+        Dedup.shingleHashes(col("text"), 3).as("shh"))
+      val sig = sh.select(col("doc_id"),
+        Dedup.minhashSignatureHashed(col("shh"), 64).as("sig"))
+      val cands = Dedup.lshCandidates(sig, "doc_id", "sig",
+        bands = 16, rows = 4)
+      Dedup.verifyJaccard(cands, sh, "doc_id", "shh")
+        .filter(col("jacc") >= 0.8).count()
+    }
+    println(f"[bigsmoke] minhash near-dup over $nDocs%d docs ${tDedup}%.1f s")
+
+    // ---- append to SOAK.md ----
+    val table =
+      f"""
+## Large-corpus smoke (round 15, one-off direct measurement)
+
+Synthetic clustered corpus, single node local[$cpus%s] — the direct
+check behind the extrapolated scale claims: every build below is a
+one-task-per-partition shape whose wall divides by executor count on a
+real cluster, and the serving rows are per-query costs that do not
+grow with corpus size (resident routed graphs / pruned IVF scans).
+
+| item | value |
+|---|---|
+| corpus | $N%d vectors × $Dims%d dims (${N * Dims * 4 / 1e9}%.2f GB raw floats, ${embBytes / 1e9}%.2f GB parquet) + $nDocs%d docs (${docBytes / 1e9}%.2f GB parquet) |
+| hnsw parts=16 m=12 efc=100 build | ${tHnsw}%.1f s |
+| ivf nlist=1024 (kmeans‖ iters=4) build | ${tIvf}%.1f s |
+| routed scalar search (AUTO) p50 / p95 | ${p50 * 1000}%.0f ms / ${p95 * 1000}%.0f ms |
+| knn_join 1000q k=10 nprobe=32/1024 | ${tJoin}%.1f s |
+| minhash near-dup pass ($nDocs%d docs) | ${tDedup}%.1f s |
+"""
+    val soak = java.nio.file.Paths.get("SOAK.md")
+    if (java.nio.file.Files.exists(soak)) {
+      val cur = java.nio.file.Files.readString(soak)
+      val cut = cur.indexOf("\n## Large-corpus smoke")
+      val base = if (cut >= 0) cur.substring(0, cut) else cur
+      java.nio.file.Files.writeString(soak, base + table)
+      println("[bigsmoke] SOAK.md appendix updated")
+    }
+    spark.stop()
+  }
+}
