@@ -51,8 +51,24 @@ object Hnsw {
     * calibrated probeGraphs hint in the sidecar (round 12 — version-2
     * routing.bin; separable fleets measure the 95%-coverage graph depth
     * on the ProbeCal holdout and AUTO resolves max(⌈√G⌉, hint)).
-    * Pre-hint artifacts rebuild once on the next ensure. */
-  private[graft] val RoutingGen = "centroid3"
+    * centroid4 (round 15) = BALANCED spatial partitioning: k-means
+    * cells larger than [[BalanceFactor]]×(n/parts) split by a
+    * second-level k-means before the per-cell insertion tasks run —
+    * the 5M-row smoke measured 2 of 16 cells holding ~1M rows each
+    * (k-means packs whole natural clusters per center), leaving the
+    * build wall straggler-bound on 2 of 32 cores. Unbalanced corpora
+    * get more, smaller graphs with their own (sub-centroid, radius)
+    * routing entries; balanced corpora build byte-identical artifacts
+    * to centroid3. Pre-balance artifacts rebuild once on the next
+    * ensure. */
+  private[graft] val RoutingGen = "centroid4"
+
+  /** Split threshold for [[buildGraphFiles]]'s balanced partitioning:
+    * a cell splits when it exceeds this multiple of the mean cell
+    * size. 1.5 keeps every near-balanced layout (the driver fixtures
+    * measure ≤1.23× at parts=4) building exactly as before while
+    * bounding the straggler task at ~1.5× the ideal wall. */
+  private[graft] val BalanceFactor = 1.5
 
 
   /** Hash key over exact float content — two orphan components whose
@@ -1173,13 +1189,17 @@ object Hnsw {
         // partitioning-agnostic: the per-graph top-k union covers the
         // same row set either way.
         val model = IvfIndex.train(prepped, vecCol, "l2", parts)
-        val bcent = spark.sparkContext.broadcast(model.centroids)
-        val stats = rows0
+        // balanced split of oversized cells (round 15 — see balancedPids)
+        def assigned = rows0.toDF
           .withColumn("cl", IvfIndex.nearestCentroid(col(vecCol), model))
-          .select(col("cl"), col(idCol), col(vecCol))
+        val (pidCol, centroids) =
+          balancedPids(assigned, vecCol, parts, model)
+        val bcent = spark.sparkContext.broadcast(centroids)
+        val stats = assigned
+          .select(pidCol.as("pid"), col(idCol), col(vecCol))
           .as[(Int, Long, Array[Float])]
           .rdd.map { case (c, id, v) => (c, (id, v)) }
-          .partitionBy(new PidPartitioner(parts))
+          .partitionBy(new PidPartitioner(centroids.length))
           .map(_._2)
           .mapPartitions(writeGraphTask(_, pid => bcent.value(pid)))
           .collect()
@@ -1194,11 +1214,10 @@ object Hnsw {
         // corpus pass would buy nothing there
         val hint = if (routable == "no") 0
           else calibrateGraphProbes(spark,
-            prepped.select(col(vecCol).as("v"),
-              IvfIndex.nearestCentroid(col(vecCol), model).as("pid")),
+            assigned.select(col(vecCol).as("v"), pidCol.as("pid")),
             metric, ents)
         Routing.write(fs, dirPath, metric, ents,
-          if (model.centroids.nonEmpty) model.centroids(0).length else 0,
+          if (centroids.nonEmpty) centroids(0).length else 0,
           hint)
         IndexCatalog.Manifest("hnsw", source, metric,
           baseParams ++ Map("files" -> stats.length.toString,
@@ -1221,6 +1240,57 @@ object Hnsw {
     * family's). Returns the published file count plus the routing
     * manifest params (generation + separability flag at parts>1, empty
     * otherwise) for the caller's manifest. */
+  /** BALANCED spatial assignment (round 15, routing=centroid4): k-means
+    * cell sizes are unbounded — a center that captures several natural
+    * clusters makes its insertion task the fleet build's wall (one
+    * sequential graph build per cell; the 5M-row smoke measured 2 of 16
+    * cells at ~1M rows each while 30 cores idled). Cells over
+    * [[BalanceFactor]]×target split by a SECOND-LEVEL k-means, so every
+    * sub-graph gets its own discriminative (centroid, radius) routing
+    * entry — a hash split would scatter near-identical vectors across
+    * siblings and gut routed recall. Balanced layouts return
+    * (cl, model.centroids) unchanged and build byte-identical artifacts
+    * to centroid3. One level only: a cell still over the cap after its
+    * spatial split (duplicate-heavy — no spatial structure to cut)
+    * stays one graph. `assigned` must carry an int `cl` column =
+    * nearestCentroid(vecCol, model); returns the final pid column over
+    * that frame plus the final centroid array (pid-indexed). */
+  private def balancedPids(assigned: => DataFrame, vecCol: String,
+      parts: Int, model: IvfIndex.Model)
+      : (org.apache.spark.sql.Column, Array[Array[Float]]) = {
+    val counts = assigned.groupBy("cl").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum
+    val target = math.max(1L, math.ceil(total.toDouble / parts).toLong)
+    val over = counts.filter(_._2 > (BalanceFactor * target).toLong)
+      .keys.toSeq.sorted
+    if (over.isEmpty) (col("cl"), model.centroids)
+    else {
+      val buf = mutable.ArrayBuffer.empty[Array[Float]]
+      val remap = Array.fill(model.centroids.length)(-1)
+      counts.keys.toSeq.sorted.filterNot(over.contains).foreach { c =>
+        remap(c) = buf.length; buf += model.centroids(c)
+      }
+      val subs = over.map { c =>
+        val k = math.max(2, math.min(parts,
+          math.ceil(counts(c).toDouble / target).toInt))
+        val m2 = IvfIndex.train(assigned.filter(col("cl") === c),
+          vecCol, "l2", k)
+        val off = buf.length
+        m2.centroids.foreach(buf += _)
+        (c, m2, off)
+      }
+      val baseExpr: org.apache.spark.sql.Column =
+        element_at(typedlit(remap.toSeq), col("cl") + 1)
+      val full = subs.foldLeft(baseExpr) { case (acc, (c, m2, off)) =>
+        when(col("cl") === c,
+          IvfIndex.nearestCentroid(col(vecCol), m2) + lit(off))
+          .otherwise(acc)
+      }
+      (full, buf.toArray)
+    }
+  }
+
   private[graft] def buildGraphFiles(spark: org.apache.spark.sql.SparkSession,
       rows0: org.apache.spark.sql.Dataset[(Long, Array[Float])],
       parts: Int, dataDir: String, filePrefix: String, m: Int,
@@ -1240,15 +1310,17 @@ object Hnsw {
         .mapPartitions(writer.run _).collect().length, Map.empty)
     } else {
       val model = IvfIndex.train(df, "vec", "l2", parts)
-      val bcent = spark.sparkContext.broadcast(model.centroids)
+      def assigned = df
+        .withColumn("cl", IvfIndex.nearestCentroid(col("vec"), model))
+      val (pidCol, centroids) = balancedPids(assigned, "vec", parts, model)
+      val bcent = spark.sparkContext.broadcast(centroids)
       val writer = new GraphFileWriter(dataDir, filePrefix, m,
         efConstruction, hconf, bcent, encode)
-      val stats = df
-        .withColumn("cl", IvfIndex.nearestCentroid(col("vec"), model))
-        .select(col("cl"), col("id"), col("vec"))
+      val stats = assigned
+        .select(pidCol.as("pid"), col("id"), col("vec"))
         .as[(Int, Long, Array[Float])]
         .rdd.map { case (c, id, v) => (c, (id, v)) }
-        .partitionBy(new PidPartitioner(parts))
+        .partitionBy(new PidPartitioner(centroids.length))
         .map(_._2)
         .mapPartitions(writer.run _)
         .collect()
@@ -1261,11 +1333,10 @@ object Hnsw {
       // route on the RAW query through the same sidecar
       val hint = if (routable == "no") 0
         else calibrateGraphProbes(spark,
-          df.select(col("vec").as("v"),
-            IvfIndex.nearestCentroid(col("vec"), model).as("pid")),
+          assigned.select(col("vec").as("v"), pidCol.as("pid")),
           "l2", ents)
       Routing.write(fs, dirPath, "l2", ents,
-        if (model.centroids.nonEmpty) model.centroids(0).length else 0,
+        if (centroids.nonEmpty) centroids(0).length else 0,
         hint)
       (stats.length,
         Map("routing" -> RoutingGen, "routable" -> routable) ++

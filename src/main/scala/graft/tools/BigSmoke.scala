@@ -99,17 +99,20 @@ object BigSmoke {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
 
-    // ---- builds (drop first so the wall is a real build) ----
+    // ---- builds (drop first so the wall is a real build; pass
+    // `serve` as an arg to keep existing artifacts and re-measure the
+    // serving rows only) ----
+    val serveOnly = args.contains("serve")
     import graft.operators.{Hnsw, IvfIndex, KnnJoin}
     import graft.index.IndexCatalog
     def emb = spark.read.parquet(embPath)
-    IndexCatalog.drop(spark, "bigsmoke_hnsw")
+    if (!serveOnly) IndexCatalog.drop(spark, "bigsmoke_hnsw")
     val tHnsw = wall {
       Hnsw.ensure(spark, "bigsmoke_hnsw", emb, embPath, "vec_id",
         "embedding", "l2", parts = 16, m = 12, efConstruction = 100)
     }
     println(f"[bigsmoke] hnsw parts=16 build ${tHnsw}%.1f s")
-    IndexCatalog.drop(spark, "bigsmoke_ivf")
+    if (!serveOnly) IndexCatalog.drop(spark, "bigsmoke_ivf")
     val tIvf = wall {
       IvfIndex.ensure(spark, "bigsmoke_ivf", emb, embPath, "embedding",
         "l2", nlist = 1024, maxIter = 4)
@@ -120,7 +123,12 @@ object BigSmoke {
     val hDir = IndexCatalog.dataDir(spark, "bigsmoke_hnsw")
     val qs = emb.filter(col("vec_id") % lit(N / 64) === 0)
       .select("embedding").collect().map(_.getSeq[Float](0).toArray)
-    // warm the graph cache once untimed
+    // warm the graph cache untimed with an EXACT pass (touches every
+    // graph — a single routed warm-up query only loads its own route,
+    // and the p95 then measures 100 MiB cold graph loads instead of
+    // beam cost; the QPS convention is caches-warm serving)
+    Hnsw.searchIndex(spark, hDir, "vec_id", qs.head, 10, exact = true)
+      .collect()
     Hnsw.searchIndex(spark, hDir, "vec_id", qs.head, 10,
       probeGraphs = Hnsw.AutoProbe).collect()
     val lat = qs.map(q => wall {
