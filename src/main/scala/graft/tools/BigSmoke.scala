@@ -103,15 +103,29 @@ object BigSmoke {
     // `serve` as an arg to keep existing artifacts and re-measure the
     // serving rows only) ----
     val serveOnly = args.contains("serve")
+    // fleet width: `parts=N` arg (default 16 — deliberately UNDER the
+    // corpus's 64 natural clusters, the configuration that exposed the
+    // round-15 straggler and multi-island findings; parts=64 is the
+    // intended one-graph-per-cluster recipe)
+    val parts = args.collectFirst {
+      case a if a.startsWith("parts=") => a.stripPrefix("parts=").toInt
+    }.getOrElse(16)
+    // build-quality knob: `efc=N` (default 100 — the build-wall
+    // measurement setting; the gate fixtures build at 300, and recall
+    // on uniform-noise sub-corpora tracks it)
+    val efc = args.collectFirst {
+      case a if a.startsWith("efc=") => a.stripPrefix("efc=").toInt
+    }.getOrElse(100)
+    val hName = s"bigsmoke_hnsw_p${parts}_e$efc"
     import graft.operators.{Hnsw, IvfIndex, KnnJoin}
     import graft.index.IndexCatalog
     def emb = spark.read.parquet(embPath)
-    if (!serveOnly) IndexCatalog.drop(spark, "bigsmoke_hnsw")
+    if (!serveOnly) IndexCatalog.drop(spark, hName)
     val tHnsw = wall {
-      Hnsw.ensure(spark, "bigsmoke_hnsw", emb, embPath, "vec_id",
-        "embedding", "l2", parts = 16, m = 12, efConstruction = 100)
+      Hnsw.ensure(spark, hName, emb, embPath, "vec_id",
+        "embedding", "l2", parts = parts, m = 12, efConstruction = efc)
     }
-    println(f"[bigsmoke] hnsw parts=16 build ${tHnsw}%.1f s")
+    println(f"[bigsmoke] hnsw parts=$parts%d efc=$efc%d build ${tHnsw}%.1f s")
     if (!serveOnly) IndexCatalog.drop(spark, "bigsmoke_ivf")
     val tIvf = wall {
       IvfIndex.ensure(spark, "bigsmoke_ivf", emb, embPath, "embedding",
@@ -120,7 +134,7 @@ object BigSmoke {
     println(f"[bigsmoke] ivf nlist=1024 build ${tIvf}%.1f s")
 
     // ---- routed scalar search p50/p95 (64 queries, AUTO probing) ----
-    val hDir = IndexCatalog.dataDir(spark, "bigsmoke_hnsw")
+    val hDir = IndexCatalog.dataDir(spark, hName)
     val qs = emb.filter(col("vec_id") % lit(N / 64) === 0)
       .select("embedding").collect().map(_.getSeq[Float](0).toArray)
     // warm the graph cache untimed with an EXACT pass (touches every
@@ -138,6 +152,19 @@ object BigSmoke {
     val p50 = lat(lat.length / 2); val p95 = lat((lat.length * 95) / 100 - 1)
     println(f"[bigsmoke] routed search p50 ${p50 * 1000}%.0f ms " +
       f"p95 ${p95 * 1000}%.0f ms over ${qs.length}%d queries")
+
+    // routed recall@10 vs the exact flat scan on the same queries —
+    // the RECALL.json convention measured at 2500x the fixture scale
+    val recall = qs.map { q =>
+      val routed = Hnsw.searchIndex(spark, hDir, "vec_id", q, 10,
+        probeGraphs = Hnsw.AutoProbe).collect().map(_.getLong(0)).toSet
+      val exact = Hnsw.searchIndex(spark, hDir, "vec_id", q, 10,
+        exact = true).collect().map(_.getLong(0)).toSet
+      (routed intersect exact).size.toDouble / math.max(exact.size, 1)
+    }
+    val meanRecall = recall.sum / recall.length
+    println(f"[bigsmoke] routed recall@10 ${meanRecall}%.3f " +
+      f"over ${qs.length}%d queries")
 
     // ---- knn_join: 1000-query side, k=10, nprobe=32 ----
     val (ivfModel, ivfDir) = IvfIndex.ensure(spark, "bigsmoke_ivf", emb,
@@ -182,9 +209,10 @@ grow with corpus size (resident routed graphs / pruned IVF scans).
 | item | value |
 |---|---|
 | corpus | $N%d vectors × $Dims%d dims (${N * Dims * 4 / 1e9}%.2f GB raw floats, ${embBytes / 1e9}%.2f GB parquet) + $nDocs%d docs (${docBytes / 1e9}%.2f GB parquet) |
-| hnsw parts=16 m=12 efc=100 build | ${tHnsw}%.1f s |
+| hnsw parts=$parts%d m=12 efc=$efc%d build | ${tHnsw}%.1f s |
 | ivf nlist=1024 (kmeans‖ iters=4) build | ${tIvf}%.1f s |
 | routed scalar search (AUTO) p50 / p95 | ${p50 * 1000}%.0f ms / ${p95 * 1000}%.0f ms |
+| routed recall@10 vs exact (64 queries) | ${meanRecall}%.3f |
 | knn_join 1000q k=10 nprobe=32/1024 | ${tJoin}%.1f s |
 | minhash near-dup pass ($nDocs%d docs) | ${tDedup}%.1f s |
 """
