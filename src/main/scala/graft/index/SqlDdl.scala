@@ -572,8 +572,20 @@ object SqlDdl {
   // never a job).
   private val sweepCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  // time throttle over the fingerprint CHECK itself: the optimizer can
+  // invoke the rule several times per query, and a multi-hundred-entry
+  // catalog listing per pass is measurable across a 242-query run.
+  // Restart recovery needs no sub-second freshness — in-session CREATEs
+  // register directly and never wait on the sweep; only manifests
+  // written by OTHER processes ride it, and they can be 2 s late.
+  private val sweepCheckedAt =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private val SweepCheckMs = 2000L
 
-  private[graft] def resetSweepForTest(): Unit = sweepCache.clear()
+  private[graft] def resetSweepForTest(): Unit = {
+    sweepCache.clear()
+    sweepCheckedAt.clear()
+  }
 
   /** Sweep every recipe-complete, registrable-kind manifest under the
     * catalog root into a planner registration. Purely ADDITIVE: names
@@ -586,6 +598,10 @@ object SqlDdl {
     * contract); the sweep itself never throws into the optimizer. */
   def sweepRegistrations(spark: SparkSession): Unit = {
     val root = IndexCatalog.root(spark)
+    val now = System.currentTimeMillis()
+    val last = sweepCheckedAt.get(root)
+    if (last != null && now - last < SweepCheckMs) return
+    sweepCheckedAt.put(root, now)
     val manifests = Option(new java.io.File(root).listFiles())
       .getOrElse(Array.empty[java.io.File])
       .map(d => (d, new java.io.File(d, "MANIFEST.bin")))
