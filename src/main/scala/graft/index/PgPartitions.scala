@@ -53,9 +53,11 @@ object PgPartitions {
 
   /** One lazy reload per root: persisted aliases fill in UNDER the
     * in-memory state (putIfAbsent — an in-session registration is never
-    * clobbered by the file). */
-  private def load(root: String): Unit =
-    if (loadedRoots.add(root)) ioLock.synchronized {
+    * clobbered by the file). The loaded-mark is taken INSIDE the lock:
+    * marking first would let a second thread resolve before the first
+    * finished reading the file and miss persisted aliases. */
+  private def load(root: String): Unit = ioLock.synchronized {
+    if (loadedRoots.add(root)) {
       val f = file(root)
       if (f.isFile) {
         val in = new java.io.ObjectInputStream(new java.io.FileInputStream(f))
@@ -64,6 +66,7 @@ object PgPartitions {
         finally in.close()
       }
     }
+  }
 
   /** Commit-after-write of this root's full alias map. */
   private def persist(root: String): Unit = ioLock.synchronized {
