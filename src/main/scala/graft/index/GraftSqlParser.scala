@@ -63,7 +63,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       if (GraftSqlParser.TableDdlGate.matcher(sqlText).matches())
         OpSqlRewrite.tableTypes(sqlText)
       else sqlText
-    val rewritten = OpSqlRewrite(Gucs.rewriteSet(typed))
+    val rewritten =
+      OpSqlRewrite(Gucs.rewriteSet(OpSqlRewrite.statView(typed)))
     GraftSqlParser.parseVectorDdl(rewritten)
       .getOrElse(delegate.parsePlan(rewritten))
   }

@@ -504,34 +504,36 @@ object IndexCatalog {
     TupleFp(files, bytes, mtime)
   }
 
+  private def parquetFiles(f: File): Seq[File] =
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(parquetFiles)
+    else if (f.isFile && f.getName.endsWith(".parquet")) Seq(f)
+    else Seq.empty
+
+  // footer reads are independent small I/O — a fresh catalog sweep
+  // over a many-partition artifact opens hundreds of files, so they
+  // run on a bounded pool (driver threads, still no Spark job)
+  private def footerRows(dir: File): Option[Long] = scala.util.Try {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val files = parquetFiles(dir)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(16, files.length)))
+    try {
+      val futures = files.map(f => pool.submit(
+        new java.util.concurrent.Callable[Long] {
+          override def call(): Long = {
+            val in = org.apache.parquet.hadoop.util.HadoopInputFile
+              .fromPath(new org.apache.hadoop.fs.Path(f.getAbsolutePath),
+                conf)
+            val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+            try r.getRecordCount finally r.close()
+          }
+        }))
+      futures.map(_.get()).sum
+    } finally pool.shutdown()
+  }.toOption
+
   private def tupleCount(kind: String, dataDir: File): Option[Long] = {
-    def parquetFiles(f: File): Seq[File] =
-      if (f.isDirectory)
-        Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(parquetFiles)
-      else if (f.isFile && f.getName.endsWith(".parquet")) Seq(f)
-      else Seq.empty
-    // footer reads are independent small I/O — a fresh catalog sweep
-    // over a many-partition artifact opens hundreds of files, so they
-    // run on a bounded pool (driver threads, still no Spark job)
-    def footerRows(dir: File): Option[Long] = scala.util.Try {
-      val conf = new org.apache.hadoop.conf.Configuration()
-      val files = parquetFiles(dir)
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(
-        math.max(1, math.min(16, files.length)))
-      try {
-        val futures = files.map(f => pool.submit(
-          new java.util.concurrent.Callable[Long] {
-            override def call(): Long = {
-              val in = org.apache.parquet.hadoop.util.HadoopInputFile
-                .fromPath(new org.apache.hadoop.fs.Path(f.getAbsolutePath),
-                  conf)
-              val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-              try r.getRecordCount finally r.close()
-            }
-          }))
-        futures.map(_.get()).sum
-      } finally pool.shutdown()
-    }.toOption
     def graphRows: Option[Long] = scala.util.Try {
       Option(dataDir.listFiles()).getOrElse(Array.empty)
         .filter(f => f.getName.startsWith("graph-") &&
@@ -615,6 +617,70 @@ object IndexCatalog {
     })._2
   }
 
+  /** Segment observability (reference views.rs:33-71 — the IndexStat
+    * `segments` list behind idx_sealed / idx_growing / idx_write): for
+    * an index whose SOURCE is a Segments store (a committed VERSION
+    * pointer), sealed = the base segment's raw length and growing = each
+    * uncompacted delta's raw length — the store's own vocabulary
+    * (Segments.append writes "growing deltas"; sealIfDue folds them into
+    * the sealed base, the reference optimizing/mod.rs sealing rule).
+    * Lengths are RAW per-segment footer counts, tombstone-BLIND —
+    * exactly the reference's `segments.iter().map(|x| x.length)` — so
+    * they stay driver-side parquet-footer sums, never a job. idx_write
+    * is always 0: the reference's write segment is its appendable
+    * in-memory buffer, which a batch engine doesn't hold between
+    * statements (every append here seals into a delta at commit).
+    *
+    * Cached per source path: the fingerprint is the VERSION pointer's
+    * (mtime, length) plus the top-level entry count — segment dirs are
+    * immutable once committed and every commit rewrites VERSION, so the
+    * key invalidates exactly when the store can have changed. */
+  private val segStatCache = new ConcurrentHashMap[
+    String, (String, (Option[Seq[Long]], Seq[Long]))]()
+
+  private def segmentStat(source: String)
+      : Option[(Option[Seq[Long]], Seq[Long])] = {
+    val src = new File(source)
+    val vf = new File(src, "VERSION")
+    if (!vf.isFile) return None
+    // prune keys whose store is gone (the tupleCache convention — a
+    // polled map over mutable storage must stay catalog-bounded)
+    locally {
+      val it = segStatCache.keys()
+      while (it.hasMoreElements) {
+        val k = it.nextElement()
+        if (!new File(k, "VERSION").isFile) segStatCache.remove(k)
+      }
+    }
+    val entries = Option(src.listFiles()).getOrElse(Array.empty[File])
+    val fp = s"${vf.lastModified()}:${vf.length()}:${entries.length}"
+    Some(segStatCache.compute(src.getAbsolutePath, (_, prior) => {
+      if (prior != null && prior._1 == fp) prior
+      else {
+        val st = graft.operators.Segments.state(source)
+        val sealedRows =
+          if (st.gen < 0) None
+          else footerRows(new File(src, s"base-${st.gen}")).map(Seq(_))
+        val growing = graft.operators.Segments.deltaDirs(source, st)
+          .flatMap(d => footerRows(new File(d)))
+        (fp, (sealedRows, growing))
+      }
+    })._2)
+  }
+
+  /** In-flight DDL observability (views.rs idx_indexing): true while a
+    * build/reindex/drop holds the name's cross-process lock file with a
+    * fresh lease (a stale crashed-holder file reads false). An
+    * approximation — the lock also covers drop/alter — but those are
+    * momentary; builds are the long holders the reference flag exists
+    * to surface, and after any completed build it reads the slt-pinned
+    * `f` (tests/sealing/check.slt). */
+  private def indexingNow(spark: SparkSession, name: String): Boolean = {
+    val lf = new File(new File(root(spark), ".locks"), s"$name.lock")
+    lf.isFile &&
+      System.currentTimeMillis() - lf.lastModified() <= lockTtlMs(spark)
+  }
+
   def stats(spark: SparkSession): DataFrame = {
     import spark.implicits._
     // data bytes: metadata files (_SUCCESS, _tuples, .crc) excluded so
@@ -629,6 +695,13 @@ object IndexCatalog {
       .filter(d => new File(d, "MANIFEST.bin").isFile)
       .flatMap { d =>
         load(spark, d.getName).map { m =>
+          val tuples = tupleCount(m.kind, new File(dataDir(spark, d.getName)))
+          // segment columns (views.rs:33-71): a Segments-store source
+          // reports its real base/delta layout; a plain build IS one
+          // sealed segment — sealed=[tuples], growing={} (what
+          // tests/sealing/check.slt observes after CREATE INDEX)
+          val (sealedRows, growingRows) = segmentStat(m.source)
+            .getOrElse((tuples.map(Seq(_)), Seq.empty[Long]))
           (d.getName, m.kind, m.metric, m.source,
             m.params.map { case (k, v) => s"$k=$v" }.toSeq.sorted.mkString(","),
             du(d),
@@ -636,10 +709,20 @@ object IndexCatalog {
             // NORMAL by construction — commits are atomic, a listed
             // manifest is always servable
             "NORMAL",
-            tupleCount(m.kind, new File(dataDir(spark, d.getName))))
+            tuples,
+            indexingNow(spark, d.getName),
+            sealedRows, growingRows, 0L)
         }
       }.toSeq
     rows.toDF("idx_name", "idx_type", "idx_metric", "idx_source",
-      "idx_options", "idx_size_bytes", "idx_status", "idx_tuples")
+      "idx_options", "idx_size_bytes", "idx_status", "idx_tuples",
+      "idx_indexing", "idx_sealed", "idx_growing", "idx_write")
+      // the reference VIEW's own column spellings (finalize.sql:807-818:
+      // indexname/tablename from pg_class, idx_size from the stat
+      // composite) as additive aliases — tests/sealing/check.slt filters
+      // on `indexname`; the oid columns have no path-catalog analog
+      .withColumn("indexname", org.apache.spark.sql.functions.col("idx_name"))
+      .withColumn("tablename", org.apache.spark.sql.functions.col("idx_source"))
+      .withColumn("idx_size", org.apache.spark.sql.functions.col("idx_size_bytes"))
   }
 }

@@ -174,6 +174,30 @@ object OpSqlRewrite {
     toks.iterator.map(_.text).mkString
   }
 
+  /** The reference's stat VIEW spelling — `FROM pg_vector_index_stat`
+    * (finalize.sql:807, queried bare by tests/sealing/check.slt). Here
+    * the listing is a table FUNCTION resolved fresh per analysis, so a
+    * bare identifier (next token not `(`) gains the call parens.
+    * Token-level: string literals and comments are never touched; an
+    * already-called `pg_vector_index_stat()` passes through. */
+  def statView(sql: String): String = {
+    if (sql == null || !sql.toLowerCase.contains("pg_vector_index_stat"))
+      return sql
+    var toks = lex(sql)
+    var i = 0
+    while (i < toks.length) {
+      if (toks(i).kind == IDENT &&
+          toks(i).text.equalsIgnoreCase("pg_vector_index_stat")) {
+        val nxt = nextIdx(toks, i)
+        if (!(nxt < toks.length && toks(nxt).kind == SYM &&
+            toks(nxt).text == "("))
+          toks = toks.updated(i, Tok(IDENT, toks(i).text + "()"))
+      }
+      i += 1
+    }
+    toks.iterator.map(_.text).mkString
+  }
+
   // ---------------------------------------------------------- lexer
   private def lex(s: String): Vector[Tok] = {
     val out = Vector.newBuilder[Tok]

@@ -28,8 +28,13 @@ import org.apache.spark.sql.{Row, SparkSession}
  * and lazily reload per root, so a restarted driver still resolves
  * `CREATE INDEX ON <child>` like PG's durable catalog does. In-memory
  * state stays authoritative within a session; the file is the
- * restart-recovery source. Single-driver last-write-wins across
- * processes — the pgvectors_upgrade convention.
+ * restart-recovery source. Writers (register/drop) serialize across
+ * PROCESSES through the catalog's `.locks/` file-lease convention
+ * (round 16, closing the last-write-wins hazard: two drivers
+ * registering children concurrently could drop each other's write) and
+ * MERGE the committed file under the lock before persisting, so
+ * another driver's children survive this one's commit. Reads stay
+ * lock-free on the lazily-loaded in-memory map.
  *
  * Only LIST partitioning maps (`FOR VALUES IN`): RANGE/HASH bounds
  * error clearly rather than mis-map.
@@ -57,16 +62,35 @@ object PgPartitions {
     * marking first would let a second thread resolve before the first
     * finished reading the file and miss persisted aliases. */
   private def load(root: String): Unit = ioLock.synchronized {
-    if (loadedRoots.add(root)) {
-      val f = file(root)
-      if (f.isFile) {
-        val in = new java.io.ObjectInputStream(new java.io.FileInputStream(f))
-        try in.readObject().asInstanceOf[Map[String, Child]]
-          .foreach { case (n, c) => children.putIfAbsent(key(root, n), c) }
-        finally in.close()
-      }
+    if (loadedRoots.add(root)) mergeDisk(root)
+  }
+
+  /** Unconditional file → memory merge (putIfAbsent: in-session state
+    * wins per key; other processes' keys fill in). Callers hold ioLock. */
+  private def mergeDisk(root: String): Unit = {
+    val f = file(root)
+    if (f.isFile) {
+      val in = new java.io.ObjectInputStream(new java.io.FileInputStream(f))
+      try in.readObject().asInstanceOf[Map[String, Child]]
+        .foreach { case (n, c) => children.putIfAbsent(key(root, n), c) }
+      finally in.close()
     }
   }
+
+  /** Cross-process writer lease over the registry file — the
+    * IndexCatalog `.locks/<name>.lock` convention (atomic create, stale
+    * reclaim after `spark.graft.index.lock.ttlMs`). Mutations re-merge
+    * the committed file UNDER the lease before persisting, so two
+    * drivers' interleaved register calls both survive. */
+  private def withRegistryLease[T](spark: SparkSession, root: String)
+      (body: => T): T =
+    IndexCatalog.withIndexLock(spark, "_pg_partitions") {
+      ioLock.synchronized {
+        loadedRoots.add(root)
+        mergeDisk(root)
+        body
+      }
+    }
 
   /** Commit-after-write of this root's full alias map. */
   private def persist(root: String): Unit = ioLock.synchronized {
@@ -86,9 +110,10 @@ object PgPartitions {
 
   def register(spark: SparkSession, name: String, c: Child): Unit = {
     val root = IndexCatalog.root(spark)
-    load(root)
-    children.put(key(root, name), c)
-    persist(root)
+    withRegistryLease(spark, root) {
+      children.put(key(root, name), c)
+      persist(root)
+    }
   }
 
   def resolve(spark: SparkSession, name: String): Option[Child] = {
@@ -99,25 +124,22 @@ object PgPartitions {
 
   def drop(spark: SparkSession, name: String): Boolean = {
     val root = IndexCatalog.root(spark)
-    load(root)
-    val removed = children.remove(key(root, name)) != null
-    if (removed) persist(root)
-    removed
+    withRegistryLease(spark, root) {
+      val removed = children.remove(key(root, name)) != null
+      if (removed) persist(root)
+      removed
+    }
   }
 
   /** Parse-time claim check (DROP TABLE single-name dispatch): the
     * parser has no session parameter, so the active session supplies
-    * the root; with none active, only in-memory aliases answer. */
+    * the root; with NONE active the claim is declined (None → the
+    * statement delegates to Spark's own DROP TABLE) — a cross-root
+    * suffix scan here could claim a child registered under a DIFFERENT
+    * index root than the one the command would run against
+    * (round-15 advice). */
   private[index] def resolveParseTime(name: String): Option[Child] =
-    SparkSession.getActiveSession match {
-      case Some(s) => resolve(s, name)
-      case None =>
-        import scala.jdk.CollectionConverters._
-        val suffix = "|" + name.toLowerCase
-        children.asScala.collectFirst {
-          case (k, c) if k.endsWith(suffix) => c
-        }
-    }
+    SparkSession.getActiveSession.flatMap(s => resolve(s, name))
 
   /** Simulate a driver restart for specs, scoped to `names` (the
     * AnnPushdown.resetNamesForTest convention — suites share the JVM): the

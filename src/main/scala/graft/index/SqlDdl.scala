@@ -536,7 +536,8 @@ object SqlDdl {
     * acceleration. Driver-side only (canonicalizing is plan analysis,
     * no job). */
   private[index] def registerFromRecipe(spark: SparkSession, name: String,
-      preloaded: Option[IndexCatalog.Manifest] = None): Unit =
+      preloaded: Option[IndexCatalog.Manifest] = None,
+      addIfVacant: Boolean = false): Unit =
     for (m <- preloaded.orElse(IndexCatalog.load(spark, name))
          if registrableKind(m.kind);
          cols <- m.params.get("sql_cols");
@@ -555,9 +556,16 @@ object SqlDdl {
             case None => None // cannot scope the claim -> register nothing
           }
         }
-      conj.foreach(c => graft.plans.AnnPushdown.register(m.source,
-        pushdownEntry(name, idCol, vecCol, am, op)
-          .copy(partialConjuncts = c)))
+      conj.foreach { c =>
+        val entry = pushdownEntry(name, idCol, vecCol, am, op)
+          .copy(partialConjuncts = c)
+        // the sweep path must never REPLACE a claim another name holds
+        // live (round-15 advice): add-if-vacant there; the in-session
+        // paths keep newest-create-shadows eviction
+        if (addIfVacant)
+          graft.plans.AnnPushdown.registerIfVacant(m.source, entry)
+        else graft.plans.AnnPushdown.register(m.source, entry)
+      }
     }
 
   // ---- restart durability (round 15) ----
@@ -581,18 +589,39 @@ object SqlDdl {
   private val sweepCheckedAt =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
   private val SweepCheckMs = 2000L
+  // one warning per (name -> fingerprint) epoch: a permanently-corrupt
+  // manifest retries every throttled pass (the fingerprint is only
+  // committed on an all-green sweep) but must not spam the log; the map
+  // is catalog-bounded (one entry per failing name, overwritten per epoch)
+  private val sweepWarned =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  // observability hook for specs (log capture is framework-fragile):
+  // counts emitted sweep warnings, monotonic across the JVM
+  private[graft] val sweepWarnCount =
+    new java.util.concurrent.atomic.AtomicLong()
 
   private[graft] def resetSweepForTest(): Unit = {
     sweepCache.clear()
     sweepCheckedAt.clear()
+    sweepWarned.clear()
   }
+
+  /** Clear only the TIME throttle — a spec forcing back-to-back sweep
+    * passes must not also clear the warned-epoch map (that would defeat
+    * the warn-once assertion it exists to check). */
+  private[graft] def resetSweepThrottleForTest(): Unit =
+    sweepCheckedAt.clear()
 
   /** Sweep every recipe-complete, registrable-kind manifest under the
     * catalog root into a planner registration. Purely ADDITIVE: names
     * this session has already registered or retired are skipped
-    * (AnnPushdown.nameTouched), so an in-session DROP or a test-scoped
-    * unregistration is never undone. Manifests sweep oldest-first by
-    * commit mtime so the newest same-claim CREATE ends up shadowing —
+    * (AnnPushdown.nameTouched) and a swept claim never REPLACES one
+    * another name holds live (registerIfVacant — round-15 advice: a
+    * persisted recipe must not evict e.g. a gate's temp registration
+    * made before the first rule pass), so an in-session DROP, CREATE or
+    * test-scoped unregistration is never undone. Manifests sweep
+    * NEWEST-first by commit mtime: under add-if-vacant the first
+    * registrant wins a slot, so the newest same-claim CREATE shadows —
     * the in-session newest-create-shadows order. A manifest that fails
     * to load or scope registers nothing (registerFromRecipe's partial
     * contract); the sweep itself never throws into the optimizer. */
@@ -610,13 +639,43 @@ object SqlDdl {
       (if (manifests.isEmpty) "0"
        else manifests.map(_._2.lastModified()).max.toString)
     if (sweepCache.get(root) == fp) return
-    sweepCache.put(root, fp)
+    // the fingerprint commits only after an ALL-GREEN pass: a transient
+    // manifest-read race (another process mid-commit) must retry on the
+    // next throttled pass, not leave that index silently unregistered
+    // until the root happens to change (round-15 advice). Succeeding
+    // names become touched and skip; only failures re-attempt.
+    var allOk = true
     manifests
-      .sortBy { case (d, mf) => (mf.lastModified(), d.getName) }
+      .sortBy { case (d, mf) => (-mf.lastModified(), d.getName) }
       .foreach { case (d, _) =>
-        if (!graft.plans.AnnPushdown.nameTouched(d.getName))
-          scala.util.Try(registerFromRecipe(spark, d.getName))
+        if (!graft.plans.AnnPushdown.nameTouched(d.getName)) {
+          // a present-but-unloadable MANIFEST.bin is the corrupt case
+          // (load swallows it to None); a loaded manifest can still
+          // throw on malformed recipe params — both must be diagnosed
+          val attempt = scala.util.Try {
+            val m = IndexCatalog.load(spark, d.getName)
+            if (m.isEmpty) throw new IllegalStateException(
+              "manifest present but unreadable")
+            registerFromRecipe(spark, d.getName, m, addIfVacant = true)
+          }
+          attempt match {
+            case scala.util.Failure(e) =>
+              allOk = false
+              // never throw into the optimizer, but never be silent
+              // either: a corrupt manifest degrading a restart to the
+              // unrewritten plan must be diagnosable (round-15 verdict)
+              if (sweepWarned.put(d.getName, fp) != fp) {
+                sweepWarnCount.incrementAndGet()
+                org.slf4j.LoggerFactory.getLogger("graft.index.SqlDdl").warn(
+                  s"registration sweep: index '${d.getName}' failed to " +
+                    "register — declarative queries over its source run " +
+                    s"unrewritten until it registers or is re-created: $e")
+              }
+            case _ => ()
+          }
+        }
       }
+    if (allOk) sweepCache.put(root, fp)
   }
 
   /** After a DROP, surviving same-source SQL-created indexes re-register

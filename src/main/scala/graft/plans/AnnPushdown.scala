@@ -88,6 +88,29 @@ object AnnPushdown {
           x.partialConjuncts == t.partialConjuncts))
   }
 
+  /** ADD-IF-VACANT register — the restart-sweep's form: [[register]]
+    * evicts an existing same-(metric, conjuncts) claim, which is right
+    * for an in-session CREATE (newest-create-shadows) but wrong for the
+    * catalog sweep — a swept PERSISTED recipe must never replace a claim
+    * some other name already holds live (e.g. a gate's temp registration
+    * made before the first ann-enabled rule pass; round-15 advice).
+    * The name is marked touched either way: a skipped-because-occupied
+    * claim is a FINAL sweep decision for this session (re-surfacing
+    * after the occupant retires is the DROP path's reregisterSource job,
+    * which scans manifests and ignores touch marks). Returns whether the
+    * claim was added. */
+  def registerIfVacant(sourcePath: String, t: IndexedTable): Boolean = {
+    var added = false
+    touchedNames.add(t.indexName)
+    registry.compute(normalize(sourcePath), (_, cur) => {
+      val existing = Option(cur).getOrElse(Nil)
+      if (existing.exists(x => x.metric == t.metric &&
+          x.partialConjuncts == t.partialConjuncts)) existing
+      else { added = true; t :: existing }
+    })
+    added
+  }
+
   /** Register a PARTIAL index (reference: partial indexes over
     * `CREATE INDEX ... WHERE pred`): `predSql` must be the same predicate
     * the index was built with. It is canonicalized through the SAME

@@ -111,6 +111,9 @@ object LifecycleQueries {
     queries("q_pg_toml_matrix")(s, d).collect()
     queries("q_pg_index_ddl")(s, d).collect()
     queries("q_pg_typed_ddl")(s, d).collect()
+    // segment-observability fixture (store + two index builds) — the
+    // round-8 rule: multi-step fixtures build untimed here
+    queries("q_index_stat_segments")(s, d).collect()
     ()
   }
 
@@ -1570,6 +1573,62 @@ object LifecycleQueries {
           case None => s.conf.unset("spark.graft.ann.nprobe")
         }
       }
+    }),
+
+    // --- segment observability (views.rs:33-71 idx_sealed/idx_growing/
+    //     idx_write/idx_indexing; tests/sealing/check.slt): a
+    //     deterministic segment store (120-row base + 30/20-row growing
+    //     deltas) behind an incremental index reports its real layout;
+    //     a plain build IS one sealed segment (sealed=[tuples],
+    //     growing={}). Lengths are tombstone-BLIND raw segment sizes —
+    //     the delete below must NOT change them (the reference's
+    //     segments.iter().map(|x| x.length)). Arrays posexplode to
+    //     scalars (driver-compare rule); fixture names map to constant
+    //     labels so the VALUES oracle is dir-agnostic. Temp sources →
+    //     the q_index_stat VALUES contract is untouched. ---
+    "q_index_stat_segments" -> ((s, d) => {
+      val segDir = tmp + "/graft_segstatseg_" + san(d)
+      val iname = s"segstathnsw_${san(d)}"
+      val pname = s"segstatplain_${san(d)}"
+      val plainSrc = tmp + "/graft_segstatplain_" + san(d)
+      buildOnce(segDir) {
+        val e = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+        Segments.init(s, segDir, e.filter(col("vec_id") < 120), "vec_id")
+        Segments.append(s, segDir, e.filter(col("vec_id") < 30)
+          .select((col("vec_id") + 20000).as("vec_id"), col("embedding")),
+          "vec_id")
+        Segments.append(s, segDir,
+          e.filter(col("vec_id") >= 30 && col("vec_id") < 50)
+            .select((col("vec_id") + 20000).as("vec_id"), col("embedding")),
+          "vec_id")
+        // tombstones change visibility, never raw segment lengths
+        Segments.delete(s, segDir,
+          s.range(1).select(lit(3L).as("vec_id")), "vec_id")
+      }
+      IncrHnsw.ensure(s, iname, segDir, "vec_id", "embedding")
+      Segments.synchronized {
+        if (!new File(plainSrc, "_SUCCESS").isFile)
+          t(s, d, "embeddings").filter(col("vec_id") < 100)
+            .select(col("vec_id"), col("embedding"))
+            .write.mode("overwrite").parquet(plainSrc)
+      }
+      Hnsw.ensure(s, pname, s.read.parquet(plainSrc), plainSrc,
+        "vec_id", "embedding", "l2", parts = 1)
+      val st = IndexCatalog.stats(s)
+        .filter(col("idx_name").isin(iname, pname))
+        .withColumn("label",
+          when(col("idx_name") === iname, lit("incr")).otherwise(lit("plain")))
+      val sealedRows = st.select(col("label"), lit("sealed").as("seg"),
+        posexplode(col("idx_sealed")).as(Seq("pos", "seg_rows")),
+        col("idx_indexing"), col("idx_write"))
+      val growingRows = st.filter(size(col("idx_growing")) > 0)
+        .select(col("label"), lit("growing").as("seg"),
+          posexplode(col("idx_growing")).as(Seq("pos", "seg_rows")),
+          col("idx_indexing"), col("idx_write"))
+      sealedRows.unionByName(growingRows)
+        .select(col("label"), col("seg"), col("pos").cast("int").as("pos"),
+          col("seg_rows"), col("idx_indexing"), col("idx_write"))
+        .orderBy(col("label"), col("seg"), col("pos"))
     })
   )
 
@@ -1583,6 +1642,19 @@ object LifecycleQueries {
     "list_aggregate(list_transform(list_zip(a.embedding, q.embedding), p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), 'sum')"
 
   val oracles: Map[String, String] = Map(
+    // the segment-layout contract of the q_index_stat_segments fixture:
+    // raw lengths (tombstone-blind), idx_write always 0 in a batch
+    // engine, idx_indexing false after any completed build
+    // (tests/sealing/check.slt's observations)
+    "q_index_stat_segments" ->
+      """SELECT * FROM (VALUES
+           ('incr', 'growing', 0, CAST(30 AS BIGINT), FALSE, CAST(0 AS BIGINT)),
+           ('incr', 'growing', 1, CAST(20 AS BIGINT), FALSE, CAST(0 AS BIGINT)),
+           ('incr', 'sealed', 0, CAST(120 AS BIGINT), FALSE, CAST(0 AS BIGINT)),
+           ('plain', 'sealed', 0, CAST(100 AS BIGINT), FALSE, CAST(0 AS BIGINT)))
+         AS t(label, seg, pos, seg_rows, idx_indexing, idx_write)
+         ORDER BY label, seg, pos""",
+
     "q_sql_surface" ->
       s"""SELECT e.vec_id AS vec_id, $qL2 AS dist,
             sqrt(list_aggregate(list_transform(e.embedding,

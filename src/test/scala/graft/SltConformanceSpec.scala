@@ -513,4 +513,70 @@ class SltConformanceSpec extends SparkSpec {
       if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
     assert(msgs(e).exists(_.contains("not 0 or 1")))
   }
+
+  test("sealing/create.slt + check.slt: idx_indexing/idx_growing/idx_sealed") {
+    // the reference's own segment-observability suite: 1000-row table,
+    // hnsw build, then the stat view reports f / {} / {1000}. The one
+    // adaptation is the shared-catalog table/index naming (pgslt_seal
+    // for t, pgslt_seal_i for i — the file's t/i names, suite-scoped);
+    // the bare VIEW spelling `FROM pg_vector_index_stat` and the
+    // reference `indexname` column run verbatim.
+    graft.index.IndexCatalog.drop(spark, "pgslt_seal_i")
+    spark.sql("DROP TABLE IF EXISTS pgslt_seal")
+    SqlDmlSpec.rmWarehouse(spark, "pgslt_seal")
+    spark.sql("CREATE TABLE pgslt_seal (id BIGINT, val vector(3))")
+    spark.sql("""INSERT INTO pgslt_seal
+      SELECT generate_series, ARRAY[random(), random(), random()]::real[]
+      FROM generate_series(1, 1000)""")
+    assert(spark.sql("""CREATE INDEX pgslt_seal_i ON pgslt_seal USING vectors
+        (val vector_l2_ops) WITH (options = "[indexing.hnsw]")""")
+      .head().getString(0) === "ok")
+    def pgArr(v: Seq[Long]): String = v.mkString("{", ",", "}")
+    val row = spark.sql(
+      """SELECT idx_indexing, idx_growing, idx_sealed
+         FROM pg_vector_index_stat WHERE indexname = 'pgslt_seal_i'""").head()
+    assert(!row.getBoolean(0), "check.slt: idx_indexing must print f")
+    assert(pgArr(row.getSeq[Long](1)) === "{}",
+      "check.slt: idx_growing must print {} after a build")
+    assert(pgArr(row.getSeq[Long](2)) === "{1000}",
+      "check.slt: idx_sealed must print {1000} after a build")
+    assert(spark.sql("DROP INDEX pgslt_seal_i").head().getString(0) === "ok")
+    spark.sql("DROP TABLE pgslt_seal")
+  }
+
+  test("crash/create.slt + restore.slt: the index serves after a restart") {
+    // the reference's crash suite: build, kill the bgworker, restart,
+    // then (1) the table exists, (2) the index exists, (3) the indexed
+    // top-k query still answers. The restart is the scoped-reset
+    // simulation (registry + sweep fingerprint cleared — the fresh-JVM
+    // state for this index); existence checks replay through the stat
+    // view (pg_indexes has no direct analog) and Spark's own catalog.
+    import graft.plans.AnnPushdown
+    graft.index.IndexCatalog.drop(spark, "pgslt_crash_i")
+    spark.sql("DROP TABLE IF EXISTS pgslt_crash")
+    SqlDmlSpec.rmWarehouse(spark, "pgslt_crash")
+    spark.sql("CREATE TABLE pgslt_crash (id BIGINT, val vector(3))")
+    spark.sql("""INSERT INTO pgslt_crash
+      SELECT generate_series, ARRAY[random(), random(), random()]::real[]
+      FROM generate_series(1, 1000)""")
+    assert(spark.sql("""CREATE INDEX pgslt_crash_i ON pgslt_crash
+        USING vectors (val vector_l2_ops)
+        WITH (options = "[indexing.hnsw]")""").head().getString(0) === "ok")
+    val loc = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier("pgslt_crash"))
+      .location.getPath
+    // simulated restart
+    AnnPushdown.resetNamesForTest(loc, Set("pgslt_crash_i"))
+    assert(spark.catalog.tableExists("pgslt_crash"),
+      "restore.slt: the table must exist after restart")
+    assert(spark.sql("""SELECT COUNT(1) FROM pg_vector_index_stat
+        WHERE indexname = 'pgslt_crash_i'""").head().getLong(0) === 1L,
+      "restore.slt: the index must exist after restart")
+    assert(spark.sql("""SELECT COUNT(1) FROM (SELECT 1 FROM pgslt_crash
+        ORDER BY val <-> '[0.5,0.5,0.5]' limit 10) t2""").head()
+      .getLong(0) === 10L,
+      "restore.slt: the indexed top-k must answer after restart")
+    assert(spark.sql("DROP INDEX pgslt_crash_i").head().getString(0) === "ok")
+    spark.sql("DROP TABLE pgslt_crash")
+  }
 }

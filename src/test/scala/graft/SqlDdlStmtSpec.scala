@@ -716,4 +716,106 @@ class SqlDdlStmtSpec extends SparkSpec {
     // the no-arg form still resolves
     spark.sql("SELECT * FROM pg_vector_index_stat()").collect()
   }
+
+  test("registration sweep: continues past a corrupt manifest, warns once " +
+      "per fingerprint epoch, retries until the pass is all-green") {
+    import graft.index.SqlDdl
+    import graft.plans.AnnPushdown
+    // a SCRATCH root on a cloned session: sweep state is keyed per root,
+    // so this test cannot race parallel suites sweeping the shared root
+    val s2 = spark.newSession()
+    val root = new File(sys.props("java.io.tmpdir"), "graft_stmtspec_sweeproot")
+    def rm(f: File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete()
+    }
+    rm(root); root.mkdirs()
+    s2.conf.set("spark.graft.index.root", root.getAbsolutePath)
+    val src = tmpSrc()
+    val good = "stmtspec_sweep_good"; val bad = "stmtspec_sweep_bad"
+    try {
+      // a recipe-complete manifest, committed the normal way (register
+      // needs only the manifest — full indexes never touch the source)
+      IndexCatalog.commit(s2, good, IndexCatalog.Manifest("ivf", src, "l2",
+        Map("sql_cols" -> "vec_id,embedding", "sql_am" -> "vectors",
+          "sql_opclass" -> "vector_l2_ops")))
+      // corrupt debris, mtime pinned NEWEST so the sweep attempts it
+      // BEFORE the good manifest — continuation is the point
+      val badDir = new File(root, bad); badDir.mkdirs()
+      java.nio.file.Files.write(new File(badDir, "MANIFEST.bin").toPath,
+        "not a manifest".getBytes)
+      new File(badDir, "MANIFEST.bin")
+        .setLastModified(System.currentTimeMillis() + 3600000L)
+      AnnPushdown.resetNamesForTest(src, Set(good, bad))
+      val c0 = SqlDdl.sweepWarnCount.get()
+      SqlDdl.sweepRegistrations(s2)
+      assert(AnnPushdown.snapshot(src).exists(_.indexName == good),
+        "the sweep must continue past the corrupt manifest")
+      assert(SqlDdl.sweepWarnCount.get() === c0 + 1,
+        "the corrupt manifest must warn exactly once")
+      // failure -> fingerprint uncommitted -> the next (throttle-expired)
+      // pass RETRIES the failed name, but the same epoch never re-warns
+      SqlDdl.resetSweepThrottleForTest()
+      SqlDdl.sweepRegistrations(s2)
+      assert(SqlDdl.sweepWarnCount.get() === c0 + 1,
+        "an unchanged fingerprint epoch must not re-warn")
+      // epoch change (catalog mutated) -> the still-corrupt manifest
+      // warns once more
+      new File(badDir, "MANIFEST.bin")
+        .setLastModified(System.currentTimeMillis() + 7200000L)
+      SqlDdl.resetSweepThrottleForTest()
+      SqlDdl.sweepRegistrations(s2)
+      assert(SqlDdl.sweepWarnCount.get() === c0 + 2,
+        "a new fingerprint epoch re-warns the persistent failure")
+    } finally {
+      AnnPushdown.resetNamesForTest(src, Set(good, bad))
+      rm(root)
+    }
+  }
+
+  test("registration sweep never replaces a live other-name claim " +
+      "(add-if-vacant)") {
+    import graft.index.SqlDdl
+    import graft.plans.AnnPushdown
+    val s2 = spark.newSession()
+    val root = new File(sys.props("java.io.tmpdir"), "graft_stmtspec_vacroot")
+    def rm(f: File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete()
+    }
+    rm(root); root.mkdirs()
+    s2.conf.set("spark.graft.index.root", root.getAbsolutePath)
+    // a dedicated source dir so claim assertions can't see other suites
+    val src = {
+      val dir = new File(sys.props("java.io.tmpdir"), "graft_stmtspec_vacsrc")
+      if (!new File(dir, "_SUCCESS").isFile)
+        spark.read.parquet(s"$sf0001/embeddings.parquet")
+          .filter(col("vec_id") < 10).write.mode("overwrite")
+          .parquet(dir.getAbsolutePath)
+      dir.getAbsolutePath
+    }
+    val swept = "stmtspec_vacant_idx"; val live = "stmtspec_live_claim"
+    try {
+      IndexCatalog.commit(s2, swept, IndexCatalog.Manifest("ivf", src, "l2",
+        Map("sql_cols" -> "vec_id,embedding", "sql_am" -> "vectors",
+          "sql_opclass" -> "vector_l2_ops")))
+      AnnPushdown.resetNamesForTest(src, Set(swept, live))
+      // the live in-session claim a gate would hold over the same slot
+      AnnPushdown.register(src,
+        AnnPushdown.IndexedTable(live, "vec_id", "embedding", "l2"))
+      SqlDdl.sweepRegistrations(s2)
+      val claims = AnnPushdown.snapshot(src).filter(_.metric == "l2")
+      assert(claims.map(_.indexName) === List(live),
+        s"the sweep must not evict the live claim, got $claims")
+      // the skip is a final sweep decision: the name is touched, so a
+      // re-sweep doesn't resurface it either
+      SqlDdl.resetSweepThrottleForTest()
+      SqlDdl.sweepRegistrations(s2)
+      assert(AnnPushdown.snapshot(src).filter(_.metric == "l2")
+        .map(_.indexName) === List(live))
+    } finally {
+      AnnPushdown.resetNamesForTest(src, Set(swept, live))
+      rm(root)
+    }
+  }
 }
