@@ -60,8 +60,18 @@ object Hnsw {
     * get more, smaller graphs with their own (sub-centroid, radius)
     * routing entries; balanced corpora build byte-identical artifacts
     * to centroid3. Pre-balance artifacts rebuild once on the next
-    * ensure. */
-  private[graft] val RoutingGen = "centroid4"
+    * ensure.
+    *
+    * centroid5 (round 16): manifests additionally record the ADVISORY
+    * `suggest_parts` param — the final spatial cell count the balance
+    * cap produced. The 5M smoke measured parts≈natural-cluster-count
+    * building ~6× faster AND serving better than wide cells; a
+    * suggest_parts larger than `parts` in pg_vector_index_stat's
+    * idx_options is the misconfiguration signal (re-ensure with
+    * parts=suggest_parts). Manifest-only: artifact bytes are identical
+    * to centroid4 (the round-12 probe_hint precedent for a
+    * generation-keyed manifest addition). */
+  private[graft] val RoutingGen = "centroid5"
 
   /** Split threshold for [[buildGraphFiles]]'s balanced partitioning:
     * a cell splits when it exceeds this multiple of the mean cell
@@ -1221,7 +1231,11 @@ object Hnsw {
           hint)
         IndexCatalog.Manifest("hnsw", source, metric,
           baseParams ++ Map("files" -> stats.length.toString,
-            "routing" -> RoutingGen, "routable" -> routable) ++
+            "routing" -> RoutingGen, "routable" -> routable,
+            // advisory (round 16): the cell count the data wanted —
+            // larger than `parts` means the build was misconfigured
+            // toward wide cells (see RoutingGen's centroid5 note)
+            "suggest_parts" -> stats.length.toString) ++
             (if (hint > 0) Map("probe_hint" -> hint.toString)
              else Map.empty))
       }
@@ -1339,7 +1353,8 @@ object Hnsw {
         if (centroids.nonEmpty) centroids(0).length else 0,
         hint)
       (stats.length,
-        Map("routing" -> RoutingGen, "routable" -> routable) ++
+        Map("routing" -> RoutingGen, "routable" -> routable,
+          "suggest_parts" -> stats.length.toString) ++
           (if (hint > 0) Map("probe_hint" -> hint.toString)
            else Map.empty))
     }

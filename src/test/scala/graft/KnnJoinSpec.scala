@@ -558,7 +558,10 @@ class KnnJoinSpec extends SparkSpec {
     // manifest surfaces the flag (the q_index_stat contract)
     val mf = graft.index.IndexCatalog.load(spark, name).get
     assert(mf.params.get("routable").contains("no"))
-    assert(mf.params.get("routing").contains("centroid4"))
+    assert(mf.params.get("routing").contains(graft.operators.Hnsw.RoutingGen))
+    // the round-16 advisory: suggest_parts = the final spatial cell
+    // count (== files here — a uniform fixture never splits cells)
+    assert(mf.params.get("suggest_parts") === mf.params.get("files"))
     // end to end: AUTO == unrouted on this artifact (fallback fired),
     // while explicit g=2 genuinely routes (differs from unrouted for at
     // least one query on a corpus where top-g pruning loses rows)

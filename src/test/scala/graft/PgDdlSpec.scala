@@ -367,4 +367,22 @@ class PgDdlSpec extends SparkSpec {
     assert(rows === 32)
     assert(spark.sql("DROP INDEX pgddl_part_ix").head().getString(0) === "ok")
   }
+
+  test("parts>1 DDL builds record the suggest_parts advisory in the stat view") {
+    IndexCatalog.drop(spark, "pgddl_parts_ix")
+    assert(spark.sql(s"""CREATE VECTOR INDEX pgddl_parts_ix ON '$srcDir'
+        USING vectors (vec_id, val vector_l2_ops)
+        WITH (parts = 2, m = 8, ef_construction = 100)""")
+      .head().getString(0) === "ok")
+    val m = IndexCatalog.load(spark, "pgddl_parts_ix").get
+    // advisory only: the final spatial cell count — equals files, and
+    // equals parts on this near-uniform fixture (no cell splits)
+    assert(m.params.get("suggest_parts") === m.params.get("files"))
+    val opts = spark.sql("""SELECT idx_options FROM pg_vector_index_stat
+        WHERE indexname = 'pgddl_parts_ix'""").head().getString(0)
+    assert(opts.contains("suggest_parts="),
+      s"the stat view must surface the advisory, got $opts")
+    assert(spark.sql("DROP VECTOR INDEX pgddl_parts_ix")
+      .head().getString(0) === "ok")
+  }
 }
