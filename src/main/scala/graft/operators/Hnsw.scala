@@ -1015,7 +1015,7 @@ object Hnsw {
     * rows land in partition i, so graph-<pid>.bin IS cluster pid and the
     * routing sidecar keys align. (repartition(parts, col) hashes — it
     * can collide two clusters into one graph and strand empty files.) */
-  private class PidPartitioner(n: Int) extends org.apache.spark.Partitioner {
+  private[graft] class PidPartitioner(n: Int) extends org.apache.spark.Partitioner {
     def numPartitions: Int = n
     def getPartition(key: Any): Int = key.asInstanceOf[Int]
   }

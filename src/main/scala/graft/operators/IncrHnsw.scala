@@ -117,13 +117,32 @@ object IncrHnsw {
       buildGraphFile(spark, rows, idCol, vecCol, metric,
         new java.io.File(dataDir, s"$stem.bin"), m, efConstruction)
     else {
+      // ONE shuffle + one job for the whole chunk set (round 16): the
+      // former per-chunk loop ran nChunks sequential single-task jobs,
+      // each rescanning the entire segment — O(nChunks) source scans
+      // and a serial build wall that made a 5M-row full rebuild
+      // driver-paced (the incr BigSmoke's first finding). Chunk
+      // assignment (pmod(xxhash64(id), nChunks)) and per-chunk id-sorted
+      // insertion are unchanged, so every published file is
+      // byte-identical to the serial path's; the exact PidPartitioner
+      // pins partition == chunk (hash repartition could collide chunks).
+      import spark.implicits._
       val nChunks = ((n + cap - 1) / cap).toInt
-      (0 until nChunks).foreach { c =>
-        val chunk = rows.filter(
-          pmod(xxhash64(col(idCol).cast("long")), lit(nChunks.toLong)) === c.toLong)
-        buildGraphFile(spark, chunk, idCol, vecCol, metric,
-          new java.io.File(dataDir, f"$stem-$c%05d.bin"), m, efConstruction)
-      }
+      val writer = new SegmentGraphWriter(dataDir.getAbsolutePath, stem,
+        metric, m, efConstruction, Hnsw.confEntries(spark))
+      rows.filter(col(vecCol).isNotNull &&
+          graft.functions.vectorIsFinite(col(vecCol)))
+        .select(
+          pmod(xxhash64(col(idCol).cast("long")), lit(nChunks.toLong))
+            .cast("int").as("_chunk"),
+          col(idCol).cast("long").as("_id"), col(vecCol))
+        .as[(Int, Long, Array[Float])]
+        .rdd.map { case (c, id, v) => (c, (id, v)) }
+        .partitionBy(new Hnsw.PidPartitioner(nChunks))
+        .map(_._2)
+        .mapPartitions(writer.run _)
+        .collect()
+      ()
     }
   }
 
@@ -344,5 +363,40 @@ object IncrHnsw {
     }
     visible.select(col(idCol), col("dist"))
       .orderBy(col("dist"), col(idCol)).limit(k)
+  }
+}
+
+/** Top-level serializable per-chunk graph writer for
+  * [[IncrHnsw.buildSegmentGraphs]]'s parallel path (the GraphFileWriter
+  * convention: a local def would capture the non-serializable IncrHnsw$
+  * singleton). Sorts its partition by id and publishes
+  * `<stem>-<pid>%05d.bin` write-then-rename with an attempt-unique tmp
+  * — the serial buildGraphFile naming and bytes, task-parallel. */
+private[graft] class SegmentGraphWriter(dataDir: String, stem: String,
+    metric: String, m: Int, efConstruction: Int,
+    hconf: Seq[(String, String)]) extends Serializable {
+  def run(it: Iterator[(Long, Array[Float])]): Iterator[Int] = {
+    val rows = it.toArray.sortBy(_._1)
+    if (rows.isEmpty) Iterator.empty
+    else {
+      val g = new Hnsw.Graph(metric, m, efConstruction)
+      rows.foreach { case (id, v) => g.insert(id, v) }
+      val tc = org.apache.spark.TaskContext.get()
+      val pid = tc.partitionId()
+      val attempt = tc.taskAttemptId()
+      val p = new org.apache.hadoop.fs.Path(f"$dataDir/$stem-$pid%05d.bin")
+      val tmp = new org.apache.hadoop.fs.Path(
+        f"$dataDir/.$stem-$pid%05d-$attempt.tmp")
+      val pfs = p.getFileSystem(Hnsw.mkConf(hconf))
+      val out = new java.io.DataOutputStream(
+        new java.io.BufferedOutputStream(pfs.create(tmp, true), 1 << 20))
+      try Hnsw.FlatGraph.write(out, g.snapshot) finally out.close()
+      if (!pfs.rename(tmp, p)) {
+        if (!pfs.exists(p))
+          throw new java.io.IOException(s"failed to publish $p")
+        pfs.delete(tmp, false)
+      }
+      Iterator.single(pid)
+    }
   }
 }

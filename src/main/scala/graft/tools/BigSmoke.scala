@@ -21,7 +21,18 @@ import org.apache.spark.sql.functions._
   * Appends the numbers to SOAK.md ("Large-corpus smoke" section) and
   * prints them. Fixture cached under /tmp/graft_bigsmoke (marker file);
   * artifacts go through the normal IndexCatalog root. Run:
-  * `SPARK_GRAFT_CPUS=32 sbt "runMain graft.tools.BigSmoke"`.
+  * `SPARK_DRIVER_MEM=48g SPARK_GRAFT_CPUS=32 sbt "runMain graft.tools.BigSmoke"`.
+  * (The heap must come from SPARK_DRIVER_MEM — build.sbt feeds it to the
+  * forked run JVM's -Xmx; a session-builder spark.driver.memory is inert
+  * in local mode, the JVM is already running.)
+  *
+  * `incr` mode (round 16): the segment-store lifecycle at the same
+  * scale — 5M-row base through Segments.init, IncrHnsw base build
+  * (20k-row chunk fleet, the parallel one-job path), 10×50k appends
+  * with per-append side-graph walls, search p50 as the graph count
+  * grows, a 1% delete wave (the tombstone-overfetch serving path), and
+  * the vacuum rebuild. Appends an "Incremental-store smoke" section to
+  * SOAK.md. Run: `... sbt "runMain graft.tools.BigSmoke incr"`.
   */
 object BigSmoke {
   private val N = 5000000L
@@ -44,7 +55,9 @@ object BigSmoke {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
-      .config("spark.driver.memory", "48g")
+      // heap comes from SPARK_DRIVER_MEM via build.sbt javaOptions —
+      // setting spark.driver.memory here would be silently inert (local
+      // mode: the driver JVM is already running; round-15 advice)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.functions.registerAll(spark)
@@ -97,6 +110,12 @@ object BigSmoke {
 
     def wall(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+
+    if (args.contains("incr")) {
+      runIncr(spark, dir, embPath, cpus)
+      spark.stop()
+      return
     }
 
     // ---- builds (drop first so the wall is a real build; pass
@@ -220,10 +239,124 @@ grow with corpus size (resident routed graphs / pruned IVF scans).
     if (java.nio.file.Files.exists(soak)) {
       val cur = java.nio.file.Files.readString(soak)
       val cut = cur.indexOf("\n## Large-corpus smoke")
+      val tail = if (cut >= 0) {
+        // keep any later incr section
+        val rest = cur.substring(cut + 1)
+        val nxt = rest.indexOf("\n## Incremental-store smoke")
+        if (nxt >= 0) rest.substring(nxt) else ""
+      } else ""
       val base = if (cut >= 0) cur.substring(0, cut) else cur
-      java.nio.file.Files.writeString(soak, base + table)
+      java.nio.file.Files.writeString(soak, base + table + tail)
       println("[bigsmoke] SOAK.md appendix updated")
     }
     spark.stop()
+  }
+
+  /** The segment-store lifecycle at 5M rows (round 16): base build,
+    * append cadence, tombstone serving, vacuum. Prints + appends an
+    * "Incremental-store smoke" section to SOAK.md. */
+  private def runIncr(spark: SparkSession, dir: String, embPath: String,
+      cpus: String): Unit = {
+    import graft.operators.{IncrHnsw, Segments}
+    import graft.index.IndexCatalog
+    def wall(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    val segDir = s"$dir/segstore"
+    val name = "bigsmoke_incr"
+    def emb = spark.read.parquet(embPath).select(col("vec_id"), col("embedding"))
+    // fresh store every run — the lifecycle IS the measurement
+    IndexCatalog.drop(spark, name)
+    def rm(f: java.io.File): Unit = { if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete() }
+    rm(new java.io.File(segDir))
+    val tInit = wall { Segments.init(spark, segDir, emb, "vec_id") }
+    println(f"[bigsmoke-incr] store init ($N%d rows) ${tInit}%.1f s")
+    // base fleet: default 20k-row cap -> ~250 chunk graphs, built by the
+    // round-16 ONE-JOB parallel path (the former serial loop was the
+    // first finding this smoke produced)
+    val tBase = wall { IncrHnsw.ensure(spark, name, segDir, "vec_id",
+      "embedding", efConstruction = 100) }
+    def graphCount = Option(new java.io.File(
+      IndexCatalog.dataDir(spark, name)).listFiles())
+      .getOrElse(Array.empty).count(_.getName.endsWith(".bin"))
+    println(f"[bigsmoke-incr] base build ${tBase}%.1f s ($graphCount%d graphs)")
+    val qs = emb.filter(col("vec_id") % lit(N / 16) === 0)
+      .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+    def searchP50(label: String): Double = {
+      IncrHnsw.search(spark, name, segDir, "vec_id", qs.head, 10).collect()
+      val lat = qs.map(q => wall {
+        IncrHnsw.search(spark, name, segDir, "vec_id", q, 10).collect()
+      }).sorted
+      val p50 = lat(lat.length / 2)
+      println(f"[bigsmoke-incr] search p50 $label ${p50 * 1000}%.0f ms " +
+        f"($graphCount%d graphs)")
+      p50
+    }
+    val p50Base = searchP50("base")
+    // 10 x 50k appends (new ids above the corpus), ensure after each —
+    // the StreamingIngest cadence at its sealed-delta grain
+    val appendWalls = (1 to 10).map { i =>
+      val batch = emb.filter(col("vec_id") % lit(100) === lit(i.toLong))
+        .limit(50000)
+        .select((col("vec_id") + lit(N * (i + 1))).as("vec_id"),
+          col("embedding"))
+      // fresh ids -> no shadow tombstones (shadow is the REINSERT
+      // spelling; a shadow row per appended id would inflate the
+      // serving-side tombstone overfetch with tombstones that hide
+      // nothing)
+      val tA = wall { Segments.append(spark, segDir, batch, "vec_id",
+        shadow = false) }
+      val tE = wall { IncrHnsw.ensure(spark, name, segDir, "vec_id",
+        "embedding", efConstruction = 100) }
+      println(f"[bigsmoke-incr] append $i%2d: stage ${tA}%.1f s, " +
+        f"side graphs ${tE}%.1f s ($graphCount%d graphs)")
+      (tA, tE)
+    }
+    val p50Appended = searchP50("after 10 appends")
+    // 1% delete wave: every 100th base id
+    val tDel = wall { Segments.delete(spark, segDir,
+      emb.filter(col("vec_id") % 100 === 37).select(col("vec_id")),
+      "vec_id") }
+    println(f"[bigsmoke-incr] 1%% delete (${N / 100}%d ids) ${tDel}%.1f s")
+    val p50Deleted = searchP50("after 1% deletes")
+    // vacuum: compact the store + full fleet rebuild (reclaims dead
+    // rows, folds side graphs)
+    val tVacuum = wall { IncrHnsw.vacuum(spark, name, segDir, "vec_id",
+      "embedding", efConstruction = 100) }
+    println(f"[bigsmoke-incr] vacuum (compact + rebuild) ${tVacuum}%.1f s")
+    val p50Vacuumed = searchP50("after vacuum")
+    val sideMean = appendWalls.map(_._2).sum / appendWalls.length
+    val table =
+      f"""
+## Incremental-store smoke (round 16, one-off direct measurement)
+
+The segment-store lifecycle at the 5M corpus, single node
+local[$cpus%s]: StreamingIngest-cadence appends get one side graph per
+sealed delta, deletes are tombstone-only, vacuum folds everything.
+Side-graph build cost is per-DELTA (constant in corpus size); the
+serving rows measure the per-graph fan-out and the tombstone-overfetch
+path directly.
+
+| item | value |
+|---|---|
+| store init ($N%d rows) | ${tInit}%.1f s |
+| base fleet build (20k-row chunks, one parallel job) | ${tBase}%.1f s |
+| search p50, base | ${p50Base * 1000}%.0f ms |
+| append 50k: stage + side-graph mean (10 appends) | ${appendWalls.map(_._1).sum / 10}%.1f s + ${sideMean}%.1f s |
+| search p50, after 10 appends | ${p50Appended * 1000}%.0f ms |
+| 1%% delete wave (${N / 100}%d tombstones) | ${tDel}%.1f s |
+| search p50, after deletes (overfetch path) | ${p50Deleted * 1000}%.0f ms |
+| vacuum (compact + fleet rebuild) | ${tVacuum}%.1f s |
+| search p50, after vacuum | ${p50Vacuumed * 1000}%.0f ms |
+"""
+    val soak = java.nio.file.Paths.get("SOAK.md")
+    if (java.nio.file.Files.exists(soak)) {
+      val cur = java.nio.file.Files.readString(soak)
+      val cut = cur.indexOf("\n## Incremental-store smoke")
+      val base = if (cut >= 0) cur.substring(0, cut) else cur
+      java.nio.file.Files.writeString(soak, base + table)
+      println("[bigsmoke-incr] SOAK.md appendix updated")
+    }
   }
 }

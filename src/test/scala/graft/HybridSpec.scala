@@ -167,6 +167,30 @@ class HybridSpec extends SparkSpec {
         .orderBy(col("dist"), col("vec_id")).limit(25)
         .as[(Long, Double)].collect().toSeq
       assert(got == want)
+      // round 16: the chunk set builds in ONE task-parallel job — each
+      // published chunk must stay byte-identical to the serial
+      // reference (same pmod(xxhash64) assignment, same id-sorted
+      // insertion); any divergence is a graph change, not a scheduling
+      // change
+      val nChunks = 6 // ceil(300 rows / 50 cap) — the build's formula
+      sides.foreach { f =>
+        val c = f.stripPrefix("side-1-").stripSuffix(".bin").toInt
+        val published = java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(dir, f))
+        val chunkRows = spark.read.parquet(s"$segDir/delta-1")
+          .filter(pmod(xxhash64(col("vec_id").cast("long")),
+            lit(nChunks.toLong)) === c.toLong)
+          .select(col("vec_id").cast("long"), col("embedding"))
+          .as[(Long, Array[Float])].collect().sortBy(_._1)
+        val g = new graft.operators.Hnsw.Graph("l2", 12, 300)
+        chunkRows.foreach { case (id, v) => g.insert(id, v) }
+        val buf = new java.io.ByteArrayOutputStream()
+        val os = new java.io.DataOutputStream(buf)
+        graft.operators.Hnsw.FlatGraph.write(os, g.snapshot)
+        os.close()
+        assert(java.util.Arrays.equals(published, buf.toByteArray),
+          s"parallel chunk $f diverges from the serial reference build")
+      }
     } finally {
       spark.conf.unset("spark.graft.segments.maxGrowingRows")
       graft.index.IndexCatalog.drop(spark, name)
