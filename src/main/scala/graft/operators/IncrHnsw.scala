@@ -53,53 +53,6 @@ object IncrHnsw {
       name.stripPrefix("rebase-").stripSuffix(".bin").split("-")(0).toLong
     else 0L
 
-  /** Build one side/base-chunk graph in ONE EXECUTOR TASK (round-6: the
-    * former driver-side collect+insert serialized every append on the
-    * driver). The chunk is shuffled to a single sorted partition and the
-    * task inserts in id order — the exact insertion sequence of the old
-    * driver build, so the published file is byte-identical (the spec
-    * asserts it against an in-test reference build). Write-then-rename
-    * with an attempt-unique tmp, like the base build
-    * (Hnsw.ensure:583-609): retried/speculative tasks never interleave
-    * and readers never see partials. */
-  private def buildGraphFile(spark: SparkSession, rows: DataFrame,
-      idCol: String, vecCol: String, metric: String, out: java.io.File,
-      m: Int, efConstruction: Int): Unit = {
-    import spark.implicits._
-    out.getParentFile.mkdirs()
-    val outPath = out.getAbsolutePath
-    val parentPath = out.getParentFile.getAbsolutePath
-    val outName = out.getName
-    val hconf = Hnsw.confEntries(spark)
-    rows.filter(col(vecCol).isNotNull &&
-        graft.functions.vectorIsFinite(col(vecCol)))
-      .select(col(idCol).cast("long"), col(vecCol))
-      .as[(Long, Array[Float])]
-      .repartition(1).sortWithinPartitions(col(idCol))
-      .mapPartitions { it =>
-        val g = new Hnsw.Graph(metric, m, efConstruction)
-        it.foreach { case (id, v) => g.insert(id, v) }
-        if (g.size == 0) Iterator.empty
-        else {
-          val attempt = org.apache.spark.TaskContext.get().taskAttemptId()
-          val p = new org.apache.hadoop.fs.Path(outPath)
-          val tmp = new org.apache.hadoop.fs.Path(parentPath,
-            s".$outName-$attempt.tmp")
-          val pfs = p.getFileSystem(Hnsw.mkConf(hconf))
-          val os = new java.io.DataOutputStream(
-            new java.io.BufferedOutputStream(pfs.create(tmp, true), 1 << 20))
-          try Hnsw.FlatGraph.write(os, g.snapshot) finally os.close()
-          if (!pfs.rename(tmp, p)) {
-            if (!pfs.exists(p))
-              throw new java.io.IOException(s"failed to publish $p")
-            pfs.delete(tmp, false)
-          }
-          Iterator.single(1)
-        }
-      }.collect()
-    ()
-  }
-
   /** Build the graph file(s) for one segment, each in one executor task
     * over at most [[Segments.maxGrowingRows]] rows: a segment within the
     * cap gets one file at `stem.bin`; an oversized one is hash-split on
@@ -111,39 +64,64 @@ object IncrHnsw {
   private def buildSegmentGraphs(spark: SparkSession, rows: DataFrame,
       idCol: String, vecCol: String, metric: String,
       dataDir: java.io.File, stem: String, m: Int, efConstruction: Int): Unit = {
+    buildSegmentGraphsAll(spark, Seq(stem -> rows), idCol, vecCol, metric,
+      dataDir, m, efConstruction)
+  }
+
+  /** Build the graph files of a SET of segments in ONE shuffle job
+    * (round 16): the former per-segment (and per-chunk) loops ran
+    * sequential single-task jobs — a 5M base at the 20k cap meant 250
+    * serial scans+builds, and the incr BigSmoke measured each 50k
+    * append paying 3 sequential side builds (~19 s) where one task
+    * wave suffices. Per-segment chunk counts come from one union count
+    * job (UNfiltered, the serial path's n<=cap naming rule); the exact
+    * [[Hnsw.PidPartitioner]] pins partition == (segment, chunk)
+    * ordinal, so chunk assignment (pmod(xxhash64(id), nChunks)) and
+    * id-sorted insertion — and therefore every published file's BYTES
+    * and NAME — are identical to the serial path (HybridSpec asserts
+    * it per chunk file). */
+  private def buildSegmentGraphsAll(spark: SparkSession,
+      segs: Seq[(String, DataFrame)], idCol: String, vecCol: String,
+      metric: String, dataDir: java.io.File, m: Int,
+      efConstruction: Int): Unit = {
+    if (segs.isEmpty) return
+    import spark.implicits._
+    dataDir.mkdirs()
     val cap = Segments.maxGrowingRows(spark)
-    val n = rows.count()
-    if (n <= cap)
-      buildGraphFile(spark, rows, idCol, vecCol, metric,
-        new java.io.File(dataDir, s"$stem.bin"), m, efConstruction)
-    else {
-      // ONE shuffle + one job for the whole chunk set (round 16): the
-      // former per-chunk loop ran nChunks sequential single-task jobs,
-      // each rescanning the entire segment — O(nChunks) source scans
-      // and a serial build wall that made a 5M-row full rebuild
-      // driver-paced (the incr BigSmoke's first finding). Chunk
-      // assignment (pmod(xxhash64(id), nChunks)) and per-chunk id-sorted
-      // insertion are unchanged, so every published file is
-      // byte-identical to the serial path's; the exact PidPartitioner
-      // pins partition == chunk (hash repartition could collide chunks).
-      import spark.implicits._
-      val nChunks = ((n + cap - 1) / cap).toInt
-      val writer = new SegmentGraphWriter(dataDir.getAbsolutePath, stem,
-        metric, m, efConstruction, Hnsw.confEntries(spark))
-      rows.filter(col(vecCol).isNotNull &&
-          graft.functions.vectorIsFinite(col(vecCol)))
-        .select(
-          pmod(xxhash64(col(idCol).cast("long")), lit(nChunks.toLong))
-            .cast("int").as("_chunk"),
-          col(idCol).cast("long").as("_id"), col(vecCol))
-        .as[(Int, Long, Array[Float])]
-        .rdd.map { case (c, id, v) => (c, (id, v)) }
-        .partitionBy(new Hnsw.PidPartitioner(nChunks))
-        .map(_._2)
-        .mapPartitions(writer.run _)
-        .collect()
-      ()
+    val counted: Map[Int, Long] = segs.zipWithIndex
+      .map { case ((_, df), i) => df.select(lit(i).as("_seg")) }
+      .reduce(_ unionAll _)
+      .groupBy(col("_seg")).count().as[(Int, Long)].collect().toMap
+    val chunks: Seq[Int] = segs.indices.map { i =>
+      val n = counted.getOrElse(i, 0L)
+      math.max(1L, (n + cap - 1) / cap).toInt
     }
+    val pidBase = chunks.scanLeft(0)(_ + _)
+    val names: Array[String] = segs.indices.flatMap { i =>
+      val stem = segs(i)._1
+      if (chunks(i) == 1) Seq(s"$stem.bin")
+      else (0 until chunks(i)).map(c => f"$stem-$c%05d.bin")
+    }.toArray
+    val writer = new SegmentGraphWriter(dataDir.getAbsolutePath, names,
+      metric, m, efConstruction, Hnsw.confEntries(spark))
+    segs.zipWithIndex.map { case ((_, df), i) =>
+      val pidExpr =
+        if (chunks(i) == 1) lit(pidBase(i))
+        else lit(pidBase(i)) +
+          pmod(xxhash64(col(idCol).cast("long")), lit(chunks(i).toLong))
+            .cast("int")
+      df.filter(col(vecCol).isNotNull &&
+          graft.functions.vectorIsFinite(col(vecCol)))
+        .select(pidExpr.cast("int").as("_pid"),
+          col(idCol).cast("long").as("_id"), col(vecCol).as("_v"))
+    }.reduce(_ unionAll _)
+      .as[(Int, Long, Array[Float])]
+      .rdd.map { case (p, id, v) => (p, (id, v)) }
+      .partitionBy(new Hnsw.PidPartitioner(pidBase.last))
+      .map(_._2)
+      .mapPartitions(writer.run _)
+      .collect()
+    ()
   }
 
   /** Sync the index to the segment store's committed state, building
@@ -182,14 +160,15 @@ object IncrHnsw {
       if (dataDir.exists()) { def rm(f: java.io.File): Unit = {
         if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
         f.delete() }; rm(dataDir) }
-      buildSegmentGraphs(spark, spark.read.parquet(s"$segDir/base-${st.gen}"),
-        idCol, vecCol, metric, dataDir, f"base-${st.gen}-00000",
-        m, efConstruction)
-      Segments.deltaDirs(segDir, st).foreach { dd =>
-        val seq = new java.io.File(dd).getName.stripPrefix("delta-").toLong
-        buildSegmentGraphs(spark, spark.read.parquet(dd), idCol, vecCol, metric,
-          dataDir, s"side-$seq", m, efConstruction)
-      }
+      // base + every existing delta in ONE job (round 16)
+      val segsAll = (f"base-${st.gen}-00000" ->
+          spark.read.parquet(s"$segDir/base-${st.gen}")) +:
+        Segments.deltaDirs(segDir, st).map { dd =>
+          val seq = new java.io.File(dd).getName.stripPrefix("delta-").toLong
+          s"side-$seq" -> spark.read.parquet(dd)
+        }
+      buildSegmentGraphsAll(spark, segsAll, idCol, vecCol, metric,
+        dataDir, m, efConstruction)
       IndexCatalog.commit(spark, name, IndexCatalog.Manifest(
         "hnsw_incr", segDir, metric,
         Map("gen" -> st.gen.toString, "seq" -> st.seq.toString,
@@ -199,13 +178,16 @@ object IncrHnsw {
     } else if (st.seq > priorSeq) {
       // incremental: ONLY deltas newer than what the index covers get a
       // side graph; existing files are untouched (deletes are pure
-      // tombstone work — no graph change at all)
-      Segments.deltaDirs(segDir, st).foreach { dd =>
+      // tombstone work — no graph change at all). All new deltas build
+      // in one job (round 16).
+      val newSegs = Segments.deltaDirs(segDir, st).flatMap { dd =>
         val seq = new java.io.File(dd).getName.stripPrefix("delta-").toLong
         if (seq > priorSeq)
-          buildSegmentGraphs(spark, spark.read.parquet(dd), idCol, vecCol, metric,
-            dataDir, s"side-$seq", m, efConstruction)
+          Some(s"side-$seq" -> spark.read.parquet(dd))
+        else None
       }
+      buildSegmentGraphsAll(spark, newSegs, idCol, vecCol, metric,
+        dataDir, m, efConstruction)
       val pm = prior.get
       IndexCatalog.commit(spark, name, pm.copy(
         params = pm.params + ("seq" -> st.seq.toString)))
@@ -325,12 +307,25 @@ object IncrHnsw {
         .groupBy(col(idCol)).agg(max(col("_tomb_ver")).as("_tomb_ver")))
       case (a, b) => a.orElse(b)
     }
-    // the version filter runs AFTER the per-graph top-k, so each graph
-    // over-fetches by the tombstone count — at most that many of its
-    // candidates can be dead (tombstones are small by the lifecycle
-    // contract: compaction folds them away)
-    val deadCount = tombs.map(_.count()).getOrElse(0L)
-    val fetch = math.min(k.toLong + deadCount, Int.MaxValue.toLong).toInt
+    // Tombstones travel as a BROADCAST map and visibility is checked
+    // IN the search task (round 16): the former broadcast JOIN
+    // collected the same rows to the driver anyway, but forced every
+    // graph to over-fetch by the TOTAL tombstone count up front — a 1%
+    // delete wave at the 5M smoke made every search a per-graph full
+    // scan (744 ms vs 102 ms p50). Per graph, k VISIBLE candidates
+    // suffice for the global visible top-k, so the first pass
+    // over-fetches by a BOUNDED slack and a graph re-searches at the
+    // sound k+deadCount ceiling only when its fetch both filled up AND
+    // yielded fewer than k visible rows — locally, in the same task,
+    // no second job. Exact mode keeps its proof: bruteForce at the
+    // ceiling returns the graph's true visible top-k.
+    val tombArr: Array[(Long, Long)] = tombs.map(
+      _.select(col(idCol).cast("long"), col("_tomb_ver").cast("long"))
+        .as[(Long, Long)].collect()).getOrElse(Array.empty)
+    val deadCount = tombArr.length.toLong
+    val fetch0 = math.min(k.toLong + math.min(deadCount, 4L * k),
+      Int.MaxValue.toLong).toInt
+    val fetchMax = math.min(k.toLong + deadCount, Int.MaxValue.toLong).toInt
     // per-graph BEAM headroom (round 13): ef == k beams lose
     // recoverable neighbors to local minima — the coded-graph rerank-
     // window precedent (round 5). At the former ef = max(efSearch,
@@ -342,38 +337,54 @@ object IncrHnsw {
     // graphs, so the loss was beam-local, not fleet-selection.
     val efMult = spark.conf.get("spark.graft.incrhnsw.efMult", "2").toInt
     val bq = spark.sparkContext.broadcast(q)
+    val btombs = spark.sparkContext.broadcast(tombArr.toMap)
     val hconf = Hnsw.confEntries(spark)
+    val kk = k
+    val ef0 = efSearch
+    val ex = exact
+    // graphs PACK into ~2 tasks per core (round 16): one task per file
+    // put 250+ near-no-op tasks on the scheduler per query at the 5M
+    // smoke — scheduling, not search, dominated the p50. Files in one
+    // task resolve through the GraphCache sequentially, one ref live at
+    // a time (the round-7 convention).
+    val slices = math.max(1, math.min(files.length,
+      spark.sparkContext.defaultParallelism * 2))
     val hits = spark.sparkContext
-      .parallelize(files, files.length)
+      .parallelize(files, slices)
       .mapPartitions { it =>
         val conf = Hnsw.mkConf(hconf)
+        val tm = btombs.value
         it.flatMap { case (f, ver) =>
           val g = Hnsw.GraphCache.get(f, conf)
-          val res = if (exact) g.bruteForce(bq.value, fetch)
-                    else g.search(bq.value, fetch,
-                      math.max(efSearch, fetch * efMult))
-          res.iterator.map { case (d, id) => (id, d, ver) }
+          def run(fetch: Int): Seq[(Double, Long)] =
+            if (ex) g.bruteForce(bq.value, fetch)
+            else g.search(bq.value, fetch,
+              math.max(ef0, fetch * efMult))
+          def visible(rs: Seq[(Double, Long)]): Seq[(Double, Long)] =
+            rs.filter { case (_, id) =>
+              tm.get(id).forall(_ < ver) }
+          val first = run(fetch0)
+          var vis = visible(first)
+          if (fetchMax > fetch0 && vis.lengthCompare(kk) < 0 &&
+              first.lengthCompare(fetch0) >= 0)
+            vis = visible(run(fetchMax))
+          // per-graph cap at k: the global top-k is covered by the
+          // union of per-graph visible top-k (results are dist-sorted)
+          vis.take(kk).iterator.map { case (d, id) => (id, d) }
         }
-      }.toDF(idCol, "dist", "_gver")
-    val visible = tombs match {
-      case Some(t) => hits.join(broadcast(t), Seq(idCol), "left_outer")
-        .filter(col("_tomb_ver").isNull || col("_tomb_ver") < col("_gver"))
-        .drop("_tomb_ver")
-      case None => hits
-    }
-    visible.select(col(idCol), col("dist"))
-      .orderBy(col("dist"), col(idCol)).limit(k)
+      }.toDF(idCol, "dist")
+    hits.orderBy(col("dist"), col(idCol)).limit(k)
   }
 }
 
-/** Top-level serializable per-chunk graph writer for
-  * [[IncrHnsw.buildSegmentGraphs]]'s parallel path (the GraphFileWriter
-  * convention: a local def would capture the non-serializable IncrHnsw$
-  * singleton). Sorts its partition by id and publishes
-  * `<stem>-<pid>%05d.bin` write-then-rename with an attempt-unique tmp
-  * — the serial buildGraphFile naming and bytes, task-parallel. */
-private[graft] class SegmentGraphWriter(dataDir: String, stem: String,
-    metric: String, m: Int, efConstruction: Int,
+/** Top-level serializable per-(segment, chunk) graph writer for
+  * [[IncrHnsw.buildSegmentGraphsAll]]'s one-job path (the
+  * GraphFileWriter convention: a local def would capture the
+  * non-serializable IncrHnsw$ singleton). Sorts its partition by id and
+  * publishes `names(pid)` write-then-rename with an attempt-unique tmp
+  * — the serial per-segment naming and bytes, task-parallel. */
+private[graft] class SegmentGraphWriter(dataDir: String,
+    names: Array[String], metric: String, m: Int, efConstruction: Int,
     hconf: Seq[(String, String)]) extends Serializable {
   def run(it: Iterator[(Long, Array[Float])]): Iterator[Int] = {
     val rows = it.toArray.sortBy(_._1)
@@ -384,9 +395,10 @@ private[graft] class SegmentGraphWriter(dataDir: String, stem: String,
       val tc = org.apache.spark.TaskContext.get()
       val pid = tc.partitionId()
       val attempt = tc.taskAttemptId()
-      val p = new org.apache.hadoop.fs.Path(f"$dataDir/$stem-$pid%05d.bin")
+      val name = names(pid)
+      val p = new org.apache.hadoop.fs.Path(s"$dataDir/$name")
       val tmp = new org.apache.hadoop.fs.Path(
-        f"$dataDir/.$stem-$pid%05d-$attempt.tmp")
+        s"$dataDir/.$name-$attempt.tmp")
       val pfs = p.getFileSystem(Hnsw.mkConf(hconf))
       val out = new java.io.DataOutputStream(
         new java.io.BufferedOutputStream(pfs.create(tmp, true), 1 << 20))
