@@ -1473,6 +1473,17 @@ object Hnsw {
     math.max(efSearch,
       k * spark.conf.get("spark.graft.hnsw.efMult", "2").toInt)
 
+  /** Slice count for per-graph-file serving jobs (round 16): one task
+    * per file puts hundreds of near-no-op tasks on the scheduler for
+    * large fleets — scheduling, not search, dominated the 5M incr
+    * smoke's p50 at 250 graphs (1120 ms → 78 ms packed at ~2 tasks per
+    * core). Files sharing a task resolve through the GraphCache
+    * sequentially, one ref live at a time (the round-7 convention);
+    * results are a union either way. */
+  private[graft] def fileSlices(spark: org.apache.spark.sql.SparkSession,
+      n: Int): Int =
+    math.max(1, math.min(n, spark.sparkContext.defaultParallelism * 2))
+
   /** Scalar search over an explicit graph-file list — the per-file tasks
     * of [[searchIndex]] with discovery/routing already done. The
     * partitioned parent's routed scalar path calls this with its
@@ -1485,7 +1496,7 @@ object Hnsw {
     val bq = spark.sparkContext.broadcast(q)
     val hconf = confEntries(spark)
     val hits = spark.sparkContext
-      .parallelize(files, files.length)
+      .parallelize(files, fileSlices(spark, files.length))
       .mapPartitions { it =>
         val conf = mkConf(hconf)
         it.flatMap { f =>
@@ -1610,7 +1621,7 @@ object Hnsw {
     val bq = spark.sparkContext.broadcast(q)
     val hconf = confEntries(spark)
     val hits = spark.sparkContext
-      .parallelize(files, files.length)
+      .parallelize(files, fileSlices(spark, files.length))
       .mapPartitions { it =>
         val conf = mkConf(hconf)
         it.flatMap { f =>
@@ -1644,7 +1655,7 @@ object Hnsw {
     val bq = spark.sparkContext.broadcast(q)
     val hconf = confEntries(spark)
     spark.sparkContext
-      .parallelize(files, files.length)
+      .parallelize(files, fileSlices(spark, files.length))
       .mapPartitions { it =>
         val conf = mkConf(hconf)
         it.flatMap { f =>
@@ -1959,7 +1970,7 @@ object Hnsw {
     val bq = spark.sparkContext.broadcast(queries)
     val hconf = confEntries(spark)
     val hits = spark.sparkContext
-      .parallelize(files, files.length)
+      .parallelize(files, fileSlices(spark, files.length))
       .mapPartitions { it =>
         val conf = mkConf(hconf)
         it.flatMap { f =>

@@ -358,7 +358,7 @@ object HnswSq {
         val ef = math.max(efSearch, k * math.max(window, 1))
         val hconf = Hnsw.confEntries(spark)
         val frontier = spark.sparkContext
-          .parallelize(files, files.length)
+          .parallelize(files, Hnsw.fileSlices(spark, files.length))
           .mapPartitions { it =>
             val conf = Hnsw.mkConf(hconf)
             it.flatMap { f =>

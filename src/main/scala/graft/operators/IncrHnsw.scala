@@ -286,6 +286,56 @@ object IncrHnsw {
   private def binOrParquetNonEmpty(dir: java.io.File): Boolean =
     Option(dir.listFiles()).getOrElse(Array.empty).exists(_.getName.endsWith(".parquet"))
 
+  /** DRIVER-side tombstone snapshot cache (round 16): the merged
+    * (id → max tomb version) pairs of live tombstones + the promoted
+    * dead/ parquet, keyed per (store, index) and fingerprinted on the
+    * store's VERSION pointer (every delete/append/compact rewrites it)
+    * plus the dead/ dir identity (promote-on-compact swaps it whole) —
+    * without this, EVERY search paid a tombstone read job. One entry
+    * per (store, index), pruned when the store's VERSION disappears
+    * (the tupleCache convention); memory is the tombstone count the
+    * broadcast already held. */
+  private val tombCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, Array[(Long, Long)])]()
+
+  private def tombstoneSnapshot(spark: SparkSession, segDir: String,
+      dataDir: java.io.File, idCol: String): Array[(Long, Long)] = {
+    import spark.implicits._
+    locally {
+      val it = tombCache.keys()
+      while (it.hasMoreElements) {
+        val key = it.nextElement()
+        val sd = key.substring(0, key.indexOf('|'))
+        if (!new java.io.File(sd, "VERSION").isFile) tombCache.remove(key)
+      }
+    }
+    val deadDir = new java.io.File(dataDir, "dead")
+    val deadFiles = Option(deadDir.listFiles()).getOrElse(Array.empty)
+    // the committed (gen, seq) is the fingerprint's core — seq strictly
+    // increases per commit, so rapid-fire delete/search sequences can't
+    // alias through mtime granularity; dead/ identity covers
+    // promote-on-compact's whole-dir swap
+    val st = Segments.state(segDir)
+    val fp = s"${st.gen}:${st.seq}:" +
+      s"${deadDir.lastModified()}:${deadFiles.length}"
+    tombCache.compute(s"$segDir|${dataDir.getPath}", (_, prior) => {
+      if (prior != null && prior._1 == fp) prior
+      else {
+        val dead = if (deadDir.isDirectory && binOrParquetNonEmpty(deadDir))
+          Some(spark.read.parquet(deadDir.getAbsolutePath)) else None
+        val live = Segments.tombstoneMax(spark, segDir, idCol)
+        val tombs = (dead, live) match {
+          case (Some(a), Some(b)) => Some(a.unionByName(b)
+            .groupBy(col(idCol)).agg(max(col("_tomb_ver")).as("_tomb_ver")))
+          case (a, b) => a.orElse(b)
+        }
+        (fp, tombs.map(
+          _.select(col(idCol).cast("long"), col("_tomb_ver").cast("long"))
+            .as[(Long, Long)].collect()).getOrElse(Array.empty))
+      }
+    })._2
+  }
+
   /** Search every resident graph (base + promoted + fresh sides), then
     * version-filter: a row from a graph carrying version v is hidden by
     * any tombstone (live OR promoted-dead) with _tomb_ver >= v. exact
@@ -298,15 +348,6 @@ object IncrHnsw {
     val files = binFiles(dataDir).map(f => (f.getAbsolutePath, fileVer(f.getName)))
     if (files.isEmpty)
       return spark.emptyDataset[(Long, Double)].toDF(idCol, "dist")
-    val deadDir = new java.io.File(dataDir, "dead")
-    val dead = if (deadDir.isDirectory && binOrParquetNonEmpty(deadDir))
-      Some(spark.read.parquet(deadDir.getAbsolutePath)) else None
-    val live = Segments.tombstoneMax(spark, segDir, idCol)
-    val tombs = (dead, live) match {
-      case (Some(a), Some(b)) => Some(a.unionByName(b)
-        .groupBy(col(idCol)).agg(max(col("_tomb_ver")).as("_tomb_ver")))
-      case (a, b) => a.orElse(b)
-    }
     // Tombstones travel as a BROADCAST map and visibility is checked
     // IN the search task (round 16): the former broadcast JOIN
     // collected the same rows to the driver anyway, but forced every
@@ -319,9 +360,7 @@ object IncrHnsw {
     // yielded fewer than k visible rows — locally, in the same task,
     // no second job. Exact mode keeps its proof: bruteForce at the
     // ceiling returns the graph's true visible top-k.
-    val tombArr: Array[(Long, Long)] = tombs.map(
-      _.select(col(idCol).cast("long"), col("_tomb_ver").cast("long"))
-        .as[(Long, Long)].collect()).getOrElse(Array.empty)
+    val tombArr = tombstoneSnapshot(spark, segDir, dataDir, idCol)
     val deadCount = tombArr.length.toLong
     val fetch0 = math.min(k.toLong + math.min(deadCount, 4L * k),
       Int.MaxValue.toLong).toInt
