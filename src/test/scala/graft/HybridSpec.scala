@@ -197,6 +197,37 @@ class HybridSpec extends SparkSpec {
     }
   }
 
+  test("tombstone snapshot cache invalidates on every commit (rapid delete/search)") {
+    // round 16: searches reuse a driver-side tombstone snapshot keyed on
+    // the committed (gen, seq) — back-to-back delete/search sequences
+    // (faster than mtime granularity) must still observe each commit
+    import graft.operators.IncrHnsw
+    val segDir = Files.createTempDirectory("graft_incr_tombcache").toString
+    val name = "hybridspec_tombcache"
+    graft.index.IndexCatalog.drop(spark, name)
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val q: Array[Float] = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    Segments.init(spark, segDir, emb.filter(col("vec_id") < 60), "vec_id")
+    IncrHnsw.ensure(spark, name, segDir, "vec_id", "embedding")
+    def ids(): Set[Long] =
+      IncrHnsw.search(spark, name, segDir, "vec_id", q, 60, exact = true)
+        .select("vec_id").as[Long].collect().toSet
+    try {
+      assert(ids().contains(0L))
+      Segments.delete(spark, segDir,
+        spark.range(1).select(lit(0L).as("vec_id")), "vec_id")
+      assert(!ids().contains(0L), "a just-committed delete must be visible")
+      assert(ids().contains(1L))
+      Segments.delete(spark, segDir,
+        spark.range(1).select(lit(1L).as("vec_id")), "vec_id")
+      assert(!ids().contains(1L),
+        "the second rapid-fire delete must be visible too")
+      assert(ids().size === 58)
+    } finally graft.index.IndexCatalog.drop(spark, name)
+  }
+
   test("executor-side side-graph build is byte-identical to the insertion-order reference") {
     // round-6: buildGraphFile moved from a driver collect+insert to one
     // executor task (sorted single partition). Same id-ordered insertion
