@@ -104,6 +104,19 @@ object GraftSqlParser {
   private val SearchPathRe =
     """(?is)\s*SET\s+search_path\s*(?:=|\s+TO\s+)[^;]*;?\s*""".r
 
+  // PG transaction-block statements (tests/transaction/test.sql):
+  // claimed only as STANDALONE statements — Spark has no bare
+  // BEGIN/COMMIT/ABORT/ROLLBACK, and a SQL-scripting compound block
+  // ("BEGIN <body> END") arrives as one text that these whole-string
+  // patterns never match. `END` (PG's COMMIT synonym) is deliberately
+  // unclaimed — it is the scripting terminator's spelling.
+  private val TxnBeginRe =
+    """(?is)\s*BEGIN(?:\s+(?:TRANSACTION|WORK))?\s*;?\s*""".r
+  private val TxnCommitRe =
+    """(?is)\s*COMMIT(?:\s+(?:TRANSACTION|WORK))?\s*;?\s*""".r
+  private val TxnAbortRe =
+    """(?is)\s*(?:ABORT|ROLLBACK)(?:\s+(?:TRANSACTION|WORK))?\s*;?\s*""".r
+
   // PG `SHOW <guc>` (compact_var.slt's read statements) — claimed only
   // for the reference GUC spellings (Gucs.isGucName), so Spark's own
   // SHOW TABLES/DATABASES/... always delegate
@@ -405,6 +418,9 @@ object GraftSqlParser {
         else None
       case SearchPathRe() =>
         Some(SetSearchPathCommand())
+      case TxnBeginRe() => Some(TxnCommand("begin"))
+      case TxnCommitRe() => Some(TxnCommand("commit"))
+      case TxnAbortRe() => Some(TxnCommand("abort"))
       case ShowGucRe(key) if Gucs.isGucName(key) =>
         Some(ShowGucCommand(key))
       case ExplainRe(mode, inner) =>
@@ -547,8 +563,10 @@ object CreateVectorIndexCommand {
 /** VACUUM VECTOR INDEX: [[SqlDdl.vacuum]] — rebuild from the current
   * source, reclaiming deleted rows, serving readers throughout. */
 case class VacuumVectorIndexCommand(name: String) extends VectorIndexCommand {
-  override def run(spark: SparkSession): Seq[Row] =
+  override def run(spark: SparkSession): Seq[Row] = {
+    SqlTxn.refuseInTxn(spark, "VACUUM")
     Seq(Row(SqlDdl.vacuum(spark, name)))
+  }
 }
 
 /** ALTER VECTOR INDEX ... SET (k = v, ...): live-alter search-time
@@ -774,6 +792,20 @@ case class SetSearchPathCommand() extends VectorIndexCommand {
     Seq(Row("ok (search_path is a no-op here)"))
 }
 
+/** PG transaction-block statements (BEGIN / COMMIT / ABORT|ROLLBACK):
+  * the session-scoped DDL journal behind tests/transaction/test.sql —
+  * `BEGIN; CREATE INDEX ...; ABORT;` retracts the created index
+  * ([[SqlTxn]]; scope and divergences documented there and in
+  * CONFORMANCE's table). Mismatched COMMIT/ABORT and nested BEGIN
+  * return PG's warning text instead of erroring, PG's own behavior. */
+case class TxnCommand(kind: String) extends VectorIndexCommand {
+  override def run(spark: SparkSession): Seq[Row] = Seq(Row(kind match {
+    case "begin" => SqlTxn.begin(spark)
+    case "commit" => SqlTxn.commit(spark)
+    case _ => SqlTxn.abort(spark)
+  }))
+}
+
 /** PG `SHOW <guc>` (compact_var.slt): one row, one column named after
   * the parameter (the PG shape), value in the PG spelling
   * ([[Gucs.showValue]] — bools print on/off). */
@@ -795,6 +827,7 @@ case class ShowGucCommand(key: String)
 case class VacuumTableCommand(full: Boolean, target: Option[String],
     isPath: Boolean) extends VectorIndexCommand {
   override def run(spark: SparkSession): Seq[Row] = {
+    SqlTxn.refuseInTxn(spark, "VACUUM")
     if (!full) return Seq(Row("ok (plain VACUUM reclaims nothing here — " +
       "visibility is versioned; use VACUUM FULL to rebuild indexes)"))
     val scope = target.map(t =>

@@ -508,6 +508,11 @@ object SqlDdl {
       graft.plans.AnnPushdown.unregisterNamed(source, name)
       reregisterSource(spark, source, excluding = name)
     }
+    // transaction-block DDL (SqlTxn): a genuinely NEW index created
+    // inside BEGIN...ABORT retracts on abort; re-CREATEs of existing
+    // names rebuild in place and are not journaled (the documented
+    // narrowed scope)
+    if (prior.isEmpty) SqlTxn.journalCreate(spark, name, source)
     "ok"
   }
 

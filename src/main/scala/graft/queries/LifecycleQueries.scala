@@ -1629,6 +1629,55 @@ object LifecycleQueries {
         .select(col("label"), col("seg"), col("pos").cast("int").as("pos"),
           col("seg_rows"), col("idx_indexing"), col("idx_write"))
         .orderBy(col("label"), col("seg"), col("pos"))
+    }),
+
+    // --- PG transaction-block DDL (hooks.rs:60-106,
+    //     tests/transaction/test.sql): BEGIN; CREATE INDEX; ABORT
+    //     retracts the created index; COMMIT keeps it; VACUUM inside a
+    //     block refuses with PG's 25001 message; nested BEGIN and a
+    //     blockless COMMIT warn instead of erroring (PG behavior).
+    //     Temp source → the q_index_stat VALUES contract untouched. ---
+    "q_sql_txn_stmt" -> ((s0, d) => {
+      val s = ddlSession(s0)
+      val srcDir = adminSrc(s, d)
+      val aborted = s"txnaborted_${san(d)}"
+      val committed = s"txncommitted_${san(d)}"
+      def create(n: String) =
+        s"""CREATE VECTOR INDEX $n ON '$srcDir'
+            USING vectors (vec_id, embedding vector_l2_ops)
+            WITH (indexing = ivf, nlist = 2, kmeans_iters = 2)"""
+      IndexCatalog.drop(s, aborted); IndexCatalog.drop(s, committed)
+      s.sql("ROLLBACK") // debris guard: a crashed prior run's open block
+      require(s.sql("BEGIN").head().getString(0) == "ok")
+      val nestedWarns = s.sql("BEGIN").head().getString(0)
+        .contains("already a transaction")
+      require(s.sql(create(aborted)).head().getString(0) == "ok")
+      // each statement commits on its own — visible inside the block
+      val midVisible = IndexCatalog.load(s, aborted).isDefined
+      val vacuumRefused = scala.util.Try(
+        s.sql(s"VACUUM VECTOR INDEX $aborted")).failed.toOption
+        .exists(e => Option(e.getMessage).exists(
+          _.contains("cannot run inside a transaction block")) ||
+          Option(e.getCause).flatMap(c => Option(c.getMessage)).exists(
+            _.contains("cannot run inside a transaction block")))
+      require(s.sql("ABORT").head().getString(0).startsWith("ok (1 "),
+        "ABORT must report one retraction")
+      val abortedGone = IndexCatalog.load(s, aborted).isEmpty
+      require(s.sql("BEGIN TRANSACTION").head().getString(0) == "ok")
+      require(s.sql(create(committed)).head().getString(0) == "ok")
+      require(s.sql("COMMIT").head().getString(0) == "ok")
+      val committedStays = IndexCatalog.load(s, committed).isDefined
+      val blocklessWarns = s.sql("COMMIT").head().getString(0)
+        .contains("no transaction")
+      import s.implicits._
+      Seq(
+        ("aborted_retracted", abortedGone.toString),
+        ("blockless_commit_warns", blocklessWarns.toString),
+        ("committed_persists", committedStays.toString),
+        ("nested_begin_warns", nestedWarns.toString),
+        ("visible_inside_block", midVisible.toString),
+        ("vacuum_refused", vacuumRefused.toString))
+        .toDF("step", "result").orderBy(col("step"))
     })
   )
 
@@ -1654,6 +1703,19 @@ object LifecycleQueries {
            ('plain', 'sealed', 0, CAST(100 AS BIGINT), FALSE, CAST(0 AS BIGINT)))
          AS t(label, seg, pos, seg_rows, idx_indexing, idx_write)
          ORDER BY label, seg, pos""",
+
+    // the transaction-block DDL contract (tests/transaction/test.sql):
+    // every check computed in-query, the VALUES are the expected truth
+    "q_sql_txn_stmt" ->
+      """SELECT * FROM (VALUES
+           ('aborted_retracted', 'true'),
+           ('blockless_commit_warns', 'true'),
+           ('committed_persists', 'true'),
+           ('nested_begin_warns', 'true'),
+           ('visible_inside_block', 'true'),
+           ('vacuum_refused', 'true'))
+         AS t(step, result)
+         ORDER BY step""",
 
     "q_sql_surface" ->
       s"""SELECT e.vec_id AS vec_id, $qL2 AS dist,

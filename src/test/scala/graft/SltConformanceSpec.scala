@@ -544,6 +544,48 @@ class SltConformanceSpec extends SparkSpec {
     spark.sql("DROP TABLE pgslt_seal")
   }
 
+  test("transaction/test.sql: BEGIN; CREATE INDEX; ABORT retracts the index") {
+    // the reference's transaction suite, verbatim modulo the table
+    // naming (tests_transaction_t → pgslt_txn, suite-scoped) and the id
+    // column (the header-note adaptation). Anonymous naming applies:
+    // CREATE INDEX ON pgslt_txn ... → pgslt_txn_val_idx.
+    val idx = "pgslt_txn_val_idx"
+    graft.index.IndexCatalog.drop(spark, idx)
+    spark.sql("DROP TABLE IF EXISTS pgslt_txn")
+    SqlDmlSpec.rmWarehouse(spark, "pgslt_txn")
+    spark.sql("ROLLBACK") // debris guard: a crashed prior run's block
+    spark.sql("CREATE TABLE pgslt_txn (id BIGINT, val vector(3))")
+    spark.sql("""INSERT INTO pgslt_txn
+      SELECT generate_series, ARRAY[random(), random(), random()]::real[]
+      FROM generate_series(1, 1000)""")
+    assert(spark.sql("BEGIN;").head().getString(0) === "ok")
+    assert(spark.sql("""CREATE INDEX ON pgslt_txn
+        USING vectors (val vector_l2_ops)""").head().getString(0) === "ok")
+    // each statement commits atomically on its own — visible mid-block
+    assert(graft.index.IndexCatalog.load(spark, idx).isDefined)
+    assert(spark.sql("ABORT;").head().getString(0).startsWith("ok (1 "))
+    assert(graft.index.IndexCatalog.load(spark, idx).isEmpty,
+      "ABORT must retract the index created inside the block")
+    // PG refuses VACUUM inside a block (25001) — ours does verbatim
+    spark.sql("BEGIN")
+    val e = intercept[Exception] {
+      spark.sql("VACUUM pgslt_txn")
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("cannot run inside a transaction block")))
+    spark.sql("ROLLBACK")
+    // COMMIT keeps the index
+    spark.sql("BEGIN TRANSACTION")
+    assert(spark.sql("""CREATE INDEX ON pgslt_txn
+        USING vectors (val vector_l2_ops)""").head().getString(0) === "ok")
+    assert(spark.sql("COMMIT").head().getString(0) === "ok")
+    assert(graft.index.IndexCatalog.load(spark, idx).isDefined,
+      "COMMIT must keep the index")
+    assert(spark.sql(s"DROP INDEX $idx").head().getString(0) === "ok")
+    spark.sql("DROP TABLE pgslt_txn")
+  }
+
   test("crash/create.slt + restore.slt: the index serves after a restart") {
     // the reference's crash suite: build, kill the bgworker, restart,
     // then (1) the table exists, (2) the index exists, (3) the indexed
