@@ -1639,13 +1639,16 @@ object LifecycleQueries {
     //     Temp source → the q_index_stat VALUES contract untouched. ---
     "q_sql_txn_stmt" -> ((s0, d) => {
       val s = ddlSession(s0)
-      val srcDir = adminSrc(s, d)
+      // retraction is index-content-agnostic: the 16-row tinySrc +
+      // catalog-only flat scratch keeps the per-pass cost statements,
+      // not builds (the round-12 drop-cycle convention)
+      val srcDir = tinySrc(s, d)
       val aborted = s"txnaborted_${san(d)}"
       val committed = s"txncommitted_${san(d)}"
       def create(n: String) =
-        s"""CREATE VECTOR INDEX $n ON '$srcDir'
-            USING vectors (vec_id, embedding vector_l2_ops)
-            WITH (indexing = ivf, nlist = 2, kmeans_iters = 2)"""
+        s"""CREATE INDEX $n ON '$srcDir'
+            USING vectors (embedding vector_l2_ops)
+            WITH (options = "[indexing.flat]", id_col = 'vec_id')"""
       IndexCatalog.drop(s, aborted); IndexCatalog.drop(s, committed)
       s.sql("ROLLBACK") // debris guard: a crashed prior run's open block
       require(s.sql("BEGIN").head().getString(0) == "ok")
