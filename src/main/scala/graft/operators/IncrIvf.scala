@@ -93,21 +93,27 @@ object IncrIvf {
     case m => dense(m)
   }
 
-  /** Assign one segment's rows and append them into the list partitions.
-    * `mode` is Overwrite for the very first (base) write only. */
-  private def writeSegment(spark: SparkSession, fam: Family, dataDir: String,
-      rows: DataFrame, idCol: String, fCol: String,
-      model: IvfIndex.Model, ver: Long, overwrite: Boolean): Unit = {
-    val prepped = fam.prep(rows.filter(col(fCol).isNotNull &&
-      graft.functions.vectorIsFinite(col(fCol))), fCol)
-    val assigned = prepped.withColumn("list_id",
-      IvfIndex.nearestCentroid(col(fam.rankCol), model))
-    val out = assigned
-      .select((col(idCol) +: fam.payload.map(col) :+ col("list_id")
-        :+ lit(ver).as("_ver")): _*)
+  /** ONE append write for a SET of new deltas (round 16): the per-delta
+    * loop paid a full job per delta — at the 64-delta sealing cap that
+    * is 64 sequential job overheads per ensure. Rows are identical to
+    * the serial path's (each delta's rows stamp their own seq as _ver);
+    * only the job count changes, and append-mode writes touch only NEW
+    * files (the mtime-stability contract). */
+  private def writeSegments(spark: SparkSession, fam: Family,
+      dataDir: String, segs: Seq[(Long, String)], idCol: String,
+      fCol: String, model: IvfIndex.Model): Unit = {
+    if (segs.isEmpty) return
+    segs.map { case (ver, dd) =>
+      val rows = spark.read.parquet(dd)
+      fam.prep(rows.filter(col(fCol).isNotNull &&
+          graft.functions.vectorIsFinite(col(fCol))), fCol)
+        .withColumn("list_id",
+          IvfIndex.nearestCentroid(col(fam.rankCol), model))
+        .select((col(idCol) +: fam.payload.map(col) :+ col("list_id")
+          :+ lit(ver).as("_ver")): _*)
+    }.reduce(_ unionAll _)
       .repartition(col("list_id"))
-    out.write.mode(if (overwrite) "overwrite" else "append")
-      .partitionBy("list_id").parquet(dataDir)
+      .write.mode("append").partitionBy("list_id").parquet(dataDir)
   }
 
   /** Sync the artifact to the store's committed state, building only
@@ -154,11 +160,8 @@ object IncrIvf {
           :+ lit(0L).as("_ver")): _*)
         .repartition(col("list_id"))
         .write.mode("overwrite").partitionBy("list_id").parquet(dataDir)
-      Segments.deltaDirs(segDir, st).foreach { dd =>
-        val seq = new java.io.File(dd).getName.stripPrefix("delta-").toLong
-        writeSegment(spark, fam, dataDir, spark.read.parquet(dd), idCol, fCol,
-          model, ver = seq, overwrite = false)
-      }
+      writeSegments(spark, fam, dataDir,
+        IncrMaint.deltasAfter(segDir, st, -1L), idCol, fCol, model)
       // probe calibration (round 12): measured once on the BASE segment
       // and FROZEN across appends — the IncrQuant frozen-trained-state
       // convention; vacuum retrains and re-measures. The rank closure is
@@ -190,12 +193,8 @@ object IncrIvf {
     } else if (st.seq > priorSeq) {
       val pm = prior.get
       val model = IvfIndex.Model(if (fam.useDot) "dot" else "l2", pm.centroids)
-      Segments.deltaDirs(segDir, st).foreach { dd =>
-        val seq = new java.io.File(dd).getName.stripPrefix("delta-").toLong
-        if (seq > priorSeq)
-          writeSegment(spark, fam, dataDir, spark.read.parquet(dd), idCol, fCol,
-            model, ver = seq, overwrite = false)
-      }
+      writeSegments(spark, fam, dataDir,
+        IncrMaint.deltasAfter(segDir, st, priorSeq), idCol, fCol, model)
       IndexCatalog.commit(spark, name, pm.copy(
         params = pm.params + ("seq" -> st.seq.toString)))
     }

@@ -32,6 +32,16 @@ object IncrMaint {
     else None
   }
 
+  /** (seq, dir) of committed deltas with seq > afterSeq — the shared
+    * shape of every incremental family's "what is new" question
+    * (round 16: the families batch all new deltas into ONE write job,
+    * so the list is materialized once instead of looped). */
+  def deltasAfter(segDir: String, st: Segments.State,
+      afterSeq: Long): Seq[(Long, String)] =
+    Segments.deltaDirs(segDir, st).map { dd =>
+      (new java.io.File(dd).getName.stripPrefix("delta-").toLong, dd)
+    }.filter(_._1 > afterSeq)
+
   /** Promoted-dead ∪ live tombstones, max version per id. */
   def tombstones(spark: SparkSession, name: String, segDir: String,
       idCol: String): Option[DataFrame] = {

@@ -128,6 +128,23 @@ object IncrQuant {
       .write.mode(if (overwrite) "overwrite" else "append").parquet(dataDir)
   }
 
+  /** ONE append write for a SET of new deltas (round 16, the IncrIvf
+    * convention): per-delta encode jobs paid one overhead each — rows
+    * are identical (frozen manifest encode; each delta's rows stamp
+    * their own seq as _ver). */
+  private def writeSegments(spark: SparkSession, sch: Scheme,
+      mf: IndexCatalog.Manifest, dataDir: String,
+      segs: Seq[(Long, String)], idCol: String, fCol: String): Unit = {
+    if (segs.isEmpty) return
+    segs.map { case (ver, dd) =>
+      spark.read.parquet(dd).filter(col(fCol).isNotNull &&
+          graft.functions.vectorIsFinite(col(fCol)))
+        .select(col(idCol), col(fCol).as("vec"),
+          sch.encodeCol(mf, col(fCol)).as("codes"), lit(ver).as("_ver"))
+    }.reduce(_ unionAll _)
+      .write.mode("append").parquet(dataDir)
+  }
+
   /** Sync the artifact to the store's committed state, building only
     * what is new (one encode+append per new delta). Returns the data dir. */
   def ensure(spark: SparkSession, name: String, segDir: String,
@@ -150,21 +167,14 @@ object IncrQuant {
       val mf0 = sch.train(base, fCol).copy(source = segDir)
       writeSegment(spark, sch, mf0, dataDir, base, idCol, fCol,
         ver = 0L, overwrite = true)
-      Segments.deltaDirs(segDir, st).foreach { dd =>
-        val seq = new java.io.File(dd).getName.stripPrefix("delta-").toLong
-        writeSegment(spark, sch, mf0, dataDir, spark.read.parquet(dd),
-          idCol, fCol, ver = seq, overwrite = false)
-      }
+      writeSegments(spark, sch, mf0, dataDir,
+        IncrMaint.deltasAfter(segDir, st, -1L), idCol, fCol)
       IndexCatalog.commit(spark, name, mf0.copy(params = mf0.params +
         ("gen" -> st.gen.toString) + ("seq" -> st.seq.toString)))
     } else if (st.seq > priorSeq) {
       val pm = prior.get
-      Segments.deltaDirs(segDir, st).foreach { dd =>
-        val seq = new java.io.File(dd).getName.stripPrefix("delta-").toLong
-        if (seq > priorSeq)
-          writeSegment(spark, sch, pm, dataDir, spark.read.parquet(dd),
-            idCol, fCol, ver = seq, overwrite = false)
-      }
+      writeSegments(spark, sch, pm, dataDir,
+        IncrMaint.deltasAfter(segDir, st, priorSeq), idCol, fCol)
       IndexCatalog.commit(spark, name, pm.copy(
         params = pm.params + ("seq" -> st.seq.toString)))
     }

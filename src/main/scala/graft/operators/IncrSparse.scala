@@ -48,6 +48,25 @@ object IncrSparse {
       .partitionBy("bucket").parquet(dataDir)
   }
 
+  /** ONE append write for a SET of new deltas (round 16, the IncrIvf
+    * convention): per-delta jobs paid one overhead each — rows are
+    * identical (each delta's postings stamp their own seq as _ver). */
+  private def writeSegments(spark: SparkSession, dataDir: String,
+      segs: Seq[(Long, String)], idCol: String, fCol: String): Unit = {
+    import graft.functions.svecFromDense
+    if (segs.isEmpty) return
+    segs.map { case (ver, dd) =>
+      val sv = spark.read.parquet(dd).filter(col(fCol).isNotNull)
+        .select(col(idCol), svecFromDense(col(fCol)).as("sv"))
+      SparseSearch.buildPostings(sv, idCol, "sv")
+        .withColumn("bucket",
+          pmod(col("token"), lit(SparseSearch.TokenBuckets)))
+        .withColumn("_ver", lit(ver))
+    }.reduce(_ unionAll _)
+      .repartition(col("bucket"))
+      .write.mode("append").partitionBy("bucket").parquet(dataDir)
+  }
+
   /** Sync the posting artifact to the store's committed state, exploding
     * only new deltas. Returns the data dir. */
   def ensure(spark: SparkSession, name: String, segDir: String,
@@ -65,23 +84,16 @@ object IncrSparse {
       IndexCatalog.drop(spark, name)
       writeSegment(spark, dataDir, spark.read.parquet(s"$segDir/base-${st.gen}"),
         idCol, fCol, ver = 0L, overwrite = true)
-      Segments.deltaDirs(segDir, st).foreach { dd =>
-        val seq = new java.io.File(dd).getName.stripPrefix("delta-").toLong
-        writeSegment(spark, dataDir, spark.read.parquet(dd), idCol, fCol,
-          ver = seq, overwrite = false)
-      }
+      writeSegments(spark, dataDir,
+        IncrMaint.deltasAfter(segDir, st, -1L), idCol, fCol)
       IndexCatalog.commit(spark, name, IndexCatalog.Manifest(
         Kind, segDir, "dot",
         Map("buckets" -> SparseSearch.TokenBuckets.toString,
           "gen" -> st.gen.toString, "seq" -> st.seq.toString)))
     } else if (st.seq > priorSeq) {
       val pm = prior.get
-      Segments.deltaDirs(segDir, st).foreach { dd =>
-        val seq = new java.io.File(dd).getName.stripPrefix("delta-").toLong
-        if (seq > priorSeq)
-          writeSegment(spark, dataDir, spark.read.parquet(dd), idCol, fCol,
-            ver = seq, overwrite = false)
-      }
+      writeSegments(spark, dataDir,
+        IncrMaint.deltasAfter(segDir, st, priorSeq), idCol, fCol)
       IndexCatalog.commit(spark, name, pm.copy(
         params = pm.params + ("seq" -> st.seq.toString)))
     }
