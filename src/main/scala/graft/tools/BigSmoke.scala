@@ -326,6 +326,29 @@ grow with corpus size (resident routed graphs / pruned IVF scans).
       "embedding", efConstruction = 100) }
     println(f"[bigsmoke-incr] vacuum (compact + rebuild) ${tVacuum}%.1f s")
     val p50Vacuumed = searchP50("after vacuum")
+    // parquet-family cadence (IncrIvf as the representative): base
+    // train+assign, then appends whose auto-split deltas sync in ONE
+    // batched write (round 16) — the claim measured at corpus scale
+    import graft.operators.IncrIvf
+    val ivfName = "bigsmoke_incr_ivf"
+    IndexCatalog.drop(spark, ivfName)
+    val tIvfBase = wall { IncrIvf.ensure(spark, ivfName, segDir,
+      "vec_id", "embedding", nlist = 256) }
+    println(f"[bigsmoke-incr] incr-ivf base (train+assign, nlist=256) " +
+      f"${tIvfBase}%.1f s")
+    val ivfAppendWalls = (1 to 3).map { i =>
+      val batch = emb.filter(col("vec_id") % lit(100) === lit(50 + i))
+        .limit(50000)
+        .select((col("vec_id") + lit(N * (i + 20))).as("vec_id"),
+          col("embedding"))
+      Segments.append(spark, segDir, batch, "vec_id", shadow = false)
+      val t = wall { IncrIvf.ensure(spark, ivfName, segDir,
+        "vec_id", "embedding", nlist = 256) }
+      println(f"[bigsmoke-incr] incr-ivf append $i%d: sync ${t}%.1f s " +
+        "(3 split deltas, one write)")
+      t
+    }
+    val ivfAppendMean = ivfAppendWalls.sum / ivfAppendWalls.length
     val sideMean = appendWalls.map(_._2).sum / appendWalls.length
     val table =
       f"""
@@ -349,6 +372,8 @@ path directly.
 | search p50, after deletes (overfetch path) | ${p50Deleted * 1000}%.0f ms |
 | vacuum (compact + fleet rebuild) | ${tVacuum}%.1f s |
 | search p50, after vacuum | ${p50Vacuumed * 1000}%.0f ms |
+| incr-ivf base build (train+assign, nlist=256) | ${tIvfBase}%.1f s |
+| incr-ivf append 50k: sync mean (3 appends, batched-delta write) | ${ivfAppendMean}%.1f s |
 """
     val soak = java.nio.file.Paths.get("SOAK.md")
     if (java.nio.file.Files.exists(soak)) {
