@@ -156,7 +156,8 @@ object IndexCatalog {
   private def lockTtlMs(spark: SparkSession): Long =
     spark.conf.get("spark.graft.index.lock.ttlMs", "3600000").toLong
 
-  private[graft] def withIndexLock[T](spark: SparkSession, name: String)(body: => T): T = {
+  private[graft] def withIndexLock[T](spark: SparkSession, name: String,
+      op: String = "build")(body: => T): T = {
     val l = nameLocks.computeIfAbsent(dir(spark, name),
       _ => new java.util.concurrent.locks.ReentrantLock())
     l.lock()
@@ -173,6 +174,13 @@ object IndexCatalog {
             lf.delete() // stale (crashed holder) -> reclaim
           else Thread.sleep(50)
         }
+        // lease payload = the operation kind (round 17): the stat
+        // view's idx_indexing reads `t` only for build-kind leases, so
+        // a long alter/drop no longer masquerades as an in-flight build
+        // (views.rs:33-71 exactness). Best-effort — an empty payload
+        // (the createNewFile..write window, or a crashed writer) reads
+        // as build, the conservative pre-round-17 behavior.
+        scala.util.Try(java.nio.file.Files.writeString(lf.toPath, op))
         try body finally lf.delete()
       }
     } finally l.unlock()
@@ -312,7 +320,7 @@ object IndexCatalog {
     * Unknown keys and invalid values are rejected (index_edit.slt), so an
     * alter can never corrupt structural build metadata. */
   def alter(spark: SparkSession, name: String, key: String,
-      value: String): Manifest = withIndexLock(spark, name) {
+      value: String): Manifest = withIndexLock(spark, name, "alter") {
     val m = load(spark, name).getOrElse(
       throw new IllegalArgumentException(s"no such index: $name"))
     val validate = Alterable.getOrElse(key,
@@ -381,7 +389,7 @@ object IndexCatalog {
     * exist in the first place). Validates every pair before touching
     * the manifest. */
   def alterAll(spark: SparkSession, name: String,
-      kvs: Map[String, String]): Manifest = withIndexLock(spark, name) {
+      kvs: Map[String, String]): Manifest = withIndexLock(spark, name, "alter") {
     val m = load(spark, name).getOrElse(
       throw new IllegalArgumentException(s"no such index: $name"))
     kvs.foreach { case (key, value) =>
@@ -407,7 +415,7 @@ object IndexCatalog {
     * index_edit.slt contract); resetting a key that isn't set is a
     * no-op, matching Postgres. */
   def resetAll(spark: SparkSession, name: String,
-      keys: Seq[String]): Manifest = withIndexLock(spark, name) {
+      keys: Seq[String]): Manifest = withIndexLock(spark, name, "alter") {
     val m = load(spark, name).getOrElse(
       throw new IllegalArgumentException(s"no such index: $name"))
     keys.foreach(key => if (!Alterable.contains(key))
@@ -452,7 +460,7 @@ object IndexCatalog {
   /** Takes the same per-index lock as [[ensure]]: a drop racing an
     * in-flight build waits for it instead of deleting files under the
     * writer (drop_index_when_indexing.slt behavior). */
-  def drop(spark: SparkSession, name: String): Unit = withIndexLock(spark, name) {
+  def drop(spark: SparkSession, name: String): Unit = withIndexLock(spark, name, "drop") {
     val d = new File(dir(spark, name))
     if (d.exists()) deleteRecursively(d)
     cache.remove(manifestFile(spark, name).getAbsolutePath)
@@ -512,25 +520,35 @@ object IndexCatalog {
 
   // footer reads are independent small I/O — a fresh catalog sweep
   // over a many-partition artifact opens hundreds of files, so they
-  // run on a bounded pool (driver threads, still no Spark job)
-  private def footerRows(dir: File): Option[Long] = scala.util.Try {
+  // run on a bounded SHARED pool (driver threads, still no Spark job).
+  // ONE pool for the JVM (round-17 advice): the segment-stat sweep
+  // calls footerRows once per segment — base + each delta — and a store
+  // at the 64-delta sealing cap churned ~65 create/shutdown cycles per
+  // cache refresh under the old per-call pool. Daemon threads, so the
+  // pool never blocks JVM exit.
+  private lazy val footerPool = java.util.concurrent.Executors
+    .newFixedThreadPool(16, new java.util.concurrent.ThreadFactory {
+      private val n = new java.util.concurrent.atomic.AtomicInteger()
+      override def newThread(r: Runnable): Thread = {
+        val t = new Thread(r, s"graft-footer-${n.incrementAndGet()}")
+        t.setDaemon(true); t
+      }
+    })
+
+  private[graft] def footerRows(dir: File): Option[Long] = scala.util.Try {
     val conf = new org.apache.hadoop.conf.Configuration()
     val files = parquetFiles(dir)
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.max(1, math.min(16, files.length)))
-    try {
-      val futures = files.map(f => pool.submit(
-        new java.util.concurrent.Callable[Long] {
-          override def call(): Long = {
-            val in = org.apache.parquet.hadoop.util.HadoopInputFile
-              .fromPath(new org.apache.hadoop.fs.Path(f.getAbsolutePath),
-                conf)
-            val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-            try r.getRecordCount finally r.close()
-          }
-        }))
-      futures.map(_.get()).sum
-    } finally pool.shutdown()
+    val futures = files.map(f => footerPool.submit(
+      new java.util.concurrent.Callable[Long] {
+        override def call(): Long = {
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(new org.apache.hadoop.fs.Path(f.getAbsolutePath),
+              conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try r.getRecordCount finally r.close()
+        }
+      }))
+    futures.map(_.get()).sum
   }.toOption
 
   private def tupleCount(kind: String, dataDir: File): Option[Long] = {
@@ -636,10 +654,10 @@ object IndexCatalog {
     * immutable once committed and every commit rewrites VERSION, so the
     * key invalidates exactly when the store can have changed. */
   private val segStatCache = new ConcurrentHashMap[
-    String, (String, (Option[Seq[Long]], Seq[Long]))]()
+    String, (String, (Option[Seq[Long]], Seq[Long], Long))]()
 
   private def segmentStat(source: String)
-      : Option[(Option[Seq[Long]], Seq[Long])] = {
+      : Option[(Option[Seq[Long]], Seq[Long], Long)] = {
     val src = new File(source)
     val vf = new File(src, "VERSION")
     if (!vf.isFile) return None
@@ -663,22 +681,39 @@ object IndexCatalog {
           else footerRows(new File(src, s"base-${st.gen}")).map(Seq(_))
         val growing = graft.operators.Segments.deltaDirs(source, st)
           .flatMap(d => footerRows(new File(d)))
-        (fp, (sealedRows, growing))
+        // EXPLICIT tombstone rows feed idx_dead_frac (round 17): the
+        // IncrMaint.storeFooterCounts statistic — tombs dirs with no
+        // sibling delta (Segments.delete's rows, the reference
+        // delete-map analog); append shadows are excluded so an
+        // append-only store honestly reads 0. Same footer sweep, same
+        // VERSION-keyed cache.
+        val deltaSeqs = graft.operators.Segments.deltaDirs(source, st)
+          .map(d => new File(d).getName.stripPrefix("delta-")).toSet
+        val tombRows = graft.operators.Segments.tombDirs(source, st)
+          .filter(d => !deltaSeqs.contains(
+            new File(d).getName.stripPrefix("tombs-")))
+          .flatMap(d => footerRows(new File(d))).sum
+        (fp, (sealedRows, growing, tombRows))
       }
     })._2)
   }
 
   /** In-flight DDL observability (views.rs idx_indexing): true while a
-    * build/reindex/drop holds the name's cross-process lock file with a
-    * fresh lease (a stale crashed-holder file reads false). An
-    * approximation — the lock also covers drop/alter — but those are
-    * momentary; builds are the long holders the reference flag exists
-    * to surface, and after any completed build it reads the slt-pinned
-    * `f` (tests/sealing/check.slt). */
+    * build/reindex holds the name's cross-process lock file with a
+    * fresh lease (a stale crashed-holder file reads false). EXACT since
+    * round 17: the lease payload carries the operation kind, so a
+    * drop/alter lease reads `f` — only build-kind leases (and empty
+    * payloads: the momentary create→write window, conservatively
+    * treated as build) report true. After any completed build it reads
+    * the slt-pinned `f` (tests/sealing/check.slt). */
   private def indexingNow(spark: SparkSession, name: String): Boolean = {
     val lf = new File(new File(root(spark), ".locks"), s"$name.lock")
     lf.isFile &&
-      System.currentTimeMillis() - lf.lastModified() <= lockTtlMs(spark)
+      System.currentTimeMillis() - lf.lastModified() <= lockTtlMs(spark) && {
+        val op = scala.util.Try(
+          java.nio.file.Files.readString(lf.toPath).trim).getOrElse("")
+        op.isEmpty || op == "build"
+      }
   }
 
   def stats(spark: SparkSession): DataFrame = {
@@ -700,8 +735,33 @@ object IndexCatalog {
           // reports its real base/delta layout; a plain build IS one
           // sealed segment — sealed=[tuples], growing={} (what
           // tests/sealing/check.slt observes after CREATE INDEX)
-          val (sealedRows, growingRows) = segmentStat(m.source)
+          val segStat = segmentStat(m.source)
+          val (sealedRows, growingRows) = segStat
+            .map(t => (t._1, t._2))
             .getOrElse((tuples.map(Seq(_)), Seq.empty[Long]))
+          // idx_dead_frac (round 17, additive): the "vacuum
+          // recommended" signal — the fraction of artifact-resident
+          // rows claimed dead by EXPLICIT tombstone rows + the promoted
+          // dead/ snapshot, over stored + promoted rows. The same cheap
+          // statistic IncrMaint.vacuumDue gates on (it confirms with an
+          // exact count before acting); footer counts only, never a
+          // job. Compare against spark.graft.segments.deleteThreshold;
+          // re-insert shadows are excluded, so an append-only store
+          // honestly reads 0.
+          val deadFrac: Double = segStat match {
+            case Some((sealedC, growingC, tombRows)) =>
+              // promoted-dead location differs per family: IncrHnsw
+              // keeps dead/ inside the artifact dir, the IncrMaint
+              // families beside it — exactly one exists per kind
+              val deadRows = footerRows(
+                new File(dataDir(spark, d.getName), "dead")).getOrElse(0L) +
+                footerRows(new File(dir(spark, d.getName), "dead"))
+                  .getOrElse(0L)
+              val denom = sealedC.toSeq.flatten.sum + growingC.sum + deadRows
+              if (denom <= 0) 0.0
+              else math.min(1.0, (tombRows + deadRows).toDouble / denom)
+            case None => 0.0
+          }
           (d.getName, m.kind, m.metric, m.source,
             m.params.map { case (k, v) => s"$k=$v" }.toSeq.sorted.mkString(","),
             du(d),
@@ -711,12 +771,13 @@ object IndexCatalog {
             "NORMAL",
             tuples,
             indexingNow(spark, d.getName),
-            sealedRows, growingRows, 0L)
+            sealedRows, growingRows, 0L, deadFrac)
         }
       }.toSeq
     rows.toDF("idx_name", "idx_type", "idx_metric", "idx_source",
       "idx_options", "idx_size_bytes", "idx_status", "idx_tuples",
-      "idx_indexing", "idx_sealed", "idx_growing", "idx_write")
+      "idx_indexing", "idx_sealed", "idx_growing", "idx_write",
+      "idx_dead_frac")
       // the reference VIEW's own column spellings (finalize.sql:807-818:
       // indexname/tablename from pg_class, idx_size from the stat
       // composite) as additive aliases — tests/sealing/check.slt filters

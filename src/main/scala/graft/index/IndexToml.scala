@@ -162,7 +162,10 @@ object IndexToml {
           // optimizing.optimizing_threads): validated and ACCEPTED so
           // reference DDL ports verbatim, advisory here — the
           // executing analogs are spark.graft.segments.* confs and
-          // Spark's task parallelism, never per-artifact state
+          // Spark's task parallelism, never per-artifact state.
+          // delete_threshold in particular EXECUTES via
+          // spark.graft.segments.deleteThreshold (round 17:
+          // IncrMaint.vacuumIfDue at every incremental sync)
           val bad = keys.keySet -- LifecycleKeys(t)
           if (bad.nonEmpty) fail(s"unknown field `${bad.head}` in [$t]")
           keys.foreach { case (k, v) => lifecycle(s"$t.$k") = v }

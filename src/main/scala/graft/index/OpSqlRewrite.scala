@@ -179,19 +179,46 @@ object OpSqlRewrite {
     * the listing is a table FUNCTION resolved fresh per analysis, so a
     * bare identifier (next token not `(`) gains the call parens.
     * Token-level: string literals and comments are never touched; an
-    * already-called `pg_vector_index_stat()` passes through. */
+    * already-called `pg_vector_index_stat()` passes through, and so do
+    * DOT-adjacent spellings (round-17 advice): a table-qualified column
+    * reference `pg_vector_index_stat.indexname` must stay an identifier
+    * chain, and a schema-qualified `public.pg_vector_index_stat` gains
+    * nothing from parens Spark cannot resolve on a qualified function
+    * name. For the qualifier to RESOLVE, the FROM/JOIN-position rewrite
+    * self-aliases (`pg_vector_index_stat() AS pg_vector_index_stat`) —
+    * Spark does not name a TVF relation after its function — unless the
+    * user supplied their own alias (next token a non-clause
+    * identifier, or AS). */
   def statView(sql: String): String = {
     if (sql == null || !sql.toLowerCase.contains("pg_vector_index_stat"))
       return sql
+    // clause keywords that can follow a FROM item — NOT user aliases
+    val clause = Set("where", "group", "order", "limit", "having", "union",
+      "except", "intersect", "join", "inner", "left", "right", "full",
+      "cross", "natural", "on", "using", "qualify", "window")
     var toks = lex(sql)
     var i = 0
     while (i < toks.length) {
       if (toks(i).kind == IDENT &&
           toks(i).text.equalsIgnoreCase("pg_vector_index_stat")) {
         val nxt = nextIdx(toks, i)
+        def dotAt(j: Int) = j >= 0 && j < toks.length &&
+          toks(j).kind == SYM && toks(j).text == "."
+        val prv = { var j = i - 1; while (j >= 0 && toks(j).kind == WS) j -= 1; j }
         if (!(nxt < toks.length && toks(nxt).kind == SYM &&
-            toks(nxt).text == "("))
-          toks = toks.updated(i, Tok(IDENT, toks(i).text + "()"))
+            toks(nxt).text == "(") && !dotAt(nxt) && !dotAt(prv)) {
+          val fromPos = prv >= 0 && toks(prv).kind == IDENT &&
+            (toks(prv).text.equalsIgnoreCase("from") ||
+              toks(prv).text.equalsIgnoreCase("join"))
+          val userAlias = nxt < toks.length && toks(nxt).kind == IDENT &&
+            (toks(nxt).text.equalsIgnoreCase("as") ||
+              !clause.contains(toks(nxt).text.toLowerCase))
+          val rewritten =
+            if (fromPos && !userAlias)
+              toks(i).text + "() AS " + toks(i).text
+            else toks(i).text + "()"
+          toks = toks.updated(i, Tok(IDENT, rewritten))
+        }
       }
       i += 1
     }

@@ -77,17 +77,42 @@ object PgPartitions {
     }
   }
 
+  /** Under the lease the committed FILE is authoritative (round-17
+    * advice): every register/drop persists synchronously under this same
+    * lease, so outside a lease body this process holds NO unpersisted
+    * state for the root — an in-memory key absent from the file can only
+    * be another process's later DROP, and the former add-only putIfAbsent
+    * merge would resurrect it on our next persist. Replace the root's
+    * slice wholesale: file keys win (another process's re-register with
+    * new values too), memory-only keys drop. */
+  private def syncDisk(root: String): Unit = {
+    val f = file(root)
+    val onDisk: Map[String, Child] =
+      if (!f.isFile) Map.empty
+      else {
+        val in = new java.io.ObjectInputStream(new java.io.FileInputStream(f))
+        try in.readObject().asInstanceOf[Map[String, Child]]
+        finally in.close()
+      }
+    val prefix = root + "|"
+    import scala.jdk.CollectionConverters._
+    children.asScala.keys.filter(_.startsWith(prefix))
+      .filterNot(k => onDisk.contains(k.stripPrefix(prefix)))
+      .foreach(children.remove(_))
+    onDisk.foreach { case (n, c) => children.put(key(root, n), c) }
+  }
+
   /** Cross-process writer lease over the registry file — the
     * IndexCatalog `.locks/<name>.lock` convention (atomic create, stale
-    * reclaim after `spark.graft.index.lock.ttlMs`). Mutations re-merge
-    * the committed file UNDER the lease before persisting, so two
-    * drivers' interleaved register calls both survive. */
+    * reclaim after `spark.graft.index.lock.ttlMs`). Mutations re-sync
+    * from the committed file UNDER the lease before persisting, so two
+    * drivers' interleaved register AND drop calls all survive. */
   private def withRegistryLease[T](spark: SparkSession, root: String)
       (body: => T): T =
-    IndexCatalog.withIndexLock(spark, "_pg_partitions") {
+    IndexCatalog.withIndexLock(spark, "_pg_partitions", "alter") {
       ioLock.synchronized {
         loadedRoots.add(root)
-        mergeDisk(root)
+        syncDisk(root)
         body
       }
     }

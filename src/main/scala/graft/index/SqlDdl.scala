@@ -712,6 +712,11 @@ object SqlDdl {
     * sql_* param refuses rather than rebuilding under defaults that
     * could silently flip the artifact kind or metric. Returns "ok". */
   def vacuum(spark: SparkSession, name: String): String = {
+    // EVERY vacuum entry point refuses inside a transaction block (the
+    // PG 25001 rule) — the statement paths refuse at parse, but the
+    // vacuum_vector_index() UDF spelling lands here directly
+    // (round-17 advice)
+    SqlTxn.refuseInTxn(spark, "VACUUM")
     val m = IndexCatalog.load(spark, name).getOrElse(
       throw new IllegalArgumentException(s"no such index: $name"))
     def recipe(key: String): String = m.params.getOrElse(key,

@@ -140,6 +140,9 @@ object IncrHnsw {
       idCol: String, vecCol: String, metric: String = "l2",
       m: Int = 12, efConstruction: Int = 300): String = synchronized {
     import graft.index.IndexCatalog
+    // delete_threshold policy (round 17): a due store takes the vacuum
+    // prologue here — the rebuild below then runs over the folded store
+    IncrMaint.vacuumIfDue(spark, name, segDir, idCol)
     val st = Segments.state(segDir)
     require(st.gen >= 0, s"no committed generation under $segDir")
     val dataDir = new java.io.File(graftDir(spark, name))
@@ -318,22 +321,28 @@ object IncrHnsw {
     val st = Segments.state(segDir)
     val fp = s"${st.gen}:${st.seq}:" +
       s"${deadDir.lastModified()}:${deadFiles.length}"
-    tombCache.compute(s"$segDir|${dataDir.getPath}", (_, prior) => {
-      if (prior != null && prior._1 == fp) prior
-      else {
-        val dead = if (deadDir.isDirectory && binOrParquetNonEmpty(deadDir))
-          Some(spark.read.parquet(deadDir.getAbsolutePath)) else None
-        val live = Segments.tombstoneMax(spark, segDir, idCol)
-        val tombs = (dead, live) match {
-          case (Some(a), Some(b)) => Some(a.unionByName(b)
-            .groupBy(col(idCol)).agg(max(col("_tomb_ver")).as("_tomb_ver")))
-          case (a, b) => a.orElse(b)
-        }
-        (fp, tombs.map(
-          _.select(col(idCol).cast("long"), col("_tomb_ver").cast("long"))
-            .as[(Long, Long)].collect()).getOrElse(Array.empty))
-      }
-    })._2
+    val key = s"$segDir|${dataDir.getPath}"
+    val cur = tombCache.get(key)
+    if (cur != null && cur._1 == fp) return cur._2
+    // build OUTSIDE the map lock (round-17 advice): the read+collect
+    // jobs take seconds on a miss, and compute() would pin the CHM bin
+    // lock for their whole duration — blocking concurrent searches of
+    // this store AND unrelated keys hashing to the same bin. A racing
+    // duplicate build is idempotent; put() publishes whichever finishes
+    // last, both carrying the same fingerprint.
+    val dead = if (deadDir.isDirectory && binOrParquetNonEmpty(deadDir))
+      Some(spark.read.parquet(deadDir.getAbsolutePath)) else None
+    val live = Segments.tombstoneMax(spark, segDir, idCol)
+    val tombs = (dead, live) match {
+      case (Some(a), Some(b)) => Some(a.unionByName(b)
+        .groupBy(col(idCol)).agg(max(col("_tomb_ver")).as("_tomb_ver")))
+      case (a, b) => a.orElse(b)
+    }
+    val arr = tombs.map(
+      _.select(col(idCol).cast("long"), col("_tomb_ver").cast("long"))
+        .as[(Long, Long)].collect()).getOrElse(Array.empty[(Long, Long)])
+    tombCache.put(key, (fp, arr))
+    arr
   }
 
   /** Search every resident graph (base + promoted + fresh sides), then

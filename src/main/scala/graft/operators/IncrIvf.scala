@@ -122,6 +122,9 @@ object IncrIvf {
       idCol: String, fCol: String, metric: String = "l2",
       nlist: Int = 16, seed: Long = 42L): String = synchronized {
     val fam = famFor(metric)
+    // delete_threshold policy (round 17): a due store takes the vacuum
+    // prologue here — the rebuild below then runs over the folded store
+    IncrMaint.vacuumIfDue(spark, name, segDir, idCol)
     val st = Segments.state(segDir)
     require(st.gen >= 0, s"no committed generation under $segDir")
     val dataDir = IndexCatalog.dataDir(spark, name)

@@ -65,6 +65,111 @@ object IncrMaint {
       case None => scan
     }
 
+  /** Reference `delete_threshold` analog (crates/base/src/index.rs:243-263
+    * — the background optimizer compacts a segment once its deleted
+    * fraction passes the knob, default 0.2; decision loop
+    * crates/index/src/optimizing/mod.rs:58-104). Executed at SYNC time on
+    * the [[Segments.sealIfDue]] precedent: every incremental family's
+    * ensure() consults [[vacuumIfDue]] first, so continuous ingest+delete
+    * reclaims automatically instead of degrading until a manual VACUUM
+    * (the round-16 smoke measured 122 ms vs 53 ms serving p50 for exactly
+    * this forgetting). `<= 0` disables. The TOML `[optimizing]
+    * delete_threshold` knob stays advisory ([[graft.index.IndexToml]]);
+    * this conf is its executing analog — the segments.* convention. */
+  def deleteThreshold(spark: SparkSession): Double =
+    spark.conf.getOption("spark.graft.segments.deleteThreshold")
+      .map(_.toDouble).getOrElse(0.2)
+
+  /** Driver-side parquet-footer row sums over the store's committed
+    * layout: (stored rows across base+deltas, EXPLICIT tombstone rows).
+    * Explicit = tombs-<s> dirs with no sibling delta-<s> — the rows
+    * [[Segments.delete]] wrote, the analog of the reference's delete-map
+    * entries (delete.rs:10-75) that its delete_threshold counts. The
+    * SHADOW tombstones appends pair with their deltas are deliberately
+    * excluded from the trigger statistic: an append-only stream carries
+    * one shadow row per ingested row while hiding nothing, and counting
+    * them would force the exact check (a full-store count job) on every
+    * sync — turning O(delta) syncs into O(store) ones. Re-insert-hidden
+    * rows are still reclaimed whenever an explicit delete wave trips the
+    * policy (the exact check below counts ALL hidden rows) or by manual
+    * vacuum. */
+  private[graft] def storeFooterCounts(segDir: String,
+      st: Segments.State): (Long, Long) = {
+    val deltas = Segments.deltaDirs(segDir, st)
+    val stored = (s"$segDir/base-${st.gen}" +: deltas)
+      .flatMap(d => IndexCatalog.footerRows(new java.io.File(d))).sum
+    val deltaSeqs = deltas
+      .map(d => new java.io.File(d).getName.stripPrefix("delta-")).toSet
+    val tombs = Segments.tombDirs(segDir, st)
+      .filter(d => !deltaSeqs.contains(
+        new java.io.File(d).getName.stripPrefix("tombs-")))
+      .flatMap(d => IndexCatalog.footerRows(new java.io.File(d))).sum
+    (stored, tombs)
+  }
+
+  /** Exact-check verdict memo per store: key = segDir, value =
+    * (committed "gen:seq:deadRows" fingerprint, verdict). Bounds the
+    * pathological repeat (explicit tombstone OVERcount — double deletes
+    * — passing the cheap gate while the true fraction sits below the
+    * threshold) at one count job per committed store state per JVM. */
+  private val dueCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Boolean)]()
+
+  /** Is the store's dead fraction at/over [[deleteThreshold]]? Dead =
+    * rows resident in the artifact but hidden from the visible set:
+    * store-hidden rows (stored − visible) plus the promoted-dead
+    * snapshot this index carries (rows already folded out of the store
+    * but still resident in artifact files). Cheap explicit-tombstone
+    * footer bound first — driver-side metadata only; the exact visible
+    * count (one Spark job) runs only when the bound passes, so the
+    * common append-only sync never pays it. */
+  def vacuumDue(spark: SparkSession, name: String, segDir: String,
+      idCol: String): Boolean = {
+    val thr = deleteThreshold(spark)
+    if (!(thr > 0)) return false
+    val st = Segments.state(segDir)
+    if (st.gen < 0) return false
+    // promoted-dead lives under the index dir for the IncrMaint
+    // families and under the artifact dir for IncrHnsw — exactly one
+    // of the two can exist for a given kind
+    val deadRows = IndexCatalog.footerRows(deadDir(spark, name)).getOrElse(0L) +
+      IndexCatalog.footerRows(new java.io.File(
+        IndexCatalog.dataDir(spark, name), "dead")).getOrElse(0L)
+    val (stored, tombRows) = storeFooterCounts(segDir, st)
+    val denom = stored + deadRows
+    if (denom <= 0) return false
+    if ((tombRows + deadRows).toDouble / denom < thr) return false
+    val fp = s"${st.gen}:${st.seq}:$deadRows:$thr"
+    val memo = dueCache.get(segDir)
+    if (memo != null && memo._1 == fp) return memo._2
+    val visible = Segments.readAt(spark, segDir, idCol, st).count()
+    val due = (stored - visible + deadRows).toDouble / denom >= thr
+    dueCache.put(segDir, (fp, due))
+    due
+  }
+
+  /** The delete_threshold policy's action: when due, run the existing
+    * vacuum PROLOGUE (fold the store, drop the artifact) and return true
+    * — the family ensure() that called this then rebuilds from the
+    * folded store exactly like [[vacuum]]'s re-ensure, with no
+    * recursion. Same single-owner contract as manual [[vacuum]]: a store
+    * backing SEVERAL incremental indexes gets its siblings force-rebuilt
+    * on their next ensure (the gen check — visible rows stay correct),
+    * but a sibling SEARCH in between could resurface dead rows whose
+    * tombstones the fold consumed before that sibling promoted them;
+    * multi-index stores should set the threshold conf to 0 and schedule
+    * vacuum per family, exactly as they already must with manual
+    * maintenance. */
+  def vacuumIfDue(spark: SparkSession, name: String, segDir: String,
+      idCol: String): Boolean = synchronized {
+    if (!vacuumDue(spark, name, segDir, idCol)) false
+    else {
+      Segments.compact(spark, segDir, idCol)
+      IndexCatalog.drop(spark, name)
+      true
+    }
+  }
+
   /** Full optimize (the reference's vacuum-analog rebuild,
     * crates/index/src/optimizing/mod.rs:58-104 when every segment is
     * selected): fold the store, discard the promoted-dead snapshot (the

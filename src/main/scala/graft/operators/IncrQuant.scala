@@ -150,6 +150,9 @@ object IncrQuant {
   def ensure(spark: SparkSession, name: String, segDir: String,
       idCol: String, fCol: String, scheme: String): String = synchronized {
     val sch = schemeFor(scheme)
+    // delete_threshold policy (round 17): a due store takes the vacuum
+    // prologue here — the rebuild below then runs over the folded store
+    IncrMaint.vacuumIfDue(spark, name, segDir, idCol)
     val st = Segments.state(segDir)
     require(st.gen >= 0, s"no committed generation under $segDir")
     val dataDir = IndexCatalog.dataDir(spark, name)

@@ -71,6 +71,9 @@ object IncrSparse {
     * only new deltas. Returns the data dir. */
   def ensure(spark: SparkSession, name: String, segDir: String,
       idCol: String, fCol: String): String = synchronized {
+    // delete_threshold policy (round 17): a due store takes the vacuum
+    // prologue here — the rebuild below then runs over the folded store
+    IncrMaint.vacuumIfDue(spark, name, segDir, idCol)
     val st = Segments.state(segDir)
     require(st.gen >= 0, s"no committed generation under $segDir")
     val dataDir = IndexCatalog.dataDir(spark, name)

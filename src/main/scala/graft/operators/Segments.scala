@@ -145,6 +145,8 @@ object Segments {
 
   def deltaDirs(dir: String, s: State): Seq[String] = listDirs(dir, "delta-", s)
 
+  def tombDirs(dir: String, s: State): Seq[String] = listDirs(dir, "tombs-", s)
+
   /** Max tombstone version per id, or None if no tombstones committed. */
   def tombstoneMax(spark: SparkSession, dir: String, idCol: String): Option[DataFrame] =
     tombstoneMaxAt(spark, dir, idCol, state(dir))

@@ -114,6 +114,8 @@ object LifecycleQueries {
     // segment-observability fixture (store + two index builds) — the
     // round-8 rule: multi-step fixtures build untimed here
     queries("q_index_stat_segments")(s, d).collect()
+    // auto-compaction fixture: the first run pays the fold + rebuild
+    queries("q_compact_auto")(s, d).collect()
     ()
   }
 
@@ -348,6 +350,54 @@ object LifecycleQueries {
           s.range(1).select(lit(30006L).as("vec_id")), "vec_id")
       }
       topkVisible(s, d, segDir, 120)
+    }),
+
+    // --- delete_threshold auto-compaction (crates/base/src/index.rs:
+    //     243-263 — the optimizer compacts once a segment's deleted
+    //     fraction passes 0.2; decision loop optimizing/mod.rs:58-104):
+    //     a 25% delete wave (vec_id % 4 == 1) folds the store on the
+    //     NEXT incremental sync, no manual VACUUM. Requires pin the
+    //     fold (gen advanced, tombstones consumed, the rebuilt artifact
+    //     covering the folded generation, policy quiescent after) and a
+    //     dist-0 canary: searching a DELETED row's own vector must not
+    //     return it — a dead-row leak through the auto-rebuilt artifact
+    //     would put it at rank 1. Temp source + temp store name → the
+    //     q_index_stat VALUES contract is untouched (its filter keys on
+    //     idx_source == the data dir).
+    "q_compact_auto" -> ((s, d) => {
+      import graft.operators.{IncrIvf, IncrMaint}
+      val segDir = tmp + "/graft_autovacseg_" + san(d)
+      val name = s"autovacivf_${san(d)}"
+      buildOnce(segDir) {
+        // a crashed prior run may leave a manifest over the torn store
+        graft.index.IndexCatalog.drop(s, name)
+        val e = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+        Segments.init(s, segDir, e, "vec_id")
+        Segments.delete(s, segDir,
+          e.select(col("vec_id")).filter(col("vec_id") % 4 === 1), "vec_id")
+      }
+      IncrIvf.ensure(s, name, segDir, "vec_id", "embedding",
+        metric = "l2", nlist = 16)
+      val st = Segments.state(segDir)
+      require(st.gen >= 1,
+        "delete_threshold auto-compaction must fold the store at sync")
+      require(Segments.tombDirs(segDir, st).isEmpty,
+        "the fold must consume the tombstone pile")
+      require(graft.index.IndexCatalog.load(s, name)
+          .exists(_.params.get("gen").contains(st.gen.toString)),
+        "the rebuilt artifact must cover the folded generation")
+      require(!IncrMaint.vacuumDue(s, name, segDir, "vec_id"),
+        "the policy must be quiescent right after the fold")
+      val canary = Tables.fixture("autovacq:" + d) {
+        t(s, d, "embeddings").filter(col("vec_id") === 1)
+          .select(col("embedding")).head().getSeq[Float](0).toArray
+      }
+      val hits = IncrIvf.search(s, name, segDir, "vec_id", canary,
+          k = 5, nprobe = 16)
+        .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+      require(hits.nonEmpty && !hits.contains(1L),
+        "deleted row 1 must not resurface from the auto-rebuilt artifact")
+      topkVisible(s, d, segDir, 100)
     }),
 
     // --- crash recovery (lib.rs:128-211 manifest rule): data dirs whose
@@ -1764,6 +1814,16 @@ object LifecycleQueries {
           CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
           WHERE a.vec_id NOT IN (1, 20003, 30006)
           ORDER BY dist, vec_id LIMIT 120""",
+
+    // visible set after the 25% delete wave the auto-compaction folded —
+    // the fold is a layout change, never a semantic one, so the oracle
+    // is simply embeddings minus the deleted ids
+    "q_compact_auto" ->
+      s"""SELECT e.vec_id AS vec_id, $qL2 AS dist
+          FROM embeddings e
+          CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+          WHERE e.vec_id % 4 <> 1
+          ORDER BY dist, vec_id LIMIT 100""",
 
     "q_recovery_scan" ->
       s"""WITH m1 AS (SELECT vec_id + 20000 AS vec_id, embedding

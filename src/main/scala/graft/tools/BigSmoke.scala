@@ -33,10 +33,20 @@ import org.apache.spark.sql.functions._
   * grows, a 1% delete wave (the tombstone-overfetch serving path), and
   * the vacuum rebuild. Appends an "Incremental-store smoke" section to
   * SOAK.md. Run: `... sbt "runMain graft.tools.BigSmoke incr"`.
+  *
+  * High-dimensional mode (round 17): `dims=768 n=1000000` — every
+  * prior scale measurement was 64-dim; production LLM embeddings are
+  * 768–3072-dim, which multiplies graph bytes ~12×, presses the
+  * GraphCache byte budget (served graphs may no longer co-reside), and
+  * shifts build cost into distance kernels. The same flow runs at the
+  * requested shape (doc dedup skipped — dim-independent), plus a
+  * per-delta side-graph cadence (100k base + 3×20k appends) and the
+  * GraphCache hit/load counters around the serving loop. Appends a
+  * "High-dimensional smoke" section to SOAK.md.
   */
 object BigSmoke {
-  private val N = 5000000L
-  private val Dims = 64
+  private var N = 5000000L
+  private var Dims = 64
   private val Clusters = 64
   private val DocReps = 200
 
@@ -47,8 +57,15 @@ object BigSmoke {
       s"floor((sin($idExpr * 12.9898d + $j * 78.233d) * 43758.5453d))"
 
   def main(args: Array[String]): Unit = {
-    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val dir = sys.props("java.io.tmpdir") + "/graft_bigsmoke"
+    val src = args.headOption.filterNot(a => a.contains("=") ||
+      a == "incr" || a == "serve").getOrElse("/root/testdata/sf0.1")
+    args.collectFirst { case a if a.startsWith("dims=") =>
+      a.stripPrefix("dims=").toInt }.foreach(Dims = _)
+    args.collectFirst { case a if a.startsWith("n=") =>
+      a.stripPrefix("n=").toLong }.foreach(N = _)
+    val hd = Dims != 64
+    val dir = sys.props("java.io.tmpdir") + "/graft_bigsmoke" +
+      (if (hd) s"_d$Dims" else "")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -84,7 +101,7 @@ object BigSmoke {
       println(f"[bigsmoke] corpus embeddings ${N}%d rows written in " +
         f"${(System.nanoTime() - t0) / 1e9}%.1f s")
     }
-    if (!new java.io.File(s"$docPath/_SUCCESS").exists) {
+    if (!hd && !new java.io.File(s"$docPath/_SUCCESS").exists) {
       val d0 = spark.read.parquet(s"$src/documents.parquet")
       val t0 = System.nanoTime()
       (0 until DocReps).map { i =>
@@ -103,9 +120,10 @@ object BigSmoke {
       .getOrElse(Array.empty).map(_.length()).sum
     val docBytes = Option(new java.io.File(docPath).listFiles())
       .getOrElse(Array.empty).map(_.length()).sum
-    val nDocs = spark.read.parquet(docPath).count()
-    println(f"[bigsmoke] corpus: $N%d vectors (${embBytes / 1e9}%.2f GB " +
-      f"parquet, ${N * Dims * 4 / 1e9}%.2f GB raw floats), $nDocs%d docs " +
+    val nDocs = if (hd) 0L else spark.read.parquet(docPath).count()
+    println(f"[bigsmoke] corpus: $N%d vectors x $Dims%d dims " +
+      f"(${embBytes / 1e9}%.2f GB parquet, " +
+      f"${N * Dims * 4 / 1e9}%.2f GB raw floats), $nDocs%d docs " +
       f"(${docBytes / 1e9}%.2f GB parquet)")
 
     def wall(f: => Unit): Double = {
@@ -135,7 +153,10 @@ object BigSmoke {
     val efc = args.collectFirst {
       case a if a.startsWith("efc=") => a.stripPrefix("efc=").toInt
     }.getOrElse(100)
-    val hName = s"bigsmoke_hnsw_p${parts}_e$efc"
+    val hName = s"bigsmoke_hnsw_p${parts}_e$efc" + (if (hd) s"_d$Dims" else "")
+    val ivfName = "bigsmoke_ivf" + (if (hd) s"_d$Dims" else "")
+    val nlist = if (hd) 256 else 1024
+    val joinProbe = if (hd) 16 else 32
     import graft.operators.{Hnsw, IvfIndex, KnnJoin}
     import graft.index.IndexCatalog
     def emb = spark.read.parquet(embPath)
@@ -145,12 +166,12 @@ object BigSmoke {
         "embedding", "l2", parts = parts, m = 12, efConstruction = efc)
     }
     println(f"[bigsmoke] hnsw parts=$parts%d efc=$efc%d build ${tHnsw}%.1f s")
-    if (!serveOnly) IndexCatalog.drop(spark, "bigsmoke_ivf")
+    if (!serveOnly) IndexCatalog.drop(spark, ivfName)
     val tIvf = wall {
-      IvfIndex.ensure(spark, "bigsmoke_ivf", emb, embPath, "embedding",
-        "l2", nlist = 1024, maxIter = 4)
+      IvfIndex.ensure(spark, ivfName, emb, embPath, "embedding",
+        "l2", nlist = nlist, maxIter = 4)
     }
-    println(f"[bigsmoke] ivf nlist=1024 build ${tIvf}%.1f s")
+    println(f"[bigsmoke] ivf nlist=$nlist%d build ${tIvf}%.1f s")
 
     // ---- routed scalar search p50/p95 (64 queries, AUTO probing) ----
     val hDir = IndexCatalog.dataDir(spark, hName)
@@ -164,13 +185,27 @@ object BigSmoke {
       .collect()
     Hnsw.searchIndex(spark, hDir, "vec_id", qs.head, 10,
       probeGraphs = Hnsw.AutoProbe).collect()
+    // GraphCache economics (the high-dim pressure point): graph bytes
+    // vs the byte budget, and hit/load counters across the serving
+    // loop — loads growing with QUERIES rather than with distinct
+    // graphs means the budget is thrashing
+    val graphBytes = Option(new java.io.File(hDir).listFiles())
+      .getOrElse(Array.empty).filter(_.getName.endsWith(".bin"))
+      .map(_.length()).sum
+    val cacheBudget = spark.sparkContext.getConf
+      .getLong("spark.graft.hnsw.cacheBytes", 4L << 30)
+    val (h0, l0) = Hnsw.GraphCache.counters
     val lat = qs.map(q => wall {
       Hnsw.searchIndex(spark, hDir, "vec_id", q, 10,
         probeGraphs = Hnsw.AutoProbe).collect()
     }).sorted
+    val (h1, l1) = Hnsw.GraphCache.counters
     val p50 = lat(lat.length / 2); val p95 = lat((lat.length * 95) / 100 - 1)
     println(f"[bigsmoke] routed search p50 ${p50 * 1000}%.0f ms " +
-      f"p95 ${p95 * 1000}%.0f ms over ${qs.length}%d queries")
+      f"p95 ${p95 * 1000}%.0f ms over ${qs.length}%d queries " +
+      f"(graphs ${graphBytes / 1e9}%.2f GB vs budget " +
+      f"${cacheBudget / 1e9}%.2f GB; cache +${h1 - h0}%d hits " +
+      f"+${l1 - l0}%d loads)")
 
     // routed recall@10 vs the exact flat scan on the same queries —
     // the RECALL.json convention measured at 2500x the fixture scale
@@ -185,36 +220,115 @@ object BigSmoke {
     println(f"[bigsmoke] routed recall@10 ${meanRecall}%.3f " +
       f"over ${qs.length}%d queries")
 
-    // ---- knn_join: 1000-query side, k=10, nprobe=32 ----
-    val (ivfModel, ivfDir) = IvfIndex.ensure(spark, "bigsmoke_ivf", emb,
-      embPath, "embedding", "l2", nlist = 1024, maxIter = 4)
+    // ---- knn_join: 1000-query side, k=10 ----
+    val (ivfModel, ivfDir) = IvfIndex.ensure(spark, ivfName, emb,
+      embPath, "embedding", "l2", nlist = nlist, maxIter = 4)
     val qSide = emb.filter(col("vec_id") % lit(N / 1000) === 0)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
     val tJoin = wall {
       KnnJoin.join(spark, qSide, "qid", "qv", ivfDir, ivfModel,
-        "vec_id", "embedding", k = 10, nprobe = 32).count()
+        "vec_id", "embedding", k = 10, nprobe = joinProbe).count()
     }
-    println(f"[bigsmoke] knn_join 1000q k=10 nprobe=32 ${tJoin}%.1f s")
+    println(f"[bigsmoke] knn_join 1000q k=10 nprobe=$joinProbe%d ${tJoin}%.1f s")
 
-    // ---- minhash near-dup over the doc corpus ----
+    // ---- minhash near-dup over the doc corpus (64-dim run only: the
+    // doc chain is dim-independent) ----
     import graft.operators.Dedup
-    val docs = spark.read.parquet(docPath).select(
-      col("doc_id"), col("text"))
-    val tDedup = wall {
-      // the q_dedup_minhash chain: hashed shingles -> signatures ->
-      // banded LSH candidates -> exact-Jaccard verify
-      val sh = docs.select(col("doc_id"),
-        Dedup.shingleHashes(col("text"), 3).as("shh"))
-      val sig = sh.select(col("doc_id"),
-        Dedup.minhashSignatureHashed(col("shh"), 64).as("sig"))
-      val cands = Dedup.lshCandidates(sig, "doc_id", "sig",
-        bands = 16, rows = 4)
-      Dedup.verifyJaccard(cands, sh, "doc_id", "shh")
-        .filter(col("jacc") >= 0.8).count()
+    val tDedup = if (hd) 0.0 else {
+      val docs = spark.read.parquet(docPath).select(
+        col("doc_id"), col("text"))
+      val t = wall {
+        // the q_dedup_minhash chain: hashed shingles -> signatures ->
+        // banded LSH candidates -> exact-Jaccard verify
+        val sh = docs.select(col("doc_id"),
+          Dedup.shingleHashes(col("text"), 3).as("shh"))
+        val sig = sh.select(col("doc_id"),
+          Dedup.minhashSignatureHashed(col("shh"), 64).as("sig"))
+        val cands = Dedup.lshCandidates(sig, "doc_id", "sig",
+          bands = 16, rows = 4)
+        Dedup.verifyJaccard(cands, sh, "doc_id", "shh")
+          .filter(col("jacc") >= 0.8).count()
+      }
+      println(f"[bigsmoke] minhash near-dup over $nDocs%d docs ${t}%.1f s")
+      t
     }
-    println(f"[bigsmoke] minhash near-dup over $nDocs%d docs ${tDedup}%.1f s")
+
+    // ---- hd mode: per-delta side-graph cadence (append cost is
+    // per-DELTA, so a small 100k base isolates exactly the 768-dim
+    // side-graph build wall without a second full fleet build) ----
+    val hdAppends: Seq[Double] = if (!hd) Nil else {
+      import graft.operators.{IncrHnsw, Segments}
+      val segDir = s"$dir/segstore_hd"
+      val iname = s"bigsmoke_hd_incr_d$Dims"
+      IndexCatalog.drop(spark, iname)
+      def rm(f: java.io.File): Unit = { if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete() }
+      rm(new java.io.File(segDir))
+      Segments.init(spark, segDir,
+        emb.filter(col("vec_id") < 100000).select(col("vec_id"),
+          col("embedding")), "vec_id")
+      IncrHnsw.ensure(spark, iname, segDir, "vec_id", "embedding",
+        efConstruction = efc)
+      val walls = (1 to 3).map { i =>
+        val batch = emb
+          .filter(col("vec_id") >= 100000L * i && col("vec_id") < 100000L * i + 20000L)
+          .select((col("vec_id") + lit(N * 10 * i)).as("vec_id"),
+            col("embedding"))
+        Segments.append(spark, segDir, batch, "vec_id", shadow = false)
+        val t = wall { IncrHnsw.ensure(spark, iname, segDir, "vec_id",
+          "embedding", efConstruction = efc) }
+        println(f"[bigsmoke-hd] append $i%d (20k rows, $Dims%d dims): " +
+          f"side graph ${t}%.1f s")
+        t
+      }
+      IndexCatalog.drop(spark, iname)
+      rm(new java.io.File(segDir))
+      walls
+    }
 
     // ---- append to SOAK.md ----
+    if (hd) {
+      val sideMean = hdAppends.sum / math.max(hdAppends.length, 1)
+      val hdTable =
+        f"""
+## High-dimensional smoke ($Dims%d-dim, round 17, one-off direct measurement)
+
+Every other direct scale measurement in this file is 64-dim; production
+LLM embeddings are 768–3072-dim, which multiplies graph bytes ~${Dims / 64}%d×
+and shifts build cost into distance kernels. Same flow as the
+large-corpus smoke at $N%d rows × $Dims%d dims, single node
+local[$cpus%s], plus the per-delta side-graph cadence and the
+GraphCache residency counters around the serving loop.
+
+| item | value |
+|---|---|
+| corpus | $N%d vectors × $Dims%d dims (${N * Dims * 4 / 1e9}%.2f GB raw floats, ${embBytes / 1e9}%.2f GB parquet) |
+| hnsw parts=$parts%d m=12 efc=$efc%d build | ${tHnsw}%.1f s |
+| ivf nlist=$nlist%d (kmeans‖ iters=4) build | ${tIvf}%.1f s |
+| graph artifact bytes vs GraphCache budget | ${graphBytes / 1e9}%.2f GB vs ${cacheBudget / 1e9}%.2f GB |
+| routed scalar search (AUTO) p50 / p95 | ${p50 * 1000}%.0f ms / ${p95 * 1000}%.0f ms |
+| GraphCache over the ${qs.length}%d-query loop | ${(l1 - l0)}%d loads / ${(h1 - h0)}%d hits |
+| routed recall@10 vs exact (${qs.length}%d queries) | ${meanRecall}%.3f |
+| knn_join 1000q k=10 nprobe=$joinProbe%d/$nlist%d | ${tJoin}%.1f s |
+| side-graph append (20k rows × $Dims%d dims, mean of 3) | ${sideMean}%.1f s |
+"""
+      val soak = java.nio.file.Paths.get("SOAK.md")
+      if (java.nio.file.Files.exists(soak)) {
+        val cur = java.nio.file.Files.readString(soak)
+        val marker = s"\n## High-dimensional smoke ($Dims-dim"
+        val cut = cur.indexOf(marker)
+        val base = if (cut >= 0) {
+          // replace this dims' section, keep anything after it
+          val rest = cur.substring(cut + 1)
+          val nxt = rest.indexOf("\n## ")
+          cur.substring(0, cut) + (if (nxt >= 0) rest.substring(nxt) else "")
+        } else cur
+        java.nio.file.Files.writeString(soak, base + hdTable)
+        println("[bigsmoke-hd] SOAK.md appendix updated")
+      }
+      spark.stop()
+      return
+    }
     val table =
       f"""
 ## Large-corpus smoke (round 15, one-off direct measurement)

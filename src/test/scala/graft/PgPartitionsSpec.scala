@@ -57,4 +57,49 @@ class PgPartitionsSpec extends SparkSpec {
       PgPartitions.drop(spark, b)
     }
   }
+
+  test("a cross-process DROP survives this driver's next register (file authoritative under lease)") {
+    val a = "pgpartspec_xdrop_a"; val b = "pgpartspec_xdrop_b"
+    val c = "pgpartspec_xdrop_c"
+    PgPartitions.drop(spark, a); PgPartitions.drop(spark, b)
+    PgPartitions.drop(spark, c)
+    val root = IndexCatalog.root(spark)
+    PgPartitions.register(spark, a,
+      PgPartitions.Child("pgpartspec_parent", "cat", Seq("1")))
+    PgPartitions.register(spark, b,
+      PgPartitions.Child("pgpartspec_parent", "cat", Seq("2")))
+    // "the other driver" drops child A out of band: rewrite the registry
+    // file without it, under the lease (this driver's memory still
+    // holds A — the resurrect precondition of round-17 advice)
+    IndexCatalog.withIndexLock(spark, "_pg_partitions") {
+      val f = new File(root, "_pg_partitions.bin")
+      val in = new java.io.ObjectInputStream(new java.io.FileInputStream(f))
+      val prior = try in.readObject()
+        .asInstanceOf[Map[String, PgPartitions.Child]] finally in.close()
+      val tmp = new File(root, "_pg_partitions.bin.spec_tmp")
+      val out = new java.io.ObjectOutputStream(new java.io.FileOutputStream(tmp))
+      try out.writeObject(prior - a) finally out.close()
+      java.nio.file.Files.move(tmp.toPath, f.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    // this driver registers C: the pre-fix add-only merge would
+    // re-persist (resurrect) the dropped A from memory
+    PgPartitions.register(spark, c,
+      PgPartitions.Child("pgpartspec_parent", "cat", Seq("3")))
+    try {
+      assert(PgPartitions.resolve(spark, a).isEmpty,
+        "another process's drop must survive this driver's register")
+      assert(PgPartitions.resolve(spark, b).isDefined)
+      assert(PgPartitions.resolve(spark, c).isDefined)
+      // persisted state agrees after a restart
+      PgPartitions.resetNamesForTest(spark, Set(a, b, c))
+      assert(PgPartitions.resolve(spark, a).isEmpty)
+      assert(PgPartitions.resolve(spark, b).isDefined)
+      assert(PgPartitions.resolve(spark, c).isDefined)
+    } finally {
+      PgPartitions.drop(spark, b)
+      PgPartitions.drop(spark, c)
+    }
+  }
 }

@@ -21,6 +21,18 @@ class SltConformanceSpec extends SparkSpec {
   private def expect(lit: String): Seq[Float] =
     VectorText.parseDense(lit).toSeq
 
+  test("init.sql: CREATE EXTENSION vectors ≡ GraftExtensions session wiring") {
+    // the reference harness prologue (tests/init.sql, one line) loads
+    // the extension into every suite's session; the analog is the
+    // spark.sql.extensions entry every gate/bench/test session carries —
+    // this pin asserts the wiring is present AND is what makes the
+    // dialect live (a ::vector cast only parses through the injected
+    // parser)
+    assert(spark.conf.get("spark.sql.extensions", "")
+      .contains("graft.plans.GraftExtensions"))
+    assert(floats("SELECT '[1,2,3]'::vector") === expect("[1, 2, 3]"))
+  }
+
   test("operator.slt: vector + - * (verbatim, f32 expected values)") {
     assert(floats("SELECT '[1,2.3,4e5]'::vector + '[6,7.8,9e10]'") ===
       expect("[7, 10.1, 90000400000]"))
@@ -540,6 +552,14 @@ class SltConformanceSpec extends SparkSpec {
       "check.slt: idx_growing must print {} after a build")
     assert(pgArr(row.getSeq[Long](2)) === "{1000}",
       "check.slt: idx_sealed must print {1000} after a build")
+    // table-qualified column spelling (legal PG; round-17 advice): the
+    // rewrite must leave `pg_vector_index_stat.indexname` an identifier
+    // chain — Spark aliases the TVF relation by its function name, so
+    // the qualifier resolves against the rewritten FROM item
+    assert(spark.sql(
+      """SELECT pg_vector_index_stat.indexname FROM pg_vector_index_stat
+         WHERE pg_vector_index_stat.indexname = 'pgslt_seal_i'""")
+      .head().getString(0) === "pgslt_seal_i")
     assert(spark.sql("DROP INDEX pgslt_seal_i").head().getString(0) === "ok")
     spark.sql("DROP TABLE pgslt_seal")
   }
@@ -574,6 +594,15 @@ class SltConformanceSpec extends SparkSpec {
     def msgs(t: Throwable): Seq[String] =
       if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
     assert(msgs(e).exists(_.contains("cannot run inside a transaction block")))
+    // ... and so does the vacuum_vector_index() UDF spelling — EVERY
+    // vacuum entry point refuses (round-17 advice: the statement paths
+    // refused at parse, the UDF landed in SqlDdl.vacuum directly)
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT vacuum_vector_index('pgslt_txn_nonexistent')")
+        .collect()
+    }
+    assert(msgs(e2).exists(_.contains("cannot run inside a transaction block")),
+      s"got: ${msgs(e2)}")
     spark.sql("ROLLBACK")
     // COMMIT keeps the index
     spark.sql("BEGIN TRANSACTION")
