@@ -132,11 +132,12 @@ object Gucs {
   /** PG `SHOW <guc>` (compact_var.slt's read statements): the stored
     * value in the PG spelling — bools print on/off; `vectors.*` names
     * read the native conf (defaults: compatibility off, search_mode
-    * vbase, hnsw_ef_search 100; enable_index prints `off` when unset —
-    * acceleration is opt-in here where the reference defaults on, and
-    * ivf_nprobe prints `auto`, this engine's stronger default that
-    * resolves max(10, the artifact's calibrated hint) — both divergences
-    * documented in SURVEY rows 53/31). A pgvector-spelled name reads the
+    * vbase; enable_index prints `off` when unset — acceleration is
+    * opt-in here where the reference defaults on; ivf_nprobe AND
+    * hnsw_ef_search print `auto`, this engine's stronger defaults that
+    * resolve max(10, probe hint) / max(100, ef hint) from the
+    * artifact's calibration — divergences documented in SURVEY rows
+    * 53/31 and the CONFORMANCE table). A pgvector-spelled name reads the
     * native conf in compatibility mode, its own foreign storage
     * otherwise; an unset foreign name errors like PG's unrecognized
     * parameter. */
@@ -151,7 +152,11 @@ object Gucs {
           case "vectors.enable_index" => "false"
           case "vectors.search_mode" => "vbase"
           case "vectors.ivf_nprobe" => "auto"
-          case "vectors.hnsw_ef_search" => "100"
+          // round 17: beams joined the calibrated-default convention —
+          // unset resolves max(100, the artifact's ef_hint), so the
+          // honest SHOW is auto (the ivf_nprobe divergence precedent;
+          // reference default 100 prints only when explicitly SET)
+          case "vectors.hnsw_ef_search" => "auto"
           // unset rerank sizes print `auto`: the engine's stronger
           // default is the window MULTIPLIER (4k/8k candidates), not
           // the reference's 0 — the ivf_nprobe divergence convention

@@ -95,8 +95,10 @@ object IndexCatalog {
     fp
   }
 
-  def load(spark: SparkSession, name: String): Option[Manifest] = {
-    val f = manifestFile(spark, name)
+  def load(spark: SparkSession, name: String): Option[Manifest] =
+    loadFile(manifestFile(spark, name))
+
+  private def loadFile(f: File): Option[Manifest] = {
     if (!f.isFile) None
     else scala.util.Try {
       val key = f.getAbsolutePath
@@ -111,6 +113,16 @@ object IndexCatalog {
       }
     }.toOption // unreadable manifest (older format) == missing -> rebuild
   }
+
+  /** The manifest ADJACENT to an artifact data dir
+    * (`<root>/<name>/<dataSub>` → `<root>/<name>/MANIFEST.bin`) — the
+    * serving-side resolution for direct operator calls that know only
+    * the artifact path (round 17: the ef_hint AUTO default). Shares the
+    * mtime/len-keyed cache with [[load]]; artifacts living outside a
+    * catalog layout simply resolve None. */
+  private[graft] def loadNear(artifactDir: File): Option[Manifest] =
+    Option(artifactDir.getParentFile)
+      .map(p => new File(p, "MANIFEST.bin")).flatMap(loadFile)
 
   /** Commit a manifest AFTER the data artifact is fully written — the
     * crash-recovery rule (lib.rs:128-211): a dir without a committed
@@ -295,6 +307,12 @@ object IndexCatalog {
         !v.exists(_ < ' ')
     }
     Map("probe_hint" -> posInt, "nprobe" -> posInt,
+      // ef_hint (round 17): the calibrated beam-breadth default —
+      // manifest-only (serving reads the manifest directly, no sidecar
+      // to sync), tunable like probe_hint; RESET drops ef_cal so the
+      // next ensure recalibrates instead of serving a hint-less
+      // calibrated claim
+      "ef_hint" -> posInt,
       "ef_search" -> posInt, "rerank_window" -> posInt,
       "sql_cols" -> colPair,
       "sql_am" -> ((v: String) => Set("vectors", "hnsw", "ivfflat")(v)),
@@ -427,8 +445,9 @@ object IndexCatalog {
     // Graph fleets additionally zero the SIDECAR hint (what searches
     // read): AUTO reverts to the ceil-sqrt heuristic — the default the
     // RESET asks for — immediately, no rebuild needed.
-    val dropped = if (keys.contains("probe_hint")) keys :+ "probe_cal"
-      else keys
+    val dropped = keys ++
+      (if (keys.contains("probe_hint")) Seq("probe_cal") else Nil) ++
+      (if (keys.contains("ef_hint")) Seq("ef_cal") else Nil)
     val committed = commit(spark, name, m.copy(params = m.params -- dropped))
     if (keys.contains("probe_hint")) propagateHint(spark, name, m, None)
     committed

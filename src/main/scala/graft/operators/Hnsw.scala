@@ -1077,7 +1077,8 @@ object Hnsw {
     val reqs = Map("format" -> "flatbin2", "m" -> m.toString,
       "ef_construction" -> efConstruction.toString,
       "parts" -> parts.toString,
-      "sample" -> graft.index.SampleSidecar.Gen) ++
+      "sample" -> graft.index.SampleSidecar.Gen,
+      "ef_cal" -> EfCalGen) ++
       (if (parts > 1) Map("routing" -> RoutingGen) else Map.empty)
     IndexCatalog.ensure(spark, name, source, requires = reqs)(
       buildFlatArtifact(spark, df, source, idCol, vecCol, metric, parts,
@@ -1101,6 +1102,93 @@ object Hnsw {
   /** The graph-artifact build job shared by [[ensure]] and [[reindex]]:
     * write per-partition FlatGraph files under `dataDir`, return the
     * manifest describing them. */
+  /** Beam-breadth calibration generation (round 17): the 768-dim smoke
+    * measured routed recall@10 collapse to 0.50 at the fixed ef=100
+    * default on near-uniform high-dimensional clouds (distance
+    * concentration — the 10th-NN sits at 0.92× the MEAN pairwise
+    * distance, so greedy beams lose their gradient), recovering
+    * monotonically along the ef ladder (0.59 @200, 0.78 @400, 0.88
+    * @800, 0.96 @1600) while the same corpus's calibrated IVF default
+    * held 1.000. The ProbeCal philosophy applied to beams:
+    * measure-at-build, serve as the UNSET-conf default, explicit confs
+    * bypass. Statistic: on the 64-query lowest-xxhash holdout, the
+    * smallest ladder ef whose per-graph beam union reaches mean
+    * DISTANCE recall@10 >= 0.95 against the same graphs' exact scans —
+    * beam hits count when their dist <= the exact 10th distance, so
+    * massive tie sets (binarized payloads: thousands of rows at equal
+    * hamming dist) don't demand id-exact agreement the beam can never
+    * owe (gen 1 used id-set recall and calibrated a 500-row bvec
+    * fixture to ef=1600 on pure ties — never shipped). One Spark job
+    * over the freshly built files. Dense flat graphs only (coded
+    * families have rerank windows, incremental graphs are per-delta);
+    * easy corpora calibrate to <= 100 so the served default
+    * (max(100, hint)) is unchanged where beams were already fine. Bump
+    * together with any statistic change, and update the q_index_stat
+    * VALUES oracle rows (hnsw rows carry ef_cal/ef_hint). */
+  private[graft] val EfCalGen = "efcal2"
+  private[graft] val EfLadder = Seq(64, 100, 200, 400, 800, 1600)
+
+  private[graft] def calibrateEf(spark: org.apache.spark.sql.SparkSession,
+      dataDir: String, vframe: DataFrame): Int = {
+    import org.apache.spark.sql.functions.xxhash64
+    val qs = vframe.select(col("v"), xxhash64(col("v")).as("qh"))
+      .orderBy(col("qh")).limit(64)
+      .collect().map(_.getSeq[Float](0).toArray)
+    if (qs.isEmpty) return EfLadder.head
+    val dirPath = new org.apache.hadoop.fs.Path(dataDir)
+    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.globStatus(new org.apache.hadoop.fs.Path(dataDir, "graph-*.bin"))
+      .map(_.getPath.toString).sorted.toSeq
+    if (files.isEmpty) return EfLadder.head
+    val bq = spark.sparkContext.broadcast(qs)
+    val hconf = confEntries(spark)
+    val ladder = EfLadder
+    val slices = math.max(1, math.min(files.length,
+      spark.sparkContext.defaultParallelism * 2))
+    // one job: per graph, every holdout query's exact top-10 (ei = -1)
+    // and its beam top-10 at each ladder ef; the driver merges
+    // per-graph candidates into global top-10s (the searchIndex union
+    // shape) and reads recall off the merge
+    val cands = spark.sparkContext.parallelize(files, slices)
+      .mapPartitions { it =>
+        val conf = mkConf(hconf)
+        it.flatMap { f =>
+          val g = GraphCache.get(f, conf)
+          val queries = bq.value
+          queries.iterator.zipWithIndex.flatMap { case (q, qi) =>
+            val exact = g.bruteForce(q, 10).iterator
+              .map { case (d, id) => (qi, -1, d, id) }
+            val beams = ladder.iterator.zipWithIndex
+              .flatMap { case (ef, ei) =>
+                g.search(q, 10, ef).iterator
+                  .map { case (d, id) => (qi, ei, d, id) }
+              }
+            exact ++ beams
+          }
+        }
+      }.collect()
+    // global top-10 DISTANCES per (query, ef) from the per-graph unions;
+    // recall counts beam hits at dist <= the exact 10th distance
+    // (tie-insensitive — kernels are deterministic, so equal rows give
+    // bit-equal doubles on both paths)
+    val by = cands.groupBy(t => (t._1, t._2)).map { case (k, arr) =>
+      k -> arr.map(_._3).sorted.take(10).toSeq }
+    val recalls = ladder.indices.map { ei =>
+      val rs = qs.indices.map { qi =>
+        val ex = by.getOrElse((qi, -1), Seq.empty[Double])
+        if (ex.isEmpty) 1.0
+        else {
+          val thr = ex.last
+          val got = by.getOrElse((qi, ei), Seq.empty[Double])
+          got.count(_ <= thr).toDouble / ex.length
+        }
+      }
+      rs.sum / math.max(rs.length, 1)
+    }
+    val idx = recalls.indexWhere(_ >= 0.95)
+    if (idx >= 0) ladder(idx) else ladder.last
+  }
+
   private def buildFlatArtifact(spark: org.apache.spark.sql.SparkSession,
       df: => DataFrame, source: String, idCol: String, vecCol: String,
       metric: String, parts: Int, m: Int, efConstruction: Int)
@@ -1185,8 +1273,11 @@ object Hnsw {
         val rows = rows0.coalesce(1).sortWithinPartitions(col(idCol))
         val nFiles = rows.mapPartitions(writeGraphTask(_, _ => null))
           .collect().length
+        val efHint = calibrateEf(spark, dataDir,
+          prepped.select(col(vecCol).as("v")))
         IndexCatalog.Manifest("hnsw", source, metric,
-          baseParams + ("files" -> nFiles.toString))
+          baseParams + ("files" -> nFiles.toString) +
+            ("ef_cal" -> EfCalGen) + ("ef_hint" -> efHint.toString))
       } else {
         // SPATIAL partitioning (round 8): k-means the prepped vectors
         // into `parts` clusters and build one graph per CLUSTER, so the
@@ -1229,13 +1320,16 @@ object Hnsw {
         Routing.write(fs, dirPath, metric, ents,
           if (centroids.nonEmpty) centroids(0).length else 0,
           hint)
+        val efHint = calibrateEf(spark, dataDir,
+          prepped.select(col(vecCol).as("v")))
         IndexCatalog.Manifest("hnsw", source, metric,
           baseParams ++ Map("files" -> stats.length.toString,
             "routing" -> RoutingGen, "routable" -> routable,
             // advisory (round 16): the cell count the data wanted —
             // larger than `parts` means the build was misconfigured
             // toward wide cells (see RoutingGen's centroid5 note)
-            "suggest_parts" -> stats.length.toString) ++
+            "suggest_parts" -> stats.length.toString,
+            "ef_cal" -> EfCalGen, "ef_hint" -> efHint.toString) ++
             (if (hint > 0) Map("probe_hint" -> hint.toString)
              else Map.empty))
       }
@@ -1438,9 +1532,10 @@ object Hnsw {
     * once per executor (GraphCache) and the task carries only a file
     * path, so repeat queries do no artifact I/O at all. */
   def searchIndex(spark: org.apache.spark.sql.SparkSession, path: String,
-      idCol: String, q: Array[Float], k: Int, efSearch: Int = 100,
+      idCol: String, q: Array[Float], k: Int, efSearch: Int = AutoEf,
       exact: Boolean = false, probeGraphs: Int = 0): DataFrame = {
     import spark.implicits._
+    val efSearch0 = resolveEf(path, efSearch)
     val dirPath = new org.apache.hadoop.fs.Path(path)
     val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val allFiles = fs.globStatus(new org.apache.hadoop.fs.Path(path, "graph-*.bin"))
@@ -1456,7 +1551,7 @@ object Hnsw {
     val files =
       if (exact) allFiles
       else routeFiles(spark, path, allFiles, q, probeGraphs)
-    searchFiles(spark, files, idCol, q, k, efSearch, exact)
+    searchFiles(spark, files, idCol, q, k, efSearch0, exact)
   }
 
   /** Default beam floor for plain-graph searches: effective ef =
@@ -1472,6 +1567,22 @@ object Hnsw {
       efSearch: Int, k: Int): Int =
     math.max(efSearch,
       k * spark.conf.get("spark.graft.hnsw.efMult", "2").toInt)
+
+  /** AUTO beam breadth (round 17): `efSearch = AutoEf` (0, the default
+    * on every dense search entry) resolves max(100, the ADJACENT
+    * manifest's calibrated ef_hint) — the direct operator API's
+    * spelling of the unset-conf default, so tools and library users get
+    * the calibrated breadth without knowing the conf layer. Any
+    * positive value is explicit and bypasses (the probe-conf
+    * discipline); artifacts without a catalog manifest or hint resolve
+    * to the former fixed 100. */
+  val AutoEf = 0
+  private[graft] def resolveEf(path: String, requested: Int): Int =
+    if (requested > 0) requested
+    else math.max(100, graft.index.IndexCatalog
+      .loadNear(new java.io.File(path.stripPrefix("file:")))
+      .flatMap(_.params.get("ef_hint")).flatMap(_.toIntOption)
+      .getOrElse(0))
 
   /** Slice count for per-graph-file serving jobs (round 16): one task
     * per file puts hundreds of near-no-op tasks on the scheduler for
@@ -1532,8 +1643,9 @@ object Hnsw {
   def searchIndexFiltered(spark: org.apache.spark.sql.SparkSession,
       path: String, idCol: String, q: Array[Float], k: Int,
       source: DataFrame, pred: org.apache.spark.sql.Column,
-      efSearch: Int = 100, overfetch: Int = 4, maxRounds: Int = 8,
+      efSearch: Int = AutoEf, overfetch: Int = 4, maxRounds: Int = 8,
       exact: Boolean = false): DataFrame = {
+    val efResolved = resolveEf(path, efSearch)
     val filteredIds = source.filter(pred).select(col(idCol))
     // Selectivity-seeded first fetch (round 10): when the artifact
     // carries a `_sample.bin`, size round 1 to 2k / Wilson-lower(sel)
@@ -1564,7 +1676,7 @@ object Hnsw {
     while (result == null && rounds < maxRounds) {
       val krInt = math.min(kr, Int.MaxValue.toLong).toInt
       val cands = searchIndex(spark, path, idCol, q, krInt,
-        efSearch = math.max(efSearch, krInt), exact = exact)
+        efSearch = math.max(efResolved, krInt), exact = exact)
       val fetched = cands.count()
       val surv = filteredIds.join(broadcast(cands), Seq(idCol))
       if (surv.count() >= k || fetched < krInt || krInt == Int.MaxValue)
@@ -1577,7 +1689,7 @@ object Hnsw {
       // largest fetch (approximate mode only — exact mode always
       // terminates via the exhaustion test)
       result = filteredIds.join(broadcast(searchIndex(spark, path, idCol, q,
-          math.min(kr, Int.MaxValue.toLong).toInt, efSearch, exact)), Seq(idCol))
+          math.min(kr, Int.MaxValue.toLong).toInt, efResolved, exact)), Seq(idCol))
         .orderBy(col("dist"), col(idCol)).limit(k)
     lastFilteredRounds = rounds
     result
@@ -1601,10 +1713,10 @@ object Hnsw {
     * provable exact twin. */
   def searchIndexMetric(spark: org.apache.spark.sql.SparkSession,
       path: String, idCol: String, q: Array[Float], k: Int, metric: String,
-      efSearch: Int = 100, exact: Boolean = false,
+      efSearch: Int = AutoEf, exact: Boolean = false,
       probeGraphs: Int = 0): DataFrame = {
     import spark.implicits._
-    val efb = beamEf(spark, efSearch, k)
+    val efb = beamEf(spark, resolveEf(path, efSearch), k)
     val dirPath = new org.apache.hadoop.fs.Path(path)
     val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val allFiles = fs.globStatus(new org.apache.hadoop.fs.Path(path, "graph-*.bin"))
@@ -1811,11 +1923,11 @@ object Hnsw {
     * the oracle mode. Null/non-finite query vectors drop (null.slt). */
   def knnJoin(spark: org.apache.spark.sql.SparkSession, path: String,
       idCol: String, queries: DataFrame, qidCol: String, qvecCol: String,
-      k: Int, efSearch: Int = 100, exact: Boolean = false,
+      k: Int, efSearch: Int = AutoEf, exact: Boolean = false,
       probeGraphs: Int = 0): DataFrame = {
     val (files, routing, hint) = joinArtifacts(spark, path)
     knnJoinFiles(spark, files, routing, idCol, queries, qidCol, qvecCol,
-      k, efSearch, exact, probeGraphs, hint = hint)
+      k, resolveEf(path, efSearch), exact, probeGraphs, hint = hint)
   }
 
   /** Table-valued KNN join with a search-time METRIC OVERRIDE over the
@@ -1829,12 +1941,12 @@ object Hnsw {
     * override kernel, the provable brute force. */
   def knnJoinMetric(spark: org.apache.spark.sql.SparkSession, path: String,
       idCol: String, queries: DataFrame, qidCol: String, qvecCol: String,
-      k: Int, metric: String, efSearch: Int = 100, exact: Boolean = false,
+      k: Int, metric: String, efSearch: Int = AutoEf, exact: Boolean = false,
       probeGraphs: Int = 0): DataFrame = {
     val (files, routing, hint) = joinArtifacts(spark, path)
     knnJoinFiles(spark, files, routing, idCol, queries, qidCol, qvecCol,
-      k, efSearch, exact, probeGraphs, metricOverride = Some(metric),
-      hint = hint)
+      k, resolveEf(path, efSearch), exact, probeGraphs,
+      metricOverride = Some(metric), hint = hint)
   }
 
   /** [[knnJoin]] over an explicit (file list, routing) pair — see
@@ -1956,10 +2068,10 @@ object Hnsw {
 
   def searchIndexBatch(spark: org.apache.spark.sql.SparkSession,
       path: String, idCol: String, queries: Seq[(Long, Array[Float])],
-      k: Int, efSearch: Int = 100, exact: Boolean = false): DataFrame = {
+      k: Int, efSearch: Int = AutoEf, exact: Boolean = false): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
-    val efb = beamEf(spark, efSearch, k)
+    val efb = beamEf(spark, resolveEf(path, efSearch), k)
     val dirPath = new org.apache.hadoop.fs.Path(path)
     val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val files = fs.globStatus(new org.apache.hadoop.fs.Path(path, "graph-*.bin"))

@@ -185,13 +185,22 @@ object IncrMaint {
     * maintenance operation scheduled by the single batch driver (the
     * reference's optimizer bgworker likewise owns the index exclusively
     * while optimizing, crates/index/src/optimizing/mod.rs); it does not
-    * serialize against readers, only against other maintenance calls. */
+    * serialize against readers, only against other maintenance calls.
+    *
+    * Lock ORDER (round 17): the IncrMaint monitor is released BEFORE
+    * reEnsure runs — reEnsure takes the family's own lock, and family
+    * ensure() now takes the IncrMaint monitor via [[vacuumIfDue]], so
+    * holding this monitor across reEnsure would be a family↔IncrMaint
+    * inversion (deadlock under concurrent vacuum+ensure). The
+    * fold+drop pair stays serialized against other maintenance. */
   def vacuum(spark: SparkSession, name: String, segDir: String,
-      idCol: String)(reEnsure: => String): String = synchronized {
-    Segments.compact(spark, segDir, idCol)
-    // drop removes the whole index dir — including the promoted-dead
-    // snapshot, which the rebuilt artifact has no dead rows to need
-    IndexCatalog.drop(spark, name)
+      idCol: String)(reEnsure: => String): String = {
+    synchronized {
+      Segments.compact(spark, segDir, idCol)
+      // drop removes the whole index dir — including the promoted-dead
+      // snapshot, which the rebuilt artifact has no dead rows to need
+      IndexCatalog.drop(spark, name)
+    }
     reEnsure
   }
 

@@ -452,9 +452,22 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * [[graft.index.Gucs.alias]], compact_var.slt). `spark.graft.hnsw.exact`
     * routes the rewrite to the provable flat scan of the artifact — the
     * ef=∞ analog that exact-mode queries rely on. */
-  private def hnswEfSearch: Int =
+  /** ef resolution (round 17, the nprobe=auto discipline applied to
+    * beams): an EXPLICIT conf — either spelling, or the pgvector GUC
+    * alias in compat mode — always wins; with the conf UNSET the
+    * artifact's calibrated `ef_hint` raises the 100 floor
+    * (max(100, hint)). Manifests without a hint (parents, coded,
+    * pre-efcal artifacts) resolve to the former fixed 100, so easy
+    * corpora serve exactly as before — only artifacts whose build
+    * MEASURED a beam-recall shortfall (the 768-dim concentration
+    * regime) widen by default. */
+  private def hnswEfSearch(m: graft.index.IndexCatalog.Manifest): Int =
     graft.index.Gucs.alias(spark, "spark.graft.hnsw.ef_search")
-      .getOrElse(spark.conf.get("spark.graft.hnsw.efSearch", "100")).toInt
+      .orElse(spark.conf.getOption("spark.graft.hnsw.efSearch")) match {
+      case Some(v) if !v.trim.equalsIgnoreCase("auto") => v.trim.toInt
+      case _ =>
+        math.max(100, m.params.get("ef_hint").map(_.toInt).getOrElse(0))
+    }
   private def hnswExact: Boolean =
     spark.conf.get("spark.graft.hnsw.exact", "false").toBoolean
 
@@ -1180,7 +1193,7 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
               val out = graft.operators.Hnsw.knnJoinMetric(spark, dataDir,
                 idx.idCol, qdf, qidSrc.name, qAttr.name, k = kLimit,
                 metric = overrideMet,
-                efSearch = math.max(hnswEfSearch, kLimit),
+                efSearch = math.max(hnswEfSearch(manifest), kLimit),
                 exact = hnswExact, probeGraphs = hnswJoinProbe)
               val newPlan = out.queryExecution.optimizedPlan
               val byName = newPlan.output.map(x => x.name -> x).toMap
@@ -1295,14 +1308,14 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
                 graft.operators.PartitionedIndex.knnJoinHnsw(spark,
                   idx.indexName, manifest.source, partCol,
                   idx.idCol, qdf, qidSrc.name, qAttr.name, k = kLimit,
-                  efSearch = math.max(hnswEfSearch, kLimit),
+                  efSearch = math.max(hnswEfSearch(manifest), kLimit),
                   exact = hnswExact, probeGraphs = hnswJoinProbe,
                   values = Some(chosen))
               case None =>
                 graft.operators.Hnsw.knnJoin(spark,
                   graft.index.IndexCatalog.dataDir(spark, idx.indexName),
                   idx.idCol, qdf, qidSrc.name, qAttr.name, k = kLimit,
-                  efSearch = math.max(hnswEfSearch, kLimit), exact = hnswExact,
+                  efSearch = math.max(hnswEfSearch(manifest), kLimit), exact = hnswExact,
                   probeGraphs = hnswJoinProbe)
             }
             val newPlan = out.queryExecution.optimizedPlan
@@ -1973,7 +1986,7 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         // query (searchIndex reports 1 - dot, the cos-distance convention)
         val qq = if (metric == "cos") IvfIndex.Kernels.normalize(q) else q
         graft.operators.Hnsw.searchIndex(spark, dataDir, idx.idCol, qq, k,
-          efSearch = hnswEfSearch, exact = hnswExact,
+          efSearch = hnswEfSearch(manifest), exact = hnswExact,
           probeGraphs = hnswProbe)
       case ("dense", "hnsw_part" | "ivf_part") =>
         // partitioned parent (partition.slt): per-partition searches +
@@ -1997,7 +2010,7 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
           val qq = if (metric == "cos") IvfIndex.Kernels.normalize(q) else q
           graft.operators.PartitionedIndex.searchHnsw(spark, idx.indexName,
             manifest.source, partCol, idx.idCol, qq, k,
-            efSearch = hnswEfSearch, exact = hnswExact,
+            efSearch = hnswEfSearch(manifest), exact = hnswExact,
             values = Some(registered), probeGraphs = hnswProbe)
         }
       // typed opclasses under the hnsw AM (finalize.sql:719-803,
@@ -2021,11 +2034,11 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         metric match {
           case "hamming" =>
             graft.operators.Hnsw.searchIndex(spark, dataDir, idx.idCol,
-              q01, k, efSearch = hnswEfSearch, exact = hnswExact,
+              q01, k, efSearch = hnswEfSearch(manifest), exact = hnswExact,
               probeGraphs = hnswProbe)
           case "jaccard" | "dot" =>
             graft.operators.Hnsw.searchIndexMetric(spark, dataDir,
-              idx.idCol, q01, k, metric, efSearch = hnswEfSearch,
+              idx.idCol, q01, k, metric, efSearch = hnswEfSearch(manifest),
               exact = hnswExact, probeGraphs = hnswProbe)
           case _ => return None
         }
@@ -2035,11 +2048,11 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         metric match {
           case "l2" =>
             graft.operators.Hnsw.searchIndex(spark, dataDir, idx.idCol,
-              q16, k, efSearch = hnswEfSearch, exact = hnswExact,
+              q16, k, efSearch = hnswEfSearch(manifest), exact = hnswExact,
               probeGraphs = hnswProbe)
           case "dot" | "cos" =>
             graft.operators.Hnsw.searchIndexMetric(spark, dataDir,
-              idx.idCol, q16, k, metric, efSearch = hnswEfSearch,
+              idx.idCol, q16, k, metric, efSearch = hnswEfSearch(manifest),
               exact = hnswExact, probeGraphs = hnswProbe)
           case _ => return None
         }
@@ -2047,11 +2060,11 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         metric match {
           case "l2" =>
             graft.operators.Hnsw.searchIndex(spark, dataDir, idx.idCol,
-              q, k, efSearch = hnswEfSearch, exact = hnswExact,
+              q, k, efSearch = hnswEfSearch(manifest), exact = hnswExact,
               probeGraphs = hnswProbe)
           case "dot" =>
             graft.operators.Hnsw.searchIndexMetric(spark, dataDir,
-              idx.idCol, q, k, metric, efSearch = hnswEfSearch,
+              idx.idCol, q, k, metric, efSearch = hnswEfSearch(manifest),
               exact = hnswExact, probeGraphs = hnswProbe)
           case _ => return None
         }
@@ -2163,7 +2176,7 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
             val qq = if (metric == "cos") IvfIndex.Kernels.normalize(q) else q
             graft.operators.PartitionedIndex.searchHnsw(spark,
               idx.indexName, manifest.source, partCol, idx.idCol, qq, k,
-              efSearch = hnswEfSearch, exact = hnswExact,
+              efSearch = hnswEfSearch(manifest), exact = hnswExact,
               values = Some(chosen), probeGraphs = hnswProbe)
           }
         val newPlan = searchDf.queryExecution.analyzed
@@ -2258,7 +2271,7 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       val qq = if (metric == "cos") IvfIndex.Kernels.normalize(q) else q
       val cands = graft.operators.PartitionedIndex.searchHnsw(spark,
         idx.indexName, manifest.source, partCol, idx.idCol, qq, kr,
-        efSearch = math.max(hnswEfSearch, kr), exact = hnswExact,
+        efSearch = math.max(hnswEfSearch(manifest), kr), exact = hnswExact,
         values = Some(chosen), probeGraphs = hnswProbe)
       val nf = Filter(cond, rel)
       nf.setTagValue(RewrittenTag, true)
@@ -2307,7 +2320,7 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       val qq = if (metric == "cos") IvfIndex.Kernels.normalize(q) else q
       val cands = graft.operators.Hnsw.searchIndex(spark,
         graft.index.IndexCatalog.dataDir(spark, idx.indexName),
-        idx.idCol, qq, kr, efSearch = math.max(hnswEfSearch, kr),
+        idx.idCol, qq, kr, efSearch = math.max(hnswEfSearch(manifest), kr),
         exact = hnswExact)
       val nf = Filter(cond, rel)
       nf.setTagValue(RewrittenTag, true)

@@ -417,6 +417,25 @@ object AnnQueries {
   }
   private def efSearchConf(s: SparkSession) =
     conf2(s, "spark.graft.hnsw.ef_search", "spark.graft.hnsw.efSearch", "100")
+  /** Per-ARTIFACT ef resolution for the dense plain-hnsw gates
+    * (round 17 — the [[nprobeConfFor]] shape applied to beams): an
+    * explicit conf wins; with the conf UNSET (or literal "auto") the
+    * artifact's calibrated `ef_hint` raises the 100 floor. `dataDir`
+    * is a hnsw fixture dir (`<root>/<name>/<gen>`) — the manifest
+    * lives one level up. */
+  private def efSearchConfFor(s: SparkSession, dataDir: String): Int = {
+    def auto: Int = {
+      val name = new java.io.File(dataDir).getParentFile.getName
+      math.max(100, graft.index.IndexCatalog.load(s, name)
+        .flatMap(_.params.get("ef_hint")).flatMap(_.toIntOption)
+        .getOrElse(0))
+    }
+    graft.index.Gucs.alias(s, "spark.graft.hnsw.ef_search")
+      .orElse(s.conf.getOption("spark.graft.hnsw.efSearch")) match {
+      case Some(v) if !v.trim.equalsIgnoreCase("auto") => v.trim.toInt
+      case _ => auto
+    }
+  }
   /** Reference `vectors.sq_rerank_size` / `vectors.pq_rerank_size`
     * (executing.rs: an ABSOLUTE candidate count) override the native
     * window MULTIPLIER when set > 0: effective window =
@@ -1494,8 +1513,9 @@ object AnnQueries {
 
     // HNSW: persisted per-partition graphs, global ordered merge
     "q_hnsw_topk_l2" -> ((s, d) => {
-      Hnsw.searchIndex(s, hnsw(s, d, 4), "vec_id", qvec(s, d), k = 100,
-        efSearch = efSearchConf(s))
+      val dir = hnsw(s, d, 4)
+      Hnsw.searchIndex(s, dir, "vec_id", qvec(s, d), k = 100,
+        efSearch = efSearchConfFor(s, dir))
     }),
     // exact mode: single-graph artifact, provably-exhaustive flat scan of
     // the stored vectors (graph reachability is NOT part of the contract)
@@ -1554,8 +1574,9 @@ object AnnQueries {
     "q_hnsw_filtered_topk" -> ((s, d) => {
       val src = t(s, d, "embeddings")
       if (s.conf.get("spark.graft.search.mode", "vbase") == "basic") {
-        val cands = Hnsw.searchIndex(s, hnsw(s, d, 4), "vec_id", qvec(s, d),
-          k = 400, efSearch = math.max(efSearchConf(s), 400))
+        val dir = hnsw(s, d, 4)
+        val cands = Hnsw.searchIndex(s, dir, "vec_id", qvec(s, d),
+          k = 400, efSearch = math.max(efSearchConfFor(s, dir), 400))
         src.filter(col("label") < 5).select(col("vec_id"))
           .join(broadcast(cands), Seq("vec_id"))
           .orderBy(col("dist"), col("vec_id")).limit(100)
@@ -1565,9 +1586,10 @@ object AnnQueries {
     }),
     // cosine: normalized-at-build graphs searched by dot
     "q_hnsw_topk_cos" -> ((s, d) => {
-      Hnsw.searchIndex(s, hnsw(s, d, 4, "cos"), "vec_id",
+      val dir = hnsw(s, d, 4, "cos")
+      Hnsw.searchIndex(s, dir, "vec_id",
         IvfIndex.Kernels.normalize(qvec(s, d)), k = 100,
-        efSearch = efSearchConf(s))
+        efSearch = efSearchConfFor(s, dir))
     }),
     // cos exact twin: flat scan of the normalized-at-build artifact —
     // reuses the IVF cos oracle (dot-in-double replayed bit-exactly)
@@ -1578,8 +1600,9 @@ object AnnQueries {
 
     // batched many-query HNSW: resident graph answers the whole batch
     "q_hnsw_batch" -> ((s, d) => {
-      Hnsw.searchIndexBatch(s, hnsw(s, d, 4), "vec_id",
-        batchQueries(s, d), k = 20, efSearch = efSearchConf(s))
+      val dir = hnsw(s, d, 4)
+      Hnsw.searchIndexBatch(s, dir, "vec_id",
+        batchQueries(s, d), k = 20, efSearch = efSearchConfFor(s, dir))
     }),
     // exact mode: single-graph flat scan per query -> per-query flat
     // top-k oracle (same as q_ivf_batch_exact)
@@ -1596,9 +1619,10 @@ object AnnQueries {
     // (exact twin below ignores routing by contract); pair recall in
     // RECALL.json.
     "q_hnsw_knn_join" -> ((s, d) => {
-      Hnsw.knnJoin(s, hnsw(s, d, 4), "vec_id",
+      val dir = hnsw(s, d, 4)
+      Hnsw.knnJoin(s, dir, "vec_id",
         t(s, d, "embeddings").filter(col("vec_id") % 10 === 0),
-        "vec_id", "embedding", k = 10, efSearch = efSearchConf(s),
+        "vec_id", "embedding", k = 10, efSearch = efSearchConfFor(s, dir),
         probeGraphs = 2)
     }),
     // exact mode on the single-graph artifact: per-graph flat scans are

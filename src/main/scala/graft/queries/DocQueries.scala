@@ -545,18 +545,18 @@ object DocQueries {
            ('bvecann__root_testdata_sf0_01','ivf_bvec','hamming','nlist=16,probe_cal=cal3,probe_hint=13,stats=radii1,type=bvector',TRUE),
            ('dedupcc__root_testdata_sf0_01','dedup_cc','jaccard','bands=16,jacc=0.8,minhash=64,rows=4,shingle=3',TRUE),
            ('f16ann__root_testdata_sf0_01','ivf_f16','l2','nlist=16,probe_cal=cal3,probe_hint=4,stats=radii1,type=vecf16',TRUE),
-           ('hnsw_cos_p1__root_testdata_sf0_01','hnsw','cos','ef_construction=300,files=1,format=flatbin2,m=12,parts=1,sample=rows1',TRUE),
-           ('hnsw_cos_p4__root_testdata_sf0_01','hnsw','cos','ef_construction=300,files=4,format=flatbin2,m=12,parts=4,routable=no,routing=centroid5,sample=rows1,suggest_parts=4',TRUE),
-           ('hnsw_l2_p1__root_testdata_sf0_01','hnsw','l2','ef_construction=300,files=1,format=flatbin2,m=12,parts=1,sample=rows1',TRUE),
-           ('hnswbv_p1__root_testdata_sf0_01','hnsw','l2','ef_construction=300,files=1,format=flatbin2,m=12,parts=1,sample=rows1',TRUE),
+           ('hnsw_cos_p1__root_testdata_sf0_01','hnsw','cos','ef_cal=efcal2,ef_construction=300,ef_hint=64,files=1,format=flatbin2,m=12,parts=1,sample=rows1',TRUE),
+           ('hnsw_cos_p4__root_testdata_sf0_01','hnsw','cos','ef_cal=efcal2,ef_construction=300,ef_hint=64,files=4,format=flatbin2,m=12,parts=4,routable=no,routing=centroid5,sample=rows1,suggest_parts=4',TRUE),
+           ('hnsw_l2_p1__root_testdata_sf0_01','hnsw','l2','ef_cal=efcal2,ef_construction=300,ef_hint=64,files=1,format=flatbin2,m=12,parts=1,sample=rows1',TRUE),
+           ('hnswbv_p1__root_testdata_sf0_01','hnsw','l2','ef_cal=efcal2,ef_construction=300,ef_hint=64,files=1,format=flatbin2,m=12,parts=1,sample=rows1',TRUE),
 
-           ('hnswf16_p1__root_testdata_sf0_01','hnsw','l2','ef_construction=300,files=1,format=flatbin2,m=12,parts=1,sample=rows1',TRUE),
-           ('hnswsv_p1__root_testdata_sf0_01','hnsw','l2','ef_construction=300,files=1,format=flatbin2,m=12,parts=1,sample=rows1',TRUE),
-           ('hnswsv_p4__root_testdata_sf0_01','hnsw','l2','ef_construction=300,files=6,format=flatbin2,m=12,parts=4,routable=no,routing=centroid5,sample=rows1,suggest_parts=6',TRUE),
+           ('hnswf16_p1__root_testdata_sf0_01','hnsw','l2','ef_cal=efcal2,ef_construction=300,ef_hint=64,files=1,format=flatbin2,m=12,parts=1,sample=rows1',TRUE),
+           ('hnswsv_p1__root_testdata_sf0_01','hnsw','l2','ef_cal=efcal2,ef_construction=300,ef_hint=64,files=1,format=flatbin2,m=12,parts=1,sample=rows1',TRUE),
+           ('hnswsv_p4__root_testdata_sf0_01','hnsw','l2','ef_cal=efcal2,ef_construction=300,ef_hint=64,files=6,format=flatbin2,m=12,parts=4,routable=no,routing=centroid5,sample=rows1,suggest_parts=6',TRUE),
            ('hnswpq_p4__root_testdata_sf0_01','hnsw_pq','l2','dims=64,ef_construction=300,files=4,format=pqflatbin3,hnsw_m=12,ks=16,m=8,parts=4,routable=no,routing=centroid5,suggest_parts=4',TRUE),
            ('hnswrq_p4__root_testdata_sf0_01','hnsw_rabitq','l2','dims=64,ef_construction=300,files=4,format=rqflatbin3,m=12,parts=4,routable=no,routing=centroid5,suggest_parts=4',TRUE),
            ('hnswsq8_p4__root_testdata_sf0_01','hnsw_sq8','l2','bits=8,ef_construction=300,files=4,format=sqflatbin3,m=12,parts=4,routable=no,routing=centroid5,suggest_parts=4',TRUE),
-           ('hnsw_l2_p4__root_testdata_sf0_01','hnsw','l2','ef_construction=300,files=4,format=flatbin2,m=12,parts=4,routable=no,routing=centroid5,sample=rows1,suggest_parts=4',TRUE),
+           ('hnsw_l2_p4__root_testdata_sf0_01','hnsw','l2','ef_cal=efcal2,ef_construction=300,ef_hint=64,files=4,format=flatbin2,m=12,parts=4,routable=no,routing=centroid5,sample=rows1,suggest_parts=4',TRUE),
            ('ivf_cos__root_testdata_sf0_01','ivf','cos','nlist=16,probe_cal=cal3,probe_hint=15,sample=rows1',TRUE),
            ('ivf_l2_part7__root_testdata_sf0_01','ivf','l2','nlist=8,probe_cal=cal3,probe_hint=7,sample=rows1',TRUE),
            ('ivf_dot__root_testdata_sf0_01','ivf','dot','nlist=16,probe_cal=cal3,probe_hint=15,sample=rows1',TRUE),

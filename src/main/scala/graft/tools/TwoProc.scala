@@ -143,7 +143,8 @@ object TwoProc {
     val source = s"$root/source.parquet"
     spark.range(10000).select(col("id").as("vec_id"),
       org.apache.spark.sql.functions.array((0 until 16).map(j =>
-        pmod(xxhash64(col("id") * 31 + j), lit(1000)).cast("float") / 1000f): _*)
+        (pmod(xxhash64(col("id") * 31 + j), lit(1000)) / lit(1000.0))
+          .cast("float")): _*)
         .as("embedding"))
       .write.mode("overwrite").parquet(source)
     val q0 = spark.read.parquet(source).filter(col("vec_id") === 0)

@@ -108,7 +108,9 @@ class GucsSpec extends SparkSpec {
     assert(show("vectors.ivf_nprobe") === "auto") // slt: 10 (see above)
     assert(show("ivfflat.probes") === "40")
     ds.sql("SET hnsw.ef_search=400;")
-    assert(show("vectors.hnsw_ef_search") === "100")
+    // slt: 100 — unset prints auto since round 17 (the calibrated
+    // ef_hint default, the ivf_nprobe divergence precedent)
+    assert(show("vectors.hnsw_ef_search") === "auto")
     assert(show("hnsw.ef_search") === "400")
     ds.sql("SET vectors.pgvector_compatibility=on;")
     assert(show("vectors.pgvector_compatibility") === "on")
