@@ -3,7 +3,17 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Scratch diagnosis for the 768-dim recall drop (round 17). */
+/** Diagnosis harness for the 768-dim recall finding (round 17; the
+  * RepairBench convention — the measurement tool stays with the fix it
+  * motivated). Against the BigSmoke hd artifact it separates the two
+  * recall suspects: routed-vs-unrouted parity (routing innocent),
+  * per-query recall histograms with top-1 distances (diffuse loss at
+  * the right distance scale → beam starvation under distance
+  * concentration, not island failure), the ef ladder (monotone
+  * recovery), and the calibrated-IVF comparison on the same corpus
+  * (1.000 — the alternative scale path at high dims). The numbers are
+  * recorded in SOAK.md's high-dimensional section and PLANS round 17;
+  * re-run after `BigSmoke dims=768 n=1000000` to reproduce. */
 object HdProbe {
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
