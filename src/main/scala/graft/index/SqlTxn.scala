@@ -63,11 +63,19 @@ object SqlTxn {
     else {
       // the DROP statement's retirement path, newest first; ifExists —
       // a retraction must stay best-effort if someone dropped the name
-      // mid-block
-      st.created.foreach { case (name, _) =>
-        GraftSqlParser.dropOne(spark, name, ifExists = true)
+      // mid-block. The reported count is the retractions that actually
+      // SUCCEEDED (round-17 nit): a failed drop (e.g. a poisoned lock)
+      // must not read as retracted — it surfaces in the message and on
+      // stderr, and the artifact resurfaces on the next statement.
+      val results = st.created.map { case (name, _) =>
+        scala.util.Try(GraftSqlParser.dropOne(spark, name, ifExists = true))
       }
-      s"ok (${st.created.length} indexes retracted)"
+      val ok = results.count(_.isSuccess)
+      val failed = results.length - ok
+      results.collect { case scala.util.Failure(e) =>
+        System.err.println(s"[graft] ABORT retraction failed: $e") }
+      if (failed == 0) s"ok ($ok indexes retracted)"
+      else s"ok ($ok indexes retracted, $failed retraction(s) FAILED)"
     }
   }
 
