@@ -745,7 +745,7 @@ object CreatePgIndexCommand {
   private[index] def resolveIdColumn(spark: SparkSession, path: String,
       vecCol: String): String = {
     import org.apache.spark.sql.types.{IntegerType, LongType, ShortType}
-    val schema = spark.read.parquet(path).schema
+    val schema = graft.ParquetCache.read(spark, path).schema
     val idTypes = Set[org.apache.spark.sql.types.DataType](IntegerType,
       LongType, ShortType)
     def ok(f: org.apache.spark.sql.types.StructField): Boolean =

@@ -283,8 +283,12 @@ object SqlDdl {
     // and ks = 2^bits centroids per subspace. One row-limit job reads
     // the dims; ratio must divide them (Pq.train's divisibility rule).
     lazy val (pqM, pqKs) = {
-      val dims = df.select(org.apache.spark.sql.functions
-        .size(col(vecCol)).as("d")).filter(col("d") > 0).first().getInt(0)
+      // round-17 optimization: the dims probe is memoized per (source
+      // content fingerprint, column) — product-kind statements are
+      // re-analyzed on every run (idempotent re-CREATE), and each paid
+      // this one-row job for a value that can only change when the
+      // source content does
+      val dims = sourceDims(spark, df, source, vecCol)
       require(dims % qRatio == 0,
         s"product quantization ratio $qRatio must divide dims $dims")
       (dims / qRatio, 1 << qBits)
@@ -583,6 +587,26 @@ object SqlDdl {
   // registrations, fingerprint-cached so the steady state is one
   // driver-side dir listing per pass (the subSchemaCache convention;
   // never a job).
+  /** Memo for the product-geometry dims probe (round 17): keyed on the
+    * source's CONTENT fingerprint + vector column, so a re-ingested
+    * source re-probes while idempotent statement re-analysis pays
+    * nothing. Bounded by a crude clear. */
+  private val dimsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Integer]()
+
+  private def sourceDims(spark: SparkSession,
+      df: org.apache.spark.sql.DataFrame,
+      source: String, vecCol: String): Int = {
+    val key = s"$source|$vecCol|${IndexCatalog.fingerprint(source)}"
+    val cached = dimsCache.get(key)
+    if (cached != null) return cached.intValue()
+    if (dimsCache.size() > 512) dimsCache.clear()
+    val dims = df.select(org.apache.spark.sql.functions
+      .size(col(vecCol)).as("d")).filter(col("d") > 0).first().getInt(0)
+    dimsCache.put(key, dims)
+    dims
+  }
+
   private val sweepCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   // time throttle over the fingerprint CHECK itself: the optimizer can

@@ -228,7 +228,7 @@ object SqlDml {
     * integral non-`_ver` column. */
   private def segIdCol(spark: SparkSession, dir: String): String = {
     val s = Segments.state(dir)
-    val schema = spark.read.parquet(s"$dir/base-${s.gen}").schema
+    val schema = graft.ParquetCache.read(spark, s"$dir/base-${s.gen}").schema
     val idTypes = Set[DataType](IntegerType, LongType, ShortType)
     schema.fields.find(_.name.equalsIgnoreCase("id")) match {
       case Some(f) if idTypes.contains(f.dataType) => f.name
@@ -284,7 +284,7 @@ object SqlDml {
     val dir = Files.createTempDirectory("graft_dml_").toFile
     val rows = new File(dir, "rows").getAbsolutePath
     out.write.parquet(rows)
-    (spark.read.parquet(rows), dir)
+    (graft.ParquetCache.read(spark, rows), dir)
   }
 
   /** Is every expression of `cond` deterministic once resolved against
@@ -359,7 +359,7 @@ object SqlDml {
       // copy-on-write rewrite (see the object doc): staged distributed
       // write, then swap; the match flag is staged once when the
       // predicate is nondeterministic
-      val df = if (isPath) spark.read.parquet(target)
+      val df = if (isPath) graft.ParquetCache.read(spark, target)
         else { checkUpdatableTable(spark, target); spark.table(target) }
       val (frame, flag, tmpOpt) = matchedFrame(spark, df, matchCond(whereOpt))
       try {
@@ -385,7 +385,7 @@ object SqlDml {
         s"ok ($n rows deleted)"
       } finally rm(tmp)
     } else {
-      val df = if (isPath) spark.read.parquet(target)
+      val df = if (isPath) graft.ParquetCache.read(spark, target)
         else { checkUpdatableTable(spark, target); spark.table(target) }
       val (frame, flag, tmpOpt) = matchedFrame(spark, df, matchCond(whereOpt))
       try {

@@ -72,6 +72,6 @@ object TableSnapshotResolver {
   def readSource(spark: SparkSession, location: String): DataFrame =
     snapshotOf(spark, location) match {
       case Some(s) => spark.read.parquet(s.files: _*)
-      case None => spark.read.parquet(location)
+      case None => graft.ParquetCache.read(spark, location)
     }
 }

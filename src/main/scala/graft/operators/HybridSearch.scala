@@ -28,8 +28,10 @@ object HybridSearch {
     val s = Segments.state(segDir)
     val deltas = Segments.deltaDirs(segDir, s)
     if (deltas.isEmpty) return spark.emptyDataFrame
-    val rows = deltas.map(spark.read.parquet(_)).reduce(_ unionByName _)
-    Segments.tombstoneMax(spark, segDir, idCol) match {
+    val rows = deltas.map(graft.ParquetCache.read(spark, _)).reduce(_ unionByName _)
+    // round 17: cached LocalRelation tombstones (identical rows; skips
+    // the per-query tombstone read+groupBy job)
+    Segments.tombstoneMaxLocal(spark, segDir, idCol) match {
       case Some(tombs) =>
         rows.join(broadcast(tombs), Seq(idCol), "left_outer")
           .filter(col("_tomb_ver").isNull || col("_tomb_ver") < col("_ver"))
@@ -44,11 +46,11 @@ object HybridSearch {
       model: IvfIndex.Model, idCol: String, vecCol: String,
       q: Array[Float], k: Int, nprobe: Int): DataFrame = {
     val qLit = typedLit(q)
-    val tombs = Segments.tombstoneMax(spark, segDir, idCol)
+    val tombs = Segments.tombstoneMaxLocal(spark, segDir, idCol)
 
     // sealed side: pruned scan, delete-filter, then top-k
     val probes = model.rankLists(q).take(nprobe)
-    val sealedScan0 = spark.read.parquet(ivfPath)
+    val sealedScan0 = graft.ParquetCache.read(spark, ivfPath)
       .filter(col("list_id").isin(probes.map(Integer.valueOf).toSeq: _*))
     val sealedScan = tombs match {
       // sealed rows carry version 0: ANY tombstone on the id hides them

@@ -165,10 +165,10 @@ object IncrHnsw {
         f.delete() }; rm(dataDir) }
       // base + every existing delta in ONE job (round 16)
       val segsAll = (f"base-${st.gen}-00000" ->
-          spark.read.parquet(s"$segDir/base-${st.gen}")) +:
+          graft.ParquetCache.read(spark, s"$segDir/base-${st.gen}")) +:
         Segments.deltaDirs(segDir, st).map { dd =>
           val seq = new java.io.File(dd).getName.stripPrefix("delta-").toLong
-          s"side-$seq" -> spark.read.parquet(dd)
+          s"side-$seq" -> graft.ParquetCache.read(spark, dd)
         }
       buildSegmentGraphsAll(spark, segsAll, idCol, vecCol, metric,
         dataDir, m, efConstruction)
@@ -186,7 +186,7 @@ object IncrHnsw {
       val newSegs = Segments.deltaDirs(segDir, st).flatMap { dd =>
         val seq = new java.io.File(dd).getName.stripPrefix("delta-").toLong
         if (seq > priorSeq)
-          Some(s"side-$seq" -> spark.read.parquet(dd))
+          Some(s"side-$seq" -> graft.ParquetCache.read(spark, dd))
         else None
       }
       buildSegmentGraphsAll(spark, newSegs, idCol, vecCol, metric,
@@ -263,7 +263,7 @@ object IncrHnsw {
     val deadDir = new java.io.File(graftDir(spark, name), "dead")
     Segments.tombstoneMax(spark, segDir, idCol).foreach { tombs =>
       val prior = if (deadDir.isDirectory && binOrParquetNonEmpty(deadDir))
-        Some(spark.read.parquet(deadDir.getAbsolutePath)) else None
+        Some(graft.ParquetCache.read(spark, deadDir.getAbsolutePath)) else None
       val all = prior.map(_.unionByName(tombs)).getOrElse(tombs)
         .groupBy(col(idCol)).agg(max(col("_tomb_ver")).as("_tomb_ver"))
       // write-then-swap: never read and overwrite the same dir in one job
@@ -331,7 +331,7 @@ object IncrHnsw {
     // duplicate build is idempotent; put() publishes whichever finishes
     // last, both carrying the same fingerprint.
     val dead = if (deadDir.isDirectory && binOrParquetNonEmpty(deadDir))
-      Some(spark.read.parquet(deadDir.getAbsolutePath)) else None
+      Some(graft.ParquetCache.read(spark, deadDir.getAbsolutePath)) else None
     val live = Segments.tombstoneMax(spark, segDir, idCol)
     val tombs = (dead, live) match {
       case (Some(a), Some(b)) => Some(a.unionByName(b)

@@ -104,7 +104,7 @@ object IncrIvf {
       fCol: String, model: IvfIndex.Model): Unit = {
     if (segs.isEmpty) return
     segs.map { case (ver, dd) =>
-      val rows = spark.read.parquet(dd)
+      val rows = graft.ParquetCache.read(spark, dd)
       fam.prep(rows.filter(col(fCol).isNotNull &&
           graft.functions.vectorIsFinite(col(fCol))), fCol)
         .withColumn("list_id",
@@ -141,7 +141,7 @@ object IncrIvf {
     val genOk = priorGen == st.gen || promotedGen == st.gen
     if (prior.isEmpty || !genOk) {
       IndexCatalog.drop(spark, name)
-      val base = spark.read.parquet(s"$segDir/base-${st.gen}")
+      val base = graft.ParquetCache.read(spark, s"$segDir/base-${st.gen}")
       val trained = IvfIndex.train(fam.prep(base.filter(col(fCol).isNotNull &&
         graft.functions.vectorIsFinite(col(fCol))), fCol),
         fam.rankCol, "l2", nlist, seed = seed)
@@ -254,7 +254,7 @@ object IncrIvf {
     }
     val model = IvfIndex.Model(if (fam.useDot) "dot" else "l2", pm.centroids)
     val probes = model.rankLists(rankQ).take(nprobe)
-    val scan = spark.read.parquet(dataDir)
+    val scan = graft.ParquetCache.read(spark, dataDir)
       .filter(col("list_id").isin(probes.map(Integer.valueOf).toSeq: _*))
     val visible = IncrMaint.visible(scan,
       IncrMaint.tombstones(spark, name, segDir, idCol), idCol)

@@ -28,7 +28,7 @@ object IncrMaint {
     val dd = deadDir(spark, name)
     if (dd.isDirectory && Option(dd.listFiles()).getOrElse(Array.empty)
         .exists(_.getName.endsWith(".parquet")))
-      Some(spark.read.parquet(dd.getAbsolutePath))
+      Some(graft.ParquetCache.read(spark, dd.getAbsolutePath))
     else None
   }
 
@@ -42,16 +42,52 @@ object IncrMaint {
       (new java.io.File(dd).getName.stripPrefix("delta-").toLong, dd)
     }.filter(_._1 > afterSeq)
 
-  /** Promoted-dead ∪ live tombstones, max version per id. */
+  /** Promoted-dead ∪ live tombstones, max version per id.
+    *
+    * Round-17 optimization: the merged set is driver-cached as
+    * LocalRelation rows keyed on the committed (gen, seq) plus a dead/
+    * content fingerprint — the IncrHnsw round-16 tombstone-map
+    * convention extended to the IncrMaint families (IncrIvf, IncrQuant,
+    * IncrSparse searches each paid a parquet read + union + groupBy job
+    * per query for an immutable-per-commit set). Every Segments commit
+    * bumps seq and every promote rewrites dead/, so freshness is exact;
+    * the downstream broadcast join is unchanged — identical rows, and
+    * memory equals what that join already broadcast per query. */
+  private val tombCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, Option[(Array[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType)])]()
+
+  private def deadFp(spark: SparkSession, name: String): String = {
+    val dd = deadDir(spark, name)
+    val fs = Option(dd.listFiles()).getOrElse(Array.empty)
+    var h = 0L
+    fs.foreach(f => h += f.getName.hashCode.toLong * 1000003L +
+      f.length() * 31L + f.lastModified())
+    s"${fs.length}:$h"
+  }
+
   def tombstones(spark: SparkSession, name: String, segDir: String,
       idCol: String): Option[DataFrame] = {
-    val dead = deadFrame(spark, name)
-    val live = Segments.tombstoneMax(spark, segDir, idCol)
-    (dead, live) match {
-      case (Some(a), Some(b)) => Some(a.unionByName(b)
-        .groupBy(col(idCol)).agg(max(col("_tomb_ver")).as("_tomb_ver")))
-      case (a, b) => a.orElse(b)
+    val st = Segments.state(segDir)
+    val key = IndexCatalog.dir(spark, name) + "|" + segDir + "|" + idCol
+    val fp = s"${st.gen}:${st.seq}:${deadFp(spark, name)}"
+    val cached = tombCache.get(key)
+    val v = if (cached != null && cached._1 == fp) cached._2
+    else {
+      if (tombCache.size() > 1024) tombCache.clear()
+      val dead = deadFrame(spark, name)
+      val live = Segments.tombstoneMaxAt(spark, segDir, idCol, st)
+      val merged = (dead, live) match {
+        case (Some(a), Some(b)) => Some(a.unionByName(b)
+          .groupBy(col(idCol)).agg(max(col("_tomb_ver")).as("_tomb_ver")))
+        case (a, b) => a.orElse(b)
+      }
+      val computed = merged.map(df => (df.collect(), df.schema))
+      tombCache.put(key, (fp, computed))
+      computed
     }
+    v.map { case (rows, schema) =>
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema) }
   }
 
   /** Version-filter a scan carrying `_ver` against the broadcast

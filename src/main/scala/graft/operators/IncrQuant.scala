@@ -137,7 +137,7 @@ object IncrQuant {
       segs: Seq[(Long, String)], idCol: String, fCol: String): Unit = {
     if (segs.isEmpty) return
     segs.map { case (ver, dd) =>
-      spark.read.parquet(dd).filter(col(fCol).isNotNull &&
+      graft.ParquetCache.read(spark, dd).filter(col(fCol).isNotNull &&
           graft.functions.vectorIsFinite(col(fCol)))
         .select(col(idCol), col(fCol).as("vec"),
           sch.encodeCol(mf, col(fCol)).as("codes"), lit(ver).as("_ver"))
@@ -164,7 +164,7 @@ object IncrQuant {
     val genOk = priorGen == st.gen || promotedGen == st.gen
     if (prior.isEmpty || !genOk) {
       IndexCatalog.drop(spark, name)
-      val base = spark.read.parquet(s"$segDir/base-${st.gen}")
+      val base = graft.ParquetCache.read(spark, s"$segDir/base-${st.gen}")
         .filter(col(fCol).isNotNull &&
           graft.functions.vectorIsFinite(col(fCol)))
       val mf0 = sch.train(base, fCol).copy(source = segDir)
@@ -211,7 +211,7 @@ object IncrQuant {
     val pm = IndexCatalog.load(spark, name).getOrElse(
       throw new IllegalStateException(s"no committed index $name"))
     val sch = schemeForKind(pm.kind)
-    val scan = spark.read.parquet(IndexCatalog.dataDir(spark, name))
+    val scan = graft.ParquetCache.read(spark, IndexCatalog.dataDir(spark, name))
     val tombs = IncrMaint.tombstones(spark, name, segDir, idCol)
     val vis = IncrMaint.visible(scan, tombs, idCol)
     val coarse =

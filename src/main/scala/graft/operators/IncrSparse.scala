@@ -56,7 +56,7 @@ object IncrSparse {
     import graft.functions.svecFromDense
     if (segs.isEmpty) return
     segs.map { case (ver, dd) =>
-      val sv = spark.read.parquet(dd).filter(col(fCol).isNotNull)
+      val sv = graft.ParquetCache.read(spark, dd).filter(col(fCol).isNotNull)
         .select(col(idCol), svecFromDense(col(fCol)).as("sv"))
       SparseSearch.buildPostings(sv, idCol, "sv")
         .withColumn("bucket",
@@ -85,7 +85,7 @@ object IncrSparse {
     val genOk = priorGen == st.gen || promotedGen == st.gen
     if (prior.isEmpty || !genOk) {
       IndexCatalog.drop(spark, name)
-      writeSegment(spark, dataDir, spark.read.parquet(s"$segDir/base-${st.gen}"),
+      writeSegment(spark, dataDir, graft.ParquetCache.read(spark, s"$segDir/base-${st.gen}"),
         idCol, fCol, ver = 0L, overwrite = true)
       writeSegments(spark, dataDir,
         IncrMaint.deltasAfter(segDir, st, -1L), idCol, fCol)
@@ -122,7 +122,7 @@ object IncrSparse {
       idCol: String, queryTerms: Seq[(Int, Float)], k: Int): DataFrame = {
     val dataDir = IndexCatalog.dataDir(spark, name)
     val buckets = queryTerms.map(_._1 % SparseSearch.TokenBuckets).distinct
-    val postings = spark.read.parquet(dataDir)
+    val postings = graft.ParquetCache.read(spark, dataDir)
       .filter(col("bucket").isin(buckets.map(Integer.valueOf): _*))
     val vis = IncrMaint.visible(postings,
       IncrMaint.tombstones(spark, name, segDir, idCol), idCol)

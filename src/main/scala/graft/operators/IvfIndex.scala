@@ -233,7 +233,7 @@ object IvfIndex {
       graft.index.SampleSidecar.write(spark, df, "", dataDir)
       // per-list max l2² radius to the centroid (range-pruning stats)
       val flat = typedLit(model.centroids.flatten)
-      val maxima = spark.read.parquet(dataDir)
+      val maxima = graft.ParquetCache.read(spark, dataDir)
         .select(col("list_id"), Shims.column(CentroidDist(
           Shims.expression(col(vecCol)), Shims.expression(flat),
           Shims.expression(col("list_id")))).as("cd"))
@@ -303,7 +303,7 @@ object IvfIndex {
       case "dot" => 1
       case _ => 2
     }
-    val frame = spark.read.parquet(path)
+    val frame = graft.ParquetCache.read(spark, path)
       .select(col(vecCol).as("v"), col("list_id").as("pid"))
     val h = ProbeCal.hint(spark, frame, mcode,
       q => model.rankLists(q).zipWithIndex
@@ -339,7 +339,7 @@ object IvfIndex {
         math.sqrt(radii(i).toDouble)
       lb <= rq + 1e-9
     }
-    spark.read.parquet(path)
+    graft.ParquetCache.read(spark, path)
       .filter(col("list_id").isin(probes.map(Integer.valueOf): _*))
   }
 
@@ -363,7 +363,7 @@ object IvfIndex {
       1.0 - Kernels.dot(model.centroids(i), qn) -
         math.sqrt(radii(i).toDouble) <= r + 1e-6
     }
-    spark.read.parquet(path)
+    graft.ParquetCache.read(spark, path)
       .filter(col("list_id").isin(probes.map(Integer.valueOf): _*))
   }
 
@@ -379,7 +379,7 @@ object IvfIndex {
       -(Kernels.dot(model.centroids(i), q) +
         math.sqrt(radii(i).toDouble) * qNorm) <= r + 1e-9
     }
-    spark.read.parquet(path)
+    graft.ParquetCache.read(spark, path)
       .filter(col("list_id").isin(probes.map(Integer.valueOf): _*))
   }
 
@@ -402,7 +402,7 @@ object IvfIndex {
     }
     val qdf = rows.toDF("qid", "qv", "probes")
     val allProbes = rows.flatMap(_._3).distinct
-    val scan = spark.read.parquet(path)
+    val scan = graft.ParquetCache.read(spark, path)
       .filter(col("list_id").isin(allProbes.map(Integer.valueOf): _*))
     val joined = scan.join(broadcast(qdf),
       array_contains(col("probes"), col("list_id")))
@@ -424,7 +424,7 @@ object IvfIndex {
   def prunedScan(spark: SparkSession, path: String, model: Model,
       q: Array[Float], nprobe: Int): DataFrame = {
     val probes = model.rankLists(q).take(nprobe)
-    spark.read.parquet(path)
+    graft.ParquetCache.read(spark, path)
       .filter(col("list_id").isin(probes.map(Integer.valueOf).toSeq: _*))
   }
 

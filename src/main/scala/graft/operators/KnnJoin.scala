@@ -188,7 +188,7 @@ object KnnJoin {
          else col(qvecCol)).as("qv"))
     val probed = qv0
       .withColumn("list_id", explode(rangeLists(col("qv"), model, r)))
-    val scan0 = spark.read.parquet(path)
+    val scan0 = graft.ParquetCache.read(spark, path)
     val scan =
       if (model.radii == null || !staticPruneWorthwhile(queries)) scan0
       else {
@@ -249,7 +249,7 @@ object KnnJoin {
     }
     val probed = qv0.withColumn("list_id",
       explode(probeListsMetric(probeInput, model, np, rankMetric)))
-    val scan0 = spark.read.parquet(path)
+    val scan0 = graft.ParquetCache.read(spark, path)
     val scan =
       if (np >= model.nlist || !staticPruneWorthwhile(queries)) scan0
       else {
@@ -318,7 +318,7 @@ object KnnJoin {
     // partition pruning for selective query sets: the distinct probed-list
     // set is bounded by nlist (the same boundedness class as every other
     // probe decision); skip the extra job when every list is probed anyway
-    val scan0 = spark.read.parquet(path)
+    val scan0 = graft.ParquetCache.read(spark, path)
     val scan =
       if (np >= model.nlist || !staticPruneWorthwhile(queries)) scan0
       else {

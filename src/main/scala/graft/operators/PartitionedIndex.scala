@@ -97,7 +97,7 @@ object PartitionedIndex {
       s"partition values must not contain ',': ${values.filter(_.contains(","))}")
     val built = values.map { v =>
       val sub = partitionPath(source, partCol, v)
-      v -> Hnsw.ensure(spark, subName(name, v), spark.read.parquet(sub),
+      v -> Hnsw.ensure(spark, subName(name, v), graft.ParquetCache.read(spark, sub),
         sub, idCol, vecCol, metric, parts, m, efConstruction)
     }
     // the PARENT catalog entry — the dispatchable index on the
@@ -137,7 +137,7 @@ object PartitionedIndex {
     val built = values.map { v =>
       val sub = partitionPath(source, partCol, v)
       val (m, _) = IvfIndex.ensure(spark, subName(name, v),
-        spark.read.parquet(sub), sub, vecCol, metric, nlist, seed)
+        graft.ParquetCache.read(spark, sub), sub, vecCol, metric, nlist, seed)
       v -> m
     }
     import graft.index.IndexCatalog
@@ -336,7 +336,7 @@ object PartitionedIndex {
       // full source rows (the dense-IVF property), so a non-partition
       // corpus predicate applies per sub BEFORE the union and Catalyst
       // pushes it into each parquet scan
-      val base = spark.read.parquet(dir)
+      val base = graft.ParquetCache.read(spark, dir)
       corpusFilter.fold(base)(base.filter).select(
         lit(i).as("__graft_sub"), col("list_id"), col(idCol), col(vecCol))
     }.reduce(_ unionByName _)

@@ -217,7 +217,7 @@ object Rabitq4 {
       vecCol: String, q: Array[Float], k: Int, model: Rabitq.Model,
       window: Int = 8): DataFrame = {
     import graft.functions.l2sq
-    val rows = spark.read.parquet(s"$dataDir/rows")
+    val rows = graft.ParquetCache.read(spark, s"$dataDir/rows")
     val coarse =
       if (window <= 0) rows.select(col(idCol), col(vecCol))
       else {
@@ -229,7 +229,7 @@ object Rabitq4 {
           Shims.expression(col("cosvs")), Shims.expression(typedLit(lut)),
           qNorm, model.dims))
         val w = math.min(k.toLong * window, Int.MaxValue.toLong).toInt
-        val cand = spark.read.parquet(s"$dataDir/blocks")
+        val cand = graft.ParquetCache.read(spark, s"$dataDir/blocks")
           .select(explode(arrays_zip(col("ids"), est.as("ests"))).as("z"))
           .select(col("z.ids").as(idCol), col("z.ests").as("approx_dist"))
           .filter(col(idCol) >= 0)

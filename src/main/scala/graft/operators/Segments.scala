@@ -158,9 +158,43 @@ object Segments {
       s: State): Option[DataFrame] = {
     val tombDirs = listDirs(dir, "tombs-", s)
     if (tombDirs.isEmpty) None
-    else Some(tombDirs.map(spark.read.parquet(_)).reduce(_ unionByName _)
+    else Some(tombDirs.map(graft.ParquetCache.read(spark, _)).reduce(_ unionByName _)
       .groupBy(col(idCol)).agg(max(col("_ver")).as("_tomb_ver")))
   }
+
+  /** Round-17 optimization: the SEARCH-path form of [[tombstoneMaxAt]] —
+    * a driver-cached LocalRelation of the (id, max _tomb_ver) rows,
+    * keyed on the committed (gen, seq) exactly like IncrHnsw's round-16
+    * tombstone map (never mtime: every commit bumps seq, so rapid
+    * delete→search sees each one; tombs-* dirs are immutable once their
+    * seq is committed). Repeat queries skip the per-query parquet read +
+    * groupBy job; the broadcast join downstream is unchanged, so results
+    * are bit-identical. Memory = the same rows the broadcast join
+    * already shipped per query. Maintenance folds keep calling
+    * [[tombstoneMaxAt]] with their pinned state. */
+  private val tombLocalCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, Option[(Array[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType)])]()
+
+  def tombstoneMaxLocalAt(spark: SparkSession, dir: String, idCol: String,
+      s: State): Option[DataFrame] = {
+    val key = new File(dir).getAbsolutePath + "|" + idCol
+    val fp = s"${s.gen}:${s.seq}"
+    val cached = tombLocalCache.get(key)
+    val v = if (cached != null && cached._1 == fp) cached._2
+    else {
+      if (tombLocalCache.size() > 1024) tombLocalCache.clear()
+      val computed = tombstoneMaxAt(spark, dir, idCol, s)
+        .map(df => (df.collect(), df.schema))
+      tombLocalCache.put(key, (fp, computed))
+      computed
+    }
+    v.map { case (rows, schema) =>
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema) }
+  }
+
+  def tombstoneMaxLocal(spark: SparkSession, dir: String, idCol: String): Option[DataFrame] =
+    tombstoneMaxLocalAt(spark, dir, idCol, state(dir))
 
   /** Snapshot read: base ∪ committed deltas, minus rows hidden by a
     * tombstone of the same id at version >= the row's version. */
@@ -174,8 +208,10 @@ object Segments {
       s: State): DataFrame = {
     require(s.gen >= 0, s"no committed generation under $dir")
     val parts = s"$dir/base-${s.gen}" +: deltaDirs(dir, s)
-    val rows = parts.map(spark.read.parquet(_)).reduce(_ unionByName _)
-    tombstoneMaxAt(spark, dir, idCol, s) match {
+    val rows = parts.map(graft.ParquetCache.read(spark, _)).reduce(_ unionByName _)
+    // round 17: the cached LocalRelation form — pinned to the SAME
+    // captured state, so folds still see one consistent snapshot
+    tombstoneMaxLocalAt(spark, dir, idCol, s) match {
       case None => rows
       case Some(tombs) =>
         rows.join(broadcast(tombs), Seq(idCol), "left_outer")

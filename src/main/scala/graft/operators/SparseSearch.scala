@@ -122,7 +122,7 @@ object SparseSearch {
   def searchIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       idCol: String, queryTerms: Seq[(Int, Float)], k: Int): DataFrame = {
     val buckets = queryTerms.map(_._1 % TokenBuckets).distinct
-    val postings = spark.read.parquet(path)
+    val postings = graft.ParquetCache.read(spark, path)
       .filter(col("bucket").isin(buckets.map(Integer.valueOf): _*))
     search(postings, idCol, queryTerms, k)
   }

@@ -60,7 +60,7 @@ object TypedAnn {
       math.sqrt(IvfIndex.Kernels.l2sq(model.centroids(i), qDense)) -
         math.sqrt(radii(i).toDouble) <= rq + 1e-9
     }
-    spark.read.parquet(path)
+    graft.ParquetCache.read(spark, path)
       .filter(col("list_id").isin(probes.map(Integer.valueOf).toSeq: _*))
   }
 
@@ -77,7 +77,7 @@ object TypedAnn {
       -(IvfIndex.Kernels.dot(model.centroids(i), qDense) +
         math.sqrt(radii(i).toDouble) * qNorm) <= r + 1e-9
     }
-    spark.read.parquet(path)
+    graft.ParquetCache.read(spark, path)
       .filter(col("list_id").isin(probes.map(Integer.valueOf).toSeq: _*))
   }
 
@@ -217,7 +217,7 @@ object TypedAnn {
       model: IvfIndex.Model, q: Array[Float], metric: String,
       nprobe: Int): DataFrame = {
     val probes = rankLists(model, q, metric).take(nprobe)
-    spark.read.parquet(path)
+    graft.ParquetCache.read(spark, path)
       .filter(col("list_id").isin(probes.map(Integer.valueOf).toSeq: _*))
   }
 
@@ -261,7 +261,7 @@ object TypedAnn {
     }
     val qdf = rows.toDF("qid", "qf", "probes")
     val allProbes = rows.flatMap(_._3).distinct
-    val scan = spark.read.parquet(path)
+    val scan = graft.ParquetCache.read(spark, path)
       .filter(col("list_id").isin(allProbes.map(Integer.valueOf).toSeq: _*))
     val joined = scan.join(broadcast(qdf),
       array_contains(col("probes"), col("list_id")))
@@ -296,7 +296,7 @@ object TypedAnn {
     }
     val qdf = rows.toDF("qid", "qf", "probes")
     val allProbes = rows.flatMap(_._3).distinct
-    val scan = spark.read.parquet(path)
+    val scan = graft.ParquetCache.read(spark, path)
       .filter(col("list_id").isin(allProbes.map(Integer.valueOf).toSeq: _*))
     val joined = scan.join(broadcast(qdf),
       array_contains(col("probes"), col("list_id")))
@@ -474,7 +474,7 @@ object TypedAnn {
     }
     val qdf = rows.toDF("qid", "qf", "probes")
     val allProbes = rows.flatMap(_._3).distinct
-    val scan = spark.read.parquet(path)
+    val scan = graft.ParquetCache.read(spark, path)
       .filter(col("list_id").isin(allProbes.map(Integer.valueOf).toSeq: _*))
     val joined = scan.join(broadcast(qdf),
       array_contains(col("probes"), col("list_id")))

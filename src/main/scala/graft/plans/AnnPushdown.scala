@@ -124,7 +124,7 @@ object AnnPushdown {
 
   private[graft] def canonicalConjuncts(spark: SparkSession,
       sourcePath: String, predSql: String): Seq[String] = {
-    val plan = spark.read.parquet(sourcePath).filter(predSql)
+    val plan = graft.ParquetCache.read(spark, sourcePath).filter(predSql)
       .queryExecution.optimizedPlan
     val cond = plan.collectFirst { case Filter(c, _) => c }
       .getOrElse(throw new IllegalArgumentException(
@@ -180,7 +180,7 @@ object AnnPushdown {
     val cached = subSchemaCache.get(dir)
     if (cached != null && cached._1 == fp) cached._2
     else {
-      val names = spark.read.parquet(dir).schema.fieldNames.toSet
+      val names = graft.ParquetCache.read(spark, dir).schema.fieldNames.toSet
       subSchemaCache.put(dir, (fp, names))
       names
     }
@@ -830,7 +830,7 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
             .withColumn("__graft_qv", qv)
             .withColumn("__graft_list", F.explode(
               graft.operators.KnnJoin.rangeLists(F.col("__graft_qv"), model, r)))
-          val scanDf = spark.read.parquet(dataDir)
+          val scanDf = graft.ParquetCache.read(spark, dataDir)
           // FILTERED range join: the corpus predicate remaps by name
           // onto the artifact scan (dense IVF rows are source-row
           // copies — the matchFilteredTopK convention) and pushes into
@@ -1365,7 +1365,7 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
             .withColumn("__graft_list", F.explode(
               graft.operators.KnnJoin.probeLists(F.col("__graft_qv"), model,
                 probes)))
-          val scanDf = spark.read.parquet(dataDir)
+          val scanDf = graft.ParquetCache.read(spark, dataDir)
           // FILTERED KNN join: corpus predicate remaps onto the scan
           val scanPlan0 = scanDf.queryExecution.analyzed
           val scanByName = scanPlan0.output.map(x => x.name -> x).toMap

@@ -531,7 +531,7 @@ object AnnQueries {
     // carries the flat oracle). The rewritten plan is frozen so the
     // temporary conf flags can't leak into other queries.
     "q_topk_pushdown" -> ((s, d) => withAnnRewrite(s, d, "l2") {
-      s.read.parquet(s"$d/embeddings.parquet")
+      graft.ParquetCache.read(s, s"$d/embeddings.parquet")
         .select(col("vec_id"),
           l2sq(col("embedding"), typedLit(qvec(s, d))).as("dist"))
         .orderBy(col("dist")).limit(100)
@@ -555,7 +555,7 @@ object AnnQueries {
       s.conf.set("spark.graft.ann.enabled", "true")
       s.conf.set("spark.graft.ann.nprobe", m.nlist.toString)
       try {
-        val df = s.read.parquet(srcPath)
+        val df = graft.ParquetCache.read(s, srcPath)
           .select(col("vec_id"),
             bvecHamming(binarize(col("embedding")),
               binarize(typedLit(qvec(s, d)))).as("dist"))
@@ -590,7 +590,7 @@ object AnnQueries {
       s.conf.set("spark.graft.ann.enabled", "true")
       s.conf.set("spark.graft.hnsw.exact", "true")
       try {
-        val df = s.read.parquet(srcPath)
+        val df = graft.ParquetCache.read(s, srcPath)
           .select(col("vec_id"),
             bvecHamming(binarize(col("embedding")),
               binarize(typedLit(qvec(s, d)))).as("dist"))
@@ -630,7 +630,7 @@ object AnnQueries {
       // selectivity-adaptive default has its own gates below
       s.conf.set("spark.graft.ann.filteredAdaptive", "false")
       try {
-        val df = s.read.parquet(srcPath)
+        val df = graft.ParquetCache.read(s, srcPath)
           .filter(col("label") < 5)
           .select(col("vec_id"),
             l2sq(col("embedding"), typedLit(qvec(s, d))).as("dist"))
@@ -670,7 +670,7 @@ object AnnQueries {
       s.conf.set("spark.graft.ann.enabled", "true")
       s.conf.set("spark.graft.hnsw.exact", "true")
       try {
-        def mk = s.read.parquet(srcPath)
+        def mk = graft.ParquetCache.read(s, srcPath)
           .filter(col("vec_id") % 83 === 0)
           .select(col("vec_id"),
             l2sq(col("embedding"), typedLit(qvec(s, d))).as("dist"))
@@ -718,7 +718,7 @@ object AnnQueries {
       s.conf.set("spark.graft.ann.enabled", "true")
       s.conf.set("spark.graft.hnsw.exact", "true")
       try {
-        val df = s.read.parquet(srcPath)
+        val df = graft.ParquetCache.read(s, srcPath)
           .filter(col("label") === 3)
           .select(col("vec_id"),
             l2sq(col("embedding"), typedLit(qvec(s, d))).as("dist"))
@@ -757,7 +757,7 @@ object AnnQueries {
       s.conf.set("spark.graft.ann.enabled", "true")
       s.conf.set("spark.graft.ann.nprobe", "1")
       try {
-        val df = s.read.parquet(srcPath)
+        val df = graft.ParquetCache.read(s, srcPath)
           .filter(col("vec_id") % 83 === 0)
           .select(col("vec_id"),
             l2sq(col("embedding"), typedLit(qvec(s, d))).as("dist"))
@@ -789,7 +789,7 @@ object AnnQueries {
       val prevEnabled = s.conf.get("spark.graft.ann.enabled", "false")
       s.conf.set("spark.graft.ann.enabled", "true")
       try {
-        val df = s.read.parquet(srcPath)
+        val df = graft.ParquetCache.read(s, srcPath)
           .select(col("vec_id"),
             l2sq(col("embedding"), typedLit(qvec(s, d))).as("dist"))
           .filter(col("dist") < lit(1.5))
@@ -819,7 +819,7 @@ object AnnQueries {
       val prevEnabled = s.conf.get("spark.graft.ann.enabled", "false")
       s.conf.set("spark.graft.ann.enabled", "true")
       try {
-        val df = s.read.parquet(srcPath)
+        val df = graft.ParquetCache.read(s, srcPath)
           .select(col("vec_id"),
             bvecHamming(binarize(col("embedding")),
               binarize(typedLit(qvec(s, d)))).as("dist"))
@@ -850,7 +850,7 @@ object AnnQueries {
       val prevEnabled = s.conf.get("spark.graft.ann.enabled", "false")
       s.conf.set("spark.graft.ann.enabled", "true")
       try {
-        val df = s.read.parquet(srcPath)
+        val df = graft.ParquetCache.read(s, srcPath)
           .select(col("vec_id"),
             bvecHamming(binarize(col("embedding")),
               binarize(typedLit(qvec(s, d)))).as("dist"))
@@ -880,7 +880,7 @@ object AnnQueries {
       val prevEnabled = s.conf.get("spark.graft.ann.enabled", "false")
       s.conf.set("spark.graft.ann.enabled", "true")
       try {
-        val df = s.read.parquet(srcPath)
+        val df = graft.ParquetCache.read(s, srcPath)
           .select(col("vec_id"),
             svecL2sq(svecFromDense(col("embedding")),
               svecFromDense(typedLit(qvec(s, d)))).as("dist"))
@@ -912,7 +912,7 @@ object AnnQueries {
       val prevEnabled = s.conf.get("spark.graft.ann.enabled", "false")
       s.conf.set("spark.graft.ann.enabled", "true")
       try {
-        val df = s.read.parquet(srcPath)
+        val df = graft.ParquetCache.read(s, srcPath)
           .select(col("vec_id"),
             svecNegdot(svecFromDense(col("embedding")),
               svecFromDense(typedLit(qvec(s, d)))).as("dist"))
@@ -931,7 +931,7 @@ object AnnQueries {
     // a cos-indexed table (exact at nprobe=nlist -> the normalized-replay
     // cos oracle)
     "q_topk_pushdown_cos" -> ((s, d) => withAnnRewrite(s, d, "cos") {
-      s.read.parquet(s"$d/embeddings.parquet")
+      graft.ParquetCache.read(s, s"$d/embeddings.parquet")
         .select(col("vec_id"),
           cosdist(col("embedding"), typedLit(qvec(s, d))).as("dist"))
         .orderBy(col("dist")).limit(100)
@@ -940,7 +940,7 @@ object AnnQueries {
     // limit; the rule pushes the predicate INTO the pruned scan (exact at
     // nprobe=nlist -> filtered flat oracle)
     "q_topk_pushdown_filtered" -> ((s, d) => withAnnRewrite(s, d, "l2") {
-      s.read.parquet(s"$d/embeddings.parquet")
+      graft.ParquetCache.read(s, s"$d/embeddings.parquet")
         .filter(col("vec_id") % 7 === 0)
         .select(col("vec_id"),
           l2sq(col("embedding"), typedLit(qvec(s, d))).as("dist"))
@@ -964,7 +964,7 @@ object AnnQueries {
       s.conf.set("spark.graft.ann.enabled", "true")
       s.conf.set("spark.graft.ann.nprobe", m.nlist.toString)
       try {
-        val df = s.read.parquet(s"$d/embeddings.parquet")
+        val df = graft.ParquetCache.read(s, s"$d/embeddings.parquet")
           .filter(col("vec_id") % 7 === 0)
           .select(col("vec_id"),
             l2sq(col("embedding"), typedLit(qvec(s, d))).as("dist"))
@@ -987,7 +987,7 @@ object AnnQueries {
     // exact cos filter on top — values follow the normalized-replay
     // convention (the index stores normalize-at-build vectors)
     "q_range_pushdown_cos" -> ((s, d) => withAnnRewrite(s, d, "cos") {
-      s.read.parquet(s"$d/embeddings.parquet")
+      graft.ParquetCache.read(s, s"$d/embeddings.parquet")
         .select(col("vec_id"),
           cosdist(col("embedding"), typedLit(qvec(s, d))).as("dist"))
         .filter(col("dist") < lit(0.8))
@@ -1141,8 +1141,8 @@ object AnnQueries {
       s.conf.set("spark.graft.ann.enabled", "true")
       s.conf.set("spark.graft.ann.nprobe", m.nlist.toString)
       try {
-        val corpus = s.read.parquet(srcPath)
-        val queries = s.read.parquet(srcPath)
+        val corpus = graft.ParquetCache.read(s, srcPath)
+        val queries = graft.ParquetCache.read(s, srcPath)
           .filter(col("vec_id") % 10 === 0)
           .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
         val df = queries.crossJoin(corpus)
@@ -1182,9 +1182,9 @@ object AnnQueries {
       s.conf.set("spark.graft.ann.enabled", "true")
       s.conf.set("spark.graft.ann.nprobe", "1")
       try {
-        val corpus = s.read.parquet(srcPath)
+        val corpus = graft.ParquetCache.read(s, srcPath)
           .filter(col("vec_id") % 83 === 0)
-        val queries = s.read.parquet(srcPath)
+        val queries = graft.ParquetCache.read(s, srcPath)
           .filter(col("vec_id") % 100 === 0)
           .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
         val df = queries.crossJoin(corpus)
@@ -1224,8 +1224,8 @@ object AnnQueries {
       s.conf.set("spark.graft.ann.enabled", "true")
       s.conf.set("spark.graft.ann.nprobe", m.nlist.toString)
       try {
-        val corpus = s.read.parquet(srcPath)
-        val anchors = s.read.parquet(srcPath)
+        val corpus = graft.ParquetCache.read(s, srcPath)
+        val anchors = graft.ParquetCache.read(s, srcPath)
           .filter(col("vec_id") % 25 === 0)
           .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
         val df = anchors.crossJoin(corpus)
@@ -1263,8 +1263,8 @@ object AnnQueries {
       val prevEnabled = s.conf.get("spark.graft.ann.enabled", "false")
       s.conf.set("spark.graft.ann.enabled", "true")
       try {
-        val corpus = s.read.parquet(srcPath)
-        val evalSet = s.read.parquet(srcPath)
+        val corpus = graft.ParquetCache.read(s, srcPath)
+        val evalSet = graft.ParquetCache.read(s, srcPath)
           .filter(col("vec_id") % 25 === 0)
           .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
         val df = evalSet.join(corpus,
@@ -1311,8 +1311,8 @@ object AnnQueries {
       s.conf.set("spark.graft.ann.enabled", "true")
       s.conf.set("spark.graft.ann.nprobe", m.nlist.toString)
       try {
-        val corpus = s.read.parquet(srcPath)
-        val queries = s.read.parquet(srcPath)
+        val corpus = graft.ParquetCache.read(s, srcPath)
+        val queries = graft.ParquetCache.read(s, srcPath)
           .filter(col("vec_id") % 100 === 0)
           .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
         val df = queries.crossJoin(corpus)
@@ -1353,8 +1353,8 @@ object AnnQueries {
       s.conf.set("spark.graft.ann.enabled", "true")
       s.conf.set("spark.graft.hnsw.exact", "true")
       try {
-        val corpus = s.read.parquet(srcPath)
-        val queries = s.read.parquet(srcPath)
+        val corpus = graft.ParquetCache.read(s, srcPath)
+        val queries = graft.ParquetCache.read(s, srcPath)
           .filter(col("vec_id") % 100 === 0)
           .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
         val df = queries.crossJoin(corpus)
@@ -1446,8 +1446,8 @@ object AnnQueries {
       val prevEnabled = s.conf.get("spark.graft.ann.enabled", "false")
       s.conf.set("spark.graft.ann.enabled", "true")
       try {
-        val corpus = s.read.parquet(srcPath)
-        val queries = s.read.parquet(srcPath)
+        val corpus = graft.ParquetCache.read(s, srcPath)
+        val queries = graft.ParquetCache.read(s, srcPath)
           .filter(col("vec_id") % 10 === 0)
           .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
         val df = queries.join(corpus,
@@ -1479,8 +1479,8 @@ object AnnQueries {
       val prevEnabled = s.conf.get("spark.graft.ann.enabled", "false")
       s.conf.set("spark.graft.ann.enabled", "true")
       try {
-        val corpus = s.read.parquet(srcPath)
-        val queries = s.read.parquet(srcPath)
+        val corpus = graft.ParquetCache.read(s, srcPath)
+        val queries = graft.ParquetCache.read(s, srcPath)
           .filter(col("vec_id") % 10 === 0)
           .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
         val df = queries.join(corpus.filter(col("label") > 2),
@@ -1661,8 +1661,8 @@ object AnnQueries {
       s.conf.set("spark.graft.ann.enabled", "true")
       s.conf.set("spark.graft.hnsw.exact", "true")
       try {
-        val corpus = s.read.parquet(srcPath)
-        val queries = s.read.parquet(srcPath)
+        val corpus = graft.ParquetCache.read(s, srcPath)
+        val queries = graft.ParquetCache.read(s, srcPath)
           .filter(col("vec_id") % 10 === 0)
           .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
         val df = queries.crossJoin(corpus)
@@ -1736,13 +1736,13 @@ object AnnQueries {
     // SQ8: persisted codes -> coarse scan -> rerank window -> exact top-k
     "q_sq8_topk_l2" -> ((s, d) => {
       val (mins, widths, path) = sq8(s, d)
-      Sq8.search(s.read.parquet(path), "vec_id", "embedding", "codes",
+      Sq8.search(graft.ParquetCache.read(s, path), "vec_id", "embedding", "codes",
         qvec(s, d), k = 100, mins, widths, window = sq8WindowConf(s))
     }),
     // exact mode: rerank window = everything
     "q_sq8_exact_l2" -> ((s, d) => {
       val (mins, widths, path) = sq8(s, d)
-      Sq8.search(s.read.parquet(path), "vec_id", "embedding", "codes",
+      Sq8.search(graft.ParquetCache.read(s, path), "vec_id", "embedding", "codes",
         qvec(s, d), k = 100, mins, widths, window = 0)
     }),
 
@@ -1755,18 +1755,18 @@ object AnnQueries {
     "q_pq_topk_l2" -> ((s, d) => {
       if (s.conf.get("spark.graft.pq.fastScan", "false").toBoolean) {
         val (model, path) = pq4(s, d)
-        Pq.searchPacked(s.read.parquet(path), "vec_id", "embedding", "codes",
+        Pq.searchPacked(graft.ParquetCache.read(s, path), "vec_id", "embedding", "codes",
           qvec(s, d), k = 100, model)
       } else {
         val (model, path) = pq(s, d)
-        Pq.search(s.read.parquet(path), "vec_id", "embedding", "codes",
+        Pq.search(graft.ParquetCache.read(s, path), "vec_id", "embedding", "codes",
           qvec(s, d), k = 100, model, window = pqWindowConf(s))
       }
     }),
     // exact mode: rerank window = everything
     "q_pq_exact_l2" -> ((s, d) => {
       val (model, path) = pq(s, d)
-      Pq.search(s.read.parquet(path), "vec_id", "embedding", "codes",
+      Pq.search(graft.ParquetCache.read(s, path), "vec_id", "embedding", "codes",
         qvec(s, d), k = 100, model, window = 0)
     }),
 
@@ -1774,12 +1774,12 @@ object AnnQueries {
     // bytes of 8-bit PQ; packed ADC is bit-identical to unpacked (spec)
     "q_pq4_topk_l2" -> ((s, d) => {
       val (model, path) = pq4(s, d)
-      Pq.searchPacked(s.read.parquet(path), "vec_id", "embedding", "codes",
+      Pq.searchPacked(graft.ParquetCache.read(s, path), "vec_id", "embedding", "codes",
         qvec(s, d), k = 100, model)
     }),
     "q_pq4_exact_l2" -> ((s, d) => {
       val (model, path) = pq4(s, d)
-      Pq.searchPacked(s.read.parquet(path), "vec_id", "embedding", "codes",
+      Pq.searchPacked(graft.ParquetCache.read(s, path), "vec_id", "embedding", "codes",
         qvec(s, d), k = 100, model, window = 0)
     }),
 
@@ -1787,13 +1787,13 @@ object AnnQueries {
     // exact rerank
     "q_rabitq_topk_l2" -> ((s, d) => {
       val (model, path) = rabitq(s, d)
-      Rabitq.search(s.read.parquet(path), "vec_id", "embedding", "code",
+      Rabitq.search(graft.ParquetCache.read(s, path), "vec_id", "embedding", "code",
         qvec(s, d), k = 100, model)
     }),
     // exact mode: rerank window = everything
     "q_rabitq_exact_l2" -> ((s, d) => {
       val (model, path) = rabitq(s, d)
-      Rabitq.search(s.read.parquet(path), "vec_id", "embedding", "code",
+      Rabitq.search(graft.ParquetCache.read(s, path), "vec_id", "embedding", "code",
         qvec(s, d), k = 100, model, window = 0)
     }),
 
@@ -1816,7 +1816,7 @@ object AnnQueries {
     // with the flat top-k on the fixture)
     "q_rabitq_bounded_l2" -> ((s, d) => {
       val (model, path) = rabitq(s, d)
-      Rabitq.searchBounded(s.read.parquet(path), "vec_id", "embedding",
+      Rabitq.searchBounded(graft.ParquetCache.read(s, path), "vec_id", "embedding",
         "code", qvec(s, d), k = 100, model,
         eps = s.conf.get("spark.graft.rabitq.epsilon", "1.9").toDouble)
     }),

@@ -6,7 +6,7 @@ import graft.functions._
 
 object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    graft.ParquetCache.read(spark, s"$dir/$name.parquet")
 
   /** Driver-side cache of the tiny per-dir fixture fetches (query
     * vectors, sparse query terms, query batches): deterministic per data

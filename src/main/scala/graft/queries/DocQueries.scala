@@ -321,7 +321,7 @@ object DocQueries {
     //     edge set (LSH misses a jacc≥0.8 edge with p≈1e-15, the
     //     q_dedup_minhash argument). ---
     "q_dedup_cluster" -> ((s, d) => {
-      s.read.parquet(ensureDedupClusters(s, d))
+      graft.ParquetCache.read(s, ensureDedupClusters(s, d))
         .select(col("node").as("doc_id"), col("rep"))
         .orderBy(col("doc_id"))
     }),
@@ -334,7 +334,7 @@ object DocQueries {
     //     non-representative members. The oracle replays the
     //     recursive-CTE clustering and the same anti-join. ---
     "q_dedup_apply" -> ((s, d) => {
-      val drop = s.read.parquet(ensureDedupClusters(s, d))
+      val drop = graft.ParquetCache.read(s, ensureDedupClusters(s, d))
         .filter(col("node") =!= col("rep")).select(col("node").as("doc_id"))
       docsWithChainDups(s, d).join(drop, Seq("doc_id"), "left_anti")
         .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))

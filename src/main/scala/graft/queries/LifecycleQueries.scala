@@ -216,7 +216,7 @@ object LifecycleQueries {
     "q_admin_lifecycle" -> ((s, d) => {
       val srcDir = adminSrc(s, d)
       val name = s"admintest_${san(d)}"
-      IvfIndex.ensure(s, name, s.read.parquet(srcDir), srcDir,
+      IvfIndex.ensure(s, name, graft.ParquetCache.read(s, srcDir), srcDir,
         "embedding", "l2", nlist = 4)
       IndexCatalog.fence(s, name) // committed build -> no-op, else throws
       IndexCatalog.alter(s, name, "probe_hint", "7")
@@ -267,7 +267,7 @@ object LifecycleQueries {
     "q_sql_admin" -> ((s, d) => {
       val srcDir = adminSrc(s, d)
       val name = s"sqladmin_${san(d)}"
-      IvfIndex.ensure(s, name, s.read.parquet(srcDir), srcDir,
+      IvfIndex.ensure(s, name, graft.ParquetCache.read(s, srcDir), srcDir,
         "embedding", "l2", nlist = 4)
       // unreadable-manifest debris for the (scoped) upgrade sweep
       val badName = s"sqladminbad_${san(d)}"
@@ -465,7 +465,7 @@ object LifecycleQueries {
       try {
         val q = qvec(s, d)
         def topk(pred: Option[org.apache.spark.sql.Column], k: Int) = {
-          val base = s.read.parquet(srcDir)
+          val base = graft.ParquetCache.read(s, srcDir)
           val df = pred.map(base.filter).getOrElse(base)
             .select(col("vec_id"),
               l2sq(col("embedding"), typedLit(q)).as("dist"))
@@ -507,7 +507,7 @@ object LifecycleQueries {
       try {
         val q = qvec(s, d)
         def range(pred: Option[org.apache.spark.sql.Column], r: Double) = {
-          val base = s.read.parquet(srcDir)
+          val base = graft.ParquetCache.read(s, srcDir)
           val df = pred.map(base.filter).getOrElse(base)
             .select(col("vec_id"),
               l2sq(col("embedding"), typedLit(q)).as("dist"))
@@ -566,7 +566,7 @@ object LifecycleQueries {
           .select((col("doc_id") + 100000).as("doc_id"),
             concat(col("text"), lit(" zzzextra")).as("text"))
           .withColumn("ts", lit(t1)), "1-dups.parquet", 1000000020000L)
-        val sch = s.read.parquet(srcDir).schema
+        val sch = graft.ParquetCache.read(s, srcDir).schema
         val stream = s.readStream.schema(sch)
           .option("maxFilesPerTrigger", 1).parquet(srcDir)
         val hits = graft.streaming.StreamingNearDup.hits(stream,
@@ -582,7 +582,7 @@ object LifecycleQueries {
           .trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
       }
-      s.read.parquet(outDir)
+      graft.ParquetCache.read(s, outDir)
         .select(col("doc_a"), col("doc_b"), col("jacc"))
         .orderBy(col("doc_a"), col("doc_b"))
     }),
@@ -612,7 +612,7 @@ object LifecycleQueries {
       try {
         val q = qvec(s, d)
         def topk(pred: Option[org.apache.spark.sql.Column], k: Int) = {
-          val base = s.read.parquet(srcDir)
+          val base = graft.ParquetCache.read(s, srcDir)
           val df = pred.map(base.filter).getOrElse(base)
             .select(col("vec_id"),
               l2sq(col("embedding"), typedLit(q)).as("dist"))
@@ -712,7 +712,7 @@ object LifecycleQueries {
       s.conf.set("spark.graft.ann.filteredOverfetch", "1")
       try {
         val q = qvec(s, d)
-        val df = s.read.parquet(srcDir)
+        val df = graft.ParquetCache.read(s, srcDir)
           .filter(col("category").isin(1, 2) && col("vec_id") % 83 === 0)
           .select(col("vec_id"),
             l2sq(col("embedding"), typedLit(q)).as("dist"))
@@ -756,7 +756,7 @@ object LifecycleQueries {
       s.conf.set("spark.graft.ann.enabled", "true")
       s.conf.set("spark.graft.ann.nprobe", "4")
       try {
-        val corpus = s.read.parquet(srcDir).filter(col("category").isin(1, 2))
+        val corpus = graft.ParquetCache.read(s, srcDir).filter(col("category").isin(1, 2))
         val queries = partQueries(s, d)
           .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
         val df = queries.crossJoin(corpus)
@@ -802,7 +802,7 @@ object LifecycleQueries {
       s.conf.set("spark.graft.ann.enabled", "true")
       s.conf.set("spark.graft.ann.nprobe", "4")
       try {
-        val corpus = s.read.parquet(srcDir)
+        val corpus = graft.ParquetCache.read(s, srcDir)
           .filter(col("vec_id") % 2 === 0 && col("category").isin(1, 2))
         val queries = partQueries(s, d)
           .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
@@ -842,7 +842,7 @@ object LifecycleQueries {
       val prevEnabled = s.conf.get("spark.graft.ann.enabled", "false")
       s.conf.set("spark.graft.ann.enabled", "true")
       try {
-        val corpus = s.read.parquet(srcDir).filter(col("category") === 2)
+        val corpus = graft.ParquetCache.read(s, srcDir).filter(col("category") === 2)
         val queries = partQueries(s, d)
           .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
         val df = queries.join(corpus,
@@ -918,7 +918,7 @@ object LifecycleQueries {
       s.conf.set("spark.graft.ann.enabled", "true")
       s.conf.set("spark.graft.hnsw.exact", "true")
       try {
-        val corpus = s.read.parquet(srcDir).filter(col("category").isin(1, 2))
+        val corpus = graft.ParquetCache.read(s, srcDir).filter(col("category").isin(1, 2))
         val queries = partQueries(s, d)
           .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
         val df = queries.crossJoin(corpus)
@@ -951,7 +951,7 @@ object LifecycleQueries {
       val prevEnabled = s.conf.get("spark.graft.ann.enabled", "false")
       s.conf.set("spark.graft.ann.enabled", "true")
       try {
-        val corpus = s.read.parquet(srcDir).filter(col("category") === 1)
+        val corpus = graft.ParquetCache.read(s, srcDir).filter(col("category") === 1)
         val queries = partQueries(s, d)
           .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
         val df = queries.join(corpus,
@@ -1176,11 +1176,11 @@ object LifecycleQueries {
       // sq8 exact mode == brute force on the tiny source (in-query)
       val q = qvec(s, d)
       val (mins, widths, sqDir) = graft.operators.Sq8.ensure(s,
-        s"pgq_sq_${san(d)}", s.read.parquet(src), src, "vec_id", "embedding")
-      val exact = graft.operators.Sq8.search(s.read.parquet(sqDir),
+        s"pgq_sq_${san(d)}", graft.ParquetCache.read(s, src), src, "vec_id", "embedding")
+      val exact = graft.operators.Sq8.search(graft.ParquetCache.read(s, sqDir),
         "vec_id", "embedding", "codes", q, k = 8, mins, widths, window = 0)
         .collect().map(_.getLong(0)).toSeq
-      val brute = s.read.parquet(src)
+      val brute = graft.ParquetCache.read(s, src)
         .select(col("vec_id"), l2sq(col("embedding"), typedLit(q)).as("dist"))
         .orderBy(col("dist"), col("vec_id")).limit(8)
         .collect().map(_.getLong(0)).toSeq
@@ -1230,7 +1230,7 @@ object LifecycleQueries {
       require(mSv.kind == "ivf_svec", s"svec statement built ${mSv.kind}")
       val svRef = s"pgt_svref_${san(d)}"
       graft.operators.TypedAnn.ensureSvec(s, svRef,
-        s.read.parquet(srcDir).select(col("vec_id"), col("sv")),
+        graft.ParquetCache.read(s, srcDir).select(col("vec_id"), col("sv")),
         srcDir, "vec_id", "sv", nlist = 2)
       val mSvRef = IndexCatalog.load(s, svRef).get
       require(mSv.metric == mSvRef.metric &&
@@ -1341,7 +1341,7 @@ object LifecycleQueries {
       // manifest equivalence with the Scala-API ensure (modulo the SQL
       // recipe params and the reindex-owned generation pointer)
       val refName = s"sqlddl_ref_${san(d)}"
-      Hnsw.ensure(s, refName, s.read.parquet(srcDir), srcDir,
+      Hnsw.ensure(s, refName, graft.ParquetCache.read(s, srcDir), srcDir,
         "vec_id", "embedding", "l2", 1,
         Map("m" -> "12", "ef_construction" -> "300"))
       val strip = (p: Map[String, String]) =>
@@ -1408,7 +1408,7 @@ object LifecycleQueries {
       // q_sql_create_index convention: modulo SQL recipe params and the
       // reindex-owned generation pointer)
       val refName = s"sqlstmt_ref_${san(d)}"
-      Hnsw.ensure(s, refName, s.read.parquet(srcDir), srcDir,
+      Hnsw.ensure(s, refName, graft.ParquetCache.read(s, srcDir), srcDir,
         "vec_id", "embedding", "l2", 1,
         Map("m" -> "12", "ef_construction" -> "300"))
       // probe_hint joins the strip: this gate's own ALTER assertion
@@ -1608,7 +1608,7 @@ object LifecycleQueries {
           "a non-matching filter must not be claimed by the partial index")
         // VACUUM replays the row scope through the generation swap
         require(s.sql(s"VACUUM VECTOR INDEX $name").head().getString(0) == "ok")
-        require(s.read.parquet(IndexCatalog.dataDir(s, name))
+        require(graft.ParquetCache.read(s, IndexCatalog.dataDir(s, name))
           .filter(col("vec_id") % 7 =!= 0).count() == 0,
           "vacuum must rebuild over the partial predicate's rows only")
         val optimized = s.sql(searchSql(7)).queryExecution.optimizedPlan
@@ -1662,7 +1662,7 @@ object LifecycleQueries {
             .select(col("vec_id"), col("embedding"))
             .write.mode("overwrite").parquet(plainSrc)
       }
-      Hnsw.ensure(s, pname, s.read.parquet(plainSrc), plainSrc,
+      Hnsw.ensure(s, pname, graft.ParquetCache.read(s, plainSrc), plainSrc,
         "vec_id", "embedding", "l2", parts = 1)
       val st = IndexCatalog.stats(s)
         .filter(col("idx_name").isin(iname, pname))

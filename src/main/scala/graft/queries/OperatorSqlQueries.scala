@@ -64,7 +64,7 @@ object OperatorSqlQueries {
     ds.conf.set("spark.graft.ann.enabled", "true")
     ds.conf.set("spark.graft.ann.nprobe", m.nlist.toString)
     try {
-      ds.read.parquet(srcPath).createOrReplaceTempView("graft_opsql_src")
+      graft.ParquetCache.read(ds, srcPath).createOrReplaceTempView("graft_opsql_src")
       val df = ds.sql(sql)
       val optimized = df.queryExecution.optimizedPlan
       require(optimized.toString.contains(needle),

@@ -48,4 +48,26 @@ object Shims {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], stripped)
   }
+
+  /** The resolved file relation (HadoopFsRelation) behind a plain
+    * `spark.read.parquet` frame — the expensive-to-build piece
+    * (DataSource resolution + file listing + schema) that
+    * [[graft.ParquetCache]] memoizes. */
+  def fileRelationOf(df: org.apache.spark.sql.DataFrame): Option[AnyRef] =
+    df.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation
+    }
+
+  /** Wrap a previously-resolved file relation as a NEW DataFrame: the
+    * LogicalRelation constructor mints fresh output attribute ids, so
+    * two reads of the same cached relation still self-join exactly like
+    * two independent reads (failAmbiguousSelfJoin stays quiet). */
+  def ofFileRelation(spark: org.apache.spark.sql.SparkSession,
+      rel: AnyRef): org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      org.apache.spark.sql.execution.datasources.LogicalRelation(
+        rel.asInstanceOf[org.apache.spark.sql.sources.BaseRelation],
+        isStreaming = false))
 }
