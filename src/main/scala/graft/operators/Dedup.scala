@@ -55,9 +55,13 @@ object Dedup {
     * Input: (idCol, sigCol); output: (doc_a, doc_b) distinct, a < b. */
   def lshCandidates(docs: DataFrame, idCol: String, sigCol: String,
       bands: Int, rows: Int): DataFrame = {
+    // one signature+banding pass (round 17): keyed feeds both self-join
+    // sides (plus optimizer-inferred pre-explode filter clones) —
+    // materialize it once per run
     val keyed = docs
       .select(col(idCol), posexplode(bandKeys(col(sigCol), bands, rows))
         .as(Seq("band_idx", "band_hash")))
+      .localCheckpoint()
     keyed.as("a").join(keyed.as("b").hint("shuffle_hash"),
         col("a.band_idx") === col("b.band_idx") &&
         col("a.band_hash") === col("b.band_hash") &&
@@ -113,7 +117,16 @@ object Dedup {
     * entirely on both join sides. */
   def exactJaccardPairsHashed(docs: DataFrame, idCol: String,
       hashCol: String, tau: Double): DataFrame = {
-    val flat = docs.select(col(idCol), explode(col(hashCol)).as("tok"))
+    // ONE hashing pass (round 17, guide §8 "fingerprints once"): the
+    // hash-set column feeds BOTH self-join sides plus the two size
+    // frames, and the optimizer additionally clones the expression into
+    // inferred pre-explode filters — the executed plan evaluated
+    // shingle_hashes ~8x per doc. localCheckpoint materializes the
+    // (id, hashes) frame once per run; every branch reads the
+    // materialized rows. Recomputed on every invocation — nothing
+    // persists across runs.
+    val mat = docs.select(col(idCol), col(hashCol)).localCheckpoint()
+    val flat = mat.select(col(idCol), explode(col(hashCol)).as("tok"))
     // shuffle-HASH join on the token postings: the sides are the same
     // exploded frame, and a sort-merge join pays two full sorts of the
     // postings per partition that a hash build skips — measured 2.17 s
@@ -123,7 +136,7 @@ object Dedup {
         col("a.tok") === col("b.tok") && col(s"a.$idCol") < col(s"b.$idCol"))
       .groupBy(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
-    val sizes = docs.select(col(idCol), size(col(hashCol)).as("n"))
+    val sizes = mat.select(col(idCol), size(col(hashCol)).as("n"))
     inter
       .join(sizes.select(col(idCol).as("doc_a"), col("n").as("na")), "doc_a")
       .join(sizes.select(col(idCol).as("doc_b"), col("n").as("nb")), "doc_b")
@@ -702,9 +715,11 @@ object Dedup {
     val chunks = array((0 until 4).map(i =>
       struct(lit(i).as("chunk_idx"),
         shiftright(col(simCol), i * 16).bitwiseAND(lit(0xffffL)).as("chunk"))): _*)
+    // one simhash pass (round 17): same both-sides shape as lshCandidates
     val keyed = docs.select(col(idCol), col(simCol), explode(chunks).as("c"))
       .select(col(idCol), col(simCol),
         col("c.chunk_idx").as("chunk_idx"), col("c.chunk").as("chunk"))
+      .localCheckpoint()
     keyed.as("a").join(keyed.as("b"),
         col("a.chunk_idx") === col("b.chunk_idx") &&
         col("a.chunk") === col("b.chunk") &&

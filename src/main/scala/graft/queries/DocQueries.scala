@@ -300,9 +300,12 @@ object DocQueries {
     //     jacc≥0.8 at 16×4 banding ≈ 1-3e-8) ---
     "q_dedup_minhash" -> ((s, d) => {
       // pre-hashed shingle sets: signatures are bit-identical to hashing
-      // the string shingles (same FNV base hash), strings never built
+      // the string shingles (same FNV base hash), strings never built.
+      // localCheckpoint (round 17): sh feeds the signature pass AND both
+      // verify sides — one hashing pass per run instead of three
       val sh = docsWithNearDups(s, d)
         .select(col("doc_id"), Dedup.shingleHashes(col("text"), 3).as("shh"))
+        .localCheckpoint()
       val sig = sh.select(col("doc_id"),
         Dedup.minhashSignatureHashed(col("shh"), 64).as("sig"))
       val cands = Dedup.lshCandidates(sig, "doc_id", "sig", bands = 16, rows = 4)
@@ -381,9 +384,13 @@ object DocQueries {
       val (bands, rows) = Dedup.signBandParams(Tables.fixture[java.lang.Long](
         "ndupn:" + d)(java.lang.Long.valueOf(e.count())).longValue())
       val planes = Dedup.hyperplanes(nPlanes = bands * rows, dims = 64)
+      // localCheckpoint (round 17): keyed feeds both self-join sides —
+      // one 64-plane-dot pass per run instead of two (+ inferred-filter
+      // clones)
       val keyed = e.select(col("vec_id"),
         explode(Dedup.signBandKeys(col("embedding"), planes,
           bands = bands, rows = rows)).as("bucket"))
+        .localCheckpoint()
       // shuffle-hash on the band buckets: same shuffle as sort-merge
       // minus the two per-partition sorts (the round-13 postings-join
       // precedent in Dedup.exactJaccardPairsHashed)

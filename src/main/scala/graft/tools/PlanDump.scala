@@ -25,10 +25,16 @@ object PlanDump {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    // tag suffix "_final": execute the query first and dump the
+    // POST-AQE executed plan (shows runtime exchange reuse / coalescing)
+    val finalMode = tag.endsWith("final")
     for (q <- names) {
       val txt = try {
         val df = graft.SparkEntry.queries(q)(spark, sfDir)
-        df.queryExecution.explainString(
+        if (finalMode) {
+          df.collect() // executes THIS plan so AQE finalizes it
+          df.queryExecution.executedPlan.toString
+        } else df.queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode)
       } catch { case e: Throwable => s"ERROR: ${e.getMessage}" }
       java.nio.file.Files.writeString(
