@@ -36,7 +36,12 @@ class ErrorContractSpec extends SparkSpec {
   }
 
   test("HNSW search with wrong query dims errors (error.slt)") {
-    val path = AnnQueries.hnsw(spark, sf0001, 2)
+    // parts=4 = the CANONICAL inventory artifact (ensureAll builds it):
+    // a parts=2 build here minted an extra catalog entry over the
+    // sf0.001 data dir, and any later q_index_stat verify sharing this
+    // /tmp saw a 30th row against the 29-row VALUES oracle (round-17
+    // optimization-round finding; multi-graph dims contract unchanged)
+    val path = AnnQueries.hnsw(spark, sf0001, 4)
     val e = intercept[Exception] {
       Hnsw.searchIndex(spark, path, "vec_id", wrongDims, k = 5).collect()
     }
