@@ -64,21 +64,20 @@ object Bench {
     // like-for-like). The headline total stays COLD for cross-round
     // comparability.
     val warm = timedPass()
-    // Driver tail-captures stdout: keep the stdout line SHORT (ms-rounded
-    // timings) and make it the FINAL line printed; full precision lives in
-    // bench_out.json.
+    // Round 18: the driver contract expects the per-query `queries` map ON
+    // STDOUT (PERF_r17 had per_query:{} / now_bench_ok:false because round 7
+    // demoted stdout to a total-only short line). Print the full map as the
+    // FINAL stdout line, ms-rounded so the line stays compact; the
+    // full-precision line (plus the warm map) still mirrors to
+    // bench_out.json for local profiling.
     def ms(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val total = results.map(_._2).sum
-    def jmap(rs: Seq[(String, Double)]) =
-      rs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val qsFull = jmap(results)
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"warm":${jmap(warm)},"warm_total":${warm.map(_._2).sum},"host_control_sec":${ms(hostControl)},"sf":"$sfDir"}"""
-    // The driver tail-captures only the last 2,000 chars of stdout: the final
-    // line must be TOTAL-ONLY (<100 chars). Per-query timings live exclusively
-    // in bench_out.json.
-    val shortLine = s"""{"metric":"total","value":${ms(total)},"unit":"sec","n":${results.size},"host_control_sec":${ms(hostControl)},"sf":"$sfDir"}"""
+    def jmap(rs: Seq[(String, Double)], f: Double => String) =
+      rs.map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results, _.toString)},"warm":${jmap(warm, _.toString)},"warm_total":${warm.map(_._2).sum},"host_control_sec":${ms(hostControl)},"sf":"$sfDir"}"""
+    val stdoutLine = s"""{"metric":"total","value":${ms(total)},"unit":"sec","n":${results.size},"queries":${jmap(results, ms)},"warm":${jmap(warm, ms)},"host_control_sec":${ms(hostControl)},"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), fullLine + "\n")
     spark.stop()
-    println(shortLine)
+    println(stdoutLine)
   }
 }
