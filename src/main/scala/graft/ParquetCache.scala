@@ -37,10 +37,11 @@ object ParquetCache {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Entry]()
 
+  private def localRoot(path: String): java.io.File = new java.io.File(
+    if (path.startsWith("file:")) path.stripPrefix("file:") else path)
+
   /** Order-insensitive content fingerprint of a file or directory tree. */
-  private def fingerprint(path: String): String = {
-    val root = new java.io.File(
-      if (path.startsWith("file:")) path.stripPrefix("file:") else path)
+  private def fingerprint(root: java.io.File): String = {
     var n = 0L; var bytes = 0L; var maxM = 0L; var h = 0L
     def walk(f: java.io.File): Unit = {
       if (f.isDirectory) {
@@ -60,18 +61,29 @@ object ParquetCache {
   }
 
   def read(spark: SparkSession, path: String): DataFrame = {
+    // Non-local roots (hdfs://, s3a://, catalog locations not visible as
+    // local files) would walk to the CONSTANT fingerprint "0:0:0:0" and
+    // serve a frozen file listing forever — silent stale reads (round-18
+    // hardening, ADVICE/VERDICT item). Read through: correctness first;
+    // at that point a metastore/table-format manifest is the cache.
+    val root = localRoot(path)
+    if (!root.exists()) return spark.read.parquet(path)
     val key = (spark, path)
-    val fp = fingerprint(path)
+    val fp = fingerprint(root)
     val e = cache.get(key)
     if (e != null && e.fp == fp)
       org.apache.spark.sql.graftshim.Shims.ofFileRelation(spark, e.rel)
     else {
-      // sweep dead-session entries so spec-churned sessions can't leak
+      // sweep entries that can never hit again: stopped sessions and
+      // vanished paths (SqlDml routes per-statement tmp staging dirs —
+      // deleted in its finally — through this cache; without the path
+      // check a long-lived session accumulates dead HadoopFsRelations)
       if (cache.size() > 512) {
         val it = cache.keys()
         while (it.hasMoreElements) {
           val k = it.nextElement()
-          if (k._1.sparkContext.isStopped) cache.remove(k)
+          if (k._1.sparkContext.isStopped || !localRoot(k._2).exists())
+            cache.remove(k)
         }
       }
       val df = spark.read.parquet(path)

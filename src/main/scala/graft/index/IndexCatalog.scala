@@ -219,8 +219,16 @@ object IndexCatalog {
     // 4 lock-file ops per call; ensureAll runs ~35 of them inside
     // timed queries (q_index_stat). A concurrent drop/rebuild racing
     // this read sees exactly the interleaving an unlocked search sees.
+    // ONE source walk per ensure call (round 18, ADVICE): fresh() was
+    // re-fingerprinting on the lock-free path, again under the lock, and
+    // a third time before commit — correct only thanks to the 5 s
+    // fpCache TTL. Taking it once at entry keeps the BEFORE-the-build
+    // ordering (a source re-ingested while we wait on the lock or build
+    // stamps the older fp, which compares stale next ensure — erring
+    // toward rebuild, the documented contract).
+    val fp = fingerprint(source)
     def fresh(m: Manifest): Boolean = m.source == source &&
-      m.sourceFp == fingerprint(source) &&
+      m.sourceFp == fp &&
       requires.forall { case (k, v) => m.params.get(k).contains(v) }
     load(spark, name) match {
       case Some(m) if fresh(m) => m
@@ -229,9 +237,6 @@ object IndexCatalog {
         load(spark, name) match {
           case Some(m) if fresh(m) => m
           case _ =>
-            // fingerprint BEFORE the build (unchanged ordering): a source
-            // re-ingested DURING a long build compares stale next ensure
-            val fp = fingerprint(source)
             commit(spark, name, build(dataDir(spark, name)).copy(sourceFp = fp))
         }
       }

@@ -53,9 +53,9 @@ object IncrMaint {
     * bumps seq and every promote rewrites dead/, so freshness is exact;
     * the downstream broadcast join is unchanged — identical rows, and
     * memory equals what that join already broadcast per query. */
-  private val tombCache = new java.util.concurrent.ConcurrentHashMap[
+  private val tombCache = new graft.LruCache[
     String, (String, Option[(Array[org.apache.spark.sql.Row],
-      org.apache.spark.sql.types.StructType)])]()
+      org.apache.spark.sql.types.StructType)])](1024)
 
   private def deadFp(spark: SparkSession, name: String): String = {
     val dd = deadDir(spark, name)
@@ -74,7 +74,6 @@ object IncrMaint {
     val cached = tombCache.get(key)
     val v = if (cached != null && cached._1 == fp) cached._2
     else {
-      if (tombCache.size() > 1024) tombCache.clear()
       val dead = deadFrame(spark, name)
       val live = Segments.tombstoneMaxAt(spark, segDir, idCol, st)
       val merged = (dead, live) match {

@@ -172,9 +172,9 @@ object Segments {
     * are bit-identical. Memory = the same rows the broadcast join
     * already shipped per query. Maintenance folds keep calling
     * [[tombstoneMaxAt]] with their pinned state. */
-  private val tombLocalCache = new java.util.concurrent.ConcurrentHashMap[
+  private val tombLocalCache = new graft.LruCache[
     String, (String, Option[(Array[org.apache.spark.sql.Row],
-      org.apache.spark.sql.types.StructType)])]()
+      org.apache.spark.sql.types.StructType)])](1024)
 
   def tombstoneMaxLocalAt(spark: SparkSession, dir: String, idCol: String,
       s: State): Option[DataFrame] = {
@@ -183,7 +183,6 @@ object Segments {
     val cached = tombLocalCache.get(key)
     val v = if (cached != null && cached._1 == fp) cached._2
     else {
-      if (tombLocalCache.size() > 1024) tombLocalCache.clear()
       val computed = tombstoneMaxAt(spark, dir, idCol, s)
         .map(df => (df.collect(), df.schema))
       tombLocalCache.put(key, (fp, computed))

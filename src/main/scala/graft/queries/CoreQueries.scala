@@ -154,8 +154,11 @@ object CoreQueries {
           size(col("embedding")).cast("long").as("dims"),
           vectorNorm(col("embedding")).as("nrm"),
           vectorNormalize(col("embedding")).as("unit"))
+        // graft posexplode (round 18): ExplodeBase + inferred-filter
+        // pushdown evaluated vector_normalize 3x per row
         .select(col("vec_id"), col("dims"), col("nrm"),
-          posexplode(col("unit")).as(Seq("i", "unit_x")))
+          graft.functions.GraftExplode.posexplodeOnce(col("unit"))
+            .as(Seq("i", "unit_x")))
         .select(col("vec_id"), col("dims"), col("nrm"),
           col("i").cast("long").as("i"), col("unit_x"))
         .orderBy(col("vec_id"), col("i"))

@@ -223,7 +223,10 @@ object PipelineQueries {
           transform(
             sequence(lit(0), ceil(size(tk) / lit(cs.toDouble)).cast("int") - 1),
             i => array_join(slice(tk, i * cs + 1, lit(cs)), " ")).as("chunks"))
-        .select(col("doc_id"), posexplode(col("chunks")))
+        // graft posexplode (round 18): the ExplodeBase form let
+        // InferFiltersFromGenerate + pushdown clone the chunk transform
+        // 2x into a pre-filter (3 evaluations/row, interpreted HOF)
+        .select(col("doc_id"), graft.functions.GraftExplode.posexplodeOnce(col("chunks")))
         .withColumnRenamed("col", "chunk").withColumnRenamed("pos", "idx")
       val w = Window.partitionBy(col("chunk")).orderBy(col("doc_id"), col("idx"))
       occ.withColumn("kept", row_number().over(w) === 1)

@@ -228,8 +228,11 @@ object TypeQueries {
             vecSlice(col("embedding"), lit(60), lit(64)),
             svecToDense(svecSlice(svecFromDense(sparsified(col("embedding"))),
               lit(8), lit(24)))).as("allx"))
+        // graft posexplode (round 18): avoids the inferred-filter clone
+        // of the slice/concat chain (see GraftExplode doc)
         .select(col("vec_id"), col("oob_is_null"), col("overend_is_null"),
-          posexplode(col("allx")).as(Seq("i", "x")))
+          graft.functions.GraftExplode.posexplodeOnce(col("allx"))
+            .as(Seq("i", "x")))
         .select(col("vec_id"), col("oob_is_null"), col("overend_is_null"),
           col("i").cast("long").as("i"), col("x"))
         .orderBy(col("vec_id"), col("i"))
@@ -319,8 +322,12 @@ object TypeQueries {
           svecCompare(col("sa"), col("sa")).as("scmp_self"),
           bvecSlice(col("ba"), lit(60), lit(100)).isNull.as("oob_is_null"),
           bvecToDense(bvecSlice(col("ba"), lit(8), lit(24))).as("bmid"))
+        // graft posexplode (round 18): avoids the inferred-filter clone
+        // of bvec_to_dense(bvec_slice(binarize(...)))
         .select(col("vec_id"), col("scmp"), col("bcmp"), col("scmp_self"),
-          col("oob_is_null"), posexplode(col("bmid")).as(Seq("i", "x")))
+          col("oob_is_null"),
+          graft.functions.GraftExplode.posexplodeOnce(col("bmid"))
+            .as(Seq("i", "x")))
         .select(col("vec_id"), col("scmp"), col("bcmp"), col("scmp_self"),
           col("oob_is_null"), col("i").cast("long").as("i"), col("x"))
         .orderBy(col("vec_id"), col("i"))

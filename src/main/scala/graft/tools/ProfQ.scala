@@ -35,7 +35,10 @@ object ProfQ {
       fn(spark, sfDir).count() // warm-up
       val builds = new Array[Double](reps)
       val actions = new Array[Double](reps)
-      var bJobs = 0; var aJobs = 0
+      // per-rep job counts (round 18, ADVICE): the last-rep-only counts
+      // could pair a median time with an unrepresentative rep (a cache
+      // warming on rep 1); report the median count with its range
+      val bJobs = new Array[Int](reps); val aJobs = new Array[Int](reps)
       for (r <- 0 until reps) {
         Thread.sleep(100)
         val j0 = jobs.get()
@@ -48,11 +51,16 @@ object ProfQ {
         Thread.sleep(100)
         val j2 = jobs.get()
         builds(r) = (t1 - t0) / 1e9; actions(r) = (t2 - t1) / 1e9
-        bJobs = j1 - j0; aJobs = j2 - j1
+        bJobs(r) = j1 - j0; aJobs(r) = j2 - j1
       }
       def med(a: Array[Double]) = a.sorted.apply(a.length / 2)
+      def jstat(a: Array[Int]) = {
+        val s = a.sorted
+        val m = s(a.length / 2)
+        if (s.head == s.last) s"$m jobs" else s"$m jobs [${s.head}..${s.last}]"
+      }
       println(f"[profq] $name build med=${med(builds)}%.3f min=${builds.min}%.3f " +
-        f"($bJobs jobs)  action med=${med(actions)}%.3f min=${actions.min}%.3f ($aJobs jobs)")
+        f"(${jstat(bJobs)})  action med=${med(actions)}%.3f min=${actions.min}%.3f (${jstat(aJobs)})")
     }
     spark.stop()
   }

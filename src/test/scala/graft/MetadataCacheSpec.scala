@@ -93,4 +93,34 @@ class MetadataCacheSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(t2 == Set(2L, 4L))
   }
+
+  test("ParquetCache: vanished path is never served from cache (read-through)") {
+    val dir = freshDir("van") + "/t"
+    spark.range(4).write.mode("overwrite").parquet(dir)
+    assert(ParquetCache.read(spark, dir).count() == 4)
+    // delete the whole tree: the next read must NOT serve the cached
+    // relation (non-local/vanished roots bypass the cache entirely)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete()
+    }
+    rm(new java.io.File(dir))
+    intercept[Exception] { ParquetCache.read(spark, dir).count() }
+    // recreate with different content: served fresh, not the old listing
+    spark.range(7).write.mode("overwrite").parquet(dir)
+    assert(ParquetCache.read(spark, dir).count() == 7)
+  }
+
+  test("LruCache: over-cap insertion evicts eldest only; recent access survives") {
+    val c = new LruCache[Int, String](4)
+    (1 to 4).foreach(i => c.put(i, s"v$i"))
+    c.get(1) // refresh 1 - the eldest is now 2
+    c.put(5, "v5")
+    assert(c.size() == 4)
+    assert(c.get(2) == null, "eldest unaccessed entry evicted")
+    assert(c.get(1) == "v1", "recently-accessed entry survives over-cap insert")
+    assert(c.get(5) == "v5")
+    // a burst past the cap keeps the hot entry alive when re-touched
+    (10 to 12).foreach { i => c.put(i, s"v$i"); c.get(1) }
+    assert(c.get(1) == "v1")
+  }
 }
