@@ -154,6 +154,30 @@ object KnnJoin {
     *
     * Skipping is always sound: the list_id equi-join (and DPP, when
     * Spark fires it) still prunes at runtime. */
+  /** Broadcast the probed query side when its pre-explode optimizer
+    * estimate (times the probe fan-out) fits under
+    * `spark.graft.join.broadcastQueriesMaxBytes` (default 256 MiB) —
+    * guide §3.1 "pick the join strategy deliberately". Left to its own
+    * estimates the planner regularly builds on the CORPUS instead: the
+    * pruned artifact scan at bench scale estimates under the
+    * autoBroadcast threshold while the exploded query side's estimate is
+    * inflated by the Generate, so the per-pair distance kernels end up
+    * running at the query side's parallelism — measured round 18:
+    * q_knn_join_exact computed every distance in ONE 0.5 s task on 32
+    * cores. Hinting the query side keeps the kernels on the corpus
+    * scan's partitioning and is the only scale-viable broadcast (a large
+    * corpus can never be the build side); above the cap no hint is
+    * added and the planner shuffles both sides on list_id — the correct
+    * large-query-set shape. */
+  private def broadcastQueriesIfSmall(qv0: DataFrame, probed: DataFrame,
+      fanout: Int): DataFrame = {
+    val maxBytes = BigInt(qv0.sparkSession.conf
+      .get("spark.graft.join.broadcastQueriesMaxBytes", (256L << 20).toString))
+    val est = qv0.queryExecution.optimizedPlan.stats.sizeInBytes *
+      math.max(fanout, 1)
+    if (est <= maxBytes) broadcast(probed) else probed
+  }
+
   private[graft] def staticPruneWorthwhile(df: DataFrame): Boolean = {
     import org.apache.spark.sql.catalyst.plans.logical.{LocalLimit, GlobalLimit, Sample}
     val plan = df.queryExecution.optimizedPlan
@@ -203,7 +227,8 @@ object KnnJoin {
       case "cos" => negdot(col(vecCol), col("qv")) + lit(1.0)
     }
     scan.select(col("list_id"), col(idCol), col(vecCol))
-      .join(probed, "list_id")
+      // range fan-out is per-row (rangeLists); bound it by nlist
+      .join(broadcastQueriesIfSmall(qv0, probed, model.nlist), "list_id")
       .select(col("qid"), col(idCol), distCol.as("dist"))
       .filter(col("dist") <= r)
   }
@@ -271,7 +296,7 @@ object KnnJoin {
     }
     val w = Window.partitionBy(col("qid")).orderBy(col("dist"), col(idCol))
     scan.select(col("list_id"), col(idCol), col(payloadCol))
-      .join(probed, "list_id")
+      .join(broadcastQueriesIfSmall(qv0, probed, np), "list_id")
       .select(col("qid"), col(idCol), distCol.as("dist"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
@@ -327,7 +352,7 @@ object KnnJoin {
         scan0.filter(col("list_id").isin(lists.map(Integer.valueOf).toSeq: _*))
       }
     val joined = scan.select(col("list_id"), col(idCol), col(vecCol))
-      .join(probed, "list_id")
+      .join(broadcastQueriesIfSmall(qv0, probed, np), "list_id")
     val distCol = model.metric match {
       case "l2" => l2sq(col(vecCol), col("qv"))
       case "dot" => negdot(col(vecCol), col("qv"))
