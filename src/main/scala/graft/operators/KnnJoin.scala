@@ -169,7 +169,7 @@ object KnnJoin {
     * corpus can never be the build side); above the cap no hint is
     * added and the planner shuffles both sides on list_id — the correct
     * large-query-set shape. */
-  private def broadcastQueriesIfSmall(qv0: DataFrame, probed: DataFrame,
+  private[graft] def broadcastQueriesIfSmall(qv0: DataFrame, probed: DataFrame,
       fanout: Int): DataFrame = {
     val maxBytes = BigInt(qv0.sparkSession.conf
       .get("spark.graft.join.broadcastQueriesMaxBytes", (256L << 20).toString))

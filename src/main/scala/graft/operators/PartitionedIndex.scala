@@ -404,7 +404,11 @@ object PartitionedIndex {
     }
     val w = Window.partitionBy(col("qid")).orderBy(col("dist"), col(idCol))
     ivfScan(spark, subs, idCol, vecCol, corpusFilter)
-      .join(probed, Seq("__graft_sub", "list_id"))
+      // round 18: broadcast the (small) probed query side so the
+      // distance kernels run at the sub-scan union's parallelism (the
+      // KnnJoin.broadcastQueriesIfSmall rationale)
+      .join(KnnJoin.broadcastQueriesIfSmall(qv0, probed, probesTotal),
+        Seq("__graft_sub", "list_id"))
       .select(col("qid"), col(idCol), distCol.as("dist"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
@@ -441,7 +445,11 @@ object PartitionedIndex {
       case "cos" => graft.functions.negdot(col(vecCol), col("qv")) + lit(1.0)
     }
     ivfScan(spark, subs, idCol, vecCol, corpusFilter)
-      .join(probed, Seq("__graft_sub", "list_id"))
+      // round 18: same query-side broadcast; range fan-out bounded by
+      // the combined nlist
+      .join(KnnJoin.broadcastQueriesIfSmall(qv0, probed,
+          math.max(combined.nlist, 1)),
+        Seq("__graft_sub", "list_id"))
       .select(col("qid"), col(idCol), distCol.as("dist"))
       .filter(if (strict) col("dist") < r else col("dist") <= r)
   }

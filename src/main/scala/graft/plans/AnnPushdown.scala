@@ -847,7 +847,12 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
           if (!remapOk) return None
           val scanF = if (remapped.isEmpty) scanDf
             else Shims.ofRows(spark, Filter(remapped.reduce(And), scanPlan0))
-          val joined = scanF.join(probed,
+          // broadcast the probed query side when it provably fits
+          // (round 18, the KnnJoin.broadcastQueriesIfSmall rationale);
+          // range fan-out is per-row, bounded by nlist
+          val joined = scanF.join(
+            graft.operators.KnnJoin.broadcastQueriesIfSmall(qdf, probed,
+              math.max(model.nlist, 1)),
             scanDf("list_id") === probed("__graft_list"))
           val distC = metric match {
             case "l2" => graft.functions.l2sq(scanDf(idx.vecCol),
@@ -1379,7 +1384,13 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
           if (!remapOk) return None
           val scanF = if (remapped.isEmpty) scanDf
             else Shims.ofRows(spark, Filter(remapped.reduce(And), scanPlan0))
-          val joined0 = scanF.join(probed,
+          // broadcast the probed query side when it provably fits
+          // (round 18): same mis-estimate as the operator form — the
+          // planner otherwise builds on the CORPUS scan and the distance
+          // kernels run at the query side's parallelism (measured: one
+          // 0.57 s task in q_operator_sql_knn_join on 32 cores)
+          val joined0 = scanF.join(
+            graft.operators.KnnJoin.broadcastQueriesIfSmall(qdf, probed, probes),
             scanDf("list_id") === probed("__graft_list"))
           // self-exclusion replay (hard-negative mining): drop the
           // anchor's own corpus row BEFORE the window, exactly where

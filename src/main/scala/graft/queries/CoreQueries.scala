@@ -17,6 +17,25 @@ object Tables {
     new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
   def fixture[T <: AnyRef](key: String)(f: => T): T =
     fixtureCache.computeIfAbsent(key, _ => f).asInstanceOf[T]
+
+  /** Round 18 (guide §2, scale-adaptive partitioning): spread the input
+    * of a per-row-EXPENSIVE kernel pass (shingle sets, plane dots,
+    * per-pair distance verify) across the session's cores when the scan
+    * offers fewer partitions. The bench fixtures are single-file,
+    * single-ROW-GROUP parquet, which no split setting can parallelize —
+    * measured round 18: q_ngram_top's whole shingle pass ran as ONE
+    * 0.44 s task on 32 cores. The moved bytes are the kernel input,
+    * small by premise; a corpus big enough for the shuffle to matter
+    * arrives in many splits and takes the no-op branch, so nothing is
+    * tuned to local[32]. ONLY for queries whose downstream aggregation
+    * is partition-order-insensitive (integer counts, per-row/per-pair
+    * kernels, per-key sorted folds) — never in front of a cross-row
+    * float accumulation, which the oracle float-parity contract pins to
+    * single-partition merge order. */
+  def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
 }
 
 /**

@@ -205,7 +205,9 @@ object DocQueries {
     //     (vocabulary-sized, not corpus-sized). ---
     "q_ngram_top" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val grams = docs(s, d).select(col("lang"),
+      // spread (round 18): the single-row-group fixture scan serialized
+      // the shingle pass on one task; no-op at many-split scale
+      val grams = Tables.spread(docs(s, d)).select(col("lang"),
         explode(Dedup.shingleStrings(split(lower(col("text")), "\\s+"), 3)).as("gram"))
       val w = Window.partitionBy("lang").orderBy(col("ndocs").desc, col("gram"))
       grams.groupBy(col("lang"), col("gram")).agg(count(lit(1)).as("ndocs"))
@@ -357,7 +359,9 @@ object DocQueries {
     // --- embedding near-dup: exact all-pairs cosine (oracle twin; the
     //     scale path is the sign-LSH variant below) ---
     "q_embed_neardup" -> ((s, d) => {
-      val e = embeddingsWithDups(s, d)
+      // spread (round 18): the per-pair cosdist verify's parallelism is
+      // the streamed cross-join side's scan partitions (was 2 tasks)
+      val e = Tables.spread(embeddingsWithDups(s, d))
       val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
       val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
       a.crossJoin(b).filter(col("vec_a") < col("vec_b"))

@@ -142,7 +142,7 @@ object PipelineQueries {
       val evalHashes = docs(s, d).filter(col("doc_id") < 10)
         .select(explode(Dedup.shingleHashes(col("text"), 5)).as("h"))
         .distinct()
-      val train = docs(s, d).filter(col("doc_id") >= 10)
+      val train = Tables.spread(docs(s, d).filter(col("doc_id") >= 10))
         .select(col("doc_id"),
           explode(Dedup.shingleHashes(col("text"), 5)).as("h"))
       train.join(broadcast(evalHashes), "h")
