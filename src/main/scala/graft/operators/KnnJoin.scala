@@ -282,22 +282,37 @@ object KnnJoin {
           .collect().map(_.getInt(0))
         scan0.filter(col("list_id").isin(lists.map(Integer.valueOf).toSeq: _*))
       }
-    val (payloadCol, distCol) = (family, met) match {
-      case ("bvec", "hamming") => ("bv", bvecHamming(col("bv"), binarize(col("qv"))))
-      case ("bvec", "jaccard") => ("bv", bvecJaccard(col("bv"), binarize(col("qv"))))
-      case ("bvec", "dot") => ("bv", bvecNegdot(col("bv"), binarize(col("qv"))))
-      case ("svec", "l2") => (svCol, svecL2sq(col(svCol), svecFromDense(col("qv"))))
-      case ("svec", "dot") => (svCol, svecNegdot(col(svCol), svecFromDense(col("qv"))))
-      case ("svec", "cos") => (svCol, svecCosdist(col(svCol), svecFromDense(col("qv"))))
-      case ("f16", "l2") => ("bits", f16L2sq(col("bits"), toF16Bits(col("qv"))))
-      case ("f16", "dot") => ("bits", f16NegDot(col("bits"), toF16Bits(col("qv"))))
-      case ("f16", "cos") => ("bits", f16Cosdist(col("bits"), toF16Bits(col("qv"))))
+    // Convert the query vector into the family's SCORING form ONCE per
+    // probed query row (round 18): spelled inside the dist kernel it
+    // re-ran per JOINED PAIR — binarize / CSR construction / f16
+    // rounding on every corpus row. Identical values (deterministic
+    // expressions), so scores are bit-identical.
+    val (payloadCol, qScore, distOf) = (family, met) match {
+      case ("bvec", "hamming") =>
+        ("bv", binarize(col("qv")), (q: Column) => bvecHamming(col("bv"), q))
+      case ("bvec", "jaccard") =>
+        ("bv", binarize(col("qv")), (q: Column) => bvecJaccard(col("bv"), q))
+      case ("bvec", "dot") =>
+        ("bv", binarize(col("qv")), (q: Column) => bvecNegdot(col("bv"), q))
+      case ("svec", "l2") =>
+        (svCol, svecFromDense(col("qv")), (q: Column) => svecL2sq(col(svCol), q))
+      case ("svec", "dot") =>
+        (svCol, svecFromDense(col("qv")), (q: Column) => svecNegdot(col(svCol), q))
+      case ("svec", "cos") =>
+        (svCol, svecFromDense(col("qv")), (q: Column) => svecCosdist(col(svCol), q))
+      case ("f16", "l2") =>
+        ("bits", toF16Bits(col("qv")), (q: Column) => f16L2sq(col("bits"), q))
+      case ("f16", "dot") =>
+        ("bits", toF16Bits(col("qv")), (q: Column) => f16NegDot(col("bits"), q))
+      case ("f16", "cos") =>
+        ("bits", toF16Bits(col("qv")), (q: Column) => f16Cosdist(col("bits"), q))
       case (f, m) => throw new IllegalArgumentException(s"unknown $f metric $m")
     }
+    val probedScored = probed.withColumn("__graft_qs", qScore)
     val w = Window.partitionBy(col("qid")).orderBy(col("dist"), col(idCol))
     scan.select(col("list_id"), col(idCol), col(payloadCol))
-      .join(broadcastQueriesIfSmall(qv0, probed, np), "list_id")
-      .select(col("qid"), col(idCol), distCol.as("dist"))
+      .join(broadcastQueriesIfSmall(qv0, probedScored, np), "list_id")
+      .select(col("qid"), col(idCol), distOf(col("__graft_qs")).as("dist"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
   }

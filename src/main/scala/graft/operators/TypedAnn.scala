@@ -259,13 +259,17 @@ object TypedAnn {
       val q01 = qv.map(x => if (x > 0f) 1f else 0f)
       (qid, qv, rankLists(model, q01, metric).take(nprobe))
     }
+    // binarize ONCE per query row (round 18): the projected LocalRelation
+    // folds at plan time; spelled inside the dist kernel it re-ran per
+    // joined pair. Identical values, bit-identical scores.
     val qdf = rows.toDF("qid", "qf", "probes")
+      .withColumn("__qs", binarize(col("qf")))
     val allProbes = rows.flatMap(_._3).distinct
     val scan = graft.ParquetCache.read(spark, path)
       .filter(col("list_id").isin(allProbes.map(Integer.valueOf).toSeq: _*))
     val joined = scan.join(broadcast(qdf),
       array_contains(col("probes"), col("list_id")))
-    val qb = binarize(col("qf"))
+    val qb = col("__qs")
     val distCol = metric match {
       case "hamming" => bvecHamming(col("bv"), qb)
       case "jaccard" => bvecJaccard(col("bv"), qb)
@@ -294,13 +298,15 @@ object TypedAnn {
     val rows = queries.map { case (qid, qv) =>
       (qid, qv, rankLists(model, qv, metric).take(nprobe))
     }
+    // CSR-convert ONCE per query row (round 18, the batchSearchBvec note)
     val qdf = rows.toDF("qid", "qf", "probes")
+      .withColumn("__qs", svecFromDense(col("qf")))
     val allProbes = rows.flatMap(_._3).distinct
     val scan = graft.ParquetCache.read(spark, path)
       .filter(col("list_id").isin(allProbes.map(Integer.valueOf).toSeq: _*))
     val joined = scan.join(broadcast(qdf),
       array_contains(col("probes"), col("list_id")))
-    val qsv = svecFromDense(col("qf"))
+    val qsv = col("__qs")
     val distCol = metric match {
       case "l2" => svecL2sq(col(svCol), qsv)
       case "dot" => svecNegdot(col(svCol), qsv)
@@ -472,13 +478,15 @@ object TypedAnn {
         graft.types.Fp16.halfToFloat(graft.types.Fp16.floatToHalf(x)))
       (qid, qv, rankLists(model, qr, metric).take(nprobe))
     }
+    // f16-round ONCE per query row (round 18, the batchSearchBvec note)
     val qdf = rows.toDF("qid", "qf", "probes")
+      .withColumn("__qs", toF16Bits(col("qf")))
     val allProbes = rows.flatMap(_._3).distinct
     val scan = graft.ParquetCache.read(spark, path)
       .filter(col("list_id").isin(allProbes.map(Integer.valueOf).toSeq: _*))
     val joined = scan.join(broadcast(qdf),
       array_contains(col("probes"), col("list_id")))
-    val qb = toF16Bits(col("qf"))
+    val qb = col("__qs")
     val distCol = metric match {
       case "l2" => f16L2sq(col("bits"), qb)
       case "dot" => f16NegDot(col("bits"), qb)
