@@ -300,17 +300,30 @@ object KnnJoin {
         (svCol, svecFromDense(col("qv")), (q: Column) => svecNegdot(col(svCol), q))
       case ("svec", "cos") =>
         (svCol, svecFromDense(col("qv")), (q: Column) => svecCosdist(col(svCol), q))
+      // f16 scores over the EXACT f16-value f32 views, decoded once per
+      // corpus ROW scan-side and once per query row (round 18): the
+      // bit-bit kernels re-decoded both halves per joined PAIR.
+      // DenseKernels accumulates in double, index order, with the same
+      // shape as F16Kernels (cosdist's 3-accumulator pass mirrors it by
+      // construction), so on the same f32 values the doubles are
+      // bit-identical and the exact-twin oracles replay unchanged.
       case ("f16", "l2") =>
-        ("bits", toF16Bits(col("qv")), (q: Column) => f16L2sq(col("bits"), q))
+        ("__graft_pv", f16ToVector(toF16Bits(col("qv"))),
+          (q: Column) => graft.functions.l2sq(col("__graft_pv"), q))
       case ("f16", "dot") =>
-        ("bits", toF16Bits(col("qv")), (q: Column) => f16NegDot(col("bits"), q))
+        ("__graft_pv", f16ToVector(toF16Bits(col("qv"))),
+          (q: Column) => graft.functions.negdot(col("__graft_pv"), q))
       case ("f16", "cos") =>
-        ("bits", toF16Bits(col("qv")), (q: Column) => f16Cosdist(col("bits"), q))
+        ("__graft_pv", f16ToVector(toF16Bits(col("qv"))),
+          (q: Column) => graft.functions.cosdist(col("__graft_pv"), q))
       case (f, m) => throw new IllegalArgumentException(s"unknown $f metric $m")
     }
     val probedScored = probed.withColumn("__graft_qs", qScore)
+    val scanProj =
+      if (family == "f16") f16ToVector(col("bits")).as("__graft_pv")
+      else col(payloadCol)
     val w = Window.partitionBy(col("qid")).orderBy(col("dist"), col(idCol))
-    scan.select(col("list_id"), col(idCol), col(payloadCol))
+    scan.select(col("list_id"), col(idCol), scanProj)
       .join(broadcastQueriesIfSmall(qv0, probedScored, np), "list_id")
       .select(col("qid"), col(idCol), distOf(col("__graft_qs")).as("dist"))
       .withColumn("rn", row_number().over(w))

@@ -478,19 +478,25 @@ object TypedAnn {
         graft.types.Fp16.halfToFloat(graft.types.Fp16.floatToHalf(x)))
       (qid, qv, rankLists(model, qr, metric).take(nprobe))
     }
-    // f16-round ONCE per query row (round 18, the batchSearchBvec note)
+    // Decode to the exact f16-value f32 views once per side (round 18):
+    // the query form folds into the broadcast LocalRelation at plan
+    // time, the corpus bits decode once per scanned ROW, and the dense
+    // kernels accumulate the same doubles the bit-bit kernels did (the
+    // KnnJoin.joinTyped f16 note) — bit-identical scores, no per-PAIR
+    // half-decode.
     val qdf = rows.toDF("qid", "qf", "probes")
-      .withColumn("__qs", toF16Bits(col("qf")))
+      .withColumn("__qs", graft.functions.f16ToVector(toF16Bits(col("qf"))))
     val allProbes = rows.flatMap(_._3).distinct
     val scan = graft.ParquetCache.read(spark, path)
       .filter(col("list_id").isin(allProbes.map(Integer.valueOf).toSeq: _*))
+      .withColumn("__pv", graft.functions.f16ToVector(col("bits")))
     val joined = scan.join(broadcast(qdf),
       array_contains(col("probes"), col("list_id")))
     val qb = col("__qs")
     val distCol = metric match {
-      case "l2" => f16L2sq(col("bits"), qb)
-      case "dot" => f16NegDot(col("bits"), qb)
-      case "cos" => f16Cosdist(col("bits"), qb)
+      case "l2" => graft.functions.l2sq(col("__pv"), qb)
+      case "dot" => graft.functions.negdot(col("__pv"), qb)
+      case "cos" => graft.functions.cosdist(col("__pv"), qb)
       case m => throw new IllegalArgumentException(s"unknown vecf16 metric: $m")
     }
     val w = Window.partitionBy(col("qid")).orderBy(col("dist"), col(idCol))

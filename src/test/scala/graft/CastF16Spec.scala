@@ -116,4 +116,28 @@ class CastF16Spec extends SparkSpec {
       .head().getSeq[Float](0)
     assert(d === Seq(0f, 0.6f, 0f, 0.8f, 0f))
   }
+
+  test("dense kernels over decoded f16 views == bit-bit f16 kernels, exactly") {
+    // round 18: joinTyped/batchSearchF16 decode each side once and score
+    // with DenseKernels; the doubles must be bit-identical to the
+    // F16Kernels bit-bit forms on every input (incl. subnormal-rounding
+    // and large values)
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 300) {
+      val n = 1 + rnd.nextInt(96)
+      def arr() = new GenericArrayData(Array.fill(n)(
+        ((rnd.nextFloat() - 0.5f) * math.pow(2.0, rnd.nextInt(40) - 20)).toFloat))
+      val (af, bf) = (arr(), arr())
+      val ab = F16Kernels.toBits(af); val bb = F16Kernels.toBits(bf)
+      val ad = F16Kernels.toFloats(ab); val bd = F16Kernels.toFloats(bb)
+      // doubleToLongBits: bit equality that also treats NaN == NaN
+      // (f16 overflow to inf makes inf-inf/0*inf NaNs on BOTH sides)
+      def beq(x: Double, y: Double) =
+        java.lang.Double.doubleToLongBits(x) == java.lang.Double.doubleToLongBits(y)
+      assert(beq(F16Kernels.l2sq(ab, bb), DenseKernels.l2sq(ad, bd)))
+      assert(beq(F16Kernels.negdot(ab, bb), -DenseKernels.dot(ad, bd)))
+      assert(beq(F16Kernels.cosdist(ab, bb), DenseKernels.cosDist(ad, bd)))
+    }
+  }
 }
